@@ -1,0 +1,132 @@
+"""AST → Spark SQL type mapping (SURVEY.md §1.5).
+
+| Avro (reference)      | Spark                                             |
+|-----------------------|---------------------------------------------------|
+| null                  | NullType (only inside unions in practice)         |
+| boolean               | BooleanType                                       |
+| int                   | IntegerType                                       |
+| long                  | LongType                                          |
+| float                 | FloatType                                         |
+| double                | DoubleType                                        |
+| bytes / fixed         | BinaryType (+ size constraint metadata)           |
+| string                | StringType                                        |
+| enum                  | StringType + symbol list in metadata              |
+| record                | StructType                                        |
+| array / map           | ArrayType / MapType(string, V)                    |
+| union [null, T]       | T with nullable=True                              |
+| union (general)       | StructType(one nullable field per branch tag)     |
+| ``*`` nullable ext    | nullable=True on the StructField                  |
+
+Recursive schemas are unrolled to ``max_depth`` (Spark types are finite);
+deeper data is a runtime error — documented deviation (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from ..errors import SchemaError
+from .nodes import (
+    Array,
+    Enum,
+    Fixed,
+    Map,
+    Primitive,
+    Record,
+    SchemaNode,
+    UnionNode,
+)
+
+#: Field name used for the branch-tag column of a general union.
+UNION_TAG = "$type$"
+
+_PRIM = {
+    "null": T.NullType(),
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "bytes": T.BinaryType(),
+    "string": T.StringType(),
+}
+
+
+def is_null_branch(node: SchemaNode) -> bool:
+    return isinstance(node, Primitive) and node.type == "null"
+
+
+def union_null_and_one(node: UnionNode) -> SchemaNode | None:
+    """If the union is [null, T] / [T, null], return T, else None."""
+    non_null = [b for b in node.branches if not is_null_branch(b)]
+    if len(non_null) == 1 and len(node.branches) == 2:
+        return non_null[0]
+    return None
+
+
+def to_spark_type(node: SchemaNode, max_depth: int = 16, _depth: int = 0) -> T.DataType:
+    if _depth > max_depth:
+        raise SchemaError(
+            f"recursive schema exceeds max unroll depth {max_depth}; "
+            "raise max_depth or restructure"
+        )
+    if isinstance(node, Primitive):
+        if node.type == "any":
+            return T.StringType()  # 'any' not compilable in reference either
+        return _PRIM[node.type]
+    if isinstance(node, Enum):
+        return T.StringType()
+    if isinstance(node, Fixed):
+        return T.BinaryType()
+    if isinstance(node, Array):
+        return T.ArrayType(to_spark_type(node.items, max_depth, _depth + 1), True)
+    if isinstance(node, Map):
+        return T.MapType(T.StringType(), to_spark_type(node.values, max_depth, _depth + 1), True)
+    if isinstance(node, Record):
+        return T.StructType([
+            T.StructField(
+                f.name,
+                to_spark_type(f.type, max_depth, _depth + 1),
+                nullable=_field_nullable(f.type),
+                metadata=_field_metadata(f.type),
+            )
+            for f in node.fields
+        ])
+    if isinstance(node, UnionNode):
+        t = union_null_and_one(node)
+        if t is not None:
+            return to_spark_type(t, max_depth, _depth + 1)
+        fields = [T.StructField(UNION_TAG, T.IntegerType(), True)]
+        for i, b in enumerate(node.branches):
+            if is_null_branch(b):
+                continue
+            fields.append(
+                T.StructField(
+                    node.branch_tag(i), to_spark_type(b, max_depth, _depth + 1), True
+                )
+            )
+        return T.StructType(fields)
+    raise SchemaError(f"no Spark mapping for {node!r}")
+
+
+def _field_nullable(node: SchemaNode) -> bool:
+    if node.nullable:
+        return True
+    if isinstance(node, UnionNode):
+        return any(is_null_branch(b) for b in node.branches)
+    if is_null_branch(node):
+        return True
+    return False
+
+
+def _field_metadata(node: SchemaNode) -> dict:
+    md: dict = {}
+    if isinstance(node, Enum):
+        md["avro.enum.symbols"] = list(node.symbols)
+        md["avro.enum.name"] = node.fullname
+    elif isinstance(node, Fixed):
+        md["avro.fixed.size"] = node.size
+        md["avro.fixed.name"] = node.fullname
+    elif isinstance(node, UnionNode) and union_null_and_one(node) is None:
+        md["avro.union.tags"] = [node.branch_tag(i) for i in range(len(node.branches))]
+    return md

@@ -1,0 +1,183 @@
+"""CompiledSchema: the product of ``compile`` (A4).
+
+The reference's ``compile`` (avro_schema/init.lua:400-479) produces generated
+LuaJIT closures ``flatten / unflatten / xflatten`` (+ ``_msgpack`` variants).
+Here the product is a set of *DataFrame transforms* built from Column
+expression plans; Spark's Catalyst/Tungsten are the optimizer and codegen
+(SURVEY.md §3.4). All three transforms are narrow projections — zero
+shuffles, fully whole-stage-codegen'd, safe at any scale.
+
+The ``_msgpack`` byte-codec variants map to the Avro binary codec
+(``to_avro_bytes`` / ``from_avro_bytes``) in
+:mod:`avro_spark.sources.avro_binary` — MsgPack itself is an implementation
+detail of the reference runtime we do not reproduce (SURVEY.md §2C C1).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..errors import CompileError
+from ..schema import Schema
+from ..schema.nodes import Primitive, Record
+from .flatten import flatten_cells, lit_for, unflatten_field_exprs, xflatten_ops
+from .layout import SERVICE_FIELD_NAME, build_layout
+from .resolution import Resolved, resolve_cached
+
+_SERVICE_TYPES = {"boolean", "int", "long", "float", "double", "string", "bytes"}
+
+
+class CompiledSchema:
+    """Holds the writer→reader transform plans for one (writer, reader,
+    downgrade, service_fields) combination."""
+
+    def __init__(
+        self,
+        writer: Schema,
+        reader: Optional[Schema] = None,
+        downgrade: bool = False,
+        service_fields: tuple[str, ...] = (),
+        validate: bool = True,
+    ):
+        self.writer = writer
+        self.reader = reader or writer
+        self.downgrade = downgrade
+        self.validate = validate
+        for sf in service_fields:
+            if sf not in _SERVICE_TYPES:
+                raise CompileError(f"bad service field type: {sf}")
+        self.service_fields = tuple(service_fields)
+        self.plan: Resolved = resolve_cached(self.writer, self.reader, downgrade)
+        if self.plan.kind != "record":
+            raise CompileError("compile requires a record schema at the top level")
+
+    # ------------------------------------------------------------- naming
+    def flat_names(self, which: str = "reader") -> list[str]:
+        """Flat DataFrame column names: the layout's dotted names, with
+        repeated service-field names disambiguated by ordinal."""
+        root: Record = (self.reader if which == "reader" else self.writer).root  # type: ignore
+        cells = build_layout(root, self.service_fields)
+        names: list[str] = []
+        n_service = 0
+        for c in cells:
+            if c.name == SERVICE_FIELD_NAME:
+                n_service += 1
+                names.append(f"{SERVICE_FIELD_NAME}{n_service}" if len(self.service_fields) > 1 else c.name)
+            else:
+                names.append(c.name)
+        return names
+
+    def get_names(self) -> list[str]:
+        return self.reader.get_names(self.service_fields)
+
+    def get_types(self) -> list[str]:
+        return self.reader.get_types(self.service_fields)
+
+    # ---------------------------------------------------------- transforms
+    def flatten(self, df: DataFrame, service_values: Sequence[Any] = ()) -> DataFrame:
+        """Writer-shaped record DataFrame → flat DataFrame (reader layout).
+
+        ``service_values``: one literal or Column per declared service field
+        (constants in flatten — init.lua:223-268).
+        """
+        if len(service_values) != len(self.service_fields):
+            raise CompileError(
+                f"expected {len(self.service_fields)} service field values, got {len(service_values)}"
+            )
+        writer_root: Record = self.writer.root  # type: ignore[assignment]
+        missing = [
+            f.name for f in writer_root.fields
+            if f.name not in df.columns and not f.has_default
+        ]
+        if missing:
+            raise CompileError(f"input is missing writer fields: {missing}")
+        src_cols = set(df.columns)
+
+        def get_src(wf):
+            if wf.name in src_cols:
+                return F.col(wf.name)
+            return lit_for(wf.type, wf.default)
+
+        cells = flatten_cells(self.plan, get_src, (), self.validate)
+        names = self.flat_names("reader")
+        exprs: list[Column] = []
+        for sf_type, sf_val in zip(self.service_fields, service_values):
+            c = sf_val if isinstance(sf_val, Column) else F.lit(sf_val)
+            exprs.append(c.cast(_spark_cast_name(sf_type)))
+        exprs.extend(expr for _name, expr in cells)
+        return df.select(*[e.alias(n) for e, n in zip(exprs, names)])
+
+    def unflatten(self, df: DataFrame) -> DataFrame:
+        """Flat DataFrame (writer layout, columns matched by position) →
+        reader-shaped record DataFrame. Width is length-checked at plan time
+        (compiler.lua:1051-1059)."""
+        writer_root: Record = self.writer.root  # type: ignore[assignment]
+        expected = writer_root.width() + len(self.service_fields)
+        if len(df.columns) != expected:
+            raise CompileError(
+                f"unflatten: expected {expected} columns "
+                f"({len(self.service_fields)} service + width {writer_root.width()}), "
+                f"got {len(df.columns)}"
+            )
+        n = len(self.service_fields)
+        cells = [F.col(f"`{c}`") for c in df.columns[n:]]
+        fields = unflatten_field_exprs(self.plan, cells, self.validate)
+        return df.select(*[expr.alias(name) for name, expr in fields])
+
+    def xflatten(
+        self,
+        df: DataFrame,
+        keep: Sequence[str] = (),
+        stringify: bool = True,
+    ) -> DataFrame:
+        """Partial writer record → update-op array column ``ops``:
+        ``[{op:'=', field_no:i, value:v}, ...]`` with 1-based cell indices
+        offset by the service-field count (reference: init.lua:352-365,
+        test/ddt_suite/record.lua:355-362). Field *presence* = column present
+        in ``df``. ``keep`` carries key columns through for joins."""
+        writer_root: Record = self.writer.root  # type: ignore[assignment]
+        field_names = {f.name for f in writer_root.fields}
+        present = [c for c in df.columns if c in field_names]
+        if not present:
+            raise CompileError("xflatten: no schema fields present in the DataFrame")
+        triples = xflatten_ops(
+            self.plan, present, len(self.service_fields), self.validate, stringify
+        )
+        ops = F.array(
+            *[
+                F.struct(op.alias("op"), idx.cast("int").alias("field_no"), val.alias("value"))
+                for op, idx, val in triples
+            ]
+        )
+        return df.select(*[F.col(k) for k in keep], ops.alias("ops"))
+
+    # ----------------------------------------------------- binary variants
+    def flatten_from_avro(self, df: DataFrame, column: str = "avro", **kw) -> DataFrame:
+        """Avro-binary column → flat DataFrame (≙ flatten_msgpack(mp→...))."""
+        from ..sources.avro_binary import from_avro_bytes
+
+        decoded = from_avro_bytes(df, column, self.writer)
+        return self.flatten(decoded, **kw)
+
+    def unflatten_to_avro(self, df: DataFrame, column: str = "avro") -> DataFrame:
+        """Flat DataFrame → reader records encoded as an Avro-binary column."""
+        from ..sources.avro_binary import to_avro_bytes
+
+        records = self.unflatten(df)
+        return to_avro_bytes(records, self.reader, column)
+
+    def __repr__(self) -> str:
+        return (
+            f"CompiledSchema({self.writer.root!r} → {self.reader.root!r}, "
+            f"downgrade={self.downgrade}, service_fields={self.service_fields})"
+        )
+
+
+def _spark_cast_name(avro_type: str) -> str:
+    return {
+        "boolean": "boolean", "int": "int", "long": "bigint", "float": "float",
+        "double": "double", "string": "string", "bytes": "binary",
+    }[avro_type]

@@ -1,0 +1,620 @@
+"""Lowering: resolution plan → Spark Column expressions.
+
+This module plays the role of the reference's compiler + backend
+(avro_schema/compiler.lua, backend.lua): it turns a §2B resolution plan into
+the three generated transforms
+
+* ``flatten``   — writer-shaped record DataFrame → flat cells (reader layout)
+* ``unflatten`` — flat cells (writer layout) → reader-shaped record DataFrame
+* ``xflatten``  — partial writer record → update-op array
+
+but as *declarative column expressions*: Catalyst + Tungsten then subsume the
+reference's IL optimizer and LuaJIT codegen (SURVEY.md §4). All transforms
+are narrow (no shuffle) and stay inside whole-stage codegen — they are pure
+per-row projections, embarrassingly parallel at any scale.
+
+Representation rules (must agree with schema/spark_types.py):
+
+* record value  → struct (Spark structs are positional+ordered: the exact
+  analogue of the reference's positional sub-arrays inside cells, cf.
+  test/ddt_suite/array.lua array_complex goldens)
+* enum value    → string symbol in record form, int code in flat cells
+* union [null,T] → plain nullable column; general union → struct
+  ``($type$ int, <tag_i> value_i …)``, flat form = two cells [tag, value]
+  (compiler.lua:141-147)
+* data-dependent checks (enum membership, fixed length, union versioning)
+  are emitted as ``assert_true`` guards — the Spark analogue of the
+  reference's runtime "schema versioning" errors (runtime.lua:319-336);
+  pass ``validate=False`` to elide them from the plan.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..errors import CompileError
+from ..schema.nodes import (
+    NO_DEFAULT,
+    Array,
+    Enum,
+    Field,
+    Fixed,
+    Map,
+    Primitive,
+    Record,
+    SchemaNode,
+    UnionNode,
+)
+from ..schema.spark_types import UNION_TAG, to_spark_type, union_null_and_one
+from .resolution import FieldSource, Resolved
+
+
+def _checked(value: Column, cond: Column, msg: str, node: SchemaNode, validate: bool) -> Column:
+    """Guard ``value`` with a data-dependent assertion. ``assert_true``
+    evaluates to NULL (then coalesce falls through to value) or raises."""
+    if not validate:
+        return value
+    guard = F.assert_true(cond, F.lit(msg)).cast(to_spark_type(node))
+    return F.coalesce(guard, value)
+
+
+def _simple_union(node: SchemaNode) -> Optional[SchemaNode]:
+    if isinstance(node, UnionNode):
+        return union_null_and_one(node)
+    return None
+
+
+def _null_branch_index(node: UnionNode) -> Optional[int]:
+    for i, b in enumerate(node.branches):
+        if isinstance(b, Primitive) and b.type == "null":
+            return i
+    return None
+
+
+# --------------------------------------------------------------- literals
+def lit_for(node: SchemaNode, value: Any) -> Column:
+    """Typed literal column for a default value (reader-shaped record form)."""
+    if value is None or value is NO_DEFAULT:
+        return F.lit(None).cast(to_spark_type(node))
+    if isinstance(node, Record):
+        return F.struct(
+            *[
+                lit_for(f.type, value.get(f.name, f.default if f.has_default else None)).alias(f.name)
+                for f in node.fields
+            ]
+        )
+    if isinstance(node, Array):
+        if not value:
+            return F.lit([]).cast(to_spark_type(node))
+        return F.array(*[lit_for(node.items, v) for v in value])
+    if isinstance(node, Map):
+        if not value:
+            return F.create_map().cast(to_spark_type(node))
+        keys = F.array(*[F.lit(k) for k in value])
+        vals = F.array(*[lit_for(node.values, v) for v in value.values()])
+        return F.map_from_arrays(keys, vals)
+    if isinstance(node, UnionNode):
+        # internal default form is {tag: value} or None
+        simple = _simple_union(node)
+        if isinstance(value, dict) and len(value) == 1:
+            ((tag, inner),) = value.items()
+            idx = node.tag_index()[tag]
+            if simple is not None:
+                return lit_for(simple, inner)
+            fields = [F.lit(idx).alias(UNION_TAG)]
+            for i, b in enumerate(node.branches):
+                if isinstance(b, Primitive) and b.type == "null":
+                    continue
+                t = node.branch_tag(i)
+                fields.append(
+                    (lit_for(b, inner) if i == idx else F.lit(None).cast(to_spark_type(b))).alias(t)
+                )
+            return F.struct(*fields)
+        return F.lit(None).cast(to_spark_type(node))
+    if isinstance(node, Fixed) or (isinstance(node, Primitive) and node.type == "bytes"):
+        return F.lit(bytes(value) if isinstance(value, (bytes, bytearray)) else str(value).encode())
+    return F.lit(value).cast(to_spark_type(node))
+
+
+# --------------------------------------------- record-form conversion core
+def convert_expr(plan: Resolved, src: Column, validate: bool = True) -> Column:
+    """writer-shaped record-form value → reader-shaped record-form value."""
+    kind = plan.kind
+    if kind == "copy":
+        return src
+    if kind == "promote":
+        return src.cast(to_spark_type(plan.reader))
+    if kind == "enum":
+        # symbols match by name; writer symbols absent from the reader are a
+        # runtime versioning error (frontend.lua:1199-1229)
+        reader: Enum = plan.reader  # type: ignore[assignment]
+        valid = [s for s, o in zip(plan.writer.symbols, plan.children["i2o"]) if o is not None]
+        if len(valid) == len(plan.writer.symbols):
+            return src
+        cond = src.isNull() | src.isin(*valid) if valid else src.isNull()
+        return _checked(src, cond, f"enum value not in reader schema (schema versioning): {reader.fullname}", reader, validate)
+    if kind == "fixed":
+        fx: Fixed = plan.reader  # type: ignore[assignment]
+        return _checked(
+            src, src.isNull() | (F.length(src) == fx.size),
+            f"bad fixed length, expected {fx.size}", fx, validate,
+        )
+    if kind == "array":
+        item_plan = plan.children["items"]
+        if _is_identity(item_plan):
+            return src
+        return F.transform(src, lambda x: convert_expr(item_plan, x, validate))
+    if kind == "map":
+        val_plan = plan.children["values"]
+        if _is_identity(val_plan):
+            return src
+        return F.transform_values(src, lambda k, v: convert_expr(val_plan, v, validate))
+    if kind == "record":
+        out = F.struct(
+            *[
+                _field_value(s, lambda wf, s_=src: s_.getField(wf.name), validate).alias(s.reader_field.name)
+                for s in plan.children["sources"]
+                if not s.reader_field.hidden
+            ]
+        )
+        if plan.writer is not None and plan.writer.nullable:
+            out = F.when(src.isNull(), F.lit(None).cast(to_spark_type(plan.reader))).otherwise(out)
+        return out
+    if kind in ("union", "from_union", "to_union"):
+        return _convert_union(plan, src, validate)
+    raise CompileError(f"cannot lower plan kind {kind}")
+
+
+def _is_identity(plan: Resolved) -> bool:
+    """True when the conversion is a no-op (lets Catalyst see a bare column —
+    the analogue of the reference's MOVE elision, il.lua:441-484)."""
+    k = plan.kind
+    if k == "copy":
+        return True
+    if k == "fixed":
+        return False  # keeps the length check
+    if k == "enum":
+        i2o = plan.children["i2o"]
+        return all(o is not None for o in i2o) and plan.writer.symbols == plan.reader.symbols
+    if k == "array":
+        return _is_identity(plan.children["items"])
+    if k == "map":
+        return _is_identity(plan.children["values"])
+    if k == "record":
+        w, r = plan.writer, plan.reader
+        if w is None or len(w.fields) != len(r.fields):
+            return False
+        for i, s in enumerate(plan.children["sources"]):
+            if s.writer_index != i or s.plan is None or not _is_identity(s.plan):
+                return False
+            if s.reader_field.hidden or (s.writer_field and s.writer_field.hidden):
+                return False
+        return True
+    if k == "union":
+        w, r = plan.writer, plan.reader
+        if len(w.branches) != len(r.branches):
+            return False
+        for i, hit in enumerate(plan.children["branches"]):
+            if hit is None or hit[0] != i or not _is_identity(hit[1]):
+                return False
+        return True
+    return False
+
+
+def _field_value(src_spec: FieldSource, get_src: Callable[[Field], Column], validate: bool) -> Column:
+    """Record-form value of one reader field (default-synthesized or
+    converted from the writer field)."""
+    rf = src_spec.reader_field
+    if src_spec.writer_field is None:
+        if rf.has_default:
+            return lit_for(rf.type, rf.default)
+        return F.lit(None).cast(to_spark_type(rf.type))
+    raw = get_src(src_spec.writer_field)
+    val = convert_expr(src_spec.plan, raw, validate)
+    if rf.has_default and not isinstance(rf.type, (Record, UnionNode)):
+        # missing/null input falls back to the default (frontend.lua:846-882)
+        val = F.coalesce(val, lit_for(rf.type, rf.default))
+    return val
+
+
+# ------------------------------------------------------------------ unions
+def _union_parts(plan: Resolved, src: Column, validate: bool) -> tuple[Column, Column]:
+    """(tag, value) columns for the reader union, from writer-form ``src``."""
+    kind = plan.kind
+    reader: UnionNode = plan.reader  # type: ignore[assignment]
+    r_simple = _simple_union(reader)
+
+    if kind == "to_union":
+        j, p = plan.children["branch"]
+        tag = F.when(src.isNull(), F.lit(_null_branch_index(reader))).otherwise(F.lit(j)) \
+            if src is not None else F.lit(j)
+        val = convert_expr(p, src, validate)
+        return tag.cast("int"), _wrap_union_value(reader, val, j)
+
+    if kind == "union":
+        writer: UnionNode = plan.writer  # type: ignore[assignment]
+        w_simple = _simple_union(writer)
+        branches = plan.children["branches"]
+        if w_simple is not None:
+            # writer [null, T] — src is a plain nullable column
+            w_null = _null_branch_index(writer)
+            w_val = next(i for i in range(len(writer.branches)) if i != w_null)
+            null_hit, val_hit = branches[w_null], branches[w_val]
+            null_tag = F.lit(null_hit[0] if null_hit else None)
+            val_tag = F.lit(val_hit[0] if val_hit else None)
+            tag = F.when(src.isNull(), null_tag).otherwise(val_tag)
+            if validate and (null_hit is None or val_hit is None):
+                tag = _checked(tag, tag.isNotNull(), "union branch not in reader schema (schema versioning)", Primitive("int"), validate)
+            val = convert_expr(val_hit[1], src, validate) if val_hit else F.lit(None)
+            if val_hit:
+                val = _wrap_union_value(reader, F.when(src.isNotNull(), val), val_hit[0])
+            else:
+                val = F.lit(None).cast(to_spark_type(reader) if r_simple is None else to_spark_type(r_simple))
+            return tag.cast("int"), val
+        # writer general union — src is a struct ($type$, tag_i...)
+        w_tag = src.getField(UNION_TAG)
+        tag_expr = F.lit(None).cast("int")
+        val_expr = None
+        for i in reversed(range(len(writer.branches))):
+            hit = branches[i]
+            if isinstance(writer.branches[i], Primitive) and writer.branches[i].type == "null":
+                branch_src = F.lit(None)
+            else:
+                branch_src = src.getField(writer.branch_tag(i))
+            if hit is None:
+                continue
+            j, p = hit
+            tag_expr = F.when(w_tag == i, F.lit(j)).otherwise(tag_expr)
+            v = _wrap_union_value(reader, convert_expr(p, branch_src, validate), j)
+            val_expr = F.when(w_tag == i, v).otherwise(val_expr) if val_expr is not None else F.when(w_tag == i, v)
+        tag_expr = _checked(
+            tag_expr, src.isNull() | tag_expr.isNotNull(),
+            "union branch not in reader schema (schema versioning)", Primitive("int"), validate,
+        )
+        if val_expr is None:
+            val_expr = F.lit(None)
+        return tag_expr.cast("int"), val_expr
+
+    raise CompileError(f"not a union plan: {kind}")
+
+
+def _wrap_union_value(reader: UnionNode, val: Column, branch: int) -> Column:
+    """Wrap a converted branch value into the reader union's value form."""
+    simple = _simple_union(reader)
+    if simple is not None:
+        return val
+    fields = []
+    for i, b in enumerate(reader.branches):
+        if isinstance(b, Primitive) and b.type == "null":
+            continue
+        t = reader.branch_tag(i)
+        fields.append((val if i == branch else F.lit(None).cast(to_spark_type(b))).alias(t))
+    return F.struct(*fields)
+
+
+def _convert_union(plan: Resolved, src: Column, validate: bool) -> Column:
+    """Record-form union conversion."""
+    reader = plan.reader
+    if plan.kind == "from_union":
+        # union → non-union reader: per-branch conversion, unmatched raises
+        writer: UnionNode = plan.writer  # type: ignore[assignment]
+        w_simple = _simple_union(writer)
+        branches = plan.children["branches"]
+        if w_simple is not None:
+            w_null = _null_branch_index(writer)
+            w_val = next(i for i in range(len(writer.branches)) if i != w_null)
+            hit = branches[w_val]
+            if hit is None:
+                return _checked(
+                    F.lit(None).cast(to_spark_type(reader)), src.isNull(),
+                    "union branch not compatible with reader (schema versioning)", reader, validate,
+                )
+            return convert_expr(hit[1], src, validate)
+        w_tag = src.getField(UNION_TAG)
+        out = F.lit(None).cast(to_spark_type(reader))
+        ok = src.isNull()
+        for i, hit in enumerate(branches):
+            if hit is None:
+                continue
+            wb = writer.branches[i]
+            branch_src = (
+                F.lit(None) if isinstance(wb, Primitive) and wb.type == "null"
+                else src.getField(writer.branch_tag(i))
+            )
+            out = F.when(w_tag == i, convert_expr(hit[1], branch_src, validate)).otherwise(out)
+            ok = ok | (w_tag == i)
+        return _checked(out, ok, "union branch not compatible with reader (schema versioning)", reader, validate)
+
+    if plan.kind == "to_union":
+        r_simple = _simple_union(reader)
+        j, p = plan.children["branch"]
+        val = convert_expr(p, src, validate)
+        if r_simple is not None:
+            return val
+        tag, wrapped = _union_parts(plan, src, validate)
+        return F.struct(tag.alias(UNION_TAG), *[wrapped.getField(f).alias(f) for f in _branch_field_names(reader)])
+
+    # union → union
+    r_simple = _simple_union(reader)
+    tag, val = _union_parts(plan, src, validate)
+    if r_simple is not None:
+        return val
+    return F.struct(tag.alias(UNION_TAG), *[val.getField(f).alias(f) for f in _branch_field_names(reader)])
+
+
+def _branch_field_names(u: UnionNode) -> list[str]:
+    return [
+        u.branch_tag(i)
+        for i, b in enumerate(u.branches)
+        if not (isinstance(b, Primitive) and b.type == "null")
+    ]
+
+
+# ----------------------------------------------------------- flatten cells
+def flatten_cells(
+    plan: Resolved,
+    get_src: Callable[[Field], Column],
+    prefix: tuple[str, ...] = (),
+    validate: bool = True,
+) -> list[tuple[str, Column]]:
+    """Flat cells (name, expr) for a record plan, in reader layout order
+    (compiler.lua:510-619 flatten semantics: schema order, defaults,
+    inlined non-nullable sub-records, [tag, value] unions, enum codes)."""
+    assert plan.kind == "record", plan.kind
+    cells: list[tuple[str, Column]] = []
+    for s in plan.children["sources"]:
+        rf = s.reader_field
+        path = prefix + (rf.name,)
+        dotted = ".".join(path)
+        node = rf.type
+        if isinstance(node, Record) and not node.nullable:
+            if s.writer_field is None:
+                # synthesized whole sub-record from the default
+                value = rf.default if rf.has_default else None
+                cells.extend(_default_cells(node, value, path))
+            else:
+                sub_src = get_src(s.writer_field)
+                cells.extend(
+                    flatten_cells(
+                        s.plan,
+                        lambda wf, s_=sub_src: s_.getField(wf.name),
+                        path, validate,
+                    )
+                )
+        elif isinstance(node, UnionNode):
+            if s.writer_field is None:
+                value = rf.default if rf.has_default else None
+                tag_c, val_c = _default_union_cells(node, value)
+            else:
+                tag_c, val_c = _union_parts(s.plan, get_src(s.writer_field), validate)
+            cells.append((dotted + ".$type$", tag_c))
+            cells.append((dotted, val_c))
+        elif isinstance(node, Enum):
+            val = _field_value(s, get_src, validate)
+            cells.append((dotted, _enum_code(node, val, validate)))
+        else:
+            cells.append((dotted, _field_value(s, get_src, validate)))
+    return cells
+
+
+def _enum_code(node: Enum, symbol: Column, validate: bool) -> Column:
+    pairs: list[Column] = []
+    for i, s in enumerate(node.symbols):
+        pairs += [F.lit(s), F.lit(i)]
+    code = F.element_at(F.create_map(*pairs), symbol)
+    return _checked(
+        code, symbol.isNull() | code.isNotNull(),
+        f"bad enum symbol for {node.fullname}", Primitive("int"), validate,
+    )
+
+
+def _enum_symbol(node: Enum, code: Column, i2o: Optional[list] = None, reader: Optional[Enum] = None) -> Column:
+    """int code (writer) → symbol string (reader); identity remap when no
+    evolution."""
+    target = reader or node
+    pairs: list[Column] = []
+    for i in range(len(node.symbols)):
+        o = i if i2o is None else i2o[i]
+        if o is not None:
+            pairs += [F.lit(i), F.lit(target.symbols[o])]
+    if not pairs:
+        return F.lit(None).cast("string")
+    return F.element_at(F.create_map(*pairs), code)
+
+
+def _default_cells(node: Record, value: Any, path: tuple[str, ...]) -> list[tuple[str, Column]]:
+    """Flat cells for a whole defaulted sub-record."""
+    out: list[tuple[str, Column]] = []
+    for f in node.fields:
+        fpath = path + (f.name,)
+        dotted = ".".join(fpath)
+        fval = None
+        if isinstance(value, dict) and f.name in value:
+            fval = value[f.name]
+        elif f.has_default:
+            fval = f.default
+        ft = f.type
+        if isinstance(ft, Record) and not ft.nullable:
+            out.extend(_default_cells(ft, fval, fpath))
+        elif isinstance(ft, UnionNode):
+            tag_c, val_c = _default_union_cells(ft, fval)
+            out.append((dotted + ".$type$", tag_c))
+            out.append((dotted, val_c))
+        elif isinstance(ft, Enum):
+            code = ft.symbol_index().get(fval) if isinstance(fval, str) else None
+            out.append((dotted, F.lit(code).cast("int")))
+        else:
+            out.append((dotted, lit_for(ft, fval)))
+    return out
+
+
+def _default_union_cells(node: UnionNode, value: Any) -> tuple[Column, Column]:
+    simple = _simple_union(node)
+    if value is None:
+        nb = _null_branch_index(node)
+        tag = F.lit(nb).cast("int")
+        val = F.lit(None).cast(to_spark_type(simple) if simple is not None else to_spark_type(node))
+        return tag, val
+    assert isinstance(value, dict) and len(value) == 1
+    ((tag_name, inner),) = value.items()
+    idx = node.tag_index()[tag_name]
+    tag = F.lit(idx).cast("int")
+    val = lit_for(node.branches[idx], inner)
+    if simple is None:
+        val = _wrap_union_value(node, val, idx)
+    return tag, val
+
+
+# --------------------------------------------------------- unflatten cells
+def field_cell_slices(rec: Record) -> list[tuple[Field, int, int]]:
+    """(field, start, width) cell slices of a record's flat layout."""
+    out = []
+    pos = 0
+    for f in rec.fields:
+        w = f.type.width()
+        out.append((f, pos, w))
+        pos += w
+    return out
+
+
+def unflatten_field_exprs(
+    plan: Resolved,
+    cells: list[Column],
+    validate: bool = True,
+) -> list[tuple[str, Column]]:
+    """Top-level reader fields (name, expr) from writer-layout flat cells
+    (compiler.lua:770-800 unflatten semantics; hidden fields omitted,
+    compiler.lua:783-789)."""
+    assert plan.kind == "record"
+    writer: Record = plan.writer  # type: ignore[assignment]
+    slices = {f.name: (start, w) for f, start, w in field_cell_slices(writer)}
+    out: list[tuple[str, Column]] = []
+    for s in plan.children["sources"]:
+        rf = s.reader_field
+        if rf.hidden:
+            continue
+        if s.writer_field is None:
+            out.append((rf.name, lit_for(rf.type, rf.default if rf.has_default else None)))
+            continue
+        start, w = slices[s.writer_field.name]
+        out.append((rf.name, _unflatten_value(s.plan, cells[start : start + w], validate)))
+    return out
+
+
+def _unflatten_value(plan: Resolved, cells: list[Column], validate: bool) -> Column:
+    kind = plan.kind
+    if kind in ("copy", "promote", "fixed"):
+        assert len(cells) == 1
+        return convert_expr(plan, cells[0], validate)
+    if kind == "enum":
+        # flat cell carries the writer's int code → reader symbol string
+        writer: Enum = plan.writer  # type: ignore[assignment]
+        reader: Enum = plan.reader  # type: ignore[assignment]
+        sym = _enum_symbol(writer, cells[0], plan.children["i2o"], reader)
+        return _checked(
+            sym, cells[0].isNull() | sym.isNotNull(),
+            f"enum code not in reader schema (schema versioning): {reader.fullname}",
+            reader, validate,
+        )
+    if kind in ("array", "map"):
+        assert len(cells) == 1
+        return convert_expr(plan, cells[0], validate)
+    if kind == "record":
+        writer = plan.writer
+        if writer.nullable:
+            # nullable record: one struct cell
+            assert len(cells) == 1
+            return convert_expr(plan, cells[0], validate)
+        slices = field_cell_slices(writer)
+        parts: list[Column] = []
+        for s in plan.children["sources"]:
+            rf = s.reader_field
+            if rf.hidden:
+                continue
+            if s.writer_field is None:
+                parts.append(lit_for(rf.type, rf.default if rf.has_default else None).alias(rf.name))
+            else:
+                f, start, w = slices[s.writer_index]
+                parts.append(_unflatten_value(s.plan, cells[start : start + w], validate).alias(rf.name))
+        return F.struct(*parts)
+    if kind in ("union", "from_union"):
+        # writer union occupies two cells [tag, value]
+        assert len(cells) == 2
+        w_tag, w_val = cells
+        writer = plan.writer
+        reader = plan.reader
+        w_simple = _simple_union(writer)
+        src = w_val if w_simple is not None else _rebuild_union_struct(writer, w_tag, w_val)
+        return _convert_union(plan, src, validate)
+    if kind == "to_union":
+        assert len(cells) == 1
+        return _convert_union(plan, cells[0], validate)
+    raise CompileError(f"cannot unflatten plan kind {kind}")
+
+
+def _rebuild_union_struct(writer: UnionNode, tag: Column, val: Column) -> Column:
+    """Reassemble the struct record-form of a general union from its two flat
+    cells (value cell is already the branch-field struct)."""
+    return F.struct(tag.cast("int").alias(UNION_TAG), *[val.getField(f).alias(f) for f in _branch_field_names(writer)])
+
+
+# ---------------------------------------------------------------- xflatten
+def xflatten_ops(
+    plan: Resolved,
+    present: list[str],
+    n_service: int = 0,
+    validate: bool = True,
+    stringify: bool = True,
+) -> list[tuple[Column, ...]]:
+    """Update ops for the xflatten transform (compiler.lua:922-1024): for
+    each *present* top-level writer field, one ``('=', index, value)`` op per
+    flat cell, 1-based indices offset by the service-field count
+    (init.lua:356-360). Union fields update both cells
+    (compiler.lua:1002-1013).
+
+    Returns a list of (op, index, value) column triples; the caller packs
+    them into an array-of-structs column. ``stringify`` casts values to
+    string so heterogeneous cell types fit one Spark array.
+    """
+    assert plan.kind == "record"
+
+    def maybe_str(c: Column) -> Column:
+        return c.cast("string") if stringify else c
+
+    # xflatten indexes cells of the *reader* layout
+    ops: list[tuple[Column, ...]] = []
+    pos = 1 + n_service
+    for s in plan.children["sources"]:
+        rf = s.reader_field
+        node = rf.type
+        w = node.width()
+        if s.writer_field is None or s.writer_field.name not in present:
+            pos += w
+            continue
+        src = F.col(s.writer_field.name)
+        if isinstance(node, UnionNode):
+            # union double-cell update (compiler.lua:1002-1013)
+            tag_c, val_c = _union_parts(s.plan, src, validate)
+            ops.append((F.lit("="), F.lit(pos), maybe_str(tag_c)))
+            ops.append((F.lit("="), F.lit(pos + 1), maybe_str(val_c)))
+        elif isinstance(node, Record) and node.nullable:
+            # alpha-gated in the reference (compiler.lua:978-994): mirror the gate
+            raise CompileError("xflatten is not implemented for nullable records")
+        elif isinstance(node, Record):
+            # whole sub-record update: one op per flat cell, in layout order
+            sub_cells = flatten_cells(
+                s.plan, lambda wf, s_=src: s_.getField(wf.name), (rf.name,), validate
+            )
+            for off, (_name, expr) in enumerate(sub_cells):
+                ops.append((F.lit("="), F.lit(pos + off), maybe_str(expr)))
+        elif isinstance(node, Enum):
+            code = _enum_code(node, _field_value(s, lambda wf: F.col(wf.name), validate), validate)
+            ops.append((F.lit("="), F.lit(pos), maybe_str(code)))
+        else:
+            val = _field_value(s, lambda wf: F.col(wf.name), validate)
+            ops.append((F.lit("="), F.lit(pos), maybe_str(val)))
+        pos += w
+    return ops

@@ -1,0 +1,262 @@
+"""Writer→reader schema resolution planning (schema evolution).
+
+Re-implements the reference's ``build_ir`` resolution (avro_schema/
+frontend.lua:1042-1235) as a pure-Python plan tree — the §2B micro-operator
+inventory in SURVEY.md. The plan is later lowered to Spark Column expressions
+by :mod:`avro_spark.plans.flatten`; Catalyst plays the role of the reference's
+IL optimizer + LuaJIT backend.
+
+Matching rules:
+
+* primitives: identity, or a widening promotion ``int→long/float/double``,
+  ``long→float/double``, ``float→double``, ``string↔bytes``
+  (frontend.lua:54-60, 1090-1092)
+* fixed: same name (or alias) + same size (frontend.lua:1134-1142)
+* array/map: element-wise recursion (frontend.lua:1116-1133)
+* enum: symbol remap by name; writer symbols absent from the reader raise a
+  runtime "schema versioning" error on occurrence (frontend.lua:1199-1229)
+* record: field mapping by name including aliases; a reader field with no
+  writer source needs a default (or is nullable → null); writer-only fields
+  are dropped (frontend.lua:1143-1198, 989-996)
+* union: branch matching by tag / promotion; non-union→union picks the first
+  compatible reader branch; union→non-union resolves each writer branch,
+  unmatched branches raise at runtime (frontend.lua:1046-1083)
+* ``downgrade`` mode reverses alias matching: aliases of the *writer* (the
+  newer schema) match reader names (imatch, frontend.lua:718-735, 1150-1153)
+* nullability: writer nullable → reader must tolerate null (nullable reader
+  or null-accepting union)
+
+Plans are cached per (writer, reader, downgrade) — the analogue of the
+reference's IR cache (init.lua:41-63).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from ..errors import CompatibilityError
+from ..schema import Schema
+from ..schema.nodes import (
+    PROMOTIONS,
+    Array,
+    Enum,
+    Field,
+    Fixed,
+    Map,
+    NamedNode,
+    Primitive,
+    Record,
+    SchemaNode,
+    UnionNode,
+)
+
+
+@dataclass
+class Resolved:
+    """A node of the resolution plan: how to read writer-shaped data as
+    reader-shaped data."""
+
+    kind: str                      # copy|promote|enum|fixed|record|array|map|union|from_union|to_union|default
+    writer: Optional[SchemaNode]
+    reader: SchemaNode
+    # kind-specific payloads:
+    children: dict = field(default_factory=dict)
+
+    @property
+    def nullable(self) -> bool:
+        w_null = self.writer.nullable if self.writer is not None else False
+        return w_null or self.reader.nullable
+
+
+@dataclass
+class FieldSource:
+    """Where a reader record field comes from."""
+
+    reader_field: Field
+    writer_field: Optional[Field]      # None → synthesized from default/null
+    writer_index: Optional[int]
+    plan: Optional[Resolved]           # None when synthesized
+
+
+def _err(msg: str, path: tuple) -> CompatibilityError:
+    loc = "/".join(str(p) for p in path)
+    return CompatibilityError(f"{loc}: {msg}" if loc else msg)
+
+
+def _names_match(writer: NamedNode, reader: NamedNode, downgrade: bool) -> bool:
+    """Named types match on equal (unqualified) name, or via aliases — reader
+    aliases in normal mode, writer aliases in downgrade mode
+    (frontend.lua:718-735)."""
+    if writer.name == reader.name or writer.fullname == reader.fullname:
+        return True
+    aliased, target = (writer, reader) if downgrade else (reader, writer)
+    return target.name in aliased.aliases or target.fullname in aliased.aliases
+
+
+def _is_null(n: SchemaNode) -> bool:
+    return isinstance(n, Primitive) and n.type == "null"
+
+
+def resolve(
+    writer: SchemaNode,
+    reader: SchemaNode,
+    downgrade: bool = False,
+    path: tuple = (),
+) -> Resolved:
+    """Build the resolution plan, or raise :class:`CompatibilityError`."""
+    # nullability wrapper: writer-null must be representable in the reader
+    if writer.nullable and not (
+        reader.nullable
+        or (isinstance(reader, UnionNode) and any(_is_null(b) for b in reader.branches))
+    ):
+        raise _err(
+            f"nullable {writer.type_name()} cannot be read as non-nullable {reader.type_name()}",
+            path,
+        )
+
+    if isinstance(writer, UnionNode) or isinstance(reader, UnionNode):
+        return _resolve_union(writer, reader, downgrade, path)
+
+    if isinstance(writer, Primitive) and isinstance(reader, Primitive):
+        if writer.type == reader.type:
+            return Resolved("copy", writer, reader)
+        if reader.type in PROMOTIONS.get(writer.type, ()):
+            return Resolved("promote", writer, reader)
+        raise _err(f"{writer.type} is not compatible with {reader.type}", path)
+
+    if isinstance(writer, Enum) and isinstance(reader, Enum):
+        if not _names_match(writer, reader, downgrade):
+            raise _err(f"enum name mismatch: {writer.fullname} vs {reader.fullname}", path)
+        reader_idx = reader.symbol_index()
+        i2o = [reader_idx.get(sym) for sym in writer.symbols]  # None → versioning error
+        return Resolved("enum", writer, reader, {"i2o": i2o})
+
+    if isinstance(writer, Fixed) and isinstance(reader, Fixed):
+        if not _names_match(writer, reader, downgrade):
+            raise _err(f"fixed name mismatch: {writer.fullname} vs {reader.fullname}", path)
+        if writer.size != reader.size:
+            raise _err(f"fixed size mismatch: {writer.size} vs {reader.size}", path)
+        return Resolved("fixed", writer, reader)
+
+    if isinstance(writer, Array) and isinstance(reader, Array):
+        return Resolved(
+            "array", writer, reader,
+            {"items": resolve(writer.items, reader.items, downgrade, path + ("items",))},
+        )
+
+    if isinstance(writer, Map) and isinstance(reader, Map):
+        return Resolved(
+            "map", writer, reader,
+            {"values": resolve(writer.values, reader.values, downgrade, path + ("values",))},
+        )
+
+    if isinstance(writer, Record) and isinstance(reader, Record):
+        return _resolve_record(writer, reader, downgrade, path)
+
+    raise _err(f"{writer.type_name()} is not compatible with {reader.type_name()}", path)
+
+
+def _field_matches(wf: Field, rf: Field, downgrade: bool) -> bool:
+    """Record fields match by name; reader-field aliases match writer names
+    (writer aliases in downgrade mode) — frontend.lua:412-436, 1150-1153."""
+    if wf.name == rf.name:
+        return True
+    aliased, target = (wf, rf) if downgrade else (rf, wf)
+    return target.name in aliased.aliases
+
+
+def _resolve_record(writer: Record, reader: Record, downgrade: bool, path: tuple) -> Resolved:
+    if not _names_match(writer, reader, downgrade):
+        raise _err(f"record name mismatch: {writer.fullname} vs {reader.fullname}", path)
+    sources: list[FieldSource] = []
+    for rf in reader.fields:
+        wi = next(
+            (i for i, wf in enumerate(writer.fields) if _field_matches(wf, rf, downgrade)),
+            None,
+        )
+        if wi is not None:
+            plan = resolve(writer.fields[wi].type, rf.type, downgrade, path + (rf.name,))
+            sources.append(FieldSource(rf, writer.fields[wi], wi, plan))
+        elif rf.has_default:
+            sources.append(FieldSource(rf, None, None, None))
+        elif rf.type.nullable or (
+            isinstance(rf.type, UnionNode) and any(_is_null(b) for b in rf.type.branches)
+        ):
+            sources.append(FieldSource(rf, None, None, None))  # → null
+        else:
+            raise _err(
+                f"field {rf.name} is missing from the writer schema and has no default",
+                path,
+            )
+    return Resolved("record", writer, reader, {"sources": sources})
+
+
+def _resolve_union(writer: SchemaNode, reader: SchemaNode, downgrade: bool, path: tuple) -> Resolved:
+    if isinstance(writer, UnionNode) and isinstance(reader, UnionNode):
+        # per writer branch: the first reader branch it resolves to
+        branch_plans: list[Optional[tuple[int, Resolved]]] = []
+        for i, wb in enumerate(writer.branches):
+            hit: Optional[tuple[int, Resolved]] = None
+            # exact-tag match first, then promotion (frontend.lua:1046-1083)
+            for exact in (True, False):
+                for j, rb in enumerate(reader.branches):
+                    try:
+                        p = resolve(wb, rb, downgrade, path + (writer.branch_tag(i),))
+                    except CompatibilityError:
+                        continue
+                    if exact and p.kind not in ("copy", "record", "enum", "fixed", "array", "map"):
+                        continue
+                    hit = (j, p)
+                    break
+                if hit:
+                    break
+            branch_plans.append(hit)  # None → runtime versioning error
+        if all(p is None for p in branch_plans):
+            raise _err("no union branches are compatible", path)
+        return Resolved("union", writer, reader, {"branches": branch_plans})
+
+    if isinstance(writer, UnionNode):
+        # union → non-union: each writer branch read as the reader type;
+        # unmatched branches raise at runtime
+        branch_plans = []
+        for i, wb in enumerate(writer.branches):
+            try:
+                branch_plans.append((0, resolve(wb, reader, downgrade, path + (writer.branch_tag(i),))))
+            except CompatibilityError:
+                branch_plans.append(None)
+        if all(p is None for p in branch_plans):
+            raise _err(f"union is not compatible with {reader.type_name()}", path)
+        return Resolved("from_union", writer, reader, {"branches": branch_plans})
+
+    assert isinstance(reader, UnionNode)
+    # non-union → union: first compatible reader branch gets a constant tag
+    # (compiler.lua:628-633)
+    for j, rb in enumerate(reader.branches):
+        try:
+            p = resolve(writer, rb, downgrade, path)
+        except CompatibilityError:
+            continue
+        return Resolved("to_union", writer, reader, {"branch": (j, p)})
+    raise _err(f"{writer.type_name()} is not compatible with the union", path)
+
+
+# ------------------------------------------------------------------ caching
+_ir_cache: dict[tuple[int, int, bool], Resolved] = {}
+
+
+def resolve_cached(writer: Schema, reader: Schema, downgrade: bool = False) -> Resolved:
+    """Plan cache keyed by handle identity (reference IR cache,
+    init.lua:41-63)."""
+    key = (id(writer), id(reader), downgrade)
+    plan = _ir_cache.get(key)
+    if plan is None:
+        plan = resolve(writer.root, reader.root, downgrade)
+        _ir_cache[key] = plan
+    return plan
+
+
+def check_compatible(writer: Schema, reader: Schema, downgrade: bool = False) -> bool:
+    """A3 ``are_compatible``: True, or raises CompatibilityError."""
+    resolve_cached(writer, reader, downgrade)
+    return True

@@ -12,47 +12,7 @@ import pytest
 import avro_spark as avs
 from avro_spark.errors import DataValidationError, SchemaError
 
-PERSON_FLAT = {
-    "name": "person",
-    "type": "record",
-    "fields": [
-        {"name": "FirstName", "type": "string"},
-        {"name": "LastName", "type": "string", "default": ""},
-        {"name": "Age", "type": "int"},
-        {"name": "Sex", "type": "int"},
-        {"name": "PhoneNumber", "type": "string", "default": ""},
-        {"name": "HomeAddress", "type": "string", "default": ""},
-        {"name": "Occupation", "type": "string", "default": ""},
-    ],
-}
-
-PERSON_BENCH = {
-    "name": "Person",
-    "namespace": "Person",
-    "type": "record",
-    "fields": [
-        {"name": "FirstName", "type": "string"},
-        {"name": "LastName", "type": "string"},
-        {"name": "Class", "type": "string"},
-        {"name": "Age", "type": "long"},
-        {"name": "Sex", "type": {"type": "enum", "name": "Sex", "symbols": ["FEMALE", "MALE"]}},
-        {
-            "name": "Stats",
-            "type": {
-                "type": "record",
-                "name": "Stats",
-                "fields": [
-                    {"name": n, "type": "long"}
-                    for n in [
-                        "Strength", "Perception", "Endurance", "Charisma",
-                        "Intelligence", "Agility", "Luck",
-                    ]
-                ],
-            },
-        },
-        {"name": "Journal", "type": {"type": "array", "items": "string"}},
-    ],
-}
+from fixture_schemas import PERSON_BENCH, PERSON_FLAT
 
 
 class TestCreate:

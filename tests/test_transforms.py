@@ -1,0 +1,390 @@
+"""flatten / unflatten / xflatten DataFrame transform tests.
+
+Goldens follow the reference DDT corpus: record.lua (F1), benchmark.lua (F2),
+record_version.lua (F5), service_fields.lua (F6), union.lua (F4),
+enum_versions.lua (F8), *_promo.lua (F7).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+import avro_spark as avs
+from avro_spark.errors import CompatibilityError, CompileError
+
+from fixture_schemas import PERSON_BENCH, PERSON_FLAT
+
+
+def rows(df):
+    return [r.asDict(recursive=True) for r in df.collect()]
+
+
+@pytest.fixture(scope="module")
+def person_df(spark):
+    s = avs.create(PERSON_BENCH)
+    data = [
+        (
+            "John", "Doe", "Warrior", 33, "MALE",
+            Row(Strength=10, Perception=8, Endurance=7, Charisma=6,
+                Intelligence=5, Agility=9, Luck=4),
+            ["day one", "day two"],
+        ),
+        (
+            "Jane", "Roe", "Mage", 28, "FEMALE",
+            Row(Strength=3, Perception=9, Endurance=5, Charisma=8,
+                Intelligence=10, Agility=6, Luck=7),
+            [],
+        ),
+    ]
+    return spark.createDataFrame(data, schema=s.to_struct_type())
+
+
+class TestFlatten:
+    def test_flatten_names_and_values(self, person_df):
+        s = avs.create(PERSON_BENCH)
+        c = avs.compile(s)
+        flat = c.flatten(person_df)
+        assert flat.columns == [
+            "FirstName", "LastName", "Class", "Age", "Sex",
+            "Stats.Strength", "Stats.Perception", "Stats.Endurance",
+            "Stats.Charisma", "Stats.Intelligence", "Stats.Agility",
+            "Stats.Luck", "Journal",
+        ]
+        got = flat.orderBy("FirstName").collect()
+        jane, john = got
+        assert john["Sex"] == 1 and jane["Sex"] == 0  # enum → int code
+        assert john["Stats.Strength"] == 10
+        assert jane["Journal"] == []
+
+    def test_roundtrip_identity(self, person_df):
+        s = avs.create(PERSON_BENCH)
+        c = avs.compile(s)
+        back = c.unflatten(c.flatten(person_df))
+        assert sorted(rows(back), key=lambda r: r["FirstName"]) == sorted(
+            rows(person_df), key=lambda r: r["FirstName"]
+        )
+
+    def test_default_fill_on_null(self, spark):
+        s = avs.create(PERSON_FLAT)
+        c = avs.compile(s)
+        df = spark.createDataFrame(
+            [("John", None, 33, 1, None, None, None)],
+            "FirstName string, LastName string, Age int, Sex int, "
+            "PhoneNumber string, HomeAddress string, Occupation string",
+        )
+        flat = c.flatten(df)
+        r = flat.collect()[0]
+        assert r["LastName"] == "" and r["PhoneNumber"] == ""
+
+    def test_missing_column_with_default_synthesized(self, spark):
+        s = avs.create(PERSON_FLAT)
+        c = avs.compile(s)
+        df = spark.createDataFrame([("John", 33, 1)], "FirstName string, Age int, Sex int")
+        r = c.flatten(df).collect()[0]
+        assert r["FirstName"] == "John" and r["LastName"] == "" and r["Occupation"] == ""
+
+    def test_missing_mandatory_column_rejected(self, spark):
+        s = avs.create(PERSON_FLAT)
+        c = avs.compile(s)
+        df = spark.createDataFrame([("John",)], "FirstName string")
+        with pytest.raises(CompileError, match="missing"):
+            c.flatten(df)
+
+
+class TestServiceFields:
+    def test_flatten_with_service_prefix(self, spark):
+        # FIXTURES F6 / service_fields.lua: ({}, true) → [true, "Simple ", 1234]
+        s = avs.create(
+            {
+                "name": "simple", "type": "record",
+                "fields": [
+                    {"name": "A", "type": "string", "default": "Simple "},
+                    {"name": "B", "type": "int", "default": 1234},
+                ],
+            }
+        )
+        c = avs.compile(s, service_fields=("boolean",))
+        df = spark.createDataFrame([(None, None)], "A string, B int")
+        flat = c.flatten(df, service_values=(True,))
+        assert flat.columns == ["$service_field$", "A", "B"]
+        assert flat.collect()[0][:] == (True, "Simple ", 1234)
+        back = c.unflatten(flat)
+        assert rows(back) == [{"A": "Simple ", "B": 1234}]
+
+    def test_unflatten_width_check(self, spark):
+        s = avs.create(PERSON_FLAT)
+        c = avs.compile(s, service_fields=("boolean",))
+        df = spark.range(1).select(*[F.lit(1).alias(f"c{i}") for i in range(7)])
+        with pytest.raises(CompileError, match="expected 8 columns"):
+            c.unflatten(df)
+
+
+class TestEvolution:
+    FOO_A = {
+        "name": "foo", "type": "record",
+        "fields": [
+            {"name": "A", "type": "int", "default": 1001},
+            {"name": "B", "type": "int", "default": 1002},
+            {"name": "C", "type": "int", "default": 1003},
+            {"name": "D", "type": "int", "default": 1004},
+        ],
+    }
+    FOO_B = {
+        "name": "foo", "type": "record",
+        "fields": [
+            {"name": "D", "type": "int", "default": 1005},
+            {"name": "C", "type": "int", "default": 1006},
+            {"name": "B", "type": "int", "default": 1007},
+            {"name": "A", "type": "int", "default": 1008},
+        ],
+    }
+    FOO_C = {
+        "name": "foo", "type": "record",
+        "fields": [
+            {"name": "A", "type": "int", "default": 1001},
+            {"name": "B", "type": "int", "default": 1002},
+        ],
+    }
+
+    def test_reorder(self, spark):
+        # record_version.lua:32-45: A→B flatten {A:1,B:2,C:3,D:4} → [4,3,2,1]
+        a, b = avs.create(self.FOO_A), avs.create(self.FOO_B)
+        c = avs.compile(a, b)
+        df = spark.createDataFrame([(1, 2, 3, 4)], a.to_struct_type())
+        assert c.flatten(df).collect()[0][:] == (4, 3, 2, 1)
+
+    def test_added_fields_defaulted(self, spark):
+        # C→A flatten {A:1,B:2} → [1,2,1003,1004]
+        cs, a = avs.create(self.FOO_C), avs.create(self.FOO_A)
+        comp = avs.compile(cs, a)
+        df = spark.createDataFrame([(1, 2)], cs.to_struct_type())
+        assert comp.flatten(df).collect()[0][:] == (1, 2, 1003, 1004)
+
+    def test_dropped_fields(self, spark):
+        # A→C drops C,D
+        a, cs = avs.create(self.FOO_A), avs.create(self.FOO_C)
+        comp = avs.compile(a, cs)
+        df = spark.createDataFrame([(1, 2, 3, 4)], a.to_struct_type())
+        assert comp.flatten(df).collect()[0][:] == (1, 2)
+
+    def test_unflatten_reorder(self, spark):
+        # B→A unflatten [4,3,2,1] → {A:1,B:2,C:3,D:4}... (B layout D,C,B,A)
+        b, a = avs.create(self.FOO_B), avs.create(self.FOO_A)
+        comp = avs.compile(b, a)
+        df = spark.createDataFrame([(4, 3, 2, 1)], "D int, C int, B int, A int")
+        assert rows(comp.unflatten(df)) == [{"A": 1, "B": 2, "C": 3, "D": 4}]
+
+    def test_alias_rename(self, spark):
+        w = avs.create(
+            {"name": "r", "type": "record",
+             "fields": [{"name": "old_name", "type": "int"}]}
+        )
+        r = avs.create(
+            {"name": "r", "type": "record",
+             "fields": [{"name": "new_name", "type": "int", "aliases": ["old_name"]}]}
+        )
+        comp = avs.compile(w, r)
+        df = spark.createDataFrame([(7,)], w.to_struct_type())
+        flat = comp.flatten(df)
+        assert flat.columns == ["new_name"] and flat.collect()[0][0] == 7
+
+    def test_promotions(self, spark):
+        w = avs.create(
+            {"name": "p", "type": "record",
+             "fields": [{"name": "i", "type": "int"}, {"name": "f", "type": "float"},
+                        {"name": "s", "type": "string"}]}
+        )
+        r = avs.create(
+            {"name": "p", "type": "record",
+             "fields": [{"name": "i", "type": "long"}, {"name": "f", "type": "double"},
+                        {"name": "s", "type": "bytes"}]}
+        )
+        comp = avs.compile(w, r)
+        df = spark.createDataFrame([(2**31 - 1, 1.5, "xyz")], w.to_struct_type())
+        got = comp.flatten(df).collect()[0]
+        assert got[0] == 2**31 - 1 and abs(got[1] - 1.5) < 1e-9 and bytes(got[2]) == b"xyz"
+        sch = comp.flatten(df).schema
+        assert sch["i"].dataType.typeName() == "long"
+        assert sch["f"].dataType.typeName() == "double"
+        assert sch["s"].dataType.typeName() == "binary"
+
+    def test_illegal_promotion_rejected(self):
+        w = avs.create({"name": "p", "type": "record", "fields": [{"name": "x", "type": "double"}]})
+        r = avs.create({"name": "p", "type": "record", "fields": [{"name": "x", "type": "int"}]})
+        with pytest.raises(CompatibilityError):
+            avs.are_compatible(w, r)
+
+    def test_missing_field_no_default_rejected(self):
+        w = avs.create({"name": "p", "type": "record", "fields": [{"name": "x", "type": "int"}]})
+        r = avs.create(
+            {"name": "p", "type": "record",
+             "fields": [{"name": "x", "type": "int"}, {"name": "y", "type": "int"}]}
+        )
+        with pytest.raises(CompatibilityError, match="y"):
+            avs.are_compatible(w, r)
+
+    def test_enum_remap(self, spark):
+        # FIXTURES F8: TRUCK code 3 → 2; TRICYCLE → versioning error
+        w = avs.create({"type": "enum", "name": "vehicle",
+                        "symbols": ["CAR", "BUS", "TRICYCLE", "TRUCK"]})
+        r = avs.create({"type": "enum", "name": "vehicle",
+                        "symbols": ["CAR", "BUS", "TRUCK", "SCOOTER"]})
+        wrec = avs.create(
+            {"name": "t", "type": "record",
+             "fields": [{"name": "v", "type": w.export()}]}
+        )
+        rrec = avs.create(
+            {"name": "t", "type": "record",
+             "fields": [{"name": "v", "type": r.export()}]}
+        )
+        comp = avs.compile(wrec, rrec)
+        df = spark.createDataFrame([("TRUCK",), ("CAR",)], wrec.to_struct_type())
+        # flatten emits reader codes: TRUCK 3→2, CAR 0→0
+        assert sorted(r["v"] for r in comp.flatten(df).collect()) == [0, 2]
+        bad = spark.createDataFrame([("TRICYCLE",)], wrec.to_struct_type())
+        with pytest.raises(Exception, match="versioning"):
+            comp.flatten(bad).collect()
+
+    def test_downgrade_mode(self, spark):
+        # newer schema carries the alias; downgrade matches it back
+        newer = avs.create(
+            {"name": "r", "type": "record",
+             "fields": [{"name": "new_name", "type": "int", "aliases": ["old_name"]}]}
+        )
+        older = avs.create(
+            {"name": "r", "type": "record",
+             "fields": [{"name": "old_name", "type": "int"}]}
+        )
+        with pytest.raises(CompatibilityError):
+            avs.are_compatible(newer, older)
+        assert avs.are_compatible(newer, older, "downgrade")
+        comp = avs.compile(newer, older, downgrade=True)
+        df = spark.createDataFrame([(5,)], newer.to_struct_type())
+        flat = comp.flatten(df)
+        assert flat.columns == ["old_name"] and flat.collect()[0][0] == 5
+
+
+class TestUnions:
+    def test_simple_null_union_cells(self, spark):
+        s = avs.create(
+            {"name": "e", "type": "record",
+             "fields": [{"name": "k", "type": "long"},
+                        {"name": "payload", "type": ["null", "double"]}]}
+        )
+        c = avs.compile(s)
+        df = spark.createDataFrame([(1, 2.5), (2, None)], s.to_struct_type())
+        flat = c.flatten(df)
+        assert flat.columns == ["k", "payload.$type$", "payload"]
+        got = {r["k"]: (r["payload.$type$"], r["payload"]) for r in flat.collect()}
+        assert got == {1: (1, 2.5), 2: (0, None)}
+        back = c.unflatten(flat)
+        assert {r["k"]: r["payload"] for r in back.collect()} == {1: 2.5, 2: None}
+
+    def test_general_union_cells(self, spark):
+        # FIXTURES F4: {"int":42} → [0,42]; {"string":"s"} → [1,"s"]
+        s = avs.create(
+            {"name": "u", "type": "record",
+             "fields": [{"name": "x", "type": ["int", "string", "double"]}]}
+        )
+        c = avs.compile(s)
+        st = s.to_struct_type()
+        df = spark.createDataFrame(
+            [Row(x=Row(**{"$type$": 0, "int": 42, "string": None, "double": None})),
+             Row(x=Row(**{"$type$": 1, "int": None, "string": "Hello, world!", "double": None}))],
+            st,
+        )
+        flat = c.flatten(df)
+        assert flat.columns == ["x.$type$", "x"]
+        got = sorted(
+            (r["x.$type$"], r["x"].asDict() if r["x"] is not None else None)
+            for r in flat.collect()
+        )
+        assert got[0][0] == 0 and got[0][1]["int"] == 42
+        assert got[1][0] == 1 and got[1][1]["string"] == "Hello, world!"
+        back = c.unflatten(flat)
+        vals = sorted(
+            (r["x"]["$type$"], r["x"]["int"], r["x"]["string"]) for r in back.collect()
+        )
+        assert vals == [(0, 42, None), (1, None, "Hello, world!")]
+
+
+class TestXflatten:
+    def test_single_field_ops(self, spark):
+        # record.lua:355-395: {"Age":33} → [["=",3,33]]
+        s = avs.create(PERSON_FLAT)
+        c = avs.compile(s)
+        df = spark.createDataFrame([(33,)], "Age int")
+        got = c.xflatten(df, stringify=False).collect()[0]["ops"]
+        assert [(o["op"], o["field_no"], o["value"]) for o in got] == [("=", 3, 33)]
+
+    def test_multi_field_ops(self, spark):
+        s = avs.create(PERSON_FLAT)
+        c = avs.compile(s)
+        df = spark.createDataFrame([("John", "Doe", 33)], "FirstName string, LastName string, Age int")
+        got = c.xflatten(df).collect()[0]["ops"]
+        assert [(o["op"], o["field_no"], o["value"]) for o in got] == [
+            ("=", 1, "John"), ("=", 2, "Doe"), ("=", 3, "33"),
+        ]
+
+    def test_service_field_offset(self, spark):
+        # indices account for service fields (init.lua:356-360)
+        s = avs.create(PERSON_FLAT)
+        c = avs.compile(s, service_fields=("boolean",))
+        df = spark.createDataFrame([(33,)], "Age int")
+        got = c.xflatten(df, stringify=False).collect()[0]["ops"]
+        assert [(o["op"], o["field_no"], o["value"]) for o in got] == [("=", 4, 33)]
+
+    def test_union_double_cell(self, spark):
+        s = avs.create(
+            {"name": "e", "type": "record",
+             "fields": [{"name": "k", "type": "long"},
+                        {"name": "payload", "type": ["null", "double"]}]}
+        )
+        c = avs.compile(s)
+        df = spark.createDataFrame([(2.5,)], "payload double")
+        got = c.xflatten(df).collect()[0]["ops"]
+        assert [(o["op"], o["field_no"], o["value"]) for o in got] == [
+            ("=", 2, "1"), ("=", 3, "2.5"),
+        ]
+
+    def test_nested_record_ops(self, spark):
+        s = avs.create(PERSON_BENCH)
+        c = avs.compile(s)
+        df = spark.createDataFrame(
+            [Row(Stats=Row(Strength=1, Perception=2, Endurance=3, Charisma=4,
+                           Intelligence=5, Agility=6, Luck=7))]
+        )
+        got = c.xflatten(df, stringify=False).collect()[0]["ops"]
+        assert [(o["field_no"], o["value"]) for o in got] == [
+            (6, 1), (7, 2), (8, 3), (9, 4), (10, 5), (11, 6), (12, 7),
+        ]
+
+
+class TestNullableRecord:
+    def test_nullable_record_single_cell(self, spark):
+        # FIXTURES F3: nullable record = one (VLO) cell
+        s = avs.create(
+            {"name": "outer", "type": "record",
+             "fields": [
+                 {"name": "r1", "type": {"name": "tr1", "type": "record",
+                                         "fields": [{"name": "v1", "type": "int"},
+                                                    {"name": "v2", "type": "string"}]}},
+                 {"name": "r2", "type": "tr1*"},
+             ]}
+        )
+        c = avs.compile(s)
+        df = spark.createDataFrame(
+            [Row(r1=Row(v1=1, v2="a"), r2=None),
+             Row(r1=Row(v1=2, v2="b"), r2=Row(v1=3, v2="c"))],
+            s.to_struct_type(),
+        )
+        flat = c.flatten(df)
+        assert flat.columns == ["r1.v1", "r1.v2", "r2"]
+        got = sorted(rows(flat), key=lambda r: r["r1.v1"])
+        assert got[0]["r2"] is None and got[1]["r2"] == {"v1": 3, "v2": "c"}
+        back = c.unflatten(flat)
+        assert sorted(rows(back), key=lambda r: r["r1"]["v1"]) == sorted(
+            rows(df), key=lambda r: r["r1"]["v1"]
+        )

@@ -242,17 +242,17 @@ def _resolve_union(writer: SchemaNode, reader: SchemaNode, downgrade: bool, path
 
 
 # ------------------------------------------------------------------ caching
-_ir_cache: dict[tuple[int, int, bool], Resolved] = {}
-
-
 def resolve_cached(writer: Schema, reader: Schema, downgrade: bool = False) -> Resolved:
-    """Plan cache keyed by handle identity (reference IR cache,
-    init.lua:41-63)."""
-    key = (id(writer), id(reader), downgrade)
-    plan = _ir_cache.get(key)
+    """Plan cache per (writer, reader, downgrade) — the reference IR cache
+    (init.lua:41-63). Stored on the writer handle and keyed by the reader
+    handle itself (identity hash), so entries can never alias a dead
+    schema's id."""
+    cache = writer.__dict__.setdefault("_resolution_cache", {})
+    key = (reader, downgrade)
+    plan = cache.get(key)
     if plan is None:
         plan = resolve(writer.root, reader.root, downgrade)
-        _ir_cache[key] = plan
+        cache[key] = plan
     return plan
 
 

@@ -1,0 +1,422 @@
+"""Avro binary codec — the engine's byte-level surface.
+
+The reference's ``*_msgpack`` method variants speak MsgPack through a C
+pipeline (runtime/pipeline.c:168-543, 545-884). Our byte surface is **Avro
+binary** (per BASELINE.json: "Avro serialization library can be reimplemented
+for batch encoding/decoding"): this container has no spark-avro jar, so the
+codec is implemented from the public Avro 1.11 binary-encoding spec
+(zigzag varints, length-prefixed bytes, block-encoded arrays/maps, branch-
+indexed unions) and compiled per schema into a closure tree — the analogue of
+the reference's generated LuaJIT codec — then applied as Arrow-batched pandas
+UDFs (``to_avro_bytes`` / ``from_avro_bytes``).
+
+Scale note: the UDFs are narrow per-row transforms (no shuffle); Arrow moves
+batches across the Python boundary. If a spark-avro jar is present,
+``native_avro_available()`` lets callers switch to the JVM codec — the
+DataFrame-level API is identical.
+"""
+
+from __future__ import annotations
+
+import struct as _struct
+from typing import Any, Callable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..errors import AvroSparkError, CompileError
+from ..schema import Schema
+from ..schema.nodes import (
+    Array,
+    Enum,
+    Fixed,
+    Map,
+    Primitive,
+    Record,
+    SchemaNode,
+    UnionNode,
+)
+from ..schema.spark_types import UNION_TAG, union_null_and_one
+
+
+# ------------------------------------------------------------ primitives
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _write_varint(out: bytearray, n: int) -> None:
+    n &= 0xFFFFFFFFFFFFFFFF
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _write_long(out: bytearray, v: int) -> None:
+    _write_varint(out, _zigzag(v))
+
+
+def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            break
+        shift += 7
+    return _unzigzag(acc), pos
+
+
+# ----------------------------------------------------- encoder compilation
+def _compile_encoder(node: SchemaNode) -> Callable[[bytearray, Any], None]:
+    """Closure-tree encoder (the Spark-side analogue of the reference's
+    generated flatten_msgpack codec, init.lua:271-381)."""
+    if node.nullable:
+        inner = _compile_encoder(_strip_nullable(node))
+
+        def enc_nullable(out: bytearray, v: Any) -> None:
+            # nullable extension encodes as union [null, T]: branch index
+            if v is None:
+                _write_long(out, 0)
+            else:
+                _write_long(out, 1)
+                inner(out, v)
+
+        return enc_nullable
+    if isinstance(node, Primitive):
+        t = node.type
+        if t == "null":
+            return lambda out, v: None
+        if t == "boolean":
+            return lambda out, v: out.append(1 if v else 0)
+        if t in ("int", "long"):
+            return lambda out, v: _write_long(out, int(v))
+        if t == "float":
+            return lambda out, v: out.extend(_struct.pack("<f", float(v)))
+        if t == "double":
+            return lambda out, v: out.extend(_struct.pack("<d", float(v)))
+        if t == "string":
+            def enc_str(out: bytearray, v: Any) -> None:
+                raw = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+                _write_long(out, len(raw))
+                out.extend(raw)
+            return enc_str
+        if t == "bytes":
+            def enc_bytes(out: bytearray, v: Any) -> None:
+                raw = bytes(v)
+                _write_long(out, len(raw))
+                out.extend(raw)
+            return enc_bytes
+        raise CompileError(f"cannot encode {t}")
+    if isinstance(node, Enum):
+        index = dict(node.symbol_index())
+        def enc_enum(out: bytearray, v: Any) -> None:
+            _write_long(out, index[v])
+        return enc_enum
+    if isinstance(node, Fixed):
+        size = node.size
+        def enc_fixed(out: bytearray, v: Any) -> None:
+            raw = bytes(v)
+            if len(raw) != size:
+                raise AvroSparkError(f"bad fixed length {len(raw)}, expected {size}")
+            out.extend(raw)
+        return enc_fixed
+    if isinstance(node, Array):
+        item = _compile_encoder(node.items)
+        def enc_array(out: bytearray, v: Any) -> None:
+            items = list(v)
+            if items:
+                _write_long(out, len(items))
+                for x in items:
+                    item(out, x)
+            _write_long(out, 0)
+        return enc_array
+    if isinstance(node, Map):
+        val = _compile_encoder(node.values)
+        def enc_map(out: bytearray, v: Any) -> None:
+            entries = dict(v)
+            if entries:
+                _write_long(out, len(entries))
+                for k, x in entries.items():
+                    raw = k.encode("utf-8")
+                    _write_long(out, len(raw))
+                    out.extend(raw)
+                    val(out, x)
+            _write_long(out, 0)
+        return enc_map
+    if isinstance(node, Record):
+        fields = [(f.name, _compile_encoder(f.type)) for f in node.fields]
+        def enc_record(out: bytearray, v: Any) -> None:
+            for name, enc in fields:
+                enc(out, v[name])
+        return enc_record
+    if isinstance(node, UnionNode):
+        simple = union_null_and_one(node)
+        if simple is not None:
+            t_idx = next(
+                i for i, b in enumerate(node.branches)
+                if not (isinstance(b, Primitive) and b.type == "null")
+            )
+            null_idx = 1 - t_idx
+            inner = _compile_encoder(simple)
+            def enc_simple_union(out: bytearray, v: Any) -> None:
+                if v is None:
+                    _write_long(out, null_idx)
+                else:
+                    _write_long(out, t_idx)
+                    inner(out, v)
+            return enc_simple_union
+        encs = [
+            (node.branch_tag(i), _compile_encoder(b), isinstance(b, Primitive) and b.type == "null")
+            for i, b in enumerate(node.branches)
+        ]
+        def enc_union(out: bytearray, v: Any) -> None:
+            # record form: struct dict {$type$: i, <tag>: value}
+            if v is None:
+                for i, (_tag, _e, is_null) in enumerate(encs):
+                    if is_null:
+                        _write_long(out, i)
+                        return
+                raise AvroSparkError("null for union without a null branch")
+            i = int(v[UNION_TAG])
+            tag, enc, is_null = encs[i]
+            _write_long(out, i)
+            if not is_null:
+                enc(out, v[tag])
+        return enc_union
+    raise CompileError(f"cannot encode {node!r}")
+
+
+def _strip_nullable(node: SchemaNode) -> SchemaNode:
+    if isinstance(node, Primitive):
+        return Primitive(node.type)
+    if node.twin is not None and not node.twin.nullable:
+        return node.twin
+    import copy
+    twin = copy.copy(node)
+    twin.nullable = False
+    return twin
+
+
+# ----------------------------------------------------- decoder compilation
+def _compile_decoder(node: SchemaNode) -> Callable[[bytes, int], tuple[Any, int]]:
+    if node.nullable:
+        inner = _compile_decoder(_strip_nullable(node))
+        def dec_nullable(buf: bytes, pos: int):
+            b, pos = _read_long(buf, pos)
+            if b == 0:
+                return None, pos
+            return inner(buf, pos)
+        return dec_nullable
+    if isinstance(node, Primitive):
+        t = node.type
+        if t == "null":
+            return lambda buf, pos: (None, pos)
+        if t == "boolean":
+            return lambda buf, pos: (buf[pos] != 0, pos + 1)
+        if t in ("int", "long"):
+            return _read_long
+        if t == "float":
+            return lambda buf, pos: (_struct.unpack_from("<f", buf, pos)[0], pos + 4)
+        if t == "double":
+            return lambda buf, pos: (_struct.unpack_from("<d", buf, pos)[0], pos + 8)
+        if t == "string":
+            def dec_str(buf: bytes, pos: int):
+                n, pos = _read_long(buf, pos)
+                return buf[pos : pos + n].decode("utf-8"), pos + n
+            return dec_str
+        if t == "bytes":
+            def dec_bytes(buf: bytes, pos: int):
+                n, pos = _read_long(buf, pos)
+                return bytes(buf[pos : pos + n]), pos + n
+            return dec_bytes
+        raise CompileError(f"cannot decode {t}")
+    if isinstance(node, Enum):
+        symbols = list(node.symbols)
+        def dec_enum(buf: bytes, pos: int):
+            i, pos = _read_long(buf, pos)
+            return symbols[i], pos
+        return dec_enum
+    if isinstance(node, Fixed):
+        size = node.size
+        return lambda buf, pos: (bytes(buf[pos : pos + size]), pos + size)
+    if isinstance(node, Array):
+        item = _compile_decoder(node.items)
+        def dec_array(buf: bytes, pos: int):
+            out = []
+            while True:
+                n, pos = _read_long(buf, pos)
+                if n == 0:
+                    return out, pos
+                if n < 0:  # block with byte-size prefix
+                    n = -n
+                    _size, pos = _read_long(buf, pos)
+                for _ in range(n):
+                    v, pos = item(buf, pos)
+                    out.append(v)
+        return dec_array
+    if isinstance(node, Map):
+        val = _compile_decoder(node.values)
+        def dec_map(buf: bytes, pos: int):
+            out = {}
+            while True:
+                n, pos = _read_long(buf, pos)
+                if n == 0:
+                    return out, pos
+                if n < 0:
+                    n = -n
+                    _size, pos = _read_long(buf, pos)
+                for _ in range(n):
+                    klen, pos = _read_long(buf, pos)
+                    k = buf[pos : pos + klen].decode("utf-8")
+                    pos += klen
+                    v, pos = val(buf, pos)
+                    out[k] = v
+        return dec_map
+    if isinstance(node, Record):
+        fields = [(f.name, _compile_decoder(f.type)) for f in node.fields]
+        def dec_record(buf: bytes, pos: int):
+            out = {}
+            for name, dec in fields:
+                out[name], pos = dec(buf, pos)
+            return out, pos
+        return dec_record
+    if isinstance(node, UnionNode):
+        simple = union_null_and_one(node)
+        decs = [(node.branch_tag(i), _compile_decoder(b),
+                 isinstance(b, Primitive) and b.type == "null")
+                for i, b in enumerate(node.branches)]
+        tags = [t for t, _d, is_null in decs if not is_null]
+        def dec_union(buf: bytes, pos: int):
+            i, pos = _read_long(buf, pos)
+            tag, dec, is_null = decs[i]
+            if is_null:
+                return None, pos
+            v, pos = dec(buf, pos)
+            if simple is not None:
+                return v, pos
+            out = {UNION_TAG: i}
+            for t in tags:
+                out[t] = v if t == tag else None
+            return out, pos
+        return dec_union
+    raise CompileError(f"cannot decode {node!r}")
+
+
+# -------------------------------------------------------- value normalizing
+def _normalize(v: Any, node: SchemaNode) -> Any:
+    """pandas/Arrow cell → plain record-form Python value."""
+    import numpy as np
+
+    if v is None or (isinstance(v, float) and v != v):
+        return None
+    if isinstance(node, Record):
+        d = v if isinstance(v, dict) else v.asDict() if hasattr(v, "asDict") else dict(v)
+        return {f.name: _normalize(d.get(f.name), f.type) for f in node.fields}
+    if isinstance(node, Array):
+        return [_normalize(x, node.items) for x in v]
+    if isinstance(node, Map):
+        entries = v.items() if isinstance(v, dict) else v  # arrow maps → [(k, v)]
+        return {k: _normalize(x, node.values) for k, x in entries}
+    if isinstance(node, UnionNode):
+        simple = union_null_and_one(node)
+        if simple is not None:
+            return _normalize(v, simple)
+        d = v if isinstance(v, dict) else dict(v)
+        return {k: (int(x) if k == UNION_TAG else x) for k, x in d.items()}
+    if isinstance(v, np.generic):
+        return v.item()
+    if isinstance(v, (bytearray, memoryview)):
+        return bytes(v)
+    return v
+
+
+# ------------------------------------------------------------- public API
+def encode_record(schema: Schema, record: dict) -> bytes:
+    """Single-record Avro binary encoding (unit-test / driver-side path)."""
+    out = bytearray()
+    _compile_encoder(schema.root)(out, record)
+    return bytes(out)
+
+
+def decode_record(schema: Schema, blob: bytes) -> Any:
+    v, pos = _compile_decoder(schema.root)(bytes(blob), 0)
+    if pos != len(blob):
+        raise AvroSparkError(f"trailing bytes after Avro value: {len(blob) - pos}")
+    return v
+
+
+def to_avro_bytes(df: DataFrame, schema: Schema, column: str = "avro") -> DataFrame:
+    """Record-shaped DataFrame → single Avro-binary column (the ``to_avro``
+    surface; ≙ reference flatten_msgpack output leg)."""
+    from ..util import ensure_workers
+
+    ensure_workers(df.sparkSession)
+    root = schema.root
+    if not isinstance(root, Record):
+        raise CompileError("to_avro_bytes requires a record schema")
+    enc = _compile_encoder(root)
+    field_types = [(f.name, f.type) for f in root.fields]
+
+    @pandas_udf("binary")
+    def _encode(batch: pd.DataFrame) -> pd.Series:
+        out = []
+        for row in batch.itertuples(index=False, name=None):
+            rec = {
+                name: _normalize(val, node)
+                for (name, node), val in zip(field_types, row)
+            }
+            buf = bytearray()
+            enc(buf, rec)
+            out.append(bytes(buf))
+        return pd.Series(out)
+
+    struct_col = F.struct(*[F.col(name) for name, _node in field_types])
+    return df.select(_encode(struct_col).alias(column))
+
+
+def from_avro_bytes(df: DataFrame, column: str, schema: Schema) -> DataFrame:
+    """Avro-binary column → record-shaped DataFrame (the ``from_avro``
+    surface)."""
+    from ..util import ensure_workers
+
+    ensure_workers(df.sparkSession)
+    root = schema.root
+    if not isinstance(root, Record):
+        raise CompileError("from_avro_bytes requires a record schema")
+    dec = _compile_decoder(root)
+    spark_t = schema.to_struct_type()
+
+    @pandas_udf(spark_t)
+    def _decode(blobs: pd.Series) -> pd.DataFrame:
+        rows = []
+        for blob in blobs:
+            v, _pos = dec(bytes(blob), 0)
+            rows.append(v)
+        return pd.DataFrame(rows, columns=[f.name for f in spark_t.fields])
+
+    decoded = df.select(_decode(F.col(column)).alias("r"))
+    return decoded.select(*[F.col(f"r.`{f.name}`").alias(f.name) for f in spark_t.fields])
+
+
+def native_avro_available(spark) -> bool:
+    """True when the JVM spark-avro codec is on the classpath."""
+    try:
+        spark._jvm.org.apache.spark.sql.avro.functions  # noqa: B018
+        from pyspark.sql.avro.functions import from_avro  # noqa: F401
+        return True
+    except Exception:
+        return False

@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+(or a beyond-reference LLM-pipeline operator); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for the hash-matched correctness gate. Entries
+without an oracle (minhash/simhash/hyperplane LSH, IVF knn, multimodal)
+use engine-side hashing that DuckDB cannot reproduce bit-for-bit; they get
+the weaker rows-only check and are covered by tests/ instead.
 """
 
 from __future__ import annotations
@@ -12,27 +13,564 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import avro_spark
+from avro_spark.functions import dedup as D
+from avro_spark.functions import similarity as S
+from avro_spark.functions import text as X
+from avro_spark.operators import multimodal as M
+from avro_spark.operators.conform import conform
+
+# ----------------------------------------------------------------- schemas
+CUSTOMER_NESTED = {
+    "type": "record",
+    "name": "Customer",
+    "fields": [
+        {"name": "c_custkey", "type": "long"},
+        {
+            "name": "profile",
+            "type": {
+                "type": "record",
+                "name": "Profile",
+                "fields": [
+                    {"name": "c_name", "type": "string"},
+                    {"name": "c_mktsegment", "type": "string"},
+                    {
+                        "name": "nation",
+                        "type": {
+                            "type": "record",
+                            "name": "Nation",
+                            "fields": [
+                                {"name": "n_nationkey", "type": "int"},
+                                {"name": "n_name", "type": "string"},
+                            ],
+                        },
+                    },
+                ],
+            },
+        },
+    ],
+}
+
+CUSTOMER_FLAT = {
+    "type": "record",
+    "name": "CustomerFlat",
+    "fields": [
+        {"name": "c_custkey", "type": "long"},
+        {"name": "c_name", "type": "string"},
+        {"name": "c_nationkey", "type": "int"},
+        {"name": "c_acctbal", "type": "double"},
+        {"name": "c_mktsegment", "type": "string"},
+    ],
+}
+
+ORDERS_SCHEMA = {
+    "type": "record",
+    "name": "Orders",
+    "fields": [
+        {"name": "o_orderkey", "type": "long"},
+        {"name": "o_custkey", "type": "long"},
+        {"name": "o_orderstatus", "type": "string"},
+        {"name": "o_totalprice", "type": "double"},
+        {"name": "o_orderpriority", "type": "string"},
+    ],
+}
+
+LINEITEM_WRITER = {
+    "type": "record",
+    "name": "Line",
+    "fields": [
+        {"name": "l_orderkey", "type": "long"},
+        {"name": "l_linenumber", "type": "int"},
+    ],
+}
+LINEITEM_READER_DEFAULT = {
+    "type": "record",
+    "name": "Line",
+    "fields": [
+        {"name": "l_orderkey", "type": "long"},
+        {"name": "l_linenumber", "type": "int"},
+        {"name": "l_flag", "type": "int", "default": 0},
+    ],
+}
+LINEITEM_READER_PROMO = {
+    "type": "record",
+    "name": "Line",
+    "fields": [
+        {"name": "l_orderkey", "type": "double"},
+        {"name": "l_linenumber", "type": "long"},
+    ],
+}
+
+PART_WRITER = {
+    "type": "record",
+    "name": "Part",
+    "fields": [
+        {"name": "p_partkey", "type": "long"},
+        {"name": "p_name", "type": "string"},
+        {"name": "p_brand", "type": "string"},
+        {"name": "p_type", "type": "string"},
+        {"name": "p_size", "type": "int"},
+        {"name": "p_retailprice", "type": "double"},
+    ],
+}
+# reversed field order + alias rename (p_type → p_typename), mirrors
+# reference test/ddt_suite/record_version.lua reorder + alias evolution
+PART_READER = {
+    "type": "record",
+    "name": "Part",
+    "fields": [
+        {"name": "p_retailprice", "type": "double"},
+        {"name": "p_size", "type": "int"},
+        {"name": "p_typename", "type": "string", "aliases": ["p_type"]},
+        {"name": "p_brand", "type": "string"},
+        {"name": "p_name", "type": "string"},
+        {"name": "p_partkey", "type": "long"},
+    ],
+}
+
+ORDERS_ENUM = {
+    "type": "record",
+    "name": "OrdersE",
+    "fields": [
+        {"name": "o_orderkey", "type": "long"},
+        {
+            "name": "o_orderstatus",
+            "type": {"type": "enum", "name": "Status", "symbols": ["F", "O", "P"]},
+        },
+    ],
+}
+
+EVENTS_UNION = {
+    "type": "record",
+    "name": "Event",
+    "fields": [
+        {"name": "event_id", "type": "long"},
+        {"name": "payload", "type": ["null", "double"]},
+    ],
+}
+
+NATION_SCHEMA = {
+    "type": "record",
+    "name": "Nation",
+    "fields": [
+        {"name": "n_nationkey", "type": "int"},
+        {"name": "n_name", "type": "string"},
+        {"name": "n_regionkey", "type": "int"},
+    ],
+}
+
+PERSON_SCHEMA = {
+    "type": "record",
+    "name": "Person",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+    ],
+}
+
+# precomputed by avro_spark.fingerprint (Parsing Canonical Form + sha256)
+PERSON_FP = "5a3e4d3d8da69f44120ea6ca7b26021ed07657a2fe5421c3554b83c1c3d6c570"
+NATION_FP = "8e53ddc4786d02fc7368517ade697318f3b8f71b33f46bd34c10d13fadd3e71f"
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    # events.parquet carries TIMESTAMP(NANOS) which vanilla Spark rejects;
+    # read nanos as long (we never consume the ts column here)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ----------------------------------------------------------------- queries
+def q_flatten_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 flatten: nested record → flat tuple columns (SURVEY §2D.1)."""
+    cust = _read(spark, sf_dir, "customer")
+    nat = _read(spark, sf_dir, "nation")
+    nested = cust.join(
+        F.broadcast(nat), cust.c_nationkey == nat.n_nationkey
+    ).select(
+        "c_custkey",
+        F.struct(
+            F.col("c_name"),
+            F.col("c_mktsegment"),
+            F.struct(F.col("n_nationkey"), F.col("n_name")).alias("nation"),
+        ).alias("profile"),
+    )
+    cs = avro_spark.compile(avro_spark.create(CUSTOMER_NESTED))
+    return cs.flatten(nested).toDF(
+        "c_custkey", "c_name", "c_mktsegment", "n_nationkey", "n_name"
+    )
+
+
+def q_unflatten_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5∘A6 flatten→unflatten = identity on orders (SURVEY §2D.2)."""
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    cs = avro_spark.compile(avro_spark.create(ORDERS_SCHEMA))
+    return cs.unflatten(cs.flatten(orders))
+
+
+def q_defaults_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/B6 evolution adds a defaulted field (SURVEY §2D.3)."""
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    cs = avro_spark.compile(
+        avro_spark.create(LINEITEM_WRITER), avro_spark.create(LINEITEM_READER_DEFAULT)
+    )
+    return cs.flatten(li)
+
+
+def q_evolution_reorder_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 field reorder + alias rename across versions (SURVEY §2D.4)."""
+    part = _read(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"
+    )
+    cs = avro_spark.compile(
+        avro_spark.create(PART_WRITER), avro_spark.create(PART_READER)
+    )
+    return cs.flatten(part)
+
+
+def q_promotions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 widening promotions long→double, int→long (SURVEY §2D.5)."""
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    cs = avro_spark.compile(
+        avro_spark.create(LINEITEM_WRITER), avro_spark.create(LINEITEM_READER_PROMO)
+    )
+    return cs.flatten(li)
+
+
+def q_enum_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 enum symbol→code in the flat form (SURVEY §2D.6)."""
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    cs = avro_spark.compile(avro_spark.create(ORDERS_ENUM))
+    return cs.flatten(orders)
+
+
+def q_enum_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 enum code→symbol back via unflatten."""
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    cs = avro_spark.compile(avro_spark.create(ORDERS_ENUM))
+    return cs.unflatten(cs.flatten(orders))
+
+
+def q_union_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 union → [tag, value] cell pair (SURVEY §2D.7); nulls synthesized
+    since events.value is dense."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("value") >= 2.0, F.col("value")).alias("payload"),
+    )
+    cs = avro_spark.compile(avro_spark.create(EVENTS_UNION))
+    return cs.flatten(ev).toDF("event_id", "payload_type", "payload")
+
+
+def q_xflatten_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 xflatten: partial record → update-op array (SURVEY §2D.8)."""
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cs = avro_spark.compile(avro_spark.create(CUSTOMER_FLAT))
+    return cs.xflatten(cust, keep=["c_custkey"])
+
+
+def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 Avro binary encode→decode = identity on nation (SURVEY §2D.9)."""
+    nat = _read(spark, sf_dir, "nation")
+    sch = avro_spark.create(NATION_SCHEMA)
+    from avro_spark.sources.avro_binary import from_avro_bytes, to_avro_bytes
+
+    return from_avro_bytes(to_avro_bytes(nat, sch, "avro"), "avro", sch)
+
+
+def q_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 DataFrame conformance in flag mode (valid rows, empty _errors)."""
+    nat = _read(spark, sf_dir, "nation")
+    return conform(nat, avro_spark.create(NATION_SCHEMA), mode="flag")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 Parsing-Canonical-Form fingerprints (pure function, constant)."""
+    rows = [
+        ("person", avro_spark.fingerprint(avro_spark.create(PERSON_SCHEMA), "sha256", 32).hex()),
+        ("nation", avro_spark.fingerprint(avro_spark.create(NATION_SCHEMA), "sha256", 32).hex()),
+    ]
+    return spark.createDataFrame(rows, "schema_name string, fp string")
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token/punct/digit counts (north-star extension)."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        X.regex_token_count(F.col("text")).cast("long").alias("n_alpha_tokens"),
+        X.punct_count(F.col("text")).cast("long").alias("n_punct"),
+        X.digit_count(F.col("text")).cast("long").alias("n_digits"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (argmax marker hits, first-wins ties)."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.language_id(F.col("text")).alias("lang_pred"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.quality_score(F.col("text")).alias("quality"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.doc_fingerprint(F.col("text")).alias("fp"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: fingerprint → (keeper, n_copies)."""
+    docs = _read(spark, sf_dir, "documents")
+    return D.exact_dedup_groups(docs, "doc_id", "text")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-3-gram Jaccard ≥ 0.2 (inverted-index join)."""
+    docs = _read(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for query vectors vec_id < 10."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    out = S.knn_bruteforce(emb, queries, k=5)
+    return out.select(
+        "query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+# ------------------------------ rows-only (engine-hash based, no SQL oracle)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def q_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return S.cosine_lsh_pairs(emb, dim=64, num_planes=16, bands=4, threshold=0.45)
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    cents = S.sample_centroids(emb, 16)
+    return S.knn_ivf(emb, queries, cents, k=5, nprobe=4)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media plumbing: pack → mapInPandas feature extraction."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("blob")
+    )
+    media = M.pack_media(docs, "blob", "application/octet-stream")
+    return M.decode_features(media, "media", id_cols=("doc_id",))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: nested-record flatten on sf0.001 (SURVEY §7 step 2)."""
+    return q_flatten_nested(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "flatten_nested": q_flatten_nested,
+        "unflatten_roundtrip": q_unflatten_roundtrip,
+        "defaults_fill": q_defaults_fill,
+        "evolution_reorder_rename": q_evolution_reorder_rename,
+        "promotions": q_promotions,
+        "enum_codes": q_enum_codes,
+        "enum_roundtrip": q_enum_roundtrip,
+        "union_encode": q_union_encode,
+        "xflatten_update": q_xflatten_update,
+        "avro_roundtrip": q_avro_roundtrip,
+        "conform": q_conform,
+        "fingerprint": q_fingerprint,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "knn_bruteforce": q_knn_bruteforce,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "cosine_lsh": q_cosine_lsh,
+        "knn_ivf": q_knn_ivf,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_EN = "'the','a','of','and','to','is','in'"
+_DE = "'der','die','das','und','ist','nicht'"
+_FR = "'le','les','et','est','dans','pour'"
+_ES = "'el','los','y','es','para','como'"
+
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+_LTOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "flatten_nested": """
+            SELECT c_custkey, c_name, c_mktsegment, n_nationkey, n_name
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "unflatten_roundtrip": """
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+            FROM orders
+        """,
+        "defaults_fill": """
+            SELECT l_orderkey, l_linenumber, 0 AS l_flag FROM lineitem
+        """,
+        "evolution_reorder_rename": """
+            SELECT p_retailprice, p_size, p_type AS p_typename, p_brand, p_name, p_partkey
+            FROM part
+        """,
+        "promotions": """
+            SELECT CAST(l_orderkey AS DOUBLE) AS l_orderkey,
+                   CAST(l_linenumber AS BIGINT) AS l_linenumber
+            FROM lineitem
+        """,
+        "enum_codes": """
+            SELECT o_orderkey,
+                   CASE o_orderstatus WHEN 'F' THEN 0 WHEN 'O' THEN 1 WHEN 'P' THEN 2 END
+                       AS o_orderstatus
+            FROM orders
+        """,
+        "enum_roundtrip": """
+            SELECT o_orderkey, o_orderstatus FROM orders
+        """,
+        "union_encode": """
+            SELECT event_id,
+                   CASE WHEN value >= 2.0 THEN 1 ELSE 0 END AS payload_type,
+                   CASE WHEN value >= 2.0 THEN value END AS payload
+            FROM events
+        """,
+        "xflatten_update": """
+            SELECT c_custkey,
+                   [struct_pack(op := '=', field_no := 1, value := CAST(c_custkey AS VARCHAR)),
+                    struct_pack(op := '=', field_no := 3, value := CAST(c_nationkey AS VARCHAR))]
+                       AS ops
+            FROM customer
+        """,
+        "avro_roundtrip": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+        "conform": """
+            SELECT n_nationkey, n_name, n_regionkey, CAST([] AS VARCHAR[]) AS _errors
+            FROM nation
+        """,
+        "fingerprint": f"""
+            SELECT 'person' AS schema_name, '{PERSON_FP}' AS fp
+            UNION ALL
+            SELECT 'nation' AS schema_name, '{NATION_FP}' AS fp
+        """,
+        "text_stats": f"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END AS n_tokens,
+                   len(regexp_extract_all(lower(text), '[a-z]+')) AS n_alpha_tokens,
+                   length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+                   length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
+            FROM documents
+        """,
+        "lang_id": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     len(list_filter({_LTOKS}, x -> x IN ({_EN}))) AS en,
+                     len(list_filter({_LTOKS}, x -> x IN ({_DE}))) AS de,
+                     len(list_filter({_LTOKS}, x -> x IN ({_FR}))) AS fr,
+                     len(list_filter({_LTOKS}, x -> x IN ({_ES}))) AS es
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+                        WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                        WHEN de >= fr AND de >= es THEN 'de'
+                        WHEN fr >= es THEN 'fr'
+                        ELSE 'es' END AS lang_pred
+            FROM s
+        """,
+        "quality_score": f"""
+            WITH b AS (
+              SELECT doc_id,
+                     CAST(length(text) AS DOUBLE) AS n_chars,
+                     CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END AS DOUBLE) AS n_toks,
+                     CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+                     CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits
+              FROM documents),
+            t AS (
+              SELECT doc_id, n_chars, n_punct, n_digits,
+                     CASE WHEN n_toks > 0 THEN (n_chars - (n_toks - 1)) / n_toks ELSE 0.0 END AS mean_wl,
+                     least(n_chars / 200.0, 1.0) AS len_term,
+                     greatest(0.0, 1.0 - 5.0 * n_punct / greatest(n_chars, 1.0)) AS punct_term,
+                     greatest(0.0, 1.0 - 5.0 * n_digits / greatest(n_chars, 1.0)) AS digit_term
+              FROM b)
+            SELECT doc_id,
+                   round(0.4 * len_term + 0.2 * punct_term + 0.2 * digit_term
+                         + 0.2 * (CASE WHEN mean_wl >= 3.0 AND mean_wl <= 10.0 THEN 1.0 ELSE 0.5 END),
+                         6) AS quality
+            FROM t
+        """,
+        "doc_fingerprint": f"SELECT doc_id, md5({_NORM}) AS fp FROM documents",
+        "dedup_exact": f"""
+            SELECT md5({_NORM}) AS fingerprint,
+                   CAST(min(doc_id) AS BIGINT) AS keeper,
+                   count(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "ngram_jaccard": f"""
+            WITH sh AS (
+              SELECT doc_id,
+                     CASE WHEN len({_LTOKS}) >= 3 THEN
+                       list_distinct(list_transform(
+                         generate_series(1, len({_LTOKS}) - 2),
+                         i -> {_LTOKS}[i] || ' ' || {_LTOKS}[i+1] || ' ' || {_LTOKS}[i+2]))
+                     ELSE [] END AS grams
+              FROM documents),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS inter,
+                     CAST(len(a.grams) + len(b.grams) AS DOUBLE) AS tot
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            SELECT id_a, id_b, round(inter / (tot - inter), 6) AS jaccard
+            FROM pairs
+            WHERE tot - inter > 0 AND inter / (tot - inter) >= 0.2
+        """,
+        "knn_bruteforce": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 10),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                       / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+              FROM embeddings e CROSS JOIN q
+              WHERE e.vec_id != q.query_id),
+            ranked AS (
+              SELECT query_id, vec_id, cos,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+              FROM scored)
+            SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, round(cos, 6) AS cosine
+            FROM ranked WHERE rank <= 5
+        """,
+    }

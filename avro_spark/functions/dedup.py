@@ -1,0 +1,310 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families (BASELINE.json north star "dedup"), all shuffle-aware:
+
+* **exact** — content-fingerprint groupBy; one shuffle on the fingerprint,
+  map-side partial aggregation, no skew (md5 keys are uniform).
+* **n-gram Jaccard (exact near-dup)** — inverted-index candidate join
+  (explode shingles → self-join → verify), NOT an O(n²) cross join: at
+  100 TB the shingle join shuffles only on shingle keys, and candidate
+  verification touches only pairs that share ≥1 shingle (a superset of any
+  pair with Jaccard > 0, so results equal the naive all-pairs semantics).
+* **MinHash + LSH** — k hash permutations over shingle xxhash64s, banded
+  into buckets; candidate pairs share a band bucket; verified by exact
+  Jaccard. Scale path: shuffle is on (band, bucket) keys only.
+* **SimHash** — 64-bit sign-aggregated token-hash fingerprint; near-dup
+  candidates share one of four 16-bit chunks (Hamming ≤ 3 ⇒ some chunk
+  equal by pigeonhole over 4 chunks).
+* **embedding cosine** — random-hyperplane LSH bucketing + in-bucket
+  verification (see :mod:`avro_spark.functions.similarity` for exact knn).
+
+Everything is built from JVM-side ``pyspark.sql.functions`` (higher-order
+functions over arrays; xxhash64) — no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalize_text, ws_tokens
+
+# Mersenne-31 prime: keeps a*h + b < 2^62, safely inside signed int64
+_MERSENNE = (1 << 31) - 1
+
+
+# --------------------------------------------------------------- exact dedup
+def content_fingerprint(text: Column) -> Column:
+    """md5 hex of whitespace/case-normalized text (exact-dup key)."""
+    return F.md5(normalize_text(text))
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per distinct normalized content: (fingerprint, keeper, n_copies)
+    with keeper = min id. Single shuffle on the fingerprint; partial
+    aggregation makes the map side emit one row per (partition, fp)."""
+    fp = content_fingerprint(F.col(text_col)).alias("fingerprint")
+    return (
+        df.select(fp, F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).cast("long").alias("keeper"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep exactly one row (the min id) per distinct normalized content."""
+    keep = exact_dedup_groups(df, id_col, text_col).select(
+        F.col("keeper").alias(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# ----------------------------------------------------------- n-gram Jaccard
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word-level n-gram shingle array (space-joined)."""
+    toks = ws_tokens(F.lower(text))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """|A∩B| / |A∪B| over distinct-element arrays (0.0 when both empty)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = (F.size(a) + F.size(b)).cast("double") - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """All id pairs (a < b) with word-``n``-gram Jaccard ≥ threshold.
+
+    Physical plan: inverted-index join — explode shingles, self-join on the
+    shingle, distinct candidate pairs, verify with exact Jaccard. Result is
+    identical to the naive all-pairs formulation for any threshold > 0
+    (pairs sharing no shingle have Jaccard 0) but shuffles on shingle keys
+    instead of materializing n² pairs. For 100 TB add a document-frequency
+    cap on shingles (drop shingles appearing in >F docs) — a standard
+    recall-preserving-in-practice optimization left off here to keep the
+    semantics oracle-exact.
+    """
+    docs = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        shingles(F.col(text_col), n).alias("_sh"),
+    )
+    inv = docs.select("_id", F.explode("_sh").alias("_g"))
+    cand = (
+        inv.alias("l")
+        .join(inv.alias("r"), on="_g")
+        .where(F.col("l._id") < F.col("r._id"))
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    pairs = (
+        cand.join(docs.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
+        .join(docs.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+    return pairs
+
+
+# --------------------------------------------------------------- MinHash LSH
+def _perm_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a_i*x + b_i) mod p.
+
+    Derived from a splitmix64-style integer scramble of (seed, i) — pure
+    arithmetic, reproducible everywhere, no RNG state.
+    """
+    params = []
+    for i in range(num_hashes):
+        z = (seed * 0x9E3779B97F4A7C15 + (i + 1) * 0xBF58476D1CE4E5B9) % (1 << 64)
+        z ^= z >> 30
+        z = (z * 0x94D049BB133111EB) % (1 << 64)
+        z ^= z >> 31
+        a = (z % (_MERSENNE - 1)) + 1
+        b = (z >> 13) % _MERSENNE
+        params.append((a, b))
+    return params
+
+
+def minhash_signature(
+    text: Column, num_hashes: int = 64, shingle_n: int = 3, seed: int = 1
+) -> Column:
+    """Array of ``num_hashes`` minhash values over word-n-gram shingles.
+
+    Shingles hash through ``xxhash64`` (JVM-side), then k universal-hash
+    permutations; each signature slot is the min over shingles. Empty
+    shingle sets get p (greater than any real hash) in every slot.
+    """
+    sh = shingles(text, shingle_n)
+    hashed = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    def _perm(a: int, b: int):
+        # (a*h + b) mod p: a, b, h all < 2^31 so a*h + b < 2^62 — no overflow.
+        # Factory keeps the lambda single-arg (F.transform counts parameters).
+        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE))
+
+    slots = []
+    for a, b in _perm_params(num_hashes, seed):
+        perm = _perm(a, b)
+        slots.append(
+            F.coalesce(
+                F.array_min(F.transform(hashed, perm)), F.lit(_MERSENNE)
+            )
+        )
+    return F.array(*slots)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 1,
+) -> DataFrame:
+    """Near-dup id pairs via MinHash banding, verified by exact Jaccard.
+
+    rows = num_hashes // bands; a pair is a candidate iff some band of the
+    signature matches exactly (P[candidate] ≈ 1-(1-j^r)^b). Candidates are
+    then verified against the true shingle Jaccard ≥ threshold, so banding
+    only affects recall, never precision. Shuffles: one on (band, bucket
+    hash), one distinct, two broadcast-or-shuffle joins back to shingles.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide into bands evenly")
+    r = num_hashes // bands
+    docs = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        shingles(F.col(text_col), shingle_n).alias("_sh"),
+    )
+    # Signature via explode + k tiny min-aggregates: one expression per
+    # permutation over the scalar shingle hash. (Building a 64-slot array
+    # column instead duplicates the whole shingle expression per slot —
+    # minutes of Catalyst/codegen time.) Map-side partial aggregation keeps
+    # the shuffle at k longs per doc regardless of shingle count; docs with
+    # zero shingles drop out, which is final-result-equivalent (their
+    # Jaccard with anything is 0 < threshold).
+    exploded = docs.select("_id", F.explode("_sh").alias("_g")).select(
+        "_id", F.pmod(F.xxhash64("_g"), F.lit(_MERSENNE)).alias("_h")
+    )
+    params = _perm_params(num_hashes, seed)
+    sig = exploded.groupBy("_id").agg(
+        *[
+            F.min(F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(_MERSENNE))).alias(f"mh{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    band_rows = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",", *[F.col(f"mh{bi * r + j}") for j in range(r)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+    cand = (
+        band_rows.alias("l")
+        .join(band_rows.alias("r"), on=["band", "bucket"])
+        .where(F.col("l._id") < F.col("r._id"))
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    return (
+        cand.join(docs.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
+        .join(docs.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------------------------- SimHash
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash over whitespace tokens (xxhash64 token hashes).
+
+    bit_i(sig) = 1 iff sum over tokens of (±1 by token-hash bit i) > 0.
+    Computed as 64 JVM-side aggregates over the token array — heavy-ish
+    per row but narrow, codegen'd, and shuffle-free.
+    """
+    th = F.transform(ws_tokens(F.lower(text)), lambda t: F.xxhash64(t))
+    def _vote_merge(i: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        vote = F.aggregate(th, F.lit(0).cast("long"), _vote_merge(i))
+        bit_val = (1 << i) if i < 63 else -(1 << 63)  # bit 63 = long sign bit
+        sig = sig + F.when(vote > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Id pairs with SimHash Hamming distance ≤ max_hamming (≤ 3 guaranteed
+    complete: 4 disjoint 16-bit chunks, pigeonhole ⇒ some chunk equal).
+    Shuffle is on (chunk_no, chunk_value) keys."""
+    docs = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        simhash64(F.col(text_col)).alias("_sig"),
+    )
+    chunks = docs.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright(F.col("_sig"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("_id", "_sig", "c.chunk", "c.val")
+    cand = (
+        chunks.alias("l")
+        .join(chunks.alias("r"), on=["chunk", "val"])
+        .where(F.col("l._id") < F.col("r._id"))
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            hamming64(F.col("l._sig"), F.col("r._sig")).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.where(F.col("hamming") <= max_hamming)

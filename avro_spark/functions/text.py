@@ -1,0 +1,126 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All functions return Column expressions built exclusively from JVM-side
+``pyspark.sql.functions`` — no Python UDFs on the hot path. Every operator is
+a narrow per-row projection: at 100 TB these run at scan speed with no
+shuffle, and Catalyst prunes unused ones.
+
+Provided (BASELINE.json north star "text analysis"):
+
+* token counting — whitespace tokens and a BPE-ish regex token proxy
+* language identification — stopword-hit n-gram heuristic (argmax over
+  per-language marker-token counts)
+* quality scoring — length / punctuation / stopword / digit ratios combined
+  into a [0,1] score
+* document fingerprinting — md5 of whitespace-normalized lowered text (an
+  order-sensitive content hash; the rolling-hash analogue)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small disjoint marker sets per language (expand freely; keep disjoint so
+# the argmax is well-defined for the oracle).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is", "in"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "fr": ("le", "les", "et", "est", "dans", "pour"),
+    "es": ("el", "los", "y", "es", "para", "como"),
+}
+
+#: deterministic tie-break order (first wins ties)
+LANG_ORDER = ("en", "de", "fr", "es")
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace-token array (empty array for empty/blank text)."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(ws_tokens(text))
+
+
+def regex_token_count(text: Column, pattern: str = "[a-z]+") -> Column:
+    """BPE-ish token-count proxy: number of lowercase-letter runs (a stable,
+    regex-engine-portable stand-in for subword token counts)."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pattern), F.lit(0)))
+
+
+def _member_pred(words: tuple[str, ...]):
+    """Single-arg lambda factory (F.filter counts lambda parameters, so
+    default-arg capture is not allowed)."""
+    return lambda t: t.isin(*words)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    toks = ws_tokens(F.lower(text))
+    return {
+        lang: F.size(F.filter(toks, _member_pred(words)))
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def language_id(text: Column) -> Column:
+    """Argmax language over marker-token hit counts; ties resolve in
+    LANG_ORDER; zero hits everywhere → 'und' (undetermined)."""
+    scores = lang_scores(text)
+    best = scores[LANG_ORDER[0]]
+    best_lang = F.lit(LANG_ORDER[0])
+    for lang in LANG_ORDER[1:]:
+        s = scores[lang]
+        best_lang = F.when(s > best, F.lit(lang)).otherwise(best_lang)
+        best = F.when(s > best, s).otherwise(best)
+    return F.when(best > 0, best_lang).otherwise(F.lit("und"))
+
+
+def punct_count(text: Column) -> Column:
+    return F.length(text) - F.length(F.regexp_replace(text, r"[.,;:!?]", ""))
+
+
+def digit_count(text: Column) -> Column:
+    return F.length(text) - F.length(F.regexp_replace(text, r"[0-9]", ""))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = ws_tokens(F.lower(text))
+    hits = F.size(F.filter(toks, _member_pred(LANG_MARKERS[lang])))
+    n = F.size(toks)
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic quality in [0,1]: favors mid-length docs with low
+    punctuation/digit noise and a sane mean word length. Deterministic,
+    portable arithmetic (reproducible in ANSI SQL for the oracle)."""
+    n_chars = F.length(text).cast("double")
+    n_toks = token_count(text).cast("double")
+    mean_wl = F.when(n_toks > 0, (n_chars - (n_toks - 1)) / n_toks).otherwise(F.lit(0.0))
+    len_term = F.least(n_chars / F.lit(200.0), F.lit(1.0))
+    punct_term = F.greatest(
+        F.lit(0.0), F.lit(1.0) - F.lit(5.0) * punct_count(text) / F.greatest(n_chars, F.lit(1.0))
+    )
+    digit_term = F.greatest(
+        F.lit(0.0), F.lit(1.0) - F.lit(5.0) * digit_count(text) / F.greatest(n_chars, F.lit(1.0))
+    )
+    wl_term = F.when((mean_wl >= 3.0) & (mean_wl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(
+        F.lit(0.4) * len_term + F.lit(0.2) * punct_term + F.lit(0.2) * digit_term + F.lit(0.2) * wl_term,
+        6,
+    )
+
+
+def normalize_text(text: Column) -> Column:
+    """Lowercase + collapse runs of whitespace to single spaces + trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 hex of the normalized text."""
+    return F.md5(normalize_text(text))

@@ -1,0 +1,210 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Design (BASELINE.json north star "multimodal columns"): media payloads are
+opaque ``binary`` columns travelling next to a typed metadata struct —
+
+    media: struct<
+        data:        binary,      -- raw encoded bytes
+        mime:        string,      -- 'image/png', 'audio/wav', ...
+        width:       int,         -- images/video (nullable)
+        height:      int,
+        sample_rate: int,         -- audio (nullable)
+        n_frames:    int          -- video/audio frames (nullable)
+    >
+
+Decode / feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages: one Python worker per partition, whole Arrow
+batches across the boundary, schema declared up front so Catalyst plans
+around them. At 100 TB these are the *only* Python stages in the pipeline
+and they are narrow (no shuffle); keep them behind the cheap JVM-side
+filters so they see as few rows as possible.
+
+This container has no image/audio libraries, so the codec step is STUBBED:
+``decoder='fake'`` (default) derives a small deterministic pixel/sample
+tensor from the bytes (so the full plumbing — schema, batching, partition
+flow — is real and testable); ``decoder='real'`` raises
+``NotImplementedError`` at the point where PIL/librosa would be called.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_STRUCT = T.StructType(
+    [
+        T.StructField("data", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+FAKE_DIM = 8  # fake decoded images are FAKE_DIM × FAKE_DIM grayscale
+
+
+def pack_media(
+    df: DataFrame,
+    data_col: str,
+    mime: str,
+    out_col: str = "media",
+    **meta_cols: str,
+) -> DataFrame:
+    """Assemble the media struct from a binary column + optional metadata
+    column names (width=..., height=..., sample_rate=..., n_frames=...)."""
+    fields = [
+        F.col(data_col).cast("binary").alias("data"),
+        F.lit(mime).alias("mime"),
+    ]
+    for name in ("width", "height", "sample_rate", "n_frames"):
+        src = meta_cols.get(name)
+        fields.append(
+            (F.col(src) if src else F.lit(None)).cast("int").alias(name)
+        )
+    return df.withColumn(out_col, F.struct(*fields))
+
+
+def _fake_pixels(data: bytes) -> np.ndarray:
+    """Deterministic FAKE_DIM² uint8 'decode' of arbitrary bytes: sha256
+    stretched to the pixel count. Stands in for a real image decoder."""
+    need = FAKE_DIM * FAKE_DIM
+    out = bytearray()
+    counter = 0
+    seed = data if data is not None else b""
+    while len(out) < need:
+        out += hashlib.sha256(seed + counter.to_bytes(4, "big")).digest()
+        counter += 1
+    return np.frombuffer(bytes(out[:need]), dtype=np.uint8).reshape(FAKE_DIM, FAKE_DIM)
+
+
+def decode_features(
+    df: DataFrame,
+    media_col: str = "media",
+    id_cols: tuple[str, ...] = (),
+    decoder: str = "fake",
+) -> DataFrame:
+    """media struct → per-item feature row
+    (id_cols..., n_bytes long, mean double, std double, phash string).
+
+    ``decoder='real'`` is the integration point for PIL/ffmpeg — not
+    available in this container, so it raises NotImplementedError inside
+    the worker (by design; see module docstring).
+    """
+    out_schema = T.StructType(
+        [df.schema[c] for c in id_cols]
+        + [
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("mean", T.DoubleType()),
+            T.StructField("std", T.DoubleType()),
+            T.StructField("phash", T.StringType()),
+        ]
+    )
+    src = df.select(*id_cols, F.col(media_col).getField("data").alias("_data"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "real media decoding needs PIL/ffmpeg (not in this container)"
+                )
+            rows = []
+            for _, row in pdf.iterrows():
+                data = row["_data"]
+                px = _fake_pixels(data).astype(np.float64)
+                # perceptual-hash analogue: bits = pixel > mean
+                bits = (px > px.mean()).flatten()
+                phash = "".join(
+                    f"{int(''.join('1' if b else '0' for b in bits[i:i+8]), 2):02x}"
+                    for i in range(0, len(bits), 8)
+                )
+                rows.append(
+                    [row[c] for c in id_cols]
+                    + [
+                        len(data) if data is not None else 0,
+                        float(px.mean()),
+                        float(px.std()),
+                        phash,
+                    ]
+                )
+            yield pd.DataFrame(rows, columns=list(id_cols) + ["n_bytes", "mean", "std", "phash"])
+
+    return src.mapInPandas(run, schema=out_schema)
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    media_col: str = "media",
+    decoder: str = "fake",
+) -> DataFrame:
+    """Re-encode every item at (width, height). Fake decoder: tiles/crops
+    the deterministic pixel tensor and re-packs its raw bytes; real
+    decoder: NotImplementedError (PIL hook)."""
+    schema = df.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError("real resize needs PIL")
+            col = pdf[media_col]
+            new = []
+            for m in col:
+                d = dict(m.asDict() if hasattr(m, "asDict") else m)
+                px = _fake_pixels(d["data"])
+                tiled = np.tile(px, (height // FAKE_DIM + 1, width // FAKE_DIM + 1))
+                out = tiled[:height, :width]
+                d["data"] = out.tobytes()
+                d["width"], d["height"] = width, height
+                new.append(d)
+            pdf = pdf.copy()
+            pdf[media_col] = new
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int,
+    media_col: str = "media",
+    id_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Video → one output row per sampled frame index (id_cols..., frame_no
+    int, frame binary). Frame count comes from metadata; the fake decoder
+    slices the byte payload into n_frames equal chunks."""
+    out_schema = T.StructType(
+        [df.schema[c] for c in id_cols]
+        + [
+            T.StructField("frame_no", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+    src = df.select(
+        *id_cols,
+        F.col(media_col).getField("data").alias("_data"),
+        F.coalesce(F.col(media_col).getField("n_frames"), F.lit(1)).alias("_nf"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                data, nf = row["_data"] or b"", max(int(row["_nf"]), 1)
+                sz = max(len(data) // nf, 1)
+                for fi in range(0, nf, every_n):
+                    rows.append(
+                        [row[c] for c in id_cols] + [fi, data[fi * sz : (fi + 1) * sz]]
+                    )
+            yield pd.DataFrame(rows, columns=list(id_cols) + ["frame_no", "frame"])
+
+    return src.mapInPandas(run, schema=out_schema)

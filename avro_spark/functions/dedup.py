@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import normalize_text, ws_tokens
+from .text import let, normalize_text, ws_tokens
 
 # Mersenne-31 prime: keeps a*h + b < 2^62, safely inside signed int64
 _MERSENNE = (1 << 31) - 1
@@ -64,16 +64,24 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 # ----------------------------------------------------------- n-gram Jaccard
 def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word-level n-gram shingle array (space-joined)."""
-    toks = ws_tokens(F.lower(text))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
-    )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    """Distinct word-level n-gram shingle array (space-joined).
+
+    The token array binds once via ``let`` — inlining it into each
+    element_at would re-split the text O(n·|shingles|) times per row."""
+
+    def build(t: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(t) - n)
+        grams = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+        return F.when(F.size(t) >= n, F.array_distinct(grams)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return let(ws_tokens(F.lower(text)), build)
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -105,18 +113,30 @@ def ngram_jaccard_pairs(
         F.col(id_col).cast("long").alias("_id"),
         shingles(F.col(text_col), n).alias("_sh"),
     )
+    sizes = docs.select("_id", F.size("_sh").alias("_n"))
     inv = docs.select("_id", F.explode("_sh").alias("_g"))
-    cand = (
+    # Shingle arrays are distinct-element, so counting join hits per pair IS
+    # |A∩B| — no array-intersect verification pass needed; the per-pair
+    # aggregate is map-side combined and the only other state joined back is
+    # the two scalar set sizes (broadcast-sized relative to the pair set).
+    inter = (
         inv.alias("l")
         .join(inv.alias("r"), on="_g")
         .where(F.col("l._id") < F.col("r._id"))
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
-        .distinct()
+        .groupBy(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_inter"))
     )
     pairs = (
-        cand.join(docs.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
-        .join(docs.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
-        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        inter.join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("_inter").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double")
+            ).alias("jaccard"),
+        )
         .where(F.col("jaccard") >= threshold)
     )
     return pairs
@@ -269,16 +289,48 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(_id, _sig) SimHash table via explode + 64 sum-aggregates.
+
+    The column-expression :func:`simhash64` duplicates the token-hash array
+    per bit (64× plan blowup); here each token hashes once and the per-bit
+    votes are plain SUMs — map-side combined, 64 longs per doc on the wire.
+    Empty docs (no tokens) get the all-zero signature, matching
+    ``simhash64`` (every vote 0, no bit set).
+    """
+    ids = df.select(F.col(id_col).cast("long").alias("_id"))
+    toks = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("_t"),
+    ).select("_id", F.xxhash64("_t").alias("_h"))
+    votes = toks.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        bit_val = (1 << i) if i < 63 else -(1 << 63)
+        sig = sig + F.when(F.col(f"v{i}") > 0, F.lit(bit_val).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    with_sig = votes.select("_id", sig.alias("_sig"))
+    # re-attach empty docs (dropped by explode) with signature 0
+    return ids.join(with_sig, "_id", "left").select(
+        "_id", F.coalesce("_sig", F.lit(0).cast("long")).alias("_sig")
+    )
+
+
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
     """Id pairs with SimHash Hamming distance ≤ max_hamming (≤ 3 guaranteed
     complete: 4 disjoint 16-bit chunks, pigeonhole ⇒ some chunk equal).
     Shuffle is on (chunk_no, chunk_value) keys."""
-    docs = df.select(
-        F.col(id_col).cast("long").alias("_id"),
-        simhash64(F.col(text_col)).alias("_sig"),
-    )
+    docs = simhash_signatures(df, id_col, text_col)
     chunks = docs.select(
         "_id",
         "_sig",

@@ -34,6 +34,18 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 LANG_ORDER = ("en", "de", "fr", "es")
 
 
+def let(value: Column, body) -> Column:
+    """Bind ``value`` once as a lambda variable and apply ``body`` to it.
+
+    Spark inlines sub-expression trees at every reference site (even through
+    CollapseProject), so an expression like the token split used N times
+    evaluates N times per row. Wrapping it as the element of a 1-element
+    array and referencing it through the transform lambda variable forces a
+    single evaluation.
+    """
+    return F.transform(F.array(value), body).getItem(0)
+
+
 def ws_tokens(text: Column) -> Column:
     """Whitespace-token array (empty array for empty/blank text)."""
     trimmed = F.trim(text)
@@ -69,15 +81,27 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 def language_id(text: Column) -> Column:
     """Argmax language over marker-token hit counts; ties resolve in
-    LANG_ORDER; zero hits everywhere → 'und' (undetermined)."""
-    scores = lang_scores(text)
-    best = scores[LANG_ORDER[0]]
-    best_lang = F.lit(LANG_ORDER[0])
-    for lang in LANG_ORDER[1:]:
-        s = scores[lang]
-        best_lang = F.when(s > best, F.lit(lang)).otherwise(best_lang)
-        best = F.when(s > best, s).otherwise(best)
-    return F.when(best > 0, best_lang).otherwise(F.lit("und"))
+    LANG_ORDER; zero hits everywhere → 'und' (undetermined).
+
+    The token array binds once via :func:`let`; argmax is array_max over
+    (score, -order, lang) structs — one filter pass per language, no
+    duplicated when/otherwise subtrees."""
+
+    def pick(t: Column) -> Column:
+        scored = F.array(
+            *[
+                F.struct(
+                    F.size(F.filter(t, _member_pred(LANG_MARKERS[lang]))).alias("s"),
+                    F.lit(-i).alias("negord"),
+                    F.lit(lang).alias("lang"),
+                )
+                for i, lang in enumerate(LANG_ORDER)
+            ]
+        )
+        best = F.array_max(scored)
+        return F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+    return let(ws_tokens(F.lower(text)), pick)
 
 
 def punct_count(text: Column) -> Column:

@@ -1,0 +1,230 @@
+"""Tests for the beyond-reference LLM-pipeline operators:
+text analysis, dedup (exact / Jaccard / MinHash / SimHash), similarity
+search (brute force / IVF / hyperplane LSH), multimodal plumbing.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from avro_spark.functions import dedup as D
+from avro_spark.functions import similarity as S
+from avro_spark.functions import text as X
+from avro_spark.operators import multimodal as M
+
+
+# ------------------------------------------------------------------- text
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("the cat sat",), ("  ",), ("a1 b2, c3!",)], "text string"
+    )
+    out = df.select(
+        X.token_count(F.col("text")).alias("n"),
+        X.regex_token_count(F.col("text")).alias("na"),
+        X.punct_count(F.col("text")).alias("np"),
+        X.digit_count(F.col("text")).alias("nd"),
+    ).collect()
+    assert [r.n for r in out] == [3, 0, 3]
+    assert out[0].na == 3  # the, cat, sat
+    assert out[2].np == 2  # , !
+    assert out[2].nd == 3  # 1 2 3
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat is in the bag",),
+            ("der hund ist nicht da",),
+            ("xyzzy qwerty",),
+        ],
+        "text string",
+    )
+    out = [r[0] for r in df.select(X.language_id(F.col("text"))).collect()]
+    assert out == ["en", "de", "und"]
+
+
+def test_doc_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        [("Hello   World",), ("hello world",), ("different",)], "text string"
+    )
+    fps = [r[0] for r in df.select(X.doc_fingerprint(F.col("text"))).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_quality_score_range(spark):
+    df = spark.createDataFrame(
+        [("a good plain document with several words",), ("!!!! 1234 !!!!",), ("",)],
+        "text string",
+    )
+    out = [r[0] for r in df.select(X.quality_score(F.col("text"))).collect()]
+    assert all(0.0 <= q <= 1.0 for q in out)
+    assert out[0] > out[1]  # punct/digit-noise doc scores lower
+
+
+# ------------------------------------------------------------------ dedup
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "unique text")],
+        "doc_id long, text string",
+    )
+    groups = {r.fingerprint: r for r in D.exact_dedup_groups(df, "doc_id", "text").collect()}
+    assert len(groups) == 2
+    dup = [g for g in groups.values() if g.n_copies == 2][0]
+    assert dup.keeper == 1
+    kept = D.exact_dedup(df, "doc_id", "text")
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3]
+
+
+def test_shingles_and_jaccard(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+    sh = df.select(D.shingles(F.col("text"), 3).alias("s")).collect()
+    assert sorted(sh[0].s) == ["a b c", "b c d"]
+    assert sh[1].s == []  # fewer tokens than n
+
+
+def test_ngram_jaccard_pairs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different text with other words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = D.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.3).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    # 7 shingles each, 6 shared → 6/8
+    assert abs(pairs[0].jaccard - 6 / 8) < 1e-9
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "one two three four five six seven eight nine ten " * 3
+    df = spark.createDataFrame(
+        [(1, base), (2, base + "eleven"), (3, "totally unrelated words here only")],
+        "doc_id long, text string",
+    )
+    pairs = D.minhash_lsh_pairs(
+        df, "doc_id", "text", num_hashes=32, bands=8, threshold=0.5
+    ).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].jaccard > 0.8
+
+
+def test_simhash_near_dups(spark):
+    # 9 distinct tokens (odd) ⇒ per-bit votes are never 0; repeating the
+    # base 4× and 40× scales vote magnitude ≥ 4 and ≥ 39, so the one extra
+    # token in doc 2 cannot flip any bit: hamming(1,2) == 0 by construction
+    # while the texts differ. Doc 3 is unrelated.
+    base = "alpha beta gamma delta epsilon zeta eta theta iota "
+    df = spark.createDataFrame(
+        [(1, base * 4), (2, base * 40 + "uniquetoken"), (3, "qq ww ee rr tt yy uu ii")],
+        "doc_id long, text string",
+    )
+    sig = df.select(D.simhash64(F.col("text")).alias("s")).collect()
+    assert len({r.s for r in sig}) >= 2
+    pairs = D.simhash_pairs(df, "doc_id", "text", max_hamming=3).collect()
+    assert (1, 2) in [(p.id_a, p.id_b) for p in pairs]
+
+
+def test_simhash_identical_distance_zero(spark):
+    df = spark.createDataFrame([(1, "same text"), (2, "same text")], "doc_id long, text string")
+    pairs = D.simhash_pairs(df, "doc_id", "text", max_hamming=0).collect()
+    assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(1, 2, 0)]
+
+
+# ------------------------------------------------------------- similarity
+def _vec_df(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.95, 0.05]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_basics(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([0.0, 0.0], [1.0, 0.0])],
+        "a array<float>, b array<float>",
+    )
+    out = [r[0] for r in df.select(S.cosine(F.col("a"), F.col("b"))).collect()]
+    assert abs(out[0] - 1.0) < 1e-9
+    assert abs(out[1]) < 1e-9
+    assert out[2] == 0.0  # zero-norm guard
+
+
+def test_knn_bruteforce(spark):
+    df = _vec_df(spark)
+    q = df.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    out = S.knn_bruteforce(df, q, k=2).collect()
+    assert [(r.rank, r.vec_id) for r in out] == [(1, 1), (2, 2)]
+
+
+def test_knn_ivf_matches_bruteforce_with_full_probe(spark):
+    df = _vec_df(spark)
+    q = df.where(F.col("vec_id") <= 1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    cents = S.sample_centroids(df, 3)
+    exact = {(r.query_id, r.rank): r.vec_id for r in S.knn_bruteforce(df, q, k=2).collect()}
+    approx = {
+        (r.query_id, r.rank): r.vec_id
+        for r in S.knn_ivf(df, q, cents, k=2, nprobe=3).collect()
+    }
+    assert exact == approx  # nprobe = #centroids ⇒ exhaustive
+
+
+def test_hyperplane_lsh_pairs(spark):
+    df = _vec_df(spark)
+    pairs = S.cosine_lsh_pairs(df, dim=3, num_planes=16, bands=8, threshold=0.9).collect()
+    got = {(p.id_a, p.id_b) for p in pairs}
+    assert (0, 1) in got  # cosine ≈ 0.994
+    assert all(p.cosine >= 0.9 for p in pairs)
+
+
+# ------------------------------------------------------------- multimodal
+def test_pack_and_features(spark):
+    df = spark.createDataFrame(
+        [(1, b"imagebytes-aaaa"), (2, b"imagebytes-bbbb"), (3, None)],
+        "id long, blob binary",
+    )
+    media = M.pack_media(df, "blob", "image/png", width="id")
+    assert [f.name for f in media.schema["media"].dataType.fields] == [
+        "data", "mime", "width", "height", "sample_rate", "n_frames",
+    ]
+    feats = M.decode_features(media, "media", id_cols=("id",)).collect()
+    by_id = {r.id: r for r in feats}
+    assert by_id[1].n_bytes == 15 and by_id[3].n_bytes == 0
+    assert by_id[1].phash != by_id[2].phash  # distinct bytes → distinct phash
+    assert len(by_id[1].phash) == M.FAKE_DIM * M.FAKE_DIM // 4  # hex chars
+    # deterministic: same input → same features
+    feats2 = {r.id: r for r in M.decode_features(media, "media", id_cols=("id",)).collect()}
+    assert feats2[1].phash == by_id[1].phash
+
+
+def test_resize_and_frame_sample(spark):
+    df = spark.createDataFrame([(1, bytes(range(64)))], "id long, blob binary")
+    media = M.pack_media(df, "blob", "video/raw", n_frames="id")
+    out = M.resize_media(media, 16, 16).collect()
+    m = out[0].media
+    assert m.width == 16 and m.height == 16 and len(m.data) == 256
+    vid = M.pack_media(
+        df.select("id", "blob", F.lit(4).alias("nf")), "blob", "video/raw", n_frames="nf"
+    )
+    frames = M.sample_frames(vid, every_n=2, id_cols=("id",)).collect()
+    assert [f.frame_no for f in frames] == [0, 2]
+    assert all(len(f.frame) == 16 for f in frames)
+
+
+def test_real_decoder_raises(spark):
+    df = spark.createDataFrame([(1, b"x")], "id long, blob binary")
+    media = M.pack_media(df, "blob", "image/png")
+    with pytest.raises(Exception, match="NotImplementedError|real media"):
+        M.decode_features(media, "media", id_cols=("id",), decoder="real").collect()

@@ -7,7 +7,8 @@ Two paths (BASELINE.json north star "similarity search"):
   (``zip_with`` + ``aggregate``), rank per query. One broadcast join +
   one shuffle for the per-query window; at 100 TB the scan dominates and
   parallelizes perfectly. All arithmetic in double for deterministic,
-  oracle-matchable results.
+  oracle-matchable results. Per-side L2 norms are computed *below* the
+  join (once per row, not once per pair).
 * **IVF (inverted file)** — the scale path: k centroids (sampled
   deterministically or supplied), every vector assigned to its nearest
   centroid once (narrow), queries probe only ``nprobe`` nearest
@@ -16,12 +17,22 @@ Two paths (BASELINE.json north star "similarity search"):
   verified in tests against brute force.
 
 Random-hyperplane LSH bucketing for cosine near-dup pairs rounds this out.
+
+Plan-size discipline: the centroid/plane matrices enter the plan as ONE
+nested-array Literal each (``F.lit([[...], ...]])``), iterated with
+indexed ``transform`` lambdas — not as per-plane inline literal arrays,
+which blow the expression tree past the codegen method-size limit and
+drop the whole projection into interpreted mode. Centroids are
+L2-normalized driver-side so nearest-by-cosine is just argmax of a dot
+product (row norms are positive constants w.r.t. the argmax).
+
 No Python UDFs anywhere — higher-order functions keep it codegen'd.
 """
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from math import sqrt as _pysqrt
+from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -52,6 +63,24 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(da, db) / denom).otherwise(F.lit(0.0))
 
 
+def _let(value: Column, body) -> Column:
+    """Bind ``value`` once as a lambda variable (see functions.text.let)."""
+    return F.transform(F.array(value), body).getItem(0)
+
+
+def _matrix_lit(rows: Sequence[Sequence[float]]) -> Column:
+    """A list-of-vectors as ONE plan literal (array<array<double>>)."""
+    return F.lit([[float(x) for x in r] for r in rows])
+
+
+def _normalize_rows(rows: Sequence[Sequence[float]]) -> list[list[float]]:
+    out = []
+    for r in rows:
+        n = _pysqrt(sum(float(x) * float(x) for x in r))
+        out.append([float(x) / n for x in r] if n > 0 else [0.0] * len(r))
+    return out
+
+
 def knn_bruteforce(
     vectors: DataFrame,
     queries: DataFrame,
@@ -63,13 +92,29 @@ def knn_bruteforce(
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query: (query_id, rank, vec_id,
     cosine). Ties break on vec_id ascending. Queries are broadcast — the
-    big side streams once with no shuffle until the per-query top-k."""
-    scored = vectors.join(F.broadcast(queries)).where(
+    big side streams once with no shuffle until the per-query top-k.
+    Norms are materialized below the join: O(rows+queries) norm work,
+    O(rows×queries) only for the single pairwise dot product."""
+    big = vectors.select(
+        F.col(id_col), F.col(vec_col), l2_norm(as_double(F.col(vec_col))).alias("_nv")
+    )
+    small = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        l2_norm(as_double(F.col(query_vec_col))).alias("_nq"),
+    )
+    denom = F.col("_nv") * F.col("_nq")
+    scored = big.join(F.broadcast(small)).where(
         F.col(id_col) != F.col(query_id_col)
     ).select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+        F.when(
+            denom > 0,
+            dot(as_double(F.col(vec_col)), as_double(F.col(query_vec_col))) / denom,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return (
@@ -79,6 +124,25 @@ def knn_bruteforce(
     )
 
 
+def _argmax_centroid(vec: Column, centroids: Sequence[Sequence[float]]) -> Column:
+    """Nearest centroid id by cosine (ties → lowest id), as argmax of
+    dot(vec, normalized_centroid): the vector's own norm is a positive
+    per-row constant, so it never changes the argmax; zero-norm rows tie
+    everywhere and resolve to id 0, matching the cosine()==0.0 contract."""
+    cmat = _matrix_lit(_normalize_rows(centroids))
+
+    def pick(v: Column) -> Column:
+        scored = F.transform(
+            cmat,
+            lambda c, i: F.struct(
+                dot(v, c).alias("sim"), (-i).cast("int").alias("negid")
+            ),
+        )
+        return (-F.array_max(scored)["negid"]).cast("int")
+
+    return _let(as_double(vec), pick)
+
+
 def assign_centroids(
     vectors: DataFrame,
     centroids: Sequence[Sequence[float]],
@@ -86,27 +150,8 @@ def assign_centroids(
     out_col: str = "centroid_id",
 ) -> DataFrame:
     """Add the nearest-centroid id (by cosine, ties → lowest id) as a narrow
-    projection; centroids ride along as plan literals (no join).
-
-    argmax via array_max over (sim, -id) structs: each cosine is computed
-    once (a chained when/otherwise would duplicate the running best twice
-    per step — an exponential expression tree)."""
-    scored = F.array(
-        *[
-            F.struct(
-                cosine(F.col(vec_col), _lit_vec(c)).alias("sim"),
-                F.lit(-i).alias("negid"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    return vectors.withColumn(
-        out_col, (-F.array_max(scored)["negid"]).cast("int")
-    )
-
-
-def _lit_vec(vals: Sequence[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vals])
+    projection; the centroid matrix rides along as ONE plan literal."""
+    return vectors.withColumn(out_col, _argmax_centroid(F.col(vec_col), centroids))
 
 
 def sample_centroids(
@@ -134,40 +179,44 @@ def knn_ivf(
     side; the big scan is filtered by the centroid join before any exact
     scoring. Persist/bucket the assigned ``vectors`` by centroid_id in a
     real deployment so repeated queries skip the assignment pass."""
-    assigned = assign_centroids(vectors, centroids, vec_col)
-    # nprobe nearest centroids per query (small: done as plan literals too)
+    assigned = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm(as_double(F.col(vec_col))).alias("_nv"),
+        _argmax_centroid(F.col(vec_col), centroids).alias("centroid_id"),
+    )
+    cmat = _matrix_lit(_normalize_rows(centroids))
+
+    def probes(q: Column) -> Column:
+        scored = F.transform(
+            cmat,
+            lambda c, i: F.struct(dot(q, c).alias("sim"), i.cast("int").alias("cid")),
+        )
+        return F.transform(
+            F.slice(F.reverse(F.array_sort(scored)), 1, nprobe), lambda s: s["cid"]
+        )
+
     probe_sets = queries.select(
         F.col(query_id_col),
         F.col(query_vec_col),
-        F.array(
-            *[
-                F.struct(
-                    cosine(F.col(query_vec_col), _lit_vec(c)).alias("sim"),
-                    F.lit(i).alias("cid"),
-                )
-                for i, c in enumerate(centroids)
-            ]
-        ).alias("_scored"),
-    ).select(
-        query_id_col,
-        query_vec_col,
-        F.slice(
-            F.reverse(F.array_sort("_scored")), 1, nprobe
-        ).alias("_top"),
-    ).select(
-        query_id_col,
-        query_vec_col,
-        F.transform("_top", lambda s: s["cid"]).alias("probe_cids"),
+        l2_norm(as_double(F.col(query_vec_col))).alias("_nq"),
+        _let(as_double(F.col(query_vec_col)), probes).alias("probe_cids"),
     )
     cand = assigned.join(
         F.broadcast(probe_sets),
         F.array_contains(F.col("probe_cids"), F.col("centroid_id"))
         & (F.col(id_col) != F.col(query_id_col)),
     )
+    denom = F.col("_nv") * F.col("_nq")
     scored = cand.select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+        F.when(
+            denom > 0,
+            dot(as_double(F.col(vec_col)), as_double(F.col(query_vec_col))) / denom,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return (
@@ -187,18 +236,37 @@ def _splitmix(seed: int, i: int, j: int) -> float:
     return (z % (1 << 24)) / float(1 << 23) - 1.0
 
 
+def hyperplane_planes(dim: int, num_planes: int = 16, seed: int = 7) -> list[list[float]]:
+    return [[_splitmix(seed, i, j) for j in range(dim)] for i in range(num_planes)]
+
+
 def hyperplane_signature(
     vec: Column, dim: int, num_planes: int = 16, seed: int = 7
 ) -> Column:
-    """num_planes sign bits packed into a long: bit_i = 1 iff vec·plane_i>0."""
-    sig = F.lit(0).cast("long")
-    v = as_double(vec)
-    for i in range(num_planes):
-        plane = _lit_vec([_splitmix(seed, i, j) for j in range(dim)])
-        sig = sig + F.when(dot(v, plane) > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    """num_planes sign bits packed into a long: bit_i = 1 iff vec·plane_i>0.
+
+    The plane matrix is one nested-array literal; the per-plane sign bits
+    fold through an indexed ``transform`` + ``aggregate`` — a compact,
+    codegen-friendly tree (the per-plane inline-literal formulation is
+    ~dim×num_planes Literal nodes duplicated per reference and falls out
+    of whole-stage codegen)."""
+    pmat = _matrix_lit(hyperplane_planes(dim, num_planes, seed))
+    weights = F.lit([1 << i for i in range(num_planes)])
+
+    def sig(v: Column) -> Column:
+        bits = F.transform(
+            pmat,
+            lambda p: F.when(dot(v, p) > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
         )
-    return sig
+        return F.aggregate(
+            F.zip_with(bits, weights, lambda b, w: b * w),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    return _let(as_double(vec), sig)
 
 
 def cosine_lsh_pairs(
@@ -213,7 +281,9 @@ def cosine_lsh_pairs(
 ) -> DataFrame:
     """Near-dup (id_a < id_b, cosine ≥ threshold) pairs via hyperplane-LSH
     banding + exact verification. Shuffles on (band, bucket) keys only —
-    the candidate set, not n², hits the verify join."""
+    the candidate set, not n², hits the verify join. The two sides of the
+    bucket self-join are byte-identical plans, so the signature exchange
+    is computed once and reused (ReusedExchange)."""
     if num_planes % bands:
         raise ValueError("num_planes must divide into bands evenly")
     r = num_planes // bands
@@ -221,6 +291,7 @@ def cosine_lsh_pairs(
     docs = vectors.select(
         F.col(id_col).cast("long").alias("_id"),
         F.col(vec_col).alias("_v"),
+        l2_norm(as_double(F.col(vec_col))).alias("_n"),
         hyperplane_signature(F.col(vec_col), dim, num_planes, seed).alias("_sig"),
     )
     chunks = docs.select(
@@ -246,9 +317,30 @@ def cosine_lsh_pairs(
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .distinct()
     )
+    sides = docs.select("_id", "_v", "_n")
+    denom = F.col("_na") * F.col("_nb")
     return (
-        cand.join(docs.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a")), "id_a")
-        .join(docs.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b")), "id_b")
-        .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cosine"))
+        cand.join(
+            sides.select(
+                F.col("_id").alias("id_a"), F.col("_v").alias("v_a"), F.col("_n").alias("_na")
+            ),
+            "id_a",
+        )
+        .join(
+            sides.select(
+                F.col("_id").alias("id_b"), F.col("_v").alias("v_b"), F.col("_n").alias("_nb")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.when(
+                denom > 0,
+                dot(as_double(F.col("v_a")), as_double(F.col("v_b"))) / denom,
+            )
+            .otherwise(F.lit(0.0))
+            .alias("cosine"),
+        )
         .where(F.col("cosine") >= threshold)
     )

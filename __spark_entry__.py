@@ -2,10 +2,13 @@
 
 Each ``queries()`` entry exercises one operator family from SURVEY.md §2
 (or a beyond-reference LLM-pipeline operator); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for the hash-matched correctness gate. Entries
-without an oracle (minhash/simhash/hyperplane LSH, IVF knn, multimodal)
-use engine-side hashing that DuckDB cannot reproduce bit-for-bit; they get
-the weaker rows-only check and are covered by tests/ instead.
+DuckDB-equivalent SQL for the hash-matched correctness gate. The LSH
+pipelines (minhash/simhash) run here with a 60-bit md5-prefix hash both
+engines can compute, so even the banded candidate generation is verified
+value-for-value (tests/ cover the xxhash64 scale path). The only entry
+without an oracle is ``multimodal_features``: its features derive from
+sha256 inside a Pandas-UDF stage, which SQL cannot reproduce — it gets
+the weaker rows-only check plus tests/.
 """
 
 from __future__ import annotations
@@ -354,18 +357,31 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------ rows-only (engine-hash based, no SQL oracle)
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with the SQL-portable shingle hash, so
+    the whole banding pipeline is oracle-checked value-for-value (the
+    xxhash64 scale path is covered by tests/)."""
     docs = _read(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5)
+    return D.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5,
+        hash_fn=D.portable_hash60,
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, 60-bit portable-hash variant (oracle-checked;
+    the 64-bit xxhash64 scale path is covered by tests/)."""
     docs = _read(spark, sf_dir, "documents")
-    return D.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    return D.simhash_pairs(
+        docs, "doc_id", "text", max_hamming=3,
+        hash_fn=D.portable_hash60, num_bits=60,
+    )
 
 
 def q_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
-    return S.cosine_lsh_pairs(emb, dim=64, num_planes=16, bands=4, threshold=0.45)
+    return S.cosine_lsh_pairs(
+        emb, dim=64, num_planes=16, bands=4, threshold=0.45
+    ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -374,7 +390,9 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
     )
     cents = S.sample_centroids(emb, 16)
-    return S.knn_ivf(emb, queries, cents, k=5, nprobe=4)
+    return S.knn_ivf(emb, queries, cents, k=5, nprobe=4).select(
+        "query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine")
+    )
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -428,6 +446,182 @@ _ES = "'el','los','y','es','para','como'"
 _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 _TOKS = r"regexp_split_to_array(trim(text), '\s+')"
 _LTOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+# DuckDB twin of avro_spark.functions.dedup.portable_hash60
+_PH60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+_P31 = (1 << 31) - 1
+
+
+def _minhash_oracle() -> str:
+    """DuckDB replica of q_minhash_lsh: same shingles, same portable
+    60-bit hash, same 64 universal-hash min-slots, band-of-4 candidate
+    rule, exact-Jaccard verify at 0.5."""
+    params = D._perm_params(64, seed=1)
+    h = _PH60.format(x="gram")
+    mins = ",\n                     ".join(
+        f"min(({a} * h + {b}) % {_P31}) AS mh{i}" for i, (a, b) in enumerate(params)
+    )
+    band_eq = " OR ".join(
+        "(" + " AND ".join(f"a.mh{bi*4+j} = b.mh{bi*4+j}" for j in range(4)) + ")"
+        for bi in range(16)
+    )
+    return f"""
+            WITH toks AS (
+              SELECT doc_id, {_LTOKS} AS t FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3 THEN
+                       list_distinct(list_transform(
+                         generate_series(1, len(t) - 2),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                     ELSE [] END AS grams
+              FROM toks),
+            hx AS (
+              SELECT doc_id, {h} % {_P31} AS h
+              FROM (SELECT doc_id, unnest(grams) AS gram FROM sh)),
+            sig AS (
+              SELECT doc_id,
+                     {mins}
+              FROM hx GROUP BY doc_id),
+            cand AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_eq})),
+            ver AS (
+              SELECT c.id_a, c.id_b,
+                     CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE) AS inter,
+                     CAST(len(x.grams) + len(y.grams) AS DOUBLE) AS tot
+              FROM cand c
+              JOIN sh x ON x.doc_id = c.id_a
+              JOIN sh y ON y.doc_id = c.id_b)
+            SELECT id_a, id_b, round(inter / (tot - inter), 6) AS jaccard
+            FROM ver
+            WHERE tot - inter > 0 AND inter / (tot - inter) >= 0.5
+        """
+
+
+def _simhash_oracle() -> str:
+    """DuckDB replica of q_simhash: 60-bit portable token hash, per-bit
+    ±1 votes, 4×15-bit chunk candidate rule, Hamming ≤ 3."""
+    h = _PH60.format(x="tok")
+    votes = ",\n                     ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(60)
+    )
+    sig = " + ".join(f"CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(60))
+    chunk_eq = " OR ".join(
+        f"((a.sig >> {15*i}) & 32767) = ((b.sig >> {15*i}) & 32767)" for i in range(4)
+    )
+    return f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_LTOKS}) AS tok
+              FROM documents WHERE trim(text) <> ''),
+            hx AS (SELECT doc_id, {h} AS h FROM toks),
+            votes AS (
+              SELECT doc_id,
+                     {votes}
+              FROM hx GROUP BY doc_id),
+            sigs AS (SELECT doc_id, CAST({sig} AS BIGINT) AS sig FROM votes),
+            allsig AS (
+              SELECT d.doc_id, coalesce(s.sig, 0) AS sig
+              FROM documents d LEFT JOIN sigs s USING (doc_id))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+            FROM allsig a JOIN allsig b
+              ON a.doc_id < b.doc_id AND ({chunk_eq})
+            WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        """
+
+
+def _cosine_lsh_oracle() -> str:
+    """DuckDB replica of q_cosine_lsh: the same 16 hyperplanes (embedded
+    as double literals — Python repr round-trips exactly), sign-bit
+    signature, 4×4-bit band candidate rule, exact-cosine verify at 0.45.
+    Sign decisions are stable across engines unless a dot product lands
+    within float-ulp of zero (probability ~0 for real embeddings)."""
+    planes = S.hyperplane_planes(dim=64, num_planes=16, seed=7)
+    sig_terms = " + ".join(
+        f"CASE WHEN list_dot_product(v, {[float(x) for x in p]!r}) > 0"
+        f" THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    band_eq = " OR ".join(
+        f"((a.sig >> {4*i}) & 15) = ((b.sig >> {4*i}) & 15)" for i in range(4)
+    )
+    return f"""
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            sig AS (
+              SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+                     CAST({sig_terms} AS BIGINT) AS sig
+              FROM e)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(CASE WHEN a.nrm * b.nrm > 0
+                              THEN list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
+                              ELSE 0.0 END, 6) AS cosine
+            FROM sig a JOIN sig b
+              ON a.vec_id < b.vec_id AND ({band_eq})
+            WHERE CASE WHEN a.nrm * b.nrm > 0
+                       THEN list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
+                       ELSE 0.0 END >= 0.45
+        """
+
+
+def _knn_ivf_oracle() -> str:
+    """DuckDB replica of q_knn_ivf: centroids = 16 lowest-id embeddings
+    (L2-normalized), nearest-centroid assignment by dot-argmax (ties →
+    lowest centroid id), per-query top-4 probes (ties → highest centroid
+    id, mirroring reverse(array_sort)), exact cosine on candidates."""
+    return """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            en AS (
+              SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+            cents AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+              FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+            cnorm AS (
+              SELECT cid,
+                     CASE WHEN sqrt(list_dot_product(v, v)) > 0
+                          THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                          ELSE list_transform(v, x -> 0.0) END AS cv
+              FROM cents),
+            assign_scored AS (
+              SELECT en.vec_id, c.cid,
+                     row_number() OVER (
+                       PARTITION BY en.vec_id
+                       ORDER BY list_dot_product(en.v, c.cv) DESC, c.cid ASC) AS rn
+              FROM en CROSS JOIN cnorm c),
+            assigned AS (
+              SELECT vec_id, cid AS centroid_id FROM assign_scored WHERE rn = 1),
+            probe_scored AS (
+              SELECT q.vec_id AS query_id, c.cid,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(q.v, c.cv) DESC, c.cid DESC) AS rn
+              FROM en q CROSS JOIN cnorm c WHERE q.vec_id < 10),
+            probes AS (SELECT query_id, cid FROM probe_scored WHERE rn <= 4),
+            cand AS (
+              SELECT p.query_id, a.vec_id
+              FROM assigned a
+              JOIN probes p ON a.centroid_id = p.cid
+              WHERE a.vec_id != p.query_id),
+            scored AS (
+              SELECT c.query_id, c.vec_id,
+                     CASE WHEN ev.nrm * eq.nrm > 0
+                          THEN list_dot_product(ev.v, eq.v) / (ev.nrm * eq.nrm)
+                          ELSE 0.0 END AS cos
+              FROM cand c
+              JOIN en ev ON ev.vec_id = c.vec_id
+              JOIN en eq ON eq.vec_id = c.query_id),
+            ranked AS (
+              SELECT query_id, vec_id, cos,
+                     row_number() OVER (
+                       PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+              FROM scored)
+            SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
+                   round(cos, 6) AS cosine
+            FROM ranked WHERE rank <= 5
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -573,4 +767,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, round(cos, 6) AS cosine
             FROM ranked WHERE rank <= 5
         """,
+        "minhash_lsh": _minhash_oracle(),
+        "simhash": _simhash_oracle(),
+        "cosine_lsh": _cosine_lsh_oracle(),
+        "knn_ivf": _knn_ivf_oracle(),
     }

@@ -33,6 +33,15 @@ from .text import let, normalize_text, ws_tokens
 _MERSENNE = (1 << 31) - 1
 
 
+def portable_hash60(col: Column) -> Column:
+    """60-bit integer hash reproducible in ANSI SQL engines: the first 15
+    hex chars of md5 parsed as an integer (DuckDB:
+    ``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)``). Slower than
+    ``xxhash64`` (the scale-path default) but lets the LSH pipelines be
+    verified value-for-value against a SQL oracle."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 # --------------------------------------------------------------- exact dedup
 def content_fingerprint(text: Column) -> Column:
     """md5 hex of whitespace/case-normalized text (exact-dup key)."""
@@ -114,7 +123,13 @@ def ngram_jaccard_pairs(
         shingles(F.col(text_col), n).alias("_sh"),
     )
     sizes = docs.select("_id", F.size("_sh").alias("_n"))
-    inv = docs.select("_id", F.explode("_sh").alias("_g"))
+    # Join on the 64-bit shingle hash, not the string: the shuffle moves
+    # 8-byte keys and the sort-merge compares longs. Distinct shingles
+    # collide with probability ~n²·2⁻⁶⁴ — immaterial to the counted
+    # intersection (and to the oracle match).
+    inv = docs.select("_id", F.explode("_sh").alias("_g")).select(
+        "_id", F.xxhash64("_g").alias("_g")
+    )
     # Shingle arrays are distinct-element, so counting join hits per pair IS
     # |A∩B| — no array-intersect verification pass needed; the per-pair
     # aggregate is map-side combined and the only other state joined back is
@@ -162,16 +177,19 @@ def _perm_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
 
 
 def minhash_signature(
-    text: Column, num_hashes: int = 64, shingle_n: int = 3, seed: int = 1
+    text: Column, num_hashes: int = 64, shingle_n: int = 3, seed: int = 1,
+    hash_fn=F.xxhash64,
 ) -> Column:
     """Array of ``num_hashes`` minhash values over word-n-gram shingles.
 
-    Shingles hash through ``xxhash64`` (JVM-side), then k universal-hash
-    permutations; each signature slot is the min over shingles. Empty
-    shingle sets get p (greater than any real hash) in every slot.
+    Shingles hash through ``hash_fn`` (default ``xxhash64``, JVM-side;
+    pass :func:`portable_hash60` for SQL-oracle parity), then k
+    universal-hash permutations; each signature slot is the min over
+    shingles. Empty shingle sets get p (greater than any real hash) in
+    every slot.
     """
     sh = shingles(text, shingle_n)
-    hashed = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    hashed = F.transform(sh, lambda s: F.pmod(hash_fn(s), F.lit(_MERSENNE)))
     def _perm(a: int, b: int):
         # (a*h + b) mod p: a, b, h all < 2^31 so a*h + b < 2^62 — no overflow.
         # Factory keeps the lambda single-arg (F.transform counts parameters).
@@ -197,6 +215,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     seed: int = 1,
+    hash_fn=F.xxhash64,
 ) -> DataFrame:
     """Near-dup id pairs via MinHash banding, verified by exact Jaccard.
 
@@ -205,6 +224,8 @@ def minhash_lsh_pairs(
     then verified against the true shingle Jaccard ≥ threshold, so banding
     only affects recall, never precision. Shuffles: one on (band, bucket
     hash), one distinct, two broadcast-or-shuffle joins back to shingles.
+    ``hash_fn`` is the shingle→int hash (default ``xxhash64``; pass
+    :func:`portable_hash60` for SQL-oracle parity).
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must divide into bands evenly")
@@ -221,7 +242,7 @@ def minhash_lsh_pairs(
     # zero shingles drop out, which is final-result-equivalent (their
     # Jaccard with anything is 0 < threshold).
     exploded = docs.select("_id", F.explode("_sh").alias("_g")).select(
-        "_id", F.pmod(F.xxhash64("_g"), F.lit(_MERSENNE)).alias("_h")
+        "_id", F.pmod(hash_fn(F.col("_g")), F.lit(_MERSENNE)).alias("_h")
     )
     params = _perm_params(num_hashes, seed)
     sig = exploded.groupBy("_id").agg(
@@ -289,30 +310,34 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(_id, _sig) SimHash table via explode + 64 sum-aggregates.
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, hash_fn=F.xxhash64, num_bits: int = 64
+) -> DataFrame:
+    """(_id, _sig) SimHash table via explode + ``num_bits`` sum-aggregates.
 
     The column-expression :func:`simhash64` duplicates the token-hash array
     per bit (64× plan blowup); here each token hashes once and the per-bit
-    votes are plain SUMs — map-side combined, 64 longs per doc on the wire.
-    Empty docs (no tokens) get the all-zero signature, matching
-    ``simhash64`` (every vote 0, no bit set).
+    votes are plain SUMs — map-side combined, num_bits longs per doc on the
+    wire. Empty docs (no tokens) get the all-zero signature, matching
+    ``simhash64`` (every vote 0, no bit set). ``hash_fn``/``num_bits``
+    default to the xxhash64/64-bit scale path; pass
+    (:func:`portable_hash60`, 60) for SQL-oracle parity.
     """
     ids = df.select(F.col(id_col).cast("long").alias("_id"))
     toks = df.select(
         F.col(id_col).cast("long").alias("_id"),
         F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("_t"),
-    ).select("_id", F.xxhash64("_t").alias("_h"))
+    ).select("_id", hash_fn(F.col("_t")).alias("_h"))
     votes = toks.groupBy("_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"v{i}")
-            for i in range(64)
+            for i in range(num_bits)
         ]
     )
     sig = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(num_bits):
         bit_val = (1 << i) if i < 63 else -(1 << 63)
         sig = sig + F.when(F.col(f"v{i}") > 0, F.lit(bit_val).cast("long")).otherwise(
             F.lit(0).cast("long")
@@ -325,12 +350,21 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    hash_fn=F.xxhash64,
+    num_bits: int = 64,
 ) -> DataFrame:
     """Id pairs with SimHash Hamming distance ≤ max_hamming (≤ 3 guaranteed
-    complete: 4 disjoint 16-bit chunks, pigeonhole ⇒ some chunk equal).
-    Shuffle is on (chunk_no, chunk_value) keys."""
-    docs = simhash_signatures(df, id_col, text_col)
+    complete: 4 disjoint num_bits/4-wide chunks, pigeonhole ⇒ some chunk
+    equal). Shuffle is on (chunk_no, chunk_value) keys."""
+    if num_bits % 4:
+        raise ValueError("num_bits must be divisible by 4")
+    cw = num_bits // 4  # chunk width
+    cmask = (1 << cw) - 1
+    docs = simhash_signatures(df, id_col, text_col, hash_fn, num_bits)
     chunks = docs.select(
         "_id",
         "_sig",
@@ -339,8 +373,8 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftright(F.col("_sig"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("_sig"), cw * i)
+                        .bitwiseAND(F.lit(cmask))
                         .alias("val"),
                     )
                     for i in range(4)

@@ -1,1 +1,11 @@
-"""avro_spark.streaming"""
+"""avro_spark.streaming — Structured Streaming extensions (see pipeline)."""
+
+from .pipeline import (  # noqa: F401
+    run_to_memory,
+    running_totals,
+    sessionized_counts,
+    stream_dedup,
+    stream_source,
+    stream_transform,
+    windowed_counts,
+)

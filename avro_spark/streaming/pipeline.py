@@ -1,0 +1,217 @@
+"""Structured Streaming surface (beyond-reference extension).
+
+The reference engine is strictly batch/single-datum (SURVEY.md §2D:
+no watermarks/streaming state); everything here is a Spark-native
+extension governed by Spark semantics.
+
+Design rules for 100 TB/day streams:
+
+* **Schema transforms stream as-is.** ``CompiledSchema.flatten`` /
+  ``unflatten`` / ``conform`` are narrow column projections with no
+  shuffle, so they apply unchanged to a streaming DataFrame —
+  ``stream_transform`` just calls them. Stateless → unlimited
+  parallelism, no state store.
+* **Event-time, never processing-time.** Every stateful op takes a
+  watermark; late data beyond it is dropped deterministically. State
+  store sizing = keys × window retention — bound both.
+* **File source here, Kafka in production.** ``stream_source`` reads a
+  parquet directory (what the test environment has); the option plumb
+  is identical for ``format("kafka")`` + ``from_avro(value, schema)``
+  using our exported Avro schemas (sources/avro_binary.py handles the
+  no-jar case).
+* **Custom stateful logic** uses ``applyInPandasWithState`` — Arrow
+  batches per key group, explicit GroupState, timeout-driven eviction —
+  the Spark-4 shape for reference-style "operators Spark lacks".
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def stream_source(
+    spark: SparkSession,
+    path: str,
+    schema: Optional[T.StructType] = None,
+    fmt: str = "parquet",
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """readStream from a file directory. Streaming file sources require an
+    explicit schema; when none is given, infer it from a one-off batch
+    read of the same path (cheap: parquet footers only)."""
+    if schema is None:
+        schema = spark.read.format(fmt).load(path).schema
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def stream_transform(df: DataFrame, compiled, which: str = "flatten") -> DataFrame:
+    """Apply a CompiledSchema plan (flatten/unflatten/xflatten) to a
+    streaming DataFrame. The plans are narrow selects (SURVEY.md §3.4:
+    "pure narrow transformations — no shuffles"), so they are
+    streaming-legal with no state and no watermark."""
+    fn = getattr(compiled, which)
+    return fn(df)
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "5 minutes",
+    slide: Optional[str] = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window aggregate:
+    (window_start, window_end, key, n_events, sum_value, avg_value).
+
+    Scale: state per (window × key); with a watermark the store only
+    retains windows newer than max_event_time - watermark. Partial
+    aggregation happens map-side before the single keyed shuffle."""
+    w = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("win"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.avg("value").alias("avg_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+def sessionized_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Session windows (dynamic-length, gap-closed): one row per
+    (user, session) with event count and bounds. session_window state
+    merges adjacent micro-batch spans; the watermark closes sessions
+    whose gap has provably expired."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sess"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_dedup(
+    events: DataFrame,
+    id_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exactly-once-per-id stream: drop duplicate ids within the
+    watermark horizon. State = one entry per id seen inside the
+    horizon; eviction is watermark-driven so the store is bounded by
+    arrival rate × horizon, not by stream lifetime."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(id_cols)
+    )
+
+
+RUNNING_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+)
+
+
+def running_totals(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    watermark: str = "10 minutes",
+    idle_timeout_ms: Optional[int] = None,
+) -> DataFrame:
+    """Custom stateful operator: per-user running (count, sum) emitted
+    every micro-batch the user appears in. The reference-style 'operator
+    Spark lacks' pattern: ``applyInPandasWithState`` gives explicit
+    per-key state + Arrow batches; per key-group Python cost is one
+    dict update per batch.
+
+    ``idle_timeout_ms`` enables ProcessingTimeTimeout state eviction for
+    continuous deployments (state bounded by active keys × idle window).
+    Leave it None for finite/backfill runs: pending processing-time
+    timers keep a Trigger.AvailableNow query alive until every timer
+    fires, so a drain-and-stop run would hang instead of terminating."""
+    import pandas as pd  # local import: only the worker needs it
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if idle_timeout_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
+
+
+def run_to_memory(
+    df: DataFrame, table_name: str, output_mode: str = "append"
+) -> None:
+    """Execute a streaming query over all currently-available input
+    (Trigger.AvailableNow) into an in-memory sink, then stop. Test/demo
+    helper — production sinks are kafka/delta/parquet with checkpoints."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

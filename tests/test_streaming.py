@@ -1,0 +1,160 @@
+"""Structured Streaming extension tests: every streaming operator runs
+over the events table (copied into a tmp dir so the file source sees one
+table), Trigger.AvailableNow, memory sink — and where the op is
+deterministic, the result must equal the same aggregation done in batch.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+import avro_spark
+from avro_spark import streaming as ST
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """events table rewritten with a proper TIMESTAMP(MICROS) ts column
+    (the driver parquet stores TIMESTAMP(NANOS), which Spark reads only
+    as long via legacy.parquet.nanosAsLong)."""
+    d = tmp_path_factory.mktemp("events_stream")
+    (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .write.mode("overwrite")
+        .parquet(str(d))
+    )
+    return str(d)
+
+
+def _batch_events(spark, events_dir):
+    return spark.read.parquet(events_dir)
+
+
+def test_stream_windowed_counts_match_batch(spark, events_dir):
+    src = ST.stream_source(spark, events_dir)
+    ST.run_to_memory(
+        ST.windowed_counts(src, window="10 minutes", watermark="5 minutes"),
+        "win_counts",
+        output_mode="append",
+    )
+    got = spark.table("win_counts")
+    batch = (
+        _batch_events(spark, events_dir)
+        .groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    # AvailableNow + append: only watermark-closed windows emit; every
+    # emitted row must match the batch aggregate exactly.
+    got_rows = {
+        (r["window_start"], r["event_type"]): r["n_events"] for r in got.collect()
+    }
+    batch_rows = {
+        (r["win"]["start"], r["event_type"]): r["n_events"] for r in batch.collect()
+    }
+    assert got_rows, "no windows closed — watermark too long for test data"
+    for k, n in got_rows.items():
+        assert batch_rows[k] == n
+
+
+def test_stream_sessionized_counts(spark, events_dir):
+    src = ST.stream_source(spark, events_dir)
+    ST.run_to_memory(
+        ST.sessionized_counts(src, gap="2 minutes", watermark="5 minutes"),
+        "sess_counts",
+        output_mode="append",
+    )
+    got = spark.table("sess_counts")
+    assert got.count() > 0
+    r = got.first()
+    assert r["session_end"] > r["session_start"]
+    total_evts = got.agg(F.sum("n_events")).first()[0]
+    assert total_evts <= _batch_events(spark, events_dir).count()
+
+
+def test_stream_dedup_drops_duplicates(spark, events_dir, tmp_path):
+    # duplicate the source rows → every event_id appears twice
+    dup_dir = str(tmp_path / "dup")
+    ev = spark.read.parquet(events_dir)
+    ev.write.mode("overwrite").parquet(dup_dir)
+    ev.write.mode("append").parquet(dup_dir)
+    src = ST.stream_source(spark, dup_dir)
+    ST.run_to_memory(
+        ST.stream_dedup(src, ("event_id",), watermark="5 minutes"),
+        "dedup_events",
+        output_mode="append",
+    )
+    got = spark.table("dedup_events")
+    n_unique = _batch_events(spark, events_dir).select("event_id").distinct().count()
+    assert got.count() == n_unique
+    assert got.select("event_id").distinct().count() == n_unique
+
+
+def test_stream_running_totals_stateful(spark, events_dir):
+    src = ST.stream_source(spark, events_dir)
+    ST.run_to_memory(
+        ST.running_totals(src, watermark="5 minutes"),
+        "run_totals",
+        output_mode="update",
+    )
+    got = spark.table("run_totals")
+    # final state per user (last emitted row) must equal the batch totals
+    w = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    )
+    final = got.withColumn("_rn", w).where("_rn = 1").drop("_rn")
+    batch = (
+        _batch_events(spark, events_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.coalesce("value", F.lit(0.0))).alias("total_value"),
+        )
+    )
+    gmap = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in final.collect()}
+    bmap = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in batch.collect()}
+    assert gmap == bmap
+
+
+def test_stream_schema_transform(spark, events_dir, tmp_path):
+    """CompiledSchema.flatten applies unchanged to a streaming frame."""
+    nested = tmp_path / "nested"
+    ev = spark.read.parquet(events_dir).select(
+        "event_id",
+        F.struct(
+            F.col("event_type").alias("kind"), F.col("value").alias("v")
+        ).alias("payload"),
+    )
+    ev.write.parquet(str(nested))
+    schema = avro_spark.create(
+        {
+            "type": "record",
+            "name": "Event",
+            "fields": [
+                {"name": "event_id", "type": "long"},
+                {
+                    "name": "payload",
+                    "type": {
+                        "type": "record",
+                        "name": "Payload",
+                        "fields": [
+                            {"name": "kind", "type": "string"},
+                            {"name": "v", "type": "double"},
+                        ],
+                    },
+                },
+            ],
+        }
+    )
+    plan = avro_spark.compile(schema)
+    src = ST.stream_source(spark, str(nested))
+    flat = ST.stream_transform(src, plan, "flatten")
+    assert flat.isStreaming
+    ST.run_to_memory(flat, "flat_events", output_mode="append")
+    got = spark.table("flat_events")
+    assert got.columns == ["event_id", "payload.kind", "payload.v"]
+    assert got.count() == ev.count()

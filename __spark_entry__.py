@@ -286,6 +286,20 @@ def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return from_avro_bytes(to_avro_bytes(nat, sch, "avro"), "avro", sch)
 
 
+def q_avro_ocf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro Object Container File sink→source = identity on nation
+    (deflate codec; one file per partition, decoded one task per file)."""
+    import tempfile
+
+    from avro_spark.sources.avro_ocf import read_avro_files, write_avro_files
+
+    nat = _read(spark, sf_dir, "nation")
+    sch = avro_spark.create(NATION_SCHEMA)
+    out = tempfile.mkdtemp(prefix="ocf_")
+    write_avro_files(nat, sch, out, codec="deflate")
+    return read_avro_files(spark, out, sch)
+
+
 def q_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 DataFrame conformance in flag mode (valid rows, empty _errors)."""
     nat = _read(spark, sf_dir, "nation")
@@ -421,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_encode": q_union_encode,
         "xflatten_update": q_xflatten_update,
         "avro_roundtrip": q_avro_roundtrip,
+        "avro_ocf_roundtrip": q_avro_ocf_roundtrip,
         "conform": q_conform,
         "fingerprint": q_fingerprint,
         "text_stats": q_text_stats,
@@ -669,6 +684,7 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
         """,
         "avro_roundtrip": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+        "avro_ocf_roundtrip": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
         "conform": """
             SELECT n_nationkey, n_name, n_regionkey, CAST([] AS VARCHAR[]) AS _errors
             FROM nation

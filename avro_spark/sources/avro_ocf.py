@@ -1,0 +1,242 @@
+"""Avro Object Container File (OCF) source/sink — standard ``.avro`` files.
+
+Implemented from the public Avro 1.11 spec (Object Container Files):
+magic ``Obj\\x01``, file-metadata map (``avro.schema`` JSON +
+``avro.codec``), 16-byte sync marker, then blocks of
+``(count long, byte-size long, data, sync)``. Codecs: ``null`` and
+``deflate`` (raw RFC-1951, via zlib with a -15 window).
+
+Spark integration (no spark-avro jar in this container — this is a pure
+Python path over public APIs):
+
+* **read**: ``spark.read.format("binaryFile")`` lists and reads whole
+  files in parallel (one task per file); an Arrow-batched ``mapInPandas``
+  stage decodes each file's blocks into rows. Parallelism = number of
+  files — at 100 TB keep files ~128-512 MB (the writers below do). Block-
+  level splits inside one huge file would need a DataSourceV2/Python
+  data-source with a sync-scan; per-file tasks are the portable design.
+* **write**: one OCF file per partition, written from the executor
+  (shared filesystem path — same contract as any Spark file sink);
+  ``repartition(n)`` upstream controls file count/size.
+
+The row codec (``_compile_encoder`` / ``_compile_decoder``) is shared
+with :mod:`avro_spark.sources.avro_binary` — the OCF layer adds only the
+container framing. Reference parity note: the reference engine has no
+file container at all (MsgPack values over Tarantool tuples); OCF is the
+Avro-ecosystem equivalent surface users expect from an Avro engine.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import json
+import os
+import zlib
+from typing import Any, Iterator, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..errors import AvroSparkError
+from ..schema import Schema, create
+from ..schema.nodes import Record
+from .avro_binary import (
+    _compile_decoder,
+    _compile_encoder,
+    _normalize,
+    _read_long,
+    _write_long,
+)
+
+MAGIC = b"Obj\x01"
+DEFAULT_BLOCK_RECORDS = 4096
+
+
+# ----------------------------------------------------------- byte-level OCF
+def _write_meta_map(out: bytearray, meta: dict[str, bytes]) -> None:
+    if meta:
+        _write_long(out, len(meta))
+        for k, v in meta.items():
+            kb = k.encode("utf-8")
+            _write_long(out, len(kb))
+            out += kb
+            _write_long(out, len(v))
+            out += v
+    _write_long(out, 0)
+
+
+def _read_meta_map(buf: bytes, pos: int) -> tuple[dict[str, bytes], int]:
+    meta: dict[str, bytes] = {}
+    while True:
+        n, pos = _read_long(buf, pos)
+        if n == 0:
+            break
+        if n < 0:  # block with byte-size prefix (spec allows)
+            _, pos = _read_long(buf, pos)
+            n = -n
+        for _ in range(n):
+            klen, pos = _read_long(buf, pos)
+            k = buf[pos : pos + klen].decode("utf-8")
+            pos += klen
+            vlen, pos = _read_long(buf, pos)
+            meta[k] = bytes(buf[pos : pos + vlen])
+            pos += vlen
+    return meta, pos
+
+
+def write_ocf_bytes(
+    schema: Schema,
+    records: list[dict],
+    codec: str = "null",
+    sync: Optional[bytes] = None,
+    block_records: int = DEFAULT_BLOCK_RECORDS,
+) -> bytes:
+    """Encode records into one in-memory OCF file."""
+    if codec not in ("null", "deflate"):
+        raise AvroSparkError(f"unsupported Avro codec: {codec}")
+    enc = _compile_encoder(schema.root)
+    schema_json = json.dumps(schema.export()).encode("utf-8")
+    if sync is None:
+        sync = hashlib.md5(schema_json).digest()  # deterministic, 16 bytes
+    out = bytearray()
+    out += MAGIC
+    _write_meta_map(
+        out, {"avro.schema": schema_json, "avro.codec": codec.encode("ascii")}
+    )
+    out += sync
+    for i in range(0, len(records), block_records):
+        chunk = records[i : i + block_records]
+        body = bytearray()
+        for rec in chunk:
+            enc(body, rec)
+        data = bytes(body)
+        if codec == "deflate":
+            data = zlib.compress(data, 6)[2:-4]  # strip zlib header + adler
+        _write_long(out, len(chunk))
+        _write_long(out, len(data))
+        out += data
+        out += sync
+    return bytes(out)
+
+
+def read_ocf_bytes(
+    blob: bytes, schema: Optional[Schema] = None
+) -> tuple[Schema, list[Any]]:
+    """Decode one OCF file; returns (writer schema, records). Pass
+    ``schema`` to skip re-parsing the embedded writer schema (it must be
+    the same writer schema; cross-version resolution happens at the
+    DataFrame layer via ``avro_spark.compile``)."""
+    if blob[:4] != MAGIC:
+        raise AvroSparkError("not an Avro object container file (bad magic)")
+    meta, pos = _read_meta_map(blob, 4)
+    codec = meta.get("avro.codec", b"null").decode("ascii")
+    if codec not in ("null", "deflate"):
+        raise AvroSparkError(f"unsupported Avro codec: {codec}")
+    if schema is None:
+        schema = create(json.loads(meta["avro.schema"].decode("utf-8")))
+    dec = _compile_decoder(schema.root)
+    sync = blob[pos : pos + 16]
+    pos += 16
+    records: list[Any] = []
+    n = len(blob)
+    while pos < n:
+        count, pos = _read_long(blob, pos)
+        size, pos = _read_long(blob, pos)
+        data = bytes(blob[pos : pos + size])
+        pos += size
+        if codec == "deflate":
+            data = zlib.decompress(data, -15)
+        p = 0
+        for _ in range(count):
+            rec, p = dec(data, p)
+            records.append(rec)
+        if p != len(data):
+            raise AvroSparkError(f"trailing bytes in OCF block: {len(data) - p}")
+        if blob[pos : pos + 16] != sync:
+            raise AvroSparkError("OCF sync marker mismatch")
+        pos += 16
+    return schema, records
+
+
+# ---------------------------------------------------------- DataFrame level
+def read_avro_files(
+    spark: SparkSession, path: str, schema: Optional[Schema] = None
+) -> DataFrame:
+    """Directory/glob of ``.avro`` OCF files → record-shaped DataFrame.
+
+    One task per file (binaryFile source) + Arrow-batched decode. When
+    ``schema`` is None the writer schema is peeked from the first file.
+    """
+    files = spark.read.format("binaryFile").load(path)
+    if schema is None:
+        first = files.select("content").head()
+        if first is None:
+            raise AvroSparkError(f"no files at {path}")
+        schema = read_ocf_bytes(bytes(first["content"]))[0]
+    struct = schema.to_struct_type()
+    root = schema.root
+    if not isinstance(root, Record):
+        raise AvroSparkError("read_avro_files requires a record schema")
+    field_names = [f.name for f in root.fields]
+    schema_export = json.dumps(schema.export())
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sch = create(json.loads(schema_export))
+        for pdf in batches:
+            for blob in pdf["content"]:
+                _, recs = read_ocf_bytes(bytes(blob), sch)
+                yield pd.DataFrame(
+                    {name: [r[name] for r in recs] for name in field_names},
+                    columns=field_names,
+                )
+
+    return files.select("content").mapInPandas(decode, schema=struct)
+
+
+def write_avro_files(
+    df: DataFrame,
+    schema: Schema,
+    path: str,
+    codec: str = "null",
+    block_records: int = DEFAULT_BLOCK_RECORDS,
+) -> list[dict]:
+    """Record-shaped DataFrame → one OCF file per partition under
+    ``path`` (created if missing; must be a filesystem all executors
+    share, like any Spark file sink). Returns per-file summaries
+    [{'file', 'n_records', 'n_bytes'}, ...]. Control file sizing with
+    ``df.repartition(n)`` upstream."""
+    root = schema.root
+    if not isinstance(root, Record):
+        raise AvroSparkError("write_avro_files requires a record schema")
+    os.makedirs(path, exist_ok=True)
+    schema_export = json.dumps(schema.export())
+    field_types = [(f.name, f.type) for f in root.fields]
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        sch = create(json.loads(schema_export))
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        records: list[dict] = []
+        for pdf in batches:
+            for row in pdf.itertuples(index=False, name=None):
+                records.append(
+                    {
+                        name: _normalize(val, node)
+                        for (name, node), val in zip(field_types, row)
+                    }
+                )
+        if not records:
+            return
+        blob = write_ocf_bytes(sch, records, codec=codec, block_records=block_records)
+        fname = os.path.join(path, f"part-{pid:05d}.avro")
+        with io.open(fname, "wb") as fh:
+            fh.write(blob)
+        yield pd.DataFrame(
+            {"file": [fname], "n_records": [len(records)], "n_bytes": [len(blob)]}
+        )
+
+    out = df.mapInPandas(encode, schema="file string, n_records long, n_bytes long")
+    return [r.asDict() for r in out.collect()]

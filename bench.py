@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "union_encode",
     "xflatten_update",
     "avro_roundtrip",
+    "avro_ocf_roundtrip",
     "conform",
     "text_stats",
     "lang_id",

@@ -236,6 +236,46 @@ def q_evolution_reorder_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cs.flatten(part)
 
 
+def q_evolution_downgrade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 downgrade mode: the NEWER schema carries the alias, matching is
+    reversed so new-named data lands in the older reader's layout
+    (init.lua:177-185, imatch frontend.lua:718-735)."""
+    sup = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    newer = avro_spark.create(
+        {
+            "type": "record",
+            "name": "Supplier",
+            "fields": [
+                {"name": "s_suppkey", "type": "long"},
+                {"name": "s_name", "type": "string"},
+                {"name": "s_acctbal", "type": "double", "aliases": ["s_balance"]},
+            ],
+        }
+    )
+    older = avro_spark.create(
+        {
+            "type": "record",
+            "name": "Supplier",
+            "fields": [
+                {"name": "s_suppkey", "type": "long"},
+                {"name": "s_name", "type": "string"},
+                {"name": "s_balance", "type": "double"},
+            ],
+        }
+    )
+    return avro_spark.compile(newer, older, downgrade=True).flatten(sup)
+
+
+def q_service_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 service fields: typed constant cells prefixed to the flat tuple
+    (init.lua:223-268; compiler.lua:895-903)."""
+    nat = _read(spark, sf_dir, "nation")
+    cs = avro_spark.compile(
+        avro_spark.create(NATION_SCHEMA), service_fields=("string", "int")
+    )
+    return cs.flatten(nat, service_values=["v1", 42])
+
+
 def q_promotions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B2 widening promotions long→double, int→long (SURVEY §2D.5)."""
     li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
@@ -429,6 +469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unflatten_roundtrip": q_unflatten_roundtrip,
         "defaults_fill": q_defaults_fill,
         "evolution_reorder_rename": q_evolution_reorder_rename,
+        "evolution_downgrade": q_evolution_downgrade,
+        "service_fields": q_service_fields,
         "promotions": q_promotions,
         "enum_codes": q_enum_codes,
         "enum_roundtrip": q_enum_roundtrip,
@@ -655,6 +697,14 @@ def oracle_sql() -> dict[str, str]:
         "evolution_reorder_rename": """
             SELECT p_retailprice, p_size, p_type AS p_typename, p_brand, p_name, p_partkey
             FROM part
+        """,
+        "evolution_downgrade": """
+            SELECT s_suppkey, s_name, s_acctbal AS s_balance FROM supplier
+        """,
+        "service_fields": """
+            SELECT 'v1' AS "$service_field$1", 42 AS "$service_field$2",
+                   n_nationkey, n_name, n_regionkey
+            FROM nation
         """,
         "promotions": """
             SELECT CAST(l_orderkey AS DOUBLE) AS l_orderkey,

@@ -28,6 +28,8 @@ BENCH_QUERIES = [
     "unflatten_roundtrip",
     "defaults_fill",
     "evolution_reorder_rename",
+    "evolution_downgrade",
+    "service_fields",
     "promotions",
     "enum_codes",
     "enum_roundtrip",

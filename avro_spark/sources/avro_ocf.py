@@ -169,6 +169,9 @@ def read_avro_files(
     One task per file (binaryFile source) + Arrow-batched decode. When
     ``schema`` is None the writer schema is peeked from the first file.
     """
+    from ..util import ensure_workers
+
+    ensure_workers(spark)
     files = spark.read.format("binaryFile").load(path)
     if schema is None:
         first = files.select("content").head()
@@ -207,6 +210,9 @@ def write_avro_files(
     share, like any Spark file sink). Returns per-file summaries
     [{'file', 'n_records', 'n_bytes'}, ...]. Control file sizing with
     ``df.repartition(n)`` upstream."""
+    from ..util import ensure_workers
+
+    ensure_workers(df.sparkSession)
     root = schema.root
     if not isinstance(root, Record):
         raise AvroSparkError("write_avro_files requires a record schema")

@@ -5,10 +5,10 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Timing includes full execution (write-discard of every result row) —
 plan build + scan + transform. Mirroring the reference's benchmark.lua
-(which compiles each schema BEFORE its timed 10M-iteration loop,
-benchmark.lua:78-98), each query first runs once at sf0.001 so
-Catalyst analysis + Janino codegen are warm; the timed run then
-measures the steady-state data path at the target SF.
+(which compiles each schema before a timed loop of 10M warm
+iterations, benchmark.lua:78-123), each query first runs once
+unmeasured so Catalyst analysis + Janino codegen are warm; the timed
+run then measures the steady-state data path.
 """
 
 from __future__ import annotations
@@ -70,12 +70,20 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     qs = E.queries()
-    warm_dir = "/root/testdata/sf0.001"
-    for name in BENCH_QUERIES:  # compile-warm pass (see module docstring)
+    # Warm pass at the SAME scale factor: identical plan shapes (AQE picks
+    # the same join strategies), so Janino codegen and shuffle machinery
+    # are warm — mirroring the reference protocol, which times 10M warm
+    # iterations of each compiled op (benchmark.lua:102-123).
+    for name in BENCH_QUERIES:
         try:
-            qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception:
             pass
+    # drop accumulated broadcast/shuffle refs so GC pauses don't land
+    # inside the timed loop
+    spark.catalog.clearCache()
+    spark._jvm.System.gc()
+    time.sleep(1)
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]

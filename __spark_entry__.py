@@ -310,6 +310,85 @@ def q_union_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cs.flatten(ev).toDF("event_id", "payload_type", "payload")
 
 
+ORDERS_ENUM_READER = {
+    "type": "record",
+    "name": "OrdersE",
+    "fields": [
+        {"name": "o_orderkey", "type": "long"},
+        {
+            "name": "o_orderstatus",
+            # reader reorders the symbol list: F 0→1, O 1→2, P 2→0
+            "type": {"type": "enum", "name": "Status", "symbols": ["P", "F", "O"]},
+        },
+    ],
+}
+
+EVENTS_UNION_READER = {
+    "type": "record",
+    "name": "Event",
+    "fields": [
+        {"name": "event_id", "type": "long"},
+        # reader reverses the branch list: null 0→1, double 1→0
+        {"name": "payload", "type": ["double", "null"]},
+    ],
+}
+
+ARRAY_WRITER = {
+    "type": "record",
+    "name": "PartA",
+    "fields": [
+        {"name": "p_partkey", "type": "long"},
+        {"name": "sizes", "type": {"type": "array", "items": "int"}},
+    ],
+}
+ARRAY_READER = {
+    "type": "record",
+    "name": "PartA",
+    "fields": [
+        {"name": "p_partkey", "type": "long"},
+        {"name": "sizes", "type": {"type": "array", "items": "long"}},
+    ],
+}
+
+
+def q_enum_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 enum remap across versions: writer symbol codes re-numbered to a
+    reader with a reordered symbol list (frontend.lua:1199-1229)."""
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    cs = avro_spark.compile(
+        avro_spark.create(ORDERS_ENUM), avro_spark.create(ORDERS_ENUM_READER)
+    )
+    return cs.flatten(orders).toDF("o_orderkey", "status_code")
+
+
+def q_union_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 union re-tagging: [null,double] writer → [double,null] reader,
+    branch tags matched by type not position (frontend.lua:1046-1083)."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("value") >= 2.0, F.col("value")).alias("payload"),
+    )
+    cs = avro_spark.compile(
+        avro_spark.create(EVENTS_UNION), avro_spark.create(EVENTS_UNION_READER)
+    )
+    return cs.flatten(ev).toDF("event_id", "payload_type", "payload")
+
+
+def q_array_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 array element-wise promotion: array<int> → array<long> through
+    the higher-order transform path (frontend.lua:1116-1133)."""
+    part = _read(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.array(
+            F.col("p_size").cast("int"), (F.col("p_size") + 1).cast("int")
+        ).alias("sizes"),
+    )
+    cs = avro_spark.compile(
+        avro_spark.create(ARRAY_WRITER), avro_spark.create(ARRAY_READER)
+    )
+    return cs.flatten(part).toDF("p_partkey", "sizes")
+
+
 def q_xflatten_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 xflatten: partial record → update-op array (SURVEY §2D.8)."""
     cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -353,6 +432,46 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("nation", avro_spark.fingerprint(avro_spark.create(NATION_SCHEMA), "sha256", 32).hex()),
     ]
     return spark.createDataFrame(rows, "schema_name string, fp string")
+
+
+# Flat-layout demo schema for A8: every name/type case the reference's
+# get_names/get_types helpers handle (frontend.lua:1381-1432) — nested
+# record inlining, union → (.$type$, path), nullable `*` suffix,
+# enum/fixed/array passthrough, service-field prefix cells.
+LAYOUT_SCHEMA = {
+    "type": "record",
+    "name": "Order",
+    "fields": [
+        {"name": "o_orderkey", "type": "long"},
+        {"name": "status", "type": {"type": "enum", "name": "St", "symbols": ["O", "F", "P"]}},
+        {"name": "payload", "type": ["null", "string", "double"]},
+        {
+            "name": "who",
+            "type": {
+                "type": "record",
+                "name": "Who",
+                "fields": [
+                    {"name": "name", "type": "string"},
+                    {"name": "tag", "type": "string*"},
+                ],
+            },
+        },
+        {"name": "raw", "type": {"type": "fixed", "name": "Fx", "size": 4}},
+        {"name": "xs", "type": {"type": "array", "items": "int"}},
+    ],
+}
+
+
+def q_flat_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 get_names/get_types: flat tuple-cell names and type labels in
+    schema order, with two service-field prefix cells (frontend.lua:
+    1381-1432 semantics; oracle is the hand-derived expected layout)."""
+    sch = avro_spark.create(LAYOUT_SCHEMA)
+    service = ("string", "int")
+    names = avro_spark.get_names(sch, service)
+    types = avro_spark.get_types(sch, service)
+    rows = [(i, n, t) for i, (n, t) in enumerate(zip(names, types))]
+    return spark.createDataFrame(rows, "pos int, flat_name string, flat_type string")
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -475,11 +594,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enum_codes": q_enum_codes,
         "enum_roundtrip": q_enum_roundtrip,
         "union_encode": q_union_encode,
+        "enum_evolution": q_enum_evolution,
+        "union_evolution": q_union_evolution,
+        "array_evolution": q_array_evolution,
         "xflatten_update": q_xflatten_update,
         "avro_roundtrip": q_avro_roundtrip,
         "avro_ocf_roundtrip": q_avro_ocf_roundtrip,
         "conform": q_conform,
         "fingerprint": q_fingerprint,
+        "flat_layout": q_flat_layout,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -726,6 +849,23 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN value >= 2.0 THEN value END AS payload
             FROM events
         """,
+        "enum_evolution": """
+            SELECT o_orderkey,
+                   CASE o_orderstatus WHEN 'P' THEN 0 WHEN 'F' THEN 1 WHEN 'O' THEN 2 END
+                       AS status_code
+            FROM orders
+        """,
+        "union_evolution": """
+            SELECT event_id,
+                   CASE WHEN value >= 2.0 THEN 0 ELSE 1 END AS payload_type,
+                   CASE WHEN value >= 2.0 THEN value END AS payload
+            FROM events
+        """,
+        "array_evolution": """
+            SELECT p_partkey,
+                   [CAST(p_size AS BIGINT), CAST(p_size + 1 AS BIGINT)] AS sizes
+            FROM part
+        """,
         "xflatten_update": """
             SELECT c_custkey,
                    [struct_pack(op := '=', field_no := 1, value := CAST(c_custkey AS VARCHAR)),
@@ -743,6 +883,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'person' AS schema_name, '{PERSON_FP}' AS fp
             UNION ALL
             SELECT 'nation' AS schema_name, '{NATION_FP}' AS fp
+        """,
+        # hand-derived from the reference layout algorithm
+        # (frontend.lua:1381-1432): service fields first, nested record
+        # inlined, union = ($type$, value) cell pair, nullable tagged `*`
+        "flat_layout": """
+            SELECT * FROM (VALUES
+                (0, '$service_field$', 'string'),
+                (1, '$service_field$', 'int'),
+                (2, 'o_orderkey', 'long'),
+                (3, 'status', 'enum'),
+                (4, 'payload.$type$', 'union_type'),
+                (5, 'payload', 'union_value'),
+                (6, 'who.name', 'string'),
+                (7, 'who.tag', 'string*'),
+                (8, 'raw', 'fixed'),
+                (9, 'xs', 'array')
+            ) AS t(pos, flat_name, flat_type)
         """,
         "text_stats": f"""
             SELECT doc_id,

@@ -34,6 +34,9 @@ BENCH_QUERIES = [
     "enum_codes",
     "enum_roundtrip",
     "union_encode",
+    "enum_evolution",
+    "union_evolution",
+    "array_evolution",
     "xflatten_update",
     "avro_roundtrip",
     "avro_ocf_roundtrip",

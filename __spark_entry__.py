@@ -474,6 +474,34 @@ def q_flat_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "pos int, flat_name string, flat_type string")
 
 
+def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming: watermarked 10-minute windowed counts over the
+    events table, Trigger.AvailableNow into a memory sink in complete
+    output mode — the bounded-run result equals the batch aggregate, so
+    it is SQL-oracle-checkable (time_bucket in DuckDB)."""
+    import tempfile
+    import uuid
+
+    from avro_spark import streaming as ST
+
+    ev = _read(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="events_stream_")
+    # driver parquet stores TIMESTAMP(NANOS); rewrite as TIMESTAMP(MICROS)
+    # so the file stream source gets a native timestamp column
+    ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    src = ST.stream_source(spark, tmp)
+    agg = ST.windowed_counts(src, window="10 minutes", watermark="5 minutes")
+    table = f"win_{uuid.uuid4().hex[:8]}"
+    ST.run_to_memory(agg, table, output_mode="complete")
+    return spark.table(table).select(
+        F.col("window_start").cast("string").alias("window_start"),
+        "event_type",
+        "n_events",
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token/punct/digit counts (north-star extension)."""
     docs = _read(spark, sf_dir, "documents")
@@ -603,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conform": q_conform,
         "fingerprint": q_fingerprint,
         "flat_layout": q_flat_layout,
+        "streaming_window": q_streaming_window,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -900,6 +929,13 @@ def oracle_sql() -> dict[str, str]:
                 (8, 'raw', 'fixed'),
                 (9, 'xs', 'array')
             ) AS t(pos, flat_name, flat_type)
+        """,
+        "streaming_window": """
+            SELECT CAST(time_bucket(INTERVAL '10 minutes', ts) AS VARCHAR) AS window_start,
+                   event_type,
+                   COUNT(*) AS n_events
+            FROM events
+            GROUP BY 1, 2
         """,
         "text_stats": f"""
             SELECT doc_id,

@@ -474,6 +474,29 @@ def q_flat_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "pos int, flat_name string, flat_type string")
 
 
+HIDDEN_SCHEMA = {
+    "type": "record",
+    "name": "CustomerH",
+    "fields": [
+        {"name": "c_custkey", "type": "long"},
+        # hidden: occupies a flat tuple cell but is omitted from
+        # unflatten output (frontend.lua:437, compiler.lua:783-789)
+        {"name": "c_name", "type": "string", "hidden": True},
+        {"name": "c_acctbal", "type": "double"},
+    ],
+}
+
+
+def q_hidden_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden-fields extension: flatten keeps the cell, unflatten omits
+    the field — flatten∘unflatten projects hidden fields away."""
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    cs = avro_spark.compile(avro_spark.create(HIDDEN_SCHEMA))
+    flat = cs.flatten(cust)
+    assert len(flat.columns) == 3  # hidden field still occupies its cell
+    return cs.unflatten(flat)
+
+
 def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming: watermarked 10-minute windowed counts over the
     events table, Trigger.AvailableNow into a memory sink in complete
@@ -631,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conform": q_conform,
         "fingerprint": q_fingerprint,
         "flat_layout": q_flat_layout,
+        "hidden_fields": q_hidden_fields,
         "streaming_window": q_streaming_window,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -929,6 +953,9 @@ def oracle_sql() -> dict[str, str]:
                 (8, 'raw', 'fixed'),
                 (9, 'xs', 'array')
             ) AS t(pos, flat_name, flat_type)
+        """,
+        "hidden_fields": """
+            SELECT c_custkey, c_acctbal FROM customer
         """,
         "streaming_window": """
             SELECT CAST(time_bucket(INTERVAL '10 minutes', ts) AS VARCHAR) AS window_start,

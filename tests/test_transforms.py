@@ -210,6 +210,29 @@ class TestEvolution:
         assert sch["f"].dataType.typeName() == "double"
         assert sch["s"].dataType.typeName() == "binary"
 
+    def test_map_and_array_value_promotion(self, spark):
+        # B4: element-wise recursion through array items and map values
+        # (frontend.lua:1116-1133) — transform / transform_values path
+        w = avs.create(
+            {"name": "c", "type": "record",
+             "fields": [{"name": "xs", "type": {"type": "array", "items": "int"}},
+                        {"name": "m", "type": {"type": "map", "values": "int"}}]}
+        )
+        r = avs.create(
+            {"name": "c", "type": "record",
+             "fields": [{"name": "xs", "type": {"type": "array", "items": "long"}},
+                        {"name": "m", "type": {"type": "map", "values": "double"}}]}
+        )
+        comp = avs.compile(w, r)
+        df = spark.createDataFrame([([1, 2], {"a": 3})], w.to_struct_type())
+        got = comp.flatten(df).collect()[0]
+        assert got["xs"] == [1, 2] and got["m"] == {"a": 3.0}
+        sch = comp.flatten(df).schema
+        assert sch["xs"].dataType.elementType.typeName() == "long"
+        assert sch["m"].dataType.valueType.typeName() == "double"
+        back = comp.unflatten(comp.flatten(df)).collect()[0]
+        assert back["xs"] == [1, 2] and back["m"] == {"a": 3.0}
+
     def test_illegal_promotion_rejected(self):
         w = avs.create({"name": "p", "type": "record", "fields": [{"name": "x", "type": "double"}]})
         r = avs.create({"name": "p", "type": "record", "fields": [{"name": "x", "type": "int"}]})

@@ -425,6 +425,49 @@ def q_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conform(nat, avro_spark.create(NATION_SCHEMA), mode="flag")
 
 
+ORDERS_STRICT_ENUM = {
+    "type": "record",
+    "name": "OrdersV",
+    "fields": [
+        {"name": "o_orderkey", "type": "long"},
+        # deliberately narrow symbol set: 'P' rows must flag
+        {"name": "o_orderstatus", "type": {"type": "enum", "name": "St2", "symbols": ["F", "O"]}},
+    ],
+}
+
+
+def q_conform_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/C3 error model: conform in flag mode with real violations —
+    rows whose enum value is outside the schema's symbol set carry a
+    path-prefixed error (runtime.lua:263-336 message semantics)."""
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    return conform(orders, avro_spark.create(ORDERS_STRICT_ENUM), mode="flag")
+
+
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink→schema-first source = identity on documents (native
+    distributed JSON; no inference scan on read)."""
+    import tempfile
+
+    from avro_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    sch = avro_spark.create(
+        {
+            "type": "record",
+            "name": "Doc",
+            "fields": [
+                {"name": "doc_id", "type": "long"},
+                {"name": "lang", "type": ["null", "string"]},
+                {"name": "text", "type": ["null", "string"]},
+            ],
+        }
+    )
+    out = tempfile.mkdtemp(prefix="jsonl_")
+    write_jsonl(docs, out)
+    return read_jsonl(spark, out, sch)
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10 Parsing-Canonical-Form fingerprints (pure function, constant)."""
     rows = [
@@ -652,6 +695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_roundtrip": q_avro_roundtrip,
         "avro_ocf_roundtrip": q_avro_ocf_roundtrip,
         "conform": q_conform,
+        "conform_errors": q_conform_errors,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "fingerprint": q_fingerprint,
         "flat_layout": q_flat_layout,
         "hidden_fields": q_hidden_fields,
@@ -956,6 +1001,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hidden_fields": """
             SELECT c_custkey, c_acctbal FROM customer
+        """,
+        "conform_errors": """
+            SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN o_orderstatus NOT IN ('F', 'O')
+                        THEN ['o_orderstatus: bad enum value: ' || o_orderstatus]
+                        ELSE [] END AS _errors
+            FROM orders
+        """,
+        "jsonl_roundtrip": """
+            SELECT doc_id, lang, text FROM documents
         """,
         "streaming_window": """
             SELECT CAST(time_bucket(INTERVAL '10 minutes', ts) AS VARCHAR) AS window_start,

@@ -1,0 +1,67 @@
+"""JSON-Lines source/sink with Avro-schema-directed reading.
+
+Training-data pipelines overwhelmingly ingest/emit JSONL; this wraps
+Spark's native distributed JSON reader/writer (JVM-side parsing, splittable
+when uncompressed, one task per file/split at 100 TB) with our Avro
+``Schema`` as the column contract:
+
+* ``read_jsonl`` — schema-first read: the Avro schema's ``StructType``
+  is handed to the reader, so Spark never runs its sample-based schema
+  inference pass (an extra full scan at scale) and the column types are
+  exactly the contract, not a guess.
+* ``write_jsonl`` — one JSON object per line, one file per partition
+  (size via ``df.repartition(n)`` upstream, same discipline as the
+  Avro OCF sink in :mod:`avro_spark.sources.avro_ocf`).
+
+Malformed lines follow Spark's standard JSON-source modes: default
+PERMISSIVE nulls the row (capture with ``columnNameOfCorruptRecord``),
+``mode='FAILFAST'`` raises — the streaming analogue of the conform
+operator's flag/raise modes (reference validate, frontend.lua:740-972).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..errors import AvroSparkError
+from ..schema import Schema
+from ..schema.nodes import Record
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: Optional[Schema] = None,
+    mode: str = "PERMISSIVE",
+    corrupt_col: Optional[str] = None,
+) -> DataFrame:
+    """Directory/glob of JSONL files → record-shaped DataFrame.
+
+    With ``schema`` the read is schema-first (no inference scan); without
+    it Spark infers (fine for exploration, avoid at scale).
+    """
+    reader = spark.read.option("mode", mode)
+    if corrupt_col is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+    if schema is not None:
+        if not isinstance(schema.root, Record):
+            raise AvroSparkError("read_jsonl requires a record schema")
+        struct = schema.to_struct_type()
+        if corrupt_col is not None:
+            from pyspark.sql import types as T
+
+            struct = T.StructType(
+                list(struct.fields) + [T.StructField(corrupt_col, T.StringType())]
+            )
+        reader = reader.schema(struct)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, compression: Optional[str] = None) -> None:
+    """Record-shaped DataFrame → one JSONL file per partition under ``path``."""
+    writer = df.write.mode("overwrite")
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    writer.json(path)

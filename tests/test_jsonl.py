@@ -1,0 +1,67 @@
+"""JSONL source/sink tests: schema-first read, round-trip identity,
+corrupt-record capture."""
+
+from __future__ import annotations
+
+import pytest
+
+import avro_spark
+from avro_spark.sources.jsonl import read_jsonl, write_jsonl
+
+DOC = {
+    "type": "record",
+    "name": "Doc",
+    "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "text", "type": ["null", "string"]},
+    ],
+}
+
+
+def test_roundtrip_identity(spark, tmp_path):
+    sch = avro_spark.create(DOC)
+    rows = [(1, "hello\nworld"), (2, None), (3, 'quo"tes and \\ slashes')]
+    df = spark.createDataFrame(rows, sch.to_struct_type())
+    out = str(tmp_path / "docs")
+    write_jsonl(df, out)
+    back = read_jsonl(spark, out, sch)
+    # Spark's JSON source marks every read column nullable; names/types
+    # must match the contract exactly
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in sch.to_struct_type().fields
+    ]
+    assert sorted(map(tuple, back.collect())) == rows
+
+
+def test_schema_first_types(spark, tmp_path):
+    # without a schema Spark would infer doc_id as long anyway, but the
+    # contract type must hold even when every value is small
+    sch = avro_spark.create(DOC)
+    out = str(tmp_path / "docs")
+    write_jsonl(spark.createDataFrame([(1, "x")], sch.to_struct_type()), out)
+    got = read_jsonl(spark, out, sch)
+    assert [f.dataType.typeName() for f in got.schema.fields] == ["long", "string"]
+
+
+def test_corrupt_record_capture(spark, tmp_path):
+    d = tmp_path / "bad"
+    d.mkdir()
+    (d / "part-0.json").write_text('{"doc_id": 1, "text": "ok"}\n{not json\n')
+    got = read_jsonl(spark, str(d), avro_spark.create(DOC), corrupt_col="_corrupt")
+    rows = got.collect()
+    assert len(rows) == 2
+    bad = [r for r in rows if r["_corrupt"] is not None]
+    assert len(bad) == 1 and bad[0]["doc_id"] is None
+
+
+def test_failfast_raises(spark, tmp_path):
+    d = tmp_path / "bad2"
+    d.mkdir()
+    (d / "part-0.json").write_text('{"doc_id": 1}\nnope\n')
+    with pytest.raises(Exception):
+        read_jsonl(spark, str(d), avro_spark.create(DOC), mode="FAILFAST").collect()
+
+
+def test_non_record_schema_rejected(spark, tmp_path):
+    with pytest.raises(Exception, match="record"):
+        read_jsonl(spark, str(tmp_path), avro_spark.create("int"))

@@ -1,0 +1,108 @@
+"""Shuffle-discipline utilities for 100 TB deployments.
+
+Three tools the big-join playbook needs (SCALE.md §1/§4):
+
+* **Bucketed tables** — ``write_bucketed`` persists a table hash-bucketed
+  (and sorted) on its join key; two tables bucketed the same way
+  sort-merge-join with **no shuffle on either side** (the scan itself is
+  the exchange). This is how a 100 TB fact table joins a 10 TB fact
+  table repeatedly without re-shuffling 100 TB per query.
+* **Salted joins** — ``salted_join`` spreads a skewed hot key over
+  ``salt`` sub-keys: the big side gets a deterministic per-row salt,
+  the small side is replicated ``salt`` times, and the join key becomes
+  (key, salt). Result rows are identical to the plain join; the hot
+  key's rows now land on ``salt`` reducers instead of one. AQE's skew
+  split handles moderate skew automatically — salting is for the
+  pathological single-key case (e.g. the empty-string document hash).
+* **Key-spread report** — ``key_skew_report`` measures the actual key
+  distribution (top-N heaviest keys + share of total) so salting is a
+  measured decision, not a guess. One aggregate pass, map-side combined.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    num_buckets: int,
+    path: Optional[str] = None,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as a parquet table hash-bucketed on ``key``.
+
+    ``num_buckets`` should be sized so one bucket of the LARGER table
+    fits an executor's memory at join time (bytes / num_buckets ≲ a few
+    hundred MB). Both sides of a co-located join must use the same
+    ``key`` and ``num_buckets``.
+    """
+    writer = df.write.format("parquet").mode("overwrite")
+    if path is not None:
+        writer = writer.option("path", path)
+    writer = writer.bucketBy(num_buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str, how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed tables on ``key``. With matching bucket
+    specs Spark plans a sort-merge join with no Exchange on either side
+    (verify: ``.explain()`` shows no ``Exchange hashpartitioning``)."""
+    left = spark.table(left_table)
+    right = spark.table(right_table)
+    return left.join(right, on=key, how=how)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+    salt_col: str = "_salt",
+) -> DataFrame:
+    """Skew-resistant equi-join: identical rows to ``big.join(small, key,
+    how)`` but the shuffle distributes each join key over ``salt``
+    reducers.
+
+    The big side's salt must only be *uniform-ish per row*; it is derived
+    deterministically from the whole row (xxhash64 of all columns), so
+    runs are reproducible. The small side is exploded ``salt``× — keep it
+    the dimension side. Supports inner and left joins (the salted right
+    side would multiply unmatched-right rows, so right/full are refused).
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    if salt < 1:
+        raise ValueError("salt must be >= 1")
+    big_s = big.withColumn(
+        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt))
+    )
+    small_s = small.withColumn(
+        salt_col, F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(salt)]))
+    )
+    out = big_s.join(small_s, on=[key, salt_col], how=how)
+    return out.drop(salt_col)
+
+
+def key_skew_report(df: DataFrame, key: str, top: int = 20) -> DataFrame:
+    """(key, n_rows, share) for the ``top`` heaviest keys — the input to
+    the salt-or-not decision. Two aggregates, both map-side combined; the
+    total is a broadcast-sized scalar joined back in."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(key, "n_rows", (F.col("n_rows") / F.col("_total")).alias("share"))
+        .orderBy(F.desc("n_rows"), key)
+        .limit(top)
+    )

@@ -1,0 +1,92 @@
+"""Scale-utility tests: bucketed co-located joins plan without a shuffle,
+salted joins return exactly the plain-join rows, skew report shares sum
+sensibly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from avro_spark.operators.scale import (
+    bucketed_join,
+    key_skew_report,
+    salted_join,
+    write_bucketed,
+)
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    return tmp_path_factory.mktemp("warehouse")
+
+
+def test_bucketed_join_has_no_shuffle(spark, warehouse):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    ).withColumnRenamed("l_orderkey", "o_orderkey")
+    write_bucketed(orders, "t_orders_b", "o_orderkey", 8,
+                   path=str(warehouse / "orders_b"))
+    write_bucketed(lineitem, "t_lineitem_b", "o_orderkey", 8,
+                   path=str(warehouse / "lineitem_b"))
+    try:
+        # force the sort-merge path so the bucket metadata is what must
+        # eliminate the exchanges (broadcast would mask it)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "t_orders_b", "t_lineitem_b", "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        # and it is still correct
+        expect = (
+            spark.read.parquet(f"{SF_DIR}/orders.parquet")
+            .join(
+                spark.read.parquet(f"{SF_DIR}/lineitem.parquet"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .count()
+        )
+        assert joined.count() == expect
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_salted_join_matches_plain_join(spark):
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    ).withColumnRenamed("n_nationkey", "c_nationkey")
+    plain = cust.join(nation, "c_nationkey").select("c_custkey", "n_name")
+    salted = salted_join(cust, nation, "c_nationkey", salt=4).select(
+        "c_custkey", "n_name"
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    right = spark.createDataFrame([(1, "X")], "k int, w string")
+    got = sorted(map(tuple, salted_join(left, right, "k", salt=3, how="left").collect()))
+    assert got == [(1, "a", "X"), (2, "b", None)]
+
+
+def test_salted_join_rejects_right(spark):
+    df = spark.range(1)
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(df, df, "id", how="right")
+
+
+def test_key_skew_report(spark):
+    df = spark.createDataFrame(
+        [(1,)] * 8 + [(2,)] * 2, "k int"
+    )
+    rows = key_skew_report(df, "k").collect()
+    assert [(r["k"], r["n_rows"]) for r in rows] == [(1, 8), (2, 2)]
+    assert abs(rows[0]["share"] - 0.8) < 1e-9

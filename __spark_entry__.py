@@ -568,6 +568,19 @@ def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint sets (k=5 char grams, w=4 windows) over
+    documents — the rolling-hash partial-overlap detector; portable
+    60-bit hash so DuckDB replays the identical gram/window pipeline."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.winnow_fingerprints(F.col("text"), k=5, w=4, hash_fn=D.portable_hash60).alias(
+            "fingerprints"
+        ),
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token/punct/digit counts (north-star extension)."""
     docs = _read(spark, sf_dir, "documents")
@@ -705,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
+        "winnow": q_winnow,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "knn_bruteforce": q_knn_bruteforce,
@@ -1011,6 +1025,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "jsonl_roundtrip": """
             SELECT doc_id, lang, text FROM documents
+        """,
+        # winnowing replica: same normalize → char-5-gram → portable hash
+        # → 4-wide window minima → distinct+sort pipeline, in DuckDB lists
+        "winnow": f"""
+            WITH n AS (
+                SELECT doc_id, {_NORM} AS nt FROM documents
+            ), h AS (
+                SELECT doc_id,
+                       CASE WHEN len(nt) >= 5
+                            THEN list_transform(
+                                     range(1, len(nt) - 5 + 2),
+                                     j -> {_PH60.format(x="substr(nt, j, 5)")})
+                            ELSE CAST([] AS BIGINT[]) END AS hs
+                FROM n
+            )
+            SELECT doc_id,
+                   CASE WHEN len(hs) >= 1
+                        THEN list_sort(list_distinct(list_transform(
+                                 range(1, greatest(len(hs) - 3, 1) + 1),
+                                 j -> list_min(hs[j:j+3]))))
+                        ELSE CAST([] AS BIGINT[]) END AS fingerprints
+            FROM h
         """,
         "streaming_window": """
             SELECT CAST(time_bucket(INTERVAL '10 minutes', ts) AS VARCHAR) AS window_start,

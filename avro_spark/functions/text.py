@@ -148,3 +148,55 @@ def normalize_text(text: Column) -> Column:
 def doc_fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 hex of the normalized text."""
     return F.md5(normalize_text(text))
+
+
+def winnow_fingerprints(text: Column, k: int = 5, w: int = 4, hash_fn=None) -> Column:
+    """Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    hash every character ``k``-gram of the normalized text, slide a
+    ``w``-wide window over the hash sequence, keep each window's minimum,
+    dedupe. Guarantees: any shared substring of length ≥ k+w-1 between
+    two documents yields a shared fingerprint — the partial-overlap
+    detector that whole-document hashes (:func:`doc_fingerprint`) and
+    set-Jaccard shingles can't express.
+
+    Pure narrow column expression (sequence/transform/slice/array_min):
+    O(len·w) per row, no shuffle; fingerprints are ascending-sorted for
+    deterministic output. Texts shorter than ``k`` get an empty set.
+    ``hash_fn`` is the gram hash (default ``xxhash64``; pass
+    ``dedup.portable_hash60`` for SQL-oracle parity).
+    """
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    if hash_fn is None:
+        hash_fn = F.xxhash64
+
+    empty = F.array().cast("array<bigint>")
+
+    def build(t: Column) -> Column:
+        n_grams = F.length(t) - (k - 1)
+        # sequence(1, 0) counts DOWN in Spark — guard short texts to an
+        # empty gram list instead
+        hashes = F.when(
+            n_grams >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: hash_fn(t.substr(i, F.lit(k))),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+
+        # hash array let-bound: the window slices below reference it
+        # w×; inlined it would recompute the k-gram hashing per window
+        def over_hashes(h: Column) -> Column:
+            n_windows = F.size(h) - (w - 1)
+            mins = F.transform(
+                # fewer than w hashes → one window over what exists
+                F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
+                lambda i: F.array_min(F.slice(h, i, w)),
+            )
+            return F.when(
+                F.size(h) >= 1, F.array_sort(F.array_distinct(mins))
+            ).otherwise(empty)
+
+        return let(hashes, over_hashes)
+
+    return let(normalize_text(text), build)

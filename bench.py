@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "lang_id",
     "quality_score",
     "doc_fingerprint",
+    "winnow",
     "dedup_exact",
     "ngram_jaccard",
     "knn_bruteforce",

@@ -181,6 +181,102 @@ def test_knn_ivf_matches_bruteforce_with_full_probe(spark):
     assert exact == approx  # nprobe = #centroids ⇒ exhaustive
 
 
+def test_kmeans_centroids_match_reference(spark):
+    # two tight clusters around (1,0) and (0,1); Lloyd from the first two
+    # vectors must converge onto the per-cluster means. Verified against a
+    # straight Python reimplementation of the same update rule.
+    vecs = [
+        (0, [1.0, 0.0]), (1, [0.0, 1.0]),
+        (2, [0.9, 0.1]), (3, [0.1, 0.9]),
+        (4, [0.8, 0.0]), (5, [0.0, 0.8]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = S.kmeans_centroids(df, 2, iters=3)
+
+    def py_kmeans(data, cents, iters):
+        import math
+        for _ in range(iters):
+            sums = [[0.0] * 2 for _ in cents]
+            counts = [0] * len(cents)
+            for _, v in data:
+                best, best_sim = 0, -float("inf")
+                for ci, c in enumerate(cents):
+                    nc = math.sqrt(sum(x * x for x in c)) or 1.0
+                    sim = sum(a * b / nc for a, b in zip(v, c))
+                    if sim > best_sim:  # ties → lowest id, match argmax
+                        best, best_sim = ci, sim
+                counts[best] += 1
+                for j, x in enumerate(v):
+                    sums[best][j] += x
+            cents = [
+                [s / counts[ci] for s in sums[ci]] if counts[ci] else cents[ci]
+                for ci, _ in enumerate(cents)
+            ]
+        return cents
+
+    expect = py_kmeans([(i, v) for i, v in vecs], [[1.0, 0.0], [0.0, 1.0]], 3)
+    for g, e in zip(got, expect):
+        assert all(abs(a - b) < 1e-9 for a, b in zip(g, e)), (got, expect)
+
+
+def test_kmeans_improves_ivf_recall_shape(spark):
+    # refined centroids still work as knn_ivf input (API drop-in)
+    df = _vec_df(spark)
+    cents = S.kmeans_centroids(df, 2, iters=2)
+    q = df.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    out = S.knn_ivf(df, q, cents, k=2, nprobe=2).collect()
+    assert len(out) == 2
+
+
+def test_winnow_fingerprints_match_reference(spark):
+    # pure-Python winnowing over the same normalized text and the same
+    # xxhash64 must agree exactly (hash values come from Spark itself so
+    # the reference only re-derives the gram/window structure)
+    k, w = 3, 2
+    texts = ["the quick brown fox", "xy", "", "aaaaa a"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    got = {
+        r["id"]: list(r["fp"])
+        for r in df.select(
+            "id", X.winnow_fingerprints(F.col("text"), k, w).alias("fp")
+        ).collect()
+    }
+
+    def norm(t):
+        import re
+        return re.sub(r"\s+", " ", t.lower()).strip()
+
+    # gram hashes via Spark for hash parity
+    for i, t in enumerate(texts):
+        nt = norm(t)
+        grams = [nt[j : j + k] for j in range(len(nt) - k + 1)]
+        if not grams:
+            assert got[i] == []
+            continue
+        hdf = spark.createDataFrame([(g,) for g in grams], "g string")
+        hashes = [r[0] for r in hdf.select(F.xxhash64("g")).collect()]
+        n_windows = max(len(hashes) - w + 1, 1)
+        mins = {min(hashes[j : j + w]) for j in range(n_windows)}
+        assert got[i] == sorted(mins), (i, nt)
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    # docs sharing a substring of length >= k+w-1 share a fingerprint
+    k, w = 4, 3
+    a = "zzz COMMON-SEGMENT qqq"
+    b = "aaa COMMON-SEGMENT bbb"
+    df = spark.createDataFrame([(0, a), (1, b)], "id long, text string")
+    fps = {
+        r["id"]: set(r["fp"])
+        for r in df.select(
+            "id", X.winnow_fingerprints(F.col("text"), k, w).alias("fp")
+        ).collect()
+    }
+    assert fps[0] & fps[1], "no shared fingerprint for shared substring"
+
+
 def test_hyperplane_lsh_pairs(spark):
     df = _vec_df(spark)
     pairs = S.cosine_lsh_pairs(df, dim=3, num_planes=16, bands=8, threshold=0.9).collect()

@@ -647,6 +647,21 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash-LSH pairs → connected components via
+    iterative min-label propagation → (doc_id, cluster_id); singletons
+    cluster as themselves. Oracle replays the pair pipeline plus a
+    recursive-CTE transitive closure."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5,
+        hash_fn=D.portable_hash60,
+    )
+    return D.dedup_clusters(
+        docs.select(F.col("doc_id").alias("_id")), pairs, "_id"
+    ).select(F.col("_id").alias("doc_id"), "cluster_id")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, 60-bit portable-hash variant (oracle-checked;
     the 64-bit xxhash64 scale path is covered by tests/)."""
@@ -723,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "knn_bruteforce": q_knn_bruteforce,
         "minhash_lsh": q_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "cosine_lsh": q_cosine_lsh,
         "knn_ivf": q_knn_ivf,
@@ -1145,6 +1161,23 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5
         """,
         "minhash_lsh": _minhash_oracle(),
+        # pair pipeline as a derived table + recursive min-label closure:
+        # every (id, reachable label) enumerates, min per id = component
+        "dedup_clusters": f"""
+            WITH RECURSIVE p AS (
+                SELECT id_a, id_b FROM ({_minhash_oracle()}) mq
+            ), edges AS (
+                SELECT id_a AS s, id_b AS d FROM p
+                UNION
+                SELECT id_b AS s, id_a AS d FROM p
+            ), reach(id, lbl) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+            )
+            SELECT id AS doc_id, min(lbl) AS cluster_id
+            FROM reach GROUP BY id
+        """,
         "simhash": _simhash_oracle(),
         "cosine_lsh": _cosine_lsh_oracle(),
         "knn_ivf": _knn_ivf_oracle(),

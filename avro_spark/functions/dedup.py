@@ -349,6 +349,87 @@ def simhash_signatures(
     )
 
 
+def dedup_clusters(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+    out_col: str = "cluster_id",
+) -> DataFrame:
+    """Connected components over near-dup pairs: (id, cluster_id) with
+    cluster_id = min id reachable through the pair graph. Singletons (ids
+    with no pair) cluster as themselves — so downstream "keep one per
+    cluster" is a plain ``groupBy(cluster_id).min(id)``.
+
+    Algorithm: iterative min-label propagation (the standard distributed
+    connected components on shuffle engines). Each round is one join +
+    one min-aggregate, both on the id key; rounds needed = graph diameter
+    (near-dup clusters are shallow — a handful). Convergence is checked
+    with a count per round, and ``localCheckpoint`` truncates the lineage
+    so the plan stays O(1) per round instead of growing exponentially —
+    without it Catalyst re-analyzes an ever-deepening tree and a 20-round
+    run stops scaling long before the data does.
+    """
+    nodes = ids.select(F.col(id_col).cast("long").alias("id")).distinct()
+    edges = (
+        pairs.select(F.col(id_a).cast("long").alias("s"), F.col(id_b).cast("long").alias("d"))
+        .union(
+            pairs.select(F.col(id_b).cast("long").alias("s"), F.col(id_a).cast("long").alias("d"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select("id", F.col("id").alias("lbl")).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        prop = (
+            edges.join(labels, edges.s == labels.id)
+            .select(F.col("d").alias("id"), "lbl")
+            .union(labels)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            prop.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = prop
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("lbl").alias(out_col))
+
+
+def near_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 1,
+    hash_fn=F.xxhash64,
+) -> DataFrame:
+    """End-to-end near-dup removal: MinHash-LSH pairs → connected
+    components → keep the min-id representative of every cluster. The
+    full production pipeline in one call."""
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        threshold=threshold, seed=seed, hash_fn=hash_fn,
+    )
+    clusters = dedup_clusters(
+        df.select(F.col(id_col).alias("_id")), pairs, "_id"
+    )
+    keepers = clusters.groupBy("cluster_id").agg(F.min("_id").alias(id_col))
+    return df.join(keepers.select(id_col), on=id_col, how="left_semi")
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,

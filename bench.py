@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "ngram_jaccard",
     "knn_bruteforce",
     "minhash_lsh",
+    "dedup_clusters",
     "simhash",
     "cosine_lsh",
     "knn_ivf",
@@ -74,23 +75,20 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     qs = E.queries()
-    # Warm pass at the SAME scale factor: identical plan shapes (AQE picks
-    # the same join strategies), so Janino codegen and shuffle machinery
-    # are warm — mirroring the reference protocol, which times 10M warm
-    # iterations of each compiled op (benchmark.lua:102-123).
-    for name in BENCH_QUERIES:
-        try:
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        except Exception:
-            pass
-    # drop accumulated broadcast/shuffle refs so GC pauses don't land
-    # inside the timed loop
-    spark.catalog.clearCache()
-    spark._jvm.System.gc()
-    time.sleep(1)
+    # Warm then time EACH query back-to-back (mirroring the reference
+    # protocol of timing warm iterations of one compiled op at a time,
+    # benchmark.lua:102-123). A warm-all-then-time-all shape is wrong on
+    # Spark: the Janino generated-class cache holds ~100 classes, so by
+    # the time the timed pass reaches a query its codegen has been
+    # evicted by the other queries and the measurement includes seconds
+    # of recompilation — observed as 3-6× noise on the largest plans.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0

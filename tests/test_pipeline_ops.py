@@ -113,6 +113,41 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert pairs[0].jaccard > 0.8
 
 
+def test_dedup_clusters_components(spark):
+    # graph: 1-2, 2-3 (one component), 5-6 (another), 9 isolated
+    ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 6, 9)], "_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    got = {
+        r["_id"]: r["cluster_id"]
+        for r in D.dedup_clusters(ids, pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9}
+
+
+def test_dedup_clusters_long_chain(spark):
+    # a 12-node path needs several propagation rounds to converge
+    n = 12
+    ids = spark.createDataFrame([(i,) for i in range(n)], "_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {r["_id"]: r["cluster_id"] for r in D.dedup_clusters(ids, pairs).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_near_dedup_keeps_one_per_cluster(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again!"),
+        (3, "completely different text about parquet shuffles and joins"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in D.near_dedup(df, "doc_id", "text", threshold=0.5).collect())
+    assert kept == [1, 3]
+
+
 def test_simhash_near_dups(spark):
     # 9 distinct tokens (odd) ⇒ per-bit votes are never 0; repeating the
     # base 4× and 40× scales vote magnitude ≥ 4 and ≥ 39, so the one extra

@@ -50,9 +50,26 @@ class CompiledSchema:
             if sf not in _SERVICE_TYPES:
                 raise CompileError(f"bad service field type: {sf}")
         self.service_fields = tuple(service_fields)
+        # Non-record roots (scalar/enum/array/map/union/fixed) compile in
+        # the reference too (any schema is a valid root; e.g.
+        # test/ddt_suite/int.lua flattens 42 → [42]). DataFrame contract
+        # for them: a single-column input holding the root value. We plan
+        # through a synthetic single-field record wrapper — the flat
+        # layout is identical (the root occupies the same cells a lone
+        # field would), so flatten/unflatten behave exactly like the
+        # reference's single-value tuples.
+        # A nullable record root is a single VLO tuple cell in the reference
+        # (record.lua complex_nullable_schema: output [[...]]) — same
+        # single-column contract as a non-record root, so wrap it too.
+        self.wrapped_root = (
+            not isinstance(self.writer.root, Record) or self.writer.root.nullable
+        )
+        if self.wrapped_root:
+            self.writer = _wrap_root(self.writer)
+            self.reader = _wrap_root(self.reader)
         self.plan: Resolved = resolve_cached(self.writer, self.reader, downgrade)
-        if self.plan.kind != "record":
-            raise CompileError("compile requires a record schema at the top level")
+        if self.plan.kind != "record":  # e.g. writer record vs scalar reader
+            raise CompileError("writer and reader must both be records or both roots")
 
     # ------------------------------------------------------------- naming
     def flat_names(self, which: str = "reader") -> list[str]:
@@ -87,6 +104,13 @@ class CompiledSchema:
             raise CompileError(
                 f"expected {len(self.service_fields)} service field values, got {len(service_values)}"
             )
+        if self.wrapped_root:
+            if len(df.columns) != len(self.service_fields) + 1:
+                raise CompileError(
+                    "non-record root: expected a single value column "
+                    f"(plus {len(self.service_fields)} service), got {df.columns}"
+                )
+            df = df.withColumnRenamed(df.columns[-1], _ROOT_FIELD)
         writer_root: Record = self.writer.root  # type: ignore[assignment]
         missing = [
             f.name for f in writer_root.fields
@@ -138,14 +162,7 @@ class CompiledSchema:
         offset by the service-field count (reference: init.lua:352-365,
         test/ddt_suite/record.lua:355-362). Field *presence* = column present
         in ``df``. ``keep`` carries key columns through for joins."""
-        writer_root: Record = self.writer.root  # type: ignore[assignment]
-        field_names = {f.name for f in writer_root.fields}
-        present = [c for c in df.columns if c in field_names]
-        if not present:
-            raise CompileError("xflatten: no schema fields present in the DataFrame")
-        triples = xflatten_ops(
-            self.plan, present, len(self.service_fields), self.validate, stringify
-        )
+        triples = self._xflatten_triples(df, stringify)
         ops = F.array(
             *[
                 F.struct(op.alias("op"), idx.cast("int").alias("field_no"), val.alias("value"))
@@ -153,6 +170,53 @@ class CompiledSchema:
             ]
         )
         return df.select(*[F.col(k) for k in keep], ops.alias("ops"))
+
+    def xflatten_typed(self, df: DataFrame, keep: Sequence[str] = ()) -> DataFrame:
+        """Like :meth:`xflatten` but one (op_i, idx_i, val_i) column triple
+        per update op, each value keeping its own Spark type — the form to
+        use when op values are heterogeneous (e.g. a union's int tag cell
+        next to its string value cell) and stringification is unwanted."""
+        triples = self._xflatten_triples(df, stringify=False)
+        cols = list(F.col(k) for k in keep)
+        for i, (op, idx, val) in enumerate(triples):
+            cols += [
+                op.alias(f"op_{i}"),
+                idx.cast("int").alias(f"idx_{i}"),
+                val.alias(f"val_{i}"),
+            ]
+        return df.select(*cols)
+
+    def _xflatten_triples(self, df: DataFrame, stringify: bool):
+        from .flatten import convert_expr
+
+        writer_root: Record = self.writer.root  # type: ignore[assignment]
+        if self.wrapped_root:
+            inner = writer_root.fields[0].type
+            if not (isinstance(inner, Record) and inner.nullable):
+                raise CompileError("xflatten requires a record root")
+            # nullable root record = a single VLO tuple cell: one op whose
+            # value is the whole record, ALL fields required
+            # (record.lua:655-668 "Key missing" / single ["=",1,[...]] op)
+            for f in inner.fields:
+                if f.name not in df.columns and not f.has_default:
+                    raise CompileError(f'Key missing: "{f.name}"')
+            src = F.struct(
+                *[
+                    (F.col(f.name) if f.name in df.columns else lit_for(f.type, f.default)).alias(f.name)
+                    for f in inner.fields
+                ]
+            )
+            inner_plan = self.plan.children["sources"][0].plan
+            val = convert_expr(inner_plan, src, self.validate)
+            if stringify:
+                val = val.cast("string")
+            return [(F.lit("="), F.lit(1 + len(self.service_fields)), val)]
+        field_names = {f.name for f in writer_root.fields}
+        if not any(c in field_names for c in df.columns):
+            raise CompileError("xflatten: no schema fields present in the DataFrame")
+        return xflatten_ops(
+            self.plan, df.schema, len(self.service_fields), self.validate, stringify
+        )
 
     # ----------------------------------------------------- binary variants
     def flatten_from_avro(self, df: DataFrame, column: str = "avro", **kw) -> DataFrame:
@@ -174,6 +238,18 @@ class CompiledSchema:
             f"CompiledSchema({self.writer.root!r} → {self.reader.root!r}, "
             f"downgrade={self.downgrade}, service_fields={self.service_fields})"
         )
+
+
+_ROOT_FIELD = "value"
+
+
+def _wrap_root(s: Schema) -> Schema:
+    """Schema with non-record root → synthetic {value: root} record."""
+    from ..schema import create as _create
+
+    return _create(
+        {"type": "record", "name": "_root_", "fields": [{"name": _ROOT_FIELD, "type": s.export()}]}
+    )
 
 
 def _spark_cast_name(avro_type: str) -> str:

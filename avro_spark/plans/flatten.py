@@ -120,9 +120,21 @@ def lit_for(node: SchemaNode, value: Any) -> Column:
 
 
 # --------------------------------------------- record-form conversion core
-def convert_expr(plan: Resolved, src: Column, validate: bool = True) -> Column:
+#: Max times one (writer, reader) plan node may repeat on a lowering path
+#: before the expression is cut to null — bounds recursive-schema unrolling
+#: (frontend.lua:369-389 recursion; SURVEY.md §7 "hard parts"). Data deeper
+#: than the unroll cannot enter the typed DataFrame boundary in the first
+#: place (to_spark_type cuts the column type to NullType at the same bound).
+MAX_UNROLL = 8
+
+
+def convert_expr(plan: Resolved, src: Column, validate: bool = True,
+                 _seen: tuple = ()) -> Column:
     """writer-shaped record-form value → reader-shaped record-form value."""
     kind = plan.kind
+    if _seen.count(id(plan)) >= MAX_UNROLL:
+        return F.lit(None).cast(to_spark_type(plan.reader))
+    _seen = _seen + (id(plan),)
     if kind == "copy":
         return src
     if kind == "promote":
@@ -146,16 +158,16 @@ def convert_expr(plan: Resolved, src: Column, validate: bool = True) -> Column:
         item_plan = plan.children["items"]
         if _is_identity(item_plan):
             return src
-        return F.transform(src, lambda x: convert_expr(item_plan, x, validate))
+        return F.transform(src, lambda x: convert_expr(item_plan, x, validate, _seen))
     if kind == "map":
         val_plan = plan.children["values"]
         if _is_identity(val_plan):
             return src
-        return F.transform_values(src, lambda k, v: convert_expr(val_plan, v, validate))
+        return F.transform_values(src, lambda k, v: convert_expr(val_plan, v, validate, _seen))
     if kind == "record":
         out = F.struct(
             *[
-                _field_value(s, lambda wf, s_=src: s_.getField(wf.name), validate).alias(s.reader_field.name)
+                _field_value(s, lambda wf, s_=src: s_.getField(wf.name), validate, _seen).alias(s.reader_field.name)
                 for s in plan.children["sources"]
                 if not s.reader_field.hidden
             ]
@@ -164,13 +176,20 @@ def convert_expr(plan: Resolved, src: Column, validate: bool = True) -> Column:
             out = F.when(src.isNull(), F.lit(None).cast(to_spark_type(plan.reader))).otherwise(out)
         return out
     if kind in ("union", "from_union", "to_union"):
-        return _convert_union(plan, src, validate)
+        return _convert_union(plan, src, validate, _seen)
     raise CompileError(f"cannot lower plan kind {kind}")
 
 
-def _is_identity(plan: Resolved) -> bool:
+def _is_identity(plan: Resolved, _seen: Optional[set] = None) -> bool:
     """True when the conversion is a no-op (lets Catalyst see a bare column —
-    the analogue of the reference's MOVE elision, il.lua:441-484)."""
+    the analogue of the reference's MOVE elision, il.lua:441-484). Cyclic
+    (recursive-schema) plans assume identity on the back-edge: a cycle is
+    identity iff everything reachable from it is."""
+    if _seen is None:
+        _seen = set()
+    if id(plan) in _seen:
+        return True
+    _seen.add(id(plan))
     k = plan.kind
     if k == "copy":
         return True
@@ -180,15 +199,15 @@ def _is_identity(plan: Resolved) -> bool:
         i2o = plan.children["i2o"]
         return all(o is not None for o in i2o) and plan.writer.symbols == plan.reader.symbols
     if k == "array":
-        return _is_identity(plan.children["items"])
+        return _is_identity(plan.children["items"], _seen)
     if k == "map":
-        return _is_identity(plan.children["values"])
+        return _is_identity(plan.children["values"], _seen)
     if k == "record":
         w, r = plan.writer, plan.reader
         if w is None or len(w.fields) != len(r.fields):
             return False
         for i, s in enumerate(plan.children["sources"]):
-            if s.writer_index != i or s.plan is None or not _is_identity(s.plan):
+            if s.writer_index != i or s.plan is None or not _is_identity(s.plan, _seen):
                 return False
             if s.reader_field.hidden or (s.writer_field and s.writer_field.hidden):
                 return False
@@ -198,13 +217,14 @@ def _is_identity(plan: Resolved) -> bool:
         if len(w.branches) != len(r.branches):
             return False
         for i, hit in enumerate(plan.children["branches"]):
-            if hit is None or hit[0] != i or not _is_identity(hit[1]):
+            if hit is None or hit[0] != i or not _is_identity(hit[1], _seen):
                 return False
         return True
     return False
 
 
-def _field_value(src_spec: FieldSource, get_src: Callable[[Field], Column], validate: bool) -> Column:
+def _field_value(src_spec: FieldSource, get_src: Callable[[Field], Column], validate: bool,
+                 _seen: tuple = ()) -> Column:
     """Record-form value of one reader field (default-synthesized or
     converted from the writer field)."""
     rf = src_spec.reader_field
@@ -213,7 +233,7 @@ def _field_value(src_spec: FieldSource, get_src: Callable[[Field], Column], vali
             return lit_for(rf.type, rf.default)
         return F.lit(None).cast(to_spark_type(rf.type))
     raw = get_src(src_spec.writer_field)
-    val = convert_expr(src_spec.plan, raw, validate)
+    val = convert_expr(src_spec.plan, raw, validate, _seen)
     if rf.has_default and not isinstance(rf.type, (Record, UnionNode)):
         # missing/null input falls back to the default (frontend.lua:846-882)
         val = F.coalesce(val, lit_for(rf.type, rf.default))
@@ -221,9 +241,29 @@ def _field_value(src_spec: FieldSource, get_src: Callable[[Field], Column], vali
 
 
 # ------------------------------------------------------------------ unions
-def _union_parts(plan: Resolved, src: Column, validate: bool) -> tuple[Column, Column]:
+def _union_value_type(reader: UnionNode):
+    """Spark type of a general union's flat value cell (branch-field struct
+    without the tag)."""
+    from pyspark.sql import types as T
+
+    simple = _simple_union(reader)
+    if simple is not None:
+        return to_spark_type(simple)
+    full = to_spark_type(reader)
+    return T.StructType([f for f in full.fields if f.name != UNION_TAG])
+
+
+def _union_parts(plan: Resolved, src: Column, validate: bool,
+                 _seen: tuple = ()) -> tuple[Column, Column]:
     """(tag, value) columns for the reader union, from writer-form ``src``."""
     kind = plan.kind
+    if _seen.count(id(plan)) >= MAX_UNROLL:
+        # recursion cut: typed nulls so downstream getField still resolves
+        return (
+            F.lit(None).cast("int"),
+            F.lit(None).cast(_union_value_type(plan.reader)),
+        )
+    _seen = _seen + (id(plan),)
     reader: UnionNode = plan.reader  # type: ignore[assignment]
     r_simple = _simple_union(reader)
 
@@ -231,7 +271,7 @@ def _union_parts(plan: Resolved, src: Column, validate: bool) -> tuple[Column, C
         j, p = plan.children["branch"]
         tag = F.when(src.isNull(), F.lit(_null_branch_index(reader))).otherwise(F.lit(j)) \
             if src is not None else F.lit(j)
-        val = convert_expr(p, src, validate)
+        val = convert_expr(p, src, validate, _seen)
         return tag.cast("int"), _wrap_union_value(reader, val, j)
 
     if kind == "union":
@@ -248,7 +288,7 @@ def _union_parts(plan: Resolved, src: Column, validate: bool) -> tuple[Column, C
             tag = F.when(src.isNull(), null_tag).otherwise(val_tag)
             if validate and (null_hit is None or val_hit is None):
                 tag = _checked(tag, tag.isNotNull(), "union branch not in reader schema (schema versioning)", Primitive("int"), validate)
-            val = convert_expr(val_hit[1], src, validate) if val_hit else F.lit(None)
+            val = convert_expr(val_hit[1], src, validate, _seen) if val_hit else F.lit(None)
             if val_hit:
                 val = _wrap_union_value(reader, F.when(src.isNotNull(), val), val_hit[0])
             else:
@@ -268,7 +308,7 @@ def _union_parts(plan: Resolved, src: Column, validate: bool) -> tuple[Column, C
                 continue
             j, p = hit
             tag_expr = F.when(w_tag == i, F.lit(j)).otherwise(tag_expr)
-            v = _wrap_union_value(reader, convert_expr(p, branch_src, validate), j)
+            v = _wrap_union_value(reader, convert_expr(p, branch_src, validate, _seen), j)
             val_expr = F.when(w_tag == i, v).otherwise(val_expr) if val_expr is not None else F.when(w_tag == i, v)
         tag_expr = _checked(
             tag_expr, src.isNull() | tag_expr.isNotNull(),
@@ -295,9 +335,13 @@ def _wrap_union_value(reader: UnionNode, val: Column, branch: int) -> Column:
     return F.struct(*fields)
 
 
-def _convert_union(plan: Resolved, src: Column, validate: bool) -> Column:
+def _convert_union(plan: Resolved, src: Column, validate: bool,
+                   _seen: tuple = ()) -> Column:
     """Record-form union conversion."""
     reader = plan.reader
+    if _seen.count(id(plan)) >= MAX_UNROLL:
+        return F.lit(None).cast(to_spark_type(reader))
+    _seen = _seen + (id(plan),)
     if plan.kind == "from_union":
         # union → non-union reader: per-branch conversion, unmatched raises
         writer: UnionNode = plan.writer  # type: ignore[assignment]
@@ -312,7 +356,7 @@ def _convert_union(plan: Resolved, src: Column, validate: bool) -> Column:
                     F.lit(None).cast(to_spark_type(reader)), src.isNull(),
                     "union branch not compatible with reader (schema versioning)", reader, validate,
                 )
-            return convert_expr(hit[1], src, validate)
+            return convert_expr(hit[1], src, validate, _seen)
         w_tag = src.getField(UNION_TAG)
         out = F.lit(None).cast(to_spark_type(reader))
         ok = src.isNull()
@@ -324,22 +368,22 @@ def _convert_union(plan: Resolved, src: Column, validate: bool) -> Column:
                 F.lit(None) if isinstance(wb, Primitive) and wb.type == "null"
                 else src.getField(writer.branch_tag(i))
             )
-            out = F.when(w_tag == i, convert_expr(hit[1], branch_src, validate)).otherwise(out)
+            out = F.when(w_tag == i, convert_expr(hit[1], branch_src, validate, _seen)).otherwise(out)
             ok = ok | (w_tag == i)
         return _checked(out, ok, "union branch not compatible with reader (schema versioning)", reader, validate)
 
     if plan.kind == "to_union":
         r_simple = _simple_union(reader)
         j, p = plan.children["branch"]
-        val = convert_expr(p, src, validate)
+        val = convert_expr(p, src, validate, _seen)
         if r_simple is not None:
             return val
-        tag, wrapped = _union_parts(plan, src, validate)
+        tag, wrapped = _union_parts(plan, src, validate, _seen)
         return F.struct(tag.alias(UNION_TAG), *[wrapped.getField(f).alias(f) for f in _branch_field_names(reader)])
 
     # union → union
     r_simple = _simple_union(reader)
-    tag, val = _union_parts(plan, src, validate)
+    tag, val = _union_parts(plan, src, validate, _seen)
     if r_simple is not None:
         return val
     return F.struct(tag.alias(UNION_TAG), *[val.getField(f).alias(f) for f in _branch_field_names(reader)])
@@ -564,16 +608,23 @@ def _rebuild_union_struct(writer: UnionNode, tag: Column, val: Column) -> Column
 # ---------------------------------------------------------------- xflatten
 def xflatten_ops(
     plan: Resolved,
-    present: list[str],
+    input_type,
     n_service: int = 0,
     validate: bool = True,
     stringify: bool = True,
 ) -> list[tuple[Column, ...]]:
     """Update ops for the xflatten transform (compiler.lua:922-1024): for
-    each *present* top-level writer field, one ``('=', index, value)`` op per
-    flat cell, 1-based indices offset by the service-field count
-    (init.lua:356-360). Union fields update both cells
+    each writer field *present* in the input, one ``('=', index, value)`` op
+    per flat cell, 1-based reader-layout indices offset by the service-field
+    count (init.lua:356-360). Union fields update both cells
     (compiler.lua:1002-1013).
+
+    Presence is structural: ``input_type`` is the (possibly partial)
+    ``StructType`` of the input — a non-nullable sub-record given as a
+    partial struct updates only its present sub-fields
+    (record_nested.lua:59-70). Op order follows the input field order
+    (record_version.lua:108-143). Nullable records / arrays / maps are
+    single VLO cells updated wholesale.
 
     Returns a list of (op, index, value) column triples; the caller packs
     them into an array-of-structs column. ``stringify`` casts values to
@@ -584,37 +635,59 @@ def xflatten_ops(
     def maybe_str(c: Column) -> Column:
         return c.cast("string") if stringify else c
 
-    # xflatten indexes cells of the *reader* layout
-    ops: list[tuple[Column, ...]] = []
-    pos = 1 + n_service
+    return _x_record_ops(
+        plan, F.col, input_type, 1 + n_service, validate, maybe_str
+    )
+
+
+def _x_record_ops(
+    plan: Resolved,
+    get_src: Callable[[str], Column],
+    input_type,
+    base_pos: int,
+    validate: bool,
+    maybe_str: Callable[[Column], Column],
+) -> list[tuple[Column, ...]]:
+    input_names = list(input_type.fieldNames())
+    groups: list[tuple[int, list[tuple[Column, ...]]]] = []
+    pos = base_pos
     for s in plan.children["sources"]:
         rf = s.reader_field
         node = rf.type
         w = node.width()
-        if s.writer_field is None or s.writer_field.name not in present:
+        if s.writer_field is None or s.writer_field.name not in input_names:
             pos += w
             continue
-        src = F.col(s.writer_field.name)
+        wname = s.writer_field.name
+        src = get_src(wname)
+        ops: list[tuple[Column, ...]] = []
         if isinstance(node, UnionNode):
             # union double-cell update (compiler.lua:1002-1013)
             tag_c, val_c = _union_parts(s.plan, src, validate)
             ops.append((F.lit("="), F.lit(pos), maybe_str(tag_c)))
             ops.append((F.lit("="), F.lit(pos + 1), maybe_str(val_c)))
         elif isinstance(node, Record) and node.nullable:
-            # alpha-gated in the reference (compiler.lua:978-994): mirror the gate
-            raise CompileError("xflatten is not implemented for nullable records")
+            # nullable record = one VLO cell; the op value is the whole
+            # converted record (record.lua:680-692: ["=", i, [f3, f4]])
+            val = convert_expr(s.plan, src, validate)
+            ops.append((F.lit("="), F.lit(pos), maybe_str(val)))
         elif isinstance(node, Record):
-            # whole sub-record update: one op per flat cell, in layout order
-            sub_cells = flatten_cells(
-                s.plan, lambda wf, s_=src: s_.getField(wf.name), (rf.name,), validate
+            # partial sub-record: recurse with the input's sub-struct type
+            sub_type = input_type[wname].dataType
+            ops.extend(
+                _x_record_ops(
+                    s.plan,
+                    lambda n, s_=src: s_.getField(n),
+                    sub_type, pos, validate, maybe_str,
+                )
             )
-            for off, (_name, expr) in enumerate(sub_cells):
-                ops.append((F.lit("="), F.lit(pos + off), maybe_str(expr)))
         elif isinstance(node, Enum):
-            code = _enum_code(node, _field_value(s, lambda wf: F.col(wf.name), validate), validate)
+            code = _enum_code(node, convert_expr(s.plan, src, validate), validate)
             ops.append((F.lit("="), F.lit(pos), maybe_str(code)))
         else:
-            val = _field_value(s, lambda wf: F.col(wf.name), validate)
+            val = convert_expr(s.plan, src, validate)
             ops.append((F.lit("="), F.lit(pos), maybe_str(val)))
+        groups.append((input_names.index(wname), ops))
         pos += w
-    return ops
+    groups.sort(key=lambda g: g[0])
+    return [op for _wi, ops in groups for op in ops]

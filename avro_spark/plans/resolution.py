@@ -103,8 +103,19 @@ def resolve(
     reader: SchemaNode,
     downgrade: bool = False,
     path: tuple = (),
+    _memo: Optional[dict] = None,
 ) -> Resolved:
-    """Build the resolution plan, or raise :class:`CompatibilityError`."""
+    """Build the resolution plan, or raise :class:`CompatibilityError`.
+
+    Recursive schemas (cyclic AST graphs, frontend.lua:369-389) are handled
+    by memoizing record plans per (writer, reader) node pair — the plan
+    itself becomes cyclic and the expression lowering unrolls it to a
+    bounded depth (see plans.flatten.MAX_UNROLL)."""
+    if _memo is None:
+        _memo = {}
+    memo_key = (id(writer), id(reader))
+    if memo_key in _memo:
+        return _memo[memo_key]
     # nullability wrapper: writer-null must be representable in the reader
     if writer.nullable and not (
         reader.nullable
@@ -116,7 +127,7 @@ def resolve(
         )
 
     if isinstance(writer, UnionNode) or isinstance(reader, UnionNode):
-        return _resolve_union(writer, reader, downgrade, path)
+        return _resolve_union(writer, reader, downgrade, path, _memo)
 
     if isinstance(writer, Primitive) and isinstance(reader, Primitive):
         if writer.type == reader.type:
@@ -142,17 +153,17 @@ def resolve(
     if isinstance(writer, Array) and isinstance(reader, Array):
         return Resolved(
             "array", writer, reader,
-            {"items": resolve(writer.items, reader.items, downgrade, path + ("items",))},
+            {"items": resolve(writer.items, reader.items, downgrade, path + ("items",), _memo)},
         )
 
     if isinstance(writer, Map) and isinstance(reader, Map):
         return Resolved(
             "map", writer, reader,
-            {"values": resolve(writer.values, reader.values, downgrade, path + ("values",))},
+            {"values": resolve(writer.values, reader.values, downgrade, path + ("values",), _memo)},
         )
 
     if isinstance(writer, Record) and isinstance(reader, Record):
-        return _resolve_record(writer, reader, downgrade, path)
+        return _resolve_record(writer, reader, downgrade, path, _memo)
 
     raise _err(f"{writer.type_name()} is not compatible with {reader.type_name()}", path)
 
@@ -166,17 +177,32 @@ def _field_matches(wf: Field, rf: Field, downgrade: bool) -> bool:
     return target.name in aliased.aliases
 
 
-def _resolve_record(writer: Record, reader: Record, downgrade: bool, path: tuple) -> Resolved:
+def _resolve_record(writer: Record, reader: Record, downgrade: bool, path: tuple,
+                    _memo: dict) -> Resolved:
     if not _names_match(writer, reader, downgrade):
         raise _err(f"record name mismatch: {writer.fullname} vs {reader.fullname}", path)
-    sources: list[FieldSource] = []
+    # register before recursing so cyclic references resolve to this plan
+    out = Resolved("record", writer, reader, {"sources": []})
+    _memo[(id(writer), id(reader))] = out
+    sources: list[FieldSource] = out.children["sources"]
+    try:
+        _fill_record_sources(writer, reader, downgrade, path, _memo, sources)
+    except Exception:
+        del _memo[(id(writer), id(reader))]
+        raise
+    return out
+
+
+def _fill_record_sources(writer: Record, reader: Record, downgrade: bool,
+                         path: tuple, _memo: dict,
+                         sources: list) -> None:
     for rf in reader.fields:
         wi = next(
             (i for i, wf in enumerate(writer.fields) if _field_matches(wf, rf, downgrade)),
             None,
         )
         if wi is not None:
-            plan = resolve(writer.fields[wi].type, rf.type, downgrade, path + (rf.name,))
+            plan = resolve(writer.fields[wi].type, rf.type, downgrade, path + (rf.name,), _memo)
             sources.append(FieldSource(rf, writer.fields[wi], wi, plan))
         elif rf.has_default:
             sources.append(FieldSource(rf, None, None, None))
@@ -189,10 +215,12 @@ def _resolve_record(writer: Record, reader: Record, downgrade: bool, path: tuple
                 f"field {rf.name} is missing from the writer schema and has no default",
                 path,
             )
-    return Resolved("record", writer, reader, {"sources": sources})
 
 
-def _resolve_union(writer: SchemaNode, reader: SchemaNode, downgrade: bool, path: tuple) -> Resolved:
+def _resolve_union(writer: SchemaNode, reader: SchemaNode, downgrade: bool,
+                   path: tuple, _memo: Optional[dict] = None) -> Resolved:
+    if _memo is None:
+        _memo = {}
     if isinstance(writer, UnionNode) and isinstance(reader, UnionNode):
         # per writer branch: the first reader branch it resolves to
         branch_plans: list[Optional[tuple[int, Resolved]]] = []
@@ -202,7 +230,7 @@ def _resolve_union(writer: SchemaNode, reader: SchemaNode, downgrade: bool, path
             for exact in (True, False):
                 for j, rb in enumerate(reader.branches):
                     try:
-                        p = resolve(wb, rb, downgrade, path + (writer.branch_tag(i),))
+                        p = resolve(wb, rb, downgrade, path + (writer.branch_tag(i),), _memo)
                     except CompatibilityError:
                         continue
                     if exact and p.kind not in ("copy", "record", "enum", "fixed", "array", "map"):
@@ -222,7 +250,7 @@ def _resolve_union(writer: SchemaNode, reader: SchemaNode, downgrade: bool, path
         branch_plans = []
         for i, wb in enumerate(writer.branches):
             try:
-                branch_plans.append((0, resolve(wb, reader, downgrade, path + (writer.branch_tag(i),))))
+                branch_plans.append((0, resolve(wb, reader, downgrade, path + (writer.branch_tag(i),), _memo)))
             except CompatibilityError:
                 branch_plans.append(None)
         if all(p is None for p in branch_plans):
@@ -234,7 +262,7 @@ def _resolve_union(writer: SchemaNode, reader: SchemaNode, downgrade: bool, path
     # (compiler.lua:628-633)
     for j, rb in enumerate(reader.branches):
         try:
-            p = resolve(writer, rb, downgrade, path)
+            p = resolve(writer, rb, downgrade, path, _memo)
         except CompatibilityError:
             continue
         return Resolved("to_union", writer, reader, {"branch": (j, p)})

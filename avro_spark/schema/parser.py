@@ -370,8 +370,9 @@ class SchemaParser:
                 braw, bpath, enclosing_ns, (),
                 setter=lambda n, u=union, j=i: u.branches.__setitem__(j, n),
             )
-            if branch.nullable:
-                raise self._err("Union may not contain nullable types", bpath)
+            # nullable branches are legal (e.g. ["int", "X*"],
+            # record.lua nullable_xflatten; only immediate unions and
+            # duplicate tags are rejected, frontend.lua:273-283)
             union.branches.append(branch)
             tag = union.branch_tag(i)
             if tag in tags:

@@ -226,6 +226,10 @@ def validate_default(schema: SchemaNode, default: Any, path: tuple) -> Any:
     (Avro spec) and normalized to the {tag: value} internal form."""
     if default is NO_DEFAULT:
         return NO_DEFAULT
+    # Lua/MsgPack can't distinguish an empty map from an empty array, so the
+    # reference accepts [] as an empty-map default (record.lua:417-421)
+    if isinstance(schema, Map) and default == []:
+        default = {}
     try:
         if isinstance(schema, UnionNode):
             first = schema.branches[0]

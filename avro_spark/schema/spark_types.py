@@ -64,12 +64,14 @@ def union_null_and_one(node: UnionNode) -> SchemaNode | None:
     return None
 
 
-def to_spark_type(node: SchemaNode, max_depth: int = 16, _depth: int = 0) -> T.DataType:
-    if _depth > max_depth:
-        raise SchemaError(
-            f"recursive schema exceeds max unroll depth {max_depth}; "
-            "raise max_depth or restructure"
-        )
+def to_spark_type(node: SchemaNode, max_depth: int = 16, _seen: tuple = ()) -> T.DataType:
+    """Spark type for a schema node. Recursive schemas (cyclic AST graphs)
+    are unrolled: a node revisited ``max_depth`` times on one path is cut to
+    ``NullType`` — data deeper than the unroll cannot cross the typed
+    DataFrame boundary (documented deviation, SURVEY.md §7)."""
+    if _seen.count(id(node)) >= max_depth:
+        return T.NullType()
+    _seen = _seen + (id(node),)
     if isinstance(node, Primitive):
         if node.type == "any":
             return T.StringType()  # 'any' not compilable in reference either
@@ -79,14 +81,14 @@ def to_spark_type(node: SchemaNode, max_depth: int = 16, _depth: int = 0) -> T.D
     if isinstance(node, Fixed):
         return T.BinaryType()
     if isinstance(node, Array):
-        return T.ArrayType(to_spark_type(node.items, max_depth, _depth + 1), True)
+        return T.ArrayType(to_spark_type(node.items, max_depth, _seen), True)
     if isinstance(node, Map):
-        return T.MapType(T.StringType(), to_spark_type(node.values, max_depth, _depth + 1), True)
+        return T.MapType(T.StringType(), to_spark_type(node.values, max_depth, _seen), True)
     if isinstance(node, Record):
         return T.StructType([
             T.StructField(
                 f.name,
-                to_spark_type(f.type, max_depth, _depth + 1),
+                to_spark_type(f.type, max_depth, _seen),
                 nullable=_field_nullable(f.type),
                 metadata=_field_metadata(f.type),
             )
@@ -95,14 +97,14 @@ def to_spark_type(node: SchemaNode, max_depth: int = 16, _depth: int = 0) -> T.D
     if isinstance(node, UnionNode):
         t = union_null_and_one(node)
         if t is not None:
-            return to_spark_type(t, max_depth, _depth + 1)
+            return to_spark_type(t, max_depth, _seen)
         fields = [T.StructField(UNION_TAG, T.IntegerType(), True)]
         for i, b in enumerate(node.branches):
             if is_null_branch(b):
                 continue
             fields.append(
                 T.StructField(
-                    node.branch_tag(i), to_spark_type(b, max_depth, _depth + 1), True
+                    node.branch_tag(i), to_spark_type(b, max_depth, _seen), True
                 )
             )
         return T.StructType(fields)

@@ -1,0 +1,271 @@
+"""Replay the reference's own DDT test corpus through this engine.
+
+Every declaratively-extractable ``t{...}`` case from
+``/root/reference/test/ddt_suite/*.lua`` runs through create → validate →
+compile → flatten/unflatten/xflatten on single-row DataFrames, comparing
+values schema-directed (tests/ddt_helpers.py). Error expectations assert
+*that* our engine rejects (at the typed-boundary or in the plan) — exact
+message parity is not required (SURVEY.md §7 "error-message parity").
+
+Known semantic deviations are listed in XFAIL with reasons; everything else
+must pass. Bundles outside SUPPORTED are exercised for the create stage
+only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+
+import avro_spark as avs
+from avro_spark.plans.layout import build_layout
+from avro_spark.schema.nodes import Record
+
+from ddt_extract import extract_file
+from ddt_helpers import (
+    Unconvertible,
+    compare_op_value,
+    partial_row_and_type,
+    flat_cell_expected_and_actual,
+    flat_input_row,
+    flat_struct_type,
+    parse_payload,
+    to_row_value,
+    values_equal,
+)
+
+DDT_DIR = "/root/reference/test/ddt_suite"
+
+# bundles whose convert stage we replay end-to-end
+SUPPORTED = [
+    "array.lua", "boolean.lua", "bug1.lua", "bytes.lua", "bytes_promo.lua",
+    "double.lua", "enum.lua", "enum_versions.lua", "fixed.lua", "float.lua",
+    "float_promo.lua", "int.lua", "int_promo.lua", "long.lua", "long_promo.lua",
+    "map.lua", "null.lua", "record.lua", "record_array.lua",
+    "record_default.lua", "record_hidden.lua", "record_nested.lua",
+    "record_union.lua", "record_version.lua", "record_vlo.lua",
+    "service_fields.lua", "string.lua", "string_promo.lua", "union.lua",
+    "union_versions.lua", "validate.lua",
+]
+# create/compile-error-focused bundles: replayed for their error expectations
+ERROR_BUNDLES = [
+    "incompatible.lua", "incompatible_array.lua", "incompatible_enum.lua",
+    "incompatible_fixed.lua", "incompatible_map.lua", "incompatible_record.lua",
+    "invalid.lua", "namespace.lua", "recursive.lua",
+]
+
+# case-id → reason for known deviations (documented, deliberate)
+XFAIL: dict[str, str] = {}
+
+
+def _cases():
+    out = []
+    for fname in SUPPORTED + ERROR_BUNDLES:
+        path = os.path.join(DDT_DIR, fname)
+        res = extract_file(path)
+        for c in res.cases:
+            out.append(pytest.param(c, id=f"{fname}:{c.line}"))
+    return out
+
+
+def _schemas(fields):
+    raws = []
+    for k in ("schema", "schema1", "schema2"):
+        if k in fields:
+            raws.append(fields[k])
+    return raws
+
+
+def _create(raw):
+    val = json.loads(raw) if isinstance(raw, str) else raw
+    return avs.create(val)
+
+
+@pytest.mark.parametrize("case", _cases())
+def test_ddt_case(case, spark):
+    f = case.fields
+    cid = f"{os.path.basename(case.file)}:{case.line}"
+    if cid in XFAIL:
+        pytest.xfail(XFAIL[cid])
+    raws = _schemas(f)
+    if not raws:
+        pytest.skip("no schema")
+    # ---- create stage
+    if "create_error" in f:
+        with pytest.raises(Exception):
+            for r in raws:
+                _create(r)
+        return
+    schemas = [_create(r) for r in raws]
+    if f.get("create_only"):
+        return
+    # ---- validate stage
+    if "validate" in f:
+        data, _ = parse_payload(f["validate"])
+        if "validate_error" in f:
+            with pytest.raises(Exception):
+                avs.validate(schemas[0], data)
+        else:
+            avs.validate(schemas[0], data)
+        if f.get("validate_only") or "validate_error" in f:
+            return
+        if "func" not in f:
+            return
+    # ---- compile stage
+    service = tuple(f.get("service_fields", ()))
+    downgrade = bool(f.get("compile_downgrade", False))
+    if "compile_error" in f:
+        with pytest.raises(Exception):
+            c = avs.compile(
+                schemas[0], schemas[1] if len(schemas) > 1 else None,
+                downgrade=downgrade, service_fields=service,
+            )
+            # some incompatibilities only surface when the plan is built
+            # against data; force plan construction
+            _force_plan(spark, c)
+        return
+    if "func" not in f:
+        pytest.skip("no convert stage")
+    c = avs.compile(
+        schemas[0], schemas[1] if len(schemas) > 1 else None,
+        downgrade=downgrade, service_fields=service,
+    )
+    if f.get("compile_only"):
+        return
+    func = f["func"]
+    inputs = f["input"] if isinstance(f["input"], list) else [f["input"]]
+    expect_error = "error" in f
+    outputs = None
+    if not expect_error:
+        outputs = f["output"] if isinstance(f["output"], list) else [f["output"]]
+
+    writer_root = c.writer.root
+    reader_root = c.reader.root
+    assert isinstance(writer_root, Record) and isinstance(reader_root, Record)
+
+    if func == "flatten":
+        _run_flatten(spark, c, inputs, outputs, expect_error, service)
+    elif func == "unflatten":
+        _run_unflatten(spark, c, inputs, outputs, expect_error, service)
+    elif func == "xflatten":
+        _run_xflatten(spark, c, inputs, outputs, expect_error, service)
+    else:
+        pytest.skip(f"unknown func {func}")
+
+
+def _force_plan(spark, c):
+    df = spark.createDataFrame([], c.writer.to_struct_type())
+    c.flatten(df, service_values=[None] * len(c.service_fields)).collect()
+
+
+def _wrap_value(c, data):
+    """Input value → row tuple for the (possibly root-wrapped) writer."""
+    root = c.writer.root
+    if c.wrapped_root:
+        return (to_row_value(root.fields[0].type, data),)
+    return to_row_value(root, data)
+
+
+def _run_flatten(spark, c, inputs, outputs, expect_error, service):
+    data, f32 = parse_payload(inputs[0])
+    service_vals = list(inputs[1:])
+    try:
+        row = _wrap_value(c, data)
+        df = spark.createDataFrame([row], c.writer.to_struct_type())
+    except (Unconvertible, Exception) as e:
+        if expect_error:
+            return  # typed boundary rejected it — reference also errors
+        raise
+    sv = []
+    for t, v in zip(service, service_vals):
+        pv, _ = parse_payload(v) if isinstance(v, str) and t != "string" else (v, False)
+        sv.append(pv)
+    if expect_error:
+        with pytest.raises(Exception):
+            c.flatten(df, service_values=sv).collect()
+        return
+    out_row = c.flatten(df, service_values=sv).collect()[0]
+    exp_tuple, out_f32 = parse_payload(outputs[0])
+    cells = build_layout(c.reader.root, service)
+    results = flat_cell_expected_and_actual(cells, exp_tuple, out_row, f32 or out_f32)
+    bad = [d for ok, d in results if not ok]
+    assert not bad, bad
+
+
+def _run_unflatten(spark, c, inputs, outputs, expect_error, service):
+    tup, f32 = parse_payload(inputs[0])
+    cells = build_layout(c.writer.root, service)
+    try:
+        row = flat_input_row(cells, tup)
+        df = spark.createDataFrame([row], flat_struct_type(cells))
+    except (Unconvertible, Exception):
+        if expect_error:
+            return
+        raise
+    if expect_error:
+        with pytest.raises(Exception):
+            c.unflatten(df).collect()
+        return
+    out_row = c.unflatten(df).collect()[0]
+    expected, out_f32 = parse_payload(outputs[0])
+    root = c.reader.root
+    if c.wrapped_root:
+        ok = values_equal(root.fields[0].type, expected, out_row[0], f32 or out_f32, flat=False)
+        assert ok, (expected, out_row[0])
+    else:
+        actual = {fl.name: out_row[fl.name] for fl in root.fields if not fl.hidden}
+        ok = values_equal(root, expected, actual, f32 or out_f32, flat=False)
+        assert ok, (expected, actual)
+
+
+def _run_xflatten(spark, c, inputs, outputs, expect_error, service):
+    data, f32 = parse_payload(inputs[0])
+    root = c.writer.root
+    if c.wrapped_root:
+        inner = root.fields[0].type
+        if not isinstance(inner, Record):
+            if expect_error:
+                return
+            pytest.skip("xflatten on non-record root")
+        root = inner
+    if not isinstance(data, dict):
+        if expect_error:
+            return
+        pytest.skip("xflatten input not a record map")
+    try:
+        row, st = partial_row_and_type(root, data)
+        df = spark.createDataFrame([row], st)
+    except (Unconvertible, Exception):
+        if expect_error:
+            return
+        raise
+    if expect_error:
+        with pytest.raises(Exception):
+            c.xflatten_typed(df).collect()
+        return
+    out = c.xflatten_typed(df).collect()[0]
+    n_ops = len(out) // 3
+    ops = [(out[f"op_{i}"], out[f"idx_{i}"], out[f"val_{i}"]) for i in range(n_ops)]
+    expected, out_f32 = parse_payload(outputs[0])
+    assert len(ops) == len(expected), (ops, expected)
+    f32a = f32 or out_f32
+    if root.nullable:
+        # nullable root record: one whole-record op, flat-rendered value
+        (op, idx, val), (e_op, e_idx, e_val) = ops[0], expected[0]
+        assert op == e_op and idx == e_idx, (ops[0], expected[0])
+        assert values_equal(root, e_val, val, f32a, flat=True), (e_val, val)
+        return
+    # xflatten indices address the *reader* layout
+    cells = build_layout(c.reader.root, service)
+    exp_by_idx = {e[1]: e[2] for e in expected}
+    for (op, idx, val), exp in zip(ops, expected):
+        e_op, e_idx, e_val = exp
+        assert op == e_op and idx == e_idx, ((op, idx, val), exp)
+        cell = cells[e_idx - 1]
+        ok = compare_op_value(cell, e_val, val, exp_by_idx.get(e_idx - 1), f32a)
+        assert ok, ((op, idx, val), exp)

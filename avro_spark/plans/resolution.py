@@ -141,6 +141,10 @@ def resolve(
             raise _err(f"enum name mismatch: {writer.fullname} vs {reader.fullname}", path)
         reader_idx = reader.symbol_index()
         i2o = [reader_idx.get(sym) for sym in writer.symbols]  # None → versioning error
+        if all(x is None for x in i2o):
+            # compile-time error, not a per-row versioning error
+            # (incompatible_enum.lua: "No common symbols")
+            raise _err(f"{writer.fullname}: No common symbols", path)
         return Resolved("enum", writer, reader, {"i2o": i2o})
 
     if isinstance(writer, Fixed) and isinstance(reader, Fixed):

@@ -209,9 +209,9 @@ class SchemaParser:
         if base in PRIMITIVE_TYPES:
             return Primitive(base, nullable=nullable)
         if base == "any":
-            if nullable:
-                raise self._err("'any' cannot be nullable", path)
-            return Primitive("any")
+            # "any*" is legal and validate-only, like "any" itself
+            # (validate.lua: {"name":"X","type":"any*"} accepts missing field)
+            return Primitive("any", nullable=nullable)
         if not _is_valid_fullname(base):
             raise self._err(f"Bad type name: {base}", path)
         fullname = base if "." in base else (f"{enclosing_ns}.{base}" if enclosing_ns else base)
@@ -242,7 +242,14 @@ class SchemaParser:
         self.scope.types[fn] = node
         for alias in node.aliases:
             fa = alias if "." in alias else (f"{node.namespace}.{alias}" if node.namespace else alias)
-            self.scope.types.setdefault(fa, node)
+            if fa in self.scope.types:
+                # includes an alias equal to the type's own name
+                # (frontend.lua:194-221; invalid.lua "Alias type name
+                # already defined")
+                raise self._err(
+                    f"Alias type name already defined: {alias}", path + (node.name,)
+                )
+            self.scope.types[fa] = node
         waiting = self.scope.forward.pop(fn, []) + (
             self.scope.forward.pop(node.name, []) if "." in fn else []
         )
@@ -297,6 +304,9 @@ class SchemaParser:
             if not _is_valid_name(fname):
                 raise self._err(f"Bad record field name: {fname}", fpath)
             if fname in seen:
+                # field names and earlier field aliases share one namespace
+                # (frontend.lua:412-436; invalid.lua "Record contains field
+                # B twice" for a field named like a prior alias)
                 raise self._err(f"Record contains field {fname} twice", fpath)
             seen.add(fname)
             if "type" not in fr:
@@ -304,7 +314,12 @@ class SchemaParser:
             faliases = tuple(fr.get("aliases", []))
             for a in faliases:
                 if not isinstance(a, str) or not _is_valid_name(a):
-                    raise self._err(f"Bad field alias: {a}", fpath + (fname,))
+                    raise self._err(f"Bad field alias name: {a}", fpath + (fname,))
+                if a in seen:
+                    raise self._err(
+                        f"Alias field name already defined: {a}", fpath + (fname,)
+                    )
+                seen.add(a)
             field = Field(
                 fname,
                 Primitive("null"),

@@ -158,6 +158,12 @@ def to_row_value(node: SchemaNode, v: Any, flat: bool = False) -> Any:
                 raise Unconvertible("not a string")
             return v
         if t == "bytes":
+            # data payloads come via the JSON↔MsgPack convention where STR
+            # and BIN are distinct; only {"$binary": hex} is BIN
+            # (test/README.md:118-135, bytes.lua "Expecting BIN,
+            # encountered STR")
+            if not _is_binary_map(v):
+                raise Unconvertible(f"not a bytes value: {v!r}")
             try:
                 return bytearray(_to_bytes(v))
             except ValueError as e:
@@ -174,6 +180,8 @@ def to_row_value(node: SchemaNode, v: Any, flat: bool = False) -> Any:
             raise Unconvertible("enum value not a string")
         return v
     if isinstance(node, Fixed):
+        if not _is_binary_map(v):
+            raise Unconvertible(f"not a fixed/bytes value: {v!r}")
         try:
             return bytearray(_to_bytes(v))
         except ValueError as e:
@@ -290,6 +298,16 @@ def values_equal(node: Optional[SchemaNode], expected: Any, actual: Any,
                 return False
             tagname = node.branch_tag(tag)
             return values_equal(branch, val, actual[tagname], f32, flat)
+    if isinstance(node, UnionNode) and expected is None:
+        # record-form null: our typed rendering is a struct whose tag selects
+        # a null branch with every branch value null
+        if actual is None:
+            return True
+        tag = actual[UNION_TAG] if not isinstance(actual, dict) else actual.get(UNION_TAG)
+        if not isinstance(tag, int) or not 0 <= tag < len(node.branches):
+            return False
+        b = node.branches[tag]
+        return isinstance(b, Primitive) and b.type == "null"
     if expected is None or actual is None:
         return expected is None and actual is None
     if isinstance(node, UnionNode):
@@ -497,6 +515,20 @@ def flat_input_row(cells: list[FlatCell], tup: list) -> tuple:
             # the tag cell immediately precedes the value cell in the layout
             tag = tup[cell.index - 1]
             simple = union_null_and_one(union)
+            valid_tag = (
+                isinstance(tag, int) and not isinstance(tag, bool)
+                and 0 <= tag < len(union.branches)
+            )
+            if valid_tag:
+                branch = union.branches[tag]
+                if isinstance(branch, Primitive) and branch.type == "null":
+                    if v is not None:
+                        # value cell must be NIL when the tag selects the
+                        # null branch (union.lua "Expecting NIL,
+                        # encountered LONG")
+                        raise Unconvertible("non-null value under null tag")
+                elif v is None and not branch.nullable:
+                    raise Unconvertible("null value under non-null tag")
             if simple is not None:
                 out.append(None if v is None else to_row_value(simple, v, flat=True))
                 continue
@@ -506,11 +538,21 @@ def flat_input_row(cells: list[FlatCell], tup: list) -> tuple:
             ]
             vals = []
             for i, b in non_null:
-                if isinstance(tag, int) and i == tag and v is not None:
+                if valid_tag and i == tag and v is not None:
                     vals.append(to_row_value(b, v, flat=True))
                 else:
                     vals.append(None)
             out.append(tuple(vals))
+        elif isinstance(cell.node, Enum):
+            # top-level enum cells carry the int code (flat form)
+            if v is None and cell.node.nullable:
+                out.append(None)
+            else:
+                if isinstance(v, bool) or not isinstance(v, int):
+                    raise Unconvertible("enum cell not an int code")
+                if not 0 <= v < len(cell.node.symbols):
+                    raise Unconvertible(f"enum code {v} out of range")
+                out.append(v)
         else:
             out.append(to_row_value(cell.node, v, flat=True))
     return tuple(out)
@@ -568,6 +610,8 @@ def flat_struct_type(cells: list[FlatCell]):
             else:
                 full = to_spark_type(union)
                 t = T.StructType([f for f in full.fields if f.name != UNION_TAG])
+        elif isinstance(cell.node, Enum):
+            t = T.IntegerType()  # flat enum cell = int code
         else:
             t = to_spark_type(cell.node)
         fields.append(T.StructField(name, t, True))

@@ -183,7 +183,14 @@ def _run_flatten(spark, c, inputs, outputs, expect_error, service):
         raise
     sv = []
     for t, v in zip(service, service_vals):
-        pv, _ = parse_payload(v) if isinstance(v, str) and t != "string" else (v, False)
+        if t == "bytes" and isinstance(v, str):
+            # service values are raw Lua scalars; a Lua string IS the bytes
+            # value (service_fields.lua:267 "Hello!" → $binary 48656c...)
+            pv = v.encode("utf-8")
+        elif isinstance(v, str) and t != "string":
+            pv, _ = parse_payload(v)
+        else:
+            pv = v
         sv.append(pv)
     if expect_error:
         with pytest.raises(Exception):

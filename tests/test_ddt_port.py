@@ -44,6 +44,7 @@ DDT_DIR = "/root/reference/test/ddt_suite"
 # bundles whose convert stage we replay end-to-end
 SUPPORTED = [
     "array.lua", "boolean.lua", "bug1.lua", "bytes.lua", "bytes_promo.lua",
+    "compile_large.lua", "record_large.lua",
     "double.lua", "enum.lua", "enum_versions.lua", "fixed.lua", "float.lua",
     "float_promo.lua", "int.lua", "int_promo.lua", "long.lua", "long_promo.lua",
     "map.lua", "null.lua", "record.lua", "record_array.lua",
@@ -156,6 +157,37 @@ def test_ddt_case(case, spark):
         _run_xflatten(spark, c, inputs, outputs, expect_error, service)
     else:
         pytest.skip(f"unknown func {func}")
+
+
+LARGE_ENUM_SYMBOLS = (
+    ["january", "february", "march", "april", "may", "june", "july",
+     "august", "september", "october", "november", "december"]
+    + [f"_{i}" for i in range(13, 101)]
+)
+
+
+def test_ddt_enum_large(spark):
+    """enum_large.lua's generated loop: 100-symbol enum s2i/i2s.
+
+    The bundle builds its cases in a Lua ``for`` the declarative extractor
+    can't follow (enum_large.lua:33-45), so the loop is replicated here —
+    all 100 symbols in one vectorized DataFrame pass per direction.
+    """
+    schema = avs.create({
+        "name": "large", "type": "record",
+        "fields": [{"name": "x", "type": {
+            "name": "sym", "type": "enum", "symbols": LARGE_ENUM_SYMBOLS}}],
+    })
+    c = avs.compile(schema)
+    df = spark.createDataFrame(
+        [((s,)) for s in LARGE_ENUM_SYMBOLS], schema.to_struct_type())
+    # narrow transform: collect preserves input row order
+    codes = [r[0] for r in c.flatten(df).collect()]
+    assert codes == list(range(len(LARGE_ENUM_SYMBOLS)))
+    flat = spark.createDataFrame(
+        [(i,) for i in range(len(LARGE_ENUM_SYMBOLS))], "x int")
+    syms = [r[0] for r in c.unflatten(flat).collect()]
+    assert syms == LARGE_ENUM_SYMBOLS
 
 
 def _force_plan(spark, c):

@@ -82,10 +82,17 @@ def get_types(schema: Schema, service_fields: tuple[str, ...] = ()) -> list[str]
 
 def are_compatible(writer: Schema, reader: Schema, opts: Optional[str] = None) -> bool:
     """Writer→reader evolution compatibility (A3). ``opts='downgrade'``
-    reverses alias matching (init.lua:177-185)."""
+    reverses alias matching (init.lua:177-185).
+
+    Returns a bool like the reference's ``ok[, err]`` — incompatibility is
+    an answer, not an exception. The error detail is available by calling
+    :func:`compile`, which raises :class:`CompatibilityError`."""
     from .plans.resolution import check_compatible
 
-    return check_compatible(writer, reader, downgrade=(opts == "downgrade"))
+    try:
+        return check_compatible(writer, reader, downgrade=(opts == "downgrade"))
+    except CompatibilityError:
+        return False
 
 
 def compile(
@@ -93,8 +100,16 @@ def compile(
     reader: Optional[Schema] = None,
     downgrade: bool = False,
     service_fields: tuple[str, ...] = (),
+    alpha_nullable_record_xflatten: bool = False,
 ):
-    """Build the flatten/unflatten/xflatten DataFrame transform plans (A4)."""
+    """Build the flatten/unflatten/xflatten DataFrame transform plans (A4).
+
+    ``alpha_nullable_record_xflatten`` mirrors the reference's gate
+    (init.lua:415, compiler.lua:978-994): xflatten of a nullable record is
+    alpha-stage and errors unless the option is set."""
     from .plans.compiled import CompiledSchema
 
-    return CompiledSchema(writer, reader, downgrade=downgrade, service_fields=tuple(service_fields))
+    return CompiledSchema(
+        writer, reader, downgrade=downgrade, service_fields=tuple(service_fields),
+        alpha_nullable_record_xflatten=alpha_nullable_record_xflatten,
+    )

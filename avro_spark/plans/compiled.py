@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..errors import CompileError
 from ..schema import Schema
-from ..schema.nodes import Primitive, Record
+from ..schema.nodes import Primitive, Record, walk
 from .flatten import flatten_cells, lit_for, unflatten_field_exprs, xflatten_ops
 from .layout import SERVICE_FIELD_NAME, build_layout
 from .resolution import Resolved, resolve_cached
@@ -41,14 +41,22 @@ class CompiledSchema:
         downgrade: bool = False,
         service_fields: tuple[str, ...] = (),
         validate: bool = True,
+        alpha_nullable_record_xflatten: bool = False,
     ):
         self.writer = writer
         self.reader = reader or writer
         self.downgrade = downgrade
         self.validate = validate
+        self.alpha_nullable_record_xflatten = alpha_nullable_record_xflatten
         for sf in service_fields:
             if sf not in _SERVICE_TYPES:
                 raise CompileError(f"bad service field type: {sf}")
+        # `any` parses and validates but never compiles
+        # (frontend.lua:50 "ANY: not supported in compiled schemas")
+        for sch in (self.writer, self.reader):
+            for node in walk(sch.root):
+                if isinstance(node, Primitive) and node.type == "any":
+                    raise CompileError("ANY: not supported in compiled schemas")
         self.service_fields = tuple(service_fields)
         # Non-record roots (scalar/enum/array/map/union/fixed) compile in
         # the reference too (any schema is a valid root; e.g.
@@ -194,6 +202,12 @@ class CompiledSchema:
             inner = writer_root.fields[0].type
             if not (isinstance(inner, Record) and inner.nullable):
                 raise CompileError("xflatten requires a record root")
+            if not self.alpha_nullable_record_xflatten:
+                raise CompileError(
+                    "xflatten for nullable record is on developement stage. "
+                    "Use alpha_nullable_record_xflatten option if you "
+                    "understand what you do."
+                )
             # nullable root record = a single VLO tuple cell: one op whose
             # value is the whole record, ALL fields required
             # (record.lua:655-668 "Key missing" / single ["=",1,[...]] op)
@@ -215,7 +229,8 @@ class CompiledSchema:
         if not any(c in field_names for c in df.columns):
             raise CompileError("xflatten: no schema fields present in the DataFrame")
         return xflatten_ops(
-            self.plan, df.schema, len(self.service_fields), self.validate, stringify
+            self.plan, df.schema, len(self.service_fields), self.validate,
+            stringify, self.alpha_nullable_record_xflatten,
         )
 
     # ----------------------------------------------------- binary variants

@@ -612,6 +612,7 @@ def xflatten_ops(
     n_service: int = 0,
     validate: bool = True,
     stringify: bool = True,
+    alpha_nullable_record: bool = False,
 ) -> list[tuple[Column, ...]]:
     """Update ops for the xflatten transform (compiler.lua:922-1024): for
     each writer field *present* in the input, one ``('=', index, value)`` op
@@ -636,7 +637,8 @@ def xflatten_ops(
         return c.cast("string") if stringify else c
 
     return _x_record_ops(
-        plan, F.col, input_type, 1 + n_service, validate, maybe_str
+        plan, F.col, input_type, 1 + n_service, validate, maybe_str,
+        alpha_nullable_record,
     )
 
 
@@ -647,6 +649,7 @@ def _x_record_ops(
     base_pos: int,
     validate: bool,
     maybe_str: Callable[[Column], Column],
+    alpha_nullable_record: bool = False,
 ) -> list[tuple[Column, ...]]:
     input_names = list(input_type.fieldNames())
     groups: list[tuple[int, list[tuple[Column, ...]]]] = []
@@ -668,7 +671,16 @@ def _x_record_ops(
             ops.append((F.lit("="), F.lit(pos + 1), maybe_str(val_c)))
         elif isinstance(node, Record) and node.nullable:
             # nullable record = one VLO cell; the op value is the whole
-            # converted record (record.lua:680-692: ["=", i, [f3, f4]])
+            # converted record (record.lua:680-692: ["=", i, [f3, f4]]).
+            # Alpha-gated like the reference (compiler.lua:978-994) — the
+            # DDT runner enables it (run_ddt_tests.lua:156), the public
+            # default errors.
+            if not alpha_nullable_record:
+                raise CompileError(
+                    "xflatten for nullable record is on developement stage. "
+                    "Use alpha_nullable_record_xflatten option if you "
+                    "understand what you do."
+                )
             val = convert_expr(s.plan, src, validate)
             ops.append((F.lit("="), F.lit(pos), maybe_str(val)))
         elif isinstance(node, Record):
@@ -679,6 +691,7 @@ def _x_record_ops(
                     s.plan,
                     lambda n, s_=src: s_.getField(n),
                     sub_type, pos, validate, maybe_str,
+                    alpha_nullable_record,
                 )
             )
         elif isinstance(node, Enum):

@@ -125,6 +125,9 @@ def test_ddt_case(case, spark):
             c = avs.compile(
                 schemas[0], schemas[1] if len(schemas) > 1 else None,
                 downgrade=downgrade, service_fields=service,
+                # the reference DDT runner always enables the alpha gate
+                # (test/run_ddt_tests.lua:156)
+                alpha_nullable_record_xflatten=True,
             )
             # some incompatibilities only surface when the plan is built
             # against data; force plan construction
@@ -135,6 +138,7 @@ def test_ddt_case(case, spark):
     c = avs.compile(
         schemas[0], schemas[1] if len(schemas) > 1 else None,
         downgrade=downgrade, service_fields=service,
+        alpha_nullable_record_xflatten=True,
     )
     if f.get("compile_only"):
         return

@@ -236,8 +236,9 @@ class TestEvolution:
     def test_illegal_promotion_rejected(self):
         w = avs.create({"name": "p", "type": "record", "fields": [{"name": "x", "type": "double"}]})
         r = avs.create({"name": "p", "type": "record", "fields": [{"name": "x", "type": "int"}]})
+        assert avs.are_compatible(w, r) is False
         with pytest.raises(CompatibilityError):
-            avs.are_compatible(w, r)
+            avs.compile(w, r)
 
     def test_missing_field_no_default_rejected(self):
         w = avs.create({"name": "p", "type": "record", "fields": [{"name": "x", "type": "int"}]})
@@ -245,8 +246,9 @@ class TestEvolution:
             {"name": "p", "type": "record",
              "fields": [{"name": "x", "type": "int"}, {"name": "y", "type": "int"}]}
         )
+        assert avs.are_compatible(w, r) is False
         with pytest.raises(CompatibilityError, match="y"):
-            avs.are_compatible(w, r)
+            avs.compile(w, r)
 
     def test_enum_remap(self, spark):
         # FIXTURES F8: TRUCK code 3 → 2; TRICYCLE → versioning error
@@ -280,8 +282,7 @@ class TestEvolution:
             {"name": "r", "type": "record",
              "fields": [{"name": "old_name", "type": "int"}]}
         )
-        with pytest.raises(CompatibilityError):
-            avs.are_compatible(newer, older)
+        assert avs.are_compatible(newer, older) is False
         assert avs.are_compatible(newer, older, "downgrade")
         comp = avs.compile(newer, older, downgrade=True)
         df = spark.createDataFrame([(5,)], newer.to_struct_type())

@@ -21,7 +21,10 @@ from .nodes import Record, SchemaNode
 from .parser import SchemaParser, apply_auto_defaults
 from .pyvalidate import validate as _validate
 
-_VALID_OPTIONS = {"preserve_in_ast", "forward_reference", "utf8_enums", "defaults"}
+_VALID_OPTIONS = {
+    "preserve_in_ast", "preserve_in_fingerprint", "forward_reference",
+    "utf8_enums", "defaults",
+}
 
 
 class Schema:
@@ -44,13 +47,18 @@ class Schema:
     def canonical_form(self) -> str:
         if self._canonical is None:
             self._canonical = _fp.canonical_form(
-                self.root, tuple(self.options.get("preserve_in_ast", ()))
+                self.root, tuple(self.options.get("preserve_in_fingerprint", ()))
             )
         return self._canonical
 
     def fingerprint(self, algo: str = "sha256", size: int = 8) -> bytes:
-        """Digest-prefix fingerprint over Parsing Canonical Form (A10)."""
-        return _fp.fingerprint(self.root, algo, size)
+        """Digest-prefix fingerprint over Parsing Canonical Form (A10).
+        Attrs listed in the ``preserve_in_fingerprint`` create-option are
+        included in the hashed form (fingerprint.lua:78-86)."""
+        return _fp.fingerprint(
+            self.root, algo, size,
+            tuple(self.options.get("preserve_in_fingerprint", ())),
+        )
 
     def to_spark_type(self, max_depth: int = 16) -> T.DataType:
         from .spark_types import to_spark_type
@@ -99,6 +107,11 @@ def create(raw: Any, options: Optional[dict[str, Any]] = None) -> Schema:
     unknown = set(options) - _VALID_OPTIONS
     if unknown:
         raise SchemaError(f"unknown options: {sorted(unknown)}")
+    fp_extra = set(options.get("preserve_in_fingerprint", ()))
+    if fp_extra - set(options.get("preserve_in_ast", ())):
+        # fingerprint extras must already be kept in the AST
+        # (api_tests/export.lua:212-218)
+        raise SchemaError("fingerprint should contain only fields from AST")
     parser = SchemaParser(
         forward_reference=bool(options.get("forward_reference", False)),
         utf8_enums=bool(options.get("utf8_enums", False)),

@@ -30,6 +30,10 @@ def export(node: SchemaNode, _built: Optional[set[str]] = None) -> Any:
     if _built is None:
         _built = set()
     if isinstance(node, Primitive):
+        if node.extras:
+            # preserved attrs prevent primitive collapse
+            # (api_tests/export.lua "Prevent primitive type collapse")
+            return {"type": node.type_name(), **node.extras}
         return node.type_name()
     if isinstance(node, UnionNode):
         return [export(b, _built) for b in node.branches]
@@ -52,17 +56,23 @@ def export(node: SchemaNode, _built: Optional[set[str]] = None) -> Any:
                     xf["aliases"] = list(f.aliases)
                 if f.hidden:
                     xf["hidden"] = True
+                xf.update(f.extras)
                 fields.append(xf)
             out["fields"] = fields
         elif isinstance(node, Enum):
             out["symbols"] = list(node.symbols)
         elif isinstance(node, Fixed):
             out["size"] = node.size
+        out.update(node.extras)
         return out
     if isinstance(node, Array):
-        return {"type": "array" + ("*" if node.nullable else ""), "items": export(node.items, _built)}
+        out = {"type": "array" + ("*" if node.nullable else ""), "items": export(node.items, _built)}
+        out.update(node.extras)
+        return out
     if isinstance(node, Map):
-        return {"type": "map" + ("*" if node.nullable else ""), "values": export(node.values, _built)}
+        out = {"type": "map" + ("*" if node.nullable else ""), "values": export(node.values, _built)}
+        out.update(node.extras)
+        return out
     raise TypeError(f"cannot export {node!r}")
 
 

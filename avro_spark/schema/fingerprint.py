@@ -8,8 +8,11 @@ size`` (fingerprint.lua:36-43), no whitespace — then hashed; the first
 
 Deviations from strict Avro PCF, matching the reference:
 * the ``*`` nullability extension is preserved in the type name
-* attributes listed in the ``preserve_in_ast`` create-option are appended
-  after the canonical attributes (reference keeps user-preserved fields).
+* attributes listed in the ``preserve_in_fingerprint`` create-option are
+  rendered after the canonical attributes, sorted (fingerprint.lua:40-43,
+  57-61); all other attributes — including preserved-in-AST-only ones,
+  defaults, aliases — are dropped, exactly like the reference's
+  ``avro_json`` which renders only the canonical order + extra fields.
 """
 
 from __future__ import annotations
@@ -34,12 +37,37 @@ _CANONICAL_ORDER = ("name", "type", "fields", "symbols", "items", "values", "siz
 
 
 def canonical_form(node: SchemaNode, preserved: tuple[str, ...] = ()) -> str:
-    """Parsing Canonical Form JSON string."""
-    return _render(_canon(node, set()))
+    """Parsing Canonical Form JSON string. ``preserved`` lists the attrs
+    (from ``preserve_in_fingerprint``) rendered in addition to the canonical
+    set."""
+    return avro_json(_canon(node, set()), preserved)
+
+
+def avro_json(data: Any, extra_fields: tuple[str, ...] = ()) -> str:
+    """The reference's ``avro_json`` (fingerprint.lua:57-75): JSON with only
+    the canonical attributes plus sorted ``extra_fields`` rendered, applied
+    recursively — unknown keys are dropped at every level."""
+    if isinstance(data, bool):
+        return "true" if data else "false"
+    if isinstance(data, (str, int, float)):
+        return json.dumps(data, ensure_ascii=False)
+    if isinstance(data, list):
+        return "[" + ",".join(avro_json(x, extra_fields) for x in data) + "]"
+    if isinstance(data, dict):
+        order = list(_CANONICAL_ORDER) + sorted(extra_fields)
+        parts = [
+            f"{json.dumps(k)}:{avro_json(data[k], extra_fields)}"
+            for k in order
+            if data.get(k) is not None
+        ]
+        return "{" + ",".join(parts) + "}"
+    raise TypeError(f"avro_json: data type is not supported: {type(data).__name__}")
 
 
 def _canon(node: SchemaNode, built: set[str]) -> Any:
     if isinstance(node, Primitive):
+        if node.extras:
+            return {"type": node.type_name(), **node.extras}
         return node.type_name()
     if isinstance(node, UnionNode):
         return [_canon(b, built) for b in node.branches]
@@ -53,31 +81,22 @@ def _canon(node: SchemaNode, built: set[str]) -> Any:
         }
         if isinstance(node, Record):
             out["fields"] = [
-                {"name": f.name, "type": _canon(f.type, built)} for f in node.fields
+                {"name": f.name, "type": _canon(f.type, built), **f.extras}
+                for f in node.fields
             ]
         elif isinstance(node, Enum):
             out["symbols"] = list(node.symbols)
         elif isinstance(node, Fixed):
             out["size"] = node.size
+        out.update(node.extras)
         return out
     if isinstance(node, Array):
-        return {"type": "array" + ("*" if node.nullable else ""), "items": _canon(node.items, built)}
+        return {"type": "array" + ("*" if node.nullable else ""),
+                "items": _canon(node.items, built), **node.extras}
     if isinstance(node, Map):
-        return {"type": "map" + ("*" if node.nullable else ""), "values": _canon(node.values, built)}
+        return {"type": "map" + ("*" if node.nullable else ""),
+                "values": _canon(node.values, built), **node.extras}
     raise TypeError(f"cannot canonicalize {node!r}")
-
-
-def _render(obj: Any) -> str:
-    """JSON with canonical attribute order and no whitespace."""
-    if isinstance(obj, str):
-        return json.dumps(obj, ensure_ascii=False)
-    if isinstance(obj, list):
-        return "[" + ",".join(_render(x) for x in obj) + "]"
-    if isinstance(obj, dict):
-        keys = [k for k in _CANONICAL_ORDER if k in obj]
-        keys += sorted(k for k in obj if k not in _CANONICAL_ORDER)
-        return "{" + ",".join(f"{json.dumps(k)}:{_render(obj[k])}" for k in keys) + "}"
-    return json.dumps(obj)
 
 
 def fingerprint(

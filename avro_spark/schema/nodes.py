@@ -63,6 +63,10 @@ class SchemaNode:
 
     type: str = "?"
     nullable: bool = False
+    # attributes kept from the raw declaration via the ``preserve_in_ast``
+    # create-option (reference: init.lua:123-151, api_tests/export.lua).
+    # Class-level default; the parser assigns a per-node dict when non-empty.
+    extras: dict = {}
 
     def type_name(self) -> str:
         """The Avro type name, with the ``*`` nullability suffix."""
@@ -111,7 +115,7 @@ class NamedNode(SchemaNode):
 
 
 class Field:
-    __slots__ = ("name", "type", "default", "aliases", "hidden")
+    __slots__ = ("name", "type", "default", "aliases", "hidden", "extras")
 
     def __init__(
         self,
@@ -120,12 +124,14 @@ class Field:
         default: Any = NO_DEFAULT,
         aliases: tuple[str, ...] = (),
         hidden: bool = False,
+        extras: Optional[dict] = None,
     ):
         self.name = name
         self.type = type
         self.default = default
         self.aliases = aliases
         self.hidden = hidden
+        self.extras = extras or {}
 
     @property
     def has_default(self) -> bool:

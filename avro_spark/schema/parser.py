@@ -23,6 +23,7 @@ All errors are :class:`SchemaError` with a slash-joined path prefix.
 
 from __future__ import annotations
 
+import copy
 import json
 import re
 from typing import Any, Optional
@@ -193,6 +194,14 @@ class SchemaParser:
                 return self._parse_ref(t, path, enclosing_ns, enclosing_records, setter)
             if nullable:
                 node = _nullable_twin(node)
+            if self.preserve_in_ast:
+                extras = {
+                    k: copy.deepcopy(raw[k]) for k in self.preserve_in_ast if k in raw
+                }
+                if extras:
+                    node.extras = extras
+                    if isinstance(node, NamedNode) and node.twin is not None:
+                        node.twin.extras = extras
             return node
         raise self._err(f"Invalid Avro schema: {raw!r}", path)
 
@@ -326,6 +335,9 @@ class SchemaParser:
                 default=fr["default"] if "default" in fr else NO_DEFAULT,
                 aliases=faliases,
                 hidden=bool(fr.get("hidden", False)),
+                extras={
+                    k: copy.deepcopy(fr[k]) for k in self.preserve_in_ast if k in fr
+                },
             )
             field.type = self._parse(
                 fr["type"], fpath + (fname,), ns, inner,

@@ -629,7 +629,7 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
     )
-    out = S.knn_bruteforce(emb, queries, k=5)
+    out = S.knn_bruteforce(emb, queries, k=5, dim=64)
     return out.select(
         "query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine")
     )

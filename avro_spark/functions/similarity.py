@@ -42,25 +42,57 @@ def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: "Column | str", b: "Column | str", dim: Optional[int] = None) -> Column:
     """Σ a_i·b_i in double, strict left-to-right accumulation (deterministic,
-    reproducible in ANSI SQL)."""
+    reproducible in ANSI SQL).
+
+    With ``dim`` known AND both sides given as column *names*, the sum is
+    unrolled into a flat ``element_at`` chain — a plain expression tree
+    that stays inside whole-stage codegen, ~20× faster per pair than the
+    higher-order ``aggregate`` form, which Spark evaluates interpreted
+    (one boxed lambda call per element). The chain is built as ONE SQL
+    string (a 64-term Column-API chain costs ~2 s of py4j round trips;
+    the parser ingests the same tree in milliseconds). Left-to-right
+    association is identical in both forms, so results are bit-equal.
+    The unrolled form casts per element — pass RAW (float) array columns,
+    not :func:`as_double`-wrapped ones."""
+    if dim is not None and isinstance(a, str) and isinstance(b, str):
+        terms = "+".join(
+            f"(CAST(element_at(`{a}`,{i}) AS DOUBLE)"
+            f"*CAST(element_at(`{b}`,{i}) AS DOUBLE))"
+            for i in range(1, dim + 1)
+        )
+        return F.expr(terms)
+    if isinstance(a, str):
+        a = F.col(a)
+    if isinstance(b, str):
+        b = F.col(b)
+    if dim is not None:
+        def term(i: int) -> Column:
+            return (
+                F.element_at(a, i).cast("double")
+                * F.element_at(b, i).cast("double")
+            )
+
+        out: Column = term(1)
+        for i in range(2, dim + 1):
+            out = out + term(i)
+        return out
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(as_double(a), as_double(b), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
 
 
-def l2_norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+def l2_norm(a: "Column | str", dim: Optional[int] = None) -> Column:
+    return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column, b: Column, dim: Optional[int] = None) -> Column:
     """Cosine similarity in double; 0.0 when either vector has zero norm."""
-    da, db = as_double(a), as_double(b)
-    denom = l2_norm(da) * l2_norm(db)
-    return F.when(denom > 0, dot(da, db) / denom).otherwise(F.lit(0.0))
+    denom = l2_norm(a, dim) * l2_norm(b, dim)
+    return F.when(denom > 0, dot(a, b, dim) / denom).otherwise(F.lit(0.0))
 
 
 def _let(value: Column, body) -> Column:
@@ -69,8 +101,16 @@ def _let(value: Column, body) -> Column:
 
 
 def _matrix_lit(rows: Sequence[Sequence[float]]) -> Column:
-    """A list-of-vectors as ONE plan literal (array<array<double>>)."""
-    return F.lit([[float(x) for x in r] for r in rows])
+    """A list-of-vectors as ONE plan literal (array<array<double>>).
+
+    Built via a SQL string rather than ``F.lit`` — PySpark's nested-list
+    lit makes one py4j round trip per element (~1s of driver time for a
+    16×64 matrix), while the parser ingests the same literal in
+    milliseconds. ``repr(float)`` round-trips exactly."""
+    body = ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in r) + ")" for r in rows
+    )
+    return F.expr(f"array({body})")
 
 
 def _normalize_rows(rows: Sequence[Sequence[float]]) -> list[list[float]]:
@@ -89,19 +129,22 @@ def knn_bruteforce(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "q_embedding",
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query: (query_id, rank, vec_id,
     cosine). Ties break on vec_id ascending. Queries are broadcast — the
     big side streams once with no shuffle until the per-query top-k.
     Norms are materialized below the join: O(rows+queries) norm work,
-    O(rows×queries) only for the single pairwise dot product."""
+    O(rows×queries) only for the single pairwise dot product. Pass ``dim``
+    when known to keep the pairwise dot inside whole-stage codegen."""
     big = vectors.select(
-        F.col(id_col), F.col(vec_col), l2_norm(as_double(F.col(vec_col))).alias("_nv")
+        F.col(id_col), F.col(vec_col),
+        l2_norm(vec_col, dim).alias("_nv"),
     )
     small = queries.select(
         F.col(query_id_col),
         F.col(query_vec_col),
-        l2_norm(as_double(F.col(query_vec_col))).alias("_nq"),
+        l2_norm(query_vec_col, dim).alias("_nq"),
     )
     denom = F.col("_nv") * F.col("_nq")
     scored = big.join(F.broadcast(small)).where(
@@ -111,7 +154,7 @@ def knn_bruteforce(
         F.col(id_col),
         F.when(
             denom > 0,
-            dot(as_double(F.col(vec_col)), as_double(F.col(query_vec_col))) / denom,
+            dot(vec_col, query_vec_col, dim) / denom,
         )
         .otherwise(F.lit(0.0))
         .alias("cosine"),
@@ -227,10 +270,11 @@ def knn_ivf(
     side; the big scan is filtered by the centroid join before any exact
     scoring. Persist/bucket the assigned ``vectors`` by centroid_id in a
     real deployment so repeated queries skip the assignment pass."""
+    dim = len(centroids[0])
     assigned = vectors.select(
         F.col(id_col),
         F.col(vec_col),
-        l2_norm(as_double(F.col(vec_col))).alias("_nv"),
+        l2_norm(vec_col, dim).alias("_nv"),
         _argmax_centroid(F.col(vec_col), centroids).alias("centroid_id"),
     )
     cmat = _matrix_lit(_normalize_rows(centroids))
@@ -247,7 +291,7 @@ def knn_ivf(
     probe_sets = queries.select(
         F.col(query_id_col),
         F.col(query_vec_col),
-        l2_norm(as_double(F.col(query_vec_col))).alias("_nq"),
+        l2_norm(query_vec_col, dim).alias("_nq"),
         _let(as_double(F.col(query_vec_col)), probes).alias("probe_cids"),
     )
     cand = assigned.join(
@@ -261,7 +305,7 @@ def knn_ivf(
         F.col(id_col),
         F.when(
             denom > 0,
-            dot(as_double(F.col(vec_col)), as_double(F.col(query_vec_col))) / denom,
+            dot(vec_col, query_vec_col, dim) / denom,
         )
         .otherwise(F.lit(0.0))
         .alias("cosine"),
@@ -339,7 +383,7 @@ def cosine_lsh_pairs(
     docs = vectors.select(
         F.col(id_col).cast("long").alias("_id"),
         F.col(vec_col).alias("_v"),
-        l2_norm(as_double(F.col(vec_col))).alias("_n"),
+        l2_norm(vec_col, dim).alias("_n"),
         hyperplane_signature(F.col(vec_col), dim, num_planes, seed).alias("_sig"),
     )
     chunks = docs.select(
@@ -385,7 +429,7 @@ def cosine_lsh_pairs(
             "id_b",
             F.when(
                 denom > 0,
-                dot(as_double(F.col("v_a")), as_double(F.col("v_b"))) / denom,
+                dot("v_a", "v_b", dim) / denom,
             )
             .otherwise(F.lit(0.0))
             .alias("cosine"),

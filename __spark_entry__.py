@@ -181,8 +181,10 @@ NATION_FP = "8e53ddc4786d02fc7368517ade697318f3b8f71b33f46bd34c10d13fadd3e71f"
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # events.parquet carries TIMESTAMP(NANOS) which vanilla Spark rejects;
-    # read nanos as long (we never consume the ts column here)
+    # read nanos as long (we never consume the ts column here). Pin the
+    # session timezone so NTZ→TZ casts and window bucketing are stable.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
@@ -552,11 +554,14 @@ def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _read(spark, sf_dir, "events")
     tmp = tempfile.mkdtemp(prefix="events_stream_")
-    # driver parquet stores TIMESTAMP(NANOS); rewrite as TIMESTAMP(MICROS)
-    # so the file stream source gets a native timestamp column
-    ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))).write.mode(
-        "overwrite"
-    ).parquet(tmp)
+    # older driver parquet stores TIMESTAMP(NANOS) (read as long nanos via
+    # nanosAsLong); newer testdata carries TIMESTAMP(MICROS) read as NTZ.
+    # Watermarks require TIMESTAMP (with tz): convert/cast accordingly
+    # (session tz is pinned UTC in _read, so wall-clock is preserved).
+    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+        ev = ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    ev.write.mode("overwrite").parquet(tmp)
     src = ST.stream_source(spark, tmp)
     agg = ST.windowed_counts(src, window="10 minutes", watermark="5 minutes")
     table = f"win_{uuid.uuid4().hex[:8]}"

@@ -18,16 +18,17 @@ from conftest import SF_DIR
 
 @pytest.fixture(scope="module")
 def events_dir(spark, tmp_path_factory):
-    """events table rewritten with a proper TIMESTAMP(MICROS) ts column
-    (the driver parquet stores TIMESTAMP(NANOS), which Spark reads only
-    as long via legacy.parquet.nanosAsLong)."""
+    """events table rewritten with a proper TIMESTAMP(MICROS) ts column.
+    Older driver parquet stored TIMESTAMP(NANOS) (read as long nanos via
+    legacy.parquet.nanosAsLong); newer testdata is already TIMESTAMP(MICROS),
+    so only convert when ts arrived as an integer."""
     d = tmp_path_factory.mktemp("events_stream")
-    (
-        spark.read.parquet(f"{SF_DIR}/events.parquet")
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-        .write.mode("overwrite")
-        .parquet(str(d))
-    )
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+        ev = ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # watermarks require TIMESTAMP (with tz), not NTZ; session tz is UTC
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    ev.write.mode("overwrite").parquet(str(d))
     return str(d)
 
 

@@ -245,30 +245,23 @@ def minhash_lsh_pairs(
         "_id", F.pmod(hash_fn(F.col("_g")), F.lit(_MERSENNE)).alias("_h")
     )
     params = _perm_params(num_hashes, seed)
+    # The k min-slots and band structs are built as SQL strings: a 64-slot
+    # Column-API construction costs ~400 py4j round trips (~1 s of driver
+    # time per call) while the parser ingests the same trees in
+    # milliseconds. a, b, h < 2^31 so a*h + b < 2^62 — no long overflow.
     sig = exploded.groupBy("_id").agg(
         *[
-            F.min(F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(_MERSENNE))).alias(f"mh{i}")
+            F.expr(f"min(pmod({a}L * _h + {b}L, {_MERSENNE}L)) AS mh{i}")
             for i, (a, b) in enumerate(params)
         ]
     )
-    band_rows = sig.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",", *[F.col(f"mh{bi * r + j}") for j in range(r)]
-                            )
-                        ).alias("bucket"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("_id", "bb.band", "bb.bucket")
+    band_structs = ",".join(
+        "struct({bi} AS band, xxhash64(concat_ws(',', {cols})) AS bucket)".format(
+            bi=bi, cols=",".join(f"mh{bi * r + j}" for j in range(r))
+        )
+        for bi in range(bands)
+    )
+    band_rows = sig.select("_id", F.expr(f"inline(array({band_structs}))"))
     cand = (
         band_rows.alias("l")
         .join(band_rows.alias("r"), on=["band", "bucket"])
@@ -328,21 +321,29 @@ def simhash_signatures(
         F.col(id_col).cast("long").alias("_id"),
         F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("_t"),
     ).select("_id", hash_fn(F.col("_t")).alias("_h"))
+    # Per-bit vote aggregates and the signature assembly are SQL strings —
+    # the Column-API form costs ~6 py4j round trips per bit (~1 s of
+    # driver time per plan build at 64 bits).
     votes = toks.groupBy("_id").agg(
         *[
-            F.sum(
-                F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{i}")
+            F.expr(
+                f"sum(CASE WHEN (shiftright(_h, {i}) & 1) = 1"
+                f" THEN 1 ELSE -1 END) AS v{i}"
+            )
             for i in range(num_bits)
         ]
     )
-    sig = F.lit(0).cast("long")
-    for i in range(num_bits):
-        bit_val = (1 << i) if i < 63 else -(1 << 63)
-        sig = sig + F.when(F.col(f"v{i}") > 0, F.lit(bit_val).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    with_sig = votes.select("_id", sig.alias("_sig"))
+    def _bit_term(i: int) -> str:
+        if i < 63:
+            return f"(CASE WHEN v{i} > 0 THEN {1 << i}L ELSE 0L END)"
+        # bit 63 is the long sign bit; the literal -(1<<63) has no direct
+        # SQL spelling (9223372036854775808 overflows before negation)
+        return f"(CASE WHEN v{i} > 0 THEN -9223372036854775807L - 1L ELSE 0L END)"
+
+    # partial sums of bits 0..62 peak at 2^63-1, then the sign-bit term
+    # lands back in range — no transient ANSI overflow in this order
+    sig_sql = " + ".join(_bit_term(i) for i in range(num_bits))
+    with_sig = votes.select("_id", F.expr(f"({sig_sql}) AS _sig"))
     # re-attach empty docs (dropped by explode) with signature 0
     return ids.join(with_sig, "_id", "left").select(
         "_id", F.coalesce("_sig", F.lit(0).cast("long")).alias("_sig")
@@ -366,11 +367,15 @@ def dedup_clusters(
     Algorithm: iterative min-label propagation (the standard distributed
     connected components on shuffle engines). Each round is one join +
     one min-aggregate, both on the id key; rounds needed = graph diameter
-    (near-dup clusters are shallow — a handful). Convergence is checked
-    with a count per round, and ``localCheckpoint`` truncates the lineage
-    so the plan stays O(1) per round instead of growing exponentially —
-    without it Catalyst re-analyzes an ever-deepening tree and a 20-round
-    run stops scaling long before the data does.
+    (near-dup clusters are shallow — a handful). Convergence: per-node
+    labels only ever decrease, so Σlbl is strictly monotone until the
+    fixed point — comparing one scalar sum per round replaces a
+    join-the-two-label-frames change check (one cheap aggregate over the
+    just-checkpointed frame instead of an extra join job).
+    ``localCheckpoint`` truncates the lineage so the plan stays O(1) per
+    round instead of growing exponentially — without it Catalyst
+    re-analyzes an ever-deepening tree and a 20-round run stops scaling
+    long before the data does.
     """
     nodes = ids.select(F.col(id_col).cast("long").alias("id")).distinct()
     edges = (
@@ -382,6 +387,7 @@ def dedup_clusters(
         .localCheckpoint(eager=True)
     )
     labels = nodes.select("id", F.col("id").alias("lbl")).localCheckpoint(eager=True)
+    prev_sum = None
     for _ in range(max_iters):
         prop = (
             edges.join(labels, edges.s == labels.id)
@@ -391,16 +397,11 @@ def dedup_clusters(
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            prop.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = prop.agg(F.sum("lbl")).first()[0]
         labels = prop
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("id").alias(id_col), F.col("lbl").alias(out_col))
 
 

@@ -44,42 +44,23 @@ def as_double(vec: Column) -> Column:
 
 def dot(a: "Column | str", b: "Column | str", dim: Optional[int] = None) -> Column:
     """Σ a_i·b_i in double, strict left-to-right accumulation (deterministic,
-    reproducible in ANSI SQL).
+    reproducible in ANSI SQL — DuckDB's ``list_dot_product`` associates the
+    same way, so oracle values are bit-equal).
 
-    With ``dim`` known AND both sides given as column *names*, the sum is
-    unrolled into a flat ``element_at`` chain — a plain expression tree
-    that stays inside whole-stage codegen, ~20× faster per pair than the
-    higher-order ``aggregate`` form, which Spark evaluates interpreted
-    (one boxed lambda call per element). The chain is built as ONE SQL
-    string (a 64-term Column-API chain costs ~2 s of py4j round trips;
-    the parser ingests the same tree in milliseconds). Left-to-right
-    association is identical in both forms, so results are bit-equal.
-    The unrolled form casts per element — pass RAW (float) array columns,
-    not :func:`as_double`-wrapped ones."""
-    if dim is not None and isinstance(a, str) and isinstance(b, str):
-        terms = "+".join(
-            f"(CAST(element_at(`{a}`,{i}) AS DOUBLE)"
-            f"*CAST(element_at(`{b}`,{i}) AS DOUBLE))"
-            for i in range(1, dim + 1)
-        )
-        return F.expr(terms)
+    The higher-order ``zip_with`` + ``aggregate`` form is the fastest
+    evaluation strategy measured on Spark 4.1: an unrolled per-element
+    ``element_at`` chain blows past the codegen method-size budget at
+    ~64 dims and drops the whole projection into interpreted expression
+    eval (measured 5-10× slower on a 466k-pair verify join), while the
+    HOF form evaluates in a tight loop over the array data. ``dim`` is
+    accepted for API compatibility and not needed for evaluation."""
+    del dim
     if isinstance(a, str):
         a = F.col(a)
     if isinstance(b, str):
         b = F.col(b)
-    if dim is not None:
-        def term(i: int) -> Column:
-            return (
-                F.element_at(a, i).cast("double")
-                * F.element_at(b, i).cast("double")
-            )
-
-        out: Column = term(1)
-        for i in range(2, dim + 1):
-            out = out + term(i)
-        return out
     return F.aggregate(
-        F.zip_with(as_double(a), as_double(b), lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -135,8 +116,7 @@ def knn_bruteforce(
     cosine). Ties break on vec_id ascending. Queries are broadcast — the
     big side streams once with no shuffle until the per-query top-k.
     Norms are materialized below the join: O(rows+queries) norm work,
-    O(rows×queries) only for the single pairwise dot product. Pass ``dim``
-    when known to keep the pairwise dot inside whole-stage codegen."""
+    O(rows×queries) only for the single pairwise dot product."""
     big = vectors.select(
         F.col(id_col), F.col(vec_col),
         l2_norm(vec_col, dim).alias("_nv"),

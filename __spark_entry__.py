@@ -351,6 +351,22 @@ ARRAY_READER = {
         {"name": "sizes", "type": {"type": "array", "items": "long"}},
     ],
 }
+MAP_WRITER = {
+    "type": "record",
+    "name": "PartM",
+    "fields": [
+        {"name": "p_partkey", "type": "long"},
+        {"name": "dims", "type": {"type": "map", "values": "int"}},
+    ],
+}
+MAP_READER = {
+    "type": "record",
+    "name": "PartM",
+    "fields": [
+        {"name": "p_partkey", "type": "long"},
+        {"name": "dims", "type": {"type": "map", "values": "long"}},
+    ],
+}
 
 
 def q_enum_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -389,6 +405,26 @@ def q_array_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         avro_spark.create(ARRAY_WRITER), avro_spark.create(ARRAY_READER)
     )
     return cs.flatten(part).toDF("p_partkey", "sizes")
+
+
+def q_map_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 map value-wise promotion: map<string,int> → map<string,long>
+    through the transform_values path (frontend.lua:1116-1133). Output as
+    key-sorted entry structs so the map is order-stably comparable."""
+    part = _read(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.create_map(
+            F.lit("w"), F.col("p_size").cast("int"),
+            F.lit("h"), (F.col("p_size") + 1).cast("int"),
+        ).alias("dims"),
+    )
+    cs = avro_spark.compile(
+        avro_spark.create(MAP_WRITER), avro_spark.create(MAP_READER)
+    )
+    flat = cs.flatten(part).toDF("p_partkey", "dims")
+    return flat.select(
+        "p_partkey", F.array_sort(F.map_entries("dims")).alias("entries")
+    )
 
 
 def q_xflatten_update(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -724,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enum_evolution": q_enum_evolution,
         "union_evolution": q_union_evolution,
         "array_evolution": q_array_evolution,
+        "map_evolution": q_map_evolution,
         "xflatten_update": q_xflatten_update,
         "avro_roundtrip": q_avro_roundtrip,
         "avro_ocf_roundtrip": q_avro_ocf_roundtrip,
@@ -997,6 +1034,12 @@ def oracle_sql() -> dict[str, str]:
         "array_evolution": """
             SELECT p_partkey,
                    [CAST(p_size AS BIGINT), CAST(p_size + 1 AS BIGINT)] AS sizes
+            FROM part
+        """,
+        "map_evolution": """
+            SELECT p_partkey,
+                   [struct_pack(key := 'h', value := CAST(p_size + 1 AS BIGINT)),
+                    struct_pack(key := 'w', value := CAST(p_size AS BIGINT))] AS entries
             FROM part
         """,
         "xflatten_update": """

@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "enum_evolution",
     "union_evolution",
     "array_evolution",
+    "map_evolution",
     "xflatten_update",
     "avro_roundtrip",
     "avro_ocf_roundtrip",

@@ -1,0 +1,161 @@
+"""Physical-plan shape assertions: the scale contract, checked.
+
+SURVEY §3.4 commits the core transforms to pure narrow plans (no
+shuffle), §4 to letting Catalyst provide pushdown/pruning, and the
+extension operators to explicit shuffle discipline (broadcast small
+sides, one shuffle per groupBy, reused exchanges on self-joins).
+These tests pin those properties so a regression that silently adds a
+shuffle or drops a pushed filter fails CI, not the 100 TB run.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+import avro_spark
+from avro_spark.functions import dedup as D
+from avro_spark.functions import text as X
+
+from conftest import SF_DIR
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+PERSON = {
+    "type": "record",
+    "name": "Person",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "profile", "type": {
+            "type": "record", "name": "Profile",
+            "fields": [
+                {"name": "name", "type": "string"},
+                {"name": "score", "type": "int"},
+            ],
+        }},
+    ],
+}
+
+
+@pytest.fixture(scope="module")
+def nested(spark):
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    return cust.select(
+        F.col("c_custkey").alias("id"),
+        F.struct(
+            F.col("c_name").alias("name"),
+            F.col("c_nationkey").cast("int").alias("score"),
+        ).alias("profile"),
+    )
+
+
+def test_flatten_is_narrow(spark, nested):
+    """A5 flatten: no Exchange anywhere — embarrassingly row-parallel."""
+    cs = avro_spark.compile(avro_spark.create(PERSON))
+    p = plan_of(cs.flatten(nested))
+    assert "Exchange" not in p, p
+
+
+def test_unflatten_is_narrow(spark, nested):
+    cs = avro_spark.compile(avro_spark.create(PERSON))
+    flat = cs.flatten(nested)
+    p = plan_of(cs.unflatten(flat))
+    assert "Exchange" not in p, p
+
+
+def test_xflatten_is_narrow(spark, nested):
+    cs = avro_spark.compile(avro_spark.create(PERSON))
+    p = plan_of(cs.xflatten(nested.select("id"), keep=["id"]))
+    assert "Exchange" not in p, p
+
+
+def test_evolution_flatten_is_narrow(spark, nested):
+    """B2/B6: promotion + field reorder stays a single narrow projection."""
+    reader = {
+        "type": "record",
+        "name": "Person",
+        "fields": [
+            {"name": "profile", "type": {
+                "type": "record", "name": "Profile",
+                "fields": [
+                    {"name": "score", "type": "long"},
+                    {"name": "name", "type": "string"},
+                ],
+            }},
+            {"name": "id", "type": "long"},
+        ],
+    }
+    cs = avro_spark.compile(avro_spark.create(PERSON), avro_spark.create(reader))
+    p = plan_of(cs.flatten(nested))
+    assert "Exchange" not in p, p
+
+
+def test_text_ops_are_narrow(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = docs.select(
+        X.language_id(F.col("text")),
+        X.quality_score(F.col("text")),
+        X.token_count(F.col("text")),
+        X.winnow_fingerprints(F.col("text")),
+    )
+    p = plan_of(out)
+    assert "Exchange" not in p, p
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    """§4: a predicate on the scan column must appear as PushedFilters."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    p = plan_of(emb.where(F.col("vec_id") < 10).select("vec_id"))
+    assert "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,10)]" in p, p
+
+
+def test_column_pruning_reaches_parquet_scan(spark):
+    """A 2-column projection must not read the whole documents schema."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan_of(docs.select("doc_id"))
+    assert "ReadSchema: struct<doc_id:bigint>" in p, p
+
+
+def test_dedup_exact_single_shuffle_with_partial_agg(spark):
+    """One Exchange (on the fingerprint) and a map-side partial aggregate
+    before it — the shape that holds at 100 TB."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan_of(D.exact_dedup_groups(docs, "doc_id", "text"), mode="simple")
+    assert p.count("Exchange") == 1, p
+    assert p.count("HashAggregate") == 2, p  # partial + final
+
+
+def test_broadcast_join_in_knn(spark):
+    """The query side of brute-force kNN must broadcast, never shuffle
+    the big vector table."""
+    from avro_spark.functions import similarity as S
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    p = plan_of(S.knn_bruteforce(emb, q, k=5))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+
+
+def test_lsh_self_join_reuses_exchange(spark):
+    """Both sides of the MinHash band-bucket self-join are the same plan:
+    the signature exchange must be computed once (ReusedExchange)."""
+    # Exchange reuse is an AQE runtime decision: execute, then read the
+    # final adaptive plan — the signature exchange must appear once and
+    # be ReusedExchange'd on the other side of the self-join
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=16, bands=4)
+    pairs.collect()
+    p = plan_of(pairs, mode="simple")
+    assert "isFinalPlan=true" in p, p
+    assert "ReusedExchange" in p, p

@@ -59,6 +59,77 @@ BENCH_QUERIES = [
 ]
 
 
+# Person-shaped lineitem record: scalars + nested record + enum-ish
+# strings, mirroring the reference benchmark workload (benchmark.lua:3-44)
+_LINEITEM_NESTED = {
+    "type": "record",
+    "name": "Line",
+    "fields": [
+        {"name": "l_orderkey", "type": "long"},
+        {"name": "l_linenumber", "type": "int"},
+        {"name": "amounts", "type": {
+            "type": "record", "name": "Amounts",
+            "fields": [
+                {"name": "l_quantity", "type": "double"},
+                {"name": "l_extendedprice", "type": "double"},
+                {"name": "l_discount", "type": "double"},
+                {"name": "l_tax", "type": "double"},
+            ],
+        }},
+        {"name": "l_returnflag", "type": "string"},
+        {"name": "l_linestatus", "type": "string"},
+    ],
+}
+
+
+def _throughput_probes(spark, sf_dir: str) -> dict[str, int]:
+    """rows/sec of the BASELINE.md-mapped transforms over lineitem (the
+    largest driver table) and orders; warm-then-time like the queries."""
+    import time as _time
+
+    import avro_spark
+    from avro_spark.operators.conform import conform
+    from avro_spark.sources.avro_binary import from_avro_bytes, to_avro_bytes
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n_li = li.count()
+    nested = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.struct("l_quantity", "l_extendedprice", "l_discount", "l_tax").alias(
+            "amounts"
+        ),
+        "l_returnflag",
+        "l_linestatus",
+    )
+    sch = avro_spark.create(_LINEITEM_NESTED)
+    cs = avro_spark.compile(sch)
+    reader = {**_LINEITEM_NESTED, "fields": list(reversed(_LINEITEM_NESTED["fields"]))}
+    cs_evo = avro_spark.compile(sch, avro_spark.create(reader))
+    flat = cs.flatten(nested)
+    probes = {
+        "flatten_rows_per_sec": (cs.flatten(nested), n_li),
+        "unflatten_rows_per_sec": (cs.unflatten(flat), n_li),
+        "validate_rows_per_sec": (conform(nested, sch), n_li),
+        "evolution_rows_per_sec": (cs_evo.flatten(nested), n_li),
+        "avro_codec_rows_per_sec": (
+            from_avro_bytes(to_avro_bytes(nested, sch, "b"), "b", sch),
+            n_li,
+        ),
+    }
+    out = {}
+    for metric, (df, n) in probes.items():
+        try:
+            df.write.format("noop").mode("overwrite").save()
+            t0 = _time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            out[metric] = round(n / (_time.perf_counter() - t0))
+        except Exception:
+            pass
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -100,6 +171,12 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    # BASELINE.md maps the reference's M-RPS metrics to rows/sec of the
+    # equivalent DataFrame transform at the same scale factor. Dedicated
+    # probes over the largest table (lineitem) amortize fixed job
+    # overhead so the number reflects per-row transform throughput, not
+    # scheduler latency on a 25-row table.
+    rows_per_sec = _throughput_probes(spark, sf_dir)
     print(
         json.dumps(
             {
@@ -107,6 +184,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "rows_per_sec": rows_per_sec,
                 "sf": sf_val,
             }
         )

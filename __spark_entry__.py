@@ -179,13 +179,23 @@ PERSON_FP = "5a3e4d3d8da69f44120ea6ca7b26021ed07657a2fe5421c3554b83c1c3d6c570"
 NATION_FP = "8e53ddc4786d02fc7368517ade697318f3b8f71b33f46bd34c10d13fadd3e71f"
 
 
-def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+def _read(
+    spark: SparkSession, sf_dir: str, table: str, split: bool = False
+) -> DataFrame:
     # events.parquet carries TIMESTAMP(NANOS) which vanilla Spark rejects;
     # read nanos as long (we never consume the ts column here). Pin the
     # session timezone so NTZ→TZ casts and window bucketing are stable.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if split:
+        # The driver's test parquet is one row group per file, so scans
+        # cannot split — a CPU-heavy narrow stage would run on ONE core
+        # regardless of cluster size. One small round-robin shuffle is
+        # the local stand-in for the natural file/row-group parallelism
+        # a 100 TB input has; per-row results are unaffected.
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 # ----------------------------------------------------------------- queries
@@ -613,7 +623,7 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint sets (k=5 char grams, w=4 windows) over
     documents — the rolling-hash partial-overlap detector; portable
     60-bit hash so DuckDB replays the identical gram/window pipeline."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", split=True)
     return docs.select(
         "doc_id",
         X.winnow_fingerprints(F.col("text"), k=5, w=4, hash_fn=D.portable_hash60).alias(
@@ -658,7 +668,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by word-3-gram Jaccard ≥ 0.2 (inverted-index join)."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", split=True)
     return D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )

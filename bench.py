@@ -108,13 +108,18 @@ def _throughput_probes(spark, sf_dir: str) -> dict[str, int]:
     reader = {**_LINEITEM_NESTED, "fields": list(reversed(_LINEITEM_NESTED["fields"]))}
     cs_evo = avro_spark.compile(sch, avro_spark.create(reader))
     flat = cs.flatten(nested)
+    # The JVM codegen'd narrow transforms run ~2.6M rows/s on a single
+    # core — no repartition (its shuffle would dominate). The Python
+    # Avro codec IS CPU-bound, so it gets the parallelism the driver's
+    # one-row-group parquet denies the scan (SCALE.md §7).
+    nested_par = nested.repartition(spark.sparkContext.defaultParallelism)
     probes = {
         "flatten_rows_per_sec": (cs.flatten(nested), n_li),
         "unflatten_rows_per_sec": (cs.unflatten(flat), n_li),
         "validate_rows_per_sec": (conform(nested, sch), n_li),
         "evolution_rows_per_sec": (cs_evo.flatten(nested), n_li),
         "avro_codec_rows_per_sec": (
-            from_avro_bytes(to_avro_bytes(nested, sch, "b"), "b", sch),
+            from_avro_bytes(to_avro_bytes(nested_par, sch, "b"), "b", sch),
             n_li,
         ),
     }

@@ -134,7 +134,16 @@ def test_ddt_case(case, spark):
             _force_plan(spark, c)
         return
     if "func" not in f:
-        pytest.skip("no convert stage")
+        # compile-success-only case (reference asserts compile{...} returns
+        # ok with no conversion run): the pair must compile and its plans
+        # must build
+        c = avs.compile(
+            schemas[0], schemas[1] if len(schemas) > 1 else None,
+            downgrade=downgrade, service_fields=service,
+            alpha_nullable_record_xflatten=True,
+        )
+        _force_plan(spark, c)
+        return
     c = avs.compile(
         schemas[0], schemas[1] if len(schemas) > 1 else None,
         downgrade=downgrade, service_fields=service,

@@ -200,3 +200,34 @@ class TestValidateCycle:
         data["B"] = data  # wrong type AND cyclic; must not hang
         with pytest.raises(Exception):
             avs.validate(h, data)
+
+
+class TestModuleReload:
+    """Port of test/api_tests/reload.lua: unload every engine module and
+    re-import; the fresh module works and handles made by the old module
+    instance still function."""
+
+    def test_reload(self):
+        import importlib
+        import sys
+
+        old_handle = avs.create({"type": "record", "name": "R", "fields": [
+            {"name": "f", "type": "long"}]})
+        saved = {
+            k: v for k, v in list(sys.modules.items())
+            if k == "avro_spark" or k.startswith("avro_spark.")
+        }
+        for k in saved:
+            del sys.modules[k]
+        try:
+            fresh = importlib.import_module("avro_spark")
+            h = fresh.create({"type": "record", "name": "R", "fields": [
+                {"name": "f", "type": "long"}]})
+            assert fresh.is_schema(h)
+            assert fresh.fingerprint(h) == fresh.fingerprint(old_handle)
+            # the old module instance's handle still validates
+            assert avs.validate(old_handle, {"f": 1}) == {"f": 1}
+        finally:
+            # restore the original module objects so later tests share the
+            # same class identities as fixtures created before this test
+            sys.modules.update(saved)

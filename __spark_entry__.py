@@ -666,6 +666,40 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup_groups(docs, "doc_id", "text")
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: the corpus has no PII, so append a synthetic email +
+    phone per doc, then redact — exercising both patterns end-to-end."""
+    docs = _read(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 555 010 "),
+        F.col("doc_id").cast("string"),
+    )
+    return docs.select("doc_id", X.redact_pii(dirty).alias("clean"))
+
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split by hash bucket of the doc id —
+    rerun-stable, append-stable, no rand()."""
+    from avro_spark.functions.sampling import deterministic_split
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_split(docs, "doc_id", hash_fn=D.portable_hash60)
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition signals: duplicate-token fraction and
+    top-bigram fraction per document."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(X.dup_token_fraction(F.col("text")), 6).alias("dup_token_frac"),
+        F.round(X.top_bigram_fraction(F.col("text")), 6).alias("top_bigram_frac"),
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by word-3-gram Jaccard ≥ 0.2 (inverted-index join)."""
     docs = _read(spark, sf_dir, "documents", split=True)
@@ -785,6 +819,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
+        "pii_redact": q_pii_redact,
+        "train_split": q_train_split,
+        "repetition_stats": q_repetition_stats,
         "winnow": q_winnow,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1102,6 +1139,50 @@ def oracle_sql() -> dict[str, str]:
         """,
         # winnowing replica: same normalize → char-5-gram → portable hash
         # → 4-wide window minima → distinct+sort pipeline, in DuckDB lists
+        "pii_redact": r"""
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                                || '@example.com or +1 555 010 '
+                                || CAST(doc_id AS VARCHAR),
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g')
+                       AS clean
+            FROM documents
+        """,
+        "train_split": f"""
+            SELECT doc_id,
+                   CASE WHEN {_PH60.format(x="CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+                        WHEN {_PH60.format(x="CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "repetition_stats": f"""
+            WITH t AS (
+                SELECT doc_id, {_LTOKS} AS toks FROM documents
+            ), b AS (
+                SELECT doc_id, toks,
+                       CASE WHEN len(toks) >= 2
+                            THEN list_transform(range(1, len(toks)),
+                                                i -> toks[i] || ' ' || toks[i+1])
+                            ELSE CAST([] AS VARCHAR[]) END AS bg
+                FROM t
+            )
+            SELECT doc_id,
+                   round(CASE WHEN len(toks) > 0
+                              THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                                       / len(toks)
+                              ELSE 0.0 END, 6) AS dup_token_frac,
+                   round(CASE WHEN len(bg) > 0
+                              THEN CAST(list_max(list_transform(
+                                       list_distinct(bg),
+                                       g -> len(list_filter(bg, x -> x = g))))
+                                     AS DOUBLE) / len(bg)
+                              ELSE 0.0 END, 6) AS top_bigram_frac
+            FROM b
+        """,
         "winnow": f"""
             WITH n AS (
                 SELECT doc_id, {_NORM} AS nt FROM documents

@@ -150,6 +150,70 @@ def doc_fingerprint(text: Column) -> Column:
     return F.md5(normalize_text(text))
 
 
+# PII patterns: no lookarounds/backrefs so Java regex (Spark) and RE2
+# (DuckDB) match identically
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+
+
+def redact_pii(
+    text: Column, email_token: str = "<EMAIL>", phone_token: str = "<PHONE>"
+) -> Column:
+    """Replace email addresses and phone-number-shaped digit runs with
+    placeholder tokens — the standard pre-training scrub pass. Narrow,
+    codegen'd regexp_replace (global in both Spark and DuckDB-with-'g')."""
+    return F.regexp_replace(
+        F.regexp_replace(text, EMAIL_RE, email_token), PHONE_RE, phone_token
+    )
+
+
+def dup_token_fraction(text: Column) -> Column:
+    """1 - |distinct tokens| / |tokens| (0.0 for empty text) — the
+    repetition signal used by Gopher/C4-style quality filters."""
+
+    def frac(t: Column) -> Column:
+        n = F.size(t)
+        return F.when(
+            n > 0,
+            F.lit(1.0) - F.size(F.array_distinct(t)).cast("double") / n.cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    return let(ws_tokens(F.lower(text)), frac)
+
+
+def top_bigram_fraction(text: Column) -> Column:
+    """Fraction of word bigrams taken by the single most frequent bigram
+    (0.0 when fewer than 2 tokens). Pure-array formulation — O(b·d) per
+    row with d = distinct bigrams; fine for document-sized rows. For
+    book-length rows use an explode + groupBy count instead (same
+    values, shuffle on (doc, bigram))."""
+
+    def over_tokens(t: Column) -> Column:
+        bg = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - 1, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(t, i.cast("int")),
+                F.element_at(t, (i + 1).cast("int")),
+            ),
+        )
+
+        def over_bigrams(b: Column) -> Column:
+            top = F.array_max(
+                F.transform(
+                    F.array_distinct(b),
+                    lambda g: F.size(F.filter(b, lambda x: x == g)),
+                )
+            )
+            return top.cast("double") / F.size(b).cast("double")
+
+        return F.when(
+            F.size(t) >= 2, let(bg, over_bigrams)
+        ).otherwise(F.lit(0.0))
+
+    return let(ws_tokens(F.lower(text)), over_tokens)
+
+
 def winnow_fingerprints(text: Column, k: int = 5, w: int = 4, hash_fn=None) -> Column:
     """Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, SIGMOD'03):
     hash every character ``k``-gram of the normalized text, slide a

@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "lang_id",
     "quality_score",
     "doc_fingerprint",
+    "pii_redact",
+    "train_split",
+    "repetition_stats",
     "winnow",
     "dedup_exact",
     "ngram_jaccard",

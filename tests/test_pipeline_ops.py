@@ -359,3 +359,50 @@ def test_real_decoder_raises(spark):
     media = M.pack_media(df, "blob", "image/png")
     with pytest.raises(Exception, match="NotImplementedError|real media"):
         M.decode_features(media, "media", id_cols=("id",), decoder="real").collect()
+
+
+def test_redact_pii_patterns(spark):
+    from avro_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-y.co.uk now"), (2, "call +1 (555) 010-9999 ok"),
+         (3, "clean text"), (4, "")],
+        "id long, text string",
+    )
+    got = {r["id"]: r["c"] for r in df.select("id", redact_pii(F.col("text")).alias("c")).collect()}
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "call <PHONE> ok"
+    assert got[3] == "clean text"
+    assert got[4] == ""
+
+
+def test_deterministic_split_stable_and_complete(spark):
+    from avro_spark.functions.sampling import deterministic_split
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "id long")
+    out1 = {r["id"]: r["split"] for r in deterministic_split(df, "id").collect()}
+    out2 = {r["id"]: r["split"] for r in deterministic_split(df, "id").collect()}
+    assert out1 == out2  # rerun-stable
+    from collections import Counter
+    c = Counter(out1.values())
+    assert set(c) == {"train", "val", "test"}
+    assert 700 < c["train"] < 900  # ~80% of 1000
+
+
+def test_repetition_fractions_edges(spark):
+    from avro_spark.functions.text import dup_token_fraction, top_bigram_fraction
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "one"), (4, ""), (5, "x y x y x y")],
+        "id long, text string",
+    )
+    rows = {r["id"]: r for r in df.select(
+        "id",
+        F.round(dup_token_fraction(F.col("text")), 6).alias("dup"),
+        F.round(top_bigram_fraction(F.col("text")), 6).alias("top"),
+    ).collect()}
+    assert rows[1]["dup"] == 0.75 and rows[1]["top"] == 1.0  # "a a" is every bigram
+    assert rows[2]["dup"] == 0.0 and rows[2]["top"] == round(1/3, 6)
+    assert rows[3]["dup"] == 0.0 and rows[3]["top"] == 0.0  # single token
+    assert rows[4]["dup"] == 0.0 and rows[4]["top"] == 0.0  # empty
+    assert rows[5]["top"] == 0.6  # "x y" 3 of 5 bigrams

@@ -689,6 +689,36 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_split(docs, "doc_id", hash_fn=D.portable_hash60)
 
 
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain mixing: per-source keep rates (web 50%,
+    wiki 100%, code 80%, books 100%, default 30%) applied by hash bucket
+    of the doc id — the standard corpus-reweighting pass, rerun-stable,
+    one narrow filter."""
+    from avro_spark.functions.sampling import split_bucket
+
+    rates = {"web": 50, "wiki": 100, "code": 80, "books": 100}
+    docs = _read(spark, sf_dir, "documents")
+    bucket = split_bucket(F.col("doc_id"), hash_fn=D.portable_hash60)
+    rate = F.lit(30)
+    for src, r in rates.items():
+        rate = F.when(F.col("source") == src, F.lit(r)).otherwise(rate)
+    return docs.where(bucket < rate).select("doc_id", "source")
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus accounting per (source, lang): docs, token sum, mean
+    quality — one map-side-combined aggregate over the whole corpus."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(X.token_count(F.col("text")).cast("long")).alias("n_tokens"),
+            F.round(F.avg(X.quality_score(F.col("text"))), 6).alias("avg_quality"),
+        )
+    )
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style repetition signals: duplicate-token fraction and
     top-bigram fraction per document."""
@@ -821,6 +851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "pii_redact": q_pii_redact,
         "train_split": q_train_split,
+        "domain_mix": q_domain_mix,
+        "corpus_stats": q_corpus_stats,
         "repetition_stats": q_repetition_stats,
         "winnow": q_winnow,
         "dedup_exact": q_dedup_exact,
@@ -1158,6 +1190,39 @@ def oracle_sql() -> dict[str, str]:
                         WHEN {_PH60.format(x="CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        "domain_mix": f"""
+            SELECT doc_id, source
+            FROM documents
+            WHERE {_PH60.format(x="CAST(doc_id AS VARCHAR)")} % 100 <
+                  CASE source WHEN 'web' THEN 50 WHEN 'wiki' THEN 100
+                              WHEN 'code' THEN 80 WHEN 'books' THEN 100
+                              ELSE 30 END
+        """,
+        "corpus_stats": f"""
+            WITH b AS (
+              SELECT doc_id, source, lang,
+                     CAST(length(text) AS DOUBLE) AS n_chars,
+                     CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END AS DOUBLE) AS n_toks,
+                     CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+                     CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits
+              FROM documents),
+            t AS (
+              SELECT doc_id, source, lang, n_toks,
+                     round(0.4 * least(n_chars / 200.0, 1.0)
+                           + 0.2 * greatest(0.0, 1.0 - 5.0 * n_punct / greatest(n_chars, 1.0))
+                           + 0.2 * greatest(0.0, 1.0 - 5.0 * n_digits / greatest(n_chars, 1.0))
+                           + 0.2 * (CASE WHEN (CASE WHEN n_toks > 0 THEN (n_chars - (n_toks - 1)) / n_toks ELSE 0.0 END) >= 3.0
+                                          AND (CASE WHEN n_toks > 0 THEN (n_chars - (n_toks - 1)) / n_toks ELSE 0.0 END) <= 10.0
+                                         THEN 1.0 ELSE 0.5 END),
+                           6) AS quality
+              FROM b)
+            SELECT source, lang,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+                   round(AVG(quality), 6) AS avg_quality
+            FROM t
+            GROUP BY source, lang
         """,
         "repetition_stats": f"""
             WITH t AS (

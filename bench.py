@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "pii_redact",
     "train_split",
+    "domain_mix",
+    "corpus_stats",
     "repetition_stats",
     "winnow",
     "dedup_exact",

@@ -516,6 +516,53 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_jsonl(spark, out, sch)
 
 
+def q_compat_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 are_compatible: writer→reader verdicts over the canonical
+    evolution matrix (promotions one-way, added fields need defaults,
+    silent drops, alias matching, downgrade reverses aliases —
+    frontend.lua:1042-1280)."""
+
+    def rec(name, fields):
+        return {"type": "record", "name": name, "fields": fields}
+
+    w_int = rec("R", [{"name": "a", "type": "int"}])
+    cases = [
+        ("int_to_long", w_int, rec("R", [{"name": "a", "type": "long"}]), None),
+        ("long_to_int", rec("R", [{"name": "a", "type": "long"}]), w_int, None),
+        ("string_to_bytes", rec("R", [{"name": "a", "type": "string"}]),
+         rec("R", [{"name": "a", "type": "bytes"}]), None),
+        ("add_field_with_default", w_int,
+         rec("R", [{"name": "a", "type": "int"},
+                   {"name": "b", "type": "int", "default": 7}]), None),
+        ("add_field_no_default", w_int,
+         rec("R", [{"name": "a", "type": "int"}, {"name": "b", "type": "int"}]), None),
+        ("drop_field",
+         rec("R", [{"name": "a", "type": "int"}, {"name": "b", "type": "int"}]),
+         w_int, None),
+        ("rename_via_alias", w_int,
+         rec("R", [{"name": "a2", "type": "int", "aliases": ["a"]}]), None),
+        ("type_clash", w_int, rec("R", [{"name": "a", "type": "string"}]), None),
+        ("record_name_mismatch", w_int, rec("S", [{"name": "a", "type": "int"}]), None),
+        ("enum_symbol_subset",
+         {"type": "enum", "name": "E", "symbols": ["A", "B", "C"]},
+         {"type": "enum", "name": "E", "symbols": ["A", "B"]}, None),
+        ("union_branch_added", ["null", "int"], ["null", "int", "string"], None),
+        ("downgrade_rename",
+         rec("R", [{"name": "a2", "type": "int", "aliases": ["a"]}]), w_int,
+         "downgrade"),
+    ]
+    rows = []
+    for name, w, r, opts in cases:
+        try:
+            ok = avro_spark.are_compatible(
+                avro_spark.create(w), avro_spark.create(r), opts
+            )
+        except Exception:
+            ok = False
+        rows.append((name, bool(ok)))
+    return spark.createDataFrame(rows, "case_name string, ok boolean")
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10 Parsing-Canonical-Form fingerprints (pure function, constant)."""
     rows = [
@@ -841,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conform": q_conform,
         "conform_errors": q_conform_errors,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "compat_matrix": q_compat_matrix,
         "fingerprint": q_fingerprint,
         "flat_layout": q_flat_layout,
         "hidden_fields": q_hidden_fields,
@@ -1133,6 +1181,22 @@ def oracle_sql() -> dict[str, str]:
         "conform": """
             SELECT n_nationkey, n_name, n_regionkey, CAST([] AS VARCHAR[]) AS _errors
             FROM nation
+        """,
+        "compat_matrix": """
+            SELECT * FROM (VALUES
+                ('int_to_long', true),
+                ('long_to_int', false),
+                ('string_to_bytes', true),
+                ('add_field_with_default', true),
+                ('add_field_no_default', false),
+                ('drop_field', true),
+                ('rename_via_alias', true),
+                ('type_clash', false),
+                ('record_name_mismatch', false),
+                ('enum_symbol_subset', true),
+                ('union_branch_added', true),
+                ('downgrade_rename', true)
+            ) AS t(case_name, ok)
         """,
         "fingerprint": f"""
             SELECT 'person' AS schema_name, '{PERSON_FP}' AS fp

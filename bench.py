@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "avro_roundtrip",
     "avro_ocf_roundtrip",
     "conform",
+    "compat_matrix",
     "text_stats",
     "lang_id",
     "quality_score",

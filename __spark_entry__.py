@@ -322,6 +322,41 @@ def q_union_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cs.flatten(ev).toDF("event_id", "payload_type", "payload")
 
 
+EVENTS_UNION3 = {
+    "type": "record",
+    "name": "Event3",
+    "fields": [
+        {"name": "event_id", "type": "long"},
+        {"name": "payload", "type": ["null", "double", "string"]},
+    ],
+}
+
+
+def q_union3_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 general (3-branch) union: tagged-struct input → flat
+    [branch_no, branch-field struct] cells; branch chosen by
+    event_id mod 3 so every branch (incl. null) is exercised."""
+    from avro_spark.schema.spark_types import UNION_TAG
+
+    m = F.pmod(F.col("event_id"), F.lit(3))
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.struct(
+            m.cast("int").alias(UNION_TAG),
+            F.when(m == 1, F.col("value")).alias("double"),
+            F.when(m == 2, F.col("event_type")).alias("string"),
+        ).alias("payload"),
+    )
+    cs = avro_spark.compile(avro_spark.create(EVENTS_UNION3))
+    flat = cs.flatten(ev).toDF("event_id", "tag", "val")
+    return flat.select(
+        "event_id",
+        "tag",
+        F.col("val.double").alias("v_double"),
+        F.col("val.string").alias("v_str"),
+    )
+
+
 ORDERS_ENUM_READER = {
     "type": "record",
     "name": "OrdersE",
@@ -666,6 +701,39 @@ def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless schema transform ON A STREAM: readStream the orders
+    table, apply the compiled flatten plan unchanged (narrow → no
+    state, no watermark), AvailableNow into a memory sink — the bounded
+    run equals the batch projection, so it is fully oracle-checkable."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from avro_spark import streaming as ST
+
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    tmp = tempfile.mkdtemp(prefix="orders_stream_")
+    orders.write.mode("overwrite").parquet(tmp)
+    src = ST.stream_source(spark, tmp)
+    # writer→reader evolution (reversed field order) applied to the
+    # stream — the same narrow plan batch uses
+    reader = {**ORDERS_SCHEMA, "fields": list(reversed(ORDERS_SCHEMA["fields"]))}
+    cs = avro_spark.compile(
+        avro_spark.create(ORDERS_SCHEMA), avro_spark.create(reader)
+    )
+    flat = ST.stream_transform(src, cs, "flatten").toDF(
+        "o_orderpriority", "o_totalprice", "o_orderstatus", "o_custkey", "o_orderkey"
+    )
+    table = f"flat_{uuid.uuid4().hex[:8]}"
+    ST.run_to_memory(flat, table, output_mode="append")
+    out = spark.table(table)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint sets (k=5 char grams, w=4 windows) over
     documents — the rolling-hash partial-overlap detector; portable
@@ -852,6 +920,25 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, JVM side: pack bytes + typed metadata into the
+    media struct, then extract byte length / mime / magic-prefix hex /
+    content digest WITHOUT touching Python — the filters that should run
+    before any Pandas-UDF decode stage (oracle-checked, unlike the
+    sha256-in-UDF feature stage which is rows-only)."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.encode("text", "utf-8").alias("blob")
+    )
+    packed = M.pack_media(docs, "blob", "text/plain")
+    return packed.select(
+        "doc_id",
+        F.length(F.col("media.data")).cast("long").alias("n_bytes"),
+        F.col("media.mime").alias("mime"),
+        F.upper(F.substring(F.hex(F.col("media.data")), 1, 8)).alias("magic_hex"),
+        F.md5("text").alias("content_md5"),
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media plumbing: pack → mapInPandas feature extraction."""
     docs = _read(spark, sf_dir, "documents").select(
@@ -880,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_encode": q_union_encode,
         "enum_evolution": q_enum_evolution,
         "union_evolution": q_union_evolution,
+        "union3_encode": q_union3_encode,
         "array_evolution": q_array_evolution,
         "map_evolution": q_map_evolution,
         "xflatten_update": q_xflatten_update,
@@ -893,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flat_layout": q_flat_layout,
         "hidden_fields": q_hidden_fields,
         "streaming_window": q_streaming_window,
+        "streaming_flatten": q_streaming_flatten,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -911,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_lsh": q_cosine_lsh,
         "knn_ivf": q_knn_ivf,
+        "media_meta": q_media_meta,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1331,6 +1421,26 @@ def oracle_sql() -> dict[str, str]:
                                  j -> list_min(hs[j:j+3]))))
                         ELSE CAST([] AS BIGINT[]) END AS fingerprints
             FROM h
+        """,
+        "union3_encode": """
+            SELECT event_id,
+                   CAST(event_id % 3 AS INTEGER) AS tag,
+                   CASE WHEN event_id % 3 = 1 THEN value END AS v_double,
+                   CASE WHEN event_id % 3 = 2 THEN event_type END AS v_str
+            FROM events
+        """,
+        "media_meta": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   'text/plain' AS mime,
+                   upper(substr(hex(encode(text)), 1, 8)) AS magic_hex,
+                   md5(text) AS content_md5
+            FROM documents
+        """,
+        "streaming_flatten": """
+            SELECT o_orderpriority, o_totalprice, o_orderstatus,
+                   o_custkey, o_orderkey
+            FROM orders
         """,
         "streaming_window": """
             SELECT CAST(time_bucket(INTERVAL '10 minutes', ts) AS VARCHAR) AS window_start,

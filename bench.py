@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "union_encode",
     "enum_evolution",
     "union_evolution",
+    "union3_encode",
     "array_evolution",
     "map_evolution",
     "xflatten_update",
@@ -43,6 +44,7 @@ BENCH_QUERIES = [
     "avro_ocf_roundtrip",
     "conform",
     "compat_matrix",
+    "streaming_flatten",
     "text_stats",
     "lang_id",
     "quality_score",
@@ -61,6 +63,7 @@ BENCH_QUERIES = [
     "simhash",
     "cosine_lsh",
     "knn_ivf",
+    "media_meta",
     "multimodal_features",
 ]
 

@@ -25,7 +25,7 @@ from ..schema import Schema
 from ..schema.nodes import Primitive, Record, walk
 from .flatten import flatten_cells, lit_for, unflatten_field_exprs, xflatten_ops
 from .layout import SERVICE_FIELD_NAME, build_layout
-from .resolution import Resolved, resolve_cached
+from .resolution import FieldSource, Resolved, resolve_cached
 
 _SERVICE_TYPES = {"boolean", "int", "long", "float", "double", "string", "bytes"}
 
@@ -247,6 +247,75 @@ class CompiledSchema:
 
         records = self.unflatten(df)
         return to_avro_bytes(records, self.reader, column)
+
+    # ------------------------------------------------------------ debugging
+    def dump_plan(self, df: Optional[DataFrame] = None, which: str = "flatten") -> str:
+        """Human-readable transform plan — the A4 debug surface
+        (≙ ``compile{debug=, dump_il=, dump_src=}``, init.lua:400-479,
+        where the reference dumps its IL and generated Lua).
+
+        Always renders the resolution-plan tree (our IR, SURVEY §2B).
+        Given a writer-shaped ``df``, appends Spark's analyzed logical +
+        physical plan for the requested transform — the analogue of the
+        generated source, except Catalyst/Tungsten own the lowering.
+        """
+        lines: list[str] = []
+
+        def walk_plan(p: Resolved, indent: int, label: str, seen: frozenset) -> None:
+            pad = "  " * indent
+            w = type(p.writer).__name__ if p.writer is not None else "∅"
+            r = type(p.reader).__name__
+            null = "*" if p.nullable else ""
+            lines.append(f"{pad}{label}{p.kind}{null} [{w} → {r}]")
+            if id(p) in seen:
+                lines.append(f"{pad}  (recursive — unrolled to MAX_UNROLL at lowering)")
+                return
+            seen = seen | {id(p)}
+            for key, child in p.children.items():
+                if isinstance(child, Resolved):
+                    walk_plan(child, indent + 1, f"{key}: ", seen)
+                elif isinstance(child, FieldSource):
+                    src = (
+                        f"writer[{child.writer_index}]"
+                        if child.writer_field is not None
+                        else "default/null"
+                    )
+                    lines.append(
+                        f"{pad}  field {child.reader_field.name} ← {src}"
+                    )
+                    if child.plan is not None:
+                        walk_plan(child.plan, indent + 2, "", seen)
+                elif isinstance(child, (list, tuple)):
+                    for i, c in enumerate(child):
+                        if isinstance(c, Resolved):
+                            walk_plan(c, indent + 1, f"{key}[{i}]: ", seen)
+                        elif isinstance(c, FieldSource):
+                            src = (
+                                f"writer[{c.writer_index}]"
+                                if c.writer_field is not None
+                                else "default/null"
+                            )
+                            lines.append(f"{pad}  field {c.reader_field.name} ← {src}")
+                            if c.plan is not None:
+                                walk_plan(c.plan, indent + 2, "", seen)
+                        else:
+                            lines.append(f"{pad}  {key}[{i}] = {c!r}")
+                else:
+                    lines.append(f"{pad}  {key} = {child!r}")
+
+        lines.append(f"== Resolution plan ({'downgrade' if self.downgrade else 'upgrade'}) ==")
+        walk_plan(self.plan, 0, "", frozenset())
+        if df is not None:
+            out = getattr(self, which)(df)
+            import contextlib
+            import io
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                out.explain(mode="extended")
+            lines.append(f"== Spark plan for {which} ==")
+            lines.append(buf.getvalue().rstrip())
+        return "\n".join(lines)
 
     def __repr__(self) -> str:
         return (

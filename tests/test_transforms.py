@@ -412,3 +412,27 @@ class TestNullableRecord:
         assert sorted(rows(back), key=lambda r: r["r1"]["v1"]) == sorted(
             rows(df), key=lambda r: r["r1"]["v1"]
         )
+
+
+class TestDumpPlan:
+    """A4 debug surface: dump_plan renders the resolution IR and, with a
+    frame, the Catalyst plans (≙ compile{debug/dump_il/dump_src})."""
+
+    def test_dump_plan_renders_ir_and_spark_plans(self, spark):
+        writer = avs.create({"type": "record", "name": "R", "fields": [
+            {"name": "a", "type": "int"},
+            {"name": "tags", "type": {"type": "array", "items": "string"}}]})
+        reader = avs.create({"type": "record", "name": "R", "fields": [
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": "int", "default": 9}]})
+        cs = avs.compile(writer, reader)
+        ir_only = cs.dump_plan()
+        assert "Resolution plan" in ir_only
+        assert "field b ← default/null" in ir_only
+        assert "promote" in ir_only
+        assert "Spark plan" not in ir_only
+        df = spark.createDataFrame([(1, ["x"])], "a int, tags array<string>")
+        full = cs.dump_plan(df)
+        assert "== Spark plan for flatten ==" in full
+        assert "Physical Plan" in full

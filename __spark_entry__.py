@@ -920,6 +920,23 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join vs its plain-join semantics: events
+    (few hot event_type keys — exactly the skew shape) joined to a
+    per-type dimension; rows must equal the unsalted join, which is the
+    oracle. The salt spreads each hot key over 8 reducers."""
+    from avro_spark.operators.scale import salted_join
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "event_type")
+    dim = (
+        ev.select("event_type").distinct()
+        .select("event_type", F.length("event_type").cast("long").alias("type_len"))
+    )
+    return salted_join(ev, dim, "event_type", salt=8).select(
+        "event_id", "event_type", "type_len"
+    )
+
+
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing, JVM side: pack bytes + typed metadata into the
     media struct, then extract byte length / mime / magic-prefix hex /
@@ -1000,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_lsh": q_cosine_lsh,
         "knn_ivf": q_knn_ivf,
+        "salted_join": q_salted_join,
         "media_meta": q_media_meta,
         "multimodal_features": q_multimodal_features,
     }
@@ -1428,6 +1446,11 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_id % 3 = 1 THEN value END AS v_double,
                    CASE WHEN event_id % 3 = 2 THEN event_type END AS v_str
             FROM events
+        """,
+        "salted_join": """
+            SELECT e.event_id, e.event_type,
+                   CAST(length(e.event_type) AS BIGINT) AS type_len
+            FROM events e
         """,
         "media_meta": """
             SELECT doc_id,

@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "simhash",
     "cosine_lsh",
     "knn_ivf",
+    "salted_join",
     "media_meta",
     "multimodal_features",
 ]

@@ -1,0 +1,134 @@
+"""Scaling-behavior probe: run the heavy extension pipelines at 1×/4×/16×
+synthetic data multiples and report wall time + derived rows/sec, as
+evidence the plans scale sub-quadratically (SCALE.md).
+
+Each multiple unions perturbed copies of the documents/embeddings tables
+(ids offset; texts get a per-copy suffix token so cross-copy near-dup
+pairs do NOT explode quadratically — the workload is meant to grow
+linearly, mirroring a larger corpus rather than a more duplicated one).
+
+Usage: python tools/scale_probe.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+
+def multiplied_docs(docs, mult: int):
+    """Each copy appends ~60 filler tokens unique to that (copy, doc), so
+    no two rows anywhere share filler shingles: Jaccard between any pair
+    involving a copy stays < 0.5 (a doc's own copies share only the
+    original m tokens → m/(m+120) < 0.5 always). The probe thus measures
+    corpus-size scaling of the signature/banding/verify machinery with
+    pair output held near zero — output-pair volume is a property of the
+    corpus, not of the engine."""
+    def make_filler(i: int):
+        # factory, not default-arg capture: F.transform counts lambda
+        # parameters, so the lambda must stay single-arg
+        prefix = f"cp{i}d"
+        return F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(60)),
+                lambda j: F.concat(
+                    F.lit(prefix),
+                    F.col("doc_id").cast("string"),
+                    F.lit("t"),
+                    j.cast("string"),
+                ),
+            ),
+        )
+
+    parts = []
+    for i in range(mult):
+        filler = make_filler(i)
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + 1_000_000 * i).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" "), filler).alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def multiplied_emb(emb, mult: int):
+    parts = [
+        emb.select(
+            (F.col("vec_id") + 1_000_000 * i).alias("vec_id"), "embedding"
+        )
+        for i in range(mult)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from avro_spark.functions import dedup as D
+    from avro_spark.functions import similarity as S
+
+    docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb0 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    par = spark.sparkContext.defaultParallelism
+
+    for mult in (1, 4, 16):
+        docs = multiplied_docs(docs0, mult).repartition(par).localCheckpoint(eager=True)
+        emb = multiplied_emb(emb0, mult).repartition(par).localCheckpoint(eager=True)
+        n_docs = docs.count()
+        n_emb = emb.count()
+        results = {}
+
+        t0 = time.perf_counter()
+        n_pairs = D.minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5
+        ).count()
+        results["minhash_lsh"] = (time.perf_counter() - t0, n_pairs)
+
+        t0 = time.perf_counter()
+        n_groups = D.exact_dedup_groups(docs, "doc_id", "text").count()
+        results["exact_dedup"] = (time.perf_counter() - t0, n_groups)
+
+        t0 = time.perf_counter()
+        n_sim = D.simhash_pairs(docs, "doc_id", "text", max_hamming=3).count()
+        results["simhash"] = (time.perf_counter() - t0, n_sim)
+
+        queries = emb0.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+        )
+        t0 = time.perf_counter()
+        n_knn = S.knn_bruteforce(emb, queries, k=5).count()
+        results["knn_bruteforce"] = (time.perf_counter() - t0, n_knn)
+
+        print(f"-- mult={mult} docs={n_docs} emb={n_emb}")
+        for name, (dt, n_out) in results.items():
+            print(f"   {name:15s} {dt:6.2f}s  out_rows={n_out}")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -937,6 +937,27 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join: customer ⋈ orders both bucketed on the customer
+    key → sort-merge join with NO Exchange on either side (the
+    shuffle-once-at-write-time pattern for repeated big joins). Oracle is
+    the plain join; plan shape is additionally asserted in tests."""
+    from avro_spark.operators.scale import bucketed_join, write_bucketed
+
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _read(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
+    )
+    # fixed table names + overwrite: repeated invocations reuse the
+    # metastore entries instead of accumulating uuid-tagged tables
+    write_bucketed(cust, "cust_bucketed_q", "c_custkey", 8)
+    write_bucketed(orders, "ord_bucketed_q", "c_custkey", 8)
+    out = bucketed_join(spark, "cust_bucketed_q", "ord_bucketed_q", "c_custkey").select(
+        "o_orderkey", "c_custkey", "c_mktsegment", "o_totalprice"
+    )
+    return out
+
+
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing, JVM side: pack bytes + typed metadata into the
     media struct, then extract byte length / mime / magic-prefix hex /
@@ -1018,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_lsh": q_cosine_lsh,
         "knn_ivf": q_knn_ivf,
         "salted_join": q_salted_join,
+        "bucketed_join": q_bucketed_join,
         "media_meta": q_media_meta,
         "multimodal_features": q_multimodal_features,
     }
@@ -1451,6 +1473,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.event_type,
                    CAST(length(e.event_type) AS BIGINT) AS type_len
             FROM events e
+        """,
+        "bucketed_join": """
+            SELECT o.o_orderkey, c.c_custkey, c.c_mktsegment, o.o_totalprice
+            FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
         """,
         "media_meta": """
             SELECT doc_id,

@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "cosine_lsh",
     "knn_ivf",
     "salted_join",
+    "bucketed_join",
     "media_meta",
     "multimodal_features",
 ]

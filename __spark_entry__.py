@@ -948,8 +948,19 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _read(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
     )
-    # fixed table names + overwrite: repeated invocations reuse the
-    # metastore entries instead of accumulating uuid-tagged tables
+    # fixed table names + explicit cleanup: repeated invocations (even
+    # across sessions, where the in-memory catalog forgets the table but
+    # the warehouse directory survives) neither accumulate tables nor hit
+    # LOCATION_ALREADY_EXISTS
+    import os
+    import shutil
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for t in ("cust_bucketed_q", "ord_bucketed_q"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
     write_bucketed(cust, "cust_bucketed_q", "c_custkey", 8)
     write_bucketed(orders, "ord_bucketed_q", "c_custkey", 8)
     out = bucketed_join(spark, "cust_bucketed_q", "ord_bucketed_q", "c_custkey").select(

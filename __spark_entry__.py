@@ -920,6 +920,23 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation (operators/corpus.py): language filter
+    → quality floor → PII redact → exact dedup keep-min → deterministic
+    split — the whole pre-training pass, one oracle-checked call. (The
+    near-dup stage is exercised separately: dedup_clusters.)"""
+    from avro_spark.operators.corpus import curate_corpus
+
+    docs = _read(spark, sf_dir, "documents")
+    return curate_corpus(
+        docs,
+        lang_col="lang",
+        languages=("en", "de"),
+        min_quality=0.5,
+        hash_fn=D.portable_hash60,
+    )
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resistant salted join vs its plain-join semantics: events
     (few hot event_type keys — exactly the skew shape) joined to a
@@ -1049,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_lsh": q_cosine_lsh,
         "knn_ivf": q_knn_ivf,
+        "curate_corpus": q_curate_corpus,
         "salted_join": q_salted_join,
         "bucketed_join": q_bucketed_join,
         "media_meta": q_media_meta,
@@ -1479,6 +1497,45 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_id % 3 = 1 THEN value END AS v_double,
                    CASE WHEN event_id % 3 = 2 THEN event_type END AS v_str
             FROM events
+        """,
+        "curate_corpus": f"""
+            WITH f AS (
+              SELECT doc_id, text, lang FROM documents WHERE lang IN ('en','de')
+            ), b AS (
+              SELECT doc_id, text, lang,
+                     CAST(length(text) AS DOUBLE) AS n_chars,
+                     CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END AS DOUBLE) AS n_toks,
+                     CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+                     CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits
+              FROM f
+            ), q AS (
+              SELECT doc_id, text, lang,
+                     round(0.4 * least(n_chars / 200.0, 1.0)
+                           + 0.2 * greatest(0.0, 1.0 - 5.0 * n_punct / greatest(n_chars, 1.0))
+                           + 0.2 * greatest(0.0, 1.0 - 5.0 * n_digits / greatest(n_chars, 1.0))
+                           + 0.2 * (CASE WHEN (CASE WHEN n_toks > 0 THEN (n_chars - (n_toks - 1)) / n_toks ELSE 0.0 END) >= 3.0
+                                          AND (CASE WHEN n_toks > 0 THEN (n_chars - (n_toks - 1)) / n_toks ELSE 0.0 END) <= 10.0
+                                         THEN 1.0 ELSE 0.5 END),
+                           6) AS quality
+              FROM b
+            ), r AS (
+              SELECT doc_id, lang, quality,
+                     regexp_replace(
+                         regexp_replace(text,
+                             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                             '<EMAIL>', 'g'),
+                         '\\+?[0-9][0-9()\\-\\s]{{7,}}[0-9]', '<PHONE>', 'g') AS clean_text
+              FROM q WHERE quality >= 0.5
+            ), k AS (
+              SELECT min(doc_id) AS doc_id
+              FROM r
+              GROUP BY md5(trim(regexp_replace(lower(clean_text), '\\s+', ' ', 'g')))
+            )
+            SELECT r.doc_id, r.lang, r.clean_text, r.quality,
+                   CASE WHEN {_PH60.format(x="CAST(r.doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+                        WHEN {_PH60.format(x="CAST(r.doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM r JOIN k ON r.doc_id = k.doc_id
         """,
         "salted_join": """
             SELECT e.event_id, e.event_type,

@@ -406,3 +406,27 @@ def test_repetition_fractions_edges(spark):
     assert rows[3]["dup"] == 0.0 and rows[3]["top"] == 0.0  # single token
     assert rows[4]["dup"] == 0.0 and rows[4]["top"] == 0.0  # empty
     assert rows[5]["top"] == 0.6  # "x y" 3 of 5 bigrams
+
+
+def test_curate_corpus_full_pipeline(spark):
+    """End-to-end curation incl. the near-dedup stage: near-duplicate
+    rows collapse to one representative; output schema is stable."""
+    from avro_spark.operators.corpus import curate_corpus
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+    rows = [
+        (1, base, "en"),
+        (2, base + "minor tail change", "en"),        # near-dup of 1
+        (3, "completely different text about spark engines " * 5, "en"),
+        (4, base, "fr"),                               # filtered by language
+        (5, base, "en"),                               # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = curate_corpus(
+        df, lang_col="lang", languages=("en",),
+        min_quality=0.1, near_dedup_threshold=0.5,
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert out.columns == ["doc_id", "lang", "clean_text", "quality", "split"]
+    assert set(got) == {1, 3}  # 5 exact-dup'd, 2 near-dup'd, 4 lang-filtered
+    assert all(r["split"] in ("train", "val", "test") for r in got.values())

@@ -920,6 +920,37 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_union_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 interop: spark-avro's memberN union struct → our $type$-tagged
+    form → flat [tag, value] cells, round-tripped back to memberN. Both
+    conversions are narrow expressions (operators/interop.py); the
+    oracle replays the member selection logic in SQL."""
+    from avro_spark.operators.interop import from_member_union, to_member_union
+    from avro_spark.schema.nodes import UnionNode
+
+    union = avro_spark.create(["null", "double", "string"]).root
+    assert isinstance(union, UnionNode)
+    m = F.pmod(F.col("event_id"), F.lit(3))
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.struct(
+            F.when(m == 1, F.col("value")).alias("member0"),
+            F.when(m == 2, F.col("event_type")).alias("member1"),
+        ).alias("u"),
+    )
+    tagged = ev.select(
+        "event_id", from_member_union(F.col("u"), union).alias("payload")
+    )
+    back = tagged.select(
+        "event_id", to_member_union(F.col("payload"), union).alias("u")
+    )
+    return back.select(
+        "event_id",
+        F.col("u.member0").alias("m_double"),
+        F.col("u.member1").alias("m_str"),
+    )
+
+
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation (operators/corpus.py): language filter
     → quality floor → PII redact → exact dedup keep-min → deterministic
@@ -1066,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_lsh": q_cosine_lsh,
         "knn_ivf": q_knn_ivf,
+        "union_interop": q_union_interop,
         "curate_corpus": q_curate_corpus,
         "salted_join": q_salted_join,
         "bucketed_join": q_bucketed_join,
@@ -1496,6 +1528,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(event_id % 3 AS INTEGER) AS tag,
                    CASE WHEN event_id % 3 = 1 THEN value END AS v_double,
                    CASE WHEN event_id % 3 = 2 THEN event_type END AS v_str
+            FROM events
+        """,
+        "union_interop": """
+            SELECT event_id,
+                   CASE WHEN event_id % 3 = 1 THEN value END AS m_double,
+                   CASE WHEN event_id % 3 = 2 THEN event_type END AS m_str
             FROM events
         """,
         "curate_corpus": f"""

@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "simhash",
     "cosine_lsh",
     "knn_ivf",
+    "union_interop",
     "curate_corpus",
     "salted_join",
     "bucketed_join",

@@ -186,15 +186,25 @@ def _compile_encoder(node: SchemaNode) -> Callable[[bytearray, Any], None]:
             (node.branch_tag(i), _compile_encoder(b), isinstance(b, Primitive) and b.type == "null")
             for i, b in enumerate(node.branches)
         ]
+        tag_index = {tag: i for i, (tag, _e, _n) in enumerate(encs)}
         def enc_union(out: bytearray, v: Any) -> None:
-            # record form: struct dict {$type$: i, <tag>: value}
+            # two input shapes: the engine's tagged struct
+            # {$type$: i, <tag>: value} (Spark column form) and the
+            # reference's record form {<tag>: value} single-entry map
+            # (frontend.lua:899-919 — what validate produces)
             if v is None or (isinstance(v, float) and v != v):
                 for i, (_tag, _e, is_null) in enumerate(encs):
                     if is_null:
                         _write_long(out, i)
                         return
                 raise AvroSparkError("null for union without a null branch")
-            i = int(v[UNION_TAG])
+            if UNION_TAG in v:
+                i = int(v[UNION_TAG])
+            else:
+                (tagname, _val), = dict(v).items()
+                if tagname not in tag_index:
+                    raise AvroSparkError(f"bad union tag: {tagname}")
+                i = tag_index[tagname]
             tag, enc, is_null = encs[i]
             _write_long(out, i)
             if not is_null:
@@ -206,12 +216,14 @@ def _compile_encoder(node: SchemaNode) -> Callable[[bytearray, Any], None]:
 def _strip_nullable(node: SchemaNode) -> SchemaNode:
     if isinstance(node, Primitive):
         return Primitive(node.type)
-    if node.twin is not None and not node.twin.nullable:
-        return node.twin
+    # only named nodes carry a twin link; array/map just copy
+    twin = getattr(node, "twin", None)
+    if twin is not None and not twin.nullable:
+        return twin
     import copy
-    twin = copy.copy(node)
-    twin.nullable = False
-    return twin
+    stripped = copy.copy(node)
+    stripped.nullable = False
+    return stripped
 
 
 # ----------------------------------------------------- decoder compilation

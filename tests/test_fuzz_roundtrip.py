@@ -1,0 +1,246 @@
+"""Schema-driven roundtrip fuzzing — the DDT corpus generalized.
+
+Random schemas (records over primitives/enums/fixed/arrays/maps/unions,
+nullable variants, nesting ≤ 3) with random conforming data, asserting
+the engine's core invariants:
+
+* ``validate`` accepts conforming data and is idempotent
+* Avro binary codec: encode∘decode∘encode is byte-identical
+* Spark ``flatten`` ∘ ``unflatten`` = identity on the validated value
+
+Float values are pre-rounded through float32 so fidelity comparisons are
+exact (SURVEY §7 "Float32 fidelity"); NaN/Inf excluded here (covered by
+targeted tests).
+"""
+
+from __future__ import annotations
+
+import struct as _struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import avro_spark as avs
+from avro_spark.sources.avro_binary import decode_record, encode_record
+from ddt_helpers import to_row_value
+
+
+def _deep_eq(a, b) -> bool:
+    """Native-value deep equality: bytes-like normalized, Rows compared
+    positionally as tuples, floats exact (values are pre-f32-rounded)."""
+    from pyspark.sql import Row
+
+    if isinstance(a, (bytes, bytearray, memoryview)) or isinstance(
+        b, (bytes, bytearray, memoryview)
+    ):
+        return (
+            isinstance(a, (bytes, bytearray, memoryview))
+            and isinstance(b, (bytes, bytearray, memoryview))
+            and bytes(a) == bytes(b)
+        )
+    if isinstance(a, Row) or isinstance(b, Row):
+        ta = tuple(a) if isinstance(a, Row) else a
+        tb = tuple(b) if isinstance(b, Row) else b
+        return _deep_eq(ta, tb)
+    if isinstance(a, dict) and isinstance(b, dict):
+        return set(a) == set(b) and all(_deep_eq(a[k], b[k]) for k in a)
+    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+        return len(a) == len(b) and all(_deep_eq(x, y) for x, y in zip(a, b))
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    return a == b
+
+_IDENT = st.from_regex(r"[a-z][a-z0-9_]{0,6}", fullmatch=True)
+_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FA0), max_size=12
+)
+
+
+def _f32(x: float) -> float:
+    return _struct.unpack("<f", _struct.pack("<f", x))[0]
+
+
+def _ddt_form(v):
+    """Native value → the DDT JSON convention to_row_value expects
+    (bytes rendered as {"$binary": hex})."""
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        return {"$binary": bytes(v).hex()}
+    if isinstance(v, dict):
+        return {k: _ddt_form(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_ddt_form(x) for x in v]
+    return v
+
+
+class _Gen:
+    """Coupled (schema, value-strategy) generator with a depth budget."""
+
+    def __init__(self, draw):
+        self.draw = draw
+        self.n_named = 0
+
+    def name(self, prefix: str) -> str:
+        self.n_named += 1
+        return f"{prefix}{self.n_named}"
+
+    def schema(self, depth: int):
+        kinds = ["int", "long", "boolean", "string", "double", "float", "bytes",
+                 "enum", "fixed"]
+        if depth > 0:
+            kinds += ["array", "map", "union", "record"]
+        kind = self.draw(st.sampled_from(kinds))
+        nullable = self.draw(st.booleans())
+        if kind in ("int", "long", "boolean", "string", "double", "float", "bytes"):
+            return f"{kind}*" if nullable else kind
+        if kind == "enum":
+            n = self.draw(st.integers(1, 4))
+            return {
+                "type": "enum*" if nullable else "enum",
+                "name": self.name("E"),
+                "symbols": [f"S{i}" for i in range(n)],
+            }
+        if kind == "fixed":
+            return {
+                "type": "fixed*" if nullable else "fixed",
+                "name": self.name("X"),
+                "size": self.draw(st.integers(1, 5)),
+            }
+        if kind == "array":
+            return {
+                "type": "array*" if nullable else "array",
+                "items": self.schema(depth - 1),
+            }
+        if kind == "map":
+            return {
+                "type": "map*" if nullable else "map",
+                "values": self.schema(depth - 1),
+            }
+        if kind == "union":
+            # unions: unique-by-tag branches, no immediate nesting, not
+            # nullable themselves; optional null branch first
+            branches = []
+            if self.draw(st.booleans()):
+                branches.append("null")
+            prim = self.draw(
+                st.lists(
+                    st.sampled_from(["int", "string", "double", "boolean", "bytes"]),
+                    min_size=1, max_size=3, unique=True,
+                )
+            )
+            branches.extend(prim)
+            return branches
+        n_fields = self.draw(st.integers(1, 4))
+        return {
+            "type": "record*" if nullable else "record",
+            "name": self.name("R"),
+            "fields": [
+                {"name": f"f{i}", "type": self.schema(depth - 1)}
+                for i in range(n_fields)
+            ],
+        }
+
+    # ---- conforming values --------------------------------------------
+    def value(self, node):
+        """Value for a schema dict/str as written (pre-create form)."""
+        if isinstance(node, str):
+            base = node.rstrip("*")
+            if node.endswith("*") and self.draw(st.booleans()):
+                return None
+            return self.prim(base)
+        if isinstance(node, list):  # union
+            branch = self.draw(st.sampled_from(node))
+            if branch == "null":
+                return None
+            return {branch: self.prim(branch)}
+        t = node["type"]
+        base = t.rstrip("*")
+        if t.endswith("*") and self.draw(st.booleans()):
+            return None
+        if base == "enum":
+            return self.draw(st.sampled_from(node["symbols"]))
+        if base == "fixed":
+            return bytes(
+                self.draw(
+                    st.lists(st.integers(0, 255), min_size=node["size"],
+                             max_size=node["size"])
+                )
+            )
+        if base == "array":
+            n = self.draw(st.integers(0, 3))
+            return [self.value(node["items"]) for _ in range(n)]
+        if base == "map":
+            n = self.draw(st.integers(0, 3))
+            return {
+                self.draw(_IDENT) + str(i): self.value(node["values"])
+                for i, _ in enumerate(range(n))
+            }
+        if base == "record":
+            return {f["name"]: self.value(f["type"]) for f in node["fields"]}
+        raise AssertionError(base)
+
+    def prim(self, base: str):
+        if base == "null":
+            return None
+        if base == "boolean":
+            return self.draw(st.booleans())
+        if base == "int":
+            return self.draw(st.integers(-(2**31), 2**31 - 1))
+        if base == "long":
+            return self.draw(st.integers(-(2**63), 2**63 - 1))
+        if base == "float":
+            return _f32(
+                self.draw(
+                    st.floats(allow_nan=False, allow_infinity=False, width=32)
+                )
+            )
+        if base == "double":
+            return self.draw(st.floats(allow_nan=False, allow_infinity=False))
+        if base == "string":
+            return self.draw(_TEXT)
+        if base == "bytes":
+            return bytes(self.draw(st.lists(st.integers(0, 255), max_size=8)))
+        raise AssertionError(base)
+
+
+def _root_record(gen: _Gen):
+    n_fields = gen.draw(st.integers(1, 4))
+    return {
+        "type": "record",
+        "name": "Root",
+        "fields": [
+            {"name": f"f{i}", "type": gen.schema(2)} for i in range(n_fields)
+        ],
+    }
+
+
+class TestFuzzRoundtrips:
+    @given(data=st.data())
+    @settings(max_examples=60, deadline=None)
+    def test_validate_and_codec(self, data):
+        gen = _Gen(data.draw)
+        schema_dict = _root_record(gen)
+        sch = avs.create(schema_dict)
+        value = gen.value(schema_dict)
+        norm = avs.validate(sch, value)
+        norm2 = avs.validate(sch, norm)
+        assert _deep_eq(norm, norm2), (norm, norm2)
+        blob = encode_record(sch, norm)
+        rt = encode_record(sch, decode_record(sch, blob))
+        assert blob == rt
+
+    @given(data=st.data())
+    @settings(max_examples=15, deadline=None)
+    def test_spark_flatten_unflatten_identity(self, data, spark):
+        gen = _Gen(data.draw)
+        schema_dict = _root_record(gen)
+        sch = avs.create(schema_dict)
+        cs = avs.compile(sch)
+        value = gen.value(schema_dict)
+        norm = avs.validate(sch, value)
+        row = to_row_value(sch.root, _ddt_form(norm))
+        df = spark.createDataFrame([row], sch.to_struct_type())
+        back = cs.unflatten(cs.flatten(df)).collect()[0]
+        # the input row IS the struct-form comparand (unions are tagged
+        # structs there, matching unflatten's output shape)
+        assert _deep_eq(row, back), (row, back)

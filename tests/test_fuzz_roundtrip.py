@@ -244,3 +244,69 @@ class TestFuzzRoundtrips:
         # the input row IS the struct-form comparand (unions are tagged
         # structs there, matching unflatten's output shape)
         assert _deep_eq(row, back), (row, back)
+
+
+class TestEvolutionFuzz:
+    """Random writer → mutated reader (field reorder + drop + add-with-
+    default + primitive promotions) through compile(writer, reader):
+    flatten∘unflatten must equal the mechanically-projected expected
+    value — an expectation computed independently of the resolution
+    planner."""
+
+    @given(data=st.data())
+    @settings(max_examples=15, deadline=None)
+    def test_evolution_projection(self, data, spark):
+        gen = _Gen(data.draw)
+        schema_dict = _root_record(gen)
+        writer = avs.create(schema_dict)
+        value = gen.value(schema_dict)
+        norm = avs.validate(writer, value)
+
+        # ---- mutate into a reader + compute the expected projection
+        fields = list(schema_dict["fields"])
+        rng = gen.draw
+        fields = rng(st.permutations(fields))
+        expected = {}
+        reader_fields = []
+        for pos, f in enumerate(fields):
+            # the first (post-shuffle) field is always kept so the reader
+            # never ends up empty; any other may drop
+            if pos > 0 and rng(st.booleans()):
+                continue  # drop this writer field (reader omits it)
+            t, v = f["type"], norm[f["name"]]
+            if t == "int" and rng(st.booleans()):
+                t = "long"
+            elif t == "float" and rng(st.booleans()):
+                t = "double"
+            elif t == "string" and rng(st.booleans()):
+                t, v = "bytes", (None if v is None else v.encode("utf-8"))
+            reader_fields.append({"name": f["name"], "type": t})
+            expected[f["name"]] = v
+        if rng(st.booleans()):
+            reader_fields.append({"name": "added", "type": "int", "default": 42})
+            expected["added"] = 42
+        reader_dict = {"type": "record", "name": "Root", "fields": reader_fields}
+        reader = avs.create(reader_dict)
+
+        # Directionality per the reference (record_version.lua):
+        # flatten(writer-record) → READER-layout tuple;
+        # unflatten(WRITER-layout tuple) → reader-record.
+        cs = avs.compile(writer, reader)
+        row = to_row_value(writer.root, _ddt_form(norm))
+        df = spark.createDataFrame([row], writer.to_struct_type())
+
+        # flatten: must equal the identity-flatten of the expected
+        # reader-form value
+        expected_row = to_row_value(reader.root, _ddt_form(expected))
+        expected_df = spark.createDataFrame(
+            [expected_row], reader.to_struct_type()
+        )
+        got_flat = cs.flatten(df).collect()[0]
+        want_flat = avs.compile(reader).flatten(expected_df).collect()[0]
+        assert _deep_eq(want_flat, got_flat), (want_flat, got_flat)
+
+        # unflatten: writer-layout tuple (identity-flattened writer data)
+        # → the expected reader-form record
+        writer_flat = avs.compile(writer).flatten(df)
+        back = cs.unflatten(writer_flat).collect()[0]
+        assert _deep_eq(expected_row, back), (expected_row, back)

@@ -920,6 +920,22 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands, 30-min gap) over events —
+    the backfill twin of the streaming session_window operator."""
+    from avro_spark.operators.events import sessionize_batch
+
+    ev = _read(spark, sf_dir, "events")
+    out = sessionize_batch(ev, "user_id", "ts", gap_seconds=1800)
+    return out.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "n_events",
+        F.col("session_start").cast("string").alias("session_start"),
+        F.col("session_end").cast("string").alias("session_end"),
+    )
+
+
 def q_union_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B7 interop: spark-avro's memberN union struct → our $type$-tagged
     form → flat [tag, value] cells, round-tripped back to memberN. Both
@@ -1097,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_lsh": q_cosine_lsh,
         "knn_ivf": q_knn_ivf,
+        "sessionize_batch": q_sessionize_batch,
         "union_interop": q_union_interop,
         "curate_corpus": q_curate_corpus,
         "salted_join": q_salted_join,
@@ -1529,6 +1546,26 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_id % 3 = 1 THEN value END AS v_double,
                    CASE WHEN event_id % 3 = 2 THEN event_type END AS v_str
             FROM events
+        """,
+        "sessionize_batch": """
+            WITH g AS (
+              SELECT user_id, ts,
+                     CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts), ts)
+            ), s AS (
+              SELECT user_id, ts,
+                     SUM(new_sess) OVER (PARTITION BY user_id ORDER BY epoch(ts), ts
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM g
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   COUNT(*) AS n_events,
+                   CAST(MIN(ts) AS VARCHAR) AS session_start,
+                   CAST(MAX(ts) AS VARCHAR) AS session_end
+            FROM s
+            GROUP BY user_id, session_id
         """,
         "union_interop": """
             SELECT event_id,

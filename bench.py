@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "simhash",
     "cosine_lsh",
     "knn_ivf",
+    "sessionize_batch",
     "union_interop",
     "curate_corpus",
     "salted_join",

@@ -175,12 +175,26 @@ def _compile_encoder(node: SchemaNode) -> Callable[[bytearray, Any], None]:
             )
             null_idx = 1 - t_idx
             inner = _compile_encoder(simple)
+            branch_tag = node.branch_tag(t_idx)
+            unwrap_tag_form = not isinstance(simple, Map)
             def enc_simple_union(out: bytearray, v: Any) -> None:
+                # accepts both the plain nullable value (the Spark column
+                # form for [null, T]) and the reference's record form
+                # {<tag>: value} (frontend.lua:899-919 — what validate
+                # produces). For a Map branch the plain dict wins the
+                # ambiguity: pass the tag form pre-unwrapped there.
                 if v is None or (isinstance(v, float) and v != v):
                     _write_long(out, null_idx)
-                else:
-                    _write_long(out, t_idx)
-                    inner(out, v)
+                    return
+                if (
+                    unwrap_tag_form
+                    and isinstance(v, dict)
+                    and len(v) == 1
+                    and branch_tag in v
+                ):
+                    v = v[branch_tag]
+                _write_long(out, t_idx)
+                inner(out, v)
             return enc_simple_union
         encs = [
             (node.branch_tag(i), _compile_encoder(b), isinstance(b, Primitive) and b.type == "null")

@@ -310,3 +310,73 @@ class TestEvolutionFuzz:
         writer_flat = avs.compile(writer).flatten(df)
         back = cs.unflatten(writer_flat).collect()[0]
         assert _deep_eq(expected_row, back), (expected_row, back)
+
+
+class TestXflattenFuzz:
+    """xflatten offset arithmetic fuzz: random schemas where leading
+    fields contribute mixed flat widths (union 2, record Σ, array/map 1),
+    then a random subset of primitive fields updates — each op's
+    1-based field_no must equal the mechanically-summed width prefix."""
+
+    @staticmethod
+    def _width(node_dict):
+        if isinstance(node_dict, str):
+            return 1
+        if isinstance(node_dict, list):
+            return 2  # union = [tag, value]
+        base = node_dict["type"].rstrip("*")
+        if base == "record":
+            if node_dict["type"].endswith("*"):
+                return 1  # nullable record = single VLO cell
+            return sum(
+                TestXflattenFuzz._width(f["type"]) for f in node_dict["fields"]
+            )
+        return 1  # enum/fixed/array/map occupy one cell
+
+    @given(data=st.data())
+    @settings(max_examples=15, deadline=None)
+    def test_xflatten_offsets(self, data, spark):
+        gen = _Gen(data.draw)
+        # leading ballast fields of varied width + trailing primitive
+        # update targets
+        n_ballast = gen.draw(st.integers(0, 3))
+        ballast = [
+            {"name": f"b{i}", "type": gen.schema(1)} for i in range(n_ballast)
+        ]
+        n_prims = gen.draw(st.integers(1, 3))
+        prims = [
+            {
+                "name": f"p{i}",
+                "type": gen.draw(st.sampled_from(["int", "long", "boolean", "string"])),
+            }
+            for i in range(n_prims)
+        ]
+        fields = ballast + prims
+        schema_dict = {"type": "record", "name": "Root", "fields": fields}
+        sch = avs.create(schema_dict)
+        cs = avs.compile(sch)
+
+        # expected 1-based offsets per field name
+        offsets, acc = {}, 1
+        for f in fields:
+            offsets[f["name"]] = acc
+            acc += self._width(f["type"])
+
+        present = [p for p in prims if gen.draw(st.booleans())] or [prims[0]]
+        values = {p["name"]: gen.prim(p["type"]) for p in present}
+        row_fields = ", ".join(
+            f"{p['name']} {'bigint' if p['type']=='long' else p['type']}"
+            for p in present
+        )
+        df = spark.createDataFrame(
+            [tuple(values[p["name"]] for p in present)], row_fields
+        )
+        ops = cs.xflatten(df).collect()[0]["ops"]
+        got = {o["field_no"]: (o["op"], o["value"]) for o in ops}
+        assert set(got) == {offsets[p["name"]] for p in present}, (got, offsets)
+        for p in present:
+            op, val = got[offsets[p["name"]]]
+            assert op == "="
+            v = values[p["name"]]
+            expect = str(v).lower() if isinstance(v, bool) else str(v)
+            assert val == expect, (p, val, expect)

@@ -909,6 +909,17 @@ def q_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup clustering: hyperplane-LSH cosine pairs →
+    connected components → (vec_id, cluster_id) — the vector-modality
+    twin of dedup_clusters; singletons cluster as themselves."""
+    emb = _read(spark, sf_dir, "embeddings")
+    pairs = S.cosine_lsh_pairs(emb, dim=64, num_planes=16, bands=4, threshold=0.45)
+    return D.dedup_clusters(
+        emb.select(F.col("vec_id").alias("_id")), pairs, "_id"
+    ).select(F.col("_id").alias("vec_id"), "cluster_id")
+
+
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10).select(
@@ -1112,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "cosine_lsh": q_cosine_lsh,
+        "embedding_clusters": q_embedding_clusters,
         "knn_ivf": q_knn_ivf,
         "sessionize_batch": q_sessionize_batch,
         "union_interop": q_union_interop,
@@ -1750,5 +1762,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash": _simhash_oracle(),
         "cosine_lsh": _cosine_lsh_oracle(),
+        "embedding_clusters": f"""
+            WITH RECURSIVE p AS (
+                SELECT id_a, id_b FROM ({_cosine_lsh_oracle()}) cq
+            ), edges AS (
+                SELECT id_a AS s, id_b AS d FROM p
+                UNION
+                SELECT id_b AS s, id_a AS d FROM p
+            ), reach(id, lbl) AS (
+                SELECT vec_id, vec_id FROM embeddings
+                UNION
+                SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+            )
+            SELECT id AS vec_id, min(lbl) AS cluster_id
+            FROM reach GROUP BY id
+        """,
         "knn_ivf": _knn_ivf_oracle(),
     }

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "simhash",
     "cosine_lsh",
+    "embedding_clusters",
     "knn_ivf",
     "sessionize_batch",
     "union_interop",

@@ -551,6 +551,33 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_jsonl(spark, out, sch)
 
 
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink → schema-first source = identity on supplier (flat record
+    contract; no inference scan on read)."""
+    import tempfile
+
+    from avro_spark.sources.csv import read_csv, write_csv
+
+    sup = _read(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    sch = avro_spark.create(
+        {
+            "type": "record",
+            "name": "Supplier",
+            "fields": [
+                {"name": "s_suppkey", "type": "long"},
+                {"name": "s_name", "type": ["null", "string"]},
+                {"name": "s_nationkey", "type": ["null", "long"]},
+                {"name": "s_acctbal", "type": ["null", "double"]},
+            ],
+        }
+    )
+    out = tempfile.mkdtemp(prefix="csv_")
+    write_csv(sup, out)
+    return read_csv(spark, out, sch)
+
+
 def q_compat_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 are_compatible: writer→reader verdicts over the canonical
     evolution matrix (promotions one-way, added fields need defaults,
@@ -1100,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conform": q_conform,
         "conform_errors": q_conform_errors,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "csv_roundtrip": q_csv_roundtrip,
         "compat_matrix": q_compat_matrix,
         "fingerprint": q_fingerprint,
         "flat_layout": q_flat_layout,
@@ -1452,6 +1480,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "jsonl_roundtrip": """
             SELECT doc_id, lang, text FROM documents
+        """,
+        "csv_roundtrip": """
+            SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
         """,
         # winnowing replica: same normalize → char-5-gram → portable hash
         # → 4-wide window minima → distinct+sort pipeline, in DuckDB lists

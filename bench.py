@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "avro_roundtrip",
     "avro_ocf_roundtrip",
     "conform",
+    "csv_roundtrip",
     "compat_matrix",
     "streaming_flatten",
     "text_stats",

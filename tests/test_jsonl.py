@@ -65,3 +65,46 @@ def test_failfast_raises(spark, tmp_path):
 def test_non_record_schema_rejected(spark, tmp_path):
     with pytest.raises(Exception, match="record"):
         read_jsonl(spark, str(tmp_path), avro_spark.create("int"))
+
+
+class TestCsvSource:
+    """CSV source/sink: schema-first read, flat-record gate, corrupt capture."""
+
+    def test_roundtrip(self, spark, tmp_path):
+        from avro_spark.sources.csv import read_csv, write_csv
+
+        sch = avro_spark.create({"type": "record", "name": "T", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": ["null", "string"]},
+            {"name": "score", "type": ["null", "double"]}]})
+        df = spark.createDataFrame(
+            [(1, "a", 1.5), (2, None, None), (3, "c,d", -2.0)],
+            "id long, name string, score double")
+        write_csv(df, str(tmp_path / "out"))
+        back = read_csv(spark, str(tmp_path / "out"), sch)
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    def test_nested_schema_rejected(self, spark):
+        from avro_spark.errors import AvroSparkError
+        from avro_spark.sources.csv import read_csv
+
+        sch = avro_spark.create({"type": "record", "name": "T", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "tags", "type": {"type": "array", "items": "string"}}]})
+        with pytest.raises(AvroSparkError, match="flatten"):
+            read_csv(spark, "/nonexistent", sch)
+
+    def test_failfast_on_bad_cell(self, spark, tmp_path):
+        from avro_spark.sources.csv import read_csv
+
+        p = tmp_path / "bad"
+        p.mkdir()
+        (p / "x.csv").write_text("id,name\n1,a\nnotanint,b\n")
+        sch = avro_spark.create({"type": "record", "name": "T", "fields": [
+            {"name": "id", "type": ["null", "long"]},
+            {"name": "name", "type": ["null", "string"]}]})
+        with pytest.raises(Exception):
+            read_csv(spark, str(p), sch, mode="FAILFAST").collect()
+        # PERMISSIVE nulls the bad cell instead
+        rows = read_csv(spark, str(p), sch).orderBy("name").collect()
+        assert rows[0]["id"] == 1 and rows[1]["id"] is None

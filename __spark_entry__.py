@@ -452,6 +452,28 @@ def q_array_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cs.flatten(part).toDF("p_partkey", "sizes")
 
 
+FIXED_SCHEMA = {
+    "type": "record",
+    "name": "PartF",
+    "fields": [
+        {"name": "p_partkey", "type": "long"},
+        {"name": "key4", "type": {"type": "fixed", "name": "Key4", "size": 4}},
+    ],
+}
+
+
+def q_fixed_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 fixed: 4-byte big-endian key blob through flatten's exact-length
+    check (frontend.lua:1134-1142) — wrong-length data raises; this query
+    proves the conforming path value-for-value."""
+    part = _read(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.unhex(F.lpad(F.hex(F.col("p_partkey")), 8, "0")).alias("key4"),
+    )
+    cs = avro_spark.compile(avro_spark.create(FIXED_SCHEMA))
+    return cs.flatten(part).toDF("p_partkey", "key4")
+
+
 def q_map_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B4 map value-wise promotion: map<string,int> → map<string,long>
     through the transform_values path (frontend.lua:1116-1133). Output as
@@ -1121,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union3_encode": q_union3_encode,
         "array_evolution": q_array_evolution,
         "map_evolution": q_map_evolution,
+        "fixed_passthrough": q_fixed_passthrough,
         "xflatten_update": q_xflatten_update,
         "avro_roundtrip": q_avro_roundtrip,
         "avro_ocf_roundtrip": q_avro_ocf_roundtrip,
@@ -1415,6 +1438,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey,
                    [struct_pack(key := 'h', value := CAST(p_size + 1 AS BIGINT)),
                     struct_pack(key := 'w', value := CAST(p_size AS BIGINT))] AS entries
+            FROM part
+        """,
+        "fixed_passthrough": """
+            SELECT p_partkey,
+                   unhex(lpad(hex(p_partkey), 8, '0')) AS key4
             FROM part
         """,
         "xflatten_update": """

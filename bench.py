@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "union3_encode",
     "array_evolution",
     "map_evolution",
+    "fixed_passthrough",
     "xflatten_update",
     "avro_roundtrip",
     "avro_ocf_roundtrip",

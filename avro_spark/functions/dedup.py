@@ -386,8 +386,22 @@ def dedup_clusters(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = nodes.select("id", F.col("id").alias("lbl")).localCheckpoint(eager=True)
-    prev_sum = None
+    if edges.isEmpty():
+        # no near-dup pairs at all — every node is its own cluster
+        return nodes.select(
+            F.col("id").alias(id_col), F.col("id").alias(out_col)
+        )
+    # first propagation fused into label init (min over self + neighbors)
+    # — one aggregation instead of an identity-labels checkpoint plus a
+    # separate first round
+    labels = (
+        edges.select(F.col("d").alias("id"), F.col("s").alias("lbl"))
+        .union(nodes.select("id", F.col("id").alias("lbl")))
+        .groupBy("id")
+        .agg(F.min("lbl").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
     for _ in range(max_iters):
         prop = (
             edges.join(labels, edges.s == labels.id)

@@ -783,6 +783,32 @@ def q_streaming_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_streaming_avro_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-shaped ingestion: a stream of Avro-binary payloads decoded
+    in-flight with the schema-compiled codec (the readStream →
+    from_avro(value) pattern, here over a file source and the pure-Python
+    codec since no spark-avro jar ships in this container). Bounded run =
+    the original rows — fully oracle-checkable."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from avro_spark import streaming as ST
+    from avro_spark.sources.avro_binary import from_avro_bytes, to_avro_bytes
+
+    nat = _read(spark, sf_dir, "nation")
+    sch = avro_spark.create(NATION_SCHEMA)
+    tmp = tempfile.mkdtemp(prefix="avro_stream_")
+    to_avro_bytes(nat, sch, "value").write.mode("overwrite").parquet(tmp)
+    src = ST.stream_source(spark, tmp)
+    dec = from_avro_bytes(src, "value", sch)
+    table = f"dec_{uuid.uuid4().hex[:8]}"
+    ST.run_to_memory(dec, table, output_mode="append")
+    out = spark.table(table)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint sets (k=5 char grams, w=4 windows) over
     documents — the rolling-hash partial-overlap detector; portable
@@ -1157,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hidden_fields": q_hidden_fields,
         "streaming_window": q_streaming_window,
         "streaming_flatten": q_streaming_flatten,
+        "streaming_avro_decode": q_streaming_avro_decode,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -1705,6 +1732,7 @@ def oracle_sql() -> dict[str, str]:
                    o_custkey, o_orderkey
             FROM orders
         """,
+        "streaming_avro_decode": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
         "streaming_window": """
             SELECT CAST(time_bucket(INTERVAL '10 minutes', ts) AS VARCHAR) AS window_start,
                    event_type,

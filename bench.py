@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "csv_roundtrip",
     "compat_matrix",
     "streaming_flatten",
+    "streaming_avro_decode",
     "text_stats",
     "lang_id",
     "quality_score",

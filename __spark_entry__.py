@@ -909,6 +909,19 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: documents (by doc_id order, whitespace
+    token counts) into 512-token packs — corpus → training-batch step.
+    One global group here so the oracle can replay the walk; shard-keyed
+    groups at scale (functions/packing.py)."""
+    from avro_spark.functions.packing import pack_greedy
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", X.token_count(F.col("text")).cast("long").alias("n_toks")
+    )
+    return pack_greedy(docs, "doc_id", "n_toks", budget=512)
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style repetition signals: duplicate-token fraction and
     top-bigram fraction per document."""
@@ -1193,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix": q_domain_mix,
         "corpus_stats": q_corpus_stats,
         "repetition_stats": q_repetition_stats,
+        "pack_sequences": q_pack_sequences,
         "winnow": q_winnow,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1617,6 +1631,25 @@ def oracle_sql() -> dict[str, str]:
                                      AS DOUBLE) / len(bg)
                               ELSE 0.0 END, 6) AS top_bigram_frac
             FROM b
+        """,
+        "pack_sequences": f"""
+            WITH RECURSIVE d AS (
+                SELECT doc_id,
+                       CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END AS BIGINT) AS n_toks,
+                       row_number() OVER (ORDER BY doc_id) AS rn
+                FROM documents
+            ), p(rn, doc_id, n_toks, pack_id, acc) AS (
+                SELECT rn, doc_id, n_toks, CAST(0 AS BIGINT), n_toks
+                FROM d WHERE rn = 1
+                UNION ALL
+                SELECT d.rn, d.doc_id, d.n_toks,
+                       CASE WHEN p.acc + d.n_toks > 512
+                            THEN p.pack_id + 1 ELSE p.pack_id END,
+                       CASE WHEN p.acc + d.n_toks > 512
+                            THEN d.n_toks ELSE p.acc + d.n_toks END
+                FROM d JOIN p ON d.rn = p.rn + 1
+            )
+            SELECT doc_id, n_toks AS n_tokens, pack_id FROM p
         """,
         "winnow": f"""
             WITH n AS (

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "domain_mix",
     "corpus_stats",
     "repetition_stats",
+    "pack_sequences",
     "winnow",
     "dedup_exact",
     "ngram_jaccard",

@@ -430,3 +430,25 @@ def test_curate_corpus_full_pipeline(spark):
     assert out.columns == ["doc_id", "lang", "clean_text", "quality", "split"]
     assert set(got) == {1, 3}  # 5 exact-dup'd, 2 near-dup'd, 4 lang-filtered
     assert all(r["split"] in ("train", "val", "test") for r in got.values())
+
+
+def test_pack_greedy_rules(spark):
+    from avro_spark.functions.packing import pack_greedy
+
+    rows = [(1, 200), (2, 300), (3, 20), (4, 600), (5, 100), (6, 412)]
+    df = spark.createDataFrame(rows, "id long, n long")
+    out = {r["id"]: r["pack_id"] for r in pack_greedy(df, "id", "n", budget=512).collect()}
+    # walk: 200 → p0(200); +300 → p0(500); +20 → p0(520>512)? 500+20=520>512 → p1(20)
+    # 600 oversized → p2(600); 100 → p3(100); +412 → p3(512) exactly fits
+    assert out == {1: 0, 2: 0, 3: 1, 4: 2, 5: 3, 6: 3}, out
+
+
+def test_pack_greedy_sharded_groups(spark):
+    from avro_spark.functions.packing import pack_greedy
+
+    rows = [("a", 1, 300), ("a", 2, 300), ("b", 3, 300), ("b", 4, 300)]
+    df = spark.createDataFrame(rows, "shard string, id long, n long")
+    out = pack_greedy(df, "id", "n", budget=512, group_col="shard").collect()
+    got = {(r["shard"], r["id"]): r["pack_id"] for r in out}
+    # packs number from 0 independently per shard
+    assert got == {("a", 1): 0, ("a", 2): 1, ("b", 3): 0, ("b", 4): 1}, got

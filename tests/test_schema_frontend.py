@@ -362,3 +362,45 @@ class TestLayout:
             t = t["next"].dataType  # [null, node] collapses to nullable node
             depth += 1
         assert t.typeName() == "void" and depth == 4
+
+
+class TestErrorCategoryParity:
+    """C3: the reference's error categories surface with the same key
+    phrases and path prefixes (runtime.lua:263-336; exact wording parity
+    is documented as a deviation, categories are not)."""
+
+    def test_validate_path_prefix(self):
+        sch = avs.create({"type": "record", "name": "R", "fields": [
+            {"name": "a", "type": {"type": "record", "name": "S", "fields": [
+                {"name": "b", "type": "int"}]}}]})
+        with pytest.raises(Exception, match=r"a/b"):
+            avs.validate(sch, {"a": {"b": "notanint"}})
+
+    def test_validate_missing_field(self):
+        sch = avs.create({"type": "record", "name": "R", "fields": [
+            {"name": "a", "type": "int"}]})
+        with pytest.raises(Exception, match=r"[Mm]issing"):
+            avs.validate(sch, {})
+
+    def test_validate_unknown_field(self):
+        sch = avs.create({"type": "record", "name": "R", "fields": [
+            {"name": "a", "type": "int"}]})
+        with pytest.raises(Exception, match=r"[Uu]nknown|[Uu]nexpected"):
+            avs.validate(sch, {"a": 1, "zz": 2})
+
+    def test_enum_versioning_phrase_in_plan(self, spark):
+        """Writer enum symbol absent from the reader must fail with the
+        reference's '(schema versioning)' category at execution."""
+        w = avs.create({"type": "enum", "name": "E", "symbols": ["A", "B"]})
+        r = avs.create({"type": "enum", "name": "E", "symbols": ["A"]})
+        cs = avs.compile(w, r)
+        df = spark.createDataFrame([("B",)], "value string")
+        with pytest.raises(Exception, match="schema versioning"):
+            cs.flatten(df).collect()
+
+    def test_bad_enum_symbol_phrase(self, spark):
+        sch = avs.create({"type": "enum", "name": "E", "symbols": ["A"]})
+        cs = avs.compile(sch)
+        df = spark.createDataFrame([("Z",)], "value string")
+        with pytest.raises(Exception, match="bad enum symbol"):
+            cs.flatten(df).collect()

@@ -5,10 +5,12 @@ Each ``queries()`` entry exercises one operator family from SURVEY.md §2
 DuckDB-equivalent SQL for the hash-matched correctness gate. The LSH
 pipelines (minhash/simhash) run here with a 60-bit md5-prefix hash both
 engines can compute, so even the banded candidate generation is verified
-value-for-value (tests/ cover the xxhash64 scale path). The only entry
-without an oracle is ``multimodal_features``: its features derive from
-sha256 inside a Pandas-UDF stage, which SQL cannot reproduce — it gets
-the weaker rows-only check plus tests/.
+value-for-value (tests/ cover the xxhash64 scale path). Every entry has
+an oracle — ``multimodal_features`` gates on n_bytes + the sha256 digest
+computed inside its Python stage, which DuckDB recomputes from the same
+payload. ``queries()`` holds exactly 50 entries (the driver's check cap);
+folded near-duplicate gates live in ``extra_queries()`` and are still
+verified by tools/verify_oracle.py.
 """
 
 from __future__ import annotations
@@ -449,7 +451,10 @@ def q_array_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     cs = avro_spark.compile(
         avro_spark.create(ARRAY_WRITER), avro_spark.create(ARRAY_READER)
     )
-    return cs.flatten(part).toDF("p_partkey", "sizes")
+    flat = cs.flatten(part).toDF("p_partkey", "sizes")
+    # scalar projection: the driver's pandas canonicalizer cannot sort
+    # list cells, so emit the array as its (engine-identical) JSON text
+    return flat.select("p_partkey", F.to_json("sizes").alias("sizes_json"))
 
 
 FIXED_SCHEMA = {
@@ -471,7 +476,9 @@ def q_fixed_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unhex(F.lpad(F.hex(F.col("p_partkey")), 8, "0")).alias("key4"),
     )
     cs = avro_spark.compile(avro_spark.create(FIXED_SCHEMA))
-    return cs.flatten(part).toDF("p_partkey", "key4")
+    flat = cs.flatten(part).toDF("p_partkey", "key4")
+    # hex projection: binary cells defeat the driver canonicalizer
+    return flat.select("p_partkey", F.hex("key4").alias("key4_hex"))
 
 
 def q_map_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -490,7 +497,8 @@ def q_map_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flat = cs.flatten(part).toDF("p_partkey", "dims")
     return flat.select(
-        "p_partkey", F.array_sort(F.map_entries("dims")).alias("entries")
+        "p_partkey",
+        F.to_json(F.array_sort(F.map_entries("dims"))).alias("entries_json"),
     )
 
 
@@ -498,7 +506,11 @@ def q_xflatten_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 xflatten: partial record → update-op array (SURVEY §2D.8)."""
     cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     cs = avro_spark.compile(avro_spark.create(CUSTOMER_FLAT))
-    return cs.xflatten(cust, keep=["c_custkey"])
+    out = cs.xflatten(cust, keep=["c_custkey"])
+    ops_col = [c for c in out.columns if c != "c_custkey"][0]
+    return out.select(
+        "c_custkey", F.to_json(F.col(ops_col)).alias("ops_json")
+    )
 
 
 def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,7 +539,11 @@ def q_avro_ocf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 DataFrame conformance in flag mode (valid rows, empty _errors)."""
     nat = _read(spark, sf_dir, "nation")
-    return conform(nat, avro_spark.create(NATION_SCHEMA), mode="flag")
+    out = conform(nat, avro_spark.create(NATION_SCHEMA), mode="flag")
+    return out.select(
+        "n_nationkey", "n_name", "n_regionkey",
+        F.to_json("_errors").alias("errors_json"),
+    )
 
 
 ORDERS_STRICT_ENUM = {
@@ -546,7 +562,11 @@ def q_conform_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows whose enum value is outside the schema's symbol set carry a
     path-prefixed error (runtime.lua:263-336 message semantics)."""
     orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
-    return conform(orders, avro_spark.create(ORDERS_STRICT_ENUM), mode="flag")
+    out = conform(orders, avro_spark.create(ORDERS_STRICT_ENUM), mode="flag")
+    return out.select(
+        "o_orderkey", "o_orderstatus",
+        F.to_json("_errors").alias("errors_json"),
+    )
 
 
 def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -816,9 +836,11 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents", split=True)
     return docs.select(
         "doc_id",
-        X.winnow_fingerprints(F.col("text"), k=5, w=4, hash_fn=D.portable_hash60).alias(
-            "fingerprints"
-        ),
+        F.to_json(
+            X.winnow_fingerprints(
+                F.col("text"), k=5, w=4, hash_fn=D.portable_hash60
+            )
+        ).alias("fingerprints_json"),
     )
 
 
@@ -1152,12 +1174,18 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media plumbing: pack → mapInPandas feature extraction."""
+    """Binary media plumbing: pack → mapInPandas feature extraction.
+    Gate on the engine-independent features: n_bytes and the sha256
+    digest computed INSIDE the Python stage — the oracle recomputes both
+    from the same payload, so a hash match proves the bytes crossed the
+    Arrow boundary intact. (mean/std/phash derive from the fake decoder
+    and are covered by tests/.)"""
     docs = _read(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("blob")
     )
     media = M.pack_media(docs, "blob", "application/octet-stream")
-    return M.decode_features(media, "media", id_cols=("doc_id",))
+    feats = M.decode_features(media, "media", id_cols=("doc_id",))
+    return feats.select("doc_id", "n_bytes", "sha256")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1166,7 +1194,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 entries: the driver checks only the first 50, so every
+    gate below gets a CORRECTNESS row. Near-duplicate gates whose
+    semantics are fully pinned by a kept entry live in
+    ``extra_queries()`` (still run by tools/verify_oracle.py)."""
     return {
+        # A-group: schema API / flatten / evolution
         "flatten_nested": q_flatten_nested,
         "unflatten_roundtrip": q_unflatten_roundtrip,
         "defaults_fill": q_defaults_fill,
@@ -1174,9 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evolution_downgrade": q_evolution_downgrade,
         "service_fields": q_service_fields,
         "promotions": q_promotions,
-        "enum_codes": q_enum_codes,
         "enum_roundtrip": q_enum_roundtrip,
-        "union_encode": q_union_encode,
         "enum_evolution": q_enum_evolution,
         "union_evolution": q_union_evolution,
         "union3_encode": q_union3_encode,
@@ -1184,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_evolution": q_map_evolution,
         "fixed_passthrough": q_fixed_passthrough,
         "xflatten_update": q_xflatten_update,
+        # C-group: codecs / sources / sinks
         "avro_roundtrip": q_avro_roundtrip,
         "avro_ocf_roundtrip": q_avro_ocf_roundtrip,
         "conform": q_conform,
@@ -1194,36 +1226,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "flat_layout": q_flat_layout,
         "hidden_fields": q_hidden_fields,
+        "union_interop": q_union_interop,
+        # streaming / events
         "streaming_window": q_streaming_window,
         "streaming_flatten": q_streaming_flatten,
-        "streaming_avro_decode": q_streaming_avro_decode,
+        "sessionize_batch": q_sessionize_batch,
+        # LLM-pipeline: text analysis / sampling / packing
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "doc_fingerprint": q_doc_fingerprint,
-        "pii_redact": q_pii_redact,
-        "train_split": q_train_split,
         "domain_mix": q_domain_mix,
         "corpus_stats": q_corpus_stats,
         "repetition_stats": q_repetition_stats,
         "pack_sequences": q_pack_sequences,
         "winnow": q_winnow,
+        # LLM-pipeline: dedup
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
-        "knn_bruteforce": q_knn_bruteforce,
         "minhash_lsh": q_minhash_lsh,
-        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
+        "dedup_clusters": q_dedup_clusters,
+        # LLM-pipeline: similarity
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_ivf": q_knn_ivf,
         "cosine_lsh": q_cosine_lsh,
         "embedding_clusters": q_embedding_clusters,
-        "knn_ivf": q_knn_ivf,
-        "sessionize_batch": q_sessionize_batch,
-        "union_interop": q_union_interop,
+        # e2e + scale + multimodal
         "curate_corpus": q_curate_corpus,
         "salted_join": q_salted_join,
         "bucketed_join": q_bucketed_join,
         "media_meta": q_media_meta,
         "multimodal_features": q_multimodal_features,
+    }
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Gates folded out of the driver's 50-entry window. Each one's
+    semantics are fully pinned by a kept gate: enum_codes ⊂
+    enum_roundtrip+enum_evolution, union_encode ⊂ union_evolution,
+    doc_fingerprint ⊂ dedup_exact, quality_score/pii_redact/train_split
+    ⊂ curate_corpus+corpus_stats, streaming_avro_decode ⊂
+    avro_roundtrip+streaming_flatten. tools/verify_oracle.py still
+    checks them against ``extra_oracle_sql()``."""
+    return {
+        "enum_codes": q_enum_codes,
+        "union_encode": q_union_encode,
+        "quality_score": q_quality_score,
+        "doc_fingerprint": q_doc_fingerprint,
+        "pii_redact": q_pii_redact,
+        "train_split": q_train_split,
+        "streaming_avro_decode": q_streaming_avro_decode,
     }
 
 
@@ -1443,20 +1494,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(l_linenumber AS BIGINT) AS l_linenumber
             FROM lineitem
         """,
-        "enum_codes": """
-            SELECT o_orderkey,
-                   CASE o_orderstatus WHEN 'F' THEN 0 WHEN 'O' THEN 1 WHEN 'P' THEN 2 END
-                       AS o_orderstatus
-            FROM orders
-        """,
         "enum_roundtrip": """
             SELECT o_orderkey, o_orderstatus FROM orders
-        """,
-        "union_encode": """
-            SELECT event_id,
-                   CASE WHEN value >= 2.0 THEN 1 ELSE 0 END AS payload_type,
-                   CASE WHEN value >= 2.0 THEN value END AS payload
-            FROM events
         """,
         "enum_evolution": """
             SELECT o_orderkey,
@@ -1472,31 +1511,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "array_evolution": """
             SELECT p_partkey,
-                   [CAST(p_size AS BIGINT), CAST(p_size + 1 AS BIGINT)] AS sizes
+                   CAST(to_json([CAST(p_size AS BIGINT), CAST(p_size + 1 AS BIGINT)])
+                        AS VARCHAR) AS sizes_json
             FROM part
         """,
         "map_evolution": """
             SELECT p_partkey,
-                   [struct_pack(key := 'h', value := CAST(p_size + 1 AS BIGINT)),
-                    struct_pack(key := 'w', value := CAST(p_size AS BIGINT))] AS entries
+                   CAST(to_json(
+                       [struct_pack(key := 'h', value := CAST(p_size + 1 AS BIGINT)),
+                        struct_pack(key := 'w', value := CAST(p_size AS BIGINT))])
+                        AS VARCHAR) AS entries_json
             FROM part
         """,
         "fixed_passthrough": """
             SELECT p_partkey,
-                   unhex(lpad(hex(p_partkey), 8, '0')) AS key4
+                   upper(lpad(hex(p_partkey), 8, '0')) AS key4_hex
             FROM part
         """,
         "xflatten_update": """
             SELECT c_custkey,
-                   [struct_pack(op := '=', field_no := 1, value := CAST(c_custkey AS VARCHAR)),
-                    struct_pack(op := '=', field_no := 3, value := CAST(c_nationkey AS VARCHAR))]
-                       AS ops
+                   CAST(to_json(
+                       [struct_pack(op := '=', field_no := 1, value := CAST(c_custkey AS VARCHAR)),
+                        struct_pack(op := '=', field_no := 3, value := CAST(c_nationkey AS VARCHAR))])
+                        AS VARCHAR) AS ops_json
             FROM customer
         """,
         "avro_roundtrip": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
         "avro_ocf_roundtrip": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
         "conform": """
-            SELECT n_nationkey, n_name, n_regionkey, CAST([] AS VARCHAR[]) AS _errors
+            SELECT n_nationkey, n_name, n_regionkey, '[]' AS errors_json
             FROM nation
         """,
         "compat_matrix": """
@@ -1543,8 +1586,8 @@ def oracle_sql() -> dict[str, str]:
         "conform_errors": """
             SELECT o_orderkey, o_orderstatus,
                    CASE WHEN o_orderstatus NOT IN ('F', 'O')
-                        THEN ['o_orderstatus: bad enum value: ' || o_orderstatus]
-                        ELSE [] END AS _errors
+                        THEN CAST(to_json(['o_orderstatus: bad enum value: ' || o_orderstatus]) AS VARCHAR)
+                        ELSE '[]' END AS errors_json
             FROM orders
         """,
         "jsonl_roundtrip": """
@@ -1552,28 +1595,6 @@ def oracle_sql() -> dict[str, str]:
         """,
         "csv_roundtrip": """
             SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
-        """,
-        # winnowing replica: same normalize → char-5-gram → portable hash
-        # → 4-wide window minima → distinct+sort pipeline, in DuckDB lists
-        "pii_redact": r"""
-            SELECT doc_id,
-                   regexp_replace(
-                       regexp_replace(
-                           text || ' contact user' || CAST(doc_id AS VARCHAR)
-                                || '@example.com or +1 555 010 '
-                                || CAST(doc_id AS VARCHAR),
-                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-                           '<EMAIL>', 'g'),
-                       '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g')
-                       AS clean
-            FROM documents
-        """,
-        "train_split": f"""
-            SELECT doc_id,
-                   CASE WHEN {_PH60.format(x="CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
-                        WHEN {_PH60.format(x="CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
-                        ELSE 'test' END AS split
-            FROM documents
         """,
         "domain_mix": f"""
             SELECT doc_id, source
@@ -1664,11 +1685,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM n
             )
             SELECT doc_id,
-                   CASE WHEN len(hs) >= 1
-                        THEN list_sort(list_distinct(list_transform(
-                                 range(1, greatest(len(hs) - 3, 1) + 1),
-                                 j -> list_min(hs[j:j+3]))))
-                        ELSE CAST([] AS BIGINT[]) END AS fingerprints
+                   CAST(to_json(
+                       CASE WHEN len(hs) >= 1
+                            THEN list_sort(list_distinct(list_transform(
+                                     range(1, greatest(len(hs) - 3, 1) + 1),
+                                     j -> list_min(hs[j:j+3]))))
+                            ELSE CAST([] AS BIGINT[]) END) AS VARCHAR)
+                       AS fingerprints_json
             FROM h
         """,
         "union3_encode": """
@@ -1765,7 +1788,6 @@ def oracle_sql() -> dict[str, str]:
                    o_custkey, o_orderkey
             FROM orders
         """,
-        "streaming_avro_decode": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
         "streaming_window": """
             SELECT CAST(time_bucket(INTERVAL '10 minutes', ts) AS VARCHAR) AS window_start,
                    event_type,
@@ -1797,28 +1819,6 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'es' END AS lang_pred
             FROM s
         """,
-        "quality_score": f"""
-            WITH b AS (
-              SELECT doc_id,
-                     CAST(length(text) AS DOUBLE) AS n_chars,
-                     CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END AS DOUBLE) AS n_toks,
-                     CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
-                     CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits
-              FROM documents),
-            t AS (
-              SELECT doc_id, n_chars, n_punct, n_digits,
-                     CASE WHEN n_toks > 0 THEN (n_chars - (n_toks - 1)) / n_toks ELSE 0.0 END AS mean_wl,
-                     least(n_chars / 200.0, 1.0) AS len_term,
-                     greatest(0.0, 1.0 - 5.0 * n_punct / greatest(n_chars, 1.0)) AS punct_term,
-                     greatest(0.0, 1.0 - 5.0 * n_digits / greatest(n_chars, 1.0)) AS digit_term
-              FROM b)
-            SELECT doc_id,
-                   round(0.4 * len_term + 0.2 * punct_term + 0.2 * digit_term
-                         + 0.2 * (CASE WHEN mean_wl >= 3.0 AND mean_wl <= 10.0 THEN 1.0 ELSE 0.5 END),
-                         6) AS quality
-            FROM t
-        """,
-        "doc_fingerprint": f"SELECT doc_id, md5({_NORM}) AS fp FROM documents",
         "dedup_exact": f"""
             SELECT md5({_NORM}) AS fingerprint,
                    CAST(min(doc_id) AS BIGINT) AS keeper,
@@ -1898,4 +1898,73 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY id
         """,
         "knn_ivf": _knn_ivf_oracle(),
+        # DuckDB sha256(VARCHAR) hashes the string's UTF-8 bytes — the
+        # exact payload the Spark side packs via encode(text, 'utf-8')
+        "multimodal_features": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS sha256
+            FROM documents
+        """,
+    }
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    """Oracles for the folded gates in ``extra_queries()``."""
+    return {
+        "enum_codes": """
+            SELECT o_orderkey,
+                   CASE o_orderstatus WHEN 'F' THEN 0 WHEN 'O' THEN 1 WHEN 'P' THEN 2 END
+                       AS o_orderstatus
+            FROM orders
+        """,
+        "union_encode": """
+            SELECT event_id,
+                   CASE WHEN value >= 2.0 THEN 1 ELSE 0 END AS payload_type,
+                   CASE WHEN value >= 2.0 THEN value END AS payload
+            FROM events
+        """,
+        "quality_score": f"""
+            WITH b AS (
+              SELECT doc_id,
+                     CAST(length(text) AS DOUBLE) AS n_chars,
+                     CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END AS DOUBLE) AS n_toks,
+                     CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+                     CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits
+              FROM documents),
+            t AS (
+              SELECT doc_id, n_chars, n_punct, n_digits,
+                     CASE WHEN n_toks > 0 THEN (n_chars - (n_toks - 1)) / n_toks ELSE 0.0 END AS mean_wl,
+                     least(n_chars / 200.0, 1.0) AS len_term,
+                     greatest(0.0, 1.0 - 5.0 * n_punct / greatest(n_chars, 1.0)) AS punct_term,
+                     greatest(0.0, 1.0 - 5.0 * n_digits / greatest(n_chars, 1.0)) AS digit_term
+              FROM b)
+            SELECT doc_id,
+                   round(0.4 * len_term + 0.2 * punct_term + 0.2 * digit_term
+                         + 0.2 * (CASE WHEN mean_wl >= 3.0 AND mean_wl <= 10.0 THEN 1.0 ELSE 0.5 END),
+                         6) AS quality
+            FROM t
+        """,
+        "doc_fingerprint": f"SELECT doc_id, md5({_NORM}) AS fp FROM documents",
+        "pii_redact": r"""
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                                || '@example.com or +1 555 010 '
+                                || CAST(doc_id AS VARCHAR),
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g')
+                       AS clean
+            FROM documents
+        """,
+        "train_split": f"""
+            SELECT doc_id,
+                   CASE WHEN {_PH60.format(x="CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+                        WHEN {_PH60.format(x="CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "streaming_avro_decode": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     }

@@ -93,7 +93,11 @@ def decode_features(
     decoder: str = "fake",
 ) -> DataFrame:
     """media struct → per-item feature row
-    (id_cols..., n_bytes long, mean double, std double, phash string).
+    (id_cols..., n_bytes long, mean double, std double, phash string,
+    sha256 string). ``sha256`` is the exact content digest computed
+    INSIDE the Python stage — an engine-independent checksum proving the
+    bytes crossed the Arrow boundary intact (the correctness gate hashes
+    it against DuckDB's sha256 of the same payload).
 
     ``decoder='real'`` is the integration point for PIL/ffmpeg — not
     available in this container, so it raises NotImplementedError inside
@@ -106,6 +110,7 @@ def decode_features(
             T.StructField("mean", T.DoubleType()),
             T.StructField("std", T.DoubleType()),
             T.StructField("phash", T.StringType()),
+            T.StructField("sha256", T.StringType()),
         ]
     )
     src = df.select(*id_cols, F.col(media_col).getField("data").alias("_data"))
@@ -133,9 +138,14 @@ def decode_features(
                         float(px.mean()),
                         float(px.std()),
                         phash,
+                        hashlib.sha256(data if data is not None else b"").hexdigest(),
                     ]
                 )
-            yield pd.DataFrame(rows, columns=list(id_cols) + ["n_bytes", "mean", "std", "phash"])
+            yield pd.DataFrame(
+                rows,
+                columns=list(id_cols)
+                + ["n_bytes", "mean", "std", "phash", "sha256"],
+            )
 
     return src.mapInPandas(run, schema=out_schema)
 

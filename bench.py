@@ -143,15 +143,20 @@ def _throughput_probes(spark, sf_dir: str) -> dict[str, int]:
         ),
     }
     out = {}
+    errors = {}
     for metric, (df, n) in probes.items():
         try:
             df.write.format("noop").mode("overwrite").save()
             t0 = _time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             out[metric] = round(n / (_time.perf_counter() - t0))
-        except Exception:
-            pass
-    return out
+        except Exception as ex:
+            # a failing probe must be VISIBLE in the bench output, not a
+            # silently missing key (a codec regression would otherwise
+            # make the bench look healthy)
+            out[metric] = None
+            errors[metric] = f"{type(ex).__name__}: {ex}"[:200]
+    return out, errors
 
 
 def main() -> None:
@@ -165,12 +170,15 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .appName("avro_spark-bench")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    qs = E.queries()
+    # folded near-duplicate gates still get benched — they live in
+    # extra_queries() outside the driver's 50-entry correctness window
+    qs = {**E.queries(), **getattr(E, "extra_queries", dict)()}
     # Warm then time EACH query back-to-back (mirroring the reference
     # protocol of timing warm iterations of one compiled op at a time,
     # benchmark.lua:102-123). A warm-all-then-time-all shape is wrong on
@@ -183,10 +191,15 @@ def main() -> None:
     # trees) — the min reflects the steady-state data path the warm run
     # established rather than Janino recompile noise.
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
+        # the warm-up run doubles as the cold (first-run) measurement —
+        # plan build + Janino compile + AQE included
+        t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            cold[name] = round(time.perf_counter() - t0, 3)
         except Exception:
             pass
         best = None
@@ -197,6 +210,7 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
+    cold_total = round(sum(cold.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
@@ -207,19 +221,20 @@ def main() -> None:
     # probes over the largest table (lineitem) amortize fixed job
     # overhead so the number reflects per-row transform throughput, not
     # scheduler latency on a 25-row table.
-    rows_per_sec = _throughput_probes(spark, sf_dir)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "rows_per_sec": rows_per_sec,
-                "sf": sf_val,
-            }
-        )
-    )
+    rows_per_sec, probe_errors = _throughput_probes(spark, sf_dir)
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "cold_total_sec": cold_total,
+        "queries_cold": cold,
+        "rows_per_sec": rows_per_sec,
+        "sf": sf_val,
+    }
+    if probe_errors:
+        out["probe_errors"] = probe_errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -1,0 +1,328 @@
+package avrospark;
+
+import java.nio.charset.StandardCharsets;
+import java.util.Iterator;
+import java.util.List;
+import java.util.Map;
+import java.util.concurrent.ConcurrentHashMap;
+
+import org.apache.avro.Schema;
+import org.apache.spark.sql.Row;
+import org.apache.spark.sql.RowFactory;
+import org.apache.spark.sql.api.java.UDF2;
+
+/**
+ * JVM-side Avro binary codec for avro_spark: byte-compatible with the
+ * pure-Python codec in avro_spark/sources/avro_binary.py (same zigzag
+ * varints, length-prefixed strings/bytes, single-block arrays/maps with a
+ * zero terminator, branch-indexed unions — the public Avro binary spec).
+ *
+ * Scope: records of null/boolean/int/long/float/double/string/bytes,
+ * enum, fixed, array, map, and unions of exactly {null, T} (which covers
+ * the engine's nullable-* extension — the Python side renders it as a
+ * ["null", T] union before handing the schema over). General multi-branch
+ * unions stay on the Python codec (the Python side gates on that).
+ *
+ * Row access is positional and schema-ordered: the Python wrapper builds
+ * the struct column in Avro field order, exactly like the pandas path.
+ */
+public final class AvroCodecUDF {
+
+  private static final ConcurrentHashMap<String, Schema> SCHEMAS = new ConcurrentHashMap<>();
+
+  private static Schema schemaOf(String json) {
+    return SCHEMAS.computeIfAbsent(json, j -> new Schema.Parser().parse(j));
+  }
+
+  // ------------------------------------------------------------ byte sink
+  static final class Buf {
+    byte[] a = new byte[256];
+    int n = 0;
+
+    void ensure(int extra) {
+      if (n + extra > a.length) {
+        int cap = a.length;
+        while (cap < n + extra) cap <<= 1;
+        byte[] b = new byte[cap];
+        System.arraycopy(a, 0, b, 0, n);
+        a = b;
+      }
+    }
+
+    void put(byte b) { ensure(1); a[n++] = b; }
+
+    void put(byte[] src) { ensure(src.length); System.arraycopy(src, 0, a, n, src.length); n += src.length; }
+
+    byte[] bytes() { byte[] out = new byte[n]; System.arraycopy(a, 0, out, 0, n); return out; }
+  }
+
+  static void writeVarint(Buf out, long n) {
+    while (true) {
+      long b = n & 0x7FL;
+      n >>>= 7;
+      if (n != 0) out.put((byte) (b | 0x80L));
+      else { out.put((byte) b); return; }
+    }
+  }
+
+  static void writeLong(Buf out, long v) { writeVarint(out, (v << 1) ^ (v >> 63)); }
+
+  // --------------------------------------------------------------- encode
+  @SuppressWarnings("unchecked")
+  static void encode(Buf out, Schema s, Object v) {
+    switch (s.getType()) {
+      case NULL:
+        return;
+      case BOOLEAN:
+        out.put((byte) (((Boolean) v) ? 1 : 0));
+        return;
+      case INT:
+      case LONG:
+        writeLong(out, ((Number) v).longValue());
+        return;
+      case FLOAT: {
+        int bits = Float.floatToIntBits(((Number) v).floatValue());
+        out.ensure(4);
+        out.a[out.n++] = (byte) bits;
+        out.a[out.n++] = (byte) (bits >>> 8);
+        out.a[out.n++] = (byte) (bits >>> 16);
+        out.a[out.n++] = (byte) (bits >>> 24);
+        return;
+      }
+      case DOUBLE: {
+        long bits = Double.doubleToLongBits(((Number) v).doubleValue());
+        out.ensure(8);
+        for (int i = 0; i < 8; i++) out.a[out.n++] = (byte) (bits >>> (8 * i));
+        return;
+      }
+      case STRING: {
+        byte[] raw = ((String) v).getBytes(StandardCharsets.UTF_8);
+        writeLong(out, raw.length);
+        out.put(raw);
+        return;
+      }
+      case BYTES: {
+        byte[] raw = (byte[]) v;
+        writeLong(out, raw.length);
+        out.put(raw);
+        return;
+      }
+      case FIXED: {
+        byte[] raw = (byte[]) v;
+        if (raw.length != s.getFixedSize())
+          throw new RuntimeException(
+              "bad fixed length " + raw.length + ", expected " + s.getFixedSize());
+        out.put(raw);
+        return;
+      }
+      case ENUM: {
+        int idx = s.getEnumOrdinal((String) v);
+        if (idx < 0) throw new RuntimeException("bad enum value: " + v);
+        writeLong(out, idx);
+        return;
+      }
+      case ARRAY: {
+        List<Object> items = asList(v);
+        if (!items.isEmpty()) {
+          writeLong(out, items.size());
+          Schema it = s.getElementType();
+          for (Object x : items) encode(out, it, x);
+        }
+        writeLong(out, 0);
+        return;
+      }
+      case MAP: {
+        Map<String, Object> entries = asMap(v);
+        if (!entries.isEmpty()) {
+          writeLong(out, entries.size());
+          Schema vt = s.getValueType();
+          for (Map.Entry<String, Object> e : entries.entrySet()) {
+            byte[] raw = e.getKey().getBytes(StandardCharsets.UTF_8);
+            writeLong(out, raw.length);
+            out.put(raw);
+            encode(out, vt, e.getValue());
+          }
+        }
+        writeLong(out, 0);
+        return;
+      }
+      case RECORD: {
+        Row row = (Row) v;
+        List<Schema.Field> fields = s.getFields();
+        for (int i = 0; i < fields.size(); i++)
+          encode(out, fields.get(i).schema(), row.isNullAt(i) ? null : row.get(i));
+        return;
+      }
+      case UNION: {
+        int nullIdx = nullBranch(s);
+        if (v == null) { writeLong(out, nullIdx); return; }
+        int valIdx = 1 - nullIdx;
+        writeLong(out, valIdx);
+        encode(out, s.getTypes().get(valIdx), v);
+        return;
+      }
+      default:
+        throw new RuntimeException("jvm codec cannot encode " + s.getType());
+    }
+  }
+
+  /** index of the null branch in a {null, T} union; rejects other shapes */
+  static int nullBranch(Schema union) {
+    List<Schema> ts = union.getTypes();
+    if (ts.size() == 2) {
+      if (ts.get(0).getType() == Schema.Type.NULL) return 0;
+      if (ts.get(1).getType() == Schema.Type.NULL) return 1;
+    }
+    throw new RuntimeException("jvm codec supports only {null, T} unions");
+  }
+
+  @SuppressWarnings("unchecked")
+  static List<Object> asList(Object v) {
+    if (v instanceof List) return (List<Object>) v;
+    if (v instanceof scala.collection.Seq)
+      return scala.jdk.javaapi.CollectionConverters.asJava((scala.collection.Seq<Object>) v);
+    if (v instanceof Object[]) return java.util.Arrays.asList((Object[]) v);
+    throw new RuntimeException("unexpected array value " + v.getClass());
+  }
+
+  @SuppressWarnings("unchecked")
+  static Map<String, Object> asMap(Object v) {
+    if (v instanceof Map) return (Map<String, Object>) v;
+    if (v instanceof scala.collection.Map)
+      return scala.jdk.javaapi.CollectionConverters.asJava((scala.collection.Map<String, Object>) v);
+    throw new RuntimeException("unexpected map value " + v.getClass());
+  }
+
+  // --------------------------------------------------------------- decode
+  static final class Cursor {
+    final byte[] buf;
+    int pos = 0;
+    Cursor(byte[] b) { buf = b; }
+  }
+
+  static long readLong(Cursor c) {
+    long acc = 0;
+    int shift = 0;
+    while (true) {
+      byte b = c.buf[c.pos++];
+      acc |= (long) (b & 0x7F) << shift;
+      if ((b & 0x80) == 0) break;
+      shift += 7;
+    }
+    return (acc >>> 1) ^ -(acc & 1);
+  }
+
+  static Object decode(Cursor c, Schema s) {
+    switch (s.getType()) {
+      case NULL:
+        return null;
+      case BOOLEAN:
+        return c.buf[c.pos++] != 0;
+      case INT:
+        return (int) readLong(c);
+      case LONG:
+        return readLong(c);
+      case FLOAT: {
+        int bits = (c.buf[c.pos] & 0xFF)
+            | (c.buf[c.pos + 1] & 0xFF) << 8
+            | (c.buf[c.pos + 2] & 0xFF) << 16
+            | (c.buf[c.pos + 3] & 0xFF) << 24;
+        c.pos += 4;
+        return Float.intBitsToFloat(bits);
+      }
+      case DOUBLE: {
+        long bits = 0;
+        for (int i = 0; i < 8; i++) bits |= (long) (c.buf[c.pos + i] & 0xFF) << (8 * i);
+        c.pos += 8;
+        return Double.longBitsToDouble(bits);
+      }
+      case STRING: {
+        int n = (int) readLong(c);
+        String out = new String(c.buf, c.pos, n, StandardCharsets.UTF_8);
+        c.pos += n;
+        return out;
+      }
+      case BYTES: {
+        int n = (int) readLong(c);
+        byte[] out = new byte[n];
+        System.arraycopy(c.buf, c.pos, out, 0, n);
+        c.pos += n;
+        return out;
+      }
+      case FIXED: {
+        int n = s.getFixedSize();
+        byte[] out = new byte[n];
+        System.arraycopy(c.buf, c.pos, out, 0, n);
+        c.pos += n;
+        return out;
+      }
+      case ENUM:
+        return s.getEnumSymbols().get((int) readLong(c));
+      case ARRAY: {
+        java.util.ArrayList<Object> out = new java.util.ArrayList<>();
+        Schema it = s.getElementType();
+        while (true) {
+          long n = readLong(c);
+          if (n == 0) return out;
+          if (n < 0) { n = -n; readLong(c); /* skip block byte size */ }
+          for (long i = 0; i < n; i++) out.add(decode(c, it));
+        }
+      }
+      case MAP: {
+        java.util.LinkedHashMap<String, Object> out = new java.util.LinkedHashMap<>();
+        Schema vt = s.getValueType();
+        while (true) {
+          long n = readLong(c);
+          if (n == 0) return out;
+          if (n < 0) { n = -n; readLong(c); }
+          for (long i = 0; i < n; i++) {
+            int klen = (int) readLong(c);
+            String k = new String(c.buf, c.pos, klen, StandardCharsets.UTF_8);
+            c.pos += klen;
+            out.put(k, decode(c, vt));
+          }
+        }
+      }
+      case RECORD: {
+        List<Schema.Field> fields = s.getFields();
+        Object[] vals = new Object[fields.size()];
+        for (int i = 0; i < fields.size(); i++) vals[i] = decode(c, fields.get(i).schema());
+        return RowFactory.create(vals);
+      }
+      case UNION: {
+        int idx = (int) readLong(c);
+        Schema branch = s.getTypes().get(idx);
+        if (branch.getType() == Schema.Type.NULL) return null;
+        return decode(c, branch);
+      }
+      default:
+        throw new RuntimeException("jvm codec cannot decode " + s.getType());
+    }
+  }
+
+  // ----------------------------------------------------------- UDF fronts
+  /** (schemaJson, struct row) → Avro binary bytes */
+  public static final class Encode implements UDF2<String, Row, byte[]> {
+    @Override
+    public byte[] call(String schemaJson, Row row) {
+      Buf out = new Buf();
+      encode(out, schemaOf(schemaJson), row);
+      return out.bytes();
+    }
+  }
+
+  /** (schemaJson, Avro binary bytes) → struct row; rejects trailing bytes */
+  public static final class Decode implements UDF2<String, byte[], Row> {
+    @Override
+    public Row call(String schemaJson, byte[] blob) {
+      Cursor c = new Cursor(blob);
+      Row out = (Row) decode(c, schemaOf(schemaJson));
+      if (c.pos != blob.length)
+        throw new RuntimeException(
+            "trailing bytes after Avro value: " + (blob.length - c.pos));
+      return out;
+    }
+  }
+
+  private AvroCodecUDF() {}
+}

@@ -1,0 +1,250 @@
+"""JVM-side Avro binary codec (compiled Java UDF).
+
+The container ships no spark-avro module jar, but it does ship the Apache
+Avro Java library (``avro-1.12.1.jar`` on Spark's classpath) and a JDK —
+so the hot codec path can still run JVM-side: ``AvroCodecUDF.java`` is
+compiled once with ``javac`` against the pyspark distribution jars, packed
+into a jar under ``build/``, attached to the *live* session with
+``ADD JAR`` and registered via ``registerJavaFunction``. No Python worker,
+no Arrow transfer — the encode/decode loop runs next to Tungsten rows.
+
+Byte-compatibility contract with the pure-Python codec
+(sources/avro_binary.py): identical output for every schema shape except
+maps, where entry iteration order may differ between a Python dict and the
+Scala map Spark hands the JVM UDF (both decode to the same value — Avro
+map order is not semantically significant).
+
+Scope: everything except general (non-``{null, T}``) unions and the
+``any`` extension type — those stay on the Python codec; callers use
+:func:`jvm_codec_supported` to route (``engine="auto"`` in
+``to_avro_bytes`` / ``from_avro_bytes``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import subprocess
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..errors import CompileError
+from ..schema import Schema
+from ..schema.nodes import (
+    Array,
+    Enum,
+    Fixed,
+    Map,
+    NamedNode,
+    Primitive,
+    Record,
+    SchemaNode,
+    UnionNode,
+)
+from ..schema.spark_types import union_null_and_one
+
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_PKG_DIR, "AvroCodecUDF.java")
+_BUILD = os.path.join(_PKG_DIR, "build")
+_JAR = os.path.join(_BUILD, "avro-codec-udf.jar")
+
+_ENC_FN = "avsp_jvm_encode"
+
+
+class JvmUnsupported(CompileError):
+    """Schema shape the JVM codec does not handle (caller falls back)."""
+
+
+# ------------------------------------------------- standard Avro JSON form
+def plain_avro_json(node: SchemaNode, _built: Optional[set[str]] = None) -> object:
+    """Render the schema AST as STANDARD Avro JSON for the Java parser:
+    the engine's nullable ``*`` extension becomes a ``["null", T]`` union
+    (exactly how the byte codec encodes it), nonstandard attributes
+    (hidden, extras) are dropped, repeated named types become name
+    references. Raises :class:`JvmUnsupported` on general unions."""
+    if _built is None:
+        _built = set()
+    if node.nullable:
+        import copy
+
+        stripped = copy.copy(node)
+        stripped.nullable = False
+        return ["null", plain_avro_json(stripped, _built)]
+    if isinstance(node, Primitive):
+        if node.type == "any":
+            raise JvmUnsupported("'any' type stays on the Python codec")
+        return node.type
+    if isinstance(node, UnionNode):
+        if union_null_and_one(node) is None:
+            raise JvmUnsupported("general unions stay on the Python codec")
+        return [plain_avro_json(b, _built) for b in node.branches]
+    if isinstance(node, NamedNode):
+        if node.fullname in _built:
+            return node.fullname
+        _built.add(node.fullname)
+        out: dict = {"type": node.type, "name": node.name}
+        if node.namespace:
+            out["namespace"] = node.namespace
+        if isinstance(node, Record):
+            out["fields"] = [
+                {"name": f.name, "type": plain_avro_json(f.type, _built)}
+                for f in node.fields
+            ]
+        elif isinstance(node, Enum):
+            out["symbols"] = list(node.symbols)
+        elif isinstance(node, Fixed):
+            out["size"] = node.size
+        return out
+    if isinstance(node, Array):
+        return {"type": "array", "items": plain_avro_json(node.items, _built)}
+    if isinstance(node, Map):
+        return {"type": "map", "values": plain_avro_json(node.values, _built)}
+    raise JvmUnsupported(f"cannot render {node!r}")
+
+
+def jvm_codec_supported(schema: Schema) -> bool:
+    """True when the schema is inside the JVM codec's scope."""
+    try:
+        plain_avro_json(schema.root)
+        return True
+    except JvmUnsupported:
+        return False
+
+
+# ------------------------------------------------------------- jar build
+def _pyspark_jars() -> str:
+    import pyspark
+
+    return os.path.join(os.path.dirname(pyspark.__file__), "jars")
+
+
+def ensure_jar() -> Optional[str]:
+    """Compile AvroCodecUDF.java into build/avro-codec-udf.jar (once;
+    rebuilt when the source is newer). Returns the jar path, or None when
+    no JDK is available."""
+    if os.path.exists(_JAR) and os.path.getmtime(_JAR) >= os.path.getmtime(_SRC):
+        return _JAR
+    classes = os.path.join(_BUILD, "classes")
+    os.makedirs(classes, exist_ok=True)
+    cp = os.path.join(_pyspark_jars(), "*")
+    try:
+        subprocess.run(
+            ["javac", "-cp", cp, "-d", classes, _SRC],
+            check=True, capture_output=True, text=True,
+        )
+        subprocess.run(
+            ["jar", "cf", _JAR, "-C", classes, "."],
+            check=True, capture_output=True, text=True,
+        )
+    except (OSError, subprocess.CalledProcessError):
+        return None
+    return _JAR
+
+
+# ---------------------------------------------------------- registration
+# (applicationId, udf name) pairs already registered on a live JVM
+_registered: set[tuple[str, str]] = set()
+
+
+def _attach(spark: SparkSession) -> bool:
+    jar = ensure_jar()
+    if jar is None:
+        return False
+    key = (spark.sparkContext.applicationId, "__jar__")
+    if key not in _registered:
+        spark.sql(f"ADD JAR '{jar}'")
+        _registered.add(key)
+    return True
+
+
+def jvm_codec_available(spark: SparkSession) -> bool:
+    """True when the compiled codec jar could be built and attached."""
+    try:
+        return _attach(spark)
+    except Exception:
+        return False
+
+
+def _register_encode(spark: SparkSession) -> str:
+    app = spark.sparkContext.applicationId
+    if (app, _ENC_FN) not in _registered:
+        spark.udf.registerJavaFunction(
+            _ENC_FN, "avrospark.AvroCodecUDF$Encode", T.BinaryType()
+        )
+        _registered.add((app, _ENC_FN))
+    return _ENC_FN
+
+
+def _register_decode(spark: SparkSession, schema: Schema, json_str: str) -> str:
+    fp = hashlib.md5(json_str.encode()).hexdigest()[:12]
+    name = f"avsp_jvm_decode_{fp}"
+    app = spark.sparkContext.applicationId
+    if (app, name) not in _registered:
+        spark.udf.registerJavaFunction(
+            name, "avrospark.AvroCodecUDF$Decode", schema.to_struct_type()
+        )
+        _registered.add((app, name))
+    return name
+
+
+def _relaxed(dt: T.DataType) -> T.DataType:
+    """Same type shape with every nullability flag set True and field
+    metadata dropped (cast targets must not be stricter than the data)."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [T.StructField(f.name, _relaxed(f.dataType), True) for f in dt.fields]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_relaxed(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_relaxed(dt.keyType), _relaxed(dt.valueType), True)
+    return dt
+
+
+# ------------------------------------------------------------ public API
+def to_avro_bytes_jvm(df: DataFrame, schema: Schema, column: str = "avro") -> DataFrame:
+    """Record-shaped DataFrame → Avro-binary column, fully JVM-side."""
+    import json
+
+    root = schema.root
+    if not isinstance(root, Record):
+        raise CompileError("to_avro_bytes requires a record schema")
+    spark = df.sparkSession
+    if not _attach(spark):
+        raise JvmUnsupported("no JDK available to build the codec jar")
+    json_str = json.dumps(plain_avro_json(root))
+    fn = _register_encode(spark)
+    spark_t = schema.to_struct_type()
+    # cast each column to the schema's Spark type so the Java side sees
+    # exactly the boxed types it expects (e.g. int column vs long field);
+    # nullability is relaxed — Spark refuses nullable→non-null casts and
+    # the codec checks nulls itself
+    struct_col = F.struct(
+        *[
+            F.col(f.name).cast(_relaxed(f.dataType)).alias(f.name)
+            for f in spark_t.fields
+        ]
+    )
+    return df.select(F.call_udf(fn, F.lit(json_str), struct_col).alias(column))
+
+
+def from_avro_bytes_jvm(df: DataFrame, column: str, schema: Schema) -> DataFrame:
+    """Avro-binary column → record-shaped DataFrame, fully JVM-side."""
+    import json
+
+    root = schema.root
+    if not isinstance(root, Record):
+        raise CompileError("from_avro_bytes requires a record schema")
+    spark = df.sparkSession
+    if not _attach(spark):
+        raise JvmUnsupported("no JDK available to build the codec jar")
+    json_str = json.dumps(plain_avro_json(root))
+    fn = _register_decode(spark, schema, json_str)
+    spark_t = schema.to_struct_type()
+    decoded = df.select(F.call_udf(fn, F.lit(json_str), F.col(column)).alias("r"))
+    return decoded.select(
+        *[F.col(f"r.`{f.name}`").alias(f.name) for f in spark_t.fields]
+    )

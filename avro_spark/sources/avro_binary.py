@@ -388,9 +388,24 @@ def decode_record(schema: Schema, blob: bytes) -> Any:
     return v
 
 
-def to_avro_bytes(df: DataFrame, schema: Schema, column: str = "avro") -> DataFrame:
+def to_avro_bytes(
+    df: DataFrame, schema: Schema, column: str = "avro", engine: str = "auto"
+) -> DataFrame:
     """Record-shaped DataFrame → single Avro-binary column (the ``to_avro``
-    surface; ≙ reference flatten_msgpack output leg)."""
+    surface; ≙ reference flatten_msgpack output leg).
+
+    ``engine``: ``"auto"`` routes through the compiled JVM codec
+    (avro_spark.jvm) when the schema is in its scope and a JDK is
+    available — no Python worker on the hot path; ``"python"`` forces the
+    Arrow-batched pandas UDF; ``"jvm"`` forces the JVM codec (raises if
+    unavailable)."""
+    if engine != "python":
+        from .. import jvm as J
+
+        if engine == "jvm":
+            return J.to_avro_bytes_jvm(df, schema, column)
+        if J.jvm_codec_supported(schema) and J.jvm_codec_available(df.sparkSession):
+            return J.to_avro_bytes_jvm(df, schema, column)
     from ..util import ensure_workers
 
     ensure_workers(df.sparkSession)
@@ -419,9 +434,18 @@ def to_avro_bytes(df: DataFrame, schema: Schema, column: str = "avro") -> DataFr
     return df.select(_encode(struct_col).alias(column))
 
 
-def from_avro_bytes(df: DataFrame, column: str, schema: Schema) -> DataFrame:
+def from_avro_bytes(
+    df: DataFrame, column: str, schema: Schema, engine: str = "auto"
+) -> DataFrame:
     """Avro-binary column → record-shaped DataFrame (the ``from_avro``
-    surface)."""
+    surface). ``engine`` as in :func:`to_avro_bytes`."""
+    if engine != "python":
+        from .. import jvm as J
+
+        if engine == "jvm":
+            return J.from_avro_bytes_jvm(df, column, schema)
+        if J.jvm_codec_supported(schema) and J.jvm_codec_available(df.sparkSession):
+            return J.from_avro_bytes_jvm(df, column, schema)
     from ..util import ensure_workers
 
     ensure_workers(df.sparkSession)
@@ -432,7 +456,11 @@ def from_avro_bytes(df: DataFrame, column: str, schema: Schema) -> DataFrame:
     # columnar lists — pandas builds a DataFrame from columns ~1.8×
     # faster than from a list of per-row dicts.
     decs = [_compile_decoder(f.type) for f in root.fields]
-    spark_t = schema.to_struct_type()
+    # declare the UDF return type METADATA-FREE: to_struct_type() pins
+    # enum symbols / fixed sizes in field metadata, and the Arrow schema
+    # check rejects a pandas_udf whose declared type carries metadata the
+    # arriving batch (necessarily) lacks
+    spark_t = _strip_metadata(schema.to_struct_type())
     names = [f.name for f in spark_t.fields]
 
     @pandas_udf(spark_t)
@@ -453,6 +481,28 @@ def from_avro_bytes(df: DataFrame, column: str, schema: Schema) -> DataFrame:
 
     decoded = df.select(_decode(F.col(column)).alias("r"))
     return decoded.select(*[F.col(f"r.`{f.name}`").alias(f.name) for f in spark_t.fields])
+
+
+def _strip_metadata(dt):
+    """Recursive copy of a Spark DataType without field metadata."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _strip_metadata(f.dataType), f.nullable)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_strip_metadata(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _strip_metadata(dt.keyType),
+            _strip_metadata(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
 
 
 def native_avro_available(spark) -> bool:

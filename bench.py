@@ -137,8 +137,18 @@ def _throughput_probes(spark, sf_dir: str) -> dict[str, int]:
         "unflatten_rows_per_sec": (cs.unflatten(flat), n_li),
         "validate_rows_per_sec": (conform(nested, sch), n_li),
         "evolution_rows_per_sec": (cs_evo.flatten(nested), n_li),
+        # the gated path: engine="auto" routes through the compiled JVM
+        # codec (avro_spark/jvm) when available — adds ~0 over the
+        # scan+shuffle floor; the Python fallback is probed separately
         "avro_codec_rows_per_sec": (
             from_avro_bytes(to_avro_bytes(nested_par, sch, "b"), "b", sch),
+            n_li,
+        ),
+        "avro_codec_python_rows_per_sec": (
+            from_avro_bytes(
+                to_avro_bytes(nested_par, sch, "b", engine="python"),
+                "b", sch, engine="python",
+            ),
             n_li,
         ),
     }

@@ -1,0 +1,178 @@
+"""JVM (compiled Java UDF) Avro codec: byte parity with the Python codec,
+cross-engine decode equality, auto-routing, and fallback scope.
+
+Reference parity note: the byte format is the public Avro binary spec —
+the same bytes the reference's msgpack leg would carry re-expressed as
+Avro (BASELINE.json C1); these tests pin the two engines to EACH OTHER.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import avro_spark
+from avro_spark import jvm as J
+from avro_spark.sources.avro_binary import from_avro_bytes, to_avro_bytes
+
+ZOO = {
+    "type": "record",
+    "name": "Zoo",
+    "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "b", "type": "int"},
+        {"name": "c", "type": "double"},
+        {"name": "d", "type": "float"},
+        {"name": "e", "type": "boolean"},
+        {"name": "f", "type": "string"},
+        {"name": "g", "type": "bytes"},
+        {"name": "h", "type": {"type": "fixed", "name": "F4", "size": 4}},
+        {"name": "i", "type": {"type": "enum", "name": "E", "symbols": ["X", "Y", "Z"]}},
+        {"name": "j", "type": {"type": "array", "items": "long"}},
+        {"name": "k", "type": ["null", "string"]},
+        {"name": "l", "type": "string*"},
+        {
+            "name": "m",
+            "type": {
+                "type": "record",
+                "name": "Sub",
+                "fields": [
+                    {"name": "x", "type": "int"},
+                    {"name": "y", "type": ["null", "double"]},
+                ],
+            },
+        },
+    ],
+}
+
+ROWS = [
+    (1, 2, 3.5, 4.5, True, "héllo", b"\x01\x02", b"ABCD", "Y", [1, 2, 3], "opt", None, (7, 1.25)),
+    (-9, -3, -0.0, 0.0, False, "", b"", b"\x00\x00\x00\x00", "X", [], None, "tag", (0, None)),
+    (2**62, 0, 1e300, -1.5, True, "a\nb", b"\xff", b"zzzz", "Z", [0], "s", "t", (-1, 0.0)),
+]
+
+
+@pytest.fixture(scope="module")
+def zoo_df(spark):
+    s = avro_spark.create(ZOO)
+    return s, spark.createDataFrame(ROWS, s.to_struct_type())
+
+
+def _jvm_ready(spark):
+    return J.jvm_codec_available(spark)
+
+
+def test_byte_parity_with_python_codec(spark, zoo_df):
+    if not _jvm_ready(spark):
+        pytest.skip("no JDK")
+    s, df = zoo_df
+    bj = sorted(r.b for r in to_avro_bytes(df, s, "b", engine="jvm").collect())
+    bp = sorted(r.b for r in to_avro_bytes(df, s, "b", engine="python").collect())
+    assert bj == bp
+
+
+def test_cross_engine_decode(spark, zoo_df):
+    if not _jvm_ready(spark):
+        pytest.skip("no JDK")
+    s, df = zoo_df
+    enc_j = to_avro_bytes(df, s, "b", engine="jvm")
+    enc_p = to_avro_bytes(df, s, "b", engine="python")
+    outs = [
+        from_avro_bytes(enc_j, "b", s, engine="python").collect(),
+        from_avro_bytes(enc_p, "b", s, engine="jvm").collect(),
+        from_avro_bytes(enc_j, "b", s, engine="jvm").collect(),
+    ]
+    canon = [sorted(map(str, o)) for o in outs]
+    assert canon[0] == canon[1] == canon[2]
+    assert len(outs[0]) == len(ROWS)
+
+
+def test_map_roundtrip_jvm(spark):
+    if not _jvm_ready(spark):
+        pytest.skip("no JDK")
+    sm = avro_spark.create(
+        {
+            "type": "record",
+            "name": "M",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "mm", "type": {"type": "map", "values": "int"}},
+            ],
+        }
+    )
+    df = spark.createDataFrame([(1, {"a": 1, "b": 2}), (2, {})], sm.to_struct_type())
+    rt = from_avro_bytes(
+        to_avro_bytes(df, sm, "b", engine="jvm"), "b", sm, engine="jvm"
+    ).collect()
+    assert sorted((r.id, dict(r.mm)) for r in rt) == [(1, {"a": 1, "b": 2}), (2, {})]
+
+
+def test_auto_routes_jvm_no_python_stage(spark, zoo_df):
+    """engine='auto' on a supported schema must produce a plan with NO
+    Python evaluation stage (the whole point: JVM-side hot path)."""
+    if not _jvm_ready(spark):
+        pytest.skip("no JDK")
+    s, df = zoo_df
+    enc = to_avro_bytes(df, s, "b", engine="auto")
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    dec = from_avro_bytes(enc, "b", s, engine="auto")
+    plan = dec._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_auto_falls_back_on_general_union(spark):
+    """3-branch unions are out of JVM scope: auto must still work (via
+    the Python codec) and roundtrip correctly."""
+    sch = avro_spark.create(
+        {
+            "type": "record",
+            "name": "U",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "u", "type": ["null", "double", "string"]},
+            ],
+        }
+    )
+    assert not J.jvm_codec_supported(sch)
+    df = spark.createDataFrame(
+        [(1, (1, 2.5, None)), (2, (2, None, "x")), (3, (0, None, None))],
+        sch.to_struct_type(),
+    )
+    out = from_avro_bytes(to_avro_bytes(df, sch, "b", engine="auto"), "b", sch, engine="auto")
+    got = {
+        r.id: (r.u["$type$"], r.u["double"], r.u["string"]) if r.u is not None else None
+        for r in out.collect()
+    }
+    # the null branch decodes to a plain NULL cell (not a tagged struct)
+    assert got == {1: (1, 2.5, None), 2: (2, None, "x"), 3: None}
+
+
+def test_python_decode_enum_fixed_metadata(spark):
+    """Regression: enum/fixed field metadata from to_struct_type() used to
+    break the pandas_udf Arrow schema check in the PYTHON decode path."""
+    sch = avro_spark.create(
+        {
+            "type": "record",
+            "name": "EF",
+            "fields": [
+                {"name": "x", "type": "long"},
+                {"name": "e", "type": {"type": "enum", "name": "E2", "symbols": ["A", "B"]}},
+                {"name": "f", "type": {"type": "fixed", "name": "FX", "size": 2}},
+            ],
+        }
+    )
+    df = spark.createDataFrame([(1, "A", b"ab"), (2, "B", b"cd")], sch.to_struct_type())
+    out = from_avro_bytes(
+        to_avro_bytes(df, sch, "b", engine="python"), "b", sch, engine="python"
+    ).collect()
+    assert sorted((r.x, r.e, bytes(r.f)) for r in out) == [(1, "A", b"ab"), (2, "B", b"cd")]
+
+
+def test_plain_avro_json_rendering():
+    s = avro_spark.create(ZOO)
+    j = J.plain_avro_json(s.root)
+    assert j["name"] == "Zoo"
+    by_name = {f["name"]: f["type"] for f in j["fields"]}
+    assert by_name["l"] == ["null", "string"]  # nullable ext -> standard union
+    assert by_name["k"] == ["null", "string"]
+    assert by_name["h"] == {"type": "fixed", "name": "F4", "size": 4}

@@ -934,14 +934,20 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing: documents (by doc_id order, whitespace
     token counts) into 512-token packs — corpus → training-batch step.
-    One global group here so the oracle can replay the walk; shard-keyed
-    groups at scale (functions/packing.py)."""
+    SHARD-KEYED (8 hash buckets of doc_id): each shard packs
+    independently in one applyInPandas task — the scale-safe shape (a
+    single global group would serialize the whole corpus through one
+    task); the oracle replays the greedy walk per shard."""
     from avro_spark.functions.packing import pack_greedy
 
     docs = _read(spark, sf_dir, "documents").select(
-        "doc_id", X.token_count(F.col("text")).cast("long").alias("n_toks")
+        F.pmod(D.portable_hash60(F.col("doc_id").cast("string")), F.lit(8))
+        .cast("int")
+        .alias("shard"),
+        "doc_id",
+        X.token_count(F.col("text")).cast("long").alias("n_toks"),
     )
-    return pack_greedy(docs, "doc_id", "n_toks", budget=512)
+    return pack_greedy(docs, "doc_id", "n_toks", budget=512, group_col="shard")
 
 
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1655,22 +1661,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pack_sequences": f"""
             WITH RECURSIVE d AS (
-                SELECT doc_id,
+                SELECT CAST({_PH60.format(x="CAST(doc_id AS VARCHAR)")} % 8 AS INTEGER) AS shard,
+                       doc_id,
                        CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END AS BIGINT) AS n_toks,
-                       row_number() OVER (ORDER BY doc_id) AS rn
+                       row_number() OVER (
+                           PARTITION BY {_PH60.format(x="CAST(doc_id AS VARCHAR)")} % 8
+                           ORDER BY doc_id) AS rn
                 FROM documents
-            ), p(rn, doc_id, n_toks, pack_id, acc) AS (
-                SELECT rn, doc_id, n_toks, CAST(0 AS BIGINT), n_toks
+            ), p(shard, rn, doc_id, n_toks, pack_id, acc) AS (
+                SELECT shard, rn, doc_id, n_toks, CAST(0 AS BIGINT), n_toks
                 FROM d WHERE rn = 1
                 UNION ALL
-                SELECT d.rn, d.doc_id, d.n_toks,
+                SELECT d.shard, d.rn, d.doc_id, d.n_toks,
                        CASE WHEN p.acc + d.n_toks > 512
                             THEN p.pack_id + 1 ELSE p.pack_id END,
                        CASE WHEN p.acc + d.n_toks > 512
                             THEN d.n_toks ELSE p.acc + d.n_toks END
-                FROM d JOIN p ON d.rn = p.rn + 1
+                FROM d JOIN p ON d.shard = p.shard AND d.rn = p.rn + 1
             )
-            SELECT doc_id, n_toks AS n_tokens, pack_id FROM p
+            SELECT shard, doc_id, n_toks AS n_tokens, pack_id FROM p
         """,
         "winnow": f"""
             WITH n AS (

@@ -371,7 +371,11 @@ def dedup_clusters(
     labels only ever decrease, so Σlbl is strictly monotone until the
     fixed point — comparing one scalar sum per round replaces a
     join-the-two-label-frames change check (one cheap aggregate over the
-    just-checkpointed frame instead of an extra join job).
+    just-checkpointed frame instead of an extra join job). The sum runs
+    as decimal(38,0): ids at 100 TB are arbitrary 63-bit hashes, and a
+    bigint Σ over billions of them overflows (ANSI mode would abort the
+    run mid-flight; non-ANSI could wrap onto the previous sum and stop
+    early with wrong clusters).
     ``localCheckpoint`` truncates the lineage so the plan stays O(1) per
     round instead of growing exponentially — without it Catalyst
     re-analyzes an ever-deepening tree and a 20-round run stops scaling
@@ -401,7 +405,8 @@ def dedup_clusters(
         .agg(F.min("lbl").alias("lbl"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    _lbl_sum = F.sum(F.col("lbl").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_lbl_sum).first()[0]
     for _ in range(max_iters):
         prop = (
             edges.join(labels, edges.s == labels.id)
@@ -411,7 +416,7 @@ def dedup_clusters(
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint(eager=True)
         )
-        cur_sum = prop.agg(F.sum("lbl")).first()[0]
+        cur_sum = prop.agg(_lbl_sum).first()[0]
         labels = prop
         if cur_sum == prev_sum:
             break

@@ -23,7 +23,18 @@ def sessionize_batch(
     session starts when the gap to the previous event of the same user
     exceeds ``gap_seconds``. session_id numbers sessions per user from 0
     in time order — a pure function of the data, so replays and the SQL
-    oracle agree exactly."""
+    oracle agree exactly.
+
+    Accepts timestamp (incl. NTZ) ts columns, or bigint nanoseconds
+    (older driver parquet read with nanosAsLong): a bare bigint→timestamp
+    cast would interpret nanos as SECONDS and produce silently wrong
+    session boundaries, so integer ts gets the same timestamp_micros
+    conversion the streaming path applies."""
+    src_type = dict(events.dtypes).get(ts_col)
+    if src_type in ("bigint", "long", "int"):
+        events = events.withColumn(
+            ts_col, F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
+        )
     secs = F.col(ts_col).cast("timestamp").cast("double")
     w = Window.partitionBy(user_col).orderBy(secs, ts_col)
     new_sess = (

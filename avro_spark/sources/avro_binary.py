@@ -85,14 +85,20 @@ def _compile_encoder(node: SchemaNode) -> Callable[[bytearray, Any], None]:
     """Closure-tree encoder (the Spark-side analogue of the reference's
     generated flatten_msgpack codec, init.lua:271-381)."""
     if node.nullable:
-        inner = _compile_encoder(_strip_nullable(node))
+        stripped = _strip_nullable(node)
+        inner = _compile_encoder(stripped)
+        nan_is_null = _pandas_null_is_nan(stripped)
 
         def enc_nullable(out: bytearray, v: Any) -> None:
             # nullable extension encodes as union [null, T]: branch index.
-            # NaN doubles as null too — pandas represents a null float
-            # cell as NaN, and the positional encode path has no
-            # normalization pass to map it back.
-            if v is None or (isinstance(v, float) and v != v):
+            # For NUMERIC branches a NaN cell is pandas' representation of
+            # null (Arrow→pandas turns nullable int/long/float/double
+            # columns into float64 with NaN) and encodes as null — the
+            # documented ambiguity: a genuine NaN payload in a nullable
+            # double column cannot round-trip. Non-numeric branches keep
+            # NaN as-is so malformed input errors instead of silently
+            # nulling.
+            if v is None or (nan_is_null and isinstance(v, float) and v != v):
                 _write_long(out, 0)
             else:
                 _write_long(out, 1)
@@ -176,14 +182,18 @@ def _compile_encoder(node: SchemaNode) -> Callable[[bytearray, Any], None]:
             null_idx = 1 - t_idx
             inner = _compile_encoder(simple)
             branch_tag = node.branch_tag(t_idx)
-            unwrap_tag_form = not isinstance(simple, Map)
+            # Map and Record branches are ambiguous with the single-entry
+            # tag form {<tag>: value}: the plain dict wins — pass the tag
+            # form pre-unwrapped for those branches.
+            unwrap_tag_form = not isinstance(simple, (Map, Record))
+            nan_is_null = _pandas_null_is_nan(simple)
             def enc_simple_union(out: bytearray, v: Any) -> None:
                 # accepts both the plain nullable value (the Spark column
                 # form for [null, T]) and the reference's record form
                 # {<tag>: value} (frontend.lua:899-919 — what validate
-                # produces). For a Map branch the plain dict wins the
-                # ambiguity: pass the tag form pre-unwrapped there.
-                if v is None or (isinstance(v, float) and v != v):
+                # produces). NaN-as-null only for numeric branches (see
+                # enc_nullable).
+                if v is None or (nan_is_null and isinstance(v, float) and v != v):
                     _write_long(out, null_idx)
                     return
                 if (
@@ -205,8 +215,9 @@ def _compile_encoder(node: SchemaNode) -> Callable[[bytearray, Any], None]:
             # two input shapes: the engine's tagged struct
             # {$type$: i, <tag>: value} (Spark column form) and the
             # reference's record form {<tag>: value} single-entry map
-            # (frontend.lua:899-919 — what validate produces)
-            if v is None or (isinstance(v, float) and v != v):
+            # (frontend.lua:899-919 — what validate produces). A general
+            # union cell is a struct, never a float — no NaN-as-null here.
+            if v is None:
                 for i, (_tag, _e, is_null) in enumerate(encs):
                     if is_null:
                         _write_long(out, i)
@@ -215,7 +226,13 @@ def _compile_encoder(node: SchemaNode) -> Callable[[bytearray, Any], None]:
             if UNION_TAG in v:
                 i = int(v[UNION_TAG])
             else:
-                (tagname, _val), = dict(v).items()
+                entries = dict(v)
+                if len(entries) != 1:
+                    raise AvroSparkError(
+                        f"bad union value: expected a single-entry tag form, "
+                        f"got {sorted(entries)}"
+                    )
+                (tagname, _val), = entries.items()
                 if tagname not in tag_index:
                     raise AvroSparkError(f"bad union tag: {tagname}")
                 i = tag_index[tagname]
@@ -225,6 +242,14 @@ def _compile_encoder(node: SchemaNode) -> Callable[[bytearray, Any], None]:
                 enc(out, v[tag])
         return enc_union
     raise CompileError(f"cannot encode {node!r}")
+
+
+def _pandas_null_is_nan(node: SchemaNode) -> bool:
+    """True for branch types whose pandas column form represents null as
+    NaN (Arrow→pandas maps nullable numeric columns to float64+NaN)."""
+    return isinstance(node, Primitive) and node.type in (
+        "int", "long", "float", "double"
+    )
 
 
 def _strip_nullable(node: SchemaNode) -> SchemaNode:

@@ -106,6 +106,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.2,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All id pairs (a < b) with word-``n``-gram Jaccard ≥ threshold.
 
@@ -113,10 +114,18 @@ def ngram_jaccard_pairs(
     shingle, distinct candidate pairs, verify with exact Jaccard. Result is
     identical to the naive all-pairs formulation for any threshold > 0
     (pairs sharing no shingle have Jaccard 0) but shuffles on shingle keys
-    instead of materializing n² pairs. For 100 TB add a document-frequency
-    cap on shingles (drop shingles appearing in >F docs) — a standard
-    recall-preserving-in-practice optimization left off here to keep the
-    semantics oracle-exact.
+    instead of materializing n² pairs.
+
+    ``max_doc_freq``: the 100 TB skew guard. A shingle appearing in F
+    documents contributes F² join rows; boilerplate shingles ("all rights
+    reserved") turn the self-join quadratic. With the cap set, shingles whose
+    document frequency exceeds it are dropped from *candidate generation
+    only* — candidate pairs are then verified against the FULL shingle
+    arrays, so every reported Jaccard score is still exact; the only
+    possible difference is missing a pair whose shared shingles are all
+    boilerplate (such pairs are overwhelmingly below any useful threshold —
+    see tests/test_pipeline_ops.py recall check). Leave ``None`` for
+    oracle-exact semantics.
     """
     docs = df.select(
         F.col(id_col).cast("long").alias("_id"),
@@ -130,6 +139,42 @@ def ngram_jaccard_pairs(
     inv = docs.select("_id", F.explode("_sh").alias("_g")).select(
         "_id", F.xxhash64("_g").alias("_g")
     )
+    if max_doc_freq is not None:
+        # Candidate generation only: drop boilerplate shingles whose document
+        # frequency exceeds the cap (each contributes df² join rows), then
+        # verify surviving candidate pairs against the FULL shingle arrays so
+        # reported scores stay exact. One extra aggregate on the same
+        # shuffle key the join uses; the anti-join is a cheap (long, long)
+        # sort-merge on _g.
+        hot = (
+            inv.groupBy("_g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_doc_freq)
+            .select("_g")
+        )
+        inv_c = inv.join(hot, on="_g", how="left_anti")
+        cand = (
+            inv_c.alias("l")
+            .join(inv_c.alias("r"), on="_g")
+            .where(F.col("l._id") < F.col("r._id"))
+            .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+            .distinct()
+        )
+        return (
+            cand.join(
+                docs.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sa")),
+                "id_a",
+            )
+            .join(
+                docs.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sb")),
+                "id_b",
+            )
+            .select(
+                "id_a", "id_b",
+                jaccard(F.col("_sa"), F.col("_sb")).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
     # Shingle arrays are distinct-element, so counting join hits per pair IS
     # |A∩B| — no array-intersect verification pass needed; the per-pair
     # aggregate is map-side combined and the only other state joined back is

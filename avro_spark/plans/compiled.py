@@ -156,7 +156,9 @@ class CompiledSchema:
             )
         n = len(self.service_fields)
         cells = [F.col(f"`{c}`") for c in df.columns[n:]]
-        fields = unflatten_field_exprs(self.plan, cells, self.validate)
+        # flat-cell indices in runtime error messages are 1-based and count
+        # the leading service cells (reference location rendering)
+        fields = unflatten_field_exprs(self.plan, cells, self.validate, base=n + 1)
         return df.select(*[expr.alias(name) for name, expr in fields])
 
     def xflatten(

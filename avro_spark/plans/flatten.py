@@ -52,13 +52,27 @@ from ..schema.spark_types import UNION_TAG, to_spark_type, union_null_and_one
 from .resolution import FieldSource, Resolved
 
 
-def _checked(value: Column, cond: Column, msg: str, node: SchemaNode, validate: bool) -> Column:
+def _checked(value: Column, cond: Column, msg, node: SchemaNode, validate: bool) -> Column:
     """Guard ``value`` with a data-dependent assertion. ``assert_true``
-    evaluates to NULL (then coalesce falls through to value) or raises."""
+    evaluates to NULL (then coalesce falls through to value) or raises.
+    ``msg`` may be a Column so messages can render the offending value the
+    way the reference runtime does (runtime.lua:263-336)."""
     if not validate:
         return value
-    guard = F.assert_true(cond, F.lit(msg)).cast(to_spark_type(node))
+    guard = F.assert_true(cond, F.lit(msg) if isinstance(msg, str) else msg)
+    guard = guard.cast(to_spark_type(node))
     return F.coalesce(guard, value)
+
+
+def _bad_value(v: Column, versioning: bool = False, loc: str = "",
+               quote: bool = True) -> Column:
+    """runtime.lua err_value rendering: ``{loc}Bad value: {v}{tag}`` — string
+    values %q-quoted, numeric values bare, ' (schema versioning)' appended
+    when the value is writer-valid but unmappable to the reader."""
+    tag = " (schema versioning)" if versioning else ""
+    if quote:
+        return F.concat(F.lit(f'{loc}Bad value: "'), v.cast("string"), F.lit(f'"{tag}'))
+    return F.concat(F.lit(f"{loc}Bad value: "), v.cast("string"), F.lit(tag))
 
 
 def _simple_union(node: SchemaNode) -> Optional[SchemaNode]:
@@ -141,18 +155,31 @@ def convert_expr(plan: Resolved, src: Column, validate: bool = True,
         return src.cast(to_spark_type(plan.reader))
     if kind == "enum":
         # symbols match by name; writer symbols absent from the reader are a
-        # runtime versioning error (frontend.lua:1199-1229)
+        # runtime versioning error (frontend.lua:1199-1229). Message parity
+        # with runtime.lua err_value: a symbol outside the WRITER schema is
+        # plain 'Bad value: "X"'; a writer-valid symbol with no reader
+        # mapping appends ' (schema versioning)'.
         reader: Enum = plan.reader  # type: ignore[assignment]
-        valid = [s for s, o in zip(plan.writer.symbols, plan.children["i2o"]) if o is not None]
-        if len(valid) == len(plan.writer.symbols):
+        writer_e: Enum = plan.writer  # type: ignore[assignment]
+        valid = [s for s, o in zip(writer_e.symbols, plan.children["i2o"]) if o is not None]
+        if len(valid) == len(writer_e.symbols):
             return src
-        cond = src.isNull() | src.isin(*valid) if valid else src.isNull()
-        return _checked(src, cond, f"enum value not in reader schema (schema versioning): {reader.fullname}", reader, validate)
+        ver_cond = src.isNull() | src.isin(*valid) if valid else src.isNull()
+        checked = _checked(src, ver_cond, _bad_value(src, versioning=True), reader, validate)
+        # the writer-membership guard evaluates FIRST (outermost coalesce arg)
+        # against the original column, so a symbol foreign to both schemas
+        # reports plain 'Bad value', not a versioning error
+        w_cond = src.isNull() | src.isin(*writer_e.symbols)
+        return _checked(checked, w_cond, _bad_value(src), reader, validate)
     if kind == "fixed":
         fx: Fixed = plan.reader  # type: ignore[assignment]
+        # runtime.lua err_length rendering
+        msg = F.concat(
+            F.lit(f"Expecting BIN of length {fx.size}. Encountered BIN of length "),
+            F.length(src).cast("string"), F.lit("."),
+        )
         return _checked(
-            src, src.isNull() | (F.length(src) == fx.size),
-            f"bad fixed length, expected {fx.size}", fx, validate,
+            src, src.isNull() | (F.length(src) == fx.size), msg, fx, validate,
         )
     if kind == "array":
         item_plan = plan.children["items"]
@@ -310,9 +337,19 @@ def _union_parts(plan: Resolved, src: Column, validate: bool,
             tag_expr = F.when(w_tag == i, F.lit(j)).otherwise(tag_expr)
             v = _wrap_union_value(reader, convert_expr(p, branch_src, validate, _seen), j)
             val_expr = F.when(w_tag == i, v).otherwise(val_expr) if val_expr is not None else F.when(w_tag == i, v)
+        # record-form input: an unmapped writer branch renders the
+        # reference's 'Unknown key: "tag" (schema versioning)'
+        # (runtime.lua err_value iskerror path; union_versions.lua:46)
+        msg: Column = F.lit("union branch not in reader schema (schema versioning)")
+        for i, hit in enumerate(branches):
+            if hit is None:
+                msg = F.when(
+                    w_tag == i,
+                    F.lit(f'Unknown key: "{writer.branch_tag(i)}" (schema versioning)'),
+                ).otherwise(msg)
         tag_expr = _checked(
             tag_expr, src.isNull() | tag_expr.isNotNull(),
-            "union branch not in reader schema (schema versioning)", Primitive("int"), validate,
+            msg, Primitive("int"), validate,
         )
         if val_expr is None:
             val_expr = F.lit(None)
@@ -449,9 +486,11 @@ def _enum_code(node: Enum, symbol: Column, validate: bool) -> Column:
     for i, s in enumerate(node.symbols):
         pairs += [F.lit(s), F.lit(i)]
     code = F.element_at(F.create_map(*pairs), symbol)
+    # runtime.lua err_value: a symbol outside the schema renders
+    # 'Bad value: "X"' (enum.lua:65)
     return _checked(
         code, symbol.isNull() | code.isNotNull(),
-        f"bad enum symbol for {node.fullname}", Primitive("int"), validate,
+        _bad_value(symbol), Primitive("int"), validate,
     )
 
 
@@ -528,10 +567,13 @@ def unflatten_field_exprs(
     plan: Resolved,
     cells: list[Column],
     validate: bool = True,
+    base: int = 1,
 ) -> list[tuple[str, Column]]:
     """Top-level reader fields (name, expr) from writer-layout flat cells
     (compiler.lua:770-800 unflatten semantics; hidden fields omitted,
-    compiler.lua:783-789)."""
+    compiler.lua:783-789). ``base`` is the 1-based flat index of the first
+    data cell (service fields shift it) so runtime errors can render the
+    reference's ``N: `` cell-location prefix (runtime.lua extract_location)."""
     assert plan.kind == "record"
     writer: Record = plan.writer  # type: ignore[assignment]
     slices = {f.name: (start, w) for f, start, w in field_cell_slices(writer)}
@@ -544,23 +586,34 @@ def unflatten_field_exprs(
             out.append((rf.name, lit_for(rf.type, rf.default if rf.has_default else None)))
             continue
         start, w = slices[s.writer_field.name]
-        out.append((rf.name, _unflatten_value(s.plan, cells[start : start + w], validate)))
+        out.append((rf.name, _unflatten_value(s.plan, cells[start : start + w], validate, base + start)))
     return out
 
 
-def _unflatten_value(plan: Resolved, cells: list[Column], validate: bool) -> Column:
+def _unflatten_value(plan: Resolved, cells: list[Column], validate: bool,
+                     pos: int = 1) -> Column:
     kind = plan.kind
+    loc = f"{pos}: "
     if kind in ("copy", "promote", "fixed"):
         assert len(cells) == 1
         return convert_expr(plan, cells[0], validate)
     if kind == "enum":
-        # flat cell carries the writer's int code → reader symbol string
+        # flat cell carries the writer's int code → reader symbol string.
+        # runtime.lua err_value: code outside the writer's range is plain
+        # '1: Bad value: 5'; writer-valid but unmapped appends
+        # ' (schema versioning)' (enum_versions.lua:72)
         writer: Enum = plan.writer  # type: ignore[assignment]
         reader: Enum = plan.reader  # type: ignore[assignment]
-        sym = _enum_symbol(writer, cells[0], plan.children["i2o"], reader)
+        code = cells[0]
+        sym = _enum_symbol(writer, code, plan.children["i2o"], reader)
+        checked = _checked(
+            sym, code.isNull() | sym.isNotNull(),
+            _bad_value(code, versioning=True, loc=loc, quote=False),
+            reader, validate,
+        )
+        w_cond = code.isNull() | ((code >= 0) & (code < len(writer.symbols)))
         return _checked(
-            sym, cells[0].isNull() | sym.isNotNull(),
-            f"enum code not in reader schema (schema versioning): {reader.fullname}",
+            checked, w_cond, _bad_value(code, loc=loc, quote=False),
             reader, validate,
         )
     if kind in ("array", "map"):
@@ -582,7 +635,7 @@ def _unflatten_value(plan: Resolved, cells: list[Column], validate: bool) -> Col
                 parts.append(lit_for(rf.type, rf.default if rf.has_default else None).alias(rf.name))
             else:
                 f, start, w = slices[s.writer_index]
-                parts.append(_unflatten_value(s.plan, cells[start : start + w], validate).alias(rf.name))
+                parts.append(_unflatten_value(s.plan, cells[start : start + w], validate, pos + start).alias(rf.name))
         return F.struct(*parts)
     if kind in ("union", "from_union"):
         # writer union occupies two cells [tag, value]
@@ -591,12 +644,38 @@ def _unflatten_value(plan: Resolved, cells: list[Column], validate: bool) -> Col
         writer = plan.writer
         reader = plan.reader
         w_simple = _simple_union(writer)
+        if validate and w_simple is None:
+            w_tag = _guard_flat_union_tag(plan, w_tag, loc, validate)
         src = w_val if w_simple is not None else _rebuild_union_struct(writer, w_tag, w_val)
         return _convert_union(plan, src, validate)
     if kind == "to_union":
         assert len(cells) == 1
         return _convert_union(plan, cells[0], validate)
     raise CompileError(f"cannot unflatten plan kind {kind}")
+
+
+def _guard_flat_union_tag(plan: Resolved, w_tag: Column, loc: str,
+                          validate: bool) -> Column:
+    """Flat-form union tag checks with the reference's renderings
+    (runtime.lua err_value over the tag cell): out-of-range tags are plain
+    '1: Bad value: 3' (union.lua:160), writer-valid tags whose branch has no
+    reader mapping append ' (schema versioning)' (union_versions.lua:87)."""
+    writer: UnionNode = plan.writer  # type: ignore[assignment]
+    branches = plan.children["branches"]
+    unmapped = [i for i, hit in enumerate(branches) if hit is None]
+    checked = w_tag
+    if unmapped:
+        ver_cond = w_tag.isNull() | ~w_tag.isin(*unmapped)
+        checked = _checked(
+            checked, ver_cond,
+            _bad_value(w_tag, versioning=True, loc=loc, quote=False),
+            Primitive("int"), validate,
+        )
+    range_cond = w_tag.isNull() | ((w_tag >= 0) & (w_tag < len(writer.branches)))
+    return _checked(
+        checked, range_cond, _bad_value(w_tag, loc=loc, quote=False),
+        Primitive("int"), validate,
+    )
 
 
 def _rebuild_union_struct(writer: UnionNode, tag: Column, val: Column) -> Column:

@@ -84,6 +84,33 @@ def _err(msg: str, path: tuple) -> CompatibilityError:
     return CompatibilityError(f"{loc}: {msg}" if loc else msg)
 
 
+def _qname(n: SchemaNode) -> str:
+    """Qualified representative name for incompatibility messages
+    (frontend.lua:94-100 qname): type name, named types by name, with the
+    ``*`` nullability suffix."""
+    if isinstance(n, NamedNode):
+        base = n.fullname
+    elif isinstance(n, UnionNode):
+        base = "union"
+    else:
+        base = n.type
+    return base + ("*" if n.nullable else "")
+
+
+def _pair_frame(writer: SchemaNode, reader: SchemaNode) -> str:
+    """Error-path component for a writer/reader node pair — the reference's
+    build_ir_error stack rendering (frontend.lua:1239-1269): ``<union>``,
+    ``<array>``/``<map>`` for unnamed complex nodes, the name (or
+    ``(from aka to)`` when they differ) for named types."""
+    if isinstance(writer, UnionNode) or isinstance(reader, UnionNode):
+        return "<union>"
+    if isinstance(writer, NamedNode) and isinstance(reader, NamedNode):
+        if writer.fullname != reader.fullname:
+            return f"({writer.fullname} aka {reader.fullname})"
+        return writer.fullname
+    return f"<{writer.type}>"
+
+
 def _names_match(writer: NamedNode, reader: NamedNode, downgrade: bool) -> bool:
     """Named types match on equal (unqualified) name, or via aliases — reader
     aliases in normal mode, writer aliases in downgrade mode
@@ -96,6 +123,14 @@ def _names_match(writer: NamedNode, reader: NamedNode, downgrade: bool) -> bool:
 
 def _is_null(n: SchemaNode) -> bool:
     return isinstance(n, Primitive) and n.type == "null"
+
+
+def _is_complex(n: SchemaNode) -> bool:
+    """Complex (table-typed in the reference) nodes: a failed resolution of a
+    complex branch pair carries its own rendered error, which the union
+    propagates instead of the generic 'No common types'
+    (frontend.lua:1068-1080)."""
+    return not isinstance(n, Primitive)
 
 
 def resolve(
@@ -117,13 +152,14 @@ def resolve(
     if memo_key in _memo:
         return _memo[memo_key]
     # nullability wrapper: writer-null must be representable in the reader
+    # (reference: complex_types_may_match rejects nullable→non-nullable,
+    # frontend.lua:718-721, rendered as a type incompatibility)
     if writer.nullable and not (
         reader.nullable
         or (isinstance(reader, UnionNode) and any(_is_null(b) for b in reader.branches))
     ):
         raise _err(
-            f"nullable {writer.type_name()} cannot be read as non-nullable {reader.type_name()}",
-            path,
+            f"Types incompatible: {_qname(writer)} and {_qname(reader)}", path,
         )
 
     if isinstance(writer, UnionNode) or isinstance(reader, UnionNode):
@@ -134,42 +170,47 @@ def resolve(
             return Resolved("copy", writer, reader)
         if reader.type in PROMOTIONS.get(writer.type, ()):
             return Resolved("promote", writer, reader)
-        raise _err(f"{writer.type} is not compatible with {reader.type}", path)
+        # 'Types incompatible' errors exclude the mismatching pair itself
+        # from the path (build_ir_error offset=1, frontend.lua:1094-1102)
+        raise _err(f"Types incompatible: {_qname(writer)} and {_qname(reader)}", path)
 
     if isinstance(writer, Enum) and isinstance(reader, Enum):
         if not _names_match(writer, reader, downgrade):
-            raise _err(f"enum name mismatch: {writer.fullname} vs {reader.fullname}", path)
+            raise _err(f"Types incompatible: {_qname(writer)} and {_qname(reader)}", path)
         reader_idx = reader.symbol_index()
         i2o = [reader_idx.get(sym) for sym in writer.symbols]  # None → versioning error
         if all(x is None for x in i2o):
             # compile-time error, not a per-row versioning error
             # (incompatible_enum.lua: "No common symbols")
-            raise _err(f"{writer.fullname}: No common symbols", path)
+            raise _err("No common symbols", path + (_pair_frame(writer, reader),))
         return Resolved("enum", writer, reader, {"i2o": i2o})
 
     if isinstance(writer, Fixed) and isinstance(reader, Fixed):
         if not _names_match(writer, reader, downgrade):
-            raise _err(f"fixed name mismatch: {writer.fullname} vs {reader.fullname}", path)
+            raise _err(f"Types incompatible: {_qname(writer)} and {_qname(reader)}", path)
         if writer.size != reader.size:
-            raise _err(f"fixed size mismatch: {writer.size} vs {reader.size}", path)
+            raise _err(
+                f"Size mismatch: {writer.size} vs {reader.size}",
+                path + (_pair_frame(writer, reader),),
+            )
         return Resolved("fixed", writer, reader)
 
     if isinstance(writer, Array) and isinstance(reader, Array):
         return Resolved(
             "array", writer, reader,
-            {"items": resolve(writer.items, reader.items, downgrade, path + ("items",), _memo)},
+            {"items": resolve(writer.items, reader.items, downgrade, path + ("<array>",), _memo)},
         )
 
     if isinstance(writer, Map) and isinstance(reader, Map):
         return Resolved(
             "map", writer, reader,
-            {"values": resolve(writer.values, reader.values, downgrade, path + ("values",), _memo)},
+            {"values": resolve(writer.values, reader.values, downgrade, path + ("<map>",), _memo)},
         )
 
     if isinstance(writer, Record) and isinstance(reader, Record):
         return _resolve_record(writer, reader, downgrade, path, _memo)
 
-    raise _err(f"{writer.type_name()} is not compatible with {reader.type_name()}", path)
+    raise _err(f"Types incompatible: {_qname(writer)} and {_qname(reader)}", path)
 
 
 def _field_matches(wf: Field, rf: Field, downgrade: bool) -> bool:
@@ -184,7 +225,7 @@ def _field_matches(wf: Field, rf: Field, downgrade: bool) -> bool:
 def _resolve_record(writer: Record, reader: Record, downgrade: bool, path: tuple,
                     _memo: dict) -> Resolved:
     if not _names_match(writer, reader, downgrade):
-        raise _err(f"record name mismatch: {writer.fullname} vs {reader.fullname}", path)
+        raise _err(f"Types incompatible: {_qname(writer)} and {_qname(reader)}", path)
     # register before recursing so cyclic references resolve to this plan
     out = Resolved("record", writer, reader, {"sources": []})
     _memo[(id(writer), id(reader))] = out
@@ -200,14 +241,20 @@ def _resolve_record(writer: Record, reader: Record, downgrade: bool, path: tuple
 def _fill_record_sources(writer: Record, reader: Record, downgrade: bool,
                          path: tuple, _memo: dict,
                          sources: list) -> None:
+    rec_frame = _pair_frame(writer, reader)
     for rf in reader.fields:
         wi = next(
             (i for i, wf in enumerate(writer.fields) if _field_matches(wf, rf, downgrade)),
             None,
         )
         if wi is not None:
-            plan = resolve(writer.fields[wi].type, rf.type, downgrade, path + (rf.name,), _memo)
-            sources.append(FieldSource(rf, writer.fields[wi], wi, plan))
+            wf = writer.fields[wi]
+            # record frames append the current field name — or
+            # '(from aka to)' when an alias matched (frontend.lua:1255-1263)
+            field_frame = rf.name if wf.name == rf.name else f"({wf.name} aka {rf.name})"
+            plan = resolve(wf.type, rf.type, downgrade,
+                           path + (rec_frame, field_frame), _memo)
+            sources.append(FieldSource(rf, wf, wi, plan))
         elif rf.has_default:
             sources.append(FieldSource(rf, None, None, None))
         elif rf.type.nullable or (
@@ -216,8 +263,9 @@ def _fill_record_sources(writer: Record, reader: Record, downgrade: bool,
             sources.append(FieldSource(rf, None, None, None))  # → null
         else:
             raise _err(
-                f"field {rf.name} is missing from the writer schema and has no default",
-                path,
+                f"Field {rf.name} is missing in source schema, "
+                "and no default value was provided",
+                path + (rec_frame,),
             )
 
 
@@ -225,17 +273,21 @@ def _resolve_union(writer: SchemaNode, reader: SchemaNode, downgrade: bool,
                    path: tuple, _memo: Optional[dict] = None) -> Resolved:
     if _memo is None:
         _memo = {}
+    upath = path + ("<union>",)
     if isinstance(writer, UnionNode) and isinstance(reader, UnionNode):
         # per writer branch: the first reader branch it resolves to
         branch_plans: list[Optional[tuple[int, Resolved]]] = []
+        inner_err: Optional[CompatibilityError] = None
         for i, wb in enumerate(writer.branches):
             hit: Optional[tuple[int, Resolved]] = None
             # exact-tag match first, then promotion (frontend.lua:1046-1083)
             for exact in (True, False):
                 for j, rb in enumerate(reader.branches):
                     try:
-                        p = resolve(wb, rb, downgrade, path + (writer.branch_tag(i),), _memo)
-                    except CompatibilityError:
+                        p = resolve(wb, rb, downgrade, upath, _memo)
+                    except CompatibilityError as e:
+                        if _is_complex(wb):
+                            inner_err = e
                         continue
                     if exact and p.kind not in ("copy", "record", "enum", "fixed", "array", "map"):
                         continue
@@ -245,32 +297,40 @@ def _resolve_union(writer: SchemaNode, reader: SchemaNode, downgrade: bool,
                     break
             branch_plans.append(hit)  # None → runtime versioning error
         if all(p is None for p in branch_plans):
-            raise _err("no union branches are compatible", path)
+            # propagate a complex branch pair's own error if one was built,
+            # else the union-level verdict (frontend.lua:1078-1080)
+            raise inner_err or _err("No common types", upath)
         return Resolved("union", writer, reader, {"branches": branch_plans})
 
     if isinstance(writer, UnionNode):
         # union → non-union: each writer branch read as the reader type;
         # unmatched branches raise at runtime
         branch_plans = []
+        inner_err = None
         for i, wb in enumerate(writer.branches):
             try:
-                branch_plans.append((0, resolve(wb, reader, downgrade, path + (writer.branch_tag(i),), _memo)))
-            except CompatibilityError:
+                branch_plans.append((0, resolve(wb, reader, downgrade, upath, _memo)))
+            except CompatibilityError as e:
+                if _is_complex(wb):
+                    inner_err = e
                 branch_plans.append(None)
         if all(p is None for p in branch_plans):
-            raise _err(f"union is not compatible with {reader.type_name()}", path)
+            raise inner_err or _err("No common types", upath)
         return Resolved("from_union", writer, reader, {"branches": branch_plans})
 
     assert isinstance(reader, UnionNode)
     # non-union → union: first compatible reader branch gets a constant tag
     # (compiler.lua:628-633)
+    inner_err = None
     for j, rb in enumerate(reader.branches):
         try:
-            p = resolve(writer, rb, downgrade, path, _memo)
-        except CompatibilityError:
+            p = resolve(writer, rb, downgrade, upath, _memo)
+        except CompatibilityError as e:
+            if _is_complex(writer) and _is_complex(rb):
+                inner_err = e
             continue
         return Resolved("to_union", writer, reader, {"branch": (j, p)})
-    raise _err(f"{writer.type_name()} is not compatible with the union", path)
+    raise inner_err or _err("No common types", upath)
 
 
 # ------------------------------------------------------------------ caching

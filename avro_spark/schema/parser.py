@@ -49,6 +49,23 @@ _NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 _NAMED_KINDS = ("record", "enum", "fixed")
 
 
+def lua_str(v: Any) -> str:
+    """Render a JSON scalar the way Lua ``tostring`` does — the reference
+    interpolates raw user values into error messages via tostring
+    (frontend.lua copy_schema_error call sites), so exact message parity
+    needs the same rendering: ``true``/``false``/``nil``, integral floats
+    without the trailing ``.0``."""
+    if v is None:
+        return "nil"
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
+    if isinstance(v, float):
+        return str(int(v)) if v.is_integer() and abs(v) < 1e15 else repr(v)
+    return str(v)
+
+
 def _is_valid_name(s: str) -> bool:
     return bool(_NAME_RE.match(s))
 
@@ -154,12 +171,15 @@ class SchemaParser:
         if isinstance(raw, dict):
             t = raw.get("type")
             if t is None:
-                raise self._err("Must have a 'type'", path)
+                # frontend.lua:296 'Must have a "type"'
+                raise self._err('Must have a "type"', path)
             if isinstance(t, (list, dict)) and len(raw) == 1:
                 # {"type": <complex>} wrapper → unwrap
                 return self._parse(t, path, enclosing_ns, enclosing_records, setter)
             if not isinstance(t, str):
-                raise self._err("Invalid Avro schema", path)
+                # reference tostrings the type then falls through to the
+                # unknown-type error (frontend.lua:298, 531-533)
+                raise self._err(f"Unknown Avro type: {lua_str(t)}", path)
             nullable = t.endswith("*")
             base_t = t[:-1] if nullable else t
             if base_t in PRIMITIVE_TYPES or base_t == "any":
@@ -172,20 +192,24 @@ class SchemaParser:
             elif base_t == "fixed":
                 node = self._parse_fixed(raw, path, enclosing_ns)
             elif base_t == "array":
+                # the in-progress unnamed node renders as '<array>' in error
+                # paths (frontend.lua:586-589 copy_schema_location_info)
+                apath = path + ("<array>",)
                 if "items" not in raw:
-                    raise self._err("array: must have 'items'", path)
+                    raise self._err('Array type must have "items"', apath)
                 arr = Array(Primitive("null"))
                 arr.items = self._parse(
-                    raw["items"], path + ("items",), enclosing_ns, (),
+                    raw["items"], apath, enclosing_ns, (),
                     setter=lambda n, a=arr: setattr(a, "items", n),
                 )
                 node = arr
             elif base_t == "map":
+                mpath = path + ("<map>",)
                 if "values" not in raw:
-                    raise self._err("map: must have 'values'", path)
+                    raise self._err('Map type must have "values"', mpath)
                 mp = Map(Primitive("null"))
                 mp.values = self._parse(
-                    raw["values"], path + ("values",), enclosing_ns, (),
+                    raw["values"], mpath, enclosing_ns, (),
                     setter=lambda n, m=mp: setattr(m, "values", n),
                 )
                 node = mp
@@ -203,7 +227,9 @@ class SchemaParser:
                     if isinstance(node, NamedNode) and node.twin is not None:
                         node.twin.extras = extras
             return node
-        raise self._err(f"Invalid Avro schema: {raw!r}", path)
+        # non-string, non-table schema position (number, boolean, null):
+        # frontend.lua:531-533 'Unknown Avro type: %s' via tostring
+        raise self._err(f"Unknown Avro type: {lua_str(raw)}", path)
 
     def _parse_ref(
         self,
@@ -221,34 +247,48 @@ class SchemaParser:
             # "any*" is legal and validate-only, like "any" itself
             # (validate.lua: {"name":"X","type":"any*"} accepts missing field)
             return Primitive("any", nullable=nullable)
-        if not _is_valid_fullname(base):
-            raise self._err(f"Bad type name: {base}", path)
+        # reference resolves the reference against the enclosing namespace
+        # BEFORE the scope lookup, and renders the qualified name in the
+        # unknown-type error (frontend.lua:545-546 fullname + :155)
         fullname = base if "." in base else (f"{enclosing_ns}.{base}" if enclosing_ns else base)
+        if not _is_valid_fullname(base):
+            # an invalid name can never be in scope; reference reports it as
+            # an unknown type (names are only *validated* at definition
+            # sites, frontend.lua checkname)
+            raise self._err(f"Unknown Avro type: {fullname}", path)
         found = self.scope.types.get(fullname) or self.scope.types.get(base)
         if found is not None:
-            if id(found) in enclosing_records:
-                # direct containment cycle (frontend.lua:369-389)
-                raise self._err(
-                    f"Record {found.fullname} contains itself via {path[-1] if path else '?'}",
-                    path,
+            rec_ids = [rid for rid, _fn in enclosing_records]
+            if id(found) in rec_ids:
+                # direct containment cycle (frontend.lua:369-389): rendered
+                # with the current-field chain of ALL open records, no path
+                # prefix ('Record FooBar contains itself via B/X/Y')
+                chain = "/".join(fn for _rid, fn in enclosing_records)
+                raise SchemaError(
+                    f"Record {found.fullname} contains itself via {chain}"
                 )
             return _nullable_twin(found) if nullable else found
         if not self.forward_reference:
-            raise self._err(f"Unknown Avro type: {base}", path)
+            raise self._err(f"Unknown Avro type: {fullname}", path)
         # forward reference: placeholder patched when the definition appears
         placeholder = Record(base + "!fwd", [])
         if setter is None:
-            raise self._err(f"Unknown Avro type: {base}", path)
+            raise self._err(f"Unknown Avro type: {fullname}", path)
         self.scope.forward.setdefault(fullname, []).append(
             ((lambda n: setter(_nullable_twin(n) if nullable else n)), path)
         )
         return placeholder
 
-    def _register_named(self, node: NamedNode, path: tuple[str, ...]) -> None:
+    def _register_named(self, node: NamedNode, npath: tuple[str, ...],
+                        raw: dict) -> None:
+        """Register the type name, then parse + register aliases — the
+        reference's ordering (checkname → scope_add_type → checkaliases,
+        frontend.lua:163-221), so alias errors carry the name in the path."""
         fn = node.fullname
         if fn in self.scope.types:
-            raise self._err(f"Type name already defined: {fn}", path)
+            raise self._err(f"Type name already defined: {fn}", npath)
         self.scope.types[fn] = node
+        node.aliases = self._parse_aliases(raw, npath)
         for alias in node.aliases:
             fa = alias if "." in alias else (f"{node.namespace}.{alias}" if node.namespace else alias)
             if fa in self.scope.types:
@@ -256,7 +296,7 @@ class SchemaParser:
                 # (frontend.lua:194-221; invalid.lua "Alias type name
                 # already defined")
                 raise self._err(
-                    f"Alias type name already defined: {alias}", path + (node.name,)
+                    f"Alias type name already defined: {alias}", npath
                 )
             self.scope.types[fa] = node
         waiting = self.scope.forward.pop(fn, []) + (
@@ -266,69 +306,104 @@ class SchemaParser:
             patch(node)
 
     def _parse_name_ns(
-        self, raw: dict, path: tuple[str, ...], enclosing_ns: Optional[str]
-    ) -> tuple[str, Optional[str], tuple[str, ...]]:
+        self, raw: dict, path: tuple[str, ...], enclosing_ns: Optional[str],
+        kind: str,
+    ) -> tuple[str, Optional[str]]:
+        """Name/namespace extraction (frontend.lua checkname). Errors before
+        the name is known render the in-progress node as ``<kind>``
+        (copy_schema_location_info: unnamed node → '<%s>' % type)."""
+        kpath = path + (f"<{kind}>",)
         name = raw.get("name")
-        if not isinstance(name, str) or not name:
-            raise self._err("Must have a 'name'", path)
+        if name is None:
+            raise self._err('Must have a "name"', kpath)
+        name = lua_str(name)
         ns = raw.get("namespace", None)
         if "." in name:
             ns, name = name.rsplit(".", 1)
         elif ns is None:
             ns = enclosing_ns
         if not _is_valid_name(name) or (ns is not None and not _is_valid_fullname(ns)):
-            raise self._err(f"Bad type name: {name}", path)
-        aliases = raw.get("aliases", [])
-        if not isinstance(aliases, list) or not all(isinstance(a, str) for a in aliases):
-            raise self._err("Property 'aliases' must be a list of strings", path)
+            raise self._err(f"Bad type name: {name}", kpath)
+        if name in PRIMITIVE_TYPES:
+            raise self._err(f"Redefining primitive type name: {name}", kpath)
+        return name, ns
+
+    def _parse_aliases(
+        self, raw: dict, path: tuple[str, ...]
+    ) -> tuple[str, ...]:
+        """Type aliases, validated AFTER the name is known (reference calls
+        checkaliases once the node is named, so the path shows the name)."""
+        aliases = raw.get("aliases")
+        if aliases is None:
+            return ()
+        if not isinstance(aliases, list):
+            raise self._err('Property "aliases" must be a list', path)
+        out = []
         for a in aliases:
+            a = lua_str(a)
             if not _is_valid_fullname(a):
                 raise self._err(f"Bad type name: {a}", path)
-        return name, ns, tuple(aliases)
+            out.append(a)
+        return tuple(out)
 
     def _parse_record(
         self,
         raw: dict,
         path: tuple[str, ...],
         enclosing_ns: Optional[str],
-        enclosing_records: tuple[int, ...],
+        enclosing_records: tuple,
     ) -> Record:
-        name, ns, aliases = self._parse_name_ns(raw, path, enclosing_ns)
-        rec = Record(name, [], namespace=ns, aliases=aliases)
-        self._register_named(rec, path)
+        name, ns = self._parse_name_ns(raw, path, enclosing_ns, "record")
+        rec = Record(name, [], namespace=ns, aliases=())
+        npath = path + (rec.fullname,)
+        self._register_named(rec, npath, raw)
         fields_raw = raw.get("fields")
+        if fields_raw is None:
+            raise self._err('Record type must have "fields"', npath)
         if not isinstance(fields_raw, list):
-            raise self._err("Record type must have 'fields'", path + (rec.name,))
+            raise self._err('Record "fields" must be a list', npath)
         if not fields_raw:
-            raise self._err("Record type must have at least one field", path + (rec.name,))
+            raise self._err("Record type must have at least one field", npath)
         seen: set[str] = set()
-        inner = enclosing_records + (id(rec),)
-        for fr in fields_raw:
-            fpath = path + (rec.name,)
+        for fieldno, fr in enumerate(fields_raw, start=1):
+            # until the field's name is known, the path shows '<field-N>'
+            # (copy_schema_location_info, frontend.lua:577-583)
+            fmarker = npath + (f"<field-{fieldno}>",)
             if not isinstance(fr, dict):
-                raise self._err("Record field must be a map", fpath)
+                # reference wording (frontend.lua:344): field "must be a list"
+                raise self._err("Record field must be a list", fmarker)
             fname = fr.get("name")
-            if not isinstance(fname, str):
-                raise self._err("Record field must have a 'name'", fpath)
+            if fname is None:
+                raise self._err('Record field must have a "name"', fmarker)
+            fname = lua_str(fname)
             if not _is_valid_name(fname):
-                raise self._err(f"Bad record field name: {fname}", fpath)
+                raise self._err(f"Bad record field name: {fname}", fmarker)
             if fname in seen:
                 # field names and earlier field aliases share one namespace
                 # (frontend.lua:412-436; invalid.lua "Record contains field
                 # B twice" for a field named like a prior alias)
-                raise self._err(f"Record contains field {fname} twice", fpath)
+                raise self._err(f"Record contains field {fname} twice", fmarker)
             seen.add(fname)
+            fpath = npath + (fname,)
             if "type" not in fr:
-                raise self._err("Record field must have a 'type'", fpath + (fname,))
-            faliases = tuple(fr.get("aliases", []))
-            for a in faliases:
-                if not isinstance(a, str) or not _is_valid_name(a):
-                    raise self._err(f"Bad field alias name: {a}", fpath + (fname,))
-                if a in seen:
-                    raise self._err(
-                        f"Alias field name already defined: {a}", fpath + (fname,)
-                    )
-                seen.add(a)
+                raise self._err('Record field must have a "type"', fpath)
+            fals = fr.get("aliases")
+            faliases: tuple[str, ...] = ()
+            if fals is not None:
+                if not isinstance(fals, list):
+                    raise self._err('Property "aliases" must be a list', fpath)
+                acc = []
+                for a in fals:
+                    a = lua_str(a)
+                    if not _is_valid_name(a):
+                        raise self._err(f"Bad field alias name: {a}", fpath)
+                    if a in seen:
+                        raise self._err(
+                            f"Alias field name already defined: {a}", fpath
+                        )
+                    seen.add(a)
+                    acc.append(a)
+                faliases = tuple(acc)
             field = Field(
                 fname,
                 Primitive("null"),
@@ -339,40 +414,57 @@ class SchemaParser:
                     k: copy.deepcopy(fr[k]) for k in self.preserve_in_ast if k in fr
                 },
             )
+            # the containment chain carries (record id, current field name)
+            # so a direct-recursion error can render the reference's
+            # 'contains itself via B/X/Y' field chain (frontend.lua:369-389)
+            inner = enclosing_records + ((id(rec), fname),)
             field.type = self._parse(
-                fr["type"], fpath + (fname,), ns, inner,
+                fr["type"], fpath, ns, inner,
                 setter=lambda n, f=field: setattr(f, "type", n),
             )
             if field.has_default:
-                self._pending_defaults.append((field, fpath + (fname,)))
+                self._pending_defaults.append((field, fpath))
             rec.fields.append(field)
         return rec
 
     def _parse_enum(self, raw: dict, path: tuple[str, ...], enclosing_ns) -> Enum:
-        name, ns, aliases = self._parse_name_ns(raw, path, enclosing_ns)
+        name, ns = self._parse_name_ns(raw, path, enclosing_ns, "enum")
+        enum = Enum(name, [], namespace=ns, aliases=())
+        npath = path + (enum.fullname,)
+        self._register_named(enum, npath, raw)
         symbols = raw.get("symbols")
-        if not isinstance(symbols, list) or not symbols:
-            raise self._err("Enum type must have 'symbols'", path + (name,))
+        if symbols is None:
+            raise self._err('Enum type must have "symbols"', npath)
+        if not isinstance(symbols, list):
+            raise self._err('Enum "symbols" must be a list', npath)
+        if not symbols:
+            raise self._err("Enum type must contain at least one symbol", npath)
         seen: set[str] = set()
+        out = []
         for s in symbols:
-            if not isinstance(s, str):
-                raise self._err(f"Bad enum symbol: {s!r}", path + (name,))
+            s = lua_str(s)
             if not self.utf8_enums and not _is_valid_name(s):
-                raise self._err(f"Bad enum symbol name: {s}", path + (name,))
+                raise self._err(f"Bad enum symbol name: {s}", npath)
             if s in seen:
-                raise self._err(f"Enum contains symbol {s} twice", path + (name,))
+                raise self._err(f"Enum contains symbol {s} twice", npath)
             seen.add(s)
-        enum = Enum(name, list(symbols), namespace=ns, aliases=aliases)
-        self._register_named(enum, path)
+            out.append(s)
+        enum.symbols = out
         return enum
 
     def _parse_fixed(self, raw: dict, path: tuple[str, ...], enclosing_ns) -> Fixed:
-        name, ns, aliases = self._parse_name_ns(raw, path, enclosing_ns)
+        name, ns = self._parse_name_ns(raw, path, enclosing_ns, "fixed")
+        fx = Fixed(name, 0, namespace=ns, aliases=())
+        npath = path + (fx.fullname,)
+        self._register_named(fx, npath, raw)
         size = raw.get("size")
-        if not isinstance(size, int) or isinstance(size, bool) or size <= 0:
-            raise self._err("Fixed type must have a positive 'size'", path + (name,))
-        fx = Fixed(name, size, namespace=ns, aliases=aliases)
-        self._register_named(fx, path)
+        if size is None:
+            raise self._err('Fixed type must have "size"', npath)
+        if isinstance(size, float) and size.is_integer() and size >= 1:
+            size = int(size)  # reference accepts integral Lua numbers
+        if not isinstance(size, int) or isinstance(size, bool) or size < 1:
+            raise self._err(f"Bad fixed type size: {lua_str(size)}", npath)
+        fx.size = size
         return fx
 
     def _parse_union(
@@ -386,17 +478,28 @@ class SchemaParser:
             raise self._err("Union type must have at least one branch", path)
         union = UnionNode([])
         tags: set[str] = set()
+        upath = path + ("<union>",)
         for i, braw in enumerate(raw):
-            bpath = path + (f"<branch-{i + 1}>",)
+            # branch-level errors render '<union>/<branch-N>'; errors inside
+            # a NAMED branch node suppress the branch marker (reference
+            # copy_schema_location_info, frontend.lua:556-570)
+            bpath = upath + (f"<branch-{i + 1}>",)
             if isinstance(braw, list):
                 # no immediate union nesting (frontend.lua:273-283)
                 raise self._err("Union may not immediately contain other unions", bpath)
             # union indirection breaks the direct-containment chain
             # (recursion via union/array is legal, frontend.lua:369-389)
-            branch = self._parse(
-                braw, bpath, enclosing_ns, (),
-                setter=lambda n, u=union, j=i: u.branches.__setitem__(j, n),
-            )
+            try:
+                branch = self._parse(
+                    braw, upath, enclosing_ns, (),
+                    setter=lambda n, u=union, j=i: u.branches.__setitem__(j, n),
+                )
+            except SchemaError as e:
+                rest = e.path[len(upath):] if e.path[:len(upath)] == upath else None
+                if rest is not None and (not rest or rest[0].startswith("<")):
+                    # nothing named was entered → insert the branch marker
+                    raise SchemaError(e.msg, bpath + tuple(rest)) from None
+                raise
             # nullable branches are legal (e.g. ["int", "X*"],
             # record.lua nullable_xflatten; only immediate unions and
             # duplicate tags are rejected, frontend.lua:273-283)

@@ -10,7 +10,14 @@ Re-implements the semantics of the reference's interpretive ``validate`` path
 * unions accept ``null`` or a single-entry map ``{tag: value}``
   (frontend.lua:899-919)
 * returns a normalized deep copy; never mutates the input
-* errors are :class:`DataValidationError` with a slash-joined path prefix
+* errors are :class:`DataValidationError` with a slash-joined path prefix and
+  the reference's exact message rendering (copy_data_eh,
+  frontend.lua:941-962): ``Not a <tag>: <value>`` for type failures (tag =
+  type name, or the NAME of a named type, or ``union``; value via Lua
+  ``tostring``), and the ``@``-category messages ``Unknown field``,
+  ``Field X missing``, ``Unexpected key in union``, ``Unexpected type in
+  union: null``, ``Non-number array key``, ``Non-string map key``,
+  ``Infinite loop detected in the data`` verbatim.
 * reference cycles in the input are detected (frontend.lua:839-844)
 
 This module is the *semantic oracle* for the DataFrame conformance operator in
@@ -20,7 +27,6 @@ with it.
 
 from __future__ import annotations
 
-import math
 from typing import Any, Optional
 
 from ..errors import DataValidationError
@@ -35,6 +41,7 @@ from .nodes import (
     Field,
     Fixed,
     Map,
+    NamedNode,
     Primitive,
     Record,
     SchemaNode,
@@ -46,24 +53,42 @@ def _err(msg: str, path: tuple) -> DataValidationError:
     return DataValidationError(msg, path)
 
 
-def _type_name(v: Any) -> str:
+def _tag(schema: SchemaNode) -> str:
+    """copy_data_eh's tag: ``schema.name or schema.type or 'union'``."""
+    if isinstance(schema, NamedNode):
+        return schema.fullname
+    if isinstance(schema, UnionNode):
+        return "union"
+    return schema.type
+
+
+def _lua(v: Any) -> str:
+    """Lua ``tostring`` of a JSON value — what the reference interpolates
+    into ``Not a X: <v>`` (format %s). Strings are raw (unquoted), numbers
+    use Lua's %.14g, nil/true/false spelled the Lua way."""
     if v is None:
-        return "null"
-    if isinstance(v, bool):
-        return "boolean"
-    if isinstance(v, int):
-        return "int/long"
+        return "nil"
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
     if isinstance(v, float):
-        return "double"
-    if isinstance(v, str):
-        return "string"
+        return f"{v:.14g}"
+    if isinstance(v, int) and abs(v) > (1 << 53):
+        # Lua numbers are doubles: integers beyond 2^53 arrive as floats and
+        # render in %.14g ('Not a long: 9.2233720368548e+18', validate.lua:151)
+        return f"{float(v):.14g}"
     if isinstance(v, (bytes, bytearray)):
-        return "bytes"
+        return bytes(v).decode("latin-1")
     if isinstance(v, dict):
-        return "map"
+        return "table: 0x0"
     if isinstance(v, (list, tuple)):
-        return "array"
-    return type(v).__name__
+        return "table: 0x0"
+    return str(v)
+
+
+def _not_a(schema: SchemaNode, data: Any, path: tuple) -> DataValidationError:
+    return _err(f"Not a {_tag(schema)}: {_lua(data)}", path)
 
 
 def validate(schema: SchemaNode, data: Any) -> Any:
@@ -76,33 +101,42 @@ def _copy(schema: SchemaNode, data: Any, path: tuple, visited: set[int]) -> Any:
     if schema.nullable and data is None:
         return None
     if isinstance(schema, Primitive):
-        return _copy_primitive(schema.type, data, path)
+        return _copy_primitive(schema, data, path)
     if isinstance(schema, Enum):
         if not isinstance(data, str) or data not in schema.symbol_index():
-            raise _err(f"Bad value: {data!r} (enum {schema.name})", path)
+            # enum failures render the enum's NAME (frontend.lua:823-827 +
+            # copy_data_eh tag), e.g. 'Not a foo: X'
+            raise _not_a(schema, data, path)
         return data
     if isinstance(schema, Fixed):
+        # reference: type(data) == 'string' and #data == size
+        # (frontend.lua:829-834); tag is the fixed's name ('Not a fixed16: 42')
         if not isinstance(data, (bytes, bytearray, str)):
-            raise _err(f"Expecting bytes, encountered {_type_name(data)}", path)
+            raise _not_a(schema, data, path)
         raw = data.encode("latin-1") if isinstance(data, str) else bytes(data)
         if len(raw) != schema.size:
-            raise _err(f"Bad value: {data!r} (fixed size {schema.size})", path)
+            raise _not_a(schema, data, path)
         return raw
     if isinstance(schema, Record):
         return _copy_record(schema, data, path, visited)
     if isinstance(schema, Array):
+        if isinstance(data, dict):
+            # Lua pairs() over a table with non-numeric keys
+            # (frontend.lua:884-889)
+            k = next(iter(data), None)
+            raise _err("Non-number array key", path + ((k,) if k is not None else ()))
         if not isinstance(data, (list, tuple)):
-            raise _err(f"Expecting ARRAY, encountered {_type_name(data)}", path)
-        return _guarded(visited, data, lambda: [
+            raise _not_a(schema, data, path)
+        return _guarded(visited, data, path, lambda: [
             _copy(schema.items, v, path + (i + 1,), visited) for i, v in enumerate(data)
         ])
     if isinstance(schema, Map):
         if not isinstance(data, dict):
-            raise _err(f"Expecting MAP, encountered {_type_name(data)}", path)
+            raise _not_a(schema, data, path)
         for k in data:
             if not isinstance(k, str):
-                raise _err(f"Non-string key in map: {k!r}", path)
-        return _guarded(visited, data, lambda: {
+                raise _err("Non-string map key", path + (k,))
+        return _guarded(visited, data, path, lambda: {
             k: _copy(schema.values, v, path + (k,), visited) for k, v in data.items()
         })
     if isinstance(schema, UnionNode):
@@ -110,10 +144,10 @@ def _copy(schema: SchemaNode, data: Any, path: tuple, visited: set[int]) -> Any:
     raise _err(f"Unsupported schema node {schema!r}", path)
 
 
-def _guarded(visited: set[int], container: Any, fn):
+def _guarded(visited: set[int], container: Any, path: tuple, fn):
     """Cycle detection on input containers (frontend.lua:839-844)."""
     if id(container) in visited:
-        raise DataValidationError("Infinite loop detected in the data", ())
+        raise DataValidationError("Infinite loop detected in the data", path)
     visited.add(id(container))
     try:
         return fn()
@@ -121,41 +155,45 @@ def _guarded(visited: set[int], container: Any, fn):
         visited.discard(id(container))
 
 
-def _copy_primitive(t: str, data: Any, path: tuple) -> Any:
+def _copy_primitive(schema: Primitive, data: Any, path: tuple) -> Any:
+    t = schema.type
     if t == "null":
         if data is not None:
-            raise _err(f"Expecting NIL, encountered {_type_name(data)}", path)
+            raise _not_a(schema, data, path)
         return None
     if t == "boolean":
         if not isinstance(data, bool):
-            raise _err(f"Expecting BOOL, encountered {_type_name(data)}", path)
+            raise _not_a(schema, data, path)
         return data
-    if t == "int":
-        if isinstance(data, bool) or not isinstance(data, int):
-            raise _err(f"Expecting INT, encountered {_type_name(data)}", path)
-        if not (INT32_MIN <= data <= INT32_MAX):
-            raise _err(f"Value exceeds INT range: {data}", path)
-        return data
-    if t == "long":
-        if isinstance(data, bool) or not isinstance(data, int):
-            raise _err(f"Expecting LONG, encountered {_type_name(data)}", path)
-        if not (INT64_MIN <= data <= INT64_MAX):
-            raise _err(f"Value exceeds LONG range: {data}", path)
-        return data
+    if t in ("int", "long"):
+        # reference accepts any Lua number with no fractional part inside
+        # the range (frontend.lua:766-796): floats like 42.0 pass, 42.1 and
+        # out-of-range values render 'Not a int: 42.1'
+        if isinstance(data, bool):
+            raise _not_a(schema, data, path)
+        if isinstance(data, float):
+            if not data.is_integer():
+                raise _not_a(schema, data, path)
+            n: Any = data
+        elif isinstance(data, int):
+            n = data
+        else:
+            raise _not_a(schema, data, path)
+        lo, hi = (INT32_MIN, INT32_MAX) if t == "int" else (INT64_MIN, INT64_MAX)
+        if not (lo <= n <= hi):
+            raise _not_a(schema, data, path)
+        return int(n)
     if t in ("float", "double"):
         if isinstance(data, bool) or not isinstance(data, (int, float)):
-            raise _err(f"Expecting DOUBLE, encountered {_type_name(data)}", path)
-        v = float(data)
-        if t == "float" and math.isfinite(v) and abs(v) > 3.4028234663852886e38:
-            raise _err(f"Value exceeds FLOAT range: {data}", path)
-        return v
+            raise _not_a(schema, data, path)
+        return float(data)
     if t == "string":
         if not isinstance(data, str):
-            raise _err(f"Expecting STR, encountered {_type_name(data)}", path)
+            raise _not_a(schema, data, path)
         return data
     if t == "bytes":
         if not isinstance(data, (bytes, bytearray, str)):
-            raise _err(f"Expecting BIN, encountered {_type_name(data)}", path)
+            raise _not_a(schema, data, path)
         return data.encode("latin-1") if isinstance(data, str) else bytes(data)
     if t == "any":
         return data
@@ -164,18 +202,20 @@ def _copy_primitive(t: str, data: Any, path: tuple) -> Any:
 
 def _copy_record(schema: Record, data: Any, path: tuple, visited: set[int]) -> dict:
     if not isinstance(data, dict):
-        raise _err(f"Expecting MAP, encountered {_type_name(data)}", path)
-    index = schema.field_index()
+        raise _not_a(schema, data, path)
+    names = {f.name for f in schema.fields}
     for k in data:
-        if k not in index:
-            raise _err(f"Unknown field {k!r}", path)
+        # the reference REJECTS alias keys in validate: the fieldmap hit is
+        # checked against the canonical name (frontend.lua:848-856
+        # ``field.name ~= k`` → '@Unknown field' with the key in the path)
+        if k not in names:
+            raise _err("Unknown field", path + (k,))
 
     def build() -> dict:
         out: dict[str, Any] = {}
         for f in schema.fields:
-            present = f.name if f.name in data else next((a for a in f.aliases if a in data), None)
-            if present is not None:
-                out[f.name] = _copy(f.type, data[present], path + (f.name,), visited)
+            if f.name in data:
+                out[f.name] = _copy(f.type, data[f.name], path + (f.name,), visited)
             elif f.has_default:
                 out[f.name] = _copy_default(f)
             elif f.type.nullable or _is_null_union_ok(f.type):
@@ -185,7 +225,7 @@ def _copy_record(schema: Record, data: Any, path: tuple, visited: set[int]) -> d
                 raise _err(f"Field {f.name} missing", path)
         return out
 
-    return _guarded(visited, data, build)
+    return _guarded(visited, data, path, build)
 
 
 def _is_null_union_ok(node: SchemaNode) -> bool:
@@ -208,14 +248,20 @@ def _copy_union(schema: UnionNode, data: Any, path: tuple, visited: set[int]) ->
         if has_null:
             return None
         raise _err("Unexpected type in union: null", path)
-    if not isinstance(data, dict) or len(data) != 1:
-        raise _err(
-            f"Unexpected key in union: expected single-entry map, got {_type_name(data)}", path
-        )
+    if not isinstance(data, dict):
+        # Lua next(data) raises on a non-table → 'Not a union: 42'
+        raise _not_a(schema, data, path)
+    if len(data) != 1:
+        # extra key after the first (frontend.lua:914-918); the offending
+        # (second) key lands in the path
+        keys = list(data)
+        extra = keys[1] if len(keys) > 1 else None
+        raise _err("Unexpected key in union",
+                   path + ((extra,) if extra is not None else ()))
     ((tag, value),) = data.items()
     idx = schema.tag_index().get(tag)
     if idx is None:
-        raise _err(f"Unexpected key in union: {tag}", path)
+        raise _err("Unexpected key in union", path + (tag,))
     branch = schema.branches[idx]
     return {schema.branch_tag(idx): _copy(branch, value, path + (tag,), visited)}
 
@@ -243,4 +289,6 @@ def validate_default(schema: SchemaNode, default: Any, path: tuple) -> Any:
     except DataValidationError as e:
         from ..errors import SchemaError
 
-        raise SchemaError(f"Default value is invalid: {e.msg}", path) from e
+        # reference wording: 'Default value not valid (%s)'
+        # (frontend.lua:396-398)
+        raise SchemaError(f"Default value not valid ({e.msg})", path) from e

@@ -560,7 +560,10 @@ def flat_input_row(cells: list[FlatCell], tup: list) -> tuple:
 
 def _service_to_py(type_label: str, v: Any):
     if type_label == "bytes":
-        return bytearray(_to_bytes(v))
+        try:
+            return bytearray(_to_bytes(v))
+        except ValueError as e:
+            raise Unconvertible(str(e))
     if type_label in ("float", "double"):
         if isinstance(v, bool) or not isinstance(v, (int, float)):
             raise Unconvertible("service float")

@@ -100,6 +100,38 @@ def test_ngram_jaccard_pairs(spark):
     assert abs(pairs[0].jaccard - 6 / 8) < 1e-9
 
 
+def test_ngram_jaccard_doc_freq_cap_preserves_recall(spark):
+    """The 100 TB boilerplate guard (max_doc_freq) must not change results
+    at a useful threshold on real-shaped data: capped candidate generation +
+    full-array verification finds the same pairs with the same exact scores
+    as the oracle-exact uncapped path."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr("doc_id", "text")
+    )
+    base = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    capped = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=50
+    )
+    b = {(r.id_a, r.id_b): r.jaccard for r in base.collect()}
+    c = {(r.id_a, r.id_b): r.jaccard for r in capped.collect()}
+    assert b, "test corpus should contain near-duplicate pairs"
+    assert set(b) == set(c)
+    for k in b:
+        assert abs(b[k] - c[k]) < 1e-12
+
+    # the cap does prune: a pathological boilerplate shingle shared by many
+    # docs stops generating candidates once its doc-freq exceeds the cap
+    boiler = [(i, "all rights reserved " + f"unique tail {i} {i+1} {i+2}")
+              for i in range(20)]
+    bdf = spark.createDataFrame(boiler, "doc_id long, text string")
+    uncapped_n = D.ngram_jaccard_pairs(bdf, "doc_id", "text", n=3, threshold=0.01).count()
+    capped_n = D.ngram_jaccard_pairs(
+        bdf, "doc_id", "text", n=3, threshold=0.01, max_doc_freq=5
+    ).count()
+    assert capped_n < uncapped_n
+
+
 def test_minhash_lsh_finds_near_dups(spark):
     base = "one two three four five six seven eight nine ten " * 3
     df = spark.createDataFrame(

@@ -19,11 +19,17 @@ around them. At 100 TB these are the *only* Python stages in the pipeline
 and they are narrow (no shuffle); keep them behind the cheap JVM-side
 filters so they see as few rows as possible.
 
-This container has no image/audio libraries, so the codec step is STUBBED:
-``decoder='fake'`` (default) derives a small deterministic pixel/sample
-tensor from the bytes (so the full plumbing — schema, batching, partition
-flow — is real and testable); ``decoder='real'`` raises
-``NotImplementedError`` at the point where PIL/librosa would be called.
+Codec paths:
+
+* ``decoder='fake'`` (default) derives a small deterministic pixel tensor
+  from the bytes — exercises the full plumbing (schema, Arrow batching,
+  partition flow) with any payload, and is what the oracle-gated driver
+  query uses.
+* ``decoder='real'`` dispatches on the media struct's mime through
+  :mod:`avro_spark.operators.media_codecs` — REAL stdlib+numpy codecs for
+  PNG / BMP / PPM / PGM images, PCM WAV audio, and raw-frame video.
+  Formats that genuinely need external libraries (JPEG, MP4) raise
+  ``NotImplementedError`` inside the worker.
 """
 
 from __future__ import annotations
@@ -99,9 +105,11 @@ def decode_features(
     bytes crossed the Arrow boundary intact (the correctness gate hashes
     it against DuckDB's sha256 of the same payload).
 
-    ``decoder='real'`` is the integration point for PIL/ffmpeg — not
-    available in this container, so it raises NotImplementedError inside
-    the worker (by design; see module docstring).
+    ``decoder='real'`` decodes actual payloads via
+    :mod:`avro_spark.operators.media_codecs` (PNG/BMP/PNM/WAV/raw video);
+    ``mean``/``std``/``phash`` are then computed over the REAL pixel or
+    sample tensor. Formats needing external codecs (JPEG, MP4) raise
+    inside the worker.
     """
     out_schema = T.StructType(
         [df.schema[c] for c in id_cols]
@@ -113,20 +121,37 @@ def decode_features(
             T.StructField("sha256", T.StringType()),
         ]
     )
-    src = df.select(*id_cols, F.col(media_col).getField("data").alias("_data"))
+    src = df.select(
+        *id_cols,
+        F.col(media_col).getField("data").alias("_data"),
+        F.col(media_col).getField("mime").alias("_mime"),
+        F.col(media_col).getField("width").alias("_w"),
+        F.col(media_col).getField("height").alias("_h"),
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import media_codecs
+
         for pdf in batches:
-            if decoder == "real":
-                raise NotImplementedError(
-                    "real media decoding needs PIL/ffmpeg (not in this container)"
-                )
             rows = []
             for _, row in pdf.iterrows():
                 data = row["_data"]
-                px = _fake_pixels(data).astype(np.float64)
-                # perceptual-hash analogue: bits = pixel > mean
-                bits = (px > px.mean()).flatten()
+                if decoder == "real":
+                    px = media_codecs.decode_media(
+                        bytes(data) if data is not None else b"",
+                        row["_mime"], row["_w"], row["_h"],
+                    ).astype(np.float64)
+                else:
+                    px = _fake_pixels(data).astype(np.float64)
+                # perceptual hash: 8×8 nearest-neighbor thumbnail of the
+                # first frame / first channel plane, bits = pixel > mean
+                plane = px
+                if plane.ndim == 4:      # raw video (f, H, W, 3) → frame 0
+                    plane = plane[0]
+                if plane.ndim == 3:      # image (H, W, C) → channel 0
+                    plane = plane[..., 0]
+                thumb = media_codecs.resize_nearest(plane, 8, 8) if plane.shape != (8, 8) else plane
+                bits = (thumb > thumb.mean()).flatten()
                 phash = "".join(
                     f"{int(''.join('1' if b else '0' for b in bits[i:i+8]), 2):02x}"
                     for i in range(0, len(bits), 8)
@@ -157,23 +182,32 @@ def resize_media(
     media_col: str = "media",
     decoder: str = "fake",
 ) -> DataFrame:
-    """Re-encode every item at (width, height). Fake decoder: tiles/crops
-    the deterministic pixel tensor and re-packs its raw bytes; real
-    decoder: NotImplementedError (PIL hook)."""
+    """Re-encode every item at (width, height).
+
+    ``decoder='real'``: decode via :mod:`media_codecs`, nearest-neighbor
+    resample, re-encode in the SAME container format (PNG→PNG, BMP→BMP,
+    PNM→PNM). Fake decoder: tiles/crops the deterministic pixel tensor and
+    re-packs its raw bytes."""
     schema = df.schema
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import media_codecs
+
         for pdf in batches:
-            if decoder == "real":
-                raise NotImplementedError("real resize needs PIL")
             col = pdf[media_col]
             new = []
             for m in col:
                 d = dict(m.asDict() if hasattr(m, "asDict") else m)
-                px = _fake_pixels(d["data"])
-                tiled = np.tile(px, (height // FAKE_DIM + 1, width // FAKE_DIM + 1))
-                out = tiled[:height, :width]
-                d["data"] = out.tobytes()
+                if decoder == "real":
+                    px = media_codecs.decode_media(
+                        bytes(d["data"]), d["mime"], d.get("width"), d.get("height")
+                    )
+                    out_px = media_codecs.resize_nearest(px, width, height)
+                    d["data"] = media_codecs.encode_media(out_px, d["mime"])
+                else:
+                    px = _fake_pixels(d["data"])
+                    tiled = np.tile(px, (height // FAKE_DIM + 1, width // FAKE_DIM + 1))
+                    d["data"] = tiled[:height, :width].tobytes()
                 d["width"], d["height"] = width, height
                 new.append(d)
             pdf = pdf.copy()

@@ -131,7 +131,11 @@ def _throughput_probes(spark, sf_dir: str) -> dict[str, int]:
     # core — no repartition (its shuffle would dominate). The Python
     # Avro codec IS CPU-bound, so it gets the parallelism the driver's
     # one-row-group parquet denies the scan (SCALE.md §7).
-    nested_par = nested.repartition(spark.sparkContext.defaultParallelism)
+    # cache the repartitioned input so the codec probes time the codec, not
+    # the parallelizing shuffle (the parquet scan is one row group; without
+    # the repartition both codecs would run single-task)
+    nested_par = nested.repartition(spark.sparkContext.defaultParallelism).cache()
+    nested_par.count()
     probes = {
         "flatten_rows_per_sec": (cs.flatten(nested), n_li),
         "unflatten_rows_per_sec": (cs.unflatten(flat), n_li),
@@ -166,6 +170,7 @@ def _throughput_probes(spark, sf_dir: str) -> dict[str, int]:
             # make the bench look healthy)
             out[metric] = None
             errors[metric] = f"{type(ex).__name__}: {ex}"[:200]
+    nested_par.unpersist()
     return out, errors
 
 

@@ -1,0 +1,178 @@
+"""Real media codec tests: round-trip properties for the stdlib+numpy
+codecs (PNG/BMP/PNM/WAV/raw video) and the decoder='real' operator paths.
+
+These validate that the multimodal operators run ACTUAL decode/resize on
+real payloads with no external imaging libraries — the 'real' path is no
+longer a stub for these formats.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from avro_spark.operators import media_codecs as mc
+from avro_spark.operators.multimodal import (
+    decode_features,
+    pack_media,
+    resize_media,
+    sample_frames,
+)
+
+rng = np.random.default_rng(42)
+
+
+def _img(h, w, ch=3):
+    return rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+
+
+# --------------------------------------------------------------- codecs
+class TestCodecs:
+    @pytest.mark.parametrize("ch", [1, 2, 3, 4])
+    def test_png_roundtrip(self, ch):
+        px = _img(13, 7, ch) if ch > 1 else _img(13, 7, 1).reshape(13, 7, 1)
+        out = mc.decode_png(mc.encode_png(px))
+        assert out.shape == (13, 7, ch)
+        assert np.array_equal(out, px)
+
+    def test_png_all_filters_decode(self):
+        # encode with each filter type manually, decode must reconstruct
+        import struct, zlib
+        px = _img(6, 5, 3)
+        h, w, chn = px.shape
+        bpp = chn
+        for ftype in range(5):
+            rows = []
+            prev = np.zeros(w * chn, dtype=np.int32)
+            for y in range(h):
+                cur = px[y].reshape(-1).astype(np.int32)
+                filt = np.empty_like(cur)
+                for i in range(len(cur)):
+                    a = cur[i - bpp] if i >= bpp else 0
+                    b = prev[i]
+                    c = prev[i - bpp] if i >= bpp else 0
+                    if ftype == 0:
+                        pred = 0
+                    elif ftype == 1:
+                        pred = a
+                    elif ftype == 2:
+                        pred = b
+                    elif ftype == 3:
+                        pred = (a + b) // 2
+                    else:
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    filt[i] = (cur[i] - pred) & 0xFF
+                rows.append(bytes([ftype]) + filt.astype(np.uint8).tobytes())
+                prev = cur
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            idat = zlib.compress(b"".join(rows))
+
+            def chunk(tag, body):
+                return (struct.pack(">I", len(body)) + tag + body
+                        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+            data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+            assert np.array_equal(mc.decode_png(data), px), f"filter {ftype}"
+
+    def test_bmp_roundtrip(self):
+        px = _img(9, 11)  # odd width exercises row padding
+        out = mc.decode_bmp(mc.encode_bmp(px))
+        assert np.array_equal(out, px)
+
+    def test_pnm_roundtrip(self):
+        rgb = _img(5, 6)
+        assert np.array_equal(mc.decode_pnm(mc.encode_pnm(rgb)), rgb)
+        gray = _img(5, 6, 1).reshape(5, 6)
+        assert np.array_equal(mc.decode_pnm(mc.encode_pnm(gray)), gray)
+
+    def test_wav_roundtrip(self):
+        samples = rng.integers(-32768, 32767, size=(1000, 2), dtype=np.int16)
+        out, rate = mc.decode_wav(mc.encode_wav(samples, 16000))
+        assert rate == 16000
+        assert np.array_equal(out, samples)
+
+    def test_raw_video(self):
+        frames = rng.integers(0, 256, size=(4, 3, 5, 3), dtype=np.uint8)
+        out = mc.decode_raw_video(frames.tobytes(), 5, 3)
+        assert np.array_equal(out, frames)
+
+    def test_resize_nearest(self):
+        px = _img(10, 10)
+        small = mc.resize_nearest(px, 5, 5)
+        assert small.shape == (5, 5, 3)
+        assert np.array_equal(small, px[::2, ::2])
+        up = mc.resize_nearest(small, 10, 10)
+        assert up.shape == (10, 10, 3)
+
+    def test_unsupported_raises(self):
+        with pytest.raises(NotImplementedError):
+            mc.decode_media(b"\xff\xd8\xff", "image/jpeg")
+
+
+# ----------------------------------------------------- operator real path
+class TestRealOperatorPath:
+    def _media_df(self, spark):
+        rows = []
+        for i in range(6):
+            px = _img(12, 10)
+            mime = ["image/png", "image/bmp", "image/x-portable-pixmap"][i % 3]
+            rows.append((i, bytearray(mc.encode_media(px, mime)), mime, 10, 12))
+        df = spark.createDataFrame(
+            rows, "id long, data binary, mime string, w int, h int"
+        )
+        # per-row mime: pack manually (pack_media uses a constant mime)
+        from pyspark.sql import functions as F
+
+        return df.select(
+            "id",
+            F.struct(
+                F.col("data").alias("data"),
+                F.col("mime").alias("mime"),
+                F.col("w").alias("width"),
+                F.col("h").alias("height"),
+                F.lit(None).cast("int").alias("sample_rate"),
+                F.lit(None).cast("int").alias("n_frames"),
+            ).alias("media"),
+        )
+
+    def test_decode_features_real(self, spark):
+        df = self._media_df(spark)
+        feats = decode_features(df, "media", ("id",), decoder="real").collect()
+        assert len(feats) == 6
+        for r in feats:
+            assert r.n_bytes > 0
+            assert 0.0 <= r.mean <= 255.0 and r.std > 0
+            assert len(r.phash) == 16 and len(r.sha256) == 64
+
+    def test_resize_real_roundtrips_format(self, spark):
+        df = self._media_df(spark)
+        out = resize_media(df, 5, 4, "media", decoder="real").collect()
+        for r in out:
+            m = r.media
+            assert (m.width, m.height) == (5, 4)
+            px = mc.decode_media(bytes(m.data), m.mime)
+            assert px.shape[:2] == (4, 5)
+
+    def test_wav_features_real(self, spark):
+        samples = rng.integers(-1000, 1000, size=(500, 1), dtype=np.int16)
+        wav = mc.encode_wav(samples, 8000)
+        df = spark.createDataFrame([(1, bytearray(wav))], "id long, data binary")
+        packed = pack_media(df, "data", "audio/wav", sample_rate=None)
+        feats = decode_features(packed, "media", ("id",), decoder="real").collect()
+        assert len(feats) == 1 and feats[0].n_bytes == len(wav)
+
+    def test_raw_video_frame_sample(self, spark):
+        frames = rng.integers(0, 256, size=(8, 4, 4, 3), dtype=np.uint8)
+        df = spark.createDataFrame(
+            [(1, bytearray(frames.tobytes()), 8)], "id long, data binary, nf int"
+        )
+        packed = pack_media(df, "data", "video/x-raw", n_frames="nf")
+        out = sample_frames(packed, every_n=2, media_col="media", id_cols=("id",)).collect()
+        assert [r.frame_no for r in out] == [0, 2, 4, 6]
+        # each sampled frame slice is the true raw frame
+        fsz = 4 * 4 * 3
+        for r in out:
+            assert bytes(r.frame) == frames.tobytes()[r.frame_no * fsz:(r.frame_no + 1) * fsz]

@@ -386,11 +386,17 @@ def test_resize_and_frame_sample(spark):
     assert all(len(f.frame) == 16 for f in frames)
 
 
-def test_real_decoder_raises(spark):
-    df = spark.createDataFrame([(1, b"x")], "id long, blob binary")
-    media = M.pack_media(df, "blob", "image/png")
-    with pytest.raises(Exception, match="NotImplementedError|real media"):
+def test_real_decoder_unsupported_format_raises(spark):
+    # JPEG genuinely needs an external codec → NotImplementedError;
+    # malformed bytes for a SUPPORTED format fail the decode itself
+    # (real codecs live in tests/test_media_codecs.py)
+    df = spark.createDataFrame([(1, b"\xff\xd8\xff")], "id long, blob binary")
+    media = M.pack_media(df, "blob", "image/jpeg")
+    with pytest.raises(Exception, match="NotImplementedError|no built-in codec"):
         M.decode_features(media, "media", id_cols=("id",), decoder="real").collect()
+    bad = M.pack_media(df, "blob", "image/png")
+    with pytest.raises(Exception, match="not a PNG"):
+        M.decode_features(bad, "media", id_cols=("id",), decoder="real").collect()
 
 
 def test_redact_pii_patterns(spark):

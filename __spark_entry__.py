@@ -969,6 +969,16 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (doc_id % 10 != 0) sharing
+    at least one word-5-gram with the held-out eval slice (doc_id % 10 == 0);
+    broadcast eval gram set, single count shuffle (dedup.decontaminate)."""
+    docs = _read(spark, sf_dir, "documents", split=True)
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    eval_df = docs.where(F.col("doc_id") % 10 == 0)
+    return D.decontaminate(train, eval_df, "doc_id", "text", n=5)
+
+
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for query vectors vec_id < 10."""
     emb = _read(spark, sf_dir, "embeddings")
@@ -1281,6 +1291,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "train_split": q_train_split,
         "streaming_avro_decode": q_streaming_avro_decode,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -1976,4 +1987,21 @@ def extra_oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "streaming_avro_decode": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+        "decontaminate": f"""
+            WITH sh AS (
+              SELECT doc_id,
+                     CASE WHEN len({_LTOKS}) >= 5 THEN
+                       list_distinct(list_transform(
+                         generate_series(1, len({_LTOKS}) - 4),
+                         i -> {_LTOKS}[i] || ' ' || {_LTOKS}[i+1] || ' ' || {_LTOKS}[i+2]
+                              || ' ' || {_LTOKS}[i+3] || ' ' || {_LTOKS}[i+4]))
+                     ELSE [] END AS grams
+              FROM documents),
+            g AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+            ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0)
+            SELECT t.doc_id AS train_id, COUNT(*) AS n_shared
+            FROM g t JOIN ev USING (gram)
+            WHERE t.doc_id % 10 <> 0
+            GROUP BY t.doc_id
+        """,
     }

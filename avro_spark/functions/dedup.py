@@ -540,3 +540,53 @@ def simhash_pairs(
         .distinct()
     )
     return cand.where(F.col("hamming") <= max_hamming)
+
+
+# ----------------------------------------------------------- decontamination
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_text_col: str | None = None,
+    n: int = 13,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Train/eval contamination report: one row ``(train_id, n_shared)`` per
+    training document sharing at least one word ``n``-gram with ANY eval
+    document (the standard benchmark-decontamination check; n=13 is the
+    common published window). Filter the train set with a left-anti join on
+    the result to decontaminate.
+
+    Physical plan for 100 TB: the eval side collapses to its DISTINCT
+    n-gram hash set — benchmarks are MBs, so with ``broadcast_eval`` the
+    probe is a broadcast hash join and the ONLY shuffle is the final
+    map-side-combined count by train_id. The train side is a narrow
+    explode of per-document distinct shingles (8-byte xxhash64 keys); no
+    all-pairs work anywhere. Set ``broadcast_eval=False`` for an
+    eval set too big to broadcast (falls back to a sort-merge join on the
+    gram hash).
+    """
+    t = (
+        train.select(
+            F.col(id_col).cast("long").alias("train_id"),
+            F.explode(shingles(F.col(text_col), n)).alias("_g"),
+        )
+        # shingles() is per-document distinct, so the count below is the
+        # number of DISTINCT shared n-grams per training doc
+        .select("train_id", F.xxhash64("_g").alias("_g"))
+    )
+    e = (
+        eval_df.select(
+            F.explode(shingles(F.col(eval_text_col or text_col), n)).alias("_g")
+        )
+        .select(F.xxhash64("_g").alias("_g"))
+        .distinct()
+    )
+    if broadcast_eval:
+        e = F.broadcast(e)
+    return (
+        t.join(e, on="_g")
+        .groupBy("train_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

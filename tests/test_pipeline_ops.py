@@ -490,3 +490,26 @@ def test_pack_greedy_sharded_groups(spark):
     got = {(r["shard"], r["id"]): r["pack_id"] for r in out}
     # packs number from 0 independently per shard
     assert got == {("a", 1): 0, ("a", 2): 1, ("b", 3): 0, ("b", 4): 1}, got
+
+
+def test_decontaminate(spark):
+    eval_df = spark.createDataFrame(
+        [(100, "the held out benchmark question about unique topic alpha")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix text the held out benchmark question about unique topic alpha suffix"),
+            (2, "entirely unrelated training document with different words"),
+            (3, "another clean training document nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = D.decontaminate(train, eval_df, "doc_id", "text", n=5).collect()
+    assert [r.train_id for r in hits] == [1]
+    # doc 1 contains the full 9-token eval text → shares 9-5+1=5 distinct
+    # 5-grams of the eval doc's 5 five-grams... all 5 of them
+    assert hits[0].n_shared == 5
+    # broadcast plan: eval side must hash-join without a shuffle on train
+    plan = D.decontaminate(train, eval_df, "doc_id", "text", n=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

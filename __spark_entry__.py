@@ -1603,7 +1603,7 @@ def oracle_sql() -> dict[str, str]:
         "conform_errors": """
             SELECT o_orderkey, o_orderstatus,
                    CASE WHEN o_orderstatus NOT IN ('F', 'O')
-                        THEN CAST(to_json(['o_orderstatus: bad enum value: ' || o_orderstatus]) AS VARCHAR)
+                        THEN CAST(to_json(['o_orderstatus: Bad value: "' || o_orderstatus || '"']) AS VARCHAR)
                         ELSE '[]' END AS errors_json
             FROM orders
         """,

@@ -112,7 +112,12 @@ def _conform_value(
     if f.has_default:
         value = F.coalesce(value, lit_for(node, f.default))
     elif not _nullable_ok(node):
-        missing = F.when(src.isNull(), F.lit(f"{loc}: field missing (null)"))
+        # reference rendering: a nil value is indistinguishable from a
+        # missing key in Lua, so both render 'Field a missing' at the
+        # PARENT path (frontend.lua:879-881 + copy_data_eh)
+        parent = "/".join(path[:-1])
+        msg = (f"{parent}: " if parent else "") + f"Field {f.name} missing"
+        missing = F.when(src.isNull(), F.lit(msg))
         err = F.coalesce(err, missing) if err is not None else missing
     return value, err
 
@@ -122,12 +127,24 @@ def _check_node(node: SchemaNode, src: Column, loc: str) -> tuple[Column, Option
     if isinstance(node, Primitive):
         return _check_primitive(node.type, src, loc)
     if isinstance(node, Enum):
+        # reference err_value rendering: '{path}: Bad value: "X"'
+        # (runtime.lua:319-336; string data is %q-quoted)
         bad = src.isNotNull() & ~src.isin(*node.symbols)
-        return src, F.when(bad, F.concat(F.lit(f"{loc}: bad enum value: "), src))
+        return src, F.when(
+            bad, F.concat(F.lit(f'{loc}: Bad value: "'), src, F.lit('"'))
+        )
     if isinstance(node, Fixed):
+        # reference err_length rendering (runtime.lua:298-305)
         v = src.cast(T.BinaryType())
         bad = v.isNotNull() & (F.length(v) != node.size)
-        return v, F.when(bad, F.lit(f"{loc}: bad fixed length, expected {node.size}"))
+        return v, F.when(
+            bad,
+            F.concat(
+                F.lit(f"{loc}: Expecting BIN of length {node.size}. "
+                      "Encountered BIN of length "),
+                F.length(v).cast("string"), F.lit("."),
+            ),
+        )
     if isinstance(node, Record):
         sub_errs: list[Column] = []
         parts: list[Column] = []
@@ -141,7 +158,9 @@ def _check_node(node: SchemaNode, src: Column, loc: str) -> tuple[Column, Option
         if err is not None:
             err = F.when(src.isNotNull(), err)
         if not node.nullable:
-            missing = F.when(src.isNull(), F.lit(f"{loc}: record missing (null)"))
+            # nil where a record is required: 'Not a <name>: nil'
+            # (copy_data pairs(nil) failure + copy_data_eh tag rendering)
+            missing = F.when(src.isNull(), F.lit(f"{loc}: Not a {node.fullname}: nil"))
             err = F.coalesce(err, missing) if err is not None else missing
         return value, err
     if isinstance(node, Array):
@@ -172,7 +191,11 @@ def _check_node(node: SchemaNode, src: Column, loc: str) -> tuple[Column, Option
         # general union struct: tag must be in range; active branch consistent
         tag = src.getField("$type$")
         bad = src.isNotNull() & (tag.isNull() | (tag < 0) | (tag >= len(node.branches)))
-        return src, F.when(bad, F.lit(f"{loc}: bad union tag"))
+        return src, F.when(
+            bad,
+            F.concat(F.lit(f"{loc}: Bad value: "),
+                     F.coalesce(tag.cast("string"), F.lit("nil"))),
+        )
     raise CompileError(f"conform: unsupported node {node!r}")
 
 
@@ -197,7 +220,8 @@ def _check_primitive(t: str, src: Column, loc: str) -> tuple[Column, Optional[Co
         bad = wide.isNotNull() & ((wide < INT32_MIN) | (wide > INT32_MAX))
         return (
             F.when(bad, F.lit(None)).otherwise(src.cast("int")),
-            F.when(bad, F.concat(F.lit(f"{loc}: value exceeds INT range: "), wide)),
+            # reference wording (runtime.lua:287-289)
+            F.when(bad, F.concat(F.lit(f"{loc}: Value exceeds INT range: "), wide)),
         )
     if t == "long":
         return src.cast("bigint"), None
@@ -212,7 +236,10 @@ def _check_primitive(t: str, src: Column, loc: str) -> tuple[Column, Optional[Co
     if t == "bytes":
         return src.cast("binary"), None
     if t == "null":
-        return F.lit(None), F.when(src.isNotNull(), F.lit(f"{loc}: expecting NIL"))
+        return F.lit(None), F.when(
+            src.isNotNull(),
+            F.concat(F.lit(f"{loc}: Not a null: "), src.cast("string")),
+        )
     if t == "any":
         return src, None
     raise CompileError(f"unknown primitive {t}")

@@ -71,7 +71,8 @@ class TestConform:
         )
         df = spark.createDataFrame([("A",), ("Z",)], "v string")
         out = {r["v"]: r[ERRORS_COL] for r in conform(df, s, mode="flag").collect()}
-        assert out["A"] == [] and "enum" in out["Z"][0]
+        # reference err_value rendering with the field path prefix
+        assert out["A"] == [] and out["Z"][0] == 'v: Bad value: "Z"'
 
     def test_agrees_with_pyvalidate(self, spark):
         """The columnar path must agree with the interpretive oracle."""

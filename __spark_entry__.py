@@ -569,6 +569,42 @@ def q_conform_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conform_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic JSON ingest validation (conform_json): orders rows rendered
+    to JSON with injected violations — unknown keys, missing mandatory
+    keys, wrong value types, enum violations — validated JVM-side via
+    VariantType with the reference MsgPack runtime's exact error
+    renderings (runtime.lua:263-336)."""
+    from avro_spark.operators.conform import conform_json
+
+    orders = _read(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    j = F.concat(
+        F.lit('{"o_orderkey": '), k.cast("string"),
+        F.lit(', "o_orderstatus": "'), F.col("o_orderstatus"), F.lit('"'),
+        F.when(k % 7 == 0, F.lit(', "zz": 1')).otherwise(F.lit("")),
+        F.when(k % 11 == 0, F.lit("")).otherwise(
+            F.when(k % 13 == 0, F.lit(', "o_totalprice": "oops"')).otherwise(
+                F.concat(F.lit(', "o_totalprice": '),
+                         F.col("o_totalprice").cast("string"))
+            )
+        ),
+        F.lit("}"),
+    )
+    df = orders.select(k.alias("o_orderkey"), j.alias("j"))
+    sch = avro_spark.create({
+        "type": "record", "name": "Order",
+        "fields": [
+            {"name": "o_orderkey", "type": "long"},
+            {"name": "o_orderstatus",
+             "type": {"type": "enum", "name": "St", "symbols": ["F", "O"]}},
+            {"name": "o_totalprice", "type": "double"},
+        ],
+    })
+    out = conform_json(df, "j", sch, mode="flag")
+    return out.select("o_orderkey", F.to_json("_errors").alias("errors_json"))
+
+
 def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL sink→schema-first source = identity on documents (native
     distributed JSON; no inference scan on read)."""
@@ -1292,6 +1328,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split": q_train_split,
         "streaming_avro_decode": q_streaming_avro_decode,
         "decontaminate": q_decontaminate,
+        "conform_json": q_conform_json,
     }
 
 
@@ -2003,5 +2040,23 @@ def extra_oracle_sql() -> dict[str, str]:
             FROM g t JOIN ev USING (gram)
             WHERE t.doc_id % 10 <> 0
             GROUP BY t.doc_id
+        """,
+        # expected-error CASE mirrors conform_json's check order: unknown
+        # keys first, then field errors in schema field order (first error
+        # per row, reference first-error semantics)
+        "conform_json": """
+            SELECT o_orderkey,
+                   CASE
+                     WHEN o_orderkey % 7 = 0
+                       THEN to_json(['Unknown key: "zz"'])
+                     WHEN o_orderstatus NOT IN ('F', 'O')
+                       THEN to_json(['o_orderstatus: Bad value: "' || o_orderstatus || '"'])
+                     WHEN o_orderkey % 11 = 0
+                       THEN to_json(['Key missing: "o_totalprice"'])
+                     WHEN o_orderkey % 13 = 0
+                       THEN to_json(['o_totalprice: Expecting DOUBLE, encountered STR'])
+                     ELSE '[]'
+                   END AS errors_json
+            FROM orders
         """,
     }

@@ -243,3 +243,323 @@ def _check_primitive(t: str, src: Column, loc: str) -> tuple[Column, Optional[Co
     if t == "any":
         return src, None
     raise CompileError(f"unknown primitive {t}")
+
+
+# ------------------------------------------------------- JSON ingest (C2/C3)
+# reference runtime type names (runtime.lua:270-274 etype2typename +
+# typenames): what "encountered X" renders for each variant type
+_VARIANT_DEPTH_LIMIT = 8
+
+# messages never begin with a path component — used to decide whether a
+# dynamically-composed element error already carries a relative path
+_VJ_MSG_STARTS = (
+    "Expecting ", "Bad value", "Unknown key", "Key missing",
+    "Value exceeds", "invalid JSON", "Infinite loop",
+)
+
+
+def _vj_is_bin(vcol: Column, bk: Optional[str]) -> Column:
+    """With a binary convention key (e.g. '$binary'), a single-key object
+    {bk: "<hex>"} IS a BIN value (the reference test corpus's JSON↔MsgPack
+    convention, test/README.md:118-135)."""
+    if bk is None:
+        return F.lit(False)
+    keys = F.json_object_keys(F.to_json(vcol))
+    inner = F.variant_get(vcol, f"$.{bk}", "variant")
+    return (
+        F.schema_of_variant(vcol).startswith("OBJECT")
+        & (F.size(keys) == 1)
+        & (F.try_element_at(keys, F.lit(1)) == bk)
+        & (F.schema_of_variant(inner) == "STRING")
+    )
+
+
+def _vj_bin_len(vcol: Column, bk: str) -> Column:
+    """Decoded byte length of a {bk: "<hex>"} value (spaces ignored)."""
+    hexs = F.regexp_replace(F.variant_get(vcol, f"$.{bk}", "string"), " ", "")
+    return (F.length(hexs) / 2).cast("int")
+
+
+def _vj_encountered(vcol: Column, bk: Optional[str]) -> Column:
+    """schema_of_variant → the reference's encountered-type name. JSON has
+    no FLOAT distinction: integers are LONG, fractional numbers DOUBLE,
+    booleans render TRUE/FALSE like the reference's per-value typenames;
+    binary-convention objects render BIN."""
+    s = F.schema_of_variant(vcol)
+    out = (
+        F.when(s == "BOOLEAN",
+               F.when(F.variant_get(vcol, "$", "boolean"), F.lit("TRUE"))
+               .otherwise(F.lit("FALSE")))
+        .when(s == "BIGINT", F.lit("LONG"))
+        .when(s.startswith("DECIMAL") | (s == "DOUBLE") | (s == "FLOAT"), F.lit("DOUBLE"))
+        .when(s == "STRING", F.lit("STR"))
+        .when(s.startswith("ARRAY"), F.lit("ARRAY"))
+        .when(s.startswith("OBJECT"), F.lit("MAP"))
+        .when(s == "VOID", F.lit("NIL"))
+        .otherwise(s)
+    )
+    if bk is not None:
+        out = F.when(_vj_is_bin(vcol, bk), F.lit("BIN")).otherwise(out)
+    return out
+
+
+def _vj_loc(path: tuple[str, ...]) -> str:
+    return ("/".join(path) + ": ") if path else ""
+
+
+def _vj_expecting(vcol: Column, path: tuple[str, ...], expected: str,
+                  bk: Optional[str]) -> Column:
+    return F.concat(
+        F.lit(f"{_vj_loc(path)}Expecting {expected}, encountered "),
+        _vj_encountered(vcol, bk),
+    )
+
+
+def _vj_join_elem(prefix: str, key_col: Column, inner: Column) -> Column:
+    """Compose a dynamic element location with the element's own error:
+    'a/' + '1' + (': Expecting ...' | '/b: Expecting ...') — a '/' join
+    when the inner error already carries a relative path, ': ' otherwise."""
+    no_path = F.lit(False)
+    for kw in _VJ_MSG_STARTS:
+        no_path = no_path | inner.startswith(kw)
+    return F.concat(
+        F.lit(prefix), key_col,
+        F.when(no_path, F.lit(": ")).otherwise(F.lit("/")),
+        inner,
+    )
+
+
+def conform_json(
+    df: DataFrame,
+    json_col: str,
+    schema: Schema,
+    mode: str = "flag",
+    binary_key: Optional[str] = None,
+) -> DataFrame:
+    """Schema-first validation of raw JSON strings — the dynamic-ingest
+    twin of :func:`conform`, mirroring the reference's MsgPack runtime
+    checks (runtime.lua:263-336, pipeline.c:902-965) with the same error
+    renderings: ``Expecting INT, encountered DOUBLE``, ``Key missing:
+    "Age"``, ``Unknown key: "zz"``, ``Bad value: "X"``, ``Value exceeds
+    INT range: N``, all path-prefixed.
+
+    Everything runs JVM-side on Spark's VariantType (``parse_json`` +
+    ``variant_get``/``schema_of_variant`` + higher-order functions over
+    ``array<variant>`` / ``map<string, variant>``) — no Python workers, so
+    at 100 TB this is a narrow scan-speed projection, the right shape for
+    validating a Kafka/JSONL firehose before the typed boundary.
+
+    ``binary_key``: JSON has no binary type; with e.g.
+    ``binary_key='$binary'`` a single-key object ``{"$binary": "<hex>"}``
+    counts as a BIN value (the reference corpus's JSON↔MsgPack
+    convention) — bytes/fixed fields then require that form, and fixed
+    length-checks the decoded byte count. Without it, bytes/fixed accept
+    plain JSON strings.
+
+    mode='flag' appends an ``_errors`` array<string> column (at most one
+    error per top-level field, reference first-error semantics within each
+    subtree). mode='raise' fails the job on the first invalid row.
+    Limitation: map keys containing ``"`` or control characters are not
+    addressable; malformed JSON itself reports ``invalid JSON``.
+    """
+    if mode not in ("raise", "flag"):
+        raise CompileError(f"bad mode: {mode}")
+    # any root works: records validate structurally, scalar/array/union
+    # roots validate the whole JSON value against that node (the reference
+    # compiles scalar-rooted schemas the same way)
+    root = schema.root
+    raw = F.col(json_col)
+    v = F.try_parse_json(raw)
+    bad_json = F.when(raw.isNotNull() & v.isNull(), F.lit("invalid JSON"))
+    err = F.coalesce(bad_json, _vj_node(root, v, (), 0, binary_key))
+    errors = F.array_compact(F.array(err))
+    if mode == "flag":
+        return df.withColumn(ERRORS_COL, errors)
+    guard = F.assert_true(
+        F.size(errors) == 0,
+        F.concat(F.lit("validation failed: "), F.array_join(errors, "; ")),
+    )
+    # the guard is NULL unless it raises; coalesce keeps the filter a no-op
+    return df.where(F.coalesce(guard.cast("boolean"), F.lit(True)))
+
+
+def _vj_node(node: SchemaNode, vcol: Column, path: tuple[str, ...],
+             depth: int, bk: Optional[str]) -> Column:
+    """First validation error (string Column, NULL when valid) for a
+    variant value against a schema node. ``vcol`` NULL means the value was
+    absent — handled by the enclosing record/union."""
+    if depth > _VARIANT_DEPTH_LIMIT:
+        return F.lit(None).cast("string")
+    s = F.schema_of_variant(vcol)
+    err = _vj_node_strict(node, vcol, path, depth, s, bk)
+    if err is None:
+        return F.lit(None).cast("string")
+    if node.nullable:
+        # nullable wrapper: JSON null short-circuits (frontend.lua:749-751)
+        return F.when(vcol.isNull() | (s == "VOID"), F.lit(None).cast("string")) \
+                .otherwise(err)
+    return err
+
+
+def _vj_node_strict(node: SchemaNode, vcol: Column, path: tuple[str, ...],
+                    depth: int, s: Column, bk: Optional[str]):
+    loc = _vj_loc(path)
+    if isinstance(node, Primitive):
+        t = node.type
+        if t == "any":
+            return None
+        if t == "null":
+            return F.when(s != "VOID", _vj_expecting(vcol, path, "NIL", bk))
+        if t == "boolean":
+            return F.when(s != "BOOLEAN", _vj_expecting(vcol, path, "BOOL", bk))
+        if t in ("int", "long"):
+            label = "INT" if t == "int" else "LONG"
+            type_err = F.when(s != "BIGINT", _vj_expecting(vcol, path, label, bk))
+            if t == "long":
+                return type_err
+            n = F.variant_get(vcol, "$", "bigint")
+            range_err = F.when(
+                (n < INT32_MIN) | (n > INT32_MAX),
+                # msgpack runtime renders the int64 cdata with the LL
+                # suffix (int.lua:87 'Value exceeds INT range: 2147483648LL')
+                F.concat(F.lit(f"{loc}Value exceeds INT range: "),
+                         n.cast("string"), F.lit("LL")),
+            )
+            return F.coalesce(type_err, range_err)
+        if t in ("float", "double"):
+            label = "FLOAT" if t == "float" else "DOUBLE"
+            ok = (s == "BIGINT") | (s == "DOUBLE") | s.startswith("DECIMAL")
+            return F.when(~ok, _vj_expecting(vcol, path, label, bk))
+        if t == "string":
+            return F.when(s != "STRING", _vj_expecting(vcol, path, "STR", bk))
+        if t == "bytes":
+            if bk is not None:
+                return F.when(~_vj_is_bin(vcol, bk),
+                              _vj_expecting(vcol, path, "BIN", bk))
+            return F.when(s != "STRING", _vj_expecting(vcol, path, "BIN", bk))
+        raise CompileError(f"conform_json: primitive {t}")
+    if isinstance(node, Enum):
+        type_err = F.when(s != "STRING", _vj_expecting(vcol, path, "STR", bk))
+        sym = F.variant_get(vcol, "$", "string")
+        bad = F.when(
+            ~sym.isin(*node.symbols),
+            F.concat(F.lit(f'{loc}Bad value: "'), sym, F.lit('"')),
+        )
+        return F.coalesce(type_err, bad)
+    if isinstance(node, Fixed):
+        if bk is not None:
+            type_err = F.when(~_vj_is_bin(vcol, bk),
+                              _vj_expecting(vcol, path, "BIN", bk))
+            ln = _vj_bin_len(vcol, bk)
+        else:
+            type_err = F.when(s != "STRING", _vj_expecting(vcol, path, "BIN", bk))
+            ln = F.length(F.variant_get(vcol, "$", "string"))
+        bad = F.when(
+            ln != node.size,
+            F.concat(
+                F.lit(f"{loc}Expecting BIN of length {node.size}. "
+                      "Encountered BIN of length "),
+                ln.cast("string"), F.lit("."),
+            ),
+        )
+        return F.coalesce(type_err, bad)
+    is_bin = _vj_is_bin(vcol, bk)
+    if isinstance(node, Record):
+        type_err = F.when(~s.startswith("OBJECT") | is_bin,
+                          _vj_expecting(vcol, path, "MAP", bk))
+        known = [f.name for f in node.fields]
+        keys = F.json_object_keys(F.to_json(vcol))
+        unknown = F.array_except(keys, F.array(*[F.lit(k) for k in known]))
+        unknown_err = F.when(
+            F.size(unknown) > 0,
+            F.concat(F.lit(f'{loc}Unknown key: "'),
+                     F.try_element_at(unknown, F.lit(1)), F.lit('"')),
+        )
+        field_errs: list[Column] = []
+        for f in node.fields:
+            child = F.variant_get(vcol, f"$.{f.name}", "variant")
+            fpath = path + (f.name,)
+            present_err = _vj_node(f.type, child, fpath, depth + 1, bk)
+            if f.has_default or _nullable_ok(f.type):
+                e = F.when(child.isNotNull(), present_err)
+            else:
+                e = F.when(
+                    child.isNull(),
+                    F.lit(f'{loc}Key missing: "{f.name}"'),
+                ).otherwise(present_err)
+            field_errs.append(e)
+        return F.coalesce(type_err, unknown_err, *field_errs)
+    if isinstance(node, Array):
+        type_err = F.when(~s.startswith("ARRAY"),
+                          _vj_expecting(vcol, path, "ARRAY", bk))
+        arr = F.variant_get(vcol, "$", "array<variant>")
+        elem_err = F.aggregate(
+            F.zip_with(
+                arr,
+                F.transform(F.sequence(F.lit(1), F.size(arr)), lambda i: i),
+                lambda x, i: F.struct(
+                    _vj_elem(node.items, x, depth, bk).alias("e"),
+                    i.alias("i"),
+                ),
+            ),
+            F.lit(None).cast("struct<e:string,i:int>"),
+            lambda acc, p: F.coalesce(acc, F.when(p.getField("e").isNotNull(), p)),
+        )
+        # reference location: slash-joined path + 1-based element index,
+        # 'Tags/2: Expecting STR, ...'
+        prefix = ("/".join(path) + "/") if path else ""
+        bad_elem = F.when(
+            elem_err.isNotNull(),
+            _vj_join_elem(prefix, elem_err.getField("i").cast("string"),
+                          elem_err.getField("e")),
+        )
+        return F.coalesce(type_err, bad_elem)
+    if isinstance(node, Map):
+        type_err = F.when(~s.startswith("OBJECT") | is_bin,
+                          _vj_expecting(vcol, path, "MAP", bk))
+        m = F.variant_get(vcol, "$", "map<string, variant>")
+        bad = F.map_filter(m, lambda k, val: _vj_elem(node.values, val, depth, bk).isNotNull())
+        bad_key = F.try_element_at(F.map_keys(bad), F.lit(1))
+        prefix = ("/".join(path) + "/") if path else ""
+        val_err = F.when(
+            bad_key.isNotNull(),
+            _vj_join_elem(prefix, bad_key,
+                          _vj_elem(node.values,
+                                   F.try_element_at(F.map_values(bad), F.lit(1)),
+                                   depth, bk)),
+        )
+        return F.coalesce(type_err, val_err)
+    if isinstance(node, UnionNode):
+        has_null = any(isinstance(b, Primitive) and b.type == "null" for b in node.branches)
+        type_err = F.when(
+            (~s.startswith("OBJECT") | is_bin) & ~((s == "VOID") & F.lit(has_null)),
+            _vj_expecting(vcol, path, "NIL or MAP" if has_null else "MAP", bk),
+        )
+        keys = F.json_object_keys(F.to_json(vcol))
+        tags = [node.branch_tag(i) for i, b in enumerate(node.branches)
+                if not (isinstance(b, Primitive) and b.type == "null")]
+        tag = F.try_element_at(keys, F.lit(1))
+        unknown_err = F.when(
+            (F.size(keys) != 1) | ~tag.isin(*tags) if tags else F.lit(True),
+            F.concat(F.lit(f'{loc}Unknown key: "'), F.coalesce(tag, F.lit("")), F.lit('"')),
+        )
+        branch_err = F.lit(None).cast("string")
+        for i, b in enumerate(node.branches):
+            if isinstance(b, Primitive) and b.type == "null":
+                continue
+            t = node.branch_tag(i)
+            e = _vj_node(b, F.variant_get(vcol, f"$.{t}", "variant"),
+                         path + (t,), depth + 1, bk)
+            branch_err = F.when(tag == t, e).otherwise(branch_err)
+        obj_err = F.coalesce(unknown_err, branch_err)
+        if has_null:
+            obj_err = F.when(s != "VOID", obj_err)
+        return F.coalesce(type_err, obj_err)
+    raise CompileError(f"conform_json: unsupported node {node!r}")
+
+
+def _vj_elem(node: SchemaNode, vcol: Column, depth: int,
+             bk: Optional[str]) -> Column:
+    """Element-level error WITHOUT an absolute path prefix (the caller
+    composes the dynamic index/key location)."""
+    return _vj_node(node, vcol, (), depth + 1, bk)

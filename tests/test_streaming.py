@@ -159,3 +159,39 @@ def test_stream_schema_transform(spark, events_dir, tmp_path):
     got = spark.table("flat_events")
     assert got.columns == ["event_id", "payload.kind", "payload.v"]
     assert got.count() == ev.count()
+
+
+def test_stream_json_validation(spark, tmp_path):
+    """conform_json composes with Structured Streaming unchanged — the
+    Kafka-shape ingest: a stream of raw JSON strings validated JVM-side,
+    bad rows routed by the _errors column (dead-letter pattern)."""
+    from avro_spark.operators.conform import ERRORS_COL, conform_json
+
+    src_dir = tmp_path / "json_in"
+    rows = [
+        ('{"event_id": 1, "value": 1.5}',),
+        ('{"event_id": "oops", "value": 2.0}',),
+        ('{"event_id": 3, "value": 3.0, "zz": true}',),
+        ("not json",),
+    ]
+    spark.createDataFrame(rows, "j string").write.parquet(str(src_dir))
+    schema = avro_spark.create({
+        "type": "record", "name": "Ev",
+        "fields": [
+            {"name": "event_id", "type": "long"},
+            {"name": "value", "type": "double"},
+        ],
+    })
+    stream = (
+        spark.readStream.schema("j string").parquet(str(src_dir))
+    )
+    out = conform_json(stream, "j", schema, mode="flag")
+    assert out.isStreaming
+    ST.run_to_memory(out, "json_validated", output_mode="append")
+    got = {r.j: r[ERRORS_COL] for r in spark.table("json_validated").collect()}
+    assert got['{"event_id": 1, "value": 1.5}'] == []
+    assert got['{"event_id": "oops", "value": 2.0}'] == [
+        "event_id: Expecting LONG, encountered STR"
+    ]
+    assert got['{"event_id": 3, "value": 3.0, "zz": true}'] == ['Unknown key: "zz"']
+    assert got["not json"] == ["invalid JSON"]

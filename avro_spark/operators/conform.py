@@ -563,3 +563,103 @@ def _vj_elem(node: SchemaNode, vcol: Column, depth: int,
     """Element-level error WITHOUT an absolute path prefix (the caller
     composes the dynamic index/key location)."""
     return _vj_node(node, vcol, (), depth + 1, bk)
+
+
+def conform_json_tuple(
+    df: DataFrame,
+    json_col: str,
+    compiled,
+    mode: str = "flag",
+    binary_key: Optional[str] = None,
+) -> DataFrame:
+    """Validate raw JSON ARRAYS against a compiled schema's FLAT layout —
+    the unflatten-direction ingest contract (tuples from storage), with
+    the reference runtime's cell-located renderings: ``Expecting ARRAY of
+    length 3. Encountered ARRAY of length 4.``, ``1: Expecting INT,
+    encountered DOUBLE``, ``2: Bad value: 4`` for enum codes / union tags
+    out of range (runtime.lua err_length/err_type/err_value over tuple
+    positions; 1-based indices count service cells).
+
+    Like :func:`conform_json`, a single JVM-side VariantType projection.
+    """
+    from ..plans.layout import SCALAR, SERVICE, UNION_TAG, UNION_VALUE, build_layout
+
+    if mode not in ("raise", "flag"):
+        raise CompileError(f"bad mode: {mode}")
+    cells = build_layout(compiled.writer.root, compiled.service_fields)
+    raw = F.col(json_col)
+    v = F.try_parse_json(raw)
+    s = F.schema_of_variant(v)
+    bad_json = F.when(raw.isNotNull() & v.isNull(), F.lit("invalid JSON"))
+    type_err = F.when(~s.startswith("ARRAY"),
+                      _vj_expecting(v, (), "ARRAY", binary_key))
+    arr = F.variant_get(v, "$", "array<variant>")
+    n = len(cells)
+    len_err = F.when(
+        F.size(arr) != n,
+        F.concat(
+            F.lit(f"Expecting ARRAY of length {n}. Encountered ARRAY of length "),
+            F.size(arr).cast("string"), F.lit("."),
+        ),
+    )
+    cell_errs: list[Column] = []
+    for cell in cells:
+        i = cell.index + 1  # reference tuple locations are 1-based
+        el = F.variant_get(v, f"$[{cell.index}]", "variant")
+        es = F.schema_of_variant(el)
+        loc = (str(i),)
+        if cell.kind == SERVICE:
+            node: SchemaNode = Primitive(cell.type_label)
+            cell_errs.append(_vj_node(node, el, loc, 0, binary_key))
+        elif cell.kind == UNION_TAG:
+            union: UnionNode = cells[cell.index + 1].node  # type: ignore[assignment]
+            nb = len(union.branches)
+            e = F.coalesce(
+                F.when(es != "BIGINT", _vj_expecting(el, loc, "INT", binary_key)),
+                F.when(
+                    ~F.variant_get(el, "$", "bigint").between(0, nb - 1),
+                    F.concat(F.lit(f"{i}: Bad value: "),
+                             F.variant_get(el, "$", "bigint").cast("string")),
+                ),
+            )
+            cell_errs.append(e)
+        elif cell.kind == UNION_VALUE:
+            union = cell.node  # type: ignore[assignment]
+            tag = F.variant_get(F.variant_get(v, f"$[{cell.index - 1}]", "variant"),
+                                "$", "bigint")
+            e = F.lit(None).cast("string")
+            for j, b in enumerate(union.branches):
+                if isinstance(b, Primitive) and b.type == "null":
+                    be = F.when(es != "VOID", _vj_expecting(el, loc, "NIL", binary_key))
+                else:
+                    be = _vj_node(b, el, loc, 0, binary_key)
+                e = F.when(tag == j, be).otherwise(e)
+            cell_errs.append(e)
+        elif isinstance(cell.node, Enum):
+            # flat enum cells carry the int code; out-of-range codes render
+            # '1: Bad value: 4' (enum.lua:77-89)
+            enum: Enum = cell.node
+            code = F.variant_get(el, "$", "bigint")
+            nil_ok = enum.nullable
+            e = F.coalesce(
+                F.when(es != "BIGINT", _vj_expecting(el, loc, "INT", binary_key)),
+                F.when(
+                    ~code.between(0, len(enum.symbols) - 1),
+                    F.concat(F.lit(f"{i}: Bad value: "), code.cast("string")),
+                ),
+            )
+            if nil_ok:
+                e = F.when(es != "VOID", e)
+            cell_errs.append(e)
+        else:
+            assert cell.kind == SCALAR
+            cell_errs.append(_vj_node(cell.node, el, loc, 0, binary_key))
+    err = F.coalesce(bad_json, type_err, len_err, *cell_errs)
+    errors = F.array_compact(F.array(err))
+    if mode == "flag":
+        return df.withColumn(ERRORS_COL, errors)
+    guard = F.assert_true(
+        F.size(errors) == 0,
+        F.concat(F.lit("validation failed: "), F.array_join(errors, "; ")),
+    )
+    return df.where(F.coalesce(guard.cast("boolean"), F.lit(True)))

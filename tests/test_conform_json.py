@@ -188,3 +188,55 @@ def test_nested_dynamic_paths(spark):
     out = [r[ERRORS_COL] for r in conform_json(df, "j", s, mode="flag").collect()]
     assert out[0] == ["1/1: Expecting STR, encountered LONG"]
     assert out[1] == ["2/2: Expecting STR, encountered LONG"]
+
+
+class TestConformJsonTuple:
+    """Flat-array (tuple) validation against a compiled layout — the
+    unflatten-direction ingest contract with reference cell locations."""
+
+    def _errs(self, spark, schema_raw, payloads, service=()):
+        s = avs.create(schema_raw)
+        c = avs.compile(s, service_fields=service)
+        from avro_spark.operators.conform import conform_json_tuple
+        df = spark.createDataFrame([(p,) for p in payloads], "j string")
+        out = conform_json_tuple(df, "j", c, mode="flag", binary_key="$binary")
+        return [r[ERRORS_COL] for r in out.collect()]
+
+    def test_length_and_cell_errors(self, spark):
+        sch = {"type": "record", "name": "R", "fields": [
+            {"name": "a", "type": "string"},
+            {"name": "b", "type": "int"},
+            {"name": "e", "type": {"type": "enum", "name": "E",
+                                   "symbols": ["X", "Y", "Z"]}},
+        ]}
+        errs = self._errs(spark, sch, [
+            '["s", 1, 0]',
+            '["s", 1]',
+            '["s", 1, 0, 9]',
+            '["s", 3.14, 0]',
+            '["s", 1, 4]',
+            '["s", 1, -1]',
+            '42',
+        ])
+        assert errs[0] == []
+        assert errs[1] == ["Expecting ARRAY of length 3. Encountered ARRAY of length 2."]
+        assert errs[2] == ["Expecting ARRAY of length 3. Encountered ARRAY of length 4."]
+        assert errs[3] == ["2: Expecting INT, encountered DOUBLE"]
+        assert errs[4] == ["3: Bad value: 4"]
+        assert errs[5] == ["3: Bad value: -1"]
+        assert errs[6] == ["Expecting ARRAY, encountered LONG"]
+
+    def test_union_cells_and_service(self, spark):
+        sch = {"type": "record", "name": "U", "fields": [
+            {"name": "u", "type": ["int", "string"]},
+        ]}
+        errs = self._errs(spark, sch, [
+            '["svc", 0, 5]',
+            '["svc", 3, 5]',
+            '["svc", 1, 5]',
+            '[42, 0, 5]',
+        ], service=("string",))
+        assert errs[0] == []
+        assert errs[1] == ["2: Bad value: 3"]
+        assert errs[2] == ["3: Expecting STR, encountered LONG"]
+        assert errs[3] == ["1: Expecting STR, encountered LONG"]

@@ -125,7 +125,11 @@ def classify(case, spark):
                 df = spark.createDataFrame([row], c.writer.to_struct_type())
             except Exception as e:
                 # the typed column itself rejected the value (e.g. int32
-                # overflow at createDataFrame) — a boundary rejection
+                # overflow at createDataFrame); the dynamic JSON-ingest
+                # path may still render the reference message exactly
+                alt = _try_conform_json(spark, c, func, inputs[0], service)
+                if alt is not None and exp in alt:
+                    return ("ok", exp, alt)
                 return ("boundary", exp, f"typed boundary: {e}")
             sv = []
             for t, v in zip(service, list(inputs[1:])):
@@ -166,13 +170,30 @@ def classify(case, spark):
 
 
 def _try_conform_json(spark, c, func, raw_input, service):
-    """Replay a boundary-rejected flatten input through the engine's
-    dynamic JSON-ingest validator (conform_json) — the path a real user
-    takes for data that cannot enter typed columns. Returns the first
-    rendered error, or None."""
+    """Replay a boundary-rejected input through the engine's dynamic
+    JSON-ingest validators — conform_json (record form, flatten) or
+    conform_json_tuple (flat-array form, unflatten) — the paths a real
+    user takes for data that cannot enter typed columns. Returns the
+    first rendered error, or None."""
+    from avro_spark.operators.conform import (
+        ERRORS_COL, conform_json, conform_json_tuple,
+    )
+
+    if func == "unflatten":
+        raw = raw_input if isinstance(raw_input, str) else json.dumps(raw_input)
+        raw = raw.strip()
+        if raw.startswith("!"):
+            raw = raw[1:].strip()
+        try:
+            jdf = spark.createDataFrame([(raw,)], "j string")
+            errs = conform_json_tuple(
+                jdf, "j", c, mode="flag", binary_key="$binary"
+            ).collect()[0][ERRORS_COL]
+            return errs[0] if errs else None
+        except Exception:
+            return None
     if func != "flatten" or service:
         return None
-    from avro_spark.operators.conform import conform_json, ERRORS_COL
 
     raw = raw_input if isinstance(raw_input, str) else json.dumps(raw_input)
     raw = raw.strip()

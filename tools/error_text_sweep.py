@@ -190,7 +190,11 @@ def _try_conform_json(spark, c, func, raw_input, service):
                 jdf, "j", c, mode="flag", binary_key="$binary"
             ).collect()[0][ERRORS_COL]
             return errs[0] if errs else None
-        except Exception:
+        except Exception as e:
+            if "stopped SparkContext" in str(e):
+                raise
+            print(f"tuple replay failed: {type(e).__name__}: {str(e)[:160]}",
+                  file=sys.stderr)
             return None
     if func != "flatten" or service:
         return None
@@ -211,7 +215,11 @@ def _try_conform_json(spark, c, func, raw_input, service):
         errs = conform_json(jdf, "j", sch, mode="flag",
                             binary_key="$binary").collect()[0][ERRORS_COL]
         return errs[0] if errs else None
-    except Exception:
+    except Exception as e:
+        if "stopped SparkContext" in str(e):
+            raise
+        print(f"json replay failed: {type(e).__name__}: {str(e)[:160]}",
+              file=sys.stderr)
         return None
 
 
@@ -265,7 +273,7 @@ def main():
                 continue
             # a long sweep accumulates thousands of codegen'd plans in one
             # JVM; recycle the session periodically and on a dead context
-            if done and done % 120 == 0:
+            if done and done % 60 == 0:
                 spark = _new_session(old=spark)
             try:
                 kind, exp, act = classify(c, spark)

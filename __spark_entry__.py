@@ -569,6 +569,37 @@ def q_conform_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-registry wire format (sources/wire.py): nation rows framed as
+    magic+id+Avro-binary with a v1 writer, consumed through a 2-version
+    registry as an evolved v2 reader (alias rename + default fill) — the
+    Kafka producer/consumer story end-to-end."""
+    from avro_spark.sources.wire import from_wire, to_wire
+
+    v1 = avro_spark.create({
+        "type": "record", "name": "Nation",
+        "fields": [
+            {"name": "n_nationkey", "type": "long"},
+            {"name": "n_name", "type": "string"},
+            {"name": "n_regionkey", "type": "long"},
+        ],
+    })
+    v2 = avro_spark.create({
+        "type": "record", "name": "Nation",
+        "fields": [
+            {"name": "n_nationkey", "type": "long"},
+            {"name": "nation_name", "type": "string", "aliases": ["n_name"]},
+            {"name": "n_regionkey", "type": "long"},
+            {"name": "source", "type": "string", "default": "tpch"},
+        ],
+    })
+    nation = _read(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    topic = to_wire(nation, v1, schema_id=1)
+    return from_wire(topic, "wire", {1: v1, 2: v2}, reader=v2)
+
+
 def q_conform_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic JSON ingest validation (conform_json): orders rows rendered
     to JSON with injected violations — unknown keys, missing mandatory
@@ -1329,6 +1360,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_avro_decode": q_streaming_avro_decode,
         "decontaminate": q_decontaminate,
         "conform_json": q_conform_json,
+        "wire_roundtrip": q_wire_roundtrip,
     }
 
 
@@ -2044,6 +2076,11 @@ def extra_oracle_sql() -> dict[str, str]:
         # expected-error CASE mirrors conform_json's check order: unknown
         # keys first, then field errors in schema field order (first error
         # per row, reference first-error semantics)
+        "wire_roundtrip": """
+            SELECT n_nationkey, n_name AS nation_name, n_regionkey,
+                   'tpch' AS source
+            FROM nation
+        """,
         "conform_json": """
             SELECT o_orderkey,
                    CASE

@@ -691,3 +691,114 @@ def conform_json_tuple(
         F.concat(F.lit("validation failed: "), F.array_join(errors, "; ")),
     )
     return df.where(F.coalesce(guard.cast("boolean"), F.lit(True)))
+
+
+# ------------------------------------------------- typed JSON parse (A2/C1)
+def parse_json_typed(
+    df: DataFrame,
+    json_col: str,
+    schema: Schema,
+    binary_key: Optional[str] = None,
+) -> DataFrame:
+    """Raw JSON strings → typed record columns honoring the AVRO value
+    conventions Spark's ``from_json`` cannot express: union values as
+    single-entry maps ``{"int": 42}`` (frontend.lua:899-919) become the
+    engine's tagged union structs, field defaults fill missing keys, and
+    (with ``binary_key``) ``{"$binary": hex}`` objects decode to binary.
+
+    Best-effort typing (``try_variant_get`` semantics): mismatched values
+    null out rather than erroring — pair with :func:`conform_json` for the
+    validation verdicts. One JVM-side VariantType projection, no Python.
+    """
+    root = schema.root
+    if not isinstance(root, Record):
+        raise CompileError("parse_json_typed requires a record schema")
+    v = F.try_parse_json(F.col(json_col))
+    cols = []
+    for f in root.fields:
+        child = F.variant_get(v, f"$.{f.name}", "variant")
+        value = _pj_node(f.type, child, 0, binary_key)
+        if f.has_default:
+            value = F.coalesce(value, lit_for(f.type, f.default))
+        cols.append(value.alias(f.name))
+    return df.select(*cols)
+
+
+def _pj_node(node: SchemaNode, vcol: Column, depth: int,
+             bk: Optional[str]) -> Column:
+    """Typed value Column for a variant against a schema node (best-effort;
+    nulls on mismatch)."""
+    target = to_spark_type(node)
+    if depth > _VARIANT_DEPTH_LIMIT:
+        return F.lit(None).cast(target)
+    if isinstance(node, Primitive):
+        t = node.type
+        if t == "null":
+            return F.lit(None).cast("void")
+        if t == "bytes" or t == "any":
+            if t == "bytes" and bk is not None:
+                hexs = F.regexp_replace(
+                    F.try_variant_get(vcol, f"$.{bk}", "string"), " ", "")
+                return F.unhex(hexs)
+            return F.try_variant_get(vcol, "$", "string").cast("binary") \
+                if t == "bytes" else F.to_json(vcol)
+        sql_t = {"boolean": "boolean", "int": "int", "long": "bigint",
+                 "float": "float", "double": "double", "string": "string"}[t]
+        return F.try_variant_get(vcol, "$", sql_t)
+    if isinstance(node, Enum):
+        return F.try_variant_get(vcol, "$", "string")
+    if isinstance(node, Fixed):
+        if bk is not None:
+            hexs = F.regexp_replace(
+                F.try_variant_get(vcol, f"$.{bk}", "string"), " ", "")
+            return F.unhex(hexs)
+        return F.try_variant_get(vcol, "$", "string").cast("binary")
+    if isinstance(node, Record):
+        parts = []
+        for f in node.fields:
+            child = F.variant_get(vcol, f"$.{f.name}", "variant")
+            val = _pj_node(f.type, child, depth + 1, bk)
+            if f.has_default:
+                val = F.coalesce(val, lit_for(f.type, f.default))
+            parts.append(val.alias(f.name))
+        return F.when(
+            vcol.isNull() | (F.schema_of_variant(vcol) == "VOID"),
+            F.lit(None).cast(target),
+        ).otherwise(F.struct(*parts))
+    if isinstance(node, Array):
+        arr = F.try_variant_get(vcol, "$", "array<variant>")
+        return F.transform(arr, lambda x: _pj_node(node.items, x, depth + 1, bk))
+    if isinstance(node, Map):
+        m = F.try_variant_get(vcol, "$", "map<string, variant>")
+        return F.transform_values(m, lambda k, x: _pj_node(node.values, x, depth + 1, bk))
+    if isinstance(node, UnionNode):
+        simple = union_null_and_one(node)
+        if simple is not None:
+            # [null, T]: record form is still {tag: value} or null
+            tag = next(node.branch_tag(i) for i, b in enumerate(node.branches)
+                       if not (isinstance(b, Primitive) and b.type == "null"))
+            return _pj_node(simple, F.variant_get(vcol, f"$.{tag}", "variant"),
+                            depth + 1, bk)
+        keys = F.json_object_keys(F.to_json(vcol))
+        tag_name = F.try_element_at(keys, F.lit(1))
+        tag_expr: Column = F.lit(None).cast("int")
+        fields = []
+        for i, b in enumerate(node.branches):
+            t = node.branch_tag(i)
+            if isinstance(b, Primitive) and b.type == "null":
+                tag_expr = F.when(
+                    F.is_variant_null(vcol) | vcol.isNull(), F.lit(i)
+                ).otherwise(tag_expr)
+                continue
+            tag_expr = F.when(tag_name == t, F.lit(i)).otherwise(tag_expr)
+            fields.append(
+                F.when(
+                    tag_name == t,
+                    _pj_node(b, F.variant_get(vcol, f"$.{t}", "variant"),
+                             depth + 1, bk),
+                ).alias(t)
+            )
+        return F.when(tag_expr.isNull(), F.lit(None).cast(target)).otherwise(
+            F.struct(tag_expr.alias("$type$"), *fields)
+        )
+    raise CompileError(f"parse_json_typed: unsupported node {node!r}")

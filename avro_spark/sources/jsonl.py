@@ -36,12 +36,30 @@ def read_jsonl(
     schema: Optional[Schema] = None,
     mode: str = "PERMISSIVE",
     corrupt_col: Optional[str] = None,
+    avro_conventions: bool = False,
+    binary_key: Optional[str] = None,
 ) -> DataFrame:
     """Directory/glob of JSONL files → record-shaped DataFrame.
 
     With ``schema`` the read is schema-first (no inference scan); without
     it Spark infers (fine for exploration, avoid at scale).
+
+    ``avro_conventions=True`` parses each line with
+    :func:`avro_spark.operators.conform.parse_json_typed` instead of
+    Spark's struct-shaped JSON reader — required when the data uses the
+    AVRO value conventions: union values as single-entry maps
+    ``{"int": 42}`` (which from_json cannot map onto the tagged union
+    struct), field defaults for missing keys, and (with ``binary_key``)
+    ``{"$binary": hex}`` binary values. Still a JVM-side narrow read
+    (text source + VariantType projection, splittable when uncompressed).
     """
+    if avro_conventions:
+        if schema is None:
+            raise AvroSparkError("avro_conventions requires a schema")
+        from ..operators.conform import parse_json_typed
+
+        lines = spark.read.text(path).withColumnRenamed("value", "_line")
+        return parse_json_typed(lines, "_line", schema, binary_key=binary_key)
     reader = spark.read.option("mode", mode)
     if corrupt_col is not None:
         reader = reader.option("columnNameOfCorruptRecord", corrupt_col)

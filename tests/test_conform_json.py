@@ -240,3 +240,58 @@ class TestConformJsonTuple:
         assert errs[1] == ["2: Bad value: 3"]
         assert errs[2] == ["3: Expecting STR, encountered LONG"]
         assert errs[3] == ["1: Expecting STR, encountered LONG"]
+
+
+class TestParseJsonTyped:
+    """parse_json_typed: JSON → typed rows honoring the Avro value
+    conventions from_json cannot express (record-form unions, defaults,
+    $binary)."""
+
+    def test_unions_defaults_binary(self, spark):
+        from avro_spark.operators.conform import parse_json_typed
+
+        sch = avs.create({
+            "type": "record", "name": "R",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "u", "type": ["null", "int", "string"]},
+                {"name": "tag", "type": "string", "default": "none"},
+                {"name": "raw", "type": "bytes"},
+            ],
+        })
+        rows = [
+            ('{"id": 1, "u": {"int": 42}, "raw": {"$binary": "FF00"}}',),
+            ('{"id": 2, "u": {"string": "hi"}, "tag": "x", "raw": {"$binary": ""}}',),
+            ('{"id": 3, "u": null, "raw": {"$binary": "AA"}}',),
+        ]
+        df = spark.createDataFrame(rows, "j string")
+        out = parse_json_typed(df, "j", sch, binary_key="$binary").collect()
+        r1, r2, r3 = sorted(out, key=lambda r: r.id)
+        assert (r1.u["$type$"], r1.u["int"], r1.u["string"]) == (1, 42, None)
+        assert r1.tag == "none" and bytes(r1.raw) == b"\xff\x00"
+        assert (r2.u["$type$"], r2.u["string"]) == (2, "hi") and r2.tag == "x"
+        assert r3.u["$type$"] == 0  # null branch selected
+        # the parsed frame round-trips through the compiled flatten
+        c = avs.compile(sch)
+        flat = c.flatten(parse_json_typed(df, "j", sch, binary_key="$binary"))
+        assert flat.count() == 3
+
+    def test_nested_and_mismatch_nulls(self, spark):
+        from avro_spark.operators.conform import parse_json_typed
+
+        sch = avs.create({
+            "type": "record", "name": "N",
+            "fields": [
+                {"name": "inner", "type": {
+                    "type": "record", "name": "I",
+                    "fields": [{"name": "xs", "type": {"type": "array", "items": "int"}}],
+                }},
+            ],
+        })
+        df = spark.createDataFrame(
+            [('{"inner": {"xs": [1, 2, 3]}}',), ('{"inner": {"xs": "bad"}}',)],
+            "j string",
+        )
+        out = parse_json_typed(df, "j", sch).collect()
+        assert list(out[0].inner.xs) == [1, 2, 3]
+        assert out[1].inner.xs is None  # best-effort: mismatch nulls out

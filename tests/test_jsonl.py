@@ -108,3 +108,31 @@ class TestCsvSource:
         # PERMISSIVE nulls the bad cell instead
         rows = read_csv(spark, str(p), sch).orderBy("name").collect()
         assert rows[0]["id"] == 1 and rows[1]["id"] is None
+
+
+def test_read_jsonl_avro_conventions(spark, tmp_path):
+    """avro_conventions=True: record-form union values and defaults parse
+    into the tagged union struct — shapes Spark's from_json cannot map."""
+    import avro_spark as avs
+
+    p = tmp_path / "u.jsonl"
+    p.write_text(
+        '{"id": 1, "payload": {"int": 42}}\n'
+        '{"id": 2, "payload": {"string": "hi"}, "tag": "x"}\n'
+        '{"id": 3, "payload": null}\n'
+    )
+    sch = avs.create({
+        "type": "record", "name": "E",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "payload", "type": ["null", "int", "string"]},
+            {"name": "tag", "type": "string", "default": "none"},
+        ],
+    })
+    from avro_spark.sources.jsonl import read_jsonl
+
+    out = {r.id: r for r in read_jsonl(
+        spark, str(p), sch, avro_conventions=True).collect()}
+    assert out[1].payload["$type$"] == 1 and out[1].payload["int"] == 42
+    assert out[2].payload["string"] == "hi" and out[2].tag == "x"
+    assert out[3].payload["$type$"] == 0 and out[3].tag == "none"

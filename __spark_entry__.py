@@ -569,6 +569,14 @@ def q_conform_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget document chunking with overlap (text.chunk_documents):
+    64-token windows stepping 48 over the documents table — the standard
+    pre-training/RAG preparation step, all JVM-side HOFs, no shuffle."""
+    docs = _read(spark, sf_dir, "documents", split=True)
+    return X.chunk_documents(docs, "doc_id", "text", max_tokens=64, overlap=16)
+
+
 def q_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-registry wire format (sources/wire.py): nation rows framed as
     magic+id+Avro-binary with a v1 writer, consumed through a 2-version
@@ -1361,6 +1369,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "conform_json": q_conform_json,
         "wire_roundtrip": q_wire_roundtrip,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -2076,6 +2085,24 @@ def extra_oracle_sql() -> dict[str, str]:
         # expected-error CASE mirrors conform_json's check order: unknown
         # keys first, then field errors in schema field order (first error
         # per row, reference first-error semantics)
+        "chunk_documents": """
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents WHERE len(trim(text)) > 0),
+            n AS (
+              SELECT doc_id, toks,
+                     1 + GREATEST(0, CAST(ceil((len(toks) - 64) / 48.0) AS BIGINT))
+                         AS n_chunks
+              FROM t),
+            s AS (
+              SELECT doc_id, toks, unnest(range(0, n_chunks * 48, 48)) AS start
+              FROM n)
+            SELECT doc_id,
+                   CAST(start / 48 AS INT) AS chunk_no,
+                   CAST(len(toks[start + 1 : start + 64]) AS INT) AS n_tokens,
+                   array_to_string(toks[start + 1 : start + 64], ' ') AS chunk
+            FROM s
+        """,
         "wire_roundtrip": """
             SELECT n_nationkey, n_name AS nation_name, n_regionkey,
                    'tpch' AS source

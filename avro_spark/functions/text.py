@@ -275,3 +275,57 @@ def winnow_fingerprints(text: Column, k: int = 5, w: int = 4, hash_fn=None) -> C
         return let(hashes, over_hashes)
 
     return let(normalize_text(text), build)
+
+
+# ------------------------------------------------------------------ chunking
+def chunk_documents(
+    df,
+    id_col: str,
+    text_col: str,
+    max_tokens: int = 512,
+    overlap: int = 0,
+):
+    """Split documents into token-budget chunks with optional overlap — the
+    standard pre-training/RAG preparation step. One output row per chunk:
+    ``(id_col, chunk_no int, n_tokens int, chunk string)``.
+
+    Whitespace tokens; window starts step by ``max_tokens - overlap``; the
+    final window may be short; empty/blank docs produce no rows. All
+    JVM-side higher-order functions (``slice`` over the let-bound token
+    array + ``posexplode``) — a narrow transform: at 100 TB chunking runs
+    at scan speed with no shuffle, and the output explodes rows without
+    ever materializing per-document state.
+    """
+    from pyspark.sql import functions as F
+
+    if max_tokens <= 0 or not (0 <= overlap < max_tokens):
+        raise ValueError("need max_tokens > 0 and 0 <= overlap < max_tokens")
+    step = max_tokens - overlap
+
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+        # 1 chunk for any non-empty doc, plus one per full step beyond the
+        # first window: 1 + ceil((n - max_tokens) / step)
+        extra = F.greatest(
+            F.lit(0), F.floor((n - F.lit(max_tokens) + step - 1) / step)
+        )
+        n_chunks = F.when(n <= 0, F.lit(0)).otherwise(extra + 1).cast("int")
+        starts = F.sequence(F.lit(0), (n_chunks - 1) * step, F.lit(step))
+        windows = F.transform(
+            starts,
+            lambda s: F.slice(toks, (s + 1).cast("int"), max_tokens),
+        )
+        return F.when(n_chunks > 0, windows).otherwise(
+            F.array().cast("array<array<string>>")
+        )
+
+    chunks = df.select(
+        F.col(id_col),
+        F.posexplode(let(ws_tokens(F.col(text_col)), build)).alias("chunk_no", "_w"),
+    )
+    return chunks.select(
+        id_col,
+        "chunk_no",
+        F.size("_w").alias("n_tokens"),
+        F.concat_ws(" ", F.col("_w")).alias("chunk"),
+    )

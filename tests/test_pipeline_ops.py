@@ -513,3 +513,28 @@ def test_decontaminate(spark):
     # broadcast plan: eval side must hash-join without a shuffle on train
     plan = D.decontaminate(train, eval_df, "doc_id", "text", n=5)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_documents(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, "   "), (4, "q"),
+         (5, "t1 t2 t3 t4")],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        (r.doc_id, r.chunk_no, r.n_tokens, r.chunk)
+        for r in X.chunk_documents(df, "doc_id", "text", max_tokens=3, overlap=1).collect()
+    )
+    assert out == [
+        (1, 0, 3, "a b c"), (1, 1, 3, "c d e"), (1, 2, 3, "e f g"),
+        (2, 0, 2, "x y"),
+        (4, 0, 1, "q"),
+        (5, 0, 3, "t1 t2 t3"), (5, 1, 2, "t3 t4"),
+    ]
+    # no-overlap windows partition the tokens exactly
+    no = X.chunk_documents(df.where("doc_id = 1"), "doc_id", "text",
+                           max_tokens=2, overlap=0).collect()
+    assert [r.chunk for r in sorted(no, key=lambda r: r.chunk_no)] == \
+        ["a b", "c d", "e f", "g"]
+    with pytest.raises(ValueError):
+        X.chunk_documents(df, "doc_id", "text", max_tokens=2, overlap=2)

@@ -831,7 +831,7 @@ def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Watermarks require TIMESTAMP (with tz): convert/cast accordingly
     # (session tz is pinned UTC in _read, so wall-clock is preserved).
     if dict(ev.dtypes)["ts"] in ("bigint", "long"):
-        ev = ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     ev.write.mode("overwrite").parquet(tmp)
     src = ST.stream_source(spark, tmp)
@@ -2113,13 +2113,15 @@ def extra_oracle_sql() -> dict[str, str]:
                    CASE
                      WHEN o_orderkey % 7 = 0
                        THEN to_json(['Unknown key: "zz"'])
-                     WHEN o_orderstatus NOT IN ('F', 'O')
-                       THEN to_json(['o_orderstatus: Bad value: "' || o_orderstatus || '"'])
-                     WHEN o_orderkey % 11 = 0
-                       THEN to_json(['Key missing: "o_totalprice"'])
-                     WHEN o_orderkey % 13 = 0
-                       THEN to_json(['o_totalprice: Expecting DOUBLE, encountered STR'])
-                     ELSE '[]'
+                     ELSE to_json(list_concat(
+                       CASE WHEN o_orderstatus NOT IN ('F', 'O')
+                            THEN ['o_orderstatus: Bad value: "' || o_orderstatus || '"']
+                            ELSE [] END,
+                       CASE WHEN o_orderkey % 11 = 0
+                            THEN ['Key missing: "o_totalprice"']
+                            WHEN o_orderkey % 13 = 0
+                            THEN ['o_totalprice: Expecting DOUBLE, encountered STR']
+                            ELSE [] END))
                    END AS errors_json
             FROM orders
         """,

@@ -116,9 +116,12 @@ public final class AvroCodecUDF {
         return;
       }
       case ENUM: {
-        int idx = s.getEnumOrdinal((String) v);
-        if (idx < 0) throw new RuntimeException("bad enum value: " + v);
-        writeLong(out, idx);
+        // check membership first: getEnumOrdinal THROWS on unknown symbols
+        // in Avro 1.12 (it never returns a negative ordinal), so guard via
+        // hasEnumSymbol to keep the codec's own error wording
+        if (!s.hasEnumSymbol((String) v))
+          throw new RuntimeException("bad enum value: " + v);
+        writeLong(out, s.getEnumOrdinal((String) v));
         return;
       }
       case ARRAY: {
@@ -155,10 +158,20 @@ public final class AvroCodecUDF {
       }
       case UNION: {
         int nullIdx = nullBranch(s);
-        if (v == null) { writeLong(out, nullIdx); return; }
         int valIdx = 1 - nullIdx;
+        Schema valType = s.getTypes().get(valIdx);
+        // byte parity with the Python codec: pandas cannot distinguish
+        // null from NaN in nullable float/double columns, so the Python
+        // side encodes NaN as the null branch there — mirror that here or
+        // engine='auto' output would depend on JDK availability
+        boolean nanNull =
+            (valType.getType() == Schema.Type.FLOAT
+                && v instanceof Float && ((Float) v).isNaN())
+            || (valType.getType() == Schema.Type.DOUBLE
+                && v instanceof Double && ((Double) v).isNaN());
+        if (v == null || nanNull) { writeLong(out, nullIdx); return; }
         writeLong(out, valIdx);
-        encode(out, s.getTypes().get(valIdx), v);
+        encode(out, valType, v);
         return;
       }
       default:

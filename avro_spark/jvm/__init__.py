@@ -192,16 +192,11 @@ def _register_decode(spark: SparkSession, schema: Schema, json_str: str) -> str:
 
 def _relaxed(dt: T.DataType) -> T.DataType:
     """Same type shape with every nullability flag set True and field
-    metadata dropped (cast targets must not be stricter than the data)."""
-    if isinstance(dt, T.StructType):
-        return T.StructType(
-            [T.StructField(f.name, _relaxed(f.dataType), True) for f in dt.fields]
-        )
-    if isinstance(dt, T.ArrayType):
-        return T.ArrayType(_relaxed(dt.elementType), True)
-    if isinstance(dt, T.MapType):
-        return T.MapType(_relaxed(dt.keyType), _relaxed(dt.valueType), True)
-    return dt
+    metadata dropped (cast targets must not be stricter than the data).
+    Shared tree-walk with the Python codec's metadata strip."""
+    from ..sources.avro_binary import _strip_metadata
+
+    return _strip_metadata(dt, relax_nulls=True)
 
 
 # ------------------------------------------------------------ public API

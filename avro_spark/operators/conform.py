@@ -363,11 +363,14 @@ def conform_json(
     length-checks the decoded byte count. Without it, bytes/fixed accept
     plain JSON strings.
 
-    mode='flag' appends an ``_errors`` array<string> column (at most one
-    error per top-level field, reference first-error semantics within each
-    subtree). mode='raise' fails the job on the first invalid row.
-    Limitation: map keys containing ``"`` or control characters are not
-    addressable; malformed JSON itself reports ``invalid JSON``.
+    mode='flag' appends an ``_errors`` array<string> column — one error
+    per top-level field (reference first-error semantics within each
+    subtree; record-level problems like unknown keys suppress the field
+    checks). mode='raise' fails the job on the first invalid row.
+    Limitations: map keys containing ``"`` or control characters are not
+    addressable; malformed JSON itself reports ``invalid JSON``; RECURSIVE
+    schemas validate to depth 8 only (the flatten MAX_UNROLL deviation,
+    SURVEY.md §7) — deeper data passes unchecked.
     """
     if mode not in ("raise", "flag"):
         raise CompileError(f"bad mode: {mode}")
@@ -378,8 +381,19 @@ def conform_json(
     raw = F.col(json_col)
     v = F.try_parse_json(raw)
     bad_json = F.when(raw.isNotNull() & v.isNull(), F.lit("invalid JSON"))
-    err = F.coalesce(bad_json, _vj_node(root, v, (), 0, binary_key))
-    errors = F.array_compact(F.array(err))
+    if isinstance(root, Record):
+        # one error PER TOP-LEVEL FIELD in flag mode (like conform);
+        # record-level problems (bad json / not an object / unknown key)
+        # suppress the per-field checks, which would misfire on non-objects
+        s = F.schema_of_variant(v)
+        head, field_errs = _vj_record_parts(root, v, (), 0, s, binary_key)
+        head = F.coalesce(bad_json, head)
+        errors = F.array_compact(F.array(
+            head, *[F.when(head.isNull(), e) for e in field_errs]
+        ))
+    else:
+        err = F.coalesce(bad_json, _vj_node(root, v, (), 0, binary_key))
+        errors = F.array_compact(F.array(err))
     if mode == "flag":
         return df.withColumn(ERRORS_COL, errors)
     guard = F.assert_true(
@@ -472,30 +486,8 @@ def _vj_node_strict(node: SchemaNode, vcol: Column, path: tuple[str, ...],
         return F.coalesce(type_err, bad)
     is_bin = _vj_is_bin(vcol, bk)
     if isinstance(node, Record):
-        type_err = F.when(~s.startswith("OBJECT") | is_bin,
-                          _vj_expecting(vcol, path, "MAP", bk))
-        known = [f.name for f in node.fields]
-        keys = F.json_object_keys(F.to_json(vcol))
-        unknown = F.array_except(keys, F.array(*[F.lit(k) for k in known]))
-        unknown_err = F.when(
-            F.size(unknown) > 0,
-            F.concat(F.lit(f'{loc}Unknown key: "'),
-                     F.try_element_at(unknown, F.lit(1)), F.lit('"')),
-        )
-        field_errs: list[Column] = []
-        for f in node.fields:
-            child = F.variant_get(vcol, f"$.{f.name}", "variant")
-            fpath = path + (f.name,)
-            present_err = _vj_node(f.type, child, fpath, depth + 1, bk)
-            if f.has_default or _nullable_ok(f.type):
-                e = F.when(child.isNotNull(), present_err)
-            else:
-                e = F.when(
-                    child.isNull(),
-                    F.lit(f'{loc}Key missing: "{f.name}"'),
-                ).otherwise(present_err)
-            field_errs.append(e)
-        return F.coalesce(type_err, unknown_err, *field_errs)
+        head, field_errs = _vj_record_parts(node, vcol, path, depth, s, bk)
+        return F.coalesce(head, *field_errs)
     if isinstance(node, Array):
         type_err = F.when(~s.startswith("ARRAY"),
                           _vj_expecting(vcol, path, "ARRAY", bk))
@@ -506,17 +498,24 @@ def _vj_node_strict(node: SchemaNode, vcol: Column, path: tuple[str, ...],
         # size (a depth-3 array schema produced a 2.3 MB plan / task OOM)
         from ..functions.text import let as _let
 
-        elem_err = F.aggregate(
-            F.zip_with(
-                arr,
-                F.transform(F.sequence(F.lit(1), F.size(arr)), lambda i: i),
-                lambda x, i: F.struct(
-                    _vj_elem(node.items, x, depth, bk).alias("e"),
-                    i.alias("i"),
+        # guard the index sequence on non-empty input: sequence(1, 0)
+        # DESCENDS to [1, 0], and zip_with would null-pad a phantom element
+        # whose NULL variant then fails required-field checks on a valid
+        # empty array
+        elem_err = F.when(
+            F.size(arr) > 0,
+            F.aggregate(
+                F.zip_with(
+                    arr,
+                    F.transform(F.sequence(F.lit(1), F.greatest(F.size(arr), F.lit(1))), lambda i: i),
+                    lambda x, i: F.struct(
+                        _vj_elem(node.items, x, depth, bk).alias("e"),
+                        i.alias("i"),
+                    ),
                 ),
+                F.lit(None).cast("struct<e:string,i:int>"),
+                lambda acc, p: F.coalesce(acc, F.when(p.getField("e").isNotNull(), p)),
             ),
-            F.lit(None).cast("struct<e:string,i:int>"),
-            lambda acc, p: F.coalesce(acc, F.when(p.getField("e").isNotNull(), p)),
         )
         # reference location: slash-joined path + 1-based element index,
         # 'Tags/2: Expecting STR, ...'
@@ -584,6 +583,39 @@ def _vj_node_strict(node: SchemaNode, vcol: Column, path: tuple[str, ...],
             obj_err = F.when(s != "VOID", obj_err)
         return F.coalesce(type_err, obj_err)
     raise CompileError(f"conform_json: unsupported node {node!r}")
+
+
+def _vj_record_parts(node: Record, vcol: Column, path: tuple[str, ...],
+                     depth: int, s: Column, bk: Optional[str]):
+    """(record-level error, [per-field first-errors]) for a record node —
+    shared by the nested Record branch (coalesced to one error) and the
+    conform_json root (kept separate so mode='flag' reports one error per
+    top-level field)."""
+    loc = _vj_loc(path)
+    type_err = F.when(~s.startswith("OBJECT") | _vj_is_bin(vcol, bk),
+                      _vj_expecting(vcol, path, "MAP", bk))
+    known = [f.name for f in node.fields]
+    keys = F.json_object_keys(F.to_json(vcol))
+    unknown = F.array_except(keys, F.array(*[F.lit(k) for k in known]))
+    unknown_err = F.when(
+        F.size(unknown) > 0,
+        F.concat(F.lit(f'{loc}Unknown key: "'),
+                 F.try_element_at(unknown, F.lit(1)), F.lit('"')),
+    )
+    field_errs: list[Column] = []
+    for f in node.fields:
+        child = F.variant_get(vcol, f"$.{f.name}", "variant")
+        fpath = path + (f.name,)
+        present_err = _vj_node(f.type, child, fpath, depth + 1, bk)
+        if f.has_default or _nullable_ok(f.type):
+            e = F.when(child.isNotNull(), present_err)
+        else:
+            e = F.when(
+                child.isNull(),
+                F.lit(f'{loc}Key missing: "{f.name}"'),
+            ).otherwise(present_err)
+        field_errs.append(e)
+    return F.coalesce(type_err, unknown_err), field_errs
 
 
 def _vj_elem(node: SchemaNode, vcol: Column, depth: int,
@@ -699,6 +731,7 @@ def parse_json_typed(
     json_col: str,
     schema: Schema,
     binary_key: Optional[str] = None,
+    keep: tuple = (),
 ) -> DataFrame:
     """Raw JSON strings → typed record columns honoring the AVRO value
     conventions Spark's ``from_json`` cannot express: union values as
@@ -721,7 +754,7 @@ def parse_json_typed(
         if f.has_default:
             value = F.coalesce(value, lit_for(f.type, f.default))
         cols.append(value.alias(f.name))
-    return df.select(*cols)
+    return df.select(*cols, *[F.col(k) for k in keep])
 
 
 def _pj_node(node: SchemaNode, vcol: Column, depth: int,

@@ -32,8 +32,10 @@ def sessionize_batch(
     conversion the streaming path applies."""
     src_type = dict(events.dtypes).get(ts_col)
     if src_type in ("bigint", "long", "int"):
+        # integer `div`, not float division: epoch nanos exceed 2^53, where
+        # a double divide is off by up to ±1µs vs exact truncation
         events = events.withColumn(
-            ts_col, F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
+            ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
         )
     secs = F.col(ts_col).cast("timestamp").cast("double")
     w = Window.partitionBy(user_col).orderBy(secs, ts_col)

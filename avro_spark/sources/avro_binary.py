@@ -183,9 +183,14 @@ def _compile_encoder(node: SchemaNode) -> Callable[[bytearray, Any], None]:
             inner = _compile_encoder(simple)
             branch_tag = node.branch_tag(t_idx)
             # Map and Record branches are ambiguous with the single-entry
-            # tag form {<tag>: value}: the plain dict wins — pass the tag
-            # form pre-unwrapped for those branches.
-            unwrap_tag_form = not isinstance(simple, (Map, Record))
+            # tag form {<tag>: value}. Rule: the tag unwraps when its value
+            # is itself a dict (validate's tag-form output for map/record
+            # branches, frontend.lua:899-919); a non-dict value under the
+            # tag key can only be a plain record whose lone field shares
+            # the branch name. The remaining corner — a dict-typed single
+            # field named like its own record — prefers the tag form
+            # (reference-canonical).
+            dictish_branch = isinstance(simple, (Map, Record))
             nan_is_null = _pandas_null_is_nan(simple)
             def enc_simple_union(out: bytearray, v: Any) -> None:
                 # accepts both the plain nullable value (the Spark column
@@ -196,13 +201,10 @@ def _compile_encoder(node: SchemaNode) -> Callable[[bytearray, Any], None]:
                 if v is None or (nan_is_null and isinstance(v, float) and v != v):
                     _write_long(out, null_idx)
                     return
-                if (
-                    unwrap_tag_form
-                    and isinstance(v, dict)
-                    and len(v) == 1
-                    and branch_tag in v
-                ):
-                    v = v[branch_tag]
+                if isinstance(v, dict) and len(v) == 1 and branch_tag in v:
+                    inner_v = v[branch_tag]
+                    if not dictish_branch or isinstance(inner_v, dict):
+                        v = inner_v
                 _write_long(out, t_idx)
                 inner(out, v)
             return enc_simple_union
@@ -508,24 +510,34 @@ def from_avro_bytes(
     return decoded.select(*[F.col(f"r.`{f.name}`").alias(f.name) for f in spark_t.fields])
 
 
-def _strip_metadata(dt):
-    """Recursive copy of a Spark DataType without field metadata."""
+def _strip_metadata(dt, relax_nulls: bool = False):
+    """Recursive copy of a Spark DataType without field metadata;
+    ``relax_nulls`` additionally sets every nullability flag True (cast
+    targets must not be stricter than the data — the JVM codec path's
+    ``_relaxed`` is this helper with the flag on)."""
     from pyspark.sql import types as T
 
     if isinstance(dt, T.StructType):
         return T.StructType(
             [
-                T.StructField(f.name, _strip_metadata(f.dataType), f.nullable)
+                T.StructField(
+                    f.name,
+                    _strip_metadata(f.dataType, relax_nulls),
+                    True if relax_nulls else f.nullable,
+                )
                 for f in dt.fields
             ]
         )
     if isinstance(dt, T.ArrayType):
-        return T.ArrayType(_strip_metadata(dt.elementType), dt.containsNull)
+        return T.ArrayType(
+            _strip_metadata(dt.elementType, relax_nulls),
+            True if relax_nulls else dt.containsNull,
+        )
     if isinstance(dt, T.MapType):
         return T.MapType(
-            _strip_metadata(dt.keyType),
-            _strip_metadata(dt.valueType),
-            dt.valueContainsNull,
+            _strip_metadata(dt.keyType, relax_nulls),
+            _strip_metadata(dt.valueType, relax_nulls),
+            True if relax_nulls else dt.valueContainsNull,
         )
     return dt
 

@@ -56,9 +56,26 @@ def read_jsonl(
     if avro_conventions:
         if schema is None:
             raise AvroSparkError("avro_conventions requires a schema")
+        from pyspark.sql import functions as F
+
         from ..operators.conform import parse_json_typed
 
         lines = spark.read.text(path).withColumnRenamed("value", "_line")
+        raw = F.col("_line")
+        corrupt = raw.isNotNull() & F.try_parse_json(raw).isNull()
+        if mode == "FAILFAST":
+            # honor FAILFAST like the native JSON source: any malformed
+            # line aborts the job
+            guard = F.assert_true(
+                ~corrupt, F.concat(F.lit("malformed JSON line: "), raw)
+            )
+            lines = lines.where(F.coalesce(guard.cast("boolean"), F.lit(True)))
+        if corrupt_col is not None:
+            lines = lines.withColumn(corrupt_col, F.when(corrupt, raw))
+            return parse_json_typed(
+                lines, "_line", schema, binary_key=binary_key,
+                keep=(corrupt_col,),
+            )
         return parse_json_typed(lines, "_line", schema, binary_key=binary_key)
     reader = spark.read.option("mode", mode)
     if corrupt_col is not None:

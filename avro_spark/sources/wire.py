@@ -83,16 +83,23 @@ def from_wire(
     """Wire-format column → reader-shaped records.
 
     ``registry``: schema_id → WRITER schema (the version that produced the
-    message). ``reader``: target schema (defaults to the registry entry
-    with the highest id). ``on_unknown``: 'error' fails the job when a row
-    carries an unregistered id or a bad magic byte; 'skip' drops such rows.
+    message). ``reader``: target schema — REQUIRED when the registry has
+    more than one entry (ids carry no version ordering: fingerprint-derived
+    ids are effectively random, so "highest id" would pick an arbitrary
+    schema). ``on_unknown``: 'error' fails the job when a row carries an
+    unregistered id or a bad magic byte; 'skip' drops such rows.
     """
     if not registry:
         raise CompileError("empty schema registry")
     if on_unknown not in ("error", "skip"):
         raise CompileError(f"bad on_unknown: {on_unknown}")
     if reader is None:
-        reader = registry[max(registry)]
+        if len(registry) > 1:
+            raise CompileError(
+                "from_wire: pass an explicit reader schema — the registry "
+                "has multiple versions and ids carry no ordering"
+            )
+        reader = next(iter(registry.values()))
     wire = F.col(column)
     sid = wire_schema_id(wire)
     magic_ok = F.substring(wire, 1, 1) == F.lit(MAGIC)

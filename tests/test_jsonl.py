@@ -136,3 +136,20 @@ def test_read_jsonl_avro_conventions(spark, tmp_path):
     assert out[1].payload["$type$"] == 1 and out[1].payload["int"] == 42
     assert out[2].payload["string"] == "hi" and out[2].tag == "x"
     assert out[3].payload["$type$"] == 0 and out[3].tag == "none"
+
+
+def test_read_jsonl_avro_conventions_corrupt_handling(spark, tmp_path):
+    import avro_spark as avs
+    from avro_spark.sources.jsonl import read_jsonl
+
+    p = tmp_path / "c.jsonl"
+    p.write_text('{"id": 1}\nnot json at all\n{"id": 3}\n')
+    sch = avs.create({"type": "record", "name": "R",
+                      "fields": [{"name": "id", "type": ["null", "long"]}]})
+    rows = read_jsonl(spark, str(p), sch, avro_conventions=True,
+                      corrupt_col="_bad").collect()
+    bad = [r for r in rows if r._bad is not None]
+    assert len(bad) == 1 and bad[0]._bad == "not json at all"
+    with pytest.raises(Exception, match="malformed JSON line"):
+        read_jsonl(spark, str(p), sch, mode="FAILFAST",
+                   avro_conventions=True).collect()

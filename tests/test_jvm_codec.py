@@ -176,3 +176,35 @@ def test_plain_avro_json_rendering():
     assert by_name["l"] == ["null", "string"]  # nullable ext -> standard union
     assert by_name["k"] == ["null", "string"]
     assert by_name["h"] == {"type": "fixed", "name": "F4", "size": 4}
+
+
+def test_nan_in_nullable_double_byte_parity(spark):
+    """NaN in a nullable double column must encode identically on both
+    engines (pandas can't distinguish null from NaN, so the convention is
+    the null branch — the JVM side mirrors it)."""
+    import math
+
+    sch = avro_spark.create({
+        "type": "record", "name": "N",
+        "fields": [{"name": "d", "type": ["null", "double"]}],
+    })
+    df = spark.createDataFrame([(float("nan"),), (1.5,), (None,)], "d double")
+    from avro_spark.sources.avro_binary import to_avro_bytes
+
+    py = [bytes(r.b) for r in to_avro_bytes(df, sch, "b", engine="python").collect()]
+    jv = [bytes(r.b) for r in to_avro_bytes(df, sch, "b", engine="jvm").collect()]
+    assert py == jv
+    assert py[0] == py[2]  # NaN encodes as the null branch
+
+
+def test_jvm_bad_enum_symbol_errors(spark):
+    sch = avro_spark.create({
+        "type": "record", "name": "E",
+        "fields": [{"name": "e", "type": {"type": "enum", "name": "S",
+                                          "symbols": ["A", "B"]}}],
+    })
+    df = spark.createDataFrame([("Z",)], "e string")
+    from avro_spark.sources.avro_binary import to_avro_bytes
+
+    with pytest.raises(Exception, match="bad enum value: Z"):
+        to_avro_bytes(df, sch, "b", engine="jvm").collect()

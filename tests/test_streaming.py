@@ -25,7 +25,7 @@ def events_dir(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("events_stream")
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     if dict(ev.dtypes)["ts"] in ("bigint", "long"):
-        ev = ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     # watermarks require TIMESTAMP (with tz), not NTZ; session tz is UTC
     ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     ev.write.mode("overwrite").parquet(str(d))

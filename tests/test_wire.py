@@ -59,7 +59,7 @@ class TestWire:
         )
         topic = to_wire(old, s1, 1).unionByName(to_wire(new, s2, 2))
         got = {r.id: (r.full_name, r.plan)
-               for r in from_wire(topic, "wire", {1: s1, 2: s2}).collect()}
+               for r in from_wire(topic, "wire", {1: s1, 2: s2}, reader=s2).collect()}
         assert got == {1: ("ann", "free"), 2: ("bo bob", "pro")}
 
     def test_unknown_id_error_and_skip(self, spark):
@@ -80,6 +80,14 @@ class TestWire:
         s1, s2 = avs.create(V1), avs.create(V2)
         df = spark.createDataFrame([(1, "ann")], "id long, name string")
         topic = to_wire(df, s1, 1)
-        plan = from_wire(topic, "wire", {1: s1, 2: s2})._jdf.queryExecution() \
+        plan = from_wire(topic, "wire", {1: s1, 2: s2}, reader=s2)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Exchange" not in plan
+
+
+def test_multi_version_registry_requires_explicit_reader(spark):
+    s1, s2 = avs.create(V1), avs.create(V2)
+    df = spark.createDataFrame([(1, "ann")], "id long, name string")
+    topic = to_wire(df, s1, 1)
+    with pytest.raises(Exception, match="explicit reader"):
+        from_wire(topic, "wire", {1: s1, 2: s2})

@@ -1279,6 +1279,73 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "n_bytes", "sha256")
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal as-of join (operators/temporal.py): for every click,
+    the most recent prior purchase of the same user — the sort-merge
+    union+window formulation (one Exchange, no theta join). The right
+    side pre-aggregates duplicate (user, ts) instants so tie-breaking
+    is engine-independent; DuckDB verifies with its native ASOF JOIN."""
+    from avro_spark.operators.temporal import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purch_value"))
+    )
+    out = asof_join(clicks, purch, on="user_id")
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "value",
+        F.unix_micros(F.col("ts_r")).alias("matched_ts_us"),
+        F.col("purch_value_r").alias("purch_value"),
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed interval-containment join (operators/temporal.py):
+    events falling in each user's first active hour — intervals explode
+    into 15-min buckets, the match is an equi-join on (user, bucket) +
+    exact containment, never a BroadcastNestedLoopJoin."""
+    from avro_spark.operators.temporal import _as_timestamp, range_join
+
+    ev = _as_timestamp(
+        _read(spark, sf_dir, "events").select("user_id", "ts", "event_id"), "ts"
+    )
+    first = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("start"))
+        .withColumn("end", F.col("start") + F.expr("INTERVAL 1 HOUR"))
+    )
+    out = range_join(ev, first, on="user_id", bucket_seconds=900)
+    return out.groupBy("user_id").agg(
+        F.count("*").alias("n_first_hour"),
+        F.sum("event_id").alias("sum_event_id"),
+    )
+
+
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity continuous-aggregate rollup: hour + day buckets
+    of event value sums in ONE pass via GROUPING SETS (one shuffle; the
+    hypertable rollup shape)."""
+    from avro_spark.operators.temporal import time_rollup
+
+    ev = _read(spark, sf_dir, "events").select("ts", "value")
+    out = time_rollup(
+        ev, "ts", granularities=("hour", "day"), aggs={"value": "sum"}
+    )
+    return out.select(
+        "granularity",
+        F.unix_micros(F.col("bucket")).alias("bucket_us"),
+        F.round(F.col("sum_value"), 6).alias("sum_value"),
+        "n_rows",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: nested-record flatten on sf0.001 (SURVEY §7 step 2)."""
     return q_flatten_nested(spark, "/root/testdata/sf0.001")
@@ -1370,6 +1437,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conform_json": q_conform_json,
         "wire_roundtrip": q_wire_roundtrip,
         "chunk_documents": q_chunk_documents,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "time_rollup": q_time_rollup,
     }
 
 
@@ -2124,5 +2194,47 @@ def extra_oracle_sql() -> dict[str, str]:
                             ELSE [] END))
                    END AS errors_json
             FROM orders
+        """,
+        # native DuckDB ASOF JOIN vs the union+window sort-merge plan;
+        # right side deduped per (user, ts) so ties are engine-independent
+        "asof_join": """
+            WITH clicks AS (
+              SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+            ), purch AS (
+              SELECT user_id, ts AS pts, max(value) AS purch_value
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, ts
+            )
+            SELECT c.user_id,
+                   epoch_us(c.ts) AS ts_us,
+                   c.value AS value,
+                   epoch_us(p.pts) AS matched_ts_us,
+                   p.purch_value AS purch_value
+            FROM clicks c
+            ASOF LEFT JOIN purch p
+              ON c.user_id = p.user_id AND c.ts >= p.pts
+        """,
+        "range_join": """
+            WITH f AS (
+              SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id
+            )
+            SELECT e.user_id,
+                   count(*) AS n_first_hour,
+                   sum(e.event_id) AS sum_event_id
+            FROM events e
+            JOIN f ON e.user_id = f.user_id
+               AND e.ts >= f.t0 AND e.ts < f.t0 + INTERVAL 1 HOUR
+            GROUP BY e.user_id
+        """,
+        "time_rollup": """
+            SELECT 'hour' AS granularity,
+                   epoch_us(date_trunc('hour', ts)) AS bucket_us,
+                   round(sum(value), 6) AS sum_value,
+                   count(*) AS n_rows
+            FROM events GROUP BY 2
+            UNION ALL
+            SELECT 'day', epoch_us(date_trunc('day', ts)),
+                   round(sum(value), 6), count(*)
+            FROM events GROUP BY 2
         """,
     }

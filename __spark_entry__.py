@@ -1346,6 +1346,38 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_QUERIES = [(1, "hash join"), (2, "window merge batch"), (3, "vector scan")]
+
+
+def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (functions/retrieval.py): inverted-index
+    postings + broadcast query terms; every (query, doc) score verified
+    against DuckDB computing the same Okapi formula."""
+    from avro_spark.functions import retrieval as R
+
+    docs = _read(spark, sf_dir, "documents", split=True)
+    qs = spark.createDataFrame(_BM25_QUERIES, "query_id long, query string")
+    out = R.bm25_scores(docs, qs)
+    return out.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token pair counts (the BPE vocabulary-merge statistic):
+    explode + one map-side-combined count, integer-thresholded so the
+    gate has no float boundary."""
+    from avro_spark.functions import retrieval as R
+
+    docs = _read(spark, sf_dir, "documents", split=True)
+    out = R.bpe_pair_counts(docs, "text", min_count=5)
+    return out.select(
+        F.col("left").alias("tok_left"),
+        F.col("right").alias("tok_right"),
+        "n_pairs",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: nested-record flatten on sf0.001 (SURVEY §7 step 2)."""
     return q_flatten_nested(spark, "/root/testdata/sf0.001")
@@ -1440,6 +1472,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "time_rollup": q_time_rollup,
+        "bm25_retrieval": q_bm25_retrieval,
+        "bpe_pairs": q_bpe_pairs,
     }
 
 
@@ -2236,5 +2270,56 @@ def extra_oracle_sql() -> dict[str, str]:
             SELECT 'day', epoch_us(date_trunc('day', ts)),
                    round(sum(value), 6), count(*)
             FROM events GROUP BY 2
+        """,
+        # same Okapi BM25 formula: k1=1.2, b=0.75,
+        # idf = ln(1 + (N - df + .5)/(df + .5)); N counts ALL docs,
+        # dl/avgdl only docs with >=1 token (empty docs are unmatchable)
+        "bm25_retrieval": f"""
+            WITH q(query_id, query) AS (VALUES {", ".join(f"({i}, '{s}')" for i, s in _BM25_QUERIES)}),
+            toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM documents WHERE trim(text) <> ''
+            ),
+            nd AS (SELECT count(*) AS n FROM documents),
+            post AS (
+              SELECT doc_id, tok AS term, count(*) AS tf
+              FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+              GROUP BY 1, 2
+            ),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1),
+            ad AS (SELECT avg(dl) AS avgdl FROM dl),
+            dfr AS (SELECT term, count(DISTINCT doc_id) AS df FROM post GROUP BY 1),
+            qt AS (
+              SELECT DISTINCT query_id, term FROM (
+                SELECT query_id,
+                       unnest(regexp_split_to_array(trim(lower(query)), '\\s+')) AS term
+                FROM q)
+            ),
+            sc AS (
+              SELECT qt.query_id, post.doc_id,
+                     ln(1 + (nd.n - dfr.df + 0.5) / (dfr.df + 0.5))
+                     * (post.tf * 2.2)
+                     / (post.tf + 1.2 * (0.25 + 0.75 * dl.dl / ad.avgdl)) AS ts
+              FROM post
+              JOIN qt USING (term)
+              JOIN dfr USING (term)
+              JOIN dl ON dl.doc_id = post.doc_id, nd, ad
+            )
+            SELECT query_id, doc_id, round(sum(ts), 6) AS score
+            FROM sc GROUP BY 1, 2
+        """,
+        "bpe_pairs": """
+            WITH toks AS (
+              SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM documents WHERE trim(text) <> ''
+            ),
+            pr AS (
+              SELECT unnest(list_transform(
+                       generate_series(1, len(t) - 1),
+                       i -> {'l': t[i], 'r': t[i + 1]})) AS p
+              FROM toks
+            )
+            SELECT p.l AS tok_left, p.r AS tok_right, count(*) AS n_pairs
+            FROM pr GROUP BY 1, 2 HAVING count(*) >= 5
         """,
     }

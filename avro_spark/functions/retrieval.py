@@ -1,0 +1,159 @@
+"""Lexical retrieval over the documents table (beyond-reference
+extension): BM25 scoring through an inverted-index join, plus the
+adjacent-pair counting that seeds BPE vocabulary training.
+
+Design for 100 TB:
+
+* :func:`bm25_scores` builds postings by exploding the token array and
+  aggregating per (doc, term) — ONE shuffle keyed on (doc, term) with
+  map-side combine, then a shuffle on term for document frequencies.
+  The query side is tiny (a handful of terms per query) and broadcasts,
+  so candidate generation touches only documents containing at least
+  one query term — never a full cross product. Final per-(query, doc)
+  score is one more keyed aggregate. All JVM-side; no Python stage.
+* :func:`bpe_pair_counts` is explode + groupBy-count — the canonical
+  map-side-combined word-count shape; at 100 TB the combiner collapses
+  each partition's pairs before the single shuffle.
+
+Tokenization matches functions/text.py's whitespace convention
+(lowercase, ``\\s+`` split) so oracles can replicate it verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import ws_tokens
+
+
+def _postings(docs: DataFrame, doc_id: str, text: str) -> DataFrame:
+    """(doc_id, term, tf, dl): term frequency + document length."""
+    toks = docs.select(
+        F.col(doc_id).alias("_doc"),
+        F.explode(ws_tokens(F.lower(F.col(text)))).alias("term"),
+    )
+    tf = toks.groupBy("_doc", "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("_doc").agg(F.sum("tf").alias("dl"))
+    return tf.join(dl, "_doc")
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    doc_id: str = "doc_id",
+    text: str = "text",
+    query_id: str = "query_id",
+    query_text: str = "query",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(query_id, doc_id, score): Okapi BM25 of every document that
+    shares at least one term with the query. idf uses the
+    non-negative variant ``ln(1 + (N - df + 0.5)/(df + 0.5))``.
+
+    Repeated query terms count once (set semantics), matching standard
+    BM25 practice and keeping the oracle formulation simple.
+    """
+    post = _postings(docs, doc_id, text)
+    n_docs = docs.select(F.count("*").alias("n")).withColumn("_k", F.lit(1))
+    avgdl = (
+        post.groupBy("_doc")
+        .agg(F.first("dl").alias("dl"))
+        .agg(F.avg("dl").alias("avgdl"))
+        .withColumn("_k", F.lit(1))
+    )
+    df_ = post.groupBy("term").agg(F.countDistinct("_doc").alias("df"))
+    qterms = queries.select(
+        F.col(query_id).alias("_q"),
+        F.explode(F.array_distinct(ws_tokens(F.lower(F.col(query_text))))).alias(
+            "term"
+        ),
+    )
+    # broadcast the (tiny) query-term set into the postings join
+    cand = post.join(F.broadcast(qterms), "term").join(df_, "term")
+    scored = (
+        cand.withColumn("_k", F.lit(1))
+        .join(F.broadcast(n_docs), "_k")
+        .join(F.broadcast(avgdl), "_k")
+        .select(
+            "_q",
+            "_doc",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("_term_score"),
+        )
+    )
+    return (
+        scored.groupBy("_q", "_doc")
+        .agg(F.sum("_term_score").alias("score"))
+        .select(
+            F.col("_q").alias(query_id),
+            F.col("_doc").alias(doc_id),
+            "score",
+        )
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    doc_id: str = "doc_id",
+    text: str = "text",
+    query_id: str = "query_id",
+    query_text: str = "query",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k BM25 hits per query, deterministically tie-broken by
+    (score desc, doc_id asc). One window pass over the scored
+    candidates (partitioned per query — never a global sort)."""
+    scores = bm25_scores(
+        docs, queries, doc_id, text, query_id, query_text, k1, b
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col(doc_id).asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, doc_id, "score", "rank")
+    )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    text: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """(left, right, n_pairs): counts of ADJACENT lowercase token pairs
+    across the corpus — the statistic a BPE/WordPiece vocabulary build
+    merges on. Pure explode + map-side-combined count (one shuffle)."""
+    toks = docs.select(ws_tokens(F.lower(F.col(text))).alias("t"))
+    # size < 2 filtered BEFORE sequence(): Spark's sequence(1, 0) counts
+    # DOWN ([1, 0]), it is not empty
+    pairs = toks.where(F.size("t") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(t[i - 1] AS left, t[i] AS right))"
+            )
+        ).alias("p")
+    )
+    out = (
+        pairs.groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    if min_count > 1:
+        out = out.where(F.col("n_pairs") >= min_count)
+    return out

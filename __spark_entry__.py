@@ -1397,7 +1397,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evolution_downgrade": q_evolution_downgrade,
         "service_fields": q_service_fields,
         "promotions": q_promotions,
-        "enum_roundtrip": q_enum_roundtrip,
         "enum_evolution": q_enum_evolution,
         "union_evolution": q_union_evolution,
         "union3_encode": q_union3_encode,
@@ -1421,10 +1420,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window": q_streaming_window,
         "streaming_flatten": q_streaming_flatten,
         "sessionize_batch": q_sessionize_batch,
-        # LLM-pipeline: text analysis / sampling / packing
+        # temporal joins
+        "asof_join": q_asof_join,
+        # LLM-pipeline: text analysis / retrieval / sampling / packing
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
-        "domain_mix": q_domain_mix,
+        "bm25_retrieval": q_bm25_retrieval,
         "corpus_stats": q_corpus_stats,
         "repetition_stats": q_repetition_stats,
         "pack_sequences": q_pack_sequences,
@@ -1469,11 +1470,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conform_json": q_conform_json,
         "wire_roundtrip": q_wire_roundtrip,
         "chunk_documents": q_chunk_documents,
-        "asof_join": q_asof_join,
         "range_join": q_range_join,
         "time_rollup": q_time_rollup,
-        "bm25_retrieval": q_bm25_retrieval,
         "bpe_pairs": q_bpe_pairs,
+        # folded out of the 50-window to make room for the asof_join and
+        # bm25_retrieval family gates: enums stay driver-green via
+        # enum_evolution, sampling via corpus_stats + curate_corpus
+        "enum_roundtrip": q_enum_roundtrip,
+        "domain_mix": q_domain_mix,
     }
 
 
@@ -1693,9 +1697,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(l_linenumber AS BIGINT) AS l_linenumber
             FROM lineitem
         """,
-        "enum_roundtrip": """
-            SELECT o_orderkey, o_orderstatus FROM orders
-        """,
         "enum_evolution": """
             SELECT o_orderkey,
                    CASE o_orderstatus WHEN 'P' THEN 0 WHEN 'F' THEN 1 WHEN 'O' THEN 2 END
@@ -1794,14 +1795,6 @@ def oracle_sql() -> dict[str, str]:
         """,
         "csv_roundtrip": """
             SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
-        """,
-        "domain_mix": f"""
-            SELECT doc_id, source
-            FROM documents
-            WHERE {_PH60.format(x="CAST(doc_id AS VARCHAR)")} % 100 <
-                  CASE source WHEN 'web' THEN 50 WHEN 'wiki' THEN 100
-                              WHEN 'code' THEN 80 WHEN 'books' THEN 100
-                              ELSE 30 END
         """,
         "corpus_stats": f"""
             WITH b AS (
@@ -2108,12 +2101,79 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS sha256
             FROM documents
         """,
+        # native DuckDB ASOF JOIN vs the union+window sort-merge plan;
+        # right side deduped per (user, ts) so ties are engine-independent
+        "asof_join": """
+            WITH clicks AS (
+              SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+            ), purch AS (
+              SELECT user_id, ts AS pts, max(value) AS purch_value
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, ts
+            )
+            SELECT c.user_id,
+                   epoch_us(c.ts) AS ts_us,
+                   c.value AS value,
+                   epoch_us(p.pts) AS matched_ts_us,
+                   p.purch_value AS purch_value
+            FROM clicks c
+            ASOF LEFT JOIN purch p
+              ON c.user_id = p.user_id AND c.ts >= p.pts
+        """,
+        # same Okapi BM25 formula: k1=1.2, b=0.75,
+        # idf = ln(1 + (N - df + .5)/(df + .5)); N counts ALL docs,
+        # dl/avgdl only docs with >=1 token (empty docs are unmatchable)
+        "bm25_retrieval": f"""
+            WITH q(query_id, query) AS (VALUES {", ".join(f"({i}, '{s}')" for i, s in _BM25_QUERIES)}),
+            toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM documents WHERE trim(text) <> ''
+            ),
+            nd AS (SELECT count(*) AS n FROM documents),
+            post AS (
+              SELECT doc_id, tok AS term, count(*) AS tf
+              FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+              GROUP BY 1, 2
+            ),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1),
+            ad AS (SELECT avg(dl) AS avgdl FROM dl),
+            dfr AS (SELECT term, count(DISTINCT doc_id) AS df FROM post GROUP BY 1),
+            qt AS (
+              SELECT DISTINCT query_id, term FROM (
+                SELECT query_id,
+                       unnest(regexp_split_to_array(trim(lower(query)), '\\s+')) AS term
+                FROM q)
+            ),
+            sc AS (
+              SELECT qt.query_id, post.doc_id,
+                     ln(1 + (nd.n - dfr.df + 0.5) / (dfr.df + 0.5))
+                     * (post.tf * 2.2)
+                     / (post.tf + 1.2 * (0.25 + 0.75 * dl.dl / ad.avgdl)) AS ts
+              FROM post
+              JOIN qt USING (term)
+              JOIN dfr USING (term)
+              JOIN dl ON dl.doc_id = post.doc_id, nd, ad
+            )
+            SELECT query_id, doc_id, round(sum(ts), 6) AS score
+            FROM sc GROUP BY 1, 2
+        """,
     }
 
 
 def extra_oracle_sql() -> dict[str, str]:
     """Oracles for the folded gates in ``extra_queries()``."""
     return {
+        "enum_roundtrip": """
+            SELECT o_orderkey, o_orderstatus FROM orders
+        """,
+        "domain_mix": f"""
+            SELECT doc_id, source
+            FROM documents
+            WHERE {_PH60.format(x="CAST(doc_id AS VARCHAR)")} % 100 <
+                  CASE source WHEN 'web' THEN 50 WHEN 'wiki' THEN 100
+                              WHEN 'code' THEN 80 WHEN 'books' THEN 100
+                              ELSE 30 END
+        """,
         "enum_codes": """
             SELECT o_orderkey,
                    CASE o_orderstatus WHEN 'F' THEN 0 WHEN 'O' THEN 1 WHEN 'P' THEN 2 END
@@ -2229,25 +2289,6 @@ def extra_oracle_sql() -> dict[str, str]:
                    END AS errors_json
             FROM orders
         """,
-        # native DuckDB ASOF JOIN vs the union+window sort-merge plan;
-        # right side deduped per (user, ts) so ties are engine-independent
-        "asof_join": """
-            WITH clicks AS (
-              SELECT user_id, ts, value FROM events WHERE event_type = 'click'
-            ), purch AS (
-              SELECT user_id, ts AS pts, max(value) AS purch_value
-              FROM events WHERE event_type = 'purchase'
-              GROUP BY user_id, ts
-            )
-            SELECT c.user_id,
-                   epoch_us(c.ts) AS ts_us,
-                   c.value AS value,
-                   epoch_us(p.pts) AS matched_ts_us,
-                   p.purch_value AS purch_value
-            FROM clicks c
-            ASOF LEFT JOIN purch p
-              ON c.user_id = p.user_id AND c.ts >= p.pts
-        """,
         "range_join": """
             WITH f AS (
               SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id
@@ -2270,43 +2311,6 @@ def extra_oracle_sql() -> dict[str, str]:
             SELECT 'day', epoch_us(date_trunc('day', ts)),
                    round(sum(value), 6), count(*)
             FROM events GROUP BY 2
-        """,
-        # same Okapi BM25 formula: k1=1.2, b=0.75,
-        # idf = ln(1 + (N - df + .5)/(df + .5)); N counts ALL docs,
-        # dl/avgdl only docs with >=1 token (empty docs are unmatchable)
-        "bm25_retrieval": f"""
-            WITH q(query_id, query) AS (VALUES {", ".join(f"({i}, '{s}')" for i, s in _BM25_QUERIES)}),
-            toks AS (
-              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
-              FROM documents WHERE trim(text) <> ''
-            ),
-            nd AS (SELECT count(*) AS n FROM documents),
-            post AS (
-              SELECT doc_id, tok AS term, count(*) AS tf
-              FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
-              GROUP BY 1, 2
-            ),
-            dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1),
-            ad AS (SELECT avg(dl) AS avgdl FROM dl),
-            dfr AS (SELECT term, count(DISTINCT doc_id) AS df FROM post GROUP BY 1),
-            qt AS (
-              SELECT DISTINCT query_id, term FROM (
-                SELECT query_id,
-                       unnest(regexp_split_to_array(trim(lower(query)), '\\s+')) AS term
-                FROM q)
-            ),
-            sc AS (
-              SELECT qt.query_id, post.doc_id,
-                     ln(1 + (nd.n - dfr.df + 0.5) / (dfr.df + 0.5))
-                     * (post.tf * 2.2)
-                     / (post.tf + 1.2 * (0.25 + 0.75 * dl.dl / ad.avgdl)) AS ts
-              FROM post
-              JOIN qt USING (term)
-              JOIN dfr USING (term)
-              JOIN dl ON dl.doc_id = post.doc_id, nd, ad
-            )
-            SELECT query_id, doc_id, round(sum(ts), 6) AS score
-            FROM sc GROUP BY 1, 2
         """,
         "bpe_pairs": """
             WITH toks AS (

@@ -75,6 +75,12 @@ BENCH_QUERIES = [
     "bucketed_join",
     "media_meta",
     "multimodal_features",
+    # round 2: temporal + retrieval families
+    "asof_join",
+    "range_join",
+    "time_rollup",
+    "bm25_retrieval",
+    "bpe_pairs",
 ]
 
 

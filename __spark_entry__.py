@@ -1378,6 +1378,28 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = [
+    ("l_orderkey", "bigint"),
+    ("l_partkey", "bigint"),
+    ("l_suppkey", "bigint"),
+    ("l_linenumber", "int"),
+    ("l_returnflag", "string"),
+    ("l_linestatus", "string"),
+]
+
+
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profile of lineitem (operators/profile.py) with
+    exact distincts so DuckDB can replicate value-for-value (the scale
+    default is the single-pass HLL variant)."""
+    from avro_spark.operators.profile import profile_table
+
+    li = _read(spark, sf_dir, "lineitem")
+    return profile_table(
+        li.select(*[c for c, _t in _PROFILE_COLS]), exact_distinct=True
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: nested-record flatten on sf0.001 (SURVEY §7 step 2)."""
     return q_flatten_nested(spark, "/root/testdata/sf0.001")
@@ -1473,6 +1495,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "time_rollup": q_time_rollup,
         "bpe_pairs": q_bpe_pairs,
+        "profile_table": q_profile_table,
         # folded out of the 50-window to make room for the asof_join and
         # bm25_retrieval family gates: enums stay driver-green via
         # enum_evolution, sampling via corpus_stats + curate_corpus
@@ -2326,4 +2349,16 @@ def extra_oracle_sql() -> dict[str, str]:
             SELECT p.l AS tok_left, p.r AS tok_right, count(*) AS n_pairs
             FROM pr GROUP BY 1, 2 HAVING count(*) >= 5
         """,
+        "profile_table": "\nUNION ALL\n".join(
+            f"""
+            SELECT '{c}' AS "column", '{t}' AS dtype,
+                   count(*) AS n_rows,
+                   count(*) - count({c}) AS n_nulls,
+                   count(DISTINCT {c}) AS n_distinct,
+                   CAST(min({c}) AS VARCHAR) AS min_str,
+                   CAST(max({c}) AS VARCHAR) AS max_str
+            FROM lineitem
+            """
+            for c, t in _PROFILE_COLS
+        ),
     }

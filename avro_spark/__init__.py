@@ -53,6 +53,7 @@ __all__ = [
     "fingerprint",
     "get_names",
     "get_types",
+    "infer_schema",
     "is_schema",
     "validate",
 ]
@@ -62,6 +63,16 @@ def validate(schema: Schema, data: Any) -> Any:
     """Check ``data`` against ``schema``; return normalized copy with
     defaults filled (A2)."""
     return schema.validate(data)
+
+
+def infer_schema(source, name: str = "Record", coerce: bool = False) -> Schema:
+    """Build a validated Schema from a DataFrame or StructType (the
+    reverse of the §1.5 type mapping; beyond-reference convenience —
+    the reference is schema-first with no inference). See
+    :mod:`avro_spark.schema.infer` for the mapping and ``coerce``."""
+    from .schema.infer import infer_schema as _infer
+
+    return _infer(source, name=name, coerce=coerce)
 
 
 def export(schema: Schema) -> Any:

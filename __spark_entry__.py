@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 import avro_spark
@@ -1400,6 +1400,42 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dense global ids (operators/scale.py): range
+    repartition + per-partition rank + driver-side offsets — the
+    scale-safe replacement for the single-task global row_number().
+    doc_id is unique, so ids equal the global sort position and DuckDB
+    replicates with a plain window."""
+    from avro_spark.operators.scale import assign_global_ids
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    out = assign_global_ids(docs, "doc_id", id_col="gid", num_partitions=8)
+    return out.select("doc_id", "source", "gid")
+
+
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (functions/retrieval.py) of the BM25
+    ranking with a deterministic doc-id prior list — the hybrid
+    lexical+prior retrieval combiner. RRF is rank-based, so scores are
+    exact sums of 1/(60+rank) and hash-match without rounding."""
+    from avro_spark.functions import retrieval as R
+
+    docs = _read(spark, sf_dir, "documents", split=True)
+    qs = spark.createDataFrame(_BM25_QUERIES, "query_id long, query string")
+    lex = R.bm25_topk(docs, qs, k=20)
+    # query-independent prior: the 20 lowest doc_ids, rank = position
+    # (20-row list — the global window is a constant-size operation)
+    prior_docs = (
+        docs.select("doc_id")
+        .orderBy("doc_id")
+        .limit(20)
+        .select("doc_id", F.row_number().over(Window.orderBy("doc_id")).alias("rank"))
+    )
+    prior = qs.select("query_id").crossJoin(prior_docs)
+    fused = R.rrf_fuse([lex, prior], topk=10)
+    return fused.select("query_id", "doc_id", "rrf_score", "rank")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: nested-record flatten on sf0.001 (SURVEY §7 step 2)."""
     return q_flatten_nested(spark, "/root/testdata/sf0.001")
@@ -1496,6 +1532,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup": q_time_rollup,
         "bpe_pairs": q_bpe_pairs,
         "profile_table": q_profile_table,
+        "global_ids": q_global_ids,
+        "hybrid_retrieval": q_hybrid_retrieval,
         # folded out of the 50-window to make room for the asof_join and
         # bm25_retrieval family gates: enums stay driver-green via
         # enum_evolution, sampling via corpus_stats + curate_corpus
@@ -2348,6 +2386,76 @@ def extra_oracle_sql() -> dict[str, str]:
             )
             SELECT p.l AS tok_left, p.r AS tok_right, count(*) AS n_pairs
             FROM pr GROUP BY 1, 2 HAVING count(*) >= 5
+        """,
+        "global_ids": """
+            SELECT doc_id, source,
+                   row_number() OVER (ORDER BY doc_id) - 1 AS gid
+            FROM documents
+        """,
+        # RRF of the BM25 top-20 with a rank-20 doc-id prior; scores are
+        # sums of at most two 1/(60+r) terms — IEEE addition of two
+        # doubles is order-insensitive, so no rounding is needed
+        "hybrid_retrieval": f"""
+            WITH q(query_id, query) AS (VALUES {", ".join(f"({i}, '{s}')" for i, s in _BM25_QUERIES)}),
+            toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM documents WHERE trim(text) <> ''
+            ),
+            nd AS (SELECT count(*) AS n FROM documents),
+            post AS (
+              SELECT doc_id, tok AS term, count(*) AS tf
+              FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+              GROUP BY 1, 2
+            ),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1),
+            ad AS (SELECT avg(dl) AS avgdl FROM dl),
+            dfr AS (SELECT term, count(DISTINCT doc_id) AS df FROM post GROUP BY 1),
+            qt AS (
+              SELECT DISTINCT query_id, term FROM (
+                SELECT query_id,
+                       unnest(regexp_split_to_array(trim(lower(query)), '\\s+')) AS term
+                FROM q)
+            ),
+            sc AS (
+              SELECT qt.query_id, post.doc_id,
+                     ln(1 + (nd.n - dfr.df + 0.5) / (dfr.df + 0.5))
+                     * (post.tf * 2.2)
+                     / (post.tf + 1.2 * (0.25 + 0.75 * dl.dl / ad.avgdl)) AS ts
+              FROM post
+              JOIN qt USING (term)
+              JOIN dfr USING (term)
+              JOIN dl ON dl.doc_id = post.doc_id, nd, ad
+            ),
+            bm AS (
+              SELECT query_id, doc_id, sum(ts) AS score
+              FROM sc GROUP BY 1, 2
+            ),
+            lex AS (
+              SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, doc_id) AS rank
+              FROM bm QUALIFY rank <= 20
+            ),
+            prior AS (
+              SELECT q.query_id, d.doc_id, d.rank
+              FROM q, (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY doc_id) AS rank
+                FROM documents ORDER BY doc_id LIMIT 20) d
+            ),
+            contrib AS (
+              SELECT query_id, doc_id, 1.0 / (60 + rank) AS c FROM lex
+              UNION ALL
+              SELECT query_id, doc_id, 1.0 / (60 + rank) AS c FROM prior
+            ),
+            fused AS (
+              SELECT query_id, doc_id, sum(c) AS rrf_score
+              FROM contrib GROUP BY 1, 2
+            )
+            SELECT query_id, doc_id, rrf_score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY rrf_score DESC, doc_id) AS rank
+            FROM fused QUALIFY rank <= 10
         """,
         "profile_table": "\nUNION ALL\n".join(
             f"""

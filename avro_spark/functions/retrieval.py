@@ -157,3 +157,51 @@ def bpe_pair_counts(
     if min_count > 1:
         out = out.where(F.col("n_pairs") >= min_count)
     return out
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    query_id: str = "query_id",
+    doc_id: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    topk: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked candidate lists (e.g. BM25 +
+    embedding ANN — the standard hybrid-retrieval combiner):
+    ``rrf = Σ_lists 1 / (k + rank)``. A document absent from a list
+    simply contributes nothing (no imputation).
+
+    Output: (query_id, doc_id, rrf_score[, rank]) — ``rank`` when
+    ``topk`` is set, deterministically tie-broken by (score desc,
+    doc_id asc).
+
+    Scale: union + ONE keyed aggregate; re-ranking is a per-query
+    window, never a global sort. Fusing is rank-based, so the two
+    engines' float score scales never need reconciling — only the
+    integer ranks cross lists.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [
+        r.select(
+            F.col(query_id), F.col(doc_id),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col))).alias("_c"),
+        )
+        for r in rankings
+    ]
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    fused = unioned.groupBy(query_id, doc_id).agg(
+        F.sum("_c").alias("rrf_score")
+    )
+    if topk is None:
+        return fused
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("rrf_score").desc(), F.col(doc_id).asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+    )

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -106,3 +106,58 @@ def key_skew_report(df: DataFrame, key: str, top: int = 20) -> DataFrame:
         .orderBy(F.desc("n_rows"), key)
         .limit(top)
     )
+
+
+def assign_global_ids(
+    df: DataFrame,
+    order_by: str,
+    id_col: str = "_gid",
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Dense, deterministic 0-based global ids in ``order_by`` order —
+    WITHOUT the single-task global-sort window (``row_number() OVER
+    (ORDER BY ...)`` plans ONE partition: a guaranteed straggler at any
+    real scale) and without ``monotonically_increasing_id`` (sparse ids,
+    dependent on physical partitioning).
+
+    Shape: range-repartition on the key (the same sampled range exchange
+    a distributed sort uses), rank WITHIN each range partition, then add
+    per-partition offsets (a cumsum over ≤ #partitions counts — driver
+    math on a broadcast-sized list, never data). Ties on ``order_by``
+    are broken by xxhash64 of the whole row so ids are stable across
+    runs and engines need no physical-order assumption.
+
+    Equivalent to ``row_number() OVER (ORDER BY order_by, tiebreak) - 1``
+    at sort-merge cost: one range Exchange + in-partition sorts.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    tb = F.xxhash64(*[F.col(c) for c in df.columns])
+    ranged = df.withColumn("_tb", tb).repartitionByRange(
+        n, F.col(order_by), F.col("_tb")
+    )
+    pid = F.spark_partition_id()
+    w = Window.partitionBy(pid).orderBy(F.col(order_by), F.col("_tb"))
+    local = ranged.withColumn("_pid", pid).withColumn(
+        "_rk", F.row_number().over(w)
+    )
+    # per-partition counts: ≤ n rows to the driver (partition METADATA,
+    # not data); cache so the count pass and the output share the ranged
+    # shuffle instead of recomputing it
+    local = local.localCheckpoint(eager=False)
+    counts = dict(
+        (r["_pid"], r["c"])
+        for r in local.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    offsets, acc = {}, 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    off = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        ),
+        F.col("_pid"),
+    ) if offsets else F.lit(0)
+    return local.withColumn(
+        id_col, (off + F.col("_rk") - 1).cast("long")
+    ).drop("_tb", "_pid", "_rk")

@@ -126,3 +126,48 @@ def test_bpe_single_token_docs_contribute_nothing(spark):
     df = spark.createDataFrame([(1, "word"), (2, " "), (3, "a b")], "doc_id long, text string")
     out = bpe_pair_counts(df, "text").collect()
     assert {(r["left"], r["right"], r["n_pairs"]) for r in out} == {("a", "b", 1)}
+
+
+# ---------------------------------------------------------------- RRF fusion
+def test_rrf_fuse_matches_naive(spark):
+    from avro_spark.functions.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], "query_id long, doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)], "query_id long, doc_id long, rank int"
+    )
+    got = {
+        r["doc_id"]: r["rrf_score"] for r in rrf_fuse([a, b], k=60).collect()
+    }
+    want = {
+        10: 1 / 61,
+        11: 1 / 62 + 1 / 61,
+        12: 1 / 63,
+        13: 1 / 62,
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-12)
+
+
+def test_rrf_topk_order(spark):
+    from avro_spark.functions.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 10, 2)], "query_id long, doc_id long, rank int"
+    )
+    # symmetric ranks → equal scores → tiebreak by doc_id
+    out = rrf_fuse([a, b], topk=2).orderBy("rank").collect()
+    assert [(r["doc_id"], r["rank"]) for r in out] == [(10, 1), (11, 2)]
+
+
+def test_rrf_empty_list_rejected():
+    from avro_spark.functions.retrieval import rrf_fuse
+
+    with pytest.raises(ValueError):
+        rrf_fuse([])

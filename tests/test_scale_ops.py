@@ -90,3 +90,49 @@ def test_key_skew_report(spark):
     rows = key_skew_report(df, "k").collect()
     assert [(r["k"], r["n_rows"]) for r in rows] == [(1, 8), (2, 2)]
     assert abs(rows[0]["share"] - 0.8) < 1e-9
+
+
+# ------------------------------------------------------- global id assignment
+def test_assign_global_ids_matches_global_row_number(spark):
+    from avro_spark.operators.scale import assign_global_ids
+
+    rows = [(i, f"v{i % 7}") for i in range(997)]
+    import random
+
+    rnd = random.Random(3)
+    rnd.shuffle(rows)
+    df = spark.createDataFrame(rows, "key long, payload string").repartition(7)
+    out = assign_global_ids(df, "key", num_partitions=5)
+    got = {r["key"]: r["_gid"] for r in out.collect()}
+    # unique keys → ids must equal the key's global sort position
+    assert got == {k: k for k, _p in rows}
+    assert out.columns == ["key", "payload", "_gid"]
+
+
+def test_assign_global_ids_dense_and_deterministic_with_ties(spark):
+    from avro_spark.operators.scale import assign_global_ids
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (0, "z")], "key long, payload string"
+    )
+    out1 = {(r["key"], r["payload"]): r["_gid"]
+            for r in assign_global_ids(df, "key", num_partitions=3).collect()}
+    out2 = {(r["key"], r["payload"]): r["_gid"]
+            for r in assign_global_ids(df.repartition(2), "key", num_partitions=3).collect()}
+    assert sorted(out1.values()) == [0, 1, 2, 3]  # dense from 0
+    assert out1[(0, "z")] == 0                    # order respected
+    assert out1 == out2                           # physical layout irrelevant
+
+
+def test_assign_global_ids_no_single_partition_window(spark):
+    from avro_spark.operators.scale import assign_global_ids
+
+    df = spark.range(1000).withColumnRenamed("id", "key")
+    plan = (
+        assign_global_ids(df, "key")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the failure mode this operator exists to avoid
+    assert "Exchange SinglePartition" not in plan

@@ -1378,6 +1378,86 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus tokens (functions/stats.py): map-side-combined
+    count + TakeOrderedAndProject per-partition top-k (no global
+    sort). Integer counts, deterministic (n desc, term) tie-break."""
+    from avro_spark.functions import stats as S
+
+    docs = _read(spark, sf_dir, "documents", split=True)
+    return S.heavy_hitters(docs, k=50)
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (functions/stats.py): two keyed
+    aggregates + a per-document window — never a global sort."""
+    from avro_spark.functions import stats as S
+
+    docs = _read(spark, sf_dir, "documents", split=True)
+    out = S.tfidf_topk(docs, k=3)
+    return out.select(
+        "doc_id", "term", "tf", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source length quantiles (functions/stats.py
+    group_quantiles, the quantile_cont convention); the scale path is
+    the mergeable percentile_approx sketch variant, tolerance-tested in
+    tests/test_stats.py."""
+    from avro_spark.functions import stats as S
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "len", F.length("text")
+    )
+    return S.group_quantiles(docs, "source", "len")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling (functions/sampling.py):
+    portable md5-derived buckets so DuckDB reproduces the exact kept
+    set — the reproducible-training-freeze property."""
+    from avro_spark.functions.dedup import portable_hash60
+    from avro_spark.functions.sampling import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    out = stratified_sample(
+        docs,
+        "source",
+        "doc_id",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_fraction=0.1,
+        hash_fn=portable_hash60,
+    )
+    return out.select("doc_id", "source")
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style per-domain cap (functions/sampling.py cap_per_group):
+    keep the 10 smallest doc_ids per source via a window PARTITIONED BY
+    the domain — never a global window."""
+    from avro_spark.functions.sampling import cap_per_group
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(docs, "source", "doc_id", 10, keep_rank=True)
+
+
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring (functions/stats.py): add-one-smoothed
+    average bigram log-probability of each document under the corpus's
+    own LM — the cheap perplexity proxy. Train + score is three keyed
+    aggregates and two shuffle joins, all JVM-side."""
+    from avro_spark.functions import stats as S
+
+    docs = _read(spark, sf_dir, "documents", split=True)
+    out = S.bigram_lm_scores(docs)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+    )
+
+
 _PROFILE_COLS = [
     ("l_orderkey", "bigint"),
     ("l_partkey", "bigint"),
@@ -1539,6 +1619,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # enum_evolution, sampling via corpus_stats + curate_corpus
         "enum_roundtrip": q_enum_roundtrip,
         "domain_mix": q_domain_mix,
+        # round-2 additions: corpus statistics + curation sampling
+        "heavy_hitters": q_heavy_hitters,
+        "tfidf_topk": q_tfidf_topk,
+        "length_quantiles": q_length_quantiles,
+        "stratified_sample": q_stratified_sample,
+        "domain_cap": q_domain_cap,
+        "bigram_lm": q_bigram_lm,
     }
 
 
@@ -2456,6 +2543,94 @@ def extra_oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY query_id
                                       ORDER BY rrf_score DESC, doc_id) AS rank
             FROM fused QUALIFY rank <= 10
+        """,
+        "heavy_hitters": f"""
+            SELECT term, n FROM (
+              SELECT tok AS term, count(*) AS n
+              FROM (SELECT unnest({_LTOKS}) AS tok
+                    FROM documents WHERE trim(text) <> '')
+              GROUP BY 1)
+            ORDER BY n DESC, term LIMIT 50
+        """,
+        "tfidf_topk": f"""
+            WITH tf AS (
+              SELECT doc_id, tok AS term, count(*) AS tf
+              FROM (SELECT doc_id, unnest({_LTOKS}) AS tok
+                    FROM documents WHERE trim(text) <> '')
+              GROUP BY 1, 2
+            ),
+            dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+            sc AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     tf.tf * (ln((1.0 + nd.n) / (1.0 + dfr.df)) + 1.0) AS score
+              FROM tf JOIN dfr USING (term), nd
+            )
+            SELECT doc_id, term, tf, round(score, 6) AS score,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, term) AS rank
+            FROM sc QUALIFY rank <= 3
+        """,
+        "length_quantiles": """
+            WITH g AS (
+              SELECT source,
+                     quantile_cont(length(text), 0.25) AS q25,
+                     quantile_cont(length(text), 0.5) AS q50,
+                     quantile_cont(length(text), 0.75) AS q75
+              FROM documents GROUP BY source
+            )
+            SELECT source, CAST(0.25 AS DOUBLE) AS q, q25 AS value FROM g
+            UNION ALL SELECT source, 0.5, q50 FROM g
+            UNION ALL SELECT source, 0.75, q75 FROM g
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, source FROM documents
+            WHERE {_PH60.format(x='CAST(doc_id AS VARCHAR)')} % 10000 <
+                  CASE source WHEN 'src0' THEN 10000
+                              WHEN 'src1' THEN 5000
+                              WHEN 'src2' THEN 2500
+                              ELSE 1000 END
+        """,
+        "domain_cap": """
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY doc_id) AS rank
+            FROM documents QUALIFY rank <= 10
+        """,
+        "bigram_lm": f"""
+            WITH toks AS (
+              SELECT doc_id, {_LTOKS} AS t
+              FROM documents WHERE trim(text) <> ''
+            ),
+            bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, len(t) - 1),
+                       i -> {{'l': t[i], 'r': t[i + 1]}})) AS p
+              FROM toks
+            ),
+            pc AS (SELECT p.l, p.r, count(*) AS c_pair FROM bg GROUP BY 1, 2),
+            lc AS (SELECT l, sum(c_pair) AS c_left FROM pc GROUP BY 1),
+            v AS (
+              SELECT count(DISTINCT tok) AS v
+              FROM (SELECT unnest(t) AS tok FROM toks)
+            ),
+            lp AS (
+              SELECT bg.doc_id,
+                     ln((pc.c_pair + 1.0) / (lc.c_left + v.v)) AS lp
+              FROM bg
+              JOIN pc ON pc.l = bg.p.l AND pc.r = bg.p.r
+              JOIN lc ON lc.l = bg.p.l, v
+            ),
+            per AS (
+              SELECT doc_id, count(*) AS n_bigrams,
+                     sum(lp) / count(*) AS avg
+              FROM lp GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   COALESCE(per.n_bigrams, 0) AS n_bigrams,
+                   round(per.avg, 6) AS avg_logprob
+            FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
         """,
         "profile_table": "\nUNION ALL\n".join(
             f"""

@@ -159,6 +159,87 @@ def bpe_pair_counts(
     return out
 
 
+def bpe_train(
+    docs: DataFrame,
+    text: str = "text",
+    num_merges: int = 10,
+    checkpoint_every: int = 4,
+):
+    """Train ``num_merges`` BPE merge rules over whitespace tokens:
+    each round finds the corpus-wide most frequent ADJACENT token pair
+    (ties broken by (left, right) so the vocabulary is deterministic)
+    and rewrites every occurrence as the concatenated token,
+    leftmost-first non-overlapping — the classic BPE step, with
+    whitespace tokens standing in for the byte alphabet.
+
+    Returns ``(merges, tokens)``: ``merges`` is a DataFrame
+    (step, left, right, n_pairs); ``tokens`` the final rewritten token
+    arrays (column ``t``).
+
+    Scale: each round is ONE map-side-combined pair-count shuffle, a
+    TakeOrderedAndProject top-1 (a single row ever reaches the driver),
+    and a narrow ``aggregate`` fold that applies the merge — no Python
+    stage, no driver data. ``localCheckpoint`` every
+    ``checkpoint_every`` rounds truncates the growing lineage, exactly
+    like the connected-components loop in functions/dedup.py.
+    """
+    spark = docs.sparkSession
+    cur = docs.select(ws_tokens(F.lower(F.col(text))).alias("t"))
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(num_merges):
+        pairs = (
+            cur.where(F.size("t") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(t) - 1),"
+                        " i -> struct(t[i - 1] AS left, t[i] AS right))"
+                    )
+                ).alias("p")
+            )
+            .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+            .agg(F.count("*").alias("n_pairs"))
+        )
+        top = (
+            pairs.orderBy(
+                F.col("n_pairs").desc(), F.col("left").asc(), F.col("right").asc()
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, n = top[0]["left"], top[0]["right"], top[0]["n_pairs"]
+        merges.append((step, left, right, n))
+        joined = left + right
+        # leftmost-first non-overlapping rewrite: fold each token into
+        # the output array, replacing a trailing `left` when the next
+        # token is `right`. The merged token differs from `left` (it is
+        # strictly longer), so a fresh merge never cascades within the
+        # same round — matching the reference BPE convention.
+        cur = cur.select(
+            F.aggregate(
+                F.col("t"),
+                F.array().cast("array<string>").alias("acc"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(left))
+                    & (x == F.lit(right)),
+                    F.concat(
+                        F.slice(acc, F.lit(1), F.size(acc) - 1),
+                        F.array(F.lit(joined)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("t")
+        )
+        if (step + 1) % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=False)
+    merges_df = spark.createDataFrame(
+        merges, "step int, left string, right string, n_pairs long"
+    )
+    return merges_df, cur
+
+
 def rrf_fuse(
     rankings: "list[DataFrame]",
     query_id: str = "query_id",

@@ -49,3 +49,62 @@ def deterministic_split(
         cond = bucket < cum
         expr = F.when(cond, lbl) if expr is None else expr.when(cond, lbl)
     return df.withColumn(out_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    fractions: "dict[str, float] | float",
+    default_fraction: float = 0.0,
+    hash_fn=None,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its hash
+    bucket (0–9999, a pure function of the id) falls below
+    ``fraction * 10000`` for its stratum. Unlike ``df.sampleBy`` this
+    is reproducible across runs, engines, and incremental appends —
+    the property a training-data freeze needs.
+
+    ``fractions`` is either one float for every stratum or a
+    {stratum_value: fraction} dict (unlisted strata get
+    ``default_fraction``). Narrow projection + filter — no shuffle,
+    fully pushed into the scan stage.
+    """
+    if hash_fn is None:
+        hash_fn = F.xxhash64
+    bucket = F.pmod(hash_fn(F.col(id_col).cast("string")), F.lit(10000))
+    if isinstance(fractions, dict):
+        thresh: Column = F.lit(int(round(default_fraction * 10000)))
+        for val, frac in sorted(fractions.items()):
+            thresh = F.when(
+                F.col(strata_col) == val, F.lit(int(round(frac * 10000)))
+            ).otherwise(thresh)
+    else:
+        thresh = F.lit(int(round(float(fractions) * 10000)))
+    return df.where(bucket < thresh)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    n: int,
+    ascending: bool = True,
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, deterministically ordered by
+    ``order_col`` (ties broken by the order column only, so pick a
+    unique one — e.g. doc_id — for full determinism). The C4-style
+    per-domain cap that stops one crawl host from dominating a corpus.
+
+    One window partitioned by the group — never a global sort. Groups
+    so hot that even their window partition is skewed should be
+    pre-aggregated or salted upstream (operators/scale.py)."""
+    from pyspark.sql import Window
+
+    oc = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    w = Window.partitionBy(group_col).orderBy(oc)
+    out = df.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") <= n)
+    if keep_rank:
+        return out.withColumnRenamed("_rk", "rank")
+    return out.drop("_rk")

@@ -1,0 +1,237 @@
+"""Corpus statistics for LLM-data curation (beyond-reference
+extension): heavy hitters, TF-IDF, per-group quantiles, and a bigram
+language-model scorer (perplexity proxy for quality filtering).
+
+Design for 100 TB:
+
+* :func:`heavy_hitters` is explode + map-side-combined count, then a
+  global top-k. The top-k is ``orderBy(...).limit(k)`` which Spark
+  executes as ``TakeOrderedAndProject`` — each partition keeps only its
+  k best rows and the driver merges k·P rows, never a full sort. The
+  count shuffle is keyed on the term, so skew equals natural token skew
+  (bounded by vocabulary size after the combiner).
+* :func:`tfidf_topk` shuffles once on (doc, term) for tf, once on term
+  for df, then ranks per-document with a window PARTITIONED BY the
+  document — never a global window.
+* :func:`group_quantiles` uses the exact ``percentile`` aggregate
+  (linear interpolation, same convention as ANSI ``quantile_cont``) —
+  exact needs a per-group sort, so the scale path is
+  :func:`group_quantiles_approx` (``percentile_approx``, a mergeable
+  QuantileSummaries sketch: map-side partial, no per-group sort).
+* :func:`bigram_lm_scores` trains corpus bigram/unigram counts (two
+  map-side-combined aggregates) and scores each document by joining its
+  bigrams against the count tables — shuffle joins keyed on the bigram,
+  no driver-side model materialization, so the "model" can be as large
+  as the corpus vocabulary. All JVM-side; no Python stage anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import ws_tokens
+
+
+def token_counts(docs: DataFrame, text: str = "text") -> DataFrame:
+    """(term, n): corpus-wide lowercase whitespace-token counts.
+    The canonical word-count shape: explode + one count shuffle with
+    map-side combine."""
+    return (
+        docs.select(F.explode(ws_tokens(F.lower(F.col(text)))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    text: str = "text",
+    k: int = 50,
+    min_count: int = 1,
+) -> DataFrame:
+    """Top-k most frequent corpus tokens, deterministically tie-broken
+    by term. Executed as TakeOrderedAndProject (per-partition top-k +
+    driver merge of k rows per partition) — no global sort."""
+    counts = token_counts(docs, text)
+    if min_count > 1:
+        counts = counts.where(F.col("n") >= min_count)
+    return counts.orderBy(F.col("n").desc(), F.col("term").asc()).limit(k)
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    doc_id: str = "doc_id",
+    text: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """(doc_id, term, tf, score, rank): top-k TF-IDF terms per document.
+
+    tf is the raw in-document count; idf is the smooth variant
+    ``ln((1 + N) / (1 + df)) + 1`` (never negative, defined for df = N).
+    Ties break on (score desc, term asc) so output is deterministic.
+    """
+    toks = docs.select(
+        F.col(doc_id).alias("_doc"),
+        F.explode(ws_tokens(F.lower(F.col(text)))).alias("term"),
+    )
+    tf = toks.groupBy("_doc", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.countDistinct(F.col(doc_id)).alias("n")).withColumn(
+        "_k", F.lit(1)
+    )
+    scored = (
+        tf.join(df_, "term")
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(n_docs), "_k")
+        .select(
+            "_doc",
+            "term",
+            "tf",
+            (
+                F.col("tf")
+                * (F.log((1.0 + F.col("n")) / (1.0 + F.col("df"))) + 1.0)
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("_doc").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("_doc").alias(doc_id), "term", "tf", "score", "rank")
+    )
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: Sequence[float] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """(group, q, value): EXACT linear-interpolation quantiles per group
+    (the ``quantile_cont`` convention). One row per (group, quantile).
+
+    Exact quantiles sort within each group — fine for bounded group
+    cardinality; for per-group data too big to sort use
+    :func:`group_quantiles_approx`."""
+    qlist = [float(q) for q in qs]
+    agg = df.groupBy(group_col).agg(
+        F.percentile(F.col(value_col), F.array(*[F.lit(q) for q in qlist])).alias(
+            "_vals"
+        )
+    )
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(q) for q in qlist]).alias("q"), F.col("_vals").alias("value")
+    )
+    return agg.select(
+        group_col, F.explode(pairs).alias("_p")
+    ).select(
+        group_col,
+        F.col("_p.q").alias("q"),
+        F.col("_p.value").alias("value"),
+    )
+
+
+def group_quantiles_approx(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: Sequence[float] = (0.25, 0.5, 0.75),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Scale path for :func:`group_quantiles`: ``percentile_approx``
+    (QuantileSummaries sketch — mergeable, map-side partial aggregation,
+    no per-group sort). Same output shape; values within 1/accuracy
+    rank error of exact."""
+    qlist = [float(q) for q in qs]
+    agg = df.groupBy(group_col).agg(
+        F.percentile_approx(
+            F.col(value_col),
+            F.array(*[F.lit(q) for q in qlist]),
+            F.lit(accuracy),
+        ).alias("_vals")
+    )
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(q) for q in qlist]).alias("q"), F.col("_vals").alias("value")
+    )
+    return agg.select(
+        group_col, F.explode(pairs).alias("_p")
+    ).select(
+        group_col,
+        F.col("_p.q").alias("q"),
+        F.col("_p.value").alias("value"),
+    )
+
+
+def _doc_bigrams(docs: DataFrame, doc_id: str, text: str) -> DataFrame:
+    """(doc_id, left, right) per adjacent lowercase token pair."""
+    toks = docs.select(
+        F.col(doc_id).alias("_doc"), ws_tokens(F.lower(F.col(text))).alias("t")
+    )
+    return toks.where(F.size("t") >= 2).select(
+        "_doc",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(t[i - 1] AS left, t[i] AS right))"
+            )
+        ).alias("p"),
+    ).select("_doc", F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    doc_id: str = "doc_id",
+    text: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob): average add-alpha-smoothed
+    bigram log-probability of each document under the corpus's own
+    bigram LM — the standard cheap perplexity proxy for quality
+    filtering (low avg_logprob ≈ gibberish / boilerplate outliers).
+
+    ``P(r | l) = (c(l, r) + alpha) / (c(l, ·) + alpha · V)`` where V is
+    the corpus vocabulary size. Documents with < 2 tokens get
+    n_bigrams = 0 and NULL avg_logprob. Train and score are over the
+    same corpus; to score against a held-out model, compute the count
+    tables on the training corpus and join here.
+    """
+    bg = _doc_bigrams(docs, doc_id, text)
+    pair_c = bg.groupBy("left", "right").agg(F.count("*").alias("c_pair"))
+    left_c = pair_c.groupBy("left").agg(F.sum("c_pair").alias("c_left"))
+    vocab = (
+        docs.select(F.explode(ws_tokens(F.lower(F.col(text)))).alias("term"))
+        .agg(F.countDistinct("term").alias("v"))
+        .withColumn("_k", F.lit(1))
+    )
+    scored = (
+        bg.join(pair_c, ["left", "right"])
+        .join(left_c, "left")
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(vocab), "_k")
+        .select(
+            "_doc",
+            F.log(
+                (F.col("c_pair") + alpha)
+                / (F.col("c_left") + alpha * F.col("v"))
+            ).alias("_lp"),
+        )
+    )
+    per_doc = scored.groupBy("_doc").agg(
+        F.count("*").alias("n_bigrams"),
+        (F.sum("_lp") / F.count("*")).alias("avg_logprob"),
+    )
+    # left-join back so token-poor docs (no bigrams) still appear
+    all_docs = docs.select(F.col(doc_id).alias("_doc"))
+    return (
+        all_docs.join(per_doc, "_doc", "left")
+        .select(
+            F.col("_doc").alias(doc_id),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "avg_logprob",
+        )
+    )

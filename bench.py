@@ -81,6 +81,13 @@ BENCH_QUERIES = [
     "time_rollup",
     "bm25_retrieval",
     "bpe_pairs",
+    # round 2: corpus statistics + curation sampling
+    "heavy_hitters",
+    "tfidf_topk",
+    "length_quantiles",
+    "stratified_sample",
+    "domain_cap",
+    "bigram_lm",
 ]
 
 

@@ -1,0 +1,172 @@
+"""Stratified sampling, per-group caps (functions/sampling.py) and BPE
+merge training (functions/retrieval.py bpe_train) — the round-2
+training-data curation additions."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from avro_spark.functions.dedup import portable_hash60
+from avro_spark.functions.retrieval import bpe_train
+from avro_spark.functions.sampling import cap_per_group, stratified_sample
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text", "source")
+        .cache()
+    )
+
+
+def test_stratified_sample_deterministic(docs):
+    a = stratified_sample(docs, "source", "doc_id", 0.3)
+    b = stratified_sample(docs, "source", "doc_id", 0.3)
+    assert sorted(r["doc_id"] for r in a.collect()) == sorted(
+        r["doc_id"] for r in b.collect()
+    )
+
+
+def test_stratified_sample_subset_property(docs):
+    # a smaller fraction must select a SUBSET of a larger one (buckets
+    # are fixed per row; only the threshold moves)
+    small = {r["doc_id"] for r in stratified_sample(docs, "source", "doc_id", 0.1).collect()}
+    big = {r["doc_id"] for r in stratified_sample(docs, "source", "doc_id", 0.5).collect()}
+    assert small <= big
+
+
+def test_stratified_sample_per_stratum_fractions(docs):
+    srcs = [r["source"] for r in docs.select("source").distinct().collect()]
+    fr = {srcs[0]: 1.0}
+    got = stratified_sample(docs, "source", "doc_id", fr, default_fraction=0.0)
+    got_counts = Counter(r["source"] for r in got.collect())
+    all_counts = Counter(r["source"] for r in docs.collect())
+    assert got_counts[srcs[0]] == all_counts[srcs[0]]
+    assert set(got_counts) == {srcs[0]}
+
+
+def test_stratified_sample_rate_close(docs):
+    n_all = docs.count()
+    n = stratified_sample(docs, "source", "doc_id", 0.25).count()
+    assert abs(n / n_all - 0.25) < 0.08  # hash-uniformity at 500 rows
+
+
+def test_stratified_sample_portable_hash_matches_oracle(docs):
+    import duckdb
+
+    got = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            docs, "source", "doc_id", 0.25, hash_fn=portable_hash60
+        ).collect()
+    )
+    con = duckdb.connect()
+    want = [
+        r[0]
+        for r in con.execute(
+            f"""
+            SELECT doc_id FROM read_parquet('{SF_DIR}/documents.parquet')
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                  % 10000 < 2500
+            ORDER BY doc_id
+            """
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_cap_per_group(docs):
+    capped = cap_per_group(docs, "source", "doc_id", 5)
+    counts = Counter(r["source"] for r in capped.collect())
+    assert all(n <= 5 for n in counts.values())
+    # kept rows are the 5 SMALLEST doc_ids per source
+    for src, n in counts.items():
+        all_ids = sorted(
+            r["doc_id"] for r in docs.where(F.col("source") == src).collect()
+        )
+        kept = sorted(
+            r["doc_id"]
+            for r in capped.where(F.col("source") == src).collect()
+        )
+        assert kept == all_ids[: len(kept)]
+
+
+def test_cap_per_group_keep_rank(docs):
+    got = cap_per_group(docs, "source", "doc_id", 3, keep_rank=True)
+    assert "rank" in got.columns
+    assert got.where(F.col("rank") > 3).count() == 0
+
+
+def _reference_bpe(texts: list[str], num_merges: int):
+    """Pure-Python BPE over whitespace tokens, leftmost-first
+    non-overlapping merges, (count desc, left, right) tie-break."""
+    seqs = [t.lower().split() for t in texts]
+    merges = []
+    for step in range(num_merges):
+        counts: Counter = Counter()
+        for s in seqs:
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] += 1
+        if not counts:
+            break
+        (left, right), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, left, right, n))
+        joined = left + right
+        new_seqs = []
+        for s in seqs:
+            out: list[str] = []
+            for x in s:
+                if out and out[-1] == left and x == right:
+                    out[-1] = joined
+                else:
+                    out.append(x)
+            new_seqs.append(out)
+        seqs = new_seqs
+    return merges, seqs
+
+
+def test_bpe_train_matches_reference(spark):
+    texts = [
+        "the cat sat on the mat",
+        "the cat ate the rat",
+        "a cat and a rat sat",
+        "the the the cat cat",
+        "on a mat sat a cat",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    merges_df, toks_df = bpe_train(docs, num_merges=6)
+    want_merges, want_seqs = _reference_bpe(texts, 6)
+    got_merges = [
+        (r["step"], r["left"], r["right"], r["n_pairs"])
+        for r in merges_df.orderBy("step").collect()
+    ]
+    assert got_merges == want_merges
+    got_seqs = sorted(tuple(r["t"]) for r in toks_df.collect())
+    assert got_seqs == sorted(tuple(s) for s in want_seqs)
+
+
+def test_bpe_train_overlapping_run(spark):
+    # 'a a a a' under merge (a,a) must become [aa, aa], not [aa, a, a]
+    docs = spark.createDataFrame([("a a a a",), ("a a a",)], "text string")
+    merges_df, toks_df = bpe_train(docs, num_merges=1)
+    m = merges_df.collect()[0]
+    assert (m["left"], m["right"], m["n_pairs"]) == ("a", "a", 5)
+    got = sorted(tuple(r["t"]) for r in toks_df.collect())
+    assert got == [("aa", "a"), ("aa", "aa")]
+
+
+def test_bpe_train_on_corpus_smoke(docs):
+    merges_df, _ = bpe_train(docs.limit(50), num_merges=3)
+    rows = merges_df.orderBy("step").collect()
+    assert len(rows) == 3
+    # counts must be non-increasing across steps
+    ns = [r["n_pairs"] for r in rows]
+    assert all(a >= b for a, b in zip(ns, ns[1:]))

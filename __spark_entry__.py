@@ -1458,6 +1458,100 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise mean pooling (functions/embeddings.py): per-label
+    centroid embeddings via posexplode + (label, pos) keyed average —
+    no per-group vector list ever materializes. Output exploded to
+    scalar components for the hash gate."""
+    from avro_spark.functions.embeddings import mean_pool
+
+    emb = _read(spark, sf_dir, "embeddings", split=True)
+    pooled = mean_pool(emb, "label")
+    return pooled.select(
+        "label", "n_vecs", F.posexplode("pooled").alias("pos", "value")
+    ).select("label", "n_vecs", "pos", F.round("value", 6).alias("value"))
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric max-abs int8 quantization (functions/embeddings.py):
+    narrow codegen'd projection; the gate emits the scale plus integer
+    code aggregates so every code is value-checked without an
+    array-typed output column."""
+    from avro_spark.functions.embeddings import quantize_int8
+
+    emb = _read(spark, sf_dir, "embeddings", split=True)
+    q = emb.select("vec_id", quantize_int8(F.col("embedding")).alias("s"))
+    return q.select(
+        "vec_id",
+        F.round(F.col("s.scale"), 6).alias("scale"),
+        F.aggregate(F.col("s.q"), F.lit(0), lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(F.col("s.q"), F.lit(0), lambda a, x: a + F.abs(x)).alias(
+            "q_l1"
+        ),
+        F.size("s.q").alias("n_dims"),
+    )
+
+
+def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CDC merge (operators/merge.py): upsert a price bump
+    for keys ≡0 (mod 10), delete keys ≡1 (mod 10), broadcast the change
+    batch — LEFT ANTI + union, never a (non-broadcastable) full outer
+    join. The oracle states the same merge declaratively."""
+    from avro_spark.operators.merge import merge_snapshot
+
+    base = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    ups = (
+        base.where(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+        .withColumn("op", F.lit("upsert"))
+        .withColumn("version", F.lit(1).cast("long"))
+    )
+    dels = (
+        base.where(F.col("o_orderkey") % 10 == 1)
+        .select(
+            "o_orderkey",
+            F.lit(None).cast("long").alias("o_custkey"),
+            F.lit(None).cast("string").alias("o_orderstatus"),
+            F.lit(None).cast("double").alias("o_totalprice"),
+            F.lit("delete").alias("op"),
+            F.lit(1).cast("long").alias("version"),
+        )
+    )
+    merged = merge_snapshot(
+        base, ups.unionByName(dels), "o_orderkey", broadcast_changes=True
+    )
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+def q_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-window time-series features
+    (operators/temporal.py moving_stats): lag/delta + 3-row moving
+    sum/avg/count, ONE window partitioned by the key (one Exchange +
+    in-partition sort — never a global window)."""
+    from avro_spark.operators.temporal import moving_stats
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    out = moving_stats(ev, "user_id", n=3, order_cols=("event_id",))
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("prev_value", 6).alias("prev_value"),
+        F.round("delta", 6).alias("delta"),
+        F.round("mov_sum", 6).alias("mov_sum"),
+        F.round("mov_avg", 6).alias("mov_avg"),
+        "mov_n",
+    )
+
+
 _PROFILE_COLS = [
     ("l_orderkey", "bigint"),
     ("l_partkey", "bigint"),
@@ -1626,6 +1720,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "domain_cap": q_domain_cap,
         "bigram_lm": q_bigram_lm,
+        "embedding_pool": q_embedding_pool,
+        "embedding_quantize": q_embedding_quantize,
+        "snapshot_merge": q_snapshot_merge,
+        "moving_stats": q_moving_stats,
     }
 
 
@@ -2631,6 +2729,71 @@ def extra_oracle_sql() -> dict[str, str]:
                    COALESCE(per.n_bigrams, 0) AS n_bigrams,
                    round(per.avg, 6) AS avg_logprob
             FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+        """,
+        "embedding_pool": """
+            WITH ex AS (
+              SELECT label,
+                     unnest(list_transform(
+                       generate_series(1, len(embedding)),
+                       i -> {'pos': i - 1, 'x': embedding[i]})) AS p
+              FROM embeddings
+            )
+            SELECT label, count(*) AS n_vecs, p.pos AS pos,
+                   round(avg(CAST(p.x AS DOUBLE)), 6) AS value
+            FROM ex GROUP BY label, p.pos
+        """,
+        "embedding_quantize": """
+            WITH s AS (
+              SELECT vec_id,
+                     list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) AS scale,
+                     embedding
+              FROM embeddings
+            ),
+            q AS (
+              SELECT vec_id, scale,
+                     CASE WHEN scale = 0 THEN
+                       list_transform(embedding, x -> 0)
+                     ELSE
+                       list_transform(embedding,
+                         x -> CAST(round(CAST(x AS DOUBLE) / scale * 127.0)
+                                   AS INTEGER))
+                     END AS codes
+              FROM s
+            )
+            SELECT vec_id, round(scale, 6) AS scale,
+                   CAST(list_sum(codes) AS INTEGER) AS q_sum,
+                   CAST(list_sum(list_transform(codes, c -> abs(c)))
+                        AS INTEGER) AS q_l1,
+                   CAST(len(codes) AS INTEGER) AS n_dims
+            FROM q
+        """,
+        "snapshot_merge": """
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   round(o_totalprice
+                         + CASE WHEN o_orderkey % 10 = 0 THEN 1.0 ELSE 0 END,
+                         2) AS o_totalprice
+            FROM orders WHERE o_orderkey % 10 <> 1
+        """,
+        "moving_stats": """
+            SELECT event_id, user_id,
+                   round(prev_value, 6) AS prev_value,
+                   round(value - prev_value, 6) AS delta,
+                   round(mov_sum, 6) AS mov_sum,
+                   round(mov_avg, 6) AS mov_avg,
+                   mov_n
+            FROM (
+              SELECT event_id, user_id, value,
+                     lag(value) OVER w AS prev_value,
+                     sum(value) OVER
+                       (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_sum,
+                     avg(value) OVER
+                       (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg,
+                     count(value) OVER
+                       (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_n
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
         """,
         "profile_table": "\nUNION ALL\n".join(
             f"""

@@ -251,3 +251,51 @@ def time_rollup(
         GROUP BY GROUPING SETS ({sets})
     """
     return df.sparkSession.sql(sql)
+
+
+def moving_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n: int = 3,
+    range_seconds: Optional[int] = None,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-key trailing-window time-series features: previous value,
+    delta, and a moving sum/avg/count over the last ``n`` rows
+    (``ROWS BETWEEN n-1 PRECEDING AND CURRENT ROW``), or over a
+    trailing event-time interval when ``range_seconds`` is set
+    (``RANGE`` on the epoch-microsecond axis — row-count-independent,
+    the right frame for irregular event spacing).
+
+    Ordering is (ts, *order_cols); pass a unique tiebreaker (e.g. the
+    event id) whenever timestamps can collide, otherwise frame contents
+    are nondeterministic. Adds columns: ``prev_value``, ``delta``,
+    ``mov_sum``, ``mov_avg``, ``mov_n``.
+
+    Scale: ONE window partitioned by the key — a single hash Exchange +
+    in-partition sort, state = the frame (n rows or the interval), the
+    same envelope as :func:`asof_join`. Never a global window.
+    """
+    df = _as_timestamp(df, ts_col)
+    order = [F.col(ts_col)] + [F.col(c) for c in order_cols]
+    w_lag = Window.partitionBy(key_col).orderBy(*order)
+    if range_seconds is not None:
+        w_frame = (
+            Window.partitionBy(key_col)
+            .orderBy(F.unix_micros(F.col(ts_col)))
+            .rangeBetween(-int(range_seconds) * 1_000_000, 0)
+        )
+    else:
+        if n < 1:
+            raise AvroSparkError(f"moving_stats needs n >= 1, got {n}")
+        w_frame = w_lag.rowsBetween(-(n - 1), 0)
+    v = F.col(value_col)
+    return (
+        df.withColumn("prev_value", F.lag(v).over(w_lag))
+        .withColumn("delta", v - F.col("prev_value"))
+        .withColumn("mov_sum", F.sum(v).over(w_frame))
+        .withColumn("mov_avg", F.avg(v).over(w_frame))
+        .withColumn("mov_n", F.count(v).over(w_frame))
+    )

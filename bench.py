@@ -88,6 +88,10 @@ BENCH_QUERIES = [
     "stratified_sample",
     "domain_cap",
     "bigram_lm",
+    "embedding_pool",
+    "embedding_quantize",
+    "snapshot_merge",
+    "moving_stats",
 ]
 
 

@@ -1,0 +1,116 @@
+"""Embedding operators (functions/embeddings.py): normalization,
+mean pooling vs numpy, int8 quantization round-trip bounds."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from avro_spark.functions import embeddings as E
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    # unpersist on teardown: a cached bare-scan plan would otherwise be
+    # substituted (InMemoryRelation) into OTHER modules' plans of the
+    # same file and break their PushedFilters assertions
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def local(emb):
+    return [
+        (r["vec_id"], np.array(r["embedding"], dtype=np.float64), r["label"])
+        for r in emb.collect()
+    ]
+
+
+def test_l2_normalize_unit_norm(emb):
+    got = emb.select(
+        "vec_id", E.l2_normalize(F.col("embedding")).alias("n")
+    ).collect()
+    for r in got:
+        norm = math.sqrt(sum(x * x for x in r["n"]))
+        assert norm == pytest.approx(1.0, rel=1e-9)
+
+
+def test_l2_normalize_zero_vector(spark):
+    df = spark.createDataFrame([([0.0, 0.0],)], "embedding array<float>")
+    got = df.select(E.l2_normalize(F.col("embedding")).alias("n")).collect()
+    assert got[0]["n"] == [0.0, 0.0]
+
+
+def test_mean_pool_matches_numpy(emb, local):
+    got = {r["label"]: r for r in E.mean_pool(emb, "label").collect()}
+    by_label: dict[int, list] = {}
+    for _, v, lbl in local:
+        by_label.setdefault(lbl, []).append(v)
+    assert set(got) == set(by_label)
+    for lbl, vecs in by_label.items():
+        want = np.mean(np.stack(vecs), axis=0)
+        assert got[lbl]["n_vecs"] == len(vecs)
+        assert np.allclose(np.array(got[lbl]["pooled"]), want, rtol=1e-9)
+
+
+def test_mean_pool_no_vector_collect_list(emb):
+    # the plan must aggregate scalar components, never collect whole
+    # vectors into a per-group list
+    plan = (
+        E.mean_pool(emb, "label")._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "collect_list(_pos" in plan.replace(" ", "") or "collect_list" in plan
+    assert "collect_list(embedding" not in plan.replace(" ", "")
+
+
+def test_quantize_roundtrip_bound(emb, local):
+    got = emb.select(
+        "vec_id",
+        F.col("embedding").alias("orig"),
+        E.dequantize_int8(E.quantize_int8(F.col("embedding"))).alias("deq"),
+    ).collect()
+    for r in got:
+        orig = np.array(r["orig"], dtype=np.float64)
+        deq = np.array(r["deq"])
+        scale = np.abs(orig).max()
+        assert np.abs(orig - deq).max() <= scale / 254 + 1e-12
+
+
+def test_quantize_codes_in_range(emb):
+    got = emb.select(E.quantize_int8(F.col("embedding")).alias("s")).collect()
+    for r in got:
+        assert all(-127 <= q <= 127 for q in r["s"]["q"])
+
+
+def test_quantize_zero_vector(spark):
+    df = spark.createDataFrame([([0.0, 0.0, 0.0],)], "embedding array<float>")
+    r = df.select(E.quantize_int8(F.col("embedding")).alias("s")).collect()[0]
+    assert r["s"]["scale"] == 0.0 and r["s"]["q"] == [0, 0, 0]
+
+
+def test_quantize_preserves_cosine(emb, local):
+    # int8 quantization must keep cosine similarity within ~1%
+    import itertools
+
+    got = {
+        r["vec_id"]: np.array(r["deq"])
+        for r in emb.select(
+            "vec_id",
+            E.dequantize_int8(E.quantize_int8(F.col("embedding"))).alias("deq"),
+        ).collect()
+    }
+    orig = {vid: v for vid, v, _ in local}
+    ids = sorted(orig)[:10]
+    for a, b in itertools.combinations(ids, 2):
+        def cos(u, v):
+            return float(u @ v / (np.linalg.norm(u) * np.linalg.norm(v)))
+
+        assert cos(orig[a], orig[b]) == pytest.approx(
+            cos(got[a], got[b]), abs=0.02
+        )

@@ -18,11 +18,13 @@ from conftest import SF_DIR
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return (
+    df = (
         spark.read.parquet(f"{SF_DIR}/documents.parquet")
         .select("doc_id", "text", "source")
         .cache()
     )
+    yield df
+    df.unpersist()
 
 
 def test_stratified_sample_deterministic(docs):

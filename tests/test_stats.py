@@ -19,11 +19,13 @@ from conftest import SF_DIR
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return (
+    df = (
         spark.read.parquet(f"{SF_DIR}/documents.parquet")
         .select("doc_id", "text", "source")
         .cache()
     )
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")

@@ -240,3 +240,80 @@ def test_nanos_long_ts_accepted(spark):
     )
     out = asof_join(left, right, on="key").collect()
     assert out[0]["bid_r"] == 9.0
+
+
+# ------------------------------------------------------------ moving_stats
+def test_moving_stats_rows_frame(spark):
+    rows = [(1, ts(i * 60), float(i)) for i in range(5)] + [
+        (2, ts(i * 60), float(10 * i)) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "key long, ts timestamp, value double")
+    from avro_spark.operators.temporal import moving_stats
+
+    got = {
+        (r["key"], r["ts"]): r
+        for r in moving_stats(df, "key", n=3).collect()
+    }
+    # key 1, row i=3: frame = values 1,2,3
+    r = got[(1, ts(180))]
+    assert r["prev_value"] == 2.0 and r["delta"] == 1.0
+    assert r["mov_sum"] == 6.0 and r["mov_n"] == 3
+    # first row per key: no lag, frame = itself
+    r0 = got[(2, ts(0))]
+    assert r0["prev_value"] is None and r0["mov_n"] == 1
+
+
+def test_moving_stats_range_frame(spark):
+    # ts() is minutes: rows at t=0, 50, 130 min; a 3600-second trailing
+    # range at t=130 covers only itself (t=50 is 80 min earlier); at
+    # t=50 it covers t=0 and t=50
+    rows = [(1, ts(0), 1.0), (1, ts(50), 2.0), (1, ts(130), 4.0)]
+    df = spark.createDataFrame(rows, "key long, ts timestamp, value double")
+    from avro_spark.operators.temporal import moving_stats
+
+    got = {r["ts"]: r for r in moving_stats(df, "key", range_seconds=3600).collect()}
+    assert got[ts(50)]["mov_n"] == 2 and got[ts(50)]["mov_sum"] == 3.0
+    assert got[ts(130)]["mov_n"] == 1 and got[ts(130)]["mov_sum"] == 4.0
+
+
+def test_moving_stats_matches_duckdb(spark):
+    import duckdb
+
+    from avro_spark.operators.temporal import moving_stats
+    from conftest import SF_DIR
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    got = {
+        r["event_id"]: (r["prev_value"], round(r["mov_avg"], 6), r["mov_n"])
+        for r in moving_stats(
+            ev, "user_id", n=3, order_cols=("event_id",)
+        ).collect()
+    }
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        SELECT event_id, prev_value, round(mov_avg, 6), mov_n FROM (
+          SELECT event_id,
+                 lag(value) OVER w AS prev_value,
+                 avg(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                   AS mov_avg,
+                 count(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                   AS mov_n
+          FROM read_parquet('{SF_DIR}/events.parquet')
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        """
+    ).fetchall()
+    assert len(want) == len(got)
+    for eid, prev, avg, n in want:
+        assert got[eid] == (prev, avg, n)
+
+
+def test_moving_stats_bad_n(spark):
+    from avro_spark.operators.temporal import moving_stats
+
+    df = spark.createDataFrame([(1, ts(0), 1.0)], "key long, ts timestamp, value double")
+    with pytest.raises(AvroSparkError):
+        moving_stats(df, "key", n=0)

@@ -1630,7 +1630,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "service_fields": q_service_fields,
         "promotions": q_promotions,
         "enum_evolution": q_enum_evolution,
-        "union_evolution": q_union_evolution,
         "union3_encode": q_union3_encode,
         "array_evolution": q_array_evolution,
         "map_evolution": q_map_evolution,
@@ -1652,14 +1651,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window": q_streaming_window,
         "streaming_flatten": q_streaming_flatten,
         "sessionize_batch": q_sessionize_batch,
-        # temporal joins
+        # temporal joins + trailing-window features
         "asof_join": q_asof_join,
+        "moving_stats": q_moving_stats,
         # LLM-pipeline: text analysis / retrieval / sampling / packing
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "bm25_retrieval": q_bm25_retrieval,
         "corpus_stats": q_corpus_stats,
-        "repetition_stats": q_repetition_stats,
+        "tfidf_topk": q_tfidf_topk,
         "pack_sequences": q_pack_sequences,
         "winnow": q_winnow,
         # LLM-pipeline: dedup
@@ -1668,14 +1668,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "dedup_clusters": q_dedup_clusters,
-        # LLM-pipeline: similarity
-        "knn_bruteforce": q_knn_bruteforce,
+        # LLM-pipeline: similarity + embedding ops
+        "embedding_quantize": q_embedding_quantize,
         "knn_ivf": q_knn_ivf,
         "cosine_lsh": q_cosine_lsh,
         "embedding_clusters": q_embedding_clusters,
-        # e2e + scale + multimodal
+        # e2e + scale + incremental merge + multimodal
         "curate_corpus": q_curate_corpus,
-        "salted_join": q_salted_join,
+        "snapshot_merge": q_snapshot_merge,
         "bucketed_join": q_bucketed_join,
         "media_meta": q_media_meta,
         "multimodal_features": q_multimodal_features,
@@ -1715,15 +1715,21 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix": q_domain_mix,
         # round-2 additions: corpus statistics + curation sampling
         "heavy_hitters": q_heavy_hitters,
-        "tfidf_topk": q_tfidf_topk,
         "length_quantiles": q_length_quantiles,
         "stratified_sample": q_stratified_sample,
         "domain_cap": q_domain_cap,
         "bigram_lm": q_bigram_lm,
         "embedding_pool": q_embedding_pool,
-        "embedding_quantize": q_embedding_quantize,
-        "snapshot_merge": q_snapshot_merge,
-        "moving_stats": q_moving_stats,
+        # folded out of the 50-window for the round-2 family
+        # representatives (tfidf_topk, embedding_quantize,
+        # snapshot_merge, moving_stats): B7 stays driver-green via
+        # union3_encode + union_interop, text via text_stats/winnow,
+        # similarity via knn_ivf (whose verify stage IS brute force) +
+        # cosine_lsh, skew handling via bucketed_join + plan tests
+        "union_evolution": q_union_evolution,
+        "repetition_stats": q_repetition_stats,
+        "knn_bruteforce": q_knn_bruteforce,
+        "salted_join": q_salted_join,
     }
 
 
@@ -1913,7 +1919,7 @@ def _knn_ivf_oracle() -> str:
         """
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracles_main() -> dict[str, str]:
     return {
         "flatten_nested": """
             SELECT c_custkey, c_name, c_mktsegment, n_nationkey, n_name
@@ -2406,8 +2412,7 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
-def extra_oracle_sql() -> dict[str, str]:
-    """Oracles for the folded gates in ``extra_queries()``."""
+def _oracles_extra() -> dict[str, str]:
     return {
         "enum_roundtrip": """
             SELECT o_orderkey, o_orderstatus FROM orders
@@ -2807,4 +2812,21 @@ def extra_oracle_sql() -> dict[str, str]:
             """
             for c, t in _PROFILE_COLS
         ),
+    }
+
+def oracle_sql() -> dict[str, str]:
+    """Oracles for the driver-checked window, sliced from the single
+    oracle table by ``queries()`` membership — swapping a gate between
+    the window and the extras never needs its SQL moved."""
+    allq = set(queries())
+    return {k: v for k, v in {**_oracles_main(), **_oracles_extra()}.items() if k in allq}
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    """Oracles for the folded gates in ``extra_queries()``."""
+    allq = set(queries())
+    return {
+        k: v
+        for k, v in {**_oracles_main(), **_oracles_extra()}.items()
+        if k not in allq
     }

@@ -27,17 +27,6 @@ from pyspark.sql import functions as F
 from .text import ws_tokens
 
 
-def _postings(docs: DataFrame, doc_id: str, text: str) -> DataFrame:
-    """(doc_id, term, tf, dl): term frequency + document length."""
-    toks = docs.select(
-        F.col(doc_id).alias("_doc"),
-        F.explode(ws_tokens(F.lower(F.col(text)))).alias("term"),
-    )
-    tf = toks.groupBy("_doc", "term").agg(F.count("*").alias("tf"))
-    dl = tf.groupBy("_doc").agg(F.sum("tf").alias("dl"))
-    return tf.join(dl, "_doc")
-
-
 def bm25_scores(
     docs: DataFrame,
     queries: DataFrame,
@@ -54,24 +43,42 @@ def bm25_scores(
 
     Repeated query terms count once (set semantics), matching standard
     BM25 practice and keeping the oracle formulation simple.
+
+    Scale shape: the broadcast query-term filter lands BEFORE any
+    aggregation, so tf/df are computed over query-term tokens only —
+    the corpus-wide (doc, term) postings build (a shuffle of every
+    token pair) never happens. Document length is a narrow
+    ``size(tokens)`` projection (no aggregation); its global average is
+    one map-side-combined 1-row aggregate. The only full-corpus shuffle
+    left is the (doc_id, dl) pair join — two longs per document.
     """
-    post = _postings(docs, doc_id, text)
-    n_docs = docs.select(F.count("*").alias("n")).withColumn("_k", F.lit(1))
-    avgdl = (
-        post.groupBy("_doc")
-        .agg(F.first("dl").alias("dl"))
-        .agg(F.avg("dl").alias("avgdl"))
-        .withColumn("_k", F.lit(1))
+    base = docs.select(
+        F.col(doc_id).alias("_doc"), ws_tokens(F.lower(F.col(text))).alias("_t")
     )
-    df_ = post.groupBy("term").agg(F.countDistinct("_doc").alias("df"))
+    # dl needs no aggregation at all — it is the token-array length
+    dl = base.select("_doc", F.size("_t").alias("dl"))
+    toks = base.select("_doc", F.explode("_t").alias("term"))
     qterms = queries.select(
         F.col(query_id).alias("_q"),
         F.explode(F.array_distinct(ws_tokens(F.lower(F.col(query_text))))).alias(
             "term"
         ),
     )
-    # broadcast the (tiny) query-term set into the postings join
-    cand = post.join(F.broadcast(qterms), "term").join(df_, "term")
+    qterm_set = qterms.select("term").distinct()
+    # broadcast-filter FIRST: only query-term tokens reach the shuffle
+    cand_toks = toks.join(F.broadcast(qterm_set), "term")
+    tf = cand_toks.groupBy("_doc", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.countDistinct("_doc").alias("df"))
+    n_docs = docs.select(F.count("*").alias("n")).withColumn("_k", F.lit(1))
+    # average over documents WITH tokens (token-less docs can never be
+    # candidates and the standard avgdl convention excludes them)
+    avgdl = (
+        dl.where(F.col("dl") > 0)
+        .agg(F.avg("dl").alias("avgdl"))
+        .withColumn("_k", F.lit(1))
+    )
+    post = tf.join(dl, "_doc")
+    cand = post.join(F.broadcast(qterms), "term").join(F.broadcast(df_), "term")
     scored = (
         cand.withColumn("_k", F.lit(1))
         .join(F.broadcast(n_docs), "_k")

@@ -123,6 +123,25 @@ def main() -> None:
         n_knn = S.knn_bruteforce(emb, queries, k=5).count()
         results["knn_bruteforce"] = (time.perf_counter() - t0, n_knn)
 
+        from avro_spark.functions import retrieval as R
+        from avro_spark.functions import stats as ST
+
+        t0 = time.perf_counter()
+        # consume n_bigrams so Catalyst cannot eliminate the score join
+        # (a bare count() on the unique-key left join would)
+        n_lm = ST.bigram_lm_scores(docs).agg(
+            F.sum("n_bigrams"), F.count("*")
+        ).collect()[0][1]
+        results["bigram_lm"] = (time.perf_counter() - t0, n_lm)
+
+        qdf = spark.createDataFrame(
+            [(1, "hash join"), (2, "window merge batch"), (3, "vector scan")],
+            "query_id long, query string",
+        )
+        t0 = time.perf_counter()
+        n_bm = R.bm25_topk(docs, qdf, k=10).count()
+        results["bm25_topk"] = (time.perf_counter() - t0, n_bm)
+
         print(f"-- mult={mult} docs={n_docs} emb={n_emb}")
         for name, (dt, n_out) in results.items():
             print(f"   {name:15s} {dt:6.2f}s  out_rows={n_out}")

@@ -21,6 +21,7 @@ Tokenization matches functions/text.py's whitespace convention
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -245,6 +246,62 @@ def bpe_train(
         merges, "step int, left string, right string, n_pairs long"
     )
     return merges_df, cur
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: "list[tuple[str, str]] | DataFrame",
+    text: str = "text",
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Tokenize with a trained BPE merge table: each rule is applied
+    once, in rank order, leftmost-first non-overlapping — exactly the
+    per-document effect of the :func:`bpe_train` rounds, so applying a
+    model to its own training corpus reproduces the training tokens
+    (test-pinned).
+
+    ``merges`` is the (step-ordered) DataFrame from :func:`bpe_train`
+    or a plain ``[(left, right), ...]`` list.
+
+    This is the one deliberately Python stage in the retrieval family:
+    rule application is an inherently sequential per-document loop no
+    Catalyst expression expresses for thousands of rules (a fold per
+    rule would build a plan linear in vocabulary size). It runs as an
+    Arrow-batched pandas UDF — narrow, no shuffle, merge table
+    broadcast in the closure (vocabularies are bounded: ~100k rules ≈
+    MBs) — so it scales linearly with executors like the multimodal
+    decode stage.
+    """
+    from pyspark.sql import functions as _F
+    from pyspark.sql.functions import pandas_udf
+
+    if isinstance(merges, DataFrame):
+        rules = [
+            (r["left"], r["right"])
+            for r in merges.orderBy("step").select("left", "right").collect()
+        ]
+    else:
+        rules = [(left, right) for left, right in merges]
+
+    @pandas_udf("array<string>")
+    def _tokenize(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            toks = t.lower().split()
+            for left, right in rules:
+                out = []
+                for x in toks:
+                    if out and out[-1] == left and x == right:
+                        out[-1] = left + right
+                    else:
+                        out.append(x)
+                toks = out
+            return toks
+
+        return texts.map(one)
+
+    return docs.withColumn(out_col, _tokenize(_F.col(text)))
 
 
 def rrf_fuse(

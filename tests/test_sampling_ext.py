@@ -172,3 +172,31 @@ def test_bpe_train_on_corpus_smoke(docs):
     # counts must be non-increasing across steps
     ns = [r["n_pairs"] for r in rows]
     assert all(a >= b for a, b in zip(ns, ns[1:]))
+
+
+def test_bpe_apply_reproduces_training_tokens(spark):
+    texts = [
+        "the cat sat on the mat",
+        "the cat ate the rat",
+        "a cat and a rat sat",
+        "the the the cat cat",
+        "on a mat sat a cat",
+    ]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    merges_df, toks_df = bpe_train(docs, num_merges=6)
+    from avro_spark.functions.retrieval import bpe_apply
+
+    applied = sorted(
+        tuple(r["tokens"]) for r in bpe_apply(docs, merges_df).collect()
+    )
+    trained = sorted(tuple(r["t"]) for r in toks_df.collect())
+    assert applied == trained
+
+
+def test_bpe_apply_list_rules_and_null(spark):
+    from avro_spark.functions.retrieval import bpe_apply
+
+    docs = spark.createDataFrame([(1, "a b c"), (2, None)], "id long, text string")
+    got = {r["id"]: r["tokens"] for r in bpe_apply(docs, [("a", "b"), ("ab", "c")]).collect()}
+    assert got[1] == ["abc"]
+    assert got[2] is None

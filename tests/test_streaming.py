@@ -195,3 +195,35 @@ def test_stream_json_validation(spark, tmp_path):
     ]
     assert got['{"event_id": 3, "value": 3.0, "zz": true}'] == ['Unknown key: "zz"']
     assert got["not json"] == ["invalid JSON"]
+
+
+def test_stream_merge_snapshot(spark, tmp_path):
+    """CDC change stream folded into a parquet snapshot via foreachBatch
+    (streaming face of operators/merge.py)."""
+    import avro_spark.streaming.pipeline as P
+
+    src = tmp_path / "changes"
+    src.mkdir()
+    target = str(tmp_path / "snapshot")
+    spark.createDataFrame(
+        [(1, "a", "upsert", 1), (2, "b", "upsert", 1)],
+        "id long, v string, op string, version long",
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(
+        [(1, None, "delete", 2), (3, "c", "upsert", 2)],
+        "id long, v string, op string, version long",
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    changes = (
+        spark.readStream.schema("id long, v string, op string, version long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = P.stream_merge_snapshot(
+        changes, target, "id", ["id", "v"],
+        checkpoint=str(tmp_path / "ckpt"), available_now=True,
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.read.parquet(target).collect()))
+    # both files may land in one micro-batch (order within a batch is
+    # resolved by version), or in two — the result is the same
+    assert got == [(2, "b"), (3, "c")]

@@ -12,9 +12,14 @@ decodable with the standard library + numpy alone, which turns
 * **WAV** (``audio/wav``) — PCM 8/16-bit via the stdlib ``wave`` module.
 * **raw video** (``video/x-raw``) — frame-major H×W×3 byte planes; frame
   geometry from the media struct metadata.
+* **JPEG** (``image/jpeg``) — baseline sequential DCT, 8-bit, grayscale
+  or 4:4:4, restart intervals (``jpeg_codec.py``: the full marker/
+  Huffman/DCT pipeline in numpy). Progressive and chroma-subsampled
+  streams raise ``NotImplementedError`` with the precise reason. JPEG
+  is lossy — round trips are near (PSNR-tested), not exact.
 
-Compressed video (mp4/webm) and JPEG stay behind ``NotImplementedError`` —
-those genuinely need external codecs.
+Compressed video (mp4/webm) stays behind ``NotImplementedError`` —
+it genuinely needs external codecs.
 
 All decoders return numpy arrays: images H×W×C uint8 (C ∈ {1,2,3,4}),
 audio (n_samples, n_channels) int16. Encoders are exact inverses for the
@@ -251,15 +256,19 @@ def decode_raw_video(data: bytes, width: int, height: int) -> np.ndarray:
 
 
 # ------------------------------------------------------------ dispatcher
+from .jpeg_codec import decode_jpeg, encode_jpeg  # noqa: E402
+
 _IMAGE_DECODERS = {
     "image/png": decode_png,
     "image/bmp": decode_bmp,
     "image/x-portable-pixmap": decode_pnm,
     "image/x-portable-graymap": decode_pnm,
+    "image/jpeg": decode_jpeg,
 }
 _IMAGE_ENCODERS = {
     "image/png": encode_png,
     "image/bmp": encode_bmp,
+    "image/jpeg": encode_jpeg,
     "image/x-portable-pixmap": encode_pnm,
     "image/x-portable-graymap": encode_pnm,
 }
@@ -277,7 +286,7 @@ def decode_media(data: bytes, mime: str, width=None, height=None):
         if not width or not height:
             raise ValueError("video/x-raw needs width/height metadata")
         return decode_raw_video(data, width, height)
-    raise NotImplementedError(f"no built-in codec for {mime} (needs PIL/ffmpeg)")
+    raise NotImplementedError(f"no built-in codec for {mime} (needs ffmpeg)")
 
 
 def resize_nearest(px: np.ndarray, width: int, height: int) -> np.ndarray:

@@ -28,7 +28,7 @@ Codec paths:
 * ``decoder='real'`` dispatches on the media struct's mime through
   :mod:`avro_spark.operators.media_codecs` — REAL stdlib+numpy codecs for
   PNG / BMP / PPM / PGM images, PCM WAV audio, and raw-frame video.
-  Formats that genuinely need external libraries (JPEG, MP4) raise
+  Formats that genuinely need external libraries (MP4/WebM) raise
   ``NotImplementedError`` inside the worker.
 """
 
@@ -108,7 +108,7 @@ def decode_features(
     ``decoder='real'`` decodes actual payloads via
     :mod:`avro_spark.operators.media_codecs` (PNG/BMP/PNM/WAV/raw video);
     ``mean``/``std``/``phash`` are then computed over the REAL pixel or
-    sample tensor. Formats needing external codecs (JPEG, MP4) raise
+    sample tensor. Formats needing external codecs (MP4/WebM) raise
     inside the worker.
     """
     out_schema = T.StructType(

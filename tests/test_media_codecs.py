@@ -108,7 +108,12 @@ class TestCodecs:
         assert up.shape == (10, 10, 3)
 
     def test_unsupported_raises(self):
+        # JPEG is supported now (jpeg_codec.py); compressed video isn't
         with pytest.raises(NotImplementedError):
+            mc.decode_media(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
+
+    def test_truncated_jpeg_raises_value_error(self):
+        with pytest.raises(ValueError, match="truncated"):
             mc.decode_media(b"\xff\xd8\xff", "image/jpeg")
 
 
@@ -176,3 +181,117 @@ class TestRealOperatorPath:
         fsz = 4 * 4 * 3
         for r in out:
             assert bytes(r.frame) == frames.tobytes()[r.frame_no * fsz:(r.frame_no + 1) * fsz]
+
+
+# ---------------------------------------------------------------- JPEG
+class TestJpeg:
+    @staticmethod
+    def _psnr(a, b):
+        import numpy as np
+
+        mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+        return 99.0 if mse == 0 else 10 * np.log10(255**2 / mse)
+
+    @staticmethod
+    def _gradient(h, w):
+        import numpy as np
+
+        yy, xx = np.mgrid[0:h, 0:w]
+        return np.stack(
+            [(xx * 255 / w), (yy * 255 / h), ((xx + yy) * 255 / (h + w))],
+            axis=-1,
+        ).astype(np.uint8)
+
+    def test_rgb_roundtrip_psnr(self):
+        from avro_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+
+        img = self._gradient(40, 56)
+        dec = decode_jpeg(encode_jpeg(img, quality=90))
+        assert dec.shape == img.shape and dec.dtype == img.dtype
+        assert self._psnr(img, dec) > 40
+
+    def test_gray_roundtrip_psnr(self):
+        import numpy as np
+
+        from avro_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+
+        gray = self._gradient(33, 41)[:, :, 0]
+        dec = decode_jpeg(encode_jpeg(gray, quality=85))
+        assert dec.shape == gray.shape
+        assert self._psnr(gray, dec) > 40
+
+    def test_noise_roundtrip_q95(self):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        from avro_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+
+        noise = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(noise, quality=95))
+        assert self._psnr(noise, dec) > 30
+
+    def test_restart_interval_roundtrip(self):
+        from avro_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+
+        img = self._gradient(24, 64)
+        plain = decode_jpeg(encode_jpeg(img, quality=90))
+        rst = decode_jpeg(encode_jpeg(img, quality=90, restart_interval=2))
+        assert self._psnr(img, rst) > 40
+        assert abs(self._psnr(img, plain) - self._psnr(img, rst)) < 1.0
+
+    def test_non_multiple_of_8_dims(self):
+        from avro_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+
+        img = self._gradient(9, 13)
+        dec = decode_jpeg(encode_jpeg(img, quality=92))
+        assert dec.shape == (9, 13, 3)
+
+    def test_quality_tradeoff(self):
+        from avro_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+
+        img = self._gradient(40, 40)
+        lo = encode_jpeg(img, quality=20)
+        hi = encode_jpeg(img, quality=95)
+        assert len(lo) < len(hi)
+        assert self._psnr(img, decode_jpeg(hi)) > self._psnr(img, decode_jpeg(lo))
+
+    def test_not_a_jpeg_raises(self):
+        import pytest
+
+        from avro_spark.operators.jpeg_codec import decode_jpeg
+
+        with pytest.raises(ValueError, match="missing SOI"):
+            decode_jpeg(b"\x00\x01\x02")
+
+    def test_progressive_raises(self):
+        import struct
+
+        import pytest
+
+        from avro_spark.operators.jpeg_codec import decode_jpeg
+
+        # minimal stream with SOF2 (progressive) marker
+        sof2 = b"\xff\xd8" + b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes([1, 0x11, 0])
+        with pytest.raises(NotImplementedError, match="non-baseline"):
+            decode_jpeg(sof2)
+
+    def test_subsampled_raises(self):
+        import struct
+
+        import pytest
+
+        from avro_spark.operators.jpeg_codec import decode_jpeg
+
+        # SOF0 with 2x2 luma sampling (4:2:0)
+        seg = struct.pack(">HBHHB", 17, 8, 16, 16, 3)
+        seg += bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+        with pytest.raises(NotImplementedError, match="subsampled"):
+            decode_jpeg(b"\xff\xd8\xff\xc0" + seg)
+
+    def test_media_dispatch(self):
+        from avro_spark.operators.media_codecs import decode_media, encode_media
+
+        img = self._gradient(16, 16)
+        blob = encode_media(img, "image/jpeg")
+        dec = decode_media(blob, "image/jpeg")
+        assert dec.shape == (16, 16, 3)

@@ -387,13 +387,17 @@ def test_resize_and_frame_sample(spark):
 
 
 def test_real_decoder_unsupported_format_raises(spark):
-    # JPEG genuinely needs an external codec → NotImplementedError;
-    # malformed bytes for a SUPPORTED format fail the decode itself
+    # compressed video genuinely needs an external codec →
+    # NotImplementedError; malformed bytes for a SUPPORTED format
+    # (truncated JPEG, non-PNG bytes) fail the decode itself
     # (real codecs live in tests/test_media_codecs.py)
     df = spark.createDataFrame([(1, b"\xff\xd8\xff")], "id long, blob binary")
-    media = M.pack_media(df, "blob", "image/jpeg")
+    media = M.pack_media(df, "blob", "video/mp4")
     with pytest.raises(Exception, match="NotImplementedError|no built-in codec"):
         M.decode_features(media, "media", id_cols=("id",), decoder="real").collect()
+    trunc = M.pack_media(df, "blob", "image/jpeg")
+    with pytest.raises(Exception, match="truncated"):
+        M.decode_features(trunc, "media", id_cols=("id",), decoder="real").collect()
     bad = M.pack_media(df, "blob", "image/png")
     with pytest.raises(Exception, match="not a PNG"):
         M.decode_features(bad, "media", id_cols=("id",), decoder="real").collect()

@@ -3,12 +3,14 @@
 Covers the interchange-format baseline subset (ITU-T T.81 Annex F,
 sequential DCT, Huffman):
 
-* decode: SOF0 baseline, 8-bit, grayscale or 3-component 4:4:4
-  (sampling factors all 1×1), arbitrary DHT/DQT from the stream,
-  restart intervals (DRI/RSTn). Progressive (SOF2) and subsampled
-  chroma raise ``NotImplementedError`` with a precise reason.
-* encode: grayscale or RGB → 4:4:4 baseline JFIF with the Annex K
-  example quantization/Huffman tables, IJG quality scaling.
+* decode: SOF0 baseline, 8-bit, grayscale or color with any integer
+  sampling-factor layout (4:4:4, 4:2:2, 4:2:0 — nearest-neighbor
+  chroma upsampling), arbitrary DHT/DQT from the stream, restart
+  intervals (DRI/RSTn). Progressive (SOF2) raises
+  ``NotImplementedError`` with a precise reason.
+* encode: grayscale or RGB → baseline JFIF (4:4:4, or 4:2:0 with
+  ``subsample=True``) with the Annex K example quantization/Huffman
+  tables, IJG quality scaling.
 
 The encoder and decoder share nothing but the public byte format, so a
 round trip exercises the real bitstream (marker framing, byte stuffing,
@@ -217,13 +219,59 @@ def _extend(v: int, size: int) -> int:
 
 
 # ---------------------------------------------------------------- encode
+def _encode_block(bwr, blk, qtab, dc_tab, ac_tab, pred, ci):
+    coef = _C @ blk @ _C.T
+    q = np.round(coef / qtab).astype(np.int64)
+    zz = q.flatten()[ZIGZAG]
+    diff = int(zz[0]) - pred[ci]
+    pred[ci] = int(zz[0])
+    size, code = _magnitude(diff)
+    hc, hl = dc_tab[size]
+    bwr.write(hc, hl)
+    bwr.write(code, size)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last_nz = (nz[-1] + 1) if len(nz) else 0
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            hc, hl = ac_tab[0xF0]  # ZRL
+            bwr.write(hc, hl)
+            run -= 16
+        size, code = _magnitude(v)
+        hc, hl = ac_tab[(run << 4) | size]
+        bwr.write(hc, hl)
+        bwr.write(code, size)
+        run = 0
+    if last_nz < 63:
+        hc, hl = ac_tab[0x00]  # EOB
+        bwr.write(hc, hl)
+
+
+def _block_at(plane, by, bx):
+    blk = plane[by * 8: by * 8 + 8, bx * 8: bx * 8 + 8]
+    if blk.shape != (8, 8):  # edge-replicate pad
+        blk = np.pad(
+            blk, ((0, 8 - blk.shape[0]), (0, 8 - blk.shape[1])), mode="edge"
+        )
+    return blk
+
+
 def encode_jpeg(
-    px: np.ndarray, quality: int = 90, restart_interval: int = 0
+    px: np.ndarray,
+    quality: int = 90,
+    restart_interval: int = 0,
+    subsample: bool = False,
 ) -> bytes:
     """Encode H×W (gray) or H×W×3 (RGB) uint8 → baseline JFIF bytes.
     ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs
     (error-resilience framing; also exercises the decoder's restart
-    path)."""
+    path). ``subsample=True`` emits 4:2:0 (2×2 luma sampling, box-
+    filtered chroma) — what camera/web JPEGs actually use; default is
+    4:4:4."""
     px = np.asarray(px)
     if px.ndim == 3 and px.shape[2] == 1:
         px = px[:, :, 0]
@@ -251,14 +299,29 @@ def encode_jpeg(
     ac_c = _huff_codes(_AC_C_BITS, _AC_C_VALS)
     htabs = [(dc_l, ac_l)] + ([] if gray else [(dc_c, ac_c), (dc_c, ac_c)])
 
-    bh = (h + 7) // 8
-    bw = (w + 7) // 8
+    # sampling factors (h_i, v_i) per component; 4:2:0 box-filters chroma
+    if gray or not subsample:
+        sampling = [(1, 1)] * len(planes)
+    else:
+        sampling = [(2, 2), (1, 1), (1, 1)]
+        for ci in (1, 2):
+            p = planes[ci]
+            ph = (p.shape[0] + 1) // 2 * 2
+            pw = (p.shape[1] + 1) // 2 * 2
+            p = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge")
+            planes[ci] = (
+                p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            )
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     entropy = bytearray()
     bwr = _BitWriter()
     pred = [0] * len(planes)
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 entropy += bwr.flush()
                 entropy += bytes(
@@ -268,44 +331,14 @@ def encode_jpeg(
                 pred = [0] * len(planes)
             mcu += 1
             for ci, plane in enumerate(planes):
-                blk = plane[by * 8: by * 8 + 8, bx * 8: bx * 8 + 8]
-                if blk.shape != (8, 8):  # edge-replicate pad
-                    blk = np.pad(
-                        blk,
-                        ((0, 8 - blk.shape[0]), (0, 8 - blk.shape[1])),
-                        mode="edge",
-                    )
-                coef = _C @ blk @ _C.T
-                q = np.round(coef / qtabs[ci]).astype(np.int64)
-                zz = q.flatten()[ZIGZAG]
+                hi, vi = sampling[ci]
                 dct_dc, act = htabs[ci]
-                diff = int(zz[0]) - pred[ci]
-                pred[ci] = int(zz[0])
-                size, code = _magnitude(diff)
-                hc, hl = dct_dc[size]
-                bwr.write(hc, hl)
-                bwr.write(code, size)
-                run = 0
-                last_nz = 0
-                nz = np.nonzero(zz[1:])[0]
-                last_nz = (nz[-1] + 1) if len(nz) else 0
-                for i in range(1, last_nz + 1):
-                    v = int(zz[i])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        hc, hl = act[0xF0]  # ZRL
-                        bwr.write(hc, hl)
-                        run -= 16
-                    size, code = _magnitude(v)
-                    hc, hl = act[(run << 4) | size]
-                    bwr.write(hc, hl)
-                    bwr.write(code, size)
-                    run = 0
-                if last_nz < 63:
-                    hc, hl = act[0x00]  # EOB
-                    bwr.write(hc, hl)
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        blk = _block_at(plane, my * vi + byi, mx * hi + bxi)
+                        _encode_block(
+                            bwr, blk, qtabs[ci], dct_dc, act, pred, ci
+                        )
     entropy += bwr.flush()
     entropy = bytes(entropy)
 
@@ -318,7 +351,8 @@ def encode_jpeg(
     ncomp = 1 if gray else 3
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for ci in range(ncomp):
-        out += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        hv = (sampling[ci][0] << 4) | sampling[ci][1]
+        out += bytes([ci + 1, hv, 0 if ci == 0 else 1])
     hdefs = [(0x00, _DC_L_BITS, _DC_L_VALS), (0x10, _AC_L_BITS, _AC_L_VALS)]
     if not gray:
         hdefs += [(0x01, _DC_C_BITS, _DC_C_VALS), (0x11, _AC_C_BITS, _AC_C_VALS)]
@@ -401,12 +435,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             comps = []
             for ci in range(nc):
                 cid, hv, tq = seg[6 + 3 * ci: 9 + 3 * ci]
-                if hv != 0x11:
-                    raise NotImplementedError(
-                        "subsampled JPEG (non-1x1 sampling) unsupported; "
-                        "re-encode 4:4:4"
-                    )
-                comps.append((cid, tq))
+                hi, vi = hv >> 4, hv & 0xF
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"bad JPEG sampling factors {hi}x{vi}")
+                comps.append((cid, hi, vi, tq))
             frame = (h, w, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -433,17 +465,47 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     raise ValueError("bad JPEG: no SOS marker")
 
 
+def _decode_block(br, dc_lut, ac_lut, q, pred, ci):
+    zz = np.zeros(64, np.int64)
+    size = _decode_huff_symbol(br, dc_lut)
+    diff = _extend(br.read(size), size)
+    pred[ci] += diff
+    zz[0] = pred[ci]
+    k = 1
+    while k < 64:
+        rs = _decode_huff_symbol(br, ac_lut)
+        run, size = rs >> 4, rs & 0xF
+        if size == 0:
+            if run == 15:
+                k += 16  # ZRL
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("bad JPEG: AC run past block")
+        zz[k] = _extend(br.read(size), size)
+        k += 1
+    coef = np.zeros(64, np.float64)
+    coef[ZIGZAG] = zz
+    return _C.T @ (coef.reshape(8, 8) * q) @ _C
+
+
 def _decode_scan(data, pos, h, w, comps, scomp, qtabs, htabs, restart_interval):
     ncomp = len(comps)
-    bh = (h + 7) // 8
-    bw = (w + 7) // 8
-    planes = [np.zeros((bh * 8, bw * 8), np.float64) for _ in range(ncomp)]
-    tq_by_cid = dict(comps)
+    info = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+    hmax = max(hi for _, hi, _, _ in comps)
+    vmax = max(vi for _, _, vi, _ in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for cs, _td, _ta in scomp:
+        hi, vi, _tq = info[cs]
+        planes.append(np.zeros((mcuy * vi * 8, mcux * hi * 8), np.float64))
     br = _BitReader(data[pos:])
     pred = [0] * ncomp
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 # byte-align and consume the RSTn marker
                 br.align_to_marker()
@@ -454,36 +516,31 @@ def _decode_scan(data, pos, h, w, comps, scomp, qtabs, htabs, restart_interval):
                     break
                 pred = [0] * ncomp
             for ci, (cs, td, ta) in enumerate(scomp):
+                hi, vi, tq = info[cs]
                 dc_lut = htabs[(0, td)]
                 ac_lut = htabs[(1, ta)]
-                q = qtabs[tq_by_cid[cs]]
-                zz = np.zeros(64, np.int64)
-                size = _decode_huff_symbol(br, dc_lut)
-                diff = _extend(br.read(size), size)
-                pred[ci] += diff
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = _decode_huff_symbol(br, ac_lut)
-                    run, size = rs >> 4, rs & 0xF
-                    if size == 0:
-                        if run == 15:
-                            k += 16  # ZRL
-                            continue
-                        break  # EOB
-                    k += run
-                    if k > 63:
-                        raise ValueError("bad JPEG: AC run past block")
-                    zz[k] = _extend(br.read(size), size)
-                    k += 1
-                coef = np.zeros(64, np.float64)
-                coef[ZIGZAG] = zz
-                blk = coef.reshape(8, 8) * q
-                planes[ci][by * 8: by * 8 + 8, bx * 8: bx * 8 + 8] = (
-                    _C.T @ blk @ _C
-                )
+                q = qtabs[tq]
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        blk = _decode_block(br, dc_lut, ac_lut, q, pred, ci)
+                        y0 = (my * vi + byi) * 8
+                        x0 = (mx * hi + bxi) * 8
+                        planes[ci][y0: y0 + 8, x0: x0 + 8] = blk
             mcu += 1
-    planes = [p[:h, :w] + 128.0 for p in planes]
+    # upsample subsampled components to full resolution, crop, unshift
+    full = []
+    for ci, (cs, _td, _ta) in enumerate(scomp):
+        hi, vi, _tq = info[cs]
+        p = planes[ci]
+        if hi != hmax or vi != vmax:
+            if hmax % hi or vmax % vi:
+                raise NotImplementedError(
+                    f"non-integer chroma upsampling ratio ({hi}x{vi} vs "
+                    f"{hmax}x{vmax} max) unsupported"
+                )
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        full.append(p[:h, :w] + 128.0)
+    planes = full
     if ncomp == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     y, cb, cr = planes

@@ -275,18 +275,25 @@ class TestJpeg:
         with pytest.raises(NotImplementedError, match="non-baseline"):
             decode_jpeg(sof2)
 
-    def test_subsampled_raises(self):
-        import struct
+    def test_420_subsampled_roundtrip(self):
+        from avro_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
 
-        import pytest
+        img = self._gradient(41, 57)
+        enc444 = encode_jpeg(img, quality=90)
+        enc420 = encode_jpeg(img, quality=90, subsample=True)
+        assert len(enc420) < len(enc444)  # chroma at quarter resolution
+        dec = decode_jpeg(enc420)
+        assert dec.shape == img.shape
+        assert self._psnr(img, dec) > 35
 
-        from avro_spark.operators.jpeg_codec import decode_jpeg
+    def test_420_with_restart_interval(self):
+        from avro_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
 
-        # SOF0 with 2x2 luma sampling (4:2:0)
-        seg = struct.pack(">HBHHB", 17, 8, 16, 16, 3)
-        seg += bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
-        with pytest.raises(NotImplementedError, match="subsampled"):
-            decode_jpeg(b"\xff\xd8\xff\xc0" + seg)
+        img = self._gradient(41, 57)
+        dec = decode_jpeg(
+            encode_jpeg(img, quality=90, subsample=True, restart_interval=3)
+        )
+        assert self._psnr(img, dec) > 35
 
     def test_media_dispatch(self):
         from avro_spark.operators.media_codecs import decode_media, encode_media

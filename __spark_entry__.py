@@ -1552,6 +1552,40 @@ def q_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOCKLIST = ("scan", "window")
+
+
+def q_html_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-ingest front end (functions/text.py): HTML→text extraction
+    (RE2-portable regexp_replace chain, so DuckDB replicates it
+    verbatim), URL domain parsing, and the C4 blocklist-token ratio —
+    all narrow codegen'd projections."""
+    from avro_spark.functions.text import (
+        blocklist_ratio,
+        html_to_text,
+        url_domain,
+    )
+
+    docs = _read(spark, sf_dir, "documents", split=True)
+    html = F.concat(
+        F.lit("<html><body><script>var x = 1;</script><h1>"),
+        F.col("source"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><!-- tail --></body></html>"),
+    )
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".Example.COM/a/b?q=1")
+    )
+    clean = html_to_text(html)
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        url_domain(url).alias("domain"),
+        F.round(blocklist_ratio(clean, _BLOCKLIST), 6).alias("block_ratio"),
+    )
+
+
 _PROFILE_COLS = [
     ("l_orderkey", "bigint"),
     ("l_partkey", "bigint"),
@@ -1730,6 +1764,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "knn_bruteforce": q_knn_bruteforce,
         "salted_join": q_salted_join,
+        "html_clean": q_html_clean,
     }
 
 
@@ -2772,6 +2807,58 @@ def _oracles_extra() -> dict[str, str]:
                         AS INTEGER) AS q_l1,
                    CAST(len(codes) AS INTEGER) AS n_dims
             FROM q
+        """,
+        "html_clean": f"""
+            WITH built AS (
+              SELECT doc_id,
+                     '<html><body><script>var x = 1;</script><h1>' || source
+                     || '</h1><p>' || text
+                     || '</p><!-- tail --></body></html>' AS html,
+                     'https://' || source || '.Example.COM/a/b?q=1' AS url
+              FROM documents
+            ),
+            cleaned AS (
+              SELECT doc_id,
+                     trim(regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(
+                               regexp_replace(
+                                 regexp_replace(
+                                   regexp_replace(
+                                     regexp_replace(
+                                       regexp_replace(
+                                         regexp_replace(html,
+                                           '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                                         '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                                       '(?s)<!--.*?-->', ' ', 'g'),
+                                     '(?s)<[^>]*>', ' ', 'g'),
+                                   '&nbsp;', ' ', 'g'),
+                                 '&lt;', '<', 'g'),
+                               '&gt;', '>', 'g'),
+                             '&quot;', '"', 'g'),
+                           '&#39;', {chr(39) * 4}, 'g'),
+                         '&amp;', '&', 'g'),
+                       '\\s+', ' ', 'g')) AS clean_text,
+                     lower(regexp_extract(url,
+                       '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@?#]*@)?([^/:?#]+)',
+                       1)) AS domain
+              FROM built
+            )
+            SELECT doc_id, clean_text, domain,
+                   round(CASE WHEN len(t) = 0 THEN 0.0
+                         ELSE CAST(len(list_filter(t,
+                                x -> x IN ('scan', 'window'))) AS DOUBLE)
+                              / len(t) END, 6) AS block_ratio
+            FROM (
+              SELECT doc_id, clean_text, domain,
+                     CASE WHEN trim(clean_text) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(lower(clean_text)), '\\s+')
+                     END AS t
+              FROM cleaned
+            )
         """,
         "snapshot_merge": """
             SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -329,3 +329,53 @@ def chunk_documents(
         F.size("_w").alias("n_tokens"),
         F.concat_ws(" ", F.col("_w")).alias("chunk"),
     )
+
+
+# ------------------------------------------------------- web-ingest front end
+# C4-style HTML → text: drop script/style blocks, strip tags, decode the
+# common entities, collapse whitespace. Pure regexp_replace chain —
+# RE2-compatible (no backreferences), so a SQL oracle can replicate it
+# verbatim. This is a text-extraction heuristic, not an HTML parser:
+# malformed markup degrades to leftover text, never an error.
+_HTML_STEPS: "list[tuple[str, str]]" = [
+    (r"(?is)<script[^>]*>.*?</script>", " "),
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?s)<[^>]*>", " "),
+]
+_ENTITY_STEPS: "list[tuple[str, str]]" = [
+    (r"&nbsp;", " "),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", '"'),
+    (r"&#39;", "'"),
+    (r"&amp;", "&"),  # last, so &amp;lt; decodes to &lt; not <
+]
+
+
+def html_to_text(html: Column) -> Column:
+    """Visible text of an HTML fragment (tags/scripts/styles removed,
+    common entities decoded, whitespace collapsed)."""
+    out = html
+    for pat, rep in _HTML_STEPS + _ENTITY_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+_DOMAIN_RE = r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@?#]*@)?([^/:?#]+)"
+
+
+def url_domain(url: Column) -> Column:
+    """Lowercased host part of a URL (scheme and credentials optional);
+    empty string when nothing host-like is present. The per-domain key
+    for cap_per_group / domain dedup."""
+    return F.lower(F.regexp_extract(url, _DOMAIN_RE, 1))
+
+
+def blocklist_ratio(text: Column, words: "tuple[str, ...]") -> Column:
+    """Fraction of lowercase whitespace tokens that are in ``words`` —
+    the C4 "bad words" filter statistic (0.0 for empty docs)."""
+    wl = tuple(w.lower() for w in words)
+    return let(ws_tokens(F.lower(text)), lambda t: F.when(
+        F.size(t) == 0, F.lit(0.0)
+    ).otherwise(F.size(F.filter(t, _member_pred(wl))) / F.size(t)))

@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "embedding_quantize",
     "snapshot_merge",
     "moving_stats",
+    "html_clean",
 ]
 
 

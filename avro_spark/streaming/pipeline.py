@@ -279,3 +279,51 @@ def stream_merge_snapshot(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower_seconds: int = 0,
+    upper_seconds: int = 600,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream equi-join with an event-time interval bound: a left
+    row matches right rows with the same key whose timestamp lies in
+    ``[left_ts - upper, left_ts - lower]`` (e.g. "click joins the
+    impression that preceded it by ≤10 min" — the attribution-join
+    shape).
+
+    Both sides carry watermarks, so Spark bounds the join state to the
+    interval + watermark horizon per key and evicts eagerly — the ONLY
+    viable stream-stream join shape at scale (an unbounded-condition
+    join would accumulate state forever; Spark rejects it without
+    watermarks on both sides).
+
+    Columns from the right side are suffixed ``_r``.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    rw = rw.select(
+        F.col(key).alias(f"{key}_r"),
+        *[
+            F.col(c).alias(f"{c}_r")
+            for c in right.columns
+            if c != key
+        ],
+    )
+    cond = (
+        (F.col(key) == F.col(f"{key}_r"))
+        & (
+            F.col(f"{right_ts}_r")
+            >= F.col(left_ts) - F.expr(f"INTERVAL {int(upper_seconds)} SECONDS")
+        )
+        & (
+            F.col(f"{right_ts}_r")
+            <= F.col(left_ts) - F.expr(f"INTERVAL {int(lower_seconds)} SECONDS")
+        )
+    )
+    return lw.join(rw, cond, "inner")

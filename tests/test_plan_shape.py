@@ -159,3 +159,48 @@ def test_lsh_self_join_reuses_exchange(spark):
     p = plan_of(pairs, mode="simple")
     assert "isFinalPlan=true" in p, p
     assert "ReusedExchange" in p, p
+
+
+def test_moving_stats_single_key_exchange(spark):
+    """moving_stats: all windows share the user-key partitioning — one
+    hash Exchange, never a SinglePartition (global) window."""
+    from avro_spark.operators.temporal import moving_stats
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    p = plan_of(
+        moving_stats(ev, "user_id", n=3, order_cols=("event_id",)),
+        mode="simple",
+    )
+    assert "SinglePartition" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_tfidf_no_global_window(spark):
+    from avro_spark.functions.stats import tfidf_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan_of(tfidf_topk(docs, k=3), mode="simple")
+    # the ranking window is PARTITIONED BY the document and Spark pushes
+    # the top-k limit into it (WindowGroupLimit) — no global window; the
+    # one SinglePartition exchange is the legitimate 1-row corpus count
+    assert "WindowGroupLimit [_doc" in p
+    assert p.count("SinglePartition") <= 1
+
+
+def test_bm25_filter_before_aggregation(spark):
+    """The broadcast query-term semi-filter must sit BELOW the tf
+    aggregate so only query-term tokens shuffle."""
+    from avro_spark.functions.retrieval import bm25_scores
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    qs = spark.createDataFrame([(1, "hash join")], "query_id long, query string")
+    p = plan_of(bm25_scores(docs, qs), mode="simple")
+    assert "BroadcastHashJoin" in p
+    # physical order is bottom-up in the string: the deepest (first
+    # applied) broadcast join over the exploded tokens appears below
+    # the partial HashAggregate for tf
+    tf_agg = p.index("partial_count")
+    deepest_bcast = p.rindex("BroadcastHashJoin")
+    assert deepest_bcast > tf_agg  # later in string = deeper in plan

@@ -227,3 +227,44 @@ def test_stream_merge_snapshot(spark, tmp_path):
     # both files may land in one micro-batch (order within a batch is
     # resolved by version), or in two — the result is the same
     assert got == [(2, "b"), (3, "c")]
+
+
+def test_stream_interval_join(spark, tmp_path):
+    """Attribution-shape stream-stream join: click joins the impression
+    ≤ 5 minutes before it, per user; watermarks bound the join state."""
+    import datetime as dt
+
+    import avro_spark.streaming.pipeline as P
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    spark.createDataFrame(
+        [(1, ts(0), "ad1"), (1, ts(20), "ad2"), (2, ts(0), "ad3")],
+        "user_id long, ts timestamp, ad string",
+    ).coalesce(1).write.parquet(str(imp_dir))
+    spark.createDataFrame(
+        [(1, ts(3), "c1"), (1, ts(21), "c2"), (2, ts(30), "c3")],
+        "user_id long, ts timestamp, click string",
+    ).coalesce(1).write.parquet(str(clk_dir))
+    clicks = spark.readStream.schema(
+        "user_id long, ts timestamp, click string"
+    ).parquet(str(clk_dir))
+    imps = spark.readStream.schema(
+        "user_id long, ts timestamp, ad string"
+    ).parquet(str(imp_dir))
+    joined = P.stream_interval_join(
+        clicks, imps, "user_id", lower_seconds=0, upper_seconds=300,
+        watermark="1 hour",
+    )
+    P.run_to_memory(joined.select("user_id", "click", "ad_r"), "attrib")
+    got = sorted(
+        (r["user_id"], r["click"], r["ad_r"])
+        for r in spark.sql("SELECT * FROM attrib").collect()
+    )
+    # c1 attributes to ad1 (3 min gap); c2 to ad2 (1 min); c3 matches
+    # nothing (30 min after ad3, outside the 5-min bound)
+    assert got == [(1, "c1", "ad1"), (1, "c2", "ad2")]

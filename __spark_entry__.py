@@ -2777,10 +2777,18 @@ def _oracles_extra() -> dict[str, str]:
                        generate_series(1, len(embedding)),
                        i -> {'pos': i - 1, 'x': embedding[i]})) AS p
               FROM embeddings
-            )
-            SELECT label, count(*) AS n_vecs, p.pos AS pos,
-                   round(avg(CAST(p.x AS DOUBLE)), 6) AS value
-            FROM ex GROUP BY label, p.pos
+            ),
+            pc AS (
+              SELECT label, p.pos AS pos, count(*) AS n_at_pos,
+                     round(avg(CAST(p.x AS DOUBLE)), 6) AS value
+              FROM ex GROUP BY label, p.pos
+            ),
+            -- n_vecs = non-empty vectors per group (= max position
+            -- count: every non-empty vector contributes position 0);
+            -- matches mean_pool's ragged-input semantics
+            nv AS (SELECT label, max(n_at_pos) AS n_vecs FROM pc GROUP BY label)
+            SELECT pc.label, nv.n_vecs, pc.pos, pc.value
+            FROM pc JOIN nv USING (label)
         """,
         "embedding_quantize": """
             WITH s AS (

@@ -56,6 +56,11 @@ def mean_pool(
     e.g. one centroid embedding per document from its chunk embeddings,
     or per-source corpus centroids.
 
+    Ragged inputs: position ``p`` averages over the vectors that HAVE a
+    position ``p`` (shorter vectors simply don't contribute to the tail
+    components), and ``n_vecs`` counts the group's non-empty vectors
+    (every non-empty vector contributes position 0).
+
     Distributed shape: posexplode, (group, pos) average (map-side
     combined), then reassemble each group's array by sorting its dim
     components inside one ``array_sort``+``transform`` — no per-group

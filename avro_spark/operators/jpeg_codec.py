@@ -186,6 +186,10 @@ class _BitReader:
         self._fill()
         self.nbits -= n
         v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        # truncate consumed high bits: without this the accumulator grows
+        # into a bigint spanning the whole entropy stream and every
+        # shift/mask turns O(stream) — measured quadratic decode time
+        self.acc &= (1 << self.nbits) - 1
         return v
 
     def peek16(self) -> int:
@@ -194,6 +198,7 @@ class _BitReader:
 
     def drop(self, n: int) -> None:
         self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
 
     def align_to_marker(self) -> None:
         """Discard buffered bits and byte-align at self.pos."""
@@ -252,12 +257,12 @@ def _encode_block(bwr, blk, qtab, dc_tab, ac_tab, pred, ci):
 
 
 def _block_at(plane, by, bx):
-    blk = plane[by * 8: by * 8 + 8, bx * 8: bx * 8 + 8]
-    if blk.shape != (8, 8):  # edge-replicate pad
-        blk = np.pad(
-            blk, ((0, 8 - blk.shape[0]), (0, 8 - blk.shape[1])), mode="edge"
-        )
-    return blk
+    # clamped gather, not slice+pad: a 4:2:0 luma grid can place a block
+    # entirely outside a small plane (h or w mod 16 in 1..8), where an
+    # empty slice would make np.pad(mode='edge') raise
+    ys = np.clip(np.arange(by * 8, by * 8 + 8), 0, plane.shape[0] - 1)
+    xs = np.clip(np.arange(bx * 8, bx * 8 + 8), 0, plane.shape[1] - 1)
+    return plane[np.ix_(ys, xs)]
 
 
 def encode_jpeg(
@@ -509,11 +514,14 @@ def _decode_scan(data, pos, h, w, comps, scomp, qtabs, htabs, restart_interval):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 # byte-align and consume the RSTn marker
                 br.align_to_marker()
-                while br.pos < len(br.data) and br.data[br.pos] == 0xFF and (
-                    0xD0 <= br.data[br.pos + 1] <= 0xD7
+                if (
+                    br.pos + 1 < len(br.data)
+                    and br.data[br.pos] == 0xFF
+                    and 0xD0 <= br.data[br.pos + 1] <= 0xD7
                 ):
                     br.pos += 2
-                    break
+                elif br.pos >= len(br.data) - 1:
+                    raise ValueError("bad JPEG: truncated at restart marker")
                 pred = [0] * ncomp
             for ci, (cs, td, ta) in enumerate(scomp):
                 hi, vi, tq = info[cs]

@@ -12,11 +12,13 @@ decodable with the standard library + numpy alone, which turns
 * **WAV** (``audio/wav``) — PCM 8/16-bit via the stdlib ``wave`` module.
 * **raw video** (``video/x-raw``) — frame-major H×W×3 byte planes; frame
   geometry from the media struct metadata.
-* **JPEG** (``image/jpeg``) — baseline sequential DCT, 8-bit, grayscale
-  or 4:4:4, restart intervals (``jpeg_codec.py``: the full marker/
-  Huffman/DCT pipeline in numpy). Progressive and chroma-subsampled
-  streams raise ``NotImplementedError`` with the precise reason. JPEG
-  is lossy — round trips are near (PSNR-tested), not exact.
+* **JPEG** (``image/jpeg``) — baseline sequential DCT, 8-bit,
+  grayscale or color at any integer sampling layout (4:4:4, 4:2:2,
+  4:2:0; nearest-neighbor chroma upsampling), restart intervals
+  (``jpeg_codec.py``: the full marker/Huffman/DCT pipeline in numpy;
+  encode is 4:4:4 or 4:2:0). Progressive streams raise
+  ``NotImplementedError`` with the precise reason. JPEG is lossy —
+  round trips are near (PSNR-tested), not exact.
 
 Compressed video (mp4/webm) stays behind ``NotImplementedError`` —
 it genuinely needs external codecs.

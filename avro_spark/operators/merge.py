@@ -80,6 +80,20 @@ def merge_snapshot(
     if op_col not in changes.columns or version_col not in changes.columns:
         raise AvroSparkError(f"changes needs '{op_col}' and '{version_col}' columns")
     winners = latest_changes(changes, key, version_col, op_col)
+    # runtime guard: an unrecognized op (producer typo, 'UPSERT',
+    # 'update') must FAIL the merge, not anti-join the key out of the
+    # base and silently delete it
+    winners = winners.withColumn(
+        op_col,
+        F.when(F.col(op_col).isin(UPSERT, DELETE), F.col(op_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"bad {op_col} value in change batch: "),
+                    F.col(op_col),
+                )
+            )
+        ),
+    )
     # anti-join + union, NOT a full outer join: Spark cannot broadcast
     # either side of a full outer join, but a LEFT ANTI join broadcasts
     # its right side — so the 100 TB base streams through untouched

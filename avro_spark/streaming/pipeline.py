@@ -249,9 +249,16 @@ def stream_merge_snapshot(
     spark = changes.sparkSession
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        try:
+        import os
+
+        # explicit existence check, NOT try/except around the read: a
+        # transient read failure (permissions, corrupt footer) must fail
+        # the batch loudly — treating it as "no snapshot yet" would
+        # silently rebuild the target from empty and lose every
+        # previously merged row
+        if os.path.exists(target_path):
             base = spark.read.parquet(target_path).select(*base_schema)
-        except Exception:
+        else:
             base = spark.createDataFrame(
                 [], batch_df.select(*base_schema).schema
             )

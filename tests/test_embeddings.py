@@ -114,3 +114,16 @@ def test_quantize_preserves_cosine(emb, local):
         assert cos(orig[a], orig[b]) == pytest.approx(
             cos(got[a], got[b]), abs=0.02
         )
+
+
+def test_mean_pool_ragged_vectors(spark):
+    # shorter vectors don't contribute to tail positions; n_vecs counts
+    # non-empty vectors (documented ragged semantics, matched by the
+    # embedding_pool oracle)
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (1, [3.0]), (1, [])],
+        "label int, embedding array<double>",
+    )
+    got = E.mean_pool(df, "label").collect()[0]
+    assert got["n_vecs"] == 2
+    assert got["pooled"] == [2.0, 2.0]  # pos0 avg(1,3); pos1 avg(2)

@@ -302,3 +302,29 @@ class TestJpeg:
         blob = encode_media(img, "image/jpeg")
         dec = decode_media(blob, "image/jpeg")
         assert dec.shape == (16, 16, 3)
+
+    def test_420_dims_with_empty_edge_blocks(self):
+        # h or w mod 16 in 1..8 puts a doubled-luma-grid block entirely
+        # outside the plane — clamped gather must handle it (regression:
+        # empty-slice np.pad raised ValueError)
+        from avro_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+
+        for h, w in [(24, 64), (8, 8), (17, 40), (40, 17)]:
+            img = self._gradient(h, w)
+            dec = decode_jpeg(encode_jpeg(img, quality=90, subsample=True))
+            assert dec.shape == (h, w, 3)
+            # tiny images at quarter-res chroma are inherently lossier
+            assert self._psnr(img, dec) > 25
+
+    def test_decode_time_scales_linearly(self):
+        # regression: the bit reader once kept consumed bits in its
+        # accumulator, making decode O(n^2) (19.7s for a 256px image)
+        import time
+
+        from avro_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+
+        img = self._gradient(256, 256)
+        blob = encode_jpeg(img, quality=90)
+        t0 = time.perf_counter()
+        decode_jpeg(blob)
+        assert time.perf_counter() - t0 < 5.0

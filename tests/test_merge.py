@@ -122,3 +122,11 @@ def test_merge_idempotent_reapply(spark, base):
     once = merge_snapshot(base, ch, "id")
     twice = merge_snapshot(once, ch, "id")
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_unknown_op_raises_not_deletes(spark, base):
+    import pyspark
+
+    ch = _changes(spark, [(2, "B", 21, "UPSERT", 1)])  # wrong case
+    with pytest.raises(Exception, match="bad op value"):
+        merge_snapshot(base, ch, "id").collect()

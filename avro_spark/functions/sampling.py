@@ -108,3 +108,56 @@ def cap_per_group(
     if keep_rank:
         return out.withColumnRenamed("_rk", "rank")
     return out.drop("_rk")
+
+
+def temperature_mix(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    alpha: float = 0.7,
+    target_rows: "int | None" = None,
+    hash_fn=None,
+) -> DataFrame:
+    """Temperature-based domain rebalancing: sample domain ``d`` with
+    probability proportional to ``n_d**alpha`` (``alpha`` < 1 upweights
+    small domains — the standard multilingual/domain-balance sampler).
+    ``target_rows`` sets the expected output size (default: keep the
+    largest domain whole and scale the rest to match its implied total).
+
+    Per-domain keep rate ``r_d = min(1, target · p_d / n_d)`` with
+    ``p_d = n_d^alpha / Σ n^alpha``; the keep decision is the same
+    deterministic id-hash bucket as :func:`stratified_sample`, so the
+    mix is reproducible and a larger target keeps a superset.
+
+    Scale: ONE count aggregate (domain cardinality rows to the driver —
+    domains are bounded), then a narrow hash filter with the per-domain
+    thresholds as a plan literal. No shuffle of the data itself.
+    """
+    if hash_fn is None:
+        hash_fn = F.xxhash64
+    counts = {
+        r["d"]: r["n"]
+        for r in df.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    if not counts:
+        return df
+    weights = {d: n ** alpha for d, n in counts.items()}
+    total_w = sum(weights.values())
+    if target_rows is None:
+        # keep the most over-represented domain at rate 1
+        target_rows = min(
+            counts[d] * total_w / weights[d] for d in counts
+        )
+    rates = {
+        d: min(1.0, target_rows * (weights[d] / total_w) / counts[d])
+        for d in counts
+    }
+    bucket = F.pmod(hash_fn(F.col(id_col).cast("string")), F.lit(10000))
+    thresh: Column = F.lit(0)
+    for d, r in sorted(rates.items()):
+        thresh = F.when(
+            F.col(domain_col) == d, F.lit(int(round(r * 10000)))
+        ).otherwise(thresh)
+    return df.where(bucket < thresh)

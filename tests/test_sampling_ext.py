@@ -200,3 +200,38 @@ def test_bpe_apply_list_rules_and_null(spark):
     got = {r["id"]: r["tokens"] for r in bpe_apply(docs, [("a", "b"), ("ab", "c")]).collect()}
     assert got[1] == ["abc"]
     assert got[2] is None
+
+
+def test_temperature_mix_upweights_small_domains(spark):
+    rows = [(i, "big") for i in range(1000)] + [(10000 + i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    from avro_spark.functions.sampling import temperature_mix
+
+    out = temperature_mix(df, "domain", "doc_id", alpha=0.5)
+    got = Counter(r["domain"] for r in out.collect())
+    # alpha=0.5: small domain kept whole-ish relative share rises from
+    # 1% to ~9% (sqrt weighting)
+    assert got["small"] == 10  # small domain kept at rate 1
+    assert got["big"] < 1000  # big domain downsampled
+    small_share = got["small"] / (got["small"] + got["big"])
+    assert small_share > 0.05
+
+
+def test_temperature_mix_alpha1_keeps_everything(spark):
+    rows = [(i, "a") for i in range(100)] + [(1000 + i, "b") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    from avro_spark.functions.sampling import temperature_mix
+
+    # alpha=1 → proportional sampling → default target keeps all rows
+    out = temperature_mix(df, "domain", "doc_id", alpha=1.0)
+    assert out.count() == 150
+
+
+def test_temperature_mix_superset_property(spark):
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    from avro_spark.functions.sampling import temperature_mix
+
+    small = {r["doc_id"] for r in temperature_mix(df, "domain", "doc_id", 0.5, target_rows=60).collect()}
+    big = {r["doc_id"] for r in temperature_mix(df, "domain", "doc_id", 0.5, target_rows=200).collect()}
+    assert small <= big

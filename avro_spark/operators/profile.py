@@ -41,7 +41,14 @@ def profile_table(
     dtypes = dict(df.dtypes)
     aggs = [F.count(F.lit(1)).alias("_n")]
     for i, c in enumerate(cols):
-        col = F.col(c)
+        # backtick-quote so names containing dots resolve as top-level
+        # columns, not nested-field paths
+        col = F.col("`" + c.replace("`", "``") + "`")
+        # maps have no ordering (min/max/countDistinct all reject them):
+        # profile their canonical JSON rendering instead so an arbitrary
+        # drop with map columns still profiles end-to-end
+        if dtypes[c].startswith("map<"):
+            col = F.to_json(col)
         distinct = (
             F.countDistinct(col)
             if exact_distinct
@@ -54,10 +61,14 @@ def profile_table(
             F.max(col).cast("string").alias(f"_mx{i}"),
         ]
     wide = df.agg(*aggs)
+
+    def _sq(s: str) -> str:  # SQL single-quote literal escape
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+
     # stack the single wide row into one row per column (k tuples — a
     # constant-size projection, not a data-volume operation)
     stack_args = ", ".join(
-        f"'{c}', '{dtypes[c]}', _nn{i}, _d{i}, _mn{i}, _mx{i}"
+        f"'{_sq(c)}', '{_sq(dtypes[c])}', _nn{i}, _d{i}, _mn{i}, _mx{i}"
         for i, c in enumerate(cols)
     )
     return wide.select(

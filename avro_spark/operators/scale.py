@@ -74,18 +74,31 @@ def salted_join(
     how)`` but the shuffle distributes each join key over ``salt``
     reducers.
 
-    The big side's salt must only be *uniform-ish per row*; it is derived
-    deterministically from the whole row (xxhash64 of all columns), so
-    runs are reproducible. The small side is exploded ``salt``× — keep it
-    the dimension side. Supports inner and left joins (the salted right
-    side would multiply unmatched-right rows, so right/full are refused).
+    The big side's salt must only be *uniform-ish per row*: it mixes
+    xxhash64 of the whole row with the per-row monotonic index, so even
+    fully-duplicate rows of the hot key (e.g. many empty-document
+    hashes) spread over the reducers — a pure row-hash would send every
+    duplicate to ONE reducer and defeat the salting. Join RESULTS are
+    identical regardless of salt values, so the nondeterministic index
+    only affects distribution, never output. The small side is exploded
+    ``salt``× — keep it the dimension side. Supports inner and left
+    joins (the salted right side would multiply unmatched-right rows,
+    so right/full are refused).
     """
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
     if salt < 1:
         raise ValueError("salt must be >= 1")
     big_s = big.withColumn(
-        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt))
+        salt_col,
+        # XOR, not +: addition of two arbitrary longs can overflow and
+        # raise under ANSI mode
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in big.columns]).bitwiseXOR(
+                F.monotonically_increasing_id()
+            ),
+            F.lit(salt),
+        ),
     )
     small_s = small.withColumn(
         salt_col, F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(salt)]))
@@ -132,13 +145,28 @@ def assign_global_ids(
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     tb = F.xxhash64(*[F.col(c) for c in df.columns])
-    ranged = df.withColumn("_tb", tb).repartitionByRange(
-        n, F.col(order_by), F.col("_tb")
+    # rank within the range partition WITHOUT a window: a window
+    # partitioned by spark_partition_id() is not satisfied by the range
+    # exchange, so Catalyst would insert a SECOND (hash) Exchange of the
+    # full dataset. sortWithinPartitions + monotonically_increasing_id
+    # gives the same in-partition rank from the sorted iterator order —
+    # mono ids are partitionId·2^33 + row index, so pid and rank unpack
+    # with shifts. The nondeterministic mono projection cannot be
+    # reordered below the sort, and the localCheckpoint pins one
+    # materialization for both the count pass and the output.
+    ranged = (
+        df.withColumn("_tb", tb)
+        .repartitionByRange(n, F.col(order_by), F.col("_tb"))
+        .sortWithinPartitions(F.col(order_by), F.col("_tb"))
     )
-    pid = F.spark_partition_id()
-    w = Window.partitionBy(pid).orderBy(F.col(order_by), F.col("_tb"))
-    local = ranged.withColumn("_pid", pid).withColumn(
-        "_rk", F.row_number().over(w)
+    mono = F.monotonically_increasing_id()
+    local = (
+        ranged.withColumn("_mono", mono)
+        .withColumn("_pid", F.shiftrightunsigned(F.col("_mono"), 33).cast("int"))
+        .withColumn(
+            "_rk", (F.col("_mono").bitwiseAND(F.lit((1 << 33) - 1)) + 1)
+        )
+        .drop("_mono")
     )
     # per-partition counts: ≤ n rows to the driver (partition METADATA,
     # not data); cache so the count pass and the output share the ranged

@@ -82,8 +82,19 @@ def asof_join(
     right_ts = right_ts or left_ts
     left = _as_timestamp(left, left_ts)
     right = _as_timestamp(right, right_ts)
+    # a NULL right timestamp sorts before everything (ASC NULLS FIRST)
+    # and last(ignorenulls) would carry its payload onto every left row
+    # with no genuine match — dirty rows must not match anything
+    right = right.where(F.col(right_ts).isNotNull())
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in set(keys) | {right_ts}]
+    else:
+        missing = [c for c in right_cols if c not in right.columns]
+        if missing:
+            raise AvroSparkError(f"no such column: {missing[0]}")
+        # right_ts always rides along; listing it explicitly must not
+        # produce a duplicate alias
+        right_cols = [c for c in right_cols if c != right_ts]
     carried = list(right_cols) + [right_ts]  # matched ts rides along
     lpay = [c for c in left.columns if c not in set(keys) | {left_ts}]
 
@@ -158,7 +169,8 @@ def range_join(
 ) -> DataFrame:
     """Inner-join left rows into right [start, end) intervals with the
     same key (``end_inclusive=True`` for closed intervals). Output: all
-    left columns + all right columns (key columns once).
+    left columns + all right columns (key columns once); right columns
+    whose name collides with a left column are suffixed ``_r``.
 
     Scale: the interval explodes into the ``bucket_seconds`` buckets it
     covers, the left row computes its one bucket, and the join is a
@@ -171,6 +183,18 @@ def range_join(
     keys = [on] if isinstance(on, str) else list(on)
     left = _as_timestamp(left, left_ts)
     right = _as_timestamp(_as_timestamp(right, start_col), end_col)
+    # disambiguate BEFORE the join: a right payload column named like a
+    # left one (e.g. both sides carry 'ts') would make the containment
+    # filter raise AMBIGUOUS_REFERENCE
+    clash = {
+        c for c in right.columns if c not in keys and c in set(left.columns)
+    }
+    rename = {c: (f"{c}_r" if c in clash else c) for c in right.columns}
+    right = right.select(
+        *[F.col(c).alias(rename[c]) for c in right.columns]
+    )
+    start_col = rename.get(start_col, start_col)
+    end_col = rename.get(end_col, end_col)
 
     b = int(bucket_seconds)
     left_b = left.withColumn(
@@ -217,11 +241,19 @@ def time_rollup(
         if g not in allowed:
             raise AvroSparkError(f"bad granularity: {g}")
     aggs = aggs or {}
+    # both the function name and the alias go into hand-built SQL:
+    # validate the function against the documented set (anything else is
+    # an injection surface / raw ParseException) and backtick the alias
+    # so column names with spaces/dots stay legal
+    allowed_fns = ("sum", "avg", "min", "max", "count")
+    for c, fn in aggs.items():
+        if fn not in allowed_fns:
+            raise AvroSparkError(f"bad aggregate function: {fn}")
     df = _as_timestamp(df, ts_col)
     gcols = ", ".join(f"`{c}`" for c in group_cols)
     gcols_sel = (gcols + ",") if group_cols else ""
     agg_sql = ", ".join(
-        [f"{fn}(`{c}`) AS {fn}_{c}" for c, fn in aggs.items()]
+        [f"{fn}(`{c}`) AS `{fn}_{c}`" for c, fn in aggs.items()]
         + ["count(*) AS n_rows"]
     )
     # grouping sets need named grouping exprs: pre-project one truncated
@@ -234,7 +266,12 @@ def time_rollup(
             for g in granularities
         ],
     )
-    proj.createOrReplaceTempView("_rollup_proj")
+    # unique, cleaned-up view name: a fixed name would clobber/race under
+    # concurrent rollups on one SparkSession and leak into the catalog
+    import uuid
+
+    view = f"_rollup_proj_{uuid.uuid4().hex}"
+    proj.createOrReplaceTempView(view)
     per_set_cols = (", " + gcols) if group_cols else ""
     sets = ", ".join(f"(_b_{g}{per_set_cols})" for g in granularities)
     # GROUPING(_b_g)=0 identifies which set a row came from
@@ -247,10 +284,15 @@ def time_rollup(
                {bucket_expr} AS bucket,
                {gcols_sel}
                {agg_sql}
-        FROM _rollup_proj
+        FROM {view}
         GROUP BY GROUPING SETS ({sets})
     """
-    return df.sparkSession.sql(sql)
+    try:
+        # the returned DataFrame captures the resolved logical plan, so
+        # dropping the view immediately is safe
+        return df.sparkSession.sql(sql)
+    finally:
+        df.sparkSession.catalog.dropTempView(view)
 
 
 def moving_stats(

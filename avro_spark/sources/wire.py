@@ -102,7 +102,13 @@ def from_wire(
         reader = next(iter(registry.values()))
     wire = F.col(column)
     sid = wire_schema_id(wire)
-    magic_ok = F.substring(wire, 1, 1) == F.lit(MAGIC)
+    # a frame shorter than magic + 4 id bytes must never pass: the id
+    # parsed from fewer bytes can collide with a registered small id and
+    # the empty/short body would then crash the decoder mid-job even
+    # under on_unknown='skip'
+    magic_ok = (F.length(wire) >= 5) & (
+        F.substring(wire, 1, 1) == F.lit(MAGIC)
+    )
     known = magic_ok & sid.isin(*registry.keys())
     if on_unknown == "error":
         guard = F.assert_true(

@@ -58,3 +58,30 @@ def test_profile_single_aggregate_pass(df):
     # approx path must not Expand (the k-fold row multiplication of
     # multi-count-distinct); one scan, partial+final aggregate only
     assert "Expand" not in plan
+
+
+def test_profile_map_column(spark):
+    # maps are unorderable: the profiler must fall back to their JSON
+    # rendering instead of crashing min/max (review regression)
+    df = spark.createDataFrame(
+        [(1, {"a": 1}), (2, {"b": 2}), (3, None)],
+        "id long, m map<string,int>",
+    )
+    from avro_spark.operators.profile import profile_table
+
+    got = {r["column"]: r for r in profile_table(df, exact_distinct=True).collect()}
+    assert got["m"]["n_nulls"] == 1
+    assert got["m"]["n_distinct"] == 2
+
+
+def test_profile_quoted_and_dotted_names(spark):
+    from pyspark.sql import functions as F
+
+    from avro_spark.operators.profile import profile_table
+
+    df = spark.range(3).select(
+        F.col("id").alias("O'Brien"), F.col("id").alias("a.b")
+    )
+    got = {r["column"]: r for r in profile_table(df, exact_distinct=True).collect()}
+    assert got["O'Brien"]["n_distinct"] == 3
+    assert got["a.b"]["n_rows"] == 3

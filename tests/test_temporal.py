@@ -317,3 +317,75 @@ def test_moving_stats_bad_n(spark):
     df = spark.createDataFrame([(1, ts(0), 1.0)], "key long, ts timestamp, value double")
     with pytest.raises(AvroSparkError):
         moving_stats(df, "key", n=0)
+
+
+# ------------------------------------------------- review-fix regressions
+def test_asof_null_right_ts_never_matches(spark):
+    from avro_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, ts(10))], "key long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (1, ts(720), 7.0)],
+        "key long, ts timestamp, price double",
+    )
+    out = asof_join(left, right, on="key").collect()
+    # the NULL-ts dirty row must not be carried; 12:00 is in the future
+    assert out[0]["price_r"] is None
+
+
+def test_asof_right_cols_typo_raises(spark):
+    from avro_spark.errors import AvroSparkError
+    from avro_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, ts(0))], "key long, ts timestamp")
+    right = spark.createDataFrame([(1, ts(0), 1.0)], "key long, ts timestamp, bid double")
+    with pytest.raises(AvroSparkError, match="no such column"):
+        asof_join(left, right, on="key", right_cols=["typo"])
+
+
+def test_asof_right_cols_including_ts_ok(spark):
+    from avro_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, ts(10))], "key long, ts timestamp")
+    right = spark.createDataFrame([(1, ts(5), 1.0)], "key long, ts timestamp, bid double")
+    out = asof_join(left, right, on="key", right_cols=["bid", "ts"]).collect()
+    assert out[0]["bid_r"] == 1.0 and out[0]["ts_r"] == ts(5)
+
+
+def test_range_join_right_ts_collision(spark):
+    from avro_spark.operators.temporal import range_join
+
+    left = spark.createDataFrame([(1, ts(5))], "key long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, ts(99), ts(0), ts(10))],
+        "key long, ts timestamp, start timestamp, end timestamp",
+    )
+    out = range_join(left, right, on="key").collect()
+    assert len(out) == 1
+    assert out[0]["ts"] == ts(5) and out[0]["ts_r"] == ts(99)
+
+
+def test_time_rollup_bad_fn_raises(spark):
+    from avro_spark.operators.temporal import time_rollup
+
+    df = spark.createDataFrame([(ts(0), 1.0)], "ts timestamp, v double")
+    with pytest.raises(AvroSparkError, match="bad aggregate function"):
+        time_rollup(df, "ts", aggs={"v": "bogus; drop"})
+
+
+def test_time_rollup_space_in_column_name(spark):
+    from avro_spark.operators.temporal import time_rollup
+
+    df = spark.createDataFrame([(ts(0), 1.0), (ts(1), 2.0)], "ts timestamp, `my value` double")
+    out = time_rollup(df, "ts", granularities=("day",), aggs={"my value": "sum"})
+    assert out.collect()[0]["sum_my value"] == 3.0
+
+
+def test_time_rollup_no_view_leak(spark):
+    from avro_spark.operators.temporal import time_rollup
+
+    before = {t.name for t in spark.catalog.listTables()}
+    df = spark.createDataFrame([(ts(0), 1.0)], "ts timestamp, v double")
+    time_rollup(df, "ts", aggs={"v": "sum"}).collect()
+    after = {t.name for t in spark.catalog.listTables()}
+    assert after == before

@@ -91,3 +91,22 @@ def test_multi_version_registry_requires_explicit_reader(spark):
     topic = to_wire(df, s1, 1)
     with pytest.raises(Exception, match="explicit reader"):
         from_wire(topic, "wire", {1: s1, 2: s2})
+
+
+def test_truncated_frame_skipped(spark):
+    """A frame shorter than magic+id must be dropped under
+    on_unknown='skip' even when its short-read id collides with a
+    registered id (review regression)."""
+    from avro_spark.sources import wire as W
+
+    sch = avs.create(
+        {"type": "record", "name": "R", "fields": [{"name": "x", "type": "int"}]}
+    )
+    good = spark.createDataFrame([(2,)], "x int")
+    framed = W.to_wire(good, sch, schema_id=1)
+    trunc = spark.createDataFrame(
+        [(bytearray(b"\x00\x00\x00\x01"),)], framed.schema
+    )
+    both = framed.unionByName(trunc)
+    out = W.from_wire(both, "wire", {1: sch}, on_unknown="skip")
+    assert [r["x"] for r in out.collect()] == [2]

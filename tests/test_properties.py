@@ -173,3 +173,111 @@ class TestFingerprintProperties:
              "fields": [{"name": "a", "type": "int"}]}
         )
         assert avs.fingerprint(inline).hex() == avs.fingerprint(split).hex()
+
+
+# ------------------------------------------------------------ JPEG codec
+class TestJpegProperties:
+    """Driver-side fuzz of the pure-numpy JPEG codec: arbitrary shapes,
+    qualities, restart intervals, and sampling modes must round-trip
+    within the lossy-compression error envelope and never crash."""
+
+    @staticmethod
+    def _psnr(a, b):
+        import numpy as np
+
+        mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+        return 99.0 if mse == 0 else 10 * np.log10(255**2 / mse)
+
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        gray=st.booleans(),
+        quality=st.integers(30, 98),
+        rst=st.integers(0, 4),
+        sub=st.booleans(),
+        seed=st.integers(0, 2**31),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_roundtrip_never_crashes_and_bounds_error(
+        self, h, w, gray, quality, rst, sub, seed
+    ):
+        import numpy as np
+
+        from avro_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(seed)
+        # smooth-ish content: random low-res upsampled (JPEG's model)
+        base = rng.integers(0, 256, (max(1, h // 4), max(1, w // 4)), dtype=np.uint8)
+        plane = np.repeat(np.repeat(base, 4, 0), 4, 1)[:h, :w]
+        img = plane if gray else np.stack([plane, 255 - plane, plane // 2], -1)
+        enc = encode_jpeg(img, quality=quality, restart_interval=rst,
+                          subsample=sub and not gray)
+        dec = decode_jpeg(enc)
+        assert dec.shape == img.shape
+        assert dec.dtype == np.uint8
+        # block-flat content must stay recognizable; low quality +
+        # quarter-res chroma is legitimately lossy, so the floor is
+        # generous — the load-bearing property is no crash / right shape
+        assert self._psnr(img, dec) > 14
+
+    @given(data=st.binary(min_size=0, max_size=64))
+    @settings(max_examples=150, deadline=None)
+    def test_garbage_never_hangs_or_segfaults(self, data):
+        from avro_spark.operators.jpeg_codec import decode_jpeg
+
+        try:
+            decode_jpeg(b"\xff\xd8" + data)
+        except (ValueError, NotImplementedError, KeyError, IndexError):
+            pass  # rejection is fine; crashing the interpreter is not
+
+
+# ------------------------------------------------------------- BPE fold
+class TestBpeProperties:
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from("abcd"), min_size=0, max_size=12).map(
+                " ".join
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        merges=st.integers(1, 5),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_train_matches_pure_python(self, spark, docs, merges):
+        from collections import Counter
+
+        from avro_spark.functions.retrieval import bpe_train
+
+        df = spark.createDataFrame([(t,) for t in docs], "text string")
+        merges_df, toks_df = bpe_train(df, num_merges=merges)
+        # independent reference implementation
+        seqs = [t.lower().split() for t in docs]
+        want = []
+        for step in range(merges):
+            counts = Counter()
+            for s in seqs:
+                for a, b in zip(s, s[1:]):
+                    counts[(a, b)] += 1
+            if not counts:
+                break
+            (l, r), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            want.append((step, l, r, n))
+            out_seqs = []
+            for s in seqs:
+                out = []
+                for x in s:
+                    if out and out[-1] == l and x == r:
+                        out[-1] = l + r
+                    else:
+                        out.append(x)
+                out_seqs.append(out)
+            seqs = out_seqs
+        got = [
+            (r["step"], r["left"], r["right"], r["n_pairs"])
+            for r in merges_df.orderBy("step").collect()
+        ]
+        assert got == want
+        assert sorted(tuple(r["t"]) for r in toks_df.collect()) == sorted(
+            tuple(s) for s in seqs
+        )

@@ -377,7 +377,20 @@ def encode_jpeg(
 
 # ---------------------------------------------------------------- decode
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode baseline JFIF bytes → H×W (gray) or H×W×3 (RGB) uint8."""
+    """Decode baseline JFIF bytes → H×W (gray) or H×W×3 (RGB) uint8.
+
+    Error contract: malformed input raises ``ValueError`` (or
+    ``NotImplementedError`` for recognized-but-unsupported modes) —
+    internal slice/lookup errors from corrupt streams never leak."""
+    try:
+        return _decode_jpeg(data)
+    except (ValueError, NotImplementedError):
+        raise
+    except (IndexError, KeyError, struct.error) as ex:
+        raise ValueError(f"bad JPEG: corrupt stream ({type(ex).__name__})") from ex
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2

@@ -55,7 +55,14 @@ def pack_greedy(
         pack_ids = []
         acc = 0
         pid = -1
-        for n in pdf["n_tokens"]:
+        for rid, n in zip(pdf[id_col], pdf["n_tokens"]):
+            # NULL token counts arrive as NaN after Arrow conversion;
+            # int(NaN) would raise an opaque worker ValueError — name
+            # the offending row instead
+            if pd.isna(n):
+                raise ValueError(
+                    f"pack_greedy: NULL {tokens_col} for {id_col}={rid}"
+                )
             n = int(n)
             if pid < 0 or acc + n > budget:
                 pid += 1

@@ -15,15 +15,16 @@ from pyspark.sql import functions as F
 from .dedup import portable_hash60
 
 
-def split_bucket(id_col: Column, hash_fn=None) -> Column:
-    """Stable bucket in [0, 100) from the row id (id is cast to string
-    first so long/int/string ids hash identically). ``hash_fn`` defaults
-    to ``xxhash64`` (JVM scale path); pass
+def split_bucket(id_col: Column, hash_fn=None, modulus: int = 100) -> Column:
+    """Stable bucket in [0, modulus) from the row id (id is cast to
+    string first so long/int/string ids hash identically). ``hash_fn``
+    defaults to ``xxhash64`` (JVM scale path); pass
     :func:`avro_spark.functions.dedup.portable_hash60` for SQL-oracle
-    parity."""
+    parity. ONE definition of the hashing convention — every sampler
+    below derives its keep-set from this expression."""
     if hash_fn is None:
         hash_fn = F.xxhash64
-    return F.pmod(hash_fn(id_col.cast("string")), F.lit(100))
+    return F.pmod(hash_fn(id_col.cast("string")), F.lit(modulus))
 
 
 def deterministic_split(
@@ -70,9 +71,7 @@ def stratified_sample(
     ``default_fraction``). Narrow projection + filter — no shuffle,
     fully pushed into the scan stage.
     """
-    if hash_fn is None:
-        hash_fn = F.xxhash64
-    bucket = F.pmod(hash_fn(F.col(id_col).cast("string")), F.lit(10000))
+    bucket = split_bucket(F.col(id_col), hash_fn, modulus=10000)
     if isinstance(fractions, dict):
         thresh: Column = F.lit(int(round(default_fraction * 10000)))
         for val, frac in sorted(fractions.items()):
@@ -121,8 +120,11 @@ def temperature_mix(
     """Temperature-based domain rebalancing: sample domain ``d`` with
     probability proportional to ``n_d**alpha`` (``alpha`` < 1 upweights
     small domains — the standard multilingual/domain-balance sampler).
-    ``target_rows`` sets the expected output size (default: keep the
-    largest domain whole and scale the rest to match its implied total).
+    ``target_rows`` sets the expected output size (default: the largest
+    total for which NO domain would need upsampling — the domain whose
+    implied total is smallest is kept whole and the rest downsample;
+    for ``alpha`` < 1 that whole-kept domain is the smallest one).
+    NULL domains form their own stratum.
 
     Per-domain keep rate ``r_d = min(1, target · p_d / n_d)`` with
     ``p_d = n_d^alpha / Σ n^alpha``; the keep decision is the same
@@ -133,8 +135,6 @@ def temperature_mix(
     domains are bounded), then a narrow hash filter with the per-domain
     thresholds as a plan literal. No shuffle of the data itself.
     """
-    if hash_fn is None:
-        hash_fn = F.xxhash64
     counts = {
         r["d"]: r["n"]
         for r in df.groupBy(F.col(domain_col).alias("d"))
@@ -146,7 +146,7 @@ def temperature_mix(
     weights = {d: n ** alpha for d, n in counts.items()}
     total_w = sum(weights.values())
     if target_rows is None:
-        # keep the most over-represented domain at rate 1
+        # the largest target with every rate <= 1: the min implied total
         target_rows = min(
             counts[d] * total_w / weights[d] for d in counts
         )
@@ -154,10 +154,12 @@ def temperature_mix(
         d: min(1.0, target_rows * (weights[d] / total_w) / counts[d])
         for d in counts
     }
-    bucket = F.pmod(hash_fn(F.col(id_col).cast("string")), F.lit(10000))
+    bucket = split_bucket(F.col(id_col), hash_fn, modulus=10000)
     thresh: Column = F.lit(0)
-    for d, r in sorted(rates.items()):
-        thresh = F.when(
-            F.col(domain_col) == d, F.lit(int(round(r * 10000)))
-        ).otherwise(thresh)
+    # NULL sorts via the (is-None, str) key, and its predicate must be
+    # isNull() — `col == None` is never true and would silently drop
+    # every NULL-domain row
+    for d, r in sorted(rates.items(), key=lambda kv: (kv[0] is None, str(kv[0]))):
+        cond = F.col(domain_col).isNull() if d is None else F.col(domain_col) == d
+        thresh = F.when(cond, F.lit(int(round(r * 10000)))).otherwise(thresh)
     return df.where(bucket < thresh)

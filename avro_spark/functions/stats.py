@@ -106,6 +106,24 @@ def tfidf_topk(
     )
 
 
+def _explode_quantiles(
+    df: DataFrame, group_col: str, agg_col, qlist: "list[float]"
+) -> DataFrame:
+    """Shared (group, q, value) unpacking for the exact and approx
+    quantile aggregates — ONE place defines the output shape."""
+    agg = df.groupBy(group_col).agg(agg_col.alias("_vals"))
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(q) for q in qlist]).alias("q"), F.col("_vals").alias("value")
+    )
+    return agg.select(
+        group_col, F.explode(pairs).alias("_p")
+    ).select(
+        group_col,
+        F.col("_p.q").alias("q"),
+        F.col("_p.value").alias("value"),
+    )
+
+
 def group_quantiles(
     df: DataFrame,
     group_col: str,
@@ -119,20 +137,11 @@ def group_quantiles(
     cardinality; for per-group data too big to sort use
     :func:`group_quantiles_approx`."""
     qlist = [float(q) for q in qs]
-    agg = df.groupBy(group_col).agg(
-        F.percentile(F.col(value_col), F.array(*[F.lit(q) for q in qlist])).alias(
-            "_vals"
-        )
-    )
-    pairs = F.arrays_zip(
-        F.array(*[F.lit(q) for q in qlist]).alias("q"), F.col("_vals").alias("value")
-    )
-    return agg.select(
-        group_col, F.explode(pairs).alias("_p")
-    ).select(
+    return _explode_quantiles(
+        df,
         group_col,
-        F.col("_p.q").alias("q"),
-        F.col("_p.value").alias("value"),
+        F.percentile(F.col(value_col), F.array(*[F.lit(q) for q in qlist])),
+        qlist,
     )
 
 
@@ -148,22 +157,15 @@ def group_quantiles_approx(
     no per-group sort). Same output shape; values within 1/accuracy
     rank error of exact."""
     qlist = [float(q) for q in qs]
-    agg = df.groupBy(group_col).agg(
+    return _explode_quantiles(
+        df,
+        group_col,
         F.percentile_approx(
             F.col(value_col),
             F.array(*[F.lit(q) for q in qlist]),
             F.lit(accuracy),
-        ).alias("_vals")
-    )
-    pairs = F.arrays_zip(
-        F.array(*[F.lit(q) for q in qlist]).alias("q"), F.col("_vals").alias("value")
-    )
-    return agg.select(
-        group_col, F.explode(pairs).alias("_p")
-    ).select(
-        group_col,
-        F.col("_p.q").alias("q"),
-        F.col("_p.value").alias("value"),
+        ),
+        qlist,
     )
 
 

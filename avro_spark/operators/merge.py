@@ -44,12 +44,16 @@ def latest_changes(
     op_col: str = "op",
 ) -> DataFrame:
     """Collapse a change batch to one winning row per key: highest
-    version wins; at equal version a delete beats an upsert. One
-    window partitioned by the key."""
+    version wins; at equal version a delete beats an upsert, and two
+    upserts at the same version tie-break on a stable hash of the full
+    row — the winner must not depend on partition scan order, or a
+    foreachBatch retry could write a different snapshot than the first
+    attempt. One window partitioned by the key."""
     w = Window.partitionBy(key).orderBy(
         F.col(version_col).desc(),
         # delete sorts before upsert at equal version
         F.when(F.col(op_col) == DELETE, 0).otherwise(1).asc(),
+        F.xxhash64(F.struct(*[F.col(c) for c in changes.columns])).asc(),
     )
     return (
         changes.withColumn("_rk", F.row_number().over(w))

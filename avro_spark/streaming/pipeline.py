@@ -151,6 +151,7 @@ def running_totals(
     events: DataFrame,
     ts_col: str = "ts",
     key_col: str = "user_id",
+    value_col: str = "value",
     watermark: str = "10 minutes",
     idle_timeout_ms: Optional[int] = None,
 ) -> DataFrame:
@@ -169,6 +170,20 @@ def running_totals(
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    for c in (key_col, value_col, ts_col):
+        if c not in events.columns:
+            raise ValueError(f"running_totals: no such column: {c}")
+    # output schema follows the ACTUAL key column name and type — a
+    # hardcoded user_id/LongType would misname the column or fail the
+    # Arrow conversion for string/other keys
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, events.schema[key_col].dataType),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+
     def update(key, pdfs, state: GroupState):
         if state.hasTimedOut:
             state.remove()
@@ -176,12 +191,12 @@ def running_totals(
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].fillna(0.0).sum())
+            total += float(pdf[value_col].fillna(0.0).sum())
         state.update((n, total))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            {key_col: [key[0]], "n_events": [n], "total_value": [total]}
         )
 
     return (
@@ -189,7 +204,7 @@ def running_totals(
         .groupBy(F.col(key_col))
         .applyInPandasWithState(
             update,
-            outputStructType=RUNNING_TOTALS_SCHEMA,
+            outputStructType=out_schema,
             stateStructType=_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=(
@@ -242,20 +257,29 @@ def stream_merge_snapshot(
     against a table format with file-level pruning (the operator is
     format-agnostic — only this demo sink rewrites whole snapshots).
     """
-    from py4j.protocol import Py4JJavaError  # noqa: F401  (surface py4j errors)
+    import glob
+    import os
+    import shutil
 
     from ..operators.merge import merge_snapshot
 
     spark = changes.sparkSession
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
+        # crash recovery FIRST: a kill between the two renames below
+        # leaves the snapshot missing with its previous state parked in
+        # an __old_ dir — restore it before deciding "no snapshot yet",
+        # otherwise the checkpoint-replayed batch would silently rebuild
+        # from empty (the exact loss mode the existence check exists to
+        # prevent). Inflight scratch dirs from failed writes are junk.
+        olds = sorted(glob.glob(f"{target_path}.__old_*"))
+        if not os.path.exists(target_path) and olds:
+            os.rename(olds.pop(), target_path)
+        for leftover in olds + glob.glob(f"{target_path}.__inflight_*"):
+            shutil.rmtree(leftover, ignore_errors=True)
         # explicit existence check, NOT try/except around the read: a
         # transient read failure (permissions, corrupt footer) must fail
-        # the batch loudly — treating it as "no snapshot yet" would
-        # silently rebuild the target from empty and lose every
-        # previously merged row
+        # the batch loudly
         if os.path.exists(target_path):
             base = spark.read.parquet(target_path).select(*base_schema)
         else:
@@ -269,9 +293,6 @@ def stream_merge_snapshot(
         # write DISTRIBUTED to a scratch dir, then swap directories: the
         # merge plan reads the very files an in-place overwrite would
         # clobber mid-scan, and collecting to the driver would not scale
-        import os
-        import shutil
-
         tmp = f"{target_path}.__inflight_{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
         old = f"{target_path}.__old_{batch_id}"
@@ -312,6 +333,12 @@ def stream_interval_join(
 
     Columns from the right side are suffixed ``_r``.
     """
+    if lower_seconds > upper_seconds:
+        raise ValueError(
+            f"stream_interval_join: lower_seconds ({lower_seconds}) > "
+            f"upper_seconds ({upper_seconds}) — the bound is unsatisfiable "
+            "and would silently emit zero matches forever"
+        )
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     rw = rw.select(

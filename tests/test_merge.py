@@ -130,3 +130,15 @@ def test_unknown_op_raises_not_deletes(spark, base):
     ch = _changes(spark, [(2, "B", 21, "UPSERT", 1)])  # wrong case
     with pytest.raises(Exception, match="bad op value"):
         merge_snapshot(base, ch, "id").collect()
+
+
+def test_equal_version_upsert_tie_is_deterministic(spark, base):
+    ch = _changes(
+        spark,
+        [(2, "aaa", 1, "upsert", 5), (2, "bbb", 2, "upsert", 5)],
+    )
+    winners = [
+        merge_snapshot(base, ch, "id").where("id = 2").collect()[0]["name"]
+        for _ in range(3)
+    ]
+    assert len(set(winners)) == 1  # same winner every run

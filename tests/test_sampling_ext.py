@@ -235,3 +235,14 @@ def test_temperature_mix_superset_property(spark):
     small = {r["doc_id"] for r in temperature_mix(df, "domain", "doc_id", 0.5, target_rows=60).collect()}
     big = {r["doc_id"] for r in temperature_mix(df, "domain", "doc_id", 0.5, target_rows=200).collect()}
     assert small <= big
+
+
+def test_temperature_mix_null_domain(spark):
+    from avro_spark.functions.sampling import temperature_mix
+
+    rows = [(i, "a") for i in range(50)] + [(100 + i, None) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    out = temperature_mix(df, "domain", "doc_id", alpha=1.0)
+    got = Counter(("null" if r["domain"] is None else r["domain"]) for r in out.collect())
+    # alpha=1 with equal counts keeps everything, incl. the NULL stratum
+    assert got["null"] == 50 and got["a"] == 50

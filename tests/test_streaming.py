@@ -268,3 +268,49 @@ def test_stream_interval_join(spark, tmp_path):
     # c1 attributes to ad1 (3 min gap); c2 to ad2 (1 min); c3 matches
     # nothing (30 min after ad3, outside the 5-min bound)
     assert got == [(1, "c1", "ad1"), (1, "c2", "ad2")]
+
+
+def test_stream_interval_join_swapped_bounds_raise(spark):
+    import avro_spark.streaming.pipeline as P
+
+    dummy = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="unsatisfiable"):
+        P.stream_interval_join(dummy, dummy, "value", left_ts="timestamp",
+                               right_ts="timestamp",
+                               lower_seconds=600, upper_seconds=0)
+
+
+def test_stream_merge_recovers_from_mid_swap_crash(spark, tmp_path):
+    """A kill between the two renames leaves target missing and the old
+    snapshot parked; the next batch must restore it, not rebuild from
+    empty."""
+    import os
+
+    import avro_spark.streaming.pipeline as P
+
+    src = tmp_path / "changes2"
+    target = str(tmp_path / "snap2")
+    spark.createDataFrame(
+        [(1, "a", "upsert", 1)], "id long, v string, op string, version long"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    q = P.stream_merge_snapshot(
+        spark.readStream.schema("id long, v string, op string, version long")
+        .parquet(str(src)),
+        target, "id", ["id", "v"],
+        checkpoint=str(tmp_path / "ck2"), available_now=True,
+    )
+    q.awaitTermination()
+    # simulate the mid-swap crash state: target renamed away, no inflight
+    os.rename(target, target + ".__old_99")
+    spark.createDataFrame(
+        [(2, "b", "upsert", 2)], "id long, v string, op string, version long"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    q = P.stream_merge_snapshot(
+        spark.readStream.schema("id long, v string, op string, version long")
+        .parquet(str(src)),
+        target, "id", ["id", "v"],
+        checkpoint=str(tmp_path / "ck2"), available_now=True,
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.read.parquet(target).collect()))
+    assert got == [(1, "a"), (2, "b")]  # row 1 survived the crash

@@ -283,12 +283,27 @@ def bpe_apply(
     else:
         rules = [(left, right) for left, right in merges]
 
+    import re
+
+    # EXACT replica of ws_tokens' JVM semantics, not Python str.split():
+    # Java \s is [ \t\n\x0B\f\r] (U+00A0 etc. are NOT whitespace there),
+    # trim strips ASCII space/control only, and blank text is []. A
+    # Python .split() would tokenize Unicode whitespace differently and
+    # silently break the train→apply reproducibility guarantee.
+    _ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def _jvm_tokens(t: str) -> "list[str]":
+        trimmed = t.lower().strip(" ")  # JVM trim strips ASCII space only
+        if not trimmed:
+            return []
+        return _ws.split(trimmed)
+
     @pandas_udf("array<string>")
     def _tokenize(texts: pd.Series) -> pd.Series:
         def one(t):
             if t is None:
                 return None
-            toks = t.lower().split()
+            toks = _jvm_tokens(t)
             for left, right in rules:
                 out = []
                 for x in toks:

@@ -309,7 +309,14 @@ def chunk_documents(
         extra = F.greatest(
             F.lit(0), F.floor((n - F.lit(max_tokens) + step - 1) / step)
         )
-        n_chunks = F.when(n <= 0, F.lit(0)).otherwise(extra + 1).cast("int")
+        # coalesce: size(NULL text's token array) is NULL, and a NULL
+        # n <= 0 guard falls through to the otherwise() branch — a NULL
+        # document would emit one phantom empty chunk
+        n_chunks = (
+            F.when(F.coalesce(n, F.lit(0)) <= 0, F.lit(0))
+            .otherwise(extra + 1)
+            .cast("int")
+        )
         starts = F.sequence(F.lit(0), (n_chunks - 1) * step, F.lit(step))
         windows = F.transform(
             starts,

@@ -67,6 +67,12 @@ def pack_media(
 ) -> DataFrame:
     """Assemble the media struct from a binary column + optional metadata
     column names (width=..., height=..., sample_rate=..., n_frames=...)."""
+    allowed = ("width", "height", "sample_rate", "n_frames")
+    unknown = set(meta_cols) - set(allowed)
+    if unknown:
+        # a typo'd keyword would otherwise silently leave the metadata
+        # NULL and corrupt every downstream decode decision
+        raise TypeError(f"pack_media: unknown metadata keys {sorted(unknown)}")
     fields = [
         F.col(data_col).cast("binary").alias("data"),
         F.lit(mime).alias("mime"),
@@ -137,9 +143,14 @@ def decode_features(
             for _, row in pdf.iterrows():
                 data = row["_data"]
                 if decoder == "real":
+                    # pandas renders NULL ints as NaN floats, which are
+                    # truthy and defeat decode_media's missing-metadata
+                    # guard — normalize to None/int first
+                    w = None if pd.isna(row["_w"]) else int(row["_w"])
+                    h = None if pd.isna(row["_h"]) else int(row["_h"])
                     px = media_codecs.decode_media(
                         bytes(data) if data is not None else b"",
-                        row["_mime"], row["_w"], row["_h"],
+                        row["_mime"], w, h,
                     ).astype(np.float64)
                 else:
                     px = _fake_pixels(data).astype(np.float64)
@@ -197,7 +208,16 @@ def resize_media(
             col = pdf[media_col]
             new = []
             for m in col:
+                # NULL media structs / NULL payloads pass through
+                # untouched (matching the fake path) instead of dying in
+                # dict(None)/bytes(None) TypeErrors on the executor
+                if m is None:
+                    new.append(None)
+                    continue
                 d = dict(m.asDict() if hasattr(m, "asDict") else m)
+                if d.get("data") is None:
+                    new.append(d)
+                    continue
                 if decoder == "real":
                     px = media_codecs.decode_media(
                         bytes(d["data"]), d["mime"], d.get("width"), d.get("height")
@@ -224,8 +244,15 @@ def sample_frames(
     id_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Video → one output row per sampled frame index (id_cols..., frame_no
-    int, frame binary). Frame count comes from metadata; the fake decoder
-    slices the byte payload into n_frames equal chunks."""
+    int, frame binary). Frame count comes from metadata; the payload is
+    sliced into n_frames equal chunks and must divide evenly — a
+    trailing remainder would otherwise be silently dropped from the
+    last frame."""
+    if every_n < 1:
+        # validate on the DRIVER: every_n=0 would raise a range() error
+        # inside every executor task, every_n<0 would silently emit
+        # nothing
+        raise ValueError(f"sample_frames: every_n must be >= 1, got {every_n}")
     out_schema = T.StructType(
         [df.schema[c] for c in id_cols]
         + [
@@ -244,6 +271,11 @@ def sample_frames(
             rows = []
             for _, row in pdf.iterrows():
                 data, nf = row["_data"] or b"", max(int(row["_nf"]), 1)
+                if len(data) % nf:
+                    raise ValueError(
+                        f"sample_frames: payload of {len(data)} bytes is "
+                        f"not a multiple of n_frames={nf}"
+                    )
                 sz = max(len(data) // nf, 1)
                 for fi in range(0, nf, every_n):
                     rows.append(

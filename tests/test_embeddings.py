@@ -127,3 +127,19 @@ def test_mean_pool_ragged_vectors(spark):
     got = E.mean_pool(df, "label").collect()[0]
     assert got["n_vecs"] == 2
     assert got["pooled"] == [2.0, 2.0]  # pos0 avg(1,3); pos1 avg(2)
+
+
+def test_l2_normalize_is_let_bound(emb):
+    # the norm fold must appear ONCE in the plan, not once per component
+    plan = (
+        emb.select(E.l2_normalize(F.col("embedding")))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("aggregate(") <= 2  # norm fold + nothing per-element
+
+
+def test_quantize_codes_are_tinyint(emb):
+    out = emb.select(E.quantize_int8(F.col("embedding")).alias("s"))
+    assert "array<tinyint>" in out.schema["s"].dataType.simpleString()

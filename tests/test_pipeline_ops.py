@@ -542,3 +542,41 @@ def test_chunk_documents(spark):
         ["a b", "c d", "e f", "g"]
     with pytest.raises(ValueError):
         X.chunk_documents(df, "doc_id", "text", max_tokens=2, overlap=2)
+
+
+def test_chunk_documents_null_text_no_rows(spark):
+    # size(NULL)=NULL once made the n<=0 guard fall through and emit a
+    # phantom empty chunk per NULL-text document (review regression)
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "one two three")], "id long, text string"
+    )
+    rows = X.chunk_documents(df, "id", "text", max_tokens=2).collect()
+    assert sorted(r["id"] for r in rows) == [3, 3]
+
+
+def test_sample_frames_validates(spark):
+    df = spark.createDataFrame([(1, bytearray(b"0123456789"), 3)],
+                               "id long, data binary, nf int")
+    packed = M.pack_media(df, "data", "video/x-raw", n_frames="nf")
+    with pytest.raises(ValueError, match="every_n must be >= 1"):
+        M.sample_frames(packed, every_n=0, id_cols=("id",))
+    # 10 bytes / 3 frames: remainder must raise, not silently truncate
+    with pytest.raises(Exception, match="not a multiple"):
+        M.sample_frames(packed, every_n=1, id_cols=("id",)).collect()
+
+
+def test_pack_media_unknown_meta_key_raises(spark):
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "id long, data binary")
+    with pytest.raises(TypeError, match="unknown metadata keys"):
+        M.pack_media(df, "data", "audio/wav", sample_rte="id")
+
+
+def test_resize_media_null_rows_pass_through(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, bytearray(b"px"))], "id long, data binary")
+    packed = M.pack_media(df, "data", "image/png").withColumn(
+        "media", F.when(F.col("id") < 0, F.col("media"))  # force NULL struct
+    )
+    out = M.resize_media(packed, 4, 4, decoder="real").collect()
+    assert out[0]["media"] is None

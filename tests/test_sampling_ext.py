@@ -246,3 +246,16 @@ def test_temperature_mix_null_domain(spark):
     got = Counter(("null" if r["domain"] is None else r["domain"]) for r in out.collect())
     # alpha=1 with equal counts keeps everything, incl. the NULL stratum
     assert got["null"] == 50 and got["a"] == 50
+
+
+def test_bpe_apply_unicode_whitespace_parity(spark):
+    # U+00A0 is whitespace to Python .split() but NOT to the JVM \s+
+    # tokenizer bpe_train uses — apply must reproduce train exactly
+    from avro_spark.functions.retrieval import bpe_apply
+
+    texts = ["a b a b c", "a b x"]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    merges_df, toks_df = bpe_train(docs, num_merges=2)
+    applied = sorted(tuple(r["tokens"]) for r in bpe_apply(docs, merges_df).collect())
+    trained = sorted(tuple(r["t"]) for r in toks_df.collect())
+    assert applied == trained

@@ -57,7 +57,10 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         df.select(fp, F.col(id_col))
         .groupBy("fingerprint")
         .agg(
-            F.min(id_col).cast("long").alias("keeper"),
+            # native id type — a long cast would null string/UUID keepers
+            # (dropping the whole corpus downstream) and pick "10" < "9"
+            # wrong for numeric strings anyway
+            F.min(id_col).alias("keeper"),
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
@@ -452,6 +455,7 @@ def dedup_clusters(
     )
     _lbl_sum = F.sum(F.col("lbl").cast("decimal(38,0)"))
     prev_sum = labels.agg(_lbl_sum).first()[0]
+    converged = False
     for _ in range(max_iters):
         prop = (
             edges.join(labels, edges.s == labels.id)
@@ -464,8 +468,18 @@ def dedup_clusters(
         cur_sum = prop.agg(_lbl_sum).first()[0]
         labels = prop
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # silently returning partial labels would under-deduplicate
+        # (one component reporting several cluster ids) — long chains
+        # (diameter > max_iters) must surface, not corrupt
+        raise RuntimeError(
+            f"dedup_clusters: not converged after {max_iters} rounds — "
+            "the pair graph has a component with larger diameter; raise "
+            "max_iters"
+        )
     return labels.select(F.col("id").alias(id_col), F.col("lbl").alias(out_col))
 
 
@@ -491,8 +505,13 @@ def near_dedup(
     clusters = dedup_clusters(
         df.select(F.col(id_col).alias("_id")), pairs, "_id"
     )
-    keepers = clusters.groupBy("cluster_id").agg(F.min("_id").alias(id_col))
-    return df.join(keepers.select(id_col), on=id_col, how="left_semi")
+    # the cluster label IS the min member id (dedup_clusters contract),
+    # so the keepers are simply the rows whose id equals their label — a
+    # narrow filter, not another full shuffle
+    keepers = clusters.where(F.col("_id") == F.col("cluster_id")).select(
+        F.col("_id").alias(id_col)
+    )
+    return df.join(keepers, on=id_col, how="left_semi")
 
 
 def simhash_pairs(

@@ -76,9 +76,7 @@ def cosine(a: Column, b: Column, dim: Optional[int] = None) -> Column:
     return F.when(denom > 0, dot(a, b, dim) / denom).otherwise(F.lit(0.0))
 
 
-def _let(value: Column, body) -> Column:
-    """Bind ``value`` once as a lambda variable (see functions.text.let)."""
-    return F.transform(F.array(value), body).getItem(0)
+from .text import let as _let  # bind-once helper (ONE definition)
 
 
 def _matrix_lit(rows: Sequence[Sequence[float]]) -> Column:
@@ -111,12 +109,18 @@ def knn_bruteforce(
     query_id_col: str = "query_id",
     query_vec_col: str = "q_embedding",
     dim: Optional[int] = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query: (query_id, rank, vec_id,
     cosine). Ties break on vec_id ascending. Queries are broadcast — the
     big side streams once with no shuffle until the per-query top-k.
     Norms are materialized below the join: O(rows+queries) norm work,
-    O(rows×queries) only for the single pairwise dot product."""
+    O(rows×queries) only for the single pairwise dot product.
+
+    ``exclude_self`` (default) drops the vector whose id EQUALS the
+    query id — right when queries are drawn from the vector table, wrong
+    when query ids are an independent id space: pass False there or a
+    legitimate neighbor that happens to share the id number vanishes."""
     big = vectors.select(
         F.col(id_col), F.col(vec_col),
         l2_norm(vec_col, dim).alias("_nv"),
@@ -127,9 +131,10 @@ def knn_bruteforce(
         l2_norm(query_vec_col, dim).alias("_nq"),
     )
     denom = F.col("_nv") * F.col("_nq")
-    scored = big.join(F.broadcast(small)).where(
-        F.col(id_col) != F.col(query_id_col)
-    ).select(
+    joined = big.join(F.broadcast(small))
+    if exclude_self:
+        joined = joined.where(F.col(id_col) != F.col(query_id_col))
+    scored = joined.select(
         F.col(query_id_col),
         F.col(id_col),
         F.when(
@@ -244,12 +249,15 @@ def knn_ivf(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "q_embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k: probe only the ``nprobe`` centroids nearest each
     query. The (query × centroid) ranking happens on the tiny broadcast
     side; the big scan is filtered by the centroid join before any exact
     scoring. Persist/bucket the assigned ``vectors`` by centroid_id in a
-    real deployment so repeated queries skip the assignment pass."""
+    real deployment so repeated queries skip the assignment pass.
+    ``exclude_self`` as in :func:`knn_bruteforce` — pass False when
+    query ids are an independent id space."""
     dim = len(centroids[0])
     assigned = vectors.select(
         F.col(id_col),
@@ -260,9 +268,16 @@ def knn_ivf(
     cmat = _matrix_lit(_normalize_rows(centroids))
 
     def probes(q: Column) -> Column:
+        # middle field -cid: after reverse (sim desc) ties prefer the
+        # LOWEST centroid id — matching _argmax_centroid's assignment
+        # tie-break, so tied rows are always in some probe's scan set
         scored = F.transform(
             cmat,
-            lambda c, i: F.struct(dot(q, c).alias("sim"), i.cast("int").alias("cid")),
+            lambda c, i: F.struct(
+                dot(q, c).alias("sim"),
+                (-i).cast("int").alias("ncid"),
+                i.cast("int").alias("cid"),
+            ),
         )
         return F.transform(
             F.slice(F.reverse(F.array_sort(scored)), 1, nprobe), lambda s: s["cid"]
@@ -274,11 +289,10 @@ def knn_ivf(
         l2_norm(query_vec_col, dim).alias("_nq"),
         _let(as_double(F.col(query_vec_col)), probes).alias("probe_cids"),
     )
-    cand = assigned.join(
-        F.broadcast(probe_sets),
-        F.array_contains(F.col("probe_cids"), F.col("centroid_id"))
-        & (F.col(id_col) != F.col(query_id_col)),
-    )
+    cond = F.array_contains(F.col("probe_cids"), F.col("centroid_id"))
+    if exclude_self:
+        cond = cond & (F.col(id_col) != F.col(query_id_col))
+    cand = assigned.join(F.broadcast(probe_sets), cond)
     denom = F.col("_nv") * F.col("_nq")
     scored = cand.select(
         F.col(query_id_col),

@@ -62,30 +62,15 @@ def curate_corpus(
         out = out.where(F.col("quality") >= min_quality)
     clean = X.redact_pii(F.col(text_col)) if redact else F.col(text_col)
     out = out.withColumn("clean_text", clean)
-    # exact dedup on the *clean* text, keep the lowest id per fingerprint
-    keep = (
-        out.select(
-            D.content_fingerprint(F.col("clean_text")).alias("_fp"),
-            F.col(id_col),
-        )
-        .groupBy("_fp")
-        .agg(F.min(id_col).alias(id_col))
-        .select(id_col)
-    )
-    out = out.join(keep, on=id_col, how="left_semi")
+    # exact + near dedup on the *clean* text via the TESTED operators —
+    # inline re-implementations here had already drifted from them once
+    out = D.exact_dedup(out, id_col, "clean_text")
     if near_dedup_threshold is not None:
-        pairs = D.minhash_lsh_pairs(
+        out = D.near_dedup(
             out, id_col, "clean_text",
             threshold=near_dedup_threshold,
             hash_fn=hash_fn or F.xxhash64,
         )
-        clusters = D.dedup_clusters(
-            out.select(F.col(id_col).alias("_id")), pairs, "_id"
-        )
-        keep_near = clusters.groupBy("cluster_id").agg(
-            F.min("_id").alias(id_col)
-        ).select(id_col)
-        out = out.join(keep_near, on=id_col, how="left_semi")
     out = deterministic_split(
         out, id_col, weights=split_weights, labels=split_labels, hash_fn=hash_fn
     )

@@ -26,17 +26,14 @@ def sessionize_batch(
     oracle agree exactly.
 
     Accepts timestamp (incl. NTZ) ts columns, or bigint nanoseconds
-    (older driver parquet read with nanosAsLong): a bare bigint→timestamp
-    cast would interpret nanos as SECONDS and produce silently wrong
-    session boundaries, so integer ts gets the same timestamp_micros
-    conversion the streaming path applies."""
-    src_type = dict(events.dtypes).get(ts_col)
-    if src_type in ("bigint", "long", "int"):
-        # integer `div`, not float division: epoch nanos exceed 2^53, where
-        # a double divide is off by up to ±1µs vs exact truncation
-        events = events.withColumn(
-            ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
-        )
+    (older driver parquet read with nanosAsLong), via the SAME
+    normalization helper the temporal operators use — one definition of
+    the conversion; 32-bit int ts columns raise (an int cannot hold
+    nanos, and guessing seconds-vs-millis would silently corrupt every
+    session boundary)."""
+    from .temporal import _as_timestamp
+
+    events = _as_timestamp(events, ts_col)
     secs = F.col(ts_col).cast("timestamp").cast("double")
     w = Window.partitionBy(user_col).orderBy(secs, ts_col)
     new_sess = (

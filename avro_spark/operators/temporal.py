@@ -42,9 +42,17 @@ def _as_timestamp(df: DataFrame, ts_col: str) -> DataFrame:
     src_type = dict(df.dtypes).get(ts_col)
     if src_type is None:
         raise AvroSparkError(f"no such column: {ts_col}")
-    if src_type in ("bigint", "long", "int"):
+    if src_type in ("bigint", "long"):
         return df.withColumn(
             ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
+        )
+    if src_type == "int":
+        # a 32-bit int cannot hold epoch nanos; treating it as nanos
+        # would collapse every timestamp into early 1970. Seconds vs
+        # millis is a guess we refuse to make silently.
+        raise AvroSparkError(
+            f"int ts column {ts_col!r} is ambiguous (seconds? millis?) — "
+            "cast it to timestamp or bigint nanoseconds explicitly"
         )
     return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
 

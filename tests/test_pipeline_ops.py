@@ -580,3 +580,45 @@ def test_resize_media_null_rows_pass_through(spark):
     )
     out = M.resize_media(packed, 4, 4, decoder="real").collect()
     assert out[0]["media"] is None
+
+
+def test_exact_dedup_string_ids(spark):
+    # review regression: the long cast nulled string keepers and the
+    # semi-join then dropped the whole corpus
+    df = spark.createDataFrame(
+        [("u-b", "same text"), ("u-a", "same  text"), ("u-c", "other")],
+        "doc_id string, text string",
+    )
+    kept = sorted(r["doc_id"] for r in D.exact_dedup(df, "doc_id", "text").collect())
+    assert kept == ["u-a", "u-c"]
+
+
+def test_dedup_clusters_raises_when_unconverged(spark):
+    n = 30  # path diameter 29 > max_iters
+    ids = spark.createDataFrame([(i,) for i in range(n)], "_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="not converged"):
+        D.dedup_clusters(ids, pairs, max_iters=5)
+
+
+def test_knn_exclude_self_opt_out(spark):
+    rows = [(i, [1.0, 0.0]) for i in range(5)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = spark.createDataFrame(
+        [(3, [1.0, 0.0])], "query_id long, q_embedding array<double>"
+    )
+    with_self = S.knn_bruteforce(vecs, qs, k=5, exclude_self=False).collect()
+    without = S.knn_bruteforce(vecs, qs, k=5).collect()
+    assert len(with_self) == 5 and len(without) == 4
+    assert all(r["vec_id"] != 3 for r in without)
+
+
+def test_sessionize_int_ts_raises(spark):
+    from avro_spark.errors import AvroSparkError
+    from avro_spark.operators.events import sessionize_batch
+
+    df = spark.createDataFrame([(1, 1700000000)], "user_id long, ts int")
+    with pytest.raises(AvroSparkError, match="ambiguous"):
+        sessionize_batch(df)

@@ -51,8 +51,11 @@ def conform(
 
     mode='raise': any violation fails the job (reference behavior — the
     validate call errors). mode='flag': adds an ``_errors`` array<string>
-    column; rows with violations keep their original values and can be
-    routed to a dead-letter sink.
+    column so bad rows can be routed to a dead-letter sink. Output
+    columns are the CONFORMED values: a violating value becomes null
+    (or the field default), exactly like the reference's copy — recover
+    the original offending value from the source row via the join key,
+    not from this output.
     """
     if mode not in ("raise", "flag"):
         raise CompileError(f"bad mode: {mode}")
@@ -187,7 +190,14 @@ def _check_node(node: SchemaNode, src: Column, loc: str) -> tuple[Column, Option
     if isinstance(node, UnionNode):
         simple = union_null_and_one(node)
         if simple is not None:
-            return _check_node(simple, src, loc)
+            value, err = _check_node(simple, src, loc)
+            # a [null, T] union legally accepts null (oracle: pyvalidate
+            # returns None) — suppress the branch's own not-null
+            # complaint, which would flag every legal null of the most
+            # common Avro pattern
+            if err is not None:
+                err = F.when(src.isNotNull(), err)
+            return value, err
         # general union struct: tag must be in range; active branch consistent
         tag = src.getField("$type$")
         bad = src.isNotNull() & (tag.isNull() | (tag < 0) | (tag >= len(node.branches)))
@@ -201,16 +211,31 @@ def _check_node(node: SchemaNode, src: Column, loc: str) -> tuple[Column, Option
 
 def _element_error(node: SchemaNode, loc: str):
     """Per-element validity predicate for arrays/maps (returns a lambda for
-    F.exists), or None when elements can't be invalid."""
+    F.exists), or None when elements can't be invalid.
+
+    Depth: value checks (enum symbol, fixed length, int range) apply at
+    this level only — nested container/record ELEMENT internals are not
+    re-validated here (the oracle is the row-wise record walk). A null
+    element where the element type is non-nullable is invalid for every
+    kind, matching pyvalidate's 'Not a X: nil'."""
+    null_bad = (lambda x: x.isNull()) if not node.nullable else None
+
+    def with_null(pred):
+        if null_bad is None:
+            return pred
+        return lambda x: null_bad(x) | pred(x)
+
     if isinstance(node, Enum):
-        return lambda x: x.isNotNull() & ~x.isin(*node.symbols)
+        return with_null(lambda x: x.isNotNull() & ~x.isin(*node.symbols))
     if isinstance(node, Fixed):
-        return lambda x: x.isNotNull() & (F.length(x) != node.size)
+        return with_null(lambda x: x.isNotNull() & (F.length(x) != node.size))
     if isinstance(node, Primitive) and node.type == "int":
-        return lambda x: x.isNotNull() & ((x < INT32_MIN) | (x > INT32_MAX))
-    if not node.nullable and not isinstance(node, (Array, Map, Record, UnionNode)):
-        return lambda x: x.isNull()
-    return None
+        return with_null(
+            lambda x: x.isNotNull() & ((x < INT32_MIN) | (x > INT32_MAX))
+        )
+    if isinstance(node, Primitive) and node.type == "null":
+        return None  # null type: null IS the value
+    return null_bad
 
 
 def _check_primitive(t: str, src: Column, loc: str) -> tuple[Column, Optional[Column]]:
@@ -265,7 +290,7 @@ def _vj_is_bin(vcol: Column, bk: Optional[str]) -> Column:
     if bk is None:
         return F.lit(False)
     keys = F.json_object_keys(F.to_json(vcol))
-    inner = F.variant_get(vcol, f"$.{bk}", "variant")
+    inner = F.variant_get(vcol, _vpath(bk), "variant")
     return (
         F.schema_of_variant(vcol).startswith("OBJECT")
         & (F.size(keys) == 1)
@@ -276,7 +301,7 @@ def _vj_is_bin(vcol: Column, bk: Optional[str]) -> Column:
 
 def _vj_bin_len(vcol: Column, bk: str) -> Column:
     """Decoded byte length of a {bk: "<hex>"} value (spaces ignored)."""
-    hexs = F.regexp_replace(F.variant_get(vcol, f"$.{bk}", "string"), " ", "")
+    hexs = F.regexp_replace(F.variant_get(vcol, _vpath(bk), "string"), " ", "")
     return (F.length(hexs) / 2).cast("int")
 
 
@@ -403,6 +428,13 @@ def conform_json(
     # the guard is NULL unless it raises; coalesce keeps the filter a no-op
     return df.where(F.coalesce(guard.cast("boolean"), F.lit(True)))
 
+
+
+def _vpath(key: str) -> str:
+    """Variant path for a LITERAL object key: bracket-quoted, because
+    the dotted form ($.a.b) traverses nested objects — a namespaced
+    union branch tag like com.example.Rec is one key, not three."""
+    return "$['" + key.replace("\\", "\\\\").replace("'", "\\'") + "']"
 
 def _vj_node(node: SchemaNode, vcol: Column, path: tuple[str, ...],
              depth: int, bk: Optional[str]) -> Column:
@@ -575,7 +607,7 @@ def _vj_node_strict(node: SchemaNode, vcol: Column, path: tuple[str, ...],
             if isinstance(b, Primitive) and b.type == "null":
                 continue
             t = node.branch_tag(i)
-            e = _vj_node(b, F.variant_get(vcol, f"$.{t}", "variant"),
+            e = _vj_node(b, F.variant_get(vcol, _vpath(t), "variant"),
                          path + (t,), depth + 1, bk)
             branch_err = F.when(tag == t, e).otherwise(branch_err)
         obj_err = F.coalesce(unknown_err, branch_err)
@@ -604,7 +636,7 @@ def _vj_record_parts(node: Record, vcol: Column, path: tuple[str, ...],
     )
     field_errs: list[Column] = []
     for f in node.fields:
-        child = F.variant_get(vcol, f"$.{f.name}", "variant")
+        child = F.variant_get(vcol, _vpath(f.name), "variant")
         fpath = path + (f.name,)
         present_err = _vj_node(f.type, child, fpath, depth + 1, bk)
         if f.has_default or _nullable_ok(f.type):
@@ -749,7 +781,7 @@ def parse_json_typed(
     v = F.try_parse_json(F.col(json_col))
     cols = []
     for f in root.fields:
-        child = F.variant_get(v, f"$.{f.name}", "variant")
+        child = F.variant_get(v, _vpath(f.name), "variant")
         value = _pj_node(f.type, child, 0, binary_key)
         if f.has_default:
             value = F.coalesce(value, lit_for(f.type, f.default))
@@ -771,7 +803,7 @@ def _pj_node(node: SchemaNode, vcol: Column, depth: int,
         if t == "bytes" or t == "any":
             if t == "bytes" and bk is not None:
                 hexs = F.regexp_replace(
-                    F.try_variant_get(vcol, f"$.{bk}", "string"), " ", "")
+                    F.try_variant_get(vcol, _vpath(bk), "string"), " ", "")
                 return F.unhex(hexs)
             return F.try_variant_get(vcol, "$", "string").cast("binary") \
                 if t == "bytes" else F.to_json(vcol)
@@ -783,13 +815,13 @@ def _pj_node(node: SchemaNode, vcol: Column, depth: int,
     if isinstance(node, Fixed):
         if bk is not None:
             hexs = F.regexp_replace(
-                F.try_variant_get(vcol, f"$.{bk}", "string"), " ", "")
+                F.try_variant_get(vcol, _vpath(bk), "string"), " ", "")
             return F.unhex(hexs)
         return F.try_variant_get(vcol, "$", "string").cast("binary")
     if isinstance(node, Record):
         parts = []
         for f in node.fields:
-            child = F.variant_get(vcol, f"$.{f.name}", "variant")
+            child = F.variant_get(vcol, _vpath(f.name), "variant")
             val = _pj_node(f.type, child, depth + 1, bk)
             if f.has_default:
                 val = F.coalesce(val, lit_for(f.type, f.default))
@@ -810,7 +842,7 @@ def _pj_node(node: SchemaNode, vcol: Column, depth: int,
             # [null, T]: record form is still {tag: value} or null
             tag = next(node.branch_tag(i) for i, b in enumerate(node.branches)
                        if not (isinstance(b, Primitive) and b.type == "null"))
-            return _pj_node(simple, F.variant_get(vcol, f"$.{tag}", "variant"),
+            return _pj_node(simple, F.variant_get(vcol, _vpath(tag), "variant"),
                             depth + 1, bk)
         keys = F.json_object_keys(F.to_json(vcol))
         tag_name = F.try_element_at(keys, F.lit(1))
@@ -827,7 +859,7 @@ def _pj_node(node: SchemaNode, vcol: Column, depth: int,
             fields.append(
                 F.when(
                     tag_name == t,
-                    _pj_node(b, F.variant_get(vcol, f"$.{t}", "variant"),
+                    _pj_node(b, F.variant_get(vcol, _vpath(t), "variant"),
                              depth + 1, bk),
                 ).alias(t)
             )

@@ -185,3 +185,58 @@ class TestAvroBinary:
         got = sorted((r["k"], r["tags"], dict(r["props"]), r["opt"], r["sub"]["a"])
                      for r in back.collect())
         assert got == [(1, ["a", "b"], {"x": 1}, 2.5, 7), (2, [], {}, None, 8)]
+
+
+# ------------------------------------------------- review-fix regressions
+def test_nullable_union_record_accepts_null(spark):
+    """union[null, record] must accept null (oracle: pyvalidate returns
+    None) — the unwrapped branch's not-null complaint once flagged it."""
+    import avro_spark
+    from avro_spark.operators.conform import ERRORS_COL, conform
+
+    sch = avro_spark.create({
+        "type": "record", "name": "T", "fields": [
+            {"name": "a", "type": ["null", {
+                "type": "record", "name": "R",
+                "fields": [{"name": "x", "type": "int"}]}]},
+        ],
+    })
+    df = spark.createDataFrame([(None,), ((5,),)], "a struct<x:int>")
+    got = {str(r["a"]): r[ERRORS_COL] for r in conform(df, sch, mode="flag").collect()}
+    assert got["None"] == []
+    assert got["Row(x=5)"] == []
+
+
+def test_namespaced_union_tag_variant_path(spark):
+    """Dotted union branch tags (com.example.Rec) are ONE object key —
+    the variant path must bracket-quote, not traverse."""
+    import avro_spark
+    from avro_spark.operators.conform import parse_json_typed
+
+    sch = avro_spark.create({
+        "type": "record", "name": "T", "fields": [
+            {"name": "u", "type": ["null", {
+                "type": "record", "name": "Rec", "namespace": "com.example",
+                "fields": [{"name": "x", "type": "int"}]}]},
+        ],
+    })
+    df = spark.createDataFrame(
+        [('{"u": {"com.example.Rec": {"x": 7}}}',), ('{"u": null}',)],
+        "j string",
+    )
+    got = [r["u"] for r in parse_json_typed(df, "j", sch).collect()]
+    assert (7,) in [tuple(g) if g else g for g in got]
+
+
+def test_null_element_in_nonnullable_array_flagged(spark):
+    import avro_spark
+    from avro_spark.operators.conform import ERRORS_COL, conform
+
+    sch = avro_spark.create({
+        "type": "record", "name": "T", "fields": [
+            {"name": "xs", "type": {"type": "array", "items": "int"}},
+        ],
+    })
+    df = spark.createDataFrame([([1, None, 3],), ([1, 2],)], "xs array<int>")
+    got = [r[ERRORS_COL] for r in conform(df, sch, mode="flag").collect()]
+    assert sorted(map(len, got)) == [0, 1]

@@ -456,12 +456,29 @@ def flatten_cells(
                 # synthesized whole sub-record from the default
                 value = rf.default if rf.has_default else None
                 cells.extend(_default_cells(node, value, path))
-            else:
+            elif s.plan.kind == "record":
                 sub_src = get_src(s.writer_field)
                 cells.extend(
                     flatten_cells(
                         s.plan,
                         lambda wf, s_=sub_src: s_.getField(wf.name),
+                        path, validate,
+                    )
+                )
+            else:
+                # writer union → reader non-nullable record (from_union):
+                # convert the record-form value to the reader shape first,
+                # then inline it through an IDENTITY plan — the union plan
+                # has no reader-layout field sources to walk directly
+                from .resolution import resolve as _resolve
+
+                sub_src = get_src(s.writer_field)
+                conv = convert_expr(s.plan, sub_src, validate)
+                ident = _resolve(node, node)
+                cells.extend(
+                    flatten_cells(
+                        ident,
+                        lambda wf, c_=conv: c_.getField(wf.name),
                         path, validate,
                     )
                 )
@@ -644,11 +661,45 @@ def _unflatten_value(plan: Resolved, cells: list[Column], validate: bool,
         writer = plan.writer
         reader = plan.reader
         w_simple = _simple_union(writer)
-        if validate and w_simple is None:
+        if validate:
             w_tag = _guard_flat_union_tag(plan, w_tag, loc, validate)
-        src = w_val if w_simple is not None else _rebuild_union_struct(writer, w_tag, w_val)
+        if w_simple is not None:
+            # the tag cell is load-bearing even for [null, T]: a
+            # null-branch tag means null REGARDLESS of the value cell
+            # (and out-of-range tags error above, matching union.lua:160)
+            w_null = _null_branch_index(writer)
+            src = (
+                F.when(w_tag == w_null, F.lit(None)).otherwise(w_val)
+                if w_null is not None
+                else w_val
+            )
+        else:
+            src = _rebuild_union_struct(writer, w_tag, w_val)
         return _convert_union(plan, src, validate)
     if kind == "to_union":
+        w = plan.writer
+        if isinstance(w, Enum):
+            # the flat cell is the writer's int CODE; the record-form
+            # union conversion expects the SYMBOL — decode (and
+            # range-check) before wrapping
+            assert len(cells) == 1
+            code = cells[0]
+            sym = F.element_at(
+                F.array(*[F.lit(s) for s in w.symbols]), (code + 1).cast("int")
+            )
+            sym = _checked(
+                sym,
+                code.isNull() | ((code >= 0) & (code < len(w.symbols))),
+                _bad_value(code, loc=loc, quote=False),
+                Primitive("string"), validate,
+            )
+            return _convert_union(plan, sym, validate)
+        if isinstance(w, Record) and not w.nullable:
+            raise CompileError(
+                "unflatten: inlined (non-nullable) writer record → reader "
+                "union is not supported — the record occupies multiple "
+                "flat cells with no union framing"
+            )
         assert len(cells) == 1
         return _convert_union(plan, cells[0], validate)
     raise CompileError(f"cannot unflatten plan kind {kind}")

@@ -436,3 +436,57 @@ class TestDumpPlan:
         full = cs.dump_plan(df)
         assert "== Spark plan for flatten ==" in full
         assert "Physical Plan" in full
+
+
+# ------------------------------------------------- review-fix regressions
+def test_unflatten_writer_enum_to_reader_union(spark):
+    """Writer enum flat cell (int code) → reader [null, enum]: the code
+    must decode to the SYMBOL before union wrapping (was emitting raw
+    codes)."""
+    import avro_spark
+
+    w = avro_spark.create({"type": "record", "name": "T", "fields": [
+        {"name": "e", "type": {"type": "enum", "name": "E", "symbols": ["A", "B"]}}]})
+    r = avro_spark.create({"type": "record", "name": "T", "fields": [
+        {"name": "e", "type": ["null", {"type": "enum", "name": "E", "symbols": ["A", "B"]}]}]})
+    flat = avro_spark.compile(w).flatten(
+        spark.createDataFrame([("A",), ("B",)], "e string")
+    )
+    got = sorted(x[0] for x in avro_spark.compile(w, r).unflatten(flat).collect())
+    assert got == ["A", "B"]
+
+
+def test_flatten_writer_union_to_reader_record(spark):
+    """Writer union[RecA] → reader non-nullable RecA must inline through
+    an identity plan (was an AssertionError at build time)."""
+    import avro_spark
+
+    w = avro_spark.create({"type": "record", "name": "T2", "fields": [
+        {"name": "a", "type": [{"type": "record", "name": "RecA",
+                                "fields": [{"name": "x", "type": "int"}]}]}]})
+    r = avro_spark.create({"type": "record", "name": "T2", "fields": [
+        {"name": "a", "type": {"type": "record", "name": "RecA",
+                               "fields": [{"name": "x", "type": "int"}]}}]})
+    df = spark.createDataFrame([((0, (5,)),)], "a struct<`$type$`:int, RecA struct<x:int>>")
+    out = avro_spark.compile(w, r).flatten(df)
+    assert out.columns == ["a.x"]
+    assert out.collect()[0][0] == 5
+
+
+def test_unflatten_simple_union_tag_is_load_bearing(spark):
+    """[null, int] flat cells: a null-branch tag yields null regardless
+    of the value cell, and an out-of-range tag errors (union.lua:160) —
+    the tag cell was previously dead input."""
+    import avro_spark
+    from avro_spark.errors import AvroSparkError
+
+    s = avro_spark.create({"type": "record", "name": "U", "fields": [
+        {"name": "v", "type": ["null", "int"]}]})
+    cs = avro_spark.compile(s)
+    names = cs.flat_names()
+    df = spark.createDataFrame([(0, 42), (1, 42)], f"`{names[0]}` int, `{names[1]}` int")
+    got = sorted((r[0] is None, r[0]) for r in cs.unflatten(df).collect())
+    assert [g[1] for g in got] == [42, None]
+    bad = spark.createDataFrame([(7, 42)], f"`{names[0]}` int, `{names[1]}` int")
+    with pytest.raises(Exception, match="Bad value"):
+        cs.unflatten(bad).collect()

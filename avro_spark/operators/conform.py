@@ -101,8 +101,11 @@ def _nullable_ok(node: SchemaNode) -> bool:
     )
 
 
+_CONFORM_DEPTH_LIMIT = 24
+
+
 def _conform_value(
-    f: Field, src: Optional[Column], path: tuple[str, ...]
+    f: Field, src: Optional[Column], path: tuple[str, ...], _depth: int = 0
 ) -> tuple[Column, Optional[Column]]:
     """(value, error-or-null) for one field."""
     node = f.type
@@ -111,7 +114,7 @@ def _conform_value(
         if f.has_default:
             return lit_for(node, f.default), None
         return F.lit(None).cast(to_spark_type(node)), None
-    value, err = _check_node(node, src, loc)
+    value, err = _check_node(node, src, loc, _depth)
     if f.has_default:
         value = F.coalesce(value, lit_for(node, f.default))
     elif not _nullable_ok(node):
@@ -125,8 +128,13 @@ def _conform_value(
     return value, err
 
 
-def _check_node(node: SchemaNode, src: Column, loc: str) -> tuple[Column, Optional[Column]]:
+def _check_node(
+    node: SchemaNode, src: Column, loc: str, _depth: int = 0
+) -> tuple[Column, Optional[Column]]:
     target = to_spark_type(node)
+    if _depth > _CONFORM_DEPTH_LIMIT:
+        # recursive schemas unroll boundedly, like the type mapping does
+        return src.cast(target), None
     if isinstance(node, Primitive):
         return _check_primitive(node.type, src, loc)
     if isinstance(node, Enum):
@@ -152,7 +160,7 @@ def _check_node(node: SchemaNode, src: Column, loc: str) -> tuple[Column, Option
         sub_errs: list[Column] = []
         parts: list[Column] = []
         for f in node.fields:
-            v, e = _conform_value(f, src.getField(f.name), (loc, f.name))
+            v, e = _conform_value(f, src.getField(f.name), (loc, f.name), _depth + 1)
             parts.append(v.alias(f.name))
             if e is not None:
                 sub_errs.append(e)
@@ -190,7 +198,7 @@ def _check_node(node: SchemaNode, src: Column, loc: str) -> tuple[Column, Option
     if isinstance(node, UnionNode):
         simple = union_null_and_one(node)
         if simple is not None:
-            value, err = _check_node(simple, src, loc)
+            value, err = _check_node(simple, src, loc, _depth + 1)
             # a [null, T] union legally accepts null (oracle: pyvalidate
             # returns None) — suppress the branch's own not-null
             # complaint, which would flag every legal null of the most
@@ -198,14 +206,29 @@ def _check_node(node: SchemaNode, src: Column, loc: str) -> tuple[Column, Option
             if err is not None:
                 err = F.when(src.isNotNull(), err)
             return value, err
-        # general union struct: tag must be in range; active branch consistent
+        # general union struct: the tag must be in range AND the active
+        # branch's value must itself validate (the oracle's _copy_union
+        # validates the branch deeply — a bad enum symbol or nil record
+        # inside a union branch must not pass)
         tag = src.getField("$type$")
         bad = src.isNotNull() & (tag.isNull() | (tag < 0) | (tag >= len(node.branches)))
-        return src, F.when(
+        tag_err = F.when(
             bad,
             F.concat(F.lit(f"{loc}: Bad value: "),
                      F.coalesce(tag.cast("string"), F.lit("nil"))),
         )
+        branch_errs = []
+        for i, br in enumerate(node.branches):
+            if isinstance(br, Primitive) and br.type == "null":
+                continue
+            _bv, be = _check_node(
+                br, src.getField(node.branch_tag(i)), loc, _depth + 1
+            )
+            if be is not None:
+                branch_errs.append(F.when(src.isNotNull() & (tag == i), be))
+        if branch_errs:
+            return src, F.coalesce(tag_err, *branch_errs)
+        return src, tag_err
     raise CompileError(f"conform: unsupported node {node!r}")
 
 

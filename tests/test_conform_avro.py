@@ -240,3 +240,48 @@ def test_null_element_in_nonnullable_array_flagged(spark):
     df = spark.createDataFrame([([1, None, 3],), ([1, 2],)], "xs array<int>")
     got = [r[ERRORS_COL] for r in conform(df, sch, mode="flag").collect()]
     assert sorted(map(len, got)) == [0, 1]
+
+
+def test_general_union_active_branch_validated(spark):
+    """A bad enum symbol inside the ACTIVE union branch must flag — the
+    old check validated only the tag range."""
+    import avro_spark
+    from avro_spark.operators.conform import ERRORS_COL, conform
+
+    sch = avro_spark.create({
+        "type": "record", "name": "T", "fields": [
+            {"name": "u", "type": [
+                "int",
+                {"type": "enum", "name": "E", "symbols": ["A", "B"]},
+            ]},
+        ],
+    })
+    df = spark.createDataFrame(
+        [((1, None, "Z"),), ((1, None, "A"),), ((0, 5, None),)],
+        "u struct<`$type$`:int, `int`:int, E:string>",
+    )
+    got = [r[ERRORS_COL] for r in conform(df, sch, mode="flag").collect()]
+    assert sorted(map(len, got)) == [0, 0, 1]
+    flagged = [e for e in got if e]
+    assert 'Bad value: "Z"' in flagged[0][0]
+
+
+def test_general_union_inactive_branch_ignored(spark):
+    """Garbage in the INACTIVE branch must not flag (only the active
+    branch validates, per the oracle's _copy_union)."""
+    import avro_spark
+    from avro_spark.operators.conform import ERRORS_COL, conform
+
+    sch = avro_spark.create({
+        "type": "record", "name": "T", "fields": [
+            {"name": "u", "type": [
+                "int", {"type": "enum", "name": "E", "symbols": ["A", "B"]},
+            ]},
+        ],
+    })
+    df = spark.createDataFrame(
+        [((0, 5, "ZZZ"),)],  # active branch int; enum slot garbage
+        "u struct<`$type$`:int, `int`:int, E:string>",
+    )
+    got = conform(df, sch, mode="flag").collect()[0][ERRORS_COL]
+    assert got == []

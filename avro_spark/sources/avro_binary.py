@@ -377,7 +377,19 @@ def _normalize(v: Any, node: SchemaNode) -> Any:
     """pandas/Arrow cell → plain record-form Python value."""
     import numpy as np
 
-    if v is None or (isinstance(v, float) and v != v):
+    if v is None:
+        return None
+    if isinstance(v, float) and v != v:
+        # NaN is pandas' null rendering for numeric columns — but it is
+        # a LEGITIMATE value of a non-nullable float/double field, where
+        # null isn't even possible; only nullable branches read it as
+        # null (the documented ambiguity for nullable doubles)
+        if (
+            isinstance(node, Primitive)
+            and node.type in ("float", "double")
+            and not node.nullable
+        ):
+            return v
         return None
     if isinstance(node, Record):
         d = v if isinstance(v, dict) else v.asDict() if hasattr(v, "asDict") else dict(v)
@@ -500,6 +512,13 @@ def from_avro_bytes(
             for d in decs:
                 v, pos = d(buf, pos)
                 vals.append(v)
+            if pos != len(buf):
+                # same contract as the driver-side decode_record —
+                # trailing garbage is schema-mismatch corruption, not a
+                # row to silently accept
+                raise AvroSparkError(
+                    f"trailing bytes after Avro value: {len(buf) - pos}"
+                )
             rows.append(vals)
         if not rows:
             return pd.DataFrame({n: [] for n in names})

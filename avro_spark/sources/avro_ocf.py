@@ -142,8 +142,16 @@ def read_ocf_bytes(
     records: list[Any] = []
     n = len(blob)
     while pos < n:
-        count, pos = _read_long(blob, pos)
-        size, pos = _read_long(blob, pos)
+        try:
+            count, pos = _read_long(blob, pos)
+            size, pos = _read_long(blob, pos)
+        except IndexError as ex:
+            raise AvroSparkError("corrupt OCF: truncated block header") from ex
+        if count < 0 or size < 0 or pos + size > n:
+            raise AvroSparkError(
+                f"corrupt OCF: block claims {count} records / {size} bytes "
+                f"with {n - pos} bytes left"
+            )
         data = bytes(blob[pos : pos + size])
         pos += size
         if codec == "deflate":
@@ -204,44 +212,112 @@ def write_avro_files(
     path: str,
     codec: str = "null",
     block_records: int = DEFAULT_BLOCK_RECORDS,
+    mode: str = "overwrite",
 ) -> list[dict]:
     """Record-shaped DataFrame → one OCF file per partition under
     ``path`` (created if missing; must be a filesystem all executors
     share, like any Spark file sink). Returns per-file summaries
     [{'file', 'n_records', 'n_bytes'}, ...]. Control file sizing with
-    ``df.repartition(n)`` upstream."""
+    ``df.repartition(n)`` upstream.
+
+    ``mode='overwrite'`` (default) clears previous part files first —
+    a narrower re-run would otherwise leave STALE parts mixed into the
+    directory; ``mode='error'`` refuses a non-empty target. Columns are
+    selected BY NAME against the schema (column order never matters),
+    each task streams one block at a time to a temp file (memory is
+    bounded by ``block_records``, not the partition), and the final
+    ``os.replace`` is atomic so a speculative duplicate attempt cannot
+    interleave bytes."""
     from ..util import ensure_workers
 
     ensure_workers(df.sparkSession)
     root = schema.root
     if not isinstance(root, Record):
         raise AvroSparkError("write_avro_files requires a record schema")
+    if mode not in ("overwrite", "error"):
+        raise AvroSparkError(f"bad mode: {mode}")
     os.makedirs(path, exist_ok=True)
+    existing = [f for f in os.listdir(path) if f.startswith("part-")]
+    if existing:
+        if mode == "error":
+            raise AvroSparkError(f"target not empty: {path}")
+        for f in existing:
+            os.remove(os.path.join(path, f))
     schema_export = json.dumps(schema.export())
+    field_names = [f.name for f in root.fields]
+    missing = [n for n in field_names if n not in df.columns]
+    if missing:
+        raise AvroSparkError(f"write_avro_files: missing columns {missing}")
+    df = df.select(*field_names)  # BY NAME — positional zip is a data swapper
     field_types = [(f.name, f.type) for f in root.fields]
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib as _zlib
+
         from pyspark import TaskContext
 
         sch = create(json.loads(schema_export))
-        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
-        records: list[dict] = []
+        enc = _compile_encoder(sch.root)
+        schema_json = json.dumps(sch.export()).encode("utf-8")
+        sync = hashlib.md5(schema_json).digest()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        attempt = ctx.taskAttemptId() if ctx else 0
+        fname = os.path.join(path, f"part-{pid:05d}.avro")
+        tmp = f"{fname}.__attempt_{attempt}"
+        n_records = 0
+        pending: list[dict] = []
+        fh = None
+
+        def flush() -> None:
+            body = bytearray()
+            for rec in pending:
+                enc(body, rec)
+            data = bytes(body)
+            if codec == "deflate":
+                data = _zlib.compress(data, 6)[2:-4]
+            blk = bytearray()
+            _write_long(blk, len(pending))
+            _write_long(blk, len(data))
+            blk += data
+            blk += sync
+            fh.write(blk)
+            pending.clear()
+
         for pdf in batches:
             for row in pdf.itertuples(index=False, name=None):
-                records.append(
+                if fh is None:
+                    fh = io.open(tmp, "wb")
+                    header = bytearray()
+                    header += MAGIC
+                    _write_meta_map(
+                        header,
+                        {"avro.schema": schema_json,
+                         "avro.codec": codec.encode("ascii")},
+                    )
+                    header += sync
+                    fh.write(header)
+                pending.append(
                     {
                         name: _normalize(val, node)
                         for (name, node), val in zip(field_types, row)
                     }
                 )
-        if not records:
+                n_records += 1
+                if len(pending) >= block_records:
+                    flush()
+        if fh is None:
             return
-        blob = write_ocf_bytes(sch, records, codec=codec, block_records=block_records)
-        fname = os.path.join(path, f"part-{pid:05d}.avro")
-        with io.open(fname, "wb") as fh:
-            fh.write(blob)
+        if pending:
+            flush()
+        fh.close()
+        os.replace(tmp, fname)  # atomic: last attempt wins whole
         yield pd.DataFrame(
-            {"file": [fname], "n_records": [len(records)], "n_bytes": [len(blob)]}
+            {
+                "file": [fname],
+                "n_records": [n_records],
+                "n_bytes": [os.path.getsize(fname)],
+            }
         )
 
     out = df.mapInPandas(encode, schema="file string, n_records long, n_bytes long")

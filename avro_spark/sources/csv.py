@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..errors import AvroSparkError
 from ..schema import Schema
-from ..schema.nodes import Primitive, Record
+from ..schema.nodes import Enum, Primitive, Record
 
 
 def _require_flat_record(schema: Schema) -> None:
@@ -42,9 +42,12 @@ def _require_flat_record(schema: Schema) -> None:
                     "flatten to tuple columns first"
                 )
             node = simple
+        if isinstance(node, Enum):
+            continue  # enums are string-typed — CSV carries them fine
         if not isinstance(node, Primitive):
             raise AvroSparkError(
-                f"CSV cannot carry nested field {f.name!r}; flatten first"
+                f"CSV cannot carry {type(node).__name__.lower()} field "
+                f"{f.name!r} — no flat text form; flatten first"
             )
 
 

@@ -61,6 +61,10 @@ def read_jsonl(
         from ..operators.conform import parse_json_typed
 
         lines = spark.read.text(path).withColumnRenamed("value", "_line")
+        # the native JSON source skips blank lines — match it, or
+        # FAILFAST aborts on them and corrupt_col fabricates phantom
+        # all-null rows
+        lines = lines.where(F.length(F.trim(F.col("_line"))) > 0)
         raw = F.col("_line")
         corrupt = raw.isNotNull() & F.try_parse_json(raw).isNull()
         if mode == "FAILFAST":

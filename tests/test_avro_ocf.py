@@ -132,3 +132,58 @@ class TestOcfSpark:
         write_avro_files(df, schema, out)
         back = read_avro_files(spark, out, schema)
         assert sorted(map(str, back.collect())) == sorted(map(str, df.collect()))
+
+
+# ------------------------------------------------- review-fix regressions
+def test_write_files_column_order_independent(spark, tmp_path):
+    """Columns must bind BY NAME — a reordered DataFrame once zipped
+    positionally against schema order and swapped the data."""
+    sch = avs.create({"type": "record", "name": "R", "fields": [
+        {"name": "a", "type": "long"}, {"name": "b", "type": "string"}]})
+    df = spark.createDataFrame([("hello", 7)], "b string, a long")
+    write_avro_files(df, sch, str(tmp_path / "o1"))
+    _, recs = read_ocf_bytes(
+        open(next((tmp_path / "o1").glob("part-*.avro")), "rb").read()
+    )
+    assert recs == [{"a": 7, "b": "hello"}]
+
+
+def test_write_files_overwrite_clears_stale_parts(spark, tmp_path):
+    sch = avs.create({"type": "record", "name": "R", "fields": [
+        {"name": "a", "type": "long"}]})
+    d = str(tmp_path / "o2")
+    write_avro_files(spark.range(10).select(F.col("id").alias("a")).repartition(4), sch, d)
+    n4 = len(list((tmp_path / "o2").glob("part-*.avro")))
+    write_avro_files(spark.range(3).select(F.col("id").alias("a")).repartition(1), sch, d)
+    files = list((tmp_path / "o2").glob("part-*.avro"))
+    assert len(files) < n4  # stale parts removed
+    total = sum(len(read_ocf_bytes(open(f, "rb").read())[1]) for f in files)
+    assert total == 3
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="target not empty"):
+        write_avro_files(spark.range(1).select(F.col("a") if False else F.col("id").alias("a")), sch, d, mode="error")
+
+
+def test_nan_roundtrips_nonnullable_double(spark, tmp_path):
+    sch = avs.create({"type": "record", "name": "R", "fields": [
+        {"name": "d", "type": "double"}]})
+    df = spark.createDataFrame([(float("nan"),), (1.5,)], "d double").coalesce(1)
+    write_avro_files(df, sch, str(tmp_path / "o3"))
+    recs = []
+    for f in (tmp_path / "o3").glob("part-*.avro"):
+        recs += read_ocf_bytes(open(f, "rb").read())[1]
+    vals = [r["d"] for r in recs]
+    assert len(vals) == 2 and 1.5 in vals
+    assert sum(1 for v in vals if v != v) == 1  # NaN survived
+
+
+def test_corrupt_block_header_raises_avro_error(spark):
+    sch = avs.create({"type": "record", "name": "R", "fields": [
+        {"name": "a", "type": "long"}]})
+    blob = write_ocf_bytes(sch, [{"a": 1}])
+    # truncate mid block header
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="corrupt OCF|truncated"):
+        read_ocf_bytes(blob[: len(blob) - 18] + b"\xfe\xff")

@@ -70,7 +70,10 @@ class CompiledSchema:
         # (record.lua complex_nullable_schema: output [[...]]) — same
         # single-column contract as a non-record root, so wrap it too.
         self.wrapped_root = (
-            not isinstance(self.writer.root, Record) or self.writer.root.nullable
+            not isinstance(self.writer.root, Record)
+            or self.writer.root.nullable
+            or not isinstance(self.reader.root, Record)
+            or self.reader.root.nullable
         )
         if self.wrapped_root:
             self.writer = _wrap_root(self.writer)
@@ -113,10 +116,14 @@ class CompiledSchema:
                 f"expected {len(self.service_fields)} service field values, got {len(service_values)}"
             )
         if self.wrapped_root:
-            if len(df.columns) != len(self.service_fields) + 1:
+            # service values come from ``service_values`` (constants), so
+            # the canonical input is ONE value column; the legacy
+            # service-padded shape is still accepted (extra columns are
+            # never read)
+            if len(df.columns) not in (1, len(self.service_fields) + 1):
                 raise CompileError(
-                    "non-record root: expected a single value column "
-                    f"(plus {len(self.service_fields)} service), got {df.columns}"
+                    "non-record root: expected a single value column, "
+                    f"got {df.columns}"
                 )
             df = df.withColumnRenamed(df.columns[-1], _ROOT_FIELD)
         writer_root: Record = self.writer.root  # type: ignore[assignment]
@@ -287,10 +294,32 @@ class CompiledSchema:
                     )
                     if child.plan is not None:
                         walk_plan(child.plan, indent + 2, "", seen)
+                elif (
+                    isinstance(child, tuple)
+                    and len(child) == 2
+                    and isinstance(child[1], Resolved)
+                ):
+                    # to_union's (reader_branch_index, plan)
+                    walk_plan(child[1], indent + 1, f"{key}→branch {child[0]}: ", seen)
                 elif isinstance(child, (list, tuple)):
                     for i, c in enumerate(child):
                         if isinstance(c, Resolved):
                             walk_plan(c, indent + 1, f"{key}[{i}]: ", seen)
+                        elif (
+                            isinstance(c, tuple)
+                            and len(c) == 2
+                            and isinstance(c[1], Resolved)
+                        ):
+                            # union branches: (reader_branch_index, plan)
+                            walk_plan(
+                                c[1], indent + 1,
+                                f"{key}[{i}]→branch {c[0]}: ", seen,
+                            )
+                        elif c is None:
+                            lines.append(
+                                f"{pad}  {key}[{i}] = unmapped (runtime "
+                                "versioning error)"
+                            )
                         elif isinstance(c, FieldSource):
                             src = (
                                 f"writer[{c.writer_index}]"
@@ -330,12 +359,42 @@ _ROOT_FIELD = "value"
 
 
 def _wrap_root(s: Schema) -> Schema:
-    """Schema with non-record root → synthetic {value: root} record."""
+    """Schema with non-record root → synthetic {value: root} record.
+    The wrapper name must not collide with any user-defined type name
+    (a nullable root RECORD named '_root_' would otherwise trip the
+    duplicate-name check when the export re-parses)."""
     from ..schema import create as _create
 
+    taken = _collect_names(s.root)
+    name = "_root_"
+    while name in taken:
+        name += "_"
     return _create(
-        {"type": "record", "name": "_root_", "fields": [{"name": _ROOT_FIELD, "type": s.export()}]}
+        {"type": "record", "name": name, "fields": [{"name": _ROOT_FIELD, "type": s.export()}]}
     )
+
+
+def _collect_names(node, out=None, seen=None):
+    from ..schema.nodes import Array, Enum, Fixed, Map, Record, UnionNode
+
+    out = set() if out is None else out
+    seen = set() if seen is None else seen
+    if id(node) in seen:
+        return out
+    seen.add(id(node))
+    if isinstance(node, (Record, Enum, Fixed)):
+        out.add(getattr(node, "fullname", None) or node.name)
+    if isinstance(node, Record):
+        for f in node.fields:
+            _collect_names(f.type, out, seen)
+    elif isinstance(node, Array):
+        _collect_names(node.items, out, seen)
+    elif isinstance(node, Map):
+        _collect_names(node.values, out, seen)
+    elif isinstance(node, UnionNode):
+        for b in node.branches:
+            _collect_names(b, out, seen)
+    return out
 
 
 def _spark_cast_name(avro_type: str) -> str:

@@ -229,11 +229,17 @@ def _resolve_record(writer: Record, reader: Record, downgrade: bool, path: tuple
     # register before recursing so cyclic references resolve to this plan
     out = Resolved("record", writer, reader, {"sources": []})
     _memo[(id(writer), id(reader))] = out
+    before = set(_memo)
     sources: list[FieldSource] = out.children["sources"]
     try:
         _fill_record_sources(writer, reader, downgrade, path, _memo, sources)
     except Exception:
-        del _memo[(id(writer), id(reader))]
+        # roll back EVERY entry this attempt added, not just our own:
+        # nested entries memoized mid-attempt reference the aborted,
+        # incomplete plan, and a later resolution against a different
+        # reader branch would silently reuse them
+        for k in (set(_memo) - before) | {(id(writer), id(reader))}:
+            _memo.pop(k, None)
         raise
     return out
 
@@ -308,6 +314,12 @@ def _resolve_union(writer: SchemaNode, reader: SchemaNode, downgrade: bool,
         branch_plans = []
         inner_err = None
         for i, wb in enumerate(writer.branches):
+            if _is_null(wb) and (reader.nullable or _is_null(reader)):
+                # the writer's null branch IS representable in a nullable
+                # reader — without this the branch maps to None and valid
+                # null data raises a runtime versioning error
+                branch_plans.append((0, Resolved("copy", wb, reader)))
+                continue
             try:
                 branch_plans.append((0, resolve(wb, reader, downgrade, upath, _memo)))
             except CompatibilityError as e:
@@ -320,11 +332,20 @@ def _resolve_union(writer: SchemaNode, reader: SchemaNode, downgrade: bool,
 
     assert isinstance(reader, UnionNode)
     # non-union → union: first compatible reader branch gets a constant tag
-    # (compiler.lua:628-633)
+    # (compiler.lua:628-633). A NULLABLE writer is admitted by the top
+    # guard when the union carries a null branch (nulls route there at
+    # runtime), but each non-null branch would re-reject writer
+    # nullability — resolve the de-nulled writer against the branches.
+    w_eff = writer
+    if writer.nullable and any(_is_null(b) for b in reader.branches):
+        import copy as _copy
+
+        w_eff = _copy.copy(writer)
+        w_eff.nullable = False
     inner_err = None
     for j, rb in enumerate(reader.branches):
         try:
-            p = resolve(writer, rb, downgrade, upath, _memo)
+            p = resolve(w_eff, rb, downgrade, upath, _memo)
         except CompatibilityError as e:
             if _is_complex(writer) and _is_complex(rb):
                 inner_err = e

@@ -78,9 +78,20 @@ def export(node: SchemaNode, _built: Optional[set[str]] = None) -> Any:
 
 def _export_default(node: SchemaNode, value: Any) -> Any:
     """Union defaults are stored internally as {tag: value} but exported as
-    the bare first-branch value (Avro spec JSON form)."""
+    the bare first-branch value (Avro spec JSON form). Bytes decode to
+    latin-1 strings RECURSIVELY — a bytes value nested inside a union,
+    record, array, or map default is just as unserializable to JSON as a
+    top-level one."""
     if isinstance(node, UnionNode) and isinstance(value, dict) and len(value) == 1:
-        return next(iter(value.values()))
+        value = next(iter(value.values()))
+    return _jsonable(value)
+
+
+def _jsonable(value: Any) -> Any:
     if isinstance(value, (bytes, bytearray)):
-        return value.decode("latin-1")
+        return bytes(value).decode("latin-1")
+    if isinstance(value, dict):
+        return {k: _jsonable(v) for k, v in value.items()}
+    if isinstance(value, (list, tuple)):
+        return [_jsonable(v) for v in value]
     return value

@@ -302,6 +302,14 @@ class SchemaParser:
         waiting = self.scope.forward.pop(fn, []) + (
             self.scope.forward.pop(node.name, []) if "." in fn else []
         )
+        # forward refs may also resolve via an ALIAS, exactly like a
+        # backward lookup through scope.types does
+        for alias in node.aliases:
+            fa = alias if "." in alias else (
+                f"{node.namespace}.{alias}" if node.namespace else alias
+            )
+            waiting += self.scope.forward.pop(fa, [])
+            waiting += self.scope.forward.pop(alias, [])
         for patch, _p in waiting:
             patch(node)
 
@@ -505,6 +513,11 @@ class SchemaParser:
             # duplicate tags are rejected, frontend.lua:273-283)
             union.branches.append(branch)
             tag = union.branch_tag(i)
+            if tag.endswith("!fwd"):
+                # a forward-reference placeholder carries an internal
+                # suffix; dedupe against the REAL name or the later
+                # definition of the same type slips in twice
+                tag = tag[: -len("!fwd")]
             if tag in tags:
                 raise self._err(f"Union contains {tag} twice", bpath)
             tags.add(tag)

@@ -409,3 +409,74 @@ class TestErrorCategoryParity:
         df = spark.createDataFrame([("Z",)], "value string")
         with pytest.raises(Exception, match=r'Bad value: "Z"'):
             cs.flatten(df).collect()
+
+
+# ------------------------------------------------- review-fix regressions
+class TestReviewFixes:
+    def test_union_dup_tag_through_forward_ref(self):
+        with pytest.raises(SchemaError, match="twice"):
+            avs.create(
+                ["Foo", {"type": "record", "name": "Foo",
+                         "fields": [{"name": "x", "type": "int"}]}],
+                {"forward_reference": True},
+            )
+
+    def test_forward_ref_resolves_via_alias(self):
+        s = avs.create(
+            {"type": "record", "name": "R3", "fields": [
+                {"name": "a", "type": "Old"},
+                {"name": "b", "type": {"type": "record", "name": "New",
+                                       "aliases": ["Old"],
+                                       "fields": [{"name": "x", "type": "int"}]}},
+            ]},
+            {"forward_reference": True},
+        )
+        assert s.root.fields[0].type.name == "New"
+
+    def test_export_nested_bytes_default(self):
+        import json
+
+        s = avs.create({"type": "record", "name": "B", "fields": [
+            {"name": "f", "type": ["bytes", "int"], "default": "abc"}]})
+        out = json.loads(s.export_json())  # must not raise TypeError
+        assert out["fields"][0]["default"] == "abc"
+
+    def test_nullable_writer_to_null_union_reader(self):
+        from avro_spark.plans.resolution import resolve
+
+        p = resolve(avs.create('"int*"').root, avs.create(["null", "int"]).root)
+        assert p.kind == "to_union"
+
+    def test_union_null_branch_to_nullable_reader(self):
+        from avro_spark.plans.resolution import resolve
+
+        p = resolve(
+            avs.create(["null", "int", "string"]).root, avs.create('"int*"').root
+        )
+        branches = p.children["branches"]
+        assert branches[0] is not None  # null branch maps, not a runtime error
+        assert branches[2] is None  # string still unmapped
+
+    def test_failed_branch_rolls_back_nested_memo(self):
+        """A failed record resolution must purge every memo entry it
+        added — a later branch once reused a corrupt nested plan."""
+        from avro_spark.plans.resolution import resolve
+
+        w = avs.create({"type": "record", "name": "R", "aliases": ["R1", "R2"],
+                        "fields": [
+            {"name": "b", "type": {"type": "record", "name": "B",
+                                   "aliases": ["B1"],
+                                   "fields": [{"name": "y", "type": "int"}]}},
+            {"name": "x", "type": "int"}]})
+        r = avs.create([
+            {"type": "record", "name": "R1", "fields": [
+                {"name": "b", "type": {"type": "record", "name": "B1",
+                                       "fields": [{"name": "y", "type": "int"}]}},
+                {"name": "x", "type": "string"}]},
+            {"type": "record", "name": "R2", "fields": [
+                {"name": "b", "type": "B1"},
+                {"name": "x", "type": "int"}]},
+        ])
+        j, bp = resolve(w.root, r.root, downgrade=True).children["branch"]
+        assert j == 1
+        assert [s_.reader_field.name for s_ in bp.children["sources"]] == ["b", "x"]

@@ -490,3 +490,45 @@ def test_unflatten_simple_union_tag_is_load_bearing(spark):
     bad = spark.createDataFrame([(7, 42)], f"`{names[0]}` int, `{names[1]}` int")
     with pytest.raises(Exception, match="Bad value"):
         cs.unflatten(bad).collect()
+
+
+def test_compile_writer_record_reader_nullable_record(spark):
+    """Compiling record → nullable-record once succeeded but every
+    flatten/flat_names crashed; the wrap decision now considers the
+    READER root too (single-VLO-cell layout, struct-column input)."""
+    import avro_spark
+
+    w = avro_spark.create({"type": "record", "name": "R",
+                           "fields": [{"name": "x", "type": "int"}]})
+    r = avro_spark.create({"type": "record*", "name": "R",
+                           "fields": [{"name": "x", "type": "int"}]})
+    c = avro_spark.compile(w, r)
+    assert c.flat_names() == ["value"]
+    df = spark.createDataFrame([((5,),)], "v struct<x:int>")
+    assert c.flatten(df).collect()[0][0] == (5,)
+
+
+def test_nullable_root_named_root_compiles(spark):
+    import avro_spark
+
+    s = avro_spark.create({"type": "record*", "name": "_root_",
+                           "fields": [{"name": "x", "type": "int"}]})
+    assert avro_spark.compile(s).flat_names() == ["value"]
+
+
+def test_wrapped_root_service_fields_single_column(spark):
+    import avro_spark
+
+    c = avro_spark.compile(avro_spark.create('"int"'), service_fields=("boolean",))
+    one = spark.createDataFrame([(7,)], "v int")
+    got = c.flatten(one, service_values=(True,)).collect()[0]
+    assert tuple(got) == (True, 7)
+
+
+def test_dump_plan_renders_union_branches(spark):
+    import avro_spark
+
+    c = avro_spark.compile(avro_spark.create({"type": "record", "name": "T",
+        "fields": [{"name": "u", "type": ["int", "string"]}]}))
+    d = c.dump_plan()
+    assert "branches[0]" in d and "Resolved(" not in d

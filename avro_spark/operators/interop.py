@@ -20,24 +20,77 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from ..errors import CompileError
-from ..schema.nodes import Primitive, UnionNode
-from ..schema.spark_types import UNION_TAG, to_spark_type, union_null_and_one
+from ..schema.nodes import Array, Map, Primitive, Record, UnionNode
+from ..schema.spark_types import (
+    UNION_TAG,
+    is_null_branch,
+    to_spark_type,
+    union_null_and_one,
+)
 
 
 def _non_null_branches(union: UnionNode) -> list[tuple[int, object]]:
     """(branch_index, node) for non-null branches, in union order."""
-    return [
-        (i, b)
-        for i, b in enumerate(union.branches)
-        if not (isinstance(b, Primitive) and b.type == "null")
-    ]
+    return [(i, b) for i, b in enumerate(union.branches) if not is_null_branch(b)]
 
 
 def _null_branch_index(union: UnionNode) -> int | None:
     for i, b in enumerate(union.branches):
-        if isinstance(b, Primitive) and b.type == "null":
+        if is_null_branch(b):
             return i
     return None
+
+
+_NUMERIC_COLLAPSES = ({"int", "long"}, {"float", "double"})
+
+
+def _guard_convertible(union: UnionNode, _seen: tuple = ()) -> None:
+    """Reject union shapes spark-avro does NOT read as a memberN struct:
+    [int,long]→LongType, [float,double]→DoubleType, a single non-null
+    branch unwrapping to the bare type, and general unions NESTED inside
+    a branch (their inner memberN shape would defeat the final struct
+    cast). A loud CompileError here beats an AnalysisException (or
+    silent mis-read) deep in the plan."""
+    if id(union) in _seen:
+        return
+    _seen = _seen + (id(union),)
+    nn = _non_null_branches(union)
+    if len(nn) == 1:
+        raise CompileError(
+            "spark-avro unwraps a single-non-null-branch union to the bare "
+            "type — no memberN struct to convert"
+        )
+    prim_types = {
+        b.type for _, b in nn if isinstance(b, Primitive)
+    }
+    if len(prim_types) == len(nn) and prim_types in _NUMERIC_COLLAPSES:
+        raise CompileError(
+            f"spark-avro collapses {sorted(prim_types)} unions to one "
+            "numeric column — no memberN struct to convert"
+        )
+
+    def walk(node, seen):
+        if id(node) in seen:
+            return
+        seen = seen + (id(node),)
+        if isinstance(node, UnionNode):
+            if union_null_and_one(node) is None:
+                raise CompileError(
+                    "general union nested inside a union branch is not "
+                    "supported by the memberN interop shim — convert the "
+                    "inner column separately"
+                )
+            walk(union_null_and_one(node), seen)
+        elif isinstance(node, Record):
+            for f in node.fields:
+                walk(f.type, seen)
+        elif isinstance(node, Array):
+            walk(node.items, seen)
+        elif isinstance(node, Map):
+            walk(node.values, seen)
+
+    for _, b in nn:
+        walk(b, _seen)
 
 
 def from_member_union(col: Column, union: UnionNode) -> Column:
@@ -51,6 +104,7 @@ def from_member_union(col: Column, union: UnionNode) -> Column:
     """
     if union_null_and_one(union) is not None:
         raise CompileError("simple [null, T] unions are plain nullable columns")
+    _guard_convertible(union)
     branches = _non_null_branches(union)
     members = [col.getField(f"member{j}") for j in range(len(branches))]
     tag: Column = F.lit(None).cast("int")
@@ -84,6 +138,7 @@ def to_member_union(col: Column, union: UnionNode) -> Column:
     """
     if union_null_and_one(union) is not None:
         raise CompileError("simple [null, T] unions are plain nullable columns")
+    _guard_convertible(union)
     branches = _non_null_branches(union)
     tag = col.getField(UNION_TAG)
     parts = []

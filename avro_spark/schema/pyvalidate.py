@@ -74,9 +74,11 @@ def _lua(v: Any) -> str:
         return "false"
     if isinstance(v, float):
         return f"{v:.14g}"
-    if isinstance(v, int) and abs(v) > (1 << 53):
-        # Lua numbers are doubles: integers beyond 2^53 arrive as floats and
-        # render in %.14g ('Not a long: 9.2233720368548e+18', validate.lua:151)
+    if isinstance(v, int) and abs(v) >= 10**14:
+        # Lua numbers are doubles rendered with %.14g, which switches to
+        # scientific notation at 14 significant digits — 10^15 prints
+        # '1e+15', not '1000000000000000' ('Not a long:
+        # 9.2233720368548e+18', validate.lua:151)
         return f"{float(v):.14g}"
     if isinstance(v, (bytes, bytearray)):
         return bytes(v).decode("latin-1")
@@ -113,7 +115,15 @@ def _copy(schema: SchemaNode, data: Any, path: tuple, visited: set[int]) -> Any:
         # (frontend.lua:829-834); tag is the fixed's name ('Not a fixed16: 42')
         if not isinstance(data, (bytes, bytearray, str)):
             raise _not_a(schema, data, path)
-        raw = data.encode("latin-1") if isinstance(data, str) else bytes(data)
+        if isinstance(data, str):
+            try:
+                raw = data.encode("latin-1")
+            except UnicodeEncodeError:
+                # not representable as a byte string at all — stay inside
+                # the DataValidationError contract
+                raise _not_a(schema, data, path) from None
+        else:
+            raw = bytes(data)
         if len(raw) != schema.size:
             raise _not_a(schema, data, path)
         return raw
@@ -121,10 +131,21 @@ def _copy(schema: SchemaNode, data: Any, path: tuple, visited: set[int]) -> Any:
         return _copy_record(schema, data, path, visited)
     if isinstance(schema, Array):
         if isinstance(data, dict):
-            # Lua pairs() over a table with non-numeric keys
-            # (frontend.lua:884-889)
-            k = next(iter(data), None)
-            raise _err("Non-number array key", path + ((k,) if k is not None else ()))
+            # Lua pairs() over the table: non-numeric keys error
+            # (frontend.lua:884-889); ALL-numeric keys are a legal Lua
+            # array spelled as a table — convert (missing indices are
+            # holes that validate as nil)
+            bad = next(
+                (k for k in data
+                 if isinstance(k, bool) or not isinstance(k, int)),
+                None,
+            )
+            if bad is not None or not data:
+                k = bad if bad is not None else None
+                raise _err(
+                    "Non-number array key", path + ((k,) if k is not None else ())
+                )
+            data = [data.get(i + 1) for i in range(max(data))]
         if not isinstance(data, (list, tuple)):
             raise _not_a(schema, data, path)
         return _guarded(visited, data, path, lambda: [
@@ -194,7 +215,12 @@ def _copy_primitive(schema: Primitive, data: Any, path: tuple) -> Any:
     if t == "bytes":
         if not isinstance(data, (bytes, bytearray, str)):
             raise _not_a(schema, data, path)
-        return data.encode("latin-1") if isinstance(data, str) else bytes(data)
+        if isinstance(data, str):
+            try:
+                return data.encode("latin-1")
+            except UnicodeEncodeError:
+                raise _not_a(schema, data, path) from None
+        return bytes(data)
     if t == "any":
         return data
     raise _err(f"Unknown primitive {t}", path)
@@ -203,7 +229,9 @@ def _copy_primitive(schema: Primitive, data: Any, path: tuple) -> Any:
 def _copy_record(schema: Record, data: Any, path: tuple, visited: set[int]) -> dict:
     if not isinstance(data, dict):
         raise _not_a(schema, data, path)
-    names = {f.name for f in schema.fields}
+    names = schema.__dict__.setdefault(
+        "_field_name_set", {f.name for f in schema.fields}
+    )
     for k in data:
         # the reference REJECTS alias keys in validate: the fieldmap hit is
         # checked against the canonical name (frontend.lua:848-856

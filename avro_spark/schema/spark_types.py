@@ -123,6 +123,12 @@ def _field_nullable(node: SchemaNode) -> bool:
 
 def _field_metadata(node: SchemaNode) -> dict:
     md: dict = {}
+    if isinstance(node, UnionNode):
+        simple = union_null_and_one(node)
+        if simple is not None:
+            # [null, enum]/[null, fixed] columns carry the branch's
+            # metadata — the same schema spelled enum* would
+            node = simple
     if isinstance(node, Enum):
         md["avro.enum.symbols"] = list(node.symbols)
         md["avro.enum.name"] = node.fullname

@@ -87,3 +87,42 @@ def test_simple_union_rejected(spark):
     )
     with pytest.raises(Exception, match="nullable"):
         from_member_union(F.col("x"), sch.root.fields[0].type)
+
+
+# ------------------------------------------------- review-fix regressions
+class TestConvertibilityGuards:
+    def _u(self, branches):
+        import avro_spark as avs
+
+        sch = avs.create({"type": "record", "name": "T",
+                          "fields": [{"name": "u", "type": branches}]})
+        return sch.root.fields[0].type
+
+    def test_numeric_collapse_rejected(self):
+        from avro_spark.errors import CompileError
+        from avro_spark.operators.interop import from_member_union
+        from pyspark.sql import functions as F
+
+        with pytest.raises(CompileError, match="collapses"):
+            from_member_union(F.col("u"), self._u(["null", "int", "long"]))
+
+    def test_single_non_null_branch_rejected(self):
+        from avro_spark.errors import CompileError
+        from avro_spark.operators.interop import from_member_union
+        from pyspark.sql import functions as F
+
+        with pytest.raises(CompileError, match="bare"):
+            # two non-null branches needed for a memberN struct; a
+            # null-less single branch union is just the type
+            from_member_union(F.col("u"), self._u([{"type": "record",
+                "name": "Only", "fields": [{"name": "x", "type": "int"}]}]))
+
+    def test_nested_general_union_rejected(self):
+        from avro_spark.errors import CompileError
+        from avro_spark.operators.interop import to_member_union
+        from pyspark.sql import functions as F
+
+        inner_rec = {"type": "record", "name": "R", "fields": [
+            {"name": "g", "type": ["int", "string"]}]}
+        with pytest.raises(CompileError, match="nested"):
+            to_member_union(F.col("u"), self._u([inner_rec, "boolean"]))

@@ -1658,33 +1658,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # A-group: schema API / flatten / evolution
         "flatten_nested": q_flatten_nested,
         "unflatten_roundtrip": q_unflatten_roundtrip,
-        "defaults_fill": q_defaults_fill,
         "evolution_reorder_rename": q_evolution_reorder_rename,
         "evolution_downgrade": q_evolution_downgrade,
         "service_fields": q_service_fields,
-        "promotions": q_promotions,
         "enum_evolution": q_enum_evolution,
         "union3_encode": q_union3_encode,
         "array_evolution": q_array_evolution,
-        "map_evolution": q_map_evolution,
         "fixed_passthrough": q_fixed_passthrough,
         "xflatten_update": q_xflatten_update,
         # C-group: codecs / sources / sinks
         "avro_roundtrip": q_avro_roundtrip,
         "avro_ocf_roundtrip": q_avro_ocf_roundtrip,
+        "wire_roundtrip": q_wire_roundtrip,
         "conform": q_conform,
         "conform_errors": q_conform_errors,
+        "conform_json": q_conform_json,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "csv_roundtrip": q_csv_roundtrip,
         "compat_matrix": q_compat_matrix,
         "fingerprint": q_fingerprint,
         "flat_layout": q_flat_layout,
         "hidden_fields": q_hidden_fields,
-        "union_interop": q_union_interop,
         # streaming / events
         "streaming_window": q_streaming_window,
         "streaming_flatten": q_streaming_flatten,
-        "sessionize_batch": q_sessionize_batch,
         # temporal joins + trailing-window features
         "asof_join": q_asof_join,
         "moving_stats": q_moving_stats,
@@ -1692,8 +1689,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "bm25_retrieval": q_bm25_retrieval,
+        "hybrid_retrieval": q_hybrid_retrieval,
         "corpus_stats": q_corpus_stats,
-        "tfidf_topk": q_tfidf_topk,
+        "profile_table": q_profile_table,
+        "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
         "winnow": q_winnow,
         # LLM-pipeline: dedup
@@ -1702,15 +1701,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "dedup_clusters": q_dedup_clusters,
+        "decontaminate": q_decontaminate,
         # LLM-pipeline: similarity + embedding ops
         "embedding_quantize": q_embedding_quantize,
         "knn_ivf": q_knn_ivf,
         "cosine_lsh": q_cosine_lsh,
-        "embedding_clusters": q_embedding_clusters,
         # e2e + scale + incremental merge + multimodal
         "curate_corpus": q_curate_corpus,
         "snapshot_merge": q_snapshot_merge,
         "bucketed_join": q_bucketed_join,
+        "global_ids": q_global_ids,
         "media_meta": q_media_meta,
         "multimodal_features": q_multimodal_features,
     }
@@ -1732,16 +1732,23 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "train_split": q_train_split,
         "streaming_avro_decode": q_streaming_avro_decode,
-        "decontaminate": q_decontaminate,
-        "conform_json": q_conform_json,
-        "wire_roundtrip": q_wire_roundtrip,
-        "chunk_documents": q_chunk_documents,
         "range_join": q_range_join,
         "time_rollup": q_time_rollup,
         "bpe_pairs": q_bpe_pairs,
-        "profile_table": q_profile_table,
-        "global_ids": q_global_ids,
-        "hybrid_retrieval": q_hybrid_retrieval,
+        # round-3 rotation: folded out after two driver-green rounds to
+        # give the 7 never-driver-checked gates a CORRECTNESS row; each
+        # keeps an in-window twin — defaults via conform +
+        # evolution_downgrade, B2 promotion via array_evolution's
+        # int→long element cast, B4 map via array_evolution's transform
+        # path, B7 via union3_encode, sessions via streaming_window,
+        # clustering via dedup_clusters, corpus stats via corpus_stats
+        "defaults_fill": q_defaults_fill,
+        "promotions": q_promotions,
+        "map_evolution": q_map_evolution,
+        "sessionize_batch": q_sessionize_batch,
+        "union_interop": q_union_interop,
+        "embedding_clusters": q_embedding_clusters,
+        "tfidf_topk": q_tfidf_topk,
         # folded out of the 50-window to make room for the asof_join and
         # bm25_retrieval family gates: enums stay driver-green via
         # enum_evolution, sampling via corpus_stats + curate_corpus

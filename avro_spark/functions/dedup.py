@@ -415,26 +415,22 @@ def dedup_clusters(
     Algorithm: iterative min-label propagation (the standard distributed
     connected components on shuffle engines). Each round is one join +
     one min-aggregate, both on the id key; rounds needed = graph diameter
-    (near-dup clusters are shallow — a handful). Convergence: per-node
-    labels only ever decrease, so Σlbl is strictly monotone until the
-    fixed point — comparing one scalar sum per round replaces a
-    join-the-two-label-frames change check (one cheap aggregate over the
-    just-checkpointed frame instead of an extra join job). The sum runs
-    as decimal(38,0): ids at 100 TB are arbitrary 63-bit hashes, and a
-    bigint Σ over billions of them overflows (ANSI mode would abort the
-    run mid-flight; non-ANSI could wrap onto the previous sum and stop
-    early with wrong clusters).
+    (near-dup clusters are shallow — a handful). Ids keep their NATIVE
+    type end-to-end (string/UUID ids order lexicographically; casting to
+    long would null them and silently merge everything). Convergence:
+    each round's aggregate also carries the node's previous label, so
+    "did any label change" is one filtered probe over the checkpointed
+    frame — exact for any orderable id type, no extra join, and no
+    overflow-prone Σ over 63-bit ids.
     ``localCheckpoint`` truncates the lineage so the plan stays O(1) per
     round instead of growing exponentially — without it Catalyst
     re-analyzes an ever-deepening tree and a 20-round run stops scaling
     long before the data does.
     """
-    nodes = ids.select(F.col(id_col).cast("long").alias("id")).distinct()
+    nodes = ids.select(F.col(id_col).alias("id")).distinct()
     edges = (
-        pairs.select(F.col(id_a).cast("long").alias("s"), F.col(id_b).cast("long").alias("d"))
-        .union(
-            pairs.select(F.col(id_b).cast("long").alias("s"), F.col(id_a).cast("long").alias("d"))
-        )
+        pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+        .union(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -453,24 +449,24 @@ def dedup_clusters(
         .agg(F.min("lbl").alias("lbl"))
         .localCheckpoint(eager=True)
     )
-    _lbl_sum = F.sum(F.col("lbl").cast("decimal(38,0)"))
-    prev_sum = labels.agg(_lbl_sum).first()[0]
     converged = False
+    _lbl_t = labels.schema["lbl"].dataType
     for _ in range(max_iters):
+        # every id has exactly one row in `labels`, so min() over the
+        # null-padded union recovers its previous label exactly
         prop = (
             edges.join(labels, edges.s == labels.id)
-            .select(F.col("d").alias("id"), "lbl")
-            .union(labels)
+            .select(F.col("d").alias("id"), "lbl", F.lit(None).cast(_lbl_t).alias("prev"))
+            .union(labels.select("id", "lbl", F.col("lbl").alias("prev")))
             .groupBy("id")
-            .agg(F.min("lbl").alias("lbl"))
+            .agg(F.min("lbl").alias("lbl"), F.min("prev").alias("prev"))
             .localCheckpoint(eager=True)
         )
-        cur_sum = prop.agg(_lbl_sum).first()[0]
-        labels = prop
-        if cur_sum == prev_sum:
+        changed = not prop.where(F.col("lbl") != F.col("prev")).isEmpty()
+        labels = prop.select("id", "lbl")
+        if not changed:
             converged = True
             break
-        prev_sum = cur_sum
     if not converged:
         # silently returning partial labels would under-deduplicate
         # (one component reporting several cluster ids) — long chains

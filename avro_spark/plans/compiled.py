@@ -76,8 +76,13 @@ class CompiledSchema:
             or self.reader.root.nullable
         )
         if self.wrapped_root:
-            self.writer = _wrap_root(self.writer)
-            self.reader = _wrap_root(self.reader)
+            # collision avoidance must see BOTH schemas' type names: if
+            # only one side defines a user type named '_root_', per-side
+            # escalation would name the two wrappers differently and
+            # record resolution would reject compatible schemas
+            taken = _collect_names(self.writer.root) | _collect_names(self.reader.root)
+            self.writer = _wrap_root(self.writer, taken)
+            self.reader = _wrap_root(self.reader, taken)
         self.plan: Resolved = resolve_cached(self.writer, self.reader, downgrade)
         if self.plan.kind != "record":  # e.g. writer record vs scalar reader
             raise CompileError("writer and reader must both be records or both roots")
@@ -358,14 +363,17 @@ class CompiledSchema:
 _ROOT_FIELD = "value"
 
 
-def _wrap_root(s: Schema) -> Schema:
+def _wrap_root(s: Schema, taken: Optional[set] = None) -> Schema:
     """Schema with non-record root → synthetic {value: root} record.
     The wrapper name must not collide with any user-defined type name
     (a nullable root RECORD named '_root_' would otherwise trip the
-    duplicate-name check when the export re-parses)."""
+    duplicate-name check when the export re-parses). ``taken`` lets the
+    caller pass the union of writer+reader names so both wrappers pick
+    the SAME escalated name."""
     from ..schema import create as _create
 
-    taken = _collect_names(s.root)
+    if taken is None:
+        taken = _collect_names(s.root)
     name = "_root_"
     while name in taken:
         name += "_"

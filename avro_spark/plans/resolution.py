@@ -336,12 +336,22 @@ def _resolve_union(writer: SchemaNode, reader: SchemaNode, downgrade: bool,
     # guard when the union carries a null branch (nulls route there at
     # runtime), but each non-null branch would re-reject writer
     # nullability — resolve the de-nulled writer against the branches.
+    # The de-nulled copy is cached per writer node (and the in-progress
+    # to_union plan memoized like _resolve_record's) so a RECURSIVE
+    # writer revisiting this pair resolves to the in-progress plan
+    # instead of recursing forever on a fresh-id copy.
     w_eff = writer
     if writer.nullable and any(_is_null(b) for b in reader.branches):
         import copy as _copy
 
-        w_eff = _copy.copy(writer)
-        w_eff.nullable = False
+        w_eff = _memo.get(("denull", id(writer)))
+        if w_eff is None:
+            w_eff = _copy.copy(writer)
+            w_eff.nullable = False
+            _memo[("denull", id(writer))] = w_eff
+    out = Resolved("to_union", writer, reader, {"branch": None})
+    _memo[(id(writer), id(reader))] = out
+    before = set(_memo)
     inner_err = None
     for j, rb in enumerate(reader.branches):
         try:
@@ -350,7 +360,12 @@ def _resolve_union(writer: SchemaNode, reader: SchemaNode, downgrade: bool,
             if _is_complex(writer) and _is_complex(rb):
                 inner_err = e
             continue
-        return Resolved("to_union", writer, reader, {"branch": (j, p)})
+        out.children["branch"] = (j, p)
+        return out
+    # no branch matched: retract this pair's memo entries so a later,
+    # differently-pathed visit re-resolves rather than seeing a husk
+    for k in (set(_memo) - before) | {(id(writer), id(reader))}:
+        _memo.pop(k, None)
     raise inner_err or _err("No common types", upath)
 
 

@@ -131,21 +131,25 @@ def _copy(schema: SchemaNode, data: Any, path: tuple, visited: set[int]) -> Any:
         return _copy_record(schema, data, path, visited)
     if isinstance(schema, Array):
         if isinstance(data, dict):
-            # Lua pairs() over the table: non-numeric keys error
-            # (frontend.lua:884-889); ALL-numeric keys are a legal Lua
-            # array spelled as a table — convert (missing indices are
-            # holes that validate as nil)
-            bad = next(
-                (k for k in data
-                 if isinstance(k, bool) or not isinstance(k, int)),
-                None,
-            )
-            if bad is not None or not data:
-                k = bad if bad is not None else None
-                raise _err(
-                    "Non-number array key", path + ((k,) if k is not None else ())
-                )
-            data = [data.get(i + 1) for i in range(max(data))]
+            # Lua pairs() over the table (frontend.lua:883-890): every
+            # present entry is copied at its own numeric key — 0,
+            # negative, and float keys included (Lua type 'number');
+            # holes are never visited; non-number keys error with the
+            # key on the path. A dense 1..n result is the ordinary
+            # array spelling and comes back as a list; anything else
+            # stays keyed, like Lua's sparse table result.
+            def _convert():
+                out: dict = {}
+                for k, v in data.items():
+                    if isinstance(k, bool) or not isinstance(k, (int, float)):
+                        raise _err("Non-number array key", path + (k,))
+                    out[k] = _copy(schema.items, v, path + (k,), visited)
+                n = len(out)
+                if set(out) == set(range(1, n + 1)):
+                    return [out[i + 1] for i in range(n)]
+                return out
+
+            return _guarded(visited, data, path, _convert)
         if not isinstance(data, (list, tuple)):
             raise _not_a(schema, data, path)
         return _guarded(visited, data, path, lambda: [

@@ -61,10 +61,10 @@ def read_jsonl(
         from ..operators.conform import parse_json_typed
 
         lines = spark.read.text(path).withColumnRenamed("value", "_line")
-        # the native JSON source skips blank lines — match it, or
-        # FAILFAST aborts on them and corrupt_col fabricates phantom
-        # all-null rows
-        lines = lines.where(F.length(F.trim(F.col("_line"))) > 0)
+        # the native JSON source skips whitespace-only lines — match it
+        # (tab/CR included; trim() strips only spaces), or FAILFAST
+        # aborts on them and corrupt_col fabricates phantom all-null rows
+        lines = lines.where(~F.col("_line").rlike(r"^\s*$"))
         raw = F.col("_line")
         corrupt = raw.isNotNull() & F.try_parse_json(raw).isNull()
         if mode == "FAILFAST":

@@ -225,6 +225,19 @@ def main() -> None:
     # established rather than Janino recompile noise.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    # throwaway JVM warmup: the first job of a session pays ~3 s of
+    # JVM/Janino/AQE startup that has nothing to do with the query it
+    # lands on (r02 showed flatten_nested cold absorbing it). One
+    # codegen'd transform up front makes every cold number below mean
+    # cold-CACHE, not cold-JVM.
+    from pyspark.sql import functions as F
+
+    (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .select((F.col("n_nationkey") * 2).alias("x"), F.upper("n_name").alias("u"))
+        .groupBy("u").agg(F.sum("x").alias("s"))
+        .write.format("noop").mode("overwrite").save()
+    )
     for name in BENCH_QUERIES:
         fn = qs[name]
         # the warm-up run doubles as the cold (first-run) measurement —
@@ -255,7 +268,13 @@ def main() -> None:
     # overhead so the number reflects per-row transform throughput, not
     # scheduler latency on a 25-row table.
     rows_per_sec, probe_errors = _throughput_probes(spark, sf_dir)
-    out = {
+    # Two-artifact protocol (r02's single line overflowed the driver's
+    # tail capture and parsed as null): the full per-query record —
+    # warm, cold, probes, errors — goes to bench_detail.json next to
+    # this script; stdout gets ONE compact summary line, printed LAST,
+    # with the driver-required keys (metric/value/unit/queries/sf) and
+    # warm per-query seconds only.
+    detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -266,9 +285,25 @@ def main() -> None:
         "sf": sf_val,
     }
     if probe_errors:
-        out["probe_errors"] = probe_errors
-    print(json.dumps(out))
+        detail["probe_errors"] = probe_errors
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    summary = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "cold_total_sec": cold_total,
+        "rows_per_sec": rows_per_sec,
+        "n_queries": len(timings),
+        "detail": "bench_detail.json",
+        "sf": sf_val,
+    }
     spark.stop()
+    print(json.dumps(summary, separators=(",", ":")))
 
 
 if __name__ == "__main__":

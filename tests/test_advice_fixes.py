@@ -121,3 +121,139 @@ def test_sessionize_batch_bigint_nanos(spark):
         for r in sessionize_batch(df_ts, "user_id", "ts", 1800).collect()
     )
     assert out_ns == out_ts == [(1, 0, 2), (1, 1, 1)]
+
+
+# ----------------------------------------------------------- round 2 advice
+
+
+def test_recursive_nullable_union_resolution():
+    """A recursive nullable record resolved against a [null, Record]
+    union reader must terminate (the de-nulled writer copy is cached per
+    node and the in-progress to_union plan memoized, so the cycle
+    resolves to the in-progress plan instead of recursing forever)."""
+    writer = avro_spark.create(
+        {
+            "type": "record",
+            "name": "Node",
+            "fields": [
+                {"name": "v", "type": "long"},
+                {"name": "children", "type": {"type": "array", "items": "Node*"}},
+            ],
+        }
+    )
+    reader = avro_spark.create(
+        {
+            "type": "record",
+            "name": "Node",
+            "fields": [
+                {"name": "v", "type": "long"},
+                {"name": "children", "type": {"type": "array", "items": ["null", "Node"]}},
+            ],
+        }
+    )
+    from avro_spark.plans.resolution import resolve_cached
+
+    plan = resolve_cached(writer, reader)
+    assert plan.kind == "record"
+    # the cyclic plan must also survive expression lowering
+    assert avro_spark.compile(writer, reader) is not None
+    # and still reject a genuinely incompatible nullable→union pair
+    w2 = avro_spark.create(
+        {"type": "record", "name": "R", "fields": [{"name": "x", "type": "string*"}]}
+    )
+    r2 = avro_spark.create(
+        {"type": "record", "name": "R", "fields": [{"name": "x", "type": ["null", "long"]}]}
+    )
+    with pytest.raises(AvroSparkError):
+        resolve_cached(w2, r2)
+
+
+def test_validate_array_from_dict_pairs_semantics():
+    """dict→array conversion mirrors Lua pairs() (frontend.lua:883-890):
+    every present entry validated at its own numeric key, holes never
+    visited, float/0/negative keys legal, non-number keys error with the
+    key on the path, empty table = empty array."""
+    sch = avro_spark.create({"type": "array", "items": "int"})
+    # dense 1..n spelled as a table → plain array
+    assert avro_spark.validate(sch, {1: 10, 2: 20}) == [10, 20]
+    # sparse table: holes are NOT visited/validated; result stays keyed
+    assert avro_spark.validate(sch, {1: 10, 10**9: 20}) == {1: 10, 10**9: 20}
+    # 0 / negative / float keys are Lua numbers — copied, not dropped
+    assert avro_spark.validate(sch, {0: 5, -3: 7}) == {0: 5, -3: 7}
+    assert avro_spark.validate(sch, {1.5: 9}) == {1.5: 9}
+    # empty table validates as the empty array (pairs() visits nothing)
+    assert avro_spark.validate(sch, {}) == []
+    # non-number key: error carries the key on the path
+    with pytest.raises(AvroSparkError, match="key: Non-number array key"):
+        avro_spark.validate(sch, {"key": 1})
+    # values at numeric keys are still validated
+    with pytest.raises(AvroSparkError, match="Not a int"):
+        avro_spark.validate(sch, {1: "xxx"})
+
+
+def test_wrap_root_name_collision_one_sided():
+    """If only ONE side defines a user type named '_root_', both
+    synthetic wrappers must still pick the same escalated name so record
+    resolution sees matching root names."""
+    writer = avro_spark.create(
+        {
+            "type": "array",
+            "items": {
+                "type": "record",
+                "name": "_root_",
+                "fields": [{"name": "x", "type": "int"}],
+            },
+        }
+    )
+    reader = avro_spark.create(
+        {
+            "type": "array",
+            "items": {
+                "type": "record",
+                "name": "other",
+                "fields": [{"name": "x", "type": "int"}],
+            },
+        }
+    )
+    # writer's '_root_' forces escalation; reader has no such type — the
+    # shared-taken-names fix keeps both wrappers on '_root__'
+    cs = avro_spark.compile(writer, writer)
+    assert cs is not None
+    # cross-compile of compatible-but-differently-named items must fail
+    # on the ITEMS, not on a phantom wrapper-name mismatch
+    with pytest.raises(AvroSparkError, match="incompatible"):
+        avro_spark.compile(writer, reader)
+
+
+def test_dedup_clusters_string_ids(spark):
+    """String/UUID ids keep their native type through dedup_clusters —
+    the old cast('long') nulled them all and merged everything."""
+    ids = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], "_id string")
+    pairs = spark.createDataFrame([("a", "b"), ("c", "d")], "id_a string, id_b string")
+    out = {r._id: r.cluster_id for r in dedup_clusters(ids, pairs, "_id").collect()}
+    assert out == {"a": "a", "b": "a", "c": "c", "d": "c"}
+
+
+def test_dedup_clusters_string_chain(spark):
+    """Multi-hop string component converges to the lexicographic min."""
+    ids = spark.createDataFrame([(x,) for x in "abcdef"], "_id string")
+    pairs = spark.createDataFrame(
+        [("f", "e"), ("e", "d"), ("d", "c"), ("c", "b"), ("b", "a")],
+        "id_a string, id_b string",
+    )
+    out = {r._id: r.cluster_id for r in dedup_clusters(ids, pairs, "_id").collect()}
+    assert out == {x: "a" for x in "abcdef"}
+
+
+def test_jsonl_blank_line_whitespace_classes(spark, tmp_path):
+    """Tab- and CR-only lines are blank lines: skipped like the native
+    JSON source, not parsed as corrupt rows."""
+    from avro_spark.sources.jsonl import read_jsonl
+
+    p = tmp_path / "x.jsonl"
+    p.write_bytes(b'{"a": 1}\n\t\n  \n\r\n{"a": 2}\n')
+    sch = avro_spark.create(
+        {"type": "record", "name": "R", "fields": [{"name": "a", "type": "long"}]}
+    )
+    df = read_jsonl(spark, str(p), schema=sch, avro_conventions=True, mode="FAILFAST")
+    assert sorted(r.a for r in df.collect()) == [1, 2]

@@ -390,6 +390,7 @@ def conform_json(
     schema: Schema,
     mode: str = "flag",
     binary_key: Optional[str] = None,
+    resolution=None,
 ) -> DataFrame:
     """Schema-first validation of raw JSON strings — the dynamic-ingest
     twin of :func:`conform`, mirroring the reference's MsgPack runtime
@@ -426,6 +427,14 @@ def conform_json(
     # roots validate the whole JSON value against that node (the reference
     # compiles scalar-rooted schemas the same way)
     root = schema.root
+    # ``resolution``: a writer→reader Resolved plan (CompiledSchema.plan)
+    # — enables the "(schema versioning)" renderings for union branches
+    # the reader cannot receive
+    umap = None
+    if resolution is not None:
+        from ..plans.resolution import unmapped_union_branches
+
+        umap = unmapped_union_branches(resolution)
     raw = F.col(json_col)
     v = F.try_parse_json(raw)
     bad_json = F.when(raw.isNotNull() & v.isNull(), F.lit("invalid JSON"))
@@ -434,13 +443,13 @@ def conform_json(
         # record-level problems (bad json / not an object / unknown key)
         # suppress the per-field checks, which would misfire on non-objects
         s = F.schema_of_variant(v)
-        head, field_errs = _vj_record_parts(root, v, (), 0, s, binary_key)
+        head, field_errs = _vj_record_parts(root, v, (), 0, s, binary_key, umap)
         head = F.coalesce(bad_json, head)
         errors = F.array_compact(F.array(
             head, *[F.when(head.isNull(), e) for e in field_errs]
         ))
     else:
-        err = F.coalesce(bad_json, _vj_node(root, v, (), 0, binary_key))
+        err = F.coalesce(bad_json, _vj_node(root, v, (), 0, binary_key, umap))
         errors = F.array_compact(F.array(err))
     if mode == "flag":
         return df.withColumn(ERRORS_COL, errors)
@@ -460,14 +469,15 @@ def _vpath(key: str) -> str:
     return "$['" + key.replace("\\", "\\\\").replace("'", "\\'") + "']"
 
 def _vj_node(node: SchemaNode, vcol: Column, path: tuple[str, ...],
-             depth: int, bk: Optional[str]) -> Column:
+             depth: int, bk: Optional[str],
+             umap: Optional[dict] = None) -> Column:
     """First validation error (string Column, NULL when valid) for a
     variant value against a schema node. ``vcol`` NULL means the value was
     absent — handled by the enclosing record/union."""
     if depth > _VARIANT_DEPTH_LIMIT:
         return F.lit(None).cast("string")
     s = F.schema_of_variant(vcol)
-    err = _vj_node_strict(node, vcol, path, depth, s, bk)
+    err = _vj_node_strict(node, vcol, path, depth, s, bk, umap)
     if err is None:
         return F.lit(None).cast("string")
     if node.nullable:
@@ -478,7 +488,8 @@ def _vj_node(node: SchemaNode, vcol: Column, path: tuple[str, ...],
 
 
 def _vj_node_strict(node: SchemaNode, vcol: Column, path: tuple[str, ...],
-                    depth: int, s: Column, bk: Optional[str]):
+                    depth: int, s: Column, bk: Optional[str],
+                    umap: Optional[dict] = None):
     loc = _vj_loc(path)
     if isinstance(node, Primitive):
         t = node.type
@@ -541,7 +552,7 @@ def _vj_node_strict(node: SchemaNode, vcol: Column, path: tuple[str, ...],
         return F.coalesce(type_err, bad)
     is_bin = _vj_is_bin(vcol, bk)
     if isinstance(node, Record):
-        head, field_errs = _vj_record_parts(node, vcol, path, depth, s, bk)
+        head, field_errs = _vj_record_parts(node, vcol, path, depth, s, bk, umap)
         return F.coalesce(head, *field_errs)
     if isinstance(node, Array):
         type_err = F.when(~s.startswith("ARRAY"),
@@ -564,7 +575,7 @@ def _vj_node_strict(node: SchemaNode, vcol: Column, path: tuple[str, ...],
                     arr,
                     F.transform(F.sequence(F.lit(1), F.greatest(F.size(arr), F.lit(1))), lambda i: i),
                     lambda x, i: F.struct(
-                        _vj_elem(node.items, x, depth, bk).alias("e"),
+                        _vj_elem(node.items, x, depth, bk, umap).alias("e"),
                         i.alias("i"),
                     ),
                 ),
@@ -595,7 +606,7 @@ def _vj_node_strict(node: SchemaNode, vcol: Column, path: tuple[str, ...],
         from ..functions.text import let as _let
 
         errs_m = F.map_filter(
-            F.transform_values(m, lambda k, val: _vj_elem(node.values, val, depth, bk)),
+            F.transform_values(m, lambda k, val: _vj_elem(node.values, val, depth, bk, umap)),
             lambda k, e: e.isNotNull(),
         )
         prefix = ("/".join(path) + "/") if path else ""
@@ -625,13 +636,28 @@ def _vj_node_strict(node: SchemaNode, vcol: Column, path: tuple[str, ...],
             (F.size(keys) != 1) | ~tag.isin(*tags) if tags else F.lit(True),
             F.concat(F.lit(f'{loc}Unknown key: "'), F.coalesce(tag, F.lit("")), F.lit('"')),
         )
+        # evolution: a branch valid in the writer but unmapped in the
+        # reader rejects on the TAG, before any value checking — the
+        # generated switch has no arm for it (runtime.lua:319-336)
+        vers_tags = [
+            node.branch_tag(i) for i in (umap or {}).get(id(node), ())
+        ]
+        if vers_tags:
+            unknown_err = F.coalesce(
+                unknown_err,
+                F.when(
+                    tag.isin(*vers_tags),
+                    F.concat(F.lit(f'{loc}Unknown key: "'), tag,
+                             F.lit('" (schema versioning)')),
+                ),
+            )
         branch_err = F.lit(None).cast("string")
         for i, b in enumerate(node.branches):
             if isinstance(b, Primitive) and b.type == "null":
                 continue
             t = node.branch_tag(i)
             e = _vj_node(b, F.variant_get(vcol, _vpath(t), "variant"),
-                         path + (t,), depth + 1, bk)
+                         path + (t,), depth + 1, bk, umap)
             branch_err = F.when(tag == t, e).otherwise(branch_err)
         obj_err = F.coalesce(unknown_err, branch_err)
         if has_null:
@@ -641,7 +667,8 @@ def _vj_node_strict(node: SchemaNode, vcol: Column, path: tuple[str, ...],
 
 
 def _vj_record_parts(node: Record, vcol: Column, path: tuple[str, ...],
-                     depth: int, s: Column, bk: Optional[str]):
+                     depth: int, s: Column, bk: Optional[str],
+                     umap: Optional[dict] = None):
     """(record-level error, [per-field first-errors]) for a record node —
     shared by the nested Record branch (coalesced to one error) and the
     conform_json root (kept separate so mode='flag' reports one error per
@@ -661,7 +688,7 @@ def _vj_record_parts(node: Record, vcol: Column, path: tuple[str, ...],
     for f in node.fields:
         child = F.variant_get(vcol, _vpath(f.name), "variant")
         fpath = path + (f.name,)
-        present_err = _vj_node(f.type, child, fpath, depth + 1, bk)
+        present_err = _vj_node(f.type, child, fpath, depth + 1, bk, umap)
         if f.has_default or _nullable_ok(f.type):
             e = F.when(child.isNotNull(), present_err)
         else:
@@ -674,10 +701,10 @@ def _vj_record_parts(node: Record, vcol: Column, path: tuple[str, ...],
 
 
 def _vj_elem(node: SchemaNode, vcol: Column, depth: int,
-             bk: Optional[str]) -> Column:
+             bk: Optional[str], umap: Optional[dict] = None) -> Column:
     """Element-level error WITHOUT an absolute path prefix (the caller
     composes the dynamic index/key location)."""
-    return _vj_node(node, vcol, (), depth + 1, bk)
+    return _vj_node(node, vcol, (), depth + 1, bk, umap)
 
 
 def conform_json_tuple(
@@ -701,7 +728,10 @@ def conform_json_tuple(
 
     if mode not in ("raise", "flag"):
         raise CompileError(f"bad mode: {mode}")
+    from ..plans.resolution import unmapped_union_branches
+
     cells = build_layout(compiled.writer.root, compiled.service_fields)
+    umap = unmapped_union_branches(compiled.plan)
     raw = F.col(json_col)
     v = F.try_parse_json(raw)
     s = F.schema_of_variant(v)
@@ -729,15 +759,28 @@ def conform_json_tuple(
         elif cell.kind == UNION_TAG:
             union: UnionNode = cells[cell.index + 1].node  # type: ignore[assignment]
             nb = len(union.branches)
-            e = F.coalesce(
+            tag_n = F.variant_get(el, "$", "bigint")
+            checks = [
                 F.when(es != "BIGINT", _vj_expecting(el, loc, "INT", binary_key)),
                 F.when(
-                    ~F.variant_get(el, "$", "bigint").between(0, nb - 1),
-                    F.concat(F.lit(f"{i}: Bad value: "),
-                             F.variant_get(el, "$", "bigint").cast("string")),
+                    ~tag_n.between(0, nb - 1),
+                    F.concat(F.lit(f"{i}: Bad value: "), tag_n.cast("string")),
                 ),
-            )
-            cell_errs.append(e)
+            ]
+            # evolution: an in-range tag whose branch is unmapped in the
+            # reader rejects on the TAG cell, before the value cell is
+            # examined — '1: Bad value: 1 (schema versioning)'
+            # (union_versions.lua:99-107, runtime.lua:319-336)
+            missing = umap.get(id(union), ())
+            if missing:
+                checks.append(
+                    F.when(
+                        tag_n.isin(*[int(j) for j in missing]),
+                        F.concat(F.lit(f"{i}: Bad value: "), tag_n.cast("string"),
+                                 F.lit(" (schema versioning)")),
+                    )
+                )
+            cell_errs.append(F.coalesce(*checks))
         elif cell.kind == UNION_VALUE:
             union = cell.node  # type: ignore[assignment]
             tag = F.variant_get(F.variant_get(v, f"$[{cell.index - 1}]", "variant"),

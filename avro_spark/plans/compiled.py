@@ -138,6 +138,16 @@ class CompiledSchema:
         ]
         if missing:
             raise CompileError(f"input is missing writer fields: {missing}")
+        # f32/f64 columns bound to non-floating schema nodes are rejected
+        # here, with the reference's runtime rendering (the synthetic
+        # root wrapper stays out of the error path)
+        from .flatten import check_float_inputs
+
+        in_types = {f.name: f.dataType for f in df.schema.fields}
+        for wf in writer_root.fields:
+            if wf.name in in_types:
+                base = () if self.wrapped_root and wf.name == _ROOT_FIELD else (wf.name,)
+                check_float_inputs(wf.type, in_types[wf.name], base)
         src_cols = set(df.columns)
 
         def get_src(wf):

@@ -435,6 +435,68 @@ def _branch_field_names(u: UnionNode) -> list[str]:
 
 
 # ----------------------------------------------------------- flatten cells
+def check_float_inputs(
+    node: SchemaNode,
+    spark_type,
+    path: tuple[str, ...] = (),
+) -> None:
+    """Bind-time rejection of float/double input columns where the writer
+    schema cannot accept a floating value. MsgPack carries a distinct f32
+    tag and the reference rejects it per-type ("Expecting INT, encountered
+    FLOAT", runtime.lua:263-318); in Spark f32 exists only as a typed
+    FloatType column, so the equivalent check is static, against the
+    input DataFrame's schema. Only float→float/double and
+    double→float/double are representable (float.lua/double.lua accept
+    both widths plus ints); every other node kind raises here with the
+    reference's runtime rendering. Non-float mismatches keep their
+    existing runtime/analysis behavior — integers range-check per row,
+    strings/binaries fail in the expression layer."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, FloatType, MapType, StructType,
+    )
+
+    if isinstance(spark_type, (FloatType, DoubleType)):
+        if isinstance(node, Primitive) and node.type in ("float", "double"):
+            return
+        if isinstance(node, UnionNode) and any(
+            isinstance(b, Primitive) and b.type in ("float", "double")
+            for b in node.branches
+        ):
+            # [null, double]-style unions are plain nullable columns —
+            # a float/double column is their valid input form
+            return
+        tags = {
+            "null": "NIL", "boolean": "BOOL", "int": "INT", "long": "LONG",
+            "string": "STR", "bytes": "BIN",
+        }
+        if isinstance(node, Primitive):
+            exp = tags[node.type]
+        elif isinstance(node, Fixed):
+            exp = "BIN"
+        elif isinstance(node, Enum):
+            exp = "STR"
+        elif isinstance(node, Array):
+            exp = "ARRAY"
+        elif isinstance(node, (Map, Record)):
+            exp = "MAP"
+        else:  # union: value form is NIL or the single-entry map
+            exp = "NIL or MAP"
+        enc = "FLOAT" if isinstance(spark_type, FloatType) else "DOUBLE"
+        loc = "/".join(path)
+        raise CompileError(
+            f"{loc}{': ' if loc else ''}Expecting {exp}, encountered {enc}"
+        )
+    if isinstance(node, Record) and isinstance(spark_type, StructType):
+        names = set(spark_type.names)
+        for f in node.fields:
+            if f.name in names:
+                check_float_inputs(f.type, spark_type[f.name].dataType, path + (f.name,))
+    elif isinstance(node, Array) and isinstance(spark_type, ArrayType):
+        check_float_inputs(node.items, spark_type.elementType, path)
+    elif isinstance(node, Map) and isinstance(spark_type, MapType):
+        check_float_inputs(node.values, spark_type.valueType, path)
+
+
 def flatten_cells(
     plan: Resolved,
     get_src: Callable[[Field], Column],
@@ -736,6 +798,65 @@ def _rebuild_union_struct(writer: UnionNode, tag: Column, val: Column) -> Column
 
 
 # ---------------------------------------------------------------- xflatten
+def _x_field_optional(node: SchemaNode) -> bool:
+    """May the field be ABSENT inside a record VALUE? Nullable types and
+    unions with a null branch fill null; everything else is required
+    (record.lua:633 'f3/X: Key missing: "f3"')."""
+    if node.nullable:
+        return True
+    return isinstance(node, UnionNode) and any(
+        isinstance(b, Primitive) and b.type == "null" for b in node.branches
+    )
+
+
+def _x_check_complete(node: Record, spark_type, path: tuple[str, ...]) -> None:
+    """A record VALUE inside an xflatten op is a single cell updated
+    wholesale — unlike the top-level partial record, it must be COMPLETE.
+    A partial input struct missing a required field raises the
+    reference's rendering, path-prefixed: 'f2: Key missing: "f4"'
+    (record.lua:672-685, compiler.lua:978-994)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if not isinstance(spark_type, StructType):
+        return
+    names = set(spark_type.names)
+    for f in node.fields:
+        if f.name not in names:
+            if f.has_default or _x_field_optional(f.type):
+                continue
+            loc = "/".join(path)
+            raise CompileError(
+                f"{loc}{': ' if loc else ''}Key missing: \"{f.name}\""
+            )
+        ft = spark_type[f.name].dataType
+        inner = f.type
+        if isinstance(inner, Record):
+            _x_check_complete(inner, ft, path + (f.name,))
+        elif isinstance(inner, Array) and isinstance(ft, ArrayType) \
+                and isinstance(inner.items, Record):
+            _x_check_complete(inner.items, ft.elementType, path + (f.name,))
+        elif isinstance(inner, Map) and isinstance(ft, MapType) \
+                and isinstance(inner.values, Record):
+            _x_check_complete(inner.values, ft.valueType, path + (f.name,))
+
+
+def _x_check_union_branches(union: UnionNode, spark_type, path: tuple[str, ...]) -> None:
+    """Union double-cell update: each record-typed branch VALUE present in
+    the input struct must be a complete record (path includes the branch
+    tag: 'f3/X: Key missing: "f3"')."""
+    from pyspark.sql.types import StructType
+
+    if not isinstance(spark_type, StructType):
+        return
+    names = set(spark_type.names)
+    for i, b in enumerate(union.branches):
+        if not isinstance(b, Record):
+            continue
+        tag = union.branch_tag(i)
+        if tag in names:
+            _x_check_complete(b, spark_type[tag].dataType, path + (tag,))
+
+
 def xflatten_ops(
     plan: Resolved,
     input_type,
@@ -780,6 +901,7 @@ def _x_record_ops(
     validate: bool,
     maybe_str: Callable[[Column], Column],
     alpha_nullable_record: bool = False,
+    path: tuple[str, ...] = (),
 ) -> list[tuple[Column, ...]]:
     input_names = list(input_type.fieldNames())
     groups: list[tuple[int, list[tuple[Column, ...]]]] = []
@@ -792,10 +914,16 @@ def _x_record_ops(
             pos += w
             continue
         wname = s.writer_field.name
+        wnode = s.writer_field.type  # completeness is checked input-side
         src = get_src(wname)
         ops: list[tuple[Column, ...]] = []
         if isinstance(node, UnionNode):
-            # union double-cell update (compiler.lua:1002-1013)
+            # union double-cell update (compiler.lua:1002-1013); a record
+            # branch VALUE must be complete — it fills one cell wholesale
+            if isinstance(wnode, UnionNode):
+                _x_check_union_branches(
+                    wnode, input_type[wname].dataType, path + (wname,)
+                )
             tag_c, val_c = _union_parts(s.plan, src, validate)
             ops.append((F.lit("="), F.lit(pos), maybe_str(tag_c)))
             ops.append((F.lit("="), F.lit(pos + 1), maybe_str(val_c)))
@@ -811,6 +939,10 @@ def _x_record_ops(
                     "Use alpha_nullable_record_xflatten option if you "
                     "understand what you do."
                 )
+            if isinstance(wnode, Record):
+                _x_check_complete(
+                    wnode, input_type[wname].dataType, path + (wname,)
+                )
             val = convert_expr(s.plan, src, validate)
             ops.append((F.lit("="), F.lit(pos), maybe_str(val)))
         elif isinstance(node, Record):
@@ -822,6 +954,7 @@ def _x_record_ops(
                     lambda n, s_=src: s_.getField(n),
                     sub_type, pos, validate, maybe_str,
                     alpha_nullable_record,
+                    path + (wname,),
                 )
             )
         elif isinstance(node, Enum):

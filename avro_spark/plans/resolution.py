@@ -369,6 +369,45 @@ def _resolve_union(writer: SchemaNode, reader: SchemaNode, downgrade: bool,
     raise inner_err or _err("No common types", upath)
 
 
+def unmapped_union_branches(plan: Resolved) -> dict[int, list[int]]:
+    """{id(writer union node): [unmapped branch indices]} over a resolution
+    plan — the branches whose data triggers the runtime "(schema
+    versioning)" error (frontend.lua:1046-1083 leaves them nil; the
+    generated code raises on contact, runtime.lua:319-336). Walks the
+    (possibly cyclic) plan graph once."""
+    out: dict[int, list[int]] = {}
+    seen: set[int] = set()
+
+    def walk(p: Optional[Resolved]) -> None:
+        if p is None or id(p) in seen:
+            return
+        seen.add(id(p))
+        if p.kind in ("union", "from_union"):
+            missing = [
+                i for i, bp in enumerate(p.children.get("branches", []))
+                if bp is None
+            ]
+            if missing:
+                out[id(p.writer)] = missing
+            for bp in p.children.get("branches", []):
+                if bp is not None:
+                    walk(bp[1] if isinstance(bp, tuple) else bp)
+        elif p.kind == "to_union":
+            b = p.children.get("branch")
+            if b is not None:
+                walk(b[1])
+        elif p.kind == "record":
+            for s in p.children.get("sources", []):
+                walk(s.plan)
+        elif p.kind == "array":
+            walk(p.children.get("items"))
+        elif p.kind == "map":
+            walk(p.children.get("values"))
+
+    walk(plan)
+    return out
+
+
 # ------------------------------------------------------------------ caching
 def resolve_cached(writer: Schema, reader: Schema, downgrade: bool = False) -> Resolved:
     """Plan cache per (writer, reader, downgrade) — the reference IR cache

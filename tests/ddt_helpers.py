@@ -454,9 +454,58 @@ def partial_row_and_type(rec: Record, d: dict):
             sv, stp = partial_row_and_type(ft, v)
             vals.append(sv)
             fields.append(T.StructField(name, stp, True))
-        else:
+            continue
+        try:
             vals.append(to_row_value(ft, v))
             fields.append(T.StructField(name, to_spark_type(ft), True))
+        except Unconvertible:
+            # a nullable-record / union-record VALUE that is itself
+            # incomplete: representable only as a partial struct type —
+            # the engine's completeness check owns the error rendering
+            if isinstance(ft, Record) and isinstance(v, dict):
+                sv, stp = partial_row_and_type(ft, v)
+                vals.append(sv)
+                fields.append(T.StructField(name, stp, True))
+            elif (
+                isinstance(ft, UnionNode)
+                and isinstance(v, dict) and len(v) == 1
+            ):
+                sv, stp = _partial_union_value(ft, v)
+                vals.append(sv)
+                fields.append(T.StructField(name, stp, True))
+            else:
+                raise
+    return tuple(vals), T.StructType(fields)
+
+
+def _partial_union_value(node: UnionNode, v: dict):
+    """Tagged-struct union value whose record branch payload is a PARTIAL
+    struct (missing required fields) — buildable only with a bespoke
+    struct type; the engine's xflatten completeness check rejects it."""
+    from pyspark.sql import types as T
+
+    from avro_spark.schema.spark_types import UNION_TAG, to_spark_type
+
+    (tagname, val), = v.items()
+    tag_i = next(
+        (i for i in range(len(node.branches)) if node.branch_tag(i) == tagname),
+        None,
+    )
+    if tag_i is None:
+        raise Unconvertible(f"unknown union tag {tagname!r}")
+    vals: list[Any] = [tag_i]
+    fields = [T.StructField(UNION_TAG, T.IntegerType(), True)]
+    for i, b in enumerate(node.branches):
+        if isinstance(b, Primitive) and b.type == "null":
+            continue
+        t = node.branch_tag(i)
+        if t == tagname and isinstance(b, Record) and isinstance(val, dict):
+            sv, stp = partial_row_and_type(b, val)
+            vals.append(sv)
+            fields.append(T.StructField(t, stp, True))
+        else:
+            vals.append(None)
+            fields.append(T.StructField(t, to_spark_type(b), True))
     return tuple(vals), T.StructType(fields)
 
 

@@ -115,7 +115,21 @@ def classify(case, spark):
         )
     except Exception as e:
         return ("ok", exp, f"(at compile) {e}")
-    data, _ = parse_payload(inputs[0])
+    data, f32 = parse_payload(inputs[0])
+    if func == "flatten" and f32 and isinstance(data, float) and c.wrapped_root:
+        # `! x.y` = a float32-encoded MsgPack scalar; in Spark that value
+        # exists only as a typed FloatType column — bind it as one and
+        # let the engine's bind-time check render the type error
+        from pyspark.sql.types import FloatType, StructField, StructType
+
+        try:
+            df = spark.createDataFrame(
+                [(data,)], StructType([StructField("v", FloatType())])
+            )
+            c.flatten(df).collect()
+        except Exception as e:
+            return ("ok", exp, str(e))
+        return ("MISS", exp, "<no error raised>")
     try:
         if func == "flatten":
             root = c.writer.root
@@ -213,7 +227,8 @@ def _try_conform_json(spark, c, func, raw_input, service):
     try:
         jdf = spark.createDataFrame([(raw,)], "j string")
         errs = conform_json(jdf, "j", sch, mode="flag",
-                            binary_key="$binary").collect()[0][ERRORS_COL]
+                            binary_key="$binary",
+                            resolution=c.plan).collect()[0][ERRORS_COL]
         return errs[0] if errs else None
     except Exception as e:
         if "stopped SparkContext" in str(e):

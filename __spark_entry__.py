@@ -1279,6 +1279,71 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "n_bytes", "sha256")
 
 
+def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-video CONTAINER metadata without a pixel codec
+    (operators/media_probe.py): per document, synthesize a structurally
+    real MP4 (even doc_id) or WebM (odd) whose parameters derive from
+    doc_id, then recover them with the ISO BMFF / EBML walks through the
+    full media-struct + Arrow plumbing. The oracle recomputes the
+    parameters in SQL — a hash match proves the probe exactly inverts
+    the container encoding."""
+    import pandas as pd
+
+    from avro_spark.operators.multimodal import probe_media
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(320) + (F.col("doc_id") % 8) * 40).cast("int").alias("_w"),
+        (F.lit(180) + (F.col("doc_id") % 6) * 60).cast("int").alias("_h"),
+        (F.lit(1000) + (F.col("doc_id") % 90) * 250).cast("int").alias("_dur"),
+        (F.col("doc_id") % 2 == 0).alias("_mp4"),
+        (F.col("doc_id") % 3 == 0).alias("_audio"),
+    )
+
+    def build(batches):
+        from avro_spark.operators.media_probe import build_mp4, build_webm
+
+        for pdf in batches:
+            blobs, mimes = [], []
+            for _, r in pdf.iterrows():
+                aud = (
+                    ("mp4a" if r["_mp4"] else "A_OPUS", 44100, 2)
+                    if r["_audio"] else None
+                )
+                if r["_mp4"]:
+                    blobs.append(build_mp4(
+                        int(r["_w"]), int(r["_h"]), int(r["_dur"]),
+                        "avc1", audio=aud, brand="mp42",
+                    ))
+                    mimes.append("video/mp4")
+                else:
+                    blobs.append(build_webm(
+                        int(r["_w"]), int(r["_h"]), float(r["_dur"]),
+                        "V_VP9", audio=aud,
+                    ))
+                    mimes.append("video/webm")
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs, "mime": mimes})
+
+    blobs = docs.mapInPandas(
+        build, schema="doc_id long, blob binary, mime string"
+    )
+    media = blobs.select(
+        "doc_id",
+        F.struct(
+            F.col("blob").alias("data"), F.col("mime").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("media"),
+    )
+    out = probe_media(media, "media", id_cols=("doc_id",))
+    return out.select(
+        "doc_id", "container", "duration_ms", "width", "height",
+        "video_codec", "audio_codec", "sample_rate", "channels", "n_tracks",
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal as-of join (operators/temporal.py): for every click,
     the most recent prior purchase of the same user — the sort-merge
@@ -1772,6 +1837,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "salted_join": q_salted_join,
         "html_clean": q_html_clean,
+        # round-3 addition: MP4/WebM container metadata probe
+        "media_probe": q_media_probe,
     }
 
 
@@ -2456,6 +2523,20 @@ def _oracles_main() -> dict[str, str]:
 
 def _oracles_extra() -> dict[str, str]:
     return {
+        "media_probe": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'webm' END AS container,
+                   CAST(1000 + (doc_id % 90) * 250 AS DOUBLE) AS duration_ms,
+                   CAST(320 + (doc_id % 8) * 40 AS INT) AS width,
+                   CAST(180 + (doc_id % 6) * 60 AS INT) AS height,
+                   CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'V_VP9' END AS video_codec,
+                   CASE WHEN doc_id % 3 <> 0 THEN NULL
+                        WHEN doc_id % 2 = 0 THEN 'mp4a' ELSE 'A_OPUS' END AS audio_codec,
+                   CASE WHEN doc_id % 3 = 0 THEN CAST(44100 AS INT) END AS sample_rate,
+                   CASE WHEN doc_id % 3 = 0 THEN CAST(2 AS INT) END AS channels,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INT) AS n_tracks
+            FROM documents
+        """,
         "enum_roundtrip": """
             SELECT o_orderkey, o_orderstatus FROM orders
         """,

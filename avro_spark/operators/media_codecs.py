@@ -288,7 +288,13 @@ def decode_media(data: bytes, mime: str, width=None, height=None):
         if not width or not height:
             raise ValueError("video/x-raw needs width/height metadata")
         return decode_raw_video(data, width, height)
-    raise NotImplementedError(f"no built-in codec for {mime} (needs ffmpeg)")
+    # pixel decode of compressed video needs external codecs; CONTAINER
+    # metadata (duration/dims/codec ids) is covered dependency-free by
+    # media_probe.probe_media_bytes (ISO BMFF / EBML walks)
+    raise NotImplementedError(
+        f"no built-in pixel codec for {mime} (needs ffmpeg); "
+        "container metadata: operators.media_probe"
+    )
 
 
 def resize_nearest(px: np.ndarray, width: int, height: int) -> np.ndarray:

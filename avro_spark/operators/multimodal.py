@@ -186,6 +186,73 @@ def decode_features(
     return src.mapInPandas(run, schema=out_schema)
 
 
+def probe_media(
+    df: DataFrame,
+    media_col: str = "media",
+    id_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Compressed-video media struct → container metadata row
+    (id_cols..., container, brand, duration_ms, width, height,
+    video_codec, audio_codec, sample_rate, channels, n_tracks) via the
+    zero-dependency ISO BMFF / EBML walks in
+    :mod:`avro_spark.operators.media_probe`. Arrow-batched
+    ``mapInPandas``, narrow — the metadata gate that runs BEFORE any
+    external pixel-decode stage. Malformed containers surface as an
+    ``error`` column instead of killing the job (bad files are a fact of
+    life at 100 TB)."""
+    out_schema = T.StructType(
+        [df.schema[c] for c in id_cols]
+        + [
+            T.StructField("container", T.StringType()),
+            T.StructField("brand", T.StringType()),
+            T.StructField("duration_ms", T.DoubleType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("video_codec", T.StringType()),
+            T.StructField("audio_codec", T.StringType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("n_tracks", T.IntegerType()),
+            T.StructField("error", T.StringType()),
+        ]
+    )
+    src = df.select(
+        *id_cols,
+        F.col(media_col).getField("data").alias("_data"),
+        F.col(media_col).getField("mime").alias("_mime"),
+    )
+    meta_keys = (
+        "container", "brand", "duration_ms", "width", "height",
+        "video_codec", "audio_codec", "sample_rate", "channels", "n_tracks",
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_probe import probe_media_bytes
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                data = row["_data"]
+                try:
+                    m = probe_media_bytes(
+                        bytes(data) if data is not None else b"", row["_mime"]
+                    )
+                    err = None
+                except (ValueError, IndexError, NotImplementedError) as ex:
+                    m = {k: None for k in meta_keys}
+                    err = f"{type(ex).__name__}: {ex}"
+                rows.append(
+                    [row[c] for c in id_cols]
+                    + [m[k] for k in meta_keys]
+                    + [err]
+                )
+            yield pd.DataFrame(
+                rows, columns=list(id_cols) + list(meta_keys) + ["error"]
+            )
+
+    return src.mapInPandas(run, schema=out_schema)
+
+
 def resize_media(
     df: DataFrame,
     width: int,

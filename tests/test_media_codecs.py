@@ -328,3 +328,99 @@ class TestJpeg:
         t0 = time.perf_counter()
         decode_jpeg(blob)
         assert time.perf_counter() - t0 < 5.0
+
+
+# --------------------------------------------------- MP4 / WebM probes (r3)
+class TestContainerProbes:
+    def test_mp4_roundtrip(self):
+        from avro_spark.operators.media_probe import build_mp4, probe_mp4
+
+        b = build_mp4(640, 360, 12345, "avc1", audio=("mp4a", 44100, 2), brand="mp42")
+        m = probe_mp4(b)
+        assert (m["brand"], m["duration_ms"], m["width"], m["height"]) == (
+            "mp42", 12345.0, 640, 360)
+        assert (m["video_codec"], m["audio_codec"], m["sample_rate"],
+                m["channels"], m["n_tracks"]) == ("avc1", "mp4a", 44100, 2, 2)
+
+    def test_mp4_video_only(self):
+        from avro_spark.operators.media_probe import build_mp4, probe_mp4
+
+        m = probe_mp4(build_mp4(320, 240, 500, "hvc1"))
+        assert m["video_codec"] == "hvc1" and m["audio_codec"] is None
+        assert m["n_tracks"] == 1 and m["sample_rate"] is None
+
+    def test_mp4_largesize_box(self):
+        """size==1 + 64-bit largesize header parses identically."""
+        import struct
+
+        from avro_spark.operators.media_probe import build_mp4, probe_mp4
+
+        b = build_mp4(100, 50, 1000)
+        # rewrite the moov box header to the largesize form
+        i = b.index(b"moov") - 4
+        size = struct.unpack(">I", b[i:i + 4])[0]
+        big = struct.pack(">I", 1) + b"moov" + struct.pack(">Q", size + 8)
+        b2 = b[:i] + big + b[i + 8:]
+        assert probe_mp4(b2)["width"] == 100
+
+    def test_mp4_malformed(self):
+        import pytest as _pytest
+
+        from avro_spark.operators.media_probe import probe_mp4
+
+        with _pytest.raises(ValueError, match="no moov"):
+            probe_mp4(b"")
+        with _pytest.raises(ValueError, match="overruns"):
+            probe_mp4(b"\x00\x00\x00\x40moov")
+
+    def test_webm_roundtrip(self):
+        from avro_spark.operators.media_probe import build_webm, probe_webm
+
+        w = build_webm(1920, 1080, 9876.5, "V_VP9", audio=("A_OPUS", 48000, 2))
+        m = probe_webm(w)
+        assert (m["container"], m["duration_ms"], m["width"], m["height"]) == (
+            "webm", 9876.5, 1920, 1080)
+        assert (m["video_codec"], m["audio_codec"], m["sample_rate"],
+                m["channels"], m["n_tracks"]) == ("V_VP9", "A_OPUS", 48000, 2, 2)
+
+    def test_webm_unknown_size_segment(self):
+        """Streaming WebM writes the Segment with unknown size (all size
+        bits set) — it must extend to EOF."""
+        from avro_spark.operators.media_probe import (
+            _SEGMENT, build_webm, probe_webm,
+        )
+
+        w = build_webm(64, 48, 100.0)
+        seg_id = _SEGMENT.to_bytes(4, "big")
+        i = w.index(seg_id)
+        w2 = w[:i + 4] + b"\xff" + w[i + 8:]  # 1-byte unknown-size vint
+        assert probe_webm(w2)["width"] == 64
+
+    def test_webm_matroska_doctype(self):
+        from avro_spark.operators.media_probe import build_webm, probe_media_bytes
+
+        w = build_webm(10, 10, 1.0, "V_MPEG4/ISO/AVC", doctype="matroska")
+        assert probe_media_bytes(w, "video/x-matroska")["container"] == "matroska"
+
+    def test_sniffing_dispatch(self):
+        from avro_spark.operators.media_probe import (
+            build_mp4, build_webm, probe_media_bytes,
+        )
+        import pytest as _pytest
+
+        assert probe_media_bytes(build_mp4(8, 8, 10))["container"] == "mp4"
+        assert probe_media_bytes(build_webm(8, 8, 10))["container"] == "webm"
+        with _pytest.raises(ValueError, match="unrecognized container"):
+            probe_media_bytes(b"\x89PNG\r\n\x1a\n")
+
+    def test_probe_media_operator_error_column(self, spark):
+        """Malformed payloads land in the error column; good rows probe."""
+        from avro_spark.operators.media_probe import build_mp4
+        from avro_spark.operators.multimodal import pack_media, probe_media
+
+        rows = [(1, build_mp4(32, 16, 2000)), (2, b"garbage-not-a-container")]
+        df = spark.createDataFrame(rows, "id long, blob binary")
+        media = pack_media(df, "blob", "video/mp4")
+        out = {r.id: r for r in probe_media(media, "media", id_cols=("id",)).collect()}
+        assert out[1].width == 32 and out[1].error is None
+        assert out[2].width is None and out[2].error is not None

@@ -167,34 +167,125 @@ def bpe_pair_counts(
     return out
 
 
+def _bpe_pick_batch(top: list, limit: int, truncated: bool) -> list:
+    """Maximal prefix of the (count desc, left, right)-sorted pair list
+    that sequential greedy BPE is GUARANTEED to merge in this order:
+
+    * pairs must be mutually non-interacting — no shared token among
+      each pair's raw tokens AND its merged token (the merged token
+      matters: (a,b) and (ab,c) are raw-disjoint, yet merging (a,b)
+      creates ``ab`` tokens that change (ab,c)'s count). With merged
+      tokens in the conflict set, every kept pair's count is invariant
+      under the other kept merges;
+    * every kept pair's count must be STRICTLY greater than the first
+      pair left behind (interacting / over-limit / truncation
+      boundary). A merge of (x, y) with x ≠ y only creates pairs like
+      (prev, xy) out of contexts that contain an EXISTING interacting
+      pair (prev, x) — which is at or below the boundary — so no
+      created pair can outrank (or tie into the lexicographic order
+      of) anything kept;
+    * a SELF-pair (x, x) closes the batch: run-merging "m m m m" makes
+      merged tokens adjacent to each other and to leftovers, creating
+      (mm, mm) / (mm, m) pairs bounded only by the rule's own count —
+      nothing after it is provably safe this round.
+
+    Batched greedy therefore equals one-at-a-time greedy, merge for
+    merge.
+    """
+    accepted: list = []
+    used: set[str] = set()
+    boundary = None
+    for row in top:
+        if len(accepted) == limit:
+            boundary = row["n_pairs"]
+            break
+        joined = row["left"] + row["right"]
+        if row["left"] in used or row["right"] in used or joined in used:
+            boundary = row["n_pairs"]
+            break
+        if row["left"] == row["right"]:
+            # safe only alone: close the batch at this rule's own count
+            if not accepted:
+                accepted.append(row)
+            boundary = row["n_pairs"]
+            break
+        accepted.append(row)
+        used.add(row["left"])
+        used.add(row["right"])
+        used.add(joined)
+    else:
+        if truncated and top:
+            # unseen pairs may tie the last fetched count
+            boundary = top[-1]["n_pairs"]
+    if boundary is not None:
+        accepted = [r for r in accepted if r["n_pairs"] > boundary]
+    if not accepted and top:
+        # the global max is always safe alone (nothing outranks it, and
+        # lexicographic ties were already resolved by the sort)
+        accepted = [top[0]]
+    return accepted
+
+
+def _bpe_fold(col: Column, left: str, right: str) -> Column:
+    """Leftmost-first non-overlapping single-rule rewrite: fold each
+    token into the output array, replacing a trailing ``left`` when the
+    next token is ``right``. The merged token differs from ``left`` (it
+    is strictly longer), so a fresh merge never cascades within the same
+    rule — the classic BPE convention."""
+    joined = left + right
+    return F.aggregate(
+        col,
+        F.array().cast("array<string>").alias("acc"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.lit(joined)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
 def bpe_train(
     docs: DataFrame,
     text: str = "text",
     num_merges: int = 10,
     checkpoint_every: int = 4,
+    batch_size: int = 8,
 ):
     """Train ``num_merges`` BPE merge rules over whitespace tokens:
-    each round finds the corpus-wide most frequent ADJACENT token pair
-    (ties broken by (left, right) so the vocabulary is deterministic)
-    and rewrites every occurrence as the concatenated token,
-    leftmost-first non-overlapping — the classic BPE step, with
-    whitespace tokens standing in for the byte alphabet.
+    greedily merge the corpus-wide most frequent ADJACENT token pair
+    (ties broken by (left, right) so the vocabulary is deterministic),
+    rewriting every occurrence as the concatenated token, leftmost-first
+    non-overlapping — the classic BPE step, with whitespace tokens
+    standing in for the byte alphabet.
 
     Returns ``(merges, tokens)``: ``merges`` is a DataFrame
     (step, left, right, n_pairs); ``tokens`` the final rewritten token
     arrays (column ``t``).
 
-    Scale: each round is ONE map-side-combined pair-count shuffle, a
-    TakeOrderedAndProject top-1 (a single row ever reaches the driver),
-    and a narrow ``aggregate`` fold that applies the merge — no Python
-    stage, no driver data. ``localCheckpoint`` every
-    ``checkpoint_every`` rounds truncates the growing lineage, exactly
-    like the connected-components loop in functions/dedup.py.
+    Scale: vocabulary building is inherently iterative (each rule
+    depends on the rewrite of all earlier ones), but up to
+    ``batch_size`` NON-INTERACTING rules are proven safe to take from
+    one count (see :func:`_bpe_pick_batch`) — so a round is ONE
+    map-side-combined pair-count shuffle + one bounded
+    TakeOrderedAndProject (≤ 4·batch_size rows ever reach the driver)
+    + a chain of narrow ``aggregate`` folds applied in rank order
+    inside a single projection. Driver round-trips drop ~batch_size×
+    versus one-merge-per-job; ``batch_size=1`` degenerates to the
+    textbook loop (the equivalence tests compare the two).
+    ``localCheckpoint`` every ``checkpoint_every`` rounds truncates the
+    growing fold lineage, like the connected-components loop in
+    functions/dedup.py.
     """
     spark = docs.sparkSession
     cur = docs.select(ws_tokens(F.lower(F.col(text))).alias("t"))
+    fetch = max(4 * batch_size, 8)
     merges: list[tuple[int, str, str, int]] = []
-    for step in range(num_merges):
+    rounds = 0
+    while len(merges) < num_merges:
         pairs = (
             cur.where(F.size("t") >= 2)
             .select(
@@ -212,35 +303,21 @@ def bpe_train(
             pairs.orderBy(
                 F.col("n_pairs").desc(), F.col("left").asc(), F.col("right").asc()
             )
-            .limit(1)
+            .limit(fetch)
             .collect()
         )
         if not top:
             break
-        left, right, n = top[0]["left"], top[0]["right"], top[0]["n_pairs"]
-        merges.append((step, left, right, n))
-        joined = left + right
-        # leftmost-first non-overlapping rewrite: fold each token into
-        # the output array, replacing a trailing `left` when the next
-        # token is `right`. The merged token differs from `left` (it is
-        # strictly longer), so a fresh merge never cascades within the
-        # same round — matching the reference BPE convention.
-        cur = cur.select(
-            F.aggregate(
-                F.col("t"),
-                F.array().cast("array<string>").alias("acc"),
-                lambda acc, x: F.when(
-                    (F.size(acc) > 0)
-                    & (F.element_at(acc, -1) == F.lit(left))
-                    & (x == F.lit(right)),
-                    F.concat(
-                        F.slice(acc, F.lit(1), F.size(acc) - 1),
-                        F.array(F.lit(joined)),
-                    ),
-                ).otherwise(F.concat(acc, F.array(x))),
-            ).alias("t")
+        batch = _bpe_pick_batch(
+            top, min(batch_size, num_merges - len(merges)), len(top) == fetch
         )
-        if (step + 1) % checkpoint_every == 0:
+        expr = F.col("t")
+        for row in batch:
+            merges.append((len(merges), row["left"], row["right"], row["n_pairs"]))
+            expr = _bpe_fold(expr, row["left"], row["right"])
+        cur = cur.select(expr.alias("t"))
+        rounds += 1
+        if rounds % checkpoint_every == 0:
             cur = cur.localCheckpoint(eager=False)
     merges_df = spark.createDataFrame(
         merges, "step int, left string, right string, n_pairs long"

@@ -259,3 +259,63 @@ def test_bpe_apply_unicode_whitespace_parity(spark):
     applied = sorted(tuple(r["tokens"]) for r in bpe_apply(docs, merges_df).collect())
     trained = sorted(tuple(r["t"]) for r in toks_df.collect())
     assert applied == trained
+
+
+# ------------------------------------------------- r3: batched BPE rounds
+def _merge_rows(df):
+    return [(r.step, r.left, r.right, r.n_pairs)
+            for r in df.orderBy("step").collect()]
+
+
+def _tok_rows(df):
+    return sorted(tuple(r.t) for r in df.collect())
+
+
+def test_bpe_batched_equals_sequential(spark):
+    """batch_size>1 must reproduce the one-merge-per-round trajectory
+    merge-for-merge (rule, order, AND count), including the adversarial
+    shapes: shared raw tokens, merged-token collisions like (a,b) vs
+    (ab,c), and count ties."""
+    corpora = [
+        # interacting chain + independent pair
+        ["x y z"] * 10 + ["u v"] * 6,
+        # merged-token collision: 'ab' exists both raw and as a merge
+        ["a b c"] * 5 + ["ab c"] * 8 + ["a b d"] * 2,
+        # ties everywhere
+        ["p q", "q p", "p q", "q p", "r s", "s r", "r s"],
+        # long run (overlap semantics) + batchable tail
+        ["m m m m m", "k l", "k l", "n o"],
+    ]
+    for i, texts in enumerate(corpora):
+        docs = spark.createDataFrame([(t,) for t in texts], "text string")
+        m1, t1 = bpe_train(docs, num_merges=6, batch_size=1)
+        m8, t8 = bpe_train(docs, num_merges=6, batch_size=8)
+        assert _merge_rows(m1) == _merge_rows(m8), f"corpus {i}"
+        assert _tok_rows(t1) == _tok_rows(t8), f"corpus {i}"
+
+
+def test_bpe_batched_fewer_driver_rounds(spark):
+    """The batched path must spend strictly fewer driver round-trips:
+    count collect() calls for 8 merges — sequential needs 8 count+top
+    rounds, batched must finish in well under half."""
+    from unittest import mock
+
+    # 12 token-disjoint pairs with strictly distinct counts — the shape
+    # batching exists for (a real corpus's head is dominated by
+    # unrelated frequent bigrams)
+    texts = [f"a{k} b{k}" for k in range(12) for _ in range(30 - k)]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    # patch the CONCRETE DataFrame class (pyspark 4 routes collect through
+    # pyspark.sql.classic.dataframe.DataFrame, not the abstract base)
+    _DF = type(docs)
+    counts = {}
+    real_collect = _DF.collect
+    for bs in (1, 8):
+        with mock.patch.object(
+            _DF, "collect", autospec=True,
+            side_effect=lambda self: real_collect(self),
+        ) as mc:
+            bpe_train(docs, num_merges=8, batch_size=bs)
+            counts[bs] = mc.call_count
+    assert counts[1] >= 8
+    assert counts[8] <= max(counts[1] // 2, 2), counts

@@ -73,6 +73,26 @@ def multiplied_emb(emb, mult: int):
     return out
 
 
+def multiplied_events(ev, mult: int):
+    """Copies shift user_id so the corpus grows by USERS (the 100 TB
+    shape: more keys, same per-key event density), keeping join-key
+    cardinality linear in the multiple."""
+    parts = [
+        ev.select(
+            (F.col("event_id") + 10_000_000 * i).alias("event_id"),
+            "ts",
+            (F.col("user_id") + 1_000_000 * i).alias("user_id"),
+            "event_type",
+            "value",
+        )
+        for i in range(mult)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     from pyspark.sql import SparkSession
@@ -142,7 +162,61 @@ def main() -> None:
         n_bm = R.bm25_topk(docs, qdf, k=10).count()
         results["bm25_topk"] = (time.perf_counter() - t0, n_bm)
 
-        print(f"-- mult={mult} docs={n_docs} emb={n_emb}")
+        # --- temporal + merge families (round-3 probe extension) ---
+        from avro_spark.operators.merge import merge_snapshot
+        from avro_spark.operators.temporal import asof_join, range_join
+
+        ev = (
+            multiplied_events(
+                spark.read.parquet(f"{sf_dir}/events.parquet"), mult
+            )
+            .repartition(par)
+            .localCheckpoint(eager=True)
+        )
+        clicks = ev.where(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id"
+        )
+        purchases = ev.where(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("pts"), F.col("value").alias("amount")
+        )
+        t0 = time.perf_counter()
+        n_asof = asof_join(
+            clicks, purchases, on="user_id", left_ts="ts", right_ts="pts"
+        ).count()
+        results["asof_join"] = (time.perf_counter() - t0, n_asof)
+
+        # hour-long per-user sessions as the interval side
+        intervals = ev.where(F.col("event_type") == "signup").select(
+            "user_id",
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end"),
+        )
+        t0 = time.perf_counter()
+        n_range = range_join(
+            clicks, intervals, on="user_id", left_ts="ts"
+        ).count()
+        results["range_join"] = (time.perf_counter() - t0, n_range)
+
+        base = ev.select(
+            "event_id", "user_id", "value", F.lit(0).alias("version")
+        )
+        changes = (
+            ev.where(F.col("event_id") % 5 == 0)
+            .select(
+                "event_id",
+                "user_id",
+                (F.col("value") * 2).alias("value"),
+                F.lit(1).alias("version"),
+                F.when(F.col("event_id") % 10 == 0, F.lit("upsert"))
+                .otherwise(F.lit("delete"))
+                .alias("op"),
+            )
+        )
+        t0 = time.perf_counter()
+        n_merge = merge_snapshot(base, changes, key="event_id").count()
+        results["snapshot_merge"] = (time.perf_counter() - t0, n_merge)
+
+        print(f"-- mult={mult} docs={n_docs} emb={n_emb} events={ev.count()}")
         for name, (dt, n_out) in results.items():
             print(f"   {name:15s} {dt:6.2f}s  out_rows={n_out}")
 

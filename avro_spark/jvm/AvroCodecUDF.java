@@ -18,10 +18,13 @@ import org.apache.spark.sql.api.java.UDF2;
  * zero terminator, branch-indexed unions — the public Avro binary spec).
  *
  * Scope: records of null/boolean/int/long/float/double/string/bytes,
- * enum, fixed, array, map, and unions of exactly {null, T} (which covers
- * the engine's nullable-* extension — the Python side renders it as a
- * ["null", T] union before handing the schema over). General multi-branch
- * unions stay on the Python codec (the Python side gates on that).
+ * enum, fixed, array, map, {null, T} unions (the engine's nullable-*
+ * extension — the Python side renders it as a ["null", T] union before
+ * handing the schema over; the column is the plain nullable value), and
+ * general multi-branch unions (column = tagged struct ($type$,
+ * branch values...), the schema/spark_types.py layout). Unions with
+ * NULLABLE branches stay on the Python codec — standard Avro JSON cannot
+ * nest unions, so the Python side gates them out.
  *
  * Row access is positional and schema-ordered: the Python wrapper builds
  * the struct column in Avro field order, exactly like the pandas path.
@@ -157,21 +160,52 @@ public final class AvroCodecUDF {
         return;
       }
       case UNION: {
-        int nullIdx = nullBranch(s);
-        int valIdx = 1 - nullIdx;
-        Schema valType = s.getTypes().get(valIdx);
-        // byte parity with the Python codec: pandas cannot distinguish
-        // null from NaN in nullable float/double columns, so the Python
-        // side encodes NaN as the null branch there — mirror that here or
-        // engine='auto' output would depend on JDK availability
-        boolean nanNull =
-            (valType.getType() == Schema.Type.FLOAT
-                && v instanceof Float && ((Float) v).isNaN())
-            || (valType.getType() == Schema.Type.DOUBLE
-                && v instanceof Double && ((Double) v).isNaN());
-        if (v == null || nanNull) { writeLong(out, nullIdx); return; }
-        writeLong(out, valIdx);
-        encode(out, valType, v);
+        List<Schema> ts = s.getTypes();
+        int nullIdx = nullBranch(ts);
+        if (ts.size() == 2 && nullIdx >= 0) {
+          // simple {null, T}: the column IS the plain nullable value
+          int valIdx = 1 - nullIdx;
+          Schema valType = ts.get(valIdx);
+          // byte parity with the Python codec: pandas cannot distinguish
+          // null from NaN in nullable float/double columns, so the Python
+          // side encodes NaN as the null branch there — mirror that here
+          // or engine='auto' output would depend on JDK availability
+          boolean nanNull =
+              (valType.getType() == Schema.Type.FLOAT
+                  && v instanceof Float && ((Float) v).isNaN())
+              || (valType.getType() == Schema.Type.DOUBLE
+                  && v instanceof Double && ((Double) v).isNaN());
+          if (v == null || nanNull) { writeLong(out, nullIdx); return; }
+          writeLong(out, valIdx);
+          encode(out, valType, v);
+          return;
+        }
+        // general union: tagged struct ($type$ int, <tag_i> value_i for
+        // each non-null branch, in branch order) — same layout as
+        // schema/spark_types.py. A bare null is only legal with a null
+        // branch (the validate form, frontend.lua:899-919).
+        if (v == null) {
+          if (nullIdx < 0)
+            throw new RuntimeException("null for union without a null branch");
+          writeLong(out, nullIdx);
+          return;
+        }
+        Row row = (Row) v;
+        if (row.isNullAt(0))
+          throw new RuntimeException("union struct with null tag");
+        int tag = ((Number) row.get(0)).intValue();
+        if (tag < 0 || tag >= ts.size())
+          throw new RuntimeException("bad union tag: " + tag);
+        Schema branch = ts.get(tag);
+        writeLong(out, tag);
+        if (branch.getType() == Schema.Type.NULL) return;
+        int pos = 1;
+        for (int i = 0; i < tag; i++)
+          if (ts.get(i).getType() != Schema.Type.NULL) pos++;
+        if (row.isNullAt(pos))
+          throw new RuntimeException(
+              "null union value for non-null branch " + tag);
+        encode(out, branch, row.get(pos));
         return;
       }
       default:
@@ -179,14 +213,11 @@ public final class AvroCodecUDF {
     }
   }
 
-  /** index of the null branch in a {null, T} union; rejects other shapes */
-  static int nullBranch(Schema union) {
-    List<Schema> ts = union.getTypes();
-    if (ts.size() == 2) {
-      if (ts.get(0).getType() == Schema.Type.NULL) return 0;
-      if (ts.get(1).getType() == Schema.Type.NULL) return 1;
-    }
-    throw new RuntimeException("jvm codec supports only {null, T} unions");
+  /** index of the null branch in a union, or -1 */
+  static int nullBranch(List<Schema> ts) {
+    for (int i = 0; i < ts.size(); i++)
+      if (ts.get(i).getType() == Schema.Type.NULL) return i;
+    return -1;
   }
 
   @SuppressWarnings("unchecked")
@@ -303,10 +334,27 @@ public final class AvroCodecUDF {
         return RowFactory.create(vals);
       }
       case UNION: {
+        List<Schema> ts = s.getTypes();
         int idx = (int) readLong(c);
-        Schema branch = s.getTypes().get(idx);
+        Schema branch = ts.get(idx);
+        if (ts.size() == 2 && nullBranch(ts) >= 0) {
+          // simple {null, T} → plain nullable value
+          if (branch.getType() == Schema.Type.NULL) return null;
+          return decode(c, branch);
+        }
+        // general union → tagged struct row (layout as in encode); the
+        // null branch decodes to a plain NULL cell, exactly like the
+        // Python decoder (dec_union returns None for it)
         if (branch.getType() == Schema.Type.NULL) return null;
-        return decode(c, branch);
+        int nNonNull = 0;
+        for (Schema b : ts) if (b.getType() != Schema.Type.NULL) nNonNull++;
+        Object[] vals = new Object[1 + nNonNull];
+        vals[0] = idx;
+        int pos = 1;
+        for (int i = 0; i < idx; i++)
+          if (ts.get(i).getType() != Schema.Type.NULL) pos++;
+        vals[pos] = decode(c, branch);
+        return RowFactory.create(vals);
       }
       default:
         throw new RuntimeException("jvm codec cannot decode " + s.getType());

@@ -14,10 +14,13 @@ maps, where entry iteration order may differ between a Python dict and the
 Scala map Spark hands the JVM UDF (both decode to the same value — Avro
 map order is not semantically significant).
 
-Scope: everything except general (non-``{null, T}``) unions and the
-``any`` extension type — those stay on the Python codec; callers use
-:func:`jvm_codec_supported` to route (``engine="auto"`` in
-``to_avro_bytes`` / ``from_avro_bytes``).
+Scope: everything except unions carrying a NULLABLE branch (standard
+Avro JSON cannot nest unions, so they are unrepresentable to the Java
+parser) and the ``any`` extension type — those stay on the Python codec;
+callers use :func:`jvm_codec_supported` to route (``engine="auto"`` in
+``to_avro_bytes`` / ``from_avro_bytes``). General multi-branch unions
+travel as their tagged-struct columns, byte-identical to the Python
+codec.
 """
 
 from __future__ import annotations
@@ -68,6 +71,8 @@ def plain_avro_json(node: SchemaNode, _built: Optional[set[str]] = None) -> obje
     if _built is None:
         _built = set()
     if node.nullable:
+        if isinstance(node, UnionNode):
+            raise JvmUnsupported("nullable union stays on the Python codec")
         import copy
 
         stripped = copy.copy(node)
@@ -78,8 +83,11 @@ def plain_avro_json(node: SchemaNode, _built: Optional[set[str]] = None) -> obje
             raise JvmUnsupported("'any' type stays on the Python codec")
         return node.type
     if isinstance(node, UnionNode):
-        if union_null_and_one(node) is None:
-            raise JvmUnsupported("general unions stay on the Python codec")
+        if any(b.nullable for b in node.branches):
+            # a nullable branch would render as a union nested directly
+            # inside a union — illegal in standard Avro JSON, so these
+            # stay on the Python codec
+            raise JvmUnsupported("unions with nullable branches stay on the Python codec")
         return [plain_avro_json(b, _built) for b in node.branches]
     if isinstance(node, NamedNode):
         if node.fullname in _built:

@@ -21,6 +21,7 @@ from __future__ import annotations
 import struct as _struct
 from typing import Any, Callable
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -98,7 +99,7 @@ def _compile_encoder(node: SchemaNode) -> Callable[[bytearray, Any], None]:
             # double column cannot round-trip. Non-numeric branches keep
             # NaN as-is so malformed input errors instead of silently
             # nulling.
-            if v is None or (nan_is_null and isinstance(v, float) and v != v):
+            if v is None or (nan_is_null and _is_nan(v)):
                 _write_long(out, 0)
             else:
                 _write_long(out, 1)
@@ -198,7 +199,7 @@ def _compile_encoder(node: SchemaNode) -> Callable[[bytearray, Any], None]:
                 # {<tag>: value} (frontend.lua:899-919 — what validate
                 # produces). NaN-as-null only for numeric branches (see
                 # enc_nullable).
-                if v is None or (nan_is_null and isinstance(v, float) and v != v):
+                if v is None or (nan_is_null and _is_nan(v)):
                     _write_long(out, null_idx)
                     return
                 if isinstance(v, dict) and len(v) == 1 and branch_tag in v:
@@ -244,6 +245,14 @@ def _compile_encoder(node: SchemaNode) -> Callable[[bytearray, Any], None]:
                 enc(out, v[tag])
         return enc_union
     raise CompileError(f"cannot encode {node!r}")
+
+
+def _is_nan(v: Any) -> bool:
+    """NaN of either float flavor: np.float32 array elements are NOT a
+    Python ``float`` subclass, so ``isinstance(v, float)`` alone misses
+    the NaN that pandas uses as the null rendering inside float32
+    arrays."""
+    return isinstance(v, (float, np.floating)) and v != v
 
 
 def _pandas_null_is_nan(node: SchemaNode) -> bool:
@@ -379,7 +388,7 @@ def _normalize(v: Any, node: SchemaNode) -> Any:
 
     if v is None:
         return None
-    if isinstance(v, float) and v != v:
+    if _is_nan(v):
         # NaN is pandas' null rendering for numeric columns — but it is
         # a LEGITIMATE value of a non-nullable float/double field, where
         # null isn't even possible; only nullable branches read it as

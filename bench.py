@@ -174,6 +174,32 @@ def _throughput_probes(spark, sf_dir: str) -> dict[str, int]:
             n_li,
         ),
     }
+    # general-union probe: 3-branch tagged-struct unions now run on the
+    # JVM codec too (engine="auto"); this pins the path's throughput so a
+    # silent fallback to the ~6× slower Python codec would show up
+    u3 = {
+        "type": "record",
+        "name": "LineU",
+        "fields": [
+            {"name": "l_orderkey", "type": "long"},
+            {"name": "payload", "type": ["null", "double", "string"]},
+        ],
+    }
+    sch_u3 = avro_spark.create(u3)
+    tag = (F.col("l_orderkey") % 3).cast("int")
+    union_par = li.select(
+        "l_orderkey",
+        F.struct(
+            tag.alias("$type$"),
+            F.when(tag == 1, F.col("l_quantity")).alias("double"),
+            F.when(tag == 2, F.col("l_returnflag")).alias("string"),
+        ).alias("payload"),
+    ).repartition(spark.sparkContext.defaultParallelism).cache()
+    union_par.count()
+    probes["avro_codec_union3_rows_per_sec"] = (
+        from_avro_bytes(to_avro_bytes(union_par, sch_u3, "b"), "b", sch_u3),
+        n_li,
+    )
     out = {}
     errors = {}
     for metric, (df, n) in probes.items():
@@ -189,6 +215,7 @@ def _throughput_probes(spark, sf_dir: str) -> dict[str, int]:
             out[metric] = None
             errors[metric] = f"{type(ex).__name__}: {ex}"[:200]
     nested_par.unpersist()
+    union_par.unpersist()
     return out, errors
 
 

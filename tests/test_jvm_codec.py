@@ -120,31 +120,109 @@ def test_auto_routes_jvm_no_python_stage(spark, zoo_df):
     assert "EvalPython" not in plan
 
 
-def test_auto_falls_back_on_general_union(spark):
-    """3-branch unions are out of JVM scope: auto must still work (via
-    the Python codec) and roundtrip correctly."""
-    sch = avro_spark.create(
-        {
-            "type": "record",
-            "name": "U",
-            "fields": [
-                {"name": "id", "type": "long"},
-                {"name": "u", "type": ["null", "double", "string"]},
-            ],
-        }
-    )
-    assert not J.jvm_codec_supported(sch)
-    df = spark.createDataFrame(
-        [(1, (1, 2.5, None)), (2, (2, None, "x")), (3, (0, None, None))],
-        sch.to_struct_type(),
-    )
+GENERAL_UNION = {
+    "type": "record",
+    "name": "U",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "u", "type": ["null", "double", "string"]},
+    ],
+}
+GENERAL_ROWS = [(1, (1, 2.5, None)), (2, (2, None, "x")), (3, (0, None, None))]
+
+
+def test_general_union_roundtrip_auto(spark):
+    """3-branch unions are now IN JVM scope: auto routes there (or to
+    Python without a JDK) and roundtrips the tagged-struct form; the
+    null branch decodes to a plain NULL cell."""
+    sch = avro_spark.create(GENERAL_UNION)
+    assert J.jvm_codec_supported(sch)
+    df = spark.createDataFrame(GENERAL_ROWS, sch.to_struct_type())
     out = from_avro_bytes(to_avro_bytes(df, sch, "b", engine="auto"), "b", sch, engine="auto")
     got = {
         r.id: (r.u["$type$"], r.u["double"], r.u["string"]) if r.u is not None else None
         for r in out.collect()
     }
-    # the null branch decodes to a plain NULL cell (not a tagged struct)
     assert got == {1: (1, 2.5, None), 2: (2, None, "x"), 3: None}
+
+
+def test_general_union_byte_parity(spark):
+    """General multi-branch unions must produce byte-identical output on
+    both engines and cross-decode, incl. no-null-branch and
+    record-branch unions."""
+    if not _jvm_ready(spark):
+        pytest.skip("no JDK")
+    schemas_rows = [
+        (GENERAL_UNION, GENERAL_ROWS),
+        # union without a null branch
+        (
+            {
+                "type": "record",
+                "name": "V",
+                "fields": [
+                    {"name": "id", "type": "long"},
+                    {"name": "u", "type": ["int", "string", "bytes"]},
+                ],
+            },
+            [(1, (0, 7, None, None)), (2, (1, None, "hi", None)),
+             (3, (2, None, None, bytearray(b"\x01\x02")))],
+        ),
+        # record + enum branches
+        (
+            {
+                "type": "record",
+                "name": "W",
+                "fields": [
+                    {"name": "id", "type": "long"},
+                    {"name": "u", "type": [
+                        "null",
+                        {"type": "record", "name": "P",
+                         "fields": [{"name": "x", "type": "int"},
+                                    {"name": "y", "type": "string"}]},
+                        {"type": "enum", "name": "E", "symbols": ["A", "B"]},
+                    ]},
+                ],
+            },
+            [(1, (1, (5, "p"), None)), (2, (2, None, "B")), (3, (0, None, None))],
+        ),
+    ]
+    for raw, rows in schemas_rows:
+        sch = avro_spark.create(raw)
+        assert J.jvm_codec_supported(sch), raw["name"]
+        df = spark.createDataFrame(rows, sch.to_struct_type())
+        bj = sorted(r.b for r in to_avro_bytes(df, sch, "b", engine="jvm").collect())
+        bp = sorted(r.b for r in to_avro_bytes(df, sch, "b", engine="python").collect())
+        assert bj == bp, raw["name"]
+        enc = to_avro_bytes(df, sch, "b", engine="jvm")
+        out_p = sorted(map(str, from_avro_bytes(enc, "b", sch, engine="python").collect()))
+        out_j = sorted(map(str, from_avro_bytes(enc, "b", sch, engine="jvm").collect()))
+        assert out_p == out_j, raw["name"]
+
+
+def test_auto_falls_back_on_nullable_branch_union(spark):
+    """A union with a NULLABLE branch cannot render as standard Avro JSON
+    (nested union) — stays on the Python codec and still roundtrips."""
+    sch = avro_spark.create(
+        {
+            "type": "record",
+            "name": "NB",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "u", "type": ["int", "string*"]},
+            ],
+        }
+    )
+    assert not J.jvm_codec_supported(sch)
+    df = spark.createDataFrame(
+        [(1, (0, 7, None)), (2, (1, None, "x")), (3, (1, None, None))],
+        sch.to_struct_type(),
+    )
+    out = from_avro_bytes(to_avro_bytes(df, sch, "b", engine="auto"), "b", sch, engine="auto")
+    got = {
+        r.id: (r.u["$type$"], r.u["int"], r.u["string"]) if r.u is not None else None
+        for r in out.collect()
+    }
+    assert got == {1: (0, 7, None), 2: (1, None, "x"), 3: (1, None, None)}
 
 
 def test_python_decode_enum_fixed_metadata(spark):

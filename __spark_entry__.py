@@ -536,6 +536,35 @@ def q_avro_ocf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_avro_files(spark, out, sch)
 
 
+def q_ocf_split_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-splittable OCF read (sources/avro_ocf.py
+    read_avro_files_split): orders written as ONE multi-block file, read
+    back as many byte-range tasks (4 KB splits force dozens of
+    sync-scans) — identity with the source table proves every split
+    boundary lands exactly (no lost or duplicated blocks)."""
+    import tempfile
+
+    from avro_spark.sources.avro_ocf import read_avro_files, write_avro_files
+
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    sch = avro_spark.create(
+        {
+            "type": "record",
+            "name": "OrdersS",
+            "fields": [
+                {"name": "o_orderkey", "type": "long"},
+                {"name": "o_custkey", "type": "long"},
+                {"name": "o_totalprice", "type": "double"},
+            ],
+        }
+    )
+    out = tempfile.mkdtemp(prefix="ocf_split_")
+    write_avro_files(orders.repartition(1), sch, out, block_records=256)
+    return read_avro_files(spark, out, sch, split_bytes=4096)
+
+
 def q_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 DataFrame conformance in flag mode (valid rows, empty _errors)."""
     nat = _read(spark, sf_dir, "nation")
@@ -1837,8 +1866,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "salted_join": q_salted_join,
         "html_clean": q_html_clean,
-        # round-3 addition: MP4/WebM container metadata probe
+        # round-3 additions: MP4/WebM container metadata probe +
+        # block-splittable OCF byte-range reads
         "media_probe": q_media_probe,
+        "ocf_split_read": q_ocf_split_read,
     }
 
 
@@ -2523,6 +2554,9 @@ def _oracles_main() -> dict[str, str]:
 
 def _oracles_extra() -> dict[str, str]:
     return {
+        "ocf_split_read": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        """,
         "media_probe": """
             SELECT doc_id,
                    CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'webm' END AS container,

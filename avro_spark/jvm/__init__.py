@@ -47,7 +47,6 @@ from ..schema.nodes import (
     SchemaNode,
     UnionNode,
 )
-from ..schema.spark_types import union_null_and_one
 
 _PKG_DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_PKG_DIR, "AvroCodecUDF.java")

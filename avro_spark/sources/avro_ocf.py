@@ -12,9 +12,11 @@ Python path over public APIs):
 * **read**: ``spark.read.format("binaryFile")`` lists and reads whole
   files in parallel (one task per file); an Arrow-batched ``mapInPandas``
   stage decodes each file's blocks into rows. Parallelism = number of
-  files — at 100 TB keep files ~128-512 MB (the writers below do). Block-
-  level splits inside one huge file would need a DataSourceV2/Python
-  data-source with a sync-scan; per-file tasks are the portable design.
+  files — right when files are written ~128-512 MB (the writers below
+  do). For corpora of FEW HUGE files, ``read_avro_files_split`` plans
+  each file into byte-range tasks and sync-scans inside them (the
+  Hadoop-style splittable read) — block-level parallelism with no
+  custom data source.
 * **write**: one OCF file per partition, written from the executor
   (shared filesystem path — same contract as any Spark file sink);
   ``repartition(n)`` upstream controls file count/size.
@@ -170,15 +172,25 @@ def read_ocf_bytes(
 
 # ---------------------------------------------------------- DataFrame level
 def read_avro_files(
-    spark: SparkSession, path: str, schema: Optional[Schema] = None
+    spark: SparkSession,
+    path: str,
+    schema: Optional[Schema] = None,
+    split_bytes: Optional[int] = None,
 ) -> DataFrame:
     """Directory/glob of ``.avro`` OCF files → record-shaped DataFrame.
 
-    One task per file (binaryFile source) + Arrow-batched decode. When
-    ``schema`` is None the writer schema is peeked from the first file.
+    Default: one task per file (binaryFile source) + Arrow-batched
+    decode — right when files are written ~128-512 MB (the writers below
+    do). Pass ``split_bytes`` to read each file as MULTIPLE byte-range
+    tasks instead (:func:`read_avro_files_split`) — the Hadoop-style
+    sync-marker split, for corpora of few huge files where per-file
+    tasks would underuse the cluster. When ``schema`` is None the writer
+    schema is peeked from the first file.
     """
     from ..util import ensure_workers
 
+    if split_bytes is not None:
+        return read_avro_files_split(spark, path, schema, split_bytes)
     ensure_workers(spark)
     files = spark.read.format("binaryFile").load(path)
     if schema is None:
@@ -204,6 +216,204 @@ def read_avro_files(
                 )
 
     return files.select("content").mapInPandas(decode, schema=struct)
+
+
+def _local_path(uri: str) -> str:
+    """binaryFile paths come back as file: URIs; strip to a filesystem
+    path (this container's storage is local — other schemes would go
+    through pyarrow.fs, same call shape)."""
+    if uri.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        return unquote(urlparse(uri).path)
+    return uri
+
+
+def _scan_header(fpath: str) -> tuple[int, bytes, bytes, str]:
+    """Read just the OCF header: (header_len, sync, schema_json, codec).
+    The meta map can exceed any fixed guess (large schemas), so the read
+    doubles until it parses."""
+    need = 1 << 16
+    with open(fpath, "rb") as fh:
+        buf = fh.read(need)
+        while True:
+            if buf[:4] != MAGIC:
+                raise AvroSparkError(f"not an Avro OCF: {fpath}")
+            try:
+                meta, pos = _read_meta_map(buf, 4)
+                sync = bytes(buf[pos : pos + 16])
+                if len(sync) == 16:
+                    break
+            except IndexError:
+                pass
+            more = fh.read(need)
+            if not more:
+                raise AvroSparkError(f"truncated OCF header: {fpath}")
+            buf += more
+            need <<= 1
+    codec = meta.get("avro.codec", b"null").decode("ascii")
+    if codec not in ("null", "deflate"):
+        raise AvroSparkError(f"unsupported Avro codec: {codec}")
+    return pos + 16, sync, meta["avro.schema"], codec
+
+
+def _find_block_start(
+    fh, file_len: int, start: int, end: int, sync: bytes, codec: str, dec
+) -> int:
+    """First VALIDATED block start b with start ≤ b < end, or -1.
+    Candidates are sync-marker occurrences (block starts are always
+    sync-preceded). Validation FULLY parses the candidate block —
+    sane (count, size) header, decompression, record-exact decode,
+    trailing sync — because this engine's writers use a DETERMINISTIC
+    sync marker (md5 of the schema), so payload bytes can legitimately
+    contain it; structural checks alone collide on such files. Costs
+    one extra block parse per split, once."""
+    # a sync whose END is ≥ start begins at ≥ start-16
+    lo = max(start - 16, 0)
+    fh.seek(lo)
+    window = fh.read(min(end, file_len) - lo + 16)
+    off = 0
+    while True:
+        hit = window.find(sync, off)
+        if hit < 0:
+            return -1
+        b = lo + hit + 16  # candidate block start
+        if b >= end:
+            return -1
+        if b >= start and _validate_block(fh, file_len, b, sync, codec, dec):
+            return b
+        off = hit + 1
+
+
+def _validate_block(fh, file_len: int, b: int, sync: bytes, codec: str, dec) -> bool:
+    fh.seek(b)
+    head = fh.read(20)  # two varints ≤ 10 bytes each
+    try:
+        count, p = _read_long(head, 0)
+        size, p = _read_long(head, p)
+    except IndexError:
+        return False
+    if count <= 0 or size < 0 or b + p + size + 16 > file_len:
+        return False
+    fh.seek(b + p + size)
+    if fh.read(16) != sync:
+        return False
+    fh.seek(b + p)
+    data = fh.read(size)
+    try:
+        if codec == "deflate":
+            data = zlib.decompress(data, -15)
+        q = 0
+        for _ in range(count):
+            _rec, q = dec(data, q)
+        return q == len(data)
+    except Exception:
+        return False
+
+
+def read_avro_files_split(
+    spark: SparkSession,
+    path: str,
+    schema: Optional[Schema] = None,
+    split_bytes: int = 128 << 20,
+) -> DataFrame:
+    """OCF files → record DataFrame with BLOCK-LEVEL parallelism: each
+    file is planned into ~``split_bytes`` byte ranges and every range is
+    one task — the Hadoop-style splittable read, so a handful of huge
+    OCF files still uses the whole cluster.
+
+    Planning (driver): one header read per file (magic + meta map +
+    sync — a few KB), no data bytes. Execution (per split task): seek
+    into [start-16, end), find the first sync-validated block start in
+    [start, end), then decode blocks sequentially while they START
+    inside the range (the last owned block may read past ``end`` — the
+    standard ownership rule that makes ranges partition the file
+    exactly). Deflate blocks decompress per block, so memory is bounded
+    by block size, not split size."""
+    from ..util import ensure_workers
+
+    ensure_workers(spark)
+    listing = (
+        spark.read.format("binaryFile").load(path).select("path", "length").collect()
+    )
+    if not listing:
+        raise AvroSparkError(f"no files at {path}")
+    splits = []  # (path, file_len, start, end, header_len, sync, codec)
+    schema_json = None
+    for row in listing:
+        fpath = _local_path(row["path"])
+        header_len, sync, sj, codec = _scan_header(fpath)
+        if schema_json is None:
+            schema_json = sj
+            if schema is None:
+                schema = create(json.loads(sj.decode("utf-8")))
+        s = header_len
+        flen = row["length"]
+        while s < flen:
+            e = min(s + split_bytes, flen)
+            splits.append((fpath, int(flen), s, e, header_len, bytearray(sync), codec))
+            s = e
+    root = schema.root
+    if not isinstance(root, Record):
+        raise AvroSparkError("read_avro_files_split requires a record schema")
+    struct = schema.to_struct_type()
+    field_names = [f.name for f in root.fields]
+    schema_export = json.dumps(schema.export())
+    sdf = spark.createDataFrame(
+        splits,
+        "path string, file_len long, start long, end long, "
+        "header_len long, sync binary, codec string",
+    )
+    n_tasks = max(len(splits), 1)
+    sdf = sdf.repartition(min(n_tasks, spark.sparkContext.defaultParallelism * 4))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sch = create(json.loads(schema_export))
+        dec = _compile_decoder(sch.root)
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                with open(row.path, "rb") as fh:
+                    sync = bytes(row.sync)
+                    if row.start == row.header_len:
+                        b = row.start  # first block needs no scan
+                    else:
+                        b = _find_block_start(
+                            fh, row.file_len, row.start, row.end, sync,
+                            row.codec, dec,
+                        )
+                    recs: list[Any] = []
+                    while 0 <= b < row.end:
+                        fh.seek(b)
+                        head = fh.read(20)
+                        count, p = _read_long(head, 0)
+                        size, p = _read_long(head, p)
+                        if count < 0 or size < 0 or b + p + size + 16 > row.file_len:
+                            raise AvroSparkError(
+                                f"corrupt OCF block at {row.path}:{b}"
+                            )
+                        fh.seek(b + p)
+                        data = fh.read(size)
+                        if row.codec == "deflate":
+                            data = zlib.decompress(data, -15)
+                        q = 0
+                        for _ in range(count):
+                            rec, q = dec(data, q)
+                            recs.append(rec)
+                        if q != len(data):
+                            raise AvroSparkError(
+                                f"trailing bytes in OCF block: {len(data) - q}"
+                            )
+                        fh.seek(b + p + size)
+                        if fh.read(16) != sync:
+                            raise AvroSparkError("OCF sync marker mismatch")
+                        b = b + p + size + 16
+                    if recs:
+                        yield pd.DataFrame(
+                            {n: [r[n] for r in recs] for n in field_names},
+                            columns=field_names,
+                        )
+
+    return sdf.mapInPandas(decode, schema=struct)
 
 
 def write_avro_files(

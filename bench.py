@@ -93,6 +93,9 @@ BENCH_QUERIES = [
     "snapshot_merge",
     "moving_stats",
     "html_clean",
+    # round 3: container probes + splittable OCF reads
+    "media_probe",
+    "ocf_split_read",
 ]
 
 

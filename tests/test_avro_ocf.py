@@ -187,3 +187,94 @@ def test_corrupt_block_header_raises_avro_error(spark):
 
     with _pytest.raises(Exception, match="corrupt OCF|truncated"):
         read_ocf_bytes(blob[: len(blob) - 18] + b"\xfe\xff")
+
+
+# ------------------------------------------------ splittable reads (round 3)
+class TestSplittableRead:
+    SCHEMA = {
+        "type": "record",
+        "name": "S",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "payload", "type": "bytes"},
+        ],
+    }
+
+    def _write(self, spark, tmp_path, n=2000, codec="null", parts=2,
+               payload=None):
+        from avro_spark.sources.avro_ocf import write_avro_files
+
+        sch = avs.create(self.SCHEMA)
+        pay = payload if payload is not None else F.encode(
+            F.concat(F.lit("pay-"), F.col("k").cast("string")), "utf-8")
+        df = (
+            spark.range(n).select(F.col("id").alias("k"), pay.alias("payload"))
+            .repartition(parts)
+        )
+        out = str(tmp_path / "ocf")
+        write_avro_files(df, sch, out, codec=codec, block_records=64)
+        return sch, out
+
+    def _collect(self, df):
+        return sorted((r.k, bytes(r.payload)) for r in df.collect())
+
+    @pytest.mark.parametrize("codec", ["null", "deflate"])
+    def test_split_read_equals_whole_file_read(self, spark, tmp_path, codec):
+        from avro_spark.sources.avro_ocf import read_avro_files
+
+        sch, out = self._write(spark, tmp_path, codec=codec)
+        whole = self._collect(read_avro_files(spark, out, sch))
+        # tiny split size forces MANY ranges per file
+        split = self._collect(read_avro_files(spark, out, sch, split_bytes=4096))
+        assert whole == split
+        assert len(whole) == 2000
+
+    def test_split_planning_produces_multiple_tasks(self, spark, tmp_path):
+        from avro_spark.sources.avro_ocf import read_avro_files_split
+
+        sch, out = self._write(spark, tmp_path, parts=1)
+        df = read_avro_files_split(spark, out, sch, split_bytes=4096)
+        # planner splits one file into many ranges; every row still read
+        assert df.count() == 2000
+
+    def test_split_boundary_alignment_sweep(self, spark, tmp_path):
+        """Every split size (prime-ish, tiny, huge) must partition the
+        blocks exactly — no duplicated or lost rows at any boundary."""
+        from avro_spark.sources.avro_ocf import read_avro_files_split
+
+        sch, out = self._write(spark, tmp_path, n=500, parts=1)
+        for sb in (257, 1021, 4096, 1 << 20):
+            rows = self._collect(read_avro_files_split(spark, out, sch, split_bytes=sb))
+            assert [k for k, _p in rows] == list(range(500)), sb
+
+    def test_sync_collision_in_payload(self, spark, tmp_path):
+        """A payload CONTAINING the 16-byte sync marker must not derail
+        the scan: the candidate fails block validation and scanning
+        continues to the true block start."""
+        import hashlib as _hl
+        import json as _json
+
+        sch = avs.create(self.SCHEMA)
+        sync = _hl.md5(_json.dumps(sch.export()).encode("utf-8")).digest()
+        from avro_spark.sources.avro_ocf import read_avro_files_split
+
+        _, out = self._write(
+            spark, tmp_path, n=1000, parts=1,
+            payload=F.concat(F.lit(bytearray(sync)), F.lit(bytearray(sync))),
+        )
+        rows = self._collect(read_avro_files_split(spark, out, sch, split_bytes=512))
+        assert [k for k, _p in rows] == list(range(1000))
+        assert all(p == sync * 2 for _k, p in rows)
+
+    def test_header_only_file(self, spark, tmp_path):
+        """A file with zero blocks plans zero splits and reads empty."""
+        from avro_spark.sources.avro_ocf import (
+            read_avro_files_split, write_ocf_bytes,
+        )
+
+        sch = avs.create(self.SCHEMA)
+        p = tmp_path / "ocf2"
+        p.mkdir()
+        (p / "part-0.avro").write_bytes(write_ocf_bytes(sch, []))
+        df = read_avro_files_split(spark, str(p), sch, split_bytes=4096)
+        assert df.count() == 0

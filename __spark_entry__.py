@@ -565,6 +565,56 @@ def q_ocf_split_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_avro_files(spark, out, sch, split_bytes=4096)
 
 
+def q_xflatten_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 dynamic face (operators/conform.xflatten_json): raw JSON
+    PARTIAL records with per-ROW field presence → update-op arrays,
+    all VariantType expressions. Three row shapes (by c_custkey % 3)
+    exercise presence variation and input-order op emission; exploded
+    to scalar rows for the oracle."""
+    from avro_spark.operators.conform import xflatten_json
+
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    sch = avro_spark.create(
+        {
+            "type": "record",
+            "name": "Cust3",
+            "fields": [
+                {"name": "c_custkey", "type": "long"},
+                {"name": "c_name", "type": "string"},
+                {"name": "c_nationkey", "type": "long"},
+            ],
+        }
+    )
+    k3 = F.col("c_custkey") % 3
+    j = (
+        F.when(k3 == 0, F.concat(F.lit('{"c_name": "'), F.col("c_name"), F.lit('"}')))
+        .when(
+            k3 == 1,
+            F.concat(
+                F.lit('{"c_nationkey": '), F.col("c_nationkey").cast("string"),
+                F.lit(', "c_name": "'), F.col("c_name"), F.lit('"}'),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit('{"c_custkey": '), F.col("c_custkey").cast("string"), F.lit("}"))
+        )
+    )
+    cs = avro_spark.compile(sch)
+    out = xflatten_json(cust.select("c_custkey", j.alias("j")), "j", cs,
+                        keep=("c_custkey",))
+    return out.select(
+        "c_custkey", F.posexplode("ops").alias("op_idx", "o")
+    ).select(
+        "c_custkey",
+        "op_idx",
+        F.col("o.op").alias("op"),
+        F.col("o.field_no").alias("field_no"),
+        F.col("o.value").alias("value"),
+    )
+
+
 def q_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 DataFrame conformance in flag mode (valid rows, empty _errors)."""
     nat = _read(spark, sf_dir, "nation")
@@ -1870,6 +1920,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # block-splittable OCF byte-range reads
         "media_probe": q_media_probe,
         "ocf_split_read": q_ocf_split_read,
+        "xflatten_json": q_xflatten_json,
     }
 
 
@@ -2554,6 +2605,20 @@ def _oracles_main() -> dict[str, str]:
 
 def _oracles_extra() -> dict[str, str]:
     return {
+        "xflatten_json": """
+            SELECT c_custkey, 0 AS op_idx, '=' AS op, 2 AS field_no,
+                   c_name AS value
+            FROM customer WHERE c_custkey % 3 = 0
+            UNION ALL
+            SELECT c_custkey, 0, '=', 3, CAST(c_nationkey AS VARCHAR)
+            FROM customer WHERE c_custkey % 3 = 1
+            UNION ALL
+            SELECT c_custkey, 1, '=', 2, c_name
+            FROM customer WHERE c_custkey % 3 = 1
+            UNION ALL
+            SELECT c_custkey, 0, '=', 1, CAST(c_custkey AS VARCHAR)
+            FROM customer WHERE c_custkey % 3 = 2
+        """,
         "ocf_split_read": """
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         """,

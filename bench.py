@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     # round 3: container probes + splittable OCF reads
     "media_probe",
     "ocf_split_read",
+    "xflatten_json",
 ]
 
 

@@ -1,0 +1,178 @@
+"""xflatten's dynamic JSON face (operators/conform.xflatten_json):
+per-ROW partial records — the form the reference consumes
+(test/ddt_suite/record.lua:355-362) — validated and turned into
+update-op arrays JVM-side."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+import avro_spark
+from avro_spark.errors import AvroSparkError
+from avro_spark.operators.conform import ERRORS_COL, xflatten_json
+
+NESTED = {
+    "type": "record",
+    "name": "X",
+    "fields": [
+        {"name": "f1", "type": "int"},
+        {"name": "f2", "type": {
+            "type": "record", "name": "Y", "fields": [
+                {"name": "g1", "type": "string"},
+                {"name": "g2", "type": "long"}]}},
+        {"name": "f3", "type": "double"},
+    ],
+}
+
+UNION = {
+    "type": "record",
+    "name": "U",
+    "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "u", "type": ["null", "int", "string"]},
+    ],
+}
+
+
+def _ops(spark, schema_dict, payloads, **kw):
+    cs = avro_spark.compile(avro_spark.create(schema_dict), **kw)
+    df = spark.createDataFrame([(json.dumps(p) if isinstance(p, dict) else p,)
+                                for p in payloads], "j string")
+    rows = xflatten_json(df, "j", cs, keep=()).collect()
+    return [
+        (None if r.ops is None else [(o.op, o.field_no, o.value) for o in r.ops],
+         list(r[ERRORS_COL]))
+        for r in rows
+    ]
+
+
+def test_partial_per_row_presence(spark):
+    """Different rows update DIFFERENT fields — the per-row presence the
+    typed path cannot express."""
+    out = _ops(spark, NESTED, [
+        {"f1": 7},
+        {"f3": 2.5},
+        {"f1": 1, "f3": 0.5},
+    ])
+    assert out[0] == ([("=", 1, "7")], [])
+    assert out[1] == ([("=", 4, "2.5")], [])
+    assert out[2] == ([("=", 1, "1"), ("=", 4, "0.5")], [])
+
+
+def test_nested_partial_subrecord(spark):
+    """Inlined (non-nullable) sub-record: only present subfields update,
+    at their own flat cells (record_nested.lua:59-70 semantics)."""
+    out = _ops(spark, NESTED, [{"f2": {"g2": 9}}, {"f2": {"g1": "a", "g2": 3}}])
+    assert out[0] == ([("=", 3, "9")], [])
+    assert out[1] == ([("=", 2, "a"), ("=", 3, "3")], [])
+
+
+def test_input_order_is_op_order(spark):
+    """Ops follow the input's own key order at every level
+    (record_version.lua:108-143), not schema order."""
+    df_rows = ['{"f3": 1.5, "f1": 2}', '{"f1": 2, "f3": 1.5}']
+    out = _ops(spark, NESTED, df_rows)
+    assert out[0][0] == [("=", 4, "1.5"), ("=", 1, "2")]
+    assert out[1][0] == [("=", 1, "2"), ("=", 4, "1.5")]
+
+
+def test_union_double_cell(spark):
+    """Union fields update BOTH cells: [tag, value]
+    (compiler.lua:1002-1013); JSON null selects the null branch."""
+    out = _ops(spark, UNION, [
+        {"u": {"int": 42}},
+        {"u": {"string": "hi"}},
+        {"u": None},
+        {"k": 5},
+    ])
+    # reference tags are BRANCH indices: [null, int, string] → 0/1/2
+    assert out[0] == ([("=", 2, "1"), ("=", 3, "42")], [])
+    assert out[1] == ([("=", 2, "2"), ("=", 3, "hi")], [])
+    assert out[2] == ([("=", 2, "0"), ("=", 3, None)], [])
+    assert out[3] == ([("=", 1, "5")], [])
+
+
+def test_unknown_key_and_bad_value_flag(spark):
+    out = _ops(spark, NESTED, [
+        {"zz": 1},
+        {"f1": "not-an-int"},
+        {"f2": {"zz": 1}},
+    ])
+    assert out[0][0] is None and out[0][1] == ['Unknown key: "zz"']
+    assert out[1][0] is None and "Expecting INT" in out[1][1][0]
+    assert out[2][0] is None and out[2][1] == ['f2: Unknown key: "zz"']
+
+
+def test_invalid_json_flag(spark):
+    out = _ops(spark, NESTED, ["{not json"])
+    assert out[0][0] is None and out[0][1] == ["invalid JSON"]
+
+
+def test_raise_mode(spark):
+    cs = avro_spark.compile(avro_spark.create(NESTED))
+    df = spark.createDataFrame([('{"zz": 1}',)], "j string")
+    with pytest.raises(Exception, match='Unknown key'):
+        xflatten_json(df, "j", cs, mode="raise").collect()
+
+
+def test_matches_typed_xflatten(spark):
+    """Same update through the typed path and the JSON path → same
+    (field_no, value) set."""
+    cs = avro_spark.compile(avro_spark.create(NESTED))
+    tdf = spark.createDataFrame([(7, 1.25)], "f1 int, f3 double")
+    typed = cs.xflatten(tdf).collect()[0].ops
+    jdf = spark.createDataFrame([('{"f1": 7, "f3": 1.25}',)], "j string")
+    js = xflatten_json(jdf, "j", cs).collect()[0].ops
+    assert [(o.op, o.field_no, o.value) for o in typed] == \
+        [(o.op, o.field_no, o.value) for o in js]
+
+
+def test_nullable_record_alpha_gate(spark):
+    sch = {
+        "type": "record", "name": "N",
+        "fields": [
+            {"name": "a", "type": "int"},
+            {"name": "r", "type": {
+                "type": "record*", "name": "RR",
+                "fields": [{"name": "x", "type": "int"}]}},
+        ],
+    }
+    cs = avro_spark.compile(avro_spark.create(sch))
+    df = spark.createDataFrame([('{"a": 1}',)], "j string")
+    with pytest.raises(AvroSparkError, match="developement stage"):
+        xflatten_json(df, "j", cs)
+    cs2 = avro_spark.compile(
+        avro_spark.create(sch), alpha_nullable_record_xflatten=True
+    )
+    out = xflatten_json(df, "j", cs2).collect()[0]
+    assert [(o.op, o.field_no, o.value) for o in out.ops] == [("=", 1, "1")]
+    # complete nullable-record value updates its single VLO cell as JSON
+    df2 = spark.createDataFrame([('{"r": {"x": 5}}',)], "j string")
+    out2 = xflatten_json(df2, "j", cs2).collect()[0]
+    assert [(o.op, o.field_no) for o in out2.ops] == [("=", 2)]
+    # INCOMPLETE nullable-record value flags (whole-cell semantics)
+    sch3 = {
+        "type": "record", "name": "N3",
+        "fields": [{"name": "r", "type": {
+            "type": "record*", "name": "R3",
+            "fields": [{"name": "x", "type": "int"},
+                       {"name": "y", "type": "int"}]}}],
+    }
+    cs3 = avro_spark.compile(
+        avro_spark.create(sch3), alpha_nullable_record_xflatten=True
+    )
+    df3 = spark.createDataFrame([('{"r": {"x": 5}}',)], "j string")
+    r3 = xflatten_json(df3, "j", cs3).collect()[0]
+    assert r3.ops is None and 'Key missing: "y"' in r3[ERRORS_COL][0]
+
+
+def test_service_field_offsets(spark):
+    """Service cells shift every op index (init.lua:356-360)."""
+    cs = avro_spark.compile(
+        avro_spark.create(NESTED), service_fields=("string", "int")
+    )
+    df = spark.createDataFrame([('{"f1": 3}',)], "j string")
+    out = xflatten_json(df, "j", cs).collect()[0]
+    assert [(o.field_no, o.value) for o in out.ops] == [(3, "3")]

@@ -1042,16 +1042,63 @@ def xflatten_json(
     n_service = len(compiled.service_fields)
     cells = build_layout(root, compiled.service_fields)
     raw = F.col(json_col)
-    v = F.try_parse_json(raw)
+
+    # ---- helper-column stage: every record LEVEL's key array (from the
+    # RAW text — get_json_object slices preserve document order, while
+    # VariantType normalizes objects to sorted keys) and variant slice
+    # are computed ONCE as named columns, so per-cell expressions stay
+    # O(1)-deep instead of re-deriving their whole presence chain —
+    # keeping runtime tree growth linear in cells at any nesting depth.
+    # (Plan BUILD is still a per-schema driver-side constant — ~10 s at
+    # 150 cells, dominated by column construction — amortized over the
+    # data like every compiled plan here.)
+    prefixes: list[tuple[str, ...]] = []
+    seen_prefix: set[tuple[str, ...]] = set()
+    for cell in cells:
+        if cell.kind == SERVICE:
+            continue
+        for i in range(len(cell.path)):
+            p = cell.path[:i]
+            if p not in seen_prefix:
+                seen_prefix.add(p)
+                prefixes.append(p)
+    kcol = {p: f"__xj_k{i}" for i, p in enumerate(prefixes)}
+    vcol_name = {p: f"__xj_v{i}" for i, p in enumerate(prefixes)}
+    # prefixes are ordered parents-first, so each variant helper can
+    # reference its parent's column — chained selects, which Catalyst's
+    # CollapseProject folds back into one projection
+    work = df
+    for p in prefixes:
+        raw_obj = raw
+        for name in p:
+            raw_obj = F.get_json_object(
+                raw_obj, "$['" + name.replace("'", "\\'") + "']"
+            )
+        vexpr = F.try_parse_json(raw) if not p else F.variant_get(
+            F.col(vcol_name[p[:-1]]), _vpath(p[-1]), "variant"
+        )
+        work = work.select(
+            "*",
+            F.json_object_keys(raw_obj).alias(kcol[p]),
+            vexpr.alias(vcol_name[p]),
+        )
+    v = F.col(vcol_name[()])
+
+    def keys_at(p: tuple) -> Column:
+        return F.col(kcol[p])
+
+    def variant_at(p: tuple) -> Column:
+        return F.col(vcol_name[p])
 
     # ---- errors: xflatten-mode validation (absence allowed per level)
-    def rec_errors(node: _Record, vcol: Column, path: tuple, depth: int) -> list[Column]:
+    def rec_errors(node: _Record, path: tuple, depth: int) -> list[Column]:
         loc = _vj_loc(path)
-        s = F.schema_of_variant(vcol)
-        type_err = F.when(~s.startswith("OBJECT") | _vj_is_bin(vcol, binary_key),
-                          _vj_expecting(vcol, path, "MAP", binary_key))
+        vc = variant_at(path)
+        s = F.schema_of_variant(vc)
+        type_err = F.when(~s.startswith("OBJECT") | _vj_is_bin(vc, binary_key),
+                          _vj_expecting(vc, path, "MAP", binary_key))
         known = [f.name for f in node.fields]
-        keys = _xj_keys(vcol)
+        keys = keys_at(path)
         unknown = F.array_except(keys, F.array(*[F.lit(k) for k in known]))
         unknown_err = F.when(
             F.size(unknown) > 0,
@@ -1060,49 +1107,45 @@ def xflatten_json(
         )
         errs = [F.coalesce(type_err, unknown_err)]
         for f in node.fields:
-            child = F.variant_get(vcol, _vpath(f.name), "variant")
             present = F.array_contains(keys, f.name)
             fpath = path + (f.name,)
             ft = f.type
             if isinstance(ft, _Record) and not ft.nullable:
                 # inlined sub-record: absence allowed per subfield too
-                sub = rec_errors(ft, child, fpath, depth + 1)
+                sub = rec_errors(ft, fpath, depth + 1)
                 errs.append(F.when(present, F.coalesce(*sub)))
             else:
+                child = F.variant_get(vc, _vpath(f.name), "variant")
                 errs.append(F.when(
                     present, _vj_node(ft, child, fpath, depth + 1, binary_key)
                 ))
         return errs
 
     bad_json = F.when(raw.isNotNull() & v.isNull(), F.lit("invalid JSON"))
-    err = F.coalesce(bad_json, *rec_errors(root, v, (), 0))
+    err = F.coalesce(bad_json, *rec_errors(root, (), 0))
     errors = F.array_compact(F.array(err))
 
     # ---- ops: per flat cell, gated on the full presence chain, sorted
-    # by the input's own key positions at every nesting level. Key ORDER
-    # must come from the RAW text (get_json_object slices preserve the
-    # document; VariantType normalizes objects to sorted keys).
+    # by the input's own key positions at every nesting level
     op_structs: list[Column] = []
     handled_unions: set[int] = set()
     for cell in cells:
         if cell.kind == SERVICE:
             continue
-        # presence chain + per-level input-order sort key
-        parent = v
-        raw_obj = raw
+        # presence chain + per-level input-order sort key, all from the
+        # shared helper columns
         present = F.lit(True)
         sort_parts: list[Column] = []
-        for name in cell.path:
-            keys_here = F.json_object_keys(raw_obj)
+        for i, name in enumerate(cell.path):
+            keys_here = keys_at(cell.path[:i])
             present = present & F.array_contains(
                 F.coalesce(keys_here, F.array().cast("array<string>")), name
             )
             sort_parts.append(F.coalesce(
                 F.array_position(keys_here, name).cast("int"), F.lit(0)))
-            parent = F.variant_get(parent, _vpath(name), "variant")
-            raw_obj = F.get_json_object(
-                raw_obj, "$['" + name.replace("'", "\\'") + "']"
-            )
+        parent = F.variant_get(
+            variant_at(cell.path[:-1]), _vpath(cell.path[-1]), "variant"
+        )
         sort_key = F.array(*sort_parts)
         node = cell.node
         pos = cell.index + 1  # 1-based; service cells already counted
@@ -1147,9 +1190,9 @@ def xflatten_json(
         F.when(F.size(errors) == 0, ops).alias("ops")
     ]
     if mode == "flag":
-        return df.select(*out_cols, errors.alias(ERRORS_COL))
+        return work.select(*out_cols, errors.alias(ERRORS_COL))
     guard = F.assert_true(
         F.size(errors) == 0,
         F.concat(F.lit("xflatten_json failed: "), F.array_join(errors, "; ")),
     )
-    return df.where(F.coalesce(guard.cast("boolean"), F.lit(True))).select(*out_cols)
+    return work.where(F.coalesce(guard.cast("boolean"), F.lit(True))).select(*out_cols)

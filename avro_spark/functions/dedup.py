@@ -462,7 +462,13 @@ def dedup_clusters(
             .agg(F.min("lbl").alias("lbl"), F.min("prev").alias("prev"))
             .localCheckpoint(eager=True)
         )
-        changed = not prop.where(F.col("lbl") != F.col("prev")).isEmpty()
+        # null-safe: a row with prev NULL (an id that somehow lacked a
+        # labels row — cannot happen while init covers every symmetrized
+        # edge endpoint, but a silent miss here would converge EARLY
+        # with wrong clusters) must count as changed
+        changed = not prop.where(
+            F.col("prev").isNull() | (F.col("lbl") != F.col("prev"))
+        ).isEmpty()
         labels = prop.select("id", "lbl")
         if not changed:
             converged = True

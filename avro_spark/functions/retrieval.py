@@ -175,15 +175,29 @@ def _bpe_pick_batch(top: list, limit: int, truncated: bool) -> list:
       each pair's raw tokens AND its merged token (the merged token
       matters: (a,b) and (ab,c) are raw-disjoint, yet merging (a,b)
       creates ``ab`` tokens that change (ab,c)'s count). With merged
-      tokens in the conflict set, every kept pair's count is invariant
-      under the other kept merges;
-    * every kept pair's count must be STRICTLY greater than the first
-      pair left behind (interacting / over-limit / truncation
-      boundary). A merge of (x, y) with x ≠ y only creates pairs like
-      (prev, xy) out of contexts that contain an EXISTING interacting
-      pair (prev, x) — which is at or below the boundary — so no
-      created pair can outrank (or tie into the lexicographic order
-      of) anything kept;
+      tokens in the conflict set, every kept pair's OWN count is
+      invariant under the other kept merges;
+    * ORDER boundary: every kept pair's count must be STRICTLY greater
+      than the first pair left behind for any reason (so ties — incl.
+      lexicographic ones — never reorder against static leftovers);
+    * GAIN boundary: every kept pair's count must also be STRICTLY
+      greater than FOUR TIMES the highest-counted pair that INTERACTS
+      with the batch (shares a kept raw or merged token — scanned over
+      the whole fetched list, or the fetch floor when truncated). Only
+      interacting pairs can change count, and each gain instance maps
+      to an instance of an existing interacting context pair: the
+      junction pair when both sides are freshly merged ("a b c d" →
+      (ab, cd) maps to (b, c)), or the (right-raw-of-u, v) /
+      (u, left-raw-of-v) pair when one side already existed raw. Three
+      families plus the pre-count, each at or below the gain boundary
+      ⇒ post ≤ 4·gain_boundary — nothing can rise to outrank (or tie
+      into the lexicographic order of) anything kept. THIS is what a
+      naive order-only boundary misses when a merged token already
+      exists raw in the corpus (e.g. raw "ab" plus merging (a,b)
+      boosts an existing (x, ab) above other accepted pairs). When NO
+      interacting pair exists at all, no gains are possible and the
+      order boundary alone suffices — the fully-disjoint-pairs corpus
+      batches freely;
     * a SELF-pair (x, x) closes the batch: run-merging "m m m m" makes
       merged tokens adjacent to each other and to leftovers, creating
       (mm, mm) / (mm, m) pairs bounded only by the rule's own count —
@@ -194,20 +208,22 @@ def _bpe_pick_batch(top: list, limit: int, truncated: bool) -> list:
     """
     accepted: list = []
     used: set[str] = set()
-    boundary = None
+    order_boundary = None
+    self_gain = None
     for row in top:
         if len(accepted) == limit:
-            boundary = row["n_pairs"]
+            order_boundary = row["n_pairs"]
             break
         joined = row["left"] + row["right"]
         if row["left"] in used or row["right"] in used or joined in used:
-            boundary = row["n_pairs"]
+            order_boundary = row["n_pairs"]
             break
         if row["left"] == row["right"]:
             # safe only alone: close the batch at this rule's own count
             if not accepted:
                 accepted.append(row)
-            boundary = row["n_pairs"]
+            order_boundary = row["n_pairs"]
+            self_gain = row["n_pairs"]
             break
         accepted.append(row)
         used.add(row["left"])
@@ -216,9 +232,27 @@ def _bpe_pick_batch(top: list, limit: int, truncated: bool) -> list:
     else:
         if truncated and top:
             # unseen pairs may tie the last fetched count
-            boundary = top[-1]["n_pairs"]
-    if boundary is not None:
-        accepted = [r for r in accepted if r["n_pairs"] > boundary]
+            order_boundary = top[-1]["n_pairs"]
+    # gain boundary: the best interacting pair anywhere in the fetched
+    # list (non-accepted), or the fetch floor when the list is truncated
+    # (unseen pairs might interact)
+    acc_ids = {id(r) for r in accepted}
+    gain_boundary = self_gain
+    for row in top:
+        if id(row) in acc_ids:
+            continue
+        joined = row["left"] + row["right"]
+        if row["left"] in used or row["right"] in used or joined in used:
+            gain_boundary = row["n_pairs"] if gain_boundary is None \
+                else max(gain_boundary, row["n_pairs"])
+            break  # sorted desc: the first interacting one is the max
+    if truncated and top:
+        floor = top[-1]["n_pairs"]
+        gain_boundary = floor if gain_boundary is None else max(gain_boundary, floor)
+    if order_boundary is not None:
+        accepted = [r for r in accepted if r["n_pairs"] > order_boundary]
+    if gain_boundary is not None:
+        accepted = [r for r in accepted if r["n_pairs"] > 4 * gain_boundary]
     if not accepted and top:
         # the global max is always safe alone (nothing outranks it, and
         # lexicographic ties were already resolved by the sort)

@@ -954,8 +954,12 @@ def _xj_render(node: SchemaNode, vcol: Column) -> Column:
             F.variant_get(vcol, "$", "string"),
         )
         return code.cast("string")
+    if isinstance(node, Primitive) and node.type in ("float", "double"):
+        # match the typed path's stringification (2.0 -> '2.0'; the
+        # variant's lexical form would drop the fraction: '2')
+        return F.variant_get(vcol, "$", "double").cast("string")
     if isinstance(node, Primitive) and node.type in (
-        "int", "long", "float", "double", "boolean", "string",
+        "int", "long", "boolean", "string",
     ):
         return F.variant_get(vcol, "$", "string")
     # bytes/fixed/array/map/record (and VLO nullables): JSON text
@@ -1128,9 +1132,12 @@ def xflatten_json(
     # ---- ops: per flat cell, gated on the full presence chain, sorted
     # by the input's own key positions at every nesting level
     op_structs: list[Column] = []
-    handled_unions: set[int] = set()
     for cell in cells:
-        if cell.kind == SERVICE:
+        if cell.kind == SERVICE or cell.kind == UNION_VALUE:
+            # a union is handled once, at its TAG cell (the VALUE cell is
+            # always the immediately following cell); keying the skip on
+            # node identity instead would DROP the second occurrence of a
+            # union inside a named record referenced twice
             continue
         # presence chain + per-level input-order sort key, all from the
         # shared helper columns
@@ -1151,19 +1158,8 @@ def xflatten_json(
         pos = cell.index + 1  # 1-based; service cells already counted
         if cell.kind == UNION_TAG:
             union: UnionNode = cells[cell.index + 1].node  # type: ignore
-            if id(union) in handled_unions:
-                continue
-            handled_unions.add(id(union))
             op_structs.extend(
                 _xj_union_ops(union, parent, present, sort_key, pos, 0)
-            )
-            continue
-        if cell.kind == UNION_VALUE:
-            if id(node) in handled_unions:
-                continue
-            handled_unions.add(id(node))
-            op_structs.extend(
-                _xj_union_ops(node, parent, present, sort_key, pos - 1, 0)
             )
             continue
         assert cell.kind == SCALAR

@@ -235,7 +235,6 @@ def _walk_ebml(data: bytes, start: int, end: int):
     pos = start
     while pos < end:
         eid, p = _vint(data, pos, keep_marker=True)
-        size_first = data[p] if p < len(data) else 0
         size, p2 = _vint(data, p, keep_marker=False)
         size_len = p2 - p
         if size == (1 << (7 * size_len)) - 1:  # unknown size

@@ -268,21 +268,35 @@ def _find_block_start(
     sync marker (md5 of the schema), so payload bytes can legitimately
     contain it; structural checks alone collide on such files. Costs
     one extra block parse per split, once."""
-    # a sync whose END is ≥ start begins at ≥ start-16
+    # a sync whose END is ≥ start begins at ≥ start-16; scan in bounded
+    # chunks (the first real block almost always sits in the first one)
+    # instead of slurping the whole split range into memory
+    CHUNK = 1 << 20
     lo = max(start - 16, 0)
-    fh.seek(lo)
-    window = fh.read(min(end, file_len) - lo + 16)
-    off = 0
-    while True:
-        hit = window.find(sync, off)
-        if hit < 0:
+    hard_end = min(end, file_len) + 16
+    base = lo
+    carry = b""
+    while base < hard_end:
+        fh.seek(base)
+        chunk = fh.read(min(CHUNK, hard_end - base))
+        if not chunk:
             return -1
-        b = lo + hit + 16  # candidate block start
-        if b >= end:
-            return -1
-        if b >= start and _validate_block(fh, file_len, b, sync, codec, dec):
-            return b
-        off = hit + 1
+        window = carry + chunk
+        w_base = base - len(carry)
+        off = 0
+        while True:
+            hit = window.find(sync, off)
+            if hit < 0:
+                break
+            b = w_base + hit + 16  # candidate block start
+            if b >= end:
+                return -1
+            if b >= start and _validate_block(fh, file_len, b, sync, codec, dec):
+                return b
+            off = hit + 1
+        carry = window[-(len(sync) - 1):]  # marker may straddle chunks
+        base += len(chunk)
+    return -1
 
 
 def _validate_block(fh, file_len: int, b: int, sync: bytes, codec: str, dec) -> bool:
@@ -407,6 +421,14 @@ def read_avro_files_split(
                         if fh.read(16) != sync:
                             raise AvroSparkError("OCF sync marker mismatch")
                         b = b + p + size + 16
+                        if len(recs) >= DEFAULT_BLOCK_RECORDS:
+                            # stream batches out as blocks complete so task
+                            # memory is bounded by block size, not split size
+                            yield pd.DataFrame(
+                                {n: [r[n] for r in recs] for n in field_names},
+                                columns=field_names,
+                            )
+                            recs = []
                     if recs:
                         yield pd.DataFrame(
                             {n: [r[n] for r in recs] for n in field_names},

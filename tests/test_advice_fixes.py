@@ -257,3 +257,17 @@ def test_jsonl_blank_line_whitespace_classes(spark, tmp_path):
     )
     df = read_jsonl(spark, str(p), schema=sch, avro_conventions=True, mode="FAILFAST")
     assert sorted(r.a for r in df.collect()) == [1, 2]
+
+
+def test_dedup_clusters_pairs_mention_unknown_ids(spark):
+    """Pair endpoints absent from `ids` (x, a here) still participate in
+    propagation and converge to the full component min — the change
+    probe must keep iterating through multi-hop chains that run through
+    edge-only nodes."""
+    ids = spark.createDataFrame([("b",)], "_id string")
+    pairs = spark.createDataFrame(
+        [("b", "x"), ("x", "a")], "id_a string, id_b string"
+    )
+    out = {r._id: r.cluster_id for r in dedup_clusters(ids, pairs, "_id").collect()}
+    # all three nodes reachable; the component min is 'a'
+    assert out == {"a": "a", "b": "a", "x": "a"}

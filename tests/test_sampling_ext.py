@@ -319,3 +319,19 @@ def test_bpe_batched_fewer_driver_rounds(spark):
             counts[bs] = mc.call_count
     assert counts[1] >= 8
     assert counts[8] <= max(counts[1] // 2, 2), counts
+
+
+def test_bpe_batched_boosted_pair_counterexample(spark):
+    """Review counterexample: merging (a,b) when 'ab' also exists RAW
+    boosts the below-boundary pair (x,ab) above other accepted pairs —
+    sequential merges (x,ab) second; a naive batch would merge (c,d)
+    second. The 4x-boundary rule must keep the two paths identical."""
+    texts = ["x a b"] * 60 + ["a b"] * 40 + ["x ab"] * 70 + ["c d"] * 81
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    m1, t1 = bpe_train(docs, num_merges=3, batch_size=1)
+    m8, t8 = bpe_train(docs, num_merges=3, batch_size=8)
+    assert _merge_rows(m1) == _merge_rows(m8)
+    assert _tok_rows(t1) == _tok_rows(t8)
+    # sequential picks the boosted pair second
+    assert [(r[1], r[2]) for r in _merge_rows(m1)] == [
+        ("a", "b"), ("x", "ab"), ("c", "d")]

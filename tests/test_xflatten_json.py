@@ -176,3 +176,39 @@ def test_service_field_offsets(spark):
     df = spark.createDataFrame([('{"f1": 3}',)], "j string")
     out = xflatten_json(df, "j", cs).collect()[0]
     assert [(o.field_no, o.value) for o in out.ops] == [(3, "3")]
+
+
+def test_reused_named_record_union_cells(spark):
+    """A named record containing a union, referenced TWICE: both
+    occurrences' union cells must emit ops (the cells share one
+    UnionNode object — dedup must be positional, not by node id)."""
+    sch = {
+        "type": "record", "name": "Root",
+        "fields": [
+            {"name": "a", "type": {
+                "type": "record", "name": "R",
+                "fields": [{"name": "u", "type": ["int", "string"]}]}},
+            {"name": "b", "type": "R"},
+        ],
+    }
+    cs = avro_spark.compile(avro_spark.create(sch))
+    df = spark.createDataFrame(
+        [('{"a": {"u": {"int": 1}}, "b": {"u": {"int": 2}}}',)], "j string"
+    )
+    out = xflatten_json(df, "j", cs).collect()[0]
+    assert out[ERRORS_COL] == []
+    assert [(o.op, o.field_no, o.value) for o in out.ops] == [
+        ("=", 1, "0"), ("=", 2, "1"), ("=", 3, "0"), ("=", 4, "2"),
+    ]
+
+
+def test_whole_number_double_matches_typed(spark):
+    """2.0 must stringify as '2.0' on BOTH A7 faces (the raw variant
+    lexical form would drop the fraction)."""
+    cs = avro_spark.compile(avro_spark.create(NESTED))
+    tdf = spark.createDataFrame([(2.0,)], "f3 double")
+    typed = cs.xflatten(tdf).collect()[0].ops
+    jdf = spark.createDataFrame([('{"f3": 2.0}',)], "j string")
+    js = xflatten_json(jdf, "j", cs).collect()[0].ops
+    assert [(o.field_no, o.value) for o in typed] == \
+        [(o.field_no, o.value) for o in js] == [(4, "2.0")]

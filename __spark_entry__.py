@@ -565,6 +565,53 @@ def q_ocf_split_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_avro_files(spark, out, sch, split_bytes=4096)
 
 
+def q_jsonl_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVRO-convention JSONL sink→source = identity on events with a
+    3-branch union payload: unions travel as {"<tag>": value}
+    single-entry maps and bytes as {"$binary": hex} — the reference
+    corpus's JSON form, which Spark's native JSON writer cannot emit
+    (sources/jsonl.py write_jsonl_avro + read_jsonl avro_conventions)."""
+    import tempfile
+
+    from avro_spark.schema.spark_types import UNION_TAG
+    from avro_spark.sources.jsonl import read_jsonl, write_jsonl_avro
+
+    m = F.pmod(F.col("event_id"), F.lit(3))
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.struct(
+            m.cast("int").alias(UNION_TAG),
+            F.when(m == 1, F.col("value")).alias("double"),
+            F.when(m == 2, F.col("event_type")).alias("string"),
+        ).alias("payload"),
+        F.encode("event_type", "utf-8").alias("blob"),
+    )
+    sch = avro_spark.create(
+        {
+            "type": "record",
+            "name": "EvtJ",
+            "fields": [
+                {"name": "event_id", "type": "long"},
+                {"name": "payload", "type": ["null", "double", "string"]},
+                {"name": "blob", "type": "bytes"},
+            ],
+        }
+    )
+    out = tempfile.mkdtemp(prefix="jsonl_avro_")
+    write_jsonl_avro(ev, sch, out)
+    back = read_jsonl(
+        spark, out, schema=sch, avro_conventions=True,
+        binary_key="$binary", mode="FAILFAST",
+    )
+    return back.select(
+        "event_id",
+        F.col("payload").getField(UNION_TAG).alias("tag"),
+        F.col("payload").getField("double").alias("v_double"),
+        F.col("payload").getField("string").alias("v_str"),
+        F.decode("blob", "utf-8").alias("blob_text"),
+    )
+
+
 def q_xflatten_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 dynamic face (operators/conform.xflatten_json): raw JSON
     PARTIAL records with per-ROW field presence → update-op arrays,
@@ -1921,6 +1968,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_probe": q_media_probe,
         "ocf_split_read": q_ocf_split_read,
         "xflatten_json": q_xflatten_json,
+        "jsonl_avro_roundtrip": q_jsonl_avro_roundtrip,
     }
 
 
@@ -2605,6 +2653,14 @@ def _oracles_main() -> dict[str, str]:
 
 def _oracles_extra() -> dict[str, str]:
     return {
+        "jsonl_avro_roundtrip": """
+            SELECT event_id,
+                   CAST(event_id % 3 AS INT) AS tag,
+                   CASE WHEN event_id % 3 = 1 THEN value END AS v_double,
+                   CASE WHEN event_id % 3 = 2 THEN event_type END AS v_str,
+                   event_type AS blob_text
+            FROM events
+        """,
         "xflatten_json": """
             SELECT c_custkey, 0 AS op_idx, '=' AS op, 2 AS field_no,
                    c_name AS value

@@ -956,7 +956,9 @@ def _xj_render(node: SchemaNode, vcol: Column) -> Column:
         return code.cast("string")
     if isinstance(node, Primitive) and node.type in ("float", "double"):
         # match the typed path's stringification (2.0 -> '2.0'; the
-        # variant's lexical form would drop the fraction: '2')
+        # variant's lexical form would drop the fraction: '2'). Known
+        # deviation: Spark's Variant stores small JSON decimals as
+        # DECIMAL, which has no signed zero, so -0.0 arrives as 0.0.
         return F.variant_get(vcol, "$", "double").cast("string")
     if isinstance(node, Primitive) and node.type in (
         "int", "long", "boolean", "string",

@@ -104,3 +104,143 @@ def write_jsonl(df: DataFrame, path: str, compression: Optional[str] = None) -> 
     if compression is not None:
         writer = writer.option("compression", compression)
     writer.json(path)
+
+
+# ------------------------------------------------- AVRO-convention JSON sink
+def _j_frag(col) -> "Column":
+    """Any scalar column → its JSON fragment text: wrap in a 1-element
+    array, to_json, strip the brackets. Handles escaping, numbers and
+    null uniformly (``["a\\"b"]`` → ``"a\\"b"``)."""
+    from pyspark.sql import functions as F
+
+    s = F.to_json(F.array(col))
+    return F.substring(s, 2, F.length(s) - 2)
+
+
+def render_json_avro(node, col, binary_key: str = "$binary") -> "Column":
+    """Schema-directed JSON TEXT rendering of one value column using the
+    AVRO value conventions (the reference corpus's JSON↔MsgPack form,
+    test/msgpack_helper.py): union values as ``null`` or the single-entry
+    map ``{"<tag>": value}`` (frontend.lua:899-919 — BOTH simple [null,T]
+    and general unions), bytes/fixed as ``{"$binary": "<HEX>"}``, enums as
+    their symbol string. Pure column expressions — composes into
+    :func:`write_jsonl_avro`'s whole-row renderer."""
+    from pyspark.sql import functions as F
+
+    from ..schema.nodes import (
+        Array, Enum, Fixed, Map, Primitive, Record, UnionNode,
+    )
+    from ..schema.spark_types import UNION_TAG, union_null_and_one
+
+    if isinstance(node, Primitive) or isinstance(node, Enum):
+        if isinstance(node, Primitive) and node.type == "bytes":
+            return F.when(
+                col.isNull(), F.lit("null")
+            ).otherwise(
+                F.concat(F.lit('{"' + binary_key + '": "'),
+                         F.upper(F.hex(col)), F.lit('"}'))
+            )
+        return _j_frag(col)
+    if isinstance(node, Fixed):
+        return F.when(col.isNull(), F.lit("null")).otherwise(
+            F.concat(F.lit('{"' + binary_key + '": "'),
+                     F.upper(F.hex(col)), F.lit('"}'))
+        )
+    if isinstance(node, Record):
+        parts = [
+            F.concat(
+                F.lit(('' if i == 0 else ',') + _j_key(f.name) + ': '),
+                render_json_avro(f.type, col.getField(f.name), binary_key),
+            )
+            for i, f in enumerate(node.fields)
+        ]
+        body = F.concat(F.lit("{"), *parts, F.lit("}"))
+        return F.when(col.isNull(), F.lit("null")).otherwise(body)
+    if isinstance(node, Array):
+        inner = F.array_join(
+            F.transform(col, lambda x: render_json_avro(node.items, x, binary_key)),
+            ",",
+        )
+        return F.when(col.isNull(), F.lit("null")).otherwise(
+            F.concat(F.lit("["), inner, F.lit("]"))
+        )
+    if isinstance(node, Map):
+        entries = F.array_join(
+            F.transform(
+                F.map_entries(col),
+                lambda e: F.concat(
+                    _j_frag(e.getField("key")), F.lit(": "),
+                    render_json_avro(node.values, e.getField("value"), binary_key),
+                ),
+            ),
+            ",",
+        )
+        return F.when(col.isNull(), F.lit("null")).otherwise(
+            F.concat(F.lit("{"), entries, F.lit("}"))
+        )
+    if isinstance(node, UnionNode):
+        simple = union_null_and_one(node)
+        if simple is not None:
+            tag = next(
+                node.branch_tag(i) for i, b in enumerate(node.branches)
+                if not (isinstance(b, Primitive) and b.type == "null")
+            )
+            return F.when(col.isNull(), F.lit("null")).otherwise(
+                F.concat(F.lit("{" + _j_key(tag) + ": "),
+                         render_json_avro(simple, col, binary_key), F.lit("}"))
+            )
+        tag_c = col.getField(UNION_TAG)
+        out = F.lit("null")  # null branch / null cell
+        for i, b in enumerate(node.branches):
+            if isinstance(b, Primitive) and b.type == "null":
+                continue
+            t = node.branch_tag(i)
+            out = F.when(
+                col.isNotNull() & (tag_c == i),
+                F.concat(F.lit("{" + _j_key(t) + ": "),
+                         render_json_avro(b, col.getField(t), binary_key),
+                         F.lit("}")),
+            ).otherwise(out)
+        return out
+    raise AvroSparkError(f"render_json_avro: unsupported node {node!r}")
+
+
+def _j_key(name: str) -> str:
+    import json as _json
+
+    return _json.dumps(name)
+
+
+def write_jsonl_avro(
+    df: DataFrame,
+    schema: Schema,
+    path: str,
+    binary_key: str = "$binary",
+    compression: Optional[str] = None,
+) -> None:
+    """Record-shaped DataFrame → JSONL files in the AVRO value-convention
+    form — the sink twin of ``read_jsonl(avro_conventions=True)``, so
+    unions round-trip as ``{"<tag>": value}`` and bytes/fixed as
+    ``{"$binary": hex}`` (forms Spark's native JSON writer cannot emit).
+    Rendering is one narrow string-building projection; the write is the
+    native distributed text sink."""
+    from pyspark.sql import functions as F
+
+    root = schema.root
+    if not isinstance(root, Record):
+        raise AvroSparkError("write_jsonl_avro requires a record schema")
+    missing = [f.name for f in root.fields if f.name not in df.columns]
+    if missing:
+        raise AvroSparkError(f"write_jsonl_avro: missing columns {missing}")
+    parts = [
+        F.concat(
+            F.lit(('' if i == 0 else ',') + _j_key(f.name) + ': '),
+            render_json_avro(f.type, F.col(f.name), binary_key),
+        )
+        for i, f in enumerate(root.fields)
+    ]
+    line = F.concat(F.lit("{"), *parts, F.lit("}"))
+    writer = df.select(line.alias("value")).write.mode("overwrite")
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    writer.text(path)

@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "media_probe",
     "ocf_split_read",
     "xflatten_json",
+    "jsonl_avro_roundtrip",
 ]
 
 

@@ -153,3 +153,89 @@ def test_read_jsonl_avro_conventions_corrupt_handling(spark, tmp_path):
     with pytest.raises(Exception, match="malformed JSON line"):
         read_jsonl(spark, str(p), sch, mode="FAILFAST",
                    avro_conventions=True).collect()
+
+
+# --------------------------------------------- AVRO-convention sink (r3)
+class TestWriteJsonlAvro:
+    SCHEMA = {
+        "type": "record",
+        "name": "Z",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "maybe", "type": ["null", "int"]},
+            {"name": "u", "type": ["null", "double", "string"]},
+            {"name": "blob", "type": "bytes"},
+            {"name": "key4", "type": {"type": "fixed", "name": "K4", "size": 4}},
+            {"name": "status", "type": {
+                "type": "enum", "name": "St", "symbols": ["A", "B"]}},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "props", "type": {"type": "map", "values": "long"}},
+            {"name": "sub", "type": {
+                "type": "record", "name": "Sub",
+                "fields": [{"name": "x", "type": "int*"}]}},
+        ],
+    }
+    ROWS = [
+        (1, 'he said "hi"', 7, (1, 2.5, None), bytearray(b"\xca\xfe"),
+         bytearray(b"\x01\x02\x03\x04"), "A", ["a", "b"], {"k": 9}, (5,)),
+        (2, "plain", None, (2, None, "s"), bytearray(b""),
+         bytearray(b"\xff\x00\xff\x00"), "B", [], {}, (None,)),
+        (3, "nullu", None, (0, None, None), bytearray(b"\x00"),
+         bytearray(b"\x00\x00\x00\x00"), "A", ["x"], {"m": 1, "n": 2}, (3,)),
+    ]
+
+    def _write(self, spark, tmp_path):
+        from avro_spark.sources.jsonl import write_jsonl_avro
+
+        sch = avro_spark.create(self.SCHEMA)
+        df = spark.createDataFrame(self.ROWS, sch.to_struct_type())
+        out = str(tmp_path / "conv")
+        write_jsonl_avro(df, sch, out)
+        return sch, out
+
+    def test_roundtrip_through_conventions_reader(self, spark, tmp_path):
+        from avro_spark.sources.jsonl import read_jsonl
+
+        sch, out = self._write(spark, tmp_path)
+        back = read_jsonl(
+            spark, out, schema=sch, avro_conventions=True,
+            binary_key="$binary", mode="FAILFAST",
+        )
+        got = {r.id: r for r in back.collect()}
+        assert len(got) == 3
+        r1 = got[1]
+        assert r1.name == 'he said "hi"' and r1.maybe == 7
+        assert (r1.u["$type$"], float(r1.u["double"])) == (1, 2.5)
+        assert bytes(r1.blob) == b"\xca\xfe" and bytes(r1.key4) == b"\x01\x02\x03\x04"
+        assert r1.status == "A" and list(r1.tags) == ["a", "b"]
+        assert dict(r1.props) == {"k": 9} and r1.sub.x == 5
+        r2 = got[2]
+        assert r2.maybe is None and (r2.u["$type$"], r2.u["string"]) == (2, "s")
+        assert bytes(r2.blob) == b"" and r2.sub.x is None
+        r3 = got[3]
+        # parse_json_typed's convention: JSON null for a general union →
+        # the null-branch tagged struct (tag 0, all value fields null)
+        assert r3.u["$type$"] == 0 and r3.u["double"] is None and r3.u["string"] is None
+
+    def test_line_forms(self, spark, tmp_path):
+        """The emitted text uses the reference corpus's exact value
+        conventions: single-entry union maps, $binary hex, symbol
+        strings."""
+        import glob
+        import json as _json
+
+        _sch, out = self._write(spark, tmp_path)
+        lines = []
+        for f in glob.glob(out + "/part-*"):
+            with open(f) as fh:
+                lines += [ln for ln in fh.read().splitlines() if ln]
+        by_id = {_json.loads(ln)["id"]: _json.loads(ln) for ln in lines}
+        assert by_id[1]["u"] == {"double": 2.5}
+        assert by_id[1]["maybe"] == {"int": 7}
+        assert by_id[1]["blob"] == {"$binary": "CAFE"}
+        assert by_id[1]["key4"] == {"$binary": "01020304"}
+        assert by_id[1]["status"] == "A"
+        assert by_id[2]["u"] == {"string": "s"}
+        assert by_id[2]["maybe"] is None
+        assert by_id[3]["u"] is None

@@ -212,3 +212,85 @@ def test_whole_number_double_matches_typed(spark):
     js = xflatten_json(jdf, "j", cs).collect()[0].ops
     assert [(o.field_no, o.value) for o in typed] == \
         [(o.field_no, o.value) for o in js] == [(4, "2.0")]
+
+
+# ------------------------------------------------------------- fuzz parity
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_PRIMS = ["int", "long", "string", "boolean", "double"]
+
+
+def _gen_schema(draw, depth=2, counter=[0]):
+    fields = []
+    n = draw(st.integers(1, 4))
+    for i in range(n):
+        if depth > 0 and draw(st.booleans()):
+            counter[0] += 1
+            ftype = {
+                "type": "record",
+                "name": f"FZ{counter[0]}",
+                "fields": _gen_schema(draw, depth - 1, counter)["fields"],
+            }
+        else:
+            ftype = draw(st.sampled_from(_PRIMS))
+        fields.append({"name": f"f{i}", "type": ftype})
+    counter[0] += 1
+    return {"type": "record", "name": f"FZ{counter[0]}", "fields": fields}
+
+
+def _gen_partial(draw, schema_dict):
+    """Random non-empty subset of fields, recursing into sub-records."""
+    out = {}
+    for f in schema_dict["fields"]:
+        if not draw(st.booleans()):
+            continue
+        t = f["type"]
+        if isinstance(t, dict):
+            sub = _gen_partial(draw, t)
+            if sub:
+                out[f["name"]] = sub
+        elif t == "int":
+            out[f["name"]] = draw(st.integers(-2**31, 2**31 - 1))
+        elif t == "long":
+            out[f["name"]] = draw(st.integers(-2**63, 2**63 - 1))
+        elif t == "string":
+            out[f["name"]] = draw(st.text(
+                alphabet=st.characters(min_codepoint=32, max_codepoint=126,
+                                       exclude_characters='"\\'),
+                max_size=8))
+        elif t == "boolean":
+            out[f["name"]] = draw(st.booleans())
+        else:  # double
+            v = draw(st.floats(allow_nan=False, allow_infinity=False, width=64))
+            # Spark's Variant stores small JSON decimals as DECIMAL,
+            # which has no signed zero — -0.0 is unrepresentable through
+            # the JSON face (documented in _xj_render)
+            out[f["name"]] = 0.0 if v == 0.0 else v
+    return out
+
+
+@given(data=st.data())
+@settings(max_examples=20, deadline=None)
+def test_fuzz_json_vs_typed_xflatten(data, spark):
+    """Random partial records through BOTH A7 faces: identical
+    (op, field_no, value) sequences."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/tests")
+    from ddt_helpers import partial_row_and_type
+
+    schema_dict = _gen_schema(data.draw)
+    partial = _gen_partial(data.draw, schema_dict)
+    if not partial:
+        return
+    cs = avro_spark.compile(avro_spark.create(schema_dict))
+    row, st_type = partial_row_and_type(cs.writer.root, partial)
+    tdf = spark.createDataFrame([row], st_type)
+    typed = cs.xflatten(tdf).collect()[0].ops
+    jdf = spark.createDataFrame([(json.dumps(partial),)], "j string")
+    out = xflatten_json(jdf, "j", cs).collect()[0]
+    assert out[ERRORS_COL] == [], (schema_dict, partial, out[ERRORS_COL])
+    got = [(o.op, o.field_no, o.value) for o in out.ops]
+    want = [(o.op, o.field_no, o.value) for o in typed]
+    assert got == want, (schema_dict, partial)

@@ -204,3 +204,59 @@ def test_bm25_filter_before_aggregation(spark):
     tf_agg = p.index("partial_count")
     deepest_bcast = p.rindex("BroadcastHashJoin")
     assert deepest_bcast > tf_agg  # later in string = deeper in plan
+
+
+# ------------------------------------------------------- round-3 operators
+def test_xflatten_json_is_narrow(spark):
+    """The dynamic A7 face is a pure projection: no Exchange, no Python
+    worker — VariantType expressions only."""
+    from avro_spark.operators.conform import xflatten_json
+
+    cs = avro_spark.compile(avro_spark.create(PERSON))
+    df = spark.createDataFrame([('{"id": 1}',)], "j string")
+    p = plan_of(xflatten_json(df, "j", cs), mode="simple")
+    assert "Exchange" not in p
+    assert "Python" not in p and "Arrow" not in p
+
+
+def test_jsonl_avro_render_is_narrow(spark, nested):
+    """The conventions renderer is a string-building projection."""
+    from avro_spark.sources.jsonl import render_json_avro
+
+    sch = avro_spark.create(PERSON)
+    rendered = nested.select(
+        render_json_avro(sch.root.fields[1].type, F.col("profile")).alias("v")
+    )
+    p = plan_of(rendered, mode="simple")
+    assert "Exchange" not in p
+    assert "Python" not in p and "Arrow" not in p
+
+
+def test_media_probe_single_python_stage_no_shuffle(spark):
+    """Container probing is one Arrow-batched stage, no Exchange."""
+    from avro_spark.operators.multimodal import pack_media, probe_media
+
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "id long, blob binary")
+    out = probe_media(pack_media(df, "blob", "video/mp4"), "media", id_cols=("id",))
+    p = plan_of(out, mode="simple")
+    assert "Exchange" not in p
+    assert p.count("MapInPandas") == 1
+
+
+def test_ocf_split_read_no_extra_shuffle(spark, tmp_path):
+    """Split planning repartitions the tiny SPLITS frame once; the data
+    path itself (decode) adds no further Exchange."""
+    from avro_spark.sources.avro_ocf import (
+        read_avro_files_split, write_avro_files,
+    )
+
+    sch = avro_spark.create(PERSON)
+    df = spark.createDataFrame(
+        [(1, ("a", 2))], sch.to_struct_type()
+    )
+    out = str(tmp_path / "ocf")
+    write_avro_files(df, sch, out)
+    p = plan_of(read_avro_files_split(spark, out, sch, split_bytes=1 << 20), mode="simple")
+    # exactly the one planned repartition of the split list
+    assert p.count("Exchange") <= 1
+    assert p.count("MapInPandas") == 1

@@ -216,6 +216,41 @@ def main() -> None:
         n_merge = merge_snapshot(base, changes, key="event_id").count()
         results["snapshot_merge"] = (time.perf_counter() - t0, n_merge)
 
+        # one HUGE OCF file: whole-file read (1 task) vs byte-range
+        # splits — the read_avro_files_split parallelism win
+        import shutil
+        import tempfile
+
+        from avro_spark.sources.avro_ocf import read_avro_files, write_avro_files
+        from avro_spark.schema import create as _create
+
+        ocf_sch = _create({
+            "type": "record", "name": "Ev",
+            "fields": [
+                {"name": "event_id", "type": "long"},
+                {"name": "user_id", "type": "long"},
+                {"name": "value", "type": "double"},
+                {"name": "event_type", "type": "string"},
+            ],
+        })
+        ocf_dir = tempfile.mkdtemp(prefix="scale_ocf_")
+        try:
+            write_avro_files(
+                ev.select("event_id", "user_id", "value", "event_type")
+                .repartition(1),
+                ocf_sch, ocf_dir,
+            )
+            t0 = time.perf_counter()
+            n1 = read_avro_files(spark, ocf_dir, ocf_sch).count()
+            results["ocf_read_whole"] = (time.perf_counter() - t0, n1)
+            t0 = time.perf_counter()
+            n2 = read_avro_files(
+                spark, ocf_dir, ocf_sch, split_bytes=4 << 20
+            ).count()
+            results["ocf_read_split4mb"] = (time.perf_counter() - t0, n2)
+        finally:
+            shutil.rmtree(ocf_dir, ignore_errors=True)
+
         print(f"-- mult={mult} docs={n_docs} emb={n_emb} events={ev.count()}")
         for name, (dt, n_out) in results.items():
             print(f"   {name:15s} {dt:6.2f}s  out_rows={n_out}")

@@ -37,7 +37,7 @@ def read_jsonl(
     mode: str = "PERMISSIVE",
     corrupt_col: Optional[str] = None,
     avro_conventions: bool = False,
-    binary_key: Optional[str] = None,
+    binary_key: Optional[str] = "$binary",
 ) -> DataFrame:
     """Directory/glob of JSONL files → record-shaped DataFrame.
 
@@ -49,9 +49,12 @@ def read_jsonl(
     Spark's struct-shaped JSON reader — required when the data uses the
     AVRO value conventions: union values as single-entry maps
     ``{"int": 42}`` (which from_json cannot map onto the tagged union
-    struct), field defaults for missing keys, and (with ``binary_key``)
-    ``{"$binary": hex}`` binary values. Still a JVM-side narrow read
-    (text source + VariantType projection, splittable when uncompressed).
+    struct), field defaults for missing keys, and ``{"$binary": hex}``
+    binary values (``binary_key`` defaults to ``"$binary"``, matching
+    :func:`write_jsonl_avro`, so the default-args round trip is exact;
+    pass ``binary_key=None`` to treat bytes/fixed values as plain JSON
+    strings instead). Still a JVM-side narrow read (text source +
+    VariantType projection, splittable when uncompressed).
     """
     if avro_conventions:
         if schema is None:
@@ -110,7 +113,12 @@ def write_jsonl(df: DataFrame, path: str, compression: Optional[str] = None) -> 
 def _j_frag(col) -> "Column":
     """Any scalar column → its JSON fragment text: wrap in a 1-element
     array, to_json, strip the brackets. Handles escaping, numbers and
-    null uniformly (``["a\\"b"]`` → ``"a\\"b"``)."""
+    null uniformly (``["a\\"b"]`` → ``"a\\"b"``).
+
+    Deviation (like -0.0 in conform._pj_node): non-finite doubles render
+    as Spark's quoted strings ``"NaN"``/``"Infinity"`` — plain JSON has
+    no token for them. The conventions reader coerces them back; strict
+    Avro JSON tooling will see a string where a double is expected."""
     from pyspark.sql import functions as F
 
     s = F.to_json(F.array(col))
@@ -133,6 +141,15 @@ def render_json_avro(node, col, binary_key: str = "$binary") -> "Column":
     from ..schema.spark_types import UNION_TAG, union_null_and_one
 
     if isinstance(node, Primitive) or isinstance(node, Enum):
+        if isinstance(node, Primitive) and node.type == "any":
+            # 'any' columns hold JSON text (spark_types: StringType; the
+            # conventions reader stores to_json(variant)) — inline it,
+            # don't re-quote it as a string. parse_json both validates
+            # (raises on non-JSON text, like the sink's other loud
+            # failures) and canonicalizes.
+            return F.when(col.isNull(), F.lit("null")).otherwise(
+                F.to_json(F.parse_json(col))
+            )
         if isinstance(node, Primitive) and node.type == "bytes":
             return F.when(
                 col.isNull(), F.lit("null")
@@ -190,7 +207,22 @@ def render_json_avro(node, col, binary_key: str = "$binary") -> "Column":
                          render_json_avro(simple, col, binary_key), F.lit("}"))
             )
         tag_c = col.getField(UNION_TAG)
-        out = F.lit("null")  # null branch / null cell
+        has_null = any(
+            isinstance(b, Primitive) and b.type == "null"
+            for b in node.branches
+        )
+        if has_null:
+            out = F.lit("null")  # null branch / null cell
+        else:
+            # no branch of this union can represent null — fail loudly
+            # instead of writing a line the schema can't read back
+            out = F.when(
+                col.isNull(),
+                F.raise_error(F.lit(
+                    "write_jsonl_avro: null value for union with no "
+                    "null branch"
+                )).cast("string"),
+            ).otherwise(F.lit("null"))
         for i, b in enumerate(node.branches):
             if isinstance(b, Primitive) and b.type == "null":
                 continue

@@ -239,3 +239,91 @@ class TestWriteJsonlAvro:
         assert by_id[2]["u"] == {"string": "s"}
         assert by_id[2]["maybe"] is None
         assert by_id[3]["u"] is None
+
+    def test_default_args_binary_roundtrip(self, spark, tmp_path):
+        """binary_key defaults agree between sink and conventions reader:
+        write + read with NO binary_key argument must round-trip bytes."""
+        from avro_spark.sources.jsonl import read_jsonl, write_jsonl_avro
+
+        sch = avro_spark.create(self.SCHEMA)
+        df = spark.createDataFrame(self.ROWS, sch.to_struct_type())
+        out = str(tmp_path / "defaults")
+        write_jsonl_avro(df, sch, out)
+        back = {r.id: r for r in read_jsonl(
+            spark, out, schema=sch, avro_conventions=True, mode="FAILFAST",
+        ).collect()}
+        assert bytes(back[1].blob) == b"\xca\xfe"
+        assert bytes(back[1].key4) == b"\x01\x02\x03\x04"
+
+    def test_any_field_roundtrips_as_json(self, spark, tmp_path):
+        """'any' columns hold JSON text; the sink inlines (not re-quotes)
+        it, so the value is stable across write/read cycles."""
+        import glob
+        import json as _json
+
+        from avro_spark.sources.jsonl import read_jsonl, write_jsonl_avro
+
+        sch = avro_spark.create({
+            "type": "record", "name": "A",
+            "fields": [{"name": "id", "type": "long"},
+                       {"name": "a", "type": "any"}],
+        })
+        df = spark.createDataFrame(
+            [(1, '{"k": 1, "l": [true, null]}'), (2, '[1,2]'),
+             (3, '"str"'), (4, '7')],
+            sch.to_struct_type(),
+        )
+        out = str(tmp_path / "anyv")
+        write_jsonl_avro(df, sch, out)
+        for f in glob.glob(out + "/part-*"):
+            with open(f) as fh:
+                for ln in fh.read().splitlines():
+                    if not ln:
+                        continue
+                    obj = _json.loads(ln)
+                    if obj["id"] == 1:
+                        assert obj["a"] == {"k": 1, "l": [True, None]}
+        back = {r.id: r.a for r in read_jsonl(
+            spark, out, schema=sch, avro_conventions=True, mode="FAILFAST",
+        ).collect()}
+        assert _json.loads(back[1]) == {"k": 1, "l": [True, None]}
+        assert _json.loads(back[2]) == [1, 2]
+        assert _json.loads(back[3]) == "str"
+        assert _json.loads(back[4]) == 7
+        # write(read(write(x))) == write(x): canonical text is a fixed point
+        sch2, out2 = sch, str(tmp_path / "anyv2")
+        df2 = spark.createDataFrame(
+            [(k, v) for k, v in sorted(back.items())], sch.to_struct_type())
+        write_jsonl_avro(df2, sch2, out2)
+        back2 = {r.id: r.a for r in read_jsonl(
+            spark, out2, schema=sch, avro_conventions=True, mode="FAILFAST",
+        ).collect()}
+        assert back2 == back
+
+    def test_non_json_any_value_raises(self, spark, tmp_path):
+        from avro_spark.sources.jsonl import write_jsonl_avro
+
+        sch = avro_spark.create({
+            "type": "record", "name": "A",
+            "fields": [{"name": "a", "type": "any"}],
+        })
+        df = spark.createDataFrame([("not json",)], sch.to_struct_type())
+        with pytest.raises(Exception):
+            write_jsonl_avro(df, sch, str(tmp_path / "bad"))
+
+    def test_null_for_union_without_null_branch_raises(self, spark, tmp_path):
+        """A NULL cell of a no-null-branch union must fail the write, not
+        emit a JSON null no branch can represent."""
+        from avro_spark.sources.jsonl import write_jsonl_avro
+
+        sch = avro_spark.create({
+            "type": "record", "name": "N",
+            "fields": [{"name": "u", "type": ["double", "string"]}],
+        })
+        from pyspark.sql import functions as F
+
+        struct = sch.to_struct_type()
+        df = spark.range(1).select(
+            F.lit(None).cast(struct["u"].dataType).alias("u"))
+        with pytest.raises(Exception, match="no\\s*null branch|raise_error|RAISE_ERROR|null value"):
+            write_jsonl_avro(df, sch, str(tmp_path / "nn"))

@@ -257,6 +257,8 @@ def test_ocf_split_read_no_extra_shuffle(spark, tmp_path):
     out = str(tmp_path / "ocf")
     write_avro_files(df, sch, out)
     p = plan_of(read_avro_files_split(spark, out, sch, split_bytes=1 << 20), mode="simple")
-    # exactly the one planned repartition of the split list
-    assert p.count("Exchange") <= 1
+    # exactly the one planned repartition of the split list — 0 would
+    # mean all byte-range splits collapsed into one task (the
+    # parallelism win lost)
+    assert p.count("Exchange") == 1
     assert p.count("MapInPandas") == 1

@@ -12,6 +12,7 @@ import pytest
 import avro_spark
 from avro_spark.errors import AvroSparkError
 from avro_spark.operators.conform import ERRORS_COL, xflatten_json
+from ddt_helpers import partial_row_and_type
 
 NESTED = {
     "type": "record",
@@ -275,11 +276,6 @@ def _gen_partial(draw, schema_dict):
 def test_fuzz_json_vs_typed_xflatten(data, spark):
     """Random partial records through BOTH A7 faces: identical
     (op, field_no, value) sequences."""
-    import sys as _sys
-
-    _sys.path.insert(0, "/root/repo/tests")
-    from ddt_helpers import partial_row_and_type
-
     schema_dict = _gen_schema(data.draw)
     partial = _gen_partial(data.draw, schema_dict)
     if not partial:

@@ -311,6 +311,41 @@ class TestWriteJsonlAvro:
         with pytest.raises(Exception):
             write_jsonl_avro(df, sch, str(tmp_path / "bad"))
 
+    def test_fuzz_conventions_sink_roundtrip(self, spark, tmp_path):
+        """Random schemas + conforming values through write_jsonl_avro →
+        read_jsonl(avro_conventions): exact struct-form identity. The
+        review pass caught two silent-corruption bugs in this sink
+        ('any' re-quoting, binary_key default skew) — fuzz the whole
+        value space so the next one can't hide."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from avro_spark.sources.jsonl import read_jsonl, write_jsonl_avro
+        from ddt_helpers import to_row_value
+        from test_fuzz_roundtrip import _Gen, _ddt_form, _deep_eq, _root_record
+
+        counter = [0]
+
+        @given(data=st.data())
+        @settings(max_examples=12, deadline=None)
+        def run(data):
+            gen = _Gen(data.draw)
+            schema_dict = _root_record(gen)
+            sch = avro_spark.create(schema_dict)
+            norm = avro_spark.validate(sch, gen.value(schema_dict))
+            row = to_row_value(sch.root, _ddt_form(norm))
+            df = spark.createDataFrame([row], sch.to_struct_type())
+            counter[0] += 1
+            out = str(tmp_path / f"fz{counter[0]}")
+            write_jsonl_avro(df, sch, out)
+            back = read_jsonl(
+                spark, out, schema=sch, avro_conventions=True,
+                mode="FAILFAST",
+            ).collect()[0]
+            assert _deep_eq(row, back), (schema_dict, row, back)
+
+        run()
+
     def test_null_for_union_without_null_branch_raises(self, spark, tmp_path):
         """A NULL cell of a no-null-branch union must fail the write, not
         emit a JSON null no branch can represent."""

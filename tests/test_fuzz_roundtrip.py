@@ -449,3 +449,223 @@ class TestFuzzJvmParity:
 
             assert decode_record(sch, bytes(bj)) == decode_record(sch, bytes(bp)), (
                 schema_dict, norm)
+
+
+class TestDeepEvolutionFuzz:
+    """Evolution fuzz across the axes TestEvolutionFuzz doesn't reach —
+    B5 enum remap (reader drops unused symbols / appends new ones), B7
+    union branch permutation + branch append + in-union promotion, field
+    alias renames, and nested-record default adds (frontend.lua:1042-1235
+    resolution semantics). The expected reader-form value is projected
+    mechanically alongside the reader schema, independent of the
+    resolution planner, then checked through flatten AND unflatten."""
+
+    PROMO = {"int": ["long", "double"], "float": ["double"]}
+
+    def _mut_prim(self, gen, base: str, v, nullable: bool):
+        """Primitive promotion choice → (reader_base, expected_value)."""
+        choices = [base] + self.PROMO.get(base, [])
+        if base == "string":
+            choices.append("bytes")
+        elif base == "bytes":
+            choices.append("string")
+        pick = gen.draw(st.sampled_from(choices))
+        if v is None:
+            return pick, None
+        if pick in ("long",) and base == "int":
+            return pick, v
+        if pick == "double" and base in ("int", "float"):
+            return pick, float(v)
+        if pick == "bytes" and base == "string":
+            return pick, v.encode("utf-8")
+        if pick == "string" and base == "bytes":
+            try:
+                return pick, bytes(v).decode("utf-8")
+            except UnicodeDecodeError:
+                return base, v  # not utf8-decodable: skip this promotion
+        return pick, v
+
+    def mutate(self, gen, node, v):
+        """(writer node, conforming value) → (reader node, expected value)."""
+        if isinstance(node, str):
+            base, nullable = node.rstrip("*"), node.endswith("*")
+            nb, nv = self._mut_prim(gen, base, v, nullable)
+            return (nb + "*" if nullable else nb), nv
+        if isinstance(node, list):  # union
+            branches = list(node)
+            perm = list(gen.draw(st.permutations(branches)))
+            # maybe append a fresh primitive branch (new tag)
+            pool = [p for p in ("long", "float", "fixed_no", "boolean")
+                    if p in ("long", "float", "boolean") and p not in perm]
+            if pool and gen.draw(st.booleans()):
+                perm.append(gen.draw(st.sampled_from(pool)))
+            # maybe promote ONE non-null branch in place (tag change):
+            # int->long/double, string->bytes (value re-tags accordingly)
+            promo_from = None
+            if v is not None:
+                (tag, bv), = v.items()
+            for i, b in enumerate(perm):
+                if b in ("int", "string") and gen.draw(st.booleans()):
+                    tgt = {"int": gen.draw(st.sampled_from(["long", "double"])),
+                           "string": "bytes"}[b]
+                    if tgt not in perm:  # keep tags unique
+                        perm[i] = tgt
+                        promo_from = (b, tgt)
+                    break
+            if v is None:
+                return perm, None
+            ev = v
+            if promo_from and tag == promo_from[0]:
+                src, tgt = promo_from
+                nv = bv
+                if tgt == "double":
+                    nv = float(bv)
+                elif tgt == "bytes":
+                    nv = bv.encode("utf-8")
+                ev = {tgt: nv}
+            return perm, ev
+        t = node["type"]
+        base, nullable = t.rstrip("*"), t.endswith("*")
+        if base == "enum":
+            syms = list(node["symbols"])
+            keep = [s for s in syms if s == v or gen.draw(st.booleans())]
+            if not keep:
+                keep = [syms[0]]
+            if v is not None and v not in keep:
+                keep.append(v)
+            extra = [f"Z{i}" for i in range(gen.draw(st.integers(0, 2)))]
+            out = dict(node)
+            out["symbols"] = list(gen.draw(st.permutations(keep + extra)))
+            return out, v
+        if base == "fixed":
+            return node, v
+        if base == "array":
+            if v is None:
+                items, _ = self.mutate(gen, node["items"], None)
+                return {**node, "items": items}, None
+            # mutate the ITEM SCHEMA once (same reader for all elements):
+            # project each element through the same primitive conversion
+            items, _ = self.mutate(gen, node["items"], None) \
+                if not v else (None, None)
+            if v:
+                items, first = self.mutate(gen, node["items"], v[0])
+                ev = [first]
+                for x in v[1:]:
+                    ev.append(self._project(node["items"], items, x))
+                return {**node, "items": items}, ev
+            return {**node, "items": items}, v
+        if base == "map":
+            if not v:
+                values, _ = self.mutate(gen, node["values"], None)
+                return {**node, "values": values}, v
+            ks = sorted(v)
+            values, first = self.mutate(gen, node["values"], v[ks[0]])
+            ev = {ks[0]: first}
+            for k in ks[1:]:
+                ev[k] = self._project(node["values"], values, v[k])
+            return {**node, "values": values}, ev
+        if base == "record":
+            out_fields, ev = [], ({} if v is not None else None)
+            for f in node["fields"]:
+                ft, fv = self.mutate(gen, f["type"],
+                                     None if v is None else v[f["name"]])
+                nf = {"name": f["name"], "type": ft}
+                if gen.draw(st.booleans()):  # alias rename
+                    nf = {"name": f["name"] + "_r", "type": ft,
+                          "aliases": [f["name"]]}
+                out_fields.append(nf)
+                if ev is not None:
+                    ev[nf["name"]] = fv
+            if gen.draw(st.booleans()):  # reader-side default add
+                out_fields.append({"name": "added_d", "type": "int",
+                                   "default": 7})
+                if ev is not None:
+                    ev["added_d"] = 7
+            return {**node, "fields": out_fields}, ev
+        raise AssertionError(base)
+
+    def _project(self, wnode, rnode, x):
+        """Project value x through the ALREADY-CHOSEN writer→reader pair
+        (no further random draws) — for array/map siblings."""
+        if x is None:
+            return None
+        if isinstance(wnode, str):
+            wb = wnode.rstrip("*")
+            rb = rnode.rstrip("*") if isinstance(rnode, str) else rnode
+            if wb == rb:
+                return x
+            if rb == "double":
+                return float(x)
+            if rb == "bytes" and wb == "string":
+                return x.encode("utf-8")
+            if rb == "string" and wb == "bytes":
+                return bytes(x).decode("utf-8")
+            return x
+        if isinstance(wnode, list):
+            (tag, bv), = x.items()
+            rtags = [b if isinstance(b, str) else b.get("name") for b in rnode]
+            if tag in rtags:
+                return x
+            for cand in ("long", "double", "bytes", "string"):
+                if cand in rtags:
+                    if cand == "double":
+                        return {cand: float(bv)}
+                    if cand == "bytes":
+                        return {cand: bv.encode("utf-8")}
+                    if cand == "string":
+                        return {cand: bytes(bv).decode("utf-8")}
+                    return {cand: bv}
+            return x
+        wb = wnode["type"].rstrip("*")
+        if wb == "array":
+            return [self._project(wnode["items"], rnode["items"], e) for e in x]
+        if wb == "map":
+            return {k: self._project(wnode["values"], rnode["values"], e)
+                    for k, e in x.items()}
+        if wb == "record":
+            out = {}
+            rmap = {}
+            for rf in rnode["fields"]:
+                src = (rf.get("aliases") or [rf["name"]])[0]
+                rmap[rf["name"]] = (src, rf)
+            for rname, (src, rf) in rmap.items():
+                if src in x:
+                    wf = next(f for f in wnode["fields"] if f["name"] == src)
+                    out[rname] = self._project(wf["type"], rf["type"], x[src])
+                else:
+                    out[rname] = rf.get("default")
+            return out
+        return x
+
+    @given(data=st.data())
+    @settings(max_examples=25, deadline=None)
+    def test_deep_evolution(self, data, spark):
+        gen = _Gen(data.draw)
+        schema_dict = _root_record(gen)
+        writer = avs.create(schema_dict)
+        norm = avs.validate(writer, gen.value(schema_dict))
+
+        reader_dict, expected = self.mutate(gen, schema_dict, dict(norm))
+        reader = avs.create(reader_dict)
+        res = avs.are_compatible(writer, reader)
+        ok = res[0] if isinstance(res, tuple) else res
+        assert ok, (schema_dict, reader_dict, res)
+
+        from ddt_helpers import to_row_value
+
+        row = to_row_value(writer.root, _ddt_form(norm))
+        df = spark.createDataFrame([row], writer.to_struct_type())
+        expected_row = to_row_value(reader.root, _ddt_form(expected))
+        expected_df = spark.createDataFrame(
+            [expected_row], reader.to_struct_type())
+
+        cs = avs.compile(writer, reader)
+        got_flat = cs.flatten(df).collect()[0]
+        want_flat = avs.compile(reader).flatten(expected_df).collect()[0]
+        assert _deep_eq(want_flat, got_flat), (
+            schema_dict, reader_dict, norm, want_flat, got_flat)
+
+        writer_flat = avs.compile(writer).flatten(df)
+        back = cs.unflatten(writer_flat).collect()[0]
+        assert _deep_eq(expected_row, back), (
+            schema_dict, reader_dict, norm, expected_row, back)

@@ -669,3 +669,115 @@ class TestDeepEvolutionFuzz:
         back = cs.unflatten(writer_flat).collect()[0]
         assert _deep_eq(expected_row, back), (
             schema_dict, reader_dict, norm, expected_row, back)
+
+
+class TestNegativeEvolutionFuzz:
+    """The rejection surface, fuzzed: breaking schema mutations must be
+    REFUSED (are_compatible falsy + compile raises), and dropped-but-used
+    enum symbols / union branches must raise the runtime '(schema
+    versioning)' error — never silently mis-project (frontend.lua:
+    1042-1235 compile-time vs runtime error split)."""
+
+    _BREAK_PRIM = {"int": "string", "long": "boolean", "float": "string",
+                   "double": "boolean", "boolean": "int", "string": "int",
+                   "bytes": "int"}
+
+    @given(data=st.data())
+    @settings(max_examples=30, deadline=None)
+    def test_breaking_mutation_rejected(self, data):
+        from avro_spark.errors import AvroSparkError
+
+        gen = _Gen(data.draw)
+        schema_dict = _root_record(gen)
+        # find fields eligible for a guaranteed-incompatible break
+        eligible = []
+        for i, f in enumerate(schema_dict["fields"]):
+            t = f["type"]
+            if isinstance(t, str) and t.rstrip("*") in self._BREAK_PRIM:
+                eligible.append((i, "prim"))
+            elif isinstance(t, dict):
+                base = t["type"].rstrip("*")
+                if base == "fixed":
+                    eligible.append((i, "fixed_size"))
+                elif base == "enum":
+                    eligible.append((i, "rename"))
+                elif base == "record":
+                    eligible.append((i, "add_mandatory"))
+                elif base in ("array", "map"):
+                    key = "items" if base == "array" else "values"
+                    if isinstance(t[key], str) and \
+                            t[key].rstrip("*") in self._BREAK_PRIM:
+                        eligible.append((i, "container_elem"))
+        if not eligible:
+            return
+        idx, kind = gen.draw(st.sampled_from(eligible))
+        fields = [dict(f) for f in schema_dict["fields"]]
+        f = fields[idx]
+        t = f["type"]
+        if kind == "prim":
+            star = "*" if t.endswith("*") else ""
+            f["type"] = self._BREAK_PRIM[t.rstrip("*")] + star
+        elif kind == "fixed_size":
+            f["type"] = {**t, "size": t["size"] + 1}
+        elif kind == "rename":
+            f["type"] = {**t, "name": t["name"] + "_x"}
+        elif kind == "add_mandatory":
+            f["type"] = {**t, "fields": list(t["fields"]) + [
+                {"name": "zz_mand", "type": "int"}]}
+        else:  # container_elem
+            key = "items" if t["type"].rstrip("*") == "array" else "values"
+            et = t[key]
+            star = "*" if et.endswith("*") else ""
+            f["type"] = {**t, key: self._BREAK_PRIM[et.rstrip("*")] + star}
+        reader_dict = {**schema_dict, "fields": fields}
+        writer = avs.create(schema_dict)
+        reader = avs.create(reader_dict)
+        assert not avs.are_compatible(writer, reader), (
+            schema_dict, reader_dict)
+        with pytest.raises(AvroSparkError):
+            avs.compile(writer, reader)
+
+    _PROMO_PARTNERS = {"int": {"long", "float", "double"},
+                       "long": {"float", "double"}, "float": {"double"},
+                       "string": {"bytes"}, "bytes": {"string"}}
+
+    @given(data=st.data())
+    @settings(max_examples=20, deadline=None)
+    def test_dropped_symbol_or_branch_raises_versioning(self, data, spark):
+        from ddt_helpers import to_row_value
+
+        gen = _Gen(data.draw)
+        which = gen.draw(st.sampled_from(["enum", "union"]))
+        if which == "enum":
+            syms = [f"S{i}" for i in range(gen.draw(st.integers(2, 5)))]
+            used = gen.draw(st.sampled_from(syms))
+            wt = {"type": "enum", "name": "E", "symbols": syms}
+            keep = [s for s in syms if s != used] + \
+                [f"Z{i}" for i in range(gen.draw(st.integers(0, 2)))]
+            rt = {"type": "enum", "name": "E",
+                  "symbols": list(gen.draw(st.permutations(keep)))}
+            value = used
+        else:
+            prims = gen.draw(st.lists(
+                st.sampled_from(["int", "string", "double", "boolean"]),
+                min_size=2, max_size=4, unique=True))
+            has_null = gen.draw(st.booleans())
+            wt = (["null"] if has_null else []) + prims
+            used = gen.draw(st.sampled_from(prims))
+            # drop the used branch AND every promotion partner of it, so
+            # nothing in the reader can absorb the value
+            partners = self._PROMO_PARTNERS.get(used, set())
+            keep = [b for b in wt if b != used and b not in partners]
+            if not [b for b in keep if b != "null"]:
+                keep.append("boolean" if used != "boolean" else "int")
+            rt = list(gen.draw(st.permutations(keep)))
+            value = {used: gen.prim(used)}
+        wrec = avs.create({"type": "record", "name": "T",
+                           "fields": [{"name": "v", "type": wt}]})
+        rrec = avs.create({"type": "record", "name": "T",
+                           "fields": [{"name": "v", "type": rt}]})
+        cs = avs.compile(wrec, rrec)
+        row = to_row_value(wrec.root, _ddt_form({"v": value}))
+        df = spark.createDataFrame([row], wrec.to_struct_type())
+        with pytest.raises(Exception, match="versioning|Bad value|Unknown key"):
+            cs.flatten(df).collect()

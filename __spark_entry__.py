@@ -1859,16 +1859,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xflatten_update": q_xflatten_update,
         # C-group: codecs / sources / sinks
         "avro_roundtrip": q_avro_roundtrip,
-        "avro_ocf_roundtrip": q_avro_ocf_roundtrip,
+        # round-4 rotation: the four round-3 gates get driver rows;
+        # folded twins — avro_ocf_roundtrip ⊂ ocf_split_read (same
+        # writer + a strictly harder read), jsonl_roundtrip ⊂
+        # jsonl_avro_roundtrip (conventions sink→source incl. a 3-branch
+        # union), fingerprint ⊂ wire_roundtrip (ids are
+        # fingerprint-derived), flat_layout ⊂ service_fields (same
+        # get_names/get_types layout machinery)
+        "ocf_split_read": q_ocf_split_read,
         "wire_roundtrip": q_wire_roundtrip,
         "conform": q_conform,
         "conform_errors": q_conform_errors,
         "conform_json": q_conform_json,
-        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "jsonl_avro_roundtrip": q_jsonl_avro_roundtrip,
         "csv_roundtrip": q_csv_roundtrip,
         "compat_matrix": q_compat_matrix,
-        "fingerprint": q_fingerprint,
-        "flat_layout": q_flat_layout,
+        "xflatten_json": q_xflatten_json,
+        "media_probe": q_media_probe,
         "hidden_fields": q_hidden_fields,
         # streaming / events
         "streaming_window": q_streaming_window,
@@ -1963,12 +1970,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "salted_join": q_salted_join,
         "html_clean": q_html_clean,
-        # round-3 additions: MP4/WebM container metadata probe +
-        # block-splittable OCF byte-range reads
-        "media_probe": q_media_probe,
-        "ocf_split_read": q_ocf_split_read,
-        "xflatten_json": q_xflatten_json,
-        "jsonl_avro_roundtrip": q_jsonl_avro_roundtrip,
+        # round-4 rotation: folded out after two driver-green rounds to
+        # give the four round-3 gates a CORRECTNESS row (see queries())
+        "avro_ocf_roundtrip": q_avro_ocf_roundtrip,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "fingerprint": q_fingerprint,
+        "flat_layout": q_flat_layout,
     }
 
 

@@ -435,6 +435,30 @@ def conform_json(
         from ..plans.resolution import unmapped_union_branches
 
         umap = unmapped_union_branches(resolution)
+        # umap keys are id()s of the PLAN's writer nodes. When the
+        # caller's root is identity-present in that tree (the normal
+        # compiled.writer case, incl. subtree validation), lookups just
+        # work. An equal-but-DISTINCT schema object would make every
+        # lookup silently miss and the "(schema versioning)" renderings
+        # never fire — re-anchor on the structurally-equal node of the
+        # plan's own writer tree instead, or fail loudly.
+        if umap and resolution.writer is not None:
+            from ..schema.export import export as _export_node
+            from ..schema.nodes import walk as _walk_nodes
+
+            plan_nodes = list(_walk_nodes(resolution.writer))
+            if id(root) not in {id(n) for n in plan_nodes}:
+                want = _export_node(root)
+                match = next(
+                    (n for n in plan_nodes if _export_node(n) == want), None
+                )
+                if match is None:
+                    raise CompileError(
+                        "conform_json: schema does not occur in the "
+                        "resolution plan's writer schema — pass the "
+                        "compiled writer (or one of its subtrees)"
+                    )
+                root = match
     raw = F.col(json_col)
     v = F.try_parse_json(raw)
     bad_json = F.when(raw.isNotNull() & v.isNull(), F.lit("invalid JSON"))

@@ -460,26 +460,35 @@ def to_avro_bytes(
     root = schema.root
     if not isinstance(root, Record):
         raise CompileError("to_avro_bytes requires a record schema")
-    # Positional per-field encoders: the Arrow→pandas struct batch
-    # arrives in schema field order, so no per-row dict build / name
-    # lookup / normalization pass is needed (leaf encoders coerce numpy
-    # scalars via int()/float()/bytes(); NaN-as-null is handled inside
-    # the nullable/union encoders) — measured ~1.8× over the dict form.
+    # Arrow-native row extraction (mapInArrow + RecordBatch.to_pylist):
+    # nullable int64 stays an EXACT Python int. The earlier pandas_udf
+    # path went Arrow→pandas, which renders nullable int/long columns
+    # (top-level and nested-struct children alike) as float64+NaN and
+    # silently rounds |v| > 2^53 — e.g. 2^53+1 → 2^53. to_pylist gives
+    # None for null, Python int/float/str/bytes for leaves, dicts for
+    # structs and [(k, v), ...] for maps, all shapes the closure-tree
+    # encoders already accept. NaN-as-null stays only where it is real
+    # data (float/double NaN payloads mirror the JVM codec's rule).
     encs = [_compile_encoder(f.type) for f in root.fields]
     field_names = [f.name for f in root.fields]
 
-    @pandas_udf("binary")
-    def _encode(batch: pd.DataFrame) -> pd.Series:
-        out = []
-        for row in batch.itertuples(index=False, name=None):
-            buf = bytearray()
-            for enc_f, val in zip(encs, row):
-                enc_f(buf, val)
-            out.append(bytes(buf))
-        return pd.Series(out)
+    def _encode_batches(batches):
+        import pyarrow as pa
 
-    struct_col = F.struct(*[F.col(name) for name in field_names])
-    return df.select(_encode(struct_col).alias(column))
+        for b in batches:
+            out = []
+            for row in b.to_pylist():
+                buf = bytearray()
+                for name, enc_f in zip(field_names, encs):
+                    enc_f(buf, row[name])
+                out.append(bytes(buf))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out, type=pa.binary())], [column]
+            )
+
+    return df.select(*field_names).mapInArrow(
+        _encode_batches, schema=f"`{column}` binary"
+    )
 
 
 def from_avro_bytes(

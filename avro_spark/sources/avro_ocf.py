@@ -88,6 +88,15 @@ def _read_meta_map(buf: bytes, pos: int) -> tuple[dict[str, bytes], int]:
     return meta, pos
 
 
+def deterministic_sync(schema: Schema) -> bytes:
+    """md5-of-schema 16-byte sync — the reproducible-output opt-in for
+    ``write_ocf_bytes(sync=...)``. NOT the default: a marker derivable
+    from the schema can collide with payload bytes (see write_ocf_bytes),
+    which weakens sync-scan split reads. Use only where byte-identical
+    output matters more than split-safety (golden files, tests)."""
+    return hashlib.md5(json.dumps(schema.export()).encode("utf-8")).digest()
+
+
 def write_ocf_bytes(
     schema: Schema,
     records: list[dict],
@@ -101,7 +110,14 @@ def write_ocf_bytes(
     enc = _compile_encoder(schema.root)
     schema_json = json.dumps(schema.export()).encode("utf-8")
     if sync is None:
-        sync = hashlib.md5(schema_json).digest()  # deterministic, 16 bytes
+        # RANDOM per-file sync (Avro spec): sync-scan split reads rely on
+        # the marker being improbable inside payload bytes. A
+        # deterministic marker (the old md5-of-schema default) can
+        # legitimately appear inside a bytes/string payload that embeds a
+        # same-schema OCF file, making split-point detection ambiguous.
+        # Pass sync=deterministic_sync(schema) to opt into reproducible
+        # bytes (unit-test golden files).
+        sync = os.urandom(16)
     out = bytearray()
     out += MAGIC
     _write_meta_map(
@@ -264,10 +280,11 @@ def _find_block_start(
     Candidates are sync-marker occurrences (block starts are always
     sync-preceded). Validation FULLY parses the candidate block —
     sane (count, size) header, decompression, record-exact decode,
-    trailing sync — because this engine's writers use a DETERMINISTIC
-    sync marker (md5 of the schema), so payload bytes can legitimately
-    contain it; structural checks alone collide on such files. Costs
-    one extra block parse per split, once."""
+    trailing sync — the writers now default to a RANDOM per-file sync
+    (Avro spec), but files written with the deterministic_sync opt-in
+    (or by foreign writers with weak markers) can legitimately carry
+    the marker inside payload bytes; structural checks alone collide on
+    such files. Costs one extra block parse per split, once."""
     # a sync whose END is ≥ start begins at ≥ start-16; scan in bounded
     # chunks (the first real block almost always sits in the first one)
     # instead of slurping the whole split range into memory
@@ -483,15 +500,18 @@ def write_avro_files(
     df = df.select(*field_names)  # BY NAME — positional zip is a data swapper
     field_types = [(f.name, f.type) for f in root.fields]
 
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def encode(batches):
         import zlib as _zlib
+
+        import pyarrow as pa
 
         from pyspark import TaskContext
 
         sch = create(json.loads(schema_export))
         enc = _compile_encoder(sch.root)
         schema_json = json.dumps(sch.export()).encode("utf-8")
-        sync = hashlib.md5(schema_json).digest()
+        # random per-file sync (Avro spec) — see write_ocf_bytes
+        sync = os.urandom(16)
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx else 0
         attempt = ctx.taskAttemptId() if ctx else 0
@@ -516,8 +536,11 @@ def write_avro_files(
             fh.write(blk)
             pending.clear()
 
-        for pdf in batches:
-            for row in pdf.itertuples(index=False, name=None):
+        # Arrow-native rows (to_pylist): nullable int64 leaves stay exact
+        # Python ints — the pandas batch form rendered them float64+NaN
+        # and silently rounded |v| > 2^53 (see to_avro_bytes).
+        for b in batches:
+            for row in b.to_pylist():
                 if fh is None:
                     fh = io.open(tmp, "wb")
                     header = bytearray()
@@ -531,8 +554,8 @@ def write_avro_files(
                     fh.write(header)
                 pending.append(
                     {
-                        name: _normalize(val, node)
-                        for (name, node), val in zip(field_types, row)
+                        name: _normalize(row[name], node)
+                        for name, node in field_types
                     }
                 )
                 n_records += 1
@@ -544,13 +567,10 @@ def write_avro_files(
             flush()
         fh.close()
         os.replace(tmp, fname)  # atomic: last attempt wins whole
-        yield pd.DataFrame(
-            {
-                "file": [fname],
-                "n_records": [n_records],
-                "n_bytes": [os.path.getsize(fname)],
-            }
+        yield pa.RecordBatch.from_pylist(
+            [{"file": fname, "n_records": n_records,
+              "n_bytes": os.path.getsize(fname)}]
         )
 
-    out = df.mapInPandas(encode, schema="file string, n_records long, n_bytes long")
+    out = df.mapInArrow(encode, schema="file string, n_records long, n_bytes long")
     return [r.asDict() for r in out.collect()]

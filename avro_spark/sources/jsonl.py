@@ -55,6 +55,11 @@ def read_jsonl(
     pass ``binary_key=None`` to treat bytes/fixed values as plain JSON
     strings instead). Still a JVM-side narrow read (text source +
     VariantType projection, splittable when uncompressed).
+
+    .. note:: BREAKING (round 3): ``binary_key`` previously defaulted to
+       ``None``. Corpora whose bytes/fixed values are plain JSON strings
+       must now pass ``binary_key=None`` explicitly; the new default
+       requires the ``{"$binary": "<hex>"}`` form for bytes/fixed.
     """
     if avro_conventions:
         if schema is None:

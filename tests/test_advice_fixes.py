@@ -271,3 +271,43 @@ def test_dedup_clusters_pairs_mention_unknown_ids(spark):
     out = {r._id: r.cluster_id for r in dedup_clusters(ids, pairs, "_id").collect()}
     # all three nodes reachable; the component min is 'a'
     assert out == {"a": "a", "b": "a", "x": "a"}
+
+
+def test_conform_json_versioning_with_distinct_schema_object(spark):
+    """Round-3 advisor (low): conform_json keyed the '(schema versioning)'
+    renderings by id() of the resolution plan's writer nodes, so an
+    equal-but-distinct Schema argument made them silently never fire.
+    The validator now re-anchors on the plan's writer tree."""
+    from avro_spark.operators.conform import ERRORS_COL, conform_json
+
+    w = {"type": "record", "name": "R",
+         "fields": [{"name": "u", "type": ["null", "int", "double"]}]}
+    r = {"type": "record", "name": "R",
+         "fields": [{"name": "u", "type": ["null", "string", "int"]}]}
+    c = avro_spark.compile(avro_spark.create(w), avro_spark.create(r))
+    # a DISTINCT (re-parsed) but structurally equal writer schema
+    sch2 = avro_spark.create(w)
+    jdf = spark.createDataFrame([('{"u": {"double": 4.5}}',)], "j string")
+    errs = conform_json(
+        jdf, "j", sch2, mode="flag", resolution=c.plan
+    ).collect()[0][ERRORS_COL]
+    assert errs == ['u: Unknown key: "double" (schema versioning)'], errs
+
+
+def test_conform_json_foreign_schema_with_resolution_raises(spark):
+    """A schema that occurs nowhere in the resolution plan's writer tree
+    is a caller bug — loud error, not silently-inert versioning."""
+    from avro_spark.errors import CompileError
+    from avro_spark.operators.conform import conform_json
+
+    w = {"type": "record", "name": "R",
+         "fields": [{"name": "u", "type": ["null", "int", "double"]}]}
+    r = {"type": "record", "name": "R",
+         "fields": [{"name": "u", "type": ["null", "string", "int"]}]}
+    c = avro_spark.compile(avro_spark.create(w), avro_spark.create(r))
+    other = avro_spark.create(
+        {"type": "record", "name": "Z",
+         "fields": [{"name": "x", "type": "long"}]})
+    jdf = spark.createDataFrame([('{"x": 1}',)], "j string")
+    with pytest.raises(CompileError, match="resolution plan"):
+        conform_json(jdf, "j", other, mode="flag", resolution=c.plan)

@@ -278,3 +278,76 @@ class TestSplittableRead:
         (p / "part-0.avro").write_bytes(write_ocf_bytes(sch, []))
         df = read_avro_files_split(spark, str(p), sch, split_bytes=4096)
         assert df.count() == 0
+
+
+class TestRandomSyncMarker:
+    """Round-3 advisor (medium): the writers defaulted to a DETERMINISTIC
+    sync (md5 of schema), so a bytes payload embedding a same-schema OCF
+    file could carry a valid sync+block inside a payload — ambiguous for
+    sync-scan split reads. The default is now a random per-file sync
+    (the Avro spec's guarantee); deterministic_sync(schema) is the
+    reproducible-bytes opt-in."""
+
+    SCH = {"type": "record", "name": "B",
+           "fields": [{"name": "id", "type": "long"},
+                      {"name": "b", "type": "bytes"}]}
+
+    def test_random_sync_default_reads_back(self):
+        import avro_spark as avs
+        from avro_spark.sources.avro_ocf import (
+            read_ocf_bytes,
+            write_ocf_bytes,
+        )
+
+        sch = avs.create(self.SCH)
+        recs = [{"id": 1, "b": b"\x00" * 8}, {"id": 2, "b": b"hi"}]
+        f1 = write_ocf_bytes(sch, recs)
+        f2 = write_ocf_bytes(sch, recs)
+        assert f1[-16:] != f2[-16:], "sync must be random per file"
+        for f in (f1, f2):
+            _, rows = read_ocf_bytes(f)
+            assert rows == recs
+
+    def test_deterministic_sync_opt_in(self):
+        import avro_spark as avs
+        from avro_spark.sources.avro_ocf import (
+            deterministic_sync,
+            write_ocf_bytes,
+        )
+
+        sch = avs.create(self.SCH)
+        recs = [{"id": 1, "b": b"x"}]
+        s = deterministic_sync(sch)
+        assert write_ocf_bytes(sch, recs, sync=s) == \
+            write_ocf_bytes(sch, recs, sync=s)
+
+    def test_split_read_with_embedded_same_schema_ocf_payload(
+            self, spark, tmp_path):
+        """The adversarial shape: a payload byte-containing a COMPLETE
+        same-schema OCF file (deterministic sync + valid block). With a
+        random outer sync the embedded marker cannot collide, so tiny
+        splits recover exactly the source rows."""
+        import os
+
+        import avro_spark as avs
+        from avro_spark.sources.avro_ocf import (
+            deterministic_sync,
+            read_avro_files_split,
+            write_ocf_bytes,
+        )
+
+        sch = avs.create(self.SCH)
+        inner = write_ocf_bytes(
+            sch, [{"id": 99, "b": b"p" * 64}], sync=deterministic_sync(sch))
+        recs = [{"id": i, "b": inner} for i in range(50)]
+        path = tmp_path / "embedded"
+        os.makedirs(path, exist_ok=True)
+        blob = write_ocf_bytes(sch, recs, block_records=5)
+        assert deterministic_sync(sch) in blob  # payload DOES carry it
+        (path / "part-00000.avro").write_bytes(blob)
+        got = sorted(
+            (r["id"], bytes(r["b"]))
+            for r in read_avro_files_split(
+                spark, str(path), sch, split_bytes=2048).collect()
+        )
+        assert got == [(i, inner) for i in range(50)]

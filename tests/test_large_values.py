@@ -89,3 +89,87 @@ def test_deeply_wide_flatten(spark):
     assert len(flat.columns) == n
     row = cs.unflatten(flat).collect()[0]
     assert [row[f"f{i}"] for i in range(n)] == list(range(n))
+
+
+class TestInt64ExactPrecision:
+    """Longs with |v| > 2^53 must survive the PYTHON codec path exactly.
+
+    Regression for the round-3 advisor's high finding: the pandas_udf
+    encode path went Arrow→pandas, which renders nullable int64 columns
+    (top-level and nested-struct children alike) as float64+NaN whenever
+    the batch holds a null — silently rounding 2^53+1 → 2^53. The
+    mapInArrow rewrite keeps exact Python ints end to end."""
+
+    BIG = 9_007_199_254_740_993  # 2^53 + 1: not representable in float64
+
+    NESTED = {
+        "type": "record",
+        "name": "Outer",
+        "fields": [
+            {"name": "m", "type": {"type": "map", "values": {
+                "type": "record", "name": "Inner", "fields": [
+                    {"name": "v", "type": ["null", "long"],
+                     "default": None},
+                ]}}},
+        ],
+    }
+
+    def test_top_level_nullable_long_exact(self, spark):
+        import avro_spark as avs
+
+        sch = avs.create({
+            "type": "record", "name": "R",
+            "fields": [{"name": "id", "type": "long"},
+                       {"name": "v", "type": ["null", "long"],
+                        "default": None}],
+        })
+        # a null in the SAME batch is what flips pandas to float64
+        df = spark.createDataFrame(
+            [(1, self.BIG), (2, None), (3, -self.BIG)], "id long, v long")
+        out = from_avro_bytes(
+            to_avro_bytes(df, sch, "b", engine="python"), "b", sch,
+            engine="python")
+        got = {r["id"]: r["v"] for r in out.collect()}
+        assert got == {1: self.BIG, 2: None, 3: -self.BIG}
+
+    def test_nested_map_nullable_long_exact_and_jvm_parity(self, spark):
+        """The advisor's falsifying shape: map<record{long*}> with a null
+        sibling entry. Python bytes must decode exact AND match the JVM
+        codec byte-for-byte (map order aside)."""
+        import avro_spark as avs
+        from avro_spark import jvm as J
+
+        sch = avs.create(self.NESTED)
+        row = ({"a0": (None,), "a1": (self.BIG,)},)
+        df = spark.createDataFrame([row], sch.to_struct_type())
+        bp = bytes(to_avro_bytes(df, sch, "b", engine="python")
+                   .collect()[0].b)
+        assert decode_record(sch, bp) == {
+            "m": {"a0": {"v": None}, "a1": {"v": self.BIG}}}
+        if J.ensure_jar() and J.jvm_codec_available(spark):
+            bj = bytes(to_avro_bytes(df, sch, "b", engine="jvm")
+                       .collect()[0].b)
+            assert decode_record(sch, bj) == decode_record(sch, bp)
+
+    def test_write_avro_files_nested_exact(self, spark, tmp_path):
+        """The distributed OCF writer shares the same Arrow-native row
+        extraction — exact ints through a full file round trip."""
+        import avro_spark as avs
+        from avro_spark.sources.avro_ocf import (
+            read_avro_files,
+            write_avro_files,
+        )
+
+        sch = avs.create({
+            "type": "record", "name": "R",
+            "fields": [{"name": "id", "type": "long"},
+                       {"name": "v", "type": ["null", "long"],
+                        "default": None}],
+        })
+        df = spark.createDataFrame(
+            [(1, self.BIG), (2, None)], "id long, v long")
+        path = str(tmp_path / "ocf_exact")
+        write_avro_files(df, sch, path)
+        got = {r["id"]: r["v"]
+               for r in read_avro_files(spark, path, sch).collect()}
+        assert got == {1: self.BIG, 2: None}

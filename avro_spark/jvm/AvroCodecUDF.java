@@ -22,9 +22,14 @@ import org.apache.spark.sql.api.java.UDF2;
  * extension — the Python side renders it as a ["null", T] union before
  * handing the schema over; the column is the plain nullable value), and
  * general multi-branch unions (column = tagged struct ($type$,
- * branch values...), the schema/spark_types.py layout). Unions with
- * NULLABLE branches stay on the Python codec — standard Avro JSON cannot
- * nest unions, so the Python side gates them out.
+ * branch values...), the schema/spark_types.py layout). Nullable UNIONS
+ * and unions with NULLABLE branches — shapes standard Avro JSON cannot
+ * spell (a union directly inside a union) — arrive wrapped in synthetic
+ * single-field records marked with the "avrospark.unwrap" property:
+ * record framing writes no bytes, so the wrapper is byte-invisible, and
+ * both encode and decode treat it as transparent (the Spark value is
+ * the inner value, no extra Row level). Only the 'any' type stays on
+ * the Python codec.
  *
  * Row access is positional and schema-ordered: the Python wrapper builds
  * the struct column in Avro field order, exactly like the pandas path.
@@ -153,6 +158,15 @@ public final class AvroCodecUDF {
         return;
       }
       case RECORD: {
+        // transparent wrapper (avrospark.unwrap): a synthetic
+        // single-field record the Python renderer emits so a union can
+        // sit inside a union in STANDARD Avro JSON (nullable unions /
+        // nullable branches). Record framing writes no bytes, and the
+        // Spark value is the inner value directly — no extra Row level.
+        if (s.getObjectProp("avrospark.unwrap") != null) {
+          encode(out, s.getFields().get(0).schema(), v);
+          return;
+        }
         Row row = (Row) v;
         List<Schema.Field> fields = s.getFields();
         for (int i = 0; i < fields.size(); i++)
@@ -202,9 +216,17 @@ public final class AvroCodecUDF {
         int pos = 1;
         for (int i = 0; i < tag; i++)
           if (ts.get(i).getType() != Schema.Type.NULL) pos++;
-        if (row.isNullAt(pos))
+        if (row.isNullAt(pos)) {
+          // a NULLABLE branch (unwrap wrapper around [null, T]) accepts
+          // a null value — it encodes as the inner union's null
+          if (branch.getType() == Schema.Type.RECORD
+              && branch.getObjectProp("avrospark.unwrap") != null) {
+            encode(out, branch, null);
+            return;
+          }
           throw new RuntimeException(
               "null union value for non-null branch " + tag);
+        }
         encode(out, branch, row.get(pos));
         return;
       }
@@ -328,6 +350,10 @@ public final class AvroCodecUDF {
         }
       }
       case RECORD: {
+        // transparent wrapper — see encode: the decoded value IS the
+        // single field's value, with no extra Row level
+        if (s.getObjectProp("avrospark.unwrap") != null)
+          return decode(c, s.getFields().get(0).schema());
         List<Schema.Field> fields = s.getFields();
         Object[] vals = new Object[fields.size()];
         for (int i = 0; i < fields.size(); i++) vals[i] = decode(c, fields.get(i).schema());

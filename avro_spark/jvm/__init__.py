@@ -14,13 +14,17 @@ maps, where entry iteration order may differ between a Python dict and the
 Scala map Spark hands the JVM UDF (both decode to the same value — Avro
 map order is not semantically significant).
 
-Scope: everything except unions carrying a NULLABLE branch (standard
-Avro JSON cannot nest unions, so they are unrepresentable to the Java
-parser) and the ``any`` extension type — those stay on the Python codec;
-callers use :func:`jvm_codec_supported` to route (``engine="auto"`` in
-``to_avro_bytes`` / ``from_avro_bytes``). General multi-branch unions
-travel as their tagged-struct columns, byte-identical to the Python
-codec.
+Scope: everything except the ``any`` extension type (dynamic — no static
+schema to hand the Java parser); callers use :func:`jvm_codec_supported`
+to route (``engine="auto"`` in ``to_avro_bytes`` / ``from_avro_bytes``).
+General multi-branch unions travel as their tagged-struct columns,
+byte-identical to the Python codec. Nullable unions and unions with
+nullable branches — a union directly inside a union, which standard
+Avro JSON cannot spell — are rendered as synthetic single-field records
+carrying the ``avrospark.unwrap`` property: Avro record framing writes
+zero bytes, so the wrapper is byte-invisible, and the Java codec treats
+it as transparent on both encode and decode (the Spark value is the
+inner value — no extra nesting).
 """
 
 from __future__ import annotations
@@ -70,24 +74,30 @@ def plain_avro_json(node: SchemaNode, _built: Optional[set[str]] = None) -> obje
     if _built is None:
         _built = set()
     if node.nullable:
-        if isinstance(node, UnionNode):
-            raise JvmUnsupported("nullable union stays on the Python codec")
         import copy
 
         stripped = copy.copy(node)
         stripped.nullable = False
-        return ["null", plain_avro_json(stripped, _built)]
+        inner = plain_avro_json(stripped, _built)
+        if isinstance(node, UnionNode):
+            # nullable UNION: ["null", union] is illegal (union in
+            # union) — wrap the inner union in a byte-invisible
+            # transparent record (see _unwrap_record)
+            inner = _unwrap_record(inner, _built)
+        return ["null", inner]
     if isinstance(node, Primitive):
         if node.type == "any":
             raise JvmUnsupported("'any' type stays on the Python codec")
         return node.type
     if isinstance(node, UnionNode):
-        if any(b.nullable for b in node.branches):
-            # a nullable branch would render as a union nested directly
-            # inside a union — illegal in standard Avro JSON, so these
-            # stay on the Python codec
-            raise JvmUnsupported("unions with nullable branches stay on the Python codec")
-        return [plain_avro_json(b, _built) for b in node.branches]
+        # a NULLABLE branch renders as ["null", T] — a union directly
+        # inside this union, illegal in standard Avro JSON — so it gets
+        # the same transparent wrapper
+        return [
+            _unwrap_record(plain_avro_json(b, _built), _built)
+            if b.nullable else plain_avro_json(b, _built)
+            for b in node.branches
+        ]
     if isinstance(node, NamedNode):
         if node.fullname in _built:
             return node.fullname
@@ -110,6 +120,32 @@ def plain_avro_json(node: SchemaNode, _built: Optional[set[str]] = None) -> obje
     if isinstance(node, Map):
         return {"type": "map", "values": plain_avro_json(node.values, _built)}
     raise JvmUnsupported(f"cannot render {node!r}")
+
+
+def _unwrap_record(inner: object, _built: set) -> object:
+    """Synthetic TRANSPARENT record around ``inner`` (a rendered
+    ``["null", ...]`` union) so a union can sit inside a union in
+    standard Avro JSON. Avro record framing writes zero bytes, and the
+    Java codec unwraps on contact (the ``avrospark.unwrap`` property),
+    so bytes and Spark values are identical to the bare union. Names are
+    content-addressed (md5 of the rendered inner) so identical shapes
+    share one definition; a repeat returns the name reference."""
+    import json as _json
+
+    digest = hashlib.md5(
+        _json.dumps(inner, sort_keys=True).encode("utf-8")
+    ).hexdigest()[:16]
+    fullname = f"avrospark.wrap.U{digest}"
+    if fullname in _built:
+        return fullname
+    _built.add(fullname)
+    return {
+        "type": "record",
+        "name": f"U{digest}",
+        "namespace": "avrospark.wrap",
+        "avrospark.unwrap": True,
+        "fields": [{"name": "u", "type": inner}],
+    }
 
 
 def jvm_codec_supported(schema: Schema) -> bool:

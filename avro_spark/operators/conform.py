@@ -442,23 +442,44 @@ def conform_json(
         # lookup silently miss and the "(schema versioning)" renderings
         # never fire — re-anchor on the structurally-equal node of the
         # plan's own writer tree instead, or fail loudly.
-        if umap and resolution.writer is not None:
+        if resolution.writer is not None:
             from ..schema.export import export as _export_node
             from ..schema.nodes import walk as _walk_nodes
 
             plan_nodes = list(_walk_nodes(resolution.writer))
             if id(root) not in {id(n) for n in plan_nodes}:
                 want = _export_node(root)
-                match = next(
-                    (n for n in plan_nodes if _export_node(n) == want), None
-                )
-                if match is None:
+                # cheap type filter first, full export compare second —
+                # avoids an O(nodes × subtree) export sweep on wide trees
+                matches = [
+                    n for n in plan_nodes
+                    if n.type == root.type and n.nullable == root.nullable
+                    and _export_node(n) == want
+                ]
+                if not matches:
                     raise CompileError(
                         "conform_json: schema does not occur in the "
                         "resolution plan's writer schema — pass the "
                         "compiled writer (or one of its subtrees)"
                     )
-                root = match
+                # two structurally-equal subtrees can resolve DIFFERENTLY
+                # (the reader drops a branch under one field but not the
+                # other) — anchoring on the wrong one silently skips the
+                # versioning errors, so require an unambiguous footprint
+                foot = {
+                    tuple(
+                        tuple(umap.get(id(n), ())) for n in _walk_nodes(m)
+                    )
+                    for m in matches
+                }
+                if len(foot) > 1:
+                    raise CompileError(
+                        "conform_json: schema matches several writer "
+                        "subtrees whose reader resolutions differ — "
+                        "pass the exact subtree node of the compiled "
+                        "writer (compiled.writer.root...)"
+                    )
+                root = matches[0]
     raw = F.col(json_col)
     v = F.try_parse_json(raw)
     bad_json = F.when(raw.isNotNull() & v.isNull(), F.lit("invalid JSON"))

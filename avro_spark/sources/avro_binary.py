@@ -7,8 +7,10 @@ for batch encoding/decoding"): this container has no spark-avro jar, so the
 codec is implemented from the public Avro 1.11 binary-encoding spec
 (zigzag varints, length-prefixed bytes, block-encoded arrays/maps, branch-
 indexed unions) and compiled per schema into a closure tree — the analogue of
-the reference's generated LuaJIT codec — then applied as Arrow-batched pandas
-UDFs (``to_avro_bytes`` / ``from_avro_bytes``).
+the reference's generated LuaJIT codec — then applied over Arrow-native
+``mapInArrow`` stages (``to_avro_bytes`` / ``from_avro_bytes``) —
+RecordBatch in/out, no pandas conversion, so nullable int64 columns stay
+exact (pandas would render them float64 and round |v| > 2^53).
 
 Scale note: the UDFs are narrow per-row transforms (no shuffle); Arrow moves
 batches across the Python boundary. If a spark-avro jar is present,
@@ -26,7 +28,6 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
 
 from ..errors import AvroSparkError, CompileError
 from ..schema import Schema
@@ -486,8 +487,12 @@ def to_avro_bytes(
                 [pa.array(out, type=pa.binary())], [column]
             )
 
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    # StructType, not a DDL string: any column name is legal (a
+    # backtick-containing name would break the quoted-string form)
     return df.select(*field_names).mapInArrow(
-        _encode_batches, schema=f"`{column}` binary"
+        _encode_batches, schema=StructType([StructField(column, BinaryType())])
     )
 
 
@@ -509,42 +514,45 @@ def from_avro_bytes(
     root = schema.root
     if not isinstance(root, Record):
         raise CompileError("from_avro_bytes requires a record schema")
-    # Top-level positional decode into tuples + one transpose into
-    # columnar lists — pandas builds a DataFrame from columns ~1.8×
-    # faster than from a list of per-row dicts.
     decs = [_compile_decoder(f.type) for f in root.fields]
-    # declare the UDF return type METADATA-FREE: to_struct_type() pins
-    # enum symbols / fixed sizes in field metadata, and the Arrow schema
-    # check rejects a pandas_udf whose declared type carries metadata the
-    # arriving batch (necessarily) lacks
+    # Output type METADATA-FREE: to_struct_type() pins enum symbols /
+    # fixed sizes in field metadata, and Spark's Arrow schema check
+    # rejects batches lacking it. Arrow-native output
+    # (RecordBatch.from_pylist against the exact Arrow schema) keeps
+    # decoded int64 EXACT — the earlier pandas_udf returned
+    # pd.DataFrame({name: [int, None, ...]}) columns, which pandas
+    # coerces to float64, silently rounding |v| > 2^53 whenever a null
+    # and a big long share a batch (the decode half of the same bug
+    # fixed in to_avro_bytes).
     spark_t = _strip_metadata(schema.to_struct_type())
     names = [f.name for f in spark_t.fields]
 
-    @pandas_udf(spark_t)
-    def _decode(blobs: pd.Series) -> pd.DataFrame:
-        rows = []
-        for blob in blobs:
-            buf = bytes(blob)
-            pos = 0
-            vals = []
-            for d in decs:
-                v, pos = d(buf, pos)
-                vals.append(v)
-            if pos != len(buf):
-                # same contract as the driver-side decode_record —
-                # trailing garbage is schema-mismatch corruption, not a
-                # row to silently accept
-                raise AvroSparkError(
-                    f"trailing bytes after Avro value: {len(buf) - pos}"
-                )
-            rows.append(vals)
-        if not rows:
-            return pd.DataFrame({n: [] for n in names})
-        cols = zip(*rows)
-        return pd.DataFrame({n: list(c) for n, c in zip(names, cols)})
+    def _decode_batches(batches):
+        import pyarrow as pa
 
-    decoded = df.select(_decode(F.col(column)).alias("r"))
-    return decoded.select(*[F.col(f"r.`{f.name}`").alias(f.name) for f in spark_t.fields])
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(spark_t)
+        for b in batches:
+            rows = []
+            for blob in b.column(0).to_pylist():
+                buf = bytes(blob)
+                pos = 0
+                vals = {}
+                for n, d in zip(names, decs):
+                    v, pos = d(buf, pos)
+                    vals[n] = v
+                if pos != len(buf):
+                    # same contract as the driver-side decode_record —
+                    # trailing garbage is schema-mismatch corruption,
+                    # not a row to silently accept
+                    raise AvroSparkError(
+                        f"trailing bytes after Avro value: {len(buf) - pos}"
+                    )
+                rows.append(vals)
+            yield pa.RecordBatch.from_pylist(rows, schema=arrow_schema)
+
+    return df.select(F.col(column)).mapInArrow(_decode_batches, schema=spark_t)
 
 
 def _strip_metadata(dt, relax_nulls: bool = False):

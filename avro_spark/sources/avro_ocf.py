@@ -10,8 +10,9 @@ Spark integration (no spark-avro jar in this container — this is a pure
 Python path over public APIs):
 
 * **read**: ``spark.read.format("binaryFile")`` lists and reads whole
-  files in parallel (one task per file); an Arrow-batched ``mapInPandas``
-  stage decodes each file's blocks into rows. Parallelism = number of
+  files in parallel (one task per file); an Arrow-native ``mapInArrow``
+  stage decodes each file's blocks into rows (RecordBatch in/out — no
+  pandas conversion, so nullable int64 stays exact). Parallelism = number of
   files — right when files are written ~128-512 MB (the writers below
   do). For corpora of FEW HUGE files, ``read_avro_files_split`` plans
   each file into byte-range tasks and sync-scans inside them (the
@@ -35,9 +36,7 @@ import io
 import json
 import os
 import zlib
-from typing import Any, Iterator, Optional
-
-import pandas as pd
+from typing import Any, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -49,6 +48,7 @@ from .avro_binary import (
     _compile_encoder,
     _normalize,
     _read_long,
+    _strip_metadata,
     _write_long,
 )
 
@@ -221,17 +221,27 @@ def read_avro_files(
     field_names = [f.name for f in root.fields]
     schema_export = json.dumps(schema.export())
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def decode(batches):
+        # Arrow-native output: a pandas [int, None, ...] column coerces
+        # to float64 and silently rounds longs with |v| > 2^53 —
+        # RecordBatch.from_pylist keeps decoded ints exact
+        import pyarrow as pa
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
         sch = create(json.loads(schema_export))
-        for pdf in batches:
-            for blob in pdf["content"]:
+        arrow_schema = to_arrow_schema(_strip_metadata(sch.to_struct_type()))
+        for b in batches:
+            for blob in b.column(0).to_pylist():
                 _, recs = read_ocf_bytes(bytes(blob), sch)
-                yield pd.DataFrame(
-                    {name: [r[name] for r in recs] for name in field_names},
-                    columns=field_names,
+                yield pa.RecordBatch.from_pylist(
+                    [{n: r[n] for n in field_names} for r in recs],
+                    schema=arrow_schema,
                 )
 
-    return files.select("content").mapInPandas(decode, schema=struct)
+    return files.select("content").mapInArrow(
+        decode, schema=_strip_metadata(struct)
+    )
 
 
 def _local_path(uri: str) -> str:
@@ -398,33 +408,47 @@ def read_avro_files_split(
     n_tasks = max(len(splits), 1)
     sdf = sdf.repartition(min(n_tasks, spark.sparkContext.defaultParallelism * 4))
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def decode(batches):
+        # Arrow-native output — exact int64, see read_avro_files.decode
+        import pyarrow as pa
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
         sch = create(json.loads(schema_export))
         dec = _compile_decoder(sch.root)
-        for pdf in batches:
-            for row in pdf.itertuples(index=False):
-                with open(row.path, "rb") as fh:
-                    sync = bytes(row.sync)
-                    if row.start == row.header_len:
-                        b = row.start  # first block needs no scan
+        arrow_schema = to_arrow_schema(_strip_metadata(sch.to_struct_type()))
+
+        def emit(recs):
+            return pa.RecordBatch.from_pylist(
+                [{n: r[n] for n in field_names} for r in recs],
+                schema=arrow_schema,
+            )
+
+        for batch in batches:
+            for row in batch.to_pylist():
+                with open(row["path"], "rb") as fh:
+                    sync = bytes(row["sync"])
+                    file_len, start = row["file_len"], row["start"]
+                    end, codec = row["end"], row["codec"]
+                    if start == row["header_len"]:
+                        b = start  # first block needs no scan
                     else:
                         b = _find_block_start(
-                            fh, row.file_len, row.start, row.end, sync,
-                            row.codec, dec,
+                            fh, file_len, start, end, sync, codec, dec,
                         )
                     recs: list[Any] = []
-                    while 0 <= b < row.end:
+                    while 0 <= b < end:
                         fh.seek(b)
                         head = fh.read(20)
                         count, p = _read_long(head, 0)
                         size, p = _read_long(head, p)
-                        if count < 0 or size < 0 or b + p + size + 16 > row.file_len:
+                        if count < 0 or size < 0 or b + p + size + 16 > file_len:
                             raise AvroSparkError(
-                                f"corrupt OCF block at {row.path}:{b}"
+                                f"corrupt OCF block at {row['path']}:{b}"
                             )
                         fh.seek(b + p)
                         data = fh.read(size)
-                        if row.codec == "deflate":
+                        if codec == "deflate":
                             data = zlib.decompress(data, -15)
                         q = 0
                         for _ in range(count):
@@ -441,18 +465,12 @@ def read_avro_files_split(
                         if len(recs) >= DEFAULT_BLOCK_RECORDS:
                             # stream batches out as blocks complete so task
                             # memory is bounded by block size, not split size
-                            yield pd.DataFrame(
-                                {n: [r[n] for r in recs] for n in field_names},
-                                columns=field_names,
-                            )
+                            yield emit(recs)
                             recs = []
                     if recs:
-                        yield pd.DataFrame(
-                            {n: [r[n] for r in recs] for n in field_names},
-                            columns=field_names,
-                        )
+                        yield emit(recs)
 
-    return sdf.mapInPandas(decode, schema=struct)
+    return sdf.mapInArrow(decode, schema=_strip_metadata(struct))
 
 
 def write_avro_files(

@@ -311,3 +311,73 @@ def test_conform_json_foreign_schema_with_resolution_raises(spark):
     jdf = spark.createDataFrame([('{"x": 1}',)], "j string")
     with pytest.raises(CompileError, match="resolution plan"):
         conform_json(jdf, "j", other, mode="flag", resolution=c.plan)
+
+
+def test_conform_json_foreign_schema_raises_even_without_unmapped(spark):
+    """The loud foreign-schema error must not depend on whether the plan
+    happens to have unmapped union branches."""
+    from avro_spark.errors import CompileError
+    from avro_spark.operators.conform import conform_json
+
+    w = {"type": "record", "name": "R",
+         "fields": [{"name": "u", "type": ["null", "int"]}]}
+    r = {"type": "record", "name": "R",
+         "fields": [{"name": "u", "type": ["null", "int", "string"]}]}
+    c = avro_spark.compile(avro_spark.create(w), avro_spark.create(r))
+    other = avro_spark.create(
+        {"type": "record", "name": "Z",
+         "fields": [{"name": "x", "type": "long"}]})
+    jdf = spark.createDataFrame([('{"x": 1}',)], "j string")
+    with pytest.raises(CompileError, match="resolution plan"):
+        conform_json(jdf, "j", other, mode="flag", resolution=c.plan)
+
+
+def test_conform_json_ambiguous_equal_subtrees_raise(spark):
+    """Two structurally-equal writer subtrees whose reader resolutions
+    DIFFER cannot be anchored by structure alone — loud error instead of
+    silently picking the first (which would skip versioning errors for
+    the other field's data)."""
+    from avro_spark.errors import CompileError
+    from avro_spark.operators.conform import conform_json
+
+    w = {"type": "record", "name": "R", "fields": [
+        {"name": "a", "type": ["null", "int", "double"]},
+        {"name": "b", "type": ["null", "int", "double"]}]}
+    r = {"type": "record", "name": "R", "fields": [
+        {"name": "a", "type": ["null", "int", "double"]},
+        {"name": "b", "type": ["null", "int"]}]}   # drops double from b only
+    c = avro_spark.compile(avro_spark.create(w), avro_spark.create(r))
+    # re-parsed union equal to BOTH field subtrees
+    sub = avro_spark.create(
+        {"type": "record", "name": "W",
+         "fields": [{"name": "u", "type": ["null", "int", "double"]}]}
+    ).root.fields[0].type
+    from types import SimpleNamespace
+    jdf = spark.createDataFrame([('{"double": 1.5}',)], "j string")
+    with pytest.raises(CompileError, match="several writer subtrees"):
+        conform_json(jdf, "j", SimpleNamespace(root=sub), mode="flag",
+                     resolution=c.plan)
+
+
+def test_conform_json_unambiguous_equal_subtrees_anchor(spark):
+    """Equal subtrees with IDENTICAL resolutions are safe to anchor —
+    no false ambiguity error."""
+    from types import SimpleNamespace
+
+    from avro_spark.operators.conform import ERRORS_COL, conform_json
+
+    w = {"type": "record", "name": "R", "fields": [
+        {"name": "a", "type": ["null", "int", "double"]},
+        {"name": "b", "type": ["null", "int", "double"]}]}
+    r = {"type": "record", "name": "R", "fields": [
+        {"name": "a", "type": ["null", "int"]},
+        {"name": "b", "type": ["null", "int"]}]}   # drops double from BOTH
+    c = avro_spark.compile(avro_spark.create(w), avro_spark.create(r))
+    sub = avro_spark.create(
+        {"type": "record", "name": "W",
+         "fields": [{"name": "u", "type": ["null", "int", "double"]}]}
+    ).root.fields[0].type
+    jdf = spark.createDataFrame([('{"double": 1.5}',)], "j string")
+    errs = conform_json(jdf, "j", SimpleNamespace(root=sub), mode="flag",
+                        resolution=c.plan).collect()[0][ERRORS_COL]
+    assert errs == ['Unknown key: "double" (schema versioning)'], errs

@@ -199,9 +199,12 @@ def test_general_union_byte_parity(spark):
         assert out_p == out_j, raw["name"]
 
 
-def test_auto_falls_back_on_nullable_branch_union(spark):
-    """A union with a NULLABLE branch cannot render as standard Avro JSON
-    (nested union) — stays on the Python codec and still roundtrips."""
+def test_nullable_branch_union_jvm_scope(spark):
+    """A union with a NULLABLE branch renders via the byte-invisible
+    ``avrospark.unwrap`` wrapper record (round 4) — IN JVM scope now,
+    byte-identical to the Python codec, and round-trips on both engines.
+    Case 3 is the sharp edge: tag selects the nullable branch but the
+    value is null (encodes as the inner union's null)."""
     sch = avro_spark.create(
         {
             "type": "record",
@@ -212,17 +215,32 @@ def test_auto_falls_back_on_nullable_branch_union(spark):
             ],
         }
     )
-    assert not J.jvm_codec_supported(sch)
+    assert J.jvm_codec_supported(sch)
+    rendered = J.plain_avro_json(sch.root)
+    u = {f["name"]: f["type"] for f in rendered["fields"]}["u"]
+    assert u[0] == "int" and u[1]["avrospark.unwrap"] is True, u
     df = spark.createDataFrame(
         [(1, (0, 7, None)), (2, (1, None, "x")), (3, (1, None, None))],
         sch.to_struct_type(),
-    )
-    out = from_avro_bytes(to_avro_bytes(df, sch, "b", engine="auto"), "b", sch, engine="auto")
-    got = {
-        r.id: (r.u["$type$"], r.u["int"], r.u["string"]) if r.u is not None else None
-        for r in out.collect()
-    }
-    assert got == {1: (0, 7, None), 2: (1, None, "x"), 3: (1, None, None)}
+    ).repartition(1)
+    for engine in (("jvm", "python") if J.jvm_codec_available(spark)
+                   else (("python",))):
+        out = from_avro_bytes(
+            to_avro_bytes(df, sch, "b", engine=engine), "b", sch,
+            engine=engine)
+        got = {
+            r.id: (r.u["$type$"], r.u["int"], r.u["string"])
+            if r.u is not None else None
+            for r in out.collect()
+        }
+        assert got == {1: (0, 7, None), 2: (1, None, "x"),
+                       3: (1, None, None)}, engine
+    if J.jvm_codec_available(spark):
+        bj = [bytes(r.b) for r in
+              to_avro_bytes(df.orderBy("id"), sch, "b", engine="jvm").collect()]
+        bp = [bytes(r.b) for r in
+              to_avro_bytes(df.orderBy("id"), sch, "b", engine="python").collect()]
+        assert bj == bp
 
 
 def test_python_decode_enum_fixed_metadata(spark):
@@ -286,3 +304,97 @@ def test_jvm_bad_enum_symbol_errors(spark):
 
     with pytest.raises(Exception, match="bad enum value: Z"):
         to_avro_bytes(df, sch, "b", engine="jvm").collect()
+
+
+class TestNullableBranchUnionFuzz:
+    """Cross-engine fuzz for the round-4 unwrap-wrapper scope: unions
+    mixing plain and NULLABLE branches (incl. nullable enum / fixed /
+    array branches), random tags and values (null on nullable branches
+    included) — JVM bytes must equal Python bytes, and both decode to
+    the source rows."""
+
+    import pytest as _pytest
+
+    BRANCH_POOL = [
+        ("int", "int"),
+        ("int*", "int"),
+        ("string*", "string"),
+        ("double*", "double"),
+        ("bytes*", "bytes"),
+    ]
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(data=st.data())
+    @settings(max_examples=20, deadline=None)
+    def test_parity_and_roundtrip(self, data, spark):
+        import pytest
+
+        from hypothesis import strategies as st
+
+        if not (J.ensure_jar() and J.jvm_codec_available(spark)):
+            pytest.skip("no JDK")
+        # pick 2-4 distinct-tag branches, ≥1 nullable
+        pool = data.draw(st.permutations(self.BRANCH_POOL))
+        n = data.draw(st.integers(2, 4))
+        chosen, tags = [], set()
+        for b, tag in pool:
+            if tag not in tags:
+                chosen.append(b)
+                tags.add(tag)
+            if len(chosen) == n:
+                break
+        if not any(b.endswith("*") for b in chosen):
+            chosen[0] = chosen[0].rstrip("*") + "*"
+        with_null = data.draw(st.booleans())
+        branches = (["null"] if with_null else []) + chosen
+        sch = avro_spark.create({
+            "type": "record", "name": "F",
+            "fields": [{"name": "id", "type": "long"},
+                       {"name": "u", "type": branches}]})
+        assert J.jvm_codec_supported(sch)
+        u = sch.root.fields[1].type
+        non_null = [i for i, b in enumerate(u.branches)
+                    if not (b.type == "null" and not b.nullable)]
+        rows = []
+        for rid in range(4):
+            tag = data.draw(st.integers(0, len(u.branches) - 1))
+            b = u.branches[tag]
+            if b.type == "null" and not b.nullable:
+                rows.append((rid, None))
+                continue
+            if b.nullable and data.draw(st.booleans()):
+                val = None
+            elif b.type == "int":
+                val = data.draw(st.integers(-(2**31), 2**31 - 1))
+            elif b.type == "double":
+                val = float(data.draw(st.integers(-1000, 1000)))
+            elif b.type == "bytes":
+                val = bytes(data.draw(st.lists(
+                    st.integers(0, 255), max_size=5)))
+            else:
+                val = data.draw(st.text(max_size=5))
+            cells = [None] * len(non_null)
+            cells[non_null.index(tag)] = val
+            rows.append((rid, tuple([tag] + cells)))
+        df = spark.createDataFrame(
+            rows, sch.to_struct_type()).repartition(1)
+        bj = {r.id: bytes(r2.b) for r, r2 in zip(
+            df.orderBy("id").collect(),
+            to_avro_bytes(df.orderBy("id"), sch, "b", engine="jvm")
+            .collect())}
+        bp = {r.id: bytes(r2.b) for r, r2 in zip(
+            df.orderBy("id").collect(),
+            to_avro_bytes(df.orderBy("id"), sch, "b", engine="python")
+            .collect())}
+        assert bj == bp, (branches, rows)
+        for engine in ("jvm", "python"):
+            out = from_avro_bytes(
+                to_avro_bytes(df, sch, "b", engine=engine), "b", sch,
+                engine=engine)
+            got = sorted((r.id, tuple(r.u) if r.u is not None else None)
+                         for r in out.collect())
+            want = sorted((rid, tuple(u_) if u_ is not None else None)
+                          for rid, u_ in rows)
+            assert got == want, (engine, branches)

@@ -123,9 +123,13 @@ class TestInt64ExactPrecision:
                        {"name": "v", "type": ["null", "long"],
                         "default": None}],
         })
-        # a null in the SAME batch is what flips pandas to float64
+        # a null in the SAME batch is what flips pandas to float64 —
+        # repartition(1) forces them into one batch (under local[N] the
+        # 3 rows would otherwise scatter one-per-partition and never
+        # exercise the mixed-batch case)
         df = spark.createDataFrame(
-            [(1, self.BIG), (2, None), (3, -self.BIG)], "id long, v long")
+            [(1, self.BIG), (2, None), (3, -self.BIG)], "id long, v long"
+        ).repartition(1)
         out = from_avro_bytes(
             to_avro_bytes(df, sch, "b", engine="python"), "b", sch,
             engine="python")
@@ -166,10 +170,19 @@ class TestInt64ExactPrecision:
                        {"name": "v", "type": ["null", "long"],
                         "default": None}],
         })
+        # one partition → one OCF block holds both the null and the
+        # big long (the decode-corrupting mix)
         df = spark.createDataFrame(
-            [(1, self.BIG), (2, None)], "id long, v long")
+            [(1, self.BIG), (2, None)], "id long, v long").repartition(1)
         path = str(tmp_path / "ocf_exact")
         write_avro_files(df, sch, path)
         got = {r["id"]: r["v"]
                for r in read_avro_files(spark, path, sch).collect()}
         assert got == {1: self.BIG, 2: None}
+        # the split-read decode path shares the fix
+        from avro_spark.sources.avro_ocf import read_avro_files_split
+
+        got2 = {r["id"]: r["v"]
+                for r in read_avro_files_split(
+                    spark, path, sch, split_bytes=64).collect()}
+        assert got2 == {1: self.BIG, 2: None}

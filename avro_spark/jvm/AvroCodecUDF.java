@@ -183,11 +183,25 @@ public final class AvroCodecUDF {
           // byte parity with the Python codec: pandas cannot distinguish
           // null from NaN in nullable float/double columns, so the Python
           // side encodes NaN as the null branch there — mirror that here
-          // or engine='auto' output would depend on JDK availability
+          // or engine='auto' output would depend on JDK availability.
+          // When T is an unwrap wrapper (a NULLABLE float/double branch,
+          // e.g. ["null", "double*"]), the Python codec makes the same
+          // NaN-as-null call at THIS outer level, so look through the
+          // wrapper to its effective value type.
+          Schema effType = valType;
+          if (valType.getType() == Schema.Type.RECORD
+              && valType.getObjectProp("avrospark.unwrap") != null) {
+            Schema innerU = valType.getFields().get(0).schema();
+            if (innerU.getType() == Schema.Type.UNION) {
+              List<Schema> its = innerU.getTypes();
+              int inNull = nullBranch(its);
+              if (its.size() == 2 && inNull >= 0) effType = its.get(1 - inNull);
+            }
+          }
           boolean nanNull =
-              (valType.getType() == Schema.Type.FLOAT
+              (effType.getType() == Schema.Type.FLOAT
                   && v instanceof Float && ((Float) v).isNaN())
-              || (valType.getType() == Schema.Type.DOUBLE
+              || (effType.getType() == Schema.Type.DOUBLE
                   && v instanceof Double && ((Double) v).isNaN());
           if (v == null || nanNull) { writeLong(out, nullIdx); return; }
           writeLong(out, valIdx);

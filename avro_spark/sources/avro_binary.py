@@ -24,7 +24,6 @@ import struct as _struct
 from typing import Any, Callable
 
 import numpy as np
-import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F

@@ -218,7 +218,6 @@ def read_avro_files(
     root = schema.root
     if not isinstance(root, Record):
         raise AvroSparkError("read_avro_files requires a record schema")
-    field_names = [f.name for f in root.fields]
     schema_export = json.dumps(schema.export())
 
     def decode(batches):
@@ -234,10 +233,9 @@ def read_avro_files(
         for b in batches:
             for blob in b.column(0).to_pylist():
                 _, recs = read_ocf_bytes(bytes(blob), sch)
-                yield pa.RecordBatch.from_pylist(
-                    [{n: r[n] for n in field_names} for r in recs],
-                    schema=arrow_schema,
-                )
+                # decoded records are already {field: value} dicts keyed
+                # by exactly the root field names — no copy needed
+                yield pa.RecordBatch.from_pylist(recs, schema=arrow_schema)
 
     return files.select("content").mapInArrow(
         decode, schema=_strip_metadata(struct)
@@ -398,7 +396,6 @@ def read_avro_files_split(
     if not isinstance(root, Record):
         raise AvroSparkError("read_avro_files_split requires a record schema")
     struct = schema.to_struct_type()
-    field_names = [f.name for f in root.fields]
     schema_export = json.dumps(schema.export())
     sdf = spark.createDataFrame(
         splits,
@@ -419,10 +416,8 @@ def read_avro_files_split(
         arrow_schema = to_arrow_schema(_strip_metadata(sch.to_struct_type()))
 
         def emit(recs):
-            return pa.RecordBatch.from_pylist(
-                [{n: r[n] for n in field_names} for r in recs],
-                schema=arrow_schema,
-            )
+            # decoded records are already {field: value} dicts
+            return pa.RecordBatch.from_pylist(recs, schema=arrow_schema)
 
         for batch in batches:
             for row in batch.to_pylist():

@@ -209,10 +209,17 @@ def _throughput_probes(spark, sf_dir: str) -> dict[str, int]:
     errors = {}
     for metric, (df, n) in probes.items():
         try:
+            # warm once, then best-of-2: a single timed pass still sits
+            # in JIT warmup for the JVM codec probes and has shown 4-10×
+            # run-to-run swings in the round artifacts
             df.write.format("noop").mode("overwrite").save()
-            t0 = _time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            out[metric] = round(n / (_time.perf_counter() - t0))
+            best = None
+            for _ in range(2):
+                t0 = _time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                dt = _time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            out[metric] = round(n / best)
         except Exception as ex:
             # a failing probe must be VISIBLE in the bench output, not a
             # silently missing key (a codec regression would otherwise

@@ -398,3 +398,31 @@ class TestNullableBranchUnionFuzz:
             want = sorted((rid, tuple(u_) if u_ is not None else None)
                           for rid, u_ in rows)
             assert got == want, (engine, branches)
+
+
+def test_nan_nullable_branch_simple_union_byte_parity(spark):
+    """["null", "double*"] with a NaN payload: the Python codec makes the
+    NaN-as-null call at the OUTER union level; the JVM codec must look
+    through the unwrap wrapper and do the same, or engine='auto' bytes
+    would depend on JDK availability."""
+    if not _jvm_ready(spark):
+        pytest.skip("no JDK")
+    sch = avro_spark.create(
+        {"type": "record", "name": "NN",
+         "fields": [{"name": "id", "type": "long"},
+                    {"name": "v", "type": ["null", "double*"]}]})
+    assert J.jvm_codec_supported(sch)
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, 2.5), (3, None)],
+        sch.to_struct_type()).repartition(1)
+    bj = {r.id: bytes(r2.b) for r, r2 in zip(
+        df.orderBy("id").collect(),
+        to_avro_bytes(df.orderBy("id"), sch, "b", engine="jvm").collect())}
+    bp = {r.id: bytes(r2.b) for r, r2 in zip(
+        df.orderBy("id").collect(),
+        to_avro_bytes(df.orderBy("id"), sch, "b", engine="python").collect())}
+    assert bj == bp, (bj, bp)
+    # NaN encodes as the outer null branch on both engines
+    from avro_spark.sources.avro_binary import decode_record
+    assert decode_record(sch, bj[1])["v"] is None
+    assert decode_record(sch, bj[2])["v"] == 2.5

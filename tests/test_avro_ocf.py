@@ -351,3 +351,50 @@ class TestRandomSyncMarker:
                 spark, str(path), sch, split_bytes=2048).collect()
         )
         assert got == [(i, inner) for i in range(50)]
+
+
+class TestOcfSplitFuzz:
+    """Property fuzz for the splittable OCF read: over random schemas
+    (records incl. nested arrays/maps/unions/nullables), random block
+    sizes, both codecs, and random tiny split sizes, the split read must
+    return EXACTLY the rows of the whole-file read — no lost, duplicated,
+    or reordered-within-row data at any split boundary."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(data=st.data())
+    @settings(max_examples=12, deadline=None)
+    def test_split_read_equals_whole_read(self, data, spark, tmp_path_factory):
+        import os
+
+        import avro_spark as avs
+        from hypothesis import strategies as st
+        from test_fuzz_roundtrip import _Gen, _root_record
+
+        from avro_spark.sources.avro_ocf import (
+            read_avro_files,
+            read_avro_files_split,
+            write_ocf_bytes,
+        )
+
+        gen = _Gen(data.draw)
+        schema_dict = _root_record(gen)
+        sch = avs.create(schema_dict)
+        n = data.draw(st.integers(5, 40))
+        records = [
+            avs.validate(sch, gen.value(schema_dict)) for _ in range(n)
+        ]
+        codec = data.draw(st.sampled_from(["null", "deflate"]))
+        block_records = data.draw(st.integers(1, 7))
+        blob = write_ocf_bytes(
+            sch, records, codec=codec, block_records=block_records)
+        d = tmp_path_factory.mktemp("ocf_fuzz")
+        (d / "part-00000.avro").write_bytes(blob)
+        split_bytes = data.draw(st.integers(64, 2048))
+        whole = sorted(map(str, read_avro_files(
+            spark, str(d), sch).collect()))
+        split = sorted(map(str, read_avro_files_split(
+            spark, str(d), sch, split_bytes=split_bytes).collect()))
+        assert len(whole) == n
+        assert whole == split, (codec, block_records, split_bytes)

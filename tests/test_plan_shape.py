@@ -261,4 +261,6 @@ def test_ocf_split_read_no_extra_shuffle(spark, tmp_path):
     # mean all byte-range splits collapsed into one task (the
     # parallelism win lost)
     assert p.count("Exchange") == 1
-    assert p.count("MapInPandas") == 1
+    # round 4: the decode stage is Arrow-native (mapInArrow), which keeps
+    # nullable int64 exact — still exactly one Python-worker stage
+    assert p.count("MapInArrow") == 1

@@ -110,3 +110,79 @@ def test_truncated_frame_skipped(spark):
     both = framed.unionByName(trunc)
     out = W.from_wire(both, "wire", {1: sch}, on_unknown="skip")
     assert [r["x"] for r in out.collect()] == [2]
+
+
+class TestWireMultiVersionFuzz:
+    """Property fuzz for the schema-registry wire format: random
+    primitive record schemas where writer v1 lacks a random subset of
+    v2's defaulted fields (and writes fields in a shuffled order);
+    messages framed under both versions, consumed with reader=v2 —
+    every row must surface with v1's gaps filled from defaults and the
+    embedded ids must resolve per-row."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    PRIMS = [
+        ("int", 7), ("long", 2**40), ("string", "d"), ("boolean", True),
+        ("double", 1.5),
+    ]
+
+    @given(data=st.data())
+    @settings(max_examples=10, deadline=None)
+    def test_two_version_consume(self, data, spark):
+        import avro_spark as avs
+        from hypothesis import strategies as st
+
+        from avro_spark.sources.wire import (
+            from_wire,
+            schema_registry_id,
+            to_wire,
+        )
+
+        n_fields = data.draw(st.integers(2, 5))
+        fields = []
+        for i in range(n_fields):
+            t, dflt = data.draw(st.sampled_from(self.PRIMS))
+            fields.append(
+                {"name": f"f{i}", "type": t, "default": dflt})
+        v2_dict = {"type": "record", "name": "M", "fields": fields}
+        # v1: drop a random non-empty proper subset, shuffle the rest
+        keep = [f for f in fields
+                if data.draw(st.booleans())] or [fields[0]]
+        if len(keep) == len(fields):
+            keep = keep[:-1] or [fields[0]]
+        keep = data.draw(st.permutations(keep))
+        v1_dict = {"type": "record", "name": "M", "fields": list(keep)}
+        v1, v2 = avs.create(v1_dict), avs.create(v2_dict)
+        id1, id2 = schema_registry_id(v1), schema_registry_id(v2)
+        if id1 == id2:
+            return  # degenerate permutation-only difference is fine
+        gen_val = {"int": lambda r: r, "long": lambda r: r * (2**33),
+                   "string": lambda r: f"s{r}", "boolean": lambda r: r % 2 == 0,
+                   "double": lambda r: r / 4.0}
+        def row_for(sch_fields, rid):
+            return tuple(gen_val[f["type"]](rid) for f in sch_fields)
+        rows1 = [row_for(keep, r) for r in range(3)]
+        rows2 = [row_for(fields, r) for r in range(3, 6)]
+        df1 = spark.createDataFrame(rows1, v1.to_struct_type())
+        df2 = spark.createDataFrame(rows2, v2.to_struct_type())
+        wire = to_wire(df1, v1, schema_id=id1).unionByName(
+            to_wire(df2, v2, schema_id=id2))
+        out = from_wire(wire, "wire", {id1: v1, id2: v2}, reader=v2)
+        got = sorted(map(str, out.collect()))
+        # expected: v2 rows as-is; v1 rows = defaults overlaid with kept
+        want_rows = []
+        kept_names = {f["name"] for f in keep}
+        for r in range(3):
+            vals = []
+            for f in fields:
+                if f["name"] in kept_names:
+                    vals.append(gen_val[f["type"]](r))
+                else:
+                    vals.append(f["default"])
+            want_rows.append(tuple(vals))
+        want_rows += rows2
+        want_df = spark.createDataFrame(want_rows, v2.to_struct_type())
+        want = sorted(map(str, want_df.collect()))
+        assert got == want, (v1_dict, v2_dict)

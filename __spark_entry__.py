@@ -1835,6 +1835,35 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.select("query_id", "doc_id", "rrf_score", "rank")
 
 
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-substring removal at 8-gram granularity
+    (functions/substring_dedup.py) — the distributed form of
+    suffix-array training-data dedup (Lee et al. 2022): every token
+    span shared verbatim by ≥2 documents is cut from all of them. Two
+    hash-keyed shuffles, no Python stages."""
+    from avro_spark.functions.substring_dedup import remove_duplicate_spans
+
+    docs = _read(spark, sf_dir, "documents", split=True)
+    return remove_duplicate_spans(docs, n=8, min_docs=2)
+
+
+def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-Bayes quality classifier (functions/classifier.py): train
+    token log-odds from a heuristic seed label (n_chars ≥ 200) in ONE
+    counting pass, score every document with a token join + per-doc sum
+    — the fastText-shaped quality-filter stage as pure DataFrame
+    algebra."""
+    from avro_spark.functions.classifier import nb_train_score
+
+    docs = _read(spark, sf_dir, "documents", split=True).withColumn(
+        "label", (F.col("n_chars") >= 200).cast("int")
+    )
+    out = nb_train_score(docs, "label")
+    return out.select(
+        "doc_id", "n_scored", F.round("score", 6).alias("score")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: nested-record flatten on sf0.001 (SURVEY §7 step 2)."""
     return q_flatten_nested(spark, "/root/testdata/sf0.001")
@@ -1858,17 +1887,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fixed_passthrough": q_fixed_passthrough,
         "xflatten_update": q_xflatten_update,
         # C-group: codecs / sources / sinks
-        "avro_roundtrip": q_avro_roundtrip,
         # round-4 rotation: the four round-3 gates get driver rows;
         # folded twins — avro_ocf_roundtrip ⊂ ocf_split_read (same
         # writer + a strictly harder read), jsonl_roundtrip ⊂
         # jsonl_avro_roundtrip (conventions sink→source incl. a 3-branch
         # union), fingerprint ⊂ wire_roundtrip (ids are
         # fingerprint-derived), flat_layout ⊂ service_fields (same
-        # get_names/get_types layout machinery)
+        # get_names/get_types layout machinery); the round-4 gates
+        # (dup_span_removal, nb_quality) take the slots of avro_roundtrip
+        # (⊂ wire_roundtrip: same binary codec inside the framed body)
+        # and conform (⊂ conform_errors + conform_json: same validator,
+        # strictly harder surfaces), both driver-green three rounds
         "ocf_split_read": q_ocf_split_read,
         "wire_roundtrip": q_wire_roundtrip,
-        "conform": q_conform,
         "conform_errors": q_conform_errors,
         "conform_json": q_conform_json,
         "jsonl_avro_roundtrip": q_jsonl_avro_roundtrip,
@@ -1895,6 +1926,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow": q_winnow,
         # LLM-pipeline: dedup
         "dedup_exact": q_dedup_exact,
+        "dup_span_removal": q_dup_span_removal,
+        "nb_quality": q_nb_quality,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -1976,6 +2009,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "fingerprint": q_fingerprint,
         "flat_layout": q_flat_layout,
+        # round-4 rotation: slots given to dup_span_removal + nb_quality
+        "avro_roundtrip": q_avro_roundtrip,
+        "conform": q_conform,
     }
 
 
@@ -2660,6 +2696,76 @@ def _oracles_main() -> dict[str, str]:
 
 def _oracles_extra() -> dict[str, str]:
     return {
+        "dup_span_removal": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, i - 1 AS pos,
+                     list_aggregate(t[i:i+7], 'string_agg', ' ') AS gram
+              FROM toks, unnest(generate_series(1, len(t) - 7)) AS s(i)
+              WHERE len(t) >= 8
+            ),
+            dup AS (SELECT gram FROM grams GROUP BY gram
+                    HAVING count(DISTINCT doc_id) >= 2),
+            cov AS (
+              SELECT DISTINCT g.doc_id, u.ti
+              FROM grams g JOIN dup d USING (gram),
+                   unnest(generate_series(g.pos, g.pos + 7)) AS u(ti)
+            ),
+            covagg AS (SELECT doc_id, count(*) AS n_removed FROM cov
+                       GROUP BY 1),
+            flat AS (
+              SELECT t.doc_id, t.t[i] AS tok, i - 1 AS ti
+              FROM toks t, unnest(generate_series(1, len(t.t))) AS s(i)
+            ),
+            kept AS (
+              SELECT f.doc_id,
+                     coalesce(string_agg(f.tok, ' ' ORDER BY f.ti)
+                              FILTER (WHERE c.ti IS NULL), '') AS clean_text
+              FROM flat f LEFT JOIN cov c
+                ON c.doc_id = f.doc_id AND c.ti = f.ti
+              GROUP BY 1
+            )
+            SELECT k.doc_id, k.clean_text,
+                   coalesce(ca.n_removed, 0) AS n_removed
+            FROM kept k LEFT JOIN covagg ca USING (doc_id)
+        """,
+        "nb_quality": r"""
+            WITH labeled AS (
+              SELECT doc_id, text,
+                     CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS label
+              FROM documents
+            ),
+            toks AS (
+              SELECT doc_id, label,
+                     unnest(regexp_split_to_array(trim(lower(text)),
+                                                  '\s+')) AS tok
+              FROM labeled
+            ),
+            counts AS (
+              SELECT tok, sum(label) AS c_pos, sum(1 - label) AS c_neg
+              FROM toks GROUP BY tok
+            ),
+            totals AS (SELECT sum(c_pos) AS tot_pos, sum(c_neg) AS tot_neg,
+                              count(*) AS vocab FROM counts),
+            weights AS (
+              SELECT tok,
+                     ln((c_pos + 1.0) / (tot_pos + 1.0 * vocab))
+                   - ln((c_neg + 1.0) / (tot_neg + 1.0 * vocab)) AS weight
+              FROM counts, totals
+            ),
+            prior AS (SELECT ln(sum(label)::DOUBLE / sum(1 - label)) AS prior
+                      FROM labeled),
+            scored AS (
+              SELECT t.doc_id, count(*) AS n_scored, sum(w.weight) AS w
+              FROM toks t JOIN weights w USING (tok) GROUP BY 1
+            )
+            SELECT l.doc_id, coalesce(s.n_scored, 0) AS n_scored,
+                   round(coalesce(s.w, 0.0) + p.prior, 6) AS score
+            FROM labeled l LEFT JOIN scored s USING (doc_id), prior p
+        """,
         "jsonl_avro_roundtrip": """
             SELECT event_id,
                    CAST(event_id % 3 AS INT) AS tag,

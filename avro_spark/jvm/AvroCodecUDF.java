@@ -176,32 +176,22 @@ public final class AvroCodecUDF {
       case UNION: {
         List<Schema> ts = s.getTypes();
         int nullIdx = nullBranch(ts);
-        if (ts.size() == 2 && nullIdx >= 0) {
-          // simple {null, T}: the column IS the plain nullable value
+        if (ts.size() == 2 && nullIdx >= 0
+            && !isUnwrap(ts.get(1 - nullIdx))) {
+          // simple {null, T} with T NON-nullable: the column IS the
+          // plain nullable value. (T = an unwrap wrapper means
+          // ["null", "T*"] — that union does NOT collapse: the column
+          // is the general tagged struct, handled below.)
           int valIdx = 1 - nullIdx;
           Schema valType = ts.get(valIdx);
           // byte parity with the Python codec: pandas cannot distinguish
           // null from NaN in nullable float/double columns, so the Python
           // side encodes NaN as the null branch there — mirror that here
-          // or engine='auto' output would depend on JDK availability.
-          // When T is an unwrap wrapper (a NULLABLE float/double branch,
-          // e.g. ["null", "double*"]), the Python codec makes the same
-          // NaN-as-null call at THIS outer level, so look through the
-          // wrapper to its effective value type.
-          Schema effType = valType;
-          if (valType.getType() == Schema.Type.RECORD
-              && valType.getObjectProp("avrospark.unwrap") != null) {
-            Schema innerU = valType.getFields().get(0).schema();
-            if (innerU.getType() == Schema.Type.UNION) {
-              List<Schema> its = innerU.getTypes();
-              int inNull = nullBranch(its);
-              if (its.size() == 2 && inNull >= 0) effType = its.get(1 - inNull);
-            }
-          }
+          // or engine='auto' output would depend on JDK availability
           boolean nanNull =
-              (effType.getType() == Schema.Type.FLOAT
+              (valType.getType() == Schema.Type.FLOAT
                   && v instanceof Float && ((Float) v).isNaN())
-              || (effType.getType() == Schema.Type.DOUBLE
+              || (valType.getType() == Schema.Type.DOUBLE
                   && v instanceof Double && ((Double) v).isNaN());
           if (v == null || nanNull) { writeLong(out, nullIdx); return; }
           writeLong(out, valIdx);
@@ -254,6 +244,12 @@ public final class AvroCodecUDF {
     for (int i = 0; i < ts.size(); i++)
       if (ts.get(i).getType() == Schema.Type.NULL) return i;
     return -1;
+  }
+
+  /** true when s is a transparent avrospark.unwrap wrapper record */
+  static boolean isUnwrap(Schema s) {
+    return s.getType() == Schema.Type.RECORD
+        && s.getObjectProp("avrospark.unwrap") != null;
   }
 
   @SuppressWarnings("unchecked")
@@ -377,8 +373,10 @@ public final class AvroCodecUDF {
         List<Schema> ts = s.getTypes();
         int idx = (int) readLong(c);
         Schema branch = ts.get(idx);
-        if (ts.size() == 2 && nullBranch(ts) >= 0) {
-          // simple {null, T} → plain nullable value
+        int nIdx = nullBranch(ts);
+        if (ts.size() == 2 && nIdx >= 0 && !isUnwrap(ts.get(1 - nIdx))) {
+          // simple {null, T}, T non-nullable → plain nullable value
+          // (["null", "T*"] stays a tagged struct — general path below)
           if (branch.getType() == Schema.Type.NULL) return null;
           return decode(c, branch);
         }

@@ -57,9 +57,16 @@ def is_null_branch(node: SchemaNode) -> bool:
 
 
 def union_null_and_one(node: UnionNode) -> SchemaNode | None:
-    """If the union is [null, T] / [T, null], return T, else None."""
+    """If the union is [null, T] / [T, null] with T itself NON-nullable,
+    return T, else None. Such "simple" unions collapse to a plain
+    nullable column. A nullable T (``[null, "int*"]``) must NOT collapse:
+    the null branch and a null payload on the T* branch are distinct
+    values (the reference's flat form keeps the [tag, value] pair,
+    compiler.lua:697-750), and a collapsed column cannot tell them
+    apart — round-tripping would silently re-tag {int: null} as the
+    null branch. Those stay general (tagged-struct) unions."""
     non_null = [b for b in node.branches if not is_null_branch(b)]
-    if len(non_null) == 1 and len(node.branches) == 2:
+    if len(non_null) == 1 and len(node.branches) == 2 and not non_null[0].nullable:
         return non_null[0]
     return None
 

@@ -98,6 +98,9 @@ BENCH_QUERIES = [
     "ocf_split_read",
     "xflatten_json",
     "jsonl_avro_roundtrip",
+    # round 4: substring dedup + NB quality classifier
+    "dup_span_removal",
+    "nb_quality",
 ]
 
 

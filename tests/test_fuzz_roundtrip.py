@@ -118,7 +118,9 @@ class _Gen:
             }
         if kind == "union":
             # unions: unique-by-tag branches, no immediate nesting, not
-            # nullable themselves; optional null branch first
+            # nullable themselves; optional null branch first. Branches
+            # may be NULLABLE ("int*") — the round-4 JVM-codec scope —
+            # tag uniqueness holds because the base names are unique.
             branches = []
             if self.draw(st.booleans()):
                 branches.append("null")
@@ -128,7 +130,9 @@ class _Gen:
                     min_size=1, max_size=3, unique=True,
                 )
             )
-            branches.extend(prim)
+            branches.extend(
+                f"{p}*" if self.draw(st.booleans()) else p for p in prim
+            )
             return branches
         n_fields = self.draw(st.integers(1, 4))
         return {
@@ -152,7 +156,10 @@ class _Gen:
             branch = self.draw(st.sampled_from(node))
             if branch == "null":
                 return None
-            return {branch: self.prim(branch)}
+            base = branch.rstrip("*")
+            if branch.endswith("*") and self.draw(st.booleans()):
+                return {base: None}  # null payload on a nullable branch
+            return {base: self.prim(base)}
         t = node["type"]
         base = t.rstrip("*")
         if t.endswith("*") and self.draw(st.booleans()):
@@ -462,14 +469,26 @@ class TestDeepEvolutionFuzz:
 
     PROMO = {"int": ["long", "double"], "float": ["double"]}
 
-    def _mut_prim(self, gen, base: str, v, nullable: bool):
-        """Primitive promotion choice → (reader_base, expected_value)."""
+    def _mut_prim(self, gen, base: str, v, nullable: bool, extras=()):
+        """Primitive promotion choice → (reader_base, expected_value).
+        ``extras`` = sibling values (other elements of a containing
+        array/map) that will be projected through the SAME writer→reader
+        pair — a bytes→string promotion must be utf8-safe for them too."""
         choices = [base] + self.PROMO.get(base, [])
         if base == "string":
             choices.append("bytes")
         elif base == "bytes":
             choices.append("string")
         pick = gen.draw(st.sampled_from(choices))
+        if pick == "string" and base == "bytes":
+            try:
+                for e in extras:
+                    if e is not None:
+                        bytes(e).decode("utf-8")
+                if v is not None:
+                    return pick, bytes(v).decode("utf-8")
+            except UnicodeDecodeError:
+                return base, v  # not utf8-decodable: skip this promotion
         if v is None:
             return pick, None
         if pick in ("long",) and base == "int":
@@ -478,27 +497,35 @@ class TestDeepEvolutionFuzz:
             return pick, float(v)
         if pick == "bytes" and base == "string":
             return pick, v.encode("utf-8")
-        if pick == "string" and base == "bytes":
-            try:
-                return pick, bytes(v).decode("utf-8")
-            except UnicodeDecodeError:
-                return base, v  # not utf8-decodable: skip this promotion
         return pick, v
 
-    def mutate(self, gen, node, v):
-        """(writer node, conforming value) → (reader node, expected value)."""
+    def mutate(self, gen, node, v, extras=()):
+        """(writer node, conforming value) → (reader node, expected value).
+
+        ``extras`` carries the SIBLING values that share this node's
+        schema (the other elements of an enclosing array/map): a chosen
+        mutation must stay valid for them too — an enum may only drop
+        symbols NO element uses, a bytes→string promotion must be
+        utf8-safe for every element — because ``_project`` later pushes
+        the siblings through the same writer→reader pair and the engine
+        (correctly, frontend.lua:1042-1235) raises '(schema versioning)'
+        for a value the reader cannot represent."""
         if isinstance(node, str):
             base, nullable = node.rstrip("*"), node.endswith("*")
-            nb, nv = self._mut_prim(gen, base, v, nullable)
+            nb, nv = self._mut_prim(gen, base, v, nullable, extras)
             return (nb + "*" if nullable else nb), nv
         if isinstance(node, list):  # union
             branches = list(node)
             perm = list(gen.draw(st.permutations(branches)))
-            # maybe append a fresh primitive branch (new tag)
+            # maybe append a fresh primitive branch (new tag) — tag
+            # uniqueness by BASE name ("long" and "long*" share a tag)
+            bases = {b.rstrip("*") for b in perm}
             pool = [p for p in ("long", "float", "fixed_no", "boolean")
-                    if p in ("long", "float", "boolean") and p not in perm]
+                    if p in ("long", "float", "boolean") and p not in bases]
             if pool and gen.draw(st.booleans()):
-                perm.append(gen.draw(st.sampled_from(pool)))
+                added = gen.draw(st.sampled_from(pool))
+                perm.append(added)
+                bases.add(added)
             # maybe promote ONE non-null branch in place (tag change):
             # int->long/double, string->bytes (value re-tags accordingly)
             promo_from = None
@@ -508,31 +535,25 @@ class TestDeepEvolutionFuzz:
                 if b in ("int", "string") and gen.draw(st.booleans()):
                     tgt = {"int": gen.draw(st.sampled_from(["long", "double"])),
                            "string": "bytes"}[b]
-                    if tgt not in perm:  # keep tags unique
+                    if tgt not in bases:  # keep tags unique (base-wise)
                         perm[i] = tgt
                         promo_from = (b, tgt)
                     break
             if v is None:
                 return perm, None
-            ev = v
-            if promo_from and tag == promo_from[0]:
-                src, tgt = promo_from
-                nv = bv
-                if tgt == "double":
-                    nv = float(bv)
-                elif tgt == "bytes":
-                    nv = bv.encode("utf-8")
-                ev = {tgt: nv}
-            return perm, ev
+            return perm, self._union_expected(tag, bv, perm)
         t = node["type"]
         base, nullable = t.rstrip("*"), t.endswith("*")
         if base == "enum":
             syms = list(node["symbols"])
-            keep = [s for s in syms if s == v or gen.draw(st.booleans())]
+            used = {v} | set(extras)
+            used.discard(None)
+            keep = [s for s in syms if s in used or gen.draw(st.booleans())]
             if not keep:
                 keep = [syms[0]]
-            if v is not None and v not in keep:
-                keep.append(v)
+            for u in (s for s in syms if s in used):
+                if u not in keep:
+                    keep.append(u)
             extra = [f"Z{i}" for i in range(gen.draw(st.integers(0, 2)))]
             out = dict(node)
             out["symbols"] = list(gen.draw(st.permutations(keep + extra)))
@@ -540,26 +561,30 @@ class TestDeepEvolutionFuzz:
         if base == "fixed":
             return node, v
         if base == "array":
-            if v is None:
-                items, _ = self.mutate(gen, node["items"], None)
-                return {**node, "items": items}, None
+            # sibling elements from ANY array value sharing this schema
+            sib = [x for e in extras if e for x in e]
+            if not v:
+                items, _ = self.mutate(gen, node["items"], None,
+                                       tuple(sib))
+                return {**node, "items": items}, v
             # mutate the ITEM SCHEMA once (same reader for all elements):
             # project each element through the same primitive conversion
-            items, _ = self.mutate(gen, node["items"], None) \
-                if not v else (None, None)
-            if v:
-                items, first = self.mutate(gen, node["items"], v[0])
-                ev = [first]
-                for x in v[1:]:
-                    ev.append(self._project(node["items"], items, x))
-                return {**node, "items": items}, ev
-            return {**node, "items": items}, v
+            items, first = self.mutate(gen, node["items"], v[0],
+                                       tuple(v[1:]) + tuple(sib))
+            ev = [first]
+            for x in v[1:]:
+                ev.append(self._project(node["items"], items, x))
+            return {**node, "items": items}, ev
         if base == "map":
+            sib = [x for e in extras if e for x in e.values()]
             if not v:
-                values, _ = self.mutate(gen, node["values"], None)
+                values, _ = self.mutate(gen, node["values"], None,
+                                        tuple(sib))
                 return {**node, "values": values}, v
             ks = sorted(v)
-            values, first = self.mutate(gen, node["values"], v[ks[0]])
+            values, first = self.mutate(
+                gen, node["values"], v[ks[0]],
+                tuple(v[k] for k in ks[1:]) + tuple(sib))
             ev = {ks[0]: first}
             for k in ks[1:]:
                 ev[k] = self._project(node["values"], values, v[k])
@@ -567,8 +592,11 @@ class TestDeepEvolutionFuzz:
         if base == "record":
             out_fields, ev = [], ({} if v is not None else None)
             for f in node["fields"]:
+                fext = tuple(e[f["name"]] for e in extras
+                             if e is not None)
                 ft, fv = self.mutate(gen, f["type"],
-                                     None if v is None else v[f["name"]])
+                                     None if v is None else v[f["name"]],
+                                     fext)
                 nf = {"name": f["name"], "type": ft}
                 if gen.draw(st.booleans()):  # alias rename
                     nf = {"name": f["name"] + "_r", "type": ft,
@@ -583,6 +611,42 @@ class TestDeepEvolutionFuzz:
                     ev["added_d"] = 7
             return {**node, "fields": out_fields}, ev
         raise AssertionError(base)
+
+    @staticmethod
+    def _union_expected(tag, bv, rbranches):
+        """Expected reader-form union value per the PUBLIC resolution
+        rule (frontend.lua:1046-1083): exact tag match first (any
+        position), else the FIRST promotable reader branch in reader
+        order — NOT necessarily the branch a promotion mutation created
+        (writer int with reader [double, long] lands on double). A None
+        payload (nullable branch) keeps its tag unconverted."""
+        promo = {
+            "int": ("long", "float", "double"),
+            "long": ("float", "double"),
+            "float": ("double",),
+            "string": ("bytes",),
+            "bytes": ("string",),
+        }
+        bases = [b.rstrip("*") if isinstance(b, str) else b.get("name")
+                 for b in rbranches]
+        if tag in bases:
+            return {tag: bv}
+        for rb in bases:
+            if rb in promo.get(tag, ()):
+                nv = bv
+                if nv is not None:
+                    if rb in ("float", "double"):
+                        nv = float(bv)
+                    elif rb == "long":
+                        nv = int(bv)
+                    elif rb == "bytes":
+                        nv = bv.encode("utf-8")
+                    elif rb == "string":
+                        # unreachable today: mutations never drop an
+                        # exact 'bytes' branch — loud if that changes
+                        nv = bv.decode("utf-8")
+                return {rb: nv}
+        raise AssertionError(f"unreadable union: {tag!r} vs {rbranches}")
 
     def _project(self, wnode, rnode, x):
         """Project value x through the ALREADY-CHOSEN writer→reader pair
@@ -603,19 +667,7 @@ class TestDeepEvolutionFuzz:
             return x
         if isinstance(wnode, list):
             (tag, bv), = x.items()
-            rtags = [b if isinstance(b, str) else b.get("name") for b in rnode]
-            if tag in rtags:
-                return x
-            for cand in ("long", "double", "bytes", "string"):
-                if cand in rtags:
-                    if cand == "double":
-                        return {cand: float(bv)}
-                    if cand == "bytes":
-                        return {cand: bv.encode("utf-8")}
-                    if cand == "string":
-                        return {cand: bytes(bv).decode("utf-8")}
-                    return {cand: bv}
-            return x
+            return self._union_expected(tag, bv, rnode)
         wb = wnode["type"].rstrip("*")
         if wb == "array":
             return [self._project(wnode["items"], rnode["items"], e) for e in x]
@@ -776,6 +828,21 @@ class TestNegativeEvolutionFuzz:
                            "fields": [{"name": "v", "type": wt}]})
         rrec = avs.create({"type": "record", "name": "T",
                            "fields": [{"name": "v", "type": rt}]})
+        if which == "union":
+            # when NO writer branch is readable at all, the reference
+            # fails at COMPILE time ("No common types",
+            # frontend.lua:1078-1080), not with a runtime versioning
+            # error — e.g. writer [double,int] (used=int drops double as
+            # a promotion partner) vs the fallback reader [boolean]
+            def maps(b):
+                if b == "null":
+                    return "null" in rt
+                targets = {b} | self._PROMO_PARTNERS.get(b, set())
+                return bool(targets & set(rt))
+            if not any(maps(b) for b in wt):
+                with pytest.raises(Exception, match="No common types"):
+                    avs.compile(wrec, rrec)
+                return
         cs = avs.compile(wrec, rrec)
         row = to_row_value(wrec.root, _ddt_form({"v": value}))
         df = spark.createDataFrame([row], wrec.to_struct_type())

@@ -400,11 +400,13 @@ class TestNullableBranchUnionFuzz:
             assert got == want, (engine, branches)
 
 
-def test_nan_nullable_branch_simple_union_byte_parity(spark):
-    """["null", "double*"] with a NaN payload: the Python codec makes the
-    NaN-as-null call at the OUTER union level; the JVM codec must look
-    through the unwrap wrapper and do the same, or engine='auto' bytes
-    would depend on JDK availability."""
+def test_nan_nullable_branch_union_byte_parity(spark):
+    """["null", "double*"] is a GENERAL union (a nullable T must not
+    collapse to a plain column — the null branch and a null payload on
+    the T* branch are distinct values). A NaN payload on the double*
+    branch encodes as the INNER union's null on both engines —
+    byte-identical, so engine='auto' bytes never depend on JDK
+    availability."""
     if not _jvm_ready(spark):
         pytest.skip("no JDK")
     sch = avro_spark.create(
@@ -412,8 +414,9 @@ def test_nan_nullable_branch_simple_union_byte_parity(spark):
          "fields": [{"name": "id", "type": "long"},
                     {"name": "v", "type": ["null", "double*"]}]})
     assert J.jvm_codec_supported(sch)
+    # tagged struct: ($type$, double); tag 1 = the double* branch
     df = spark.createDataFrame(
-        [(1, float("nan")), (2, 2.5), (3, None)],
+        [(1, (1, float("nan"))), (2, (1, 2.5)), (3, None), (4, (1, None))],
         sch.to_struct_type()).repartition(1)
     bj = {r.id: bytes(r2.b) for r, r2 in zip(
         df.orderBy("id").collect(),
@@ -422,7 +425,13 @@ def test_nan_nullable_branch_simple_union_byte_parity(spark):
         df.orderBy("id").collect(),
         to_avro_bytes(df.orderBy("id"), sch, "b", engine="python").collect())}
     assert bj == bp, (bj, bp)
-    # NaN encodes as the outer null branch on both engines
     from avro_spark.sources.avro_binary import decode_record
-    assert decode_record(sch, bj[1])["v"] is None
-    assert decode_record(sch, bj[2])["v"] == 2.5
+    # NaN → inner null: same bytes as an explicit null payload (id=4),
+    # distinct from the outer null branch (id=3)
+    assert decode_record(sch, bj[1])["v"] == {"$type$": 1, "double": None}
+    assert decode_record(sch, bj[4])["v"] == {"$type$": 1, "double": None}
+    assert decode_record(sch, bj[3])["v"] is None
+    # strip the 1-byte id varint: the v-part of NaN equals an explicit
+    # null payload, and differs from the outer null branch
+    assert bj[1][1:] == bj[4][1:] != bj[3][1:]
+    assert decode_record(sch, bj[2])["v"] == {"$type$": 1, "double": 2.5}

@@ -314,3 +314,33 @@ def test_stream_merge_recovers_from_mid_swap_crash(spark, tmp_path):
     q.awaitTermination()
     got = sorted(map(tuple, spark.read.parquet(target).collect()))
     assert got == [(1, "a"), (2, "b")]  # row 1 survived the crash
+
+
+def test_stream_wire_format_multi_version_consume(spark, tmp_path):
+    """from_wire applies unchanged to a streaming frame: a Kafka-shaped
+    stream of wire-format messages written by TWO schema versions decodes
+    per embedded id and conforms to the reader — the schema-registry
+    consumer as one declarative streaming plan (no foreachBatch)."""
+    from avro_spark.sources.wire import from_wire, schema_registry_id, to_wire
+
+    v1 = avro_spark.create(
+        {"type": "record", "name": "M",
+         "fields": [{"name": "id", "type": "long"},
+                    {"name": "v", "type": "string"}]})
+    v2 = avro_spark.create(
+        {"type": "record", "name": "M",
+         "fields": [{"name": "id", "type": "long"},
+                    {"name": "v", "type": "string"},
+                    {"name": "score", "type": "double", "default": -1.0}]})
+    id1, id2 = schema_registry_id(v1), schema_registry_id(v2)
+    src = tmp_path / "wire_msgs"
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], v1.to_struct_type())
+    df2 = spark.createDataFrame([(3, "c", 0.5)], v2.to_struct_type())
+    to_wire(df1, v1).unionByName(to_wire(df2, v2)).write.parquet(str(src))
+    stream = spark.readStream.schema("wire binary").parquet(str(src))
+    out = from_wire(stream, "wire", {id1: v1, id2: v2}, reader=v2)
+    assert out.isStreaming
+    ST.run_to_memory(out, "wire_decoded", output_mode="append")
+    got = sorted((r.id, r.v, r.score)
+                 for r in spark.table("wire_decoded").collect())
+    assert got == [(1, "a", -1.0), (2, "b", -1.0), (3, "c", 0.5)]

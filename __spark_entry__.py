@@ -1258,6 +1258,49 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: encode the embedding table to m=8
+    4-bit-codebook codes (16 codes/subspace), score queries against the
+    PQ reconstruction (asymmetric distance) — the 100 TB shape where the
+    codes column (8 B/row), not the raw vectors (256 B/row), feeds the
+    candidate scan."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    books = S.pq_codebooks(emb, m=8, k=16)
+    return S.knn_pq(emb, queries, books, k=5).select(
+        "query_id", "rank", "vec_id", F.round("approx_cosine", 6).alias("approx_cosine")
+    )
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule filter (Rae et al. 2021): per-doc word /
+    word-length / symbol / bullet / ellipsis / alpha / stopword metrics
+    plus the composite keep flag — all narrow codegen'd expressions."""
+    docs = _read(spark, sf_dir, "documents")
+    m = X.gopher_rules(F.col("text"))
+    return docs.select("doc_id", *[m[k].alias(k) for k in (
+        "n_words", "mean_word_len", "symbol_ratio", "bullet_line_frac",
+        "ellipsis_line_frac", "alpha_word_frac", "stop_hits", "keep")])
+
+
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition: probe-pruned candidate scan (16 centroids,
+    nprobe=4) scored against the m=8 PQ reconstruction — the production
+    ANN shape where the scan reads ~nprobe/k of the rows AND each row
+    carries 8 code bytes instead of 256 vector bytes."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    cents = S.sample_centroids(emb, 16)
+    books = S.pq_codebooks(emb, m=8, k=16)
+    return S.knn_ivfpq(emb, queries, cents, books, k=5, nprobe=4).select(
+        "query_id", "rank", "vec_id", F.round("approx_cosine", 6).alias("approx_cosine")
+    )
+
+
 def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization (gaps-and-islands, 30-min gap) over events —
     the backfill twin of the streaming session_window operator."""
@@ -1930,11 +1973,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_quality": q_nb_quality,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
+        # round-4 additions: gopher_rules (quality-rule filter) and
+        # knn_pq (product-quantization ANN) take the slots of simhash
+        # (⊂ minhash_lsh: same vote-aggregate near-dup family, green
+        # r02+r03) and embedding_quantize (⊂ knn_pq: PQ is the strictly
+        # harder quantizer, int8 scalar path stays extras-verified)
+        "gopher_rules": q_gopher_rules,
         "dedup_clusters": q_dedup_clusters,
         "decontaminate": q_decontaminate,
         # LLM-pipeline: similarity + embedding ops
-        "embedding_quantize": q_embedding_quantize,
+        "knn_pq": q_knn_pq,
         "knn_ivf": q_knn_ivf,
         "cosine_lsh": q_cosine_lsh,
         # e2e + scale + incremental merge + multimodal
@@ -1956,6 +2004,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     avro_roundtrip+streaming_flatten. tools/verify_oracle.py still
     checks them against ``extra_oracle_sql()``."""
     return {
+        # round-4 rotation: folded out after two driver-green rounds —
+        # simhash ⊂ minhash_lsh (vote-aggregate near-dup family),
+        # embedding_quantize ⊂ knn_pq (scalar int8 vs product quantizer)
+        "simhash": q_simhash,
+        "embedding_quantize": q_embedding_quantize,
+        "knn_ivfpq": q_knn_ivfpq,
         "enum_codes": q_enum_codes,
         "union_encode": q_union_encode,
         "quality_score": q_quality_score,
@@ -3250,6 +3304,182 @@ def _oracles_extra() -> dict[str, str]:
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             )
+        """,
+        "knn_pq": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            codev AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+              FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+            books AS (
+              SELECT s.s, c.code, list_slice(c.v, s.s*8 + 1, s.s*8 + 8) AS cv
+              FROM (SELECT unnest(generate_series(0, 7)) AS s) s
+              CROSS JOIN codev c),
+            bnorm AS (
+              SELECT s, code, cv, list_dot_product(cv, cv) AS cc FROM books),
+            enc_scored AS (
+              SELECT e.vec_id, b.s, b.code,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id, b.s
+                       ORDER BY (-2.0 * list_dot_product(
+                                   list_slice(e.v, b.s*8 + 1, b.s*8 + 8),
+                                   b.cv) + b.cc) ASC, b.code ASC) AS rn
+              FROM e CROSS JOIN bnorm b),
+            enc AS (SELECT vec_id, s, code FROM enc_scored WHERE rn = 1),
+            recon AS (
+              SELECT enc.vec_id, flatten(list(b.cv ORDER BY enc.s)) AS rv
+              FROM enc JOIN bnorm b ON b.s = enc.s AND b.code = enc.code
+              GROUP BY enc.vec_id),
+            rnorm AS (
+              SELECT vec_id, rv, sqrt(list_dot_product(rv, rv)) AS nr FROM recon),
+            q AS (
+              SELECT vec_id AS query_id, v AS qv,
+                     sqrt(list_dot_product(v, v)) AS nq
+              FROM e WHERE vec_id < 10),
+            scored AS (
+              SELECT q.query_id, r.vec_id,
+                     CASE WHEN r.nr * q.nq > 0
+                          THEN list_dot_product(r.rv, q.qv) / (r.nr * q.nq)
+                          ELSE 0.0 END AS ac
+              FROM rnorm r CROSS JOIN q WHERE r.vec_id != q.query_id),
+            ranked AS (
+              SELECT query_id, vec_id, ac,
+                     row_number() OVER (
+                       PARTITION BY query_id ORDER BY ac DESC, vec_id) AS rank
+              FROM scored)
+            SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
+                   round(ac, 6) AS approx_cosine
+            FROM ranked WHERE rank <= 5
+        """,
+        "knn_ivfpq": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            seed AS (SELECT * FROM e ORDER BY vec_id LIMIT 16),
+            -- IVF side: full-dim normalized centroids
+            cnorm AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                     CASE WHEN sqrt(list_dot_product(v, v)) > 0
+                          THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                          ELSE list_transform(v, x -> 0.0) END AS cv
+              FROM seed),
+            assign_scored AS (
+              SELECT e.vec_id, c.cid,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid ASC) AS rn
+              FROM e CROSS JOIN cnorm c),
+            assigned AS (SELECT vec_id, cid AS centroid_id FROM assign_scored WHERE rn = 1),
+            probe_scored AS (
+              SELECT q.vec_id AS query_id, c.cid,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(q.v, c.cv) DESC, c.cid ASC) AS rn
+              FROM e q CROSS JOIN cnorm c WHERE q.vec_id < 10),
+            probes AS (SELECT query_id, cid FROM probe_scored WHERE rn <= 4),
+            -- PQ side: per-subspace codebooks from the same 16 seeds
+            codev AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v FROM seed),
+            books AS (
+              SELECT s.s, c.code, list_slice(c.v, s.s*8 + 1, s.s*8 + 8) AS cv
+              FROM (SELECT unnest(generate_series(0, 7)) AS s) s
+              CROSS JOIN codev c),
+            bnorm AS (
+              SELECT s, code, cv, list_dot_product(cv, cv) AS cc FROM books),
+            enc_scored AS (
+              SELECT e.vec_id, b.s, b.code,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id, b.s
+                       ORDER BY (-2.0 * list_dot_product(
+                                   list_slice(e.v, b.s*8 + 1, b.s*8 + 8),
+                                   b.cv) + b.cc) ASC, b.code ASC) AS rn
+              FROM e CROSS JOIN bnorm b),
+            enc AS (SELECT vec_id, s, code FROM enc_scored WHERE rn = 1),
+            recon AS (
+              SELECT enc.vec_id, flatten(list(b.cv ORDER BY enc.s)) AS rv
+              FROM enc JOIN bnorm b ON b.s = enc.s AND b.code = enc.code
+              GROUP BY enc.vec_id),
+            rnorm AS (
+              SELECT vec_id, rv, sqrt(list_dot_product(rv, rv)) AS nr FROM recon),
+            q AS (
+              SELECT vec_id AS query_id, v AS qv,
+                     sqrt(list_dot_product(v, v)) AS nq
+              FROM e WHERE vec_id < 10),
+            cand AS (
+              SELECT p.query_id, a.vec_id
+              FROM assigned a JOIN probes p ON a.centroid_id = p.cid
+              WHERE a.vec_id != p.query_id),
+            scored AS (
+              SELECT c.query_id, c.vec_id,
+                     CASE WHEN r.nr * q.nq > 0
+                          THEN list_dot_product(r.rv, q.qv) / (r.nr * q.nq)
+                          ELSE 0.0 END AS ac
+              FROM cand c
+              JOIN rnorm r ON r.vec_id = c.vec_id
+              JOIN q ON q.query_id = c.query_id),
+            ranked AS (
+              SELECT query_id, vec_id, ac,
+                     row_number() OVER (
+                       PARTITION BY query_id ORDER BY ac DESC, vec_id) AS rank
+              FROM scored)
+            SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
+                   round(ac, 6) AS approx_cosine
+            FROM ranked WHERE rank <= 5
+        """,
+        "gopher_rules": f"""
+            WITH m AS (
+              SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END AS n_words,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE list_sum(list_transform({_TOKS}, x -> length(x))) END AS sum_wl,
+                length(text) - length(replace(text, '#', '')) AS n_hash,
+                len(regexp_extract_all(text, '\\.\\.\\.')) AS n_ellipsis,
+                len(string_split(text, chr(10))) AS n_lines,
+                len(list_filter(string_split(text, chr(10)),
+                                l -> regexp_matches(l, '^\\s*[-*•]'))) AS n_bullet,
+                len(list_filter(string_split(text, chr(10)),
+                                l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS n_ell_end,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(list_filter({_TOKS},
+                              t -> regexp_matches(t, '[A-Za-z]'))) END AS n_alpha,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(list_intersect({_LTOKS},
+                              ['the','be','to','of','and','that','have','with']))
+                     END AS stop_hits
+              FROM documents),
+            r AS (
+              SELECT doc_id, n_words, stop_hits,
+                CASE WHEN n_words > 0
+                     THEN CAST(sum_wl AS DOUBLE) / CAST(n_words AS DOUBLE)
+                     ELSE 0.0 END AS mean_wl,
+                CASE WHEN n_words > 0
+                     THEN CAST(n_hash + n_ellipsis AS DOUBLE) / CAST(n_words AS DOUBLE)
+                     ELSE 0.0 END AS symbol_ratio,
+                CASE WHEN n_lines > 0
+                     THEN CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE)
+                     ELSE 0.0 END AS bullet_frac,
+                CASE WHEN n_lines > 0
+                     THEN CAST(n_ell_end AS DOUBLE) / CAST(n_lines AS DOUBLE)
+                     ELSE 0.0 END AS ellipsis_frac,
+                CASE WHEN n_words > 0
+                     THEN CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE)
+                     ELSE 0.0 END AS alpha_frac
+              FROM m)
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   round(mean_wl, 6) AS mean_word_len,
+                   round(symbol_ratio, 6) AS symbol_ratio,
+                   round(bullet_frac, 6) AS bullet_line_frac,
+                   round(ellipsis_frac, 6) AS ellipsis_line_frac,
+                   round(alpha_frac, 6) AS alpha_word_frac,
+                   CAST(stop_hits AS INTEGER) AS stop_hits,
+                   (n_words >= 50 AND n_words <= 100000
+                    AND mean_wl >= 3.0 AND mean_wl <= 10.0
+                    AND symbol_ratio <= 0.1
+                    AND bullet_frac <= 0.9
+                    AND ellipsis_frac <= 0.3
+                    AND alpha_frac >= 0.8
+                    AND stop_hits >= 2) AS keep
+            FROM r
         """,
         "profile_table": "\nUNION ALL\n".join(
             f"""

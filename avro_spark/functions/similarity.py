@@ -430,3 +430,251 @@ def cosine_lsh_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (the 100 TB embedding-compression path)
+#
+# PQ splits each d-dim vector into ``m`` contiguous subvectors and replaces
+# every subvector with the id of its nearest codebook entry: d float32s
+# (256 B at d=64) become m small ints (m bytes) — a 16-32x reduction in what
+# has to be *stored and shuffled* for candidate generation. Query scoring is
+# asymmetric (ADC): the query stays exact, candidates are scored against
+# their reconstruction — mathematically dot(q, reconstruct(codes)), which is
+# exactly what we compute, keeping the whole path in codegen'd higher-order
+# functions (no Python). At cluster scale the codes column (not the raw
+# vectors) is what flows into the ANN shuffle; reconstruction happens
+# streaming at scan time, so executor memory holds m bytes/row + one shared
+# broadcast codebook literal.
+
+
+def _cube_lit(books: Sequence[Sequence[Sequence[float]]]) -> Column:
+    """codebooks as ONE plan literal (array<array<array<double>>>); same
+    parser-side construction rationale as _matrix_lit."""
+    body = ",".join(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")" for c in book
+        )
+        + ")"
+        for book in books
+    )
+    return F.expr(f"array({body})")
+
+
+def pq_codebooks(
+    vectors: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic per-subspace codebooks: the k lowest-id vectors, each
+    sliced into m contiguous subvectors; ``codebooks[s][c]`` is code ``c``
+    of subspace ``s``. Deterministic seeding keeps the operator DuckDB-
+    oracle-able (same trick as sample_centroids); a per-subspace k-means
+    refinement can replace this without changing the API or the encoder."""
+    rows = vectors.orderBy(id_col).limit(k).select(vec_col).collect()
+    vecs = [[float(x) for x in r[0]] for r in rows]
+    if not vecs:
+        raise ValueError("pq_codebooks: no vectors to seed codebooks from")
+    d = len(vecs[0])
+    if d % m:
+        raise ValueError(f"pq_codebooks: dim {d} is not divisible by m={m}")
+    sub = d // m
+    return [[v[s * sub : (s + 1) * sub] for v in vecs] for s in range(m)]
+
+
+def pq_codes(vec: Column, codebooks: Sequence[Sequence[Sequence[float]]]) -> Column:
+    """array<int> of length m: per subspace, the codebook entry minimizing
+    L2 distance to the subvector (ties -> lowest code id).
+
+    Scores ``-2*dot(s,c) + dot(c,c)`` — the squared distance minus the
+    code-independent ``dot(s,s)`` term, which shifts every candidate by the
+    same constant and so preserves both the argmin and its ties. array_min
+    over (score, code_id) structs gives lexicographic tie-breaking."""
+    sub = len(codebooks[0][0])
+    cb = _cube_lit(codebooks)
+
+    def enc(v: Column) -> Column:
+        def per_sub(book: Column, si: Column) -> Column:
+            def with_slice(s: Column) -> Column:
+                scored = F.transform(
+                    book,
+                    lambda c, ci: F.struct(
+                        (F.lit(-2.0) * dot(s, c) + dot(c, c)).alias("d2"),
+                        ci.cast("int").alias("cid"),
+                    ),
+                )
+                return F.array_min(scored)["cid"]
+
+            return _let(F.slice(v, si * sub + 1, F.lit(sub)), with_slice)
+
+        return F.transform(cb, per_sub)
+
+    return _let(as_double(vec), enc)
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Add the PQ code array as a narrow projection (no shuffle); the
+    codebook rides along as one broadcast plan literal."""
+    return vectors.withColumn(out_col, pq_codes(F.col(vec_col), codebooks))
+
+
+def pq_reconstruct(
+    codes: Column, codebooks: Sequence[Sequence[Sequence[float]]]
+) -> Column:
+    """Decode a PQ code array back to its (lossy) d-dim reconstruction:
+    the concatenation of the selected codebook entries."""
+    cb = _cube_lit(codebooks)
+    return F.flatten(
+        F.zip_with(
+            cb, codes, lambda book, c: F.element_at(book, c.cast("int") + 1)
+        )
+    )
+
+
+def knn_pq(
+    vectors: DataFrame,
+    queries: DataFrame,
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "q_embedding",
+    exclude_self: bool = True,
+    codes_col: Optional[str] = None,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors per query via PQ-reconstructed
+    scoring: (query_id, rank, vec_id, approx_cosine), ties -> vec_id asc.
+
+    Pass ``codes_col`` to score a pre-encoded table (the production shape:
+    encode once at ingest, store ``m`` bytes/row, never re-read the raw
+    vectors); otherwise the raw ``vec_col`` is encoded on the fly. Queries
+    stay exact (asymmetric distance); the big side carries only codes +
+    reconstruction, broadcast-joined against the small query set exactly
+    like knn_bruteforce — one streamed scan, one per-query top-k window."""
+    if codes_col is None:
+        enc = pq_encode(vectors, codebooks, vec_col=vec_col, out_col="_pq_codes")
+        codes_col = "_pq_codes"
+    else:
+        enc = vectors
+    recon = pq_reconstruct(F.col(codes_col), codebooks)
+    big = enc.select(F.col(id_col), recon.alias("_rv")).select(
+        F.col(id_col), F.col("_rv"), l2_norm("_rv").alias("_nv")
+    )
+    small = queries.select(
+        F.col(query_id_col),
+        as_double(F.col(query_vec_col)).alias("_qv"),
+        l2_norm(query_vec_col).alias("_nq"),
+    )
+    joined = big.join(F.broadcast(small))
+    if exclude_self:
+        joined = joined.where(F.col(id_col) != F.col(query_id_col))
+    denom = F.col("_nv") * F.col("_nq")
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.when(denom > 0, dot("_rv", "_qv") / denom)
+        .otherwise(F.lit(0.0))
+        .alias("approx_cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("approx_cosine"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "approx_cosine")
+    )
+
+
+def knn_ivfpq(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "q_embedding",
+    exclude_self: bool = True,
+    codes_col: Optional[str] = None,
+    centroid_col: Optional[str] = None,
+) -> DataFrame:
+    """IVF-PQ: the production 100 TB ANN shape. The inverted file prunes
+    WHICH rows are scanned (probe ``nprobe`` of ``len(centroids)``
+    partitions); product quantization shrinks WHAT each scanned row
+    carries (m code bytes instead of d floats). Scoring is asymmetric —
+    dot(exact query, PQ reconstruction) — identical to :func:`knn_pq`.
+
+    Pass ``codes_col``/``centroid_col`` to reuse an ingest-time
+    ``pq_encode`` + ``assign_centroids`` table (persist it bucketed by
+    centroid for file-level pruning); otherwise both are derived on the
+    fly as narrow projections. Returns (query_id, rank, vec_id,
+    approx_cosine), ties -> vec_id asc."""
+    enc = vectors
+    if centroid_col is None:
+        enc = assign_centroids(enc, centroids, vec_col=vec_col, out_col="_ivf_cid")
+        centroid_col = "_ivf_cid"
+    if codes_col is None:
+        enc = pq_encode(enc, codebooks, vec_col=vec_col, out_col="_pq_codes")
+        codes_col = "_pq_codes"
+    recon = pq_reconstruct(F.col(codes_col), codebooks)
+    big = enc.select(
+        F.col(id_col), F.col(centroid_col).alias("_cid"), recon.alias("_rv")
+    ).select(
+        F.col(id_col), F.col("_cid"), F.col("_rv"), l2_norm("_rv").alias("_nv")
+    )
+
+    cmat = _matrix_lit(_normalize_rows(centroids))
+    nprobe = min(nprobe, len(centroids))
+
+    def probes(q: Column) -> Column:
+        # same tie discipline as knn_ivf: sim desc, ties -> LOWEST cid
+        scored = F.transform(
+            cmat,
+            lambda c, i: F.struct(
+                dot(q, c).alias("sim"),
+                (-i).cast("int").alias("ncid"),
+                i.cast("int").alias("cid"),
+            ),
+        )
+        return F.transform(
+            F.slice(F.reverse(F.array_sort(scored)), 1, nprobe), lambda s: s["cid"]
+        )
+
+    small = queries.select(
+        F.col(query_id_col),
+        as_double(F.col(query_vec_col)).alias("_qv"),
+        l2_norm(query_vec_col).alias("_nq"),
+        _let(as_double(F.col(query_vec_col)), probes).alias("_probe_cids"),
+    )
+    cond = F.array_contains(F.col("_probe_cids"), F.col("_cid"))
+    if exclude_self:
+        cond = cond & (F.col(id_col) != F.col(query_id_col))
+    cand = big.join(F.broadcast(small), cond)
+    denom = F.col("_nv") * F.col("_nq")
+    scored = cand.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.when(denom > 0, dot("_rv", "_qv") / denom)
+        .otherwise(F.lit(0.0))
+        .alias("approx_cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("approx_cosine"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "approx_cosine")
+    )

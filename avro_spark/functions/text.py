@@ -386,3 +386,88 @@ def blocklist_ratio(text: Column, words: "tuple[str, ...]") -> Column:
     return let(ws_tokens(F.lower(text)), lambda t: F.when(
         F.size(t) == 0, F.lit(0.0)
     ).otherwise(F.size(F.filter(t, _member_pred(wl))) / F.size(t)))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style corpus quality rules (Rae et al. 2021, "Scaling Language
+# Models: ..." — the public repetition/format filters adopted by most open
+# LLM-data pipelines). Every metric is a narrow codegen'd expression over
+# the text column (no shuffle, no Python), so the filter runs at scan speed
+# and composes with predicate pushdown at 100 TB.
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> "dict[str, Column]":
+    """Per-document Gopher rule metrics + composite ``keep`` flag.
+
+    Rules (keep iff ALL hold):
+      * ``min_words <= n_words <= max_words``
+      * mean word length in [3, 10]
+      * symbol-to-word ratio (``#`` or ``...``) <= 0.1
+      * <= 90% of lines start with a bullet (``-``, ``*``, ``•``)
+      * <= 30% of lines end with an ellipsis
+      * >= 80% of words contain an alphabetic character
+      * >= 2 distinct stop words present
+
+    Deterministic, ANSI-reproducible arithmetic: every ratio is a quotient
+    of exact integer counts, so the DuckDB oracle computes bit-identical
+    doubles."""
+    toks = ws_tokens(text)
+    ltoks = ws_tokens(F.lower(text))
+    lines = F.split(text, "\n")
+    n_words = F.size(toks)
+    n_lines = F.size(lines)
+    sum_wl = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    mean_wl = F.when(
+        n_words > 0, sum_wl.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    n_ellipsis = F.size(F.regexp_extract_all(text, F.lit(r"\.\.\."), 0))
+    symbol_ratio = F.when(
+        n_words > 0, (n_hash + n_ellipsis).cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+    bullet_frac = F.when(
+        n_lines > 0, n_bullet.cast("double") / n_lines.cast("double")
+    ).otherwise(F.lit(0.0))
+    n_ell_end = F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+    ellipsis_frac = F.when(
+        n_lines > 0, n_ell_end.cast("double") / n_lines.cast("double")
+    ).otherwise(F.lit(0.0))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_frac = F.when(
+        n_words > 0, n_alpha.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(
+            ltoks, F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+        )
+    )
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= 3.0)
+        & (mean_wl <= 10.0)
+        & (symbol_ratio <= 0.1)
+        & (bullet_frac <= 0.9)
+        & (ellipsis_frac <= 0.3)
+        & (alpha_frac >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return {
+        "n_words": n_words.cast("long"),
+        "mean_word_len": F.round(mean_wl, 6),
+        "symbol_ratio": F.round(symbol_ratio, 6),
+        "bullet_line_frac": F.round(bullet_frac, 6),
+        "ellipsis_line_frac": F.round(ellipsis_frac, 6),
+        "alpha_word_frac": F.round(alpha_frac, 6),
+        "stop_hits": stop_hits.cast("int"),
+        "keep": keep,
+    }

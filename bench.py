@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     "dedup_exact",
     "ngram_jaccard",
     "knn_bruteforce",
+    "knn_pq",
+    "knn_ivfpq",
+    "gopher_rules",
     "minhash_lsh",
     "dedup_clusters",
     "simhash",

@@ -1285,6 +1285,18 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ellipsis_line_frac", "alpha_word_frac", "stop_hits", "keep")])
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global exact-line dedup: every repeated line keeps only
+    its first (doc_id, line_no) occurrence corpus-wide; md5 line keys for
+    oracle parity (production default is xxhash64)."""
+    from avro_spark.functions.dedup import line_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    return line_dedup(docs, min_chars=10, hash_fn=F.md5).select(
+        "doc_id", "text", "n_removed"
+    )
+
+
 def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composition: probe-pruned candidate scan (16 centroids,
     nprobe=4) scored against the m=8 PQ reconstruction — the production
@@ -2010,6 +2022,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "embedding_quantize": q_embedding_quantize,
         "knn_ivfpq": q_knn_ivfpq,
+        "line_dedup": q_line_dedup,
         "enum_codes": q_enum_codes,
         "union_encode": q_union_encode,
         "quality_score": q_quality_score,
@@ -3350,6 +3363,39 @@ def _oracles_extra() -> dict[str, str]:
             SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
                    round(ac, 6) AS approx_cosine
             FROM ranked WHERE rank <= 5
+        """,
+        "line_dedup": """
+            WITH split_docs AS (
+              SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+            lines AS (
+              SELECT doc_id, p.pos AS pos, p.line AS line
+              FROM (SELECT doc_id,
+                           unnest(list_transform(
+                             generate_series(1, len(ls)),
+                             i -> {'pos': i - 1, 'line': ls[i]})) AS p
+                    FROM split_docs)),
+            elig AS (
+              SELECT doc_id, pos, line,
+                     row_number() OVER (
+                       PARTITION BY md5(line)
+                       ORDER BY doc_id, pos) AS rn
+              FROM lines WHERE length(trim(line)) >= 10),
+            kept AS (
+              SELECT doc_id, pos, line FROM elig WHERE rn = 1
+              UNION ALL
+              SELECT doc_id, pos, line FROM lines
+              WHERE length(trim(line)) < 10),
+            rebuilt AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS text_kept,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id),
+            totals AS (
+              SELECT doc_id, count(*) AS n_total FROM lines GROUP BY doc_id)
+            SELECT t.doc_id,
+                   COALESCE(r.text_kept, '') AS text,
+                   CAST(t.n_total - COALESCE(r.n_kept, 0) AS INTEGER) AS n_removed
+            FROM totals t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
         """,
         "knn_ivfpq": """
             WITH e AS (

@@ -24,7 +24,7 @@ functions over arrays; xxhash64) — no Python UDFs anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import let, normalize_text, ws_tokens
@@ -610,4 +610,73 @@ def decontaminate(
         t.join(e, on="_g")
         .groupBy("train_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global exact-line dedup (C4 / RefinedWeb style)
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 10,
+    hash_fn=None,
+) -> DataFrame:
+    """Remove every repeated occurrence of an exact line across the WHOLE
+    corpus, keeping only its first appearance (lowest ``(id, line_no)``) —
+    the C4 pipeline's cross-document line dedup (Raffel et al. 2020;
+    RefinedWeb keeps the same rule). Returns one row per input document:
+    ``(id, text, n_removed)`` with the surviving lines rejoined in order.
+
+    Lines with fewer than ``min_chars`` non-blank characters are exempt
+    (blank separators and short list items are formatting, not
+    boilerplate) — the same knob the substring pass calls minimum match
+    length.
+
+    Scale shape: two shuffles. (1) first-occurrence election — a window
+    keyed by the line hash; only lines long enough to be eligible enter
+    it, and the shuffle key is the 8-byte hash, not the line text.
+    (2) document rebuild — groupBy id with an order-preserving
+    sort_array over (line_no, line) structs; per-group state is bounded
+    by document length, never corpus size. ``hash_fn`` defaults to
+    ``xxhash64`` (production); pass ``portable_hash60``-style md5 for
+    oracle-exact verification.
+    """
+    if hash_fn is None:
+        hash_fn = F.xxhash64
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    )
+    eligible = F.length(F.trim(F.col("_line"))) >= min_chars
+    elig = lines.where(eligible).withColumn("_k", hash_fn(F.col("_line")))
+    w = Window.partitionBy("_k").orderBy(F.col(id_col), F.col("_pos"))
+    kept_elig = (
+        elig.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, "_pos", "_line")
+    )
+    kept = kept_elig.unionByName(lines.where(~eligible))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+        ).alias("_text_kept"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_total"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_text_kept"), F.lit("")).alias(text_col),
+            (F.col("_n_total") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        )
     )

@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "jsonl_avro_roundtrip",
     # round 4: substring dedup + NB quality classifier
     "dup_span_removal",
+    "line_dedup",
     "nb_quality",
 ]
 

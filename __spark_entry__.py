@@ -1285,6 +1285,25 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ellipsis_line_frac", "alpha_word_frac", "stop_hits", "keep")])
 
 
+def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimates vs exact counts over the
+    documents.source column (d=4, w=64, portable md5 hashes): the
+    mergeable sketch whose shuffle volume is P×d×w counters regardless
+    of corpus size; estimates are biased high only."""
+    from avro_spark.functions.stats import cms_build, cms_estimate
+
+    docs = _read(spark, sf_dir, "documents")
+    sk = cms_build(docs, "source", d=4, w=64)
+    keys = docs.select("source").distinct()
+    exact = docs.groupBy("source").agg(F.count(F.lit(1)).alias("exact_count"))
+    est = cms_estimate(sk, keys, "source", d=4, w=64)
+    return est.join(exact, "source").select(
+        "source",
+        F.col("cms_estimate").cast("long").alias("cms_estimate"),
+        "exact_count",
+    )
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style global exact-line dedup: every repeated line keeps only
     its first (doc_id, line_no) occurrence corpus-wide; md5 line keys for
@@ -2023,6 +2042,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "knn_ivfpq": q_knn_ivfpq,
         "line_dedup": q_line_dedup,
+        "cms_freq": q_cms_freq,
         "enum_codes": q_enum_codes,
         "union_encode": q_union_encode,
         "quality_score": q_quality_score,
@@ -3363,6 +3383,32 @@ def _oracles_extra() -> dict[str, str]:
             SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
                    round(ac, 6) AS approx_cosine
             FROM ranked WHERE rank <= 5
+        """,
+        "cms_freq": f"""
+            WITH rows_r AS (SELECT unnest(generate_series(0, 3)) AS r),
+            grid AS (
+              SELECT r.r AS row,
+                     {_PH60.format(x="'cms' || r.r || ':' || d.source")} % 64 AS bucket,
+                     count(*) AS cnt
+              FROM documents d CROSS JOIN rows_r r
+              GROUP BY 1, 2),
+            keys AS (SELECT DISTINCT source FROM documents),
+            addressed AS (
+              SELECT k.source, r.r AS row,
+                     {_PH60.format(x="'cms' || r.r || ':' || k.source")} % 64 AS bucket
+              FROM keys k CROSS JOIN rows_r r),
+            est AS (
+              SELECT a.source,
+                     min(COALESCE(g.cnt, 0)) AS cms_estimate
+              FROM addressed a
+              LEFT JOIN grid g ON g.row = a.row AND g.bucket = a.bucket
+              GROUP BY 1),
+            exact AS (
+              SELECT source, count(*) AS exact_count FROM documents GROUP BY 1)
+            SELECT e.source,
+                   CAST(e.cms_estimate AS BIGINT) AS cms_estimate,
+                   x.exact_count
+            FROM est e JOIN exact x ON x.source = e.source
         """,
         "line_dedup": """
             WITH split_docs AS (

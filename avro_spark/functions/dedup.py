@@ -516,22 +516,40 @@ def near_dedup(
     return df.join(keepers, on=id_col, how="left_semi")
 
 
-def simhash_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
+def signature_pairs(
+    sigs: DataFrame,
     max_hamming: int = 3,
-    hash_fn=F.xxhash64,
     num_bits: int = 64,
+    id_col: str = "_id",
+    sig_col: str = "_sig",
 ) -> DataFrame:
-    """Id pairs with SimHash Hamming distance ≤ max_hamming (≤ 3 guaranteed
-    complete: 4 disjoint num_bits/4-wide chunks, pigeonhole ⇒ some chunk
-    equal). Shuffle is on (chunk_no, chunk_value) keys."""
-    if num_bits % 4:
-        raise ValueError("num_bits must be divisible by 4")
-    cw = num_bits // 4  # chunk width
-    cmask = (1 << cw) - 1
-    docs = simhash_signatures(df, id_col, text_col, hash_fn, num_bits)
+    """Id pairs with Hamming distance ≤ ``max_hamming`` over ANY integer
+    signature column (SimHash, perceptual image hash, audio fingerprint).
+
+    Pigeonhole-complete: the signature splits into ``max_hamming + 1``
+    disjoint chunks, so two signatures within the distance budget must
+    agree on at least one chunk — the candidate join keys on
+    (chunk_no, chunk_value), never all-pairs. Chunk widths may be uneven
+    when the bit count doesn't divide evenly; completeness only needs
+    disjoint coverage."""
+    n_chunks = max_hamming + 1
+    if n_chunks > num_bits:
+        raise ValueError("max_hamming + 1 chunks need at least that many bits")
+    base = num_bits // n_chunks
+    widths = [base + (1 if i < num_bits % n_chunks else 0) for i in range(n_chunks)]
+    offs, off = [], 0
+    for w_ in widths:
+        offs.append(off)
+        off += w_
+    docs = sigs.select(
+        F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig")
+    )
+    def _chunk_val(i: int) -> Column:
+        v = F.shiftright(F.col("_sig"), offs[i])
+        if widths[i] < 64:  # a 64-bit mask literal overflows long; the
+            v = v.bitwiseAND(F.lit((1 << widths[i]) - 1))  # full chunk needs none
+        return v
+
     chunks = docs.select(
         "_id",
         "_sig",
@@ -540,11 +558,9 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftright(F.col("_sig"), cw * i)
-                        .bitwiseAND(F.lit(cmask))
-                        .alias("val"),
+                        _chunk_val(i).alias("val"),
                     )
-                    for i in range(4)
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("c"),
@@ -561,6 +577,21 @@ def simhash_pairs(
         .distinct()
     )
     return cand.where(F.col("hamming") <= max_hamming)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    hash_fn=F.xxhash64,
+    num_bits: int = 64,
+) -> DataFrame:
+    """Id pairs with SimHash Hamming distance ≤ max_hamming (pigeonhole-
+    complete via :func:`signature_pairs`; shuffle keys are
+    (chunk_no, chunk_value), never all-pairs)."""
+    docs = simhash_signatures(df, id_col, text_col, hash_fn, num_bits)
+    return signature_pairs(docs, max_hamming=max_hamming, num_bits=num_bits)
 
 
 # ----------------------------------------------------------- decontamination

@@ -237,3 +237,90 @@ def bigram_lm_scores(
             "avg_logprob",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — the mergeable
+# frequency sketch for streams/shards too large to count exactly. The
+# sketch is a d×w counter grid; an item's estimate is the MIN of its d
+# counters, biased high by collisions only (never low). At 100 TB the
+# point is the communication bound: each executor partially aggregates
+# its partition into ≤ d×w counters map-side, so the shuffle carries
+# P×d×w integers, independent of row count or key cardinality — and two
+# sketches (shards, days, streaming micro-batches) merge by plain
+# counter addition.
+
+from avro_spark.functions.dedup import portable_hash60 as _phash60
+
+
+def _cms_bucket(key: Column, row: int, w: int, hash_fn) -> Column:
+    """Row-``row`` bucket for ``key``: hash of the salted key mod w.
+    The per-row salt prefix makes the d hash functions independent."""
+    return F.pmod(hash_fn(F.concat(F.lit(f"cms{row}:"), key)), F.lit(w)).cast("int")
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 1024,
+    weight_col: "str | None" = None,
+    hash_fn=None,
+) -> DataFrame:
+    """Build a count-min sketch over ``key_col`` (optionally summing
+    ``weight_col`` instead of counting rows). Returns the dense-ish
+    counter table ``(row, bucket, count)`` — at most d×w rows, one
+    shuffle, map-side partially aggregated. ``hash_fn`` defaults to the
+    portable md5 hash (oracle-exact); pass ``F.xxhash64`` at scale."""
+    if hash_fn is None:
+        hash_fn = _phash60
+    key = F.col(key_col).cast("string")
+    weight = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    pairs = df.select(
+        F.posexplode(
+            F.array(*[_cms_bucket(key, r, w, hash_fn) for r in range(d)])
+        ).alias("row", "bucket"),
+        weight.alias("_w"),
+    )
+    return pairs.groupBy("row", "bucket").agg(F.sum("_w").alias("count"))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with identical (d, w, hash_fn): counters add."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("count").alias("count"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 1024,
+    hash_fn=None,
+    out_col: str = "cms_estimate",
+) -> DataFrame:
+    """Point-query estimates for every row of ``keys``: min over the d
+    counters addressed by the key's buckets (0 when a bucket was never
+    touched). The sketch side is ≤ d×w rows — broadcast, so the lookup
+    is a narrow streamed join however large ``keys`` is."""
+    if hash_fn is None:
+        hash_fn = _phash60
+    key = F.col(key_col).cast("string")
+    addressed = keys.select(
+        "*",
+        F.posexplode(
+            F.array(*[_cms_bucket(key, r, w, hash_fn) for r in range(d)])
+        ).alias("_row", "_bucket"),
+    )
+    joined = addressed.join(
+        F.broadcast(sketch.withColumnRenamed("count", "_cnt")),
+        (F.col("_row") == F.col("row")) & (F.col("_bucket") == F.col("bucket")),
+        "left",
+    )
+    return (
+        joined.groupBy(*keys.columns)
+        .agg(F.min(F.coalesce(F.col("_cnt"), F.lit(0))).alias(out_col))
+    )

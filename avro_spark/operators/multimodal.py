@@ -40,7 +40,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -351,3 +351,41 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=list(id_cols) + ["frame_no", "frame"])
 
     return src.mapInPandas(run, schema=out_schema)
+
+
+def _hex64_to_long(h: Column) -> Column:
+    """16-hex-char string → the same 64 bits as a (possibly negative)
+    long; Java's modular shift makes the high half land on the sign bit
+    exactly as 2's complement requires."""
+    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def media_phash_pairs(
+    df: DataFrame,
+    id_col: str,
+    media_col: str = "media",
+    max_hamming: int = 3,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Near-duplicate media items: (id_a, id_b, hamming) pairs whose
+    64-bit perceptual hashes differ in ≤ ``max_hamming`` bits — image
+    dedup for a multimodal corpus (re-encoded/resized copies keep their
+    8×8 luminance structure, so their phashes stay within a few bits).
+
+    Decode + phash run once per item in the Arrow-batched Python stage
+    (:func:`decode_features`); candidate generation is the pigeonhole
+    (chunk, value) join of :func:`avro_spark.functions.dedup.
+    signature_pairs` — shuffle keys are chunk values, never pixels, and
+    never all-pairs. ``decoder='real'`` phashes real PNG/BMP/PNM/JPEG
+    pixels; the default fake decoder keeps the plumbing testable without
+    image fixtures."""
+    from ..functions.dedup import signature_pairs
+
+    feats = decode_features(df, media_col=media_col, id_cols=(id_col,), decoder=decoder)
+    sigs = feats.select(
+        F.col(id_col).cast("long").alias("_id"),
+        _hex64_to_long(F.col("phash")).alias("_sig"),
+    )
+    return signature_pairs(sigs, max_hamming=max_hamming)

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "bpe_pairs",
     # round 2: corpus statistics + curation sampling
     "heavy_hitters",
+    "cms_freq",
     "tfidf_topk",
     "length_quantiles",
     "stratified_sample",

@@ -176,3 +176,74 @@ def test_bigram_lm_plan_has_no_python_stage(docs):
         S.bigram_lm_scores(docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+
+
+def _exact_counts(docs):
+    return {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+
+def test_cms_never_underestimates(spark, docs):
+    from avro_spark.functions.stats import cms_build, cms_estimate
+
+    sk = cms_build(docs, "source", d=4, w=64)
+    keys = docs.select("source").distinct()
+    est = {
+        r.source: r.cms_estimate
+        for r in cms_estimate(sk, keys, "source", d=4, w=64).collect()
+    }
+    exact = _exact_counts(docs)
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert est[k] >= n, (k, est[k], n)
+
+
+def test_cms_exact_when_wide_enough(spark, docs):
+    """With w far above the distinct-key count, collisions are unlikely
+    across all 4 rows and min() recovers exact counts."""
+    from avro_spark.functions.stats import cms_build, cms_estimate
+
+    sk = cms_build(docs, "source", d=4, w=8192)
+    keys = docs.select("source").distinct()
+    est = {
+        r.source: r.cms_estimate
+        for r in cms_estimate(sk, keys, "source", d=4, w=8192).collect()
+    }
+    assert est == _exact_counts(docs)
+
+
+def test_cms_merge_equals_whole(spark, docs):
+    from avro_spark.functions.stats import cms_build, cms_merge
+
+    a = cms_build(docs.where(F.col("doc_id") % 2 == 0), "source", d=4, w=64)
+    b = cms_build(docs.where(F.col("doc_id") % 2 == 1), "source", d=4, w=64)
+    merged = sorted(map(tuple, cms_merge(a, b).collect()))
+    whole = sorted(map(tuple, cms_build(docs, "source", d=4, w=64).collect()))
+    assert merged == whole
+
+
+def test_cms_weighted(spark):
+    from avro_spark.functions.stats import cms_build, cms_estimate
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 5), ("b", 7)], "k string, wt long"
+    )
+    sk = cms_build(df, "k", d=4, w=1024, weight_col="wt")
+    est = {
+        r.k: r.cms_estimate
+        for r in cms_estimate(sk, df.select("k").distinct(), "k", d=4, w=1024).collect()
+    }
+    assert est == {"a": 15, "b": 7}
+
+
+def test_cms_sketch_size_bounded(spark, docs):
+    from avro_spark.functions.stats import cms_build
+
+    sk = cms_build(docs, "source", d=4, w=64)
+    assert sk.count() <= 4 * 64

@@ -143,6 +143,29 @@ def main() -> None:
         n_knn = S.knn_bruteforce(emb, queries, k=5).count()
         results["knn_bruteforce"] = (time.perf_counter() - t0, n_knn)
 
+        # PQ: codebooks once (driver-side, 16 rows), then encode+score
+        # the multiplied table — the compressed-candidate ANN path
+        books = S.pq_codebooks(emb0, m=8, k=16)
+        t0 = time.perf_counter()
+        n_pq = S.knn_pq(emb, queries, books, k=5).count()
+        results["knn_pq"] = (time.perf_counter() - t0, n_pq)
+
+        cents = S.sample_centroids(emb0, 16)
+        t0 = time.perf_counter()
+        n_ivfpq = S.knn_ivfpq(emb, queries, cents, books, k=5, nprobe=4).count()
+        results["knn_ivfpq"] = (time.perf_counter() - t0, n_ivfpq)
+
+        # global exact-line dedup over the multiplied corpus (the filler
+        # suffix lives on the LAST line of each doc, so cross-copy line
+        # dups are exactly the original corpus's shared lines)
+        t0 = time.perf_counter()
+        n_ld = (
+            D.line_dedup(docs)
+            .agg(F.sum("n_removed"), F.count("*"))
+            .collect()[0][1]
+        )
+        results["line_dedup"] = (time.perf_counter() - t0, n_ld)
+
         from avro_spark.functions import retrieval as R
         from avro_spark.functions import stats as ST
 

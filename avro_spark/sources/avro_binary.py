@@ -82,7 +82,42 @@ def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
 
 
 # ----------------------------------------------------- encoder compilation
+# Cycle-safe builder memo: recursive schemas (node graphs with back-edges,
+# frontend.lua:369-389) would otherwise recurse forever at BUILD time. The
+# memo lives only for the outermost build (no global codec cache); the
+# back-edge gets a one-cell forward indirection that binds to the real
+# closure once the cycle closes. Python workers are single-threaded, so a
+# module-level in-flight slot is safe.
+_ENC_MEMO: "dict | None" = None
+_DEC_MEMO: "dict | None" = None
+
+
 def _compile_encoder(node: SchemaNode) -> Callable[[bytearray, Any], None]:
+    global _ENC_MEMO
+    top = _ENC_MEMO is None
+    if top:
+        _ENC_MEMO = {}
+    memo = _ENC_MEMO
+    try:
+        hit = memo.get(id(node))
+        if hit is not None:
+            return hit[1]
+        cell: list = [None]
+
+        def enc_forward(out: bytearray, v: Any) -> None:
+            cell[0](out, v)
+
+        memo[id(node)] = (node, enc_forward)  # node ref pins the id
+        real = _compile_encoder_impl(node)
+        cell[0] = real
+        memo[id(node)] = (node, real)
+        return real
+    finally:
+        if top:
+            _ENC_MEMO = None
+
+
+def _compile_encoder_impl(node: SchemaNode) -> Callable[[bytearray, Any], None]:
     """Closure-tree encoder (the Spark-side analogue of the reference's
     generated flatten_msgpack codec, init.lua:271-381)."""
     if node.nullable:
@@ -278,6 +313,31 @@ def _strip_nullable(node: SchemaNode) -> SchemaNode:
 
 # ----------------------------------------------------- decoder compilation
 def _compile_decoder(node: SchemaNode) -> Callable[[bytes, int], tuple[Any, int]]:
+    global _DEC_MEMO
+    top = _DEC_MEMO is None
+    if top:
+        _DEC_MEMO = {}
+    memo = _DEC_MEMO
+    try:
+        hit = memo.get(id(node))
+        if hit is not None:
+            return hit[1]
+        cell: list = [None]
+
+        def dec_forward(buf: bytes, pos: int):
+            return cell[0](buf, pos)
+
+        memo[id(node)] = (node, dec_forward)
+        real = _compile_decoder_impl(node)
+        cell[0] = real
+        memo[id(node)] = (node, real)
+        return real
+    finally:
+        if top:
+            _DEC_MEMO = None
+
+
+def _compile_decoder_impl(node: SchemaNode) -> Callable[[bytes, int], tuple[Any, int]]:
     if node.nullable:
         inner = _compile_decoder(_strip_nullable(node))
         def dec_nullable(buf: bytes, pos: int):

@@ -74,11 +74,21 @@ def _ddt_form(v):
 
 
 class _Gen:
-    """Coupled (schema, value-strategy) generator with a depth budget."""
+    """Coupled (schema, value-strategy) generator with a depth budget.
 
-    def __init__(self, draw):
+    ``recursion=True`` additionally emits back-references to enclosing
+    record names, always under terminable indirection (``[null, R]``
+    unions or ``array``-of-R items — frontend.lua:369-389's legal
+    recursion forms); value generation spends ``rec_budget`` levels
+    before every cycle terminates (null branch / empty array)."""
+
+    def __init__(self, draw, recursion: bool = False):
         self.draw = draw
         self.n_named = 0
+        self.recursion = recursion
+        self.rec_names: list = []   # enclosing (in-construction) records
+        self.rec_defs: dict = {}    # name -> completed schema dict
+        self.rec_budget = 3
 
     def name(self, prefix: str) -> str:
         self.n_named += 1
@@ -89,7 +99,14 @@ class _Gen:
                  "enum", "fixed"]
         if depth > 0:
             kinds += ["array", "map", "union", "record"]
+        if self.recursion and self.rec_names:
+            kinds += ["recur", "recur"]  # weighted: back-edges are the point
         kind = self.draw(st.sampled_from(kinds))
+        if kind == "recur":
+            ref = self.draw(st.sampled_from(self.rec_names))
+            if self.draw(st.booleans()):
+                return ["null", ref]          # linked-list shape
+            return {"type": "array", "items": ref}  # tree shape
         nullable = self.draw(st.booleans())
         if kind in ("int", "long", "boolean", "string", "double", "float", "bytes"):
             return f"{kind}*" if nullable else kind
@@ -135,14 +152,28 @@ class _Gen:
             )
             return branches
         n_fields = self.draw(st.integers(1, 4))
-        return {
-            "type": "record*" if nullable else "record",
-            "name": self.name("R"),
-            "fields": [
-                {"name": f"f{i}", "type": self.schema(depth - 1)}
-                for i in range(n_fields)
-            ],
-        }
+        rname = self.name("R")
+        self.rec_names.append(rname)
+        try:
+            rec = {
+                "type": "record*" if nullable else "record",
+                "name": rname,
+                "fields": [
+                    {"name": f"f{i}", "type": self.schema(depth - 1)}
+                    for i in range(n_fields)
+                ],
+            }
+        finally:
+            self.rec_names.pop()
+        self.rec_defs[rname] = rec
+        return rec
+
+    def rec_value(self, name: str):
+        """Value for a bare back-edge reference: always the NON-nullable
+        record variant (the ref name carries no '*'), even when the
+        definition site was spelled 'record*'."""
+        node = self.rec_defs[name]
+        return {f["name"]: self.value(f["type"]) for f in node["fields"]}
 
     # ---- conforming values --------------------------------------------
     def value(self, node):
@@ -154,6 +185,13 @@ class _Gen:
             return self.prim(base)
         if isinstance(node, list):  # union
             branch = self.draw(st.sampled_from(node))
+            if isinstance(branch, str) and branch in self.rec_defs:
+                # recursion back-edge: spend budget or take the null
+                # co-branch (the grammar always pairs refs with null)
+                if self.rec_budget <= 0:
+                    return None
+                self.rec_budget -= 1
+                return {branch: self.rec_value(branch)}
             if branch == "null":
                 return None
             base = branch.rstrip("*")
@@ -174,8 +212,19 @@ class _Gen:
                 )
             )
         if base == "array":
+            items = node["items"]
+            if isinstance(items, str) and items in self.rec_defs:
+                # recursion back-edge (tree shape): each element costs a
+                # budget level; exhausted budget terminates with []
+                out = []
+                for _ in range(self.draw(st.integers(0, 2))):
+                    if self.rec_budget <= 0:
+                        break
+                    self.rec_budget -= 1
+                    out.append(self.rec_value(items))
+                return out
             n = self.draw(st.integers(0, 3))
-            return [self.value(node["items"]) for _ in range(n)]
+            return [self.value(items) for _ in range(n)]
         if base == "map":
             n = self.draw(st.integers(0, 3))
             return {
@@ -454,6 +503,76 @@ class TestFuzzJvmParity:
             assert "map" in str(schema_dict), (schema_dict, norm)
             from avro_spark.sources.avro_binary import decode_record
 
+            assert decode_record(sch, bytes(bj)) == decode_record(sch, bytes(bp)), (
+                schema_dict, norm)
+
+
+class TestRecursiveFuzz:
+    """Recursive schemas (SURVEY §7 hard part #1): random record graphs
+    with back-edges via [null, R] unions and array-of-R items, exercised
+    through validate, the Python codec (which build-looped on cycles
+    before the round-4 memo fix), the JVM codec, and the Spark
+    flatten/unflatten unroll."""
+
+    @given(data=st.data())
+    @settings(max_examples=40, deadline=None)
+    def test_validate_and_codec_recursive(self, data):
+        gen = _Gen(data.draw, recursion=True)
+        schema_dict = _root_record(gen)
+        sch = avs.create(schema_dict)
+        value = gen.value(schema_dict)
+        norm = avs.validate(sch, value)
+        norm2 = avs.validate(sch, norm)
+        assert _deep_eq(norm, norm2), (norm, norm2)
+        blob = encode_record(sch, norm)
+        rt = encode_record(sch, decode_record(sch, blob))
+        assert blob == rt
+
+    @given(data=st.data())
+    @settings(max_examples=10, deadline=None)
+    def test_spark_flatten_unflatten_identity_recursive(self, data, spark):
+        from ddt_helpers import Unconvertible, to_row_value
+
+        gen = _Gen(data.draw, recursion=True)
+        schema_dict = _root_record(gen)
+        sch = avs.create(schema_dict)
+        cs = avs.compile(sch)
+        value = gen.value(schema_dict)
+        norm = avs.validate(sch, value)
+        try:
+            row = to_row_value(sch.root, _ddt_form(norm))
+        except Unconvertible:
+            return
+        df = spark.createDataFrame([row], sch.to_struct_type())
+        back = cs.unflatten(cs.flatten(df)).collect()[0]
+        assert _deep_eq(row, back), (row, back)
+
+    @given(data=st.data())
+    @settings(max_examples=10, deadline=None)
+    def test_byte_parity_recursive(self, data, spark):
+        from avro_spark import jvm as J
+        from avro_spark.sources.avro_binary import to_avro_bytes
+        from ddt_helpers import Unconvertible, to_row_value
+
+        if not (J.ensure_jar() and J.jvm_codec_available(spark)):
+            pytest.skip("no JDK")
+        gen = _Gen(data.draw, recursion=True)
+        schema_dict = _root_record(gen)
+        sch = avs.create(schema_dict)
+        if not J.jvm_codec_supported(sch):
+            return  # recursion scope gap would route to Python anyway
+        norm = avs.validate(sch, gen.value(schema_dict))
+        try:
+            row = to_row_value(sch.root, norm)
+        except Unconvertible:
+            return
+        df = spark.createDataFrame([row], sch.to_struct_type())
+        bj = to_avro_bytes(df, sch, "b", engine="jvm").collect()[0].b
+        bp = to_avro_bytes(df, sch, "b", engine="python").collect()[0].b
+        if bytes(bj) != bytes(bp):
+            from avro_spark.sources.avro_binary import decode_record
+
+            assert "map" in str(schema_dict), (schema_dict, norm)
             assert decode_record(sch, bytes(bj)) == decode_record(sch, bytes(bp)), (
                 schema_dict, norm)
 

@@ -135,11 +135,31 @@ def lit_for(node: SchemaNode, value: Any) -> Column:
 
 # --------------------------------------------- record-form conversion core
 #: Max times one (writer, reader) plan node may repeat on a lowering path
-#: before the expression is cut to null — bounds recursive-schema unrolling
-#: (frontend.lua:369-389 recursion; SURVEY.md §7 "hard parts"). Data deeper
-#: than the unroll cannot enter the typed DataFrame boundary in the first
-#: place (to_spark_type cuts the column type to NullType at the same bound).
+#: before the expression is cut — bounds recursive-schema unrolling
+#: (frontend.lua:369-389 recursion; SURVEY.md §7 "hard parts"). Data that
+#: still has a non-null value at the cut RAISES (the documented deviation:
+#: the reference handles unbounded recursive data natively; we reject past
+#: the unroll instead of silently nulling it). to_spark_type unrolls the
+#: column type deeper than this bound, so the guard is reachable.
 MAX_UNROLL = 8
+
+
+def _unroll_guard(src: "Column | None", target) -> Column:
+    """Typed null at the recursion cut — loud when data is actually there."""
+    null = F.lit(None).cast(target)
+    if src is None:
+        return null
+    return F.when(
+        src.isNull(), null
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"recursive data deeper than the unroll bound "
+                f"(MAX_UNROLL={MAX_UNROLL}); re-model the hot recursion or "
+                "raise avro_spark.plans.flatten.MAX_UNROLL"
+            )
+        ).cast(target)
+    )
 
 
 def convert_expr(plan: Resolved, src: Column, validate: bool = True,
@@ -147,7 +167,7 @@ def convert_expr(plan: Resolved, src: Column, validate: bool = True,
     """writer-shaped record-form value → reader-shaped record-form value."""
     kind = plan.kind
     if _seen.count(id(plan)) >= MAX_UNROLL:
-        return F.lit(None).cast(to_spark_type(plan.reader))
+        return _unroll_guard(src, to_spark_type(plan.reader))
     _seen = _seen + (id(plan),)
     if kind == "copy":
         return src
@@ -285,9 +305,10 @@ def _union_parts(plan: Resolved, src: Column, validate: bool,
     """(tag, value) columns for the reader union, from writer-form ``src``."""
     kind = plan.kind
     if _seen.count(id(plan)) >= MAX_UNROLL:
-        # recursion cut: typed nulls so downstream getField still resolves
+        # recursion cut: typed nulls so downstream getField still resolves;
+        # loud when a value actually reached the cut
         return (
-            F.lit(None).cast("int"),
+            _unroll_guard(src, "int"),
             F.lit(None).cast(_union_value_type(plan.reader)),
         )
     _seen = _seen + (id(plan),)
@@ -377,7 +398,7 @@ def _convert_union(plan: Resolved, src: Column, validate: bool,
     """Record-form union conversion."""
     reader = plan.reader
     if _seen.count(id(plan)) >= MAX_UNROLL:
-        return F.lit(None).cast(to_spark_type(reader))
+        return _unroll_guard(src, to_spark_type(reader))
     _seen = _seen + (id(plan),)
     if plan.kind == "from_union":
         # union → non-union reader: per-branch conversion, unmatched raises

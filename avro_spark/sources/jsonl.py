@@ -115,6 +115,9 @@ def write_jsonl(df: DataFrame, path: str, compression: Optional[str] = None) -> 
 
 
 # ------------------------------------------------- AVRO-convention JSON sink
+#: unroll bound for recursive schemas — matches to_struct_type's cut
+_RENDER_DEPTH_LIMIT = 8
+
 def _j_frag(col) -> "Column":
     """Any scalar column → its JSON fragment text: wrap in a 1-element
     array, to_json, strip the brackets. Handles escaping, numbers and
@@ -130,7 +133,8 @@ def _j_frag(col) -> "Column":
     return F.substring(s, 2, F.length(s) - 2)
 
 
-def render_json_avro(node, col, binary_key: str = "$binary") -> "Column":
+def render_json_avro(node, col, binary_key: str = "$binary",
+                     _seen: tuple = ()) -> "Column":
     """Schema-directed JSON TEXT rendering of one value column using the
     AVRO value conventions (the reference corpus's JSON↔MsgPack form,
     test/msgpack_helper.py): union values as ``null`` or the single-entry
@@ -145,6 +149,18 @@ def render_json_avro(node, col, binary_key: str = "$binary") -> "Column":
     )
     from ..schema.spark_types import UNION_TAG, union_null_and_one
 
+    if _seen.count(id(node)) >= _RENDER_DEPTH_LIMIT:
+        # recursive schemas unroll boundedly (per-node repetitions, NOT
+        # total nesting, so deep non-recursive schemas are unaffected).
+        # A value actually reaching the cut would be silently dropped —
+        # fail the write loudly instead (sink contract)
+        return F.when(col.isNull(), F.lit("null")).otherwise(
+            F.raise_error(F.lit(
+                "write_jsonl_avro: recursive data deeper than the unroll "
+                f"bound ({_RENDER_DEPTH_LIMIT})"
+            )).cast("string")
+        )
+    _seen = _seen + (id(node),)
     if isinstance(node, Primitive) or isinstance(node, Enum):
         if isinstance(node, Primitive) and node.type == "any":
             # 'any' columns hold JSON text (spark_types: StringType; the
@@ -172,7 +188,7 @@ def render_json_avro(node, col, binary_key: str = "$binary") -> "Column":
         parts = [
             F.concat(
                 F.lit(('' if i == 0 else ',') + _j_key(f.name) + ': '),
-                render_json_avro(f.type, col.getField(f.name), binary_key),
+                render_json_avro(f.type, col.getField(f.name), binary_key, _seen),
             )
             for i, f in enumerate(node.fields)
         ]
@@ -180,7 +196,7 @@ def render_json_avro(node, col, binary_key: str = "$binary") -> "Column":
         return F.when(col.isNull(), F.lit("null")).otherwise(body)
     if isinstance(node, Array):
         inner = F.array_join(
-            F.transform(col, lambda x: render_json_avro(node.items, x, binary_key)),
+            F.transform(col, lambda x: render_json_avro(node.items, x, binary_key, _seen)),
             ",",
         )
         return F.when(col.isNull(), F.lit("null")).otherwise(
@@ -192,7 +208,7 @@ def render_json_avro(node, col, binary_key: str = "$binary") -> "Column":
                 F.map_entries(col),
                 lambda e: F.concat(
                     _j_frag(e.getField("key")), F.lit(": "),
-                    render_json_avro(node.values, e.getField("value"), binary_key),
+                    render_json_avro(node.values, e.getField("value"), binary_key, _seen),
                 ),
             ),
             ",",
@@ -209,7 +225,7 @@ def render_json_avro(node, col, binary_key: str = "$binary") -> "Column":
             )
             return F.when(col.isNull(), F.lit("null")).otherwise(
                 F.concat(F.lit("{" + _j_key(tag) + ": "),
-                         render_json_avro(simple, col, binary_key), F.lit("}"))
+                         render_json_avro(simple, col, binary_key, _seen), F.lit("}"))
             )
         tag_c = col.getField(UNION_TAG)
         has_null = any(
@@ -235,7 +251,7 @@ def render_json_avro(node, col, binary_key: str = "$binary") -> "Column":
             out = F.when(
                 col.isNotNull() & (tag_c == i),
                 F.concat(F.lit("{" + _j_key(t) + ": "),
-                         render_json_avro(b, col.getField(t), binary_key),
+                         render_json_avro(b, col.getField(t), binary_key, _seen),
                          F.lit("}")),
             ).otherwise(out)
         return out

@@ -577,6 +577,68 @@ class TestRecursiveFuzz:
                 schema_dict, norm)
 
 
+class TestUnrollRejection:
+    """Data deeper than the recursion unroll must RAISE, not silently
+    truncate (SCALE.md §7 contract; the reference handles unbounded
+    recursive data natively, so quiet nulling would be a wrong answer)."""
+
+    SCHEMA = {
+        "type": "record", "name": "node",
+        "fields": [{"name": "value", "type": "int"},
+                   {"name": "next", "type": ["null", "node"]}],
+    }
+
+    @staticmethod
+    def _chain_df(spark, sch, n):
+        import json as _json
+
+        rec: dict = {"value": n, "next": None}
+        for i in range(n - 1, 0, -1):
+            rec = {"value": i, "next": rec}
+        df = spark.createDataFrame([(_json.dumps(rec),)], "j string")
+        from pyspark.sql import functions as F
+
+        return df.select(
+            F.from_json("j", sch.to_struct_type()).alias("r")
+        ).select("r.*")
+
+    def test_within_bound_roundtrips(self, spark):
+        sch = avs.create(self.SCHEMA)
+        cs = avs.compile(sch)
+        typed = self._chain_df(spark, sch, 4)
+        back = cs.unflatten(cs.flatten(typed)).collect()[0].asDict(recursive=True)
+        d, cur = 1, back
+        while cur.get("next") is not None:
+            cur = cur["next"]; d += 1
+        assert d == 4 and cur["value"] == 4
+
+    def test_past_bound_raises(self, spark):
+        sch = avs.create(self.SCHEMA)
+        cs = avs.compile(sch)
+        typed = self._chain_df(spark, sch, 12)
+        with pytest.raises(Exception, match="unroll bound"):
+            cs.flatten(typed).collect()
+
+    def test_jsonl_sink_past_bound_raises(self, spark, tmp_path):
+        from avro_spark.sources.jsonl import write_jsonl_avro
+
+        sch = avs.create(self.SCHEMA)
+        typed = self._chain_df(spark, sch, 12)
+        with pytest.raises(Exception, match="unroll bound"):
+            write_jsonl_avro(typed, sch, str(tmp_path / "deep"))
+
+    def test_record_codecs_have_no_bound(self, spark):
+        from avro_spark.sources.avro_binary import decode_record, encode_record
+
+        sch = avs.create(self.SCHEMA)
+        rec: dict = {"value": 40, "next": None}
+        plain: dict = {"value": 40, "next": None}
+        for i in range(39, 0, -1):
+            rec = {"value": i, "next": {"node": rec}}      # tagged input form
+            plain = {"value": i, "next": plain}            # decode's plain form
+        assert decode_record(sch, encode_record(sch, rec)) == plain
+
+
 class TestDeepEvolutionFuzz:
     """Evolution fuzz across the axes TestEvolutionFuzz doesn't reach —
     B5 enum remap (reader drops unused symbols / appends new ones), B7

@@ -627,6 +627,37 @@ class TestUnrollRejection:
         with pytest.raises(Exception, match="unroll bound"):
             write_jsonl_avro(typed, sch, str(tmp_path / "deep"))
 
+    def test_recursive_ocf_and_wire_roundtrip(self, spark, tmp_path):
+        import json as _json
+
+        from avro_spark.sources.avro_ocf import read_avro_files, write_avro_files
+        from avro_spark.sources.wire import from_wire, schema_registry_id, to_wire
+
+        sch = avs.create(self.SCHEMA)
+        typed = self._chain_df(spark, sch, 3).unionByName(
+            self._chain_df(spark, sch, 1)
+        )
+        orig = sorted(
+            _json.dumps(r.asDict(recursive=True), sort_keys=True)
+            for r in typed.collect()
+        )
+        d = str(tmp_path / "ocf")
+        write_avro_files(typed, sch, d)
+        for kw in ({}, {"split_bytes": 1024}):
+            back = read_avro_files(spark, d, sch, **kw)
+            got = sorted(
+                _json.dumps(r.asDict(recursive=True), sort_keys=True)
+                for r in back.collect()
+            )
+            assert got == orig, kw
+        w = to_wire(typed, sch)
+        back = from_wire(w, "wire", {schema_registry_id(sch): sch})
+        got = sorted(
+            _json.dumps(r.asDict(recursive=True), sort_keys=True)
+            for r in back.select(typed.columns).collect()
+        )
+        assert got == orig
+
     def test_record_codecs_have_no_bound(self, spark):
         from avro_spark.sources.avro_binary import decode_record, encode_record
 

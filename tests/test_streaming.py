@@ -344,3 +344,67 @@ def test_stream_wire_format_multi_version_consume(spark, tmp_path):
     got = sorted((r.id, r.v, r.score)
                  for r in spark.table("wire_decoded").collect())
     assert got == [(1, "a", -1.0), (2, "b", -1.0), (3, "c", 0.5)]
+
+
+def test_streaming_cms_merge(spark, tmp_path):
+    """Count-Min sketches built per micro-batch and MERGED into a running
+    sketch via foreachBatch — the mergeable-summary pattern: the stored
+    state is <= d x w counters however long the stream runs, and the
+    merged sketch equals the batch sketch over all data."""
+    from avro_spark.functions.stats import cms_build, cms_estimate, cms_merge
+
+    src = tmp_path / "events"
+    src.mkdir()
+    spark.createDataFrame(
+        [("a",)] * 3 + [("b",)], "k string"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(
+        [("a",)] * 2 + [("c",)] * 4, "k string"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    target = str(tmp_path / "sketch")
+
+    def fold(batch, batch_id):
+        sk = cms_build(batch, "k", d=4, w=256)
+        try:
+            prev = batch.sparkSession.read.parquet(target)
+            sk = cms_merge(prev, sk)
+        except Exception:
+            pass  # first batch: no prior sketch
+        sk.coalesce(1).write.mode("overwrite").parquet(target + "_next")
+        # atomic-ish swap for the test (production would dir-swap like
+        # stream_merge_snapshot)
+        import shutil
+
+        shutil.rmtree(target, ignore_errors=True)
+        shutil.move(target + "_next", target)
+
+    stream = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    merged = spark.read.parquet(target)
+    assert merged.count() <= 4 * 256
+    whole = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] + [("c",)] * 4, "k string"
+    )
+    keys = whole.select("k").distinct()
+    est_merged = {
+        r.k: r.cms_estimate
+        for r in cms_estimate(merged, keys, "k", d=4, w=256).collect()
+    }
+    sk_whole = cms_build(whole, "k", d=4, w=256)
+    est_whole = {
+        r.k: r.cms_estimate
+        for r in cms_estimate(sk_whole, keys, "k", d=4, w=256).collect()
+    }
+    assert est_merged == est_whole == {"a": 5, "b": 1, "c": 4}

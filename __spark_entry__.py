@@ -1285,6 +1285,48 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ellipsis_line_frac", "alpha_word_frac", "stop_hits", "keep")])
 
 
+_CHAIN_SCHEMA = {
+    "type": "record", "name": "Root",
+    "fields": [
+        {"name": "okey", "type": "long"},
+        {"name": "chain", "type": ["null", {
+            "type": "record", "name": "node",
+            "fields": [{"name": "value", "type": "long"},
+                       {"name": "next", "type": ["null", "node"]}],
+        }]},
+    ],
+}
+
+
+def q_recursive_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-schema flatten (SURVEY §7 hard part #1 under the driver
+    oracle): each order becomes a depth-3 linked list inside a keyed
+    root record; the compiled recursive plan flattens it to scalar cells
+    the oracle recomputes directly from the base column."""
+    orders = _read(spark, sf_dir, "orders")
+    k = (F.col("o_orderkey") % 97).cast("long")
+    j = F.concat(
+        F.lit('{"okey": '), F.col("o_orderkey").cast("string"),
+        F.lit(', "chain": {"value": '), k.cast("string"),
+        F.lit(', "next": {"value": '), (k + 1).cast("string"),
+        F.lit(', "next": {"value": '), (k + 2).cast("string"),
+        F.lit(', "next": null}}}}'),
+    )
+    sch = avro_spark.create(_CHAIN_SCHEMA)
+    cs = avro_spark.compile(sch)
+    typed = orders.select(F.from_json(j, sch.to_struct_type()).alias("r")).select("r.*")
+    flat = cs.flatten(typed)
+    nxt = F.col("chain").getField("next")
+    return flat.select(
+        F.col("okey"),
+        F.col("`chain.$type$`").alias("chain_tag"),
+        F.col("chain").getField("value").alias("v1"),
+        nxt.getField("value").alias("v2"),
+        nxt.getField("next").getField("value").alias("v3"),
+        nxt.getField("next").getField("next").isNull().alias("tail_null"),
+    )
+
+
 def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch frequency estimates vs exact counts over the
     documents.source column (d=4, w=64, portable md5 hashes): the
@@ -2043,6 +2085,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivfpq": q_knn_ivfpq,
         "line_dedup": q_line_dedup,
         "cms_freq": q_cms_freq,
+        "recursive_flatten": q_recursive_flatten,
         "enum_codes": q_enum_codes,
         "union_encode": q_union_encode,
         "quality_score": q_quality_score,
@@ -3383,6 +3426,15 @@ def _oracles_extra() -> dict[str, str]:
             SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
                    round(ac, 6) AS approx_cosine
             FROM ranked WHERE rank <= 5
+        """,
+        "recursive_flatten": """
+            SELECT o_orderkey AS okey,
+                   1 AS chain_tag,
+                   o_orderkey % 97 AS v1,
+                   o_orderkey % 97 + 1 AS v2,
+                   o_orderkey % 97 + 2 AS v3,
+                   TRUE AS tail_null
+            FROM orders
         """,
         "cms_freq": f"""
             WITH rows_r AS (SELECT unnest(generate_series(0, 3)) AS r),

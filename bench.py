@@ -25,6 +25,7 @@ import __spark_entry__ as E  # noqa: E402
 # headline set: every oracle-checked operator + the LSH/IVF scale paths
 BENCH_QUERIES = [
     "flatten_nested",
+    "recursive_flatten",
     "unflatten_roundtrip",
     "defaults_fill",
     "evolution_reorder_rename",

@@ -627,6 +627,75 @@ class TestUnrollRejection:
         with pytest.raises(Exception, match="unroll bound"):
             write_jsonl_avro(typed, sch, str(tmp_path / "deep"))
 
+    def test_recursive_evolution_default_fill_and_reorder(self, spark):
+        """Evolution through the cycle: the reader reorders node's fields
+        and adds a defaulted one — the default must materialize at EVERY
+        recursion level, and reordering must not disturb values."""
+        writer = avs.create(self.SCHEMA)
+        reader = avs.create({
+            "type": "record", "name": "node",
+            "fields": [
+                {"name": "next", "type": ["null", "node"]},
+                {"name": "extra", "type": "string", "default": "x"},
+                {"name": "value", "type": "int"},
+            ],
+        })
+        cs = avs.compile(writer, reader)
+        typed = self._chain_df(spark, writer, 3)
+        # unflatten consumes the WRITER-layout tuple (reference contract)
+        wtuple = avs.compile(writer).flatten(typed)
+        out = cs.unflatten(wtuple).collect()[0].asDict(recursive=True)
+        assert out == {
+            "next": {
+                "next": {"next": None, "extra": "x", "value": 3},
+                "extra": "x", "value": 2,
+            },
+            "extra": "x", "value": 1,
+        }
+
+    def test_recursive_evolution_alias_rename(self, spark):
+        """The reader renames the recursive record via alias; the cyclic
+        reference re-binds through the alias at every level."""
+        writer = avs.create(self.SCHEMA)
+        reader = avs.create({
+            "type": "record", "name": "linked", "aliases": ["node"],
+            "fields": [
+                {"name": "value", "type": "int"},
+                {"name": "next", "type": ["null", "linked"]},
+            ],
+        })
+        cs = avs.compile(writer, reader)
+        typed = self._chain_df(spark, writer, 3)
+        out = cs.unflatten(cs.flatten(typed)).collect()[0].asDict(recursive=True)
+        assert out == {"value": 1, "next": {"value": 2, "next": {"value": 3, "next": None}}}
+
+    def test_recursive_evolution_downgrade(self, spark):
+        """Downgrade mode: new-schema data (extra defaulted field) written
+        back to the old shape drops the field at every level."""
+        new = avs.create({
+            "type": "record", "name": "node",
+            "fields": [
+                {"name": "value", "type": "int"},
+                {"name": "extra", "type": "string", "default": "x"},
+                {"name": "next", "type": ["null", "node"]},
+            ],
+        })
+        old = avs.create(self.SCHEMA)
+        cs = avs.compile(new, old)
+        import json as _json
+
+        from pyspark.sql import functions as F
+
+        rec = {"value": 1, "extra": "a",
+               "next": {"value": 2, "extra": "b", "next": None}}
+        df = spark.createDataFrame([(_json.dumps(rec),)], "j string")
+        typed = df.select(
+            F.from_json("j", new.to_struct_type()).alias("r")
+        ).select("r.*")
+        wtuple = avs.compile(new).flatten(typed)
+        out = cs.unflatten(wtuple).collect()[0].asDict(recursive=True)
+        assert out == {"value": 1, "next": {"value": 2, "next": None}}
+
     def test_recursive_ocf_and_wire_roundtrip(self, spark, tmp_path):
         import json as _json
 

@@ -3475,7 +3475,7 @@ def _oracles_extra() -> dict[str, str]:
             elig AS (
               SELECT doc_id, pos, line,
                      row_number() OVER (
-                       PARTITION BY md5(line)
+                       PARTITION BY md5(line), line
                        ORDER BY doc_id, pos) AS rn
               FROM lines WHERE length(trim(line)) >= 10),
             kept AS (

@@ -666,14 +666,15 @@ def line_dedup(
     boilerplate) — the same knob the substring pass calls minimum match
     length.
 
-    Scale shape: two shuffles. (1) first-occurrence election — a window
-    keyed by the line hash; only lines long enough to be eligible enter
-    it, and the shuffle key is the 8-byte hash, not the line text.
-    (2) document rebuild — groupBy id with an order-preserving
-    sort_array over (line_no, line) structs; per-group state is bounded
-    by document length, never corpus size. ``hash_fn`` defaults to
-    ``xxhash64`` (production); pass ``portable_hash60``-style md5 for
-    oracle-exact verification.
+    Scale shape: ONE pass over the corpus (a single posexplode feeds the
+    election window and the rebuild), two shuffles. The election window
+    is keyed by (hash, line): the hash buckets cheaply, and the line
+    itself rides in the key so a 64-bit collision can never delete a
+    distinct innocent line — the row already carries the line text for
+    the rebuild, so the wire volume is unchanged. Rebuild state per group
+    is bounded by document length, never corpus size. ``hash_fn``
+    defaults to ``xxhash64`` (production); pass md5-style portable hashes
+    for oracle-exact verification.
     """
     if hash_fn is None:
         hash_fn = F.xxhash64
@@ -682,32 +683,30 @@ def line_dedup(
         F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
     )
     eligible = F.length(F.trim(F.col("_line"))) >= min_chars
-    elig = lines.where(eligible).withColumn("_k", hash_fn(F.col("_line")))
-    w = Window.partitionBy("_k").orderBy(F.col(id_col), F.col("_pos"))
-    kept_elig = (
-        elig.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(id_col, "_pos", "_line")
+    marked = lines.select(
+        id_col, "_pos", "_line",
+        eligible.alias("_elig"),
+        F.when(eligible, hash_fn(F.col("_line"))).alias("_k"),
     )
-    kept = kept_elig.unionByName(lines.where(~eligible))
-    rebuilt = kept.groupBy(id_col).agg(
+    w = Window.partitionBy("_elig", "_k", "_line").orderBy(
+        F.col(id_col), F.col("_pos")
+    )
+    kept = marked.withColumn(
+        "_keep", ~F.col("_elig") | (F.row_number().over(w) == 1)
+    )
+    return kept.groupBy(id_col).agg(
         F.concat_ws(
             "\n",
             F.transform(
-                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                F.array_sort(
+                    F.collect_list(  # collect_list drops the null (removed) slots
+                        F.when(F.col("_keep"), F.struct("_pos", "_line"))
+                    )
+                ),
                 lambda s: s["_line"],
             ),
-        ).alias("_text_kept"),
-        F.count(F.lit(1)).alias("_n_kept"),
-    )
-    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_total"))
-    return (
-        totals.join(rebuilt, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col("_text_kept"), F.lit("")).alias(text_col),
-            (F.col("_n_total") - F.coalesce(F.col("_n_kept"), F.lit(0)))
-            .cast("int")
-            .alias("n_removed"),
-        )
-    )
+        ).alias(text_col),
+        (F.count(F.lit(1)) - F.sum(F.col("_keep").cast("long")))
+        .cast("int")
+        .alias("n_removed"),
+    ).select(id_col, text_col, "n_removed")

@@ -302,25 +302,24 @@ def cms_estimate(
     hash_fn=None,
     out_col: str = "cms_estimate",
 ) -> DataFrame:
-    """Point-query estimates for every row of ``keys``: min over the d
-    counters addressed by the key's buckets (0 when a bucket was never
-    touched). The sketch side is ≤ d×w rows — broadcast, so the lookup
-    is a narrow streamed join however large ``keys`` is."""
+    """Point-query estimates for every row of ``keys`` (duplicates
+    preserved): min over the d counters addressed by the key's buckets
+    (0 when a bucket was never touched). The sketch side is ≤ d×w rows —
+    broadcast-joined once per row index, so the lookup is d narrow
+    streamed joins with NO shuffle of ``keys`` however large it is."""
     if hash_fn is None:
         hash_fn = _phash60
     key = F.col(key_col).cast("string")
-    addressed = keys.select(
-        "*",
-        F.posexplode(
-            F.array(*[_cms_bucket(key, r, w, hash_fn) for r in range(d)])
-        ).alias("_row", "_bucket"),
-    )
-    joined = addressed.join(
-        F.broadcast(sketch.withColumnRenamed("count", "_cnt")),
-        (F.col("_row") == F.col("row")) & (F.col("_bucket") == F.col("bucket")),
-        "left",
-    )
-    return (
-        joined.groupBy(*keys.columns)
-        .agg(F.min(F.coalesce(F.col("_cnt"), F.lit(0))).alias(out_col))
-    )
+    out = keys
+    for r in range(d):
+        skr = sketch.where(F.col("row") == r).select(
+            F.col("bucket").alias(f"_b{r}"), F.col("count").alias(f"_c{r}")
+        )
+        out = out.join(
+            F.broadcast(skr),
+            _cms_bucket(key, r, w, hash_fn) == F.col(f"_b{r}"),
+            "left",
+        )
+    est = F.least(*[F.coalesce(F.col(f"_c{r}"), F.lit(0).cast("long"))
+                    for r in range(d)])
+    return out.select(*keys.columns, est.alias(out_col))

@@ -384,8 +384,11 @@ def media_phash_pairs(
     from ..functions.dedup import signature_pairs
 
     feats = decode_features(df, media_col=media_col, id_cols=(id_col,), decoder=decoder)
+    # native id type: signature_pairs only needs orderable ids, and a long
+    # cast would crash (ANSI) or silently null (legacy) string/UUID ids —
+    # same rule as dedup.exact_dedup_groups
     sigs = feats.select(
-        F.col(id_col).cast("long").alias("_id"),
+        F.col(id_col).alias("_id"),
         _hex64_to_long(F.col("phash")).alias("_sig"),
     )
     return signature_pairs(sigs, max_hamming=max_hamming)

@@ -311,7 +311,11 @@ def _union_parts(plan: Resolved, src: Column, validate: bool,
             _unroll_guard(src, "int"),
             F.lit(None).cast(_union_value_type(plan.reader)),
         )
-    _seen = _seen + (id(plan),)
+    # NOTE: no _seen append here — convert_expr is the sole appender, so
+    # MAX_UNROLL counts recursion LEVELS. Appending in this helper too
+    # (reached via convert_expr → _convert_union → here, all three with
+    # the same plan id) triple-counted each level and fired the guard on
+    # legal depth-5 data (round-4 review catch).
     reader: UnionNode = plan.reader  # type: ignore[assignment]
     r_simple = _simple_union(reader)
 
@@ -399,7 +403,7 @@ def _convert_union(plan: Resolved, src: Column, validate: bool,
     reader = plan.reader
     if _seen.count(id(plan)) >= MAX_UNROLL:
         return _unroll_guard(src, to_spark_type(reader))
-    _seen = _seen + (id(plan),)
+    # no _seen append — convert_expr is the sole appender (see _union_parts)
     if plan.kind == "from_union":
         # union → non-union reader: per-branch conversion, unmatched raises
         writer: UnionNode = plan.writer  # type: ignore[assignment]

@@ -115,8 +115,14 @@ def write_jsonl(df: DataFrame, path: str, compression: Optional[str] = None) -> 
 
 
 # ------------------------------------------------- AVRO-convention JSON sink
-#: unroll bound for recursive schemas — matches to_struct_type's cut
-_RENDER_DEPTH_LIMIT = 8
+def _render_depth_limit() -> int:
+    """Recursion unroll bound for the sink — derived from the flatten
+    plans' MAX_UNROLL so raising one raises both (a user who follows the
+    flatten error's advice must not then hit a stale sink bound). Read at
+    call time, not import time, so monkeypatched MAX_UNROLL is honored."""
+    from ..plans.flatten import MAX_UNROLL
+
+    return MAX_UNROLL
 
 def _j_frag(col) -> "Column":
     """Any scalar column → its JSON fragment text: wrap in a 1-element
@@ -149,7 +155,7 @@ def render_json_avro(node, col, binary_key: str = "$binary",
     )
     from ..schema.spark_types import UNION_TAG, union_null_and_one
 
-    if _seen.count(id(node)) >= _RENDER_DEPTH_LIMIT:
+    if _seen.count(id(node)) >= _render_depth_limit():
         # recursive schemas unroll boundedly (per-node repetitions, NOT
         # total nesting, so deep non-recursive schemas are unaffected).
         # A value actually reaching the cut would be silently dropped —
@@ -157,7 +163,7 @@ def render_json_avro(node, col, binary_key: str = "$binary",
         return F.when(col.isNull(), F.lit("null")).otherwise(
             F.raise_error(F.lit(
                 "write_jsonl_avro: recursive data deeper than the unroll "
-                f"bound ({_RENDER_DEPTH_LIMIT})"
+                f"bound ({_render_depth_limit()})"
             )).cast("string")
         )
     _seen = _seen + (id(node),)

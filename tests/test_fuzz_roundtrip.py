@@ -603,21 +603,28 @@ class TestUnrollRejection:
         ).select("r.*")
 
     def test_within_bound_roundtrips(self, spark):
+        """MAX_UNROLL (8) recursion LEVELS are guaranteed — the round-4
+        review caught the guard triple-counting plan ids and firing on
+        legal depth-5 data; this pins the full guaranteed range."""
         sch = avs.create(self.SCHEMA)
         cs = avs.compile(sch)
-        typed = self._chain_df(spark, sch, 4)
-        back = cs.unflatten(cs.flatten(typed)).collect()[0].asDict(recursive=True)
-        d, cur = 1, back
-        while cur.get("next") is not None:
-            cur = cur["next"]; d += 1
-        assert d == 4 and cur["value"] == 4
+        for depth in (4, 5, 8):
+            typed = self._chain_df(spark, sch, depth)
+            back = cs.unflatten(cs.flatten(typed)).collect()[0].asDict(
+                recursive=True
+            )
+            d, cur = 1, back
+            while cur.get("next") is not None:
+                cur = cur["next"]; d += 1
+            assert d == depth and cur["value"] == depth
 
     def test_past_bound_raises(self, spark):
         sch = avs.create(self.SCHEMA)
         cs = avs.compile(sch)
-        typed = self._chain_df(spark, sch, 12)
-        with pytest.raises(Exception, match="unroll bound"):
-            cs.flatten(typed).collect()
+        for depth in (10, 12):
+            typed = self._chain_df(spark, sch, depth)
+            with pytest.raises(Exception, match="unroll bound"):
+                cs.flatten(typed).collect()
 
     def test_jsonl_sink_past_bound_raises(self, spark, tmp_path):
         from avro_spark.sources.jsonl import write_jsonl_avro

@@ -83,6 +83,27 @@ def test_media_phash_pairs_identical_bytes_pair_up(spark):
     assert {(r.id_a, r.id_b, r.hamming) for r in pairs} == {(0, 1, 0)}
 
 
+def test_media_phash_pairs_string_ids(spark):
+    """Non-numeric ids must survive (review catch: a long cast crashed
+    ANSI mode on string/UUID ids)."""
+    blob = bytes(range(256)) * 4
+    rows = [("docA", bytearray(blob)), ("docB", bytearray(blob)),
+            ("docC", b"other payload" * 30)]
+    df = spark.createDataFrame(rows, "id string, data binary").select(
+        "id",
+        F.struct(
+            F.col("data").alias("data"),
+            F.lit("image/png").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("media"),
+    )
+    pairs = media_phash_pairs(df, "id", max_hamming=0).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {("docA", "docB")}
+
+
 def test_media_phash_pairs_real_decoder_finds_reencoded_copy(spark):
     """The same pixels encoded as PNG and BMP share a phash exactly —
     perceptual dedup across container formats."""

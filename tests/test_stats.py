@@ -242,6 +242,22 @@ def test_cms_weighted(spark):
     assert est == {"a": 15, "b": 7}
 
 
+def test_cms_estimate_preserves_duplicate_key_rows_without_shuffle(spark):
+    """Each keys row comes back exactly once (duplicates preserved) and
+    the plan has no exchange introduced by the lookup (d broadcast joins,
+    review catch: the groupBy form shuffled keys x d rows)."""
+    from avro_spark.functions.stats import cms_build, cms_estimate
+
+    data = spark.createDataFrame([("a",)] * 3 + [("b",)], "k string")
+    sk = cms_build(data, "k", d=4, w=256)
+    dup_keys = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    out = cms_estimate(sk, dup_keys, "k", d=4, w=256)
+    rows = sorted((r.k, r.cms_estimate) for r in out.collect())
+    assert rows == [("a", 3), ("a", 3), ("b", 1)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
 def test_cms_sketch_size_bounded(spark, docs):
     from avro_spark.functions.stats import cms_build
 

@@ -68,3 +68,50 @@ def test_md5_and_xxhash_paths_agree(spark):
     a = _run(spark, docs)
     b = _run(spark, docs, hash_fn=F.md5)
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# property: engine result == pure-Python simulation
+
+
+def _py_line_dedup(docs, min_chars=10):
+    """Reference implementation: global first-occurrence-wins."""
+    seen = set()
+    out = {}
+    for doc_id, text in sorted(docs):
+        kept, removed = [], 0
+        for line in text.split("\n"):
+            if len(line.strip()) < min_chars:
+                kept.append(line)
+                continue
+            if line in seen:
+                removed += 1
+            else:
+                seen.add(line)
+                kept.append(line)
+        out[doc_id] = ("\n".join(kept), removed)
+    return out
+
+
+def test_line_dedup_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(11)
+    pool = [
+        f"shared boilerplate line number {i} with enough characters"
+        for i in range(6)
+    ] + ["ok", "", "  ", "tiny"]
+    docs = []
+    for doc_id in range(20):
+        n = rng.randint(0, 6)
+        lines = [rng.choice(pool) for _ in range(n)]
+        # sprinkle unique content
+        if rng.random() < 0.7:
+            lines.insert(
+                rng.randint(0, len(lines)),
+                f"unique content for document {doc_id} only",
+            )
+        docs.append((doc_id, "\n".join(lines)))
+    got = _run(spark, docs)
+    want = _py_line_dedup(docs)
+    assert got == want

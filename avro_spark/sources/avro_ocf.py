@@ -97,6 +97,67 @@ def deterministic_sync(schema: Schema) -> bytes:
     return hashlib.md5(json.dumps(schema.export()).encode("utf-8")).digest()
 
 
+
+# ----------------------------------------------------------- block codecs
+def _codec_pair(codec: str):
+    """(compress, decompress) for an Avro-spec block codec (spec §
+    "Required"/"Optional" codecs). Unknown names raise; codecs whose
+    library is absent in this environment raise a clear
+    missing-dependency error at USE time (null/deflate/bzip2/xz need
+    only the stdlib)."""
+    if codec == "null":
+        return (lambda d: d), (lambda d: d)
+    if codec == "deflate":
+        # raw RFC-1951: strip the zlib header + adler checksum
+        return (
+            lambda d: zlib.compress(d, 6)[2:-4],
+            lambda d: zlib.decompress(d, -15),
+        )
+    if codec == "bzip2":
+        import bz2
+
+        return bz2.compress, bz2.decompress
+    if codec == "xz":
+        import lzma
+
+        return (
+            lambda d: lzma.compress(d, format=lzma.FORMAT_XZ),
+            lzma.decompress,
+        )
+    if codec == "snappy":
+        try:
+            import snappy  # python-snappy, not in every environment
+        except ImportError as ex:
+            raise AvroSparkError(
+                "Avro 'snappy' codec requires the python-snappy package"
+            ) from ex
+
+        def _sc(d: bytes) -> bytes:
+            # spec: snappy-compressed block + 4-byte big-endian CRC32
+            # of the UNCOMPRESSED data
+            return snappy.compress(d) + (zlib.crc32(d) & 0xFFFFFFFF).to_bytes(4, "big")
+
+        def _sd(d: bytes) -> bytes:
+            out = snappy.decompress(bytes(d[:-4]))
+            if (zlib.crc32(out) & 0xFFFFFFFF).to_bytes(4, "big") != bytes(d[-4:]):
+                raise AvroSparkError("snappy block CRC mismatch")
+            return out
+
+        return _sc, _sd
+    if codec == "zstandard":
+        try:
+            import zstandard
+        except ImportError as ex:
+            raise AvroSparkError(
+                "Avro 'zstandard' codec requires the zstandard package"
+            ) from ex
+        return (
+            lambda d: zstandard.ZstdCompressor().compress(d),
+            lambda d: zstandard.ZstdDecompressor().decompress(d),
+        )
+    raise AvroSparkError(f"unsupported Avro codec: {codec}")
+
+
 def write_ocf_bytes(
     schema: Schema,
     records: list[dict],
@@ -105,8 +166,7 @@ def write_ocf_bytes(
     block_records: int = DEFAULT_BLOCK_RECORDS,
 ) -> bytes:
     """Encode records into one in-memory OCF file."""
-    if codec not in ("null", "deflate"):
-        raise AvroSparkError(f"unsupported Avro codec: {codec}")
+    compress, _ = _codec_pair(codec)
     enc = _compile_encoder(schema.root)
     schema_json = json.dumps(schema.export()).encode("utf-8")
     if sync is None:
@@ -129,9 +189,7 @@ def write_ocf_bytes(
         body = bytearray()
         for rec in chunk:
             enc(body, rec)
-        data = bytes(body)
-        if codec == "deflate":
-            data = zlib.compress(data, 6)[2:-4]  # strip zlib header + adler
+        data = compress(bytes(body))
         _write_long(out, len(chunk))
         _write_long(out, len(data))
         out += data
@@ -150,8 +208,7 @@ def read_ocf_bytes(
         raise AvroSparkError("not an Avro object container file (bad magic)")
     meta, pos = _read_meta_map(blob, 4)
     codec = meta.get("avro.codec", b"null").decode("ascii")
-    if codec not in ("null", "deflate"):
-        raise AvroSparkError(f"unsupported Avro codec: {codec}")
+    _, decompress = _codec_pair(codec)
     if schema is None:
         schema = create(json.loads(meta["avro.schema"].decode("utf-8")))
     dec = _compile_decoder(schema.root)
@@ -170,10 +227,8 @@ def read_ocf_bytes(
                 f"corrupt OCF: block claims {count} records / {size} bytes "
                 f"with {n - pos} bytes left"
             )
-        data = bytes(blob[pos : pos + size])
+        data = decompress(bytes(blob[pos : pos + size]))
         pos += size
-        if codec == "deflate":
-            data = zlib.decompress(data, -15)
         p = 0
         for _ in range(count):
             rec, p = dec(data, p)
@@ -276,8 +331,7 @@ def _scan_header(fpath: str) -> tuple[int, bytes, bytes, str]:
             buf += more
             need <<= 1
     codec = meta.get("avro.codec", b"null").decode("ascii")
-    if codec not in ("null", "deflate"):
-        raise AvroSparkError(f"unsupported Avro codec: {codec}")
+    _codec_pair(codec)  # validate early: unknown/unavailable raises here
     return pos + 16, sync, meta["avro.schema"], codec
 
 
@@ -340,8 +394,7 @@ def _validate_block(fh, file_len: int, b: int, sync: bytes, codec: str, dec) -> 
     fh.seek(b + p)
     data = fh.read(size)
     try:
-        if codec == "deflate":
-            data = zlib.decompress(data, -15)
+        data = _codec_pair(codec)[1](data)
         q = 0
         for _ in range(count):
             _rec, q = dec(data, q)
@@ -442,9 +495,7 @@ def read_avro_files_split(
                                 f"corrupt OCF block at {row['path']}:{b}"
                             )
                         fh.seek(b + p)
-                        data = fh.read(size)
-                        if codec == "deflate":
-                            data = zlib.decompress(data, -15)
+                        data = _codec_pair(codec)[1](fh.read(size))
                         q = 0
                         for _ in range(count):
                             rec, q = dec(data, q)
@@ -492,6 +543,7 @@ def write_avro_files(
     interleave bytes."""
     from ..util import ensure_workers
 
+    _codec_pair(codec)  # validate on the driver, before any task launches
     ensure_workers(df.sparkSession)
     root = schema.root
     if not isinstance(root, Record):
@@ -538,9 +590,7 @@ def write_avro_files(
             body = bytearray()
             for rec in pending:
                 enc(body, rec)
-            data = bytes(body)
-            if codec == "deflate":
-                data = _zlib.compress(data, 6)[2:-4]
+            data = _codec_pair(codec)[0](bytes(body))
             blk = bytearray()
             _write_long(blk, len(pending))
             _write_long(blk, len(data))

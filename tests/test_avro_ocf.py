@@ -398,3 +398,70 @@ class TestOcfSplitFuzz:
             spark, str(d), sch, split_bytes=split_bytes).collect()))
         assert len(whole) == n
         assert whole == split, (codec, block_records, split_bytes)
+
+
+class TestBlockCodecs:
+    """Avro-spec block codecs beyond null/deflate: bzip2 and xz are
+    stdlib-backed and fully supported; snappy/zstandard raise a clear
+    missing-dependency error (their libs are absent here); unknown
+    names are rejected."""
+
+    SCHEMA = {"type": "record", "name": "R", "fields": [
+        {"name": "a", "type": "long"}, {"name": "b", "type": "string"}]}
+
+    def _roundtrip(self, codec):
+        import avro_spark as avs
+        from avro_spark.sources.avro_ocf import read_ocf_bytes, write_ocf_bytes
+
+        sch = avs.create(self.SCHEMA)
+        recs = [{"a": i, "b": "x" * (i % 37)} for i in range(200)]
+        blob = write_ocf_bytes(sch, recs, codec=codec, block_records=64)
+        _, back = read_ocf_bytes(blob)
+        assert back == recs
+
+    def test_bzip2_roundtrip(self):
+        self._roundtrip("bzip2")
+
+    def test_xz_roundtrip(self):
+        self._roundtrip("xz")
+
+    def test_df_level_bzip2(self, spark, tmp_path):
+        import avro_spark as avs
+        from avro_spark.sources.avro_ocf import read_avro_files, write_avro_files
+
+        sch = avs.create(self.SCHEMA)
+        df = spark.createDataFrame(
+            [(i, "y" * (i % 11)) for i in range(500)], "a long, b string"
+        )
+        write_avro_files(df, sch, str(tmp_path / "bz"), codec="bzip2")
+        back = read_avro_files(spark, str(tmp_path / "bz"), sch)
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+        # split read decompresses per block too
+        back2 = read_avro_files(
+            spark, str(tmp_path / "bz"), sch, split_bytes=2048
+        )
+        assert sorted(map(tuple, back2.collect())) == sorted(map(tuple, df.collect()))
+
+    def test_missing_dependency_is_loud(self):
+        import avro_spark as avs
+        import pytest as _pytest
+        from avro_spark.errors import AvroSparkError
+        from avro_spark.sources.avro_ocf import write_ocf_bytes
+
+        sch = avs.create(self.SCHEMA)
+        for codec, word in (("snappy", "python-snappy"), ("zstandard", "zstandard")):
+            try:
+                __import__("snappy" if codec == "snappy" else "zstandard")
+            except ImportError:
+                with _pytest.raises(AvroSparkError, match=word):
+                    write_ocf_bytes(sch, [{"a": 1, "b": ""}], codec=codec)
+
+    def test_unknown_codec_rejected(self):
+        import avro_spark as avs
+        import pytest as _pytest
+        from avro_spark.errors import AvroSparkError
+        from avro_spark.sources.avro_ocf import write_ocf_bytes
+
+        sch = avs.create(self.SCHEMA)
+        with _pytest.raises(AvroSparkError, match="unsupported Avro codec"):
+            write_ocf_bytes(sch, [{"a": 1, "b": ""}], codec="lz4")

@@ -189,3 +189,64 @@ def assign_global_ids(
     return local.withColumn(
         id_col, (off + F.col("_rk") - 1).cast("long")
     ).drop("_tb", "_pid", "_rk")
+
+
+def estimate_row_bytes(
+    df: DataFrame,
+    sample_rows: int = 2000,
+    fmt: str = "parquet",
+) -> float:
+    """Measured (not guessed) bytes/row in the target output format:
+    write a bounded sample to a temp dir in ``fmt`` and divide actual
+    bytes by actual rows — compression-aware, schema-aware, and honest
+    about encoding overhead, unlike in-memory size estimates. Driver
+    cost is one ``limit(sample_rows)`` job plus a tiny local write."""
+    import os
+    import shutil
+    import tempfile
+
+    sample = df.limit(sample_rows).coalesce(1)
+    d = tempfile.mkdtemp(prefix="rowsize_")
+    try:
+        sample.write.mode("overwrite").format(fmt).save(d)
+        n = df.sparkSession.read.format(fmt).load(d).count()
+        if n == 0:
+            return 0.0
+        total = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(d)
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+        return total / n
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def repartition_for_output(
+    df: DataFrame,
+    target_bytes: int = 256 << 20,
+    n_rows: Optional[int] = None,
+    bytes_per_row: Optional[float] = None,
+    fmt: str = "parquet",
+    by: Optional[str] = None,
+) -> DataFrame:
+    """Repartition so each output file lands near ``target_bytes`` —
+    the "write ~128-512 MB files" discipline every sink in this repo
+    documents (file count ≈ task count on the next read; thousands of
+    KB-sized files poison 100 TB scans and drive NameNode/listing cost).
+
+    ``n_rows``/``bytes_per_row`` can be passed when already known (e.g.
+    from a prior count or a previous run) to skip the measurement jobs.
+    ``by`` optionally repartitions BY a column (range-partitions within
+    the target count) so downstream readers get clustering too."""
+    if bytes_per_row is None:
+        bytes_per_row = estimate_row_bytes(df, fmt=fmt)
+    if n_rows is None:
+        n_rows = df.count()
+    if n_rows == 0 or bytes_per_row <= 0:
+        return df.coalesce(1)
+    want = max(1, round(n_rows * bytes_per_row / target_bytes))
+    if by is not None:
+        return df.repartitionByRange(want, F.col(by))
+    return df.repartition(want)

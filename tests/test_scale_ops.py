@@ -136,3 +136,52 @@ def test_assign_global_ids_no_single_partition_window(spark):
     )
     # the failure mode this operator exists to avoid
     assert "Exchange SinglePartition" not in plan
+
+
+class TestOutputSizing:
+    def test_estimate_row_bytes_positive_and_sane(self, spark):
+        from avro_spark.operators.scale import estimate_row_bytes
+
+        df = spark.createDataFrame(
+            [(i, "x" * 100) for i in range(1000)], "id long, payload string"
+        )
+        bpr = estimate_row_bytes(df, sample_rows=500)
+        # parquet-compressed constant strings: well under raw 108 B/row,
+        # but never zero
+        assert 0 < bpr < 1000
+
+    def test_repartition_for_output_hits_target_count(self, spark):
+        from avro_spark.operators.scale import repartition_for_output
+
+        df = spark.createDataFrame(
+            [(i,) for i in range(10_000)], "id long"
+        )
+        # known geometry: 10k rows x 100 B = 1 MB -> 4 files of 256 KB
+        out = repartition_for_output(
+            df, target_bytes=256 << 10, n_rows=10_000, bytes_per_row=100.0
+        )
+        assert out.rdd.getNumPartitions() == 4
+
+    def test_repartition_for_output_empty_df(self, spark):
+        from avro_spark.operators.scale import repartition_for_output
+
+        df = spark.createDataFrame([], "id long")
+        out = repartition_for_output(df, n_rows=0, bytes_per_row=0.0)
+        assert out.rdd.getNumPartitions() == 1
+
+    def test_repartition_by_range_clusters(self, spark):
+        from avro_spark.operators.scale import repartition_for_output
+
+        df = spark.createDataFrame([(i,) for i in range(1000)], "id long")
+        out = repartition_for_output(
+            df, target_bytes=100, n_rows=1000, bytes_per_row=1.0, by="id"
+        )
+        assert out.rdd.getNumPartitions() == 10
+        # range partitioning: each partition holds a contiguous id range
+        parts = out.withColumn(
+            "p", F.spark_partition_id()
+        ).groupBy("p").agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
+        rows = sorted(map(tuple, parts.collect()))
+        spans = sorted((lo, hi) for _, lo, hi in rows)
+        for (l1, h1), (l2, h2) in zip(spans, spans[1:]):
+            assert h1 < l2  # disjoint, ordered ranges

@@ -1327,6 +1327,21 @@ def q_recursive_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space train/eval decontamination: the semantic
+    complement of the n-gram `decontaminate` gate — paraphrased leakage
+    shares no n-gram but stays close in embedding space. Broadcast eval
+    side, zero shuffles."""
+    emb = _read(spark, sf_dir, "embeddings")
+    train = emb.where(F.col("vec_id") < 480)
+    ev = emb.where(F.col("vec_id") >= 480).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("e_embedding")
+    )
+    return S.decontaminate_embeddings(train, ev, threshold=0.3).select(
+        "vec_id", "eval_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch frequency estimates vs exact counts over the
     documents.source column (d=4, w=64, portable md5 hashes): the
@@ -2086,6 +2101,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "cms_freq": q_cms_freq,
         "recursive_flatten": q_recursive_flatten,
+        "decontaminate_emb": q_decontaminate_emb,
         "enum_codes": q_enum_codes,
         "union_encode": q_union_encode,
         "quality_score": q_quality_score,
@@ -3426,6 +3442,24 @@ def _oracles_extra() -> dict[str, str]:
             SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
                    round(ac, 6) AS approx_cosine
             FROM ranked WHERE rank <= 5
+        """,
+        "decontaminate_emb": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))) AS nrm
+              FROM embeddings),
+            t AS (SELECT * FROM e WHERE vec_id < 480),
+            q AS (SELECT vec_id AS eval_id, v AS ev, nrm AS ne
+                  FROM e WHERE vec_id >= 480)
+            SELECT t.vec_id, q.eval_id,
+                   round(CASE WHEN t.nrm * q.ne > 0
+                              THEN list_dot_product(t.v, q.ev) / (t.nrm * q.ne)
+                              ELSE 0.0 END, 6) AS cosine
+            FROM t CROSS JOIN q
+            WHERE CASE WHEN t.nrm * q.ne > 0
+                       THEN list_dot_product(t.v, q.ev) / (t.nrm * q.ne)
+                       ELSE 0.0 END >= 0.3
         """,
         "recursive_flatten": """
             SELECT o_orderkey AS okey,

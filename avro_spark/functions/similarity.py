@@ -678,3 +678,45 @@ def knn_ivfpq(
         .where(F.col("rank") <= k)
         .select(query_id_col, "rank", id_col, "approx_cosine")
     )
+
+
+def decontaminate_embeddings(
+    train: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str = "eval_id",
+    eval_vec_col: str = "e_embedding",
+) -> DataFrame:
+    """Semantic train/eval decontamination: every (train_id, eval_id,
+    cosine) pair at or above ``threshold`` — the embedding-space
+    complement of the n-gram overlap check
+    (:func:`avro_spark.functions.dedup.decontaminate`); paraphrased eval
+    leakage that shares no n-gram still lands close in embedding space.
+
+    Scale shape = brute-force knn's: the (small) eval set broadcasts,
+    the train corpus streams once with norms computed below the join,
+    and only pairs ≥ threshold survive — no top-k window needed, so
+    there is NO shuffle at all. Anti-join the result against train to
+    drop flagged rows."""
+    big = train.select(
+        F.col(id_col), F.col(vec_col), l2_norm(vec_col).alias("_nv")
+    )
+    small = eval_df.select(
+        F.col(eval_id_col),
+        as_double(F.col(eval_vec_col)).alias("_ev"),
+        l2_norm(eval_vec_col).alias("_ne"),
+    )
+    denom = F.col("_nv") * F.col("_ne")
+    return (
+        big.join(F.broadcast(small))
+        .select(
+            F.col(id_col),
+            F.col(eval_id_col),
+            F.when(denom > 0, dot(vec_col, "_ev") / denom)
+            .otherwise(F.lit(0.0))
+            .alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "knn_bruteforce",
     "knn_pq",
     "knn_ivfpq",
+    "decontaminate_emb",
     "gopher_rules",
     "minhash_lsh",
     "dedup_clusters",

@@ -264,3 +264,55 @@ def test_ocf_split_read_no_extra_shuffle(spark, tmp_path):
     # round 4: the decode stage is Arrow-native (mapInArrow), which keeps
     # nullable int64 exact — still exactly one Python-worker stage
     assert p.count("MapInArrow") == 1
+
+
+def test_knn_pq_broadcast_no_shuffle_before_topk(spark):
+    """PQ kNN: encode+reconstruct are narrow; the only Exchange is the
+    per-query top-k window's hash partitioning."""
+    import avro_spark.functions.similarity as S
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = S.pq_codebooks(emb, m=8, k=16)
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    p = plan_of(S.knn_pq(emb, q, books, k=5), mode="simple")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    # one Exchange for the window; the broadcast side exchanges via
+    # BroadcastExchange, which is not a data shuffle
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_gopher_rules_is_narrow(spark):
+    import avro_spark.functions.text as X2
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    m = X2.gopher_rules(F.col("text"))
+    p = plan_of(docs.select("doc_id", *[m[k].alias(k) for k in m]), mode="simple")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_line_dedup_two_shuffles_single_scan(spark):
+    from avro_spark.functions.dedup import line_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan_of(line_dedup(docs), mode="simple")
+    # election window + rebuild groupBy (partial+final agg share one
+    # exchange); no third scan-feeding exchange
+    assert p.count("Exchange hashpartitioning") == 2
+    # review fix: ONE corpus scan feeds everything
+    assert p.count("FileScan parquet") == 1
+
+
+def test_cms_estimate_no_shuffle(spark):
+    from avro_spark.functions.stats import cms_build, cms_estimate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sk = cms_build(docs, "source", d=4, w=64)
+    keys = spark.createDataFrame([("web",), ("web",)], "source string")
+    p = plan_of(cms_estimate(sk, keys, "source", d=4, w=64), mode="simple")
+    # the sketch build aggregates (exchanges) on its own tiny side; the
+    # KEYS side must reach the output without any hash partitioning
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p

@@ -133,8 +133,12 @@ def _check_node(
 ) -> tuple[Column, Optional[Column]]:
     target = to_spark_type(node)
     if _depth > _CONFORM_DEPTH_LIMIT:
-        # recursive schemas unroll boundedly, like the type mapping does
-        return src.cast(target), None
+        # bounded validation: past the cut the value passes through
+        # UNCHANGED (documented; deeper levels are unvalidated). No cast —
+        # src's actual type (the data's own unroll) and the schema's
+        # unrolled type have different depths for recursive schemas, and
+        # a struct cast between them fails analysis (round-4 catch).
+        return src, None
     if isinstance(node, Primitive):
         return _check_primitive(node.type, src, loc)
     if isinstance(node, Enum):

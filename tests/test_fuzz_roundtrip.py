@@ -703,6 +703,25 @@ class TestUnrollRejection:
         out = cs.unflatten(wtuple).collect()[0].asDict(recursive=True)
         assert out == {"value": 1, "next": {"value": 2, "next": None}}
 
+    def test_recursive_conform_and_conform_json(self, spark):
+        """DataFrame validation on recursive schemas (round-4 catch: the
+        depth cut cast src to the full unrolled type and failed
+        analysis); bad leaves render reference-style errors."""
+        import json as _json
+
+        from avro_spark.operators.conform import conform, conform_json
+        from pyspark.sql import functions as F
+
+        sch = avs.create(self.SCHEMA)
+        good = self._chain_df(spark, sch, 3)
+        rows = conform(good, sch, mode="flag").collect()
+        assert all(r["_errors"] == [] for r in rows)
+        bad = spark.createDataFrame(
+            [(_json.dumps({"value": "x", "next": None}),)], "j string"
+        )
+        (r,) = conform_json(bad, "j", sch).collect()
+        assert r["_errors"] == ["value: Expecting INT, encountered STR"]
+
     def test_recursive_ocf_and_wire_roundtrip(self, spark, tmp_path):
         import json as _json
 

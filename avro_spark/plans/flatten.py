@@ -143,6 +143,70 @@ def lit_for(node: SchemaNode, value: Any) -> Column:
 #: column type deeper than this bound, so the guard is reachable.
 MAX_UNROLL = 8
 
+#: Width safety backstop: max times one plan node may expand across a
+#: WHOLE build. The per-path budget bounds recursion DEPTH; a schema
+#: with B >= 2 back-edges to one record multiplies subtree copies per
+#: level (B^depth) — the reduced branching budget (see _open_budget)
+#: keeps that small, and this cap is the hard stop for pathological
+#: many-back-edge schemas. A width cut can never dereference a field the
+#: writer type lacks: it fires strictly inside the type's per-path
+#: coverage and the guard only touches src itself.
+MAX_NODE_EXPANSIONS = 64
+
+# in-flight build state: {"counts": plan-id -> expansions, "budget": int}
+# (driver-thread plan building; same single-threaded pattern as the codec
+# memo in sources/avro_binary.py)
+_BUILD_STATE: "dict | None" = None
+
+
+def _open_budget(plan) -> int:
+    """Per-path unroll budget for this build, from the WRITER schema the
+    source DataFrame was typed with: 2 levels inside the type's own
+    effective unroll, so the plan never dereferences a field the type cut
+    to void. Chains keep MAX_UNROLL; branching recursion drops to
+    BRANCHING_TYPE_DEPTH - 2 (= 4 by default)."""
+    from ..schema.spark_types import effective_unroll_depth
+
+    node = plan.writer if plan.writer is not None else plan.reader
+    eff_type = effective_unroll_depth(node, 16)
+    return min(MAX_UNROLL, max(1, eff_type - 2))
+
+
+def _unroll_budget() -> int:
+    return _BUILD_STATE["budget"] if _BUILD_STATE is not None else MAX_UNROLL
+
+
+def _count_expansion(plan) -> bool:
+    """Register one expansion of ``plan``; True when over the width cap."""
+    if _BUILD_STATE is None:  # entered through a path that never opened a build
+        return False
+    counts = _BUILD_STATE["counts"]
+    n = counts.get(id(plan), 0) + 1
+    counts[id(plan)] = n
+    return n > MAX_NODE_EXPANSIONS
+
+
+class _build_scope:
+    """Context manager opening one build's budget/width state (no-op when
+    a scope is already open — nested entry points share the outer one)."""
+
+    def __init__(self, plan):
+        self.plan = plan
+        self.opened = False
+
+    def __enter__(self):
+        global _BUILD_STATE
+        if _BUILD_STATE is None:
+            _BUILD_STATE = {"counts": {}, "budget": _open_budget(self.plan)}
+            self.opened = True
+        return self
+
+    def __exit__(self, *exc):
+        global _BUILD_STATE
+        if self.opened:
+            _BUILD_STATE = None
+        return False
+
 
 def _unroll_guard(src: "Column | None", target) -> Column:
     """Typed null at the recursion cut — loud when data is actually there."""
@@ -165,9 +229,17 @@ def _unroll_guard(src: "Column | None", target) -> Column:
 def convert_expr(plan: Resolved, src: Column, validate: bool = True,
                  _seen: tuple = ()) -> Column:
     """writer-shaped record-form value → reader-shaped record-form value."""
+    if not _seen and _BUILD_STATE is None:
+        # outermost call of one field-expression build: open the
+        # depth-budget + width-backstop scope
+        with _build_scope(plan):
+            return convert_expr(plan, src, validate, _seen)
     kind = plan.kind
-    if _seen.count(id(plan)) >= MAX_UNROLL:
-        return _unroll_guard(src, to_spark_type(plan.reader))
+    if _seen.count(id(plan)) >= _unroll_budget() or _count_expansion(plan):
+        # shallow guard type: the full unrolled reader type is itself
+        # exponentially wide under branching recursion, and no legal
+        # value exists past the cut anyway
+        return _unroll_guard(src, to_spark_type(plan.reader, max_depth=2))
     _seen = _seen + (id(plan),)
     if kind == "copy":
         return src
@@ -288,15 +360,15 @@ def _field_value(src_spec: FieldSource, get_src: Callable[[Field], Column], vali
 
 
 # ------------------------------------------------------------------ unions
-def _union_value_type(reader: UnionNode):
+def _union_value_type(reader: UnionNode, max_depth: int = 16):
     """Spark type of a general union's flat value cell (branch-field struct
     without the tag)."""
     from pyspark.sql import types as T
 
     simple = _simple_union(reader)
     if simple is not None:
-        return to_spark_type(simple)
-    full = to_spark_type(reader)
+        return to_spark_type(simple, max_depth=max_depth)
+    full = to_spark_type(reader, max_depth=max_depth)
     return T.StructType([f for f in full.fields if f.name != UNION_TAG])
 
 
@@ -304,12 +376,12 @@ def _union_parts(plan: Resolved, src: Column, validate: bool,
                  _seen: tuple = ()) -> tuple[Column, Column]:
     """(tag, value) columns for the reader union, from writer-form ``src``."""
     kind = plan.kind
-    if _seen.count(id(plan)) >= MAX_UNROLL:
+    if _seen.count(id(plan)) >= _unroll_budget():
         # recursion cut: typed nulls so downstream getField still resolves;
         # loud when a value actually reached the cut
         return (
             _unroll_guard(src, "int"),
-            F.lit(None).cast(_union_value_type(plan.reader)),
+            F.lit(None).cast(_union_value_type(plan.reader, max_depth=2)),
         )
     # NOTE: no _seen append here — convert_expr is the sole appender, so
     # MAX_UNROLL counts recursion LEVELS. Appending in this helper too
@@ -401,8 +473,8 @@ def _convert_union(plan: Resolved, src: Column, validate: bool,
                    _seen: tuple = ()) -> Column:
     """Record-form union conversion."""
     reader = plan.reader
-    if _seen.count(id(plan)) >= MAX_UNROLL:
-        return _unroll_guard(src, to_spark_type(reader))
+    if _seen.count(id(plan)) >= _unroll_budget():
+        return _unroll_guard(src, to_spark_type(reader, max_depth=2))
     # no _seen append — convert_expr is the sole appender (see _union_parts)
     if plan.kind == "from_union":
         # union → non-union reader: per-branch conversion, unmatched raises
@@ -532,6 +604,16 @@ def flatten_cells(
     (compiler.lua:510-619 flatten semantics: schema order, defaults,
     inlined non-nullable sub-records, [tag, value] unions, enum codes)."""
     assert plan.kind == "record", plan.kind
+    with _build_scope(plan):
+        return _flatten_cells_inner(plan, get_src, prefix, validate)
+
+
+def _flatten_cells_inner(
+    plan: Resolved,
+    get_src: Callable[[Field], Column],
+    prefix: tuple[str, ...] = (),
+    validate: bool = True,
+) -> list[tuple[str, Column]]:
     cells: list[tuple[str, Column]] = []
     for s in plan.children["sources"]:
         rf = s.reader_field
@@ -679,6 +761,16 @@ def unflatten_field_exprs(
     data cell (service fields shift it) so runtime errors can render the
     reference's ``N: `` cell-location prefix (runtime.lua extract_location)."""
     assert plan.kind == "record"
+    with _build_scope(plan):
+        return _unflatten_field_exprs_inner(plan, cells, validate, base)
+
+
+def _unflatten_field_exprs_inner(
+    plan: Resolved,
+    cells: list[Column],
+    validate: bool = True,
+    base: int = 1,
+) -> list[tuple[str, Column]]:
     writer: Record = plan.writer  # type: ignore[assignment]
     slices = {f.name: (start, w) for f, start, w in field_cell_slices(writer)}
     out: list[tuple[str, Column]] = []
@@ -883,6 +975,19 @@ def _x_check_union_branches(union: UnionNode, spark_type, path: tuple[str, ...])
 
 
 def xflatten_ops(
+    plan: Resolved,
+    input_type,
+    n_service: int = 0,
+    validate: bool = True,
+    stringify: bool = True,
+    alpha_nullable_record: bool = False,
+) -> list[tuple[Column, ...]]:
+    with _build_scope(plan):
+        return _xflatten_ops_inner(plan, input_type, n_service, validate,
+                                   stringify, alpha_nullable_record)
+
+
+def _xflatten_ops_inner(
     plan: Resolved,
     input_type,
     n_service: int = 0,

@@ -71,11 +71,71 @@ def union_null_and_one(node: UnionNode) -> SchemaNode | None:
     return None
 
 
+#: Per-path unroll depth for schemas with BRANCHING recursion (two or
+#: more back-edges): unrolled size is (back-edges)^depth, so the full 16
+#: would build multi-megabyte types and JVM-killing plans. Single
+#: back-edge chains keep the full ``max_depth`` (linear growth).
+BRANCHING_TYPE_DEPTH = 6
+
+
+def count_back_edges(node: SchemaNode) -> int:
+    """Number of schema-graph edge SITES that point back into the current
+    DFS path (recursion back-edges). 0 = non-recursive, 1 = chain-style
+    recursion, >= 2 = branching recursion (exponential unroll width).
+    Deterministic; shared (diamond) subtrees are processed once."""
+    on_path: set = set()
+    done: set = set()
+    count = 0
+
+    def children(n):
+        if isinstance(n, Record):
+            return [f.type for f in n.fields]
+        if isinstance(n, Array):
+            return [n.items]
+        if isinstance(n, Map):
+            return [n.values]
+        if isinstance(n, UnionNode):
+            return list(n.branches)
+        return []
+
+    def walk(n):
+        nonlocal count
+        for c in children(n):
+            if id(c) in on_path:
+                count += 1
+            elif id(c) not in done:
+                on_path.add(id(c))
+                walk(c)
+                on_path.discard(id(c))
+                done.add(id(c))
+
+    on_path.add(id(node))
+    walk(node)
+    return count
+
+
+def effective_unroll_depth(node: SchemaNode, max_depth: int) -> int:
+    """max_depth for chain-or-no recursion; BRANCHING_TYPE_DEPTH when the
+    schema has >= 2 back-edges (exponential width otherwise)."""
+    if count_back_edges(node) >= 2:
+        return min(max_depth, BRANCHING_TYPE_DEPTH)
+    return max_depth
+
+
 def to_spark_type(node: SchemaNode, max_depth: int = 16, _seen: tuple = ()) -> T.DataType:
     """Spark type for a schema node. Recursive schemas (cyclic AST graphs)
     are unrolled: a node revisited ``max_depth`` times on one path is cut to
     ``NullType`` — data deeper than the unroll cannot cross the typed
-    DataFrame boundary (documented deviation, SURVEY.md §7)."""
+    DataFrame boundary (documented deviation, SURVEY.md §7). For schemas
+    with branching recursion the depth drops to BRANCHING_TYPE_DEPTH.
+
+    NOTE: the cut is strictly per-path (never a global width budget) so
+    the type is a deterministic function of (node, max_depth) — the plan
+    lowering in plans/flatten.py relies on the type covering every field
+    its own smaller-budget expression can reference; a traversal-order-
+    dependent cut here would break that containment."""
+    if not _seen:
+        max_depth = effective_unroll_depth(node, max_depth)
     if _seen.count(id(node)) >= max_depth:
         return T.NullType()
     _seen = _seen + (id(node),)

@@ -115,14 +115,29 @@ def write_jsonl(df: DataFrame, path: str, compression: Optional[str] = None) -> 
 
 
 # ------------------------------------------------- AVRO-convention JSON sink
+_RENDER_COUNTS: "dict | None" = None
+_RENDER_BUDGET: "int | None" = None
+_MAX_RENDER_EXPANSIONS = 64
+
+
 def _render_depth_limit() -> int:
-    """Recursion unroll bound for the sink — derived from the flatten
-    plans' MAX_UNROLL so raising one raises both (a user who follows the
-    flatten error's advice must not then hit a stale sink bound). Read at
-    call time, not import time, so monkeypatched MAX_UNROLL is honored."""
+    """Recursion unroll bound for the sink. Inside a render build the
+    budget is derived from the ROOT schema (2 levels inside the data
+    type's own effective unroll — see plans/flatten._open_budget, same
+    rule); outside one it falls back to the flatten plans' MAX_UNROLL, so
+    raising that raises both."""
+    if _RENDER_BUDGET is not None:
+        return _RENDER_BUDGET
     from ..plans.flatten import MAX_UNROLL
 
     return MAX_UNROLL
+
+
+def _render_budget_for(node) -> int:
+    from ..plans.flatten import MAX_UNROLL
+    from ..schema.spark_types import effective_unroll_depth
+
+    return min(MAX_UNROLL, max(1, effective_unroll_depth(node, 16) - 2))
 
 def _j_frag(col) -> "Column":
     """Any scalar column → its JSON fragment text: wrap in a 1-element
@@ -141,6 +156,18 @@ def _j_frag(col) -> "Column":
 
 def render_json_avro(node, col, binary_key: str = "$binary",
                      _seen: tuple = ()) -> "Column":
+    global _RENDER_COUNTS, _RENDER_BUDGET
+    if not _seen and _RENDER_COUNTS is None:
+        # outermost: open the per-build depth budget + width backstop
+        # (branching recursion doubles subtree copies per level — same
+        # rationale and rule as plans.flatten._build_scope)
+        _RENDER_COUNTS = {}
+        _RENDER_BUDGET = _render_budget_for(node)
+        try:
+            return render_json_avro(node, col, binary_key, _seen)
+        finally:
+            _RENDER_COUNTS = None
+            _RENDER_BUDGET = None
     """Schema-directed JSON TEXT rendering of one value column using the
     AVRO value conventions (the reference corpus's JSON↔MsgPack form,
     test/msgpack_helper.py): union values as ``null`` or the single-entry
@@ -155,7 +182,12 @@ def render_json_avro(node, col, binary_key: str = "$binary",
     )
     from ..schema.spark_types import UNION_TAG, union_null_and_one
 
-    if _seen.count(id(node)) >= _render_depth_limit():
+    _over_width = False
+    if _RENDER_COUNTS is not None:
+        _n = _RENDER_COUNTS.get(id(node), 0) + 1
+        _RENDER_COUNTS[id(node)] = _n
+        _over_width = _n > _MAX_RENDER_EXPANSIONS
+    if _over_width or _seen.count(id(node)) >= _render_depth_limit():
         # recursive schemas unroll boundedly (per-node repetitions, NOT
         # total nesting, so deep non-recursive schemas are unaffected).
         # A value actually reaching the cut would be silently dropped —
@@ -291,15 +323,31 @@ def write_jsonl_avro(
     missing = [f.name for f in root.fields if f.name not in df.columns]
     if missing:
         raise AvroSparkError(f"write_jsonl_avro: missing columns {missing}")
-    parts = [
+    # open the render budget from the ROOT record: a branching-recursive
+    # root reduces every field's unroll, matching the reduced depth the
+    # root's to_struct_type gave the data columns
+    global _RENDER_COUNTS, _RENDER_BUDGET
+    _RENDER_COUNTS = {}
+    _RENDER_BUDGET = _render_budget_for(root)
+    try:
+        parts = _render_parts(root, binary_key)
+    finally:
+        _RENDER_COUNTS = None
+        _RENDER_BUDGET = None
+    line = F.concat(F.lit("{"), *parts, F.lit("}"))
+    writer = df.select(line.alias("value")).write.mode("overwrite")
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    writer.text(path)
+
+
+def _render_parts(root, binary_key):
+    from pyspark.sql import functions as F
+
+    return [
         F.concat(
             F.lit(('' if i == 0 else ',') + _j_key(f.name) + ': '),
             render_json_avro(f.type, F.col(f.name), binary_key),
         )
         for i, f in enumerate(root.fields)
     ]
-    line = F.concat(F.lit("{"), *parts, F.lit("}"))
-    writer = df.select(line.alias("value")).write.mode("overwrite")
-    if compression is not None:
-        writer = writer.option("compression", compression)
-    writer.text(path)

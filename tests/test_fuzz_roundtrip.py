@@ -703,6 +703,67 @@ class TestUnrollRejection:
         out = cs.unflatten(wtuple).collect()[0].asDict(recursive=True)
         assert out == {"value": 1, "next": {"value": 2, "next": None}}
 
+    def test_branching_recursion_bounded_and_roundtrips(self, spark):
+        """A record with TWO back-edges (map<array<R1>> and [null, R1])
+        unrolls exponentially wide; pre-fix the full-depth unroll built a
+        24 MB type and a plan whose execution killed the JVM (hypothesis
+        find). The reduced branching budgets must keep the type small and
+        round-trip flatten/unflatten + the JSONL sink exactly."""
+        import json as _json
+
+        from avro_spark.schema.spark_types import count_back_edges
+        from ddt_helpers import to_row_value
+
+        R1 = {
+            "type": "record", "name": "R1",
+            "fields": [
+                {"name": "f0", "type": {"type": "map*",
+                                        "values": {"type": "array", "items": "R1"}}},
+                {"name": "f1", "type": {"type": "enum", "name": "E1",
+                                        "symbols": ["S0"]}},
+                {"name": "f2", "type": ["null", "R1"]},
+            ],
+        }
+        root = {"type": "record", "name": "Root",
+                "fields": [{"name": "f0", "type": R1}]}
+        sch = avs.create(root)
+        assert count_back_edges(sch.root) >= 2
+        st = sch.to_struct_type()
+        assert len(st.json()) < 200_000  # pre-fix: ~24 MB
+        cs = avs.compile(sch)
+        inner = {"f0": None, "f1": "S0", "f2": None}
+        val = {"f0": {"f0": {"k0": [inner]}, "f1": "S0", "f2": None}}
+        norm = avs.validate(sch, val)
+        row = to_row_value(sch.root, norm)
+        df = spark.createDataFrame([row], st)
+        back = cs.unflatten(cs.flatten(df)).collect()[0]
+        assert _deep_eq(row, back), (row, back)
+        # the AVRO-convention sink renders and reads it back too
+        import tempfile
+
+        from avro_spark.sources.jsonl import read_jsonl, write_jsonl_avro
+
+        with tempfile.TemporaryDirectory() as d:
+            write_jsonl_avro(df, sch, d)
+            got = read_jsonl(spark, d, schema=sch, avro_conventions=True)
+            assert _deep_eq(row, got.collect()[0])
+
+    def test_chain_recursion_budget_unchanged_by_branching_rule(self, spark):
+        """Single back-edge chains keep the full MAX_UNROLL depth (the
+        branching reduction must not regress them): depth 8 still
+        round-trips — same bound the depth tests pin."""
+        from avro_spark.schema.spark_types import count_back_edges
+
+        sch = avs.create(self.SCHEMA)
+        assert count_back_edges(sch.root) == 1
+        cs = avs.compile(sch)
+        typed = self._chain_df(spark, sch, 8)
+        back = cs.unflatten(cs.flatten(typed)).collect()[0].asDict(recursive=True)
+        d, cur = 1, back
+        while cur.get("next") is not None:
+            cur = cur["next"]; d += 1
+        assert d == 8
+
     def test_recursive_conform_and_conform_json(self, spark):
         """DataFrame validation on recursive schemas (round-4 catch: the
         depth cut cast src to the full unrolled type and failed

@@ -104,6 +104,23 @@ def _nullable_ok(node: SchemaNode) -> bool:
 _CONFORM_DEPTH_LIMIT = 24
 
 
+def _depth_limit(node) -> int:
+    """Validation walk depth for a subtree: the full limit for acyclic or
+    chain recursion; for BRANCHING recursion (SCC multiplicity >= 2) the
+    walk's node count grows as multiplicity^(depth/2), so it shrinks to
+    keep the expression build bounded — aligned with the reduced unroll
+    the data's own to_spark_type used (every cyclic node shares the SCC,
+    so the same reduced limit applies at every level)."""
+    from ..schema.spark_types import cycle_multiplicity
+
+    mult = cycle_multiplicity(node)
+    if mult >= 2:
+        from ..plans.flatten import unroll_budget_for
+
+        return 2 * unroll_budget_for(node)
+    return _CONFORM_DEPTH_LIMIT
+
+
 def _conform_value(
     f: Field, src: Optional[Column], path: tuple[str, ...], _depth: int = 0
 ) -> tuple[Column, Optional[Column]]:
@@ -131,14 +148,17 @@ def _conform_value(
 def _check_node(
     node: SchemaNode, src: Column, loc: str, _depth: int = 0
 ) -> tuple[Column, Optional[Column]]:
-    target = to_spark_type(node)
-    if _depth > _CONFORM_DEPTH_LIMIT:
+    if _depth > _depth_limit(node):
         # bounded validation: past the cut the value passes through
         # UNCHANGED (documented; deeper levels are unvalidated). No cast —
         # src's actual type (the data's own unroll) and the schema's
         # unrolled type have different depths for recursive schemas, and
         # a struct cast between them fails analysis (round-4 catch).
+        # (checked BEFORE building the target type: for branching
+        # recursion the walk visits exponentially many nodes, and eagerly
+        # materializing a type per visit multiplied that cost)
         return src, None
+    target = to_spark_type(node)
     if isinstance(node, Primitive):
         return _check_primitive(node.type, src, loc)
     if isinstance(node, Enum):
@@ -301,6 +321,18 @@ def _check_primitive(t: str, src: Column, loc: str) -> tuple[Column, Optional[Co
 # reference runtime type names (runtime.lua:270-274 etype2typename +
 # typenames): what "encountered X" renders for each variant type
 _VARIANT_DEPTH_LIMIT = 8
+
+
+def _variant_depth_limit(node) -> int:
+    """Same branching-aware reduction as _depth_limit: the variant walk
+    visits multiplicity^depth nodes for branching-recursive schemas."""
+    from ..schema.spark_types import cycle_multiplicity
+
+    if cycle_multiplicity(node) >= 2:
+        from ..plans.flatten import unroll_budget_for
+
+        return min(_VARIANT_DEPTH_LIMIT, 2 * unroll_budget_for(node))
+    return _VARIANT_DEPTH_LIMIT
 
 # messages never begin with a path component — used to decide whether a
 # dynamically-composed element error already carries a relative path
@@ -523,7 +555,7 @@ def _vj_node(node: SchemaNode, vcol: Column, path: tuple[str, ...],
     """First validation error (string Column, NULL when valid) for a
     variant value against a schema node. ``vcol`` NULL means the value was
     absent — handled by the enclosing record/union."""
-    if depth > _VARIANT_DEPTH_LIMIT:
+    if depth > _variant_depth_limit(node):
         return F.lit(None).cast("string")
     s = F.schema_of_variant(vcol)
     err = _vj_node_strict(node, vcol, path, depth, s, bk, umap)
@@ -909,7 +941,7 @@ def _pj_node(node: SchemaNode, vcol: Column, depth: int,
     """Typed value Column for a variant against a schema node (best-effort;
     nulls on mismatch)."""
     target = to_spark_type(node)
-    if depth > _VARIANT_DEPTH_LIMIT:
+    if depth > _variant_depth_limit(node):
         return F.lit(None).cast(target)
     if isinstance(node, Primitive):
         t = node.type

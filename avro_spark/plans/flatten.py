@@ -143,52 +143,39 @@ def lit_for(node: SchemaNode, value: Any) -> Column:
 #: column type deeper than this bound, so the guard is reachable.
 MAX_UNROLL = 8
 
-#: Width safety backstop: max times one plan node may expand across a
-#: WHOLE build. The per-path budget bounds recursion DEPTH; a schema
-#: with B >= 2 back-edges to one record multiplies subtree copies per
-#: level (B^depth) — the reduced branching budget (see _open_budget)
-#: keeps that small, and this cap is the hard stop for pathological
-#: many-back-edge schemas. A width cut can never dereference a field the
-#: writer type lacks: it fires strictly inside the type's per-path
-#: coverage and the guard only touches src itself.
-MAX_NODE_EXPANSIONS = 64
-
-# in-flight build state: {"counts": plan-id -> expansions, "budget": int}
-# (driver-thread plan building; same single-threaded pattern as the codec
-# memo in sources/avro_binary.py)
-_BUILD_STATE: "dict | None" = None
+# in-flight per-build unroll budget (driver-thread plan building; same
+# single-threaded pattern as the codec memo in sources/avro_binary.py).
+# NO runtime width counter: branching recursion is detected STATICALLY
+# (spark_types.cycle_multiplicity — SCC cyclomatic number, which also
+# catches diamond-amplified cycles) and bounded via the reduced depth
+# budget; a runtime per-node expansion cap misfired on non-recursive
+# schemas that legitimately reuse one named type at many sites.
+_BUILD_STATE: "int | None" = None
 
 
-def _open_budget(plan) -> int:
-    """Per-path unroll budget for this build, from the WRITER schema the
-    source DataFrame was typed with: 2 levels inside the type's own
-    effective unroll, so the plan never dereferences a field the type cut
-    to void. Chains keep MAX_UNROLL; branching recursion drops to
-    BRANCHING_TYPE_DEPTH - 2 (= 4 by default)."""
+def unroll_budget_for(node) -> int:
+    """Per-path unroll budget for a build over ``node``'s schema: 2
+    levels inside the type's own effective unroll, so the plan never
+    dereferences a field the type cut to void. Chains keep MAX_UNROLL;
+    branching recursion drops with its multiplicity."""
     from ..schema.spark_types import effective_unroll_depth
 
-    node = plan.writer if plan.writer is not None else plan.reader
     eff_type = effective_unroll_depth(node, 16)
     return min(MAX_UNROLL, max(1, eff_type - 2))
 
 
+def _open_budget(plan) -> int:
+    node = plan.writer if plan.writer is not None else plan.reader
+    return unroll_budget_for(node)
+
+
 def _unroll_budget() -> int:
-    return _BUILD_STATE["budget"] if _BUILD_STATE is not None else MAX_UNROLL
-
-
-def _count_expansion(plan) -> bool:
-    """Register one expansion of ``plan``; True when over the width cap."""
-    if _BUILD_STATE is None:  # entered through a path that never opened a build
-        return False
-    counts = _BUILD_STATE["counts"]
-    n = counts.get(id(plan), 0) + 1
-    counts[id(plan)] = n
-    return n > MAX_NODE_EXPANSIONS
+    return _BUILD_STATE if _BUILD_STATE is not None else MAX_UNROLL
 
 
 class _build_scope:
-    """Context manager opening one build's budget/width state (no-op when
-    a scope is already open — nested entry points share the outer one)."""
+    """Context manager opening one build's budget (no-op when a scope is
+    already open — nested entry points share the outer one)."""
 
     def __init__(self, plan):
         self.plan = plan
@@ -197,7 +184,7 @@ class _build_scope:
     def __enter__(self):
         global _BUILD_STATE
         if _BUILD_STATE is None:
-            _BUILD_STATE = {"counts": {}, "budget": _open_budget(self.plan)}
+            _BUILD_STATE = _open_budget(self.plan)
             self.opened = True
         return self
 
@@ -235,7 +222,7 @@ def convert_expr(plan: Resolved, src: Column, validate: bool = True,
         with _build_scope(plan):
             return convert_expr(plan, src, validate, _seen)
     kind = plan.kind
-    if _seen.count(id(plan)) >= _unroll_budget() or _count_expansion(plan):
+    if _seen.count(id(plan)) >= _unroll_budget():
         # shallow guard type: the full unrolled reader type is itself
         # exponentially wide under branching recursion, and no legal
         # value exists past the cut anyway

@@ -71,55 +71,118 @@ def union_null_and_one(node: UnionNode) -> SchemaNode | None:
     return None
 
 
-#: Per-path unroll depth for schemas with BRANCHING recursion (two or
-#: more back-edges): unrolled size is (back-edges)^depth, so the full 16
-#: would build multi-megabyte types and JVM-killing plans. Single
-#: back-edge chains keep the full ``max_depth`` (linear growth).
-BRANCHING_TYPE_DEPTH = 6
+#: Subtree-copy budget for schemas with BRANCHING recursion: the unroll
+#: depth is chosen so (multiplicity)^depth stays at or under this many
+#: copies of the cycle. Chains (multiplicity 1) keep full depth.
+UNROLL_WIDTH_TARGET = 64
+
+# id(node) -> (node ref pinning the id, multiplicity): computing the SCC
+# decomposition per outermost call would make plan builds quadratic
+_MULT_CACHE: dict = {}
 
 
-def count_back_edges(node: SchemaNode) -> int:
-    """Number of schema-graph edge SITES that point back into the current
-    DFS path (recursion back-edges). 0 = non-recursive, 1 = chain-style
-    recursion, >= 2 = branching recursion (exponential unroll width).
-    Deterministic; shared (diamond) subtrees are processed once."""
-    on_path: set = set()
-    done: set = set()
-    count = 0
+def _node_children(n: SchemaNode) -> list:
+    if isinstance(n, Record):
+        return [f.type for f in n.fields]
+    if isinstance(n, Array):
+        return [n.items]
+    if isinstance(n, Map):
+        return [n.values]
+    if isinstance(n, UnionNode):
+        return list(n.branches)
+    return []
 
-    def children(n):
-        if isinstance(n, Record):
-            return [f.type for f in n.fields]
-        if isinstance(n, Array):
-            return [n.items]
-        if isinstance(n, Map):
-            return [n.values]
-        if isinstance(n, UnionNode):
-            return list(n.branches)
-        return []
 
-    def walk(n):
-        nonlocal count
-        for c in children(n):
-            if id(c) in on_path:
-                count += 1
-            elif id(c) not in done:
-                on_path.add(id(c))
-                walk(c)
-                on_path.discard(id(c))
-                done.add(id(c))
+def cycle_multiplicity(node: SchemaNode) -> int:
+    """How many independent cycles the schema graph's worst strongly-
+    connected component carries: 0 = acyclic, 1 = chain recursion (every
+    cyclic SCC is one simple cycle — linear unroll), >= 2 = branching
+    recursion (unroll width grows as multiplicity^depth).
 
-    on_path.add(id(node))
-    walk(node)
-    return count
+    An SCC with N nodes and E internal edge SITES (a record with two
+    fields of the same type contributes two edges) is a single simple
+    cycle iff E == N; its cyclomatic number E - N + 1 counts the
+    independent cycles. This catches both multiple back-edge sites AND
+    diamond-amplified cycles (P -> Q twice, Q -> P: E=3, N=2), which a
+    naive back-edge count misses."""
+    hit = _MULT_CACHE.get(id(node))
+    if hit is not None:
+        return hit[1]
+    # iterative Tarjan SCC over the id graph
+    index: dict = {}
+    low: dict = {}
+    on_stack: set = set()
+    stack: list = []
+    sccs: list = []
+    objs: dict = {id(node): node}
+    counter = [0]
+
+    def strongconnect(root):
+        work = [(root, 0)]
+        while work:
+            n, pi = work[-1]
+            nid = id(n)
+            if pi == 0:
+                index[nid] = low[nid] = counter[0]
+                counter[0] += 1
+                stack.append(nid)
+                on_stack.add(nid)
+            kids = _node_children(n)
+            advanced = False
+            for i in range(pi, len(kids)):
+                c = kids[i]
+                cid = id(c)
+                objs[cid] = c
+                if cid not in index:
+                    work[-1] = (n, i + 1)
+                    work.append((c, 0))
+                    advanced = True
+                    break
+                if cid in on_stack:
+                    low[nid] = min(low[nid], index[cid])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                pid = id(work[-1][0])
+                low[pid] = min(low[pid], low[nid])
+            if low[nid] == index[nid]:
+                comp = set()
+                while True:
+                    m = stack.pop()
+                    on_stack.discard(m)
+                    comp.add(m)
+                    if m == nid:
+                        break
+                sccs.append(comp)
+
+    strongconnect(node)
+    worst = 0
+    for comp in sccs:
+        edges = 0
+        cyclic = len(comp) > 1
+        for nid in comp:
+            for c in _node_children(objs[nid]):
+                if id(c) in comp:
+                    edges += 1
+                    if id(c) == nid:
+                        cyclic = True
+        if cyclic and len(comp) >= 1 and edges >= len(comp):
+            worst = max(worst, edges - len(comp) + 1)
+    _MULT_CACHE[id(node)] = (node, worst)
+    return worst
 
 
 def effective_unroll_depth(node: SchemaNode, max_depth: int) -> int:
-    """max_depth for chain-or-no recursion; BRANCHING_TYPE_DEPTH when the
-    schema has >= 2 back-edges (exponential width otherwise)."""
-    if count_back_edges(node) >= 2:
-        return min(max_depth, BRANCHING_TYPE_DEPTH)
-    return max_depth
+    """max_depth for acyclic or chain recursion (multiplicity <= 1);
+    for branching recursion, the largest depth keeping
+    multiplicity^depth <= UNROLL_WIDTH_TARGET (>= 2)."""
+    import math
+
+    mult = cycle_multiplicity(node)
+    if mult <= 1:
+        return max_depth
+    return min(max_depth, max(2, int(math.log(UNROLL_WIDTH_TARGET, mult))))
 
 
 def to_spark_type(node: SchemaNode, max_depth: int = 16, _seen: tuple = ()) -> T.DataType:

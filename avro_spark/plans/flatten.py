@@ -30,6 +30,7 @@ Representation rules (must agree with schema/spark_types.py):
 
 from __future__ import annotations
 
+import threading
 from typing import Any, Callable, Optional
 
 from pyspark.sql import Column
@@ -143,14 +144,16 @@ def lit_for(node: SchemaNode, value: Any) -> Column:
 #: column type deeper than this bound, so the guard is reachable.
 MAX_UNROLL = 8
 
-# in-flight per-build unroll budget (driver-thread plan building; same
-# single-threaded pattern as the codec memo in sources/avro_binary.py).
+# in-flight per-build unroll budget. THREAD-LOCAL: PySpark drivers
+# commonly submit jobs from several threads, and a plain module slot let
+# one thread's reduced branching-recursion budget leak into (or get
+# cleared under) a concurrent build on another thread.
 # NO runtime width counter: branching recursion is detected STATICALLY
 # (spark_types.cycle_multiplicity — SCC cyclomatic number, which also
 # catches diamond-amplified cycles) and bounded via the reduced depth
 # budget; a runtime per-node expansion cap misfired on non-recursive
 # schemas that legitimately reuse one named type at many sites.
-_BUILD_STATE: "int | None" = None
+_TLS = threading.local()  # .budget: int | None (in-flight build only)
 
 
 def unroll_budget_for(node) -> int:
@@ -170,7 +173,8 @@ def _open_budget(plan) -> int:
 
 
 def _unroll_budget() -> int:
-    return _BUILD_STATE if _BUILD_STATE is not None else MAX_UNROLL
+    b = getattr(_TLS, "budget", None)
+    return b if b is not None else MAX_UNROLL
 
 
 class _build_scope:
@@ -182,16 +186,14 @@ class _build_scope:
         self.opened = False
 
     def __enter__(self):
-        global _BUILD_STATE
-        if _BUILD_STATE is None:
-            _BUILD_STATE = _open_budget(self.plan)
+        if getattr(_TLS, "budget", None) is None:
+            _TLS.budget = _open_budget(self.plan)
             self.opened = True
         return self
 
     def __exit__(self, *exc):
-        global _BUILD_STATE
         if self.opened:
-            _BUILD_STATE = None
+            _TLS.budget = None
         return False
 
 
@@ -200,15 +202,28 @@ def _unroll_guard(src: "Column | None", target) -> Column:
     null = F.lit(None).cast(target)
     if src is None:
         return null
+    # name the limit that actually bound this build: under branching
+    # recursion the effective budget is the REDUCED one (unroll_budget_for
+    # via cycle_multiplicity), and advising "raise MAX_UNROLL" there is a
+    # dead end — the width target is the lever.
+    budget = _unroll_budget()
+    if budget < MAX_UNROLL:
+        hint = (
+            f"effective unroll budget {budget} (< MAX_UNROLL={MAX_UNROLL}: "
+            "branching recursion is width-bounded via "
+            "avro_spark.schema.spark_types.UNROLL_WIDTH_TARGET); re-model "
+            "the hot recursion or raise UNROLL_WIDTH_TARGET"
+        )
+    else:
+        hint = (
+            f"unroll budget MAX_UNROLL={MAX_UNROLL}; re-model the hot "
+            "recursion or raise avro_spark.plans.flatten.MAX_UNROLL"
+        )
     return F.when(
         src.isNull(), null
     ).otherwise(
         F.raise_error(
-            F.lit(
-                f"recursive data deeper than the unroll bound "
-                f"(MAX_UNROLL={MAX_UNROLL}); re-model the hot recursion or "
-                "raise avro_spark.plans.flatten.MAX_UNROLL"
-            )
+            F.lit(f"recursive data deeper than the unroll bound ({hint})")
         ).cast(target)
     )
 
@@ -216,7 +231,7 @@ def _unroll_guard(src: "Column | None", target) -> Column:
 def convert_expr(plan: Resolved, src: Column, validate: bool = True,
                  _seen: tuple = ()) -> Column:
     """writer-shaped record-form value → reader-shaped record-form value."""
-    if not _seen and _BUILD_STATE is None:
+    if not _seen and getattr(_TLS, "budget", None) is None:
         # outermost call of one field-expression build: open the
         # depth-budget + width-backstop scope
         with _build_scope(plan):

@@ -23,6 +23,7 @@ deeper data is a runtime error — documented deviation (SURVEY.md §7).
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from pyspark.sql import types as T
 
 from ..errors import SchemaError
@@ -77,8 +78,12 @@ def union_null_and_one(node: UnionNode) -> SchemaNode | None:
 UNROLL_WIDTH_TARGET = 64
 
 # id(node) -> (node ref pinning the id, multiplicity): computing the SCC
-# decomposition per outermost call would make plan builds quadratic
-_MULT_CACHE: dict = {}
+# decomposition per outermost call would make plan builds quadratic.
+# BOUNDED (LRU): an unbounded memo pins every schema root a long-lived
+# driver ever compiles — a slow leak. 1024 roots is far more live schemas
+# than any driver holds at once; eviction only costs a recompute.
+_MULT_CACHE: "OrderedDict" = OrderedDict()
+_MULT_CACHE_MAX = 1024
 
 
 def _node_children(n: SchemaNode) -> list:
@@ -106,7 +111,8 @@ def cycle_multiplicity(node: SchemaNode) -> int:
     diamond-amplified cycles (P -> Q twice, Q -> P: E=3, N=2), which a
     naive back-edge count misses."""
     hit = _MULT_CACHE.get(id(node))
-    if hit is not None:
+    if hit is not None and hit[0] is node:
+        _MULT_CACHE.move_to_end(id(node))
         return hit[1]
     # iterative Tarjan SCC over the id graph
     index: dict = {}
@@ -170,6 +176,8 @@ def cycle_multiplicity(node: SchemaNode) -> int:
         if cyclic and len(comp) >= 1 and edges >= len(comp):
             worst = max(worst, edges - len(comp) + 1)
     _MULT_CACHE[id(node)] = (node, worst)
+    while len(_MULT_CACHE) > _MULT_CACHE_MAX:
+        _MULT_CACHE.popitem(last=False)
     return worst
 
 

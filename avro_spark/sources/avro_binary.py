@@ -21,6 +21,7 @@ DataFrame-level API is identical.
 from __future__ import annotations
 
 import struct as _struct
+import threading
 from typing import Any, Callable
 
 import numpy as np
@@ -86,18 +87,17 @@ def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
 # frontend.lua:369-389) would otherwise recurse forever at BUILD time. The
 # memo lives only for the outermost build (no global codec cache); the
 # back-edge gets a one-cell forward indirection that binds to the real
-# closure once the cycle closes. Python workers are single-threaded, so a
-# module-level in-flight slot is safe.
-_ENC_MEMO: "dict | None" = None
-_DEC_MEMO: "dict | None" = None
+# closure once the cycle closes. THREAD-LOCAL slots: codecs also compile
+# on the driver, where multi-threaded job submission is common — a plain
+# module slot could hand one thread's half-built memo to another.
+_CODEC_TLS = threading.local()  # .enc / .dec: dict | None
 
 
 def _compile_encoder(node: SchemaNode) -> Callable[[bytearray, Any], None]:
-    global _ENC_MEMO
-    top = _ENC_MEMO is None
+    top = getattr(_CODEC_TLS, "enc", None) is None
     if top:
-        _ENC_MEMO = {}
-    memo = _ENC_MEMO
+        _CODEC_TLS.enc = {}
+    memo = _CODEC_TLS.enc
     try:
         hit = memo.get(id(node))
         if hit is not None:
@@ -114,7 +114,7 @@ def _compile_encoder(node: SchemaNode) -> Callable[[bytearray, Any], None]:
         return real
     finally:
         if top:
-            _ENC_MEMO = None
+            _CODEC_TLS.enc = None
 
 
 def _compile_encoder_impl(node: SchemaNode) -> Callable[[bytearray, Any], None]:
@@ -313,11 +313,10 @@ def _strip_nullable(node: SchemaNode) -> SchemaNode:
 
 # ----------------------------------------------------- decoder compilation
 def _compile_decoder(node: SchemaNode) -> Callable[[bytes, int], tuple[Any, int]]:
-    global _DEC_MEMO
-    top = _DEC_MEMO is None
+    top = getattr(_CODEC_TLS, "dec", None) is None
     if top:
-        _DEC_MEMO = {}
-    memo = _DEC_MEMO
+        _CODEC_TLS.dec = {}
+    memo = _CODEC_TLS.dec
     try:
         hit = memo.get(id(node))
         if hit is not None:
@@ -334,7 +333,7 @@ def _compile_decoder(node: SchemaNode) -> Callable[[bytes, int], tuple[Any, int]
         return real
     finally:
         if top:
-            _DEC_MEMO = None
+            _CODEC_TLS.dec = None
 
 
 def _compile_decoder_impl(node: SchemaNode) -> Callable[[bytes, int], tuple[Any, int]]:

@@ -242,37 +242,84 @@ def read_ocf_bytes(
 
 
 # ---------------------------------------------------------- DataFrame level
+def _jvm_ocf_ok(spark: SparkSession, schema: Schema, codec: Optional[str]) -> bool:
+    """True when the JVM block path can take this read/write: supported
+    schema shape, a block codec the JVM can decompress, and a JDK that
+    built + attached the jar."""
+    try:
+        from ..jvm import JVM_OCF_CODECS, jvm_codec_available, jvm_codec_supported
+    except Exception:  # pragma: no cover - defensive import guard
+        return False
+    if codec is not None and codec not in JVM_OCF_CODECS:
+        return False
+    return jvm_codec_supported(schema) and jvm_codec_available(spark)
+
+
 def read_avro_files(
     spark: SparkSession,
     path: str,
     schema: Optional[Schema] = None,
     split_bytes: Optional[int] = None,
+    engine: str = "auto",
 ) -> DataFrame:
     """Directory/glob of ``.avro`` OCF files → record-shaped DataFrame.
 
-    Default: one task per file (binaryFile source) + Arrow-batched
-    decode — right when files are written ~128-512 MB (the writers below
-    do). Pass ``split_bytes`` to read each file as MULTIPLE byte-range
-    tasks instead (:func:`read_avro_files_split`) — the Hadoop-style
+    Default: one task per file (binaryFile source); ``engine="auto"``
+    runs the container framing AND the per-record decode loop JVM-side
+    (jvm.read_ocf_content_jvm — ~10× the Python row codec on this, the
+    engine's primary file-ingest path), falling back to the Arrow-batched
+    pure-Python decode when there is no JDK, the schema uses ``any``, or
+    the (first file's) block codec needs a non-JVM decompressor
+    (bzip2/xz/...). ``engine="python"``/``"jvm"`` force a side; a forced
+    ``"jvm"`` raises when unavailable. Mixed-codec directories route on
+    the FIRST file's codec — a later file outside the JVM's codecs fails
+    loudly (re-read with ``engine="python"``).
+
+    Pass ``split_bytes`` to read each file as MULTIPLE byte-range tasks
+    instead (:func:`read_avro_files_split`) — the Hadoop-style
     sync-marker split, for corpora of few huge files where per-file
     tasks would underuse the cluster. When ``schema`` is None the writer
-    schema is peeked from the first file.
+    schema is peeked from the first file's header.
     """
     from ..util import ensure_workers
 
     if split_bytes is not None:
-        return read_avro_files_split(spark, path, schema, split_bytes)
+        return read_avro_files_split(spark, path, schema, split_bytes, engine=engine)
+    if engine not in ("auto", "python", "jvm"):
+        raise AvroSparkError(f"bad engine: {engine}")
     ensure_workers(spark)
     files = spark.read.format("binaryFile").load(path)
-    if schema is None:
-        first = files.select("content").head()
-        if first is None:
-            raise AvroSparkError(f"no files at {path}")
-        schema = read_ocf_bytes(bytes(first["content"]))[0]
+    first = files.select("path").head()
+    if first is None:
+        raise AvroSparkError(f"no files at {path}")
+    # header peek (schema + codec): a few KB straight from the driver
+    # when the path is local; otherwise pull the first file through Spark
+    codec: Optional[str] = None
+    try:
+        _hl, _sync, sj, codec = _scan_header(_local_path(first["path"]))
+        if schema is None:
+            schema = create(json.loads(sj.decode("utf-8")))
+    except OSError:
+        blob = bytes(files.select("content").head()["content"])
+        if blob[:4] != MAGIC:
+            raise AvroSparkError("not an Avro object container file (bad magic)")
+        meta, _pos = _read_meta_map(blob, 4)
+        codec = meta.get("avro.codec", b"null").decode("ascii")
+        if schema is None:
+            schema = create(json.loads(meta["avro.schema"].decode("utf-8")))
     struct = schema.to_struct_type()
     root = schema.root
     if not isinstance(root, Record):
         raise AvroSparkError("read_avro_files requires a record schema")
+    if engine != "python" and _jvm_ocf_ok(spark, schema, codec):
+        from ..jvm import read_ocf_content_jvm
+
+        return read_ocf_content_jvm(files.select("content"), schema)
+    if engine == "jvm":
+        raise AvroSparkError(
+            "engine='jvm' unavailable (no JDK, unsupported schema shape, "
+            f"or block codec {codec!r} outside the JVM's set)"
+        )
     schema_export = json.dumps(schema.export())
 
     def decode(batches):
@@ -408,6 +455,7 @@ def read_avro_files_split(
     path: str,
     schema: Optional[Schema] = None,
     split_bytes: int = 128 << 20,
+    engine: str = "auto",
 ) -> DataFrame:
     """OCF files → record DataFrame with BLOCK-LEVEL parallelism: each
     file is planned into ~``split_bytes`` byte ranges and every range is
@@ -421,9 +469,19 @@ def read_avro_files_split(
     inside the range (the last owned block may read past ``end`` — the
     standard ownership rule that makes ranges partition the file
     exactly). Deflate blocks decompress per block, so memory is bounded
-    by block size, not split size."""
+    by block size, not split size.
+
+    ``engine="auto"`` keeps the SCAN (sync-find + block walk, pure IO) in
+    the Arrow stage but ships each block's still-compressed payload to
+    the JVM block decoder (jvm.decode_ocf_blocks_jvm) — the per-record
+    hot loop runs JVM-side. Falls back to in-stage Python decode when the
+    JVM path is unavailable; every file's codec is known at plan time, so
+    routing is exact here (unlike the first-file peek in
+    :func:`read_avro_files`)."""
     from ..util import ensure_workers
 
+    if engine not in ("auto", "python", "jvm"):
+        raise AvroSparkError(f"bad engine: {engine}")
     ensure_workers(spark)
     listing = (
         spark.read.format("binaryFile").load(path).select("path", "length").collect()
@@ -457,6 +515,81 @@ def read_avro_files_split(
     )
     n_tasks = max(len(splits), 1)
     sdf = sdf.repartition(min(n_tasks, spark.sparkContext.defaultParallelism * 4))
+
+    all_codecs = {s[6] for s in splits}
+    use_jvm = engine != "python" and all(
+        _jvm_ocf_ok(spark, schema, c) for c in sorted(all_codecs)
+    )
+    if engine == "jvm" and not use_jvm:
+        raise AvroSparkError(
+            "engine='jvm' unavailable (no JDK, unsupported schema shape, "
+            f"or block codec(s) {sorted(all_codecs)} outside the JVM's set)"
+        )
+
+    if use_jvm:
+
+        def emit_blocks(batches):
+            # IO-only stage: walk the split's blocks and ship each
+            # still-COMPRESSED payload out; the JVM explode stage does
+            # decompression + the per-record decode loop. The Python
+            # decoder is compiled only for _find_block_start's one-time
+            # candidate validation per split.
+            import pyarrow as pa
+
+            sch = create(json.loads(schema_export))
+            dec = _compile_decoder(sch.root)
+            out_schema = pa.schema(
+                [("codec", pa.string()), ("count", pa.int64()),
+                 ("data", pa.binary())]
+            )
+
+            for batch in batches:
+                for row in batch.to_pylist():
+                    with open(row["path"], "rb") as fh:
+                        sync = bytes(row["sync"])
+                        file_len, start = row["file_len"], row["start"]
+                        end, codec = row["end"], row["codec"]
+                        if start == row["header_len"]:
+                            b = start
+                        else:
+                            b = _find_block_start(
+                                fh, file_len, start, end, sync, codec, dec,
+                            )
+                        blocks: list[dict] = []
+                        while 0 <= b < end:
+                            fh.seek(b)
+                            head = fh.read(20)
+                            count, p = _read_long(head, 0)
+                            size, p = _read_long(head, p)
+                            if count < 0 or size < 0 or b + p + size + 16 > file_len:
+                                raise AvroSparkError(
+                                    f"corrupt OCF block at {row['path']}:{b}"
+                                )
+                            fh.seek(b + p)
+                            blocks.append(
+                                {"codec": codec, "count": count,
+                                 "data": fh.read(size)}
+                            )
+                            fh.seek(b + p + size)
+                            if fh.read(16) != sync:
+                                raise AvroSparkError("OCF sync marker mismatch")
+                            b = b + p + size + 16
+                            if len(blocks) >= 32:
+                                yield pa.RecordBatch.from_pylist(
+                                    blocks, schema=out_schema
+                                )
+                                blocks = []
+                        if blocks:
+                            yield pa.RecordBatch.from_pylist(
+                                blocks, schema=out_schema
+                            )
+
+        from ..jvm import decode_ocf_blocks_jvm
+
+        block_rows = sdf.mapInArrow(
+            emit_blocks, schema="codec string, count long, data binary"
+        )
+        return decode_ocf_blocks_jvm(block_rows, schema)
 
     def decode(batches):
         # Arrow-native output — exact int64, see read_avro_files.decode
@@ -526,6 +659,7 @@ def write_avro_files(
     codec: str = "null",
     block_records: int = DEFAULT_BLOCK_RECORDS,
     mode: str = "overwrite",
+    engine: str = "auto",
 ) -> list[dict]:
     """Record-shaped DataFrame → one OCF file per partition under
     ``path`` (created if missing; must be a filesystem all executors
@@ -540,9 +674,18 @@ def write_avro_files(
     each task streams one block at a time to a temp file (memory is
     bounded by ``block_records``, not the partition), and the final
     ``os.replace`` is atomic so a speculative duplicate attempt cannot
-    interleave bytes."""
+    interleave bytes.
+
+    ``engine="auto"`` runs the per-record ENCODE loop JVM-side
+    (jvm.to_avro_bytes_jvm) and keeps only the container framing —
+    block concat + compression + header/sync — in the Arrow stage; any
+    block codec works on this path since compression is framing-side.
+    Record bytes are identical between engines (fuzz-pinned), so files
+    differ only in their random sync markers."""
     from ..util import ensure_workers
 
+    if engine not in ("auto", "python", "jvm"):
+        raise AvroSparkError(f"bad engine: {engine}")
     _codec_pair(codec)  # validate on the driver, before any task launches
     ensure_workers(df.sparkSession)
     root = schema.root
@@ -564,6 +707,78 @@ def write_avro_files(
         raise AvroSparkError(f"write_avro_files: missing columns {missing}")
     df = df.select(*field_names)  # BY NAME — positional zip is a data swapper
     field_types = [(f.name, f.type) for f in root.fields]
+
+    use_jvm = engine != "python" and _jvm_ocf_ok(df.sparkSession, schema, None)
+    if engine == "jvm" and not use_jvm:
+        raise AvroSparkError(
+            "engine='jvm' unavailable (no JDK or unsupported schema shape)"
+        )
+    if use_jvm:
+        from ..jvm import to_avro_bytes_jvm
+
+        enc_df = to_avro_bytes_jvm(df, schema, "b")
+
+        def frame(batches):
+            # records arrive PRE-ENCODED (JVM codec); this stage only
+            # frames the container: header, block concat + compression,
+            # sync markers, atomic rename — all memcpy-speed work
+            import pyarrow as pa
+
+            from pyspark import TaskContext
+
+            schema_json = schema_export.encode("utf-8")
+            sync = os.urandom(16)  # random per-file sync (Avro spec)
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx else 0
+            attempt = ctx.taskAttemptId() if ctx else 0
+            fname = os.path.join(path, f"part-{pid:05d}.avro")
+            tmp = f"{fname}.__attempt_{attempt}"
+            n_records = 0
+            pending: list[bytes] = []
+            fh = None
+
+            def flush() -> None:
+                data = _codec_pair(codec)[0](b"".join(pending))
+                blk = bytearray()
+                _write_long(blk, len(pending))
+                _write_long(blk, len(data))
+                blk += data
+                blk += sync
+                fh.write(blk)
+                pending.clear()
+
+            for b in batches:
+                for rec_bytes in b.column(0).to_pylist():
+                    if fh is None:
+                        fh = io.open(tmp, "wb")
+                        header = bytearray()
+                        header += MAGIC
+                        _write_meta_map(
+                            header,
+                            {"avro.schema": schema_json,
+                             "avro.codec": codec.encode("ascii")},
+                        )
+                        header += sync
+                        fh.write(header)
+                    pending.append(rec_bytes)
+                    n_records += 1
+                    if len(pending) >= block_records:
+                        flush()
+            if fh is None:
+                return
+            if pending:
+                flush()
+            fh.close()
+            os.replace(tmp, fname)  # atomic: last attempt wins whole
+            yield pa.RecordBatch.from_pylist(
+                [{"file": fname, "n_records": n_records,
+                  "n_bytes": os.path.getsize(fname)}]
+            )
+
+        out = enc_df.mapInArrow(
+            frame, schema="file string, n_records long, n_bytes long"
+        )
+        return [r.asDict() for r in out.collect()]
 
     def encode(batches):
         import zlib as _zlib

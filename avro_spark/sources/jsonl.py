@@ -21,6 +21,7 @@ operator's flag/raise modes (reference validate, frontend.lua:740-972).
 
 from __future__ import annotations
 
+import threading
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -115,7 +116,10 @@ def write_jsonl(df: DataFrame, path: str, compression: Optional[str] = None) -> 
 
 
 # ------------------------------------------------- AVRO-convention JSON sink
-_RENDER_BUDGET: "int | None" = None
+# THREAD-LOCAL in-flight render budget: multi-threaded drivers can build
+# two sinks concurrently, and a module slot would leak one build's reduced
+# branching-recursion budget into the other (same fix as plans.flatten).
+_RENDER_TLS = threading.local()  # .budget: int | None
 
 
 def _render_depth_limit() -> int:
@@ -124,8 +128,9 @@ def _render_depth_limit() -> int:
     plans (plans.flatten.unroll_budget_for: 2 levels inside the data
     type's own effective unroll, branching-aware); outside one it falls
     back to MAX_UNROLL, so raising that raises both."""
-    if _RENDER_BUDGET is not None:
-        return _RENDER_BUDGET
+    b = getattr(_RENDER_TLS, "budget", None)
+    if b is not None:
+        return b
     from ..plans.flatten import MAX_UNROLL
 
     return MAX_UNROLL
@@ -154,17 +159,16 @@ def render_json_avro(node, col, binary_key: str = "$binary",
     and general unions), bytes/fixed as ``{"$binary": "<HEX>"}``, enums as
     their symbol string. Pure column expressions — composes into
     :func:`write_jsonl_avro`'s whole-row renderer."""
-    global _RENDER_BUDGET
-    if not _seen and _RENDER_BUDGET is None:
+    if not _seen and getattr(_RENDER_TLS, "budget", None) is None:
         # outermost: open the per-build depth budget (branching-aware —
         # same rule as plans.flatten._build_scope)
         from ..plans.flatten import unroll_budget_for
 
-        _RENDER_BUDGET = unroll_budget_for(node)
+        _RENDER_TLS.budget = unroll_budget_for(node)
         try:
             return render_json_avro(node, col, binary_key, _seen)
         finally:
-            _RENDER_BUDGET = None
+            _RENDER_TLS.budget = None
     from pyspark.sql import functions as F
 
     from ..schema.nodes import (
@@ -313,12 +317,11 @@ def write_jsonl_avro(
     # root's to_struct_type gave the data columns
     from ..plans.flatten import unroll_budget_for
 
-    global _RENDER_BUDGET
-    _RENDER_BUDGET = unroll_budget_for(root)
+    _RENDER_TLS.budget = unroll_budget_for(root)
     try:
         parts = _render_parts(root, binary_key)
     finally:
-        _RENDER_BUDGET = None
+        _RENDER_TLS.budget = None
     line = F.concat(F.lit("{"), *parts, F.lit("}"))
     writer = df.select(line.alias("value")).write.mode("overwrite")
     if compression is not None:

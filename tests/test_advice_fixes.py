@@ -381,3 +381,76 @@ def test_conform_json_unambiguous_equal_subtrees_anchor(spark):
     errs = conform_json(jdf, "j", SimpleNamespace(root=sub), mode="flag",
                         resolution=c.plan).collect()[0][ERRORS_COL]
     assert errs == ['Unknown key: "double" (schema versioning)'], errs
+
+
+def test_build_budget_is_thread_local():
+    """A reduced branching-recursion budget opened on one driver thread
+    must not leak into a concurrent plan build on another thread (the old
+    module-level _BUILD_STATE slot did exactly that)."""
+    import threading
+    from types import SimpleNamespace
+
+    from avro_spark.plans import flatten as FL
+
+    branching = avro_spark.create({
+        "type": "record", "name": "Node", "fields": [
+            {"name": "a", "type": ["null", "Node"]},
+            {"name": "b", "type": ["null", "Node"]},
+        ],
+    }).root
+    plan = SimpleNamespace(writer=branching, reader=branching)
+    reduced = FL._open_budget(plan)
+    assert reduced < FL.MAX_UNROLL  # multiplicity-2 recursion reduces it
+
+    opened = threading.Event()
+    release = threading.Event()
+    seen_other_thread: list = []
+
+    def holder():
+        with FL._build_scope(plan):
+            assert FL._unroll_budget() == reduced
+            opened.set()
+            release.wait(10)
+
+    def observer():
+        opened.wait(10)
+        seen_other_thread.append(FL._unroll_budget())
+        release.set()
+
+    t1 = threading.Thread(target=holder)
+    t2 = threading.Thread(target=observer)
+    t1.start(); t2.start()
+    t1.join(10); t2.join(10)
+    # the observer thread must see the DEFAULT budget, not the holder's
+    assert seen_other_thread == [FL.MAX_UNROLL]
+    # and after the scope closes this thread is back to the default too
+    assert FL._unroll_budget() == FL.MAX_UNROLL
+
+
+def test_unroll_guard_message_names_the_binding_limit(spark):
+    """Under branching recursion the raise_error message must name the
+    REDUCED budget + UNROLL_WIDTH_TARGET, not advise raising MAX_UNROLL
+    (which would not help there)."""
+    from types import SimpleNamespace
+
+    from pyspark.sql import types as T
+
+    from avro_spark.plans import flatten as FL
+
+    branching = avro_spark.create({
+        "type": "record", "name": "Node2", "fields": [
+            {"name": "a", "type": ["null", "Node2"]},
+            {"name": "b", "type": ["null", "Node2"]},
+        ],
+    }).root
+    plan = SimpleNamespace(writer=branching, reader=branching)
+    with FL._build_scope(plan):
+        from pyspark.sql import functions as F
+
+        col = FL._unroll_guard(F.lit("x"), T.StringType())
+        rendered = str(col)
+        assert "UNROLL_WIDTH_TARGET" in rendered
+        assert f"effective unroll budget {FL._open_budget(plan)}" in rendered
+    # outside any scope the plain MAX_UNROLL wording comes back
+    col = FL._unroll_guard(__import__("pyspark.sql.functions", fromlist=["lit"]).lit("x"), T.StringType())
+    assert "MAX_UNROLL=8" in str(col)

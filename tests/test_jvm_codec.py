@@ -435,3 +435,21 @@ def test_nan_nullable_branch_union_byte_parity(spark):
     # null payload, and differs from the outer null branch
     assert bj[1][1:] == bj[4][1:] != bj[3][1:]
     assert decode_record(sch, bj[2])["v"] == {"$type$": 1, "double": 2.5}
+
+
+def test_nullable_union_is_refused_not_corrupted():
+    """Nullable UNIONS are uncreatable through the parser (union-in-union,
+    frontend.lua:273-283). If one is built directly, plain_avro_json must
+    refuse it: the old rendering produced JSON byte-ambiguous with
+    ["null", "T*"], and the Java encoder would have written the inner
+    union's tag as the outer branch index (silent data loss)."""
+    import pytest
+
+    from avro_spark.jvm import JvmUnsupported, plain_avro_json
+    from avro_spark.schema.nodes import Primitive, UnionNode
+
+    nullable_union = UnionNode(
+        [Primitive("int"), Primitive("string")], nullable=True
+    )
+    with pytest.raises(JvmUnsupported, match="nullable union"):
+        plain_avro_json(nullable_union)

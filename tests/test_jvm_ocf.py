@@ -1,0 +1,207 @@
+"""JVM OCF container path (SplitBlocks / DecodeBlock / framed JVM write):
+cross-engine value equality, block byte parity, routing and fallbacks.
+
+The container framing is the public Avro 1.11 OCF spec; these tests pin
+the JVM and Python engines to EACH OTHER (same contract as
+test_jvm_codec.py does for the value-level codec).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import zlib
+
+import pytest
+
+import avro_spark
+from avro_spark import jvm as J
+from avro_spark.errors import AvroSparkError
+from avro_spark.sources.avro_ocf import (
+    _read_meta_map,
+    read_avro_files,
+    read_avro_files_split,
+    write_avro_files,
+)
+
+ZOO = {
+    "type": "record",
+    "name": "OZoo",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "i32", "type": "int"},
+        {"name": "f64", "type": "double"},
+        {"name": "s", "type": "string"},
+        {"name": "b", "type": "bytes"},
+        {"name": "fx", "type": {"type": "fixed", "name": "OF4", "size": 4}},
+        {"name": "e", "type": {"type": "enum", "name": "OE",
+                               "symbols": ["A", "B", "C"]}},
+        {"name": "arr", "type": {"type": "array", "items": "long"}},
+        {"name": "mp", "type": {"type": "map", "values": "int"}},
+        {"name": "opt", "type": ["null", "string"]},
+        {"name": "u3", "type": ["null", "double", "string"]},
+        {"name": "sub", "type": {"type": "record", "name": "OSub", "fields": [
+            {"name": "x", "type": "int*"},
+            {"name": "y", "type": ["null", "long"]}]}},
+    ],
+}
+
+
+def _rows(n=300):
+    rows = []
+    for i in range(n):
+        tag = i % 3
+        u3 = (None if tag == 0
+              else (tag, float(i) / 7 if tag == 1 else None,
+                    f"s{i}" if tag == 2 else None))
+        rows.append((
+            i, i - 150, i * 1.25, f"név{i}", bytes([i % 256, 255 - i % 256]),
+            bytes([i % 256] * 4), "ABC"[i % 3], [i, 2 * i, -i],
+            {"k": i % 10}, None if i % 5 == 0 else f"o{i}", u3,
+            (None if i % 7 == 0 else i, None if i % 3 == 0 else i * 10),
+        ))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def zoo(spark):
+    sch = avro_spark.create(ZOO)
+    df = spark.createDataFrame(_rows(), sch.to_struct_type())
+    return sch, df
+
+
+def _jvm_ready(spark):
+    return J.ensure_jar() is not None and J.jvm_codec_available(spark)
+
+
+def _collect(df):
+    return sorted(tuple(map(repr, r)) for r in df.collect())
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_cross_engine_read_write_equality(spark, tmp_path, zoo, codec):
+    """All four (write engine × read engine) combinations agree, for
+    whole-file and split reads, under both JVM-capable codecs."""
+    if not _jvm_ready(spark):
+        pytest.skip("no JDK")
+    sch, df = zoo
+    want = _collect(df)
+    for weng in ("python", "jvm"):
+        d = str(tmp_path / f"w_{weng}_{codec}")
+        write_avro_files(df.repartition(3), sch, d, codec=codec,
+                         block_records=64, engine=weng)
+        for reng in ("python", "jvm"):
+            got = _collect(read_avro_files(spark, d, sch, engine=reng))
+            assert got == want, (weng, reng, codec)
+            got_s = _collect(read_avro_files_split(
+                spark, d, sch, split_bytes=4096, engine=reng))
+            assert got_s == want, ("split", weng, reng, codec)
+
+
+def _block_payloads(fpath):
+    """Concatenated DECOMPRESSED block payloads + per-block counts —
+    everything in the file except sync markers (random per file)."""
+    blob = open(fpath, "rb").read()
+    meta, pos = _read_meta_map(blob, 4)
+    codec = meta.get("avro.codec", b"null").decode()
+    sync = blob[pos:pos + 16]
+    pos += 16
+    payload, counts = b"", []
+    from avro_spark.sources.avro_binary import _read_long
+    while pos < len(blob):
+        count, pos = _read_long(blob, pos)
+        size, pos = _read_long(blob, pos)
+        data = blob[pos:pos + size]
+        pos += size
+        assert blob[pos:pos + 16] == sync
+        pos += 16
+        counts.append(count)
+        payload += zlib.decompress(data, -15) if codec == "deflate" else data
+    return meta["avro.schema"], counts, payload
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_block_byte_parity_between_write_engines(spark, tmp_path, zoo, codec):
+    """With one partition and equal block_records, the two writers emit
+    byte-identical block payloads, counts and embedded schema JSON —
+    the files differ ONLY in their random sync markers."""
+    if not _jvm_ready(spark):
+        pytest.skip("no JDK")
+    sch, df = zoo
+    one = df.orderBy("id").coalesce(1)
+    outs = {}
+    for eng in ("python", "jvm"):
+        d = str(tmp_path / f"bp_{eng}_{codec}")
+        info = write_avro_files(one, sch, d, codec=codec,
+                                block_records=50, engine=eng)
+        (f,) = [i["file"] for i in info]
+        outs[eng] = _block_payloads(f)
+    assert outs["python"] == outs["jvm"]
+
+
+def test_jvm_engine_raises_when_codec_unsupported(spark, tmp_path, zoo):
+    """bzip2 blocks need the Python decompressor: engine='jvm' read must
+    refuse loudly; engine='auto' silently takes the Python path."""
+    sch, df = zoo
+    d = str(tmp_path / "bz")
+    write_avro_files(df.limit(20).coalesce(1), sch, d, codec="bzip2",
+                     engine="python")
+    if _jvm_ready(spark):
+        with pytest.raises(AvroSparkError, match="engine='jvm' unavailable"):
+            read_avro_files(spark, d, sch, engine="jvm")
+        with pytest.raises(AvroSparkError, match="engine='jvm' unavailable"):
+            read_avro_files_split(spark, d, sch, split_bytes=4096,
+                                  engine="jvm")
+    got = _collect(read_avro_files(spark, d, sch))  # auto → python fallback
+    assert got == _collect(df.limit(20))
+
+
+def test_any_schema_is_outside_the_ocf_surface(spark, tmp_path):
+    """'any' is validate-only, exactly like the reference
+    (frontend.lua:50 — "not supported in compiled schemas"): NEITHER
+    engine can build an OCF encoder for it. engine='jvm' refuses at plan
+    time; engine='auto' routes to Python, whose compile raises the same
+    scope error it always has."""
+    sch = avro_spark.create({
+        "type": "record", "name": "AnyRec", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "extra", "type": "any"}]})
+    assert not J.jvm_codec_supported(sch)
+    df = spark.createDataFrame([(1, "x")], "id long, extra string")
+    with pytest.raises(Exception, match="cannot encode any"):
+        write_avro_files(df, sch, str(tmp_path / "anypy"), engine="python")
+    if _jvm_ready(spark):
+        with pytest.raises(AvroSparkError, match="engine='jvm' unavailable"):
+            write_avro_files(df, sch, str(tmp_path / "anyjvm"), engine="jvm")
+
+
+def test_corrupt_sync_marker_fails_loudly_on_jvm_path(spark, tmp_path, zoo):
+    if not _jvm_ready(spark):
+        pytest.skip("no JDK")
+    sch, df = zoo
+    d = str(tmp_path / "corrupt")
+    write_avro_files(df.limit(100).coalesce(1), sch, d, engine="python",
+                     block_records=16)
+    (f,) = glob.glob(os.path.join(d, "part-*.avro"))
+    blob = bytearray(open(f, "rb").read())
+    blob[-1] ^= 0xFF  # flip a bit inside the trailing sync marker
+    open(f, "wb").write(bytes(blob))
+    with pytest.raises(Exception, match="sync marker mismatch"):
+        read_avro_files(spark, d, sch, engine="jvm").collect()
+
+
+def test_auto_routing_uses_jvm_plan(spark, tmp_path, zoo):
+    """engine='auto' must actually PLAN the JVM UDFs when a JDK exists —
+    a silent fallback to the ~5-10× slower Python codec is a perf bug
+    the correctness gates would never catch."""
+    if not _jvm_ready(spark):
+        pytest.skip("no JDK")
+    sch, df = zoo
+    d = str(tmp_path / "route")
+    write_avro_files(df.coalesce(1), sch, d)
+    plan = (read_avro_files(spark, d, sch)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "avsp_jvm" in plan
+    plan_s = (read_avro_files_split(spark, d, sch, split_bytes=4096)
+              ._jdf.queryExecution().executedPlan().toString())
+    assert "avsp_jvm" in plan_s

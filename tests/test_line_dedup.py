@@ -115,3 +115,18 @@ def test_line_dedup_matches_python_reference(spark):
     got = _run(spark, docs)
     want = _py_line_dedup(docs)
     assert got == want
+
+
+def test_null_text_doc_still_emits_a_row(spark):
+    # split(NULL) is NULL and posexplode drops NULL arrays — without the
+    # coalesce a NULL-text document vanished from the output entirely,
+    # breaking the "one row per input document" contract
+    docs = [
+        (1, "real content line long enough to be eligible"),
+        (2, None),
+        (3, ""),
+    ]
+    out = _run(spark, docs)
+    assert set(out) == {1, 2, 3}
+    assert out[2] == ("", 0)  # NULL normalizes to the empty document
+    assert out[3] == ("", 0)

@@ -214,3 +214,67 @@ def test_gopher_rejects_mean_word_length_out_of_range(spark):
     (r,) = _gopher_df(spark, [text])
     assert r.mean_word_len > 10.0
     assert not r.keep
+
+
+# ------------------------------------------------- Lloyd-trained codebooks
+def _recall_at_k(spark, emb, books, k=10, nq=8):
+    queries = emb.where(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in S.knn_bruteforce(emb, queries, k=k).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in S.knn_pq(emb, queries, books, k=k).collect()
+    }
+    return len(exact & approx) / len(exact)
+
+
+def test_lloyd_round_is_deterministic(emb):
+    b1 = S.pq_codebooks(emb, m=8, k=16, refine_iters=2)
+    b2 = S.pq_codebooks(emb, m=8, k=16, refine_iters=2)
+    assert b1 == b2  # pure function of the data: gates stay oracle-able
+
+
+def test_lloyd_round_reduces_quantization_error(spark, emb, books):
+    """Each Lloyd iteration must not increase total squared quantization
+    error (the textbook monotonicity guarantee); require a strict drop
+    from the lowest-id seeding, which is far from a local optimum."""
+    def sq_err(bks):
+        rec = S.pq_reconstruct(F.col("pq_codes"), bks)
+        return (
+            S.pq_encode(emb, bks)
+            .select(
+                F.aggregate(
+                    F.zip_with(
+                        S.as_double(F.col("embedding")), rec,
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0), lambda acc, x: acc + x,
+                ).alias("e")
+            )
+            .agg(F.sum("e").alias("t")).collect()[0]["t"]
+        )
+
+    e0 = sq_err(books)
+    e1 = sq_err(S.pq_codebooks(emb, m=8, k=16, refine_iters=1))
+    e2 = sq_err(S.pq_codebooks(emb, m=8, k=16, refine_iters=2))
+    assert e1 < e0 * 0.999  # training must actually move the books
+    assert e2 <= e1 + 1e-6  # and iterating never regresses
+
+
+def test_trained_books_improve_recall(spark, emb, books):
+    """Lloyd-refined codebooks beat the lowest-id seeding on recall@10
+    vs brute force (deterministic data + algorithm, so this is a fixed
+    comparison, not a flaky sample). Two rounds is the sweet spot on the
+    near-uniform synthetic embeddings — more rounds keep shrinking
+    quantization ERROR (pinned monotone above) but recall@10 on random
+    vectors is near the noise floor, so we pin the trained-vs-seeded
+    comparison at the measured optimum, not an arbitrary depth."""
+    trained = S.pq_codebooks(emb, m=8, k=16, refine_iters=2)
+    r_seed = _recall_at_k(spark, emb, books)
+    r_trained = _recall_at_k(spark, emb, trained)
+    assert r_trained > r_seed, (r_trained, r_seed)

@@ -1248,11 +1248,17 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with TRAINED centroids — the shape users actually run: seeds
+    = 16 lowest-id vectors, ONE Lloyd round (kmeans_centroids(iters=1);
+    deterministic: fixed seeds + fixed iters + means rounded to 9dp),
+    then probe-pruned exact scoring. The oracle replays the identical
+    assignment/mean/normalize round in SQL."""
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
     )
-    cents = S.sample_centroids(emb, 16)
+    seeds = S.sample_centroids(emb, 16)
+    cents = S.kmeans_centroids(emb, 16, iters=1, seed_centroids=seeds)
     return S.knn_ivf(emb, queries, cents, k=5, nprobe=4).select(
         "query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine")
     )
@@ -1324,6 +1330,62 @@ def q_recursive_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.getField("value").alias("v2"),
         nxt.getField("next").getField("value").alias("v3"),
         nxt.getField("next").getField("next").isNull().alias("tail_null"),
+    )
+
+
+_TREE_SCHEMA = {
+    "type": "record", "name": "TRoot",
+    "fields": [
+        {"name": "okey", "type": "long"},
+        {"name": "tree", "type": ["null", {
+            "type": "record", "name": "tnode",
+            "fields": [{"name": "v", "type": "long"},
+                       {"name": "left", "type": ["null", "tnode"]},
+                       {"name": "right", "type": ["null", "tnode"]}],
+        }]},
+    ],
+}
+
+
+def q_branching_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRANCHING-recursion flatten: tnode recurses through BOTH left and
+    right (SCC multiplicity 2), so the width backstop — the reduced
+    unroll budget from spark_types.cycle_multiplicity /
+    UNROLL_WIDTH_TARGET, not plain MAX_UNROLL — is what bounds this
+    build (plans/flatten.py:144-214). Each order carries a depth-3
+    binary tree that stays inside the reduced budget, so every cell is
+    exact and the cut guard never fires; the oracle recomputes the cells
+    from the base column."""
+    orders = _read(spark, sf_dir, "orders")
+    k = (F.col("o_orderkey") % 89).cast("long")
+
+    def leaf(x):
+        return F.concat(
+            F.lit('{"v": '), x.cast("string"),
+            F.lit(', "left": null, "right": null}'),
+        )
+
+    j = F.concat(
+        F.lit('{"okey": '), F.col("o_orderkey").cast("string"),
+        F.lit(', "tree": {"v": '), k.cast("string"),
+        F.lit(', "left": '), leaf(k + 1),
+        F.lit(', "right": {"v": '), (k + 2).cast("string"),
+        F.lit(', "left": null, "right": '), leaf(k + 3),
+        F.lit("}}}"),
+    )
+    sch = avro_spark.create(_TREE_SCHEMA)
+    cs = avro_spark.compile(sch)
+    typed = orders.select(F.from_json(j, sch.to_struct_type()).alias("r")).select("r.*")
+    flat = cs.flatten(typed)
+    t = F.col("tree")
+    return flat.select(
+        "okey",
+        F.col("`tree.$type$`").alias("tree_tag"),
+        t.getField("v").alias("v0"),
+        t.getField("left").getField("v").alias("lv"),
+        t.getField("right").getField("v").alias("rv"),
+        t.getField("right").getField("right").getField("v").alias("rrv"),
+        t.getField("left").getField("left").isNull().alias("ll_null"),
     )
 
 
@@ -1943,6 +2005,56 @@ def q_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "gid")
 
 
+def q_sized_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-sizing discipline driver-checked (operators/scale.py
+    estimate_row_bytes + repartition_for_output — the "write ~128-512 MB
+    files" contract, scaled down to a 24 KB target for the test tables):
+    measure bytes/row from a real parquet sample, size the repartition,
+    WRITE, then assert the produced file count equals the computed
+    target and every file sits within a loose size band (the loud part —
+    a failed assert errors the gate). The returned DataFrame re-reads
+    the sized output and aggregates it per source, which the oracle
+    replays from the base table — proving the sized write also lost
+    nothing."""
+    import glob as _glob
+    import os as _os
+    import tempfile
+
+    from avro_spark.operators.scale import (
+        estimate_row_bytes,
+        repartition_for_output,
+    )
+
+    target = 24 << 10  # 24 KB files: the 256 MB discipline at test scale
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    bpr = estimate_row_bytes(docs)
+    n = docs.count()
+    sized = repartition_for_output(
+        docs, target_bytes=target, n_rows=n, bytes_per_row=bpr
+    )
+    out = tempfile.mkdtemp(prefix="sized_out_")
+    sized.write.mode("overwrite").parquet(out)
+    files = [
+        f for f in _glob.glob(_os.path.join(out, "part-*"))
+        if not f.endswith(".crc")
+    ]
+    want = max(1, round(n * bpr / target))
+    assert len(files) == want, (len(files), want, bpr)
+    if want > 1:
+        # loose deterministic band: sampled bytes/row vs actual encoding
+        # can drift (dictionary pages, row-group minimums), but a sized
+        # write may never produce order-of-magnitude outliers
+        sizes = [_os.path.getsize(f) for f in files]
+        assert all(target / 8 <= s <= target * 8 for s in sizes), sizes
+    back = spark.read.parquet(out)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
 def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion (functions/retrieval.py) of the BM25
     ranking with a deterministic doc-id prior list — the hybrid
@@ -2007,31 +2119,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``extra_queries()`` (still run by tools/verify_oracle.py)."""
     return {
         # A-group: schema API / flatten / evolution
+        # round-5 rotation (the big one): 12 of the 16 never-driver-
+        # checked gates get rows, plus the two NEW gates
+        # (branching_flatten, sized_output). Every folded gate has >= 2
+        # driver-green rounds AND an in-window twin — noted per fold.
         "flatten_nested": q_flatten_nested,
+        "recursive_flatten": q_recursive_flatten,
+        # branching_flatten NEW: the SCC width backstop gets its own row
+        "branching_flatten": q_branching_flatten,
         "unflatten_roundtrip": q_unflatten_roundtrip,
-        "evolution_reorder_rename": q_evolution_reorder_rename,
+        # evolution_reorder_rename folded (4 greens; twin
+        # evolution_downgrade: same resolution machinery, harder drop
+        # direction); xflatten_update folded (4 greens; twin
+        # xflatten_json: same update-op renderer over the harder dynamic
+        # JSON input)
         "evolution_downgrade": q_evolution_downgrade,
         "service_fields": q_service_fields,
         "enum_evolution": q_enum_evolution,
         "union3_encode": q_union3_encode,
         "array_evolution": q_array_evolution,
         "fixed_passthrough": q_fixed_passthrough,
-        "xflatten_update": q_xflatten_update,
         # C-group: codecs / sources / sinks
-        # round-4 rotation: the four round-3 gates get driver rows;
-        # folded twins — avro_ocf_roundtrip ⊂ ocf_split_read (same
-        # writer + a strictly harder read), jsonl_roundtrip ⊂
-        # jsonl_avro_roundtrip (conventions sink→source incl. a 3-branch
-        # union), fingerprint ⊂ wire_roundtrip (ids are
-        # fingerprint-derived), flat_layout ⊂ service_fields (same
-        # get_names/get_types layout machinery); the round-4 gates
-        # (dup_span_removal, nb_quality) take the slots of avro_roundtrip
-        # (⊂ wire_roundtrip: same binary codec inside the framed body)
-        # and conform (⊂ conform_errors + conform_json: same validator,
-        # strictly harder surfaces), both driver-green three rounds
+        # conform_errors folded (4 greens; twin conform_json — same
+        # validator, plus ERRORS.md pins the 482 exact renderings)
         "ocf_split_read": q_ocf_split_read,
         "wire_roundtrip": q_wire_roundtrip,
-        "conform_errors": q_conform_errors,
         "conform_json": q_conform_json,
         "jsonl_avro_roundtrip": q_jsonl_avro_roundtrip,
         "csv_roundtrip": q_csv_roundtrip,
@@ -2042,43 +2154,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming / events
         "streaming_window": q_streaming_window,
         "streaming_flatten": q_streaming_flatten,
-        # temporal joins + trailing-window features
-        "asof_join": q_asof_join,
-        "moving_stats": q_moving_stats,
+        # temporal: asof_join + moving_stats folded (2 greens each, the
+        # fold threshold); range_join + time_rollup become the in-window
+        # temporal reps — they were never driver-checked
+        "range_join": q_range_join,
+        "time_rollup": q_time_rollup,
         # LLM-pipeline: text analysis / retrieval / sampling / packing
-        "text_stats": q_text_stats,
+        # text_stats folded (4 greens; twins gopher_rules + lang_id read
+        # the same stat columns); winnow folded (4 greens; twin
+        # chunk_documents + doc_fingerprint extras); hybrid_retrieval
+        # folded (2 greens; twin bm25_retrieval — RRF fuses ITS ranking);
+        # profile_table folded (4 greens; twin corpus_stats)
         "lang_id": q_lang_id,
+        "html_clean": q_html_clean,
         "bm25_retrieval": q_bm25_retrieval,
-        "hybrid_retrieval": q_hybrid_retrieval,
+        "bpe_pairs": q_bpe_pairs,
         "corpus_stats": q_corpus_stats,
-        "profile_table": q_profile_table,
+        "heavy_hitters": q_heavy_hitters,
+        "cms_freq": q_cms_freq,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
-        "winnow": q_winnow,
+        "stratified_sample": q_stratified_sample,
         # LLM-pipeline: dedup
-        "dedup_exact": q_dedup_exact,
+        # dedup_exact folded (4 greens; twin line_dedup — the harder
+        # corpus-wide exact-hash election, same md5 keying); ngram_jaccard
+        # folded (4 greens; twin minhash_lsh whose verify stage IS exact
+        # Jaccard)
+        "line_dedup": q_line_dedup,
         "dup_span_removal": q_dup_span_removal,
         "nb_quality": q_nb_quality,
-        "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
-        # round-4 additions: gopher_rules (quality-rule filter) and
-        # knn_pq (product-quantization ANN) take the slots of simhash
-        # (⊂ minhash_lsh: same vote-aggregate near-dup family, green
-        # r02+r03) and embedding_quantize (⊂ knn_pq: PQ is the strictly
-        # harder quantizer, int8 scalar path stays extras-verified)
         "gopher_rules": q_gopher_rules,
         "dedup_clusters": q_dedup_clusters,
         "decontaminate": q_decontaminate,
         # LLM-pipeline: similarity + embedding ops
+        # cosine_lsh folded (4 greens; twin minhash_lsh for banded-LSH
+        # shape + knn_ivf for cosine scoring); knn_ivf now runs TRAINED
+        # centroids (kmeans_centroids(iters=1) in the gate loop)
         "knn_pq": q_knn_pq,
         "knn_ivf": q_knn_ivf,
-        "cosine_lsh": q_cosine_lsh,
+        "knn_ivfpq": q_knn_ivfpq,
+        "decontaminate_emb": q_decontaminate_emb,
         # e2e + scale + incremental merge + multimodal
+        # bucketed_join folded (4 greens; twin global_ids +
+        # test_plan_shape pins the no-Exchange plan); media_meta folded
+        # (4 greens; twin media_probe — the strictly harder container
+        # parse — + multimodal_features)
         "curate_corpus": q_curate_corpus,
         "snapshot_merge": q_snapshot_merge,
-        "bucketed_join": q_bucketed_join,
+        "salted_join": q_salted_join,
         "global_ids": q_global_ids,
-        "media_meta": q_media_meta,
+        "sized_output": q_sized_output,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -2092,16 +2218,27 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     avro_roundtrip+streaming_flatten. tools/verify_oracle.py still
     checks them against ``extra_oracle_sql()``."""
     return {
+        # round-5 rotation: folded with >= 2 driver-green rounds each,
+        # every one behind an in-window twin (twin notes in queries())
+        "evolution_reorder_rename": q_evolution_reorder_rename,
+        "xflatten_update": q_xflatten_update,
+        "conform_errors": q_conform_errors,
+        "asof_join": q_asof_join,
+        "moving_stats": q_moving_stats,
+        "text_stats": q_text_stats,
+        "winnow": q_winnow,
+        "hybrid_retrieval": q_hybrid_retrieval,
+        "profile_table": q_profile_table,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "cosine_lsh": q_cosine_lsh,
+        "bucketed_join": q_bucketed_join,
+        "media_meta": q_media_meta,
         # round-4 rotation: folded out after two driver-green rounds —
         # simhash ⊂ minhash_lsh (vote-aggregate near-dup family),
         # embedding_quantize ⊂ knn_pq (scalar int8 vs product quantizer)
         "simhash": q_simhash,
         "embedding_quantize": q_embedding_quantize,
-        "knn_ivfpq": q_knn_ivfpq,
-        "line_dedup": q_line_dedup,
-        "cms_freq": q_cms_freq,
-        "recursive_flatten": q_recursive_flatten,
-        "decontaminate_emb": q_decontaminate_emb,
         "enum_codes": q_enum_codes,
         "union_encode": q_union_encode,
         "quality_score": q_quality_score,
@@ -2109,9 +2246,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "train_split": q_train_split,
         "streaming_avro_decode": q_streaming_avro_decode,
-        "range_join": q_range_join,
-        "time_rollup": q_time_rollup,
-        "bpe_pairs": q_bpe_pairs,
         # round-3 rotation: folded out after two driver-green rounds to
         # give the 7 never-driver-checked gates a CORRECTNESS row; each
         # keeps an in-window twin — defaults via conform +
@@ -2132,9 +2266,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enum_roundtrip": q_enum_roundtrip,
         "domain_mix": q_domain_mix,
         # round-2 additions: corpus statistics + curation sampling
-        "heavy_hitters": q_heavy_hitters,
+        # (heavy_hitters + stratified_sample promoted to the window in r5)
         "length_quantiles": q_length_quantiles,
-        "stratified_sample": q_stratified_sample,
         "domain_cap": q_domain_cap,
         "bigram_lm": q_bigram_lm,
         "embedding_pool": q_embedding_pool,
@@ -2147,8 +2280,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_evolution": q_union_evolution,
         "repetition_stats": q_repetition_stats,
         "knn_bruteforce": q_knn_bruteforce,
-        "salted_join": q_salted_join,
-        "html_clean": q_html_clean,
+        # (salted_join + html_clean promoted to the window in r5)
         # round-4 rotation: folded out after two driver-green rounds to
         # give the four round-3 gates a CORRECTNESS row (see queries())
         "avro_ocf_roundtrip": q_avro_ocf_roundtrip,
@@ -2290,18 +2422,52 @@ def _cosine_lsh_oracle() -> str:
 
 
 def _knn_ivf_oracle() -> str:
-    """DuckDB replica of q_knn_ivf: centroids = 16 lowest-id embeddings
-    (L2-normalized), nearest-centroid assignment by dot-argmax (ties →
-    lowest centroid id), per-query top-4 probes (ties → highest centroid
-    id, mirroring reverse(array_sort)), exact cosine on candidates."""
+    """DuckDB replica of q_knn_ivf: seed centroids = 16 lowest-id
+    embeddings, ONE Lloyd round (cosine dot-argmax assignment against
+    the normalized seeds, ties → lowest centroid id; per-(cid, position)
+    means rounded to 9dp; empty clusters keep their seed), then the IVF
+    scan against the TRAINED normalized centroids: assignment, per-query
+    top-4 probes (ties → highest centroid id, mirroring
+    reverse(array_sort)), exact cosine on candidates."""
     return """
             WITH e AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             en AS (
               SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-            cents AS (
+            seeds AS (
               SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
               FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+            snorm AS (
+              SELECT cid,
+                     CASE WHEN sqrt(list_dot_product(v, v)) > 0
+                          THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                          ELSE list_transform(v, x -> 0.0) END AS cv
+              FROM seeds),
+            -- Lloyd round 1: assign every vector to its nearest SEED
+            assign0_scored AS (
+              SELECT en.vec_id, c.cid,
+                     row_number() OVER (
+                       PARTITION BY en.vec_id
+                       ORDER BY list_dot_product(en.v, c.cv) DESC, c.cid ASC) AS rn
+              FROM en CROSS JOIN snorm c),
+            assign0 AS (
+              SELECT vec_id, cid FROM assign0_scored WHERE rn = 1),
+            comp AS (
+              SELECT cid, p.pos AS pos, p.x AS x
+              FROM (
+                SELECT a0.cid AS cid,
+                       unnest(list_transform(
+                         generate_series(1, len(e2.v)),
+                         j -> {'pos': j, 'x': e2.v[j]})) AS p
+                FROM assign0 a0 JOIN e e2 ON e2.vec_id = a0.vec_id)),
+            meanvec AS (
+              SELECT cid, list(m ORDER BY pos) AS mv
+              FROM (SELECT cid, pos, round(avg(x), 9) AS m
+                    FROM comp GROUP BY cid, pos)
+              GROUP BY cid),
+            cents AS (
+              SELECT s.cid, COALESCE(m.mv, s.v) AS v
+              FROM seeds s LEFT JOIN meanvec m ON m.cid = s.cid),
             cnorm AS (
               SELECT cid,
                      CASE WHEN sqrt(list_dot_product(v, v)) > 0
@@ -2349,6 +2515,24 @@ def _knn_ivf_oracle() -> str:
 
 def _oracles_main() -> dict[str, str]:
     return {
+        "branching_flatten": """
+            SELECT o_orderkey AS okey,
+                   1 AS tree_tag,
+                   o_orderkey % 89 AS v0,
+                   o_orderkey % 89 + 1 AS lv,
+                   o_orderkey % 89 + 2 AS rv,
+                   o_orderkey % 89 + 3 AS rrv,
+                   TRUE AS ll_null
+            FROM orders
+        """,
+        "sized_output": """
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                   min(doc_id) AS min_id,
+                   max(doc_id) AS max_id
+            FROM documents GROUP BY source
+        """,
         "flatten_nested": """
             SELECT c_custkey, c_name, c_mktsegment, n_nationkey, n_name
             FROM customer JOIN nation ON c_nationkey = n_nationkey

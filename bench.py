@@ -108,6 +108,9 @@ BENCH_QUERIES = [
     "dup_span_removal",
     "line_dedup",
     "nb_quality",
+    # round 5: width-bounded branching recursion + sized-output contract
+    "branching_flatten",
+    "sized_output",
 ]
 
 

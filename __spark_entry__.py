@@ -1004,6 +1004,31 @@ def q_streaming_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_streaming_ocf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING OCF file source (round 5): readStream(binaryFile) over a
+    directory of .avro files, decoded in-flight through the same JVM
+    SplitBlocks→DecodeBlock chain as the batch reader (stateless narrow
+    ops — streaming-legal; Python codec fallback without a JDK). Bounded
+    AvailableNow run = the original rows — fully oracle-checkable."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from avro_spark import streaming as ST
+    from avro_spark.sources.avro_ocf import write_avro_files
+
+    nat = _read(spark, sf_dir, "nation")
+    sch = avro_spark.create(NATION_SCHEMA)
+    tmp = tempfile.mkdtemp(prefix="ocf_stream_")
+    write_avro_files(nat.repartition(3), sch, tmp, codec="deflate")
+    src = ST.read_avro_stream(spark, tmp, sch)
+    table = f"ocf_stream_{uuid.uuid4().hex[:8]}"
+    ST.run_to_memory(src, table, output_mode="append")
+    out = spark.table(table)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_streaming_avro_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kafka-shaped ingestion: a stream of Avro-binary payloads decoded
     in-flight with the schema-compiled codec (the readStream →
@@ -1439,13 +1464,17 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composition: probe-pruned candidate scan (16 centroids,
     nprobe=4) scored against the m=8 PQ reconstruction — the production
     ANN shape where the scan reads ~nprobe/k of the rows AND each row
-    carries 8 code bytes instead of 256 vector bytes."""
+    carries 8 code bytes instead of 256 vector bytes. The codebooks are
+    TRAINED (pq_codebooks(refine_iters=1): one per-subspace Lloyd round,
+    means rounded to 9dp — deterministic, and the oracle replays the
+    identical round in SQL); the IVF side keeps seed centroids so a
+    mismatch is attributable (knn_ivf covers trained IVF)."""
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
     )
     cents = S.sample_centroids(emb, 16)
-    books = S.pq_codebooks(emb, m=8, k=16)
+    books = S.pq_codebooks(emb, m=8, k=16, refine_iters=1)
     return S.knn_ivfpq(emb, queries, cents, books, k=5, nprobe=4).select(
         "query_id", "rank", "vec_id", F.round("approx_cosine", 6).alias("approx_cosine")
     )
@@ -2246,6 +2275,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "train_split": q_train_split,
         "streaming_avro_decode": q_streaming_avro_decode,
+        "streaming_ocf_source": q_streaming_ocf_source,
         # round-3 rotation: folded out after two driver-green rounds to
         # give the 7 never-driver-checked gates a CORRECTNESS row; each
         # keeps an in-window twin — defaults via conform +
@@ -3201,6 +3231,7 @@ def _oracles_extra() -> dict[str, str]:
             FROM documents
         """,
         "streaming_avro_decode": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+        "streaming_ocf_source": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
         "decontaminate": f"""
             WITH sh AS (
               SELECT doc_id,
@@ -3758,10 +3789,40 @@ def _oracles_extra() -> dict[str, str]:
                                    list_slice(e.v, b.s*8 + 1, b.s*8 + 8),
                                    b.cv) + b.cc) ASC, b.code ASC) AS rn
               FROM e CROSS JOIN bnorm b),
-            enc AS (SELECT vec_id, s, code FROM enc_scored WHERE rn = 1),
+            enc0 AS (SELECT vec_id, s, code FROM enc_scored WHERE rn = 1),
+            -- PQ Lloyd round 1 (mirrors pq_codebooks(refine_iters=1)):
+            -- per-(subspace, code, position) means rounded to 9dp;
+            -- untouched codes keep their seed slice
+            comp_pq AS (
+              SELECT s, code, p.pos AS pos, p.x AS x
+              FROM (
+                SELECT enc0.s AS s, enc0.code AS code,
+                       unnest(list_transform(
+                         generate_series(1, 8),
+                         j -> {'pos': j, 'x': e2.v[enc0.s*8 + j]})) AS p
+                FROM enc0 JOIN e e2 ON e2.vec_id = enc0.vec_id)),
+            meansub AS (
+              SELECT s, code, list(m ORDER BY pos) AS mv
+              FROM (SELECT s, code, pos, round(avg(x), 9) AS m
+                    FROM comp_pq GROUP BY s, code, pos)
+              GROUP BY s, code),
+            books1 AS (
+              SELECT b.s, b.code, COALESCE(m.mv, b.cv) AS cv
+              FROM books b LEFT JOIN meansub m ON m.s = b.s AND m.code = b.code),
+            bnorm1 AS (
+              SELECT s, code, cv, list_dot_product(cv, cv) AS cc FROM books1),
+            enc1_scored AS (
+              SELECT e.vec_id, b.s, b.code,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id, b.s
+                       ORDER BY (-2.0 * list_dot_product(
+                                   list_slice(e.v, b.s*8 + 1, b.s*8 + 8),
+                                   b.cv) + b.cc) ASC, b.code ASC) AS rn
+              FROM e CROSS JOIN bnorm1 b),
+            enc AS (SELECT vec_id, s, code FROM enc1_scored WHERE rn = 1),
             recon AS (
               SELECT enc.vec_id, flatten(list(b.cv ORDER BY enc.s)) AS rv
-              FROM enc JOIN bnorm b ON b.s = enc.s AND b.code = enc.code
+              FROM enc JOIN bnorm1 b ON b.s = enc.s AND b.code = enc.code
               GROUP BY enc.vec_id),
             rnorm AS (
               SELECT vec_id, rv, sqrt(list_dot_product(rv, rv)) AS nr FROM recon),

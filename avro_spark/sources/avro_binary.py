@@ -540,7 +540,8 @@ def to_avro_bytes(
         # per-row bytearray->bytes copy both sat in the hot loop; writing
         # every record into ONE buffer and handing Arrow the (offsets,
         # data) pair directly removes all per-row allocation except the
-        # encoders' own appends (~15% on the codec probe)
+        # encoders' own appends (measured ~4% encode-side; the decode
+        # twin's columnar accumulation is worth ~10%)
         for b in batches:
             cols = [b.column(j).to_pylist() for j in range(b.num_columns)]
             if not cols:  # zero-field record: n empty values, not zip(*[])
@@ -620,15 +621,19 @@ def from_avro_bytes(
         from pyspark.sql.pandas.types import to_arrow_schema
 
         arrow_schema = to_arrow_schema(spark_t)
+        # columnar accumulation: per-row dicts + from_pylist's per-row
+        # field lookups were measurable overhead in the hot loop; one
+        # list per column + typed pa.array keeps values exact (ints stay
+        # Python ints) with no per-row containers
         for b in batches:
-            rows = []
+            cols: list[list] = [[] for _ in decs]
+            appends = [c.append for c in cols]
             for blob in b.column(0).to_pylist():
                 buf = bytes(blob)
                 pos = 0
-                vals = {}
-                for n, d in zip(names, decs):
+                for ap, d in zip(appends, decs):
                     v, pos = d(buf, pos)
-                    vals[n] = v
+                    ap(v)
                 if pos != len(buf):
                     # same contract as the driver-side decode_record —
                     # trailing garbage is schema-mismatch corruption,
@@ -636,8 +641,11 @@ def from_avro_bytes(
                     raise AvroSparkError(
                         f"trailing bytes after Avro value: {len(buf) - pos}"
                     )
-                rows.append(vals)
-            yield pa.RecordBatch.from_pylist(rows, schema=arrow_schema)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(c, type=f.type)
+                 for c, f in zip(cols, arrow_schema)],
+                schema=arrow_schema,
+            )
 
     return df.select(F.col(column)).mapInArrow(_decode_batches, schema=spark_t)
 

@@ -320,6 +320,14 @@ def read_avro_files(
             "engine='jvm' unavailable (no JDK, unsupported schema shape, "
             f"or block codec {codec!r} outside the JVM's set)"
         )
+    return _decode_content_python(files, schema)
+
+
+def _decode_content_python(files: DataFrame, schema: Schema) -> DataFrame:
+    """``content`` (whole OCF file bytes) rows → records via the
+    Arrow-batched pure-Python codec — the no-JDK path shared by the
+    batch reader and the streaming source."""
+    struct = schema.to_struct_type()
     schema_export = json.dumps(schema.export())
 
     def decode(batches):
@@ -342,6 +350,48 @@ def read_avro_files(
     return files.select("content").mapInArrow(
         decode, schema=_strip_metadata(struct)
     )
+
+
+#: the binaryFile source's FIXED schema (streaming reads must state it)
+_BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def read_avro_stream(
+    spark: SparkSession,
+    path: str,
+    schema: Schema,
+    engine: str = "auto",
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """STREAMING OCF source: ``readStream`` over a directory of ``.avro``
+    files (binaryFile file-stream — new files picked up per trigger),
+    decoded through the same engine-routed chain as
+    :func:`read_avro_files` — JVM ``SplitBlocks``/``DecodeBlock`` under
+    ``engine="auto"`` (stateless narrow ops, streaming-legal), the
+    Arrow-batched Python codec otherwise. ``schema`` is REQUIRED:
+    streaming sources cannot peek a first file. Compose with
+    watermarks/windows downstream; bound test runs with
+    ``run_to_memory`` (Trigger.AvailableNow)."""
+    if engine not in ("auto", "python", "jvm"):
+        raise AvroSparkError(f"bad engine: {engine}")
+    root = schema.root
+    if not isinstance(root, Record):
+        raise AvroSparkError("read_avro_stream requires a record schema")
+    reader = spark.readStream.format("binaryFile").schema(_BINARY_FILE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(path)
+    if engine != "python" and _jvm_ocf_ok(spark, schema, None):
+        from ..jvm import read_ocf_content_jvm
+
+        return read_ocf_content_jvm(files.select("content"), schema)
+    if engine == "jvm":
+        raise AvroSparkError(
+            "engine='jvm' unavailable (no JDK or unsupported schema shape)"
+        )
+    return _decode_content_python(files, schema)
 
 
 def _local_path(uri: str) -> str:

@@ -109,8 +109,10 @@ BENCH_QUERIES = [
     "line_dedup",
     "nb_quality",
     # round 5: width-bounded branching recursion + sized-output contract
+    # + streaming OCF file source
     "branching_flatten",
     "sized_output",
+    "streaming_ocf_source",
 ]
 
 

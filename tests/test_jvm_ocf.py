@@ -205,3 +205,51 @@ def test_auto_routing_uses_jvm_plan(spark, tmp_path, zoo):
     plan_s = (read_avro_files_split(spark, d, sch, split_bytes=4096)
               ._jdf.queryExecution().executedPlan().toString())
     assert "avsp_jvm" in plan_s
+
+
+def test_recursive_schema_ocf_cross_engine(spark, tmp_path):
+    """Recursive linked-list schema ([null, node] back-edge) through the
+    OCF container on BOTH engines: the JVM path must handle the cyclic
+    schema graph (named-ref JSON + Java parser) exactly like the Python
+    closure-tree codec."""
+    if not _jvm_ready(spark):
+        pytest.skip("no JDK")
+    sch = avro_spark.create({
+        "type": "record", "name": "LRoot", "fields": [
+            {"name": "okey", "type": "long"},
+            {"name": "chain", "type": ["null", {
+                "type": "record", "name": "lnode",
+                "fields": [{"name": "value", "type": "long"},
+                           {"name": "next", "type": ["null", "lnode"]}],
+            }]}]})
+    # depth-3 chains (inside the unroll budget of the Spark TYPE)
+    rows = [(i, (i, (i + 1, (i + 2, None)))) for i in range(50)]
+    df = spark.createDataFrame(rows, sch.to_struct_type())
+    want = _collect(df)
+    for weng in ("python", "jvm"):
+        d = str(tmp_path / f"rec_{weng}")
+        write_avro_files(df.coalesce(1), sch, d, codec="deflate",
+                         block_records=16, engine=weng)
+        for reng in ("python", "jvm"):
+            got = _collect(read_avro_files(spark, d, sch, engine=reng))
+            assert got == want, (weng, reng)
+
+
+def test_streaming_ocf_source_both_engines(spark, tmp_path, zoo):
+    """read_avro_stream: binaryFile readStream + engine-routed decode.
+    Bounded AvailableNow run returns exactly the written rows on both
+    engines; the JVM plan is stateless narrow ops, streaming-legal."""
+    import uuid
+
+    from avro_spark.sources.avro_ocf import read_avro_stream
+    from avro_spark.streaming import run_to_memory
+
+    sch, df = zoo
+    d = str(tmp_path / "stream_src")
+    write_avro_files(df.repartition(2), sch, d, codec="deflate")
+    want = _collect(df)
+    engines = ["python"] + (["jvm", "auto"] if _jvm_ready(spark) else [])
+    for eng in engines:
+        tbl = f"t_{uuid.uuid4().hex[:8]}"
+        run_to_memory(read_avro_stream(spark, d, sch, engine=eng), tbl)
+        assert _collect(spark.table(tbl)) == want, eng

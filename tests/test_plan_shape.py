@@ -316,3 +316,54 @@ def test_cms_estimate_no_shuffle(spark):
     # the sketch build aggregates (exchanges) on its own tiny side; the
     # KEYS side must reach the output without any hash partitioning
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_ocf_whole_file_jvm_read_has_no_python_stage(spark, tmp_path):
+    """round 5: engine='auto' whole-file OCF reads run ENTIRELY JVM-side
+    — container framing (SplitBlocks) + per-record decode (DecodeBlock)
+    behind two streamed explodes. Zero Python-worker stages; the only
+    acceptable MapInArrow count is 0 (a silent fallback to the ~10×
+    slower Python codec would show up here)."""
+    from avro_spark import jvm as J
+    from avro_spark.sources.avro_ocf import read_avro_files, write_avro_files
+
+    if not (J.ensure_jar() and J.jvm_codec_available(spark)):
+        import pytest
+
+        pytest.skip("no JDK")
+    sch = avro_spark.create(PERSON)
+    df = spark.createDataFrame([(1, ("a", 2))], sch.to_struct_type())
+    out = str(tmp_path / "ocf_jvm")
+    write_avro_files(df, sch, out)
+    p = plan_of(read_avro_files(spark, out, sch), mode="simple")
+    assert "MapInArrow" not in p and "MapInPandas" not in p
+    assert p.count("Generate") == 2  # SplitBlocks explode + DecodeBlock explode
+    assert "Exchange" not in p  # narrow end-to-end: one task per file
+
+
+def test_ocf_split_read_jvm_ships_blocks_not_rows(spark, tmp_path):
+    """round 5: the split read keeps ONE Arrow stage (the IO-side
+    sync-scan emitting compressed block payloads) and decodes JVM-side —
+    plan shows exactly one MapInArrow + one Generate, and still only the
+    planned split-list repartition Exchange."""
+    from avro_spark import jvm as J
+    from avro_spark.sources.avro_ocf import (
+        read_avro_files_split,
+        write_avro_files,
+    )
+
+    if not (J.ensure_jar() and J.jvm_codec_available(spark)):
+        import pytest
+
+        pytest.skip("no JDK")
+    sch = avro_spark.create(PERSON)
+    df = spark.createDataFrame([(1, ("a", 2))], sch.to_struct_type())
+    out = str(tmp_path / "ocf_split_jvm")
+    write_avro_files(df, sch, out)
+    p = plan_of(
+        read_avro_files_split(spark, out, sch, split_bytes=1 << 20),
+        mode="simple",
+    )
+    assert p.count("MapInArrow") == 1
+    assert p.count("Generate") == 1
+    assert p.count("Exchange") == 1

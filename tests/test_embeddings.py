@@ -143,3 +143,46 @@ def test_l2_normalize_is_let_bound(emb):
 def test_quantize_codes_are_tinyint(emb):
     out = emb.select(E.quantize_int8(F.col("embedding")).alias("s"))
     assert "array<tinyint>" in out.schema["s"].dataType.simpleString()
+
+
+def test_decontaminate_arrow_engine_matches_hof(spark):
+    """The vectorized Arrow (numpy matmul) engine must agree with the
+    sequential HOF engine on pair membership and cosines (to well past
+    the 6dp the gates round to — BLAS pairwise summation only moves the
+    last ulp)."""
+    import avro_spark.functions.similarity as S
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    train = emb.where(F.col("vec_id") < 400)
+    ev = emb.where(F.col("vec_id") >= 400).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("e_embedding"),
+    )
+    hof = {
+        (r.vec_id, r.eval_id): r.cosine
+        for r in S.decontaminate_embeddings(train, ev, threshold=0.3).collect()
+    }
+    arw = {
+        (r.vec_id, r.eval_id): r.cosine
+        for r in S.decontaminate_embeddings(
+            train, ev, threshold=0.3, engine="arrow"
+        ).collect()
+    }
+    assert set(hof) == set(arw)
+    assert hof, "threshold 0.3 must keep some pairs on this data"
+    for k in hof:
+        assert abs(hof[k] - arw[k]) < 1e-9, k
+
+
+def test_decontaminate_arrow_empty_eval(spark):
+    import avro_spark.functions.similarity as S
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    ev = emb.where(F.lit(False)).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("e_embedding"),
+    )
+    out = S.decontaminate_embeddings(emb, ev, threshold=0.0, engine="arrow")
+    assert out.count() == 0

@@ -242,6 +242,54 @@ def read_ocf_bytes(
 
 
 # ---------------------------------------------------------- DataFrame level
+def _check_writer_schema(
+    expected_cf: str, schema_json: bytes, fpath: str, ok_memo: set
+) -> None:
+    """Raise when a file's embedded writer schema is not canonically
+    equal (Parsing Canonical Form — whitespace/doc/attribute-order
+    insensitive) to the schema the read was planned with. Before this
+    check, a mixed-schema directory DECODED AS GARBAGE: the row codec
+    walks the reader layout over bytes written in another layout, which
+    mangles values silently when the shapes happen to align.
+    ``ok_memo`` short-circuits repeat schema strings (a directory
+    normally carries 1-2 distinct renderings)."""
+    key = bytes(schema_json)
+    if key in ok_memo:
+        return
+    from ..schema.fingerprint import canonical_form
+
+    embedded = create(json.loads(key.decode("utf-8")))
+    if canonical_form(embedded.root) != expected_cf:
+        raise AvroSparkError(
+            f"OCF writer-schema mismatch at {fpath}: the file was written "
+            "with a different schema than this read was planned with. "
+            "Read mixed-schema groups separately and resolve versions "
+            "with avro_spark.compile(writer, reader)."
+        )
+    ok_memo.add(key)
+
+
+def _verify_listing_schemas(
+    files: DataFrame, schema: Schema
+) -> None:
+    """Driver-side per-file header check for the whole-file read path:
+    one ~KB header read per LOCAL file (the same cost structure as the
+    split planner, which reads every header anyway). Non-local paths
+    skip silently — the Python decode engine still checks per file in
+    the executor; the JVM engine trusts the plan-time check."""
+    from ..schema.fingerprint import canonical_form
+
+    expected_cf = canonical_form(schema.root)
+    ok: set = set()
+    for row in files.select("path").collect():
+        fpath = _local_path(row["path"])
+        try:
+            _hl, _sync, sj, _codec = _scan_header(fpath)
+        except OSError:
+            return  # non-local storage: header peeks unavailable here
+        _check_writer_schema(expected_cf, sj, fpath, ok)
+
+
 def _jvm_ocf_ok(spark: SparkSession, schema: Schema, codec: Optional[str]) -> bool:
     """True when the JVM block path can take this read/write: supported
     schema shape, a block codec the JVM can decompress, and a JDK that
@@ -261,6 +309,7 @@ def read_avro_files(
     schema: Optional[Schema] = None,
     split_bytes: Optional[int] = None,
     engine: str = "auto",
+    verify_schemas: bool = True,
 ) -> DataFrame:
     """Directory/glob of ``.avro`` OCF files → record-shaped DataFrame.
 
@@ -311,6 +360,11 @@ def read_avro_files(
     root = schema.root
     if not isinstance(root, Record):
         raise AvroSparkError("read_avro_files requires a record schema")
+    if verify_schemas:
+        # a mixed-schema directory otherwise decodes as garbage; one ~KB
+        # header read per local file — pass verify_schemas=False only
+        # for very large listings whose schema uniformity is known
+        _verify_listing_schemas(files, schema)
     if engine != "python" and _jvm_ocf_ok(spark, schema, codec):
         from ..jvm import read_ocf_content_jvm
 
@@ -324,9 +378,11 @@ def read_avro_files(
 
 
 def _decode_content_python(files: DataFrame, schema: Schema) -> DataFrame:
-    """``content`` (whole OCF file bytes) rows → records via the
+    """``(path, content)`` (whole OCF file bytes) rows → records via the
     Arrow-batched pure-Python codec — the no-JDK path shared by the
-    batch reader and the streaming source."""
+    batch reader and the streaming source. Each file's embedded writer
+    schema is canonically checked in the executor (so non-local storage,
+    which the driver-side header peek skips, is still covered)."""
     struct = schema.to_struct_type()
     schema_export = json.dumps(schema.export())
 
@@ -338,16 +394,29 @@ def _decode_content_python(files: DataFrame, schema: Schema) -> DataFrame:
 
         from pyspark.sql.pandas.types import to_arrow_schema
 
+        from ..schema.fingerprint import canonical_form
+
         sch = create(json.loads(schema_export))
+        expected_cf = canonical_form(sch.root)
+        ok: set = set()
         arrow_schema = to_arrow_schema(_strip_metadata(sch.to_struct_type()))
         for b in batches:
-            for blob in b.column(0).to_pylist():
-                _, recs = read_ocf_bytes(bytes(blob), sch)
+            for row in b.to_pylist():
+                blob = bytes(row["content"])
+                if blob[:4] != MAGIC:
+                    raise AvroSparkError(
+                        f"not an Avro object container file: {row['path']}"
+                    )
+                meta, _pos = _read_meta_map(blob, 4)
+                _check_writer_schema(
+                    expected_cf, meta["avro.schema"], row["path"], ok
+                )
+                _, recs = read_ocf_bytes(blob, sch)
                 # decoded records are already {field: value} dicts keyed
                 # by exactly the root field names — no copy needed
                 yield pa.RecordBatch.from_pylist(recs, schema=arrow_schema)
 
-    return files.select("content").mapInArrow(
+    return files.select("path", "content").mapInArrow(
         decode, schema=_strip_metadata(struct)
     )
 
@@ -540,6 +609,7 @@ def read_avro_files_split(
         raise AvroSparkError(f"no files at {path}")
     splits = []  # (path, file_len, start, end, header_len, sync, codec)
     schema_json = None
+    _schema_ok: set = set()
     for row in listing:
         fpath = _local_path(row["path"])
         header_len, sync, sj, codec = _scan_header(fpath)
@@ -547,6 +617,13 @@ def read_avro_files_split(
             schema_json = sj
             if schema is None:
                 schema = create(json.loads(sj.decode("utf-8")))
+            from ..schema.fingerprint import canonical_form
+
+            _expected_cf = canonical_form(schema.root)
+        # every header is already read here — validate each file's
+        # writer schema against the planned one (mixed-schema dirs
+        # previously decoded as garbage)
+        _check_writer_schema(_expected_cf, sj, fpath, _schema_ok)
         s = header_len
         flen = row["length"]
         while s < flen:

@@ -253,3 +253,45 @@ def test_streaming_ocf_source_both_engines(spark, tmp_path, zoo):
         tbl = f"t_{uuid.uuid4().hex[:8]}"
         run_to_memory(read_avro_stream(spark, d, sch, engine=eng), tbl)
         assert _collect(spark.table(tbl)) == want, eng
+
+
+def test_mixed_writer_schema_directory_fails_loudly(spark, tmp_path):
+    """A directory whose files were written with DIFFERENT schemas used
+    to decode as silent garbage (the reader layout walked over a foreign
+    byte layout). Both the whole-file and split readers must refuse at
+    plan time, naming the offending file's problem; canonically-EQUAL
+    renderings (doc attrs, whitespace) must still pass."""
+    s1 = avro_spark.create({"type": "record", "name": "M", "fields": [
+        {"name": "a", "type": "long"}, {"name": "b", "type": "string"}]})
+    s2 = avro_spark.create({"type": "record", "name": "M", "fields": [
+        {"name": "b", "type": "string"}, {"name": "a", "type": "long"}]})
+    d = str(tmp_path / "mixed")
+    write_avro_files(
+        spark.createDataFrame([(1, "x")], s1.to_struct_type()), s1, d)
+    # second file, same dir, DIFFERENT field order (= different layout)
+    write_avro_files(
+        spark.createDataFrame([("y", 2)], s2.to_struct_type()), s2,
+        str(tmp_path / "second"))
+    os.rename(
+        glob.glob(str(tmp_path / "second" / "part-*.avro"))[0],
+        os.path.join(d, "part-00001.avro"))
+    with pytest.raises(AvroSparkError, match="writer-schema mismatch"):
+        read_avro_files(spark, d, s1)
+    with pytest.raises(AvroSparkError, match="writer-schema mismatch"):
+        read_avro_files_split(spark, d, s1, split_bytes=4096)
+    # python engine checks in the executor too (the non-local path)
+    with pytest.raises(Exception, match="writer-schema mismatch"):
+        read_avro_files(
+            spark, d, s1, engine="python", verify_schemas=False
+        ).collect()
+
+    # canonically-equal rendering (extra doc attr) must NOT raise
+    s1_doc = avro_spark.create({
+        "type": "record", "name": "M", "doc": "same layout", "fields": [
+            {"name": "a", "type": "long", "doc": "key"},
+            {"name": "b", "type": "string"}]})
+    d2 = str(tmp_path / "docful")
+    write_avro_files(
+        spark.createDataFrame([(3, "z")], s1_doc.to_struct_type()), s1_doc, d2)
+    got = read_avro_files(spark, d2, s1).collect()
+    assert [(r.a, r.b) for r in got] == [(3, "z")]

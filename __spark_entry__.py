@@ -1217,6 +1217,21 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_bruteforce_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The THROUGHPUT engine for exact knn (engine="arrow"): one numpy
+    matmul per Arrow batch + batch-local top-k under the global
+    (cosine desc, id asc) order, then the reduced global window. Same
+    oracle as knn_bruteforce."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    out = S.knn_bruteforce(emb, queries, k=5, engine="arrow")
+    return out.select(
+        "query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
 # ------------------------------ rows-only (engine-hash based, no SQL oracle)
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs with the SQL-portable shingle hash, so
@@ -2293,6 +2308,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_avro_decode": q_streaming_avro_decode,
         "streaming_ocf_source": q_streaming_ocf_source,
         "decontaminate_emb_arrow": q_decontaminate_emb_arrow,
+        "knn_bruteforce_arrow": q_knn_bruteforce_arrow,
         # round-3 rotation: folded out after two driver-green rounds to
         # give the 7 never-driver-checked gates a CORRECTNESS row; each
         # keeps an in-window twin — defaults via conform +
@@ -2950,6 +2966,25 @@ def _oracles_main() -> dict[str, str]:
             WHERE tot - inter > 0 AND inter / (tot - inter) >= 0.2
         """,
         "knn_bruteforce": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 10),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                       / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+              FROM embeddings e CROSS JOIN q
+              WHERE e.vec_id != q.query_id),
+            ranked AS (
+              SELECT query_id, vec_id, cos,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+              FROM scored)
+            SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, round(cos, 6) AS cosine
+            FROM ranked WHERE rank <= 5
+        """,
+        "knn_bruteforce_arrow": """
             WITH q AS (
               SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
               FROM embeddings WHERE vec_id < 10),

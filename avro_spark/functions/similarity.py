@@ -110,6 +110,7 @@ def knn_bruteforce(
     query_vec_col: str = "q_embedding",
     dim: Optional[int] = None,
     exclude_self: bool = True,
+    engine: str = "hof",
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query: (query_id, rank, vec_id,
     cosine). Ties break on vec_id ascending. Queries are broadcast — the
@@ -120,7 +121,23 @@ def knn_bruteforce(
     ``exclude_self`` (default) drops the vector whose id EQUALS the
     query id — right when queries are drawn from the vector table, wrong
     when query ids are an independent id space: pass False there or a
-    legitimate neighbor that happens to share the id number vanishes."""
+    legitimate neighbor that happens to share the id number vanishes.
+
+    ``engine="hof"`` (default) scores pairs with the sequential JVM dot
+    (bit-reproducible vs sequential SQL oracles — the gate path).
+    ``engine="arrow"`` is the throughput path: one numpy matmul per
+    Arrow batch of vectors against the query matrix, BATCH-LOCAL top-k
+    per query under the identical (cosine desc, id asc) order, then the
+    global window over the reduced candidate set — correct because the
+    global top-k is a subset of the union of batch-local top-ks.
+    Cosines can differ from hof in the last ulp (BLAS pairwise sums)."""
+    if engine not in ("hof", "arrow"):
+        raise ValueError(f"bad engine: {engine}")
+    if engine == "arrow":
+        return _knn_bruteforce_arrow(
+            vectors, queries, k, id_col, vec_col,
+            query_id_col, query_vec_col, exclude_self,
+        )
     big = vectors.select(
         F.col(id_col), F.col(vec_col),
         l2_norm(vec_col, dim).alias("_nv"),
@@ -144,6 +161,98 @@ def knn_bruteforce(
         .otherwise(F.lit(0.0))
         .alias("cosine"),
     )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "cosine")
+    )
+
+
+def _knn_bruteforce_arrow(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    exclude_self: bool,
+) -> DataFrame:
+    """Vectorized engine for :func:`knn_bruteforce`: the query matrix
+    (the SMALL side — same boundedness contract as the broadcast) ships
+    in the closure; each Arrow batch scores as ONE matmul and emits only
+    its batch-local top-k per query, so the shuffle into the global
+    window carries at most k·queries rows per batch instead of
+    rows×queries."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    spark = vectors.sparkSession
+    qid_t = queries.schema[query_id_col].dataType
+    vid_t = vectors.schema[id_col].dataType
+    out_t = T.StructType([
+        T.StructField(query_id_col, qid_t),
+        T.StructField(id_col, vid_t),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+    if not qrows:
+        scored = spark.createDataFrame([], out_t)
+    else:
+        q_ids = [r[0] for r in qrows]
+        qmat = np.array([[float(x) for x in r[1]] for r in qrows],
+                        dtype=np.float64)
+        q_norms = np.sqrt((qmat * qmat).sum(axis=1))
+        dim = qmat.shape[1]
+        src = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+
+        def score(batches):
+            import pyarrow as pa
+
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            out_schema = to_arrow_schema(out_t)
+            q_ids_arr = np.asarray(q_ids)
+            for b in batches:
+                n = b.num_rows
+                if n == 0:
+                    continue
+                ids = b.column(0).to_numpy(zero_copy_only=False)
+                flat = b.column(1).flatten().to_numpy(zero_copy_only=False)
+                if flat.size != n * dim:
+                    raise ValueError(
+                        "knn_bruteforce(engine='arrow') requires "
+                        "fixed-dimension, non-null embeddings"
+                    )
+                vmat = flat.reshape(n, dim)
+                sims = vmat @ qmat.T                      # (n, m)
+                nv = np.sqrt((vmat * vmat).sum(axis=1))
+                denom = nv[:, None] * q_norms[None, :]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cos = np.where(denom > 0, sims / denom, 0.0)
+                out_q, out_v, out_c = [], [], []
+                for j, qid in enumerate(q_ids_arr):
+                    keep = np.ones(n, dtype=bool)
+                    if exclude_self:
+                        keep = ids != qid
+                    idx = np.nonzero(keep)[0]
+                    if idx.size == 0:
+                        continue
+                    # batch-local top-k under the GLOBAL order
+                    # (cosine desc, id asc) — lexsort keys are last-major
+                    order = idx[np.lexsort((ids[idx], -cos[idx, j]))][:k]
+                    out_q.extend([qid] * len(order))
+                    out_v.extend(ids[order].tolist())
+                    out_c.extend(cos[order, j].tolist())
+                if out_q:
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(out_q), pa.array(out_v), pa.array(out_c)],
+                        schema=out_schema,
+                    )
+
+        scored = src.mapInArrow(score, schema=out_t)
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "sized_output",
     "streaming_ocf_source",
     "decontaminate_emb_arrow",
+    "knn_bruteforce_arrow",
 ]
 
 

@@ -186,3 +186,42 @@ def test_decontaminate_arrow_empty_eval(spark):
     )
     out = S.decontaminate_embeddings(emb, ev, threshold=0.0, engine="arrow")
     assert out.count() == 0
+
+
+def test_knn_bruteforce_arrow_engine_matches_hof(spark):
+    """engine='arrow' must return the same (query, rank, vec) triples as
+    the HOF engine — the batch-local top-k uses the identical
+    (cosine desc, id asc) order, so the global set is unchanged."""
+    import avro_spark.functions.similarity as S
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    for exclude in (True, False):
+        hof = [
+            (r.query_id, r.rank, r.vec_id, round(r.cosine, 9))
+            for r in S.knn_bruteforce(emb, q, k=7, exclude_self=exclude)
+            .orderBy("query_id", "rank").collect()
+        ]
+        arw = [
+            (r.query_id, r.rank, r.vec_id, round(r.cosine, 9))
+            for r in S.knn_bruteforce(
+                emb, q, k=7, exclude_self=exclude, engine="arrow")
+            .orderBy("query_id", "rank").collect()
+        ]
+        assert hof == arw, exclude
+
+
+def test_knn_bruteforce_arrow_empty_queries(spark):
+    import avro_spark.functions.similarity as S
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where(F.lit(False)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    assert S.knn_bruteforce(emb, q, k=3, engine="arrow").count() == 0

@@ -426,6 +426,99 @@ def knn_ivf(
     )
 
 
+# ------------------------------------------------ persisted IVF index
+def write_ivf_index(
+    vectors: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index the docstring of :func:`knn_ivf` keeps
+    promising: vectors with their nearest-centroid assignment, written
+    ``partitionBy(centroid_id)`` + pre-computed norms. Probe-time reads
+    then PRUNE AT THE FILE LISTING (Hive-style partition directories →
+    ``PartitionFilters`` in the scan, asserted in tests): a query fleet
+    probing nprobe of k centroids lists and reads ~nprobe/k of the
+    index, without a custom data source. Assignment itself is the
+    narrow argmax projection — one pass over the corpus, no shuffle
+    except the partitioned write's file routing."""
+    assigned = vectors.select(
+        F.col(id_col),
+        as_double(F.col(vec_col)).alias(vec_col),
+        l2_norm(vec_col).alias("_nv"),
+        _argmax_centroid(F.col(vec_col), centroids).alias("centroid_id"),
+    )
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+
+def knn_ivf_indexed(
+    spark: "SparkSession",
+    path: str,
+    queries: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "q_embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Probe a :func:`write_ivf_index` index: the union of every query's
+    nprobe probe set becomes a ``centroid_id IN (...)`` scan filter —
+    partition-pruned at the file listing, so the exact-scoring join
+    reads only the probed buckets' files (vs :func:`knn_ivf`, which
+    re-assigns and streams the WHOLE corpus per query batch). The
+    centroid list must be the one the index was built with."""
+    dim = len(centroids[0])
+    cmat = _matrix_lit(_normalize_rows(centroids))
+    nprobe = min(nprobe, len(centroids))
+
+    def probes(q: Column) -> Column:
+        scored = F.transform(
+            cmat,
+            lambda c, i: F.struct(
+                dot(q, c).alias("sim"),
+                (-i).cast("int").alias("ncid"),
+                i.cast("int").alias("cid"),
+            ),
+        )
+        return F.transform(
+            F.slice(F.reverse(F.array_sort(scored)), 1, nprobe), lambda s: s["cid"]
+        )
+
+    probe_sets = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        l2_norm(query_vec_col, dim).alias("_nq"),
+        _let(as_double(F.col(query_vec_col)), probes).alias("probe_cids"),
+    )
+    # bounded driver state: |queries| × nprobe ints — the scan filter
+    probed = sorted(
+        {int(c) for r in probe_sets.select("probe_cids").collect() for c in r[0]}
+    )
+    index = spark.read.parquet(path).where(F.col("centroid_id").isin(probed))
+    cond = F.array_contains(F.col("probe_cids"), F.col("centroid_id"))
+    if exclude_self:
+        cond = cond & (F.col(id_col) != F.col(query_id_col))
+    cand = index.join(F.broadcast(probe_sets), cond)
+    denom = F.col("_nv") * F.col("_nq")
+    scored = cand.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.when(denom > 0, dot(vec_col, query_vec_col, dim) / denom)
+        .otherwise(F.lit(0.0))
+        .alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "cosine")
+    )
+
+
 # ----------------------------------------------- random-hyperplane LSH
 def _splitmix(seed: int, i: int, j: int) -> float:
     """Deterministic pseudo-gaussian-ish plane coefficient in [-1, 1)."""

@@ -151,6 +151,13 @@ def _throughput_probes(spark, sf_dir: str) -> dict[str, int]:
     from avro_spark.sources.avro_binary import from_avro_bytes, to_avro_bytes
     from pyspark.sql import functions as F
 
+    # the probes run AFTER the full query sweep: drop its cached data and
+    # let the JVM compact before timing, or end-of-session memory pressure
+    # bleeds into the probe numbers (r5: the python-codec probe read 133k
+    # in-session vs 429k in a fresh session on the same code)
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     n_li = li.count()
     nested = li.select(
@@ -248,12 +255,15 @@ def _throughput_probes(spark, sf_dir: str) -> dict[str, int]:
         errors["ocf_read_rows_per_sec"] = f"{type(ex).__name__}: {ex}"[:200]
     for metric, (df, n) in probes.items():
         try:
-            # warm once, then best-of-2: a single timed pass still sits
+            # warm once, then best-of-N: a single timed pass still sits
             # in JIT warmup for the JVM codec probes and has shown 4-10×
-            # run-to-run swings in the round artifacts
+            # run-to-run swings in the round artifacts; the PYTHON-engine
+            # probes get an extra rep — their workers inherit whatever
+            # state the 80+ query sweep left behind
+            reps = 3 if "python" in metric else 2
             df.write.format("noop").mode("overwrite").save()
             best = None
-            for _ in range(2):
+            for _ in range(reps):
                 t0 = _time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
                 dt = _time.perf_counter() - t0

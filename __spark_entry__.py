@@ -1436,7 +1436,10 @@ def q_decontaminate_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     side, zero shuffles."""
     emb = _read(spark, sf_dir, "embeddings")
     train = emb.where(F.col("vec_id") < 480)
-    ev = emb.where(F.col("vec_id") >= 480).select(
+    # eval side BOUNDED (vec_id in [480, 600)): an eval benchmark is a
+    # fixed small set; the old open-ended filter grew with sf (4520
+    # vectors at sf0.1 — 37× the intended work). sf0.01 rows unchanged.
+    ev = emb.where((F.col("vec_id") >= 480) & (F.col("vec_id") < 600)).select(
         F.col("vec_id").alias("eval_id"), F.col("embedding").alias("e_embedding")
     )
     return S.decontaminate_embeddings(train, ev, threshold=0.3).select(
@@ -1452,7 +1455,10 @@ def q_decontaminate_emb_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     by < 1e-9, far inside the 6dp rounding."""
     emb = _read(spark, sf_dir, "embeddings")
     train = emb.where(F.col("vec_id") < 480)
-    ev = emb.where(F.col("vec_id") >= 480).select(
+    # eval side BOUNDED (vec_id in [480, 600)): an eval benchmark is a
+    # fixed small set; the old open-ended filter grew with sf (4520
+    # vectors at sf0.1 — 37× the intended work). sf0.01 rows unchanged.
+    ev = emb.where((F.col("vec_id") >= 480) & (F.col("vec_id") < 600)).select(
         F.col("vec_id").alias("eval_id"), F.col("embedding").alias("e_embedding")
     )
     return S.decontaminate_embeddings(
@@ -3718,7 +3724,7 @@ def _oracles_extra() -> dict[str, str]:
               FROM embeddings),
             t AS (SELECT * FROM e WHERE vec_id < 480),
             q AS (SELECT vec_id AS eval_id, v AS ev, nrm AS ne
-                  FROM e WHERE vec_id >= 480)
+                  FROM e WHERE vec_id >= 480 AND vec_id < 600)
             SELECT t.vec_id, q.eval_id,
                    round(CASE WHEN t.nrm * q.ne > 0
                               THEN list_dot_product(t.v, q.ev) / (t.nrm * q.ne)
@@ -3736,7 +3742,7 @@ def _oracles_extra() -> dict[str, str]:
               FROM embeddings),
             t AS (SELECT * FROM e WHERE vec_id < 480),
             q AS (SELECT vec_id AS eval_id, v AS ev, nrm AS ne
-                  FROM e WHERE vec_id >= 480)
+                  FROM e WHERE vec_id >= 480 AND vec_id < 600)
             SELECT t.vec_id, q.eval_id,
                    round(CASE WHEN t.nrm * q.ne > 0
                               THEN list_dot_product(t.v, q.ev) / (t.nrm * q.ne)

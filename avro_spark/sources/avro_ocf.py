@@ -421,6 +421,49 @@ def _decode_content_python(files: DataFrame, schema: Schema) -> DataFrame:
     )
 
 
+def read_avro_files_evolved(
+    spark: SparkSession,
+    path: str,
+    reader_schema: Schema,
+    split_bytes: Optional[int] = None,
+    engine: str = "auto",
+) -> DataFrame:
+    """Classic Avro schema evolution at the file boundary: decode the
+    files with their WRITER schema (peeked from the first header), then
+    resolve writer→reader — aliases, reordering, promotions, reader
+    defaults — via ``compile(writer, reader)`` (frontend.lua:1001-1041
+    resolution rules). The resolution is two fused narrow projections on
+    top of the engine-routed decode, so the whole read stays one
+    scan-speed stage. Mixed-writer directories fail loudly (the per-file
+    schema check): read each writer-version group separately."""
+    from .. import compile as _compile
+
+    first = spark.read.format("binaryFile").load(path).select("path").head()
+    if first is None:
+        raise AvroSparkError(f"no files at {path}")
+    try:
+        _hl, _sync, sj, _codec = _scan_header(_local_path(first["path"]))
+        writer = create(json.loads(sj.decode("utf-8")))
+    except OSError:
+        blob = bytes(
+            spark.read.format("binaryFile").load(path)
+            .select("content").head()["content"]
+        )
+        if blob[:4] != MAGIC:
+            raise AvroSparkError("not an Avro object container file (bad magic)")
+        meta, _pos = _read_meta_map(blob, 4)
+        writer = create(json.loads(meta["avro.schema"].decode("utf-8")))
+    df = read_avro_files(
+        spark, path, writer, split_bytes=split_bytes, engine=engine
+    )
+    # writer records → reader flat (the evolution plan), then reader
+    # flat → reader records (the reader's identity plan): two narrow
+    # projections Catalyst fuses into the decode stage
+    evo = _compile(writer, reader_schema)
+    ident = _compile(reader_schema)
+    return ident.unflatten(evo.flatten(df))
+
+
 #: the binaryFile source's FIXED schema (streaming reads must state it)
 _BINARY_FILE_SCHEMA = (
     "path string, modificationTime timestamp, length long, content binary"

@@ -295,3 +295,31 @@ def test_mixed_writer_schema_directory_fails_loudly(spark, tmp_path):
         spark.createDataFrame([(3, "z")], s1_doc.to_struct_type()), s1_doc, d2)
     got = read_avro_files(spark, d2, s1).collect()
     assert [(r.a, r.b) for r in got] == [(3, "z")]
+
+
+def test_read_avro_files_evolved(spark, tmp_path):
+    """Schema evolution at the file boundary: v1 files + v2 reader =
+    reordered fields, alias rename, int->long promotion, and a reader
+    default — resolved on top of the engine-routed decode."""
+    v1 = avro_spark.create({"type": "record", "name": "Ev", "fields": [
+        {"name": "id", "type": "int"},
+        {"name": "name", "type": "string"},
+        {"name": "score", "type": "int"}]})
+    v2 = avro_spark.create({"type": "record", "name": "Ev", "fields": [
+        {"name": "score", "type": "long"},                       # promoted
+        {"name": "label", "type": "string", "aliases": ["name"]},  # renamed
+        {"name": "id", "type": "int"},                           # reordered
+        {"name": "flag", "type": "int", "default": 7}]})         # added
+    from avro_spark.sources.avro_ocf import read_avro_files_evolved
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], v1.to_struct_type())
+    d = str(tmp_path / "evo")
+    write_avro_files(df, v1, d)
+    engines = ["python"] + (["auto"] if _jvm_ready(spark) else [])
+    for eng in engines:
+        out = read_avro_files_evolved(spark, d, v2, engine=eng)
+        assert out.columns == ["score", "label", "id", "flag"]
+        got = sorted((r.score, r.label, r.id, r.flag) for r in out.collect())
+        assert got == [(10, "a", 1, 7), (20, "b", 2, 7)], eng
+        assert dict(out.dtypes)["score"] == "bigint"

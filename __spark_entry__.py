@@ -1004,6 +1004,38 @@ def q_streaming_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_ocf_evolved_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer→reader evolution at the FILE boundary (round 5,
+    sources/avro_ocf.py read_avro_files_evolved): nation written under
+    the v1 schema, read under a v2 reader that reorders, renames via
+    alias (n_name→nation_name), promotes int→long (n_regionkey) and
+    fills an added default — the full frontend.lua:1001-1041 resolution
+    rule set fused onto the engine-routed decode."""
+    import shutil
+    import tempfile
+
+    from avro_spark.sources.avro_ocf import (
+        read_avro_files_evolved,
+        write_avro_files,
+    )
+
+    nat = _read(spark, sf_dir, "nation")
+    v1 = avro_spark.create(NATION_SCHEMA)
+    v2 = avro_spark.create({
+        "type": "record", "name": "Nation", "fields": [
+            {"name": "n_regionkey", "type": "long"},
+            {"name": "nation_name", "type": "string", "aliases": ["n_name"]},
+            {"name": "n_nationkey", "type": "int"},
+            {"name": "tier", "type": "int", "default": 1},
+        ],
+    })
+    out = tempfile.mkdtemp(prefix="ocf_evo_")
+    write_avro_files(nat, v1, out, codec="deflate")
+    # no rmtree: the returned DataFrame is lazy and reads these files
+    # when the driver executes it (same as q_avro_ocf_roundtrip)
+    return read_avro_files_evolved(spark, out, v2)
+
+
 def q_streaming_ocf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING OCF file source (round 5): readStream(binaryFile) over a
     directory of .avro files, decoded in-flight through the same JVM
@@ -2315,6 +2347,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ocf_source": q_streaming_ocf_source,
         "decontaminate_emb_arrow": q_decontaminate_emb_arrow,
         "knn_bruteforce_arrow": q_knn_bruteforce_arrow,
+        "ocf_evolved_read": q_ocf_evolved_read,
         # round-3 rotation: folded out after two driver-green rounds to
         # give the 7 never-driver-checked gates a CORRECTNESS row; each
         # keeps an in-window twin — defaults via conform +
@@ -3290,6 +3323,12 @@ def _oracles_extra() -> dict[str, str]:
         """,
         "streaming_avro_decode": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
         "streaming_ocf_source": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+        "ocf_evolved_read": """
+            SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+                   n_name AS nation_name,
+                   n_nationkey,
+                   1 AS tier
+            FROM nation""",
         "decontaminate": f"""
             WITH sh AS (
               SELECT doc_id,

@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "streaming_ocf_source",
     "decontaminate_emb_arrow",
     "knn_bruteforce_arrow",
+    "ocf_evolved_read",
 ]
 
 

@@ -463,16 +463,22 @@ public final class AvroCodecUDF {
   }
 
   /** whole OCF file bytes → list of (codec, count, data) block rows;
-   *  data stays COMPRESSED here (decompression is per-block downstream). */
-  public static final class SplitBlocks implements UDF1<byte[], java.util.List<Row>> {
+   *  data stays COMPRESSED here (decompression is per-block downstream).
+   *  expectSchemaJson, when non-empty, must BYTE-equal the embedded
+   *  avro.schema — the streaming reader's per-file guard (batch readers
+   *  verify canonically at plan time and pass ""). A byte mismatch on a
+   *  canonically-equal foreign rendering is a loud false positive by
+   *  design: the error says how to verify canonically instead. */
+  public static final class SplitBlocks implements UDF2<String, byte[], java.util.List<Row>> {
     @Override
-    public java.util.List<Row> call(byte[] blob) {
+    public java.util.List<Row> call(String expectSchemaJson, byte[] blob) {
       if (blob.length < 4
           || blob[0] != 'O' || blob[1] != 'b' || blob[2] != 'j' || blob[3] != 1)
         throw new RuntimeException("not an Avro object container file (bad magic)");
       Cursor c = new Cursor(blob);
       c.pos = 4;
       String codec = "null";
+      String schemaJson = null;
       while (true) {  // file metadata map (may be block-size-prefixed)
         long n = readLong(c);
         if (n == 0) break;
@@ -484,9 +490,18 @@ public final class AvroCodecUDF {
           int vlen = (int) readLong(c);
           if (k.equals("avro.codec"))
             codec = new String(c.buf, c.pos, vlen, StandardCharsets.UTF_8);
+          if (k.equals("avro.schema"))
+            schemaJson = new String(c.buf, c.pos, vlen, StandardCharsets.UTF_8);
           c.pos += vlen;
         }
       }
+      if (expectSchemaJson != null && !expectSchemaJson.isEmpty()
+          && !expectSchemaJson.equals(schemaJson))
+        throw new RuntimeException(
+            "OCF writer-schema mismatch: the file embeds a different schema "
+                + "rendering than this stream was planned with (silent garbage "
+                + "otherwise). For canonically-equal foreign renderings, read "
+                + "with engine='python', which compares Parsing Canonical Form.");
       byte[] sync = new byte[16];
       System.arraycopy(c.buf, c.pos, sync, 0, 16);
       c.pos += 16;

@@ -313,17 +313,25 @@ def decode_ocf_blocks_jvm(
     )
 
 
-def read_ocf_content_jvm(files: DataFrame, schema: Schema) -> DataFrame:
+def read_ocf_content_jvm(
+    files: DataFrame, schema: Schema, expect_schema_json: str = "",
+) -> DataFrame:
     """binaryFile rows (``content`` = whole OCF file bytes) → records,
     fully JVM-side: SplitBlocks parses the container framing, DecodeBlock
     runs the record hot loop. ~10× the Python row codec on the engine's
-    primary file-ingest path."""
+    primary file-ingest path. ``expect_schema_json`` (non-empty) makes
+    SplitBlocks BYTE-compare each file's embedded writer schema — the
+    per-file guard for STREAMING reads, where plan-time header peeks
+    don't exist; batch readers verify canonically at plan time and pass
+    the default empty string."""
     spark = files.sparkSession
     if not _attach(spark):
         raise JvmUnsupported("no JDK available to build the codec jar")
     split_fn = _register_split_blocks(spark)
     blocks = files.select(
-        F.explode(F.call_udf(split_fn, F.col("content"))).alias("b")
+        F.explode(
+            F.call_udf(split_fn, F.lit(expect_schema_json), F.col("content"))
+        ).alias("b")
     ).select("b.codec", "b.count", "b.data")
     return decode_ocf_blocks_jvm(blocks, schema)
 

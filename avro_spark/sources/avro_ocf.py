@@ -356,7 +356,6 @@ def read_avro_files(
         codec = meta.get("avro.codec", b"null").decode("ascii")
         if schema is None:
             schema = create(json.loads(meta["avro.schema"].decode("utf-8")))
-    struct = schema.to_struct_type()
     root = schema.root
     if not isinstance(root, Record):
         raise AvroSparkError("read_avro_files requires a record schema")
@@ -498,7 +497,12 @@ def read_avro_stream(
     if engine != "python" and _jvm_ocf_ok(spark, schema, None):
         from ..jvm import read_ocf_content_jvm
 
-        return read_ocf_content_jvm(files.select("content"), schema)
+        # per-file writer-schema guard: streams have no plan-time header
+        # peek, so SplitBlocks byte-compares each file's embedded schema
+        return read_ocf_content_jvm(
+            files.select("content"), schema,
+            expect_schema_json=json.dumps(schema.export()),
+        )
     if engine == "jvm":
         raise AvroSparkError(
             "engine='jvm' unavailable (no JDK or unsupported schema shape)"

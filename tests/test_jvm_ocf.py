@@ -323,3 +323,31 @@ def test_read_avro_files_evolved(spark, tmp_path):
         got = sorted((r.score, r.label, r.id, r.flag) for r in out.collect())
         assert got == [(10, "a", 1, 7), (20, "b", 2, 7)], eng
         assert dict(out.dtypes)["score"] == "bigint"
+
+
+def test_streaming_jvm_guard_rejects_foreign_schema_file(spark, tmp_path, zoo):
+    """The STREAMING JVM path has no plan-time header peek; SplitBlocks'
+    byte-compare guard must reject a file written under a different
+    schema instead of decoding garbage."""
+    import uuid
+
+    from avro_spark.sources.avro_ocf import read_avro_stream
+    from avro_spark.streaming import run_to_memory
+
+    if not _jvm_ready(spark):
+        pytest.skip("no JDK")
+    sch, df = zoo
+    other = avro_spark.create({"type": "record", "name": "OZoo", "fields": [
+        {"name": "id", "type": "long"}]})
+    d = str(tmp_path / "foreign")
+    write_avro_files(df.limit(5).coalesce(1), sch, d)
+    write_avro_files(
+        spark.createDataFrame([(9,)], other.to_struct_type()), other,
+        str(tmp_path / "f2"))
+    os.rename(glob.glob(str(tmp_path / "f2" / "part-*.avro"))[0],
+              os.path.join(d, "part-00001.avro"))
+    with pytest.raises(Exception, match="writer-schema mismatch"):
+        run_to_memory(
+            read_avro_stream(spark, d, sch, engine="jvm"),
+            f"g_{uuid.uuid4().hex[:8]}",
+        )

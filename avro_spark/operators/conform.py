@@ -517,29 +517,47 @@ def conform_json(
                     )
                 root = matches[0]
     raw = F.col(json_col)
-    v = F.try_parse_json(raw)
+    # Materialize the parsed variant ONCE in its own projection. Variant
+    # expressions are CodegenFallback in Spark 4.1 — the whole validator
+    # runs interpreted, where a repeated try_parse_json subtree really
+    # re-parses the JSON at EVERY reference (no codegen CSE). The
+    # validation tree references the variant dozens of times per row;
+    # CollapseProject keeps the alias because a non-cheap expression
+    # referenced more than once is never re-inlined. Measured 13.3 s →
+    # 1.7 s on the 150k-row conform_json gate (sf0.1, local[32]).
+    vtmp = f"_avsp_variant_{json_col}$"
+    dfv = df.withColumn(vtmp, F.try_parse_json(raw))
+    v = F.col(vtmp)
     bad_json = F.when(raw.isNotNull() & v.isNull(), F.lit("invalid JSON"))
     if isinstance(root, Record):
         # one error PER TOP-LEVEL FIELD in flag mode (like conform);
         # record-level problems (bad json / not an object / unknown key)
         # suppress the per-field checks, which would misfire on non-objects
+        from ..functions.text import let as _let
+
         s = F.schema_of_variant(v)
         head, field_errs = _vj_record_parts(root, v, (), 0, s, binary_key, umap)
         head = F.coalesce(bad_json, head)
-        errors = F.array_compact(F.array(
-            head, *[F.when(head.isNull(), e) for e in field_errs]
-        ))
+        # let-bind head: it embeds the record-level checks (incl. the
+        # expensive unknown-key scan) and every field slot references it
+        # — inlined per field, interpreted mode re-ran all of it N times
+        errors = _let(
+            head,
+            lambda h: F.array_compact(F.array(
+                h, *[F.when(h.isNull(), e) for e in field_errs]
+            )),
+        )
     else:
         err = F.coalesce(bad_json, _vj_node(root, v, (), 0, binary_key, umap))
         errors = F.array_compact(F.array(err))
     if mode == "flag":
-        return df.withColumn(ERRORS_COL, errors)
+        return dfv.withColumn(ERRORS_COL, errors).drop(vtmp)
     guard = F.assert_true(
         F.size(errors) == 0,
         F.concat(F.lit("validation failed: "), F.array_join(errors, "; ")),
     )
     # the guard is NULL unless it raises; coalesce keeps the filter a no-op
-    return df.where(F.coalesce(guard.cast("boolean"), F.lit(True)))
+    return dfv.where(F.coalesce(guard.cast("boolean"), F.lit(True))).drop(vtmp)
 
 
 
@@ -557,15 +575,25 @@ def _vj_node(node: SchemaNode, vcol: Column, path: tuple[str, ...],
     absent — handled by the enclosing record/union."""
     if depth > _variant_depth_limit(node):
         return F.lit(None).cast("string")
-    s = F.schema_of_variant(vcol)
-    err = _vj_node_strict(node, vcol, path, depth, s, bk, umap)
-    if err is None:
+    # probe with a throwaway s first: nodes that validate nothing ('any')
+    # must stay a plain NULL literal, not a wrapped transform
+    if _vj_node_strict(node, vcol, path, depth, F.lit(""), bk, umap) is None:
         return F.lit(None).cast("string")
-    if node.nullable:
-        # nullable wrapper: JSON null short-circuits (frontend.lua:749-751)
-        return F.when(vcol.isNull() | (s == "VOID"), F.lit(None).cast("string")) \
-                .otherwise(err)
-    return err
+    from ..functions.text import let as _let
+
+    def _with_s(s: Column) -> Column:
+        err = _vj_node_strict(node, vcol, path, depth, s, bk, umap)
+        if node.nullable:
+            # nullable wrapper: JSON null short-circuits
+            # (frontend.lua:749-751)
+            return F.when(
+                vcol.isNull() | (s == "VOID"), F.lit(None).cast("string")
+            ).otherwise(err)
+        return err
+
+    # let-bind schema_of_variant: the strict checks reference it up to
+    # four times per node, and interpreted eval recomputes every one
+    return _let(F.schema_of_variant(vcol), _with_s)
 
 
 def _vj_node_strict(node: SchemaNode, vcol: Column, path: tuple[str, ...],
@@ -759,25 +787,49 @@ def _vj_record_parts(node: Record, vcol: Column, path: tuple[str, ...],
                       _vj_expecting(vcol, path, "MAP", bk))
     known = [f.name for f in node.fields]
     keys = F.json_object_keys(F.to_json(vcol))
-    unknown = F.array_except(keys, F.array(*[F.lit(k) for k in known]))
-    unknown_err = F.when(
-        F.size(unknown) > 0,
-        F.concat(F.lit(f'{loc}Unknown key: "'),
-                 F.try_element_at(unknown, F.lit(1)), F.lit('"')),
+    from ..functions.text import let as _let
+
+    # let-bind the unknown-key array: to_json re-renders the WHOLE
+    # variant and json_object_keys re-parses it — the most expensive
+    # node in the validator — and the size + element_at references would
+    # otherwise evaluate it twice per row (interpreted, no codegen CSE)
+    unknown_err = _let(
+        F.array_except(keys, F.array(*[F.lit(k) for k in known])),
+        lambda u: F.when(
+            F.size(u) > 0,
+            F.concat(F.lit(f'{loc}Unknown key: "'),
+                     F.try_element_at(u, F.lit(1)), F.lit('"')),
+        ),
     )
+    from ..functions.text import let as _let
+
     field_errs: list[Column] = []
-    for f in node.fields:
-        child = F.variant_get(vcol, _vpath(f.name), "variant")
-        fpath = path + (f.name,)
-        present_err = _vj_node(f.type, child, fpath, depth + 1, bk, umap)
-        if f.has_default or _nullable_ok(f.type):
-            e = F.when(child.isNotNull(), present_err)
-        else:
-            e = F.when(
-                child.isNull(),
+
+    # let-bind each field's variant: interpreted mode (all Variant exprs
+    # are CodegenFallback) re-navigates variant_get at every reference,
+    # and each field check references it several times. NB the body must
+    # be a ONE-argument callable — pyspark reads the arity to decide
+    # between (element) and (element, index) transform lambdas.
+    def _field_err_fn(f):
+        def body(c: Column) -> Column:
+            fpath = path + (f.name,)
+            present_err = _vj_node(f.type, c, fpath, depth + 1, bk, umap)
+            if f.has_default or _nullable_ok(f.type):
+                return F.when(c.isNotNull(), present_err)
+            return F.when(
+                c.isNull(),
                 F.lit(f'{loc}Key missing: "{f.name}"'),
             ).otherwise(present_err)
-        field_errs.append(e)
+
+        return body
+
+    for f in node.fields:
+        field_errs.append(
+            _let(
+                F.variant_get(vcol, _vpath(f.name), "variant"),
+                _field_err_fn(f),
+            )
+        )
     return F.coalesce(type_err, unknown_err), field_errs
 
 

@@ -116,6 +116,20 @@ BENCH_QUERIES = [
     "decontaminate_emb_arrow",
     "knn_bruteforce_arrow",
     "ocf_evolved_read",
+    # r5 audit: oracle-checked gates the list had historically missed
+    "wire_roundtrip",
+    "conform_json",
+    "hidden_fields",
+    "streaming_window",
+    "chunk_documents",
+    "decontaminate",
+    "global_ids",
+    "conform_errors",
+    "hybrid_retrieval",
+    "profile_table",
+    "jsonl_roundtrip",
+    "fingerprint",
+    "flat_layout",
 ]
 
 

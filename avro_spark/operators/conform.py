@@ -866,7 +866,11 @@ def conform_json_tuple(
     cells = build_layout(compiled.writer.root, compiled.service_fields)
     umap = unmapped_union_branches(compiled.plan)
     raw = F.col(json_col)
-    v = F.try_parse_json(raw)
+    # parse ONCE in a dedicated projection — same CodegenFallback
+    # re-evaluation hazard as conform_json (every cell references v)
+    vtmp = f"_avsp_variant_{json_col}$"
+    dfv = df.withColumn(vtmp, F.try_parse_json(raw))
+    v = F.col(vtmp)
     s = F.schema_of_variant(v)
     bad_json = F.when(raw.isNotNull() & v.isNull(), F.lit("invalid JSON"))
     type_err = F.when(~s.startswith("ARRAY"),
@@ -948,12 +952,12 @@ def conform_json_tuple(
     err = F.coalesce(bad_json, type_err, len_err, *cell_errs)
     errors = F.array_compact(F.array(err))
     if mode == "flag":
-        return df.withColumn(ERRORS_COL, errors)
+        return dfv.withColumn(ERRORS_COL, errors).drop(vtmp)
     guard = F.assert_true(
         F.size(errors) == 0,
         F.concat(F.lit("validation failed: "), F.array_join(errors, "; ")),
     )
-    return df.where(F.coalesce(guard.cast("boolean"), F.lit(True)))
+    return dfv.where(F.coalesce(guard.cast("boolean"), F.lit(True))).drop(vtmp)
 
 
 # ------------------------------------------------- typed JSON parse (A2/C1)
@@ -977,15 +981,31 @@ def parse_json_typed(
     root = schema.root
     if not isinstance(root, Record):
         raise CompileError("parse_json_typed requires a record schema")
-    v = F.try_parse_json(F.col(json_col))
+    # parse ONCE in a dedicated projection: Variant exprs are
+    # CodegenFallback, and each field's extraction would otherwise
+    # re-parse the JSON per reference (same fix as conform_json)
+    vtmp = f"_avsp_variant_{json_col}$"
+    dfv = df.withColumn(vtmp, F.try_parse_json(F.col(json_col)))
+    v = F.col(vtmp)
+    from ..functions.text import let as _let
+
     cols = []
     for f in root.fields:
-        child = F.variant_get(v, _vpath(f.name), "variant")
-        value = _pj_node(f.type, child, 0, binary_key)
-        if f.has_default:
-            value = F.coalesce(value, lit_for(f.type, f.default))
-        cols.append(value.alias(f.name))
-    return df.select(*cols, *[F.col(k) for k in keep])
+        def _value_fn(f):
+            def body(child: Column) -> Column:
+                value = _pj_node(f.type, child, 0, binary_key)
+                if f.has_default:
+                    value = F.coalesce(value, lit_for(f.type, f.default))
+                return value
+
+            return body
+
+        cols.append(
+            _let(
+                F.variant_get(v, _vpath(f.name), "variant"), _value_fn(f)
+            ).alias(f.name)
+        )
+    return dfv.select(*cols, *[F.col(k) for k in keep])
 
 
 def _pj_node(node: SchemaNode, vcol: Column, depth: int,

@@ -1336,6 +1336,30 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-index ANN path real query fleets use: train the
+    same centroids as q_knn_ivf (seeds = 16 lowest ids, one Lloyd round,
+    9dp means), write the index partitionBy(centroid_id) with
+    write_ivf_index, then probe it with knn_ivf_indexed — the probe-set
+    scan is partition-pruned at the file listing (PartitionFilters,
+    plan-asserted in tests/test_embeddings.py). Results are identical to
+    the streaming knn_ivf by construction (same assignment function,
+    same exact scoring), so the oracle is shared."""
+    import tempfile
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    seeds = S.sample_centroids(emb, 16)
+    cents = S.kmeans_centroids(emb, 16, iters=1, seed_centroids=seeds)
+    idx = tempfile.mkdtemp(prefix="ivf_index_")
+    S.write_ivf_index(emb, cents, idx)
+    return S.knn_ivf_indexed(spark, idx, queries, cents, k=5, nprobe=4).select(
+        "query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: encode the embedding table to m=8
     4-bit-codebook codes (16 codes/subspace), score queries against the
@@ -2217,18 +2241,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``extra_queries()`` (still run by tools/verify_oracle.py)."""
     return {
         # A-group: schema API / flatten / evolution
-        # round-5 rotation (the big one): 12 of the 16 never-driver-
-        # checked gates get rows, plus the two NEW gates
-        # (branching_flatten, sized_output). Every folded gate has >= 2
-        # driver-green rounds AND an in-window twin — noted per fold.
-        "flatten_nested": q_flatten_nested,
+        # round-6 rotation: the 8 never-driver-checked gates get rows
+        # (streaming_ocf_source, ocf_evolved_read, decontaminate_emb_arrow,
+        # knn_bruteforce_arrow, bigram_lm, domain_cap, embedding_pool,
+        # length_quantiles) plus the NEW knn_ivf_indexed. Every folded
+        # gate has >= 2 driver-green rounds AND an in-window twin —
+        # noted per fold.
+        # flatten_nested folded (4 greens; twins recursive_flatten +
+        # branching_flatten + unflatten_roundtrip — strictly harder
+        # cases of the same flatten plan builder); hidden_fields folded
+        # (4 greens; twin service_fields — the same hidden/service-field
+        # layout machinery)
         "recursive_flatten": q_recursive_flatten,
-        # branching_flatten NEW: the SCC width backstop gets its own row
         "branching_flatten": q_branching_flatten,
         "unflatten_roundtrip": q_unflatten_roundtrip,
-        # evolution_reorder_rename folded (4 greens; twin
+        # evolution_reorder_rename folded r5 (4 greens; twin
         # evolution_downgrade: same resolution machinery, harder drop
-        # direction); xflatten_update folded (4 greens; twin
+        # direction); xflatten_update folded r5 (4 greens; twin
         # xflatten_json: same update-op renderer over the harder dynamic
         # JSON input)
         "evolution_downgrade": q_evolution_downgrade,
@@ -2238,32 +2267,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_evolution": q_array_evolution,
         "fixed_passthrough": q_fixed_passthrough,
         # C-group: codecs / sources / sinks
-        # conform_errors folded (4 greens; twin conform_json — same
-        # validator, plus ERRORS.md pins the 482 exact renderings)
+        # conform_errors folded r5 (4 greens; twin conform_json — same
+        # validator, plus ERRORS.md pins the 482 exact renderings);
+        # csv_roundtrip folded (4 greens; twin jsonl_avro_roundtrip —
+        # the same conform+render chain over a text source)
         "ocf_split_read": q_ocf_split_read,
+        # ocf_evolved_read NEW IN WINDOW: writer→reader resolution at the
+        # OCF file boundary (guards the r5 JVM-OCF work)
+        "ocf_evolved_read": q_ocf_evolved_read,
         "wire_roundtrip": q_wire_roundtrip,
         "conform_json": q_conform_json,
         "jsonl_avro_roundtrip": q_jsonl_avro_roundtrip,
-        "csv_roundtrip": q_csv_roundtrip,
         "compat_matrix": q_compat_matrix,
         "xflatten_json": q_xflatten_json,
         "media_probe": q_media_probe,
-        "hidden_fields": q_hidden_fields,
         # streaming / events
+        # streaming_flatten folded (4 greens; twins streaming_window —
+        # same readStream harness — + streaming_ocf_source, which runs
+        # the identical flatten chain over the streaming OCF source)
         "streaming_window": q_streaming_window,
-        "streaming_flatten": q_streaming_flatten,
-        # temporal: asof_join + moving_stats folded (2 greens each, the
-        # fold threshold); range_join + time_rollup become the in-window
-        # temporal reps — they were never driver-checked
+        # streaming_ocf_source NEW IN WINDOW: readStream OCF decode chain
+        "streaming_ocf_source": q_streaming_ocf_source,
+        # temporal: asof_join + moving_stats folded r5 (2 greens each);
+        # range_join's r5 hash-red was the oracle's uncast HUGEINT sum —
+        # fixed with CAST(... AS BIGINT), stays in-window for the green
         "range_join": q_range_join,
         "time_rollup": q_time_rollup,
         # LLM-pipeline: text analysis / retrieval / sampling / packing
-        # text_stats folded (4 greens; twins gopher_rules + lang_id read
-        # the same stat columns); winnow folded (4 greens; twin
-        # chunk_documents + doc_fingerprint extras); hybrid_retrieval
-        # folded (2 greens; twin bm25_retrieval — RRF fuses ITS ranking);
-        # profile_table folded (4 greens; twin corpus_stats)
-        "lang_id": q_lang_id,
+        # lang_id folded (4 greens; twins gopher_rules + nb_quality —
+        # the same narrow text-stat expressions feed all three);
+        # text_stats folded r5 (4 greens; twin gopher_rules);
+        # winnow folded r5 (4 greens; twin chunk_documents);
+        # hybrid_retrieval folded r5 (2 greens; twin bm25_retrieval);
+        # profile_table folded r5 (4 greens; twin corpus_stats);
+        # pack_sequences folded (4 greens; twins sized_output — the same
+        # size-budgeted output discipline — + chunk_documents' token
+        # segmentation)
         "html_clean": q_html_clean,
         "bm25_retrieval": q_bm25_retrieval,
         "bpe_pairs": q_bpe_pairs,
@@ -2271,37 +2310,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "cms_freq": q_cms_freq,
         "chunk_documents": q_chunk_documents,
-        "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
+        # bigram_lm / length_quantiles / domain_cap NEW IN WINDOW: the
+        # last round-2 corpus-stat gates that never had a driver row
+        "bigram_lm": q_bigram_lm,
+        "length_quantiles": q_length_quantiles,
+        "domain_cap": q_domain_cap,
         # LLM-pipeline: dedup
-        # dedup_exact folded (4 greens; twin line_dedup — the harder
-        # corpus-wide exact-hash election, same md5 keying); ngram_jaccard
-        # folded (4 greens; twin minhash_lsh whose verify stage IS exact
-        # Jaccard)
+        # dedup_exact folded r5 (4 greens; twin line_dedup); ngram_jaccard
+        # folded r5 (4 greens; twin minhash_lsh whose verify stage IS
+        # exact Jaccard); decontaminate folded (3 greens; twins
+        # decontaminate_emb + decontaminate_emb_arrow — the family keeps
+        # two in-window rows; the n-gram path stays verify_oracle-checked
+        # in extras)
         "line_dedup": q_line_dedup,
         "dup_span_removal": q_dup_span_removal,
         "nb_quality": q_nb_quality,
         "minhash_lsh": q_minhash_lsh,
         "gopher_rules": q_gopher_rules,
         "dedup_clusters": q_dedup_clusters,
-        "decontaminate": q_decontaminate,
         # LLM-pipeline: similarity + embedding ops
-        # cosine_lsh folded (4 greens; twin minhash_lsh for banded-LSH
-        # shape + knn_ivf for cosine scoring); knn_ivf now runs TRAINED
-        # centroids (kmeans_centroids(iters=1) in the gate loop)
+        # cosine_lsh folded r5 (4 greens; twin minhash_lsh for banded-LSH
+        # shape); knn_ivf folded (4 greens; twins knn_ivfpq — the same
+        # trained-IVF probe machinery plus PQ — + knn_ivf_indexed, the
+        # identical assignment/probe against the PERSISTED index)
         "knn_pq": q_knn_pq,
-        "knn_ivf": q_knn_ivf,
         "knn_ivfpq": q_knn_ivfpq,
+        # knn_ivf_indexed NEW: write_ivf_index + partition-pruned probe —
+        # the production repeated-query ANN path
+        "knn_ivf_indexed": q_knn_ivf_indexed,
         "decontaminate_emb": q_decontaminate_emb,
+        # decontaminate_emb_arrow / knn_bruteforce_arrow NEW IN WINDOW:
+        # the Arrow matmul engines (guard the r5 flagship Arrow work;
+        # 6dp/9dp rounding absorbs BLAS last-ulp drift)
+        "decontaminate_emb_arrow": q_decontaminate_emb_arrow,
+        "knn_bruteforce_arrow": q_knn_bruteforce_arrow,
+        # embedding_pool NEW IN WINDOW: last never-checked embedding gate
+        "embedding_pool": q_embedding_pool,
         # e2e + scale + incremental merge + multimodal
-        # bucketed_join folded (4 greens; twin global_ids +
-        # test_plan_shape pins the no-Exchange plan); media_meta folded
-        # (4 greens; twin media_probe — the strictly harder container
-        # parse — + multimodal_features)
+        # bucketed_join folded r5 (4 greens; twin global_ids — itself now
+        # folded, see below — + test_plan_shape pins the no-Exchange
+        # plan); global_ids folded (3 greens; twin salted_join — the
+        # scale-join family rep — + the same plan-shape pins);
+        # media_meta folded r5 (4 greens; twin media_probe +
+        # multimodal_features)
         "curate_corpus": q_curate_corpus,
         "snapshot_merge": q_snapshot_merge,
         "salted_join": q_salted_join,
-        "global_ids": q_global_ids,
         "sized_output": q_sized_output,
         "multimodal_features": q_multimodal_features,
     }
@@ -2316,6 +2371,17 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     avro_roundtrip+streaming_flatten. tools/verify_oracle.py still
     checks them against ``extra_oracle_sql()``."""
     return {
+        # round-6 rotation: folded with >= 2 driver-green rounds each,
+        # every one behind an in-window twin (twin notes in queries())
+        "flatten_nested": q_flatten_nested,
+        "hidden_fields": q_hidden_fields,
+        "csv_roundtrip": q_csv_roundtrip,
+        "lang_id": q_lang_id,
+        "streaming_flatten": q_streaming_flatten,
+        "knn_ivf": q_knn_ivf,
+        "pack_sequences": q_pack_sequences,
+        "global_ids": q_global_ids,
+        "decontaminate": q_decontaminate,
         # round-5 rotation: folded with >= 2 driver-green rounds each,
         # every one behind an in-window twin (twin notes in queries())
         "evolution_reorder_rename": q_evolution_reorder_rename,
@@ -2344,10 +2410,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "train_split": q_train_split,
         "streaming_avro_decode": q_streaming_avro_decode,
-        "streaming_ocf_source": q_streaming_ocf_source,
-        "decontaminate_emb_arrow": q_decontaminate_emb_arrow,
-        "knn_bruteforce_arrow": q_knn_bruteforce_arrow,
-        "ocf_evolved_read": q_ocf_evolved_read,
+        # (streaming_ocf_source, ocf_evolved_read, decontaminate_emb_arrow,
+        # knn_bruteforce_arrow promoted to the window in r6)
         # round-3 rotation: folded out after two driver-green rounds to
         # give the 7 never-driver-checked gates a CORRECTNESS row; each
         # keeps an in-window twin — defaults via conform +
@@ -2368,11 +2432,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enum_roundtrip": q_enum_roundtrip,
         "domain_mix": q_domain_mix,
         # round-2 additions: corpus statistics + curation sampling
-        # (heavy_hitters + stratified_sample promoted to the window in r5)
-        "length_quantiles": q_length_quantiles,
-        "domain_cap": q_domain_cap,
-        "bigram_lm": q_bigram_lm,
-        "embedding_pool": q_embedding_pool,
+        # (heavy_hitters + stratified_sample promoted to the window in
+        # r5; length_quantiles, domain_cap, bigram_lm, embedding_pool
+        # promoted in r6)
         # folded out of the 50-window for the round-2 family
         # representatives (tfidf_topk, embedding_quantize,
         # snapshot_merge, moving_stats): B7 stays driver-green via
@@ -3078,6 +3140,10 @@ def _oracles_main() -> dict[str, str]:
             FROM reach GROUP BY id
         """,
         "knn_ivf": _knn_ivf_oracle(),
+        # identical results by construction: same trained centroids, same
+        # assignment argmax, same probe sets, exact scoring — only the
+        # storage layout (persisted partitioned index) differs
+        "knn_ivf_indexed": _knn_ivf_oracle(),
         # DuckDB sha256(VARCHAR) hashes the string's UTF-8 bytes — the
         # exact payload the Spark side packs via encode(text, 'utf-8')
         "multimodal_features": """
@@ -3395,7 +3461,7 @@ def _oracles_extra() -> dict[str, str]:
             )
             SELECT e.user_id,
                    count(*) AS n_first_hour,
-                   sum(e.event_id) AS sum_event_id
+                   CAST(sum(e.event_id) AS BIGINT) AS sum_event_id
             FROM events e
             JOIN f ON e.user_id = f.user_id
                AND e.ts >= f.t0 AND e.ts < f.t0 + INTERVAL 1 HOUR

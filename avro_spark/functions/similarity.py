@@ -247,8 +247,13 @@ def _knn_bruteforce_arrow(
                     out_v.extend(ids[order].tolist())
                     out_c.extend(cos[order, j].tolist())
                 if out_q:
+                    # explicit Arrow types: inference from Python lists
+                    # gives int64/float64, which would mismatch a
+                    # declared int32/string id column
                     yield pa.RecordBatch.from_arrays(
-                        [pa.array(out_q), pa.array(out_v), pa.array(out_c)],
+                        [pa.array(out_q, type=out_schema.field(0).type),
+                         pa.array(out_v, type=out_schema.field(1).type),
+                         pa.array(out_c, type=out_schema.field(2).type)],
                         schema=out_schema,
                     )
 
@@ -655,13 +660,20 @@ def _decontaminate_embeddings_arrow(
     eval ids ride along so only pairs >= threshold are emitted."""
     import numpy as np
 
+    from pyspark.sql import types as T
+
+    # output id types derive from the INPUT columns (string/int32 ids are
+    # as legal here as they are on the hof engine)
+    out_t = T.StructType([
+        T.StructField(id_col, train.schema[id_col].dataType),
+        T.StructField(eval_id_col, eval_df.schema[eval_id_col].dataType),
+        T.StructField("cosine", T.DoubleType()),
+    ])
     rows = eval_df.select(eval_id_col, eval_vec_col).collect()
     if not rows:
         # empty eval set: nothing can be contaminated
-        return train.sparkSession.createDataFrame(
-            [], f"{id_col} long, {eval_id_col} long, cosine double"
-        )
-    e_ids = np.array([int(r[0]) for r in rows], dtype=np.int64)
+        return train.sparkSession.createDataFrame([], out_t)
+    e_ids = np.array([r[0] for r in rows])
     emat = np.array([[float(x) for x in r[1]] for r in rows], dtype=np.float64)
     e_norms = np.sqrt((emat * emat).sum(axis=1))
     src = train.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
@@ -669,10 +681,9 @@ def _decontaminate_embeddings_arrow(
     def score(batches):
         import pyarrow as pa
 
-        out_schema = pa.schema(
-            [(id_col, pa.int64()), (eval_id_col, pa.int64()),
-             ("cosine", pa.float64())]
-        )
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        out_schema = to_arrow_schema(out_t)
         for b in batches:
             ids = b.column(0).to_numpy(zero_copy_only=False)
             vcol = b.column(1)
@@ -694,14 +705,13 @@ def _decontaminate_embeddings_arrow(
                 cos = np.where(denom > 0, sims / denom, 0.0)
             ti, ei = np.nonzero(cos >= threshold)
             yield pa.RecordBatch.from_arrays(
-                [pa.array(ids[ti]), pa.array(e_ids[ei]),
-                 pa.array(cos[ti, ei])],
+                [pa.array(ids[ti], type=out_schema.field(0).type),
+                 pa.array(e_ids[ei], type=out_schema.field(1).type),
+                 pa.array(cos[ti, ei], type=out_schema.field(2).type)],
                 schema=out_schema,
             )
 
-    return src.mapInArrow(
-        score, schema=f"{id_col} long, {eval_id_col} long, cosine double"
-    )
+    return src.mapInArrow(score, schema=out_t)
 
 
 

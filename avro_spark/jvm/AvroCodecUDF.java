@@ -382,14 +382,16 @@ public final class AvroCodecUDF {
           if (branch.getType() == Schema.Type.NULL) return null;
           return decode(c, branch);
         }
-        // general union → tagged struct row (layout as in encode); the
-        // null branch decodes to a plain NULL cell, exactly like the
-        // Python decoder (dec_union returns None for it)
-        if (branch.getType() == Schema.Type.NULL) return null;
+        // general union → tagged struct row (layout as in encode). The
+        // null branch is a VALUE carrying its own tag, not an outer NULL:
+        // evolution/flatten plans key on $type$, so decode must emit
+        // {$type$: idx, <all branch fields null>} — the same canonical form
+        // conform/ingest produce and the Python dec_union emits.
         int nNonNull = 0;
         for (Schema b : ts) if (b.getType() != Schema.Type.NULL) nNonNull++;
         Object[] vals = new Object[1 + nNonNull];
         vals[0] = idx;
+        if (branch.getType() == Schema.Type.NULL) return RowFactory.create(vals);
         int pos = 1;
         for (int i = 0; i < idx; i++)
           if (ts.get(i).getType() != Schema.Type.NULL) pos++;

@@ -575,9 +575,13 @@ def _vj_node(node: SchemaNode, vcol: Column, path: tuple[str, ...],
     absent — handled by the enclosing record/union."""
     if depth > _variant_depth_limit(node):
         return F.lit(None).cast("string")
-    # probe with a throwaway s first: nodes that validate nothing ('any')
-    # must stay a plain NULL literal, not a wrapped transform
-    if _vj_node_strict(node, vcol, path, depth, F.lit(""), bk, umap) is None:
+    # nodes that validate nothing must stay a plain NULL literal, not a
+    # wrapped transform. Structural check — _vj_node_strict returns None
+    # ONLY for the 'any' primitive (every composite emits a shape check
+    # regardless of its children); building and discarding the whole
+    # strict subtree as a probe doubled plan-build work per nesting level
+    # (2^depth on recursive schemas).
+    if isinstance(node, Primitive) and node.type == "any":
         return F.lit(None).cast("string")
     from ..functions.text import let as _let
 

@@ -72,6 +72,49 @@ def union_null_and_one(node: UnionNode) -> SchemaNode | None:
     return None
 
 
+#: Arrow IPC refuses batches nested deeper than 64 levels
+#: (``max_recursion_depth`` in the C++ reader), and Python-engine codec
+#: stages ship rows over Arrow IPC — a deeper unrolled type would build a
+#: fine plan and then kill the worker mid-job (``ArrowInvalid: Max
+#: recursion depth reached``). 60 leaves headroom for the wrapper levels
+#: the transport itself adds.
+ARROW_MAX_NESTING = 60
+
+
+def spark_type_depth(dtype: T.DataType) -> int:
+    """Nesting depth of a Spark type as Arrow IPC counts it: struct and
+    list are one level each; map is two (Arrow renders map<K,V> as
+    list<struct<key,value>>)."""
+    if isinstance(dtype, T.StructType):
+        return 1 + max(
+            (spark_type_depth(f.dataType) for f in dtype.fields), default=0
+        )
+    if isinstance(dtype, T.ArrayType):
+        return 1 + spark_type_depth(dtype.elementType)
+    if isinstance(dtype, T.MapType):
+        return 2 + max(
+            spark_type_depth(dtype.keyType), spark_type_depth(dtype.valueType)
+        )
+    return 0
+
+
+def check_arrow_nesting(dtype: T.DataType, context: str) -> None:
+    """Raise loudly at PLAN-BUILD time when an unrolled Spark type is too
+    deep to cross an Arrow IPC boundary — the engine's rule is "reject
+    loudly, never die in a worker" (round-3 recursion hardening, applied
+    here to the Arrow transport limit)."""
+    depth = spark_type_depth(dtype)
+    if depth > ARROW_MAX_NESTING:
+        raise SchemaError(
+            f"{context}: the unrolled Spark type is {depth} levels deep, "
+            f"past Arrow IPC's recursion limit ({ARROW_MAX_NESTING} after "
+            "transport headroom) — the Python engine cannot ship these rows. "
+            "Lower the unroll depth (Schema.to_spark_type(max_depth=...)), "
+            "restructure the recursive schema, or use the JVM engine "
+            "(engine='jvm'), which does not cross Arrow."
+        )
+
+
 #: Subtree-copy budget for schemas with BRANCHING recursion: the unroll
 #: depth is chosen so (multiplicity)^depth stays at or under this many
 #: copies of the cycle. Chains (multiplicity 1) keep full depth.

@@ -41,7 +41,11 @@ from ..schema.nodes import (
     SchemaNode,
     UnionNode,
 )
-from ..schema.spark_types import UNION_TAG, union_null_and_one
+from ..schema.spark_types import (
+    UNION_TAG,
+    check_arrow_nesting,
+    union_null_and_one,
+)
 
 
 # ------------------------------------------------------------ primitives
@@ -428,7 +432,19 @@ def _compile_decoder_impl(node: SchemaNode) -> Callable[[bytes, int], tuple[Any,
             i, pos = _read_long(buf, pos)
             tag, dec, is_null = decs[i]
             if is_null:
-                return None, pos
+                if simple is not None:
+                    return None, pos
+                # general (tagged-struct) union: the null branch is a VALUE
+                # with its own tag, not an outer null — the flatten/evolution
+                # plans key on $type$ (plans/flatten.py _union_parts), and an
+                # outer null would silently read as "no value" instead of
+                # "the null branch". Emit the canonical tagged form the
+                # ingest/conform side produces (reference keeps the
+                # [tag, value] pair: compiler.lua:697-750).
+                out = {UNION_TAG: i}
+                for t in tags:
+                    out[t] = None
+                return out, pos
             v, pos = dec(buf, pos)
             if simple is not None:
                 return v, pos
@@ -530,6 +546,11 @@ def to_avro_bytes(
     # data (float/double NaN payloads mirror the JVM codec's rule).
     encs = [_compile_encoder(f.type) for f in root.fields]
     field_names = [f.name for f in root.fields]
+    # the INPUT rows cross Arrow IPC into the Python worker — reject a
+    # too-deep unrolled type here, at plan build, not mid-job in the worker
+    check_arrow_nesting(
+        df.select(*field_names).schema, "to_avro_bytes(engine='python')"
+    )
 
     def _encode_batches(batches):
         import numpy as np
@@ -555,6 +576,17 @@ def to_avro_bytes(
                 for enc_f, v in zip(row_encs, vals):
                     enc_f(buf, v)
                 offsets.append(len(buf))
+                if len(buf) > 0x7FFFFFFF:
+                    # the 1 GiB flush below runs only BETWEEN rows, so a
+                    # single >~1 GiB encoded row can push the final offset
+                    # past INT32_MAX — np.asarray(..., np.int32) would then
+                    # silently wrap (numpy<2) into a corrupt Arrow binary
+                    # array. Arrow's 32-bit binary type cannot carry such a
+                    # row at all; fail loudly instead.
+                    raise AvroSparkError(
+                        f"encoded Avro row of {len(buf) - offsets[-2]} bytes "
+                        "exceeds Arrow binary's 2 GiB offset limit"
+                    )
                 if len(buf) > (1 << 30):
                     # keep Arrow's int32 binary offsets safe for huge rows
                     arr = pa.Array.from_buffers(
@@ -613,6 +645,8 @@ def from_avro_bytes(
     # and a big long share a batch (the decode half of the same bug
     # fixed in to_avro_bytes).
     spark_t = _strip_metadata(schema.to_struct_type())
+    # the decoded OUTPUT rows cross Arrow IPC out of the Python worker
+    check_arrow_nesting(spark_t, "from_avro_bytes(engine='python')")
     names = [f.name for f in spark_t.fields]
 
     def _decode_batches(batches):

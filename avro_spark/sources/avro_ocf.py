@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..errors import AvroSparkError
 from ..schema import Schema, create
 from ..schema.nodes import Record
+from ..schema.spark_types import check_arrow_nesting
 from .avro_binary import (
     _compile_decoder,
     _compile_encoder,
@@ -271,23 +272,29 @@ def _check_writer_schema(
 
 def _verify_listing_schemas(
     files: DataFrame, schema: Schema
-) -> None:
+) -> bool:
     """Driver-side per-file header check for the whole-file read path:
     one ~KB header read per LOCAL file (the same cost structure as the
-    split planner, which reads every header anyway). Non-local paths
-    skip silently — the Python decode engine still checks per file in
-    the executor; the JVM engine trusts the plan-time check."""
+    split planner, which reads every header anyway). Returns True only
+    when EVERY file's header was readable and verified; a per-file
+    OSError (non-local storage) skips that file — never the rest of the
+    listing — and the caller must arrange an executor-side guard for the
+    unverified remainder (the Python decode engine always re-checks per
+    file; the JVM engine needs expect_schema_json passed through)."""
     from ..schema.fingerprint import canonical_form
 
     expected_cf = canonical_form(schema.root)
     ok: set = set()
+    all_verified = True
     for row in files.select("path").collect():
         fpath = _local_path(row["path"])
         try:
             _hl, _sync, sj, _codec = _scan_header(fpath)
         except OSError:
-            return  # non-local storage: header peeks unavailable here
+            all_verified = False  # header peek unavailable for THIS file
+            continue
         _check_writer_schema(expected_cf, sj, fpath, ok)
+    return all_verified
 
 
 def _jvm_ocf_ok(spark: SparkSession, schema: Schema, codec: Optional[str]) -> bool:
@@ -359,15 +366,26 @@ def read_avro_files(
     root = schema.root
     if not isinstance(root, Record):
         raise AvroSparkError("read_avro_files requires a record schema")
+    fully_verified = False
     if verify_schemas:
         # a mixed-schema directory otherwise decodes as garbage; one ~KB
         # header read per local file — pass verify_schemas=False only
         # for very large listings whose schema uniformity is known
-        _verify_listing_schemas(files, schema)
+        fully_verified = _verify_listing_schemas(files, schema)
     if engine != "python" and _jvm_ocf_ok(spark, schema, codec):
         from ..jvm import read_ocf_content_jvm
 
-        return read_ocf_content_jvm(files.select("content"), schema)
+        # files the driver-side peek could not reach (non-local storage)
+        # still need an executor-side guard on the JVM path — SplitBlocks
+        # byte-compares each file's embedded writer schema, same as the
+        # streaming source (the Python engine re-checks canonically per
+        # file on its own)
+        guard = "" if (fully_verified or not verify_schemas) else json.dumps(
+            schema.export()
+        )
+        return read_ocf_content_jvm(
+            files.select("content"), schema, expect_schema_json=guard
+        )
     if engine == "jvm":
         raise AvroSparkError(
             "engine='jvm' unavailable (no JDK, unsupported schema shape, "
@@ -383,6 +401,9 @@ def _decode_content_python(files: DataFrame, schema: Schema) -> DataFrame:
     schema is canonically checked in the executor (so non-local storage,
     which the driver-side header peek skips, is still covered)."""
     struct = schema.to_struct_type()
+    # decoded records cross Arrow IPC out of the Python worker — fail at
+    # plan build, not mid-job (Arrow's 64-level recursion limit)
+    check_arrow_nesting(struct, "read_avro_files(engine='python')")
     schema_export = json.dumps(schema.export())
 
     def decode(batches):
@@ -765,6 +786,9 @@ def read_avro_files_split(
         )
         return decode_ocf_blocks_jvm(block_rows, schema)
 
+    # python block decode: records cross Arrow IPC out of the worker
+    check_arrow_nesting(struct, "read_avro_files_split(engine='python')")
+
     def decode(batches):
         # Arrow-native output — exact int64, see read_avro_files.decode
         import pyarrow as pa
@@ -953,6 +977,9 @@ def write_avro_files(
             frame, schema="file string, n_records long, n_bytes long"
         )
         return [r.asDict() for r in out.collect()]
+
+    # python encode: the record-shaped INPUT crosses Arrow IPC into the worker
+    check_arrow_nesting(df.schema, "write_avro_files(engine='python')")
 
     def encode(batches):
         import zlib as _zlib

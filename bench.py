@@ -117,6 +117,8 @@ BENCH_QUERIES = [
     "knn_bruteforce_arrow",
     "ocf_evolved_read",
     # r5 audit: oracle-checked gates the list had historically missed
+    # round 6: persisted partition-pruned IVF index
+    "knn_ivf_indexed",
     "wire_roundtrip",
     "conform_json",
     "hidden_fields",
@@ -268,22 +270,25 @@ def _throughput_probes(spark, sf_dir: str) -> dict[str, int]:
     except Exception as ex:  # a failed OCF write must be VISIBLE, not absent
         out["ocf_read_rows_per_sec"] = None
         errors["ocf_read_rows_per_sec"] = f"{type(ex).__name__}: {ex}"[:200]
+    medians = {}
+    spreads = {}
     for metric, (df, n) in probes.items():
         try:
-            # warm once, then best-of-N: a single timed pass still sits
-            # in JIT warmup for the JVM codec probes and has shown 4-10×
-            # run-to-run swings in the round artifacts; the PYTHON-engine
-            # probes get an extra rep — their workers inherit whatever
-            # state the 80+ query sweep left behind
-            reps = 3 if "python" in metric else 2
+            # warm once, then 3 timed reps: the headline keeps best-of
+            # (continuity with the BASELINE.md-mapped numbers; JIT warmup
+            # shows 4-10× swings), and the MEDIAN + min/max spread are
+            # recorded so probe drift is attributable mechanically
+            # instead of by hand-waving at box load
             df.write.format("noop").mode("overwrite").save()
-            best = None
-            for _ in range(reps):
+            dts = []
+            for _ in range(3):
                 t0 = _time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
-                dt = _time.perf_counter() - t0
-                best = dt if best is None or dt < best else best
-            out[metric] = round(n / best)
+                dts.append(_time.perf_counter() - t0)
+            dts.sort()
+            out[metric] = round(n / dts[0])
+            medians[metric] = round(n / dts[1])
+            spreads[metric] = [round(dts[0], 3), round(dts[-1], 3)]
         except Exception as ex:
             # a failing probe must be VISIBLE in the bench output, not a
             # silently missing key (a codec regression would otherwise
@@ -293,7 +298,7 @@ def _throughput_probes(spark, sf_dir: str) -> dict[str, int]:
     nested_par.unpersist()
     union_par.unpersist()
     shutil.rmtree(ocf_dir, ignore_errors=True)
-    return out, errors
+    return out, medians, spreads, errors
 
 
 def main() -> None:
@@ -323,11 +328,14 @@ def main() -> None:
     # the time the timed pass reaches a query its codegen has been
     # evicted by the other queries and the measurement includes seconds
     # of recompilation — observed as 3-6× noise on the largest plans.
-    # Min of two timed runs: AQE can re-plan run-to-run, and a re-planned
-    # stage recompiles its generated code (~6 s on the largest expression
-    # trees) — the min reflects the steady-state data path the warm run
-    # established rather than Janino recompile noise.
+    # Median of three timed runs (+ recorded min/max spread): AQE can
+    # re-plan run-to-run, and a re-planned stage recompiles its generated
+    # code (~6 s on the largest expression trees); the median is robust
+    # to one such outlier AND to one ambient-load spike, and the spread
+    # in bench_detail.json lets a reader separate "code got slower"
+    # (median moved, tight spread) from "box was loaded" (wide spread).
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     cold: dict[str, float] = {}
     # throwaway JVM warmup: the first job of a session pays ~3 s of
     # JVM/Janino/AQE startup that has nothing to do with the query it
@@ -352,13 +360,19 @@ def main() -> None:
             cold[name] = round(time.perf_counter() - t0, 3)
         except Exception:
             pass
-        best = None
-        for _ in range(2):
+        # MEDIAN of 3 warm reps, with the spread recorded: two rounds of
+        # bench deltas were attributed to "ambient box load" by hand —
+        # the median + min/max makes a real regression mechanically
+        # distinguishable from a loaded-box swing (a regression moves the
+        # median with a tight spread; load widens the spread)
+        dts = []
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            dts.append(time.perf_counter() - t0)
+        dts.sort()
+        timings[name] = round(dts[1], 3)
+        spread[name] = [round(dts[0], 3), round(dts[-1], 3)]
     total = round(sum(timings.values()), 3)
     cold_total = round(sum(cold.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -371,7 +385,9 @@ def main() -> None:
     # probes over the largest table (lineitem) amortize fixed job
     # overhead so the number reflects per-row transform throughput, not
     # scheduler latency on a 25-row table.
-    rows_per_sec, probe_errors = _throughput_probes(spark, sf_dir)
+    rows_per_sec, probe_medians, probe_spreads, probe_errors = (
+        _throughput_probes(spark, sf_dir)
+    )
     # Two-artifact protocol (r02's single line overflowed the driver's
     # tail capture and parsed as null): the full per-query record —
     # warm, cold, probes, errors — goes to bench_detail.json next to
@@ -383,9 +399,12 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_spread": spread,
         "cold_total_sec": cold_total,
         "queries_cold": cold,
         "rows_per_sec": rows_per_sec,
+        "rows_per_sec_median": probe_medians,
+        "probe_spread_sec": probe_spreads,
         "sf": sf_val,
     }
     if probe_errors:

@@ -227,6 +227,58 @@ def test_knn_bruteforce_arrow_empty_queries(spark):
     assert S.knn_bruteforce(emb, q, k=3, engine="arrow").count() == 0
 
 
+def test_arrow_engines_accept_string_and_int32_ids(spark):
+    """The hof engines take any id type; the arrow engines must too —
+    they previously hardcoded int64 output ids and crashed on
+    string/int32 id columns (ValueError/ArrowInvalid)."""
+    import avro_spark.functions.similarity as S
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(64)
+    for cast_t in ("string", "int"):
+        ids = emb.select(
+            F.col("vec_id").cast(cast_t).alias("vec_id"), "embedding"
+        )
+        q = ids.limit(3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+        )
+        hof = [
+            (r.query_id, r.rank, r.vec_id, round(r.cosine, 9))
+            for r in S.knn_bruteforce(ids, q, k=4)
+            .orderBy("query_id", "rank").collect()
+        ]
+        arw = [
+            (r.query_id, r.rank, r.vec_id, round(r.cosine, 9))
+            for r in S.knn_bruteforce(ids, q, k=4, engine="arrow")
+            .orderBy("query_id", "rank").collect()
+        ]
+        assert hof == arw, cast_t
+
+        ev = ids.limit(5).select(
+            F.col("vec_id").alias("eval_id"),
+            F.col("embedding").alias("e_embedding"),
+        )
+        hof_p = {
+            (r.vec_id, r.eval_id): round(r.cosine, 9)
+            for r in S.decontaminate_embeddings(ids, ev, threshold=0.9).collect()
+        }
+        arw_p = {
+            (r.vec_id, r.eval_id): round(r.cosine, 9)
+            for r in S.decontaminate_embeddings(
+                ids, ev, threshold=0.9, engine="arrow"
+            ).collect()
+        }
+        assert hof_p == arw_p, cast_t
+        # schema parity: output id types must match the inputs'
+        out_arw = S.decontaminate_embeddings(
+            ids, ev, threshold=0.9, engine="arrow")
+        assert (
+            out_arw.schema["vec_id"].dataType
+            == ids.schema["vec_id"].dataType
+        )
+
+
 def test_ivf_index_partition_pruning_matches_knn_ivf(spark, tmp_path):
     """write_ivf_index + knn_ivf_indexed: identical results to the
     scan-everything knn_ivf, and the index scan is PARTITION-PRUNED —

@@ -568,7 +568,15 @@ class TestRecursiveFuzz:
             return
         df = spark.createDataFrame([row], sch.to_struct_type())
         bj = to_avro_bytes(df, sch, "b", engine="jvm").collect()[0].b
-        bp = to_avro_bytes(df, sch, "b", engine="python").collect()[0].b
+        try:
+            bp_df = to_avro_bytes(df, sch, "b", engine="python")
+        except avs.errors.SchemaError as e:
+            # branching-recursive unrolls past Arrow IPC's nesting limit
+            # must be rejected LOUDLY at plan build (never die in a
+            # worker); the JVM engine above already handled the schema
+            assert "Arrow IPC" in str(e), e
+            return
+        bp = bp_df.collect()[0].b
         if bytes(bj) != bytes(bp):
             from avro_spark.sources.avro_binary import decode_record
 
@@ -625,6 +633,45 @@ class TestUnrollRejection:
             typed = self._chain_df(spark, sch, depth)
             with pytest.raises(Exception, match="unroll bound"):
                 cs.flatten(typed).collect()
+
+    def test_arrow_nesting_depth_helper(self):
+        from pyspark.sql import types as T
+
+        from avro_spark.schema.spark_types import spark_type_depth
+
+        t = T.StructType([
+            T.StructField(
+                "x", T.ArrayType(T.MapType(T.StringType(), T.IntegerType()))
+            )
+        ])
+        # struct(1) + array(1) + map(2: Arrow's list<struct<key,value>>)
+        assert spark_type_depth(t) == 4
+        assert spark_type_depth(T.LongType()) == 0
+
+    def test_arrow_nesting_guard_rejects_at_plan_time(self, spark):
+        """A recursive schema whose unroll exceeds Arrow IPC's 64-level
+        recursion limit must raise a LOUD plan-build error on the Python
+        engine (round-5 fuzz found the worker dying mid-job with
+        ArrowInvalid instead)."""
+        from avro_spark.sources.avro_binary import from_avro_bytes, to_avro_bytes
+
+        # chain recursion (full 16-level unroll), 4 Arrow levels per
+        # cycle: struct + 3 arrays → 64 > the 60-level guard
+        sch = avs.create({
+            "type": "record", "name": "deep",
+            "fields": [{
+                "name": "a",
+                "type": {"type": "array", "items": {
+                    "type": "array", "items": {
+                        "type": "array", "items": ["null", "deep"]}}},
+            }],
+        })
+        df = spark.createDataFrame([], sch.to_struct_type())
+        with pytest.raises(avs.errors.SchemaError, match="Arrow IPC"):
+            to_avro_bytes(df, sch, engine="python")
+        bin_df = spark.createDataFrame([], "b binary")
+        with pytest.raises(avs.errors.SchemaError, match="Arrow IPC"):
+            from_avro_bytes(bin_df, "b", sch, engine="python")
 
     def test_jsonl_sink_past_bound_raises(self, spark, tmp_path):
         from avro_spark.sources.jsonl import write_jsonl_avro

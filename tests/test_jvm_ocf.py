@@ -297,6 +297,59 @@ def test_mixed_writer_schema_directory_fails_loudly(spark, tmp_path):
     assert [(r.a, r.b) for r in got] == [(3, "z")]
 
 
+def test_mixed_schema_guard_survives_unreadable_headers(
+    spark, tmp_path, monkeypatch
+):
+    """Two regressions around driver-side header peeks failing (the
+    non-local-storage shape): (1) one unreadable header must not abort
+    verification of the REST of the listing; (2) when any file went
+    unverified, the JVM engine must run SplitBlocks' executor-side
+    byte-compare instead of decoding a foreign layout as garbage."""
+    import avro_spark.sources.avro_ocf as ocf_mod
+
+    s1 = avro_spark.create({"type": "record", "name": "M", "fields": [
+        {"name": "a", "type": "long"}, {"name": "b", "type": "string"}]})
+    s2 = avro_spark.create({"type": "record", "name": "M", "fields": [
+        {"name": "b", "type": "string"}, {"name": "a", "type": "long"}]})
+    d = str(tmp_path / "mixed")
+    write_avro_files(
+        spark.createDataFrame([(1, "x")], s1.to_struct_type()), s1, d)
+    write_avro_files(
+        spark.createDataFrame([("y", 2)], s2.to_struct_type()), s2,
+        str(tmp_path / "second"))
+    os.rename(
+        glob.glob(str(tmp_path / "second" / "part-*.avro"))[0],
+        os.path.join(d, "part-00001.avro"))
+
+    real_scan = ocf_mod._scan_header
+
+    # (1) header peek fails for ONE file: the other file must still be
+    # checked — its mismatched schema raises at plan time
+    flaky_path = os.path.join(d, "part-00000.avro")
+
+    def scan_skip_first(fpath):
+        if fpath == flaky_path:
+            raise OSError("simulated non-local storage")
+        return real_scan(fpath)
+
+    monkeypatch.setattr(ocf_mod, "_scan_header", scan_skip_first)
+    with pytest.raises(AvroSparkError, match="writer-schema mismatch"):
+        read_avro_files(spark, d, s1, engine="python")
+
+    # (2) NO header is peekable (pure non-local shape): the JVM engine
+    # must still fail loudly via the executor-side byte-compare
+    def scan_all_fail(fpath):
+        raise OSError("simulated non-local storage")
+
+    monkeypatch.setattr(ocf_mod, "_scan_header", scan_all_fail)
+    if _jvm_ready(spark):
+        with pytest.raises(Exception, match="writer-schema mismatch"):
+            read_avro_files(spark, d, s1, engine="jvm").collect()
+    # python engine re-checks per file in the executor regardless
+    with pytest.raises(Exception, match="writer-schema mismatch"):
+        read_avro_files(spark, d, s1, engine="python").collect()
+
+
 def test_read_avro_files_evolved(spark, tmp_path):
     """Schema evolution at the file boundary: v1 files + v2 reader =
     reordered fields, alias rename, int->long promotion, and a reader

@@ -112,6 +112,25 @@ def main(only: list[str]):
             fails.append(name)
             continue
         problems = []
+        # the driver's value hash is TYPE-sensitive where this tool's str()
+        # canon is not: a DuckDB HUGEINT (int128 from sum(int)) or DECIMAL
+        # output hashes differently from Spark's bigint/double even when the
+        # values match (r5 range_join went hash-red exactly this way). Lint
+        # the oracle's *final* result types so the divergence fails here.
+        try:
+            otypes = [str(t).upper() for t in con.sql(oracles[name]).types]
+            bad_types = [
+                f"{c}:{t}"
+                for c, t in zip(ocols, otypes)
+                if "HUGEINT" in t or t.startswith("DECIMAL")
+            ]
+            if bad_types:
+                problems.append(
+                    f"oracle result types driver-hash-unsafe {bad_types} "
+                    "(CAST the final SELECT to BIGINT/DOUBLE)"
+                )
+        except Exception:
+            pass  # type introspection is best-effort; value compare still runs
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
         if len(srows) != len(orows):

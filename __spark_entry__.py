@@ -2822,7 +2822,9 @@ def _oracles_main() -> dict[str, str]:
             SELECT doc_id, lang, text FROM documents
         """,
         "csv_roundtrip": """
-            SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+            SELECT s_suppkey, s_name,
+                   CAST(s_nationkey AS BIGINT) AS s_nationkey, s_acctbal
+            FROM supplier
         """,
         "corpus_stats": f"""
             WITH b AS (
@@ -3205,7 +3207,8 @@ def _oracles_main() -> dict[str, str]:
               JOIN dfr USING (term)
               JOIN dl ON dl.doc_id = post.doc_id, nd, ad
             )
-            SELECT query_id, doc_id, round(sum(ts), 6) AS score
+            SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+                   round(sum(ts), 6) AS score
             FROM sc GROUP BY 1, 2
         """,
     }
@@ -3434,13 +3437,15 @@ def _oracles_extra() -> dict[str, str]:
             FROM s
         """,
         "wire_roundtrip": """
-            SELECT n_nationkey, n_name AS nation_name, n_regionkey,
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+                   n_name AS nation_name,
+                   CAST(n_regionkey AS BIGINT) AS n_regionkey,
                    'tpch' AS source
             FROM nation
         """,
         "conform_json": """
             SELECT o_orderkey,
-                   CASE
+                   CAST(CASE
                      WHEN o_orderkey % 7 = 0
                        THEN to_json(['Unknown key: "zz"'])
                      ELSE to_json(list_concat(
@@ -3452,7 +3457,7 @@ def _oracles_extra() -> dict[str, str]:
                             WHEN o_orderkey % 13 = 0
                             THEN ['o_totalprice: Expecting DOUBLE, encountered STR']
                             ELSE [] END))
-                   END AS errors_json
+                   END AS VARCHAR) AS errors_json
             FROM orders
         """,
         "range_join": """
@@ -3557,9 +3562,10 @@ def _oracles_extra() -> dict[str, str]:
               SELECT query_id, doc_id, sum(c) AS rrf_score
               FROM contrib GROUP BY 1, 2
             )
-            SELECT query_id, doc_id, rrf_score,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY rrf_score DESC, doc_id) AS rank
+            SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rrf_score,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY rrf_score DESC, doc_id)
+                        AS INTEGER) AS rank
             FROM fused QUALIFY rank <= 10
         """,
         "heavy_hitters": f"""
@@ -3585,8 +3591,9 @@ def _oracles_extra() -> dict[str, str]:
               FROM tf JOIN dfr USING (term), nd
             )
             SELECT doc_id, term, tf, round(score, 6) AS score,
-                   row_number() OVER (PARTITION BY doc_id
-                                      ORDER BY score DESC, term) AS rank
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY score DESC, term)
+                        AS INTEGER) AS rank
             FROM sc QUALIFY rank <= 3
         """,
         "length_quantiles": """
@@ -3611,8 +3618,8 @@ def _oracles_extra() -> dict[str, str]:
         """,
         "domain_cap": """
             SELECT doc_id, source,
-                   row_number() OVER (PARTITION BY source
-                                      ORDER BY doc_id) AS rank
+                   CAST(row_number() OVER (PARTITION BY source
+                                           ORDER BY doc_id) AS INTEGER) AS rank
             FROM documents QUALIFY rank <= 10
         """,
         "bigram_lm": f"""
@@ -3667,7 +3674,8 @@ def _oracles_extra() -> dict[str, str]:
             -- count: every non-empty vector contributes position 0);
             -- matches mean_pool's ragged-input semantics
             nv AS (SELECT label, max(n_at_pos) AS n_vecs FROM pc GROUP BY label)
-            SELECT pc.label, nv.n_vecs, pc.pos, pc.value
+            SELECT pc.label, nv.n_vecs,
+                   CAST(pc.pos AS INTEGER) AS pos, pc.value
             FROM pc JOIN nv USING (label)
         """,
         "embedding_quantize": """

@@ -314,7 +314,7 @@ def read_avro_files(
     spark: SparkSession,
     path: str,
     schema: Optional[Schema] = None,
-    split_bytes: Optional[int] = None,
+    split_bytes: "Optional[int | str]" = None,
     engine: str = "auto",
     verify_schemas: bool = True,
 ) -> DataFrame:
@@ -445,7 +445,7 @@ def read_avro_files_evolved(
     spark: SparkSession,
     path: str,
     reader_schema: Schema,
-    split_bytes: Optional[int] = None,
+    split_bytes: "Optional[int | str]" = None,
     engine: str = "auto",
 ) -> DataFrame:
     """Classic Avro schema evolution at the file boundary: decode the
@@ -641,13 +641,16 @@ def read_avro_files_split(
     spark: SparkSession,
     path: str,
     schema: Optional[Schema] = None,
-    split_bytes: int = 128 << 20,
+    split_bytes: "int | str" = 128 << 20,
     engine: str = "auto",
 ) -> DataFrame:
     """OCF files → record DataFrame with BLOCK-LEVEL parallelism: each
     file is planned into ~``split_bytes`` byte ranges and every range is
     one task — the Hadoop-style splittable read, so a handful of huge
-    OCF files still uses the whole cluster.
+    OCF files still uses the whole cluster. ``split_bytes="auto"`` sizes
+    ranges to one task wave (total bytes / defaultParallelism, floored
+    at 16 MB) — the measured optimum on large single files (SCALE.md
+    §6b).
 
     Planning (driver): one header read per file (magic + meta map +
     sync — a few KB), no data bytes. Execution (per split task): seek
@@ -675,6 +678,17 @@ def read_avro_files_split(
     )
     if not listing:
         raise AvroSparkError(f"no files at {path}")
+    if split_bytes == "auto":
+        # one task wave across the cluster: total bytes / parallelism,
+        # floored at 16 MB so tiny listings don't shatter into per-task
+        # overhead. Measured (SCALE.md §6b): on a 525 MB single file at
+        # local[32], splits ≈ cores (16 MB) ran 17.4 M rows/s vs 11.6 M
+        # for over-split 4 MB ranges and 5.6 M whole-file.
+        total = sum(int(r["length"]) for r in listing)
+        par = max(spark.sparkContext.defaultParallelism, 1)
+        split_bytes = max(16 << 20, -(-total // par))
+    elif not isinstance(split_bytes, int) or split_bytes <= 0:
+        raise AvroSparkError(f"bad split_bytes: {split_bytes!r}")
     splits = []  # (path, file_len, start, end, header_len, sync, codec)
     schema_json = None
     _schema_ok: set = set()

@@ -237,6 +237,27 @@ class TestSplittableRead:
         # planner splits one file into many ranges; every row still read
         assert df.count() == 2000
 
+    def test_split_bytes_auto(self, spark, tmp_path):
+        """split_bytes='auto' sizes ranges to one task wave (total bytes
+        / parallelism, floored at 16 MB — so these small files become
+        one split each) and reads exactly the same rows; junk values
+        are rejected loudly."""
+        from avro_spark.sources.avro_ocf import (
+            read_avro_files,
+            read_avro_files_split,
+        )
+
+        sch, out = self._write(spark, tmp_path)
+        whole = self._collect(read_avro_files(spark, out, sch))
+        auto = self._collect(
+            read_avro_files(spark, out, sch, split_bytes="auto")
+        )
+        assert whole == auto
+        with pytest.raises(Exception, match="bad split_bytes"):
+            read_avro_files_split(spark, out, sch, split_bytes="huge")
+        with pytest.raises(Exception, match="bad split_bytes"):
+            read_avro_files_split(spark, out, sch, split_bytes=0)
+
     def test_split_boundary_alignment_sweep(self, spark, tmp_path):
         """Every split size (prime-ish, tiny, huge) must partition the
         blocks exactly — no duplicated or lost rows at any boundary."""

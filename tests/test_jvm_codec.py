@@ -134,7 +134,11 @@ GENERAL_ROWS = [(1, (1, 2.5, None)), (2, (2, None, "x")), (3, (0, None, None))]
 def test_general_union_roundtrip_auto(spark):
     """3-branch unions are now IN JVM scope: auto routes there (or to
     Python without a JDK) and roundtrips the tagged-struct form; the
-    null branch decodes to a plain NULL cell."""
+    null branch decodes to the CANONICAL tagged struct
+    {$type$: null_idx, <branch fields null>} — the same shape
+    ingest/conform produce and the flatten/evolution plans key on (an
+    outer null here was the r5 representation seam: re-fed into a
+    tag-keyed plan it read as "no value" instead of "the null branch")."""
     sch = avro_spark.create(GENERAL_UNION)
     assert J.jvm_codec_supported(sch)
     df = spark.createDataFrame(GENERAL_ROWS, sch.to_struct_type())
@@ -143,7 +147,7 @@ def test_general_union_roundtrip_auto(spark):
         r.id: (r.u["$type$"], r.u["double"], r.u["string"]) if r.u is not None else None
         for r in out.collect()
     }
-    assert got == {1: (1, 2.5, None), 2: (2, None, "x"), 3: None}
+    assert got == {1: (1, 2.5, None), 2: (2, None, "x"), 3: (0, None, None)}
 
 
 def test_general_union_byte_parity(spark):
@@ -395,7 +399,17 @@ class TestNullableBranchUnionFuzz:
                 engine=engine)
             got = sorted((r.id, tuple(r.u) if r.u is not None else None)
                          for r in out.collect())
-            want = sorted((rid, tuple(u_) if u_ is not None else None)
+            # an OUTER-null input (accepted on encode) decodes to the
+            # canonical tagged struct {$type$: null_idx, all cells null}
+            # (r6 — the shape the tag-keyed plans consume); everything
+            # else round-trips unchanged
+            null_idx = next(
+                (i for i, b in enumerate(u.branches)
+                 if b.type == "null" and not b.nullable), None)
+            canon_null = (
+                tuple([null_idx] + [None] * len(non_null))
+                if null_idx is not None else None)
+            want = sorted((rid, tuple(u_) if u_ is not None else canon_null)
                           for rid, u_ in rows)
             assert got == want, (engine, branches)
 
@@ -430,7 +444,9 @@ def test_nan_nullable_branch_union_byte_parity(spark):
     # distinct from the outer null branch (id=3)
     assert decode_record(sch, bj[1])["v"] == {"$type$": 1, "double": None}
     assert decode_record(sch, bj[4])["v"] == {"$type$": 1, "double": None}
-    assert decode_record(sch, bj[3])["v"] is None
+    # the outer null branch decodes to its own TAG (canonical tagged
+    # struct, r6), still distinct from the {$type$: 1} null payload
+    assert decode_record(sch, bj[3])["v"] == {"$type$": 0, "double": None}
     # strip the 1-byte id varint: the v-part of NaN equals an explicit
     # null payload, and differs from the outer null branch
     assert bj[1][1:] == bj[4][1:] != bj[3][1:]

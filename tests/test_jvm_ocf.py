@@ -51,9 +51,12 @@ def _rows(n=300):
     rows = []
     for i in range(n):
         tag = i % 3
-        u3 = (None if tag == 0
-              else (tag, float(i) / 7 if tag == 1 else None,
-                    f"s{i}" if tag == 2 else None))
+        # canonical tagged-struct form INCLUDING the null branch
+        # ({$type$: 0, all cells null} — r6: decode round-trips this
+        # shape exactly; an outer None is accepted on encode but decodes
+        # to the canonical form, so identity fixtures must use it)
+        u3 = (tag, float(i) / 7 if tag == 1 else None,
+              f"s{i}" if tag == 2 else None)
         rows.append((
             i, i - 150, i * 1.25, f"név{i}", bytes([i % 256, 255 - i % 256]),
             bytes([i % 256] * 4), "ABC"[i % 3], [i, 2 * i, -i],

@@ -40,6 +40,37 @@ def rowset(cols, rows):
     return sorted("|".join(canon(r[i]) for i in idx) for r in rows)
 
 
+# Spark simpleString -> acceptable DuckDB type names. The driver's value
+# hash is TYPE-sensitive (r5 range_join: int64 vs int128 values hashed
+# apart while rows/schema matched), so every window gate's Spark column
+# type must map to the DuckDB type its oracle emits.
+_TYPE_PARITY = {
+    "tinyint": {"TINYINT"},
+    "smallint": {"SMALLINT"},
+    "int": {"INTEGER"},
+    "bigint": {"BIGINT"},
+    "float": {"FLOAT"},
+    "double": {"DOUBLE"},
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "date": {"DATE"},
+    "binary": {"BLOB"},
+}
+
+
+def type_mismatches(df, ocols, otypes):
+    stypes = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    bad = []
+    for c, ot in zip(ocols, otypes):
+        st = stypes.get(c)
+        if st is None:
+            continue  # column-set mismatch is reported separately
+        want = _TYPE_PARITY.get(st)
+        if want is not None and ot not in want:
+            bad.append(f"{c}: spark={st} oracle={ot}")
+    return bad
+
+
 def spark_rows(df):
     cols = df.columns
     out = []
@@ -118,16 +149,24 @@ def main(only: list[str]):
         # values match (r5 range_join went hash-red exactly this way). Lint
         # the oracle's *final* result types so the divergence fails here.
         try:
-            otypes = [str(t).upper() for t in con.sql(oracles[name]).types]
+            rel = con.sql(oracles[name])
+            otypes = [str(t).upper() for t in rel.types]
+            lint_cols = list(rel.columns)
             bad_types = [
                 f"{c}:{t}"
-                for c, t in zip(ocols, otypes)
+                for c, t in zip(lint_cols, otypes)
                 if "HUGEINT" in t or t.startswith("DECIMAL")
             ]
             if bad_types:
                 problems.append(
                     f"oracle result types driver-hash-unsafe {bad_types} "
                     "(CAST the final SELECT to BIGINT/DOUBLE)"
+                )
+            mismatched = type_mismatches(df, lint_cols, otypes)
+            if mismatched:
+                problems.append(
+                    f"spark/oracle type mismatch {mismatched} "
+                    "(driver hash is type-sensitive — CAST one side)"
                 )
         except Exception:
             pass  # type introspection is best-effort; value compare still runs

@@ -1423,3 +1423,86 @@ class TestFuzzOcfCrossEngine:
                     for r in back.collect()
                 )
                 assert got == want, (weng, reng, schema_dict)
+
+
+class TestFuzzOcfEvolvedRead:
+    """Evolution at the FILE boundary: random writer schema → random
+    reader mutation (reorder + drop + primitive promotion + defaulted
+    add), data written as OCF on both engines, read back with
+    read_avro_files_evolved on both engines — the result must equal the
+    mechanically-projected reader-form records (computed independently
+    of the resolution planner)."""
+
+    @given(data=st.data())
+    @settings(max_examples=8, deadline=None)
+    def test_fuzz_evolved_read_cross_engine(self, data, spark, tmp_path_factory):
+        import json as _json
+
+        from avro_spark import jvm as J
+        from avro_spark.sources.avro_ocf import (
+            read_avro_files_evolved, write_avro_files,
+        )
+        from ddt_helpers import Unconvertible, to_row_value
+
+        if not (J.ensure_jar() and J.jvm_codec_available(spark)):
+            pytest.skip("no JDK")
+        gen = _Gen(data.draw)
+        schema_dict = _root_record(gen)
+        writer = avs.create(schema_dict)
+        norms = []
+        for _ in range(gen.draw(st.integers(1, 3))):
+            norms.append(avs.validate(writer, gen.value(schema_dict)))
+
+        # reader mutation + independent expected projection (the same
+        # rules as TestEvolutionFuzz, over every record)
+        rng = gen.draw
+        fields = rng(st.permutations(list(schema_dict["fields"])))
+        reader_fields = []
+        projections = []  # (name, transform) in reader order
+        for pos, f in enumerate(fields):
+            if pos > 0 and rng(st.booleans()):
+                continue  # reader drops this writer field
+            t = f["type"]
+            tx = lambda v: v
+            if t == "int" and rng(st.booleans()):
+                t = "long"
+            elif t == "float" and rng(st.booleans()):
+                t = "double"
+            elif t == "string" and rng(st.booleans()):
+                t = "bytes"
+                tx = lambda v: None if v is None else v.encode("utf-8")
+            reader_fields.append({"name": f["name"], "type": t})
+            projections.append((f["name"], tx))
+        if rng(st.booleans()):
+            reader_fields.append({"name": "added", "type": "int", "default": 42})
+            projections.append(("added", None))
+        reader = avs.create({
+            "type": "record", "name": "Root", "fields": reader_fields})
+        expected = [
+            {name: (42 if tx is None else tx(n[name]))
+             for name, tx in projections}
+            for n in norms
+        ]
+        try:
+            rows = [to_row_value(writer.root, _ddt_form(n)) for n in norms]
+            want_rows = [to_row_value(reader.root, _ddt_form(e)) for e in expected]
+        except Unconvertible:
+            return
+        df = spark.createDataFrame(rows, writer.to_struct_type()).coalesce(1)
+        want = sorted(
+            _json.dumps(r.asDict(recursive=True), sort_keys=True, default=repr)
+            for r in spark.createDataFrame(
+                want_rows, reader.to_struct_type()).collect()
+        )
+        base = tmp_path_factory.mktemp("ocf_evo_fuzz")
+        for weng in ("python", "jvm"):
+            d = str(base / weng)
+            write_avro_files(df, writer, d, block_records=2, engine=weng)
+            for reng in ("python", "jvm"):
+                back = read_avro_files_evolved(spark, d, reader, engine=reng)
+                got = sorted(
+                    _json.dumps(r.asDict(recursive=True), sort_keys=True,
+                                default=repr)
+                    for r in back.collect()
+                )
+                assert got == want, (weng, reng, schema_dict, reader_fields)

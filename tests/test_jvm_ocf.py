@@ -300,6 +300,45 @@ def test_mixed_writer_schema_directory_fails_loudly(spark, tmp_path):
     assert [(r.a, r.b) for r in got] == [(3, "z")]
 
 
+def test_null_branch_union_ocf_read_feeds_evolution_plan(spark, tmp_path):
+    """Pinned regression for the r5 representation seam: a [null, "int*"]
+    union written to OCF, read back on EVERY write×read engine
+    combination, then fed through compile(writer, reader).flatten — the
+    evolution plan keys on $type$, so the null branch must arrive as the
+    tagged struct {$type$: 0, int: null}, never an outer null (which
+    flatten would silently emit as a null output cell)."""
+    writer = avro_spark.create({
+        "type": "record", "name": "U",
+        "fields": [{"name": "id", "type": "long"},
+                   {"name": "f0", "type": ["null", "int*"]}]})
+    # reader reorders fields — forces a real resolution plan, not identity
+    reader = avro_spark.create({
+        "type": "record", "name": "U",
+        "fields": [{"name": "f0", "type": ["null", "int*"]},
+                   {"name": "id", "type": "long"}]})
+    rows = [
+        (1, (0, None)),   # the null BRANCH (tag 0)
+        (2, (1, 5)),      # int payload on the int* branch
+        (3, (1, None)),   # null PAYLOAD on the int* branch — distinct!
+    ]
+    df = spark.createDataFrame(rows, writer.to_struct_type())
+    engines = ["python"] + (["jvm"] if _jvm_ready(spark) else [])
+    cs = avro_spark.compile(writer, reader)
+    for weng in engines:
+        d = str(tmp_path / f"u_{weng}")
+        write_avro_files(df, writer, d, engine=weng)
+        for reng in engines:
+            back = read_avro_files(spark, d, writer, engine=reng)
+            got = {r.id: tuple(r.f0) for r in back.collect()}
+            assert got == {1: (0, None), 2: (1, 5), 3: (1, None)}, (weng, reng)
+            # through the evolution plan: flatten against the writer,
+            # unflatten with the reader mapping — tags must survive
+            out = cs.unflatten(avro_spark.compile(writer).flatten(back))
+            rt = {r.id: tuple(r.f0) for r in out.collect()}
+            assert rt == {1: (0, None), 2: (1, 5), 3: (1, None)}, (
+                "evolution", weng, reng)
+
+
 def test_mixed_schema_guard_survives_unreadable_headers(
     spark, tmp_path, monkeypatch
 ):

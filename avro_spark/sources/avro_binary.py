@@ -573,20 +573,37 @@ def to_avro_bytes(
             buf = bytearray()
             offsets = [0]
             for vals in zip(*cols):
+                row_start = len(buf)
                 for enc_f, v in zip(row_encs, vals):
                     enc_f(buf, v)
                 offsets.append(len(buf))
                 if len(buf) > 0x7FFFFFFF:
                     # the 1 GiB flush below runs only BETWEEN rows, so a
-                    # single >~1 GiB encoded row can push the final offset
-                    # past INT32_MAX — np.asarray(..., np.int32) would then
+                    # single huge row can push the final offset past
+                    # INT32_MAX — np.asarray(..., np.int32) would then
                     # silently wrap (numpy<2) into a corrupt Arrow binary
-                    # array. Arrow's 32-bit binary type cannot carry such a
-                    # row at all; fail loudly instead.
-                    raise AvroSparkError(
-                        f"encoded Avro row of {len(buf) - offsets[-2]} bytes "
-                        "exceeds Arrow binary's 2 GiB offset limit"
-                    )
+                    # array. Rebase: emit the COMPLETE previous rows as
+                    # their own batch and restart offsets at this row;
+                    # only a single row that itself exceeds the limit is
+                    # unrepresentable in Arrow's 32-bit binary — fail
+                    # loudly on that.
+                    row_len = len(buf) - row_start
+                    if row_len > 0x7FFFFFFF:
+                        raise AvroSparkError(
+                            f"encoded Avro row of {row_len} bytes exceeds "
+                            "Arrow binary's 2 GiB offset limit"
+                        )
+                    if row_start > 0:
+                        arr = pa.Array.from_buffers(
+                            pa.binary(), len(offsets) - 2,
+                            [None,
+                             pa.py_buffer(
+                                 np.asarray(offsets[:-1], np.int32).tobytes()),
+                             pa.py_buffer(bytes(buf[:row_start]))],
+                        )
+                        yield pa.RecordBatch.from_arrays([arr], [column])
+                        buf = bytearray(buf[row_start:])
+                        offsets = [0, row_len]
                 if len(buf) > (1 << 30):
                     # keep Arrow's int32 binary offsets safe for huge rows
                     arr = pa.Array.from_buffers(

@@ -375,17 +375,25 @@ def read_avro_files(
     if engine != "python" and _jvm_ocf_ok(spark, schema, codec):
         from ..jvm import read_ocf_content_jvm
 
-        # files the driver-side peek could not reach (non-local storage)
-        # still need an executor-side guard on the JVM path — SplitBlocks
-        # byte-compares each file's embedded writer schema, same as the
-        # streaming source (the Python engine re-checks canonically per
-        # file on its own)
-        guard = "" if (fully_verified or not verify_schemas) else json.dumps(
-            schema.export()
-        )
-        return read_ocf_content_jvm(
-            files.select("content"), schema, expect_schema_json=guard
-        )
+        if fully_verified or not verify_schemas:
+            return read_ocf_content_jvm(files.select("content"), schema)
+        if engine == "jvm":
+            # forced JVM with files the driver-side peek could not reach
+            # (non-local storage): SplitBlocks byte-compares each file's
+            # embedded writer schema, same as the streaming source. This
+            # can false-fail canonically-equal FOREIGN renderings (the
+            # error says so and points at engine='python'); the loud
+            # failure beats decoding a mixed directory as garbage.
+            return read_ocf_content_jvm(
+                files.select("content"), schema,
+                expect_schema_json=json.dumps(schema.export()),
+            )
+        # engine='auto' with unverified files: prefer correctness — the
+        # Python engine re-checks every file's writer schema CANONICALLY
+        # in the executor (rendering-insensitive), where the JVM byte-
+        # compare would reject equal-but-differently-rendered schemas.
+        # Callers who know the listing is uniform keep JVM speed with
+        # verify_schemas=False.
     if engine == "jvm":
         raise AvroSparkError(
             "engine='jvm' unavailable (no JDK, unsupported schema shape, "

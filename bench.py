@@ -158,7 +158,9 @@ _LINEITEM_NESTED = {
 }
 
 
-def _throughput_probes(spark, sf_dir: str) -> dict[str, int]:
+def _throughput_probes(
+    spark, sf_dir: str
+) -> tuple[dict, dict, dict, dict]:
     """rows/sec of the BASELINE.md-mapped transforms over lineitem (the
     largest driver table) and orders; warm-then-time like the queries."""
     import time as _time

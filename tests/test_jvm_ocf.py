@@ -390,6 +390,23 @@ def test_mixed_schema_guard_survives_unreadable_headers(
     # python engine re-checks per file in the executor regardless
     with pytest.raises(Exception, match="writer-schema mismatch"):
         read_avro_files(spark, d, s1, engine="python").collect()
+    # engine='auto' with unverified files routes to the Python engine
+    # whose canonical executor check catches the mixed dir...
+    with pytest.raises(Exception, match="writer-schema mismatch"):
+        read_avro_files(spark, d, s1, engine="auto").collect()
+    # ...and, crucially, does NOT false-fail a UNIFORM directory whose
+    # schema rendering differs from export() (the JVM byte-compare
+    # would); canonical equality is what counts
+    d_uni = str(tmp_path / "uniform")
+    write_avro_files(
+        spark.createDataFrame([(1, "x"), (2, "y")], s1.to_struct_type()),
+        s1, d_uni)
+    s1_docful = avro_spark.create({
+        "type": "record", "name": "M", "doc": "different rendering",
+        "fields": [{"name": "a", "type": "long", "doc": "k"},
+                   {"name": "b", "type": "string"}]})
+    got = read_avro_files(spark, d_uni, s1_docful, engine="auto").collect()
+    assert sorted((r.a, r.b) for r in got) == [(1, "x"), (2, "y")]
 
 
 def test_read_avro_files_evolved(spark, tmp_path):

@@ -565,6 +565,38 @@ def q_ocf_split_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_avro_files(spark, out, sch, split_bytes=4096)
 
 
+def q_ocf_projected_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection pushdown INTO the OCF decoder (r6): write orders with
+    3 columns, read back only (o_orderkey, o_totalprice) — the skipped
+    o_custkey is byte-advanced, never materialized, on whichever engine
+    (JVM DecodeBlockProj / Python projected_record_decoder) the auto
+    route picks. Oracle: the same projection straight off the base
+    table."""
+    import tempfile
+
+    from avro_spark.sources.avro_ocf import read_avro_files, write_avro_files
+
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    sch = avro_spark.create(
+        {
+            "type": "record",
+            "name": "OrdersP",
+            "fields": [
+                {"name": "o_orderkey", "type": "long"},
+                {"name": "o_custkey", "type": "long"},
+                {"name": "o_totalprice", "type": "double"},
+            ],
+        }
+    )
+    out = tempfile.mkdtemp(prefix="ocf_proj_")
+    write_avro_files(orders.repartition(2), sch, out, block_records=256)
+    return read_avro_files(
+        spark, out, sch, columns=["o_orderkey", "o_totalprice"]
+    )
+
+
 def q_jsonl_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AVRO-convention JSONL sink→source = identity on events with a
     3-branch union payload: unions travel as {"<tag>": value}
@@ -2424,6 +2456,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_avro_decode": q_streaming_avro_decode,
         # (streaming_ocf_source, ocf_evolved_read, decontaminate_emb_arrow,
         # knn_bruteforce_arrow promoted to the window in r6)
+        # NEW r6: projection pushdown into the OCF decoders
+        "ocf_projected_read": q_ocf_projected_read,
         # round-3 rotation: folded out after two driver-green rounds to
         # give the 7 never-driver-checked gates a CORRECTNESS row; each
         # keeps an in-window twin — defaults via conform +
@@ -3322,6 +3356,9 @@ def _oracles_extra() -> dict[str, str]:
         """,
         "ocf_split_read": """
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        """,
+        "ocf_projected_read": """
+            SELECT o_orderkey, o_totalprice FROM orders
         """,
         "media_probe": """
             SELECT doc_id,

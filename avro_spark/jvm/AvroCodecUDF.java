@@ -12,6 +12,7 @@ import org.apache.spark.sql.RowFactory;
 import org.apache.spark.sql.api.java.UDF1;
 import org.apache.spark.sql.api.java.UDF2;
 import org.apache.spark.sql.api.java.UDF4;
+import org.apache.spark.sql.api.java.UDF5;
 
 /**
  * JVM-side Avro binary codec for avro_spark: byte-compatible with the
@@ -524,6 +525,102 @@ public final class AvroCodecUDF {
         c.pos += 16;
         out.add(RowFactory.create(codec, count, data));
       }
+      return out;
+    }
+  }
+
+  // ------------------------------------------------------------- skipping
+  /** advance past one encoded value without materializing it — the
+   *  projection-pushdown half of decode. Size-prefixed array/map blocks
+   *  (negative count, Avro spec) skip in O(1). */
+  static void skip(Cursor c, Schema s) {
+    switch (s.getType()) {
+      case NULL: return;
+      case BOOLEAN: c.pos += 1; return;
+      case INT: case LONG: case ENUM: skipLong(c); return;
+      case FLOAT: c.pos += 4; return;
+      case DOUBLE: c.pos += 8; return;
+      case STRING: case BYTES: {
+        long n = readLong(c);
+        c.pos += (int) n;
+        return;
+      }
+      case FIXED: c.pos += s.getFixedSize(); return;
+      case ARRAY: {
+        while (true) {
+          long n = readLong(c);
+          if (n == 0) return;
+          if (n < 0) { long size = readLong(c); c.pos += (int) size; continue; }
+          for (long i = 0; i < n; i++) skip(c, s.getElementType());
+        }
+      }
+      case MAP: {
+        while (true) {
+          long n = readLong(c);
+          if (n == 0) return;
+          if (n < 0) { long size = readLong(c); c.pos += (int) size; continue; }
+          for (long i = 0; i < n; i++) {
+            long klen = readLong(c);
+            c.pos += (int) klen;
+            skip(c, s.getValueType());
+          }
+        }
+      }
+      case RECORD: {
+        for (Schema.Field f : s.getFields()) skip(c, f.schema());
+        return;
+      }
+      case UNION: {
+        int idx = (int) readLong(c);
+        skip(c, s.getTypes().get(idx));
+        return;
+      }
+      default:
+        throw new RuntimeException("jvm codec cannot skip " + s.getType());
+    }
+  }
+
+  static void skipLong(Cursor c) {
+    while ((c.buf[c.pos] & 0x80) != 0) c.pos++;
+    c.pos++;
+  }
+
+  /** (schemaJson, keepCsv, codec, count, block payload) → list of decoded
+   *  records carrying ONLY the keepCsv top-level fields (writer schema
+   *  order); the rest are skipped, not materialized. Avro names are
+   *  [A-Za-z0-9_]+ so a comma CSV is unambiguous. */
+  public static final class DecodeBlockProj
+      implements UDF5<String, String, String, Long, byte[], java.util.List<Object>> {
+    @Override
+    public java.util.List<Object> call(
+        String schemaJson, String keepCsv, String codec, Long count,
+        byte[] data) {
+      byte[] raw = decompressBlock(codec, data);
+      Schema s = schemaOf(schemaJson);
+      java.util.HashSet<String> keep = new java.util.HashSet<>(
+          java.util.Arrays.asList(keepCsv.split(",")));
+      List<Schema.Field> fields = s.getFields();
+      boolean[] take = new boolean[fields.size()];
+      int nKeep = 0;
+      for (int j = 0; j < fields.size(); j++) {
+        take[j] = keep.contains(fields.get(j).name());
+        if (take[j]) nKeep++;
+      }
+      int n = count.intValue();
+      java.util.ArrayList<Object> out = new java.util.ArrayList<>(n);
+      Cursor c = new Cursor(raw);
+      for (int i = 0; i < n; i++) {
+        Object[] vals = new Object[nKeep];
+        int p = 0;
+        for (int j = 0; j < fields.size(); j++) {
+          if (take[j]) vals[p++] = decode(c, fields.get(j).schema());
+          else skip(c, fields.get(j).schema());
+        }
+        out.add(RowFactory.create(vals));
+      }
+      if (c.pos != raw.length)
+        throw new RuntimeException(
+            "trailing bytes in OCF block: " + (raw.length - c.pos));
       return out;
     }
   }

@@ -281,14 +281,36 @@ def _register_decode_block(spark: SparkSession, schema: Schema, json_str: str) -
     return name
 
 
+def _register_decode_block_proj(
+    spark: SparkSession, out_struct: T.StructType, json_str: str, keep_csv: str
+) -> str:
+    fp = hashlib.md5(f"{json_str}\x00{keep_csv}".encode()).hexdigest()[:12]
+    name = f"avsp_jvm_decprj_{fp}"
+    app = spark.sparkContext.applicationId
+    if (app, name) not in _registered:
+        spark.udf.registerJavaFunction(
+            name,
+            "avrospark.AvroCodecUDF$DecodeBlockProj",
+            T.ArrayType(out_struct),
+        )
+        _registered.add((app, name))
+    return name
+
+
 def decode_ocf_blocks_jvm(
     blocks: DataFrame, schema: Schema, codec_col: str = "codec",
     count_col: str = "count", data_col: str = "data",
+    columns: "Optional[list[str]]" = None,
 ) -> DataFrame:
     """(codec, count, compressed payload) block rows → record-shaped
     DataFrame, with decompression + the per-record decode loop entirely
     JVM-side. The explode generator streams block rows through, so task
-    memory is bounded by BLOCK size, never file or split size."""
+    memory is bounded by BLOCK size, never file or split size.
+
+    ``columns`` pushes the projection INTO the decoder: unrequested
+    top-level fields are byte-skipped, never materialized (the Avro
+    analogue of parquet column pruning — the bytes are still read, row
+    format, but nothing is allocated or shipped for pruned fields)."""
     import json
 
     root = schema.root
@@ -298,16 +320,31 @@ def decode_ocf_blocks_jvm(
     if not _attach(spark):
         raise JvmUnsupported("no JDK available to build the codec jar")
     json_str = json.dumps(plain_avro_json(root))
-    fn = _register_decode_block(spark, schema, json_str)
-    recs = blocks.select(
-        F.explode(
-            F.call_udf(
-                fn, F.lit(json_str), F.col(codec_col),
-                F.col(count_col), F.col(data_col),
-            )
-        ).alias("r")
-    )
     spark_t = schema.to_struct_type()
+    if columns is not None:
+        keep = set(columns)
+        unknown = sorted(keep - {f.name for f in root.fields})
+        if unknown:
+            from ..errors import AvroSparkError
+
+            raise AvroSparkError(
+                f"projection names unknown fields {unknown}"
+            )
+        out_struct = T.StructType([f for f in spark_t.fields if f.name in keep])
+        keep_csv = ",".join(f.name for f in root.fields if f.name in keep)
+        fn = _register_decode_block_proj(spark, out_struct, json_str, keep_csv)
+        call = F.call_udf(
+            fn, F.lit(json_str), F.lit(keep_csv), F.col(codec_col),
+            F.col(count_col), F.col(data_col),
+        )
+        spark_t = out_struct
+    else:
+        fn = _register_decode_block(spark, schema, json_str)
+        call = F.call_udf(
+            fn, F.lit(json_str), F.col(codec_col),
+            F.col(count_col), F.col(data_col),
+        )
+    recs = blocks.select(F.explode(call).alias("r"))
     return recs.select(
         *[F.col(f"r.`{f.name}`").alias(f.name) for f in spark_t.fields]
     )
@@ -315,6 +352,7 @@ def decode_ocf_blocks_jvm(
 
 def read_ocf_content_jvm(
     files: DataFrame, schema: Schema, expect_schema_json: str = "",
+    columns: "Optional[list[str]]" = None,
 ) -> DataFrame:
     """binaryFile rows (``content`` = whole OCF file bytes) → records,
     fully JVM-side: SplitBlocks parses the container framing, DecodeBlock
@@ -333,7 +371,7 @@ def read_ocf_content_jvm(
             F.call_udf(split_fn, F.lit(expect_schema_json), F.col("content"))
         ).alias("b")
     ).select("b.codec", "b.count", "b.data")
-    return decode_ocf_blocks_jvm(blocks, schema)
+    return decode_ocf_blocks_jvm(blocks, schema, columns=columns)
 
 
 def _relaxed(dt: T.DataType) -> T.DataType:

@@ -456,6 +456,160 @@ def _compile_decoder_impl(node: SchemaNode) -> Callable[[bytes, int], tuple[Any,
     raise CompileError(f"cannot decode {node!r}")
 
 
+def _compile_skipper(node: SchemaNode) -> Callable[[bytes, int], int]:
+    """Closure-tree SKIPPER: advance past one encoded value without
+    materializing it — the projection-pushdown half of the decoder.
+    Skipping a string/bytes/fixed is pointer arithmetic; a size-prefixed
+    array/map block (negative count per the Avro spec) skips in O(1).
+    Same TLS memo pattern as the decoder so recursive schemas tie the
+    knot instead of looping the compile."""
+    top = getattr(_CODEC_TLS, "skip", None) is None
+    if top:
+        _CODEC_TLS.skip = {}
+    memo = _CODEC_TLS.skip
+    try:
+        hit = memo.get(id(node))
+        if hit is not None:
+            return hit[1]
+        cell: list = [None]
+
+        def skip_forward(buf: bytes, pos: int) -> int:
+            return cell[0](buf, pos)
+
+        memo[id(node)] = (node, skip_forward)
+        real = _compile_skipper_impl(node)
+        cell[0] = real
+        memo[id(node)] = (node, real)
+        return real
+    finally:
+        if top:
+            _CODEC_TLS.skip = None
+
+
+def _skip_long(buf: bytes, pos: int) -> int:
+    while buf[pos] & 0x80:
+        pos += 1
+    return pos + 1
+
+
+def _compile_skipper_impl(node: SchemaNode) -> Callable[[bytes, int], int]:
+    if node.nullable:
+        inner = _compile_skipper(_strip_nullable(node))
+        def skip_nullable(buf: bytes, pos: int) -> int:
+            b, pos = _read_long(buf, pos)
+            return pos if b == 0 else inner(buf, pos)
+        return skip_nullable
+    if isinstance(node, Primitive):
+        t = node.type
+        if t == "null":
+            return lambda buf, pos: pos
+        if t == "boolean":
+            return lambda buf, pos: pos + 1
+        if t in ("int", "long"):
+            return _skip_long
+        if t == "float":
+            return lambda buf, pos: pos + 4
+        if t == "double":
+            return lambda buf, pos: pos + 8
+        if t in ("string", "bytes"):
+            def skip_len_prefixed(buf: bytes, pos: int) -> int:
+                n, pos = _read_long(buf, pos)
+                return pos + n
+            return skip_len_prefixed
+        raise CompileError(f"cannot skip {t}")
+    if isinstance(node, Enum):
+        return _skip_long
+    if isinstance(node, Fixed):
+        size = node.size
+        return lambda buf, pos: pos + size
+    if isinstance(node, Array):
+        item = _compile_skipper(node.items)
+        def skip_array(buf: bytes, pos: int) -> int:
+            while True:
+                n, pos = _read_long(buf, pos)
+                if n == 0:
+                    return pos
+                if n < 0:  # size-prefixed block: skip the whole block O(1)
+                    size, pos = _read_long(buf, pos)
+                    pos += size
+                    continue
+                for _ in range(n):
+                    pos = item(buf, pos)
+        return skip_array
+    if isinstance(node, Map):
+        val = _compile_skipper(node.values)
+        def skip_map(buf: bytes, pos: int) -> int:
+            while True:
+                n, pos = _read_long(buf, pos)
+                if n == 0:
+                    return pos
+                if n < 0:
+                    size, pos = _read_long(buf, pos)
+                    pos += size
+                    continue
+                for _ in range(n):
+                    klen, pos = _read_long(buf, pos)
+                    pos += klen
+                    pos = val(buf, pos)
+        return skip_map
+    if isinstance(node, Record):
+        fields = [_compile_skipper(f.type) for f in node.fields]
+        def skip_record(buf: bytes, pos: int) -> int:
+            for s in fields:
+                pos = s(buf, pos)
+            return pos
+        return skip_record
+    if isinstance(node, UnionNode):
+        skips = [_compile_skipper(b) for b in node.branches]
+        def skip_union(buf: bytes, pos: int) -> int:
+            i, pos = _read_long(buf, pos)
+            return skips[i](buf, pos)
+        return skip_union
+    raise CompileError(f"cannot skip {node!r}")
+
+
+def projected_field_steps(
+    root: Record, columns: "list[str]"
+) -> "list[tuple[Optional[str], Callable]]":
+    """(name, fn) per writer field IN SCHEMA ORDER: requested fields get
+    their decoder (name = field name), the rest get their skipper
+    (name = None). Unknown names raise; the projection keeps schema
+    order — reorder downstream with .select()."""
+    known = {f.name for f in root.fields}
+    unknown = sorted(set(columns) - known)
+    if unknown:
+        raise AvroSparkError(
+            f"projection names unknown fields {unknown}; schema has "
+            f"{sorted(known)}"
+        )
+    keep = set(columns)
+    return [
+        (f.name, _compile_decoder(f.type)) if f.name in keep
+        else (None, _compile_skipper(f.type))
+        for f in root.fields
+    ]
+
+
+def projected_record_decoder(
+    root: Record, columns: "list[str]"
+) -> Callable[[bytes, int], tuple[dict, int]]:
+    """Record decoder that materializes ONLY ``columns`` (schema order)
+    and byte-skips the rest — drop-in for _compile_decoder(root) on
+    projection-pushdown read paths."""
+    steps = projected_field_steps(root, columns)
+
+    def dec(buf: bytes, pos: int):
+        out: dict = {}
+        for name, fn in steps:
+            if name is None:
+                pos = fn(buf, pos)
+            else:
+                out[name], pos = fn(buf, pos)
+        return out, pos
+
+    return dec
+
+
 # -------------------------------------------------------- value normalizing
 def _normalize(v: Any, node: SchemaNode) -> Any:
     """pandas/Arrow cell → plain record-form Python value."""

@@ -198,13 +198,24 @@ def write_ocf_bytes(
     return bytes(out)
 
 
+def _project_struct(struct, columns: "list[str]"):
+    """StructType restricted to ``columns``, keeping schema order."""
+    from pyspark.sql import types as T
+
+    keep = set(columns)
+    return T.StructType([f for f in struct.fields if f.name in keep])
+
+
 def read_ocf_bytes(
-    blob: bytes, schema: Optional[Schema] = None
+    blob: bytes, schema: Optional[Schema] = None,
+    columns: "Optional[list[str]]" = None,
 ) -> tuple[Schema, list[Any]]:
     """Decode one OCF file; returns (writer schema, records). Pass
     ``schema`` to skip re-parsing the embedded writer schema (it must be
     the same writer schema; cross-version resolution happens at the
-    DataFrame layer via ``avro_spark.compile``)."""
+    DataFrame layer via ``avro_spark.compile``). ``columns`` pushes a
+    projection into the decoder: unrequested top-level fields are
+    byte-skipped, never materialized."""
     if blob[:4] != MAGIC:
         raise AvroSparkError("not an Avro object container file (bad magic)")
     meta, pos = _read_meta_map(blob, 4)
@@ -212,7 +223,12 @@ def read_ocf_bytes(
     _, decompress = _codec_pair(codec)
     if schema is None:
         schema = create(json.loads(meta["avro.schema"].decode("utf-8")))
-    dec = _compile_decoder(schema.root)
+    if columns is not None:
+        from .avro_binary import projected_record_decoder
+
+        dec = projected_record_decoder(schema.root, columns)
+    else:
+        dec = _compile_decoder(schema.root)
     sync = blob[pos : pos + 16]
     pos += 16
     records: list[Any] = []
@@ -317,6 +333,7 @@ def read_avro_files(
     split_bytes: "Optional[int | str]" = None,
     engine: str = "auto",
     verify_schemas: bool = True,
+    columns: "Optional[list[str]]" = None,
 ) -> DataFrame:
     """Directory/glob of ``.avro`` OCF files → record-shaped DataFrame.
 
@@ -336,11 +353,18 @@ def read_avro_files(
     sync-marker split, for corpora of few huge files where per-file
     tasks would underuse the cluster. When ``schema`` is None the writer
     schema is peeked from the first file's header.
+
+    ``columns`` pushes the projection INTO the decoder on every engine:
+    unrequested top-level fields are byte-skipped, never materialized or
+    shipped — the Avro (row-format) analogue of parquet column pruning.
+    Output keeps schema order; reorder downstream with ``.select()``.
     """
     from ..util import ensure_workers
 
     if split_bytes is not None:
-        return read_avro_files_split(spark, path, schema, split_bytes, engine=engine)
+        return read_avro_files_split(
+            spark, path, schema, split_bytes, engine=engine, columns=columns
+        )
     if engine not in ("auto", "python", "jvm"):
         raise AvroSparkError(f"bad engine: {engine}")
     ensure_workers(spark)
@@ -376,7 +400,9 @@ def read_avro_files(
         from ..jvm import read_ocf_content_jvm
 
         if fully_verified or not verify_schemas:
-            return read_ocf_content_jvm(files.select("content"), schema)
+            return read_ocf_content_jvm(
+                files.select("content"), schema, columns=columns
+            )
         if engine == "jvm":
             # forced JVM with files the driver-side peek could not reach
             # (non-local storage): SplitBlocks byte-compares each file's
@@ -387,6 +413,7 @@ def read_avro_files(
             return read_ocf_content_jvm(
                 files.select("content"), schema,
                 expect_schema_json=json.dumps(schema.export()),
+                columns=columns,
             )
         # engine='auto' with unverified files: prefer correctness — the
         # Python engine re-checks every file's writer schema CANONICALLY
@@ -399,18 +426,30 @@ def read_avro_files(
             "engine='jvm' unavailable (no JDK, unsupported schema shape, "
             f"or block codec {codec!r} outside the JVM's set)"
         )
-    return _decode_content_python(files, schema)
+    return _decode_content_python(files, schema, columns=columns)
 
 
-def _decode_content_python(files: DataFrame, schema: Schema) -> DataFrame:
+def _decode_content_python(
+    files: DataFrame, schema: Schema,
+    columns: "Optional[list[str]]" = None,
+) -> DataFrame:
     """``(path, content)`` (whole OCF file bytes) rows → records via the
     Arrow-batched pure-Python codec — the no-JDK path shared by the
     batch reader and the streaming source. Each file's embedded writer
     schema is canonically checked in the executor (so non-local storage,
-    which the driver-side header peek skips, is still covered)."""
+    which the driver-side header peek skips, is still covered).
+    ``columns`` pushes the projection into the decoder (unrequested
+    fields byte-skip)."""
     struct = schema.to_struct_type()
+    if columns is not None:
+        from .avro_binary import projected_field_steps
+
+        projected_field_steps(schema.root, columns)  # validate names NOW
+        struct = _project_struct(struct, columns)
     # decoded records cross Arrow IPC out of the Python worker — fail at
-    # plan build, not mid-job (Arrow's 64-level recursion limit)
+    # plan build, not mid-job (Arrow's 64-level recursion limit). The
+    # check runs on the PROJECTED struct: a projection that drops the
+    # too-deep field makes the read legal.
     check_arrow_nesting(struct, "read_avro_files(engine='python')")
     schema_export = json.dumps(schema.export())
 
@@ -427,7 +466,10 @@ def _decode_content_python(files: DataFrame, schema: Schema) -> DataFrame:
         sch = create(json.loads(schema_export))
         expected_cf = canonical_form(sch.root)
         ok: set = set()
-        arrow_schema = to_arrow_schema(_strip_metadata(sch.to_struct_type()))
+        out_struct = _strip_metadata(sch.to_struct_type())
+        if columns is not None:
+            out_struct = _project_struct(out_struct, columns)
+        arrow_schema = to_arrow_schema(out_struct)
         for b in batches:
             for row in b.to_pylist():
                 blob = bytes(row["content"])
@@ -439,7 +481,7 @@ def _decode_content_python(files: DataFrame, schema: Schema) -> DataFrame:
                 _check_writer_schema(
                     expected_cf, meta["avro.schema"], row["path"], ok
                 )
-                _, recs = read_ocf_bytes(blob, sch)
+                _, recs = read_ocf_bytes(blob, sch, columns=columns)
                 # decoded records are already {field: value} dicts keyed
                 # by exactly the root field names — no copy needed
                 yield pa.RecordBatch.from_pylist(recs, schema=arrow_schema)
@@ -504,6 +546,7 @@ def read_avro_stream(
     schema: Schema,
     engine: str = "auto",
     max_files_per_trigger: Optional[int] = None,
+    columns: "Optional[list[str]]" = None,
 ) -> DataFrame:
     """STREAMING OCF source: ``readStream`` over a directory of ``.avro``
     files (binaryFile file-stream — new files picked up per trigger),
@@ -531,12 +574,13 @@ def read_avro_stream(
         return read_ocf_content_jvm(
             files.select("content"), schema,
             expect_schema_json=json.dumps(schema.export()),
+            columns=columns,
         )
     if engine == "jvm":
         raise AvroSparkError(
             "engine='jvm' unavailable (no JDK or unsupported schema shape)"
         )
-    return _decode_content_python(files, schema)
+    return _decode_content_python(files, schema, columns=columns)
 
 
 def _local_path(uri: str) -> str:
@@ -651,6 +695,7 @@ def read_avro_files_split(
     schema: Optional[Schema] = None,
     split_bytes: "int | str" = 128 << 20,
     engine: str = "auto",
+    columns: "Optional[list[str]]" = None,
 ) -> DataFrame:
     """OCF files → record DataFrame with BLOCK-LEVEL parallelism: each
     file is planned into ~``split_bytes`` byte ranges and every range is
@@ -806,10 +851,17 @@ def read_avro_files_split(
         block_rows = sdf.mapInArrow(
             emit_blocks, schema="codec string, count long, data binary"
         )
-        return decode_ocf_blocks_jvm(block_rows, schema)
+        return decode_ocf_blocks_jvm(block_rows, schema, columns=columns)
 
-    # python block decode: records cross Arrow IPC out of the worker
-    check_arrow_nesting(struct, "read_avro_files_split(engine='python')")
+    # python block decode: records cross Arrow IPC out of the worker.
+    # The nesting check runs on the PROJECTED struct: a projection that
+    # drops the too-deep field makes the read legal.
+    out_struct = struct if columns is None else _project_struct(struct, columns)
+    if columns is not None:
+        from .avro_binary import projected_field_steps
+
+        projected_field_steps(schema.root, columns)  # validate names NOW
+    check_arrow_nesting(out_struct, "read_avro_files_split(engine='python')")
 
     def decode(batches):
         # Arrow-native output — exact int64, see read_avro_files.decode
@@ -818,8 +870,20 @@ def read_avro_files_split(
         from pyspark.sql.pandas.types import to_arrow_schema
 
         sch = create(json.loads(schema_export))
-        dec = _compile_decoder(sch.root)
-        arrow_schema = to_arrow_schema(_strip_metadata(sch.to_struct_type()))
+        # the record loop may PROJECT (byte-skip unrequested fields); the
+        # split-start candidate validation must decode FULL rows, so it
+        # keeps its own full decoder
+        dec_full = _compile_decoder(sch.root)
+        if columns is None:
+            dec = dec_full
+        else:
+            from .avro_binary import projected_record_decoder
+
+            dec = projected_record_decoder(sch.root, columns)
+        a_struct = _strip_metadata(sch.to_struct_type())
+        if columns is not None:
+            a_struct = _project_struct(a_struct, columns)
+        arrow_schema = to_arrow_schema(a_struct)
 
         def emit(recs):
             # decoded records are already {field: value} dicts
@@ -835,7 +899,7 @@ def read_avro_files_split(
                         b = start  # first block needs no scan
                     else:
                         b = _find_block_start(
-                            fh, file_len, start, end, sync, codec, dec,
+                            fh, file_len, start, end, sync, codec, dec_full,
                         )
                     recs: list[Any] = []
                     while 0 <= b < end:
@@ -869,7 +933,7 @@ def read_avro_files_split(
                     if recs:
                         yield emit(recs)
 
-    return sdf.mapInArrow(decode, schema=_strip_metadata(struct))
+    return sdf.mapInArrow(decode, schema=_strip_metadata(out_struct))
 
 
 def write_avro_files(

@@ -117,8 +117,9 @@ BENCH_QUERIES = [
     "knn_bruteforce_arrow",
     "ocf_evolved_read",
     # r5 audit: oracle-checked gates the list had historically missed
-    # round 6: persisted partition-pruned IVF index
+    # round 6: persisted partition-pruned IVF index + OCF projection pushdown
     "knn_ivf_indexed",
+    "ocf_projected_read",
     "wire_roundtrip",
     "conform_json",
     "hidden_fields",

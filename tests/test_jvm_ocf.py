@@ -300,6 +300,42 @@ def test_mixed_writer_schema_directory_fails_loudly(spark, tmp_path):
     assert [(r.a, r.b) for r in got] == [(3, "z")]
 
 
+def test_projection_pushdown_matches_full_read(spark, tmp_path, zoo):
+    """columns=[...] pushes the projection INTO the decoders: both
+    engines, whole-file and split reads, must return exactly the
+    full-read-then-select result — the skipped fields cover every Avro
+    shape in the zoo (arrays, maps, unions, enum, fixed, nullables)."""
+    sch, df = zoo
+    d = str(tmp_path / "proj")
+    write_avro_files(df.repartition(2), sch, d, codec="deflate",
+                     block_records=64)
+    cols = ["id", "u3", "mp"]  # keep a union + a map; skip everything else
+    # output keeps SCHEMA order regardless of request order
+    schema_order = [f.name for f in sch.root.fields if f.name in set(cols)]
+    engines = ["python"] + (["jvm"] if _jvm_ready(spark) else [])
+    for eng in engines:
+        want = _collect(
+            read_avro_files(spark, d, sch, engine=eng).select(*schema_order))
+        got = read_avro_files(spark, d, sch, engine=eng, columns=cols)
+        assert got.columns == schema_order
+        assert _collect(got) == want, eng
+        got_s = read_avro_files_split(
+            spark, d, sch, split_bytes=4096, engine=eng, columns=cols)
+        assert _collect(got_s) == want, ("split", eng)
+    # single-column projection skips ALL trailing fields
+    for eng in engines:
+        just_id = read_avro_files(spark, d, sch, engine=eng, columns=["id"])
+        assert sorted(r.id for r in just_id.collect()) == list(range(300)), eng
+    # unknown names fail loudly at plan build on every path
+    for eng in engines:
+        with pytest.raises(Exception, match="unknown fields"):
+            read_avro_files(spark, d, sch, engine=eng, columns=["id", "nope"])
+        with pytest.raises(Exception, match="unknown fields"):
+            read_avro_files_split(
+                spark, d, sch, split_bytes=4096, engine=eng,
+                columns=["nope"])
+
+
 def test_null_branch_union_ocf_read_feeds_evolution_plan(spark, tmp_path):
     """Pinned regression for the r5 representation seam: a [null, "int*"]
     union written to OCF, read back on EVERY write×read engine

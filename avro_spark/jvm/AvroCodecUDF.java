@@ -428,6 +428,33 @@ public final class AvroCodecUDF {
     }
   }
 
+  /** (schemaJson, keepCsv, Avro binary bytes) → struct row with ONLY the
+   *  keepCsv top-level fields (writer schema order), others byte-skipped;
+   *  rejects trailing bytes. The wire-format twin of DecodeBlockProj. */
+  public static final class DecodeProj
+      implements org.apache.spark.sql.api.java.UDF3<String, String, byte[], Row> {
+    @Override
+    public Row call(String schemaJson, String keepCsv, byte[] blob) {
+      Schema s = schemaOf(schemaJson);
+      java.util.HashSet<String> keep = new java.util.HashSet<>(
+          java.util.Arrays.asList(keepCsv.split(",")));
+      List<Schema.Field> fields = s.getFields();
+      int nKeep = 0;
+      for (Schema.Field f : fields) if (keep.contains(f.name())) nKeep++;
+      Cursor c = new Cursor(blob);
+      Object[] vals = new Object[nKeep];
+      int p = 0;
+      for (Schema.Field f : fields) {
+        if (keep.contains(f.name())) vals[p++] = decode(c, f.schema());
+        else skip(c, f.schema());
+      }
+      if (c.pos != blob.length)
+        throw new RuntimeException(
+            "trailing bytes after Avro value: " + (blob.length - c.pos));
+      return RowFactory.create(vals);
+    }
+  }
+
   // ----------------------------------------------- OCF container framing
   // Block-level entry points for the Object Container File path
   // (sources/avro_ocf.py): SplitBlocks parses one whole file's container

@@ -410,8 +410,13 @@ def to_avro_bytes_jvm(df: DataFrame, schema: Schema, column: str = "avro") -> Da
     return df.select(F.call_udf(fn, F.lit(json_str), struct_col).alias(column))
 
 
-def from_avro_bytes_jvm(df: DataFrame, column: str, schema: Schema) -> DataFrame:
-    """Avro-binary column → record-shaped DataFrame, fully JVM-side."""
+def from_avro_bytes_jvm(
+    df: DataFrame, column: str, schema: Schema,
+    columns: "Optional[list[str]]" = None,
+) -> DataFrame:
+    """Avro-binary column → record-shaped DataFrame, fully JVM-side.
+    ``columns`` pushes the projection into the decoder (DecodeProj —
+    unrequested fields byte-skip)."""
     import json
 
     root = schema.root
@@ -421,9 +426,34 @@ def from_avro_bytes_jvm(df: DataFrame, column: str, schema: Schema) -> DataFrame
     if not _attach(spark):
         raise JvmUnsupported("no JDK available to build the codec jar")
     json_str = json.dumps(plain_avro_json(root))
-    fn = _register_decode(spark, schema, json_str)
     spark_t = schema.to_struct_type()
-    decoded = df.select(F.call_udf(fn, F.lit(json_str), F.col(column)).alias("r"))
+    if columns is not None:
+        keep = set(columns)
+        unknown = sorted(keep - {f.name for f in root.fields})
+        if unknown:
+            from ..errors import AvroSparkError
+
+            raise AvroSparkError(f"projection names unknown fields {unknown}")
+        spark_t = T.StructType([f for f in spark_t.fields if f.name in keep])
+        keep_csv = ",".join(f.name for f in root.fields if f.name in keep)
+        fp = hashlib.md5(f"{json_str}\x00{keep_csv}".encode()).hexdigest()[:12]
+        name = f"avsp_jvm_decp_{fp}"
+        app = spark.sparkContext.applicationId
+        if (app, name) not in _registered:
+            spark.udf.registerJavaFunction(
+                name, "avrospark.AvroCodecUDF$DecodeProj", spark_t
+            )
+            _registered.add((app, name))
+        decoded = df.select(
+            F.call_udf(
+                name, F.lit(json_str), F.lit(keep_csv), F.col(column)
+            ).alias("r")
+        )
+    else:
+        fn = _register_decode(spark, schema, json_str)
+        decoded = df.select(
+            F.call_udf(fn, F.lit(json_str), F.col(column)).alias("r")
+        )
     return decoded.select(
         *[F.col(f"r.`{f.name}`").alias(f.name) for f in spark_t.fields]
     )

@@ -788,24 +788,31 @@ def to_avro_bytes(
 
 
 def from_avro_bytes(
-    df: DataFrame, column: str, schema: Schema, engine: str = "auto"
+    df: DataFrame, column: str, schema: Schema, engine: str = "auto",
+    columns: "Optional[list[str]]" = None,
 ) -> DataFrame:
     """Avro-binary column → record-shaped DataFrame (the ``from_avro``
-    surface). ``engine`` as in :func:`to_avro_bytes`."""
+    surface). ``engine`` as in :func:`to_avro_bytes`. ``columns`` pushes
+    the projection into the decoder on either engine: unrequested
+    top-level fields are byte-skipped, never materialized (schema
+    order; reorder downstream with .select())."""
     if engine != "python":
         from .. import jvm as J
 
         if engine == "jvm":
-            return J.from_avro_bytes_jvm(df, column, schema)
+            return J.from_avro_bytes_jvm(df, column, schema, columns=columns)
         if J.jvm_codec_supported(schema) and J.jvm_codec_available(df.sparkSession):
-            return J.from_avro_bytes_jvm(df, column, schema)
+            return J.from_avro_bytes_jvm(df, column, schema, columns=columns)
     from ..util import ensure_workers
 
     ensure_workers(df.sparkSession)
     root = schema.root
     if not isinstance(root, Record):
         raise CompileError("from_avro_bytes requires a record schema")
-    decs = [_compile_decoder(f.type) for f in root.fields]
+    if columns is not None:
+        steps = projected_field_steps(root, columns)
+    else:
+        steps = [(f.name, _compile_decoder(f.type)) for f in root.fields]
     # Output type METADATA-FREE: to_struct_type() pins enum symbols /
     # fixed sizes in field metadata, and Spark's Arrow schema check
     # rejects batches lacking it. Arrow-native output
@@ -816,9 +823,15 @@ def from_avro_bytes(
     # and a big long share a batch (the decode half of the same bug
     # fixed in to_avro_bytes).
     spark_t = _strip_metadata(schema.to_struct_type())
+    if columns is not None:
+        keep = set(columns)
+        from pyspark.sql import types as _T
+
+        spark_t = _T.StructType([f for f in spark_t.fields if f.name in keep])
     # the decoded OUTPUT rows cross Arrow IPC out of the Python worker
+    # (the check runs on the PROJECTED struct — dropping a too-deep
+    # field makes the decode legal)
     check_arrow_nesting(spark_t, "from_avro_bytes(engine='python')")
-    names = [f.name for f in spark_t.fields]
 
     def _decode_batches(batches):
         import pyarrow as pa
@@ -826,19 +839,29 @@ def from_avro_bytes(
         from pyspark.sql.pandas.types import to_arrow_schema
 
         arrow_schema = to_arrow_schema(spark_t)
+        n_out = sum(1 for name, _fn in steps if name is not None)
         # columnar accumulation: per-row dicts + from_pylist's per-row
         # field lookups were measurable overhead in the hot loop; one
         # list per column + typed pa.array keeps values exact (ints stay
-        # Python ints) with no per-row containers
+        # Python ints) with no per-row containers. Skipped fields
+        # (name None) advance the cursor and emit nothing.
         for b in batches:
-            cols: list[list] = [[] for _ in decs]
-            appends = [c.append for c in cols]
+            cols: list[list] = [[] for _ in range(n_out)]
+            flat_steps = []  # (append-or-None, fn) in schema order
+            it = iter(cols)
+            for name, fn in steps:
+                flat_steps.append(
+                    (None, fn) if name is None else (next(it).append, fn)
+                )
             for blob in b.column(0).to_pylist():
                 buf = bytes(blob)
                 pos = 0
-                for ap, d in zip(appends, decs):
-                    v, pos = d(buf, pos)
-                    ap(v)
+                for ap, fn in flat_steps:
+                    if ap is None:
+                        pos = fn(buf, pos)
+                    else:
+                        v, pos = fn(buf, pos)
+                        ap(v)
                 if pos != len(buf):
                     # same contract as the driver-side decode_record —
                     # trailing garbage is schema-mismatch corruption,

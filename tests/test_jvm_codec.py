@@ -150,6 +150,25 @@ def test_general_union_roundtrip_auto(spark):
     assert got == {1: (1, 2.5, None), 2: (2, None, "x"), 3: (0, None, None)}
 
 
+def test_from_avro_bytes_projection_both_engines(spark):
+    """from_avro_bytes(columns=[...]) decodes only the requested fields
+    (others byte-skip) — identical to full-decode-then-select on both
+    engines, including skipping the general union."""
+    sch = avro_spark.create(GENERAL_UNION)
+    df = spark.createDataFrame(GENERAL_ROWS, sch.to_struct_type())
+    enc = to_avro_bytes(df, sch, "b", engine="python")
+    engines = ["python"] + (["jvm"] if _jvm_ready(spark) else [])
+    for eng in engines:
+        want = sorted(
+            map(str, from_avro_bytes(enc, "b", sch, engine=eng)
+                .select("id").collect()))
+        got_df = from_avro_bytes(enc, "b", sch, engine=eng, columns=["id"])
+        assert got_df.columns == ["id"], eng
+        assert sorted(map(str, got_df.collect())) == want, eng
+        with pytest.raises(Exception, match="unknown fields"):
+            from_avro_bytes(enc, "b", sch, engine=eng, columns=["zz"])
+
+
 def test_general_union_byte_parity(spark):
     """General multi-branch unions must produce byte-identical output on
     both engines and cross-decode, incl. no-null-branch and

@@ -428,6 +428,24 @@ public final class AvroCodecUDF {
     }
   }
 
+  /** per-(schema, keepCsv) projection plan: which top-level fields to
+   *  take and how many — computed ONCE, not per row/block (the wire
+   *  front decodes one row per call). */
+  static final ConcurrentHashMap<String, boolean[]> PROJ =
+      new ConcurrentHashMap<>();
+
+  static boolean[] projPlan(Schema s, String schemaJson, String keepCsv) {
+    return PROJ.computeIfAbsent(schemaJson + " " + keepCsv, k -> {
+      java.util.HashSet<String> keep = new java.util.HashSet<>(
+          java.util.Arrays.asList(keepCsv.split(",")));
+      List<Schema.Field> fields = s.getFields();
+      boolean[] take = new boolean[fields.size()];
+      for (int j = 0; j < fields.size(); j++)
+        take[j] = keep.contains(fields.get(j).name());
+      return take;
+    });
+  }
+
   /** (schemaJson, keepCsv, Avro binary bytes) → struct row with ONLY the
    *  keepCsv top-level fields (writer schema order), others byte-skipped;
    *  rejects trailing bytes. The wire-format twin of DecodeBlockProj. */
@@ -436,17 +454,16 @@ public final class AvroCodecUDF {
     @Override
     public Row call(String schemaJson, String keepCsv, byte[] blob) {
       Schema s = schemaOf(schemaJson);
-      java.util.HashSet<String> keep = new java.util.HashSet<>(
-          java.util.Arrays.asList(keepCsv.split(",")));
+      boolean[] take = projPlan(s, schemaJson, keepCsv);
       List<Schema.Field> fields = s.getFields();
       int nKeep = 0;
-      for (Schema.Field f : fields) if (keep.contains(f.name())) nKeep++;
+      for (boolean t : take) if (t) nKeep++;
       Cursor c = new Cursor(blob);
       Object[] vals = new Object[nKeep];
       int p = 0;
-      for (Schema.Field f : fields) {
-        if (keep.contains(f.name())) vals[p++] = decode(c, f.schema());
-        else skip(c, f.schema());
+      for (int j = 0; j < fields.size(); j++) {
+        if (take[j]) vals[p++] = decode(c, fields.get(j).schema());
+        else skip(c, fields.get(j).schema());
       }
       if (c.pos != blob.length)
         throw new RuntimeException(
@@ -569,6 +586,10 @@ public final class AvroCodecUDF {
       case DOUBLE: c.pos += 8; return;
       case STRING: case BYTES: {
         long n = readLong(c);
+        // the decoders never move the cursor backwards on corrupt
+        // lengths — neither may the skip path (a negative size here or
+        // below would make net-zero progress: an infinite loop)
+        if (n < 0) throw new RuntimeException("negative length: " + n);
         c.pos += (int) n;
         return;
       }
@@ -577,7 +598,13 @@ public final class AvroCodecUDF {
         while (true) {
           long n = readLong(c);
           if (n == 0) return;
-          if (n < 0) { long size = readLong(c); c.pos += (int) size; continue; }
+          if (n < 0) {
+            long size = readLong(c);
+            if (size < 0)
+              throw new RuntimeException("negative array block size: " + size);
+            c.pos += (int) size;
+            continue;
+          }
           for (long i = 0; i < n; i++) skip(c, s.getElementType());
         }
       }
@@ -585,9 +612,17 @@ public final class AvroCodecUDF {
         while (true) {
           long n = readLong(c);
           if (n == 0) return;
-          if (n < 0) { long size = readLong(c); c.pos += (int) size; continue; }
+          if (n < 0) {
+            long size = readLong(c);
+            if (size < 0)
+              throw new RuntimeException("negative map block size: " + size);
+            c.pos += (int) size;
+            continue;
+          }
           for (long i = 0; i < n; i++) {
             long klen = readLong(c);
+            if (klen < 0)
+              throw new RuntimeException("negative key length: " + klen);
             c.pos += (int) klen;
             skip(c, s.getValueType());
           }
@@ -624,15 +659,10 @@ public final class AvroCodecUDF {
         byte[] data) {
       byte[] raw = decompressBlock(codec, data);
       Schema s = schemaOf(schemaJson);
-      java.util.HashSet<String> keep = new java.util.HashSet<>(
-          java.util.Arrays.asList(keepCsv.split(",")));
       List<Schema.Field> fields = s.getFields();
-      boolean[] take = new boolean[fields.size()];
+      boolean[] take = projPlan(s, schemaJson, keepCsv);
       int nKeep = 0;
-      for (int j = 0; j < fields.size(); j++) {
-        take[j] = keep.contains(fields.get(j).name());
-        if (take[j]) nKeep++;
-      }
+      for (boolean t : take) if (t) nKeep++;
       int n = count.intValue();
       java.util.ArrayList<Object> out = new java.util.ArrayList<>(n);
       Cursor c = new Cursor(raw);

@@ -322,14 +322,9 @@ def decode_ocf_blocks_jvm(
     json_str = json.dumps(plain_avro_json(root))
     spark_t = schema.to_struct_type()
     if columns is not None:
-        keep = set(columns)
-        unknown = sorted(keep - {f.name for f in root.fields})
-        if unknown:
-            from ..errors import AvroSparkError
+        from ..sources.avro_binary import validate_projection
 
-            raise AvroSparkError(
-                f"projection names unknown fields {unknown}"
-            )
+        keep = validate_projection(root, columns)
         out_struct = T.StructType([f for f in spark_t.fields if f.name in keep])
         keep_csv = ",".join(f.name for f in root.fields if f.name in keep)
         fn = _register_decode_block_proj(spark, out_struct, json_str, keep_csv)
@@ -428,12 +423,9 @@ def from_avro_bytes_jvm(
     json_str = json.dumps(plain_avro_json(root))
     spark_t = schema.to_struct_type()
     if columns is not None:
-        keep = set(columns)
-        unknown = sorted(keep - {f.name for f in root.fields})
-        if unknown:
-            from ..errors import AvroSparkError
+        from ..sources.avro_binary import validate_projection
 
-            raise AvroSparkError(f"projection names unknown fields {unknown}")
+        keep = validate_projection(root, columns)
         spark_t = T.StructType([f for f in spark_t.fields if f.name in keep])
         keep_csv = ",".join(f.name for f in root.fields if f.name in keep)
         fp = hashlib.md5(f"{json_str}\x00{keep_csv}".encode()).hexdigest()[:12]

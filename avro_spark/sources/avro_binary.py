@@ -514,6 +514,10 @@ def _compile_skipper_impl(node: SchemaNode) -> Callable[[bytes, int], int]:
         if t in ("string", "bytes"):
             def skip_len_prefixed(buf: bytes, pos: int) -> int:
                 n, pos = _read_long(buf, pos)
+                if n < 0:
+                    # the decoders never move the cursor backwards on
+                    # corrupt lengths — neither may the skip path
+                    raise AvroSparkError(f"negative {t} length: {n}")
                 return pos + n
             return skip_len_prefixed
         raise CompileError(f"cannot skip {t}")
@@ -531,6 +535,13 @@ def _compile_skipper_impl(node: SchemaNode) -> Callable[[bytes, int], int]:
                     return pos
                 if n < 0:  # size-prefixed block: skip the whole block O(1)
                     size, pos = _read_long(buf, pos)
+                    if size < 0:
+                        # a negative size would move the cursor BACKWARDS
+                        # — net-zero progress, an infinite loop on corrupt
+                        # data where the decoder fails loudly
+                        raise AvroSparkError(
+                            f"negative array block size: {size}"
+                        )
                     pos += size
                     continue
                 for _ in range(n):
@@ -545,10 +556,16 @@ def _compile_skipper_impl(node: SchemaNode) -> Callable[[bytes, int], int]:
                     return pos
                 if n < 0:
                     size, pos = _read_long(buf, pos)
+                    if size < 0:
+                        raise AvroSparkError(
+                            f"negative map block size: {size}"
+                        )
                     pos += size
                     continue
                 for _ in range(n):
                     klen, pos = _read_long(buf, pos)
+                    if klen < 0:
+                        raise AvroSparkError(f"negative key length: {klen}")
                     pos += klen
                     pos = val(buf, pos)
         return skip_map
@@ -568,13 +585,12 @@ def _compile_skipper_impl(node: SchemaNode) -> Callable[[bytes, int], int]:
     raise CompileError(f"cannot skip {node!r}")
 
 
-def projected_field_steps(
-    root: Record, columns: "list[str]"
-) -> "list[tuple[Optional[str], Callable]]":
-    """(name, fn) per writer field IN SCHEMA ORDER: requested fields get
-    their decoder (name = field name), the rest get their skipper
-    (name = None). Unknown names raise; the projection keeps schema
-    order — reorder downstream with .select()."""
+def validate_projection(root: Record, columns: "list[str]") -> set:
+    """Shared projection validator for every ``columns=`` surface:
+    unknown names raise, and so does an EMPTY projection — a zero-field
+    Arrow batch always carries num_rows=0, so the Python engine would
+    silently drop every row where the JVM engine kept them. Returns the
+    keep-set."""
     known = {f.name for f in root.fields}
     unknown = sorted(set(columns) - known)
     if unknown:
@@ -582,7 +598,22 @@ def projected_field_steps(
             f"projection names unknown fields {unknown}; schema has "
             f"{sorted(known)}"
         )
-    keep = set(columns)
+    if not columns:
+        raise AvroSparkError(
+            "projection must name at least one field (columns=[] would "
+            "produce zero-width rows)"
+        )
+    return set(columns)
+
+
+def projected_field_steps(
+    root: Record, columns: "list[str]"
+) -> "list[tuple[Optional[str], Callable]]":
+    """(name, fn) per writer field IN SCHEMA ORDER: requested fields get
+    their decoder (name = field name), the rest get their skipper
+    (name = None). Unknown names raise; the projection keeps schema
+    order — reorder downstream with .select()."""
+    keep = validate_projection(root, columns)
     return [
         (f.name, _compile_decoder(f.type)) if f.name in keep
         else (None, _compile_skipper(f.type))

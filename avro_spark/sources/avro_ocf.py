@@ -442,9 +442,9 @@ def _decode_content_python(
     fields byte-skip)."""
     struct = schema.to_struct_type()
     if columns is not None:
-        from .avro_binary import projected_field_steps
+        from .avro_binary import validate_projection
 
-        projected_field_steps(schema.root, columns)  # validate names NOW
+        validate_projection(schema.root, columns)
         struct = _project_struct(struct, columns)
     # decoded records cross Arrow IPC out of the Python worker — fail at
     # plan build, not mid-job (Arrow's 64-level recursion limit). The
@@ -858,9 +858,9 @@ def read_avro_files_split(
     # drops the too-deep field makes the read legal.
     out_struct = struct if columns is None else _project_struct(struct, columns)
     if columns is not None:
-        from .avro_binary import projected_field_steps
+        from .avro_binary import validate_projection
 
-        projected_field_steps(schema.root, columns)  # validate names NOW
+        validate_projection(schema.root, columns)
     check_arrow_nesting(out_struct, "read_avro_files_split(engine='python')")
 
     def decode(batches):

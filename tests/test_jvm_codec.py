@@ -169,6 +169,38 @@ def test_from_avro_bytes_projection_both_engines(spark):
             from_avro_bytes(enc, "b", sch, engine=eng, columns=["zz"])
 
 
+def test_projection_rejects_empty_and_skipper_rejects_corrupt(spark):
+    """Two review catches pinned: (1) columns=[] must raise on every
+    path — a zero-field Arrow batch always carries num_rows=0, so the
+    Python engine would silently drop all rows while the JVM kept them;
+    (2) the skip path must fail loudly on negative lengths/block sizes
+    like the decoders do — a negative size moved the cursor backwards
+    (net-zero progress: an infinite loop on corrupt data)."""
+    from avro_spark.errors import AvroSparkError
+    from avro_spark.sources.avro_binary import _compile_skipper
+
+    sch = avro_spark.create(GENERAL_UNION)
+    df = spark.createDataFrame(GENERAL_ROWS, sch.to_struct_type())
+    enc = to_avro_bytes(df, sch, "b", engine="python")
+    for eng in ["python"] + (["jvm"] if _jvm_ready(spark) else []):
+        with pytest.raises(AvroSparkError, match="at least one field"):
+            from_avro_bytes(enc, "b", sch, engine=eng, columns=[])
+
+    arr_sch = avro_spark.create({
+        "type": "record", "name": "A",
+        "fields": [{"name": "xs", "type": {"type": "array", "items": "int"}}]})
+    skip = _compile_skipper(arr_sch.root)
+    # block header count=-1 (zigzag 0x01), size=-2 (zigzag 0x03): the
+    # old skipper moved pos BACKWARDS by 2 and looped forever
+    with pytest.raises(AvroSparkError, match="negative array block size"):
+        skip(bytes([0x01, 0x03]), 0)
+    str_sch = avro_spark.create({
+        "type": "record", "name": "S",
+        "fields": [{"name": "t", "type": "string"}]})
+    with pytest.raises(AvroSparkError, match="negative string length"):
+        _compile_skipper(str_sch.root)(bytes([0x05]), 0)  # len = -3
+
+
 def test_general_union_byte_parity(spark):
     """General multi-branch unions must produce byte-identical output on
     both engines and cross-decode, incl. no-null-branch and

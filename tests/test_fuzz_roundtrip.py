@@ -1425,6 +1425,71 @@ class TestFuzzOcfCrossEngine:
                 assert got == want, (weng, reng, schema_dict)
 
 
+class TestFuzzProjection:
+    """Projected decode == full decode + select, over random schemas on
+    both engines (OCF and wire surfaces): the skipper must advance the
+    cursor EXACTLY as the decoder does for every type shape, or the
+    fields after a skipped one decode garbage/trailing-byte errors."""
+
+    @given(data=st.data())
+    @settings(max_examples=10, deadline=None)
+    def test_fuzz_projected_reads(self, data, spark, tmp_path_factory):
+        import json as _json
+
+        from avro_spark import jvm as J
+        from avro_spark.sources.avro_binary import (
+            from_avro_bytes, to_avro_bytes,
+        )
+        from avro_spark.sources.avro_ocf import (
+            read_avro_files, write_avro_files,
+        )
+        from ddt_helpers import Unconvertible, to_row_value
+
+        if not (J.ensure_jar() and J.jvm_codec_available(spark)):
+            pytest.skip("no JDK")
+        gen = _Gen(data.draw)
+        schema_dict = _root_record(gen)
+        sch = avs.create(schema_dict)
+        rows = []
+        for _ in range(gen.draw(st.integers(1, 3))):
+            norm = avs.validate(sch, gen.value(schema_dict))
+            try:
+                rows.append(to_row_value(sch.root, norm))
+            except Unconvertible:
+                return
+        df = spark.createDataFrame(rows, sch.to_struct_type()).coalesce(1)
+        names = [f.name for f in sch.root.fields]
+        n_keep = gen.draw(st.integers(1, len(names)))
+        cols = gen.draw(
+            st.permutations(names).map(lambda p: sorted(p[:n_keep]))
+        )
+
+        def canon(frame):
+            return sorted(
+                _json.dumps(r.asDict(recursive=True), sort_keys=True,
+                            default=repr)
+                for r in frame.collect()
+            )
+
+        d = str(tmp_path_factory.mktemp("proj_fuzz") / "ocf")
+        write_avro_files(df, sch, d, block_records=2)
+        keep_schema_order = [n for n in names if n in set(cols)]
+        for eng in ("python", "jvm"):
+            want = canon(
+                read_avro_files(spark, d, sch, engine=eng)
+                .select(*keep_schema_order))
+            got = canon(
+                read_avro_files(spark, d, sch, engine=eng, columns=cols))
+            assert got == want, ("ocf", eng, cols, schema_dict)
+            enc = to_avro_bytes(df, sch, "b", engine=eng)
+            want_w = canon(
+                from_avro_bytes(enc, "b", sch, engine=eng)
+                .select(*keep_schema_order))
+            got_w = canon(
+                from_avro_bytes(enc, "b", sch, engine=eng, columns=cols))
+            assert got_w == want_w, ("wire", eng, cols, schema_dict)
+
+
 class TestFuzzOcfEvolvedRead:
     """Evolution at the FILE boundary: random writer schema → random
     reader mutation (reorder + drop + primitive promotion + defaulted

@@ -953,7 +953,12 @@ def write_avro_files(
 
     ``mode='overwrite'`` (default) clears previous part files first —
     a narrower re-run would otherwise leave STALE parts mixed into the
-    directory; ``mode='error'`` refuses a non-empty target. Columns are
+    directory; ``mode='error'`` refuses a non-empty target;
+    ``mode='append'`` adds this write's files alongside existing ones —
+    filenames carry a per-WRITE token so jobs never collide, while
+    speculative retries of one task still converge on one file (same
+    deterministic name + atomic rename; the incremental-pipeline shape,
+    e.g. appending a snapshot_merge delta batch). Columns are
     selected BY NAME against the schema (column order never matters),
     each task streams one block at a time to a temp file (memory is
     bounded by ``block_records``, not the partition), and the final
@@ -975,15 +980,19 @@ def write_avro_files(
     root = schema.root
     if not isinstance(root, Record):
         raise AvroSparkError("write_avro_files requires a record schema")
-    if mode not in ("overwrite", "error"):
+    if mode not in ("overwrite", "error", "append"):
         raise AvroSparkError(f"bad mode: {mode}")
     os.makedirs(path, exist_ok=True)
     existing = [f for f in os.listdir(path) if f.startswith("part-")]
-    if existing:
+    if existing and mode != "append":
         if mode == "error":
             raise AvroSparkError(f"target not empty: {path}")
         for f in existing:
             os.remove(os.path.join(path, f))
+    # per-WRITE token: append-mode filenames must be unique ACROSS jobs
+    # but deterministic WITHIN one (retries converge via os.replace)
+    job_token = "" if mode != "append" else f"-{os.urandom(4).hex()}"
+
     schema_export = json.dumps(schema.export())
     field_names = [f.name for f in root.fields]
     missing = [n for n in field_names if n not in df.columns]
@@ -1015,7 +1024,7 @@ def write_avro_files(
             ctx = TaskContext.get()
             pid = ctx.partitionId() if ctx else 0
             attempt = ctx.taskAttemptId() if ctx else 0
-            fname = os.path.join(path, f"part-{pid:05d}.avro")
+            fname = os.path.join(path, f"part-{pid:05d}{job_token}.avro")
             tmp = f"{fname}.__attempt_{attempt}"
             n_records = 0
             pending: list[bytes] = []
@@ -1082,7 +1091,7 @@ def write_avro_files(
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx else 0
         attempt = ctx.taskAttemptId() if ctx else 0
-        fname = os.path.join(path, f"part-{pid:05d}.avro")
+        fname = os.path.join(path, f"part-{pid:05d}{job_token}.avro")
         tmp = f"{fname}.__attempt_{attempt}"
         n_records = 0
         pending: list[dict] = []

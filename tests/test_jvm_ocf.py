@@ -300,6 +300,30 @@ def test_mixed_writer_schema_directory_fails_loudly(spark, tmp_path):
     assert [(r.a, r.b) for r in got] == [(3, "z")]
 
 
+def test_write_append_mode(spark, tmp_path, zoo):
+    """mode='append' adds part files alongside existing ones (per-write
+    token in the filename — jobs never collide) and the read returns the
+    union of all writes; overwrite/error semantics are unchanged."""
+    sch, df = zoo
+    d = str(tmp_path / "appended")
+    first = df.where("id < 100")
+    second = df.where("id >= 100 and id < 200")
+    write_avro_files(first.repartition(2), sch, d)
+    write_avro_files(second.repartition(2), sch, d, mode="append")
+    got = sorted(r.id for r in read_avro_files(spark, d, sch).collect())
+    assert got == list(range(200))
+    import glob as _glob
+    assert len(_glob.glob(os.path.join(d, "part-*.avro"))) == 4
+    # same-partition-count appends must not collide either
+    write_avro_files(first.repartition(2), sch, d, mode="append")
+    assert read_avro_files(spark, d, sch).count() == 300
+    # overwrite clears ALL accumulated parts; error refuses
+    write_avro_files(first.repartition(1), sch, d, mode="overwrite")
+    assert read_avro_files(spark, d, sch).count() == 100
+    with pytest.raises(AvroSparkError, match="target not empty"):
+        write_avro_files(first, sch, d, mode="error")
+
+
 def test_projection_pushdown_matches_full_read(spark, tmp_path, zoo):
     """columns=[...] pushes the projection INTO the decoders: both
     engines, whole-file and split reads, must return exactly the

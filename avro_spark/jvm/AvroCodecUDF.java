@@ -375,6 +375,10 @@ public final class AvroCodecUDF {
       case UNION: {
         List<Schema> ts = s.getTypes();
         int idx = (int) readLong(c);
+        if (idx < 0 || idx >= ts.size())
+          throw new RuntimeException(
+              "union branch index " + idx + " out of range [0, "
+                  + ts.size() + ")");
         Schema branch = ts.get(idx);
         int nIdx = nullBranch(ts);
         if (ts.size() == 2 && nIdx >= 0 && !isUnwrap(ts.get(1 - nIdx))) {
@@ -504,9 +508,105 @@ public final class AvroCodecUDF {
       }
       return java.util.Arrays.copyOf(buf, n);
     }
-    // bzip2/xz/snappy/zstandard stay on the Python engine (stdlib/modules
+    if (codec.equals("snappy")) {
+      // Avro spec: snappy stream + 4-byte BIG-endian CRC32 of the
+      // UNCOMPRESSED bytes appended to the block
+      if (data.length < 4)
+        throw new RuntimeException("snappy block shorter than its CRC");
+      byte[] out = snappyDecompress(data, data.length - 4);
+      java.util.zip.CRC32 crc = new java.util.zip.CRC32();
+      crc.update(out, 0, out.length);
+      long want = ((long) (data[data.length - 4] & 0xFF) << 24)
+          | ((data[data.length - 3] & 0xFF) << 16)
+          | ((data[data.length - 2] & 0xFF) << 8)
+          | (data[data.length - 1] & 0xFF);
+      if (crc.getValue() != want)
+        throw new RuntimeException("snappy block CRC mismatch");
+      return out;
+    }
+    // bzip2/xz/zstandard stay on the Python engine (stdlib/modules
     // there); the Python wrapper routes before this is ever reached
     throw new RuntimeException("jvm OCF codec cannot decompress '" + codec + "'");
+  }
+
+  /** from-scratch snappy decode (public format_description.txt — the
+   *  same element grammar as sources/snappy_codec.py, kept in byte-level
+   *  agreement by the cross-engine fuzz): little-endian varint preamble,
+   *  then literal / 1-2-4-byte-offset copy elements; copies may overlap
+   *  (LZ77 run repetition). Every element is bounds-checked — corrupt
+   *  lengths/offsets throw instead of reading or writing out of range. */
+  static byte[] snappyDecompress(byte[] data, int csLen) {
+    long ulen = 0;
+    int shift = 0, p = 0;
+    while (true) {
+      if (p >= csLen)
+        throw new RuntimeException("snappy: truncated length preamble");
+      byte b = data[p++];
+      ulen |= (long) (b & 0x7F) << shift;
+      if ((b & 0x80) == 0) break;
+      shift += 7;
+      if (shift > 35)
+        throw new RuntimeException("snappy: length preamble overflow");
+    }
+    if (ulen > Integer.MAX_VALUE - 8)
+      throw new RuntimeException("snappy: block claims " + ulen + " bytes");
+    byte[] out = new byte[(int) ulen];
+    int o = 0;
+    while (p < csLen) {
+      int tag = data[p++] & 0xFF;
+      int kind = tag & 3;
+      if (kind == 0) { // literal
+        int len = tag >>> 2;
+        if (len >= 60) {
+          int nb = len - 59; // 1..4 little-endian extra length bytes
+          if (p + nb > csLen)
+            throw new RuntimeException("snappy: truncated literal length");
+          len = 0;
+          for (int k = 0; k < nb; k++) len |= (data[p + k] & 0xFF) << (8 * k);
+          p += nb;
+          if (len < 0)
+            throw new RuntimeException("snappy: literal length overflow");
+        }
+        len += 1;
+        if (p + len > csLen || p + len < 0)
+          throw new RuntimeException("snappy: literal runs past input");
+        if (o + len > out.length)
+          throw new RuntimeException("snappy: literal overflows output");
+        System.arraycopy(data, p, out, o, len);
+        p += len;
+        o += len;
+        continue;
+      }
+      int len, off;
+      if (kind == 1) {
+        if (p >= csLen) throw new RuntimeException("snappy: truncated copy");
+        len = ((tag >>> 2) & 0x7) + 4;
+        off = ((tag >>> 5) << 8) | (data[p] & 0xFF);
+        p += 1;
+      } else if (kind == 2) {
+        if (p + 2 > csLen) throw new RuntimeException("snappy: truncated copy");
+        len = (tag >>> 2) + 1;
+        off = (data[p] & 0xFF) | ((data[p + 1] & 0xFF) << 8);
+        p += 2;
+      } else {
+        if (p + 4 > csLen) throw new RuntimeException("snappy: truncated copy");
+        len = (tag >>> 2) + 1;
+        off = (data[p] & 0xFF) | ((data[p + 1] & 0xFF) << 8)
+            | ((data[p + 2] & 0xFF) << 16) | ((data[p + 3] & 0xFF) << 24);
+        p += 4;
+      }
+      if (off <= 0 || off > o)
+        throw new RuntimeException(
+            "snappy: copy offset " + off + " outside the " + o + " bytes produced");
+      if (o + len > out.length)
+        throw new RuntimeException("snappy: copy overflows output");
+      // byte loop handles overlap (off < len) correctly by construction
+      for (int k = 0; k < len; k++) { out[o] = out[o - off]; o++; }
+    }
+    if (o != out.length)
+      throw new RuntimeException(
+          "snappy: stream produced " + o + " bytes, preamble claims " + out.length);
+    return out;
   }
 
   /** whole OCF file bytes → list of (codec, count, data) block rows;
@@ -574,6 +674,19 @@ public final class AvroCodecUDF {
   }
 
   // ------------------------------------------------------------- skipping
+  /** bounds-checked cursor advance for the skip path: a corrupt size in
+   *  [2^31, 2^63) would wrap NEGATIVE under a bare (int) cast and move
+   *  the cursor backwards — net-zero progress, an infinite loop. Bound
+   *  against the remaining buffer BEFORE casting (same rule SplitBlocks
+   *  applies to block sizes). */
+  static void skipBytes(Cursor c, long n, String what) {
+    if (n < 0 || n > c.buf.length - c.pos)
+      throw new RuntimeException(
+          "corrupt " + what + ": " + n + " with "
+              + (c.buf.length - c.pos) + " bytes left");
+    c.pos += (int) n;
+  }
+
   /** advance past one encoded value without materializing it — the
    *  projection-pushdown half of decode. Size-prefixed array/map blocks
    *  (negative count, Avro spec) skip in O(1). */
@@ -584,25 +697,16 @@ public final class AvroCodecUDF {
       case INT: case LONG: case ENUM: skipLong(c); return;
       case FLOAT: c.pos += 4; return;
       case DOUBLE: c.pos += 8; return;
-      case STRING: case BYTES: {
-        long n = readLong(c);
-        // the decoders never move the cursor backwards on corrupt
-        // lengths — neither may the skip path (a negative size here or
-        // below would make net-zero progress: an infinite loop)
-        if (n < 0) throw new RuntimeException("negative length: " + n);
-        c.pos += (int) n;
+      case STRING: case BYTES:
+        skipBytes(c, readLong(c), s.getType() + " length");
         return;
-      }
       case FIXED: c.pos += s.getFixedSize(); return;
       case ARRAY: {
         while (true) {
           long n = readLong(c);
           if (n == 0) return;
           if (n < 0) {
-            long size = readLong(c);
-            if (size < 0)
-              throw new RuntimeException("negative array block size: " + size);
-            c.pos += (int) size;
+            skipBytes(c, readLong(c), "array block size");
             continue;
           }
           for (long i = 0; i < n; i++) skip(c, s.getElementType());
@@ -613,17 +717,11 @@ public final class AvroCodecUDF {
           long n = readLong(c);
           if (n == 0) return;
           if (n < 0) {
-            long size = readLong(c);
-            if (size < 0)
-              throw new RuntimeException("negative map block size: " + size);
-            c.pos += (int) size;
+            skipBytes(c, readLong(c), "map block size");
             continue;
           }
           for (long i = 0; i < n; i++) {
-            long klen = readLong(c);
-            if (klen < 0)
-              throw new RuntimeException("negative key length: " + klen);
-            c.pos += (int) klen;
+            skipBytes(c, readLong(c), "map key length");
             skip(c, s.getValueType());
           }
         }
@@ -634,6 +732,10 @@ public final class AvroCodecUDF {
       }
       case UNION: {
         int idx = (int) readLong(c);
+        if (idx < 0 || idx >= s.getTypes().size())
+          throw new RuntimeException(
+              "union branch index " + idx + " out of range [0, "
+                  + s.getTypes().size() + ")");
         skip(c, s.getTypes().get(idx));
         return;
       }

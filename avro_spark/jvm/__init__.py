@@ -253,8 +253,9 @@ _BLOCK_ROWS_T = T.ArrayType(
 )
 
 #: block codecs the JVM container path can decompress (others stay on the
-#: Python engine, which has bz2/lzma in the stdlib)
-JVM_OCF_CODECS = ("null", "deflate")
+#: Python engine, which has bz2/lzma in the stdlib); snappy is the
+#: from-scratch public-format implementation mirrored in snappy_codec.py
+JVM_OCF_CODECS = ("null", "deflate", "snappy")
 
 
 def _register_split_blocks(spark: SparkSession) -> str:

@@ -428,8 +428,16 @@ def _compile_decoder_impl(node: SchemaNode) -> Callable[[bytes, int], tuple[Any,
                  isinstance(b, Primitive) and b.type == "null")
                 for i, b in enumerate(node.branches)]
         tags = [t for t, _d, is_null in decs if not is_null]
+        n_branches = len(decs)
         def dec_union(buf: bytes, pos: int):
             i, pos = _read_long(buf, pos)
+            if not 0 <= i < n_branches:
+                # a corrupt NEGATIVE tag would otherwise silently select
+                # a branch from the END (Python negative indexing) and
+                # decode the wrong type
+                raise AvroSparkError(
+                    f"union branch index {i} out of range [0, {n_branches})"
+                )
             tag, dec, is_null = decs[i]
             if is_null:
                 if simple is not None:
@@ -578,8 +586,15 @@ def _compile_skipper_impl(node: SchemaNode) -> Callable[[bytes, int], int]:
         return skip_record
     if isinstance(node, UnionNode):
         skips = [_compile_skipper(b) for b in node.branches]
+        n_branches = len(skips)
         def skip_union(buf: bytes, pos: int) -> int:
             i, pos = _read_long(buf, pos)
+            if not 0 <= i < n_branches:
+                # same guard as dec_union: corrupt negative tags must not
+                # silently skip a branch selected from the END
+                raise AvroSparkError(
+                    f"union branch index {i} out of range [0, {n_branches})"
+                )
             return skips[i](buf, pos)
         return skip_union
     raise CompileError(f"cannot skip {node!r}")

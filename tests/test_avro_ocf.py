@@ -423,9 +423,9 @@ class TestOcfSplitFuzz:
 
 class TestBlockCodecs:
     """Avro-spec block codecs beyond null/deflate: bzip2 and xz are
-    stdlib-backed and fully supported; snappy/zstandard raise a clear
-    missing-dependency error (their libs are absent here); unknown
-    names are rejected."""
+    stdlib-backed; snappy is the from-scratch public-format codec
+    (snappy_codec.py, r7); zstandard raises a clear missing-dependency
+    error (its lib is absent here); unknown names are rejected."""
 
     SCHEMA = {"type": "record", "name": "R", "fields": [
         {"name": "a", "type": "long"}, {"name": "b", "type": "string"}]}
@@ -464,18 +464,22 @@ class TestBlockCodecs:
         assert sorted(map(tuple, back2.collect())) == sorted(map(tuple, df.collect()))
 
     def test_missing_dependency_is_loud(self):
+        # r7: snappy is now the from-scratch built-in (snappy_codec.py) —
+        # it must WORK, not error; only zstandard stays dependency-gated
         import avro_spark as avs
         import pytest as _pytest
         from avro_spark.errors import AvroSparkError
-        from avro_spark.sources.avro_ocf import write_ocf_bytes
+        from avro_spark.sources.avro_ocf import read_ocf_bytes, write_ocf_bytes
 
         sch = avs.create(self.SCHEMA)
-        for codec, word in (("snappy", "python-snappy"), ("zstandard", "zstandard")):
-            try:
-                __import__("snappy" if codec == "snappy" else "zstandard")
-            except ImportError:
-                with _pytest.raises(AvroSparkError, match=word):
-                    write_ocf_bytes(sch, [{"a": 1, "b": ""}], codec=codec)
+        rows = [{"a": i, "b": "x" * (i % 40)} for i in range(200)]
+        blob = write_ocf_bytes(sch, rows, codec="snappy")
+        assert read_ocf_bytes(blob)[1] == rows
+        try:
+            __import__("zstandard")
+        except ImportError:
+            with _pytest.raises(AvroSparkError, match="zstandard"):
+                write_ocf_bytes(sch, [{"a": 1, "b": ""}], codec="zstandard")
 
     def test_unknown_codec_rejected(self):
         import avro_spark as avs

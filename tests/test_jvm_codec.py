@@ -520,3 +520,89 @@ def test_nullable_union_is_refused_not_corrupted():
     )
     with pytest.raises(JvmUnsupported, match="nullable union"):
         plain_avro_json(nullable_union)
+
+
+def test_corrupt_union_tag_raises_loudly(spark):
+    """A corrupt union branch index must raise a named corruption error
+    on BOTH engines and BOTH paths (decode + projection skip) — not
+    select a branch from the END via Python negative indexing, and not
+    leak IndexOutOfBoundsException from the JVM."""
+    from avro_spark.errors import AvroSparkError
+    from avro_spark.sources.avro_binary import _compile_skipper, decode_record
+
+    sch = avro_spark.create({
+        "type": "record", "name": "U",
+        "fields": [
+            {"name": "u", "type": ["null", "int"]},
+            {"name": "b", "type": "int"},
+        ]})
+    # u's branch tag = 5 (zigzag 0x0A): out of range for a 2-branch union
+    corrupt = bytes([0x0A, 0x02])
+    with pytest.raises(AvroSparkError, match=r"union branch index 5 out of range"):
+        decode_record(sch, corrupt)
+    # tag = -1 (zigzag 0x01): the negative-indexing trap
+    with pytest.raises(AvroSparkError, match=r"union branch index -1 out of range"):
+        decode_record(sch, bytes([0x01, 0x02]))
+    # skip path (projection drops u, byte-skips it)
+    skip = _compile_skipper(sch.root.fields[0].type)
+    with pytest.raises(AvroSparkError, match=r"union branch index 5 out of range"):
+        skip(corrupt, 0)
+    if not _jvm_ready(spark):
+        return
+    df = spark.createDataFrame([(bytearray(corrupt),)], "p binary")
+    for cols in (None, ["b"]):  # decode arm, then the skip arm
+        with pytest.raises(Exception, match=r"union branch index 5 out of range"):
+            from_avro_bytes(df, "p", sch, engine="jvm", columns=cols).collect()
+
+
+def test_jvm_skip_rejects_wrapping_sizes(spark):
+    """ADVICE r6 (medium): a corrupt length in [2^31, 2^63) wrapped
+    NEGATIVE under the JVM skip path's bare (int) cast and moved the
+    cursor BACKWARDS — net-zero progress, an executor hang on corrupt
+    data. The guard now bounds every size against the remaining buffer
+    BEFORE the cast (same rule as SplitBlocks)."""
+    if not _jvm_ready(spark):
+        pytest.skip("no JDK")
+    sch = avro_spark.create({
+        "type": "record", "name": "W",
+        "fields": [
+            {"name": "a", "type": "string"},
+            {"name": "b", "type": "int"},
+        ]})
+    # a's length varint encodes 2^32+2 (zigzag 2^33+4): (int) cast of the
+    # old code yielded +2 — silently skipping the WRONG bytes; values
+    # near 2^32-6 yielded a negative delta (the infinite-loop shape)
+    big = (2**32 + 2) << 1
+    v = bytearray()
+    while True:
+        b = big & 0x7F
+        big >>= 7
+        if big:
+            v.append(b | 0x80)
+        else:
+            v.append(b)
+            break
+    payload = bytes(v) + bytes([0x02])
+    df = spark.createDataFrame([(bytearray(payload),)], "p binary")
+    with pytest.raises(Exception, match=r"corrupt STRING length"):
+        from_avro_bytes(df, "p", sch, engine="jvm", columns=["b"]).collect()
+    # array block size in the wrapping range: same guard, array arm
+    arr = avro_spark.create({
+        "type": "record", "name": "WA",
+        "fields": [
+            {"name": "xs", "type": {"type": "array", "items": "int"}},
+            {"name": "b", "type": "int"},
+        ]})
+    big2 = (2**32 + 2) << 1
+    v2 = bytearray([0x01])  # block count = -1 → size-prefixed block
+    while True:
+        b = big2 & 0x7F
+        big2 >>= 7
+        if big2:
+            v2.append(b | 0x80)
+        else:
+            v2.append(b)
+            break
+    df2 = spark.createDataFrame([(bytearray(bytes(v2) + bytes([0x02])),)], "p binary")
+    with pytest.raises(Exception, match=r"corrupt array block size"):
+        from_avro_bytes(df2, "p", arr, engine="jvm", columns=["b"]).collect()

@@ -81,7 +81,7 @@ def _collect(df):
     return sorted(tuple(map(repr, r)) for r in df.collect())
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
 def test_cross_engine_read_write_equality(spark, tmp_path, zoo, codec):
     """All four (write engine × read engine) combinations agree, for
     whole-file and split reads, under both JVM-capable codecs."""
@@ -119,11 +119,17 @@ def _block_payloads(fpath):
         assert blob[pos:pos + 16] == sync
         pos += 16
         counts.append(count)
-        payload += zlib.decompress(data, -15) if codec == "deflate" else data
+        if codec == "deflate":
+            payload += zlib.decompress(data, -15)
+        elif codec == "snappy":
+            from avro_spark.sources.snappy_codec import decompress as _snd
+            payload += _snd(data[:-4])  # strip the Avro CRC32 suffix
+        else:
+            payload += data
     return meta["avro.schema"], counts, payload
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
 def test_block_byte_parity_between_write_engines(spark, tmp_path, zoo, codec):
     """With one partition and equal block_records, the two writers emit
     byte-identical block payloads, counts and embedded schema JSON —
@@ -523,3 +529,45 @@ def test_streaming_jvm_guard_rejects_foreign_schema_file(spark, tmp_path, zoo):
             read_avro_stream(spark, d, sch, engine="jvm"),
             f"g_{uuid.uuid4().hex[:8]}",
         )
+
+
+def test_append_token_is_wide_and_collision_proof(spark, tmp_path, zoo, monkeypatch):
+    """VERDICT r6 #1: the append-mode filename token was 32 bits — two
+    jobs drawing the same 4 bytes silently os.replace'd each other's part
+    files (~50% odds after ~77k appends). Now: 128-bit token, distinct
+    across writes, and uniqueness is STRUCTURAL — a simulated token
+    collision against an existing part file redraws instead of
+    overwriting."""
+    import re
+
+    import avro_spark.sources.avro_ocf as ocf_mod
+
+    sch, df = zoo
+    d = str(tmp_path / "tok")
+    first = df.where("id < 50").repartition(1)
+    write_avro_files(first, sch, d, mode="append")
+    write_avro_files(first, sch, d, mode="append")
+    names = sorted(os.listdir(d))
+    toks = [re.fullmatch(r"part-\d{5}-([0-9a-f]+)\.avro", n).group(1)
+            for n in names]
+    assert all(len(t) == 32 for t in toks), toks  # 16 bytes hex
+    assert len(set(toks)) == len(toks)  # distinct across writes
+    # simulate a collision: first urandom draw returns the token already
+    # on disk; the writer must redraw, never os.replace the earlier part
+    victim = toks[0]
+    before = {n: os.path.getmtime(os.path.join(d, n)) for n in names}
+    draws = [bytes.fromhex(victim), os.urandom(16)]
+    real_urandom = os.urandom
+
+    def fake_urandom(n):
+        if n == 16 and draws:
+            return draws.pop(0)
+        return real_urandom(n)
+
+    monkeypatch.setattr(ocf_mod.os, "urandom", fake_urandom)
+    write_avro_files(first, sch, d, mode="append")
+    after = sorted(os.listdir(d))
+    assert len(after) == 3  # appended a NEW part, replaced nothing
+    for n, mt in before.items():
+        assert os.path.getmtime(os.path.join(d, n)) == mt, f"{n} overwritten"
+    assert read_avro_files(spark, d, sch).count() == 150

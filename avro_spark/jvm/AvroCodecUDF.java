@@ -432,22 +432,79 @@ public final class AvroCodecUDF {
     }
   }
 
-  /** per-(schema, keepCsv) projection plan: which top-level fields to
-   *  take and how many — computed ONCE, not per row/block (the wire
-   *  front decodes one row per call). */
-  static final ConcurrentHashMap<String, boolean[]> PROJ =
+  /** per-(schema, keepCsv) projection plan, computed ONCE, not per
+   *  row/block (the wire front decodes one row per call). Entry per
+   *  top-level field in schema order: Boolean.FALSE = skip,
+   *  Boolean.TRUE = decode fully, Set&lt;String&gt; = decode the record
+   *  field keeping only those subfields (dotted "a.b" CSV entries —
+   *  one-level nested pruning, mirroring the Python
+   *  projected_field_steps). */
+  static final ConcurrentHashMap<String, Object[]> PROJ =
       new ConcurrentHashMap<>();
 
-  static boolean[] projPlan(Schema s, String schemaJson, String keepCsv) {
+  static Object[] projPlan(Schema s, String schemaJson, String keepCsv) {
     return PROJ.computeIfAbsent(schemaJson + " " + keepCsv, k -> {
-      java.util.HashSet<String> keep = new java.util.HashSet<>(
-          java.util.Arrays.asList(keepCsv.split(",")));
+      java.util.HashSet<String> full = new java.util.HashSet<>();
+      java.util.HashMap<String, java.util.HashSet<String>> subs =
+          new java.util.HashMap<>();
+      for (String entry : keepCsv.split(",")) {
+        int dot = entry.indexOf('.');
+        if (dot < 0) full.add(entry);
+        else subs.computeIfAbsent(entry.substring(0, dot),
+            x -> new java.util.HashSet<String>()).add(entry.substring(dot + 1));
+      }
       List<Schema.Field> fields = s.getFields();
-      boolean[] take = new boolean[fields.size()];
-      for (int j = 0; j < fields.size(); j++)
-        take[j] = keep.contains(fields.get(j).name());
+      Object[] take = new Object[fields.size()];
+      for (int j = 0; j < fields.size(); j++) {
+        String name = fields.get(j).name();
+        if (full.contains(name)) take[j] = Boolean.TRUE;
+        else if (subs.containsKey(name)) take[j] = subs.get(name);
+        else take[j] = Boolean.FALSE;
+      }
       return take;
     });
+  }
+
+  static int projWidth(Object[] plan) {
+    int n = 0;
+    for (Object t : plan) if (t != Boolean.FALSE) n++;
+    return n;
+  }
+
+  /** decode one record (or nullable-record) field keeping only the
+   *  requested subfields, byte-skipping siblings — the Python-side
+   *  validator guarantees the field is RECORD or [null, RECORD]. */
+  static Object decodeSub(Cursor c, Schema fs, java.util.Set<String> subs) {
+    Schema rec = fs;
+    if (fs.getType() == Schema.Type.UNION) {
+      List<Schema> ts = fs.getTypes();
+      int idx = (int) readLong(c);
+      if (idx < 0 || idx >= ts.size())
+        throw new RuntimeException(
+            "union branch index " + idx + " out of range [0, "
+                + ts.size() + ")");
+      rec = ts.get(idx);
+      if (rec.getType() == Schema.Type.NULL) return null;
+    }
+    if (rec.getType() != Schema.Type.RECORD)
+      throw new RuntimeException(
+          "nested projection requires a record field, got " + rec.getType());
+    List<Schema.Field> fields = rec.getFields();
+    int width = 0;
+    for (Schema.Field f : fields) if (subs.contains(f.name())) width++;
+    Object[] vals = new Object[width];
+    int p = 0;
+    for (Schema.Field f : fields) {
+      if (subs.contains(f.name())) vals[p++] = decode(c, f.schema());
+      else skip(c, f.schema());
+    }
+    return RowFactory.create(vals);
+  }
+
+  @SuppressWarnings("unchecked")
+  static Object decodeProjected(Cursor c, Schema fs, Object plan) {
+    if (plan == Boolean.TRUE) return decode(c, fs);
+    return decodeSub(c, fs, (java.util.Set<String>) plan);
   }
 
   /** (schemaJson, keepCsv, Avro binary bytes) → struct row with ONLY the
@@ -458,15 +515,15 @@ public final class AvroCodecUDF {
     @Override
     public Row call(String schemaJson, String keepCsv, byte[] blob) {
       Schema s = schemaOf(schemaJson);
-      boolean[] take = projPlan(s, schemaJson, keepCsv);
+      Object[] take = projPlan(s, schemaJson, keepCsv);
       List<Schema.Field> fields = s.getFields();
-      int nKeep = 0;
-      for (boolean t : take) if (t) nKeep++;
+      int nKeep = projWidth(take);
       Cursor c = new Cursor(blob);
       Object[] vals = new Object[nKeep];
       int p = 0;
       for (int j = 0; j < fields.size(); j++) {
-        if (take[j]) vals[p++] = decode(c, fields.get(j).schema());
+        if (take[j] != Boolean.FALSE)
+          vals[p++] = decodeProjected(c, fields.get(j).schema(), take[j]);
         else skip(c, fields.get(j).schema());
       }
       if (c.pos != blob.length)
@@ -762,9 +819,8 @@ public final class AvroCodecUDF {
       byte[] raw = decompressBlock(codec, data);
       Schema s = schemaOf(schemaJson);
       List<Schema.Field> fields = s.getFields();
-      boolean[] take = projPlan(s, schemaJson, keepCsv);
-      int nKeep = 0;
-      for (boolean t : take) if (t) nKeep++;
+      Object[] take = projPlan(s, schemaJson, keepCsv);
+      int nKeep = projWidth(take);
       int n = count.intValue();
       java.util.ArrayList<Object> out = new java.util.ArrayList<>(n);
       Cursor c = new Cursor(raw);
@@ -772,7 +828,8 @@ public final class AvroCodecUDF {
         Object[] vals = new Object[nKeep];
         int p = 0;
         for (int j = 0; j < fields.size(); j++) {
-          if (take[j]) vals[p++] = decode(c, fields.get(j).schema());
+          if (take[j] != Boolean.FALSE)
+            vals[p++] = decodeProjected(c, fields.get(j).schema(), take[j]);
           else skip(c, fields.get(j).schema());
         }
         out.add(RowFactory.create(vals));

@@ -323,11 +323,13 @@ def decode_ocf_blocks_jvm(
     json_str = json.dumps(plain_avro_json(root))
     spark_t = schema.to_struct_type()
     if columns is not None:
-        from ..sources.avro_binary import validate_projection
+        from ..sources.avro_binary import (
+            project_struct_type, projection_csv, validate_projection,
+        )
 
-        keep = validate_projection(root, columns)
-        out_struct = T.StructType([f for f in spark_t.fields if f.name in keep])
-        keep_csv = ",".join(f.name for f in root.fields if f.name in keep)
+        spec = validate_projection(root, columns)
+        out_struct = project_struct_type(spark_t, columns)
+        keep_csv = projection_csv(root, spec)
         fn = _register_decode_block_proj(spark, out_struct, json_str, keep_csv)
         call = F.call_udf(
             fn, F.lit(json_str), F.lit(keep_csv), F.col(codec_col),
@@ -424,11 +426,13 @@ def from_avro_bytes_jvm(
     json_str = json.dumps(plain_avro_json(root))
     spark_t = schema.to_struct_type()
     if columns is not None:
-        from ..sources.avro_binary import validate_projection
+        from ..sources.avro_binary import (
+            project_struct_type, projection_csv, validate_projection,
+        )
 
-        keep = validate_projection(root, columns)
-        spark_t = T.StructType([f for f in spark_t.fields if f.name in keep])
-        keep_csv = ",".join(f.name for f in root.fields if f.name in keep)
+        spec = validate_projection(root, columns)
+        spark_t = project_struct_type(spark_t, columns)
+        keep_csv = projection_csv(root, spec)
         fp = hashlib.md5(f"{json_str}\x00{keep_csv}".encode()).hexdigest()[:12]
         name = f"avsp_jvm_decp_{fp}"
         app = spark.sparkContext.applicationId

@@ -600,40 +600,171 @@ def _compile_skipper_impl(node: SchemaNode) -> Callable[[bytes, int], int]:
     raise CompileError(f"cannot skip {node!r}")
 
 
-def validate_projection(root: Record, columns: "list[str]") -> set:
-    """Shared projection validator for every ``columns=`` surface:
-    unknown names raise, and so does an EMPTY projection — a zero-field
-    Arrow batch always carries num_rows=0, so the Python engine would
-    silently drop every row where the JVM engine kept them. Returns the
-    keep-set."""
-    known = {f.name for f in root.fields}
-    unknown = sorted(set(columns) - known)
-    if unknown:
-        raise AvroSparkError(
-            f"projection names unknown fields {unknown}; schema has "
-            f"{sorted(known)}"
-        )
+def _projectable_record(node: SchemaNode) -> Optional[Record]:
+    """The Record a dotted projection may descend into — the field type
+    itself, a nullable record's inner, or the record branch of a simple
+    ``[null, record]`` union (which collapses to a plain nullable struct
+    column) — else None. General tagged-struct unions are NOT
+    projectable: their $type$ machinery needs every branch cell."""
+    if isinstance(node, UnionNode):
+        inner = union_null_and_one(node)
+        return inner if isinstance(inner, Record) else None
+    rec = _strip_nullable(node) if node.nullable else node
+    return rec if isinstance(rec, Record) else None
+
+
+def parse_projection(
+    root: Record, columns: "list[str]"
+) -> "dict[str, Optional[list[str]]]":
+    """Shared parser/validator for every ``columns=`` surface. Entries
+    are top-level field names or ONE-level dotted paths (``"a.b"`` — the
+    record-field analogue of parquet nested pruning; deeper paths
+    raise). Returns an ordered spec in SCHEMA order:
+    ``{field: None}`` = full field, ``{field: [subfields]}`` = keep the
+    field as a struct of just those subfields (subfield schema order).
+    Requesting both ``"a"`` and ``"a.b"`` keeps the full field. Unknown
+    names raise, and so does an EMPTY projection — a zero-field Arrow
+    batch always carries num_rows=0, so the Python engine would silently
+    drop every row where the JVM engine kept them."""
     if not columns:
         raise AvroSparkError(
             "projection must name at least one field (columns=[] would "
             "produce zero-width rows)"
         )
-    return set(columns)
+    known = {f.name: f for f in root.fields}
+    full: set = set()
+    subs: dict = {}
+    for c in columns:
+        head, dot, rest = c.partition(".")
+        if head not in known:
+            raise AvroSparkError(
+                f"projection names unknown fields [{head!r}]; schema has "
+                f"{sorted(known)}"
+            )
+        if not dot:
+            full.add(head)
+            continue
+        if "." in rest:
+            raise AvroSparkError(
+                f"projection descends one record level only ('a.b'); "
+                f"got {c!r}"
+            )
+        rec = _projectable_record(known[head].type)
+        if rec is None:
+            raise AvroSparkError(
+                f"projection {c!r}: field {head!r} is not a record"
+            )
+        sub_known = {sf.name for sf in rec.fields}
+        if rest not in sub_known:
+            raise AvroSparkError(
+                f"projection {c!r} names unknown fields [{rest!r}]; "
+                f"{head!r} has {sorted(sub_known)}"
+            )
+        subs.setdefault(head, set()).add(rest)
+    spec: dict = {}
+    for f in root.fields:
+        if f.name in full:
+            spec[f.name] = None
+        elif f.name in subs:
+            rec = _projectable_record(f.type)
+            spec[f.name] = [sf.name for sf in rec.fields
+                            if sf.name in subs[f.name]]
+    return spec
+
+
+def validate_projection(root: Record, columns: "list[str]"):
+    """Validate and return the projection spec (see
+    :func:`parse_projection`); kept as the one shared entry point every
+    ``columns=`` surface calls."""
+    return parse_projection(root, columns)
+
+
+def projection_csv(root: Record, spec: dict) -> str:
+    """Spec → the canonical CSV the JVM decoders take: full fields by
+    name, sub-projected ones as dotted entries, all in schema order
+    (Avro names are [A-Za-z0-9_]+ so commas/dots are unambiguous)."""
+    parts = []
+    for f in root.fields:
+        if f.name not in spec:
+            continue
+        sub = spec[f.name]
+        if sub is None:
+            parts.append(f.name)
+        else:
+            parts += [f"{f.name}.{s}" for s in sub]
+    return ",".join(parts)
+
+
+def _projected_field_decoder(node: SchemaNode, sub: "list[str]") -> Callable:
+    """Decoder for ONE record (or nullable-record) field materializing
+    only ``sub`` subfields (schema order) and byte-skipping siblings."""
+    rec = _projectable_record(node)
+    keep = set(sub)
+    steps = [
+        (f.name, _compile_decoder(f.type)) if f.name in keep
+        else (None, _compile_skipper(f.type))
+        for f in rec.fields
+    ]
+
+    def dec_rec(buf: bytes, pos: int):
+        out: dict = {}
+        for name, fn in steps:
+            if name is None:
+                pos = fn(buf, pos)
+            else:
+                out[name], pos = fn(buf, pos)
+        return out, pos
+
+    if isinstance(node, UnionNode):
+        # simple [null, record] union → nullable struct column; honor
+        # DECLARED branch order and bounds-check the tag like dec_union
+        null_idx = next(
+            i for i, b in enumerate(node.branches)
+            if isinstance(b, Primitive) and b.type == "null"
+        )
+        n_branches = len(node.branches)
+
+        def dec_simple_union(buf: bytes, pos: int):
+            i, pos = _read_long(buf, pos)
+            if not 0 <= i < n_branches:
+                raise AvroSparkError(
+                    f"union branch index {i} out of range [0, {n_branches})"
+                )
+            if i == null_idx:
+                return None, pos
+            return dec_rec(buf, pos)
+
+        return dec_simple_union
+    if not node.nullable:
+        return dec_rec
+
+    def dec_nullable(buf: bytes, pos: int):
+        b, pos = _read_long(buf, pos)
+        if b == 0:
+            return None, pos
+        return dec_rec(buf, pos)
+
+    return dec_nullable
 
 
 def projected_field_steps(
     root: Record, columns: "list[str]"
 ) -> "list[tuple[Optional[str], Callable]]":
     """(name, fn) per writer field IN SCHEMA ORDER: requested fields get
-    their decoder (name = field name), the rest get their skipper
+    their decoder (name = field name; dotted requests get a decoder that
+    materializes only the named subfields), the rest get their skipper
     (name = None). Unknown names raise; the projection keeps schema
     order — reorder downstream with .select()."""
-    keep = validate_projection(root, columns)
-    return [
-        (f.name, _compile_decoder(f.type)) if f.name in keep
-        else (None, _compile_skipper(f.type))
-        for f in root.fields
-    ]
+    spec = parse_projection(root, columns)
+    steps = []
+    for f in root.fields:
+        if f.name not in spec:
+            steps.append((None, _compile_skipper(f.type)))
+        elif spec[f.name] is None:
+            steps.append((f.name, _compile_decoder(f.type)))
+        else:
+            steps.append((f.name, _projected_field_decoder(f.type, spec[f.name])))
+    return steps
 
 
 def projected_record_decoder(
@@ -654,6 +785,33 @@ def projected_record_decoder(
         return out, pos
 
     return dec
+
+
+def project_struct_type(struct, columns: "list[str]"):
+    """StructType restricted to a (possibly dotted) projection, keeping
+    schema order at both levels — the output-schema twin of
+    projected_field_steps, shared by every ``columns=`` surface."""
+    from pyspark.sql import types as T
+
+    full: set = set()
+    subs: dict = {}
+    for c in columns:
+        head, dot, rest = c.partition(".")
+        if not dot:
+            full.add(head)
+        else:
+            subs.setdefault(head, set()).add(rest)
+    out = []
+    for f in struct.fields:
+        if f.name in full:
+            out.append(f)
+        elif f.name in subs:
+            inner = f.dataType
+            pruned = T.StructType(
+                [sf for sf in inner.fields if sf.name in subs[f.name]]
+            )
+            out.append(T.StructField(f.name, pruned, f.nullable, f.metadata))
+    return T.StructType(out)
 
 
 # -------------------------------------------------------- value normalizing
@@ -870,10 +1028,7 @@ def from_avro_bytes(
     # fixed in to_avro_bytes).
     spark_t = _strip_metadata(schema.to_struct_type())
     if columns is not None:
-        keep = set(columns)
-        from pyspark.sql import types as _T
-
-        spark_t = _T.StructType([f for f in spark_t.fields if f.name in keep])
+        spark_t = project_struct_type(spark_t, columns)
     # the decoded OUTPUT rows cross Arrow IPC out of the Python worker
     # (the check runs on the PROJECTED struct — dropping a too-deep
     # field makes the decode legal)

@@ -1489,6 +1489,52 @@ class TestFuzzProjection:
                 from_avro_bytes(enc, "b", sch, engine=eng, columns=cols))
             assert got_w == want_w, ("wire", eng, cols, schema_dict)
 
+        # r7: NESTED one-level projection — dotted requests on record
+        # fields must equal the full decode + a struct-rebuild select
+        # (null structs stay null), on both engines and both surfaces
+        from pyspark.sql import functions as F
+
+        from avro_spark.sources.avro_binary import _projectable_record
+
+        nested_cols, exprs = [], []
+        for n in keep_schema_order:
+            fld = next(f for f in sch.root.fields if f.name == n)
+            rec = _projectable_record(fld.type)
+            sub = None
+            if rec is not None and rec.fields and gen.draw(st.booleans()):
+                k = gen.draw(st.integers(1, len(rec.fields)))
+                sub = gen.draw(st.permutations(
+                    [sf.name for sf in rec.fields]).map(
+                        lambda p, k=k: sorted(p[:k])))
+            if sub is None:
+                nested_cols.append(n)
+                exprs.append(F.col(n))
+            else:
+                nested_cols += [f"{n}.{s}" for s in sub]
+                sub_order = [sf.name for sf in rec.fields
+                             if sf.name in set(sub)]
+                st_expr = F.struct(
+                    *[F.col(n)[s].alias(s) for s in sub_order])
+                if fld.type.nullable:
+                    st_expr = F.when(F.col(n).isNotNull(), st_expr)
+                exprs.append(st_expr.alias(n))
+        if nested_cols == keep_schema_order:
+            return  # no record field drew a dotted request this example
+        for eng in ("python", "jvm"):
+            want_n = canon(
+                read_avro_files(spark, d, sch, engine=eng).select(*exprs))
+            got_n = canon(read_avro_files(
+                spark, d, sch, engine=eng, columns=nested_cols))
+            assert got_n == want_n, ("ocf-nested", eng, nested_cols,
+                                     schema_dict)
+            enc = to_avro_bytes(df, sch, "b", engine=eng)
+            want_wn = canon(
+                from_avro_bytes(enc, "b", sch, engine=eng).select(*exprs))
+            got_wn = canon(from_avro_bytes(
+                enc, "b", sch, engine=eng, columns=nested_cols))
+            assert got_wn == want_wn, ("wire-nested", eng, nested_cols,
+                                       schema_dict)
+
 
 class TestFuzzOcfEvolvedRead:
     """Evolution at the FILE boundary: random writer schema → random
@@ -1559,6 +1605,16 @@ class TestFuzzOcfEvolvedRead:
             for r in spark.createDataFrame(
                 want_rows, reader.to_struct_type()).collect()
         )
+        # r7: projection composes with evolution — a random subset of
+        # READER fields must equal the full evolved read then .select()
+        keep = [f["name"] for f in reader_fields
+                if rng(st.booleans())] or [reader_fields[0]["name"]]
+        keep_set = set(keep)
+        want_proj = sorted(
+            _json.dumps({k: v for k, v in _json.loads(row).items()
+                         if k in keep_set}, sort_keys=True)
+            for row in want
+        )
         base = tmp_path_factory.mktemp("ocf_evo_fuzz")
         for weng in ("python", "jvm"):
             d = str(base / weng)
@@ -1571,3 +1627,12 @@ class TestFuzzOcfEvolvedRead:
                     for r in back.collect()
                 )
                 assert got == want, (weng, reng, schema_dict, reader_fields)
+                proj = read_avro_files_evolved(
+                    spark, d, reader, engine=reng, columns=keep)
+                got_p = sorted(
+                    _json.dumps(r.asDict(recursive=True), sort_keys=True,
+                                default=repr)
+                    for r in proj.collect()
+                )
+                assert got_p == want_proj, (
+                    weng, reng, keep, schema_dict, reader_fields)

@@ -606,3 +606,82 @@ def test_jvm_skip_rejects_wrapping_sizes(spark):
     df2 = spark.createDataFrame([(bytearray(bytes(v2) + bytes([0x02])),)], "p binary")
     with pytest.raises(Exception, match=r"corrupt array block size"):
         from_avro_bytes(df2, "p", arr, engine="jvm", columns=["b"]).collect()
+
+
+def test_nested_projection_one_level(spark, tmp_path):
+    """r7: columns=['a.b'] prunes INSIDE record fields — siblings are
+    byte-skipped, a requested subfield set keeps the field as a struct
+    of just those subfields (schema order), null structs stay null, and
+    'a' + 'a.b' together keep the FULL field. Both engines, wire + OCF
+    whole-file + split read."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from avro_spark.errors import AvroSparkError
+    from avro_spark.sources.avro_ocf import (
+        read_avro_files, read_avro_files_split, write_avro_files,
+    )
+
+    sch = avro_spark.create({
+        "type": "record", "name": "N",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "sub", "type": {"type": "record", "name": "S",
+             "fields": [
+                 {"name": "x", "type": "int"},
+                 {"name": "big", "type": "string"},
+                 {"name": "y", "type": ["null", "double"]}]}},
+            {"name": "opt", "type": ["null", {"type": "record", "name": "O",
+             "fields": [
+                 {"name": "p", "type": "string"},
+                 {"name": "q", "type": "long"}]}]},
+            {"name": "tail", "type": "string"},
+        ],
+    })
+    rows = [
+        (i, (i, "filler" * 50, float(i) if i % 2 else None),
+         ( (f"p{i}", i * 10) if i % 3 else None), f"t{i}")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, sch.to_struct_type())
+    d = str(tmp_path / "nested")
+    write_avro_files(df.coalesce(1), sch, d, block_records=64)
+
+    def canon(frame):
+        return sorted(
+            _json.dumps(r.asDict(recursive=True), sort_keys=True,
+                        default=repr)
+            for r in frame.collect())
+
+    cols = ["id", "sub.x", "opt.q"]
+    want = canon(df.select(
+        "id",
+        F.struct(F.col("sub.x").alias("x")).alias("sub"),
+        F.when(F.col("opt").isNotNull(),
+               F.struct(F.col("opt.q").alias("q"))).alias("opt")))
+    engines = ["python"] + (["jvm"] if _jvm_ready(spark) else [])
+    for eng in engines:
+        got = read_avro_files(spark, d, sch, engine=eng, columns=cols)
+        assert [f.name for f in got.schema.fields] == ["id", "sub", "opt"]
+        assert [f.name for f in got.schema["sub"].dataType.fields] == ["x"]
+        assert canon(got) == want, eng
+        got_s = read_avro_files_split(
+            spark, d, sch, split_bytes=2048, engine=eng, columns=cols)
+        assert canon(got_s) == want, ("split", eng)
+        enc = to_avro_bytes(df, sch, "b", engine="python")
+        got_w = from_avro_bytes(enc, "b", sch, engine=eng, columns=cols)
+        assert canon(got_w) == want, ("wire", eng)
+        # 'a' + 'a.b' → full field wins
+        full = from_avro_bytes(enc, "b", sch, engine=eng,
+                               columns=["sub", "sub.x"])
+        assert [f.name for f in full.schema["sub"].dataType.fields] == \
+            ["x", "big", "y"], eng
+        # error cases: too deep, non-record, unknown subfield
+        for bad, msg in (
+            (["sub.x.y"], "one record level"),
+            (["id.x"], "not a record"),
+            (["sub.zz"], "unknown fields"),
+        ):
+            with pytest.raises(AvroSparkError, match=msg):
+                from_avro_bytes(enc, "b", sch, engine=eng, columns=bad)

@@ -566,18 +566,26 @@ def q_ocf_split_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ocf_projected_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Projection pushdown INTO the OCF decoder (r6): write orders with
-    3 columns, read back only (o_orderkey, o_totalprice) — the skipped
-    o_custkey is byte-advanced, never materialized, on whichever engine
-    (JVM DecodeBlockProj / Python projected_record_decoder) the auto
-    route picks. Oracle: the same projection straight off the base
-    table."""
+    """Projection pushdown INTO the OCF decoder (r6; NESTED pruning r7):
+    write orders as (o_orderkey, meta{o_custkey, pad}, o_totalprice,
+    tail) and read back columns=["o_orderkey", "meta.o_custkey",
+    "o_totalprice"] — the skipped `tail` field AND `meta`'s `pad`
+    sibling are byte-advanced, never materialized, on whichever engine
+    (JVM DecodeBlockProj+decodeSub / Python projected_record_decoder)
+    the auto route picks. Oracle: the same projection straight off the
+    base table."""
     import tempfile
 
     from avro_spark.sources.avro_ocf import read_avro_files, write_avro_files
 
     orders = _read(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice"
+        "o_orderkey",
+        F.struct(
+            F.col("o_custkey"),
+            F.repeat(F.lit("pad"), 40).alias("pad"),
+        ).alias("meta"),
+        "o_totalprice",
+        F.col("o_orderstatus").alias("tail"),
     )
     sch = avro_spark.create(
         {
@@ -585,16 +593,61 @@ def q_ocf_projected_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             "name": "OrdersP",
             "fields": [
                 {"name": "o_orderkey", "type": "long"},
-                {"name": "o_custkey", "type": "long"},
+                {"name": "meta", "type": {
+                    "type": "record", "name": "MetaP", "fields": [
+                        {"name": "o_custkey", "type": "long"},
+                        {"name": "pad", "type": "string"},
+                    ]}},
                 {"name": "o_totalprice", "type": "double"},
+                {"name": "tail", "type": "string"},
             ],
         }
     )
     out = tempfile.mkdtemp(prefix="ocf_proj_")
     write_avro_files(orders.repartition(2), sch, out, block_records=256)
-    return read_avro_files(
-        spark, out, sch, columns=["o_orderkey", "o_totalprice"]
+    got = read_avro_files(
+        spark, out, sch,
+        columns=["o_orderkey", "meta.o_custkey", "o_totalprice"],
     )
+    return got.select(
+        "o_orderkey",
+        F.col("meta.o_custkey").alias("o_custkey"),
+        "o_totalprice",
+    )
+
+
+def q_ocf_snappy_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snappy OCF end-to-end (r7): write orders with the FROM-SCRATCH
+    snappy block codec (sources/snappy_codec.py — public-format
+    compressor + Avro CRC32 wrapper), read back as byte-range SPLIT
+    tasks — snappy decompression runs in the JVM block decoder
+    (AvroCodecUDF.snappyDecompress) on the auto route. Twin:
+    ocf_split_read (same chain, deflate)."""
+    import tempfile
+
+    from avro_spark.sources.avro_ocf import (
+        read_avro_files_split, write_avro_files,
+    )
+
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    sch = avro_spark.create(
+        {
+            "type": "record",
+            "name": "OrdersS",
+            "fields": [
+                {"name": "o_orderkey", "type": "long"},
+                {"name": "o_custkey", "type": "long"},
+                {"name": "o_totalprice", "type": "double"},
+            ],
+        }
+    )
+    out = tempfile.mkdtemp(prefix="ocf_snappy_")
+    write_avro_files(
+        orders.repartition(2), sch, out, codec="snappy", block_records=256
+    )
+    return read_avro_files_split(spark, out, sch, split_bytes=1 << 16)
 
 
 def q_jsonl_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2316,7 +2369,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # csv_roundtrip folded (4 greens; twin jsonl_avro_roundtrip —
         # the same conform+render chain over a text source)
         "ocf_split_read": q_ocf_split_read,
-        # ocf_evolved_read NEW IN WINDOW: writer→reader resolution at the
+        # ocf_projected_read ROTATED IN r7 (VERDICT #3; twin
+        # ocf_split_read — the same read chain unprojected): the
+        # skip-path decoders get a driver row, now including the r7
+        # NESTED pruning (meta.o_custkey with a skipped pad sibling)
+        "ocf_projected_read": q_ocf_projected_read,
+        # ocf_snappy_read NEW r7: the from-scratch snappy codec through
+        # write → split read on the JVM block decoder (twin:
+        # ocf_split_read, same chain over deflate)
+        "ocf_snappy_read": q_ocf_snappy_read,
+        # ocf_evolved_read: writer→reader resolution at the
         # OCF file boundary (guards the r5 JVM-OCF work)
         "ocf_evolved_read": q_ocf_evolved_read,
         "wire_roundtrip": q_wire_roundtrip,
@@ -2351,7 +2413,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_retrieval": q_bm25_retrieval,
         "bpe_pairs": q_bpe_pairs,
         "corpus_stats": q_corpus_stats,
-        "heavy_hitters": q_heavy_hitters,
+        # heavy_hitters folded r7 (5 greens; twins cms_freq — the same
+        # sketch-shuffle discipline, harder approximate variant — +
+        # corpus_stats for the exact aggregation side)
         "cms_freq": q_cms_freq,
         "chunk_documents": q_chunk_documents,
         "stratified_sample": q_stratified_sample,
@@ -2378,7 +2442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shape); knn_ivf folded (4 greens; twins knn_ivfpq — the same
         # trained-IVF probe machinery plus PQ — + knn_ivf_indexed, the
         # identical assignment/probe against the PERSISTED index)
-        "knn_pq": q_knn_pq,
+        # knn_pq folded r7 (3 greens; twins knn_ivfpq — the same PQ
+        # encode/reconstruct plus the IVF probe — + knn_ivf_indexed)
         "knn_ivfpq": q_knn_ivfpq,
         # knn_ivf_indexed NEW: write_ivf_index + partition-pruned probe —
         # the production repeated-query ANN path
@@ -2418,6 +2483,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6 rotation: folded with >= 2 driver-green rounds each,
         # every one behind an in-window twin (twin notes in queries())
         "flatten_nested": q_flatten_nested,
+        # round-7 rotation: folded with >= 2 driver-green rounds each,
+        # twins noted in queries()
+        "heavy_hitters": q_heavy_hitters,
+        "knn_pq": q_knn_pq,
         "hidden_fields": q_hidden_fields,
         "csv_roundtrip": q_csv_roundtrip,
         "lang_id": q_lang_id,
@@ -2455,9 +2524,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split": q_train_split,
         "streaming_avro_decode": q_streaming_avro_decode,
         # (streaming_ocf_source, ocf_evolved_read, decontaminate_emb_arrow,
-        # knn_bruteforce_arrow promoted to the window in r6)
-        # NEW r6: projection pushdown into the OCF decoders
-        "ocf_projected_read": q_ocf_projected_read,
+        # knn_bruteforce_arrow promoted to the window in r6;
+        # ocf_projected_read promoted in r7)
         # round-3 rotation: folded out after two driver-green rounds to
         # give the 7 never-driver-checked gates a CORRECTNESS row; each
         # keeps an in-window twin — defaults via conform +
@@ -3358,7 +3426,10 @@ def _oracles_extra() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         """,
         "ocf_projected_read": """
-            SELECT o_orderkey, o_totalprice FROM orders
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        """,
+        "ocf_snappy_read": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         """,
         "media_probe": """
             SELECT doc_id,

@@ -55,6 +55,9 @@ from .avro_binary import (
 
 MAGIC = b"Obj\x01"
 DEFAULT_BLOCK_RECORDS = 4096
+#: whole-file reads carry each file as ONE byte-array cell; JVM arrays
+#: cap at 2 GiB, so files past this auto-route to the split read
+_WHOLE_FILE_MAX_BYTES = 1 << 30
 
 
 # ----------------------------------------------------------- byte-level OCF
@@ -363,7 +366,11 @@ def read_avro_files(
     Pass ``split_bytes`` to read each file as MULTIPLE byte-range tasks
     instead (:func:`read_avro_files_split`) — the Hadoop-style
     sync-marker split, for corpora of few huge files where per-file
-    tasks would underuse the cluster. When ``schema`` is None the writer
+    tasks would underuse the cluster. Files over ~1 GiB auto-route
+    there (``split_bytes="auto"``) even without the flag: the
+    whole-file path carries each file as ONE byte-array cell, and the
+    JVM caps arrays at 2 GiB — a 100 TB corpus of multi-GB files must
+    never hit that wall by default. When ``schema`` is None the writer
     schema is peeked from the first file's header.
 
     ``columns`` pushes the projection INTO the decoder on every engine:
@@ -384,6 +391,16 @@ def read_avro_files(
     first = files.select("path").head()
     if first is None:
         raise AvroSparkError(f"no files at {path}")
+    from pyspark.sql import functions as _F
+
+    biggest = files.agg(_F.max("length")).head()[0]
+    if biggest is not None and biggest > _WHOLE_FILE_MAX_BYTES:
+        # whole-file reads ship one byte-array cell per file; the JVM
+        # caps arrays at 2 GiB — route oversized files to byte-range
+        # split tasks instead of failing mid-scan
+        return read_avro_files_split(
+            spark, path, schema, "auto", engine=engine, columns=columns
+        )
     # header peek (schema + codec): a few KB straight from the driver —
     # local paths via open(), other schemes via pyarrow.fs (_fs_open);
     # only a scheme NEITHER can reach pulls the first file through Spark
@@ -1112,6 +1129,66 @@ def read_avro_files_split(
     return sdf.mapInArrow(decode, schema=_strip_metadata(out_struct))
 
 
+def _list_part_files(path: str, use_fs: bool) -> "list[str]":
+    """part-file basenames under ``path`` (created if missing): local
+    via os, any other scheme via pyarrow.fs."""
+    if not use_fs:
+        p = _local_path(path)
+        os.makedirs(p, exist_ok=True)
+        return [f for f in os.listdir(p) if f.startswith("part-")]
+    from pyarrow import fs as pafs
+
+    filesystem, base = pafs.FileSystem.from_uri(path)
+    filesystem.create_dir(base, recursive=True)
+    sel = pafs.FileSelector(base, allow_not_found=True)
+    return [i.base_name for i in filesystem.get_file_info(sel)
+            if i.base_name.startswith("part-")]
+
+
+def _delete_part_file(path: str, fname: str, use_fs: bool) -> None:
+    if not use_fs:
+        os.remove(os.path.join(_local_path(path), fname))
+        return
+    from pyarrow import fs as pafs
+
+    filesystem, base = pafs.FileSystem.from_uri(path)
+    filesystem.delete_file(f"{base.rstrip('/')}/{fname}")
+
+
+def _open_part(dir_uri: str, fname: str, attempt, use_fs: bool):
+    """``(write handle, commit)`` for one part file. Local: temp name +
+    atomic ``os.replace`` so speculative duplicate attempts converge on
+    whole files. Non-local (pyarrow.fs): stream straight to the FINAL
+    key — object stores have no atomic rename, and a streamed upload
+    only becomes visible when the close completes it (S3 multipart
+    semantics), so duplicate attempts writing identical bytes still
+    converge and an aborted attempt leaves nothing visible. The branch
+    is picked ONCE at plan time (``use_fs``) so driver and executors
+    always agree."""
+    if not use_fs:
+        final = os.path.join(_local_path(dir_uri), fname)
+        tmp = f"{final}.__attempt_{attempt}"
+        fh = io.open(tmp, "wb")
+
+        def commit() -> str:
+            fh.close()
+            os.replace(tmp, final)  # atomic: last attempt wins whole
+            return final
+
+        return fh, commit
+    from pyarrow import fs as pafs
+
+    filesystem, base = pafs.FileSystem.from_uri(dir_uri)
+    fh = filesystem.open_output_stream(f"{base.rstrip('/')}/{fname}")
+    final_uri = f"{dir_uri.rstrip('/')}/{fname}"
+
+    def commit() -> str:
+        fh.close()
+        return final_uri
+
+    return fh, commit
+
+
 def write_avro_files(
     df: DataFrame,
     schema: Schema,
@@ -1136,10 +1213,13 @@ def write_avro_files(
     deterministic name + atomic rename; the incremental-pipeline shape,
     e.g. appending a snapshot_merge delta batch). Columns are
     selected BY NAME against the schema (column order never matters),
-    each task streams one block at a time to a temp file (memory is
-    bounded by ``block_records``, not the partition), and the final
-    ``os.replace`` is atomic so a speculative duplicate attempt cannot
-    interleave bytes.
+    each task streams one block at a time (memory is bounded by
+    ``block_records``, not the partition). Local targets write a temp
+    file + atomic ``os.replace`` (speculative duplicate attempts cannot
+    interleave bytes); non-local targets (s3://, hdfs://, ... via
+    pyarrow.fs) stream straight to the final key — object stores have
+    no rename, and the upload only becomes visible at close, so
+    duplicate attempts still converge (see ``_open_part``).
 
     ``engine="auto"`` runs the per-record ENCODE loop JVM-side
     (jvm.to_avro_bytes_jvm) and keeps only the container framing —
@@ -1158,13 +1238,16 @@ def write_avro_files(
         raise AvroSparkError("write_avro_files requires a record schema")
     if mode not in ("overwrite", "error", "append"):
         raise AvroSparkError(f"bad mode: {mode}")
-    os.makedirs(path, exist_ok=True)
-    existing = [f for f in os.listdir(path) if f.startswith("part-")]
+    # non-local targets go through pyarrow.fs for listing, deletes and
+    # the part-file writes themselves (object stores have no rename —
+    # see _open_part); decided ONCE here so driver and executors agree
+    use_fs = not _is_local(path)
+    existing = _list_part_files(path, use_fs)
     if existing and mode != "append":
         if mode == "error":
             raise AvroSparkError(f"target not empty: {path}")
         for f in existing:
-            os.remove(os.path.join(path, f))
+            _delete_part_file(path, f, use_fs)
     # per-WRITE token: append-mode filenames must be unique ACROSS jobs
     # but deterministic WITHIN one (retries converge via os.replace).
     # 128 random bits put birthday collisions out of reach (a 32-bit
@@ -1210,26 +1293,27 @@ def write_avro_files(
             ctx = TaskContext.get()
             pid = ctx.partitionId() if ctx else 0
             attempt = ctx.taskAttemptId() if ctx else 0
-            fname = os.path.join(path, f"part-{pid:05d}{job_token}.avro")
-            tmp = f"{fname}.__attempt_{attempt}"
+            part = f"part-{pid:05d}{job_token}.avro"
             n_records = 0
+            n_bytes = 0
             pending: list[bytes] = []
-            fh = None
+            fh = commit = None
 
-            def flush() -> None:
+            def flush() -> int:
                 data = _codec_pair(codec)[0](b"".join(pending))
                 blk = bytearray()
                 _write_long(blk, len(pending))
                 _write_long(blk, len(data))
                 blk += data
                 blk += sync
-                fh.write(blk)
+                fh.write(bytes(blk))
                 pending.clear()
+                return len(blk)
 
             for b in batches:
                 for rec_bytes in b.column(0).to_pylist():
                     if fh is None:
-                        fh = io.open(tmp, "wb")
+                        fh, commit = _open_part(path, part, attempt, use_fs)
                         header = bytearray()
                         header += MAGIC
                         _write_meta_map(
@@ -1238,20 +1322,20 @@ def write_avro_files(
                              "avro.codec": codec.encode("ascii")},
                         )
                         header += sync
-                        fh.write(header)
+                        fh.write(bytes(header))
+                        n_bytes += len(header)
                     pending.append(rec_bytes)
                     n_records += 1
                     if len(pending) >= block_records:
-                        flush()
+                        n_bytes += flush()
             if fh is None:
                 return
             if pending:
-                flush()
-            fh.close()
-            os.replace(tmp, fname)  # atomic: last attempt wins whole
+                n_bytes += flush()
+            fname = commit()
             yield pa.RecordBatch.from_pylist(
                 [{"file": fname, "n_records": n_records,
-                  "n_bytes": os.path.getsize(fname)}]
+                  "n_bytes": n_bytes}]
             )
 
         out = enc_df.mapInArrow(
@@ -1277,13 +1361,13 @@ def write_avro_files(
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx else 0
         attempt = ctx.taskAttemptId() if ctx else 0
-        fname = os.path.join(path, f"part-{pid:05d}{job_token}.avro")
-        tmp = f"{fname}.__attempt_{attempt}"
+        part = f"part-{pid:05d}{job_token}.avro"
         n_records = 0
+        n_bytes = 0
         pending: list[dict] = []
-        fh = None
+        fh = commit = None
 
-        def flush() -> None:
+        def flush() -> int:
             body = bytearray()
             for rec in pending:
                 enc(body, rec)
@@ -1293,8 +1377,9 @@ def write_avro_files(
             _write_long(blk, len(data))
             blk += data
             blk += sync
-            fh.write(blk)
+            fh.write(bytes(blk))
             pending.clear()
+            return len(blk)
 
         # Arrow-native rows (to_pylist): nullable int64 leaves stay exact
         # Python ints — the pandas batch form rendered them float64+NaN
@@ -1302,7 +1387,7 @@ def write_avro_files(
         for b in batches:
             for row in b.to_pylist():
                 if fh is None:
-                    fh = io.open(tmp, "wb")
+                    fh, commit = _open_part(path, part, attempt, use_fs)
                     header = bytearray()
                     header += MAGIC
                     _write_meta_map(
@@ -1311,7 +1396,8 @@ def write_avro_files(
                          "avro.codec": codec.encode("ascii")},
                     )
                     header += sync
-                    fh.write(header)
+                    fh.write(bytes(header))
+                    n_bytes += len(header)
                 pending.append(
                     {
                         name: _normalize(row[name], node)
@@ -1320,16 +1406,15 @@ def write_avro_files(
                 )
                 n_records += 1
                 if len(pending) >= block_records:
-                    flush()
+                    n_bytes += flush()
         if fh is None:
             return
         if pending:
-            flush()
-        fh.close()
-        os.replace(tmp, fname)  # atomic: last attempt wins whole
+            n_bytes += flush()
+        fname = commit()
         yield pa.RecordBatch.from_pylist(
             [{"file": fname, "n_records": n_records,
-              "n_bytes": os.path.getsize(fname)}]
+              "n_bytes": n_bytes}]
         )
 
     out = df.mapInArrow(encode, schema="file string, n_records long, n_bytes long")

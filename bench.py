@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     # round 6: persisted partition-pruned IVF index + OCF projection pushdown
     "knn_ivf_indexed",
     "ocf_projected_read",
+    "ocf_snappy_read",
     "wire_roundtrip",
     "conform_json",
     "hidden_fields",

@@ -640,3 +640,66 @@ def test_nonlocal_uris_route_through_pyarrow_fs(spark, tmp_path, zoo, monkeypatc
     assert _collect(got_df) == want
     got_split = read_avro_files_split(spark, d, sch, split_bytes=4096)
     assert _collect(got_split) == want
+
+
+def test_write_to_nonlocal_storage_via_pyarrow_fs(spark, tmp_path, zoo, monkeypatch):
+    """r7: the write path must not assume local storage either — with
+    the target judged non-local at plan time, the driver lists/clears
+    part files via pyarrow.fs and every EXECUTOR streams its part to
+    the final key through filesystem.open_output_stream (no os.replace
+    — object stores have no rename). Forced here by patching _is_local
+    so the plan-time flag routes file:// URIs through the pyarrow
+    branch end-to-end; all three modes keep their semantics."""
+    import avro_spark.sources.avro_ocf as ocf_mod
+
+    sch, df = zoo
+    d = "file://" + str(tmp_path / "remote_write")
+    monkeypatch.setattr(ocf_mod, "_is_local", lambda uri: False)
+    first = df.where("id < 100")
+    summaries = write_avro_files(first.repartition(2), sch, d, engine="python")
+    assert len(summaries) == 2
+    assert all(s["file"].startswith("file://") for s in summaries)
+    assert all(s["n_bytes"] > 0 for s in summaries)
+    monkeypatch.undo()
+    want = sorted(r.id for r in read_avro_files(spark, d, sch).collect())
+    assert want == list(range(100))
+    # local byte-parity: the pyarrow branch writes the same container
+    local_d = str(tmp_path / "local_write")
+    write_avro_files(first.repartition(2), sch, local_d, engine="python")
+    import glob as _glob
+    remote_sizes = sorted(s["n_bytes"] for s in summaries)
+    local_sizes = sorted(os.path.getsize(f) for f in _glob.glob(
+        os.path.join(local_d, "part-*.avro")))
+    assert remote_sizes == local_sizes
+    # overwrite / error / append semantics through the pyarrow listing
+    monkeypatch.setattr(ocf_mod, "_is_local", lambda uri: False)
+    with pytest.raises(AvroSparkError, match="target not empty"):
+        write_avro_files(first, sch, d, mode="error")
+    write_avro_files(df.where("id >= 100 and id < 150").repartition(1),
+                     sch, d, mode="append", engine="python")
+    write_avro_files(first.repartition(1), sch, d, mode="overwrite",
+                     engine="python")
+    monkeypatch.undo()
+    assert read_avro_files(spark, d, sch).count() == 100
+
+
+def test_oversized_files_auto_route_to_split_read(spark, tmp_path, zoo, monkeypatch):
+    """r7: whole-file reads carry each file as ONE byte-array cell and
+    the JVM caps arrays at 2 GiB — files past _WHOLE_FILE_MAX_BYTES must
+    auto-route to the byte-range split read instead of failing mid-scan
+    (threshold shrunk here so the zoo fixture trips it)."""
+    if not _jvm_ready(spark):
+        pytest.skip("no JDK")
+    import avro_spark.sources.avro_ocf as ocf_mod
+
+    sch, df = zoo
+    d = str(tmp_path / "huge")
+    write_avro_files(df.repartition(1), sch, d, block_records=64)
+    want = _collect(read_avro_files(spark, d, sch))
+    monkeypatch.setattr(ocf_mod, "_WHOLE_FILE_MAX_BYTES", 1000)
+    got_df = read_avro_files(spark, d, sch)
+    plan = got_df._sc._jvm.PythonSQLUtils.explainString(
+        got_df._jdf.queryExecution(), "simple")
+    # split-read shape: the one IO-side sync-scan Arrow stage
+    assert plan.count("MapInArrow") == 1, plan
+    assert _collect(got_df) == want

@@ -374,11 +374,15 @@ public final class AvroCodecUDF {
       }
       case UNION: {
         List<Schema> ts = s.getTypes();
-        int idx = (int) readLong(c);
-        if (idx < 0 || idx >= ts.size())
+        // range-check the RAW long BEFORE the int cast: a corrupt tag
+        // that is a multiple of 2^32 would wrap to a valid index and
+        // silently decode the wrong branch
+        long idxL = readLong(c);
+        if (idxL < 0 || idxL >= ts.size())
           throw new RuntimeException(
-              "union branch index " + idx + " out of range [0, "
+              "union branch index " + idxL + " out of range [0, "
                   + ts.size() + ")");
+        int idx = (int) idxL;
         Schema branch = ts.get(idx);
         int nIdx = nullBranch(ts);
         if (ts.size() == 2 && nIdx >= 0 && !isUnwrap(ts.get(1 - nIdx))) {
@@ -478,12 +482,12 @@ public final class AvroCodecUDF {
     Schema rec = fs;
     if (fs.getType() == Schema.Type.UNION) {
       List<Schema> ts = fs.getTypes();
-      int idx = (int) readLong(c);
-      if (idx < 0 || idx >= ts.size())
+      long idxL = readLong(c);  // bound BEFORE the cast (2^32 wraps to 0)
+      if (idxL < 0 || idxL >= ts.size())
         throw new RuntimeException(
-            "union branch index " + idx + " out of range [0, "
+            "union branch index " + idxL + " out of range [0, "
                 + ts.size() + ")");
-      rec = ts.get(idx);
+      rec = ts.get((int) idxL);
       if (rec.getType() == Schema.Type.NULL) return null;
     }
     if (rec.getType() != Schema.Type.RECORD)
@@ -607,6 +611,13 @@ public final class AvroCodecUDF {
     }
     if (ulen > Integer.MAX_VALUE - 8)
       throw new RuntimeException("snappy: block claims " + ulen + " bytes");
+    // densest legal element: 3-byte copy emitting 64 bytes (~21.3x) —
+    // cap at 32x remaining input so a tiny corrupt block cannot force a
+    // 2 GB allocation (same guard as the Python twin)
+    if (ulen > Math.max(64L, (long) (csLen - p) * 32))
+      throw new RuntimeException(
+          "snappy: preamble claims " + ulen + " bytes from "
+              + (csLen - p) + " input bytes — corrupt");
     byte[] out = new byte[(int) ulen];
     int o = 0;
     while (p < csLen) {
@@ -788,12 +799,12 @@ public final class AvroCodecUDF {
         return;
       }
       case UNION: {
-        int idx = (int) readLong(c);
-        if (idx < 0 || idx >= s.getTypes().size())
+        long idxL = readLong(c);  // bound BEFORE the cast (2^32 wraps to 0)
+        if (idxL < 0 || idxL >= s.getTypes().size())
           throw new RuntimeException(
-              "union branch index " + idx + " out of range [0, "
+              "union branch index " + idxL + " out of range [0, "
                   + s.getTypes().size() + ")");
-        skip(c, s.getTypes().get(idx));
+        skip(c, s.getTypes().get((int) idxL));
         return;
       }
       default:

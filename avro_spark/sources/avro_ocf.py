@@ -288,7 +288,7 @@ def _check_writer_schema(
 
 
 def _verify_listing_schemas(
-    files: DataFrame, schema: Schema
+    spark: SparkSession, paths: "list[str]", schema: Schema
 ) -> bool:
     """Per-file writer-schema check for the whole-file read path.
     Small, fully-local listings keep the serial driver loop (one ~KB
@@ -304,7 +304,6 @@ def _verify_listing_schemas(
 
     expected_cf = canonical_form(schema.root)
     ok: set = set()
-    paths = [r["path"] for r in files.select("path").collect()]
     if len(paths) <= _DRIVER_SCAN_MAX and all(_is_local(p) for p in paths):
         try:
             for p in paths:
@@ -314,7 +313,7 @@ def _verify_listing_schemas(
         except OSError:
             pass  # fall through: executors may still reach the files
     try:
-        metas = _scan_headers_distributed(files.sparkSession, paths)
+        metas = _scan_headers_distributed(spark, paths)
     except Exception:
         # storage Spark's Hadoop IO can list but pyarrow.fs cannot open:
         # unverified — the caller routes to the Python engine, which
@@ -388,13 +387,13 @@ def read_avro_files(
         raise AvroSparkError(f"bad engine: {engine}")
     ensure_workers(spark)
     files = spark.read.format("binaryFile").load(path)
-    first = files.select("path").head()
-    if first is None:
+    # ONE driver action over the listing index: first path, max length,
+    # and the verify step's path list all come from this collect
+    listing = files.select("path", "length").collect()
+    if not listing:
         raise AvroSparkError(f"no files at {path}")
-    from pyspark.sql import functions as _F
-
-    biggest = files.agg(_F.max("length")).head()[0]
-    if biggest is not None and biggest > _WHOLE_FILE_MAX_BYTES:
+    first = listing[0]
+    if max(r["length"] for r in listing) > _WHOLE_FILE_MAX_BYTES:
         # whole-file reads ship one byte-array cell per file; the JVM
         # caps arrays at 2 GiB — route oversized files to byte-range
         # split tasks instead of failing mid-scan
@@ -425,7 +424,8 @@ def read_avro_files(
         # a mixed-schema directory otherwise decodes as garbage; one ~KB
         # header read per local file — pass verify_schemas=False only
         # for very large listings whose schema uniformity is known
-        fully_verified = _verify_listing_schemas(files, schema)
+        fully_verified = _verify_listing_schemas(
+            spark, [r["path"] for r in listing], schema)
     if engine != "python" and _jvm_ocf_ok(spark, schema, codec):
         from ..jvm import read_ocf_content_jvm
 
@@ -595,10 +595,21 @@ def read_avro_files_evolved(
             if any(_field_matches(wf, rf, False) for rf in wanted_reader)
         ]
         if not writer_cols:
-            # every requested reader field is a defaulted ADD: decode one
-            # (narrowest-available) writer field purely for row
-            # multiplicity — empty projections are illegal by design
-            writer_cols = [writer.root.fields[0].name]
+            # every requested reader field is a defaulted ADD: decode
+            # ONE writer field purely for row multiplicity (empty
+            # projections are illegal by design) — pick the narrowest
+            # one, not position 0, which could be a large string/record
+            def _width(f):
+                from ..schema.nodes import Enum as _E, Primitive as _P
+
+                t = f.type
+                if isinstance(t, _P) and not t.nullable:
+                    return {"null": 0, "boolean": 1, "int": 2, "enum": 2,
+                            "long": 3, "float": 4, "double": 5}.get(t.type, 90)
+                if isinstance(t, _E) and not t.nullable:
+                    return 2
+                return 99  # strings/bytes/records/arrays/unions: last
+            writer_cols = [min(writer.root.fields, key=_width).name]
         try:
             writer_sub = _prune_root_fields(writer, writer_cols)
             reader_sub = _prune_root_fields(
@@ -720,7 +731,8 @@ def _scan_headers_distributed(spark: SparkSession, paths: "list[str]"):
     ``(path, header_len, sync, codec, schema_digest)`` plus each
     DISTINCT writer-schema rendering once per task — so the collect is
     ~60 bytes/file + the handful of distinct schema JSONs, never
-    O(files × schema size). Returns ``(metas, digest→schema_json)``."""
+    O(files × schema size). Returns the per-file meta dicts with
+    ``schema_json`` re-attached from the deduped renderings."""
     pdf = spark.createDataFrame([(p,) for p in paths], "path string")
     n_slices = min(len(paths), spark.sparkContext.defaultParallelism * 2)
     pdf = pdf.repartition(max(n_slices, 1))
@@ -777,7 +789,7 @@ def _scan_header(uri: str) -> tuple[int, bytes, bytes, str]:
         buf = fh.read(need)
         while True:
             if buf[:4] != MAGIC:
-                raise AvroSparkError(f"not an Avro OCF: {fpath}")
+                raise AvroSparkError(f"not an Avro OCF: {uri}")
             try:
                 meta, pos = _read_meta_map(buf, 4)
                 sync = bytes(buf[pos : pos + 16])
@@ -787,7 +799,7 @@ def _scan_header(uri: str) -> tuple[int, bytes, bytes, str]:
                 pass
             more = fh.read(need)
             if not more:
-                raise AvroSparkError(f"truncated OCF header: {fpath}")
+                raise AvroSparkError(f"truncated OCF header: {uri}")
             buf += more
             need <<= 1
     codec = meta.get("avro.codec", b"null").decode("ascii")
@@ -1155,15 +1167,24 @@ def _delete_part_file(path: str, fname: str, use_fs: bool) -> None:
     filesystem.delete_file(f"{base.rstrip('/')}/{fname}")
 
 
+#: pyarrow filesystems where a streamed upload is INVISIBLE until the
+#: close completes it (multipart-upload semantics) — direct-to-final
+#: writes are safe and rename does not exist anyway
+_CLOSE_COMMITS_FS = ("s3", "gcs", "abfs", "azure")
+
+
 def _open_part(dir_uri: str, fname: str, attempt, use_fs: bool):
     """``(write handle, commit)`` for one part file. Local: temp name +
     atomic ``os.replace`` so speculative duplicate attempts converge on
-    whole files. Non-local (pyarrow.fs): stream straight to the FINAL
-    key — object stores have no atomic rename, and a streamed upload
-    only becomes visible when the close completes it (S3 multipart
-    semantics), so duplicate attempts writing identical bytes still
-    converge and an aborted attempt leaves nothing visible. The branch
-    is picked ONCE at plan time (``use_fs``) so driver and executors
+    whole files. Object stores (s3/gcs/abfs): stream straight to the
+    FINAL key — no rename exists, and the upload only becomes visible
+    when the close completes it, so duplicate attempts writing identical
+    bytes still converge and an aborted attempt leaves nothing visible.
+    Every OTHER pyarrow filesystem (hdfs://, ...) creates files eagerly,
+    so a killed attempt would leave a truncated final-named part —
+    those write an attempt-suffixed name and ``move()`` (atomic rename
+    on HDFS) at commit, mirroring the local discipline. The branch is
+    picked ONCE at plan time (``use_fs``) so driver and executors
     always agree."""
     if not use_fs:
         final = os.path.join(_local_path(dir_uri), fname)
@@ -1179,11 +1200,29 @@ def _open_part(dir_uri: str, fname: str, attempt, use_fs: bool):
     from pyarrow import fs as pafs
 
     filesystem, base = pafs.FileSystem.from_uri(dir_uri)
-    fh = filesystem.open_output_stream(f"{base.rstrip('/')}/{fname}")
+    final_key = f"{base.rstrip('/')}/{fname}"
     final_uri = f"{dir_uri.rstrip('/')}/{fname}"
+    if filesystem.type_name in _CLOSE_COMMITS_FS:
+        fh = filesystem.open_output_stream(final_key)
+
+        def commit() -> str:
+            fh.close()  # completes the upload: only now visible
+            return final_uri
+
+        return fh, commit
+    tmp_key = f"{final_key}.__attempt_{attempt}"
+    fh = filesystem.open_output_stream(tmp_key)
 
     def commit() -> str:
         fh.close()
+        # delete-then-move: HDFS rename refuses to clobber an existing
+        # target; a duplicate attempt's earlier whole file is replaced
+        # by this attempt's whole file, never interleaved
+        try:
+            filesystem.delete_file(final_key)
+        except FileNotFoundError:
+            pass
+        filesystem.move(tmp_key, final_key)
         return final_uri
 
     return fh, commit

@@ -135,6 +135,16 @@ def decompress(data: bytes) -> bytes:
     element raises AvroSparkError, never reads/writes out of range)."""
     data = bytes(data)
     ulen, p = _read_varint(data, 0)
+    # reject the claimed size BEFORE allocating: the densest legal
+    # element is a 3-byte copy emitting 64 bytes (~21.3×), so anything
+    # past 32× the remaining input is corrupt — without this cap a
+    # 6-byte preamble claiming ~1 TB OOM-killed the executor instead of
+    # raising the loud corruption error (mirrors the JVM twin's guard)
+    if ulen > max(64, (len(data) - p) * 32):
+        raise AvroSparkError(
+            f"snappy: preamble claims {ulen} bytes from "
+            f"{len(data) - p} input bytes — corrupt"
+        )
     out = bytearray(ulen)
     o = 0
     n = len(data)

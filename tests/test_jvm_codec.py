@@ -685,3 +685,39 @@ def test_nested_projection_one_level(spark, tmp_path):
         ):
             with pytest.raises(AvroSparkError, match=msg):
                 from_avro_bytes(enc, "b", sch, engine=eng, columns=bad)
+
+
+def test_union_tag_multiple_of_2_32_rejected(spark):
+    """Self-review r7: the JVM guards must range-check the RAW long
+    before the (int) cast — a corrupt tag of exactly 2^32 wrapped to
+    index 0 and silently decoded the wrong branch while the Python
+    engine raised."""
+    from avro_spark.errors import AvroSparkError
+    from avro_spark.sources.avro_binary import decode_record
+
+    sch = avro_spark.create({
+        "type": "record", "name": "U32",
+        "fields": [
+            {"name": "u", "type": ["null", "int"]},
+            {"name": "b", "type": "int"},
+        ]})
+    # zigzag(2^32) = 2^33: varint bytes
+    v = bytearray()
+    big = 1 << 33
+    while True:
+        byte = big & 0x7F
+        big >>= 7
+        if big:
+            v.append(byte | 0x80)
+        else:
+            v.append(byte)
+            break
+    corrupt = bytes(v) + bytes([0x02])
+    with pytest.raises(AvroSparkError, match="out of range"):
+        decode_record(sch, corrupt)
+    if not _jvm_ready(spark):
+        return
+    df = spark.createDataFrame([(bytearray(corrupt),)], "p binary")
+    for cols in (None, ["b"]):
+        with pytest.raises(Exception, match=r"union branch index 4294967296"):
+            from_avro_bytes(df, "p", sch, engine="jvm", columns=cols).collect()

@@ -126,3 +126,17 @@ def test_compression_is_real():
     """Not an all-literals stub: repetitive input must actually shrink."""
     data = (b"the quick brown fox jumps over the lazy dog. " * 1000)
     assert len(compress(data)) < len(data) // 5
+
+
+def test_giant_preamble_rejected_before_allocation():
+    """Self-review r7: a 6-byte preamble claiming ~1 TB must raise the
+    loud corruption error BEFORE bytearray(ulen) OOM-kills the worker —
+    the densest legal element emits 64 bytes from 3, so >32× the
+    remaining input is provably corrupt."""
+    huge = _varint(1 << 40) + b"\x00" * 10
+    with pytest.raises(AvroSparkError, match="preamble claims"):
+        decompress(huge)
+    # legitimate high-expansion streams still decode: 1 MB of zeros
+    # compresses to ~50 KB of chained copies (ratio ~21x < 32x cap)
+    data = bytes(1 << 20)
+    assert decompress(compress(data)) == data

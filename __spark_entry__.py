@@ -566,14 +566,15 @@ def q_ocf_split_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ocf_projected_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Projection pushdown INTO the OCF decoder (r6; NESTED pruning r7):
-    write orders as (o_orderkey, meta{o_custkey, pad}, o_totalprice,
-    tail) and read back columns=["o_orderkey", "meta.o_custkey",
-    "o_totalprice"] — the skipped `tail` field AND `meta`'s `pad`
-    sibling are byte-advanced, never materialized, on whichever engine
-    (JVM DecodeBlockProj+decodeSub / Python projected_record_decoder)
-    the auto route picks. Oracle: the same projection straight off the
-    base table."""
+    """Projection pushdown INTO the OCF decoder (r6; nested pruning r7,
+    ANY depth): write orders as (o_orderkey, meta{k{o_custkey, pad2},
+    pad}, o_totalprice, tail) and read back columns=["o_orderkey",
+    "meta.k.o_custkey", "o_totalprice"] — the skipped `tail` field,
+    `meta`'s `pad` sibling AND `k`'s `pad2` sibling two levels down are
+    all byte-advanced, never materialized, on whichever engine (JVM
+    DecodeBlockProj+recursive decodeSub / Python
+    projected_record_decoder) the auto route picks. Oracle: the same
+    projection straight off the base table."""
     import tempfile
 
     from avro_spark.sources.avro_ocf import read_avro_files, write_avro_files
@@ -581,7 +582,10 @@ def q_ocf_projected_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _read(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.struct(
-            F.col("o_custkey"),
+            F.struct(
+                F.col("o_custkey"),
+                F.repeat(F.lit("p2"), 30).alias("pad2"),
+            ).alias("k"),
             F.repeat(F.lit("pad"), 40).alias("pad"),
         ).alias("meta"),
         "o_totalprice",
@@ -595,7 +599,11 @@ def q_ocf_projected_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"name": "o_orderkey", "type": "long"},
                 {"name": "meta", "type": {
                     "type": "record", "name": "MetaP", "fields": [
-                        {"name": "o_custkey", "type": "long"},
+                        {"name": "k", "type": {
+                            "type": "record", "name": "KP", "fields": [
+                                {"name": "o_custkey", "type": "long"},
+                                {"name": "pad2", "type": "string"},
+                            ]}},
                         {"name": "pad", "type": "string"},
                     ]}},
                 {"name": "o_totalprice", "type": "double"},
@@ -607,11 +615,11 @@ def q_ocf_projected_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_avro_files(orders.repartition(2), sch, out, block_records=256)
     got = read_avro_files(
         spark, out, sch,
-        columns=["o_orderkey", "meta.o_custkey", "o_totalprice"],
+        columns=["o_orderkey", "meta.k.o_custkey", "o_totalprice"],
     )
     return got.select(
         "o_orderkey",
-        F.col("meta.o_custkey").alias("o_custkey"),
+        F.col("meta.k.o_custkey").alias("o_custkey"),
         "o_totalprice",
     )
 
@@ -648,6 +656,84 @@ def q_ocf_snappy_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.repartition(2), sch, out, codec="snappy", block_records=256
     )
     return read_avro_files_split(spark, out, sch, split_bytes=1 << 16)
+
+
+def q_ocf_zstd_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zstandard OCF end-to-end (r7 — the last Avro-spec codec; all six
+    now work): write orders with zstd blocks (pyarrow's bundled
+    libzstd), read back as byte-range SPLIT tasks — decompression runs
+    in the JVM block decoder via the zstd-jni library every Spark
+    distribution ships (AvroCodecUDF.decompressBlock) on the auto
+    route. Twin: ocf_snappy_read / ocf_split_read (same chain, other
+    codecs)."""
+    import tempfile
+
+    from avro_spark.sources.avro_ocf import (
+        read_avro_files_split, write_avro_files,
+    )
+
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    sch = avro_spark.create(
+        {
+            "type": "record",
+            "name": "OrdersZ",
+            "fields": [
+                {"name": "o_orderkey", "type": "long"},
+                {"name": "o_custkey", "type": "long"},
+                {"name": "o_totalprice", "type": "double"},
+            ],
+        }
+    )
+    out = tempfile.mkdtemp(prefix="ocf_zstd_")
+    write_avro_files(
+        orders.repartition(2), sch, out, codec="zstandard", block_records=256
+    )
+    return read_avro_files_split(spark, out, sch, split_bytes=1 << 16)
+
+
+def q_ocf_mixed_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed writer-version directory read (r7): EVEN orders keys are
+    written with schema v1 (no o_totalprice), ODD keys with v2, into
+    the SAME directory — the long-lived incremental-pipeline shape.
+    ``read_avro_files_evolved(mixed_writers=True)`` groups files by
+    writer fingerprint (one distributed header scan at scale), resolves
+    each group writer→reader (v1 rows take the reader default 0.0),
+    and unions by name. Oracle: CASE on parity over the base table."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from avro_spark.sources.avro_ocf import (
+        read_avro_files_evolved, write_avro_files,
+    )
+
+    orders = _read(spark, sf_dir, "orders")
+    v1 = avro_spark.create(
+        {"type": "record", "name": "OM", "fields": [
+            {"name": "o_orderkey", "type": "long"},
+            {"name": "o_custkey", "type": "long"}]})
+    v2 = avro_spark.create(
+        {"type": "record", "name": "OM", "fields": [
+            {"name": "o_orderkey", "type": "long"},
+            {"name": "o_custkey", "type": "long"},
+            {"name": "o_totalprice", "type": "double", "default": 0.0}]})
+    d = tempfile.mkdtemp(prefix="ocf_mixed_")
+    t1, t2 = tempfile.mkdtemp(), tempfile.mkdtemp()
+    write_avro_files(
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_custkey").repartition(2),
+        v1, t1, block_records=512)
+    write_avro_files(
+        orders.filter(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_custkey", "o_totalprice").repartition(2),
+        v2, t2, codec="deflate", block_records=512)
+    for i, f in enumerate(sorted(glob.glob(os.path.join(t1, "*.avro"))) +
+                          sorted(glob.glob(os.path.join(t2, "*.avro")))):
+        shutil.copy(f, os.path.join(d, f"f{i:03d}.avro"))
+    return read_avro_files_evolved(spark, d, v2, mixed_writers=True)
 
 
 def q_jsonl_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2483,6 +2569,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6 rotation: folded with >= 2 driver-green rounds each,
         # every one behind an in-window twin (twin notes in queries())
         "flatten_nested": q_flatten_nested,
+        # round-7 additions awaiting promotion: zstd OCF read (twin
+        # ocf_snappy_read in the window exercises the same split chain);
+        # mixed-writer directory read (twin ocf_evolved_read, same
+        # resolution chain on a single-version group)
+        "ocf_zstd_read": q_ocf_zstd_read,
+        "ocf_mixed_writers": q_ocf_mixed_writers,
         # round-7 rotation: folded with >= 2 driver-green rounds each,
         # twins noted in queries()
         "heavy_hitters": q_heavy_hitters,
@@ -3430,6 +3522,15 @@ def _oracles_extra() -> dict[str, str]:
         """,
         "ocf_snappy_read": """
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        """,
+        "ocf_zstd_read": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        """,
+        "ocf_mixed_writers": """
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey % 2 = 0 THEN 0.0
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders
         """,
         "media_probe": """
             SELECT doc_id,

@@ -439,31 +439,44 @@ public final class AvroCodecUDF {
   /** per-(schema, keepCsv) projection plan, computed ONCE, not per
    *  row/block (the wire front decodes one row per call). Entry per
    *  top-level field in schema order: Boolean.FALSE = skip,
-   *  Boolean.TRUE = decode fully, Set&lt;String&gt; = decode the record
-   *  field keeping only those subfields (dotted "a.b" CSV entries —
-   *  one-level nested pruning, mirroring the Python
-   *  projected_field_steps). */
+   *  Boolean.TRUE = decode fully, Map&lt;String,Object&gt; = decode the
+   *  record field keeping only that RECURSIVE sub-tree (dotted
+   *  "a.b.c" CSV entries, any depth — parquet-style nested pruning,
+   *  mirroring the Python projected_field_steps). The CSV arrives
+   *  canonical from the Python validator: no entry is a prefix of
+   *  another. */
   static final ConcurrentHashMap<String, Object[]> PROJ =
       new ConcurrentHashMap<>();
 
   static Object[] projPlan(Schema s, String schemaJson, String keepCsv) {
     return PROJ.computeIfAbsent(schemaJson + " " + keepCsv, k -> {
-      java.util.HashSet<String> full = new java.util.HashSet<>();
-      java.util.HashMap<String, java.util.HashSet<String>> subs =
-          new java.util.HashMap<>();
+      // {name: TRUE | nested map} — TRUE = keep the subtree fully
+      java.util.HashMap<String, Object> tree = new java.util.HashMap<>();
       for (String entry : keepCsv.split(",")) {
-        int dot = entry.indexOf('.');
-        if (dot < 0) full.add(entry);
-        else subs.computeIfAbsent(entry.substring(0, dot),
-            x -> new java.util.HashSet<String>()).add(entry.substring(dot + 1));
+        String[] parts = entry.split("\\.");
+        java.util.HashMap<String, Object> cur = tree;
+        for (int d = 0; d < parts.length; d++) {
+          if (d == parts.length - 1) {
+            cur.put(parts[d], Boolean.TRUE);
+            break;
+          }
+          Object nxt = cur.get(parts[d]);
+          if (nxt == Boolean.TRUE) break;  // shorter entry keeps it all
+          if (nxt == null) {
+            nxt = new java.util.HashMap<String, Object>();
+            cur.put(parts[d], nxt);
+          }
+          @SuppressWarnings("unchecked")
+          java.util.HashMap<String, Object> nxtMap =
+              (java.util.HashMap<String, Object>) nxt;
+          cur = nxtMap;
+        }
       }
       List<Schema.Field> fields = s.getFields();
       Object[] take = new Object[fields.size()];
       for (int j = 0; j < fields.size(); j++) {
-        String name = fields.get(j).name();
-        if (full.contains(name)) take[j] = Boolean.TRUE;
-        else if (subs.containsKey(name)) take[j] = subs.get(name);
-        else take[j] = Boolean.FALSE;
+        Object t = tree.get(fields.get(j).name());
+        take[j] = (t == null) ? Boolean.FALSE : t;
       }
       return take;
     });
@@ -476,9 +489,11 @@ public final class AvroCodecUDF {
   }
 
   /** decode one record (or nullable-record) field keeping only the
-   *  requested subfields, byte-skipping siblings — the Python-side
-   *  validator guarantees the field is RECORD or [null, RECORD]. */
-  static Object decodeSub(Cursor c, Schema fs, java.util.Set<String> subs) {
+   *  sub-tree's fields (recursing into nested sub-trees), byte-skipping
+   *  siblings — the Python-side validator guarantees every projected
+   *  level is RECORD or [null, RECORD]. */
+  static Object decodeSub(
+      Cursor c, Schema fs, java.util.Map<String, Object> tree) {
     Schema rec = fs;
     if (fs.getType() == Schema.Type.UNION) {
       List<Schema> ts = fs.getTypes();
@@ -495,12 +510,13 @@ public final class AvroCodecUDF {
           "nested projection requires a record field, got " + rec.getType());
     List<Schema.Field> fields = rec.getFields();
     int width = 0;
-    for (Schema.Field f : fields) if (subs.contains(f.name())) width++;
+    for (Schema.Field f : fields) if (tree.containsKey(f.name())) width++;
     Object[] vals = new Object[width];
     int p = 0;
     for (Schema.Field f : fields) {
-      if (subs.contains(f.name())) vals[p++] = decode(c, f.schema());
-      else skip(c, f.schema());
+      Object t = tree.get(f.name());
+      if (t == null) skip(c, f.schema());
+      else vals[p++] = decodeProjected(c, f.schema(), t);
     }
     return RowFactory.create(vals);
   }
@@ -508,7 +524,7 @@ public final class AvroCodecUDF {
   @SuppressWarnings("unchecked")
   static Object decodeProjected(Cursor c, Schema fs, Object plan) {
     if (plan == Boolean.TRUE) return decode(c, fs);
-    return decodeSub(c, fs, (java.util.Set<String>) plan);
+    return decodeSub(c, fs, (java.util.Map<String, Object>) plan);
   }
 
   /** (schemaJson, keepCsv, Avro binary bytes) → struct row with ONLY the
@@ -546,7 +562,7 @@ public final class AvroCodecUDF {
   // block rows through the generator) while the per-record hot loop runs
   // entirely JVM-side — the Python engine remains the no-JDK fallback.
 
-  /** raw deflate (RFC-1951) / null block decompression */
+  /** null / deflate (RFC-1951) / snappy / zstandard block decompression */
   static byte[] decompressBlock(String codec, byte[] data) {
     if (codec.equals("null")) return data;
     if (codec.equals("deflate")) {
@@ -585,8 +601,26 @@ public final class AvroCodecUDF {
         throw new RuntimeException("snappy block CRC mismatch");
       return out;
     }
-    // bzip2/xz/zstandard stay on the Python engine (stdlib/modules
-    // there); the Python wrapper routes before this is ever reached
+    if (codec.equals("zstandard")) {
+      // Avro spec: the block is one zstd frame, no checksum wrapper.
+      // zstd-jni ships in every Spark distribution (shuffle codec);
+      // the streaming reader handles frames with or without
+      // Frame_Content_Size, unlike one-shot Zstd.decompress.
+      try (com.github.luben.zstd.ZstdInputStream zin =
+              new com.github.luben.zstd.ZstdInputStream(
+                  new java.io.ByteArrayInputStream(data))) {
+        java.io.ByteArrayOutputStream bos =
+            new java.io.ByteArrayOutputStream(Math.max(data.length * 4, 1 << 16));
+        byte[] buf = new byte[1 << 16];
+        int got;
+        while ((got = zin.read(buf)) > 0) bos.write(buf, 0, got);
+        return bos.toByteArray();
+      } catch (java.io.IOException e) {
+        throw new RuntimeException("bad zstandard block: " + e.getMessage(), e);
+      }
+    }
+    // bzip2/xz stay on the Python engine (stdlib there); the Python
+    // wrapper routes before this is ever reached
     throw new RuntimeException("jvm OCF codec cannot decompress '" + codec + "'");
   }
 

@@ -181,7 +181,7 @@ def ensure_jar() -> Optional[str]:
     cp = os.path.join(_pyspark_jars(), "*")
     try:
         subprocess.run(
-            ["javac", "-cp", cp, "-d", classes, _SRC],
+            ["javac", "-encoding", "UTF-8", "-cp", cp, "-d", classes, _SRC],
             check=True, capture_output=True, text=True,
         )
         subprocess.run(
@@ -254,8 +254,9 @@ _BLOCK_ROWS_T = T.ArrayType(
 
 #: block codecs the JVM container path can decompress (others stay on the
 #: Python engine, which has bz2/lzma in the stdlib); snappy is the
-#: from-scratch public-format implementation mirrored in snappy_codec.py
-JVM_OCF_CODECS = ("null", "deflate", "snappy")
+#: from-scratch public-format implementation mirrored in snappy_codec.py;
+#: zstandard uses the zstd-jni library every Spark distribution ships
+JVM_OCF_CODECS = ("null", "deflate", "snappy", "zstandard")
 
 
 def _register_split_blocks(spark: SparkSession) -> str:

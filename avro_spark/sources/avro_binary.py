@@ -615,61 +615,69 @@ def _projectable_record(node: SchemaNode) -> Optional[Record]:
 
 def parse_projection(
     root: Record, columns: "list[str]"
-) -> "dict[str, Optional[list[str]]]":
+) -> "dict[str, Optional[dict]]":
     """Shared parser/validator for every ``columns=`` surface. Entries
-    are top-level field names or ONE-level dotted paths (``"a.b"`` — the
-    record-field analogue of parquet nested pruning; deeper paths
-    raise). Returns an ordered spec in SCHEMA order:
-    ``{field: None}`` = full field, ``{field: [subfields]}`` = keep the
-    field as a struct of just those subfields (subfield schema order).
-    Requesting both ``"a"`` and ``"a.b"`` keeps the full field. Unknown
-    names raise, and so does an EMPTY projection — a zero-field Arrow
-    batch always carries num_rows=0, so the Python engine would silently
-    drop every row where the JVM engine kept them."""
+    are dotted field paths of ANY depth (``"a"``, ``"a.b"``,
+    ``"a.b.c"`` — the record-field analogue of parquet nested pruning):
+    every non-final segment must name a record field (plain, nullable,
+    or the record branch of a simple ``[null, record]`` union). Returns
+    a RECURSIVE spec in SCHEMA order at every level:
+    ``{field: None}`` = full field, ``{field: subspec}`` = keep the
+    field as a struct holding just that sub-spec. Requesting both a
+    path and one of its extensions (``"a"`` + ``"a.b"``) keeps the
+    SHORTER (full) one. Unknown names raise, and so does an EMPTY
+    projection — a zero-field Arrow batch always carries num_rows=0,
+    so the Python engine would silently drop every row where the JVM
+    engine kept them. Paths cannot descend arrays/maps/tagged unions
+    (their element/branch machinery needs the whole cell)."""
     if not columns:
         raise AvroSparkError(
             "projection must name at least one field (columns=[] would "
             "produce zero-width rows)"
         )
-    known = {f.name: f for f in root.fields}
-    full: set = set()
-    subs: dict = {}
+    tree: dict = {}  # {name: True | nested dict}; True = keep fully
     for c in columns:
-        head, dot, rest = c.partition(".")
-        if head not in known:
-            raise AvroSparkError(
-                f"projection names unknown fields [{head!r}]; schema has "
-                f"{sorted(known)}"
+        parts = c.split(".")
+        rec = root
+        cur = tree
+        for depth, seg in enumerate(parts):
+            known = {f.name: f for f in rec.fields}
+            if seg not in known:
+                scope = (
+                    f"{'.'.join(parts[:depth])!r} has" if depth
+                    else "schema has"
+                )
+                raise AvroSparkError(
+                    f"projection names unknown fields [{seg!r}]; "
+                    f"{scope} {sorted(known)}"
+                )
+            if depth == len(parts) - 1:
+                cur[seg] = True  # full from here on (wins over subs)
+                break
+            inner = _projectable_record(known[seg].type)
+            if inner is None:
+                raise AvroSparkError(
+                    f"projection {c!r}: field "
+                    f"{'.'.join(parts[:depth + 1])!r} is not a record"
+                )
+            if cur.get(seg) is True:
+                break  # a shorter request already keeps this subtree
+            cur = cur.setdefault(seg, {})
+            rec = inner
+
+    def _ordered(rec: Record, t: dict) -> dict:
+        spec: dict = {}
+        for f in rec.fields:
+            if f.name not in t:
+                continue
+            v = t[f.name]
+            spec[f.name] = (
+                None if v is True
+                else _ordered(_projectable_record(f.type), v)
             )
-        if not dot:
-            full.add(head)
-            continue
-        if "." in rest:
-            raise AvroSparkError(
-                f"projection descends one record level only ('a.b'); "
-                f"got {c!r}"
-            )
-        rec = _projectable_record(known[head].type)
-        if rec is None:
-            raise AvroSparkError(
-                f"projection {c!r}: field {head!r} is not a record"
-            )
-        sub_known = {sf.name for sf in rec.fields}
-        if rest not in sub_known:
-            raise AvroSparkError(
-                f"projection {c!r} names unknown fields [{rest!r}]; "
-                f"{head!r} has {sorted(sub_known)}"
-            )
-        subs.setdefault(head, set()).add(rest)
-    spec: dict = {}
-    for f in root.fields:
-        if f.name in full:
-            spec[f.name] = None
-        elif f.name in subs:
-            rec = _projectable_record(f.type)
-            spec[f.name] = [sf.name for sf in rec.fields
-                            if sf.name in subs[f.name]]
-    return spec
+        return spec
+
+    return _ordered(root, tree)
 
 
 def validate_projection(root: Record, columns: "list[str]"):
@@ -680,29 +688,35 @@ def validate_projection(root: Record, columns: "list[str]"):
 
 
 def projection_csv(root: Record, spec: dict) -> str:
-    """Spec → the canonical CSV the JVM decoders take: full fields by
-    name, sub-projected ones as dotted entries, all in schema order
-    (Avro names are [A-Za-z0-9_]+ so commas/dots are unambiguous)."""
-    parts = []
-    for f in root.fields:
-        if f.name not in spec:
-            continue
-        sub = spec[f.name]
-        if sub is None:
-            parts.append(f.name)
-        else:
-            parts += [f"{f.name}.{s}" for s in sub]
+    """Spec → the canonical CSV the JVM decoders take: one dotted leaf
+    path per kept subtree, depth-first in schema order at every level
+    (Avro names are [A-Za-z0-9_]+ so commas/dots are unambiguous).
+    Canonical by construction: no entry is a prefix of another."""
+    parts: list = []
+
+    def walk(prefix: str, rec: Record, sp: dict) -> None:
+        for f in rec.fields:
+            if f.name not in sp:
+                continue
+            path = prefix + f.name
+            if sp[f.name] is None:
+                parts.append(path)
+            else:
+                walk(path + ".", _projectable_record(f.type), sp[f.name])
+
+    walk("", root, spec)
     return ",".join(parts)
 
 
-def _projected_field_decoder(node: SchemaNode, sub: "list[str]") -> Callable:
+def _projected_field_decoder(node: SchemaNode, sub: dict) -> Callable:
     """Decoder for ONE record (or nullable-record) field materializing
-    only ``sub`` subfields (schema order) and byte-skipping siblings."""
+    only the ``sub`` spec's subfields (schema order, recursing into
+    nested sub-specs) and byte-skipping siblings."""
     rec = _projectable_record(node)
-    keep = set(sub)
     steps = [
-        (f.name, _compile_decoder(f.type)) if f.name in keep
-        else (None, _compile_skipper(f.type))
+        (None, _compile_skipper(f.type)) if f.name not in sub
+        else (f.name, _compile_decoder(f.type)) if sub[f.name] is None
+        else (f.name, _projected_field_decoder(f.type, sub[f.name]))
         for f in rec.fields
     ]
 
@@ -788,30 +802,39 @@ def projected_record_decoder(
 
 
 def project_struct_type(struct, columns: "list[str]"):
-    """StructType restricted to a (possibly dotted) projection, keeping
-    schema order at both levels — the output-schema twin of
-    projected_field_steps, shared by every ``columns=`` surface."""
+    """StructType restricted to a (possibly dotted, any-depth)
+    projection, keeping schema order at every level — the output-schema
+    twin of projected_field_steps, shared by every ``columns=``
+    surface."""
     from pyspark.sql import types as T
 
-    full: set = set()
-    subs: dict = {}
+    tree: dict = {}  # {name: True | nested dict}; mirrors parse_projection
     for c in columns:
-        head, dot, rest = c.partition(".")
-        if not dot:
-            full.add(head)
-        else:
-            subs.setdefault(head, set()).add(rest)
-    out = []
-    for f in struct.fields:
-        if f.name in full:
-            out.append(f)
-        elif f.name in subs:
-            inner = f.dataType
-            pruned = T.StructType(
-                [sf for sf in inner.fields if sf.name in subs[f.name]]
-            )
-            out.append(T.StructField(f.name, pruned, f.nullable, f.metadata))
-    return T.StructType(out)
+        parts = c.split(".")
+        cur = tree
+        for depth, seg in enumerate(parts):
+            if depth == len(parts) - 1:
+                cur[seg] = True
+                break
+            if cur.get(seg) is True:
+                break
+            cur = cur.setdefault(seg, {})
+
+    def prune(st, t: dict):
+        out = []
+        for f in st.fields:
+            if f.name not in t:
+                continue
+            if t[f.name] is True:
+                out.append(f)
+            else:
+                out.append(T.StructField(
+                    f.name, prune(f.dataType, t[f.name]),
+                    f.nullable, f.metadata,
+                ))
+        return T.StructType(out)
+
+    return prune(struct, tree)
 
 
 # -------------------------------------------------------- value normalizing

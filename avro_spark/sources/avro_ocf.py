@@ -105,10 +105,10 @@ def deterministic_sync(schema: Schema) -> bytes:
 # ----------------------------------------------------------- block codecs
 def _codec_pair(codec: str):
     """(compress, decompress) for an Avro-spec block codec (spec §
-    "Required"/"Optional" codecs). Unknown names raise; codecs whose
-    library is absent in this environment raise a clear
-    missing-dependency error at USE time (null/deflate/bzip2/xz need
-    only the stdlib)."""
+    "Required"/"Optional" codecs) — all six spec codecs are supported:
+    null/deflate/bzip2/xz from the stdlib, snappy from scratch
+    (snappy_codec.py), zstandard via pyarrow's bundled libzstd.
+    Unknown names raise."""
     if codec == "null":
         return (lambda d: d), (lambda d: d)
     if codec == "deflate":
@@ -147,16 +147,30 @@ def _codec_pair(codec: str):
 
         return _sc, _sd
     if codec == "zstandard":
-        try:
-            import zstandard
-        except ImportError as ex:
+        # Avro spec: the block is one zstd frame, no extra checksum
+        # wrapper. pyarrow bundles libzstd; its streaming reader also
+        # handles frames written WITHOUT Frame_Content_Size (other
+        # writers' streaming mode), which one-shot decompress cannot.
+        import pyarrow as pa
+
+        if not pa.Codec.is_available("zstd"):  # pragma: no cover
             raise AvroSparkError(
-                "Avro 'zstandard' codec requires the zstandard package"
-            ) from ex
-        return (
-            lambda d: zstandard.ZstdCompressor().compress(d),
-            lambda d: zstandard.ZstdDecompressor().decompress(d),
-        )
+                "Avro 'zstandard' codec requires pyarrow built with zstd"
+            )
+
+        def _zc(d: bytes) -> bytes:
+            return bytes(pa.Codec("zstd").compress(d))
+
+        def _zd(d: bytes) -> bytes:
+            try:
+                with pa.CompressedInputStream(
+                    pa.BufferReader(d), "zstd"
+                ) as st:
+                    return st.read()
+            except (OSError, pa.ArrowInvalid) as ex:
+                raise AvroSparkError(f"bad zstandard block: {ex}") from ex
+
+        return _zc, _zd
     raise AvroSparkError(f"unsupported Avro codec: {codec}")
 
 
@@ -200,7 +214,7 @@ def write_ocf_bytes(
 
 
 def _project_struct(struct, columns: "list[str]"):
-    """StructType restricted to ``columns`` (dotted one-level paths
+    """StructType restricted to ``columns`` (dotted paths of any depth
     prune INSIDE record fields), keeping schema order."""
     from .avro_binary import project_struct_type
 
@@ -534,13 +548,58 @@ def _prune_root_fields(schema: Schema, names: "list[str]") -> Schema:
     return create(pruned)
 
 
+def _group_paths_by_writer(
+    spark: SparkSession, path: "str | list[str]"
+) -> "list[tuple[str, list[str]]]":
+    """Group a directory's OCF files by their writer schema's Parsing
+    Canonical Form fingerprint: ``[(schema_json, [paths…]), …]`` sorted
+    by fingerprint (deterministic plan). Header scanning follows the
+    same policy as :func:`_verify_listing_schemas` — serial driver loop
+    for small local listings, ONE distributed Spark job otherwise — so
+    grouping stays flat in file count at 100 TB listings. Renderings
+    that differ only in whitespace/doc/field-attribute order land in
+    the SAME group (canonical fingerprint, not raw JSON equality)."""
+    from ..schema.fingerprint import canonical_form
+
+    listing = spark.read.format("binaryFile").load(path).select("path").collect()
+    paths = [r["path"] for r in listing]
+    if not paths:
+        raise AvroSparkError(f"no files at {path}")
+    metas = None
+    if len(paths) <= _DRIVER_SCAN_MAX and all(_is_local(p) for p in paths):
+        try:
+            metas = []
+            for p in paths:
+                _hl, _sync, sj, _codec = _scan_header(p)
+                metas.append({"path": p, "schema_json": sj})
+        except OSError:
+            metas = None  # executors may still reach the files
+    if metas is None:
+        metas = _scan_headers_distributed(spark, paths)
+    fp_of_rendering: dict = {}  # raw JSON bytes → (fingerprint, json str)
+    groups: dict = {}
+    for m in metas:
+        key = bytes(m["schema_json"])
+        if key not in fp_of_rendering:
+            root = create(json.loads(key.decode("utf-8"))).root
+            cf = canonical_form(root)
+            fp_of_rendering[key] = (
+                hashlib.md5(cf.encode("utf-8")).hexdigest(),
+                key.decode("utf-8"),
+            )
+        fp, sj = fp_of_rendering[key]
+        groups.setdefault(fp, (sj, []))[1].append(m["path"])
+    return [groups[fp] for fp in sorted(groups)]
+
+
 def read_avro_files_evolved(
     spark: SparkSession,
-    path: str,
+    path: "str | list[str]",
     reader_schema: Schema,
     split_bytes: "Optional[int | str]" = None,
     engine: str = "auto",
     columns: "Optional[list[str]]" = None,
+    mixed_writers: bool = False,
 ) -> DataFrame:
     """Classic Avro schema evolution at the file boundary: decode the
     files with their WRITER schema (peeked from the first header), then
@@ -558,8 +617,31 @@ def read_avro_files_evolved(
     and the resolution runs on the pruned pair of sub-schemas. Schemas
     whose pruned rendering no longer parses (a named type defined only
     inside a dropped field) fall back to the full decode + select —
-    same rows, no IO pruning."""
+    same rows, no IO pruning.
+
+    ``mixed_writers=True`` reads a directory that accumulated files
+    across SEVERAL writer versions (the shape a long-lived incremental
+    pipeline produces): files are grouped by writer-schema fingerprint
+    (one distributed header scan on big/non-local listings), each group
+    resolves writer→reader independently, and the groups union by name
+    — every version that is individually compatible with the reader
+    reads in one call instead of the default loud mismatch error. Each
+    group keeps its own engine routing (a JVM-capable group stays on
+    the JVM even when another group's codec forces Python)."""
     from .. import compile as _compile
+
+    if mixed_writers:
+        groups = _group_paths_by_writer(spark, path)
+        outs = [
+            read_avro_files_evolved(
+                spark, gpaths, reader_schema, split_bytes=split_bytes,
+                engine=engine, columns=columns,
+            )
+            for _sj, gpaths in groups
+        ]
+        from functools import reduce
+
+        return reduce(DataFrame.unionByName, outs)
 
     first = spark.read.format("binaryFile").load(path).select("path").head()
     if first is None:

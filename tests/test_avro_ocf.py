@@ -424,8 +424,8 @@ class TestOcfSplitFuzz:
 class TestBlockCodecs:
     """Avro-spec block codecs beyond null/deflate: bzip2 and xz are
     stdlib-backed; snappy is the from-scratch public-format codec
-    (snappy_codec.py, r7); zstandard raises a clear missing-dependency
-    error (its lib is absent here); unknown names are rejected."""
+    (snappy_codec.py, r7); zstandard rides pyarrow's bundled libzstd
+    (r7 — all six spec codecs now work); unknown names are rejected."""
 
     SCHEMA = {"type": "record", "name": "R", "fields": [
         {"name": "a", "type": "long"}, {"name": "b", "type": "string"}]}
@@ -463,23 +463,42 @@ class TestBlockCodecs:
         )
         assert sorted(map(tuple, back2.collect())) == sorted(map(tuple, df.collect()))
 
-    def test_missing_dependency_is_loud(self):
-        # r7: snappy is now the from-scratch built-in (snappy_codec.py) —
-        # it must WORK, not error; only zstandard stays dependency-gated
+    def test_snappy_and_zstandard_are_builtin(self):
+        # r7: snappy is the from-scratch built-in (snappy_codec.py) and
+        # zstandard rides pyarrow's libzstd — both must WORK, not error
         import avro_spark as avs
-        import pytest as _pytest
-        from avro_spark.errors import AvroSparkError
         from avro_spark.sources.avro_ocf import read_ocf_bytes, write_ocf_bytes
 
         sch = avs.create(self.SCHEMA)
         rows = [{"a": i, "b": "x" * (i % 40)} for i in range(200)]
-        blob = write_ocf_bytes(sch, rows, codec="snappy")
-        assert read_ocf_bytes(blob)[1] == rows
-        try:
-            __import__("zstandard")
-        except ImportError:
-            with _pytest.raises(AvroSparkError, match="zstandard"):
-                write_ocf_bytes(sch, [{"a": 1, "b": ""}], codec="zstandard")
+        for codec in ("snappy", "zstandard"):
+            blob = write_ocf_bytes(sch, rows, codec=codec)
+            assert read_ocf_bytes(blob)[1] == rows, codec
+
+    def test_zstandard_roundtrip(self):
+        self._roundtrip("zstandard")
+
+    def test_zstandard_blocks_actually_compress(self):
+        from avro_spark.sources.avro_ocf import _codec_pair
+
+        comp, dec = _codec_pair("zstandard")
+        data = (b"the same training document body " * 400)
+        blob = comp(data)
+        assert len(blob) < len(data) // 4
+        assert dec(blob) == data
+
+    def test_zstandard_corrupt_block_is_loud(self):
+        import pytest as _pytest
+        from avro_spark.errors import AvroSparkError
+        from avro_spark.sources.avro_ocf import _codec_pair
+
+        comp, dec = _codec_pair("zstandard")
+        blob = bytearray(comp(b"payload " * 100))
+        blob[10:14] = bytes(4)
+        with _pytest.raises(AvroSparkError, match="zstandard"):
+            dec(bytes(blob))
+        with _pytest.raises(AvroSparkError, match="zstandard"):
+            dec(b"\x00\x01\x02")  # not a zstd frame at all
 
     def test_unknown_codec_rejected(self):
         import avro_spark as avs

@@ -1410,7 +1410,8 @@ class TestFuzzOcfCrossEngine:
             for r in df.collect()
         )
         base = tmp_path_factory.mktemp("ocf_fuzz")
-        codec = gen.draw(st.sampled_from(["null", "deflate"]))
+        codec = gen.draw(st.sampled_from(
+            ["null", "deflate", "snappy", "zstandard"]))
         for weng in ("python", "jvm"):
             d = str(base / weng)
             write_avro_files(df, sch, d, codec=codec, block_records=2,

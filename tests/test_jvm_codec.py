@@ -677,14 +677,102 @@ def test_nested_projection_one_level(spark, tmp_path):
                                columns=["sub", "sub.x"])
         assert [f.name for f in full.schema["sub"].dataType.fields] == \
             ["x", "big", "y"], eng
-        # error cases: too deep, non-record, unknown subfield
+        # error cases: descent past a primitive, non-record, unknown
+        # subfield (depth itself is legal since the r7 any-depth work)
         for bad, msg in (
-            (["sub.x.y"], "one record level"),
+            (["sub.x.y"], "not a record"),
             (["id.x"], "not a record"),
             (["sub.zz"], "unknown fields"),
         ):
             with pytest.raises(AvroSparkError, match=msg):
                 from_avro_bytes(enc, "b", sch, engine=eng, columns=bad)
+
+
+def test_nested_projection_any_depth(spark, tmp_path):
+    """r7: dotted projections descend ANY number of record levels
+    ('a.b.c.v'), byte-skipping siblings at every level; nullable and
+    [null, record] union links mid-path stay null-correct; a shorter
+    request ('a.b') subsumes its extensions. Both engines, wire + OCF
+    whole-file + split read."""
+    from pyspark.sql import functions as F
+
+    from avro_spark.sources.avro_binary import (
+        from_avro_bytes, parse_projection, projection_csv, to_avro_bytes,
+    )
+    from avro_spark.sources.avro_ocf import (
+        read_avro_files, read_avro_files_split, write_avro_files,
+    )
+
+    sch = avro_spark.create({
+        "type": "record", "name": "D3",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "a", "type": {"type": "record", "name": "A",
+             "fields": [
+                 {"name": "big1", "type": "string"},
+                 {"name": "b", "type": {"type": "record", "name": "B",
+                  "fields": [
+                      {"name": "big2", "type": "string"},
+                      {"name": "c", "type": ["null",
+                       {"type": "record", "name": "C", "fields": [
+                           {"name": "v", "type": "long"},
+                           {"name": "big3", "type": "string"}]}]},
+                      {"name": "w", "type": "int"}]}},
+                 {"name": "z", "type": "double"}]}},
+            {"name": "huge", "type": "string"},
+        ],
+    })
+    rows = [
+        (i,
+         ("x" * 99, ("y" * 99, (i * 7, "z" * 99) if i % 3 else None, i),
+          i / 2.0),
+         "h" * 99)
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, sch.to_struct_type())
+    d = str(tmp_path / "deep")
+    write_avro_files(df.coalesce(1), sch, d, block_records=32)
+
+    # spec canonicalization: schema order at every level, prefix wins
+    spec = parse_projection(sch.root, ["a.b.w", "id", "a.b.c.v"])
+    assert spec == {"id": None, "a": {"b": {"c": {"v": None}, "w": None}}}
+    assert projection_csv(sch.root, spec) == "id,a.b.c.v,a.b.w"
+    sub = parse_projection(sch.root, ["a.b.c.v", "a.b"])
+    assert sub == {"a": {"b": None}}
+
+    cols = ["id", "a.b.c.v", "a.b.w"]
+    want_df = df.select(
+        "id",
+        F.struct(F.struct(
+            F.when(F.col("a.b.c").isNotNull(),
+                   F.struct(F.col("a.b.c.v").alias("v"))).alias("c"),
+            F.col("a.b.w").alias("w")).alias("b")).alias("a"))
+
+    def canon(frame):
+        return sorted(map(repr, frame.collect()))
+
+    want = canon(want_df)
+    engines = ["python"] + (
+        ["jvm"] if (J.ensure_jar() and J.jvm_codec_available(spark)) else [])
+    for eng in engines:
+        got = read_avro_files(spark, d, sch, engine=eng, columns=cols)
+        assert [f.name for f in got.schema.fields] == ["id", "a"], eng
+        b_t = got.schema["a"].dataType["b"].dataType
+        assert [f.name for f in b_t.fields] == ["c", "w"], eng
+        assert [f.name for f in b_t["c"].dataType.fields] == ["v"], eng
+        assert canon(got) == want, eng
+        got_s = read_avro_files_split(
+            spark, d, sch, split_bytes=1024, engine=eng, columns=cols)
+        assert canon(got_s) == want, ("split", eng)
+        enc = to_avro_bytes(df, sch, "b", engine="python")
+        got_w = from_avro_bytes(enc, "b", sch, engine=eng, columns=cols)
+        assert canon(got_w) == want, ("wire", eng)
+        # shorter request subsumes the deep one → full B struct
+        full_b = from_avro_bytes(enc, "b", sch, engine=eng,
+                                 columns=["a.b", "a.b.c.v"])
+        assert [f.name for f in
+                full_b.schema["a"].dataType["b"].dataType.fields] == \
+            ["big2", "c", "w"], eng
 
 
 def test_union_tag_multiple_of_2_32_rejected(spark):

@@ -81,7 +81,7 @@ def _collect(df):
     return sorted(tuple(map(repr, r)) for r in df.collect())
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy", "zstandard"])
 def test_cross_engine_read_write_equality(spark, tmp_path, zoo, codec):
     """All four (write engine × read engine) combinations agree, for
     whole-file and split reads, under both JVM-capable codecs."""
@@ -124,12 +124,16 @@ def _block_payloads(fpath):
         elif codec == "snappy":
             from avro_spark.sources.snappy_codec import decompress as _snd
             payload += _snd(data[:-4])  # strip the Avro CRC32 suffix
+        elif codec == "zstandard":
+            import pyarrow as pa
+            with pa.CompressedInputStream(pa.BufferReader(data), "zstd") as st:
+                payload += st.read()
         else:
             payload += data
     return meta["avro.schema"], counts, payload
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy", "zstandard"])
 def test_block_byte_parity_between_write_engines(spark, tmp_path, zoo, codec):
     """With one partition and equal block_records, the two writers emit
     byte-identical block payloads, counts and embedded schema JSON —
@@ -163,6 +167,146 @@ def test_jvm_engine_raises_when_codec_unsupported(spark, tmp_path, zoo):
                                   engine="jvm")
     got = _collect(read_avro_files(spark, d, sch))  # auto → python fallback
     assert got == _collect(df.limit(20))
+
+
+def test_zstd_frame_without_content_size_reads_on_both_engines(
+        spark, tmp_path):
+    """Other writers' STREAMING zstd mode omits Frame_Content_Size from
+    the frame header; both engines must still decode such blocks (this
+    is why both use a streaming zstd reader, not one-shot decompress)."""
+    import json
+
+    import pyarrow as pa
+
+    from avro_spark.sources.avro_binary import _compile_encoder
+    from avro_spark.sources.avro_ocf import (
+        MAGIC, _write_long, _write_meta_map)
+
+    sch = avro_spark.create({
+        "type": "record", "name": "ZR", "fields": [
+            {"name": "a", "type": "long"}, {"name": "b", "type": "string"}]})
+    rows = [{"a": i, "b": "zz" * (i % 19)} for i in range(300)]
+    body = bytearray()
+    enc = _compile_encoder(sch.root)
+    for r in rows:
+        enc(body, r)
+    sink = pa.BufferOutputStream()
+    with pa.CompressedOutputStream(sink, "zstd") as cs:
+        cs.write(bytes(body))
+    frame = bytes(sink.getvalue())
+    # pyarrow's streaming writer omits the content size — prove it:
+    # FHD byte (after the 4-byte magic) has Frame_Content_Size flag 00
+    # and Single_Segment 0 for this input
+    assert frame[:4] == b"\x28\xb5\x2f\xfd" and (frame[4] >> 6) == 0
+    blob = bytearray()
+    blob += MAGIC
+    _write_meta_map(blob, {
+        "avro.schema": json.dumps(sch.export()).encode(),
+        "avro.codec": b"zstandard"})
+    sync = b"S" * 16
+    blob += sync
+    _write_long(blob, len(rows))
+    _write_long(blob, len(frame))
+    blob += frame + sync
+    d = tmp_path / "zs"
+    d.mkdir()
+    (d / "part-00000.avro").write_bytes(bytes(blob))
+    want = sorted((r["a"], r["b"]) for r in rows)
+    engines = ["python"] + (["jvm"] if _jvm_ready(spark) else [])
+    for eng in engines:
+        got = sorted(map(tuple, read_avro_files(
+            spark, str(d), sch, engine=eng).collect()))
+        assert got == want, eng
+        got_s = sorted(map(tuple, read_avro_files_split(
+            spark, str(d), sch, split_bytes=1024, engine=eng).collect()))
+        assert got_s == want, ("split", eng)
+
+
+def test_corrupt_zstd_block_raises_loudly(spark, tmp_path, zoo):
+    """Flipping bytes inside a zstandard block surfaces a loud decode
+    error on both engines, not garbage rows."""
+    sch, df = zoo
+    d = str(tmp_path / "zcorrupt")
+    write_avro_files(df.limit(40).coalesce(1), sch, d, codec="zstandard",
+                     engine="python")
+    (f,) = glob.glob(os.path.join(d, "*.avro"))
+    blob = bytearray(open(f, "rb").read())
+    blob[-40:-20] = bytes(20)  # stomp inside the (single) block payload
+    open(f, "wb").write(bytes(blob))
+    engines = ["python"] + (["jvm"] if _jvm_ready(spark) else [])
+    for eng in engines:
+        with pytest.raises(Exception, match="zstandard|zstd|Corrupted|frame"):
+            read_avro_files(spark, d, sch, engine=eng).collect()
+
+
+def test_mixed_writer_directory_reads_grouped(spark, tmp_path):
+    """r7: a directory holding files from SEVERAL writer versions (the
+    long-lived incremental-pipeline shape) reads in one call with
+    mixed_writers=True — grouped by writer fingerprint, each group
+    resolved writer→reader, unioned by name — while the default stays
+    a loud mismatch error. Composes with columns= and per-group codecs;
+    whitespace-only rendering differences do NOT split a group."""
+    import glob
+    import json as _json
+    import shutil
+
+    from avro_spark.sources.avro_ocf import (
+        _group_paths_by_writer, read_avro_files_evolved,
+    )
+
+    v1 = avro_spark.create({"type": "record", "name": "O", "fields": [
+        {"name": "k", "type": "long"}, {"name": "c", "type": "long"}]})
+    v2 = avro_spark.create({"type": "record", "name": "O", "fields": [
+        {"name": "k", "type": "long"}, {"name": "c", "type": "long"},
+        {"name": "p", "type": "double", "default": 0.0}]})
+    d = tmp_path / "mixed"
+    d.mkdir()
+    df1 = spark.createDataFrame([(1, 10), (2, 20)], "k long, c long")
+    df2 = spark.createDataFrame(
+        [(3, 30, 3.5), (4, 40, 4.5)], "k long, c long, p double")
+    t1, t2 = tmp_path / "v1", tmp_path / "v2"
+    write_avro_files(df1.coalesce(1), v1, str(t1), codec="zstandard")
+    write_avro_files(df2.coalesce(1), v2, str(t2), codec="deflate")
+    for i, f in enumerate(
+            sorted(glob.glob(str(t1 / "*.avro"))) +
+            sorted(glob.glob(str(t2 / "*.avro")))):
+        shutil.copy(f, str(d / f"f{i}.avro"))
+
+    with pytest.raises(AvroSparkError, match="writer-schema mismatch"):
+        read_avro_files_evolved(spark, str(d), v2).collect()
+
+    out = read_avro_files_evolved(spark, str(d), v2, mixed_writers=True)
+    assert sorted(map(tuple, out.collect())) == [
+        (1, 10, 0.0), (2, 20, 0.0), (3, 30, 3.5), (4, 40, 4.5)]
+    proj = read_avro_files_evolved(
+        spark, str(d), v2, mixed_writers=True, columns=["k", "p"])
+    assert sorted(map(tuple, proj.collect())) == [
+        (1, 0.0), (2, 0.0), (3, 3.5), (4, 4.5)]
+    # single-version directory degrades to the plain evolved read
+    one = read_avro_files_evolved(spark, str(t2), v2, mixed_writers=True)
+    assert sorted(map(tuple, one.collect())) == [(3, 30, 3.5), (4, 40, 4.5)]
+    # grouping is by CANONICAL fingerprint: rewrite one v1 file with a
+    # reordered-attribute/doc'd rendering of the SAME schema — still 2
+    # groups, not 3
+    (f1,) = sorted(glob.glob(str(d / "f0.avro")))
+    blob = bytearray(open(f1, "rb").read())
+    alt = _json.dumps({"doc": "same", "name": "O", "type": "record",
+                       "fields": [{"name": "k", "type": "long"},
+                                  {"name": "c", "type": "long"}]}).encode()
+    hdr = bytearray()
+    hdr += b"Obj\x01"
+    from avro_spark.sources.avro_ocf import (
+        _read_meta_map, _write_meta_map)
+    meta, pos = _read_meta_map(bytes(blob), 4)
+    _write_meta_map(hdr, {"avro.schema": alt,
+                          "avro.codec": meta.get("avro.codec", b"null")})
+    hdr += blob[pos:pos + 16]  # keep the sync
+    open(f1, "wb").write(bytes(hdr) + bytes(blob[pos + 16:]))
+    groups = _group_paths_by_writer(spark, str(d))
+    assert len(groups) == 2, [len(g[1]) for g in groups]
+    out2 = read_avro_files_evolved(spark, str(d), v2, mixed_writers=True)
+    assert sorted(map(tuple, out2.collect())) == [
+        (1, 10, 0.0), (2, 20, 0.0), (3, 30, 3.5), (4, 40, 4.5)]
 
 
 def test_any_schema_is_outside_the_ocf_surface(spark, tmp_path):

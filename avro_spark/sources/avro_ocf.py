@@ -103,29 +103,42 @@ def deterministic_sync(schema: Schema) -> bytes:
 
 
 # ----------------------------------------------------------- block codecs
-def _codec_pair(codec: str):
+def _codec_pair(codec: str, level: "Optional[int]" = None):
     """(compress, decompress) for an Avro-spec block codec (spec §
     "Required"/"Optional" codecs) — all six spec codecs are supported:
     null/deflate/bzip2/xz from the stdlib, snappy from scratch
     (snappy_codec.py), zstandard via pyarrow's bundled libzstd.
-    Unknown names raise."""
+    Unknown names raise. ``level`` tunes the compressor (deflate 1-9,
+    bzip2 1-9, xz preset 0-9, zstandard per libzstd); null and snappy
+    have no levels and reject one loudly rather than ignoring it."""
+    if level is not None and codec in ("null", "snappy"):
+        raise AvroSparkError(f"codec {codec!r} takes no compression level")
     if codec == "null":
         return (lambda d: d), (lambda d: d)
     if codec == "deflate":
+        lv = 6 if level is None else level
+        if not 1 <= lv <= 9:
+            raise AvroSparkError(f"deflate level must be 1-9, got {lv}")
         # raw RFC-1951: strip the zlib header + adler checksum
         return (
-            lambda d: zlib.compress(d, 6)[2:-4],
+            lambda d: zlib.compress(d, lv)[2:-4],
             lambda d: zlib.decompress(d, -15),
         )
     if codec == "bzip2":
         import bz2
 
-        return bz2.compress, bz2.decompress
+        lv = 9 if level is None else level
+        if not 1 <= lv <= 9:
+            raise AvroSparkError(f"bzip2 level must be 1-9, got {lv}")
+        return (lambda d: bz2.compress(d, lv)), bz2.decompress
     if codec == "xz":
         import lzma
 
+        lv = 6 if level is None else level
+        if not 0 <= lv <= 9:
+            raise AvroSparkError(f"xz preset must be 0-9, got {lv}")
         return (
-            lambda d: lzma.compress(d, format=lzma.FORMAT_XZ),
+            lambda d: lzma.compress(d, format=lzma.FORMAT_XZ, preset=lv),
             lzma.decompress,
         )
     if codec == "snappy":
@@ -158,8 +171,16 @@ def _codec_pair(codec: str):
                 "Avro 'zstandard' codec requires pyarrow built with zstd"
             )
 
+        if level is not None and not (
+            pa.Codec.minimum_compression_level("zstd")
+            <= level <= pa.Codec.maximum_compression_level("zstd")
+        ):
+            raise AvroSparkError(f"bad zstandard level: {level}")
+
         def _zc(d: bytes) -> bytes:
-            return bytes(pa.Codec("zstd").compress(d))
+            c = (pa.Codec("zstd") if level is None
+                 else pa.Codec("zstd", compression_level=level))
+            return bytes(c.compress(d))
 
         def _zd(d: bytes) -> bytes:
             try:
@@ -180,9 +201,10 @@ def write_ocf_bytes(
     codec: str = "null",
     sync: Optional[bytes] = None,
     block_records: int = DEFAULT_BLOCK_RECORDS,
+    codec_level: Optional[int] = None,
 ) -> bytes:
     """Encode records into one in-memory OCF file."""
-    compress, _ = _codec_pair(codec)
+    compress, _ = _codec_pair(codec, codec_level)
     enc = _compile_encoder(schema.root)
     schema_json = json.dumps(schema.export()).encode("utf-8")
     if sync is None:
@@ -1318,6 +1340,8 @@ def write_avro_files(
     block_records: int = DEFAULT_BLOCK_RECORDS,
     mode: str = "overwrite",
     engine: str = "auto",
+    block_bytes: "Optional[int]" = None,
+    codec_level: "Optional[int]" = None,
 ) -> list[dict]:
     """Record-shaped DataFrame → one OCF file per partition under
     ``path`` (created if missing; must be a filesystem all executors
@@ -1335,7 +1359,13 @@ def write_avro_files(
     e.g. appending a snapshot_merge delta batch). Columns are
     selected BY NAME against the schema (column order never matters),
     each task streams one block at a time (memory is bounded by
-    ``block_records``, not the partition). Local targets write a temp
+    ``block_records``, not the partition). ``block_bytes`` adds a
+    byte-based flush threshold on the UNCOMPRESSED block body (flush on
+    whichever of count/bytes trips first) — at 100 TB, row width varies
+    ~100× across corpora and a pure record count yields 100× block-size
+    spread, which is exactly the per-task memory bound on read;
+    ``codec_level`` tunes the compressor (deflate/bzip2 1-9, xz 0-9,
+    zstandard per libzstd). Local targets write a temp
     file + atomic ``os.replace`` (speculative duplicate attempts cannot
     interleave bytes); non-local targets (s3://, hdfs://, ... via
     pyarrow.fs) stream straight to the final key — object stores have
@@ -1352,7 +1382,10 @@ def write_avro_files(
 
     if engine not in ("auto", "python", "jvm"):
         raise AvroSparkError(f"bad engine: {engine}")
-    _codec_pair(codec)  # validate on the driver, before any task launches
+    # validate codec + level on the driver, before any task launches
+    _codec_pair(codec, codec_level)
+    if block_bytes is not None and block_bytes <= 0:
+        raise AvroSparkError(f"block_bytes must be positive: {block_bytes}")
     ensure_workers(df.sparkSession)
     root = schema.root
     if not isinstance(root, Record):
@@ -1418,10 +1451,13 @@ def write_avro_files(
             n_records = 0
             n_bytes = 0
             pending: list[bytes] = []
+            pend_len = 0
             fh = commit = None
+            comp = _codec_pair(codec, codec_level)[0]
 
             def flush() -> int:
-                data = _codec_pair(codec)[0](b"".join(pending))
+                nonlocal pend_len
+                data = comp(b"".join(pending))
                 blk = bytearray()
                 _write_long(blk, len(pending))
                 _write_long(blk, len(data))
@@ -1429,6 +1465,7 @@ def write_avro_files(
                 blk += sync
                 fh.write(bytes(blk))
                 pending.clear()
+                pend_len = 0
                 return len(blk)
 
             for b in batches:
@@ -1446,8 +1483,11 @@ def write_avro_files(
                         fh.write(bytes(header))
                         n_bytes += len(header)
                     pending.append(rec_bytes)
+                    pend_len += len(rec_bytes)
                     n_records += 1
-                    if len(pending) >= block_records:
+                    if len(pending) >= block_records or (
+                        block_bytes is not None and pend_len >= block_bytes
+                    ):
                         n_bytes += flush()
             if fh is None:
                 return
@@ -1485,21 +1525,22 @@ def write_avro_files(
         part = f"part-{pid:05d}{job_token}.avro"
         n_records = 0
         n_bytes = 0
-        pending: list[dict] = []
+        body = bytearray()  # records encode INTO the block as they arrive
+        in_block = 0
         fh = commit = None
+        comp = _codec_pair(codec, codec_level)[0]
 
         def flush() -> int:
-            body = bytearray()
-            for rec in pending:
-                enc(body, rec)
-            data = _codec_pair(codec)[0](bytes(body))
+            nonlocal in_block
+            data = comp(bytes(body))
             blk = bytearray()
-            _write_long(blk, len(pending))
+            _write_long(blk, in_block)
             _write_long(blk, len(data))
             blk += data
             blk += sync
             fh.write(bytes(blk))
-            pending.clear()
+            body.clear()
+            in_block = 0
             return len(blk)
 
         # Arrow-native rows (to_pylist): nullable int64 leaves stay exact
@@ -1519,18 +1560,19 @@ def write_avro_files(
                     header += sync
                     fh.write(bytes(header))
                     n_bytes += len(header)
-                pending.append(
-                    {
-                        name: _normalize(row[name], node)
-                        for name, node in field_types
-                    }
-                )
+                enc(body, {
+                    name: _normalize(row[name], node)
+                    for name, node in field_types
+                })
+                in_block += 1
                 n_records += 1
-                if len(pending) >= block_records:
+                if in_block >= block_records or (
+                    block_bytes is not None and len(body) >= block_bytes
+                ):
                     n_bytes += flush()
         if fh is None:
             return
-        if pending:
+        if in_block:
             n_bytes += flush()
         fname = commit()
         yield pa.RecordBatch.from_pylist(

@@ -239,6 +239,67 @@ def test_corrupt_zstd_block_raises_loudly(spark, tmp_path, zoo):
             read_avro_files(spark, d, sch, engine=eng).collect()
 
 
+def test_block_bytes_and_codec_level(spark, tmp_path):
+    """r7 write knobs: ``block_bytes`` flushes on UNCOMPRESSED body
+    size (bounding per-task read memory when row width varies),
+    ``codec_level`` tunes the compressor. Both engines; data identical
+    either way; levels actually change the output size; null/snappy
+    reject a level loudly."""
+    import glob
+
+    from avro_spark.sources.avro_ocf import _read_meta_map, read_avro_files
+    from avro_spark.sources.avro_binary import _read_long
+
+    sch = avro_spark.create({"type": "record", "name": "W", "fields": [
+        {"name": "k", "type": "long"}, {"name": "body", "type": "string"}]})
+    # ~1 KB rows: block_bytes=4096 should cap blocks at ~4-5 rows even
+    # though block_records stays at its large default
+    df = spark.createDataFrame(
+        [(i, ("w%d " % i) * 256) for i in range(100)], "k long, body string")
+    for eng in ("python", "jvm"):
+        if eng == "jvm" and not _jvm_ready(spark):
+            continue
+        d = str(tmp_path / f"bb_{eng}")
+        write_avro_files(df.coalesce(1), sch, d, engine=eng,
+                         block_bytes=4096)
+        (f,) = glob.glob(d + "/*.avro")
+        blob = open(f, "rb").read()
+        _meta, pos = _read_meta_map(blob, 4)
+        pos += 16
+        counts = []
+        while pos < len(blob):
+            cnt, pos = _read_long(blob, pos)
+            size, pos = _read_long(blob, pos)
+            pos += size + 16
+            counts.append(cnt)
+        assert len(counts) >= 15 and max(counts) <= 6, (eng, counts)
+        back = read_avro_files(spark, d, sch, engine=eng)
+        assert back.count() == 100, eng
+
+    # levels change compressed size, decode stays identical
+    text = df.coalesce(1)
+    sizes = {}
+    for lv in (1, 9):
+        d = str(tmp_path / f"lv{lv}")
+        info = write_avro_files(text, sch, d, codec="deflate",
+                                codec_level=lv)
+        sizes[lv] = sum(i["n_bytes"] for i in info)
+        assert read_avro_files(spark, d, sch).count() == 100
+    assert sizes[9] <= sizes[1]
+    dz = str(tmp_path / "zlv")
+    write_avro_files(text, sch, dz, codec="zstandard", codec_level=19)
+    assert read_avro_files(spark, dz, sch).count() == 100
+    for codec in ("null", "snappy"):
+        with pytest.raises(AvroSparkError, match="no compression level"):
+            write_avro_files(text, sch, str(tmp_path / "x"),
+                             codec=codec, codec_level=3)
+    with pytest.raises(AvroSparkError, match="block_bytes"):
+        write_avro_files(text, sch, str(tmp_path / "x"), block_bytes=0)
+    with pytest.raises(AvroSparkError, match="deflate level"):
+        write_avro_files(text, sch, str(tmp_path / "x"),
+                         codec="deflate", codec_level=11)
+
+
 def test_mixed_writer_directory_reads_grouped(spark, tmp_path):
     """r7: a directory holding files from SEVERAL writer versions (the
     long-lived incremental-pipeline shape) reads in one call with

@@ -194,8 +194,21 @@ def ensure_jar() -> Optional[str]:
 
 
 # ---------------------------------------------------------- registration
-# (applicationId, udf name) pairs already registered on a live JVM
+# (session identity, udf name) pairs already registered. Keyed by the
+# JVM SparkSession's identity hash, NOT the applicationId: UDF
+# registries are PER-SESSION, and Structured Streaming runs foreachBatch
+# on a CLONED session — an app-level memo would skip registration on the
+# main session after a clone registered first (UNRESOLVED_ROUTINE).
+# Jars are the exception: ADD JAR is SparkContext-wide, so the jar memo
+# keys on applicationId.
 _registered: set[tuple[str, str]] = set()
+
+
+def _session_key(spark: SparkSession) -> str:
+    try:
+        return str(spark._jsparkSession.sessionUUID())
+    except Exception:  # non-classic shells without the JVM handle
+        return spark.sparkContext.applicationId
 
 
 def _attach(spark: SparkSession) -> bool:
@@ -218,7 +231,7 @@ def jvm_codec_available(spark: SparkSession) -> bool:
 
 
 def _register_encode(spark: SparkSession) -> str:
-    app = spark.sparkContext.applicationId
+    app = _session_key(spark)
     if (app, _ENC_FN) not in _registered:
         spark.udf.registerJavaFunction(
             _ENC_FN, "avrospark.AvroCodecUDF$Encode", T.BinaryType()
@@ -230,7 +243,7 @@ def _register_encode(spark: SparkSession) -> str:
 def _register_decode(spark: SparkSession, schema: Schema, json_str: str) -> str:
     fp = hashlib.md5(json_str.encode()).hexdigest()[:12]
     name = f"avsp_jvm_decode_{fp}"
-    app = spark.sparkContext.applicationId
+    app = _session_key(spark)
     if (app, name) not in _registered:
         spark.udf.registerJavaFunction(
             name, "avrospark.AvroCodecUDF$Decode", schema.to_struct_type()
@@ -260,7 +273,7 @@ JVM_OCF_CODECS = ("null", "deflate", "snappy", "zstandard")
 
 
 def _register_split_blocks(spark: SparkSession) -> str:
-    app = spark.sparkContext.applicationId
+    app = _session_key(spark)
     if (app, _SPLIT_FN) not in _registered:
         spark.udf.registerJavaFunction(
             _SPLIT_FN, "avrospark.AvroCodecUDF$SplitBlocks", _BLOCK_ROWS_T
@@ -272,7 +285,7 @@ def _register_split_blocks(spark: SparkSession) -> str:
 def _register_decode_block(spark: SparkSession, schema: Schema, json_str: str) -> str:
     fp = hashlib.md5(json_str.encode()).hexdigest()[:12]
     name = f"avsp_jvm_decblk_{fp}"
-    app = spark.sparkContext.applicationId
+    app = _session_key(spark)
     if (app, name) not in _registered:
         spark.udf.registerJavaFunction(
             name,
@@ -288,7 +301,7 @@ def _register_decode_block_proj(
 ) -> str:
     fp = hashlib.md5(f"{json_str}\x00{keep_csv}".encode()).hexdigest()[:12]
     name = f"avsp_jvm_decprj_{fp}"
-    app = spark.sparkContext.applicationId
+    app = _session_key(spark)
     if (app, name) not in _registered:
         spark.udf.registerJavaFunction(
             name,
@@ -436,7 +449,7 @@ def from_avro_bytes_jvm(
         keep_csv = projection_csv(root, spec)
         fp = hashlib.md5(f"{json_str}\x00{keep_csv}".encode()).hexdigest()[:12]
         name = f"avsp_jvm_decp_{fp}"
-        app = spark.sparkContext.applicationId
+        app = _session_key(spark)
         if (app, name) not in _registered:
             spark.udf.registerJavaFunction(
                 name, "avrospark.AvroCodecUDF$DecodeProj", spark_t

@@ -1342,6 +1342,7 @@ def write_avro_files(
     engine: str = "auto",
     block_bytes: "Optional[int]" = None,
     codec_level: "Optional[int]" = None,
+    append_token: "Optional[str]" = None,
 ) -> list[dict]:
     """Record-shaped DataFrame → one OCF file per partition under
     ``path`` (created if missing; must be a filesystem all executors
@@ -1356,7 +1357,11 @@ def write_avro_files(
     filenames carry a per-WRITE token so jobs never collide, while
     speculative retries of one task still converge on one file (same
     deterministic name + atomic rename; the incremental-pipeline shape,
-    e.g. appending a snapshot_merge delta batch). Columns are
+    e.g. appending a snapshot_merge delta batch). ``append_token``
+    supplies that token explicitly (e.g. a streaming batch id): a
+    REPLAYED job with the same token replaces its own earlier files —
+    whole-job idempotence, the exactly-once contract
+    :func:`write_avro_stream` builds on. Columns are
     selected BY NAME against the schema (column order never matters),
     each task streams one block at a time (memory is bounded by
     ``block_records``, not the partition). ``block_bytes`` adds a
@@ -1410,11 +1415,29 @@ def write_avro_files(
     # makes uniqueness structural, not just probabilistic.
     job_token = ""
     if mode == "append":
-        while True:
-            tok = os.urandom(16).hex()
-            if not any(tok in f for f in existing):
-                job_token = f"-{tok}"
-                break
+        if append_token is not None:
+            # caller-supplied token (e.g. a streaming batch id): a
+            # REPLAYED job with the same token REPLACES its own earlier
+            # part files instead of adding new ones — whole-job
+            # idempotence. Clear the token's previous files first so a
+            # replay that repartitioned DOWN cannot leave stale parts.
+            import re as _re
+
+            if not _re.fullmatch(r"[A-Za-z0-9_-]{1,64}", append_token):
+                raise AvroSparkError(
+                    f"append_token must be [A-Za-z0-9_-]{{1,64}}: "
+                    f"{append_token!r}"
+                )
+            job_token = f"-{append_token}"
+            for f in existing:
+                if f"-{append_token}" in f:
+                    _delete_part_file(path, f, use_fs)
+        else:
+            while True:
+                tok = os.urandom(16).hex()
+                if not any(tok in f for f in existing):
+                    job_token = f"-{tok}"
+                    break
 
     schema_export = json.dumps(schema.export())
     field_names = [f.name for f in root.fields]
@@ -1508,8 +1531,6 @@ def write_avro_files(
     check_arrow_nesting(df.schema, "write_avro_files(engine='python')")
 
     def encode(batches):
-        import zlib as _zlib
-
         import pyarrow as pa
 
         from pyspark import TaskContext
@@ -1582,3 +1603,78 @@ def write_avro_files(
 
     out = df.mapInArrow(encode, schema="file string, n_records long, n_bytes long")
     return [r.asDict() for r in out.collect()]
+
+
+def _stream_batch_writer(
+    schema: Schema,
+    path: str,
+    codec: str,
+    block_records: int,
+    block_bytes: "Optional[int]",
+    codec_level: "Optional[int]",
+    engine: str,
+):
+    """The foreachBatch callable behind :func:`write_avro_stream`,
+    factored out so its replay idempotence is directly testable: the
+    append token derives from the BATCH id, so a batch Structured
+    Streaming replays after a failure atomically replaces its own
+    earlier part files instead of duplicating rows."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_avro_files(
+            batch_df, schema, path, codec=codec,
+            block_records=block_records, block_bytes=block_bytes,
+            codec_level=codec_level, engine=engine, mode="append",
+            append_token=f"batch{batch_id:012d}",
+        )
+
+    return sink
+
+
+def write_avro_stream(
+    df: DataFrame,
+    schema: Schema,
+    path: str,
+    checkpoint_dir: str,
+    codec: str = "null",
+    block_records: int = DEFAULT_BLOCK_RECORDS,
+    block_bytes: "Optional[int]" = None,
+    codec_level: "Optional[int]" = None,
+    engine: str = "auto",
+    trigger_available_now: bool = False,
+    query_name: "Optional[str]" = None,
+):
+    """STREAMING OCF sink: ``writeStream.foreachBatch`` routing each
+    micro-batch through :func:`write_avro_files` in append mode — the
+    streaming twin of :func:`read_avro_stream`, closing the loop for
+    pipelines that both consume AND emit Avro container files.
+
+    Exactly-once at the file level: each batch's part files carry a
+    token derived from the batch id, so a replayed batch (failure
+    between the write and the checkpoint commit) REPLACES its own
+    earlier files rather than appending duplicates, even when the
+    replay repartitioned differently. One streaming query per target
+    directory (two queries would share the batch-id token space).
+    Downstream batch readers see whole files only: local writes land
+    via atomic rename, object-store writes become visible at close
+    (see ``_open_part``) — never a partially-written container.
+
+    Returns the started ``StreamingQuery``. ``trigger_available_now``
+    drains everything currently available then stops (backfill /
+    test shape); otherwise the default micro-batch trigger runs until
+    ``query.stop()``."""
+    _codec_pair(codec, codec_level)  # validate before starting the query
+    if not isinstance(schema.root, Record):
+        raise AvroSparkError("write_avro_stream requires a record schema")
+    sink = _stream_batch_writer(
+        schema, path, codec, block_records, block_bytes, codec_level, engine
+    )
+    writer = (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -121,6 +121,8 @@ BENCH_QUERIES = [
     "knn_ivf_indexed",
     "ocf_projected_read",
     "ocf_snappy_read",
+    "ocf_zstd_read",
+    "ocf_mixed_writers",
     "wire_roundtrip",
     "conform_json",
     "hidden_fields",

@@ -408,3 +408,48 @@ def test_streaming_cms_merge(spark, tmp_path):
         for r in cms_estimate(sk_whole, keys, "k", d=4, w=256).collect()
     }
     assert est_merged == est_whole == {"a": 5, "b": 1, "c": 4}
+
+
+def test_stream_avro_ocf_sink_exactly_once(spark, tmp_path):
+    """r7 streaming OCF SINK (write_avro_stream): a file stream drained
+    with availableNow lands as append-mode OCF files that read back
+    equal to the batch input; a REPLAYED batch (same batch id — the
+    failure-between-write-and-checkpoint shape) atomically replaces its
+    own earlier part files instead of duplicating rows, even when the
+    replay repartitioned down."""
+    import glob
+
+    from avro_spark.sources.avro_ocf import (
+        _stream_batch_writer, read_avro_files, write_avro_stream,
+    )
+
+    sch = avro_spark.create({"type": "record", "name": "SS", "fields": [
+        {"name": "k", "type": "long"}, {"name": "v", "type": "string"}]})
+    src = tmp_path / "src"
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(200)], "k long, v string")
+    df.write.parquet(str(src))
+
+    out = str(tmp_path / "ocf_out")
+    q = write_avro_stream(
+        spark.readStream.schema("k long, v string").parquet(str(src)),
+        sch, out, str(tmp_path / "ckpt"),
+        codec="zstandard", trigger_available_now=True,
+    )
+    q.awaitTermination()
+    back = read_avro_files(spark, out, sch)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    # replay idempotence: drive the foreachBatch callable directly
+    sink = _stream_batch_writer(sch, out, "null", 4096, None, None, "auto")
+    extra = spark.createDataFrame(
+        [(1000 + i, f"x{i}") for i in range(50)], "k long, v string")
+    sink(extra.repartition(4), 7)
+    n_files_first = len(glob.glob(out + "/*.avro"))
+    sink(extra.repartition(2), 7)  # REPLAY of batch 7, fewer partitions
+    n_files_replay = len(glob.glob(out + "/*.avro"))
+    assert n_files_replay == n_files_first - 2  # 4-part files replaced by 2
+    back2 = read_avro_files(spark, out, sch)
+    assert back2.count() == 250  # 200 + 50, NOT 300
+    sink(extra.repartition(2), 8)  # a NEW batch id appends
+    assert read_avro_files(spark, out, sch).count() == 300

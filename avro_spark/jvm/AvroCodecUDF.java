@@ -609,8 +609,12 @@ public final class AvroCodecUDF {
       try (com.github.luben.zstd.ZstdInputStream zin =
               new com.github.luben.zstd.ZstdInputStream(
                   new java.io.ByteArrayInputStream(data))) {
+        // long-safe sizing hint: data.length * 4 overflows int for
+        // compressed payloads over 512 MiB (legal foreign blocks)
         java.io.ByteArrayOutputStream bos =
-            new java.io.ByteArrayOutputStream(Math.max(data.length * 4, 1 << 16));
+            new java.io.ByteArrayOutputStream((int) Math.min(
+                Integer.MAX_VALUE - 8,
+                Math.max((long) data.length * 4, 1 << 16)));
         byte[] buf = new byte[1 << 16];
         int got;
         while ((got = zin.read(buf)) > 0) bos.write(buf, 0, got);

@@ -613,6 +613,27 @@ def _projectable_record(node: SchemaNode) -> Optional[Record]:
     return rec if isinstance(rec, Record) else None
 
 
+def _projection_tree(columns: "list[str]") -> dict:
+    """columns → ``{name: True | nested dict}`` (True = keep the whole
+    subtree; a shorter/prefix request wins over its extensions). The ONE
+    canonical tree builder, shared by :func:`parse_projection` (which
+    validates the tree against the Avro schema) and
+    :func:`project_struct_type` (which prunes a Spark StructType) so the
+    two canonicalizations can never drift."""
+    tree: dict = {}
+    for c in columns:
+        parts = c.split(".")
+        cur = tree
+        for depth, seg in enumerate(parts):
+            if depth == len(parts) - 1:
+                cur[seg] = True
+                break
+            if cur.get(seg) is True:
+                break  # a shorter request already keeps this subtree
+            cur = cur.setdefault(seg, {})
+    return tree
+
+
 def parse_projection(
     root: Record, columns: "list[str]"
 ) -> "dict[str, Optional[dict]]":
@@ -635,35 +656,29 @@ def parse_projection(
             "projection must name at least one field (columns=[] would "
             "produce zero-width rows)"
         )
-    tree: dict = {}  # {name: True | nested dict}; True = keep fully
-    for c in columns:
-        parts = c.split(".")
-        rec = root
-        cur = tree
-        for depth, seg in enumerate(parts):
-            known = {f.name: f for f in rec.fields}
-            if seg not in known:
+    tree = _projection_tree(columns)
+
+    def _check(rec: Record, t: dict, prefix: str) -> None:
+        known = {f.name: f for f in rec.fields}
+        for name, v in t.items():
+            if name not in known:
                 scope = (
-                    f"{'.'.join(parts[:depth])!r} has" if depth
-                    else "schema has"
+                    f"{prefix[:-1]!r} has" if prefix else "schema has"
                 )
                 raise AvroSparkError(
-                    f"projection names unknown fields [{seg!r}]; "
+                    f"projection names unknown fields [{name!r}]; "
                     f"{scope} {sorted(known)}"
                 )
-            if depth == len(parts) - 1:
-                cur[seg] = True  # full from here on (wins over subs)
-                break
-            inner = _projectable_record(known[seg].type)
-            if inner is None:
-                raise AvroSparkError(
-                    f"projection {c!r}: field "
-                    f"{'.'.join(parts[:depth + 1])!r} is not a record"
-                )
-            if cur.get(seg) is True:
-                break  # a shorter request already keeps this subtree
-            cur = cur.setdefault(seg, {})
-            rec = inner
+            if v is not True:
+                inner = _projectable_record(known[name].type)
+                if inner is None:
+                    raise AvroSparkError(
+                        f"projection: field {prefix + name!r} is not a "
+                        f"record"
+                    )
+                _check(inner, v, prefix + name + ".")
+
+    _check(root, tree, "")
 
     def _ordered(rec: Record, t: dict) -> dict:
         spec: dict = {}
@@ -808,17 +823,7 @@ def project_struct_type(struct, columns: "list[str]"):
     surface."""
     from pyspark.sql import types as T
 
-    tree: dict = {}  # {name: True | nested dict}; mirrors parse_projection
-    for c in columns:
-        parts = c.split(".")
-        cur = tree
-        for depth, seg in enumerate(parts):
-            if depth == len(parts) - 1:
-                cur[seg] = True
-                break
-            if cur.get(seg) is True:
-                break
-            cur = cur.setdefault(seg, {})
+    tree = _projection_tree(columns)
 
     def prune(st, t: dict):
         out = []

@@ -340,16 +340,10 @@ def _verify_listing_schemas(
 
     expected_cf = canonical_form(schema.root)
     ok: set = set()
-    if len(paths) <= _DRIVER_SCAN_MAX and all(_is_local(p) for p in paths):
-        try:
-            for p in paths:
-                _hl, _sync, sj, _codec = _scan_header(p)
-                _check_writer_schema(expected_cf, sj, p, ok)
-            return True
-        except OSError:
-            pass  # fall through: executors may still reach the files
     try:
-        metas = _scan_headers_distributed(spark, paths)
+        metas = _scan_listing_headers(spark, paths)
+    except AvroSparkError:
+        raise  # a real header/corruption error is loud, not a fallback
     except Exception:
         # storage Spark's Hadoop IO can list but pyarrow.fs cannot open:
         # unverified — the caller routes to the Python engine, which
@@ -587,17 +581,7 @@ def _group_paths_by_writer(
     paths = [r["path"] for r in listing]
     if not paths:
         raise AvroSparkError(f"no files at {path}")
-    metas = None
-    if len(paths) <= _DRIVER_SCAN_MAX and all(_is_local(p) for p in paths):
-        try:
-            metas = []
-            for p in paths:
-                _hl, _sync, sj, _codec = _scan_header(p)
-                metas.append({"path": p, "schema_json": sj})
-        except OSError:
-            metas = None  # executors may still reach the files
-    if metas is None:
-        metas = _scan_headers_distributed(spark, paths)
+    metas = _scan_listing_headers(spark, paths)
     fp_of_rendering: dict = {}  # raw JSON bytes → (fingerprint, json str)
     groups: dict = {}
     for m in metas:
@@ -622,6 +606,7 @@ def read_avro_files_evolved(
     engine: str = "auto",
     columns: "Optional[list[str]]" = None,
     mixed_writers: bool = False,
+    verify_schemas: bool = True,
 ) -> DataFrame:
     """Classic Avro schema evolution at the file boundary: decode the
     files with their WRITER schema (peeked from the first header), then
@@ -658,6 +643,9 @@ def read_avro_files_evolved(
             read_avro_files_evolved(
                 spark, gpaths, reader_schema, split_bytes=split_bytes,
                 engine=engine, columns=columns,
+                # grouping just proved canonical uniformity per group —
+                # a per-group re-verify job would re-scan every header
+                verify_schemas=False,
             )
             for _sj, gpaths in groups
         ]
@@ -724,15 +712,17 @@ def read_avro_files_evolved(
             full = read_avro_files_evolved(
                 spark, path, reader_schema,
                 split_bytes=split_bytes, engine=engine,
+                verify_schemas=verify_schemas,
             )
             return full.select(*[rf.name for rf in wanted_reader])
         df = read_avro_files(
             spark, path, writer, split_bytes=split_bytes, engine=engine,
-            columns=writer_cols,
+            columns=writer_cols, verify_schemas=verify_schemas,
         )
         return ident.unflatten(evo.flatten(df))
     df = read_avro_files(
-        spark, path, writer, split_bytes=split_bytes, engine=engine
+        spark, path, writer, split_bytes=split_bytes, engine=engine,
+        verify_schemas=verify_schemas,
     )
     # writer records → reader flat (the evolution plan), then reader
     # flat → reader records (the reader's identity plan): two narrow
@@ -827,6 +817,29 @@ def _fs_open(uri: str):
 #: scans headers as ONE distributed job — planning stays flat in file
 #: count instead of O(files) serial driver IO
 _DRIVER_SCAN_MAX = 64
+
+
+def _scan_listing_headers(spark: SparkSession, paths: "list[str]"):
+    """Per-file OCF header metas for a listing — THE shared scan policy:
+    small fully-local listings use a serial driver loop (one ~KB header
+    read per file, cheaper than a job); longer or non-local ones scan as
+    ONE distributed Spark job (flat planning time in file count, and
+    planning WORKS off local FS). A driver-side OSError on a local path
+    retries through the distributed scan rather than giving up. Used by
+    schema verification, split planning, and writer-version grouping."""
+    if len(paths) <= _DRIVER_SCAN_MAX and all(_is_local(p) for p in paths):
+        try:
+            metas = []
+            for p in paths:
+                header_len, sync, sj, codec = _scan_header(p)
+                metas.append({
+                    "path": p, "header_len": header_len, "sync": sync,
+                    "codec": codec, "schema_json": sj,
+                })
+            return metas
+        except OSError:
+            pass  # executors may still reach the files
+    return _scan_headers_distributed(spark, paths)
 
 
 def _scan_headers_distributed(spark: SparkSession, paths: "list[str]"):
@@ -1039,18 +1052,7 @@ def read_avro_files_split(
     # open non-local URIs at all, VERDICT r6 #2)
     lengths = {r["path"]: int(r["length"]) for r in listing}
     paths = [r["path"] for r in listing]
-    metas = None
-    if len(paths) <= _DRIVER_SCAN_MAX and all(_is_local(p) for p in paths):
-        try:
-            metas = []
-            for p in paths:
-                header_len, sync, sj, codec = _scan_header(p)
-                metas.append({"path": p, "header_len": header_len,
-                              "sync": sync, "codec": codec, "schema_json": sj})
-        except OSError:
-            metas = None  # executors may still reach the files
-    if metas is None:
-        metas = _scan_headers_distributed(spark, paths)
+    metas = _scan_listing_headers(spark, paths)
     splits = []  # (path, file_len, start, end, header_len, sync, codec)
     schema_json = None
     _schema_ok: set = set()
@@ -1419,8 +1421,11 @@ def write_avro_files(
             # caller-supplied token (e.g. a streaming batch id): a
             # REPLAYED job with the same token REPLACES its own earlier
             # part files instead of adding new ones — whole-job
-            # idempotence. Clear the token's previous files first so a
-            # replay that repartitioned DOWN cannot leave stale parts.
+            # idempotence. The token's previous files are cleaned up
+            # AFTER the new job succeeds (see the post-collect sweep):
+            # deleting up front would permanently lose the earlier
+            # attempt's data if THIS attempt then fails validation or
+            # dies mid-job.
             import re as _re
 
             if not _re.fullmatch(r"[A-Za-z0-9_-]{1,64}", append_token):
@@ -1429,15 +1434,33 @@ def write_avro_files(
                     f"{append_token!r}"
                 )
             job_token = f"-{append_token}"
-            for f in existing:
-                if f"-{append_token}" in f:
-                    _delete_part_file(path, f, use_fs)
         else:
             while True:
                 tok = os.urandom(16).hex()
                 if not any(tok in f for f in existing):
                     job_token = f"-{tok}"
                     break
+
+    def _finish(infos: "list[dict]") -> "list[dict]":
+        """Post-job sweep for token'd appends: a replay that
+        repartitioned DOWN rewrote part-00000..n via atomic replace; any
+        HIGHER-numbered files from the earlier attempt would double-count
+        rows, so remove exactly this token's files that this job did not
+        (re)write. Exact-name match — a substring check would let one
+        token's sweep delete another token's files (e.g. "run1" vs
+        "run12", or a token equal to a part number)."""
+        if mode != "append" or append_token is None:
+            return infos
+        import re as _re
+
+        pat = _re.compile(
+            r"part-\d{5}-" + _re.escape(append_token) + r"\.avro\Z"
+        )
+        written = {os.path.basename(i["file"]) for i in infos}
+        for f in existing:
+            if pat.fullmatch(f) and f not in written:
+                _delete_part_file(path, f, use_fs)
+        return infos
 
     schema_export = json.dumps(schema.export())
     field_names = [f.name for f in root.fields]
@@ -1525,7 +1548,7 @@ def write_avro_files(
         out = enc_df.mapInArrow(
             frame, schema="file string, n_records long, n_bytes long"
         )
-        return [r.asDict() for r in out.collect()]
+        return _finish([r.asDict() for r in out.collect()])
 
     # python encode: the record-shaped INPUT crosses Arrow IPC into the worker
     check_arrow_nesting(df.schema, "write_avro_files(engine='python')")
@@ -1602,7 +1625,7 @@ def write_avro_files(
         )
 
     out = df.mapInArrow(encode, schema="file string, n_records long, n_bytes long")
-    return [r.asDict() for r in out.collect()]
+    return _finish([r.asDict() for r in out.collect()])
 
 
 def _stream_batch_writer(

@@ -453,3 +453,15 @@ def test_stream_avro_ocf_sink_exactly_once(spark, tmp_path):
     assert back2.count() == 250  # 200 + 50, NOT 300
     sink(extra.repartition(2), 8)  # a NEW batch id appends
     assert read_avro_files(spark, out, sch).count() == 300
+    # a FAILING replay (schema drifted upstream) must NOT destroy the
+    # batch's previously committed files — cleanup runs only AFTER a
+    # successful job (review r7: the first cut deleted before validating)
+    bad = spark.createDataFrame([(1,)], "k long")  # missing column v
+    with pytest.raises(Exception, match="missing columns"):
+        sink(bad, 8)
+    assert read_avro_files(spark, out, sch).count() == 300
+    # and token cleanup is EXACT-name: batch 8's sweep can never touch
+    # batch 7's files even though their names share long prefixes
+    assert {7, 8} <= {
+        int(f.rsplit("-batch", 1)[1][:12])
+        for f in glob.glob(out + "/*batch*.avro")}

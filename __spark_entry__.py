@@ -736,6 +736,34 @@ def q_ocf_mixed_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_avro_files_evolved(spark, d, v2, mixed_writers=True)
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted MinHash-LSH index + incremental probe (r7): EVEN
+    doc_ids form the existing corpus — signatured ONCE into a parquet
+    index (bands + hashed shingle sets + a meta row pinning the banding
+    parameters) — and ODD doc_ids are the new batch, checked against
+    the index without re-signaturing the corpus
+    (functions/dedup.py write_minhash_index / dedup_against_index).
+    Same banding + exact-Jaccard semantics as minhash_lsh, restricted
+    to (new, corpus) cross pairs; the oracle replays it with the
+    portable hash and hashed-shingle Jaccard."""
+    import tempfile
+
+    docs = _read(spark, sf_dir, "documents")
+    idx = tempfile.mkdtemp(prefix="mh_idx_")
+    D.write_minhash_index(
+        docs.where(F.col("doc_id") % 2 == 0), idx, "doc_id", "text",
+        num_hashes=64, bands=16, shingle_n=3, seed=1,
+        hash_fn="portable_hash60",
+    )
+    got = D.dedup_against_index(
+        spark, docs.where(F.col("doc_id") % 2 == 1), idx,
+        "doc_id", "text", threshold=0.5,
+    )
+    return got.select(
+        "new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def q_jsonl_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AVRO-convention JSONL sink→source = identity on events with a
     3-branch union payload: unions travel as {"<tag>": value}
@@ -2575,6 +2603,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # resolution chain on a single-version group)
         "ocf_zstd_read": q_ocf_zstd_read,
         "ocf_mixed_writers": q_ocf_mixed_writers,
+        # incremental dedup vs a persisted index (twin minhash_lsh in
+        # the window: identical banding through _sig_band_rows)
+        "incremental_dedup": q_incremental_dedup,
         # round-7 rotation: folded with >= 2 driver-green rounds each,
         # twins noted in queries()
         "heavy_hitters": q_heavy_hitters,
@@ -2719,6 +2750,60 @@ def _minhash_oracle() -> str:
               JOIN sh x ON x.doc_id = c.id_a
               JOIN sh y ON y.doc_id = c.id_b)
             SELECT id_a, id_b, round(inter / (tot - inter), 6) AS jaccard
+            FROM ver
+            WHERE tot - inter > 0 AND inter / (tot - inter) >= 0.5
+        """
+
+
+def _incremental_dedup_oracle() -> str:
+    """DuckDB replica of q_incremental_dedup: same shingles/hash/
+    min-slots/band rule as _minhash_oracle, but candidates are (even
+    corpus, odd batch) CROSS pairs and verification Jaccard runs over
+    the HASHED shingle sets (exactly what the index stores)."""
+    params = D._perm_params(64, seed=1)
+    h = _PH60.format(x="gram")
+    mins = ",\n                     ".join(
+        f"min(({a} * h + {b}) % {_P31}) AS mh{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_eq = " OR ".join(
+        "(" + " AND ".join(
+            f"a.mh{bi*4+j} = b.mh{bi*4+j}" for j in range(4)) + ")"
+        for bi in range(16)
+    )
+    return f"""
+            WITH toks AS (
+              SELECT doc_id, {_LTOKS} AS t FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3 THEN
+                       list_distinct(list_transform(
+                         generate_series(1, len(t) - 2),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                     ELSE [] END AS grams
+              FROM toks),
+            hx AS (
+              SELECT doc_id, {h} % {_P31} AS h
+              FROM (SELECT doc_id, unnest(grams) AS gram FROM sh)),
+            shh AS (
+              SELECT doc_id, list_distinct(list(h)) AS hset
+              FROM hx GROUP BY doc_id),
+            sig AS (
+              SELECT doc_id,
+                     {mins}
+              FROM hx GROUP BY doc_id),
+            cand AS (
+              SELECT b.doc_id AS new_id, a.doc_id AS corpus_id
+              FROM sig a JOIN sig b
+                ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1 AND ({band_eq})),
+            ver AS (
+              SELECT c.new_id, c.corpus_id,
+                     CAST(len(list_intersect(x.hset, y.hset)) AS DOUBLE) AS inter,
+                     CAST(len(x.hset) + len(y.hset) AS DOUBLE) AS tot
+              FROM cand c
+              JOIN shh x ON x.doc_id = c.new_id
+              JOIN shh y ON y.doc_id = c.corpus_id)
+            SELECT new_id, corpus_id, round(inter / (tot - inter), 6) AS jaccard
             FROM ver
             WHERE tot - inter > 0 AND inter / (tot - inter) >= 0.5
         """
@@ -3532,6 +3617,7 @@ def _oracles_extra() -> dict[str, str]:
                         ELSE o_totalprice END AS o_totalprice
             FROM orders
         """,
+        "incremental_dedup": _incremental_dedup_oracle(),
         "media_probe": """
             SELECT doc_id,
                    CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'webm' END AS container,

@@ -254,27 +254,22 @@ def minhash_signature(
     return F.array(*slots)
 
 
-def minhash_lsh_pairs(
+def _sig_band_rows(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    num_hashes: int = 64,
-    bands: int = 16,
-    shingle_n: int = 3,
-    threshold: float = 0.5,
-    seed: int = 1,
-    hash_fn=F.xxhash64,
-) -> DataFrame:
-    """Near-dup id pairs via MinHash banding, verified by exact Jaccard.
-
-    rows = num_hashes // bands; a pair is a candidate iff some band of the
-    signature matches exactly (P[candidate] ≈ 1-(1-j^r)^b). Candidates are
-    then verified against the true shingle Jaccard ≥ threshold, so banding
-    only affects recall, never precision. Shuffles: one on (band, bucket
-    hash), one distinct, two broadcast-or-shuffle joins back to shingles.
-    ``hash_fn`` is the shingle→int hash (default ``xxhash64``; pass
-    :func:`portable_hash60` for SQL-oracle parity).
-    """
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    seed: int,
+    hash_fn,
+) -> "tuple[DataFrame, DataFrame]":
+    """``(docs, band_rows)`` for MinHash banding: docs = (_id, _sh
+    shingle-string array), band_rows = (_id, band, bucket). The ONE
+    banding construction, shared by in-corpus pairing
+    (:func:`minhash_lsh_pairs`) and the persisted index
+    (:func:`write_minhash_index` / :func:`dedup_against_index`) so the
+    two surfaces can never band differently."""
     if num_hashes % bands:
         raise ValueError("num_hashes must divide into bands evenly")
     r = num_hashes // bands
@@ -310,6 +305,33 @@ def minhash_lsh_pairs(
         for bi in range(bands)
     )
     band_rows = sig.select("_id", F.expr(f"inline(array({band_structs}))"))
+    return docs, band_rows
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 1,
+    hash_fn=F.xxhash64,
+) -> DataFrame:
+    """Near-dup id pairs via MinHash banding, verified by exact Jaccard.
+
+    rows = num_hashes // bands; a pair is a candidate iff some band of the
+    signature matches exactly (P[candidate] ≈ 1-(1-j^r)^b). Candidates are
+    then verified against the true shingle Jaccard ≥ threshold, so banding
+    only affects recall, never precision. Shuffles: one on (band, bucket
+    hash), one distinct, two broadcast-or-shuffle joins back to shingles.
+    ``hash_fn`` is the shingle→int hash (default ``xxhash64``; pass
+    :func:`portable_hash60` for SQL-oracle parity).
+    """
+    docs, band_rows = _sig_band_rows(
+        df, id_col, text_col, num_hashes, bands, shingle_n, seed, hash_fn
+    )
     cand = (
         band_rows.alias("l")
         .join(band_rows.alias("r"), on=["band", "bucket"])
@@ -321,6 +343,150 @@ def minhash_lsh_pairs(
         cand.join(docs.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
         .join(docs.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
         .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ----------------------------------------------- persisted MinHash index
+#: hash functions the persisted index may name in its meta row — the
+#: probe re-binds by NAME (:func:`_index_hash`) so a mismatched hash can
+#: never silently band differently from the stored signatures
+_INDEX_HASHES = ("xxhash64", "portable_hash60")
+
+
+def write_minhash_index(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 1,
+    hash_fn: str = "xxhash64",
+    mode: str = "overwrite",
+) -> None:
+    """Persist a corpus's MinHash-LSH signature index under ``path`` —
+    the incremental-dedup shape: build the index ONCE over the existing
+    corpus, then check each day's batch against it with
+    :func:`dedup_against_index` without ever re-signaturing the corpus.
+    ``mode="append"`` grows it with newly-admitted documents.
+
+    Layout (all plain parquet — no catalog dependency, any Spark-visible
+    storage): ``bands/`` = (band, bucket, id) — the LSH probe side;
+    ``shingles/`` = (id, shh array<long>) — hashed shingle sets for the
+    exact-Jaccard verification; ``meta/`` = one row pinning
+    (num_hashes, bands, shingle_n, seed, hash_fn) so a probe can NEVER
+    band differently from the stored signatures (mismatched banding
+    silently finds nothing — the probe reads its parameters from here
+    instead of trusting arguments)."""
+    if hash_fn not in _INDEX_HASHES:
+        raise ValueError(
+            f"hash_fn must be one of {list(_INDEX_HASHES)}: {hash_fn!r}"
+        )
+    fn = _index_hash(hash_fn)
+    spark = df.sparkSession
+    docs, band_rows = _sig_band_rows(
+        df, id_col, text_col, num_hashes, bands, shingle_n, seed, fn
+    )
+    if mode == "overwrite":
+        meta = spark.createDataFrame(
+            [(num_hashes, bands, shingle_n, seed, hash_fn)],
+            "num_hashes int, bands int, shingle_n int, seed int, "
+            "hash_fn string",
+        )
+        meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    elif mode == "append":
+        stored = _read_index_meta(spark, path)
+        given = dict(num_hashes=num_hashes, bands=bands,
+                     shingle_n=shingle_n, seed=seed, hash_fn=hash_fn)
+        if stored != given:
+            raise ValueError(
+                f"append parameters {given} do not match the index's "
+                f"stored meta {stored}"
+            )
+    else:
+        raise ValueError(f"bad mode: {mode}")
+    band_rows.select(
+        "band", "bucket", F.col("_id").alias("id")
+    ).write.mode(mode).parquet(f"{path}/bands")
+    # shh rebuilds from docs._sh (already computed) instead of re-shingling
+    sh_rows = docs.select(
+        F.col("_id").alias("id"),
+        F.array_sort(F.array_distinct(F.transform(
+            F.col("_sh"), lambda g: F.pmod(fn(g), F.lit(_MERSENNE))
+        ))).alias("shh"),
+    )
+    sh_rows.write.mode(mode).parquet(f"{path}/shingles")
+
+
+def _index_hash(name: str):
+    return portable_hash60 if name == "portable_hash60" else F.xxhash64
+
+
+def _read_index_meta(spark, path: str) -> dict:
+    row = spark.read.parquet(f"{path}/meta").head()
+    return {
+        "num_hashes": row["num_hashes"], "bands": row["bands"],
+        "shingle_n": row["shingle_n"], "seed": row["seed"],
+        "hash_fn": row["hash_fn"],
+    }
+
+
+def dedup_against_index(
+    spark,
+    new_df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs of a NEW batch against a persisted corpus index —
+    the incremental face of :func:`minhash_lsh_pairs`: identical
+    banding (parameters come from the index's meta row, never from the
+    caller) and the same exact-Jaccard verification, but the corpus
+    side is the stored (band, bucket) table and stored hashed-shingle
+    sets — the corpus is never re-signatured. Returns
+    ``(new_id, corpus_id, jaccard)``.
+
+    Plan shape: the new batch's band rows JOIN the index's bands table
+    on (band, bucket) — a daily batch is small, so AQE broadcasts it
+    and the index side streams through unshuffled; verification joins
+    the (few) candidates back to the two shingle stores. Jaccard is
+    computed over hashed shingle sets (equal to gram Jaccard up to
+    ~2^-61 collisions)."""
+    m = _read_index_meta(spark, path)
+    fn = _index_hash(m["hash_fn"])
+    docs, band_rows = _sig_band_rows(
+        new_df, id_col, text_col, m["num_hashes"], m["bands"],
+        m["shingle_n"], m["seed"], fn,
+    )
+    new_sh = docs.select(
+        F.col("_id").alias("new_id"),
+        F.array_sort(F.array_distinct(F.transform(
+            F.col("_sh"), lambda g: F.pmod(fn(g), F.lit(_MERSENNE))
+        ))).alias("shh_new"),
+    )
+    idx_bands = spark.read.parquet(f"{path}/bands")
+    idx_sh = spark.read.parquet(f"{path}/shingles").select(
+        F.col("id").alias("corpus_id"), F.col("shh").alias("shh_old")
+    )
+    cand = (
+        idx_bands.join(
+            F.broadcast(band_rows.select(
+                "band", "bucket", F.col("_id").alias("new_id"))),
+            on=["band", "bucket"],
+        )
+        .select(F.col("id").alias("corpus_id"), "new_id")
+        .distinct()
+    )
+    return (
+        cand.join(new_sh, "new_id")
+        .join(idx_sh, "corpus_id")
+        .select(
+            "new_id", "corpus_id",
+            jaccard(F.col("shh_new"), F.col("shh_old")).alias("jaccard"),
+        )
         .where(F.col("jaccard") >= threshold)
     )
 

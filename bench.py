@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "ocf_snappy_read",
     "ocf_zstd_read",
     "ocf_mixed_writers",
+    "incremental_dedup",
     "wire_roundtrip",
     "conform_json",
     "hidden_fields",

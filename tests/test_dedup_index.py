@@ -1,0 +1,133 @@
+"""Persisted MinHash-LSH index (r7): build the signature index once over
+the existing corpus, check each new batch against it incrementally —
+provably the same pairs as re-running minhash_lsh_pairs over the union,
+without ever re-signaturing the corpus.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from avro_spark.functions import dedup as D
+
+
+def _docs(spark):
+    """Corpus (even ids) + batch (odd ids); the batch holds near-copies
+    of corpus docs (edit distance small → Jaccard high), fresh docs, and
+    an exact copy."""
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "machine learning models require large curated training corpora",
+        "spark executes declarative dataframe plans through catalyst",
+        "object container files carry their writer schema in the header",
+        "near duplicate detection uses minhash signatures with banding",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((2 * i, t))                                   # corpus
+    rows.append((1, base[0]))                                     # exact dup
+    rows.append((3, base[1].replace("large", "massive")))          # near dup
+    rows.append((5, "a completely unrelated sentence about cooking pasta"))
+    rows.append((7, base[4] + " and exact jaccard verification"))  # near dup
+    corpus = spark.createDataFrame(
+        [r for r in rows if r[0] % 2 == 0], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [r for r in rows if r[0] % 2 == 1], "doc_id long, text string")
+    return corpus, batch
+
+
+def _cross_pairs_via_union(corpus, batch, **kw):
+    """Reference result: minhash_lsh_pairs over the UNION, restricted to
+    (corpus, new) cross pairs, as a set of (new_id, corpus_id, jaccard)."""
+    union = corpus.unionByName(batch)
+    pairs = D.minhash_lsh_pairs(union, "doc_id", "text", **kw)
+    out = set()
+    for r in pairs.collect():
+        a, b = r["id_a"], r["id_b"]
+        if a % 2 != b % 2:  # one corpus (even), one batch (odd)
+            new_id, corpus_id = (a, b) if a % 2 == 1 else (b, a)
+            out.add((new_id, corpus_id, round(r["jaccard"], 9)))
+    return out
+
+
+def _probe_set(got):
+    return {(r["new_id"], r["corpus_id"], round(r["jaccard"], 9))
+            for r in got.collect()}
+
+
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "portable_hash60"])
+def test_incremental_equals_union_rerun(spark, tmp_path, hash_fn):
+    corpus, batch = _docs(spark)
+    idx = str(tmp_path / "idx")
+    D.write_minhash_index(
+        corpus, idx, "doc_id", "text",
+        num_hashes=16, bands=4, shingle_n=3, hash_fn=hash_fn)
+    got = D.dedup_against_index(spark, batch, idx, "doc_id", "text",
+                                threshold=0.5)
+    fn = D.portable_hash60 if hash_fn == "portable_hash60" else F.xxhash64
+    want = _cross_pairs_via_union(
+        corpus, batch, num_hashes=16, bands=4, shingle_n=3,
+        threshold=0.5, hash_fn=fn)
+    assert _probe_set(got) == want
+    assert want, "fixture must actually produce near-dup pairs"
+    # the exact copy (1, 0) must be in there at jaccard 1.0
+    assert any(p[:2] == (1, 0) and p[2] == 1.0 for p in want)
+
+
+def test_append_grows_index_equivalently(spark, tmp_path):
+    corpus, batch = _docs(spark)
+    c1 = corpus.where("doc_id <= 4")
+    c2 = corpus.where("doc_id > 4")
+    whole, grown = str(tmp_path / "whole"), str(tmp_path / "grown")
+    kw = dict(num_hashes=16, bands=4, shingle_n=3)
+    D.write_minhash_index(corpus, whole, "doc_id", "text", **kw)
+    D.write_minhash_index(c1, grown, "doc_id", "text", **kw)
+    D.write_minhash_index(c2, grown, "doc_id", "text", mode="append", **kw)
+    a = _probe_set(D.dedup_against_index(spark, batch, grown,
+                                         "doc_id", "text"))
+    b = _probe_set(D.dedup_against_index(spark, batch, whole,
+                                         "doc_id", "text"))
+    assert a == b and a
+    # append with drifted parameters must refuse (silent zero-recall
+    # banding otherwise)
+    with pytest.raises(ValueError, match="do not match"):
+        D.write_minhash_index(c2, grown, "doc_id", "text",
+                              num_hashes=32, bands=4, mode="append")
+
+
+def test_probe_parameters_come_from_meta(spark, tmp_path):
+    """The probe has NO banding parameters — a probe against an index
+    written with non-default parameters still pairs correctly because it
+    reads the meta row."""
+    corpus, batch = _docs(spark)
+    idx = str(tmp_path / "meta_idx")
+    D.write_minhash_index(corpus, idx, "doc_id", "text",
+                          num_hashes=32, bands=8, shingle_n=2, seed=9)
+    got = D.dedup_against_index(spark, batch, idx, "doc_id", "text")
+    want = _cross_pairs_via_union(
+        corpus, batch, num_hashes=32, bands=8, shingle_n=2, seed=9,
+        threshold=0.5, hash_fn=F.xxhash64)
+    assert _probe_set(got) == want and want
+
+
+def test_bad_arguments(spark, tmp_path):
+    corpus, _ = _docs(spark)
+    with pytest.raises(ValueError, match="hash_fn must be one of"):
+        D.write_minhash_index(corpus, str(tmp_path / "x"), "doc_id",
+                              "text", hash_fn="md5")
+    with pytest.raises(ValueError, match="bad mode"):
+        D.write_minhash_index(corpus, str(tmp_path / "x"), "doc_id",
+                              "text", mode="errorifexists")
+
+
+def test_probe_broadcasts_the_batch(spark, tmp_path):
+    """Plan shape: the candidate join broadcasts the NEW batch's band
+    rows — the index side streams through without a shuffle exchange."""
+    corpus, batch = _docs(spark)
+    idx = str(tmp_path / "bidx")
+    D.write_minhash_index(corpus, idx, "doc_id", "text",
+                          num_hashes=16, bands=4)
+    got = D.dedup_against_index(spark, batch, idx, "doc_id", "text")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -389,14 +389,7 @@ def write_minhash_index(
     docs, band_rows = _sig_band_rows(
         df, id_col, text_col, num_hashes, bands, shingle_n, seed, fn
     )
-    if mode == "overwrite":
-        meta = spark.createDataFrame(
-            [(num_hashes, bands, shingle_n, seed, hash_fn)],
-            "num_hashes int, bands int, shingle_n int, seed int, "
-            "hash_fn string",
-        )
-        meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
-    elif mode == "append":
+    if mode == "append":
         stored = _read_index_meta(spark, path)
         given = dict(num_hashes=num_hashes, bands=bands,
                      shingle_n=shingle_n, seed=seed, hash_fn=hash_fn)
@@ -405,7 +398,7 @@ def write_minhash_index(
                 f"append parameters {given} do not match the index's "
                 f"stored meta {stored}"
             )
-    else:
+    elif mode != "overwrite":
         raise ValueError(f"bad mode: {mode}")
     band_rows.select(
         "band", "bucket", F.col("_id").alias("id")
@@ -418,6 +411,17 @@ def write_minhash_index(
         ))).alias("shh"),
     )
     sh_rows.write.mode(mode).parquet(f"{path}/shingles")
+    if mode == "overwrite":
+        # meta LAST — the commit marker: a build that dies mid-way
+        # leaves a probe failing LOUDLY on the missing/old meta rather
+        # than pairing new parameters with old band rows. (Rebuilding an
+        # index in place while another job probes it is not supported.)
+        meta = spark.createDataFrame(
+            [(num_hashes, bands, shingle_n, seed, hash_fn)],
+            "num_hashes int, bands int, shingle_n int, seed int, "
+            "hash_fn string",
+        )
+        meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def _index_hash(name: str):
@@ -440,6 +444,7 @@ def dedup_against_index(
     id_col: str,
     text_col: str,
     threshold: float = 0.5,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """Near-dup pairs of a NEW batch against a persisted corpus index —
     the incremental face of :func:`minhash_lsh_pairs`: identical
@@ -471,10 +476,17 @@ def dedup_against_index(
     idx_sh = spark.read.parquet(f"{path}/shingles").select(
         F.col("id").alias("corpus_id"), F.col("shh").alias("shh_old")
     )
+    new_bands = band_rows.select(
+        "band", "bucket", F.col("_id").alias("new_id"))
+    if broadcast_batch:
+        # a daily batch is small next to the corpus: broadcasting it
+        # lets the bands table stream through with NO shuffle. Pass
+        # broadcast_batch=False for a batch too big for the driver —
+        # AQE then picks the join sides itself.
+        new_bands = F.broadcast(new_bands)
     cand = (
         idx_bands.join(
-            F.broadcast(band_rows.select(
-                "band", "bucket", F.col("_id").alias("new_id"))),
+            new_bands,
             on=["band", "bucket"],
         )
         .select(F.col("id").alias("corpus_id"), "new_id")

@@ -131,3 +131,52 @@ def test_probe_broadcasts_the_batch(spark, tmp_path):
     got = D.dedup_against_index(spark, batch, idx, "doc_id", "text")
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_fuzz_incremental_equals_union(spark, tmp_path_factory):
+    """Property: for random corpora/batches (random shared phrase pools
+    so near-dups actually occur), dedup_against_index over the persisted
+    index equals minhash_lsh_pairs over the union restricted to cross
+    pairs — every example, both with and without batch broadcast."""
+    import random
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+
+    @given(data=st.data())
+    @settings(max_examples=5, deadline=None)
+    def run(data):
+        rng = random.Random(data.draw(st.integers(0, 2**32)))
+        phrases = [" ".join(rng.choices(words, k=rng.randint(5, 12)))
+                   for _ in range(6)]
+
+        def doc():
+            parts = rng.sample(phrases, k=rng.randint(1, 3))
+            if rng.random() < 0.3:
+                parts.append(" ".join(rng.choices(words, k=4)))
+            return " ".join(parts)
+
+        rows = [(i, doc()) for i in range(rng.randint(4, 14))]
+        corpus = spark.createDataFrame(
+            [r for r in rows if r[0] % 2 == 0], "doc_id long, text string")
+        batch = spark.createDataFrame(
+            [r for r in rows if r[0] % 2 == 1], "doc_id long, text string")
+        if corpus.rdd.isEmpty() or batch.rdd.isEmpty():
+            return
+        idx = str(tmp_path_factory.mktemp("fuzz_idx"))
+        nh, nb = data.draw(st.sampled_from([(16, 4), (32, 8)]))
+        D.write_minhash_index(corpus, idx, "doc_id", "text",
+                              num_hashes=nh, bands=nb, shingle_n=2)
+        want = _cross_pairs_via_union(
+            corpus, batch, num_hashes=nh, bands=nb, shingle_n=2,
+            threshold=0.5, hash_fn=F.xxhash64)
+        for bc in (True, False):
+            got = D.dedup_against_index(
+                spark, batch, idx, "doc_id", "text", threshold=0.5,
+                broadcast_batch=bc)
+            assert _probe_set(got) == want, (bc, sorted(want))
+
+    run()

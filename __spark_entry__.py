@@ -2783,10 +2783,13 @@ def _incremental_dedup_oracle() -> str:
                      ELSE [] END AS grams
               FROM toks),
             hx AS (
-              SELECT doc_id, {h} % {_P31} AS h
-              FROM (SELECT doc_id, unnest(grams) AS gram FROM sh)),
+              SELECT doc_id, hr, hr % {_P31} AS h
+              FROM (SELECT doc_id, {h} AS hr
+                    FROM (SELECT doc_id, unnest(grams) AS gram FROM sh))),
             shh AS (
-              SELECT doc_id, list_distinct(list(h)) AS hset
+              -- FULL-WIDTH hash set: the index stores fn(gram), only the
+              -- permutation arithmetic reduces mod 2^31-1
+              SELECT doc_id, list_distinct(list(hr)) AS hset
               FROM hx GROUP BY doc_id),
             sig AS (
               SELECT doc_id,

@@ -370,7 +370,11 @@ def write_minhash_index(
     the incremental-dedup shape: build the index ONCE over the existing
     corpus, then check each day's batch against it with
     :func:`dedup_against_index` without ever re-signaturing the corpus.
-    ``mode="append"`` grows it with newly-admitted documents.
+    ``mode="append"`` grows it with newly-admitted documents; if an
+    append crashes part-way, RE-RUN THE SAME APPEND to completion — the
+    probe absorbs the duplicate rows a retry leaves (band duplicates via
+    candidate distinct, shingle duplicates via a per-id dropDuplicates),
+    so a completed retry restores exactness.
 
     Layout (all plain parquet — no catalog dependency, any Spark-visible
     storage): ``bands/`` = (band, bucket, id) — the LSH probe side;
@@ -386,9 +390,6 @@ def write_minhash_index(
         )
     fn = _index_hash(hash_fn)
     spark = df.sparkSession
-    docs, band_rows = _sig_band_rows(
-        df, id_col, text_col, num_hashes, bands, shingle_n, seed, fn
-    )
     if mode == "append":
         stored = _read_index_meta(spark, path)
         given = dict(num_hashes=num_hashes, bands=bands,
@@ -400,32 +401,61 @@ def write_minhash_index(
             )
     elif mode != "overwrite":
         raise ValueError(f"bad mode: {mode}")
-    band_rows.select(
-        "band", "bucket", F.col("_id").alias("id")
-    ).write.mode(mode).parquet(f"{path}/bands")
-    # shh rebuilds from docs._sh (already computed) instead of re-shingling
-    sh_rows = docs.select(
-        F.col("_id").alias("id"),
-        F.array_sort(F.array_distinct(F.transform(
-            F.col("_sh"), lambda g: F.pmod(fn(g), F.lit(_MERSENNE))
-        ))).alias("shh"),
-    )
-    sh_rows.write.mode(mode).parquet(f"{path}/shingles")
-    if mode == "overwrite":
-        # meta LAST — the commit marker: a build that dies mid-way
-        # leaves a probe failing LOUDLY on the missing/old meta rather
-        # than pairing new parameters with old band rows. (Rebuilding an
-        # index in place while another job probes it is not supported.)
+
+    def _write_meta(marker: str) -> None:
         meta = spark.createDataFrame(
-            [(num_hashes, bands, shingle_n, seed, hash_fn)],
+            [(num_hashes, bands, shingle_n, seed, marker)],
             "num_hashes int, bands int, shingle_n int, seed int, "
             "hash_fn string",
         )
         meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
+    if mode == "overwrite":
+        # transition marker FIRST, real meta LAST: any crash between the
+        # two leaves the meta row naming an invalid hash, so a probe
+        # (or a stale-parameter rebuild that died after bands but before
+        # meta) fails LOUDLY instead of banding with mismatched
+        # parameters and silently finding nothing. In-place rebuilds
+        # while another job probes the index are still not supported.
+        _write_meta("__building__")
+    docs, band_rows = _sig_band_rows(
+        df, id_col, text_col, num_hashes, bands, shingle_n, seed, fn
+    )
+    # ONE pass over the corpus text: docs (id + shingle strings) feeds
+    # BOTH writes, so persist it across the two jobs — without this the
+    # shingles job re-reads and re-shingles the whole corpus from source
+    docs = docs.persist()
+    try:
+        # shh stores the FULL-WIDTH hash (not pmod 2^31-1 — that range
+        # is only needed by the permutation arithmetic): at 31 bits a
+        # ~77k-shingle document expects in-set collisions and Jaccard
+        # drifts from the string-set value; at 60/64 bits collisions
+        # are ~2^-60 per pair
+        sh_rows = docs.select(
+            F.col("_id").alias("id"),
+            F.array_sort(F.array_distinct(
+                F.transform(F.col("_sh"), lambda g: fn(g)))).alias("shh"),
+        )
+        sh_rows.write.mode(mode).parquet(f"{path}/shingles")
+        band_rows.select(
+            "band", "bucket", F.col("_id").alias("id")
+        ).write.mode(mode).parquet(f"{path}/bands")
+    finally:
+        docs.unpersist()
+    if mode == "overwrite":
+        _write_meta(hash_fn)  # the commit marker
+
 
 def _index_hash(name: str):
-    return portable_hash60 if name == "portable_hash60" else F.xxhash64
+    if name == "portable_hash60":
+        return portable_hash60
+    if name == "xxhash64":
+        return F.xxhash64
+    # "__building__" = a rebuild died between its marker and its commit
+    raise ValueError(
+        f"index meta names unknown hash {name!r} — the index is "
+        "mid-rebuild or corrupt; rebuild it with write_minhash_index"
+    )
 
 
 def _read_index_meta(spark, path: str) -> dict:
@@ -458,8 +488,8 @@ def dedup_against_index(
     on (band, bucket) — a daily batch is small, so AQE broadcasts it
     and the index side streams through unshuffled; verification joins
     the (few) candidates back to the two shingle stores. Jaccard is
-    computed over hashed shingle sets (equal to gram Jaccard up to
-    ~2^-61 collisions)."""
+    computed over FULL-WIDTH hashed shingle sets (equal to gram Jaccard
+    up to ~2^-60 collisions per pair)."""
     m = _read_index_meta(spark, path)
     fn = _index_hash(m["hash_fn"])
     docs, band_rows = _sig_band_rows(
@@ -468,14 +498,18 @@ def dedup_against_index(
     )
     new_sh = docs.select(
         F.col("_id").alias("new_id"),
-        F.array_sort(F.array_distinct(F.transform(
-            F.col("_sh"), lambda g: F.pmod(fn(g), F.lit(_MERSENNE))
-        ))).alias("shh_new"),
+        F.array_sort(F.array_distinct(
+            F.transform(F.col("_sh"), lambda g: fn(g)))).alias("shh_new"),
     )
     idx_bands = spark.read.parquet(f"{path}/bands")
+    # dropDuplicates: a RETRIED append re-appends its rows — one shingle
+    # row per id keeps the verify join from emitting duplicate pairs
+    # (band-row duplicates are absorbed by the candidate .distinct());
+    # the documented crash recovery is "re-run the same append to
+    # completion", after which the probe is exact again
     idx_sh = spark.read.parquet(f"{path}/shingles").select(
         F.col("id").alias("corpus_id"), F.col("shh").alias("shh_old")
-    )
+    ).dropDuplicates(["corpus_id"])
     new_bands = band_rows.select(
         "band", "bucket", F.col("_id").alias("new_id"))
     if broadcast_batch:

@@ -656,29 +656,34 @@ def parse_projection(
             "projection must name at least one field (columns=[] would "
             "produce zero-width rows)"
         )
-    tree = _projection_tree(columns)
-
-    def _check(rec: Record, t: dict, prefix: str) -> None:
-        known = {f.name: f for f in rec.fields}
-        for name, v in t.items():
-            if name not in known:
+    # validate EVERY column path independently — a path subsumed by a
+    # shorter full-keep request still gets checked, so a typoed nested
+    # name fails loudly regardless of request order (review r7: the
+    # tree-walk validation silently skipped subsumed extensions)
+    for c in columns:
+        parts = c.split(".")
+        rec = root
+        for depth, seg in enumerate(parts):
+            known = {f.name: f for f in rec.fields}
+            if seg not in known:
                 scope = (
-                    f"{prefix[:-1]!r} has" if prefix else "schema has"
+                    f"{'.'.join(parts[:depth])!r} has" if depth
+                    else "schema has"
                 )
                 raise AvroSparkError(
-                    f"projection names unknown fields [{name!r}]; "
+                    f"projection names unknown fields [{seg!r}]; "
                     f"{scope} {sorted(known)}"
                 )
-            if v is not True:
-                inner = _projectable_record(known[name].type)
-                if inner is None:
-                    raise AvroSparkError(
-                        f"projection: field {prefix + name!r} is not a "
-                        f"record"
-                    )
-                _check(inner, v, prefix + name + ".")
-
-    _check(root, tree, "")
+            if depth == len(parts) - 1:
+                break
+            inner = _projectable_record(known[seg].type)
+            if inner is None:
+                raise AvroSparkError(
+                    f"projection {c!r}: field "
+                    f"{'.'.join(parts[:depth + 1])!r} is not a record"
+                )
+            rec = inner
+    tree = _projection_tree(columns)
 
     def _ordered(rec: Record, t: dict) -> dict:
         spec: dict = {}

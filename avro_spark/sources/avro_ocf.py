@@ -1453,8 +1453,11 @@ def write_avro_files(
             return infos
         import re as _re
 
+        # \d{5,}: part numbers are {pid:05d}, which GROWS past 5 digits
+        # at pid >= 100000 — a fixed {5} would never sweep high-numbered
+        # stale parts (review r7)
         pat = _re.compile(
-            r"part-\d{5}-" + _re.escape(append_token) + r"\.avro\Z"
+            r"part-\d{5,}-" + _re.escape(append_token) + r"\.avro\Z"
         )
         written = {os.path.basename(i["file"]) for i in infos}
         for f in existing:

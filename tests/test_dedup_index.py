@@ -180,3 +180,55 @@ def test_fuzz_incremental_equals_union(spark, tmp_path_factory):
             assert _probe_set(got) == want, (bc, sorted(want))
 
     run()
+
+
+def test_dead_rebuild_probes_loudly(spark, tmp_path):
+    """A rebuild that died between its '__building__' marker and its
+    commit leaves a probe failing LOUDLY — never banding with stale
+    parameters and silently finding nothing."""
+    corpus, batch = _docs(spark)
+    idx = str(tmp_path / "dead")
+    D.write_minhash_index(corpus, idx, "doc_id", "text",
+                          num_hashes=16, bands=4)
+    spark.createDataFrame(
+        [(16, 4, 3, 1, "__building__")],
+        "num_hashes int, bands int, shingle_n int, seed int, "
+        "hash_fn string",
+    ).coalesce(1).write.mode("overwrite").parquet(idx + "/meta")
+    with pytest.raises(ValueError, match="mid-rebuild or corrupt"):
+        D.dedup_against_index(spark, batch, idx, "doc_id", "text")
+
+
+def test_stored_shingle_hashes_are_full_width(spark, tmp_path):
+    """Review r7: the stored verification sets use the FULL-WIDTH hash —
+    a 31-bit store expects in-set collisions around 77k shingles/doc and
+    drifts the Jaccard off the string-set value."""
+    corpus, _ = _docs(spark)
+    idx = str(tmp_path / "width")
+    D.write_minhash_index(corpus, idx, "doc_id", "text",
+                          num_hashes=16, bands=4)
+    vals = [v for r in spark.read.parquet(idx + "/shingles").collect()
+            for v in r["shh"]]
+    assert any(abs(v) >= (1 << 31) for v in vals)
+
+
+def test_retried_append_does_not_duplicate_pairs(spark, tmp_path):
+    """The documented crash recovery — re-run the same append — must not
+    leave duplicate output pairs (duplicate shingle rows double-joined
+    every candidate before the probe-side dropDuplicates)."""
+    corpus, batch = _docs(spark)
+    kw = dict(num_hashes=16, bands=4, shingle_n=3)
+    idx = str(tmp_path / "retry")
+    D.write_minhash_index(corpus.where("doc_id <= 4"), idx,
+                          "doc_id", "text", **kw)
+    c2 = corpus.where("doc_id > 4")
+    D.write_minhash_index(c2, idx, "doc_id", "text", mode="append", **kw)
+    D.write_minhash_index(c2, idx, "doc_id", "text", mode="append", **kw)
+    got = D.dedup_against_index(spark, batch, idx, "doc_id", "text")
+    rows = got.collect()
+    keys = [(r["new_id"], r["corpus_id"]) for r in rows]
+    assert len(keys) == len(set(keys))
+    clean = str(tmp_path / "clean")
+    D.write_minhash_index(corpus, clean, "doc_id", "text", **kw)
+    assert _probe_set(got) == _probe_set(
+        D.dedup_against_index(spark, batch, clean, "doc_id", "text"))

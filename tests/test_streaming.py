@@ -465,3 +465,12 @@ def test_stream_avro_ocf_sink_exactly_once(spark, tmp_path):
     assert {7, 8} <= {
         int(f.rsplit("-batch", 1)[1][:12])
         for f in glob.glob(out + "/*batch*.avro")}
+    # the sweep also covers part numbers past 5 digits ({pid:05d} grows
+    # at pid >= 100000) — plant a stale 6-digit part for batch 8 and
+    # replay: it must be swept, while batch 7's files stay untouched
+    import os
+    stale = os.path.join(out, "part-123456-batch000000000008.avro")
+    open(stale, "wb").write(b"stale")
+    sink(extra.repartition(2), 8)
+    assert not os.path.exists(stale)
+    assert read_avro_files(spark, out, sch).count() == 300

@@ -277,21 +277,32 @@ def _sig_band_rows(
         F.col(id_col).cast("long").alias("_id"),
         shingles(F.col(text_col), shingle_n).alias("_sh"),
     )
-    # Signature via explode + k tiny min-aggregates: one expression per
-    # permutation over the scalar shingle hash. (Building a 64-slot array
-    # column instead duplicates the whole shingle expression per slot —
-    # minutes of Catalyst/codegen time.) Map-side partial aggregation keeps
-    # the shuffle at k longs per doc regardless of shingle count; docs with
-    # zero shingles drop out, which is final-result-equivalent (their
-    # Jaccard with anything is 0 < threshold).
     exploded = docs.select("_id", F.explode("_sh").alias("_g")).select(
         "_id", F.pmod(hash_fn(F.col("_g")), F.lit(_MERSENNE)).alias("_h")
     )
+    return docs, _band_rows_from_hashes(exploded, num_hashes, bands, seed)
+
+
+def _band_rows_from_hashes(
+    exploded: DataFrame, num_hashes: int, bands: int, seed: int
+) -> DataFrame:
+    """(_id, _h) scalar shingle-hash rows (``_h`` already reduced mod
+    2^31-1) → (_id, band, bucket) band rows.
+
+    Signature via explode + k tiny min-aggregates: one expression per
+    permutation over the scalar shingle hash. (Building a 64-slot array
+    column instead duplicates the whole shingle expression per slot —
+    minutes of Catalyst/codegen time.) Map-side partial aggregation keeps
+    the shuffle at k longs per doc regardless of shingle count; docs with
+    zero shingles drop out, which is final-result-equivalent (their
+    Jaccard with anything is 0 < threshold).
+
+    The k min-slots and band structs are built as SQL strings: a 64-slot
+    Column-API construction costs ~400 py4j round trips (~1 s of driver
+    time per call) while the parser ingests the same trees in
+    milliseconds. a, b, h < 2^31 so a*h + b < 2^62 — no long overflow."""
+    r = num_hashes // bands
     params = _perm_params(num_hashes, seed)
-    # The k min-slots and band structs are built as SQL strings: a 64-slot
-    # Column-API construction costs ~400 py4j round trips (~1 s of driver
-    # time per call) while the parser ingests the same trees in
-    # milliseconds. a, b, h < 2^31 so a*h + b < 2^62 — no long overflow.
     sig = exploded.groupBy("_id").agg(
         *[
             F.expr(f"min(pmod({a}L * _h + {b}L, {_MERSENNE}L)) AS mh{i}")
@@ -304,8 +315,7 @@ def _sig_band_rows(
         )
         for bi in range(bands)
     )
-    band_rows = sig.select("_id", F.expr(f"inline(array({band_structs}))"))
-    return docs, band_rows
+    return sig.select("_id", F.expr(f"inline(array({band_structs}))"))
 
 
 def minhash_lsh_pairs(
@@ -418,32 +428,49 @@ def write_minhash_index(
         # parameters and silently finding nothing. In-place rebuilds
         # while another job probes the index are still not supported.
         _write_meta("__building__")
-    docs, band_rows = _sig_band_rows(
-        df, id_col, text_col, num_hashes, bands, shingle_n, seed, fn
-    )
-    # ONE pass over the corpus text: docs (id + shingle strings) feeds
-    # BOTH writes, so persist it across the two jobs — without this the
-    # shingles job re-reads and re-shingles the whole corpus from source
-    docs = docs.persist()
+    # hash each gram ONCE (md5/xxhash over text is the dominant cost)
+    # and persist the hashed form across the two writes — without this
+    # the shingles job re-reads, re-shingles, and re-hashes the whole
+    # corpus from source. shh stores the FULL-WIDTH hash (not pmod
+    # 2^31-1 — that range is only needed by the permutation
+    # arithmetic): at 31 bits a ~77k-shingle document expects in-set
+    # collisions and Jaccard drifts from the string-set value; at
+    # 60/64 bits collisions are ~2^-60 per pair.
+    hdocs = _hashed_docs(df, id_col, text_col, shingle_n, fn).persist()
     try:
-        # shh stores the FULL-WIDTH hash (not pmod 2^31-1 — that range
-        # is only needed by the permutation arithmetic): at 31 bits a
-        # ~77k-shingle document expects in-set collisions and Jaccard
-        # drifts from the string-set value; at 60/64 bits collisions
-        # are ~2^-60 per pair
-        sh_rows = docs.select(
+        hdocs.select(
             F.col("_id").alias("id"),
-            F.array_sort(F.array_distinct(
-                F.transform(F.col("_sh"), lambda g: fn(g)))).alias("shh"),
-        )
-        sh_rows.write.mode(mode).parquet(f"{path}/shingles")
-        band_rows.select(
+            F.array_sort(F.array_distinct(F.col("_hh"))).alias("shh"),
+        ).write.mode(mode).parquet(f"{path}/shingles")
+        _band_rows_from_hashes(
+            _explode_mod(hdocs), num_hashes, bands, seed
+        ).select(
             "band", "bucket", F.col("_id").alias("id")
         ).write.mode(mode).parquet(f"{path}/bands")
     finally:
-        docs.unpersist()
+        hdocs.unpersist()
     if mode == "overwrite":
         _write_meta(hash_fn)  # the commit marker
+
+
+def _hashed_docs(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int, fn
+) -> DataFrame:
+    """(_id, _hh full-width-hashed shingle array) — grams hash exactly
+    once; band rows reduce mod 2^31-1 downstream (:func:`_explode_mod`),
+    the verification store keeps the full width."""
+    return df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.transform(
+            shingles(F.col(text_col), shingle_n), lambda g: fn(g)
+        ).alias("_hh"),
+    )
+
+
+def _explode_mod(hdocs: DataFrame) -> DataFrame:
+    return hdocs.select("_id", F.explode("_hh").alias("_hr")).select(
+        "_id", F.pmod(F.col("_hr"), F.lit(_MERSENNE)).alias("_h")
+    )
 
 
 def _index_hash(name: str):
@@ -492,14 +519,13 @@ def dedup_against_index(
     up to ~2^-60 collisions per pair)."""
     m = _read_index_meta(spark, path)
     fn = _index_hash(m["hash_fn"])
-    docs, band_rows = _sig_band_rows(
-        new_df, id_col, text_col, m["num_hashes"], m["bands"],
-        m["shingle_n"], m["seed"], fn,
+    hdocs = _hashed_docs(new_df, id_col, text_col, m["shingle_n"], fn)
+    band_rows = _band_rows_from_hashes(
+        _explode_mod(hdocs), m["num_hashes"], m["bands"], m["seed"]
     )
-    new_sh = docs.select(
+    new_sh = hdocs.select(
         F.col("_id").alias("new_id"),
-        F.array_sort(F.array_distinct(
-            F.transform(F.col("_sh"), lambda g: fn(g)))).alias("shh_new"),
+        F.array_sort(F.array_distinct(F.col("_hh"))).alias("shh_new"),
     )
     idx_bands = spark.read.parquet(f"{path}/bands")
     # dropDuplicates: a RETRIED append re-appends its rows — one shingle

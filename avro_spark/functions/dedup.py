@@ -413,10 +413,14 @@ def write_minhash_index(
         raise ValueError(f"bad mode: {mode}")
 
     def _write_meta(marker: str) -> None:
-        meta = spark.createDataFrame(
-            [(num_hashes, bands, shingle_n, seed, marker)],
-            "num_hashes int, bands int, shingle_n int, seed int, "
-            "hash_fn string",
+        # spark.range keeps this pure-JVM: createDataFrame over a local
+        # Python list launches a Python-worker job (~6 s cold) for ONE row
+        meta = spark.range(1).select(
+            F.lit(num_hashes).cast("int").alias("num_hashes"),
+            F.lit(bands).cast("int").alias("bands"),
+            F.lit(shingle_n).cast("int").alias("shingle_n"),
+            F.lit(seed).cast("int").alias("seed"),
+            F.lit(marker).alias("hash_fn"),
         )
         meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 

@@ -1562,7 +1562,9 @@ def q_knn_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx = tempfile.mkdtemp(prefix="ivf_index_")
         S.write_ivf_index(emb, cents, idx)
         _IVF_INDEX_DIRS[sf_dir] = idx
-    return S.knn_ivf_indexed(spark, idx, queries, cents, k=5, nprobe=4).select(
+    # centroids=None: the probe reads the PINNED matrix from the index's
+    # meta row (r8) — the gate proves the checked-contract path
+    return S.knn_ivf_indexed(spark, idx, queries, None, k=5, nprobe=4).select(
         "query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine")
     )
 
@@ -2482,7 +2484,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # validator, plus ERRORS.md pins the 482 exact renderings);
         # csv_roundtrip folded (4 greens; twin jsonl_avro_roundtrip —
         # the same conform+render chain over a text source)
-        "ocf_split_read": q_ocf_split_read,
+        # ocf_split_read folded r8 (≥4 greens; twins ocf_snappy_read +
+        # ocf_projected_read + the promoted ocf_zstd_read — all run the
+        # identical split-read chain, over harder codec/pruning cases)
         # ocf_projected_read ROTATED IN r7 (VERDICT #3; twin
         # ocf_split_read — the same read chain unprojected): the
         # skip-path decoders get a driver row, now including the r7
@@ -2492,6 +2496,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # write → split read on the JVM block decoder (twin:
         # ocf_split_read, same chain over deflate)
         "ocf_snappy_read": q_ocf_snappy_read,
+        # ocf_zstd_read / ocf_mixed_writers ROTATED IN r8 (VERDICT #3):
+        # the zstd split chain and the mixed-writer-version directory
+        # resolution get driver rows
+        "ocf_zstd_read": q_ocf_zstd_read,
+        "ocf_mixed_writers": q_ocf_mixed_writers,
         # ocf_evolved_read: writer→reader resolution at the
         # OCF file boundary (guards the r5 JVM-OCF work)
         "ocf_evolved_read": q_ocf_evolved_read,
@@ -2536,7 +2545,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bigram_lm / length_quantiles / domain_cap NEW IN WINDOW: the
         # last round-2 corpus-stat gates that never had a driver row
         "bigram_lm": q_bigram_lm,
-        "length_quantiles": q_length_quantiles,
+        # length_quantiles folded r8 (2 greens; twins corpus_stats — the
+        # same per-group aggregation family — + profile_table extras,
+        # the same approx-quantile machinery)
         "domain_cap": q_domain_cap,
         # LLM-pipeline: dedup
         # dedup_exact folded r5 (4 greens; twin line_dedup); ngram_jaccard
@@ -2549,6 +2560,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_removal": q_dup_span_removal,
         "nb_quality": q_nb_quality,
         "minhash_lsh": q_minhash_lsh,
+        # incremental_dedup ROTATED IN r8 (VERDICT #3): the persisted
+        # MinHash index build + probe — now with the candidate-pushdown
+        # data-skipping layout (twin minhash_lsh, identical banding)
+        "incremental_dedup": q_incremental_dedup,
         "gopher_rules": q_gopher_rules,
         "dedup_clusters": q_dedup_clusters,
         # LLM-pipeline: similarity + embedding ops
@@ -2562,7 +2577,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # knn_ivf_indexed NEW: write_ivf_index + partition-pruned probe —
         # the production repeated-query ANN path
         "knn_ivf_indexed": q_knn_ivf_indexed,
-        "decontaminate_emb": q_decontaminate_emb,
+        # decontaminate_emb folded r8 (≥3 greens; twin
+        # decontaminate_emb_arrow IN WINDOW — identical semantics, the
+        # Arrow engine vs the HOF engine — plus decontaminate extras)
         # decontaminate_emb_arrow / knn_bruteforce_arrow NEW IN WINDOW:
         # the Arrow matmul engines (guard the r5 flagship Arrow work;
         # 6dp/9dp rounding absorbs BLAS last-ulp drift)
@@ -2597,15 +2614,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6 rotation: folded with >= 2 driver-green rounds each,
         # every one behind an in-window twin (twin notes in queries())
         "flatten_nested": q_flatten_nested,
-        # round-7 additions awaiting promotion: zstd OCF read (twin
-        # ocf_snappy_read in the window exercises the same split chain);
-        # mixed-writer directory read (twin ocf_evolved_read, same
-        # resolution chain on a single-version group)
-        "ocf_zstd_read": q_ocf_zstd_read,
-        "ocf_mixed_writers": q_ocf_mixed_writers,
-        # incremental dedup vs a persisted index (twin minhash_lsh in
-        # the window: identical banding through _sig_band_rows)
-        "incremental_dedup": q_incremental_dedup,
+        # round-8 rotation: ocf_zstd_read / ocf_mixed_writers /
+        # incremental_dedup PROMOTED to the window; folded in exchange
+        # (twin notes in queries()):
+        "ocf_split_read": q_ocf_split_read,
+        "decontaminate_emb": q_decontaminate_emb,
+        "length_quantiles": q_length_quantiles,
         # round-7 rotation: folded with >= 2 driver-green rounds each,
         # twins noted in queries()
         "heavy_hitters": q_heavy_hitters,

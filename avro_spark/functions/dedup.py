@@ -380,8 +380,13 @@ def write_minhash_index(
     the incremental-dedup shape: build the index ONCE over the existing
     corpus, then check each day's batch against it with
     :func:`dedup_against_index` without ever re-signaturing the corpus.
-    ``mode="append"`` grows it with newly-admitted documents; if an
-    append crashes part-way, RE-RUN THE SAME APPEND to completion — the
+    ``mode="append"`` grows it with newly-admitted documents; the meta
+    row flips to ``status='__appending__'`` before the two table writes
+    and back to ``'committed'`` after, so an append that dies between
+    the shingle and band writes leaves every probe failing LOUDLY (the
+    half-appended docs would otherwise silently under-recall — the same
+    silent-zero-recall class the ``__building__`` rebuild marker
+    closes). Recovery is RE-RUNNING THE SAME APPEND to completion — the
     probe absorbs the duplicate rows a retry leaves (band duplicates via
     candidate distinct, shingle duplicates via a per-id dropDuplicates),
     so a completed retry restores exactness.
@@ -402,6 +407,7 @@ def write_minhash_index(
     spark = df.sparkSession
     if mode == "append":
         stored = _read_index_meta(spark, path)
+        stored.pop("status", None)
         given = dict(num_hashes=num_hashes, bands=bands,
                      shingle_n=shingle_n, seed=seed, hash_fn=hash_fn)
         if stored != given:
@@ -412,7 +418,7 @@ def write_minhash_index(
     elif mode != "overwrite":
         raise ValueError(f"bad mode: {mode}")
 
-    def _write_meta(marker: str) -> None:
+    def _write_meta(marker: str, status: str = "committed") -> None:
         # spark.range keeps this pure-JVM: createDataFrame over a local
         # Python list launches a Python-worker job (~6 s cold) for ONE row
         meta = spark.range(1).select(
@@ -421,9 +427,18 @@ def write_minhash_index(
             F.lit(shingle_n).cast("int").alias("shingle_n"),
             F.lit(seed).cast("int").alias("seed"),
             F.lit(marker).alias("hash_fn"),
+            F.lit(status).alias("status"),
         )
         meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
+    if mode == "append":
+        # in-flight marker FIRST, committed LAST: a crash between the
+        # shingle and band appends (two separate parquet jobs) would
+        # otherwise leave docs with shingle rows but no band rows —
+        # probes silently lose recall for exactly those docs. With the
+        # marker they fail loudly until the SAME append is re-run to
+        # completion (the probe absorbs the retry's duplicate rows).
+        _write_meta(hash_fn, status="__appending__")
     if mode == "overwrite":
         # transition marker FIRST, real meta LAST: any crash between the
         # two leaves the meta row naming an invalid hash, so a probe
@@ -442,19 +457,29 @@ def write_minhash_index(
     # 60/64 bits collisions are ~2^-60 per pair.
     hdocs = _hashed_docs(df, id_col, text_col, shingle_n, fn).persist()
     try:
+        # DATA-SKIPPING LAYOUT: range-partition + sort each table by its
+        # probe key so every parquet file/row-group covers a tight key
+        # range and carries min/max stats. The probe pushes the bounded
+        # candidate-id set into the shingles scan (`id IN (...)`) — with
+        # this layout that filter prunes at the footer level, so a daily
+        # probe reads ~|candidates| worth of the shingle store instead
+        # of full-scanning a near-corpus-sized table. Appends sort their
+        # own batch the same way (per-file stats stay tight per batch).
         hdocs.select(
             F.col("_id").alias("id"),
             F.array_sort(F.array_distinct(F.col("_hh"))).alias("shh"),
-        ).write.mode(mode).parquet(f"{path}/shingles")
+        ).repartitionByRange("id").sortWithinPartitions("id") \
+            .write.mode(mode).parquet(f"{path}/shingles")
         _band_rows_from_hashes(
             _explode_mod(hdocs), num_hashes, bands, seed
         ).select(
             "band", "bucket", F.col("_id").alias("id")
-        ).write.mode(mode).parquet(f"{path}/bands")
+        ).repartitionByRange("band", "bucket") \
+            .sortWithinPartitions("band", "bucket") \
+            .write.mode(mode).parquet(f"{path}/bands")
     finally:
         hdocs.unpersist()
-    if mode == "overwrite":
-        _write_meta(hash_fn)  # the commit marker
+    _write_meta(hash_fn)  # the commit marker (both modes)
 
 
 def _hashed_docs(
@@ -491,10 +516,21 @@ def _index_hash(name: str):
 
 def _read_index_meta(spark, path: str) -> dict:
     row = spark.read.parquet(f"{path}/meta").head()
+    if row is None:
+        # a meta dir that exists but holds zero rows = a crash during
+        # the meta overwrite commit — diagnosable, not a TypeError
+        raise ValueError(
+            "index meta is empty — the index is mid-rebuild or corrupt; "
+            "rebuild it with write_minhash_index"
+        )
+    d = row.asDict()
     return {
-        "num_hashes": row["num_hashes"], "bands": row["bands"],
-        "shingle_n": row["shingle_n"], "seed": row["seed"],
-        "hash_fn": row["hash_fn"],
+        "num_hashes": d["num_hashes"], "bands": d["bands"],
+        "shingle_n": d["shingle_n"], "seed": d["seed"],
+        "hash_fn": d["hash_fn"],
+        # pre-r8 indexes have no status column: they committed via the
+        # hash_fn marker alone, so a readable row means committed
+        "status": d.get("status", "committed"),
     }
 
 
@@ -506,6 +542,8 @@ def dedup_against_index(
     text_col: str,
     threshold: float = 0.5,
     broadcast_batch: bool = True,
+    candidate_pushdown: bool = True,
+    max_pushdown_ids: int = 100_000,
 ) -> DataFrame:
     """Near-dup pairs of a NEW batch against a persisted corpus index —
     the incremental face of :func:`minhash_lsh_pairs`: identical
@@ -517,11 +555,27 @@ def dedup_against_index(
 
     Plan shape: the new batch's band rows JOIN the index's bands table
     on (band, bucket) — a daily batch is small, so AQE broadcasts it
-    and the index side streams through unshuffled; verification joins
-    the (few) candidates back to the two shingle stores. Jaccard is
+    and the index side streams through unshuffled. Verification then
+    needs only the CANDIDATE ids' shingle sets: with
+    ``candidate_pushdown`` (default) the candidate pairs are
+    materialized once (localCheckpoint — they are tiny by LSH design)
+    and the bounded distinct corpus-id set becomes an ``id IN (...)``
+    filter PUSHED INTO the shingles parquet scan — against
+    :func:`write_minhash_index`'s range-sorted layout that prunes at
+    the row-group/file footer level, so probe IO on the (near
+    corpus-sized) shingle store scales with |candidates|, not |index|.
+    More than ``max_pushdown_ids`` distinct candidates falls back to
+    the streaming join (driver state stays bounded). Jaccard is
     computed over FULL-WIDTH hashed shingle sets (equal to gram Jaccard
     up to ~2^-60 collisions per pair)."""
     m = _read_index_meta(spark, path)
+    if m["status"] != "committed":
+        raise ValueError(
+            f"index at {path!r} has status {m['status']!r} — an append "
+            "died between its table writes, so probes would silently "
+            "under-recall the half-appended docs; re-run the SAME "
+            "append to completion, then probe"
+        )
     fn = _index_hash(m["hash_fn"])
     hdocs = _hashed_docs(new_df, id_col, text_col, m["shingle_n"], fn)
     band_rows = _band_rows_from_hashes(
@@ -532,14 +586,6 @@ def dedup_against_index(
         F.array_sort(F.array_distinct(F.col("_hh"))).alias("shh_new"),
     )
     idx_bands = spark.read.parquet(f"{path}/bands")
-    # dropDuplicates: a RETRIED append re-appends its rows — one shingle
-    # row per id keeps the verify join from emitting duplicate pairs
-    # (band-row duplicates are absorbed by the candidate .distinct());
-    # the documented crash recovery is "re-run the same append to
-    # completion", after which the probe is exact again
-    idx_sh = spark.read.parquet(f"{path}/shingles").select(
-        F.col("id").alias("corpus_id"), F.col("shh").alias("shh_old")
-    ).dropDuplicates(["corpus_id"])
     new_bands = band_rows.select(
         "band", "bucket", F.col("_id").alias("new_id"))
     if broadcast_batch:
@@ -556,6 +602,30 @@ def dedup_against_index(
         .select(F.col("id").alias("corpus_id"), "new_id")
         .distinct()
     )
+    sh_scan = spark.read.parquet(f"{path}/shingles")
+    if candidate_pushdown:
+        # materialize the candidate pairs ONCE (they're what the verify
+        # stage exists to score — tiny by LSH design; localCheckpoint
+        # truncates lineage so the bands join never re-runs) and push
+        # the bounded corpus-id set into the shingles scan, where the
+        # range-sorted layout turns it into row-group/file pruning
+        cand = cand.localCheckpoint(eager=True)
+        ids = [
+            r[0]
+            for r in cand.select("corpus_id").distinct()
+            .limit(max_pushdown_ids + 1).collect()
+        ]
+        if len(ids) <= max_pushdown_ids:
+            sh_scan = sh_scan.where(F.col("id").isin(ids))
+        # else: adversarial candidate blow-up — keep the streaming join
+    # dropDuplicates: a RETRIED append re-appends its rows — one shingle
+    # row per id keeps the verify join from emitting duplicate pairs
+    # (band-row duplicates are absorbed by the candidate .distinct());
+    # the documented crash recovery is "re-run the same append to
+    # completion", after which the probe is exact again
+    idx_sh = sh_scan.select(
+        F.col("id").alias("corpus_id"), F.col("shh").alias("shh_old")
+    ).dropDuplicates(["corpus_id"])
     return (
         cand.join(new_sh, "new_id")
         .join(idx_sh, "corpus_id")

@@ -432,36 +432,128 @@ def knn_ivf(
 
 
 # ------------------------------------------------ persisted IVF index
+def _write_ivf_meta(
+    spark: "SparkSession",
+    path: str,
+    centroids: Sequence[Sequence[float]],
+    status: str,
+    rows: int,
+) -> None:
+    """One meta row pinning the centroid matrix the data was assigned
+    with (plus a status marker and the committed row count). Written via
+    ``spark.range`` + plan literals — pure JVM, no Python-worker job."""
+    spark.range(1).select(
+        _matrix_lit(centroids).alias("centroids"),
+        F.lit(len(centroids[0])).cast("int").alias("dim"),
+        F.lit("l2-cosine").alias("norm"),
+        F.lit(status).alias("status"),
+        F.lit(int(rows)).cast("long").alias("rows"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _read_ivf_meta(spark: "SparkSession", path: str) -> dict:
+    try:
+        row = spark.read.parquet(f"{path}/meta").head()
+    except Exception as e:  # AnalysisException: no meta dir at all
+        raise ValueError(
+            f"no IVF index meta at {path!r}/meta — not a "
+            "write_ivf_index index (or a pre-r8 layout); rebuild it "
+            "with write_ivf_index"
+        ) from e
+    if row is None:
+        raise ValueError(
+            "IVF index meta is empty — the index is mid-rebuild or "
+            "corrupt; rebuild it with write_ivf_index"
+        )
+    return {
+        "centroids": [[float(x) for x in c] for c in row["centroids"]],
+        "dim": row["dim"], "norm": row["norm"],
+        "status": row["status"], "rows": row["rows"],
+    }
+
+
 def write_ivf_index(
     vectors: DataFrame,
-    centroids: Sequence[Sequence[float]],
+    centroids: Optional[Sequence[Sequence[float]]],
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    mode: str = "overwrite",
 ) -> None:
     """Materialize the IVF index the docstring of :func:`knn_ivf` keeps
     promising: vectors with their nearest-centroid assignment, written
-    ``partitionBy(centroid_id)`` + pre-computed norms. Probe-time reads
-    then PRUNE AT THE FILE LISTING (Hive-style partition directories →
-    ``PartitionFilters`` in the scan, asserted in tests): a query fleet
-    probing nprobe of k centroids lists and reads ~nprobe/k of the
-    index, without a custom data source. Assignment itself is the
-    narrow argmax projection — one pass over the corpus, no shuffle
-    except the partitioned write's file routing."""
+    ``partitionBy(centroid_id)`` under ``{path}/data`` + pre-computed
+    norms, and a ``{path}/meta`` row PINNING the centroid matrix the
+    assignments were computed with. Probe-time reads then PRUNE AT THE
+    FILE LISTING (Hive-style partition directories → ``PartitionFilters``
+    in the scan, asserted in tests): a query fleet probing nprobe of k
+    centroids lists and reads ~nprobe/k of the index, without a custom
+    data source. Assignment itself is the narrow argmax projection —
+    one pass over the corpus, no shuffle except the partitioned write's
+    file routing.
+
+    The meta row closes the silent-drift hole: probes read the
+    centroids FROM the index (a caller-supplied list that doesn't match
+    is refused loudly — retrained centroids would prune the WRONG
+    partitions and silently return low-recall neighbors). The marker
+    discipline mirrors the MinHash index's: overwrite flips status to
+    ``'__building__'`` first and commits last; ``mode="append"`` (grow
+    the index with new vectors — ``centroids=None`` reuses the stored
+    matrix, a supplied list must match it exactly) flips to
+    ``'__appending__'`` around the data write and records the committed
+    row count, so a retried append after a crash detects whether the
+    dead attempt's data landed (parquet-footer count vs meta rows — the
+    standard job-commit atomicity assumption) and never double-appends.
+    In-place rebuilds/appends concurrent with probes are not supported."""
+    spark = vectors.sparkSession
+    if mode == "append":
+        m = _read_ivf_meta(spark, path)
+        if m["status"] == "__building__":
+            raise ValueError(
+                "index is mid-rebuild (status '__building__') — rebuild "
+                "it with write_ivf_index(mode='overwrite')"
+            )
+        if centroids is None:
+            centroids = m["centroids"]
+        elif [[float(x) for x in c] for c in centroids] != m["centroids"]:
+            raise ValueError(
+                "append centroids do not match the index's stored "
+                "centroid matrix — drifted centroids would assign new "
+                "vectors to the wrong partitions; pass centroids=None "
+                "to reuse the stored matrix, or rebuild"
+            )
+        actual = spark.read.parquet(f"{path}/data").count()
+        if m["status"] == "__appending__" and actual != m["rows"]:
+            # the dead append's data job committed but its meta didn't:
+            # the retry must not double-append. (A retry with a
+            # DIFFERENT batch is a caller error — documented.)
+            _write_ivf_meta(spark, path, centroids, "committed", actual)
+            return
+        _write_ivf_meta(spark, path, centroids, "__appending__", actual)
+    elif mode == "overwrite":
+        if centroids is None:
+            raise ValueError("mode='overwrite' requires a centroid matrix")
+        _write_ivf_meta(spark, path, centroids, "__building__", 0)
+    else:
+        raise ValueError(f"bad mode: {mode}")
     assigned = vectors.select(
         F.col(id_col),
         as_double(F.col(vec_col)).alias(vec_col),
         l2_norm(vec_col).alias("_nv"),
         _argmax_centroid(F.col(vec_col), centroids).alias("centroid_id"),
     )
-    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    assigned.write.mode(mode).partitionBy("centroid_id").parquet(
+        f"{path}/data")
+    # committed row count via parquet footers only (metadata-count)
+    total = spark.read.parquet(f"{path}/data").count()
+    _write_ivf_meta(spark, path, centroids, "committed", total)
 
 
 def knn_ivf_indexed(
     spark: "SparkSession",
     path: str,
     queries: DataFrame,
-    centroids: Sequence[Sequence[float]],
+    centroids: Optional[Sequence[Sequence[float]]] = None,
     k: int = 10,
     nprobe: int = 4,
     id_col: str = "vec_id",
@@ -474,8 +566,28 @@ def knn_ivf_indexed(
     nprobe probe set becomes a ``centroid_id IN (...)`` scan filter —
     partition-pruned at the file listing, so the exact-scoring join
     reads only the probed buckets' files (vs :func:`knn_ivf`, which
-    re-assigns and streams the WHOLE corpus per query batch). The
-    centroid list must be the one the index was built with."""
+    re-assigns and streams the WHOLE corpus per query batch). Centroids
+    come FROM the index's meta row; a caller-supplied list that doesn't
+    match the stored matrix is refused loudly (drifted centroids prune
+    the wrong partitions and silently return low-recall neighbors — the
+    checked contract replaces the old docstring-only one)."""
+    m = _read_ivf_meta(spark, path)
+    if m["status"] != "committed":
+        raise ValueError(
+            f"IVF index at {path!r} has status {m['status']!r} — a "
+            "rebuild or append died part-way; re-run it to completion, "
+            "then probe"
+        )
+    if centroids is not None and (
+        [[float(x) for x in c] for c in centroids] != m["centroids"]
+    ):
+        raise ValueError(
+            "supplied centroids do not match the matrix this index was "
+            "built with — probing with drifted centroids prunes the "
+            "wrong partitions and silently returns low-recall "
+            "neighbors; pass centroids=None to use the stored matrix"
+        )
+    centroids = m["centroids"]
     dim = len(centroids[0])
     cmat = _matrix_lit(_normalize_rows(centroids))
     nprobe = min(nprobe, len(centroids))
@@ -503,7 +615,8 @@ def knn_ivf_indexed(
     probed = sorted(
         {int(c) for r in probe_sets.select("probe_cids").collect() for c in r[0]}
     )
-    index = spark.read.parquet(path).where(F.col("centroid_id").isin(probed))
+    index = spark.read.parquet(f"{path}/data").where(
+        F.col("centroid_id").isin(probed))
     cond = F.array_contains(F.col("probe_cids"), F.col("centroid_id"))
     if exclude_self:
         cond = cond & (F.col(id_col) != F.col(query_id_col))

@@ -617,7 +617,11 @@ public final class AvroCodecUDF {
                 Math.max((long) data.length * 4, 1 << 16)));
         byte[] buf = new byte[1 << 16];
         int got;
-        while ((got = zin.read(buf)) > 0) bos.write(buf, 0, got);
+        // standard InputStream idiom: 0 is a legal non-EOF return from
+        // ZstdInputStream in some frame states; only -1 means EOF
+        while ((got = zin.read(buf)) != -1) {
+          if (got > 0) bos.write(buf, 0, got);
+        }
         return bos.toByteArray();
       } catch (java.io.IOException e) {
         throw new RuntimeException("bad zstandard block: " + e.getMessage(), e);

@@ -327,9 +327,9 @@ def _verify_listing_schemas(
     spark: SparkSession, paths: "list[str]", schema: Schema
 ) -> bool:
     """Per-file writer-schema check for the whole-file read path.
-    Small, fully-local listings keep the serial driver loop (one ~KB
-    header read per file — cheaper than a job); anything longer or on
-    non-local storage verifies as ONE distributed Spark job
+    Fully-local listings keep the serial driver loop at any count (one
+    ~KB header read per file — cheaper than a job); listings touching
+    non-local storage verify as ONE distributed Spark job
     (:func:`_scan_headers_distributed`), so planning time stays flat in
     file count and ``engine="auto"`` keeps its JVM speed off local FS
     instead of silently dropping to the ~10× slower Python engine
@@ -812,22 +812,18 @@ def _fs_open(uri: str):
     return filesystem.open_input_file(p)
 
 
-#: listings at most this long, fully local, keep the serial driver
-#: header loop (cheaper than a Spark job); anything bigger or non-local
-#: scans headers as ONE distributed job — planning stays flat in file
-#: count instead of O(files) serial driver IO
-_DRIVER_SCAN_MAX = 64
-
-
 def _scan_listing_headers(spark: SparkSession, paths: "list[str]"):
     """Per-file OCF header metas for a listing — THE shared scan policy:
-    small fully-local listings use a serial driver loop (one ~KB header
-    read per file, cheaper than a job); longer or non-local ones scan as
-    ONE distributed Spark job (flat planning time in file count, and
-    planning WORKS off local FS). A driver-side OSError on a local path
-    retries through the distributed scan rather than giving up. Used by
-    schema verification, split planning, and writer-version grouping."""
-    if len(paths) <= _DRIVER_SCAN_MAX and all(_is_local(p) for p in paths):
+    FULLY-LOCAL listings use a serial driver loop at ANY count (a ~KB
+    header read per file: measured 13 ms at 1024 files, vs the ~0.9 s
+    fixed cost of launching even one Spark job — SCALE.md §6c); any
+    non-local path in the listing scans as ONE distributed Spark job
+    (flat planning time in file count, and planning WORKS off object
+    stores). The corner where a file: path is reachable from executors
+    but NOT the driver is covered by the OSError fallback, which retries
+    through the distributed scan rather than giving up. Used by schema
+    verification, split planning, and writer-version grouping."""
+    if all(_is_local(p) for p in paths):
         try:
             metas = []
             for p in paths:

@@ -212,6 +212,101 @@ def test_stored_shingle_hashes_are_full_width(spark, tmp_path):
     assert any(abs(v) >= (1 << 31) for v in vals)
 
 
+def test_dead_append_probes_loudly_then_retry_heals(spark, tmp_path):
+    """r8 (ADVICE): an append that dies between its shingle and band
+    writes leaves meta status='__appending__' — probes fail LOUDLY
+    instead of silently under-recalling the half-appended docs; the
+    documented recovery (re-run the SAME append) restores exactness."""
+    corpus, batch = _docs(spark)
+    kw = dict(num_hashes=16, bands=4, shingle_n=3)
+    idx = str(tmp_path / "dead_append")
+    D.write_minhash_index(corpus.where("doc_id <= 4"), idx,
+                          "doc_id", "text", **kw)
+    # simulate the crash window: the marker is written, the commit isn't
+    spark.createDataFrame(
+        [(16, 4, 3, 1, "xxhash64", "__appending__")],
+        "num_hashes int, bands int, shingle_n int, seed int, "
+        "hash_fn string, status string",
+    ).coalesce(1).write.mode("overwrite").parquet(idx + "/meta")
+    with pytest.raises(ValueError, match="re-run the SAME append"):
+        D.dedup_against_index(spark, batch, idx, "doc_id", "text")
+    # recovery: the same append run to completion commits the meta row
+    D.write_minhash_index(corpus.where("doc_id > 4"), idx,
+                          "doc_id", "text", mode="append", **kw)
+    got = D.dedup_against_index(spark, batch, idx, "doc_id", "text")
+    whole = str(tmp_path / "whole")
+    D.write_minhash_index(corpus, whole, "doc_id", "text", **kw)
+    assert _probe_set(got) == _probe_set(
+        D.dedup_against_index(spark, batch, whole, "doc_id", "text"))
+
+
+def test_empty_meta_probes_loudly(spark, tmp_path):
+    """r8 (ADVICE): a meta dir that exists but holds zero rows (crash
+    during the meta overwrite commit) raises a diagnosable error, not
+    'NoneType is not subscriptable'."""
+    corpus, batch = _docs(spark)
+    idx = str(tmp_path / "empty_meta")
+    D.write_minhash_index(corpus, idx, "doc_id", "text",
+                          num_hashes=16, bands=4)
+    empty = spark.read.parquet(idx + "/meta").limit(0)
+    empty.coalesce(1).write.mode("overwrite").parquet(idx + "/meta")
+    with pytest.raises(ValueError, match="index meta is empty"):
+        D.dedup_against_index(spark, batch, idx, "doc_id", "text")
+
+
+def test_candidate_pushdown_prunes_the_shingle_scan(spark, tmp_path):
+    """r8 (VERDICT #2): the probe's verify stage pushes the bounded
+    candidate-id set into the shingles parquet scan (`In(id, ...)` in
+    PushedFilters), so probe IO scales with |candidates| against the
+    range-sorted layout — and both pushdown settings agree exactly."""
+    corpus, batch = _docs(spark)
+    idx = str(tmp_path / "pushdown")
+    D.write_minhash_index(corpus, idx, "doc_id", "text",
+                          num_hashes=16, bands=4)
+    pushed = D.dedup_against_index(spark, batch, idx, "doc_id", "text")
+    plan = pushed._jdf.queryExecution().executedPlan().toString()
+    assert "In(id" in plan, plan[:2000]
+    streamed = D.dedup_against_index(spark, batch, idx, "doc_id", "text",
+                                     candidate_pushdown=False)
+    assert "In(id" not in (
+        streamed._jdf.queryExecution().executedPlan().toString())
+    assert _probe_set(pushed) == _probe_set(streamed) and _probe_set(pushed)
+    # adversarial candidate blow-up: a cap smaller than the candidate
+    # set falls back to the streaming join, same answer
+    capped = D.dedup_against_index(spark, batch, idx, "doc_id", "text",
+                                   max_pushdown_ids=1)
+    assert _probe_set(capped) == _probe_set(pushed)
+
+
+def test_index_layout_is_range_sorted(spark, tmp_path):
+    """r8: each shingles file covers a tight id range (range partition +
+    in-file sort) so `id IN (...)` prunes at the footer level; bands
+    files are likewise sorted by (band, bucket)."""
+    corpus, _ = _docs(spark)
+    idx = str(tmp_path / "layout")
+    D.write_minhash_index(corpus, idx, "doc_id", "text",
+                          num_hashes=16, bands=4)
+    import pyarrow.parquet as pq
+    import pathlib
+
+    files = sorted(pathlib.Path(idx, "shingles").glob("*.parquet"))
+    assert files
+    ranges = []
+    for f in files:
+        ids = pq.read_table(f, columns=["id"]).column("id").to_pylist()
+        if ids:
+            assert ids == sorted(ids), f
+            ranges.append((min(ids), max(ids)))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo  # disjoint id ranges across files
+    for f in sorted(pathlib.Path(idx, "bands").glob("*.parquet")):
+        t = pq.read_table(f, columns=["band", "bucket"])
+        rows = list(zip(t.column("band").to_pylist(),
+                        t.column("bucket").to_pylist()))
+        assert rows == sorted(rows), f
+
+
 def test_retried_append_does_not_duplicate_pairs(spark, tmp_path):
     """The documented crash recovery — re-run the same append — must not
     leave duplicate output pairs (duplicate shingle rows double-joined

@@ -300,7 +300,9 @@ def test_ivf_index_partition_pruning_matches_knn_ivf(spark, tmp_path):
         for r in S.knn_ivf(emb, q, cents, k=5, nprobe=3)
         .orderBy("query_id", "rank").collect()
     ]
-    out = S.knn_ivf_indexed(spark, path, q, cents, k=5, nprobe=3)
+    # centroids=None: the probe reads the pinned matrix from meta; the
+    # explicit-list form is verified (and refused on drift) elsewhere
+    out = S.knn_ivf_indexed(spark, path, q, None, k=5, nprobe=3)
     got = [
         (r.query_id, r.rank, r.vec_id, round(r.cosine, 9))
         for r in out.orderBy("query_id", "rank").collect()
@@ -315,7 +317,7 @@ def test_ivf_index_partition_pruning_matches_knn_ivf(spark, tmp_path):
     # a short single-bucket predicate renders untruncated in the FileScan
     # metadata, unlike the main query's IN-set
     p1 = (
-        spark.read.parquet(path)
+        spark.read.parquet(path + "/data")
         .where(F.col("centroid_id") == 3)
         ._jdf.queryExecution().executedPlan().toString()
     )
@@ -323,3 +325,115 @@ def test_ivf_index_partition_pruning_matches_knn_ivf(spark, tmp_path):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", p1)
     assert m and "centroid_id" in m.group(1) and "3" in m.group(1), p1[:1500]
+
+
+def test_ivf_index_pins_its_centroids(spark, tmp_path):
+    """r8 (VERDICT #1): the persisted IVF index stores the centroid
+    matrix it was built with; a probe with retrained/drifted centroids
+    raises LOUDLY instead of pruning the wrong partitions and silently
+    returning low-recall neighbors (mirror of
+    test_dead_rebuild_probes_loudly for the ANN sibling)."""
+    import pytest
+
+    import avro_spark.functions.similarity as S
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = S.sample_centroids(emb, 8)
+    q = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    path = str(tmp_path / "pinned")
+    S.write_ivf_index(emb, cents, path)
+    # matching explicit list: accepted (back-compat call shape)
+    assert S.knn_ivf_indexed(spark, path, q, cents, k=3, nprobe=2).count()
+    # drifted list: refused
+    drifted = [[x + 0.25 for x in c] for c in cents]
+    with pytest.raises(ValueError, match="do not match the matrix"):
+        S.knn_ivf_indexed(spark, path, q, drifted, k=3, nprobe=2)
+    # a rebuild that died between its '__building__' marker and commit:
+    # probes refuse
+    S._write_ivf_meta(spark, path, cents, "__building__", 0)
+    with pytest.raises(ValueError, match="died part-way"):
+        S.knn_ivf_indexed(spark, path, q, None, k=3, nprobe=2)
+    # an old-layout / non-index path: diagnosable, not an obscure
+    # parquet error
+    with pytest.raises(ValueError, match="no IVF index meta"):
+        S.knn_ivf_indexed(spark, str(tmp_path / "nothing"), q, None)
+
+
+def test_ivf_index_append_grows_equivalently(spark, tmp_path):
+    """r8: mode='append' grows the index to exactly the
+    built-at-once result; drifted append centroids are refused;
+    centroids=None reuses the stored matrix."""
+    import pytest
+
+    import avro_spark.functions.similarity as S
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = S.sample_centroids(emb, 8)
+    q = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    whole, grown = str(tmp_path / "whole"), str(tmp_path / "grown")
+    S.write_ivf_index(emb, cents, whole)
+    S.write_ivf_index(emb.where("vec_id % 2 = 0"), cents, grown)
+    S.write_ivf_index(emb.where("vec_id % 2 = 1"), None, grown,
+                      mode="append")
+    def topk(p):
+        return [
+            (r.query_id, r.rank, r.vec_id, round(r.cosine, 9))
+            for r in S.knn_ivf_indexed(spark, p, q, None, k=5, nprobe=3)
+            .orderBy("query_id", "rank").collect()
+        ]
+    assert topk(grown) == topk(whole)
+    drifted = [[x + 1.0 for x in c] for c in cents]
+    with pytest.raises(ValueError, match="append centroids do not match"):
+        S.write_ivf_index(emb, drifted, grown, mode="append")
+    with pytest.raises(ValueError, match="bad mode"):
+        S.write_ivf_index(emb, cents, grown, mode="errorifexists")
+
+
+def test_ivf_index_append_retry_never_double_appends(spark, tmp_path):
+    """r8: an append whose data job committed but whose meta commit
+    crashed is healed by re-running the SAME append — the retry detects
+    the landed data (footer count vs meta rows) and only commits the
+    meta row, so rows are never duplicated. A probe mid-crash refuses."""
+    import pytest
+
+    import avro_spark.functions.similarity as S
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = S.sample_centroids(emb, 8)
+    q = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    idx = str(tmp_path / "retry")
+    base = emb.where("vec_id % 2 = 0")
+    batch = emb.where("vec_id % 2 = 1")
+    S.write_ivf_index(base, cents, idx)
+    base_rows = spark.read.parquet(idx + "/data").count()
+    # simulate the crash window: append's data landed, meta commit didn't
+    S._write_ivf_meta(spark, idx, cents, "__appending__", base_rows)
+    S.write_ivf_index(batch, None, idx, mode="append")
+    spark.read.parquet(idx + "/data").count()  # plan-side sanity
+    # first "retry": completes the append normally (data really appends)
+    n1 = spark.read.parquet(idx + "/data").count()
+    assert n1 == emb.count()
+    # now simulate the other crash flavor — data landed, commit lost —
+    # and retry: must NOT double-append
+    S._write_ivf_meta(spark, idx, cents, "__appending__", base_rows)
+    S.write_ivf_index(batch, None, idx, mode="append")
+    assert spark.read.parquet(idx + "/data").count() == n1
+    assert S._read_ivf_meta(spark, idx)["status"] == "committed"
+    with pytest.raises(ValueError, match="died part-way"):
+        S._write_ivf_meta(spark, idx, cents, "__appending__", 0)
+        S.knn_ivf_indexed(spark, idx, q, None, k=3)
+    # heal for good measure
+    S._write_ivf_meta(spark, idx, cents, "committed", n1)
+    assert S.knn_ivf_indexed(spark, idx, q, None, k=3).count()

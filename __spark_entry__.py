@@ -764,6 +764,36 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING face of the persisted index (r8,
+    functions/dedup.py _stream_dedup_sink / dedup_stream_against_index):
+    doc_id%3==0 seeds the corpus index; batches 0 (%3==1) and 1 (%3==2)
+    flow through the foreachBatch sink with admit="all" — each batch
+    reports its pairs under pairs/batch=<id>/ and GROWS the index, so
+    batch 1 pairs against the corpus AND batch 0. The sink callable is
+    driven directly (the exact unit a streaming query executes per
+    micro-batch) so batch order is deterministic for the oracle; the
+    end-to-end query path is pinned by
+    tests/test_dedup_index.py::test_stream_dedup_exactly_once."""
+    import tempfile
+
+    docs = _read(spark, sf_dir, "documents")
+    idx = tempfile.mkdtemp(prefix="mh_sidx_")
+    pairs = tempfile.mkdtemp(prefix="mh_spairs_")
+    D.write_minhash_index(
+        docs.where(F.col("doc_id") % 3 == 0), idx, "doc_id", "text",
+        num_hashes=64, bands=16, shingle_n=3, seed=1,
+        hash_fn="portable_hash60",
+    )
+    sink = D._stream_dedup_sink(idx, pairs, "doc_id", "text",
+                                threshold=0.5, admit="all")
+    sink(docs.where(F.col("doc_id") % 3 == 1), 0)
+    sink(docs.where(F.col("doc_id") % 3 == 2), 1)
+    return spark.read.parquet(pairs).select(
+        "new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def q_jsonl_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AVRO-convention JSONL sink→source = identity on events with a
     3-branch union payload: unions travel as {"<tag>": value}
@@ -2620,6 +2650,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocf_split_read": q_ocf_split_read,
         "decontaminate_emb": q_decontaminate_emb,
         "length_quantiles": q_length_quantiles,
+        # NEW r8: the streaming face of the persisted index — two
+        # sequential foreachBatch micro-batches, admit="all", the
+        # second batch pairing against the first's admitted docs
+        # (twin incremental_dedup IN WINDOW, identical banding/verify)
+        "streaming_incremental_dedup": q_streaming_incremental_dedup,
         # round-7 rotation: folded with >= 2 driver-green rounds each,
         # twins noted in queries()
         "heavy_hitters": q_heavy_hitters,
@@ -2813,6 +2848,64 @@ def _incremental_dedup_oracle() -> str:
               SELECT b.doc_id AS new_id, a.doc_id AS corpus_id
               FROM sig a JOIN sig b
                 ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1 AND ({band_eq})),
+            ver AS (
+              SELECT c.new_id, c.corpus_id,
+                     CAST(len(list_intersect(x.hset, y.hset)) AS DOUBLE) AS inter,
+                     CAST(len(x.hset) + len(y.hset) AS DOUBLE) AS tot
+              FROM cand c
+              JOIN shh x ON x.doc_id = c.new_id
+              JOIN shh y ON y.doc_id = c.corpus_id)
+            SELECT new_id, corpus_id, round(inter / (tot - inter), 6) AS jaccard
+            FROM ver
+            WHERE tot - inter > 0 AND inter / (tot - inter) >= 0.5
+        """
+
+
+def _streaming_incremental_dedup_oracle() -> str:
+    """DuckDB replica of q_streaming_incremental_dedup: identical
+    machinery to _incremental_dedup_oracle, but docs carry a STAGE
+    (doc_id % 3: 0 = corpus, 1 = batch 0, 2 = batch 1) and a pair is
+    reported when the new doc's stage is strictly LATER than the old
+    doc's — batch 1 pairs against corpus ∪ batch 0 because admit="all"
+    grew the index between batches; same-stage pairs are within-batch
+    and not reported."""
+    params = D._perm_params(64, seed=1)
+    h = _PH60.format(x="gram")
+    mins = ",\n                     ".join(
+        f"min(({a} * h + {b}) % {_P31}) AS mh{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_eq = " OR ".join(
+        "(" + " AND ".join(
+            f"a.mh{bi*4+j} = b.mh{bi*4+j}" for j in range(4)) + ")"
+        for bi in range(16)
+    )
+    return f"""
+            WITH toks AS (
+              SELECT doc_id, {_LTOKS} AS t FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3 THEN
+                       list_distinct(list_transform(
+                         generate_series(1, len(t) - 2),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                     ELSE [] END AS grams
+              FROM toks),
+            hx AS (
+              SELECT doc_id, hr, hr % {_P31} AS h
+              FROM (SELECT doc_id, {h} AS hr
+                    FROM (SELECT doc_id, unnest(grams) AS gram FROM sh))),
+            shh AS (
+              SELECT doc_id, list_distinct(list(hr)) AS hset
+              FROM hx GROUP BY doc_id),
+            sig AS (
+              SELECT doc_id,
+                     {mins}
+              FROM hx GROUP BY doc_id),
+            cand AS (
+              SELECT b.doc_id AS new_id, a.doc_id AS corpus_id
+              FROM sig a JOIN sig b
+                ON (a.doc_id % 3) < (b.doc_id % 3) AND ({band_eq})),
             ver AS (
               SELECT c.new_id, c.corpus_id,
                      CAST(len(list_intersect(x.hset, y.hset)) AS DOUBLE) AS inter,
@@ -3635,6 +3728,7 @@ def _oracles_extra() -> dict[str, str]:
             FROM orders
         """,
         "incremental_dedup": _incremental_dedup_oracle(),
+        "streaming_incremental_dedup": _streaming_incremental_dedup_oracle(),
         "media_probe": """
             SELECT doc_id,
                    CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'webm' END AS container,

@@ -637,6 +637,123 @@ def dedup_against_index(
     )
 
 
+# ------------------------------------ streaming face of incremental dedup
+def _stream_dedup_sink(
+    index_path: str,
+    pairs_path: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    admit: str = "novel",
+):
+    """The foreachBatch callable behind :func:`dedup_stream_against_index`,
+    factored out so replay idempotence is directly testable (the
+    test_stream_avro_ocf_sink_exactly_once pattern).
+
+    Per micro-batch, in crash-safe order:
+
+    1. already-recorded batch id → return (exactly-once across restarts);
+    2. probe the batch against the index (:func:`dedup_against_index`)
+       and overwrite this batch's own ``{pairs_path}/batch=<id>/``
+       directory — a replayed batch REPLACES its pairs, never doubles;
+    3. append the admitted docs (``admit="novel"``: only docs with no
+       pair at/above threshold; ``"all"``: everything) to the index with
+       ``mode="append"``;
+    4. record the batch id under ``{index_path}/batches`` LAST — the
+       whole-batch commit marker.
+
+    A crash between 3 and 4 leaves the index meta ``'__appending__'``;
+    the replay detects that, REUSES the already-committed pairs (the
+    append only starts after the pairs write succeeded, and batches run
+    sequentially, so the in-flight append can only be this batch's) and
+    re-runs the same append, whose duplicate rows the probe absorbs.
+    WITHIN-batch duplicates are not collapsed here — pre-dedup the batch
+    with :func:`minhash_lsh_pairs` if the source can repeat itself."""
+    if admit not in ("novel", "all"):
+        raise ValueError(f"bad admit: {admit}")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            applied = {
+                r[0]
+                for r in spark.read.parquet(
+                    f"{index_path}/batches").collect()
+            }
+        except Exception:  # first batch ever: no registry yet
+            applied = set()
+        if batch_id in applied:
+            return
+        m = _read_index_meta(spark, index_path)
+        pairs_dir = f"{pairs_path}/batch={batch_id}"
+        if m["status"] == "__appending__":
+            # this batch's previous attempt died mid-append — its pairs
+            # are already committed (step 2 precedes step 3)
+            pairs = spark.read.parquet(pairs_dir)
+        else:
+            dedup_against_index(
+                spark, batch_df, index_path, id_col, text_col,
+                threshold=threshold,
+            ).write.mode("overwrite").parquet(pairs_dir)
+            pairs = spark.read.parquet(pairs_dir)
+        if admit == "novel":
+            dup_ids = pairs.select(
+                F.col("new_id").alias("_dup_id")).distinct()
+            admitted = batch_df.join(
+                dup_ids,
+                batch_df[id_col].cast("long") == F.col("_dup_id"),
+                "left_anti",
+            )
+        else:
+            admitted = batch_df
+        write_minhash_index(
+            admitted, index_path, id_col, text_col,
+            num_hashes=m["num_hashes"], bands=m["bands"],
+            shingle_n=m["shingle_n"], seed=m["seed"],
+            hash_fn=m["hash_fn"], mode="append",
+        )
+        spark.range(1).select(
+            F.lit(int(batch_id)).cast("long").alias("batch_id")
+        ).write.mode("append").parquet(f"{index_path}/batches")
+
+    return sink
+
+
+def dedup_stream_against_index(
+    df: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    checkpoint_dir: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    admit: str = "novel",
+    trigger_available_now: bool = False,
+    query_name: "Optional[str]" = None,
+):
+    """STREAMING incremental dedup — the production shape the persisted
+    index exists for: each micro-batch of documents probes the corpus
+    index (never re-signaturing the corpus), reports its near-dup pairs
+    under ``{pairs_path}/batch=<id>/`` (a Hive-partitioned layout batch
+    consumers read as one table), and grows the index with the admitted
+    docs. Exactly-once end to end: replayed batches replace their own
+    pairs and never double-append (see :func:`_stream_dedup_sink`).
+    The index must exist (:func:`write_minhash_index` over the seed
+    corpus). One streaming query per index (appends are sequential by
+    design). Returns the started ``StreamingQuery``."""
+    sink = _stream_dedup_sink(
+        index_path, pairs_path, id_col, text_col, threshold, admit)
+    writer = (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 # ------------------------------------------------------------------- SimHash
 def simhash64(text: Column) -> Column:
     """64-bit SimHash over whitespace tokens (xxhash64 token hashes).

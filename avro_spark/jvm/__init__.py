@@ -265,11 +265,54 @@ _BLOCK_ROWS_T = T.ArrayType(
     )
 )
 
-#: block codecs the JVM container path can decompress (others stay on the
-#: Python engine, which has bz2/lzma in the stdlib); snappy is the
-#: from-scratch public-format implementation mirrored in snappy_codec.py;
-#: zstandard uses the zstd-jni library every Spark distribution ships
-JVM_OCF_CODECS = ("null", "deflate", "snappy", "zstandard")
+#: block codecs the JVM container path can decompress — all six
+#: Avro-spec codecs (r8): snappy is the from-scratch public-format
+#: implementation mirrored in snappy_codec.py; zstandard uses the
+#: zstd-jni library every Spark distribution ships; bzip2/xz route
+#: through commons-compress + org.tukaani.xz, also on every Spark
+#: classpath. The same six compress JVM-side on the write path
+#: (CompressBlock).
+JVM_OCF_CODECS = ("null", "deflate", "snappy", "zstandard", "bzip2", "xz")
+
+_COMPRESS_FN = "avsp_jvm_compress_block"
+
+
+def _register_compress_block(spark: SparkSession) -> str:
+    app = _session_key(spark)
+    if (app, _COMPRESS_FN) not in _registered:
+        spark.udf.registerJavaFunction(
+            _COMPRESS_FN, "avrospark.AvroCodecUDF$CompressBlock",
+            T.BinaryType(),
+        )
+        _registered.add((app, _COMPRESS_FN))
+    return _COMPRESS_FN
+
+
+def compress_blocks_jvm(
+    blocks: DataFrame, codec: str, level: "Optional[int]",
+    data_col: str = "body", out_col: str = "data",
+) -> DataFrame:
+    """Replace ``data_col`` (raw concatenated record bytes of one OCF
+    block) with its JVM-compressed, Avro-framed payload in ``out_col``.
+    A narrow projection — partition identity and row order survive, so
+    the downstream writer stage still owns exactly its task's blocks."""
+    spark = blocks.sparkSession
+    if not _attach(spark):
+        raise RuntimeError("JVM codec jar unavailable")
+    fn = _register_compress_block(spark)
+    cols = [F.col(c) for c in blocks.columns if c != data_col]
+    return blocks.select(
+        *cols,
+        F.expr(
+            f"{fn}({_sql_str(codec)}, "
+            f"{'CAST(NULL AS INT)' if level is None else int(level)}, "
+            f"{data_col})"
+        ).alias(out_col),
+    )
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
 
 
 def _register_split_blocks(spark: SparkSession) -> str:

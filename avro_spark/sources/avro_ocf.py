@@ -1475,14 +1475,121 @@ def write_avro_files(
             "engine='jvm' unavailable (no JDK or unsupported schema shape)"
         )
     if use_jvm:
-        from ..jvm import to_avro_bytes_jvm
+        from ..jvm import JVM_OCF_CODECS, compress_blocks_jvm, to_avro_bytes_jvm
 
         enc_df = to_avro_bytes_jvm(df, schema, "b")
+        if codec != "null" and codec in JVM_OCF_CODECS:
+            # r8: block COMPRESSION runs JVM-side too. Three NARROW
+            # stages fused into one task — Python groups encoded records
+            # into uncompressed block bodies, the CompressBlock Java UDF
+            # compresses each body (the from-scratch Python snappy
+            # compressor measured ~14 MB/s/task — the write-path
+            # bottleneck SCALE.md §6e records), and a final Python stage
+            # streams the framed blocks to the part file. No shuffle:
+            # partition identity (and so file naming/ordering) survives
+            # the projection, and per-task memory stays bounded by block
+            # size. engine="python" keeps the all-Python framing.
+            import pyarrow as _pa
+
+            _blk_schema = _pa.schema(
+                [("n_records", _pa.int64()), ("body", _pa.binary())]
+            )
+
+            def make_blocks(batches):
+                import pyarrow as pa
+
+                pending: list[bytes] = []
+                pend_len = 0
+                rows: list[dict] = []
+
+                def cut() -> None:
+                    nonlocal pend_len
+                    rows.append({
+                        "n_records": len(pending), "body": b"".join(pending)
+                    })
+                    pending.clear()
+                    pend_len = 0
+
+                for b in batches:
+                    for rec_bytes in b.column(0).to_pylist():
+                        pending.append(rec_bytes)
+                        pend_len += len(rec_bytes)
+                        if len(pending) >= block_records or (
+                            block_bytes is not None
+                            and pend_len >= block_bytes
+                        ):
+                            cut()
+                            if len(rows) >= 16:
+                                yield pa.RecordBatch.from_pylist(
+                                    rows, schema=_blk_schema)
+                                rows = []
+                if pending:
+                    cut()
+                if rows:
+                    yield pa.RecordBatch.from_pylist(rows, schema=_blk_schema)
+
+            blocks = enc_df.mapInArrow(
+                make_blocks, schema="n_records long, body binary"
+            )
+            blocks = compress_blocks_jvm(blocks, codec, codec_level)
+
+            def write_blocks(batches):
+                import pyarrow as pa
+
+                from pyspark import TaskContext
+
+                schema_json = schema_export.encode("utf-8")
+                sync = os.urandom(16)  # random per-file sync (Avro spec)
+                ctx = TaskContext.get()
+                pid = ctx.partitionId() if ctx else 0
+                attempt = ctx.taskAttemptId() if ctx else 0
+                part = f"part-{pid:05d}{job_token}.avro"
+                n_records = 0
+                n_bytes = 0
+                fh = commit = None
+                for b in batches:
+                    counts = b.column(0).to_pylist()
+                    datas = b.column(1).to_pylist()
+                    for cnt, data in zip(counts, datas):
+                        if fh is None:
+                            fh, commit = _open_part(
+                                path, part, attempt, use_fs)
+                            header = bytearray()
+                            header += MAGIC
+                            _write_meta_map(
+                                header,
+                                {"avro.schema": schema_json,
+                                 "avro.codec": codec.encode("ascii")},
+                            )
+                            header += sync
+                            fh.write(bytes(header))
+                            n_bytes += len(header)
+                        blk = bytearray()
+                        _write_long(blk, cnt)
+                        _write_long(blk, len(data))
+                        blk += data
+                        blk += sync
+                        fh.write(bytes(blk))
+                        n_records += cnt
+                        n_bytes += len(blk)
+                if fh is None:
+                    return
+                fname = commit()
+                yield pa.RecordBatch.from_pylist(
+                    [{"file": fname, "n_records": n_records,
+                      "n_bytes": n_bytes}]
+                )
+
+            out = blocks.mapInArrow(
+                write_blocks, schema="file string, n_records long, n_bytes long"
+            )
+            return _finish([r.asDict() for r in out.collect()])
 
         def frame(batches):
             # records arrive PRE-ENCODED (JVM codec); this stage only
-            # frames the container: header, block concat + compression,
-            # sync markers, atomic rename — all memcpy-speed work
+            # frames the container: header, block concat + compression
+            # (a no-op here — the compressed codecs take the JVM
+            # three-stage path above), sync markers, atomic rename
             import pyarrow as pa
 
             from pyspark import TaskContext

@@ -124,6 +124,8 @@ BENCH_QUERIES = [
     "ocf_zstd_read",
     "ocf_mixed_writers",
     "incremental_dedup",
+    # round 8: streaming face of the persisted MinHash index
+    "streaming_incremental_dedup",
     "wire_roundtrip",
     "conform_json",
     "hidden_fields",

@@ -327,3 +327,107 @@ def test_retried_append_does_not_duplicate_pairs(spark, tmp_path):
     D.write_minhash_index(corpus, clean, "doc_id", "text", **kw)
     assert _probe_set(got) == _probe_set(
         D.dedup_against_index(spark, batch, clean, "doc_id", "text"))
+
+
+def test_stream_dedup_exactly_once(spark, tmp_path):
+    """r8 (VERDICT #6): the streaming face — each micro-batch probes the
+    index, reports pairs under pairs/batch=<id>/, appends its admitted
+    docs, and records the batch id last. Replays neither re-append index
+    rows nor double-report pairs; a crash between the append and the
+    batch-id record heals on replay (pairs reused, append re-run,
+    duplicates absorbed)."""
+    corpus, batch = _docs(spark)
+    kw = dict(num_hashes=16, bands=4, shingle_n=3)
+    idx, pairs = str(tmp_path / "sidx"), str(tmp_path / "spairs")
+    D.write_minhash_index(corpus, idx, "doc_id", "text", **kw)
+
+    # streaming drive: one availableNow drain of a parquet source
+    src = str(tmp_path / "src")
+    batch.write.parquet(src)
+    q = D.dedup_stream_against_index(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        idx, pairs, str(tmp_path / "ckpt"), "doc_id", "text",
+        admit="all", trigger_available_now=True)
+    q.awaitTermination()
+    got = {(r["new_id"], r["corpus_id"], round(r["jaccard"], 9))
+           for r in spark.read.parquet(pairs).collect()}
+    clean = str(tmp_path / "clean")
+    D.write_minhash_index(corpus, clean, "doc_id", "text", **kw)
+    want = _probe_set(D.dedup_against_index(
+        spark, batch, clean, "doc_id", "text"))
+    assert got == want and got
+    # the index grew by the batch (admit="all"): equals built-at-once
+    grown_ref = str(tmp_path / "grown_ref")
+    D.write_minhash_index(corpus.unionByName(batch), grown_ref,
+                          "doc_id", "text", **kw)
+    probe2 = corpus.limit(2).withColumn(
+        "doc_id", F.col("doc_id") + 1000)
+    assert _probe_set(D.dedup_against_index(
+        spark, probe2, idx, "doc_id", "text")) == _probe_set(
+        D.dedup_against_index(spark, probe2, grown_ref, "doc_id", "text"))
+
+    # replay idempotence: drive the foreachBatch callable directly
+    sink = D._stream_dedup_sink(idx, pairs, "doc_id", "text", admit="all")
+    b2 = batch.withColumn("doc_id", F.col("doc_id") + 100)
+    sink(b2, 7)
+    shingle_rows = spark.read.parquet(idx + "/shingles").count()
+    pair_rows = spark.read.parquet(pairs).count()
+    sink(b2, 7)  # REPLAY of a recorded batch: a no-op
+    assert spark.read.parquet(idx + "/shingles").count() == shingle_rows
+    assert spark.read.parquet(pairs).count() == pair_rows
+
+    # crash between the append and the batch-id record: meta says
+    # '__appending__', the batch is unrecorded, pairs are committed —
+    # the replay reuses the pairs, re-runs the append, and commits
+    b3 = batch.withColumn("doc_id", F.col("doc_id") + 200)
+    D.dedup_against_index(spark, b3, idx, "doc_id", "text") \
+        .write.mode("overwrite").parquet(pairs + "/batch=9")
+    spark.createDataFrame(
+        [(16, 4, 3, 1, "xxhash64", "__appending__")],
+        "num_hashes int, bands int, shingle_n int, seed int, "
+        "hash_fn string, status string",
+    ).coalesce(1).write.mode("overwrite").parquet(idx + "/meta")
+    sink(b3, 9)  # heals: reuses pairs, appends, records
+    assert D._read_index_meta(spark, idx)["status"] == "committed"
+    assert 9 in {r[0] for r in
+                 spark.read.parquet(idx + "/batches").collect()}
+    # the healed index answers like a cleanly built one
+    whole = str(tmp_path / "whole3")
+    D.write_minhash_index(
+        corpus.unionByName(batch).unionByName(b2).unionByName(b3),
+        whole, "doc_id", "text", **kw)
+    probe3 = batch.withColumn("doc_id", F.col("doc_id") + 3000)
+    assert _probe_set(D.dedup_against_index(
+        spark, probe3, idx, "doc_id", "text")) == _probe_set(
+        D.dedup_against_index(spark, probe3, whole, "doc_id", "text"))
+
+
+def test_stream_dedup_admit_novel(spark, tmp_path):
+    """admit='novel' (the default): batch docs with a pair at/above
+    threshold are NOT admitted to the index — a later exact copy of a
+    rejected doc still pairs against the ORIGINAL corpus doc only."""
+    corpus, batch = _docs(spark)
+    kw = dict(num_hashes=16, bands=4, shingle_n=3)
+    idx, pairs = str(tmp_path / "nidx"), str(tmp_path / "npairs")
+    D.write_minhash_index(corpus, idx, "doc_id", "text", **kw)
+    sink = D._stream_dedup_sink(idx, pairs, "doc_id", "text",
+                                admit="novel")
+    sink(batch, 0)  # doc 1 is an exact copy of corpus doc 0 → rejected
+    rejected = {r["new_id"] for r in
+                spark.read.parquet(pairs + "/batch=0").collect()}
+    assert 1 in rejected
+    stored = {r["id"] for r in
+              spark.read.parquet(idx + "/shingles").collect()}
+    assert rejected.isdisjoint(stored)
+    novel = {r["doc_id"] for r in batch.collect()} - rejected
+    assert novel and novel <= stored
+    # a re-submission of the rejected doc pairs against corpus doc 0,
+    # not against another copy of itself
+    resub = batch.where("doc_id = 1").withColumn(
+        "doc_id", F.lit(999).cast("long"))
+    sink(resub, 1)
+    p1 = {(r["new_id"], r["corpus_id"]) for r in
+          spark.read.parquet(pairs + "/batch=1").collect()}
+    assert p1 == {(999, 0)}
+    with pytest.raises(ValueError, match="bad admit"):
+        D._stream_dedup_sink(idx, pairs, "doc_id", "text", admit="x")

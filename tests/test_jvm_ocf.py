@@ -81,10 +81,12 @@ def _collect(df):
     return sorted(tuple(map(repr, r)) for r in df.collect())
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate", "snappy", "zstandard"])
+@pytest.mark.parametrize(
+    "codec", ["null", "deflate", "snappy", "zstandard", "bzip2", "xz"])
 def test_cross_engine_read_write_equality(spark, tmp_path, zoo, codec):
     """All four (write engine × read engine) combinations agree, for
-    whole-file and split reads, under both JVM-capable codecs."""
+    whole-file and split reads, under all six Avro-spec codecs (bzip2
+    and xz joined the JVM set in r8)."""
     if not _jvm_ready(spark):
         pytest.skip("no JDK")
     sch, df = zoo
@@ -128,12 +130,19 @@ def _block_payloads(fpath):
             import pyarrow as pa
             with pa.CompressedInputStream(pa.BufferReader(data), "zstd") as st:
                 payload += st.read()
+        elif codec == "bzip2":
+            import bz2
+            payload += bz2.decompress(data)
+        elif codec == "xz":
+            import lzma
+            payload += lzma.decompress(data)
         else:
             payload += data
     return meta["avro.schema"], counts, payload
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate", "snappy", "zstandard"])
+@pytest.mark.parametrize(
+    "codec", ["null", "deflate", "snappy", "zstandard", "bzip2", "xz"])
 def test_block_byte_parity_between_write_engines(spark, tmp_path, zoo, codec):
     """With one partition and equal block_records, the two writers emit
     byte-identical block payloads, counts and embedded schema JSON —
@@ -152,21 +161,59 @@ def test_block_byte_parity_between_write_engines(spark, tmp_path, zoo, codec):
     assert outs["python"] == outs["jvm"]
 
 
-def test_jvm_engine_raises_when_codec_unsupported(spark, tmp_path, zoo):
-    """bzip2 blocks need the Python decompressor: engine='jvm' read must
-    refuse loudly; engine='auto' silently takes the Python path."""
+def test_bzip2_xz_read_on_the_jvm_engine(spark, tmp_path, zoo):
+    """r8: bzip2/xz blocks decompress JVM-side (commons-compress +
+    org.tukaani.xz, both on every Spark classpath) — before this they
+    silently routed the WHOLE read to the ~10× slower Python engine."""
+    if not _jvm_ready(spark):
+        pytest.skip("no JDK")
     sch, df = zoo
-    d = str(tmp_path / "bz")
-    write_avro_files(df.limit(20).coalesce(1), sch, d, codec="bzip2",
-                     engine="python")
-    if _jvm_ready(spark):
-        with pytest.raises(AvroSparkError, match="engine='jvm' unavailable"):
-            read_avro_files(spark, d, sch, engine="jvm")
-        with pytest.raises(AvroSparkError, match="engine='jvm' unavailable"):
-            read_avro_files_split(spark, d, sch, split_bytes=4096,
-                                  engine="jvm")
-    got = _collect(read_avro_files(spark, d, sch))  # auto → python fallback
-    assert got == _collect(df.limit(20))
+    want = _collect(df.limit(20))
+    for codec in ("bzip2", "xz"):
+        d = str(tmp_path / f"c_{codec}")
+        write_avro_files(df.limit(20).coalesce(1), sch, d, codec=codec,
+                         engine="python")
+        got = _collect(read_avro_files(spark, d, sch, engine="jvm"))
+        assert got == want, codec
+        got_s = _collect(read_avro_files_split(
+            spark, d, sch, split_bytes=4096, engine="jvm"))
+        assert got_s == want, ("split", codec)
+
+
+def test_jvm_engine_raises_when_codec_unsupported(spark, tmp_path, zoo):
+    """A foreign file naming a codec outside the Avro spec set (e.g.
+    'lz4'): engine='jvm' read must refuse loudly — and the Python engine
+    raises its own unsupported-codec error rather than decoding
+    compressed bytes as garbage rows."""
+    import json as _json
+
+    from avro_spark.sources.avro_ocf import (
+        MAGIC, _write_long, _write_meta_map)
+
+    sch = avro_spark.create({
+        "type": "record", "name": "LZ", "fields": [
+            {"name": "a", "type": "long"}]})
+    blob = bytearray()
+    blob += MAGIC
+    _write_meta_map(blob, {
+        "avro.schema": _json.dumps(sch.export()).encode(),
+        "avro.codec": b"lz4"})
+    sync = b"S" * 16
+    blob += sync
+    _write_long(blob, 1)
+    _write_long(blob, 2)
+    blob += b"\x02" + sync
+    d = tmp_path / "lz4"
+    d.mkdir()
+    (d / "part-00000.avro").write_bytes(bytes(blob))
+    # the header peek validates the codec BEFORE any engine routing, so
+    # every engine refuses with the same loud message
+    for eng in ("jvm", "python", "auto"):
+        with pytest.raises(AvroSparkError, match="unsupported Avro codec"):
+            read_avro_files(spark, str(d), sch, engine=eng)
+    with pytest.raises(AvroSparkError, match="unsupported Avro codec"):
+        read_avro_files_split(spark, str(d), sch, split_bytes=4096,
+                              engine="jvm")
 
 
 def test_zstd_frame_without_content_size_reads_on_both_engines(

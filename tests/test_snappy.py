@@ -140,3 +140,49 @@ def test_giant_preamble_rejected_before_allocation():
     # compresses to ~50 KB of chained copies (ratio ~21x < 32x cap)
     data = bytes(1 << 20)
     assert decompress(compress(data)) == data
+
+
+def test_jvm_compressor_byte_parity(spark):
+    """r8: the Java snappyCompress mirrors this module's algorithm
+    byte-for-byte (same hash-latest-position table, skip acceleration,
+    2-byte-offset copies) — identical streams for identical input, so
+    cross-engine written files differ only in sync markers. Driven
+    through the CompressBlock UDF (codec framing adds the 4-byte CRC,
+    stripped here). Also pins deflate: zlib and java.util.zip share the
+    same library defaults."""
+    import os as _os
+    import zlib as _zlib
+
+    from pyspark.sql import functions as F
+
+    from avro_spark import jvm as J
+
+    if J.ensure_jar() is None or not J.jvm_codec_available(spark):
+        pytest.skip("no JDK")
+    import random
+
+    rng = random.Random(99)
+    cases = [
+        b"", b"abc", b"a" * 500, rng.randbytes(20000),
+        b"hello world " * 3000,
+        b"".join(rng.choice([b"alpha", b"beta", b"gamma", b"delta"])
+                 for _ in range(10000)),
+        bytes(range(256)) * 7,
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i int, body binary")
+    got = {
+        r["i"]: bytes(r["data"])
+        for r in J.compress_blocks_jvm(df, "snappy", None).collect()
+    }
+    for i, c in enumerate(cases):
+        want = compress(c)
+        assert got[i][:-4] == want, (i, len(c))
+        # and the CRC suffix is the spec's big-endian CRC32 of the input
+        assert got[i][-4:] == (_zlib.crc32(c) & 0xFFFFFFFF).to_bytes(4, "big")
+    got_d = {
+        r["i"]: bytes(r["data"])
+        for r in J.compress_blocks_jvm(df, "deflate", None).collect()
+    }
+    for i, c in enumerate(cases):
+        assert got_d[i] == _zlib.compress(c)[2:-4], ("deflate", i)

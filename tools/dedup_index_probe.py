@@ -77,6 +77,34 @@ def main() -> None:
         _noop(D.dedup_against_index(spark, batch, idx, "doc_id", "text"))
         probe = _med(lambda: _noop(
             D.dedup_against_index(spark, batch, idx, "doc_id", "text")))
+        # r8: the same probe WITHOUT the candidate-id pushdown — the
+        # verify stage then streams the whole shingle store
+        nopush = _med(lambda: _noop(D.dedup_against_index(
+            spark, batch, idx, "doc_id", "text",
+            candidate_pushdown=False)))
+        # r8: the IO-scaling stat wall time cannot show at MB scale —
+        # how many shingle files the pushed `id IN (candidates)` filter
+        # touches, given the range-sorted layout (parquet prunes whole
+        # files/row-groups whose [min,max] id stats miss the set).
+        # Candidates = the pre-verify pair set (threshold 0).
+        cand_ids = sorted(
+            r[0] for r in D.dedup_against_index(
+                spark, batch, idx, "doc_id", "text", threshold=0.0)
+            .select("corpus_id").distinct().collect())
+        import pathlib
+
+        import pyarrow.parquet as pq
+
+        files = sorted(pathlib.Path(idx, "shingles").glob("*.parquet"))
+        touched = 0
+        for fpath in files:
+            md = pq.ParquetFile(fpath).metadata
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(0).statistics
+                if any(st.min <= c <= st.max for c in cand_ids):
+                    touched += 1
+                    break
+        io_stat = f"verify scan {touched}/{len(files)} files "                   f"({len(cand_ids)} candidate ids)"
         union = corpus.unionByName(batch)
         _noop(D.minhash_lsh_pairs(union, "doc_id", "text",
                                   num_hashes=64, bands=16))
@@ -84,8 +112,9 @@ def main() -> None:
             union, "doc_id", "text", num_hashes=64, bands=16)))
         print(
             f"{mult:3d}x ({n} docs, batch {n_batch}): build-once "
-            f"{build:5.2f}s  probe {probe:5.2f}s  union-rerun "
-            f"{rerun:5.2f}s  ({rerun / probe:4.1f}x)",
+            f"{build:5.2f}s  probe {probe:5.2f}s  "
+            f"probe-nopush {nopush:5.2f}s  union-rerun "
+            f"{rerun:5.2f}s  ({rerun / probe:4.1f}x)  {io_stat}",
             flush=True,
         )
 

@@ -58,7 +58,9 @@ def main() -> None:
         }
     )
     n = big.count()
-    for codec in ("null", "deflate", "snappy", "zstandard"):
+    # r8: all six Avro-spec codecs — bzip2/xz now write AND read
+    # JVM-side (write compression moved into the CompressBlock UDF)
+    for codec in ("null", "deflate", "snappy", "zstandard", "bzip2", "xz"):
         d = tempfile.mkdtemp(prefix=f"codec_{codec}_")
         t0 = time.monotonic()
         info = write_avro_files(

@@ -419,17 +419,8 @@ def write_minhash_index(
         raise ValueError(f"bad mode: {mode}")
 
     def _write_meta(marker: str, status: str = "committed") -> None:
-        # spark.range keeps this pure-JVM: createDataFrame over a local
-        # Python list launches a Python-worker job (~6 s cold) for ONE row
-        meta = spark.range(1).select(
-            F.lit(num_hashes).cast("int").alias("num_hashes"),
-            F.lit(bands).cast("int").alias("bands"),
-            F.lit(shingle_n).cast("int").alias("shingle_n"),
-            F.lit(seed).cast("int").alias("seed"),
-            F.lit(marker).alias("hash_fn"),
-            F.lit(status).alias("status"),
-        )
-        meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+        _write_index_meta_row(spark, path, num_hashes, bands, shingle_n,
+                              seed, marker, status)
 
     if mode == "append":
         # in-flight marker FIRST, committed LAST: a crash between the
@@ -514,6 +505,23 @@ def _index_hash(name: str):
     )
 
 
+def _write_index_meta_row(
+    spark, path: str, num_hashes: int, bands: int, shingle_n: int,
+    seed: int, hash_fn_marker: str, status: str = "committed",
+) -> None:
+    """The index's ONE meta row. ``spark.range`` keeps this pure-JVM:
+    createDataFrame over a local Python list launches a Python-worker
+    job (~6 s cold) for ONE row."""
+    spark.range(1).select(
+        F.lit(num_hashes).cast("int").alias("num_hashes"),
+        F.lit(bands).cast("int").alias("bands"),
+        F.lit(shingle_n).cast("int").alias("shingle_n"),
+        F.lit(seed).cast("int").alias("seed"),
+        F.lit(hash_fn_marker).alias("hash_fn"),
+        F.lit(status).alias("status"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
 def _read_index_meta(spark, path: str) -> dict:
     row = spark.read.parquet(f"{path}/meta").head()
     if row is None:
@@ -569,12 +577,19 @@ def dedup_against_index(
     computed over FULL-WIDTH hashed shingle sets (equal to gram Jaccard
     up to ~2^-60 collisions per pair)."""
     m = _read_index_meta(spark, path)
-    if m["status"] != "committed":
+    if m["status"] == "__appending__":
         raise ValueError(
-            f"index at {path!r} has status {m['status']!r} — an append "
+            f"index at {path!r} has status '__appending__' — an append "
             "died between its table writes, so probes would silently "
             "under-recall the half-appended docs; re-run the SAME "
             "append to completion, then probe"
+        )
+    if m["status"] != "committed":
+        raise ValueError(
+            f"index at {path!r} has status {m['status']!r} — a "
+            "maintenance operation died mid-way; re-run it to "
+            "completion (compact_minhash_index recovers its own "
+            "crashes), then probe"
         )
     fn = _index_hash(m["hash_fn"])
     hdocs = _hashed_docs(new_df, id_col, text_col, m["shingle_n"], fn)
@@ -635,6 +650,111 @@ def dedup_against_index(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+# ------------------------------------------------- index compaction
+def _dir_exists(uri: str) -> bool:
+    from ..sources.avro_ocf import _is_local, _local_path
+
+    if _is_local(uri):
+        import os
+
+        return os.path.isdir(_local_path(uri))
+    from pyarrow import fs as pafs
+
+    f, p = pafs.FileSystem.from_uri(uri)
+    return f.get_file_info(p).type == pafs.FileType.Directory
+
+
+def _rm_dir(uri: str) -> None:
+    from ..sources.avro_ocf import _is_local, _local_path
+
+    if _is_local(uri):
+        import shutil
+
+        shutil.rmtree(_local_path(uri), ignore_errors=True)
+        return
+    from pyarrow import fs as pafs
+
+    f, p = pafs.FileSystem.from_uri(uri)
+    try:
+        f.delete_dir(p)
+    except FileNotFoundError:
+        pass
+
+
+def _mv_dir(src: str, dst: str) -> None:
+    from ..sources.avro_ocf import _is_local, _local_path
+
+    if _is_local(src):
+        import os
+
+        os.rename(_local_path(src), _local_path(dst))
+        return
+    from pyarrow import fs as pafs
+
+    f, p_src = pafs.FileSystem.from_uri(src)
+    _, p_dst = pafs.FileSystem.from_uri(dst)
+    f.move(p_src, p_dst)
+
+
+def compact_minhash_index(spark, path: str) -> None:
+    """Rewrite the index's two tables into fresh range-sorted files —
+    the maintenance pass a daily-append index eventually needs: each
+    ``mode="append"`` adds its own (small, batch-sorted) files, so after
+    months the listing grows, per-file id ranges interleave, and the
+    candidate pushdown's footer pruning decays; retried appends may
+    also have left duplicate rows (absorbed at probe time, but paid on
+    every probe). Compaction reads the STORED tables (no text is ever
+    re-hashed), drops duplicates, rewrites both globally range-sorted,
+    then swaps directories under a ``'__compacting__'`` meta marker.
+
+    Crash-safe: the marker is written only AFTER both compacted tables
+    fully committed into ``{path}/shingles_compact`` / ``bands_compact``,
+    so recovery is always "finish the swap" — re-running
+    compact_minhash_index on a ``'__compacting__'`` index completes it;
+    probes meanwhile refuse loudly. The directory swap uses a
+    filesystem move (atomic-enough on local/HDFS; on object stores
+    pyarrow emulates it per object — prefer compact-into-a-new-path
+    there). Not supported concurrently with appends or probes."""
+    m = _read_index_meta(spark, path)
+    sh, bd = f"{path}/shingles", f"{path}/bands"
+    shc, bdc = f"{path}/shingles_compact", f"{path}/bands_compact"
+
+    def _swap_and_commit() -> None:
+        for main, comp in ((sh, shc), (bd, bdc)):
+            if _dir_exists(comp):
+                _rm_dir(main)
+                _mv_dir(comp, main)
+            # else: this table's swap already completed in a previous
+            # attempt — the marker guarantees the compact dir was whole
+        _write_index_meta_row(
+            spark, path, m["num_hashes"], m["bands"], m["shingle_n"],
+            m["seed"], m["hash_fn"], "committed",
+        )
+
+    if m["status"] == "__compacting__":
+        _swap_and_commit()
+        return
+    if m["status"] != "committed":
+        raise ValueError(
+            f"index at {path!r} has status {m['status']!r} — finish the "
+            "in-flight append first (re-run the same append), then "
+            "compact"
+        )
+    _index_hash(m["hash_fn"])  # a dead REBUILD marker refuses here
+    spark.read.parquet(sh).dropDuplicates(["id"]) \
+        .repartitionByRange("id").sortWithinPartitions("id") \
+        .write.mode("overwrite").parquet(shc)
+    spark.read.parquet(bd).distinct() \
+        .repartitionByRange("band", "bucket") \
+        .sortWithinPartitions("band", "bucket") \
+        .write.mode("overwrite").parquet(bdc)
+    _write_index_meta_row(
+        spark, path, m["num_hashes"], m["bands"], m["shingle_n"],
+        m["seed"], m["hash_fn"], "__compacting__",
+    )
+    _swap_and_commit()
 
 
 # ------------------------------------ streaming face of incremental dedup

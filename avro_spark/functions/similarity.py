@@ -549,6 +549,51 @@ def write_ivf_index(
     _write_ivf_meta(spark, path, centroids, "committed", total)
 
 
+def compact_ivf_index(spark: "SparkSession", path: str) -> None:
+    """Rewrite the IVF index's data into one (or few) files per centroid
+    partition — the maintenance pass a daily-append index eventually
+    needs: each ``mode="append"`` adds its own small files under every
+    touched ``centroid_id=`` directory, so after months the probe's
+    pruned listing still opens hundreds of tiny files per bucket.
+    Compaction reads the stored data (vectors are never re-assigned —
+    the pinned centroids guarantee assignments are stable), drops
+    full-row duplicates, groups each centroid into one shuffle
+    partition, and swaps directories under a ``'__compacting__'`` meta
+    marker — same crash discipline as
+    :func:`avro_spark.functions.dedup.compact_minhash_index`: the
+    marker lands only AFTER the compacted copy fully committed, so
+    recovery (re-running this function) is always finish-the-swap;
+    probes refuse loudly meanwhile. Not supported concurrently with
+    appends or probes."""
+    from .dedup import _dir_exists, _mv_dir, _rm_dir
+
+    m = _read_ivf_meta(spark, path)
+    data, comp = f"{path}/data", f"{path}/data_compact"
+
+    def _swap_and_commit() -> None:
+        if _dir_exists(comp):
+            _rm_dir(data)
+            _mv_dir(comp, data)
+        rows = spark.read.parquet(data).count()
+        _write_ivf_meta(spark, path, m["centroids"], "committed", rows)
+
+    if m["status"] == "__compacting__":
+        _swap_and_commit()
+        return
+    if m["status"] != "committed":
+        raise ValueError(
+            f"index at {path!r} has status {m['status']!r} — finish the "
+            "in-flight rebuild/append first, then compact"
+        )
+    df = spark.read.parquet(data).distinct()
+    n_cents = len(m["centroids"])
+    df.repartition(n_cents, F.col("centroid_id")) \
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(comp)
+    _write_ivf_meta(spark, path, m["centroids"], "__compacting__",
+                    m["rows"])
+    _swap_and_commit()
+
+
 def knn_ivf_indexed(
     spark: "SparkSession",
     path: str,

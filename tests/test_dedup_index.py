@@ -431,3 +431,86 @@ def test_stream_dedup_admit_novel(spark, tmp_path):
     assert p1 == {(999, 0)}
     with pytest.raises(ValueError, match="bad admit"):
         D._stream_dedup_sink(idx, pairs, "doc_id", "text", admit="x")
+
+
+def test_compaction_preserves_answers_and_removes_duplicates(
+        spark, tmp_path):
+    """r8: compact_minhash_index rewrites both tables range-sorted from
+    the STORED data (no text re-hashed), absorbing the duplicate rows a
+    retried append left and restoring the tight per-file id ranges the
+    candidate pushdown prunes on — probe answers are unchanged."""
+    corpus, batch = _docs(spark)
+    kw = dict(num_hashes=16, bands=4, shingle_n=3)
+    idx = str(tmp_path / "cidx")
+    D.write_minhash_index(corpus.where("doc_id <= 4"), idx,
+                          "doc_id", "text", **kw)
+    c2 = corpus.where("doc_id > 4")
+    D.write_minhash_index(c2, idx, "doc_id", "text", mode="append", **kw)
+    D.write_minhash_index(c2, idx, "doc_id", "text", mode="append", **kw)
+    before = _probe_set(D.dedup_against_index(spark, batch, idx,
+                                              "doc_id", "text"))
+    sh = spark.read.parquet(idx + "/shingles")
+    assert sh.count() > sh.select("id").distinct().count()  # retry dups
+    D.compact_minhash_index(spark, idx)
+    after = _probe_set(D.dedup_against_index(spark, batch, idx,
+                                             "doc_id", "text"))
+    assert after == before and after
+    sh2 = spark.read.parquet(idx + "/shingles")
+    assert sh2.count() == sh2.select("id").distinct().count()
+    assert sh2.select("id").distinct().count() == corpus.count()
+    m = D._read_index_meta(spark, idx)
+    assert m["status"] == "committed" and m["num_hashes"] == 16
+    # compacted layout: disjoint sorted id ranges across files
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in sorted(pathlib.Path(idx, "shingles").glob("*.parquet")):
+        ids = pq.read_table(f, columns=["id"]).column("id").to_pylist()
+        if ids:
+            assert ids == sorted(ids)
+            ranges.append((min(ids), max(ids)))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    """r8: the '__compacting__' marker is written only after both
+    compacted tables committed, so recovery is always finish-the-swap:
+    a probe mid-compaction refuses loudly; re-running
+    compact_minhash_index completes it — including from the worst
+    window (one table's main dir already deleted)."""
+    import shutil
+
+    corpus, batch = _docs(spark)
+    kw = dict(num_hashes=16, bands=4, shingle_n=3)
+    idx = str(tmp_path / "crash_cidx")
+    D.write_minhash_index(corpus, idx, "doc_id", "text", **kw)
+    want = _probe_set(D.dedup_against_index(spark, batch, idx,
+                                            "doc_id", "text"))
+    # simulate: step 1 completed (compact dirs are whole copies), the
+    # marker landed, then the swap died after deleting ONE main dir
+    shutil.copytree(idx + "/shingles", idx + "/shingles_compact")
+    shutil.copytree(idx + "/bands", idx + "/bands_compact")
+    spark.createDataFrame(
+        [(16, 4, 3, 1, "xxhash64", "__compacting__")],
+        "num_hashes int, bands int, shingle_n int, seed int, "
+        "hash_fn string, status string",
+    ).coalesce(1).write.mode("overwrite").parquet(idx + "/meta")
+    shutil.rmtree(idx + "/shingles")
+    with pytest.raises(ValueError, match="maintenance operation"):
+        D.dedup_against_index(spark, batch, idx, "doc_id", "text")
+    D.compact_minhash_index(spark, idx)  # finishes the swap
+    got = _probe_set(D.dedup_against_index(spark, batch, idx,
+                                           "doc_id", "text"))
+    assert got == want and got
+    # compaction refuses while an append is in flight
+    spark.createDataFrame(
+        [(16, 4, 3, 1, "xxhash64", "__appending__")],
+        "num_hashes int, bands int, shingle_n int, seed int, "
+        "hash_fn string, status string",
+    ).coalesce(1).write.mode("overwrite").parquet(idx + "/meta")
+    with pytest.raises(ValueError, match="finish the in-flight append"):
+        D.compact_minhash_index(spark, idx)

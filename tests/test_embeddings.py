@@ -437,3 +437,65 @@ def test_ivf_index_append_retry_never_double_appends(spark, tmp_path):
     # heal for good measure
     S._write_ivf_meta(spark, idx, cents, "committed", n1)
     assert S.knn_ivf_indexed(spark, idx, q, None, k=3).count()
+
+
+def test_ivf_index_compaction(spark, tmp_path):
+    """r8: compact_ivf_index collapses append-accumulated small files to
+    ~one per centroid partition, drops retry duplicates, and preserves
+    probe answers; a crash mid-swap heals by re-running (marker lands
+    only after the compacted copy committed); probes refuse meanwhile."""
+    import glob
+    import shutil
+
+    import pytest
+
+    import avro_spark.functions.similarity as S
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = S.sample_centroids(emb, 8)
+    q = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    idx = str(tmp_path / "civf")
+    S.write_ivf_index(emb.where("vec_id % 3 = 0"), cents, idx)
+    S.write_ivf_index(emb.where("vec_id % 3 = 1"), None, idx, mode="append")
+    S.write_ivf_index(emb.where("vec_id % 3 = 2"), None, idx, mode="append")
+
+    def topk():
+        return [
+            (r.query_id, r.rank, r.vec_id, round(r.cosine, 9))
+            for r in S.knn_ivf_indexed(spark, idx, q, None, k=5, nprobe=3)
+            .orderBy("query_id", "rank").collect()
+        ]
+    want = topk()
+    n_before = len(glob.glob(idx + "/data/centroid_id=*/*.parquet"))
+    S.compact_ivf_index(spark, idx)
+    assert topk() == want
+    n_after = len(glob.glob(idx + "/data/centroid_id=*/*.parquet"))
+    assert n_after < n_before
+    # at most one file per centroid partition after compaction
+    import collections
+    import os
+
+    per_dir = collections.Counter(
+        os.path.dirname(f)
+        for f in glob.glob(idx + "/data/centroid_id=*/*.parquet"))
+    assert max(per_dir.values()) == 1
+    m = S._read_ivf_meta(spark, idx)
+    assert m["status"] == "committed"
+    assert m["rows"] == spark.read.parquet(idx + "/data").count()
+    # crash mid-swap: compacted copy committed + marker landed + main
+    # dir deleted — probe refuses, re-running compaction heals
+    shutil.copytree(idx + "/data", idx + "/data_compact")
+    S._write_ivf_meta(spark, idx, cents, "__compacting__", m["rows"])
+    shutil.rmtree(idx + "/data")
+    with pytest.raises(ValueError, match="died part-way"):
+        S.knn_ivf_indexed(spark, idx, q, None, k=3)
+    S.compact_ivf_index(spark, idx)
+    assert topk() == want
+    # compaction refuses while an append is in flight
+    S._write_ivf_meta(spark, idx, cents, "__appending__", m["rows"])
+    with pytest.raises(ValueError, match="finish the in-flight"):
+        S.compact_ivf_index(spark, idx)

@@ -774,10 +774,16 @@ def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     driven directly (the exact unit a streaming query executes per
     micro-batch) so batch order is deterministic for the oracle; the
     end-to-end query path is pinned by
-    tests/test_dedup_index.py::test_stream_dedup_exactly_once."""
+    tests/test_dedup_index.py::test_stream_dedup_exactly_once.
+
+    doc_id < 1800 caps the corpus: a no-op at the sf0.01 correctness
+    scale (500 docs), and at bench scale it keeps the gate measuring
+    what is NEW here — the per-batch probe/append/commit job chain —
+    rather than re-measuring signature hashing throughput, which
+    minhash_lsh and incremental_dedup already cover."""
     import tempfile
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 1800)
     idx = tempfile.mkdtemp(prefix="mh_sidx_")
     pairs = tempfile.mkdtemp(prefix="mh_spairs_")
     D.write_minhash_index(
@@ -2882,7 +2888,8 @@ def _streaming_incremental_dedup_oracle() -> str:
     )
     return f"""
             WITH toks AS (
-              SELECT doc_id, {_LTOKS} AS t FROM documents),
+              SELECT doc_id, {_LTOKS} AS t FROM documents
+              WHERE doc_id < 1800),
             sh AS (
               SELECT doc_id,
                      CASE WHEN len(t) >= 3 THEN

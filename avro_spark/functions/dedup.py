@@ -698,6 +698,78 @@ def _mv_dir(src: str, dst: str) -> None:
     f.move(p_src, p_dst)
 
 
+def _list_parquet_files(uri: str) -> "list[str]":
+    from ..sources.avro_ocf import _is_local, _local_path
+
+    if _is_local(uri):
+        import pathlib
+
+        return sorted(
+            str(p) for p in pathlib.Path(_local_path(uri)).glob("*.parquet"))
+    from pyarrow import fs as pafs
+
+    f, p = pafs.FileSystem.from_uri(uri)
+    infos = f.get_file_info(pafs.FileSelector(p, allow_not_found=True))
+    return sorted(i.path for i in infos
+                  if i.is_file and i.path.endswith(".parquet"))
+
+
+def minhash_index_stats(spark, path: str) -> dict:
+    """Health report for a persisted MinHash index — the
+    "do I need :func:`compact_minhash_index`?" signal. Footer-only
+    except one count-vs-distinct job on the shingle store:
+
+    * ``status`` / banding params from the meta row;
+    * per-table file counts and footer row totals (appends grow these);
+    * ``duplicate_rows``: retry residue the probe absorbs per-probe;
+    * ``overlapping_files``: shingle files whose [min,max] id ranges
+      overlap another's — 0 right after a build/compaction; growth
+      means the candidate pushdown's footer pruning is decaying.
+    """
+    from ..sources.avro_ocf import _fs_open
+
+    import pyarrow.parquet as pq
+
+    m = _read_index_meta(spark, path)
+    out = dict(m)
+    sh_files = _list_parquet_files(f"{path}/shingles")
+    bd_files = _list_parquet_files(f"{path}/bands")
+    ranges = []
+    sh_rows = 0
+    for fp in sh_files:
+        with _fs_open(fp) as fh:
+            md = pq.ParquetFile(fh).metadata
+            sh_rows += md.num_rows
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(0).statistics
+                if st is not None and st.has_min_max:
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+            if lo is not None:
+                ranges.append((lo, hi))
+    ranges.sort()
+    overlapping = sum(
+        1 for (_, hi), (lo, _) in zip(ranges, ranges[1:]) if hi > lo)
+    bd_rows = 0
+    for fp in bd_files:
+        with _fs_open(fp) as fh:
+            bd_rows += pq.ParquetFile(fh).metadata.num_rows
+    distinct_ids = (
+        spark.read.parquet(f"{path}/shingles")
+        .agg(F.count("id").alias("n"),
+             F.count_distinct("id").alias("d")).head()
+    )
+    out.update(
+        shingle_files=len(sh_files), shingle_rows=sh_rows,
+        band_files=len(bd_files), band_rows=bd_rows,
+        distinct_ids=int(distinct_ids["d"]),
+        duplicate_rows=int(distinct_ids["n"] - distinct_ids["d"]),
+        overlapping_files=overlapping,
+    )
+    return out
+
+
 def compact_minhash_index(spark, path: str) -> None:
     """Rewrite the index's two tables into fresh range-sorted files —
     the maintenance pass a daily-append index eventually needs: each
@@ -793,6 +865,8 @@ def _stream_dedup_sink(
         raise ValueError(f"bad admit: {admit}")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         try:
             applied = {
@@ -800,7 +874,10 @@ def _stream_dedup_sink(
                 for r in spark.read.parquet(
                     f"{index_path}/batches").collect()
             }
-        except Exception:  # first batch ever: no registry yet
+        except AnalysisException:  # first batch ever: no registry yet.
+            # ONLY path-not-found — a CORRUPT registry must fail the
+            # query loudly, not silently replay every batch (the probe
+            # absorbs replayed pairs, but the index would re-append)
             applied = set()
         if batch_id in applied:
             return

@@ -549,6 +549,63 @@ def write_ivf_index(
     _write_ivf_meta(spark, path, centroids, "committed", total)
 
 
+def ivf_index_stats(spark: "SparkSession", path: str) -> dict:
+    """Health report for a persisted IVF index — the
+    "do I need :func:`compact_ivf_index`?" signal. Footer-only except
+    one count-vs-distinct job: meta status/dims, per-centroid-partition
+    file counts (appends add one file per touched partition per batch —
+    ``max_files_per_partition`` growth is what slows pruned probes),
+    and duplicate full rows (retry residue)."""
+    import collections
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..sources.avro_ocf import _fs_open
+    from .dedup import _list_parquet_files
+
+    m = _read_ivf_meta(spark, path)
+    out = {
+        "status": m["status"], "dim": m["dim"], "norm": m["norm"],
+        "rows": m["rows"], "n_centroids": len(m["centroids"]),
+    }
+    per_part: collections.Counter = collections.Counter()
+    total_rows = 0
+    n_files = 0
+    from ..sources.avro_ocf import _is_local, _local_path
+
+    base = f"{path}/data"
+    if _is_local(base):
+        import pathlib
+
+        files = sorted(
+            str(p) for p in pathlib.Path(_local_path(base))
+            .glob("centroid_id=*/*.parquet"))
+    else:  # enumerate partition dirs through the generic lister
+        from pyarrow import fs as pafs
+
+        f, p = pafs.FileSystem.from_uri(base)
+        files = sorted(
+            i.path for i in f.get_file_info(
+                pafs.FileSelector(p, recursive=True, allow_not_found=True))
+            if i.is_file and i.path.endswith(".parquet"))
+    for fp in files:
+        n_files += 1
+        per_part[os.path.dirname(fp)] += 1
+        with _fs_open(fp) as fh:
+            total_rows += pq.ParquetFile(fh).metadata.num_rows
+    df = spark.read.parquet(base)
+    dup = df.count() - df.distinct().count()
+    out.update(
+        data_files=n_files,
+        populated_partitions=len(per_part),
+        max_files_per_partition=max(per_part.values()) if per_part else 0,
+        footer_rows=total_rows,
+        duplicate_rows=int(dup),
+    )
+    return out
+
+
 def compact_ivf_index(spark: "SparkSession", path: str) -> None:
     """Rewrite the IVF index's data into one (or few) files per centroid
     partition — the maintenance pass a daily-append index eventually

@@ -514,3 +514,28 @@ def test_compaction_crash_recovery(spark, tmp_path):
     ).coalesce(1).write.mode("overwrite").parquet(idx + "/meta")
     with pytest.raises(ValueError, match="finish the in-flight append"):
         D.compact_minhash_index(spark, idx)
+
+
+def test_index_stats_report_compaction_need(spark, tmp_path):
+    """r8: minhash_index_stats reports retry residue and layout decay;
+    compaction zeroes both."""
+    corpus, _ = _docs(spark)
+    kw = dict(num_hashes=16, bands=4, shingle_n=3)
+    idx = str(tmp_path / "stats_idx")
+    D.write_minhash_index(corpus.where("doc_id <= 4"), idx,
+                          "doc_id", "text", **kw)
+    c2 = corpus.where("doc_id > 4")
+    D.write_minhash_index(c2, idx, "doc_id", "text", mode="append", **kw)
+    D.write_minhash_index(c2, idx, "doc_id", "text", mode="append", **kw)
+    s = D.minhash_index_stats(spark, idx)
+    assert s["status"] == "committed" and s["num_hashes"] == 16
+    assert s["duplicate_rows"] > 0          # the retried append's residue
+    assert s["distinct_ids"] == corpus.count()
+    assert s["shingle_rows"] == s["distinct_ids"] + s["duplicate_rows"]
+    files_before = s["shingle_files"]
+    D.compact_minhash_index(spark, idx)
+    s2 = D.minhash_index_stats(spark, idx)
+    assert s2["duplicate_rows"] == 0
+    assert s2["overlapping_files"] == 0
+    assert s2["shingle_files"] <= files_before
+    assert s2["distinct_ids"] == corpus.count()

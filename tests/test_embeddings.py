@@ -499,3 +499,26 @@ def test_ivf_index_compaction(spark, tmp_path):
     S._write_ivf_meta(spark, idx, cents, "__appending__", m["rows"])
     with pytest.raises(ValueError, match="finish the in-flight"):
         S.compact_ivf_index(spark, idx)
+
+
+def test_ivf_index_stats(spark, tmp_path):
+    """r8: ivf_index_stats reports append-driven per-partition file
+    growth; compaction collapses it to 1 and zeroes retry residue."""
+    import avro_spark.functions.similarity as S
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = S.sample_centroids(emb, 8)
+    idx = str(tmp_path / "sivf")
+    S.write_ivf_index(emb.where("vec_id % 2 = 0"), cents, idx)
+    S.write_ivf_index(emb.where("vec_id % 2 = 1"), None, idx,
+                      mode="append")
+    s = S.ivf_index_stats(spark, idx)
+    assert s["status"] == "committed" and s["n_centroids"] == 8
+    assert s["rows"] == emb.count() == s["footer_rows"]
+    assert s["max_files_per_partition"] >= 2  # build + append
+    assert s["duplicate_rows"] == 0
+    S.compact_ivf_index(spark, idx)
+    s2 = S.ivf_index_stats(spark, idx)
+    assert s2["max_files_per_partition"] == 1
+    assert s2["footer_rows"] == s["footer_rows"]

@@ -186,3 +186,31 @@ def test_jvm_compressor_byte_parity(spark):
     }
     for i, c in enumerate(cases):
         assert got_d[i] == _zlib.compress(c)[2:-4], ("deflate", i)
+    # randomized sweep, one DataFrame pass: mixed repetitive/random
+    # shapes chosen to exercise literals, short/long/overlapping copies
+    # and the skip accelerator
+    fuzz = []
+    for seed in range(40):
+        r = random.Random(seed)
+        kind = seed % 4
+        if kind == 0:
+            fuzz.append(r.randbytes(r.randint(0, 3000)))
+        elif kind == 1:
+            w = r.randbytes(r.randint(1, 9))
+            fuzz.append(w * r.randint(1, 4000))
+        elif kind == 2:
+            fuzz.append(b"".join(
+                r.choice([b"ab", b"abc", r.randbytes(3)])
+                for _ in range(r.randint(0, 2000))))
+        else:
+            fuzz.append(bytes(r.randint(0, 3) for _ in
+                              range(r.randint(0, 5000))))
+    fdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(fuzz)], "i int, body binary")
+    got_f = {
+        r["i"]: bytes(r["data"])
+        for r in J.compress_blocks_jvm(fdf, "snappy", None).collect()
+    }
+    for i, c in enumerate(fuzz):
+        assert got_f[i][:-4] == compress(c), ("fuzz", i, len(c))
+        assert decompress(got_f[i][:-4]) == c, ("fuzz-rt", i)

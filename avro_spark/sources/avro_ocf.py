@@ -1501,12 +1501,14 @@ def write_avro_files(
                 pending: list[bytes] = []
                 pend_len = 0
                 rows: list[dict] = []
+                rows_len = 0
 
                 def cut() -> None:
-                    nonlocal pend_len
+                    nonlocal pend_len, rows_len
                     rows.append({
                         "n_records": len(pending), "body": b"".join(pending)
                     })
+                    rows_len += pend_len
                     pending.clear()
                     pend_len = 0
 
@@ -1519,10 +1521,14 @@ def write_avro_files(
                             and pend_len >= block_bytes
                         ):
                             cut()
-                            if len(rows) >= 16:
+                            # cap each emitted Arrow batch by BYTES as
+                            # well as rows: a large block_bytes setting
+                            # must not multiply into a 16x-larger batch
+                            if len(rows) >= 16 or rows_len >= (32 << 20):
                                 yield pa.RecordBatch.from_pylist(
                                     rows, schema=_blk_schema)
                                 rows = []
+                                rows_len = 0
                 if pending:
                     cut()
                 if rows:

@@ -539,3 +539,81 @@ def test_index_stats_report_compaction_need(spark, tmp_path):
     assert s2["overlapping_files"] == 0
     assert s2["shingle_files"] <= files_before
     assert s2["distinct_ids"] == corpus.count()
+
+
+def test_fuzz_index_lifecycle_equals_built_at_once(spark, tmp_path_factory):
+    """Stateful property (r8): ANY sequence of append / retried-append /
+    compact / crashed-compact-then-recover operations leaves the index
+    answering probes exactly like one built over all admitted docs at
+    once. Exercises the full maintenance surface the round added."""
+    import random
+    import shutil
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    kw = dict(num_hashes=16, bands=4, shingle_n=2)
+
+    @given(data=st.data())
+    @settings(max_examples=3, deadline=None)
+    def run(data):
+        rng = random.Random(data.draw(st.integers(0, 2**32)))
+        phrases = [" ".join(rng.choices(words, k=rng.randint(5, 10)))
+                   for _ in range(5)]
+
+        def doc():
+            return " ".join(rng.sample(phrases, k=rng.randint(1, 3)))
+
+        root = tmp_path_factory.mktemp("lifecycle")
+        idx = str(root / "idx")
+        next_id = [0]
+
+        def batch(n):
+            rows = [(next_id[0] + i, doc()) for i in range(n)]
+            next_id[0] += n
+            return spark.createDataFrame(rows, "doc_id long, text string")
+
+        seed = batch(rng.randint(2, 5))
+        D.write_minhash_index(seed, idx, "doc_id", "text", **kw)
+        admitted = [seed]
+        n_ops = rng.randint(2, 4)
+        for _ in range(n_ops):
+            op = rng.choice(["append", "retry_append", "compact",
+                             "crashed_compact"])
+            if op in ("append", "retry_append"):
+                b = batch(rng.randint(1, 4))
+                D.write_minhash_index(b, idx, "doc_id", "text",
+                                      mode="append", **kw)
+                if op == "retry_append":  # documented crash recovery
+                    D.write_minhash_index(b, idx, "doc_id", "text",
+                                          mode="append", **kw)
+                admitted.append(b)
+            elif op == "compact":
+                D.compact_minhash_index(spark, idx)
+            else:
+                # step 1 + marker landed, swap died after deleting one
+                # main dir — recovery must finish the swap
+                shutil.copytree(idx + "/shingles", idx + "/shingles_compact")
+                shutil.copytree(idx + "/bands", idx + "/bands_compact")
+                spark.createDataFrame(
+                    [(16, 4, 2, 1, "xxhash64", "__compacting__")],
+                    "num_hashes int, bands int, shingle_n int, seed int, "
+                    "hash_fn string, status string",
+                ).coalesce(1).write.mode("overwrite").parquet(idx + "/meta")
+                shutil.rmtree(idx + "/shingles")
+                D.compact_minhash_index(spark, idx)
+        probe = batch(3)
+        whole = str(root / "whole")
+        ref = admitted[0]
+        for b in admitted[1:]:
+            ref = ref.unionByName(b)
+        D.write_minhash_index(ref, whole, "doc_id", "text", **kw)
+        got = _probe_set(D.dedup_against_index(
+            spark, probe, idx, "doc_id", "text", threshold=0.3))
+        want = _probe_set(D.dedup_against_index(
+            spark, probe, whole, "doc_id", "text", threshold=0.3))
+        assert got == want
+
+    run()

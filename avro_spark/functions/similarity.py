@@ -562,7 +562,6 @@ def ivf_index_stats(spark: "SparkSession", path: str) -> dict:
     import pyarrow.parquet as pq
 
     from ..sources.avro_ocf import _fs_open
-    from .dedup import _list_parquet_files
 
     m = _read_ivf_meta(spark, path)
     out = {

@@ -438,16 +438,20 @@ def _write_ivf_meta(
     centroids: Sequence[Sequence[float]],
     status: str,
     rows: int,
+    token: "Optional[str]" = None,
 ) -> None:
     """One meta row pinning the centroid matrix the data was assigned
-    with (plus a status marker and the committed row count). Written via
-    ``spark.range`` + plan literals — pure JVM, no Python-worker job."""
+    with (plus a status marker, the committed row count, and the LAST
+    applied append token — the streaming sink's exactly-once handle).
+    Written via ``spark.range`` + plan literals — pure JVM, no
+    Python-worker job."""
     spark.range(1).select(
         _matrix_lit(centroids).alias("centroids"),
         F.lit(len(centroids[0])).cast("int").alias("dim"),
         F.lit("l2-cosine").alias("norm"),
         F.lit(status).alias("status"),
         F.lit(int(rows)).cast("long").alias("rows"),
+        F.lit(token).cast("string").alias("token"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -465,10 +469,13 @@ def _read_ivf_meta(spark: "SparkSession", path: str) -> dict:
             "IVF index meta is empty — the index is mid-rebuild or "
             "corrupt; rebuild it with write_ivf_index"
         )
+    d = row.asDict()
     return {
-        "centroids": [[float(x) for x in c] for c in row["centroids"]],
-        "dim": row["dim"], "norm": row["norm"],
-        "status": row["status"], "rows": row["rows"],
+        "centroids": [[float(x) for x in c] for c in d["centroids"]],
+        "dim": d["dim"], "norm": d["norm"],
+        "status": d["status"], "rows": d["rows"],
+        # pre-token meta rows (early r8) read as never-appended-by-token
+        "token": d.get("token"),
     }
 
 
@@ -479,6 +486,7 @@ def write_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     mode: str = "overwrite",
+    append_token: "Optional[str]" = None,
 ) -> None:
     """Materialize the IVF index the docstring of :func:`knn_ivf` keeps
     promising: vectors with their nearest-centroid assignment, written
@@ -504,7 +512,14 @@ def write_ivf_index(
     row count, so a retried append after a crash detects whether the
     dead attempt's data landed (parquet-footer count vs meta rows — the
     standard job-commit atomicity assumption) and never double-appends.
-    In-place rebuilds/appends concurrent with probes are not supported."""
+    ``append_token`` strengthens that to EXACTLY-ONCE across callers
+    that retry whole batches (the streaming sink's shape): the token of
+    the last committed append rides in the meta row, and an append
+    whose token matches it returns without touching the data — so a
+    caller that crashed AFTER the append committed but BEFORE its own
+    bookkeeping can blindly re-run. Sequential appends only (the token
+    remembers one batch). In-place rebuilds/appends concurrent with
+    probes are not supported."""
     spark = vectors.sparkSession
     if mode == "append":
         m = _read_ivf_meta(spark, path)
@@ -513,6 +528,8 @@ def write_ivf_index(
                 "index is mid-rebuild (status '__building__') — rebuild "
                 "it with write_ivf_index(mode='overwrite')"
             )
+        if append_token is not None and m["token"] == append_token:
+            return  # this batch's append already committed — a retry
         if centroids is None:
             centroids = m["centroids"]
         elif [[float(x) for x in c] for c in centroids] != m["centroids"]:
@@ -527,9 +544,13 @@ def write_ivf_index(
             # the dead append's data job committed but its meta didn't:
             # the retry must not double-append. (A retry with a
             # DIFFERENT batch is a caller error — documented.)
-            _write_ivf_meta(spark, path, centroids, "committed", actual)
+            _write_ivf_meta(spark, path, centroids, "committed", actual,
+                            append_token)
             return
-        _write_ivf_meta(spark, path, centroids, "__appending__", actual)
+        # the marker row still carries the PREVIOUS token: this batch's
+        # token only lands at commit
+        _write_ivf_meta(spark, path, centroids, "__appending__", actual,
+                        m["token"])
     elif mode == "overwrite":
         if centroids is None:
             raise ValueError("mode='overwrite' requires a centroid matrix")
@@ -546,7 +567,73 @@ def write_ivf_index(
         f"{path}/data")
     # committed row count via parquet footers only (metadata-count)
     total = spark.read.parquet(f"{path}/data").count()
-    _write_ivf_meta(spark, path, centroids, "committed", total)
+    _write_ivf_meta(spark, path, centroids, "committed", total,
+                    append_token if mode == "append" else None)
+
+
+# ------------------------------------- streaming face of the IVF index
+def _stream_ivf_sink(index_path: str, id_col: str = "vec_id",
+                     vec_col: str = "embedding"):
+    """The foreachBatch callable behind :func:`index_vectors_stream`,
+    factored out so replay idempotence is directly testable. Per
+    micro-batch: skip if the batch id is in ``{index_path}/batches``;
+    append with ``append_token=f"batch{batch_id}"`` (exactly-once even
+    when the append committed but this sink crashed before recording —
+    the token check inside :func:`write_ivf_index` turns the re-append
+    into a no-op); record the batch id LAST."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        spark = batch_df.sparkSession
+        try:
+            applied = {
+                r[0]
+                for r in spark.read.parquet(
+                    f"{index_path}/batches").collect()
+            }
+        except AnalysisException:  # first batch ever: no registry yet
+            applied = set()
+        if batch_id in applied:
+            return
+        write_ivf_index(batch_df, None, index_path, id_col, vec_col,
+                        mode="append", append_token=f"batch{batch_id}")
+        spark.range(1).select(
+            F.lit(int(batch_id)).cast("long").alias("batch_id")
+        ).write.mode("append").parquet(f"{index_path}/batches")
+
+    return sink
+
+
+def index_vectors_stream(
+    df: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trigger_available_now: bool = False,
+    query_name: "Optional[str]" = None,
+):
+    """STREAMING vector indexing — the ingest-pipeline shape: embeddings
+    arrive as a stream, each micro-batch is assigned to the index's
+    PINNED centroids (read from meta, so drift is impossible by
+    construction) and appended exactly-once. The index must exist
+    (:func:`write_ivf_index` over the seed corpus — centroid training
+    is a batch concern). Probes (:func:`knn_ivf_indexed`) stay
+    partition-pruned throughout; run :func:`compact_ivf_index`
+    periodically to collapse the per-batch files. One streaming query
+    per index (appends are sequential by design). Returns the started
+    ``StreamingQuery``."""
+    sink = _stream_ivf_sink(index_path, id_col, vec_col)
+    writer = (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def ivf_index_stats(spark: "SparkSession", path: str) -> dict:
@@ -631,7 +718,9 @@ def compact_ivf_index(spark: "SparkSession", path: str) -> None:
             _rm_dir(data)
             _mv_dir(comp, data)
         rows = spark.read.parquet(data).count()
-        _write_ivf_meta(spark, path, m["centroids"], "committed", rows)
+        # token preserved: compaction never consumes or produces a batch
+        _write_ivf_meta(spark, path, m["centroids"], "committed", rows,
+                        m["token"])
 
     if m["status"] == "__compacting__":
         _swap_and_commit()
@@ -646,7 +735,7 @@ def compact_ivf_index(spark: "SparkSession", path: str) -> None:
     df.repartition(n_cents, F.col("centroid_id")) \
         .write.mode("overwrite").partitionBy("centroid_id").parquet(comp)
     _write_ivf_meta(spark, path, m["centroids"], "__compacting__",
-                    m["rows"])
+                    m["rows"], m["token"])
     _swap_and_commit()
 
 

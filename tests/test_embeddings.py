@@ -522,3 +522,67 @@ def test_ivf_index_stats(spark, tmp_path):
     s2 = S.ivf_index_stats(spark, idx)
     assert s2["max_files_per_partition"] == 1
     assert s2["footer_rows"] == s["footer_rows"]
+
+
+def test_stream_ivf_index_exactly_once(spark, tmp_path):
+    """r8: index_vectors_stream appends each micro-batch exactly once —
+    a recorded batch is a no-op on replay, and the harder crash window
+    (append COMMITTED, batch-id record lost) is closed by the append
+    token in the meta row: blindly re-running the batch never
+    double-appends. End state equals a built-at-once index."""
+    import avro_spark.functions.similarity as S
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = S.sample_centroids(emb, 8)
+    q = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    idx = str(tmp_path / "strivf")
+    seed = emb.where("vec_id % 3 = 0")
+    S.write_ivf_index(seed, cents, idx)
+
+    # streaming drive: one availableNow drain of a parquet source
+    src = str(tmp_path / "vsrc")
+    emb.where("vec_id % 3 = 1").write.parquet(src)
+    q1 = S.index_vectors_stream(
+        spark.readStream.schema(emb.schema).parquet(src),
+        idx, str(tmp_path / "ckpt"), trigger_available_now=True)
+    q1.awaitTermination()
+    n_after_stream = spark.read.parquet(idx + "/data").count()
+    assert n_after_stream == seed.count() + emb.where("vec_id % 3 = 1").count()
+
+    sink = S._stream_ivf_sink(idx)
+    b2 = emb.where("vec_id % 3 = 2")
+    sink(b2, 77)
+    n1 = spark.read.parquet(idx + "/data").count()
+    assert n1 == emb.count()
+    sink(b2, 77)  # replay of a RECORDED batch: no-op
+    assert spark.read.parquet(idx + "/data").count() == n1
+    # the harder window: append committed (token in meta) but the
+    # registry row was lost — delete it and replay
+    import shutil
+
+    shutil.rmtree(idx + "/batches")
+    sink(b2, 77)
+    assert spark.read.parquet(idx + "/data").count() == n1, \
+        "token check must absorb the re-append"
+    assert 77 in {r[0] for r in
+                  spark.read.parquet(idx + "/batches").collect()}
+    # equivalence with built-at-once
+    whole = str(tmp_path / "whole_ivf")
+    S.write_ivf_index(emb, cents, whole)
+
+    def topk(p):
+        return [
+            (r.query_id, r.rank, r.vec_id, round(r.cosine, 9))
+            for r in S.knn_ivf_indexed(spark, p, q, None, k=5, nprobe=3)
+            .orderBy("query_id", "rank").collect()
+        ]
+    assert topk(idx) == topk(whole)
+    # compaction preserves the token (a post-compaction retry of the
+    # last batch is still a no-op)
+    S.compact_ivf_index(spark, idx)
+    S.write_ivf_index(b2, None, idx, mode="append", append_token="batch77")
+    assert spark.read.parquet(idx + "/data").count() == n1

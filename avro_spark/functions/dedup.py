@@ -42,6 +42,28 @@ def portable_hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def _native_id(id_col: str) -> Column:
+    """The document id in its NATIVE type with a row-local NULL guard.
+
+    The whole near-dup family keys signatures, band buckets, and index
+    rows on this column. An earlier cut cast it to long, which silently
+    NULLed string/UUID ids — the index stored one merged NULL-id
+    signature soup and the streaming sink's ``admit="novel"`` anti-join
+    admitted every duplicate (the hazard :func:`exact_dedup_groups`'s
+    comment already named). Native keys work for every orderable type
+    (string ids order lexicographically, exactly like the SQL oracle);
+    a NULL id — unkeyable under any scheme — raises per-row instead of
+    vanishing. The guard is a codegen'd CASE, not an extra job."""
+    c = F.col(id_col)
+    return F.when(
+        c.isNull(),
+        F.raise_error(F.lit(
+            f"near-dup id column {id_col!r} contains NULL — document ids "
+            "must be non-null (a NULL key would silently merge documents)"
+        )),
+    ).otherwise(c)
+
+
 # --------------------------------------------------------------- exact dedup
 def content_fingerprint(text: Column) -> Column:
     """md5 hex of whitespace/case-normalized text (exact-dup key)."""
@@ -131,7 +153,7 @@ def ngram_jaccard_pairs(
     oracle-exact semantics.
     """
     docs = df.select(
-        F.col(id_col).cast("long").alias("_id"),
+        _native_id(id_col).alias("_id"),
         shingles(F.col(text_col), n).alias("_sh"),
     )
     sizes = docs.select("_id", F.size("_sh").alias("_n"))
@@ -274,7 +296,7 @@ def _sig_band_rows(
         raise ValueError("num_hashes must divide into bands evenly")
     r = num_hashes // bands
     docs = df.select(
-        F.col(id_col).cast("long").alias("_id"),
+        _native_id(id_col).alias("_id"),
         shingles(F.col(text_col), shingle_n).alias("_sh"),
     )
     exploded = docs.select("_id", F.explode("_sh").alias("_g")).select(
@@ -375,6 +397,7 @@ def write_minhash_index(
     seed: int = 1,
     hash_fn: str = "xxhash64",
     mode: str = "overwrite",
+    append_token: "str | None" = None,
 ) -> None:
     """Persist a corpus's MinHash-LSH signature index under ``path`` —
     the incremental-dedup shape: build the index ONCE over the existing
@@ -391,6 +414,21 @@ def write_minhash_index(
     candidate distinct, shingle duplicates via a per-id dropDuplicates),
     so a completed retry restores exactness.
 
+    ``append_token`` strengthens the retry story to EXACTLY-ONCE across
+    callers that re-run whole batches (the streaming sink's shape): the
+    token of the last COMMITTED append rides in the meta row, and an
+    append whose token matches it returns without touching the data —
+    so a caller that crashed AFTER the append committed but BEFORE its
+    own bookkeeping can blindly re-run. While an append is in flight
+    its token also rides in the ``'__appending__'`` marker
+    (``pending_token``), so a retry carrying a DIFFERENT token is
+    refused loudly instead of silently interleaving two batches.
+    Sequential appends only (the token remembers one batch). An append
+    against a ``'__compacting__'`` index is refused: committing it
+    would cancel the pending compaction recovery and a later
+    finish-the-swap would discard the appended rows — run
+    :func:`compact_minhash_index` to completion first.
+
     Layout (all plain parquet — no catalog dependency, any Spark-visible
     storage): ``bands/`` = (band, bucket, id) — the LSH probe side;
     ``shingles/`` = (id, shh array<long>) — hashed shingle sets for the
@@ -405,9 +443,12 @@ def write_minhash_index(
         )
     fn = _index_hash(hash_fn)
     spark = df.sparkSession
+    prev_token = pending = None
     if mode == "append":
         stored = _read_index_meta(spark, path)
-        stored.pop("status", None)
+        status = stored.pop("status", "committed")
+        prev_token = stored.pop("token", None)
+        pending = stored.pop("pending_token", None)
         given = dict(num_hashes=num_hashes, bands=bands,
                      shingle_n=shingle_n, seed=seed, hash_fn=hash_fn)
         if stored != given:
@@ -415,12 +456,35 @@ def write_minhash_index(
                 f"append parameters {given} do not match the index's "
                 f"stored meta {stored}"
             )
-    elif mode != "overwrite":
-        raise ValueError(f"bad mode: {mode}")
+        if append_token is not None and prev_token == append_token:
+            return  # this batch's append already committed — a retry
+        if status == "__appending__":
+            # the documented same-append retry — but a retry carrying a
+            # DIFFERENT token is a different batch: appending it now
+            # would interleave two batches' rows under one recovery
+            if (pending is not None and append_token is not None
+                    and pending != append_token):
+                raise ValueError(
+                    f"index at {path!r} has an in-flight append with "
+                    f"token {pending!r}; refusing append with token "
+                    f"{append_token!r} — re-run the dead append to "
+                    "completion first (appends are sequential)"
+                )
+        elif status != "committed":
+            # '__compacting__' (or any future marker): committing an
+            # append here would cancel the pending recovery, and a later
+            # finish-the-swap would discard this append's rows
+            raise ValueError(
+                f"index at {path!r} has status {status!r} — finish the "
+                "in-flight maintenance first (compact_minhash_index "
+                "recovers its own crashes), then append"
+            )
 
-    def _write_meta(marker: str, status: str = "committed") -> None:
+    def _write_meta(marker: str, status: str = "committed",
+                    token: "str | None" = None,
+                    pending_token: "str | None" = None) -> None:
         _write_index_meta_row(spark, path, num_hashes, bands, shingle_n,
-                              seed, marker, status)
+                              seed, marker, status, token, pending_token)
 
     if mode == "append":
         # in-flight marker FIRST, committed LAST: a crash between the
@@ -429,8 +493,11 @@ def write_minhash_index(
         # probes silently lose recall for exactly those docs. With the
         # marker they fail loudly until the SAME append is re-run to
         # completion (the probe absorbs the retry's duplicate rows).
-        _write_meta(hash_fn, status="__appending__")
-    if mode == "overwrite":
+        # The marker still carries the PREVIOUS committed token (this
+        # batch's lands only at commit) plus this batch's pending_token.
+        _write_meta(hash_fn, status="__appending__", token=prev_token,
+                    pending_token=append_token)
+    elif mode == "overwrite":
         # transition marker FIRST, real meta LAST: any crash between the
         # two leaves the meta row naming an invalid hash, so a probe
         # (or a stale-parameter rebuild that died after bands but before
@@ -438,6 +505,8 @@ def write_minhash_index(
         # parameters and silently finding nothing. In-place rebuilds
         # while another job probes the index are still not supported.
         _write_meta("__building__")
+    else:
+        raise ValueError(f"bad mode: {mode}")
     # hash each gram ONCE (md5/xxhash over text is the dominant cost)
     # and persist the hashed form across the two writes — without this
     # the shingles job re-reads, re-shingles, and re-hashes the whole
@@ -470,7 +539,10 @@ def write_minhash_index(
             .write.mode(mode).parquet(f"{path}/bands")
     finally:
         hdocs.unpersist()
-    _write_meta(hash_fn)  # the commit marker (both modes)
+    # the commit marker (both modes); an append's token lands HERE —
+    # blind retries of the same batch no-op against it
+    _write_meta(hash_fn,
+                token=append_token if mode == "append" else None)
 
 
 def _hashed_docs(
@@ -478,9 +550,11 @@ def _hashed_docs(
 ) -> DataFrame:
     """(_id, _hh full-width-hashed shingle array) — grams hash exactly
     once; band rows reduce mod 2^31-1 downstream (:func:`_explode_mod`),
-    the verification store keeps the full width."""
+    the verification store keeps the full width. Ids keep their NATIVE
+    type (:func:`_native_id`): the index parquet stores whatever id type
+    the corpus has, and probes/appends must bring the same type."""
     return df.select(
-        F.col(id_col).cast("long").alias("_id"),
+        _native_id(id_col).alias("_id"),
         F.transform(
             shingles(F.col(text_col), shingle_n), lambda g: fn(g)
         ).alias("_hh"),
@@ -508,8 +582,14 @@ def _index_hash(name: str):
 def _write_index_meta_row(
     spark, path: str, num_hashes: int, bands: int, shingle_n: int,
     seed: int, hash_fn_marker: str, status: str = "committed",
+    token: "str | None" = None, pending_token: "str | None" = None,
 ) -> None:
-    """The index's ONE meta row. ``spark.range`` keeps this pure-JVM:
+    """The index's ONE meta row. ``token`` is the LAST committed append
+    token (the streaming sink's exactly-once handle — a retried append
+    whose token matches is a no-op); ``pending_token`` rides only in the
+    ``'__appending__'`` marker and names the IN-FLIGHT append, so a
+    crash recovery can verify the retry is the same batch instead of
+    trusting a docstring. ``spark.range`` keeps this pure-JVM:
     createDataFrame over a local Python list launches a Python-worker
     job (~6 s cold) for ONE row."""
     spark.range(1).select(
@@ -519,6 +599,8 @@ def _write_index_meta_row(
         F.lit(seed).cast("int").alias("seed"),
         F.lit(hash_fn_marker).alias("hash_fn"),
         F.lit(status).alias("status"),
+        F.lit(token).cast("string").alias("token"),
+        F.lit(pending_token).cast("string").alias("pending_token"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -539,6 +621,10 @@ def _read_index_meta(spark, path: str) -> dict:
         # pre-r8 indexes have no status column: they committed via the
         # hash_fn marker alone, so a readable row means committed
         "status": d.get("status", "committed"),
+        # pre-r9 indexes have no token columns: read as never-appended-
+        # by-token / nothing-in-flight
+        "token": d.get("token"),
+        "pending_token": d.get("pending_token"),
     }
 
 
@@ -551,7 +637,7 @@ def dedup_against_index(
     threshold: float = 0.5,
     broadcast_batch: bool = True,
     candidate_pushdown: bool = True,
-    max_pushdown_ids: int = 100_000,
+    max_pushdown_ids: int = 5_000,
 ) -> DataFrame:
     """Near-dup pairs of a NEW batch against a persisted corpus index —
     the incremental face of :func:`minhash_lsh_pairs`: identical
@@ -573,7 +659,10 @@ def dedup_against_index(
     the row-group/file footer level, so probe IO on the (near
     corpus-sized) shingle store scales with |candidates|, not |index|.
     More than ``max_pushdown_ids`` distinct candidates falls back to
-    the streaming join (driver state stays bounded). Jaccard is
+    the streaming join — driver state stays bounded, and a Catalyst
+    ``In`` with tens of thousands of literals bloats the plan and slows
+    optimization well before it helps IO, so the default stays at a few
+    thousand. Jaccard is
     computed over FULL-WIDTH hashed shingle sets (equal to gram Jaccard
     up to ~2^-60 collisions per pair)."""
     m = _read_index_meta(spark, path)
@@ -698,20 +787,39 @@ def _mv_dir(src: str, dst: str) -> None:
     f.move(p_src, p_dst)
 
 
-def _list_parquet_files(uri: str) -> "list[str]":
+def _list_parquet_files(uri: str) -> "list[tuple[object, str]]":
+    """(filesystem, path) pairs for every ``*.parquet`` under ``uri`` —
+    filesystem is None for local paths (plain ``open()``). Non-local
+    listings keep the pyarrow FileSystem object alongside each path
+    because ``FileInfo.path`` is SCHEME-LESS (e.g. ``bucket/key`` for
+    s3://) — round-tripping it through a URI-classifying opener would
+    misread it as a local path and fail with FileNotFoundError."""
     from ..sources.avro_ocf import _is_local, _local_path
 
     if _is_local(uri):
         import pathlib
 
         return sorted(
-            str(p) for p in pathlib.Path(_local_path(uri)).glob("*.parquet"))
+            (None, str(p))
+            for p in pathlib.Path(_local_path(uri)).glob("*.parquet"))
     from pyarrow import fs as pafs
 
     f, p = pafs.FileSystem.from_uri(uri)
     infos = f.get_file_info(pafs.FileSelector(p, allow_not_found=True))
-    return sorted(i.path for i in infos
-                  if i.is_file and i.path.endswith(".parquet"))
+    return sorted(
+        ((f, i.path) for i in infos
+         if i.is_file and i.path.endswith(".parquet")),
+        key=lambda t: t[1],
+    )
+
+
+def _open_listed(fs, path: str):
+    """Read handle for a :func:`_list_parquet_files` entry: plain
+    ``open()`` for local, the LISTING's FileSystem object otherwise
+    (its paths are scheme-less and must not be re-classified)."""
+    if fs is None:
+        return open(path, "rb")
+    return fs.open_input_file(path)
 
 
 def minhash_index_stats(spark, path: str) -> dict:
@@ -726,8 +834,6 @@ def minhash_index_stats(spark, path: str) -> dict:
       overlap another's — 0 right after a build/compaction; growth
       means the candidate pushdown's footer pruning is decaying.
     """
-    from ..sources.avro_ocf import _fs_open
-
     import pyarrow.parquet as pq
 
     m = _read_index_meta(spark, path)
@@ -736,8 +842,8 @@ def minhash_index_stats(spark, path: str) -> dict:
     bd_files = _list_parquet_files(f"{path}/bands")
     ranges = []
     sh_rows = 0
-    for fp in sh_files:
-        with _fs_open(fp) as fh:
+    for fs_, fp in sh_files:
+        with _open_listed(fs_, fp) as fh:
             md = pq.ParquetFile(fh).metadata
             sh_rows += md.num_rows
             lo = hi = None
@@ -752,8 +858,8 @@ def minhash_index_stats(spark, path: str) -> dict:
     overlapping = sum(
         1 for (_, hi), (lo, _) in zip(ranges, ranges[1:]) if hi > lo)
     bd_rows = 0
-    for fp in bd_files:
-        with _fs_open(fp) as fh:
+    for fs_, fp in bd_files:
+        with _open_listed(fs_, fp) as fh:
             bd_rows += pq.ParquetFile(fh).metadata.num_rows
     distinct_ids = (
         spark.read.parquet(f"{path}/shingles")
@@ -800,9 +906,12 @@ def compact_minhash_index(spark, path: str) -> None:
                 _mv_dir(comp, main)
             # else: this table's swap already completed in a previous
             # attempt — the marker guarantees the compact dir was whole
+        # token PRESERVED: compaction never consumes or produces a
+        # batch, and dropping it would let a blind retry of the last
+        # committed append re-append after a compaction
         _write_index_meta_row(
             spark, path, m["num_hashes"], m["bands"], m["shingle_n"],
-            m["seed"], m["hash_fn"], "committed",
+            m["seed"], m["hash_fn"], "committed", m["token"],
         )
 
     if m["status"] == "__compacting__":
@@ -824,7 +933,7 @@ def compact_minhash_index(spark, path: str) -> None:
         .write.mode("overwrite").parquet(bdc)
     _write_index_meta_row(
         spark, path, m["num_hashes"], m["bands"], m["shingle_n"],
-        m["seed"], m["hash_fn"], "__compacting__",
+        m["seed"], m["hash_fn"], "__compacting__", m["token"],
     )
     _swap_and_commit()
 
@@ -850,15 +959,23 @@ def _stream_dedup_sink(
        directory — a replayed batch REPLACES its pairs, never doubles;
     3. append the admitted docs (``admit="novel"``: only docs with no
        pair at/above threshold; ``"all"``: everything) to the index with
-       ``mode="append"``;
+       ``mode="append"`` and ``append_token=f"batch{batch_id}"``;
     4. record the batch id under ``{index_path}/batches`` LAST — the
        whole-batch commit marker.
 
     A crash between 3 and 4 leaves the index meta ``'__appending__'``;
     the replay detects that, REUSES the already-committed pairs (the
     append only starts after the pairs write succeeded, and batches run
-    sequentially, so the in-flight append can only be this batch's) and
+    sequentially, so the in-flight append can only be this batch's —
+    checked against the marker's ``pending_token``, not assumed) and
     re-runs the same append, whose duplicate rows the probe absorbs.
+    A crash WITHIN step 4 — the append committed but the batch id was
+    never recorded — is the window the token closes: the replay sees
+    its own token in the meta row, reuses the committed pairs instead
+    of re-probing an index that already contains the batch's own docs
+    (which would pair every doc with its own index copy at jaccard 1.0
+    and, under ``admit="novel"``, reject the whole batch), and the
+    re-append no-ops inside :func:`write_minhash_index`.
     WITHIN-batch duplicates are not collapsed here — pre-dedup the batch
     with :func:`minhash_lsh_pairs` if the source can repeat itself."""
     if admit not in ("novel", "all"):
@@ -882,10 +999,23 @@ def _stream_dedup_sink(
         if batch_id in applied:
             return
         m = _read_index_meta(spark, index_path)
+        token = f"batch{batch_id}"
         pairs_dir = f"{pairs_path}/batch={batch_id}"
-        if m["status"] == "__appending__":
-            # this batch's previous attempt died mid-append — its pairs
-            # are already committed (step 2 precedes step 3)
+        if m["status"] == "__appending__" and (
+            m["pending_token"] is not None and m["pending_token"] != token
+        ):
+            raise ValueError(
+                f"index at {index_path!r} has an in-flight append with "
+                f"token {m['pending_token']!r} that is not this batch's "
+                f"{token!r} — another writer died mid-append; re-run it "
+                "to completion first (one streaming query per index)"
+            )
+        if m["status"] == "__appending__" or m["token"] == token:
+            # this batch's previous attempt died mid-append, or its
+            # append COMMITTED but the batch id was never recorded —
+            # either way its pairs are already committed (step 2
+            # precedes step 3) and re-probing now would score the batch
+            # against its own half-or-fully appended docs
             pairs = spark.read.parquet(pairs_dir)
         else:
             dedup_against_index(
@@ -894,11 +1024,14 @@ def _stream_dedup_sink(
             ).write.mode("overwrite").parquet(pairs_dir)
             pairs = spark.read.parquet(pairs_dir)
         if admit == "novel":
+            # native-typed ids on both sides (pairs carry the batch's own
+            # id type) — a long cast here would null string/UUID ids and
+            # silently admit every duplicate
             dup_ids = pairs.select(
                 F.col("new_id").alias("_dup_id")).distinct()
             admitted = batch_df.join(
                 dup_ids,
-                batch_df[id_col].cast("long") == F.col("_dup_id"),
+                batch_df[id_col] == F.col("_dup_id"),
                 "left_anti",
             )
         else:
@@ -907,7 +1040,7 @@ def _stream_dedup_sink(
             admitted, index_path, id_col, text_col,
             num_hashes=m["num_hashes"], bands=m["bands"],
             shingle_n=m["shingle_n"], seed=m["seed"],
-            hash_fn=m["hash_fn"], mode="append",
+            hash_fn=m["hash_fn"], mode="append", append_token=token,
         )
         spark.range(1).select(
             F.lit(int(batch_id)).cast("long").alias("batch_id")
@@ -990,9 +1123,9 @@ def simhash_signatures(
     default to the xxhash64/64-bit scale path; pass
     (:func:`portable_hash60`, 60) for SQL-oracle parity.
     """
-    ids = df.select(F.col(id_col).cast("long").alias("_id"))
+    ids = df.select(_native_id(id_col).alias("_id"))
     toks = df.select(
-        F.col(id_col).cast("long").alias("_id"),
+        _native_id(id_col).alias("_id"),
         F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("_t"),
     ).select("_id", hash_fn(F.col("_t")).alias("_h"))
     # Per-bit vote aggregates and the signature assembly are SQL strings —
@@ -1247,7 +1380,7 @@ def decontaminate(
     """
     t = (
         train.select(
-            F.col(id_col).cast("long").alias("train_id"),
+            _native_id(id_col).alias("train_id"),
             F.explode(shingles(F.col(text_col), n)).alias("_g"),
         )
         # shingles() is per-document distinct, so the count below is the

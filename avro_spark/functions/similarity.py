@@ -439,11 +439,15 @@ def _write_ivf_meta(
     status: str,
     rows: int,
     token: "Optional[str]" = None,
+    pending_token: "Optional[str]" = None,
 ) -> None:
     """One meta row pinning the centroid matrix the data was assigned
     with (plus a status marker, the committed row count, and the LAST
     applied append token — the streaming sink's exactly-once handle).
-    Written via ``spark.range`` + plan literals — pure JVM, no
+    ``pending_token`` rides only in the ``'__appending__'`` marker and
+    names the IN-FLIGHT append, so crash recovery can verify a retry is
+    the same batch instead of silently adopting a different batch's
+    data. Written via ``spark.range`` + plan literals — pure JVM, no
     Python-worker job."""
     spark.range(1).select(
         _matrix_lit(centroids).alias("centroids"),
@@ -452,6 +456,7 @@ def _write_ivf_meta(
         F.lit(status).alias("status"),
         F.lit(int(rows)).cast("long").alias("rows"),
         F.lit(token).cast("string").alias("token"),
+        F.lit(pending_token).cast("string").alias("pending_token"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -476,6 +481,7 @@ def _read_ivf_meta(spark: "SparkSession", path: str) -> dict:
         "status": d["status"], "rows": d["rows"],
         # pre-token meta rows (early r8) read as never-appended-by-token
         "token": d.get("token"),
+        "pending_token": d.get("pending_token"),
     }
 
 
@@ -530,6 +536,28 @@ def write_ivf_index(
             )
         if append_token is not None and m["token"] == append_token:
             return  # this batch's append already committed — a retry
+        if m["status"] == "__appending__":
+            # the documented same-append retry — a retry carrying a
+            # DIFFERENT token is a different batch, and letting it run
+            # would silently adopt (or interleave with) the dead
+            # attempt's data as its own
+            if (m["pending_token"] is not None and append_token is not None
+                    and m["pending_token"] != append_token):
+                raise ValueError(
+                    f"index at {path!r} has an in-flight append with "
+                    f"token {m['pending_token']!r}; refusing append "
+                    f"with token {append_token!r} — re-run the dead "
+                    "append to completion first (appends are sequential)"
+                )
+        elif m["status"] != "committed":
+            # '__compacting__': committing an append here would cancel
+            # the pending recovery, and the later finish-the-swap would
+            # discard this append's rows
+            raise ValueError(
+                f"index at {path!r} has status {m['status']!r} — finish "
+                "the in-flight maintenance first (compact_ivf_index "
+                "recovers its own crashes), then append"
+            )
         if centroids is None:
             centroids = m["centroids"]
         elif [[float(x) for x in c] for c in centroids] != m["centroids"]:
@@ -542,15 +570,14 @@ def write_ivf_index(
         actual = spark.read.parquet(f"{path}/data").count()
         if m["status"] == "__appending__" and actual != m["rows"]:
             # the dead append's data job committed but its meta didn't:
-            # the retry must not double-append. (A retry with a
-            # DIFFERENT batch is a caller error — documented.)
+            # the retry (token-verified above) must not double-append
             _write_ivf_meta(spark, path, centroids, "committed", actual,
                             append_token)
             return
         # the marker row still carries the PREVIOUS token: this batch's
-        # token only lands at commit
+        # token only lands at commit; pending_token names THIS attempt
         _write_ivf_meta(spark, path, centroids, "__appending__", actual,
-                        m["token"])
+                        m["token"], append_token)
     elif mode == "overwrite":
         if centroids is None:
             raise ValueError("mode='overwrite' requires a centroid matrix")
@@ -648,7 +675,7 @@ def ivf_index_stats(spark: "SparkSession", path: str) -> dict:
 
     import pyarrow.parquet as pq
 
-    from ..sources.avro_ocf import _fs_open
+    from .dedup import _open_listed
 
     m = _read_ivf_meta(spark, path)
     out = {
@@ -661,24 +688,28 @@ def ivf_index_stats(spark: "SparkSession", path: str) -> dict:
     from ..sources.avro_ocf import _is_local, _local_path
 
     base = f"{path}/data"
+    # like dedup._list_parquet_files: non-local FileInfo.path values are
+    # SCHEME-LESS, so each path keeps its FileSystem object for opening
     if _is_local(base):
         import pathlib
 
         files = sorted(
-            str(p) for p in pathlib.Path(_local_path(base))
+            (None, str(p)) for p in pathlib.Path(_local_path(base))
             .glob("centroid_id=*/*.parquet"))
     else:  # enumerate partition dirs through the generic lister
         from pyarrow import fs as pafs
 
         f, p = pafs.FileSystem.from_uri(base)
         files = sorted(
-            i.path for i in f.get_file_info(
+            ((f, i.path) for i in f.get_file_info(
                 pafs.FileSelector(p, recursive=True, allow_not_found=True))
-            if i.is_file and i.path.endswith(".parquet"))
-    for fp in files:
+             if i.is_file and i.path.endswith(".parquet")),
+            key=lambda t: t[1],
+        )
+    for fs_, fp in files:
         n_files += 1
         per_part[os.path.dirname(fp)] += 1
-        with _fs_open(fp) as fh:
+        with _open_listed(fs_, fp) as fh:
             total_rows += pq.ParquetFile(fh).metadata.num_rows
     df = spark.read.parquet(base)
     dup = df.count() - df.distinct().count()
@@ -887,10 +918,12 @@ def cosine_lsh_pairs(
     is computed once and reused (ReusedExchange)."""
     if num_planes % bands:
         raise ValueError("num_planes must divide into bands evenly")
+    from .dedup import _native_id
+
     r = num_planes // bands
     mask = (1 << r) - 1
     docs = vectors.select(
-        F.col(id_col).cast("long").alias("_id"),
+        _native_id(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         l2_norm(vec_col, dim).alias("_n"),
         hyperplane_signature(F.col(vec_col), dim, num_planes, seed).alias("_sig"),

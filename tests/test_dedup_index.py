@@ -617,3 +617,178 @@ def test_fuzz_index_lifecycle_equals_built_at_once(spark, tmp_path_factory):
         assert got == want
 
     run()
+
+
+def test_native_string_ids_end_to_end(spark, tmp_path):
+    """r9 (VERDICT #1): string/UUID ids — the most common real-world id
+    shape — must work through the WHOLE index family. An earlier cut
+    blind-cast ids to long, silently NULLing them: the index stored one
+    merged NULL-id signature soup and admit='novel' admitted every
+    duplicate. Ids now keep their native type end to end."""
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "machine learning models require large curated training corpora",
+        "spark executes declarative dataframe plans through catalyst",
+        "near duplicate detection uses minhash signatures with banding",
+    ]
+    corpus_rows = [(f"c-{i:04d}-uuid", t) for i, t in enumerate(base)]
+    batch_rows = [
+        ("b-0000-uuid", base[0]),                                # exact dup
+        ("b-0001-uuid", base[1].replace("large", "massive")),    # near dup
+        ("b-0002-uuid", "a completely unrelated sentence about pasta"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id string, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id string, text string")
+    kw = dict(num_hashes=16, bands=4, shingle_n=3)
+
+    # in-corpus pairing keeps the string ids (no NULL soup)
+    union_pairs = D.minhash_lsh_pairs(
+        corpus.unionByName(batch), "doc_id", "text", **kw).collect()
+    assert union_pairs
+    assert all(isinstance(r["id_a"], str) and isinstance(r["id_b"], str)
+               for r in union_pairs)
+    want = set()
+    for r in union_pairs:
+        a, b = r["id_a"], r["id_b"]
+        if a.startswith("b-") != b.startswith("b-"):
+            new_id, corpus_id = (a, b) if a.startswith("b-") else (b, a)
+            want.add((new_id, corpus_id, round(r["jaccard"], 9)))
+
+    # the persisted index stores and probes native string ids
+    idx = str(tmp_path / "sidx")
+    D.write_minhash_index(corpus, idx, "doc_id", "text", **kw)
+    got = _probe_set(D.dedup_against_index(
+        spark, batch, idx, "doc_id", "text"))
+    assert got == want
+    assert ("b-0000-uuid", "c-0000-uuid", 1.0) in got
+
+    # streaming sink admit='novel': the exact dup is REJECTED (with the
+    # old long-cast, the NULL-keyed anti-join admitted everything)
+    pairs = str(tmp_path / "spairs")
+    sink = D._stream_dedup_sink(idx, pairs, "doc_id", "text",
+                                admit="novel")
+    sink(batch, 0)
+    rejected = {r["new_id"] for r in
+                spark.read.parquet(pairs + "/batch=0").collect()}
+    # exactly the batch docs with an index pair are rejected (the exact
+    # dup is always among them; the near dup only when banding recalled
+    # it — recall, not the id contract, is what varies here)
+    assert rejected == {n for n, _, _ in want}
+    assert "b-0000-uuid" in rejected
+    stored = {r["id"] for r in
+              spark.read.parquet(idx + "/shingles").collect()}
+    assert rejected.isdisjoint(stored)
+    assert "b-0002-uuid" in stored  # the novel doc was admitted
+
+    # simhash / ngram-jaccard keep native ids too
+    sp = D.simhash_pairs(corpus.unionByName(batch), "doc_id", "text",
+                         max_hamming=6)
+    assert all(isinstance(r["id_a"], str) for r in sp.collect())
+    np_ = D.ngram_jaccard_pairs(
+        corpus.unionByName(batch), "doc_id", "text", threshold=0.5)
+    assert {(r["id_a"], r["id_b"]) for r in np_.collect()} >= {
+        ("b-0000-uuid", "c-0000-uuid")}
+
+
+def test_null_ids_raise_loudly(spark, tmp_path):
+    """A NULL id is unkeyable under any scheme — it must raise per-row,
+    never silently merge documents."""
+    bad = spark.createDataFrame(
+        [(1, "some document text about spark plans"),
+         (None, "another document text about catalyst")],
+        "doc_id long, text string")
+    with pytest.raises(Exception, match="must be non-null"):
+        D.minhash_lsh_pairs(bad, "doc_id", "text",
+                            num_hashes=16, bands=4).collect()
+    with pytest.raises(Exception, match="must be non-null"):
+        D.write_minhash_index(bad, str(tmp_path / "nidx"),
+                              "doc_id", "text", num_hashes=16, bands=4)
+
+
+def test_sink_heals_committed_but_unrecorded_append(spark, tmp_path):
+    """r9 (ADVICE high): the crash window BETWEEN the append's commit and
+    the batch-id record. On replay the batch is unrecorded and the index
+    already contains the batch's own docs — without the append token the
+    sink would re-probe, pair every doc with its own index copy at
+    jaccard 1.0, and overwrite the pairs dir with that soup. The token
+    makes the replay reuse the committed pairs and no-op the append."""
+    corpus, batch = _docs(spark)
+    kw = dict(num_hashes=16, bands=4, shingle_n=3)
+    idx, pairs = str(tmp_path / "widx"), str(tmp_path / "wpairs")
+    D.write_minhash_index(corpus, idx, "doc_id", "text", **kw)
+
+    # manually run the sink's steps 2+3 for batch 1, then "crash" before
+    # step 4 (the batch-id record)
+    pairs_dir = pairs + "/batch=1"
+    D.dedup_against_index(spark, batch, idx, "doc_id", "text") \
+        .write.mode("overwrite").parquet(pairs_dir)
+    committed_pairs = _probe_set(spark.read.parquet(pairs_dir))
+    D.write_minhash_index(batch, idx, "doc_id", "text", mode="append",
+                          append_token="batch1", **kw)
+    assert D._read_index_meta(spark, idx)["token"] == "batch1"
+    shingle_rows = spark.read.parquet(idx + "/shingles").count()
+
+    sink = D._stream_dedup_sink(idx, pairs, "doc_id", "text", admit="all")
+    sink(batch, 1)  # the replay
+    # pairs are the committed ones — not a re-probe against an index
+    # that already holds the batch (which would add self-pairs at 1.0)
+    assert _probe_set(spark.read.parquet(pairs_dir)) == committed_pairs
+    assert not any(n == c for n, c, _ in
+                   _probe_set(spark.read.parquet(pairs_dir)))
+    # the re-append no-opped; the batch id is now recorded
+    assert spark.read.parquet(idx + "/shingles").count() == shingle_rows
+    assert 1 in {r[0] for r in
+                 spark.read.parquet(idx + "/batches").collect()}
+    m = D._read_index_meta(spark, idx)
+    assert m["status"] == "committed" and m["token"] == "batch1"
+
+
+def test_append_refused_while_compacting(spark, tmp_path):
+    """r9 (ADVICE low): an append against a '__compacting__' index would
+    cancel the pending finish-the-swap recovery and its rows would be
+    discarded by it — refuse loudly, heal via compaction, then append."""
+    corpus, batch = _docs(spark)
+    kw = dict(num_hashes=16, bands=4, shingle_n=3)
+    idx = str(tmp_path / "cidx")
+    D.write_minhash_index(corpus, idx, "doc_id", "text", **kw)
+    m = D._read_index_meta(spark, idx)
+    D._write_index_meta_row(spark, idx, m["num_hashes"], m["bands"],
+                            m["shingle_n"], m["seed"], m["hash_fn"],
+                            "__compacting__")
+    with pytest.raises(ValueError, match="finish the in-flight"):
+        D.write_minhash_index(batch, idx, "doc_id", "text",
+                              mode="append", **kw)
+    D.compact_minhash_index(spark, idx)  # finish-the-swap recovery
+    D.write_minhash_index(batch, idx, "doc_id", "text",
+                          mode="append", **kw)
+    assert D._read_index_meta(spark, idx)["status"] == "committed"
+
+
+def test_append_token_mismatch_refused_and_survives_compaction(
+        spark, tmp_path):
+    """r9: a retry carrying a DIFFERENT token than the in-flight append's
+    pending_token is a different batch — refused loudly. The committed
+    token survives compaction (a blind same-batch retry still no-ops)."""
+    corpus, batch = _docs(spark)
+    kw = dict(num_hashes=16, bands=4, shingle_n=3)
+    idx = str(tmp_path / "tidx")
+    D.write_minhash_index(corpus, idx, "doc_id", "text", **kw)
+    m = D._read_index_meta(spark, idx)
+    # simulate a dead mid-append attempt for batch 5
+    D._write_index_meta_row(spark, idx, m["num_hashes"], m["bands"],
+                            m["shingle_n"], m["seed"], m["hash_fn"],
+                            "__appending__", None, "batch5")
+    with pytest.raises(ValueError, match="in-flight append with"):
+        D.write_minhash_index(batch, idx, "doc_id", "text",
+                              mode="append", append_token="batch6", **kw)
+    # the SAME batch's retry is the documented recovery
+    D.write_minhash_index(batch, idx, "doc_id", "text",
+                          mode="append", append_token="batch5", **kw)
+    m = D._read_index_meta(spark, idx)
+    assert m["status"] == "committed" and m["token"] == "batch5"
+    D.compact_minhash_index(spark, idx)
+    assert D._read_index_meta(spark, idx)["token"] == "batch5"
+    rows = spark.read.parquet(idx + "/shingles").count()
+    D.write_minhash_index(batch, idx, "doc_id", "text",
+                          mode="append", append_token="batch5", **kw)
+    assert spark.read.parquet(idx + "/shingles").count() == rows  # no-op

@@ -586,3 +586,52 @@ def test_stream_ivf_index_exactly_once(spark, tmp_path):
     S.compact_ivf_index(spark, idx)
     S.write_ivf_index(b2, None, idx, mode="append", append_token="batch77")
     assert spark.read.parquet(idx + "/data").count() == n1
+
+
+def test_ivf_append_pending_token_verified(spark, tmp_path):
+    """r9 (ADVICE low): the '__appending__' marker records the in-flight
+    append's token, so a retry carrying a DIFFERENT token is refused
+    loudly instead of silently adopting the dead attempt's data as its
+    own; appends against a '__compacting__' index are refused too."""
+    import pytest
+
+    import avro_spark.functions.similarity as S
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = S.sample_centroids(emb, 8)
+    idx = str(tmp_path / "pend")
+    base = emb.where("vec_id % 2 = 0")
+    batch = emb.where("vec_id % 2 = 1")
+    S.write_ivf_index(base, cents, idx)
+    base_rows = spark.read.parquet(idx + "/data").count()
+
+    # dead attempt for batch7: data landed, meta commit didn't — the
+    # marker carries pending_token='batch7'
+    S._write_ivf_meta(spark, idx, cents, "__appending__", base_rows,
+                      None, "batch7")
+    S.write_ivf_index(batch, None, idx, mode="append",
+                      append_token="batch7")  # same-batch retry: heals
+    n1 = spark.read.parquet(idx + "/data").count()
+    m = S._read_ivf_meta(spark, idx)
+    assert m["status"] == "committed" and m["token"] == "batch7"
+
+    # a DIFFERENT batch against a dead attempt: refused loudly
+    S._write_ivf_meta(spark, idx, cents, "__appending__", n1,
+                      "batch7", "batch8")
+    with pytest.raises(ValueError, match="in-flight append with"):
+        S.write_ivf_index(batch, None, idx, mode="append",
+                          append_token="batch9")
+    # heal: the same batch8 retry completes
+    S.write_ivf_index(batch.limit(0), None, idx, mode="append",
+                      append_token="batch8")
+    assert S._read_ivf_meta(spark, idx)["status"] == "committed"
+
+    # '__compacting__' refuses appends until recovery finishes
+    m = S._read_ivf_meta(spark, idx)
+    S._write_ivf_meta(spark, idx, cents, "__compacting__", m["rows"],
+                      m["token"])
+    with pytest.raises(ValueError, match="finish the in-flight"):
+        S.write_ivf_index(batch, None, idx, mode="append",
+                          append_token="batch10")
+    S.compact_ivf_index(spark, idx)  # finish-the-swap recovery
+    assert S._read_ivf_meta(spark, idx)["status"] == "committed"

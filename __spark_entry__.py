@@ -22,10 +22,47 @@ from pyspark.sql import functions as F
 
 import avro_spark
 from avro_spark.functions import dedup as D
+from avro_spark.functions import ivfpq_index as PQI
 from avro_spark.functions import similarity as S
 from avro_spark.functions import text as X
 from avro_spark.operators import multimodal as M
 from avro_spark.operators.conform import conform
+
+# ------------------------------------------------------- gate temp dirs
+#: the previous invocation's temp dirs, per gate (see _fresh_dirs)
+_GATE_DIRS: "dict[str, list[str]]" = {}
+
+
+def _fresh_dirs(gate: str, *prefixes: str) -> "list[str]":
+    """Temp dirs for a write-then-read gate, one per prefix. Bench runs
+    every gate several times (warm + timed) and a naive
+    mkdtemp-per-call accumulated full index/table copies under /tmp
+    within one session (VERDICT r8 #3). Each invocation REMOVES the
+    same gate's previous dirs first — safe because every runner (the
+    driver, bench, verify_oracle, pytest) fully collects a gate's
+    result DataFrame before invoking it again — and the final set is
+    removed at interpreter exit. Fresh dirs per invocation keep bench
+    honest: each timed run re-does the gate's real write work instead
+    of replaying a previous run's on-disk state."""
+    import atexit
+    import shutil
+    import tempfile
+
+    for d in _GATE_DIRS.pop(gate, []):
+        shutil.rmtree(d, ignore_errors=True)
+    dirs = [tempfile.mkdtemp(prefix=p) for p in prefixes]
+    _GATE_DIRS[gate] = dirs
+    if not getattr(_fresh_dirs, "_hooked", False):
+        _fresh_dirs._hooked = True  # type: ignore[attr-defined]
+
+        def _cleanup() -> None:
+            for ds in _GATE_DIRS.values():
+                for d in ds:
+                    shutil.rmtree(d, ignore_errors=True)
+
+        atexit.register(_cleanup)
+    return dirs
+
 
 # ----------------------------------------------------------------- schemas
 CUSTOMER_NESTED = {
@@ -531,7 +568,7 @@ def q_avro_ocf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nat = _read(spark, sf_dir, "nation")
     sch = avro_spark.create(NATION_SCHEMA)
-    out = tempfile.mkdtemp(prefix="ocf_")
+    out = _fresh_dirs("avro_ocf_roundtrip", "ocf_")[0]
     write_avro_files(nat, sch, out, codec="deflate")
     return read_avro_files(spark, out, sch)
 
@@ -560,7 +597,7 @@ def q_ocf_split_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         }
     )
-    out = tempfile.mkdtemp(prefix="ocf_split_")
+    out = _fresh_dirs("ocf_split_read", "ocf_split_")[0]
     write_avro_files(orders.repartition(1), sch, out, block_records=256)
     return read_avro_files(spark, out, sch, split_bytes=4096)
 
@@ -611,7 +648,7 @@ def q_ocf_projected_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         }
     )
-    out = tempfile.mkdtemp(prefix="ocf_proj_")
+    out = _fresh_dirs("ocf_projected_read", "ocf_proj_")[0]
     write_avro_files(orders.repartition(2), sch, out, block_records=256)
     got = read_avro_files(
         spark, out, sch,
@@ -651,7 +688,7 @@ def q_ocf_snappy_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         }
     )
-    out = tempfile.mkdtemp(prefix="ocf_snappy_")
+    out = _fresh_dirs("ocf_snappy_read", "ocf_snappy_")[0]
     write_avro_files(
         orders.repartition(2), sch, out, codec="snappy", block_records=256
     )
@@ -686,7 +723,7 @@ def q_ocf_zstd_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         }
     )
-    out = tempfile.mkdtemp(prefix="ocf_zstd_")
+    out = _fresh_dirs("ocf_zstd_read", "ocf_zstd_")[0]
     write_avro_files(
         orders.repartition(2), sch, out, codec="zstandard", block_records=256
     )
@@ -720,8 +757,8 @@ def q_ocf_mixed_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"name": "o_orderkey", "type": "long"},
             {"name": "o_custkey", "type": "long"},
             {"name": "o_totalprice", "type": "double", "default": 0.0}]})
-    d = tempfile.mkdtemp(prefix="ocf_mixed_")
-    t1, t2 = tempfile.mkdtemp(), tempfile.mkdtemp()
+    d, t1, t2 = _fresh_dirs(
+        "ocf_mixed_writers", "ocf_mixed_", "ocf_mixed_t1_", "ocf_mixed_t2_")
     write_avro_files(
         orders.filter(F.col("o_orderkey") % 2 == 0)
         .select("o_orderkey", "o_custkey").repartition(2),
@@ -749,7 +786,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     docs = _read(spark, sf_dir, "documents")
-    idx = tempfile.mkdtemp(prefix="mh_idx_")
+    idx = _fresh_dirs("incremental_dedup", "mh_idx_")[0]
     D.write_minhash_index(
         docs.where(F.col("doc_id") % 2 == 0), idx, "doc_id", "text",
         num_hashes=64, bands=16, shingle_n=3, seed=1,
@@ -764,40 +801,57 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _streaming_dedup_gate(
+    spark: SparkSession, sf_dir: str, n_batches: int, gate: str
+) -> DataFrame:
     """The STREAMING face of the persisted index (r8,
     functions/dedup.py _stream_dedup_sink / dedup_stream_against_index):
-    doc_id%3==0 seeds the corpus index; batches 0 (%3==1) and 1 (%3==2)
-    flow through the foreachBatch sink with admit="all" — each batch
-    reports its pairs under pairs/batch=<id>/ and GROWS the index, so
-    batch 1 pairs against the corpus AND batch 0. The sink callable is
-    driven directly (the exact unit a streaming query executes per
-    micro-batch) so batch order is deterministic for the oracle; the
-    end-to-end query path is pinned by
-    tests/test_dedup_index.py::test_stream_dedup_exactly_once.
+    doc_id % (n_batches+1) == 0 seeds the corpus index; residues 1..n
+    are micro-batches 0..n-1 through the foreachBatch sink with
+    admit="all" — each batch reports its pairs under pairs/batch=<id>/
+    and GROWS the index, so batch k pairs against the corpus AND every
+    earlier batch. The sink callable is driven directly (the exact unit
+    a streaming query executes per micro-batch) so batch order is
+    deterministic for the oracle; the end-to-end query path and the
+    exactly-once replay/crash windows are pinned by
+    tests/test_dedup_index.py.
 
     doc_id < 1800 caps the corpus: a no-op at the sf0.01 correctness
     scale (500 docs), and at bench scale it keeps the gate measuring
     what is NEW here — the per-batch probe/append/commit job chain —
     rather than re-measuring signature hashing throughput, which
-    minhash_lsh and incremental_dedup already cover."""
-    import tempfile
-
+    incremental_dedup already covers."""
+    mod = n_batches + 1
     docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 1800)
-    idx = tempfile.mkdtemp(prefix="mh_sidx_")
-    pairs = tempfile.mkdtemp(prefix="mh_spairs_")
+    idx, pairs = _fresh_dirs(gate, "mh_sidx_", "mh_spairs_")
     D.write_minhash_index(
-        docs.where(F.col("doc_id") % 3 == 0), idx, "doc_id", "text",
+        docs.where(F.col("doc_id") % mod == 0), idx, "doc_id", "text",
         num_hashes=64, bands=16, shingle_n=3, seed=1,
         hash_fn="portable_hash60",
     )
     sink = D._stream_dedup_sink(idx, pairs, "doc_id", "text",
                                 threshold=0.5, admit="all")
-    sink(docs.where(F.col("doc_id") % 3 == 1), 0)
-    sink(docs.where(F.col("doc_id") % 3 == 2), 1)
+    for b in range(n_batches):
+        sink(docs.where(F.col("doc_id") % mod == b + 1), b)
     return spark.read.parquet(pairs).select(
         "new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One seed + ONE micro-batch — the window shape (r9, VERDICT #8):
+    proves the full probe → pairs → token-guarded append → batch-record
+    chain at roughly half the job count of the two-batch variant, which
+    stays oracle-checked in extras (streaming_incremental_dedup2)."""
+    return _streaming_dedup_gate(spark, sf_dir, 1,
+                                 "streaming_incremental_dedup")
+
+
+def q_streaming_incremental_dedup2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two sequential micro-batches: batch 1 pairs against the corpus
+    AND batch 0's admitted docs — the index-GROWTH face."""
+    return _streaming_dedup_gate(spark, sf_dir, 2,
+                                 "streaming_incremental_dedup2")
 
 
 def q_jsonl_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -832,7 +886,7 @@ def q_jsonl_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         }
     )
-    out = tempfile.mkdtemp(prefix="jsonl_avro_")
+    out = _fresh_dirs("jsonl_avro_roundtrip", "jsonl_avro_")[0]
     write_jsonl_avro(ev, sch, out)
     back = read_jsonl(
         spark, out, schema=sch, avro_conventions=True,
@@ -1024,7 +1078,7 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         }
     )
-    out = tempfile.mkdtemp(prefix="jsonl_")
+    out = _fresh_dirs("jsonl_roundtrip", "jsonl_")[0]
     write_jsonl(docs, out)
     return read_jsonl(spark, out, sch)
 
@@ -1051,7 +1105,7 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         }
     )
-    out = tempfile.mkdtemp(prefix="csv_")
+    out = _fresh_dirs("csv_roundtrip", "csv_")[0]
     write_csv(sup, out)
     return read_csv(spark, out, sch)
 
@@ -1186,7 +1240,7 @@ def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from avro_spark import streaming as ST
 
     ev = _read(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="events_stream_")
+    tmp = _fresh_dirs("streaming_window", "events_stream_")[0]
     # older driver parquet stores TIMESTAMP(NANOS) (read as long nanos via
     # nanosAsLong); newer testdata carries TIMESTAMP(MICROS) read as NTZ.
     # Watermarks require TIMESTAMP (with tz): convert/cast accordingly
@@ -1220,7 +1274,7 @@ def q_streaming_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _read(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
     )
-    tmp = tempfile.mkdtemp(prefix="orders_stream_")
+    tmp = _fresh_dirs("streaming_flatten", "orders_stream_")[0]
     orders.write.mode("overwrite").parquet(tmp)
     src = ST.stream_source(spark, tmp)
     # writer→reader evolution (reversed field order) applied to the
@@ -1264,7 +1318,7 @@ def q_ocf_evolved_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"name": "tier", "type": "int", "default": 1},
         ],
     })
-    out = tempfile.mkdtemp(prefix="ocf_evo_")
+    out = _fresh_dirs("ocf_evolved_read", "ocf_evo_")[0]
     write_avro_files(nat, v1, out, codec="deflate")
     # no rmtree: the returned DataFrame is lazy and reads these files
     # when the driver executes it (same as q_avro_ocf_roundtrip)
@@ -1286,7 +1340,7 @@ def q_streaming_ocf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nat = _read(spark, sf_dir, "nation")
     sch = avro_spark.create(NATION_SCHEMA)
-    tmp = tempfile.mkdtemp(prefix="ocf_stream_")
+    tmp = _fresh_dirs("streaming_ocf_source", "ocf_stream_")[0]
     write_avro_files(nat.repartition(3), sch, tmp, codec="deflate")
     src = ST.read_avro_stream(spark, tmp, sch)
     table = f"ocf_stream_{uuid.uuid4().hex[:8]}"
@@ -1311,7 +1365,7 @@ def q_streaming_avro_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nat = _read(spark, sf_dir, "nation")
     sch = avro_spark.create(NATION_SCHEMA)
-    tmp = tempfile.mkdtemp(prefix="avro_stream_")
+    tmp = _fresh_dirs("streaming_avro_decode", "avro_stream_")[0]
     to_avro_bytes(nat, sch, "value").write.mode("overwrite").parquet(tmp)
     src = ST.stream_source(spark, tmp)
     dec = from_avro_bytes(src, "value", sch)
@@ -1595,7 +1649,10 @@ def q_knn_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = S.kmeans_centroids(emb, 16, iters=1, seed_centroids=seeds)
     idx = _IVF_INDEX_DIRS.get(sf_dir)
     if idx is None:
-        idx = tempfile.mkdtemp(prefix="ivf_index_")
+        # registered under a per-sf gate key so the exit hook removes it;
+        # NOT rotated per call — the cache exists so bench's repeated runs
+        # measure the PROBE, the production shape (build once, query often)
+        idx = _fresh_dirs(f"knn_ivf_indexed:{sf_dir}", "ivf_index_")[0]
         S.write_ivf_index(emb, cents, idx)
         _IVF_INDEX_DIRS[sf_dir] = idx
     # centroids=None: the probe reads the PINNED matrix from the index's
@@ -1819,6 +1876,45 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = S.pq_codebooks(emb, m=8, k=16, refine_iters=1)
     return S.knn_ivfpq(emb, queries, cents, books, k=5, nprobe=4).select(
         "query_id", "rank", "vec_id", F.round("approx_cosine", 6).alias("approx_cosine")
+    )
+
+
+#: one persisted IVF-PQ index per sf_dir per process (see the q_ docstring)
+_IVFPQ_INDEX_DIRS: dict = {}
+
+
+def q_knn_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED IVF-PQ index (r9, functions/ivfpq_index.py): the
+    same deterministic seeds as knn_ivfpq (16 seed centroids, m=8
+    codebooks with one Lloyd round), written as m-smallint codes
+    partitioned by centroid_id plus a range-sorted raw sidecar. The
+    probe scans ~nprobe/16 of the CODES (partition-pruned,
+    plan-asserted in tests/test_ivfpq_index.py), shortlists the
+    per-query top-8 by asymmetric PQ score, and reranks the shortlist
+    with EXACT cosines read from the sidecar under an `id IN (...)`
+    footer-pruned scan — so the oracle is the knn_ivfpq SQL plus an
+    exact top-5-of-8 rerank stage.
+
+    Like q_knn_ivf_indexed, the index is deterministic and written ONCE
+    per (process, sf_dir) so bench measures the PROBE — the production
+    shape (build once, query often)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    idx = _IVFPQ_INDEX_DIRS.get(sf_dir)
+    if idx is None:
+        cents = S.sample_centroids(emb, 16)
+        books = S.pq_codebooks(emb, m=8, k=16, refine_iters=1)
+        idx = _fresh_dirs(f"knn_ivfpq_indexed:{sf_dir}", "ivfpq_index_")[0]
+        PQI.write_ivfpq_index(emb, cents, books, idx)
+        _IVFPQ_INDEX_DIRS[sf_dir] = idx
+    # centroids/codebooks=None: the probe reads the PINNED parameters
+    # from the meta row — the checked-contract path
+    return PQI.knn_ivfpq_indexed(
+        spark, idx, queries, k=5, nprobe=4, rerank=8
+    ).select(
+        "query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine")
     )
 
 
@@ -2403,7 +2499,7 @@ def q_sized_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = repartition_for_output(
         docs, target_bytes=target, n_rows=n, bytes_per_row=bpr
     )
-    out = tempfile.mkdtemp(prefix="sized_out_")
+    out = _fresh_dirs("sized_output", "sized_out_")[0]
     sized.write.mode("overwrite").parquet(out)
     files = [
         f for f in _glob.glob(_os.path.join(out, "part-*"))
@@ -2541,6 +2637,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # OCF file boundary (guards the r5 JVM-OCF work)
         "ocf_evolved_read": q_ocf_evolved_read,
         "wire_roundtrip": q_wire_roundtrip,
+        # fingerprint ROTATED IN r9 (VERDICT #7): A10 Parsing-Canonical-
+        # Form sha256 fingerprints get a direct driver row (previously
+        # pass-by-twin via wire_roundtrip's schema ids only)
+        "fingerprint": q_fingerprint,
         "conform_json": q_conform_json,
         "jsonl_avro_roundtrip": q_jsonl_avro_roundtrip,
         "compat_matrix": q_compat_matrix,
@@ -2550,9 +2650,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming_flatten folded (4 greens; twins streaming_window —
         # same readStream harness — + streaming_ocf_source, which runs
         # the identical flatten chain over the streaming OCF source)
-        "streaming_window": q_streaming_window,
-        # streaming_ocf_source NEW IN WINDOW: readStream OCF decode chain
+        # streaming_window folded r9 (8 greens; twin streaming_ocf_source
+        # — the same readStream + foreachBatch harness — stays in window,
+        # plus streaming_flatten extras)
+        # streaming_ocf_source: readStream OCF decode chain
         "streaming_ocf_source": q_streaming_ocf_source,
+        # streaming_incremental_dedup ROTATED IN r9 (VERDICT #2): the r8
+        # flagship — per-micro-batch probe → pairs → token-guarded
+        # append → batch record — gets a driver row (window shape: one
+        # seed + one batch per VERDICT #8; the two-batch growth face
+        # stays oracle-checked as streaming_incremental_dedup2 extras)
+        "streaming_incremental_dedup": q_streaming_incremental_dedup,
         # temporal: asof_join + moving_stats folded r5 (2 greens each);
         # range_join's r5 hash-red was the oracle's uncast HUGEINT sum —
         # fixed with CAST(... AS BIGINT), stays in-window for the green
@@ -2595,7 +2703,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "dup_span_removal": q_dup_span_removal,
         "nb_quality": q_nb_quality,
-        "minhash_lsh": q_minhash_lsh,
+        # minhash_lsh folded r9 (8 greens; twins incremental_dedup —
+        # identical banding + exact-Jaccard verify against the persisted
+        # store — + streaming_incremental_dedup, both IN WINDOW)
         # incremental_dedup ROTATED IN r8 (VERDICT #3): the persisted
         # MinHash index build + probe — now with the candidate-pushdown
         # data-skipping layout (twin minhash_lsh, identical banding)
@@ -2609,8 +2719,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # identical assignment/probe against the PERSISTED index)
         # knn_pq folded r7 (3 greens; twins knn_ivfpq — the same PQ
         # encode/reconstruct plus the IVF probe — + knn_ivf_indexed)
-        "knn_ivfpq": q_knn_ivfpq,
-        # knn_ivf_indexed NEW: write_ivf_index + partition-pruned probe —
+        # knn_ivfpq folded r9 (4 greens; twin knn_ivfpq_indexed IN
+        # WINDOW — the identical PQ train/encode/asymmetric-score
+        # machinery, now against the PERSISTED index — + knn_pq extras)
+        # knn_ivfpq_indexed NEW r9 (VERDICT #3): the persisted IVF-PQ
+        # index — m-smallint codes scan + exact rerank from the sidecar
+        "knn_ivfpq_indexed": q_knn_ivfpq_indexed,
+        # knn_ivf_indexed: write_ivf_index + partition-pruned probe —
         # the production repeated-query ANN path
         "knn_ivf_indexed": q_knn_ivf_indexed,
         # decontaminate_emb folded r8 (≥3 greens; twin
@@ -2656,11 +2771,16 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocf_split_read": q_ocf_split_read,
         "decontaminate_emb": q_decontaminate_emb,
         "length_quantiles": q_length_quantiles,
-        # NEW r8: the streaming face of the persisted index — two
-        # sequential foreachBatch micro-batches, admit="all", the
-        # second batch pairing against the first's admitted docs
-        # (twin incremental_dedup IN WINDOW, identical banding/verify)
-        "streaming_incremental_dedup": q_streaming_incremental_dedup,
+        # round-9 rotation: streaming_incremental_dedup + fingerprint
+        # PROMOTED to the window; folded in exchange (twin notes in
+        # queries()):
+        "minhash_lsh": q_minhash_lsh,
+        "streaming_window": q_streaming_window,
+        # the two-batch growth face of the streaming dedup sink — batch
+        # 1 pairs against the corpus AND batch 0's admitted docs (the
+        # window keeps the one-batch shape, VERDICT r8 #8)
+        "streaming_incremental_dedup2": q_streaming_incremental_dedup2,
+        "knn_ivfpq": q_knn_ivfpq,
         # round-7 rotation: folded with >= 2 driver-green rounds each,
         # twins noted in queries()
         "heavy_hitters": q_heavy_hitters,
@@ -2741,7 +2861,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # give the four round-3 gates a CORRECTNESS row (see queries())
         "avro_ocf_roundtrip": q_avro_ocf_roundtrip,
         "jsonl_roundtrip": q_jsonl_roundtrip,
-        "fingerprint": q_fingerprint,
+        # (fingerprint promoted to the window in r9)
         "flat_layout": q_flat_layout,
         # round-4 rotation: slots given to dup_span_removal + nb_quality
         "avro_roundtrip": q_avro_roundtrip,
@@ -2867,14 +2987,15 @@ def _incremental_dedup_oracle() -> str:
         """
 
 
-def _streaming_incremental_dedup_oracle() -> str:
-    """DuckDB replica of q_streaming_incremental_dedup: identical
+def _streaming_incremental_dedup_oracle(mod: int = 3) -> str:
+    """DuckDB replica of the _streaming_dedup_gate family: identical
     machinery to _incremental_dedup_oracle, but docs carry a STAGE
-    (doc_id % 3: 0 = corpus, 1 = batch 0, 2 = batch 1) and a pair is
-    reported when the new doc's stage is strictly LATER than the old
-    doc's — batch 1 pairs against corpus ∪ batch 0 because admit="all"
+    (doc_id % mod: 0 = corpus, k = batch k-1) and a pair is reported
+    when the new doc's stage is strictly LATER than the old doc's —
+    batch k pairs against corpus ∪ earlier batches because admit="all"
     grew the index between batches; same-stage pairs are within-batch
-    and not reported."""
+    and not reported. mod=2 is the window gate (one batch), mod=3 the
+    extras growth gate (two batches)."""
     params = D._perm_params(64, seed=1)
     h = _PH60.format(x="gram")
     mins = ",\n                     ".join(
@@ -2912,7 +3033,7 @@ def _streaming_incremental_dedup_oracle() -> str:
             cand AS (
               SELECT b.doc_id AS new_id, a.doc_id AS corpus_id
               FROM sig a JOIN sig b
-                ON (a.doc_id % 3) < (b.doc_id % 3) AND ({band_eq})),
+                ON (a.doc_id % {mod}) < (b.doc_id % {mod}) AND ({band_eq})),
             ver AS (
               SELECT c.new_id, c.corpus_id,
                      CAST(len(list_intersect(x.hset, y.hset)) AS DOUBLE) AS inter,
@@ -2990,6 +3111,143 @@ def _cosine_lsh_oracle() -> str:
             WHERE CASE WHEN a.nrm * b.nrm > 0
                        THEN list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
                        ELSE 0.0 END >= 0.45
+        """
+
+
+def _knn_ivfpq_oracle(indexed: bool = False) -> str:
+    """DuckDB replica of the IVF-PQ machinery (seed IVF centroids from
+    the 16 lowest-id vectors, PQ codebooks from the same seeds with ONE
+    Lloyd refinement round, nprobe=4 asymmetric scoring). With
+    ``indexed`` the PQ ranking becomes the per-query top-8 SHORTLIST and
+    the answer is the EXACT-cosine top-5 within it — exactly
+    knn_ivfpq_indexed(rerank=8)'s two-stage contract."""
+    body = """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            seed AS (SELECT * FROM e ORDER BY vec_id LIMIT 16),
+            -- IVF side: full-dim normalized centroids
+            cnorm AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                     CASE WHEN sqrt(list_dot_product(v, v)) > 0
+                          THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                          ELSE list_transform(v, x -> 0.0) END AS cv
+              FROM seed),
+            assign_scored AS (
+              SELECT e.vec_id, c.cid,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid ASC) AS rn
+              FROM e CROSS JOIN cnorm c),
+            assigned AS (SELECT vec_id, cid AS centroid_id FROM assign_scored WHERE rn = 1),
+            probe_scored AS (
+              SELECT q.vec_id AS query_id, c.cid,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(q.v, c.cv) DESC, c.cid ASC) AS rn
+              FROM e q CROSS JOIN cnorm c WHERE q.vec_id < 10),
+            probes AS (SELECT query_id, cid FROM probe_scored WHERE rn <= 4),
+            -- PQ side: per-subspace codebooks from the same 16 seeds
+            codev AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v FROM seed),
+            books AS (
+              SELECT s.s, c.code, list_slice(c.v, s.s*8 + 1, s.s*8 + 8) AS cv
+              FROM (SELECT unnest(generate_series(0, 7)) AS s) s
+              CROSS JOIN codev c),
+            bnorm AS (
+              SELECT s, code, cv, list_dot_product(cv, cv) AS cc FROM books),
+            enc_scored AS (
+              SELECT e.vec_id, b.s, b.code,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id, b.s
+                       ORDER BY (-2.0 * list_dot_product(
+                                   list_slice(e.v, b.s*8 + 1, b.s*8 + 8),
+                                   b.cv) + b.cc) ASC, b.code ASC) AS rn
+              FROM e CROSS JOIN bnorm b),
+            enc0 AS (SELECT vec_id, s, code FROM enc_scored WHERE rn = 1),
+            -- PQ Lloyd round 1 (mirrors pq_codebooks(refine_iters=1)):
+            -- per-(subspace, code, position) means rounded to 9dp;
+            -- untouched codes keep their seed slice
+            comp_pq AS (
+              SELECT s, code, p.pos AS pos, p.x AS x
+              FROM (
+                SELECT enc0.s AS s, enc0.code AS code,
+                       unnest(list_transform(
+                         generate_series(1, 8),
+                         j -> {'pos': j, 'x': e2.v[enc0.s*8 + j]})) AS p
+                FROM enc0 JOIN e e2 ON e2.vec_id = enc0.vec_id)),
+            meansub AS (
+              SELECT s, code, list(m ORDER BY pos) AS mv
+              FROM (SELECT s, code, pos, round(avg(x), 9) AS m
+                    FROM comp_pq GROUP BY s, code, pos)
+              GROUP BY s, code),
+            books1 AS (
+              SELECT b.s, b.code, COALESCE(m.mv, b.cv) AS cv
+              FROM books b LEFT JOIN meansub m ON m.s = b.s AND m.code = b.code),
+            bnorm1 AS (
+              SELECT s, code, cv, list_dot_product(cv, cv) AS cc FROM books1),
+            enc1_scored AS (
+              SELECT e.vec_id, b.s, b.code,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id, b.s
+                       ORDER BY (-2.0 * list_dot_product(
+                                   list_slice(e.v, b.s*8 + 1, b.s*8 + 8),
+                                   b.cv) + b.cc) ASC, b.code ASC) AS rn
+              FROM e CROSS JOIN bnorm1 b),
+            enc AS (SELECT vec_id, s, code FROM enc1_scored WHERE rn = 1),
+            recon AS (
+              SELECT enc.vec_id, flatten(list(b.cv ORDER BY enc.s)) AS rv
+              FROM enc JOIN bnorm1 b ON b.s = enc.s AND b.code = enc.code
+              GROUP BY enc.vec_id),
+            rnorm AS (
+              SELECT vec_id, rv, sqrt(list_dot_product(rv, rv)) AS nr FROM recon),
+            q AS (
+              SELECT vec_id AS query_id, v AS qv,
+                     sqrt(list_dot_product(v, v)) AS nq
+              FROM e WHERE vec_id < 10),
+            cand AS (
+              SELECT p.query_id, a.vec_id
+              FROM assigned a JOIN probes p ON a.centroid_id = p.cid
+              WHERE a.vec_id != p.query_id),
+            scored AS (
+              SELECT c.query_id, c.vec_id,
+                     CASE WHEN r.nr * q.nq > 0
+                          THEN list_dot_product(r.rv, q.qv) / (r.nr * q.nq)
+                          ELSE 0.0 END AS ac
+              FROM cand c
+              JOIN rnorm r ON r.vec_id = c.vec_id
+              JOIN q ON q.query_id = c.query_id),
+            ranked AS (
+              SELECT query_id, vec_id, ac,
+                     row_number() OVER (
+                       PARTITION BY query_id ORDER BY ac DESC, vec_id) AS rank
+              FROM scored)"""
+    if not indexed:
+        return body + """
+            SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
+                   round(ac, 6) AS approx_cosine
+            FROM ranked WHERE rank <= 5
+        """
+    return body + """,
+            short AS (SELECT query_id, vec_id FROM ranked WHERE rank <= 8),
+            en2 AS (
+              SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e),
+            ex AS (
+              SELECT s.query_id, s.vec_id,
+                     CASE WHEN en2.nv * q.nq > 0
+                          THEN list_dot_product(en2.v, q.qv) / (en2.nv * q.nq)
+                          ELSE 0.0 END AS cosine
+              FROM short s
+              JOIN en2 ON en2.vec_id = s.vec_id
+              JOIN q ON q.query_id = s.query_id),
+            final AS (
+              SELECT query_id, vec_id, cosine,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id) AS rank
+              FROM ex)
+            SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
+                   round(cosine, 6) AS cosine
+            FROM final WHERE rank <= 5
         """
 
 
@@ -3735,7 +3993,8 @@ def _oracles_extra() -> dict[str, str]:
             FROM orders
         """,
         "incremental_dedup": _incremental_dedup_oracle(),
-        "streaming_incremental_dedup": _streaming_incremental_dedup_oracle(),
+        "streaming_incremental_dedup": _streaming_incremental_dedup_oracle(2),
+        "streaming_incremental_dedup2": _streaming_incremental_dedup_oracle(3),
         "media_probe": """
             SELECT doc_id,
                    CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'webm' END AS container,
@@ -4361,110 +4620,8 @@ def _oracles_extra() -> dict[str, str]:
                    CAST(t.n_total - COALESCE(r.n_kept, 0) AS INTEGER) AS n_removed
             FROM totals t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
         """,
-        "knn_ivfpq": """
-            WITH e AS (
-              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-            seed AS (SELECT * FROM e ORDER BY vec_id LIMIT 16),
-            -- IVF side: full-dim normalized centroids
-            cnorm AS (
-              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
-                     CASE WHEN sqrt(list_dot_product(v, v)) > 0
-                          THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
-                          ELSE list_transform(v, x -> 0.0) END AS cv
-              FROM seed),
-            assign_scored AS (
-              SELECT e.vec_id, c.cid,
-                     row_number() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid ASC) AS rn
-              FROM e CROSS JOIN cnorm c),
-            assigned AS (SELECT vec_id, cid AS centroid_id FROM assign_scored WHERE rn = 1),
-            probe_scored AS (
-              SELECT q.vec_id AS query_id, c.cid,
-                     row_number() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY list_dot_product(q.v, c.cv) DESC, c.cid ASC) AS rn
-              FROM e q CROSS JOIN cnorm c WHERE q.vec_id < 10),
-            probes AS (SELECT query_id, cid FROM probe_scored WHERE rn <= 4),
-            -- PQ side: per-subspace codebooks from the same 16 seeds
-            codev AS (
-              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v FROM seed),
-            books AS (
-              SELECT s.s, c.code, list_slice(c.v, s.s*8 + 1, s.s*8 + 8) AS cv
-              FROM (SELECT unnest(generate_series(0, 7)) AS s) s
-              CROSS JOIN codev c),
-            bnorm AS (
-              SELECT s, code, cv, list_dot_product(cv, cv) AS cc FROM books),
-            enc_scored AS (
-              SELECT e.vec_id, b.s, b.code,
-                     row_number() OVER (
-                       PARTITION BY e.vec_id, b.s
-                       ORDER BY (-2.0 * list_dot_product(
-                                   list_slice(e.v, b.s*8 + 1, b.s*8 + 8),
-                                   b.cv) + b.cc) ASC, b.code ASC) AS rn
-              FROM e CROSS JOIN bnorm b),
-            enc0 AS (SELECT vec_id, s, code FROM enc_scored WHERE rn = 1),
-            -- PQ Lloyd round 1 (mirrors pq_codebooks(refine_iters=1)):
-            -- per-(subspace, code, position) means rounded to 9dp;
-            -- untouched codes keep their seed slice
-            comp_pq AS (
-              SELECT s, code, p.pos AS pos, p.x AS x
-              FROM (
-                SELECT enc0.s AS s, enc0.code AS code,
-                       unnest(list_transform(
-                         generate_series(1, 8),
-                         j -> {'pos': j, 'x': e2.v[enc0.s*8 + j]})) AS p
-                FROM enc0 JOIN e e2 ON e2.vec_id = enc0.vec_id)),
-            meansub AS (
-              SELECT s, code, list(m ORDER BY pos) AS mv
-              FROM (SELECT s, code, pos, round(avg(x), 9) AS m
-                    FROM comp_pq GROUP BY s, code, pos)
-              GROUP BY s, code),
-            books1 AS (
-              SELECT b.s, b.code, COALESCE(m.mv, b.cv) AS cv
-              FROM books b LEFT JOIN meansub m ON m.s = b.s AND m.code = b.code),
-            bnorm1 AS (
-              SELECT s, code, cv, list_dot_product(cv, cv) AS cc FROM books1),
-            enc1_scored AS (
-              SELECT e.vec_id, b.s, b.code,
-                     row_number() OVER (
-                       PARTITION BY e.vec_id, b.s
-                       ORDER BY (-2.0 * list_dot_product(
-                                   list_slice(e.v, b.s*8 + 1, b.s*8 + 8),
-                                   b.cv) + b.cc) ASC, b.code ASC) AS rn
-              FROM e CROSS JOIN bnorm1 b),
-            enc AS (SELECT vec_id, s, code FROM enc1_scored WHERE rn = 1),
-            recon AS (
-              SELECT enc.vec_id, flatten(list(b.cv ORDER BY enc.s)) AS rv
-              FROM enc JOIN bnorm1 b ON b.s = enc.s AND b.code = enc.code
-              GROUP BY enc.vec_id),
-            rnorm AS (
-              SELECT vec_id, rv, sqrt(list_dot_product(rv, rv)) AS nr FROM recon),
-            q AS (
-              SELECT vec_id AS query_id, v AS qv,
-                     sqrt(list_dot_product(v, v)) AS nq
-              FROM e WHERE vec_id < 10),
-            cand AS (
-              SELECT p.query_id, a.vec_id
-              FROM assigned a JOIN probes p ON a.centroid_id = p.cid
-              WHERE a.vec_id != p.query_id),
-            scored AS (
-              SELECT c.query_id, c.vec_id,
-                     CASE WHEN r.nr * q.nq > 0
-                          THEN list_dot_product(r.rv, q.qv) / (r.nr * q.nq)
-                          ELSE 0.0 END AS ac
-              FROM cand c
-              JOIN rnorm r ON r.vec_id = c.vec_id
-              JOIN q ON q.query_id = c.query_id),
-            ranked AS (
-              SELECT query_id, vec_id, ac,
-                     row_number() OVER (
-                       PARTITION BY query_id ORDER BY ac DESC, vec_id) AS rank
-              FROM scored)
-            SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
-                   round(ac, 6) AS approx_cosine
-            FROM ranked WHERE rank <= 5
-        """,
+        "knn_ivfpq": _knn_ivfpq_oracle(),
+        "knn_ivfpq_indexed": _knn_ivfpq_oracle(indexed=True),
         "gopher_rules": f"""
             WITH m AS (
               SELECT doc_id,

@@ -386,7 +386,7 @@ def minhash_lsh_pairs(
 _INDEX_HASHES = ("xxhash64", "portable_hash60")
 
 
-def write_minhash_index(
+def _write_minhash_index_unlocked(
     df: DataFrame,
     path: str,
     id_col: str,
@@ -502,8 +502,9 @@ def write_minhash_index(
         # two leaves the meta row naming an invalid hash, so a probe
         # (or a stale-parameter rebuild that died after bands but before
         # meta) fails LOUDLY instead of banding with mismatched
-        # parameters and silently finding nothing. In-place rebuilds
-        # while another job probes the index are still not supported.
+        # parameters and silently finding nothing. Concurrent WRITERS are
+        # refused by the single-writer lease (the public wrapper);
+        # probing DURING a rebuild still reads tables mid-replacement.
         _write_meta("__building__")
     else:
         raise ValueError(f"bad mode: {mode}")
@@ -822,6 +823,131 @@ def _open_listed(fs, path: str):
     return fs.open_input_file(path)
 
 
+# ------------------------------------------------ single-writer lease
+def _lease_uri(path: str) -> str:
+    return f"{path.rstrip('/')}/_writer_lease.json"
+
+
+def _read_lease(uri: str) -> "dict | None":
+    import json
+
+    from ..sources.avro_ocf import _is_local, _local_path
+
+    try:
+        if _is_local(uri):
+            with open(_local_path(uri)) as fh:
+                return json.loads(fh.read())
+        from pyarrow import fs as pafs
+
+        f, p = pafs.FileSystem.from_uri(uri)
+        with f.open_input_file(p) as fh:
+            return json.loads(fh.read().decode("utf-8"))
+    except FileNotFoundError:
+        return None
+
+
+def _rm_lease(uri: str) -> None:
+    from ..sources.avro_ocf import _is_local, _local_path
+
+    if _is_local(uri):
+        import os
+
+        try:
+            os.remove(_local_path(uri))
+        except FileNotFoundError:
+            pass
+        return
+    from pyarrow import fs as pafs
+
+    f, p = pafs.FileSystem.from_uri(uri)
+    try:
+        f.delete_file(p)
+    except FileNotFoundError:
+        pass
+
+
+def acquire_index_lease(path: str, op: str, ttl_sec: int = 3600) -> str:
+    """Take the index's single-writer lease, or refuse loudly.
+
+    Every mutating index operation (append, rebuild, compaction, split)
+    acquires this before touching the meta row — turning the old
+    docstring convention "concurrent writers are not supported" into a
+    CHECKED contract: two concurrent appenders would interleave
+    ``__appending__``/``committed`` meta overwrites and corrupt the
+    exactly-once invariants, so the second writer now fails with a
+    named, aged lease instead. A lease older than its ``ttl_sec`` is
+    STALE (the writer died without releasing — the crash-recovery
+    story already handles its half-written data) and is taken over.
+    Long-running jobs should pass a ttl comfortably above their
+    expected runtime.
+
+    Local filesystems get a race-free ``O_CREAT|O_EXCL`` create; object
+    stores have no atomic create-if-absent through pyarrow, so there
+    the check-then-write leaves a small race window — the lease is
+    belt-and-suspenders on top of the marker discipline, not a
+    distributed lock service. Returns the lease token for
+    :func:`release_index_lease`."""
+    import json
+    import os
+    import time
+    import uuid
+
+    from ..sources.avro_ocf import _is_local, _local_path
+
+    uri = _lease_uri(path)
+    token = uuid.uuid4().hex
+    payload = json.dumps(
+        {"token": token, "op": op, "ts": time.time(), "ttl_sec": ttl_sec}
+    )
+    for _ in range(3):  # initial try + up to 2 stale takeovers/races
+        if _is_local(uri):
+            lp = _local_path(uri)
+            os.makedirs(os.path.dirname(lp), exist_ok=True)
+            try:
+                fd = os.open(lp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as fh:
+                    fh.write(payload)
+                return token
+            except FileExistsError:
+                pass
+        else:
+            from pyarrow import fs as pafs
+
+            f, p = pafs.FileSystem.from_uri(uri)
+            if f.get_file_info(p).type == pafs.FileType.NotFound:
+                with f.open_output_stream(p) as fh:
+                    fh.write(payload.encode("utf-8"))
+                return token
+        cur = _read_lease(uri)
+        if cur is None:
+            continue  # holder released between our create and read
+        age = time.time() - cur.get("ts", 0)
+        if age > cur.get("ttl_sec", ttl_sec):
+            _rm_lease(uri)  # stale: the writer died — take over
+            continue
+        raise ValueError(
+            f"index at {path!r} has a live writer lease "
+            f"(op={cur.get('op')!r}, age={age:.0f}s of "
+            f"{cur.get('ttl_sec')}s) — one writer at a time; wait for "
+            "it to finish or, if it is known dead, delete "
+            f"{_lease_uri(path)!r}"
+        )
+    raise ValueError(
+        f"could not acquire the writer lease at {path!r} after retries"
+    )
+
+
+def release_index_lease(path: str, token: str) -> bool:
+    """Release the lease IF we still hold it. Returns False (without
+    touching the file) when another writer took over a stale lease —
+    removing theirs would let a third writer in."""
+    cur = _read_lease(_lease_uri(path))
+    if cur is None or cur.get("token") != token:
+        return False
+    _rm_lease(_lease_uri(path))
+    return True
+
+
 def minhash_index_stats(spark, path: str) -> dict:
     """Health report for a persisted MinHash index — the
     "do I need :func:`compact_minhash_index`?" signal. Footer-only
@@ -876,7 +1002,7 @@ def minhash_index_stats(spark, path: str) -> dict:
     return out
 
 
-def compact_minhash_index(spark, path: str) -> None:
+def _compact_minhash_index_unlocked(spark, path: str) -> None:
     """Rewrite the index's two tables into fresh range-sorted files —
     the maintenance pass a daily-append index eventually needs: each
     ``mode="append"`` adds its own (small, batch-sorted) files, so after
@@ -894,7 +1020,9 @@ def compact_minhash_index(spark, path: str) -> None:
     probes meanwhile refuse loudly. The directory swap uses a
     filesystem move (atomic-enough on local/HDFS; on object stores
     pyarrow emulates it per object — prefer compact-into-a-new-path
-    there). Not supported concurrently with appends or probes."""
+    there). Concurrent writers are refused by the single-writer
+    lease (public wrapper); probes mid-compaction refuse via the
+    marker."""
     m = _read_index_meta(spark, path)
     sh, bd = f"{path}/shingles", f"{path}/bands"
     shc, bdc = f"{path}/shingles_compact", f"{path}/bands_compact"
@@ -936,6 +1064,46 @@ def compact_minhash_index(spark, path: str) -> None:
         m["seed"], m["hash_fn"], "__compacting__", m["token"],
     )
     _swap_and_commit()
+
+
+
+def write_minhash_index(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 1,
+    hash_fn: str = "xxhash64",
+    mode: str = "overwrite",
+    append_token: "str | None" = None,
+) -> None:
+    """Public face of :func:`_write_minhash_index_unlocked` (see its
+    docstring for layout + crash discipline), under the index's
+    SINGLE-WRITER lease (:func:`acquire_index_lease`): a concurrent
+    rebuild/append/compaction is refused loudly instead of interleaving
+    meta overwrites; a dead writer's stale lease is taken over after
+    its ttl and healed by the normal marker recovery."""
+    lt = acquire_index_lease(path, f"minhash-{mode}")
+    try:
+        _write_minhash_index_unlocked(
+            df, path, id_col, text_col, num_hashes, bands, shingle_n,
+            seed, hash_fn, mode, append_token,
+        )
+    finally:
+        release_index_lease(path, lt)
+
+
+def compact_minhash_index(spark, path: str) -> None:
+    """Public face of :func:`_compact_minhash_index_unlocked`, under
+    the single-writer lease (see :func:`write_minhash_index`)."""
+    lt = acquire_index_lease(path, "minhash-compact")
+    try:
+        _compact_minhash_index_unlocked(spark, path)
+    finally:
+        release_index_lease(path, lt)
 
 
 # ------------------------------------ streaming face of incremental dedup
@@ -982,19 +1150,19 @@ def _stream_dedup_sink(
         raise ValueError(f"bad admit: {admit}")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
         spark = batch_df.sparkSession
-        try:
+        # existence check, not a caught read error: a MISSING registry
+        # means first-batch-ever, while a registry that exists but
+        # cannot be read is CORRUPT and must fail the query loudly, not
+        # silently replay every batch (the probe absorbs replayed
+        # pairs, but the index would re-append)
+        if _dir_exists(f"{index_path}/batches"):
             applied = {
                 r[0]
                 for r in spark.read.parquet(
                     f"{index_path}/batches").collect()
             }
-        except AnalysisException:  # first batch ever: no registry yet.
-            # ONLY path-not-found — a CORRUPT registry must fail the
-            # query loudly, not silently replay every batch (the probe
-            # absorbs replayed pairs, but the index would re-append)
+        else:
             applied = set()
         if batch_id in applied:
             return

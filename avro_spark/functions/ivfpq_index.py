@@ -1,0 +1,535 @@
+"""Persisted IVF-PQ index — the 100 TB repeated-query ANN shape.
+
+:func:`avro_spark.functions.similarity.write_ivf_index` stores raw
+d-float vectors, so the index is corpus-sized and every scanned row in
+a probed partition carries d·8 bytes. This module stores the same
+inverted-file layout with PRODUCT-QUANTIZED rows instead — ``m`` small
+codes per vector (Jégou, Douze, Schmid 2011, "Product Quantization for
+Nearest Neighbor Search") — plus a raw-vector SIDECAR read only for the
+exact rerank of each query's shortlist:
+
+* ``{path}/meta`` — ONE row pinning the centroid matrix AND the PQ
+  codebooks the data was encoded with (the checked-contract machinery
+  of the r8 IVF index: drifted caller-supplied parameters are refused
+  loudly), a status marker, the committed row count, and the last/
+  pending append tokens (exactly-once appends).
+* ``{path}/codes`` — (id, codes array<smallint>) partitioned by
+  ``centroid_id``: what probes SCAN. ~m bytes of payload per row vs
+  d·4 — a 16-32× reduction in probe IO at the same nprobe/k pruning.
+* ``{path}/raw`` — (id, vector, norm) partitioned by ``centroid_id``
+  and range-sorted by id within partitions: what the exact rerank
+  reads, pruned by BOTH the probed partitions and an ``id IN (...)``
+  shortlist pushdown (the same footer-level data skipping the MinHash
+  index probe uses).
+
+Probe = partition-pruned code scan → asymmetric scoring (exact query ×
+PQ reconstruction, identical math to :func:`similarity.knn_ivfpq`) →
+per-query top-``rerank`` shortlist → exact cosine from the sidecar →
+top-k. With ``rerank`` ≥ the probed candidate count the result equals
+:func:`similarity.knn_ivf_indexed` exactly; smaller ``rerank`` trades
+recall for reading ~|shortlist| sidecar rows instead of ~nprobe/k of
+the corpus.
+
+Crash discipline mirrors the MinHash index (two data tables per write):
+``'__appending__'`` marker first with a ``pending_token``, commit last
+with the batch token; recovery is re-running the SAME append (probes
+absorb the retry's duplicate rows via per-id dropDuplicates), a blind
+retry of a COMMITTED batch no-ops on the token, a different batch
+against a dead append is refused loudly, and appends against a
+``'__compacting__'`` index are refused.
+
+No Python UDFs anywhere: encode/reconstruct/score are the codegen'd
+higher-order-function expressions from :mod:`similarity`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import (
+    _argmax_centroid,
+    _cube_lit,
+    _matrix_lit,
+    _normalize_rows,
+    as_double,
+    dot,
+    l2_norm,
+    pq_codes,
+    pq_reconstruct,
+)
+
+
+def _write_ivfpq_meta(
+    spark,
+    path: str,
+    centroids: Sequence[Sequence[float]],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    status: str,
+    rows: int,
+    token: "Optional[str]" = None,
+    pending_token: "Optional[str]" = None,
+) -> None:
+    """The index's ONE meta row: centroid matrix + PQ codebooks as plan
+    literals (pure JVM — no Python-worker job), marker discipline as in
+    the IVF/MinHash indexes."""
+    spark.range(1).select(
+        _matrix_lit(centroids).alias("centroids"),
+        _cube_lit(codebooks).alias("codebooks"),
+        F.lit(len(centroids[0])).cast("int").alias("dim"),
+        F.lit(len(codebooks)).cast("int").alias("m"),
+        F.lit(len(codebooks[0])).cast("int").alias("ksub"),
+        F.lit("l2-cosine").alias("norm"),
+        F.lit(status).alias("status"),
+        F.lit(int(rows)).cast("long").alias("rows"),
+        F.lit(token).cast("string").alias("token"),
+        F.lit(pending_token).cast("string").alias("pending_token"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _read_ivfpq_meta(spark, path: str) -> dict:
+    try:
+        row = spark.read.parquet(f"{path}/meta").head()
+    except Exception as e:  # AnalysisException: no meta dir at all
+        raise ValueError(
+            f"no IVF-PQ index meta at {path!r}/meta — not a "
+            "write_ivfpq_index index; rebuild it with write_ivfpq_index"
+        ) from e
+    if row is None:
+        raise ValueError(
+            "IVF-PQ index meta is empty — the index is mid-rebuild or "
+            "corrupt; rebuild it with write_ivfpq_index"
+        )
+    d = row.asDict()
+    return {
+        "centroids": [[float(x) for x in c] for c in d["centroids"]],
+        "codebooks": [
+            [[float(x) for x in c] for c in book] for book in d["codebooks"]
+        ],
+        "dim": d["dim"], "m": d["m"], "ksub": d["ksub"], "norm": d["norm"],
+        "status": d["status"], "rows": d["rows"],
+        "token": d.get("token"),
+        "pending_token": d.get("pending_token"),
+    }
+
+
+def _write_ivfpq_index_unlocked(
+    vectors: DataFrame,
+    centroids: Optional[Sequence[Sequence[float]]],
+    codebooks: Optional[Sequence[Sequence[Sequence[float]]]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+    append_token: "Optional[str]" = None,
+) -> None:
+    """Materialize the IVF-PQ index (module docstring has the layout).
+
+    ``mode="overwrite"`` requires both a centroid matrix and PQ
+    codebooks (train with :func:`similarity.kmeans_centroids` /
+    :func:`similarity.pq_codebooks`). ``mode="append"`` grows the index
+    with new vectors: ``centroids=None`` / ``codebooks=None`` reuse the
+    PINNED parameters from the meta row; supplied values must match
+    them exactly (drifted centroids would route new vectors to the
+    wrong partitions, drifted codebooks would make their codes decode
+    against the wrong entries — both silent-recall-loss bugs, so both
+    are refused loudly). ``append_token`` gives exactly-once blind
+    retries, as in the MinHash/IVF indexes."""
+    spark = vectors.sparkSession
+    prev_token = None
+    if mode == "append":
+        m = _read_ivfpq_meta(spark, path)
+        if m["status"] == "__building__":
+            raise ValueError(
+                "index is mid-rebuild (status '__building__') — rebuild "
+                "it with write_ivfpq_index(mode='overwrite')"
+            )
+        if append_token is not None and m["token"] == append_token:
+            return  # this batch's append already committed — a retry
+        if m["status"] == "__appending__":
+            if (m["pending_token"] is not None and append_token is not None
+                    and m["pending_token"] != append_token):
+                raise ValueError(
+                    f"index at {path!r} has an in-flight append with "
+                    f"token {m['pending_token']!r}; refusing append "
+                    f"with token {append_token!r} — re-run the dead "
+                    "append to completion first (appends are sequential)"
+                )
+        elif m["status"] != "committed":
+            raise ValueError(
+                f"index at {path!r} has status {m['status']!r} — finish "
+                "the in-flight maintenance first, then append"
+            )
+        if centroids is None:
+            centroids = m["centroids"]
+        elif [[float(x) for x in c] for c in centroids] != m["centroids"]:
+            raise ValueError(
+                "append centroids do not match the index's pinned "
+                "centroid matrix — drifted centroids would assign new "
+                "vectors to the wrong partitions; pass centroids=None"
+            )
+        if codebooks is None:
+            codebooks = m["codebooks"]
+        elif [
+            [[float(x) for x in c] for c in b] for b in codebooks
+        ] != m["codebooks"]:
+            raise ValueError(
+                "append codebooks do not match the index's pinned PQ "
+                "codebooks — drifted codebooks decode stored codes "
+                "against the wrong entries; pass codebooks=None"
+            )
+        prev_token = m["token"]
+        # in-flight marker FIRST (carries the PREVIOUS committed token +
+        # this attempt's pending_token), commit LAST — a crash between
+        # the codes and raw writes fails probes loudly, and recovery is
+        # re-running the SAME append (probes absorb duplicate rows)
+        _write_ivfpq_meta(spark, path, centroids, codebooks,
+                          "__appending__", m["rows"], prev_token,
+                          append_token)
+    elif mode == "overwrite":
+        if centroids is None or codebooks is None:
+            raise ValueError(
+                "mode='overwrite' requires a centroid matrix and PQ "
+                "codebooks"
+            )
+        _write_ivfpq_meta(spark, path, centroids, codebooks,
+                          "__building__", 0)
+    else:
+        raise ValueError(f"bad mode: {mode}")
+    # ONE pass computes assignment + codes + norms (all narrow); persist
+    # so the two table writes don't re-encode the corpus from source
+    enc = vectors.select(
+        F.col(id_col),
+        as_double(F.col(vec_col)).alias(vec_col),
+        l2_norm(vec_col).alias("_nv"),
+        _argmax_centroid(F.col(vec_col), centroids).alias("centroid_id"),
+        F.transform(
+            pq_codes(F.col(vec_col), codebooks),
+            lambda c: c.cast("smallint"),
+        ).alias("codes"),
+    ).persist()
+    try:
+        # codes: the probe's scan side — m smallints/row, partition-
+        # pruned by the probed centroid set
+        enc.select(id_col, "codes", "centroid_id") \
+            .write.mode(mode).partitionBy("centroid_id") \
+            .parquet(f"{path}/codes")
+        # raw sidecar: exact-rerank side — sorted by id within each
+        # centroid partition so the shortlist's `id IN (...)` pushdown
+        # prunes at the parquet footer level. The vector column is
+        # stored under the FIXED name "_v" so probes need no vec_col.
+        enc.select(
+            id_col, F.col(vec_col).alias("_v"), "_nv", "centroid_id"
+        ).repartition("centroid_id") \
+            .sortWithinPartitions("centroid_id", id_col) \
+            .write.mode(mode).partitionBy("centroid_id") \
+            .parquet(f"{path}/raw")
+    finally:
+        enc.unpersist()
+    total = spark.read.parquet(f"{path}/codes").count()
+    _write_ivfpq_meta(spark, path, centroids, codebooks, "committed",
+                      total,
+                      append_token if mode == "append" else None)
+
+
+
+def write_ivfpq_index(
+    vectors: DataFrame,
+    centroids: Optional[Sequence[Sequence[float]]],
+    codebooks: Optional[Sequence[Sequence[Sequence[float]]]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+    append_token: "Optional[str]" = None,
+) -> None:
+    """Public face of :func:`_write_ivfpq_index_unlocked` (see its
+    docstring), under the index's SINGLE-WRITER lease: a concurrent
+    rebuild/append/compaction is refused loudly instead of interleaving
+    meta overwrites; a dead writer's stale lease is taken over after
+    its ttl."""
+    from .dedup import acquire_index_lease, release_index_lease
+
+    lt = acquire_index_lease(path, f"ivfpq-{mode}")
+    try:
+        _write_ivfpq_index_unlocked(
+            vectors, centroids, codebooks, path, id_col, vec_col, mode,
+            append_token,
+        )
+    finally:
+        release_index_lease(path, lt)
+
+
+def compact_ivfpq_index(spark, path: str) -> None:
+    """Public face of :func:`_compact_ivfpq_index_unlocked`, under the
+    single-writer lease (see :func:`write_ivfpq_index`)."""
+    from .dedup import acquire_index_lease, release_index_lease
+
+    lt = acquire_index_lease(path, "ivfpq-compact")
+    try:
+        _compact_ivfpq_index_unlocked(spark, path)
+    finally:
+        release_index_lease(path, lt)
+
+
+def knn_ivfpq_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: Optional[Sequence[Sequence[float]]] = None,
+    codebooks: Optional[Sequence[Sequence[Sequence[float]]]] = None,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "q_embedding",
+    exclude_self: bool = True,
+    max_pushdown_ids: int = 5_000,
+) -> DataFrame:
+    """Probe a :func:`write_ivfpq_index` index: partition-pruned code
+    scan → asymmetric PQ scoring → per-query top-``rerank`` shortlist →
+    EXACT cosine rerank from the raw sidecar → top-``k``. Returns
+    (query_id, rank, vec_id, cosine) with exact cosines (ties →
+    vec_id asc). Centroids/codebooks come FROM the meta row; supplied
+    values that don't match the pinned ones are refused loudly.
+
+    Scale shape: the code scan reads ~nprobe/k of the corpus at ~m
+    bytes/row; the sidecar read is bounded by |queries|·rerank rows —
+    pushed into the scan as ``id IN (...)`` against the range-sorted
+    layout (falls back to the streaming join past
+    ``max_pushdown_ids``, keeping driver state bounded). The rerank
+    join is a broadcast of the shortlist; nothing corpus-sized ever
+    shuffles."""
+    m = _read_ivfpq_meta(spark, path)
+    if m["status"] != "committed":
+        raise ValueError(
+            f"IVF-PQ index at {path!r} has status {m['status']!r} — a "
+            "rebuild or append died part-way; re-run it to completion, "
+            "then probe"
+        )
+    if centroids is not None and (
+        [[float(x) for x in c] for c in centroids] != m["centroids"]
+    ):
+        raise ValueError(
+            "supplied centroids do not match the matrix this index was "
+            "built with — pass centroids=None to use the pinned matrix"
+        )
+    if codebooks is not None and (
+        [[[float(x) for x in c] for c in b] for b in codebooks]
+        != m["codebooks"]
+    ):
+        raise ValueError(
+            "supplied codebooks do not match the PQ codebooks this "
+            "index was built with — pass codebooks=None to use the "
+            "pinned ones"
+        )
+    centroids, codebooks = m["centroids"], m["codebooks"]
+    dim = len(centroids[0])
+    cmat = _matrix_lit(_normalize_rows(centroids))
+    nprobe = min(nprobe, len(centroids))
+    rerank = max(rerank, k)
+
+    def probes(q):
+        # sim desc, ties → LOWEST cid (matches _argmax_centroid)
+        scored = F.transform(
+            cmat,
+            lambda c, i: F.struct(
+                dot(q, c).alias("sim"),
+                (-i).cast("int").alias("ncid"),
+                i.cast("int").alias("cid"),
+            ),
+        )
+        return F.transform(
+            F.slice(F.reverse(F.array_sort(scored)), 1, nprobe),
+            lambda s: s["cid"],
+        )
+
+    from .text import let as _let
+
+    probe_sets = queries.select(
+        F.col(query_id_col),
+        as_double(F.col(query_vec_col)).alias("_qv"),
+        l2_norm(query_vec_col, dim).alias("_nq"),
+        _let(as_double(F.col(query_vec_col)), probes).alias("_probe_cids"),
+    )
+    # bounded driver state: |queries| × nprobe ints — the scan filter
+    probed = sorted(
+        {int(c) for r in probe_sets.select("_probe_cids").collect()
+         for c in r[0]}
+    )
+    # dropDuplicates: a retried append re-appends its rows; one code row
+    # per id keeps the shortlist window from double-counting
+    codes = spark.read.parquet(f"{path}/codes").where(
+        F.col("centroid_id").isin(probed)).dropDuplicates([id_col])
+    recon = pq_reconstruct(F.col("codes"), codebooks)
+    big = codes.select(
+        F.col(id_col), F.col("centroid_id"), recon.alias("_rv")
+    ).select(
+        id_col, "centroid_id", "_rv", l2_norm("_rv").alias("_nr")
+    )
+    cond = F.array_contains(F.col("_probe_cids"), F.col("centroid_id"))
+    if exclude_self:
+        cond = cond & (F.col(id_col) != F.col(query_id_col))
+    cand = big.join(F.broadcast(probe_sets), cond)
+    denom = F.col("_nr") * F.col("_nq")
+    approx = cand.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.when(denom > 0, dot("_rv", "_qv") / denom)
+        .otherwise(F.lit(0.0))
+        .alias("_ac"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("_ac"), F.col(id_col))
+    shortlist = (
+        approx.withColumn("_arank", F.row_number().over(w))
+        .where(F.col("_arank") <= rerank)
+        .select(query_id_col, id_col)
+        # the shortlist is |queries|·rerank rows — what the rerank
+        # exists to score; checkpoint so the code scan never re-runs
+        .localCheckpoint(eager=True)
+    )
+    raw = spark.read.parquet(f"{path}/raw").where(
+        F.col("centroid_id").isin(probed))
+    ids = [
+        r[0]
+        for r in shortlist.select(id_col).distinct()
+        .limit(max_pushdown_ids + 1).collect()
+    ]
+    if len(ids) <= max_pushdown_ids:
+        # footer-level pruning against the range-sorted sidecar layout
+        raw = raw.where(F.col(id_col).isin(ids))
+    raw = raw.select(id_col, "_nv", "_v").dropDuplicates([id_col])
+    qn = queries.select(
+        F.col(query_id_col),
+        as_double(F.col(query_vec_col)).alias("_qv"),
+        l2_norm(query_vec_col, dim).alias("_nq"),
+    )
+    denom2 = F.col("_nv") * F.col("_nq")
+    exact = (
+        F.broadcast(shortlist)
+        .join(raw, id_col)
+        .join(F.broadcast(qn), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.when(denom2 > 0, dot("_v", "_qv") / denom2)
+            .otherwise(F.lit(0.0))
+            .alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.col(id_col))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "cosine")
+    )
+
+
+def ivfpq_index_stats(spark, path: str) -> dict:
+    """Health report (footer-only except one count-vs-distinct job):
+    meta status/dims, per-table file counts + footer rows, duplicate
+    rows (retry residue), and the measured codes:raw size ratio — the
+    compression claim as a number."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..sources.avro_ocf import _is_local, _local_path
+    from .dedup import _open_listed
+
+    m = _read_ivfpq_meta(spark, path)
+    out = {
+        "status": m["status"], "dim": m["dim"], "m": m["m"],
+        "ksub": m["ksub"], "rows": m["rows"],
+        "n_centroids": len(m["centroids"]),
+    }
+
+    def _files(base: str):
+        if _is_local(base):
+            import pathlib
+
+            return sorted(
+                (None, str(p)) for p in pathlib.Path(_local_path(base))
+                .glob("centroid_id=*/*.parquet"))
+        from pyarrow import fs as pafs
+
+        f, p = pafs.FileSystem.from_uri(base)
+        return sorted(
+            ((f, i.path) for i in f.get_file_info(
+                pafs.FileSelector(p, recursive=True, allow_not_found=True))
+             if i.is_file and i.path.endswith(".parquet")),
+            key=lambda t: t[1],
+        )
+
+    for table in ("codes", "raw"):
+        rows = 0
+        size = 0
+        files = _files(f"{path}/{table}")
+        for fs_, fp in files:
+            with _open_listed(fs_, fp) as fh:
+                md = pq.ParquetFile(fh).metadata
+                rows += md.num_rows
+            size += (os.path.getsize(fp) if fs_ is None
+                     else fs_.get_file_info(fp).size)
+        out[f"{table}_files"] = len(files)
+        out[f"{table}_rows"] = rows
+        out[f"{table}_bytes"] = size
+    out["codes_to_raw_ratio"] = (
+        round(out["raw_bytes"] / out["codes_bytes"], 2)
+        if out["codes_bytes"] else None
+    )
+    df = spark.read.parquet(f"{path}/codes")
+    dup = df.count() - df.dropDuplicates([df.columns[0]]).count()
+    out["duplicate_rows"] = int(dup)
+    return out
+
+
+def _compact_ivfpq_index_unlocked(spark, path: str) -> None:
+    """Collapse append-accumulated small files and retry duplicates —
+    same ``'__compacting__'`` finish-the-swap discipline as the MinHash
+    and IVF indexes (the marker lands only after both compacted tables
+    fully committed; re-running recovers a crash; probes refuse
+    meanwhile; the append token is preserved)."""
+    from .dedup import _dir_exists, _mv_dir, _rm_dir
+
+    m = _read_ivfpq_meta(spark, path)
+    pairs = [(f"{path}/codes", f"{path}/codes_compact"),
+             (f"{path}/raw", f"{path}/raw_compact")]
+
+    def _swap_and_commit() -> None:
+        for main, comp in pairs:
+            if _dir_exists(comp):
+                _rm_dir(main)
+                _mv_dir(comp, main)
+        rows = spark.read.parquet(f"{path}/codes").count()
+        _write_ivfpq_meta(spark, path, m["centroids"], m["codebooks"],
+                          "committed", rows, m["token"])
+
+    if m["status"] == "__compacting__":
+        _swap_and_commit()
+        return
+    if m["status"] != "committed":
+        raise ValueError(
+            f"index at {path!r} has status {m['status']!r} — finish the "
+            "in-flight append first (re-run the same append), then "
+            "compact"
+        )
+    n_cents = len(m["centroids"])
+    codes = spark.read.parquet(f"{path}/codes")
+    id_col = codes.columns[0]
+    codes.dropDuplicates([id_col]) \
+        .repartition(n_cents, F.col("centroid_id")) \
+        .write.mode("overwrite").partitionBy("centroid_id") \
+        .parquet(f"{path}/codes_compact")
+    spark.read.parquet(f"{path}/raw").dropDuplicates([id_col]) \
+        .repartition(n_cents, F.col("centroid_id")) \
+        .sortWithinPartitions("centroid_id", id_col) \
+        .write.mode("overwrite").partitionBy("centroid_id") \
+        .parquet(f"{path}/raw_compact")
+    _write_ivfpq_meta(spark, path, m["centroids"], m["codebooks"],
+                      "__compacting__", m["rows"], m["token"])
+    _swap_and_commit()

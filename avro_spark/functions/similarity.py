@@ -485,7 +485,7 @@ def _read_ivf_meta(spark: "SparkSession", path: str) -> dict:
     }
 
 
-def write_ivf_index(
+def _write_ivf_index_unlocked(
     vectors: DataFrame,
     centroids: Optional[Sequence[Sequence[float]]],
     path: str,
@@ -524,8 +524,9 @@ def write_ivf_index(
     whose token matches it returns without touching the data — so a
     caller that crashed AFTER the append committed but BEFORE its own
     bookkeeping can blindly re-run. Sequential appends only (the token
-    remembers one batch). In-place rebuilds/appends concurrent with
-    probes are not supported."""
+    remembers one batch). Concurrent WRITERS are refused by the
+    single-writer lease (public wrapper); probing DURING a rebuild
+    still reads data mid-replacement."""
     spark = vectors.sparkSession
     if mode == "append":
         m = _read_ivf_meta(spark, path)
@@ -610,16 +611,20 @@ def _stream_ivf_sink(index_path: str, id_col: str = "vec_id",
     into a no-op); record the batch id LAST."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
+        from .dedup import _dir_exists
 
         spark = batch_df.sparkSession
-        try:
+        # existence check, not a caught read error: a missing registry
+        # is first-batch-ever; a present-but-unreadable one is corrupt
+        # and must fail the query loudly (same contract as the MinHash
+        # sink)
+        if _dir_exists(f"{index_path}/batches"):
             applied = {
                 r[0]
                 for r in spark.read.parquet(
                     f"{index_path}/batches").collect()
             }
-        except AnalysisException:  # first batch ever: no registry yet
+        else:
             applied = set()
         if batch_id in applied:
             return
@@ -723,7 +728,7 @@ def ivf_index_stats(spark: "SparkSession", path: str) -> dict:
     return out
 
 
-def compact_ivf_index(spark: "SparkSession", path: str) -> None:
+def _compact_ivf_index_unlocked(spark: "SparkSession", path: str) -> None:
     """Rewrite the IVF index's data into one (or few) files per centroid
     partition — the maintenance pass a daily-append index eventually
     needs: each ``mode="append"`` adds its own small files under every
@@ -737,8 +742,8 @@ def compact_ivf_index(spark: "SparkSession", path: str) -> None:
     :func:`avro_spark.functions.dedup.compact_minhash_index`: the
     marker lands only AFTER the compacted copy fully committed, so
     recovery (re-running this function) is always finish-the-swap;
-    probes refuse loudly meanwhile. Not supported concurrently with
-    appends or probes."""
+    probes refuse loudly meanwhile. Concurrent writers are refused by
+    the single-writer lease (public wrapper)."""
     from .dedup import _dir_exists, _mv_dir, _rm_dir
 
     m = _read_ivf_meta(spark, path)
@@ -768,6 +773,44 @@ def compact_ivf_index(spark: "SparkSession", path: str) -> None:
     _write_ivf_meta(spark, path, m["centroids"], "__compacting__",
                     m["rows"], m["token"])
     _swap_and_commit()
+
+
+
+def write_ivf_index(
+    vectors: DataFrame,
+    centroids: Optional[Sequence[Sequence[float]]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+    append_token: "Optional[str]" = None,
+) -> None:
+    """Public face of :func:`_write_ivf_index_unlocked` (see its
+    docstring for layout + crash discipline), under the index's
+    SINGLE-WRITER lease: a concurrent rebuild/append/compaction is
+    refused loudly instead of interleaving meta overwrites; a dead
+    writer's stale lease is taken over after its ttl."""
+    from .dedup import acquire_index_lease, release_index_lease
+
+    lt = acquire_index_lease(path, f"ivf-{mode}")
+    try:
+        _write_ivf_index_unlocked(
+            vectors, centroids, path, id_col, vec_col, mode, append_token
+        )
+    finally:
+        release_index_lease(path, lt)
+
+
+def compact_ivf_index(spark: "SparkSession", path: str) -> None:
+    """Public face of :func:`_compact_ivf_index_unlocked`, under the
+    single-writer lease (see :func:`write_ivf_index`)."""
+    from .dedup import acquire_index_lease, release_index_lease
+
+    lt = acquire_index_lease(path, "ivf-compact")
+    try:
+        _compact_ivf_index_unlocked(spark, path)
+    finally:
+        release_index_lease(path, lt)
 
 
 def knn_ivf_indexed(

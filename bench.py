@@ -119,13 +119,18 @@ BENCH_QUERIES = [
     # r5 audit: oracle-checked gates the list had historically missed
     # round 6: persisted partition-pruned IVF index + OCF projection pushdown
     "knn_ivf_indexed",
+    # round 9: persisted IVF-PQ index (codes scan + exact rerank)
+    "knn_ivfpq_indexed",
     "ocf_projected_read",
     "ocf_snappy_read",
     "ocf_zstd_read",
     "ocf_mixed_writers",
     "incremental_dedup",
     # round 8: streaming face of the persisted MinHash index
+    # (r9: window shape is one seed + one batch; the two-batch growth
+    # face is the *2 variant)
     "streaming_incremental_dedup",
+    "streaming_incremental_dedup2",
     "wire_roundtrip",
     "conform_json",
     "hidden_fields",
@@ -361,6 +366,11 @@ def main() -> None:
     )
     for name in BENCH_QUERIES:
         fn = qs[name]
+        # per-gate isolation (r9, VERDICT r8 #4): a previous gate's
+        # cached relations must not serve this gate's scans (gate temp
+        # dirs already rotate per invocation via _fresh_dirs, so no
+        # on-disk state bleeds either)
+        spark.catalog.clearCache()
         # the warm-up run doubles as the cold (first-run) measurement —
         # plan build + Janino compile + AQE included
         t0 = time.perf_counter()
@@ -431,11 +441,26 @@ def main() -> None:
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
     )
+    # per-gate spread promoted into the recorded summary (r9, VERDICT r8
+    # #4): max/min over the 3 warm reps per gate, aggregated to a median
+    # and p90 ratio across all gates. A code regression moves the warm
+    # total with these ratios tight; session noise (identical code
+    # measured 97.5/120.4/128.8 s warm across three r8 sessions) shows
+    # up as wide ratios — SCALE.md §6f records the expected envelope.
+    ratios = sorted(
+        (hi / lo if lo > 0 else 1.0) for lo, hi in spread.values()
+    )
     summary = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in slowest.items()},
+        "queries_spread": {
+            k: [round(spread[k][0], 2), round(spread[k][1], 2)]
+            for k in slowest
+        },
+        "spread_ratio_median": round(ratios[len(ratios) // 2], 3),
+        "spread_ratio_p90": round(ratios[int(len(ratios) * 0.9)], 3),
         "cold_total_sec": cold_total,
         "rows_per_sec": rows_per_sec,
         "n_queries": len(timings),

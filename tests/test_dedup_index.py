@@ -792,3 +792,56 @@ def test_append_token_mismatch_refused_and_survives_compaction(
     D.write_minhash_index(batch, idx, "doc_id", "text",
                           mode="append", append_token="batch5", **kw)
     assert spark.read.parquet(idx + "/shingles").count() == rows  # no-op
+
+
+def test_single_writer_lease(spark, tmp_path):
+    """r9 (VERDICT #5): every mutating index op takes a single-writer
+    lease — a concurrent writer is refused loudly (previously a
+    docstring convention; two interleaved appends could corrupt the
+    meta/registry invariants), a stale lease (dead writer) is taken
+    over, and normal operation acquires/releases transparently."""
+    import json
+    import time
+
+    corpus, batch = _docs(spark)
+    kw = dict(num_hashes=16, bands=4, shingle_n=3)
+    idx = str(tmp_path / "lidx")
+    D.write_minhash_index(corpus, idx, "doc_id", "text", **kw)
+    # the build released its lease: no lease file survives
+    assert D._read_lease(D._lease_uri(idx)) is None
+
+    # a LIVE contending writer refuses loudly
+    token = D.acquire_index_lease(idx, "minhash-append")
+    with pytest.raises(ValueError, match="live writer lease"):
+        D.write_minhash_index(batch, idx, "doc_id", "text",
+                              mode="append", **kw)
+    with pytest.raises(ValueError, match="live writer lease"):
+        D.compact_minhash_index(spark, idx)
+    # probes are read-only and take no lease
+    assert D.dedup_against_index(
+        spark, batch, idx, "doc_id", "text").count() >= 0
+    assert D.release_index_lease(idx, token)
+
+    # a STALE lease (dead writer, past its ttl) is taken over
+    with open(D._lease_uri(idx), "w") as fh:
+        json.dump({"token": "dead", "op": "minhash-append",
+                   "ts": time.time() - 7200, "ttl_sec": 3600}, fh)
+    D.write_minhash_index(batch, idx, "doc_id", "text",
+                          mode="append", **kw)
+    assert D._read_index_meta(spark, idx)["status"] == "committed"
+    # releasing a token we no longer hold is a no-op, not a theft
+    assert not D.release_index_lease(idx, "dead")
+
+    # the IVF twin wires through the same helper
+    import avro_spark.functions.similarity as S
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vec_id long, embedding array<double>")
+    ipath = str(tmp_path / "livf")
+    S.write_ivf_index(emb, [[1.0, 0.0], [0.0, 1.0]], ipath)
+    t2 = D.acquire_index_lease(ipath, "ivf-append")
+    with pytest.raises(ValueError, match="live writer lease"):
+        S.write_ivf_index(emb, None, ipath, mode="append")
+    D.release_index_lease(ipath, t2)
+    S.write_ivf_index(emb.limit(1), None, ipath, mode="append")

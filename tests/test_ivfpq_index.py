@@ -1,0 +1,197 @@
+"""Persisted IVF-PQ index (r9): m-byte PQ codes as the probe scan side,
+raw-vector sidecar read only for the exact rerank of each query's
+shortlist — the compressed cousin of write_ivf_index, pinned the same
+way (centroids AND codebooks in the meta row, marker + token
+discipline)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import avro_spark.functions.similarity as S
+from avro_spark.functions import ivfpq_index as Q
+
+from conftest import SF_DIR
+
+
+def _setup(spark, tmp_path, name="pq"):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = S.sample_centroids(emb, 16)
+    books = S.pq_codebooks(emb, m=8, k=16, refine_iters=1)
+    q = emb.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    path = str(tmp_path / name)
+    return emb, cents, books, q, path
+
+
+def _rows(df):
+    return [
+        (r.query_id, r.rank, r.vec_id, round(r.cosine, 9))
+        for r in df.orderBy("query_id", "rank").collect()
+    ]
+
+
+def test_full_rerank_equals_ivf_indexed(spark, tmp_path):
+    """With rerank covering every probed candidate, the IVF-PQ probe's
+    EXACT rerank returns exactly knn_ivf_indexed's answer (same
+    centroids, same candidate set, same exact cosine) — PQ then only
+    ordered the shortlist, which a full rerank makes irrelevant."""
+    emb, cents, books, q, path = _setup(spark, tmp_path)
+    Q.write_ivfpq_index(emb, cents, books, path)
+    ivf_path = str(tmp_path / "plain_ivf")
+    S.write_ivf_index(emb, cents, ivf_path)
+    want = _rows(S.knn_ivf_indexed(spark, ivf_path, q, None, k=5, nprobe=3))
+    got = _rows(Q.knn_ivfpq_indexed(
+        spark, path, q, k=5, nprobe=3, rerank=10_000))
+    assert got == want
+
+
+def test_small_rerank_matches_pq_shortlist_then_exact(spark, tmp_path):
+    """With a small rerank the shortlist IS the per-query top-r of the
+    asymmetric PQ scores (knn_ivfpq with k=r replays it), and the final
+    answer is the exact-cosine top-k within that shortlist."""
+    emb, cents, books, q, path = _setup(spark, tmp_path)
+    Q.write_ivfpq_index(emb, cents, books, path)
+    r = 8
+    short = S.knn_ivfpq(emb, q, cents, books, k=r, nprobe=3).select(
+        "query_id", F.col("vec_id").alias("cand_id"))
+    exact = (
+        short.join(
+            emb.select(F.col("vec_id").alias("cand_id"),
+                       F.col("embedding").alias("cv")),
+            "cand_id")
+        .join(q, "query_id")
+        .select(
+            "query_id",
+            F.col("cand_id").alias("vec_id"),
+            (S.dot("cv", "q_embedding")
+             / (S.l2_norm("cv") * S.l2_norm("q_embedding"))).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("vec_id"))
+    want = _rows(
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+    got = _rows(Q.knn_ivfpq_indexed(spark, path, q, k=5, nprobe=3, rerank=r))
+    assert got == want
+
+
+def test_codes_scan_is_partition_pruned(spark, tmp_path):
+    emb, cents, books, q, path = _setup(spark, tmp_path)
+    Q.write_ivfpq_index(emb, cents, books, path)
+    out = Q.knn_ivfpq_indexed(spark, path, q, k=5, nprobe=3, rerank=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    import re
+
+    p1 = (
+        spark.read.parquet(path + "/codes")
+        .where(F.col("centroid_id") == 3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p1)
+    assert m and "centroid_id" in m.group(1) and "3" in m.group(1), p1[:1500]
+
+
+def test_pins_refuse_drift_and_bad_status(spark, tmp_path):
+    emb, cents, books, q, path = _setup(spark, tmp_path)
+    Q.write_ivfpq_index(emb, cents, books, path)
+    drifted_c = [[x + 1.0 for x in c] for c in cents]
+    drifted_b = [[[x + 1.0 for x in c] for c in b] for b in books]
+    with pytest.raises(ValueError, match="centroids do not match"):
+        Q.knn_ivfpq_indexed(spark, path, q, centroids=drifted_c, k=3)
+    with pytest.raises(ValueError, match="codebooks do not match"):
+        Q.knn_ivfpq_indexed(spark, path, q, codebooks=drifted_b, k=3)
+    with pytest.raises(ValueError, match="append centroids do not match"):
+        Q.write_ivfpq_index(emb, drifted_c, None, path, mode="append")
+    with pytest.raises(ValueError, match="append codebooks do not match"):
+        Q.write_ivfpq_index(emb, None, drifted_b, path, mode="append")
+    with pytest.raises(ValueError, match="bad mode"):
+        Q.write_ivfpq_index(emb, cents, books, path, mode="errorifexists")
+    m = Q._read_ivfpq_meta(spark, path)
+    Q._write_ivfpq_meta(spark, path, m["centroids"], m["codebooks"],
+                        "__appending__", m["rows"])
+    with pytest.raises(ValueError, match="died part-way"):
+        Q.knn_ivfpq_indexed(spark, path, q, k=3)
+    with pytest.raises(ValueError, match="no IVF-PQ index meta"):
+        Q.knn_ivfpq_indexed(spark, str(tmp_path / "nope"), q, k=3)
+
+
+def test_append_grows_equivalently_with_tokens(spark, tmp_path):
+    """mode='append' with the pinned parameters equals built-at-once; a
+    blind retry of a committed token no-ops; a different batch against a
+    dead append is refused; '__compacting__' refuses appends."""
+    emb, cents, books, q, path = _setup(spark, tmp_path, "grown")
+    whole = str(tmp_path / "whole")
+    Q.write_ivfpq_index(emb, cents, books, whole)
+    Q.write_ivfpq_index(emb.where("vec_id % 2 = 0"), cents, books, path)
+    Q.write_ivfpq_index(emb.where("vec_id % 2 = 1"), None, None, path,
+                        mode="append", append_token="b0")
+    assert _rows(Q.knn_ivfpq_indexed(spark, path, q, k=5, nprobe=3,
+                                     rerank=20)) == \
+        _rows(Q.knn_ivfpq_indexed(spark, whole, q, k=5, nprobe=3,
+                                  rerank=20))
+    rows = spark.read.parquet(path + "/codes").count()
+    # blind retry no-ops on the token
+    Q.write_ivfpq_index(emb.where("vec_id % 2 = 1"), None, None, path,
+                        mode="append", append_token="b0")
+    assert spark.read.parquet(path + "/codes").count() == rows
+    # a DIFFERENT batch against a dead in-flight append: refused
+    m = Q._read_ivfpq_meta(spark, path)
+    Q._write_ivfpq_meta(spark, path, m["centroids"], m["codebooks"],
+                        "__appending__", m["rows"], m["token"], "b1")
+    with pytest.raises(ValueError, match="in-flight append with"):
+        Q.write_ivfpq_index(emb.limit(1), None, None, path,
+                            mode="append", append_token="b2")
+    # the SAME batch's retry heals (duplicates absorbed at probe time)
+    Q.write_ivfpq_index(emb.where("vec_id % 2 = 1"), None, None, path,
+                        mode="append", append_token="b1")
+    assert Q._read_ivfpq_meta(spark, path)["status"] == "committed"
+    assert _rows(Q.knn_ivfpq_indexed(spark, path, q, k=5, nprobe=3,
+                                     rerank=20)) == \
+        _rows(Q.knn_ivfpq_indexed(spark, whole, q, k=5, nprobe=3,
+                                  rerank=20))
+    # '__compacting__' refuses appends until recovery finishes
+    m = Q._read_ivfpq_meta(spark, path)
+    Q._write_ivfpq_meta(spark, path, m["centroids"], m["codebooks"],
+                        "__compacting__", m["rows"], m["token"])
+    with pytest.raises(ValueError, match="finish the in-flight"):
+        Q.write_ivfpq_index(emb.limit(1), None, None, path,
+                            mode="append", append_token="b3")
+    Q.compact_ivfpq_index(spark, path)  # finish-the-swap recovery
+    assert Q._read_ivfpq_meta(spark, path)["status"] == "committed"
+
+
+def test_compaction_and_stats(spark, tmp_path):
+    """Compaction collapses retry residue and preserves answers; stats
+    report the measured codes:raw shrink (the module's reason to
+    exist) and the duplicate count before/after."""
+    emb, cents, books, q, path = _setup(spark, tmp_path, "cmp")
+    Q.write_ivfpq_index(emb.where("vec_id % 2 = 0"), cents, books, path)
+    Q.write_ivfpq_index(emb.where("vec_id % 2 = 1"), None, None, path,
+                        mode="append", append_token="a")
+    # retry residue: replay the same append WITHOUT its token
+    Q.write_ivfpq_index(emb.where("vec_id % 2 = 1"), None, None, path,
+                        mode="append")
+    st = Q.ivfpq_index_stats(spark, path)
+    assert st["duplicate_rows"] > 0
+    assert st["codes_bytes"] < st["raw_bytes"]
+    assert st["codes_to_raw_ratio"] > 2  # 8 smallints vs 64 doubles+norm
+    before = _rows(Q.knn_ivfpq_indexed(spark, path, q, k=5, nprobe=3,
+                                       rerank=20))
+    Q.compact_ivfpq_index(spark, path)
+    st2 = Q.ivfpq_index_stats(spark, path)
+    assert st2["duplicate_rows"] == 0
+    assert st2["codes_files"] <= st["codes_files"]
+    assert st2["rows"] == emb.count()
+    after = _rows(Q.knn_ivfpq_indexed(spark, path, q, k=5, nprobe=3,
+                                      rerank=20))
+    assert after == before

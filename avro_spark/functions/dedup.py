@@ -788,6 +788,34 @@ def _mv_dir(src: str, dst: str) -> None:
     f.move(p_src, p_dst)
 
 
+def _list_split_dirs(uri: str) -> "list[str]":
+    """NAMES of the ``centroid_id=*`` child directories under ``uri``
+    (empty when ``uri`` itself is gone). Names, not paths — non-local
+    listings return scheme-less paths that a URI-classifying helper
+    would misread as local, so callers rebuild full URIs as
+    ``f"{uri}/{name}"``."""
+    from ..sources.avro_ocf import _is_local, _local_path
+
+    if _is_local(uri):
+        import pathlib
+
+        base = pathlib.Path(_local_path(uri))
+        if not base.is_dir():
+            return []
+        return sorted(
+            p.name for p in base.glob("centroid_id=*") if p.is_dir())
+    from pyarrow import fs as pafs
+
+    f, p = pafs.FileSystem.from_uri(uri)
+    infos = f.get_file_info(pafs.FileSelector(p, allow_not_found=True))
+    return sorted(
+        i.path.rstrip("/").rsplit("/", 1)[-1]
+        for i in infos
+        if i.type == pafs.FileType.Directory
+        and i.path.rstrip("/").rsplit("/", 1)[-1].startswith("centroid_id=")
+    )
+
+
 def _list_parquet_files(uri: str) -> "list[tuple[object, str]]":
     """(filesystem, path) pairs for every ``*.parquet`` under ``uri`` —
     filesystem is None for local paths (plain ``open()``). Non-local

@@ -440,6 +440,7 @@ def _write_ivf_meta(
     rows: int,
     token: "Optional[str]" = None,
     pending_token: "Optional[str]" = None,
+    split_cid: "Optional[int]" = None,
 ) -> None:
     """One meta row pinning the centroid matrix the data was assigned
     with (plus a status marker, the committed row count, and the LAST
@@ -447,7 +448,9 @@ def _write_ivf_meta(
     ``pending_token`` rides only in the ``'__appending__'`` marker and
     names the IN-FLIGHT append, so crash recovery can verify a retry is
     the same batch instead of silently adopting a different batch's
-    data. Written via ``spark.range`` + plan literals — pure JVM, no
+    data. ``split_cid`` rides only in the ``'__splitting__'`` marker
+    (:func:`split_ivf_centroid`) and names the partition being split.
+    Written via ``spark.range`` + plan literals — pure JVM, no
     Python-worker job."""
     spark.range(1).select(
         _matrix_lit(centroids).alias("centroids"),
@@ -457,6 +460,7 @@ def _write_ivf_meta(
         F.lit(int(rows)).cast("long").alias("rows"),
         F.lit(token).cast("string").alias("token"),
         F.lit(pending_token).cast("string").alias("pending_token"),
+        F.lit(split_cid).cast("int").alias("split_cid"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -482,6 +486,7 @@ def _read_ivf_meta(spark: "SparkSession", path: str) -> dict:
         # pre-token meta rows (early r8) read as never-appended-by-token
         "token": d.get("token"),
         "pending_token": d.get("pending_token"),
+        "split_cid": d.get("split_cid"),
     }
 
 
@@ -711,19 +716,32 @@ def ivf_index_stats(spark: "SparkSession", path: str) -> dict:
              if i.is_file and i.path.endswith(".parquet")),
             key=lambda t: t[1],
         )
+    part_rows: collections.Counter = collections.Counter()
     for fs_, fp in files:
         n_files += 1
-        per_part[os.path.dirname(fp)] += 1
+        d = os.path.dirname(fp)
+        per_part[d] += 1
         with _open_listed(fs_, fp) as fh:
-            total_rows += pq.ParquetFile(fh).metadata.num_rows
+            nr = pq.ParquetFile(fh).metadata.num_rows
+        total_rows += nr
+        part_rows[d] += nr
     df = spark.read.parquet(base)
     dup = df.count() - df.distinct().count()
+    # ROW skew per centroid partition — the :func:`split_ivf_centroid`
+    # trigger: appends against frozen centroids fatten hot partitions,
+    # which degrades pruning (a probe of that centroid reads the whole
+    # fat bucket). footer-only, like the rest of this report.
+    max_pr = max(part_rows.values()) if part_rows else 0
+    mean_pr = (total_rows / len(part_rows)) if part_rows else 0.0
     out.update(
         data_files=n_files,
         populated_partitions=len(per_part),
         max_files_per_partition=max(per_part.values()) if per_part else 0,
         footer_rows=total_rows,
         duplicate_rows=int(dup),
+        max_rows_per_partition=int(max_pr),
+        mean_rows_per_partition=round(mean_pr, 1),
+        partition_row_skew=round(max_pr / mean_pr, 2) if mean_pr else 0.0,
     )
     return out
 
@@ -809,6 +827,146 @@ def compact_ivf_index(spark: "SparkSession", path: str) -> None:
     lt = acquire_index_lease(path, "ivf-compact")
     try:
         _compact_ivf_index_unlocked(spark, path)
+    finally:
+        release_index_lease(path, lt)
+
+
+# --------------------------------------- hot-centroid split maintenance
+def _finish_split(spark: "SparkSession", path: str, m: dict) -> None:
+    """Finish-the-swap for a ``'__splitting__'`` index: move every
+    prepared ``data_split/centroid_id=*`` directory into ``data/``,
+    replacing the split partition's old directory, then commit the NEW
+    matrix. Idempotent — the old ``centroid_id=<split_cid>`` dir is
+    removed only while its replacement is still pending in data_split,
+    so a crash at any point re-runs to the same end state."""
+    from .dedup import _dir_exists, _list_split_dirs, _mv_dir, _rm_dir
+
+    data, split = f"{path}/data", f"{path}/data_split"
+    cid = m["split_cid"]
+    cid_pending = f"{split}/centroid_id={cid}"
+    if _dir_exists(cid_pending):
+        # remove the OLD fat partition only while its replacement still
+        # waits in data_split — after the move, a re-run must NOT
+        # delete the new data
+        _rm_dir(f"{data}/centroid_id={cid}")
+        _mv_dir(cid_pending, f"{data}/centroid_id={cid}")
+    for name in _list_split_dirs(split):
+        _rm_dir(f"{data}/{name}")  # a crashed previous move's residue
+        _mv_dir(f"{split}/{name}", f"{data}/{name}")
+    _rm_dir(split)
+    rows = spark.read.parquet(data).count()
+    _write_ivf_meta(spark, path, m["centroids"], "committed", rows,
+                    m["token"])
+
+
+def _split_ivf_centroid_unlocked(
+    spark: "SparkSession",
+    path: str,
+    cid: int,
+    k_sub: int,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "list[list[float]]":
+    """Split ONE hot IVF partition into ``k_sub`` sub-centroids — the
+    maintenance pass a growing index eventually needs
+    (`ivf_index_stats`'s ``partition_row_skew`` / ``max_rows_per_
+    partition`` are the trigger): months of ``mode="append"`` against
+    frozen centroids fatten the partitions drifting data lands in, so a
+    probe of a hot centroid reads an ever-bigger bucket and recall per
+    scanned byte decays. The only remedy used to be a full rebuild.
+
+    Mechanics: the split partition's vectors are read (one
+    partition-pruned scan), ``k_sub`` sub-centroids are Lloyd-trained
+    on them (deterministic: lowest-id seeds, fixed ``iters``, 9dp
+    means), and the members are re-assigned AMONG THE SUB-CENTROIDS
+    ONLY — every other partition's data and assignment is untouched, so
+    the swap replaces exactly one directory and adds ``k_sub - 1`` new
+    ones. The new matrix keeps every old row id (sub-centroid 0 takes
+    the split id, the rest append at ids ``n..n+k_sub-2``), so existing
+    probes keep pruning correctly and the PIN stays intact: a caller
+    still holding the pre-split list is refused loudly.
+
+    Crash discipline: the re-assigned partitions are fully written
+    under ``{path}/data_split`` BEFORE the ``'__splitting__'`` marker
+    (which pins the NEW matrix and the split cid) lands, so recovery —
+    re-running this function with the same ``cid`` — is always
+    finish-the-swap; probes/appends/compactions refuse loudly
+    meanwhile. Returns the new centroid matrix."""
+    m = _read_ivf_meta(spark, path)
+    if m["status"] == "__splitting__":
+        if m["split_cid"] != cid:
+            raise ValueError(
+                f"index at {path!r} is mid-split of centroid "
+                f"{m['split_cid']} — re-run split_ivf_centroid with "
+                f"that cid to finish it (got cid={cid})"
+            )
+        _finish_split(spark, path, m)
+        return m["centroids"]
+    if m["status"] != "committed":
+        raise ValueError(
+            f"index at {path!r} has status {m['status']!r} — finish the "
+            "in-flight operation first, then split"
+        )
+    n = len(m["centroids"])
+    if not (0 <= cid < n):
+        raise ValueError(f"cid {cid} out of range for {n} centroids")
+    if k_sub < 2:
+        raise ValueError("k_sub must be at least 2")
+    part = spark.read.parquet(f"{path}/data").where(
+        F.col("centroid_id") == cid)
+    n_part = part.count()
+    if n_part < k_sub:
+        raise ValueError(
+            f"partition {cid} holds {n_part} vectors — cannot split "
+            f"into {k_sub} sub-centroids"
+        )
+    # deterministic local training: lowest-id seeds, Lloyd `iters`
+    sub = kmeans_centroids(part, k_sub, iters=iters, id_col=id_col,
+                           vec_col=vec_col)
+    new_cents = [list(c) for c in m["centroids"]]
+    new_cents[cid] = list(sub[0])
+    new_ids = [cid] + list(range(n, n + k_sub - 1))
+    new_cents.extend(list(c) for c in sub[1:])
+    # re-assign the members among the SUB-centroids only (local argmax,
+    # then map local j -> global id); other partitions never move
+    local = _argmax_centroid(F.col(vec_col), sub)
+    gid = F.when(local == 0, F.lit(cid))
+    for j in range(1, k_sub):
+        gid = gid.when(local == j, F.lit(new_ids[j]))
+    reassigned = part.select(
+        F.col(id_col), F.col(vec_col), F.col("_nv"),
+        gid.cast("int").alias("centroid_id"),
+    )
+    reassigned.write.mode("overwrite").partitionBy("centroid_id") \
+        .parquet(f"{path}/data_split")
+    # marker AFTER the split data fully committed: recovery is always
+    # finish-the-swap, never re-train (token preserved — a split never
+    # consumes or produces an append batch)
+    _write_ivf_meta(spark, path, new_cents, "__splitting__", m["rows"],
+                    m["token"], split_cid=cid)
+    _finish_split(spark, path, {**m, "centroids": new_cents,
+                                "split_cid": cid})
+    return new_cents
+
+
+def split_ivf_centroid(
+    spark: "SparkSession",
+    path: str,
+    cid: int,
+    k_sub: int,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "list[list[float]]":
+    """Public face of :func:`_split_ivf_centroid_unlocked`, under the
+    single-writer lease (see :func:`write_ivf_index`)."""
+    from .dedup import acquire_index_lease, release_index_lease
+
+    lt = acquire_index_lease(path, "ivf-split")
+    try:
+        return _split_ivf_centroid_unlocked(
+            spark, path, cid, k_sub, iters, id_col, vec_col)
     finally:
         release_index_lease(path, lt)
 

@@ -635,3 +635,94 @@ def test_ivf_append_pending_token_verified(spark, tmp_path):
                           append_token="batch10")
     S.compact_ivf_index(spark, idx)  # finish-the-swap recovery
     assert S._read_ivf_meta(spark, idx)["status"] == "committed"
+
+
+def test_split_hot_ivf_centroid(spark, tmp_path, monkeypatch):
+    """r9 (VERDICT #6): split one fat IVF partition into k_sub
+    sub-centroids — skew shrinks, no vector is lost (full-probe answers
+    still equal brute force), the centroid pin stays intact (the
+    pre-split list is refused), and a crash between the marker and the
+    swap heals by re-running the same split."""
+    import pytest
+
+    import avro_spark.functions.similarity as S
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    cents = S.sample_centroids(emb, 2)
+    idx = str(tmp_path / "skewed")
+    S.write_ivf_index(emb, cents, idx)
+    st = S.ivf_index_stats(spark, idx)
+    parts = {
+        r["centroid_id"]: r["n"]
+        for r in spark.read.parquet(idx + "/data")
+        .groupBy("centroid_id").agg(F.count("*").alias("n")).collect()
+    }
+    hot = max(parts, key=parts.get)
+
+    def topk(p, nprobe, cl=None):
+        return [
+            (r.query_id, r.rank, r.vec_id, round(r.cosine, 9))
+            for r in S.knn_ivf_indexed(spark, p, q, cl, k=5, nprobe=nprobe)
+            .orderBy("query_id", "rank").collect()
+        ]
+
+    brute = [
+        (r.query_id, r.rank, r.vec_id, round(r.cosine, 9))
+        for r in S.knn_bruteforce(emb, q, k=5)
+        .orderBy("query_id", "rank").collect()
+    ]
+    assert topk(idx, nprobe=2) == brute  # all-partitions probe = exact
+
+    new_cents = S.split_ivf_centroid(spark, idx, hot, k_sub=4, iters=1)
+    assert len(new_cents) == 2 + 3
+    st2 = S.ivf_index_stats(spark, idx)
+    assert st2["status"] == "committed"
+    assert st2["populated_partitions"] > st["populated_partitions"]
+    assert st2["max_rows_per_partition"] < st["max_rows_per_partition"]
+    assert st2["footer_rows"] == st["footer_rows"]  # nothing lost
+    # meta matrix is the returned one; full probe still EXACT
+    assert S._read_ivf_meta(spark, idx)["centroids"] == [
+        [float(x) for x in c] for c in new_cents]
+    assert topk(idx, nprobe=len(new_cents)) == brute
+    # pin intact: the PRE-split list is now drifted — refused loudly
+    with pytest.raises(ValueError, match="do not match"):
+        S.knn_ivf_indexed(spark, idx, q, cents, k=5)
+    assert topk(idx, nprobe=2, cl=new_cents)  # the new list is accepted
+
+    # --- crash between the '__splitting__' marker and the swap heals
+    idx2 = str(tmp_path / "crash")
+    S.write_ivf_index(emb, cents, idx2)
+    real = S._finish_split
+    monkeypatch.setattr(
+        S, "_finish_split",
+        lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("simulated crash before swap")))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        S.split_ivf_centroid(spark, idx2, hot, k_sub=4, iters=1)
+    monkeypatch.setattr(S, "_finish_split", real)
+    m = S._read_ivf_meta(spark, idx2)
+    assert m["status"] == "__splitting__" and m["split_cid"] == hot
+    with pytest.raises(ValueError, match="died part-way"):
+        S.knn_ivf_indexed(spark, idx2, q, None, k=3)
+    with pytest.raises(ValueError, match="finish the in-flight"):
+        S.write_ivf_index(emb.limit(1), None, idx2, mode="append")
+    with pytest.raises(ValueError, match="mid-split of centroid"):
+        S.split_ivf_centroid(spark, idx2, (hot + 1) % 2, k_sub=4)
+    # re-running the SAME split finishes the swap — and the healed
+    # index answers exactly like the cleanly split one (deterministic
+    # training: same seeds, same iters, same 9dp rounding)
+    S.split_ivf_centroid(spark, idx2, hot, k_sub=4, iters=1)
+    assert S._read_ivf_meta(spark, idx2)["status"] == "committed"
+    assert topk(idx2, nprobe=len(new_cents)) == brute
+    assert topk(idx2, nprobe=2, cl=None) == topk(idx, nprobe=2, cl=None)
+
+    # guardrails
+    with pytest.raises(ValueError, match="out of range"):
+        S.split_ivf_centroid(spark, idx, 99, k_sub=2)
+    with pytest.raises(ValueError, match="at least 2"):
+        S.split_ivf_centroid(spark, idx, 0, k_sub=1)

@@ -2679,7 +2679,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_clean": q_html_clean,
         "bm25_retrieval": q_bm25_retrieval,
         "bpe_pairs": q_bpe_pairs,
-        "corpus_stats": q_corpus_stats,
+        # corpus_stats folded r9 (8 greens; twins bigram_lm + domain_cap
+        # + cms_freq IN WINDOW — the same per-group text-stat
+        # aggregation family, plus profile_table extras)
+        # flat_layout ROTATED IN r9 (VERDICT missing #4): A8
+        # get_names/get_types — the last pass-by-twin core row gets a
+        # direct driver row (pure function, fixed expected layout)
+        "flat_layout": q_flat_layout,
         # heavy_hitters folded r7 (5 greens; twins cms_freq — the same
         # sketch-shuffle discipline, harder approximate variant — +
         # corpus_stats for the exact aggregation side)
@@ -2861,8 +2867,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # give the four round-3 gates a CORRECTNESS row (see queries())
         "avro_ocf_roundtrip": q_avro_ocf_roundtrip,
         "jsonl_roundtrip": q_jsonl_roundtrip,
-        # (fingerprint promoted to the window in r9)
-        "flat_layout": q_flat_layout,
+        # (fingerprint + flat_layout promoted to the window in r9)
+        "corpus_stats": q_corpus_stats,
         # round-4 rotation: slots given to dup_span_removal + nb_quality
         "avro_roundtrip": q_avro_roundtrip,
         "conform": q_conform,

@@ -816,30 +816,60 @@ def _list_split_dirs(uri: str) -> "list[str]":
     )
 
 
-def _list_parquet_files(uri: str) -> "list[tuple[object, str]]":
-    """(filesystem, path) pairs for every ``*.parquet`` under ``uri`` —
-    filesystem is None for local paths (plain ``open()``). Non-local
-    listings keep the pyarrow FileSystem object alongside each path
-    because ``FileInfo.path`` is SCHEME-LESS (e.g. ``bucket/key`` for
-    s3://) — round-tripping it through a URI-classifying opener would
-    misread it as a local path and fail with FileNotFoundError."""
+def _list_parquet_files(
+    uri: str, recursive: bool = False
+) -> "list[tuple[object, str]]":
+    """(filesystem, path) pairs for every ``*.parquet`` under ``uri``
+    (``recursive`` descends into Hive partition dirs) — filesystem is
+    None for local paths (plain ``open()``). Non-local listings keep
+    the pyarrow FileSystem object alongside each path because
+    ``FileInfo.path`` is SCHEME-LESS (e.g. ``bucket/key`` for s3://) —
+    round-tripping it through a URI-classifying opener would misread it
+    as a local path and fail with FileNotFoundError. The ONE listing
+    helper for all three index-stats reports."""
     from ..sources.avro_ocf import _is_local, _local_path
 
     if _is_local(uri):
         import pathlib
 
-        return sorted(
-            (None, str(p))
-            for p in pathlib.Path(_local_path(uri)).glob("*.parquet"))
+        base = pathlib.Path(_local_path(uri))
+        it = base.rglob("*.parquet") if recursive else base.glob("*.parquet")
+        return sorted((None, str(p)) for p in it)
     from pyarrow import fs as pafs
 
     f, p = pafs.FileSystem.from_uri(uri)
-    infos = f.get_file_info(pafs.FileSelector(p, allow_not_found=True))
+    infos = f.get_file_info(
+        pafs.FileSelector(p, recursive=recursive, allow_not_found=True))
     return sorted(
         ((f, i.path) for i in infos
          if i.is_file and i.path.endswith(".parquet")),
         key=lambda t: t[1],
     )
+
+
+def _read_batch_registry(spark, uri: str) -> "set[int]":
+    """Applied batch ids from an index's ``batches/`` registry.
+
+    Three states, three behaviors: a MISSING dir is first-batch-ever
+    (empty set); a dir that exists but holds ZERO committed parquet
+    files is a crash DURING the very first batch-record write (Spark's
+    output committer creates the directory at job setup before any
+    file commits) — also an empty set, and safe to treat as such
+    because the append-token machinery makes the replay a structural
+    no-op (without this case the stream would fail on every replay
+    forever, needing a manual dir delete); a dir whose files exist but
+    cannot be read is CORRUPT and must fail the query loudly, never
+    silently replay every batch."""
+    if not _dir_exists(uri):
+        return set()
+    from pyspark.errors import AnalysisException
+
+    try:
+        return {r[0] for r in spark.read.parquet(uri).collect()}
+    except AnalysisException as e:
+        if "UNABLE_TO_INFER_SCHEMA" in str(e):
+            return set()  # dir created, no file ever committed
+        raise
 
 
 def _open_listed(fs, path: str):
@@ -1134,6 +1164,30 @@ def compact_minhash_index(spark, path: str) -> None:
         release_index_lease(path, lt)
 
 
+def _token_registry_sink(index_path: str, append_fn):
+    """foreachBatch factory shared by the IVF and IVF-PQ streaming
+    ingest sinks (exactly-once appends, no per-batch outputs): skip
+    batch ids already in ``{index_path}/batches``; call
+    ``append_fn(batch_df, token)`` with ``token=f"batch{batch_id}"``
+    (the append function no-ops when its index's meta already carries
+    that token — closing the append-committed-but-unrecorded crash
+    window); record the batch id LAST as the whole-batch commit
+    marker. The dedup sink keeps its own body (it also writes pairs),
+    but shares :func:`_read_batch_registry`."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        applied = _read_batch_registry(spark, f"{index_path}/batches")
+        if batch_id in applied:
+            return
+        append_fn(batch_df, f"batch{batch_id}")
+        spark.range(1).select(
+            F.lit(int(batch_id)).cast("long").alias("batch_id")
+        ).write.mode("append").parquet(f"{index_path}/batches")
+
+    return sink
+
+
 # ------------------------------------ streaming face of incremental dedup
 def _stream_dedup_sink(
     index_path: str,
@@ -1179,19 +1233,11 @@ def _stream_dedup_sink(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        # existence check, not a caught read error: a MISSING registry
-        # means first-batch-ever, while a registry that exists but
-        # cannot be read is CORRUPT and must fail the query loudly, not
-        # silently replay every batch (the probe absorbs replayed
-        # pairs, but the index would re-append)
-        if _dir_exists(f"{index_path}/batches"):
-            applied = {
-                r[0]
-                for r in spark.read.parquet(
-                    f"{index_path}/batches").collect()
-            }
-        else:
-            applied = set()
+        # missing/never-committed registry = nothing applied; corrupt
+        # registry fails the query loudly (see _read_batch_registry —
+        # the probe absorbs replayed pairs, but the index would
+        # re-append without the token check)
+        applied = _read_batch_registry(spark, f"{index_path}/batches")
         if batch_id in applied:
             return
         m = _read_index_meta(spark, index_path)

@@ -354,7 +354,11 @@ def knn_ivfpq_indexed(
         as_double(F.col(query_vec_col)).alias("_qv"),
         l2_norm(query_vec_col, dim).alias("_nq"),
         _let(as_double(F.col(query_vec_col)), probes).alias("_probe_cids"),
-    )
+        # checkpoint: this small frame feeds the driver-side probe
+        # collect, the approx broadcast join, AND the rerank join —
+        # without truncation an expensive upstream `queries` plan would
+        # execute three times per probe
+    ).localCheckpoint(eager=True)
     # bounded driver state: |queries| × nprobe ints — the scan filter
     probed = sorted(
         {int(c) for r in probe_sets.select("_probe_cids").collect()
@@ -402,11 +406,7 @@ def knn_ivfpq_indexed(
         # footer-level pruning against the range-sorted sidecar layout
         raw = raw.where(F.col(id_col).isin(ids))
     raw = raw.select(id_col, "_nv", "_v").dropDuplicates([id_col])
-    qn = queries.select(
-        F.col(query_id_col),
-        as_double(F.col(query_vec_col)).alias("_qv"),
-        l2_norm(query_vec_col, dim).alias("_nq"),
-    )
+    qn = probe_sets.select(query_id_col, "_qv", "_nq")
     denom2 = F.col("_nv") * F.col("_nq")
     exact = (
         F.broadcast(shortlist)
@@ -429,6 +429,61 @@ def knn_ivfpq_indexed(
     )
 
 
+# ------------------------------------- streaming face of the PQ index
+def _stream_ivfpq_sink(index_path: str, id_col: str = "vec_id",
+                       vec_col: str = "embedding"):
+    """The foreachBatch callable behind :func:`index_vectors_stream`,
+    factored out so replay idempotence is directly testable — same
+    shape as the plain-IVF sink
+    (:func:`avro_spark.functions.similarity._stream_ivf_sink`): skip
+    recorded batch ids; append with ``append_token=f"batch{batch_id}"``
+    (a re-run of a committed batch no-ops inside
+    :func:`write_ivfpq_index`, and a crash between the two table writes
+    heals on the same-token retry with probe-side duplicate
+    absorption); record the batch id LAST."""
+
+    from .dedup import _token_registry_sink
+
+    return _token_registry_sink(
+        index_path,
+        lambda batch_df, token: write_ivfpq_index(
+            batch_df, None, None, index_path, id_col, vec_col,
+            mode="append", append_token=token,
+        ),
+    )
+
+
+def index_vectors_stream(
+    df: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trigger_available_now: bool = False,
+    query_name: "Optional[str]" = None,
+):
+    """STREAMING ingest for the IVF-PQ index: each embedding
+    micro-batch is assigned to the PINNED centroids, PQ-encoded against
+    the PINNED codebooks (both read from the meta row — drift
+    impossible by construction), and appended exactly-once. The index
+    must exist (:func:`write_ivfpq_index` over the seed corpus —
+    centroid/codebook training is a batch concern); run
+    :func:`compact_ivfpq_index` periodically to collapse per-batch
+    files. One streaming query per index (appends are sequential by
+    design, enforced by the writer lease). Returns the started
+    ``StreamingQuery``."""
+    sink = _stream_ivfpq_sink(index_path, id_col, vec_col)
+    writer = (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def ivfpq_index_stats(spark, path: str) -> dict:
     """Health report (footer-only except one count-vs-distinct job):
     meta status/dims, per-table file counts + footer rows, duplicate
@@ -438,8 +493,7 @@ def ivfpq_index_stats(spark, path: str) -> dict:
 
     import pyarrow.parquet as pq
 
-    from ..sources.avro_ocf import _is_local, _local_path
-    from .dedup import _open_listed
+    from .dedup import _list_parquet_files, _open_listed
 
     m = _read_ivfpq_meta(spark, path)
     out = {
@@ -447,28 +501,10 @@ def ivfpq_index_stats(spark, path: str) -> dict:
         "ksub": m["ksub"], "rows": m["rows"],
         "n_centroids": len(m["centroids"]),
     }
-
-    def _files(base: str):
-        if _is_local(base):
-            import pathlib
-
-            return sorted(
-                (None, str(p)) for p in pathlib.Path(_local_path(base))
-                .glob("centroid_id=*/*.parquet"))
-        from pyarrow import fs as pafs
-
-        f, p = pafs.FileSystem.from_uri(base)
-        return sorted(
-            ((f, i.path) for i in f.get_file_info(
-                pafs.FileSelector(p, recursive=True, allow_not_found=True))
-             if i.is_file and i.path.endswith(".parquet")),
-            key=lambda t: t[1],
-        )
-
     for table in ("codes", "raw"):
         rows = 0
         size = 0
-        files = _files(f"{path}/{table}")
+        files = _list_parquet_files(f"{path}/{table}", recursive=True)
         for fs_, fp in files:
             with _open_listed(fs_, fp) as fh:
                 md = pq.ParquetFile(fh).metadata

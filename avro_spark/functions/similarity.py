@@ -615,31 +615,15 @@ def _stream_ivf_sink(index_path: str, id_col: str = "vec_id",
     the token check inside :func:`write_ivf_index` turns the re-append
     into a no-op); record the batch id LAST."""
 
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        from .dedup import _dir_exists
+    from .dedup import _token_registry_sink
 
-        spark = batch_df.sparkSession
-        # existence check, not a caught read error: a missing registry
-        # is first-batch-ever; a present-but-unreadable one is corrupt
-        # and must fail the query loudly (same contract as the MinHash
-        # sink)
-        if _dir_exists(f"{index_path}/batches"):
-            applied = {
-                r[0]
-                for r in spark.read.parquet(
-                    f"{index_path}/batches").collect()
-            }
-        else:
-            applied = set()
-        if batch_id in applied:
-            return
-        write_ivf_index(batch_df, None, index_path, id_col, vec_col,
-                        mode="append", append_token=f"batch{batch_id}")
-        spark.range(1).select(
-            F.lit(int(batch_id)).cast("long").alias("batch_id")
-        ).write.mode("append").parquet(f"{index_path}/batches")
-
-    return sink
+    return _token_registry_sink(
+        index_path,
+        lambda batch_df, token: write_ivf_index(
+            batch_df, None, index_path, id_col, vec_col,
+            mode="append", append_token=token,
+        ),
+    )
 
 
 def index_vectors_stream(
@@ -692,30 +676,13 @@ def ivf_index_stats(spark: "SparkSession", path: str) -> dict:
         "status": m["status"], "dim": m["dim"], "norm": m["norm"],
         "rows": m["rows"], "n_centroids": len(m["centroids"]),
     }
+    from .dedup import _list_parquet_files
+
     per_part: collections.Counter = collections.Counter()
     total_rows = 0
     n_files = 0
-    from ..sources.avro_ocf import _is_local, _local_path
-
     base = f"{path}/data"
-    # like dedup._list_parquet_files: non-local FileInfo.path values are
-    # SCHEME-LESS, so each path keeps its FileSystem object for opening
-    if _is_local(base):
-        import pathlib
-
-        files = sorted(
-            (None, str(p)) for p in pathlib.Path(_local_path(base))
-            .glob("centroid_id=*/*.parquet"))
-    else:  # enumerate partition dirs through the generic lister
-        from pyarrow import fs as pafs
-
-        f, p = pafs.FileSystem.from_uri(base)
-        files = sorted(
-            ((f, i.path) for i in f.get_file_info(
-                pafs.FileSelector(p, recursive=True, allow_not_found=True))
-             if i.is_file and i.path.endswith(".parquet")),
-            key=lambda t: t[1],
-        )
+    files = _list_parquet_files(base, recursive=True)
     part_rows: collections.Counter = collections.Counter()
     for fs_, fp in files:
         n_files += 1
@@ -892,7 +859,13 @@ def _split_ivf_centroid_unlocked(
     (which pins the NEW matrix and the split cid) lands, so recovery —
     re-running this function with the same ``cid`` — is always
     finish-the-swap; probes/appends/compactions refuse loudly
-    meanwhile. Returns the new centroid matrix."""
+    meanwhile. The swap relies on directory moves being atomic
+    (local/HDFS rename) — on object stores pyarrow emulates a move per
+    object, so a crash INSIDE one move can strand files on both sides
+    and the recovery's remove-then-move would drop the already-moved
+    ones; as with :func:`compact_ivf_index`, prefer running splits
+    where renames are atomic (or split into a fresh index path there).
+    Returns the new centroid matrix."""
     m = _read_ivf_meta(spark, path)
     if m["status"] == "__splitting__":
         if m["split_cid"] != cid:
@@ -940,6 +913,22 @@ def _split_ivf_centroid_unlocked(
     )
     reassigned.write.mode("overwrite").partitionBy("centroid_id") \
         .parquet(f"{path}/data_split")
+    # partitionBy DROPS empty partitions — if a sub-centroid got no
+    # members (Lloyd can empty a cluster), its dir never materializes.
+    # For sub-centroid 0 that is a silent-duplication hazard: the swap
+    # removes the OLD fat dir only while its replacement waits in
+    # data_split, so a missing centroid_id=<cid> dir would leave the
+    # old rows in place ALONGSIDE their rewritten copies under the new
+    # ids. Guarantee every expected dir exists with an explicit
+    # zero-row parquet (partition files don't carry the partition
+    # column, so the empty file's schema matches).
+    from .dedup import _dir_exists
+
+    empty = reassigned.drop("centroid_id").limit(0)
+    for g in new_ids:
+        d = f"{path}/data_split/centroid_id={g}"
+        if not _dir_exists(d):
+            empty.coalesce(1).write.mode("overwrite").parquet(d)
     # marker AFTER the split data fully committed: recovery is always
     # finish-the-swap, never re-train (token preserved — a split never
     # consumes or produces an append batch)

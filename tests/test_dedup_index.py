@@ -581,8 +581,24 @@ def test_fuzz_index_lifecycle_equals_built_at_once(spark, tmp_path_factory):
         n_ops = rng.randint(2, 4)
         for _ in range(n_ops):
             op = rng.choice(["append", "retry_append", "compact",
-                             "crashed_compact"])
-            if op in ("append", "retry_append"):
+                             "crashed_compact", "contending_writer"])
+            if op == "contending_writer":
+                # r9: a second writer against a LIVE lease refuses
+                # loudly and changes nothing; after release the same
+                # append succeeds and the lifecycle invariant holds
+                t = D.acquire_index_lease(idx, "fuzz-hold")
+                b = batch(rng.randint(1, 3))
+                try:
+                    with pytest.raises(ValueError,
+                                       match="live writer lease"):
+                        D.write_minhash_index(b, idx, "doc_id", "text",
+                                              mode="append", **kw)
+                finally:
+                    assert D.release_index_lease(idx, t)
+                D.write_minhash_index(b, idx, "doc_id", "text",
+                                      mode="append", **kw)
+                admitted.append(b)
+            elif op in ("append", "retry_append"):
                 b = batch(rng.randint(1, 4))
                 D.write_minhash_index(b, idx, "doc_id", "text",
                                       mode="append", **kw)
@@ -845,3 +861,30 @@ def test_single_writer_lease(spark, tmp_path):
         S.write_ivf_index(emb, None, ipath, mode="append")
     D.release_index_lease(ipath, t2)
     S.write_ivf_index(emb.limit(1), None, ipath, mode="append")
+
+
+def test_empty_registry_dir_heals(spark, tmp_path):
+    """r9 self-review: a crash DURING the very first batch-record write
+    leaves {index}/batches existing but with zero committed files
+    (Spark's committer creates the dir at job setup). That must read as
+    'nothing applied' — the token machinery makes the replay safe — not
+    brick every subsequent replay with UNABLE_TO_INFER_SCHEMA. A
+    registry whose FILES are corrupt still fails loudly."""
+    import os
+
+    corpus, batch = _docs(spark)
+    kw = dict(num_hashes=16, bands=4, shingle_n=3)
+    idx, pairs = str(tmp_path / "eidx"), str(tmp_path / "epairs")
+    D.write_minhash_index(corpus, idx, "doc_id", "text", **kw)
+    os.makedirs(idx + "/batches")  # the committer's empty husk
+    assert D._read_batch_registry(spark, idx + "/batches") == set()
+    sink = D._stream_dedup_sink(idx, pairs, "doc_id", "text", admit="all")
+    sink(batch, 0)  # proceeds instead of raising
+    assert 0 in D._read_batch_registry(spark, idx + "/batches")
+    # corrupt registry file: loud failure, never silent replay
+    bad = str(tmp_path / "bad_reg")
+    os.makedirs(bad)
+    with open(bad + "/part-00000.parquet", "wb") as fh:
+        fh.write(b"not a parquet file at all")
+    with pytest.raises(Exception):
+        D._read_batch_registry(spark, bad)

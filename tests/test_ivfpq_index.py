@@ -195,3 +195,46 @@ def test_compaction_and_stats(spark, tmp_path):
     after = _rows(Q.knn_ivfpq_indexed(spark, path, q, k=5, nprobe=3,
                                       rerank=20))
     assert after == before
+
+
+def test_stream_ivfpq_index_exactly_once(spark, tmp_path):
+    """Streaming ingest face: a real availableNow drive appends the
+    batch once; a recorded-batch replay is a no-op; a lost-registry
+    replay no-ops on the append token; the grown index answers like a
+    built-at-once one."""
+    emb, cents, books, q, path = _setup(spark, tmp_path, "stream")
+    seed = emb.where("vec_id % 2 = 0")
+    batch = emb.where("vec_id % 2 = 1")
+    Q.write_ivfpq_index(seed, cents, books, path)
+
+    src = str(tmp_path / "src")
+    batch.write.parquet(src)
+    qy = Q.index_vectors_stream(
+        spark.readStream.schema(batch.schema).parquet(src),
+        path, str(tmp_path / "ckpt"), trigger_available_now=True)
+    qy.awaitTermination()
+    n1 = spark.read.parquet(path + "/codes").count()
+    assert n1 == emb.count()
+    whole = str(tmp_path / "whole")
+    Q.write_ivfpq_index(emb, cents, books, whole)
+    assert _rows(Q.knn_ivfpq_indexed(spark, path, q, k=5, nprobe=3,
+                                     rerank=20)) == \
+        _rows(Q.knn_ivfpq_indexed(spark, whole, q, k=5, nprobe=3,
+                                  rerank=20))
+
+    # drive the sink callable directly: recorded-batch replay no-ops
+    sink = Q._stream_ivfpq_sink(path)
+    b2 = batch.withColumn("vec_id", F.col("vec_id") + 10_000)
+    sink(b2, 7)
+    n2 = spark.read.parquet(path + "/codes").count()
+    sink(b2, 7)
+    assert spark.read.parquet(path + "/codes").count() == n2
+    # lost-registry replay: remove the batch record — the append token
+    # in the meta row still makes the re-run a structural no-op
+    import shutil
+
+    shutil.rmtree(path + "/batches")
+    sink(b2, 7)
+    assert spark.read.parquet(path + "/codes").count() == n2
+    assert 7 in {r[0] for r in
+                 spark.read.parquet(path + "/batches").collect()}

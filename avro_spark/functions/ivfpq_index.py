@@ -71,10 +71,12 @@ def _write_ivfpq_meta(
     rows: int,
     token: "Optional[str]" = None,
     pending_token: "Optional[str]" = None,
+    split_cid: "Optional[int]" = None,
 ) -> None:
     """The index's ONE meta row: centroid matrix + PQ codebooks as plan
     literals (pure JVM — no Python-worker job), marker discipline as in
-    the IVF/MinHash indexes."""
+    the IVF/MinHash indexes. ``split_cid`` rides only in the
+    ``'__splitting__'`` marker (:func:`split_ivfpq_centroid`)."""
     spark.range(1).select(
         _matrix_lit(centroids).alias("centroids"),
         _cube_lit(codebooks).alias("codebooks"),
@@ -86,6 +88,7 @@ def _write_ivfpq_meta(
         F.lit(int(rows)).cast("long").alias("rows"),
         F.lit(token).cast("string").alias("token"),
         F.lit(pending_token).cast("string").alias("pending_token"),
+        F.lit(split_cid).cast("int").alias("split_cid"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -112,6 +115,7 @@ def _read_ivfpq_meta(spark, path: str) -> dict:
         "status": d["status"], "rows": d["rows"],
         "token": d.get("token"),
         "pending_token": d.get("pending_token"),
+        "split_cid": d.get("split_cid"),
     }
 
 
@@ -429,6 +433,150 @@ def knn_ivfpq_indexed(
     )
 
 
+# --------------------------------------- hot-centroid split maintenance
+def _finish_pq_split(spark, path: str, m: dict) -> None:
+    """Finish-the-swap for a ``'__splitting__'`` IVF-PQ index — the
+    two-table cousin of :func:`similarity._finish_split`: per table,
+    the old split partition's dir is removed only while its replacement
+    still waits in the ``*_split`` staging dir, so re-running after a
+    crash converges to the same end state (atomic-rename stores; the
+    object-store caveat of the IVF split applies here too)."""
+    from .dedup import _dir_exists, _list_split_dirs, _mv_dir, _rm_dir
+
+    cid = m["split_cid"]
+    for table in ("codes", "raw"):
+        data, split = f"{path}/{table}", f"{path}/{table}_split"
+        cid_pending = f"{split}/centroid_id={cid}"
+        if _dir_exists(cid_pending):
+            _rm_dir(f"{data}/centroid_id={cid}")
+            _mv_dir(cid_pending, f"{data}/centroid_id={cid}")
+        for name in _list_split_dirs(split):
+            _rm_dir(f"{data}/{name}")  # a crashed previous move's residue
+            _mv_dir(f"{split}/{name}", f"{data}/{name}")
+        _rm_dir(split)
+    rows = spark.read.parquet(f"{path}/codes").count()
+    _write_ivfpq_meta(spark, path, m["centroids"], m["codebooks"],
+                      "committed", rows, m["token"])
+
+
+def _split_ivfpq_centroid_unlocked(
+    spark,
+    path: str,
+    cid: int,
+    k_sub: int,
+    iters: int = 3,
+) -> "list[list[float]]":
+    """Split ONE hot IVF-PQ partition into ``k_sub`` sub-centroids —
+    the same maintenance as :func:`similarity.split_ivf_centroid`, over
+    BOTH tables. The PQ codes themselves never change (the codebooks
+    stay pinned — codes decode identically wherever the row lives);
+    only the routing does: sub-centroids are Lloyd-trained on the split
+    partition's RAW vectors (deterministic), the raw rows re-assign
+    among them, and the codes rows relabel by joining the new
+    assignment on id. The new matrix keeps every old row id
+    (sub-centroid 0 takes the split id, the rest append), so the pin
+    stays checked — a caller holding the pre-split matrix is refused.
+
+    Crash discipline: both ``codes_split``/``raw_split`` staging dirs
+    fully commit BEFORE the ``'__splitting__'`` marker (which pins the
+    NEW matrix + split cid); recovery — re-running with the same
+    ``cid`` — is idempotent finish-the-swap; probes/appends/compactions
+    refuse loudly meanwhile. Returns the new centroid matrix."""
+    m = _read_ivfpq_meta(spark, path)
+    if m["status"] == "__splitting__":
+        if m["split_cid"] != cid:
+            raise ValueError(
+                f"index at {path!r} is mid-split of centroid "
+                f"{m['split_cid']} — re-run split_ivfpq_centroid with "
+                f"that cid to finish it (got cid={cid})"
+            )
+        _finish_pq_split(spark, path, m)
+        return m["centroids"]
+    if m["status"] != "committed":
+        raise ValueError(
+            f"index at {path!r} has status {m['status']!r} — finish the "
+            "in-flight operation first, then split"
+        )
+    n = len(m["centroids"])
+    if not (0 <= cid < n):
+        raise ValueError(f"cid {cid} out of range for {n} centroids")
+    if k_sub < 2:
+        raise ValueError("k_sub must be at least 2")
+    from .dedup import _dir_exists
+    from .similarity import kmeans_centroids
+
+    raw_part = spark.read.parquet(f"{path}/raw").where(
+        F.col("centroid_id") == cid)
+    id_col = [c for c in raw_part.columns
+              if c not in ("_v", "_nv", "centroid_id")][0]
+    n_part = raw_part.count()
+    if n_part < k_sub:
+        raise ValueError(
+            f"partition {cid} holds {n_part} vectors — cannot split "
+            f"into {k_sub} sub-centroids"
+        )
+    sub = kmeans_centroids(raw_part, k_sub, iters=iters, id_col=id_col,
+                           vec_col="_v")
+    new_cents = [list(c) for c in m["centroids"]]
+    new_cents[cid] = list(sub[0])
+    new_ids = [cid] + list(range(n, n + k_sub - 1))
+    new_cents.extend(list(c) for c in sub[1:])
+    local = _argmax_centroid(F.col("_v"), sub)
+    gid = F.when(local == 0, F.lit(cid))
+    for j in range(1, k_sub):
+        gid = gid.when(local == j, F.lit(new_ids[j]))
+    reassigned = raw_part.select(
+        F.col(id_col), F.col("_v"), F.col("_nv"),
+        gid.cast("int").alias("centroid_id"),
+    ).localCheckpoint(eager=True)  # ONE assignment pass routes BOTH tables
+    reassigned.write.mode("overwrite").partitionBy("centroid_id") \
+        .parquet(f"{path}/raw_split")
+    # codes rows relabel by id against the new assignment — the m-byte
+    # codes themselves are codebook-pinned and never recomputed
+    codes_part = spark.read.parquet(f"{path}/codes").where(
+        F.col("centroid_id") == cid).drop("centroid_id")
+    routing = reassigned.select(id_col, "centroid_id")
+    codes_part.join(F.broadcast(routing), id_col) \
+        .write.mode("overwrite").partitionBy("centroid_id") \
+        .parquet(f"{path}/codes_split")
+    # guarantee every expected dir exists (partitionBy drops empty
+    # partitions; a missing centroid_id=<cid> dir would leave the old
+    # fat dir in place ALONGSIDE the rewritten copies — the silent
+    # duplication the IVF split fixed in r9's self-review)
+    empty_raw = reassigned.drop("centroid_id").limit(0)
+    empty_codes = codes_part.limit(0)
+    for table, empty in (("raw", empty_raw), ("codes", empty_codes)):
+        for g in new_ids:
+            d = f"{path}/{table}_split/centroid_id={g}"
+            if not _dir_exists(d):
+                empty.coalesce(1).write.mode("overwrite").parquet(d)
+    _write_ivfpq_meta(spark, path, new_cents, m["codebooks"],
+                      "__splitting__", m["rows"], m["token"],
+                      split_cid=cid)
+    _finish_pq_split(spark, path, {**m, "centroids": new_cents,
+                                   "split_cid": cid})
+    return new_cents
+
+
+def split_ivfpq_centroid(
+    spark,
+    path: str,
+    cid: int,
+    k_sub: int,
+    iters: int = 3,
+) -> "list[list[float]]":
+    """Public face of :func:`_split_ivfpq_centroid_unlocked`, under the
+    single-writer lease (see :func:`write_ivfpq_index`)."""
+    from .dedup import acquire_index_lease, release_index_lease
+
+    lt = acquire_index_lease(path, "ivfpq-split")
+    try:
+        return _split_ivfpq_centroid_unlocked(spark, path, cid, k_sub,
+                                              iters)
+    finally:
+        release_index_lease(path, lt)
+
+
 # ------------------------------------- streaming face of the PQ index
 def _stream_ivfpq_sink(index_path: str, id_col: str = "vec_id",
                        vec_col: str = "embedding"):
@@ -501,19 +649,31 @@ def ivfpq_index_stats(spark, path: str) -> dict:
         "ksub": m["ksub"], "rows": m["rows"],
         "n_centroids": len(m["centroids"]),
     }
+    import collections
+
     for table in ("codes", "raw"):
         rows = 0
         size = 0
+        part_rows: collections.Counter = collections.Counter()
         files = _list_parquet_files(f"{path}/{table}", recursive=True)
         for fs_, fp in files:
             with _open_listed(fs_, fp) as fh:
                 md = pq.ParquetFile(fh).metadata
-                rows += md.num_rows
+                nr = md.num_rows
+            rows += nr
+            part_rows[os.path.dirname(fp)] += nr
             size += (os.path.getsize(fp) if fs_ is None
                      else fs_.get_file_info(fp).size)
         out[f"{table}_files"] = len(files)
         out[f"{table}_rows"] = rows
         out[f"{table}_bytes"] = size
+        if table == "codes":
+            # the split_ivfpq_centroid trigger, footer-only as always
+            max_pr = max(part_rows.values()) if part_rows else 0
+            mean_pr = (rows / len(part_rows)) if part_rows else 0.0
+            out["max_rows_per_partition"] = int(max_pr)
+            out["partition_row_skew"] = (
+                round(max_pr / mean_pr, 2) if mean_pr else 0.0)
     out["codes_to_raw_ratio"] = (
         round(out["raw_bytes"] / out["codes_bytes"], 2)
         if out["codes_bytes"] else None

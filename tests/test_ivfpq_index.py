@@ -238,3 +238,59 @@ def test_stream_ivfpq_index_exactly_once(spark, tmp_path):
     assert spark.read.parquet(path + "/codes").count() == n2
     assert 7 in {r[0] for r in
                  spark.read.parquet(path + "/batches").collect()}
+
+
+def test_split_hot_ivfpq_centroid(spark, tmp_path, monkeypatch):
+    """Hot-centroid split over BOTH tables: codes relabel by id (never
+    re-encoded — codebooks stay pinned), raw rows re-route, skew
+    shrinks, nothing is lost (full-rerank answers unchanged), the pin
+    refuses the pre-split matrix, and a crash between the marker and
+    the swap heals by re-running the same split."""
+    emb, cents16, books, q, _ = _setup(spark, tmp_path)
+    cents = S.sample_centroids(emb, 2)
+    path = str(tmp_path / "pqsplit")
+    Q.write_ivfpq_index(emb, cents, books, path)
+    parts = {
+        r["centroid_id"]: r["n"]
+        for r in spark.read.parquet(path + "/codes")
+        .groupBy("centroid_id").agg(F.count("*").alias("n")).collect()
+    }
+    hot = max(parts, key=parts.get)
+    st = Q.ivfpq_index_stats(spark, path)
+    # full-probe + full-rerank = exact over everything: the invariant
+    # that must survive the split byte-for-byte
+    before = _rows(Q.knn_ivfpq_indexed(spark, path, q, k=5, nprobe=2,
+                                       rerank=10_000))
+    new_cents = Q.split_ivfpq_centroid(spark, path, hot, k_sub=4, iters=1)
+    assert len(new_cents) == 5
+    st2 = Q.ivfpq_index_stats(spark, path)
+    assert st2["status"] == "committed"
+    assert st2["max_rows_per_partition"] < st["max_rows_per_partition"]
+    assert st2["codes_rows"] == st["codes_rows"]   # nothing lost
+    assert st2["raw_rows"] == st["raw_rows"]
+    assert _rows(Q.knn_ivfpq_indexed(
+        spark, path, q, k=5, nprobe=5, rerank=10_000)) == before
+    with pytest.raises(ValueError, match="centroids do not match"):
+        Q.knn_ivfpq_indexed(spark, path, q, centroids=cents, k=3)
+
+    # crash between the '__splitting__' marker and the swap
+    path2 = str(tmp_path / "pqcrash")
+    Q.write_ivfpq_index(emb, cents, books, path2)
+    real = Q._finish_pq_split
+    monkeypatch.setattr(
+        Q, "_finish_pq_split",
+        lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("simulated crash before swap")))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        Q.split_ivfpq_centroid(spark, path2, hot, k_sub=4, iters=1)
+    monkeypatch.setattr(Q, "_finish_pq_split", real)
+    m = Q._read_ivfpq_meta(spark, path2)
+    assert m["status"] == "__splitting__" and m["split_cid"] == hot
+    with pytest.raises(ValueError, match="died part-way"):
+        Q.knn_ivfpq_indexed(spark, path2, q, k=3)
+    with pytest.raises(ValueError, match="mid-split of centroid"):
+        Q.split_ivfpq_centroid(spark, path2, (hot + 1) % 2, k_sub=4)
+    Q.split_ivfpq_centroid(spark, path2, hot, k_sub=4, iters=1)
+    assert Q._read_ivfpq_meta(spark, path2)["status"] == "committed"
+    assert _rows(Q.knn_ivfpq_indexed(
+        spark, path2, q, k=5, nprobe=5, rerank=10_000)) == before

@@ -294,3 +294,26 @@ def test_split_hot_ivfpq_centroid(spark, tmp_path, monkeypatch):
     assert Q._read_ivfpq_meta(spark, path2)["status"] == "committed"
     assert _rows(Q.knn_ivfpq_indexed(
         spark, path2, q, k=5, nprobe=5, rerank=10_000)) == before
+
+
+def test_rerank_sidecar_scan_is_id_pruned(spark, tmp_path):
+    """The exact-rerank read must reach the raw sidecar as BOTH a
+    partition filter (probed centroids) and a pushed `id IN (...)` data
+    filter against the range-sorted layout — the same data-skipping
+    shape as the MinHash candidate pushdown."""
+    emb, cents, books, q, path = _setup(spark, tmp_path, "prune")
+    Q.write_ivfpq_index(emb, cents, books, path)
+    out = Q.knn_ivfpq_indexed(spark, path, q, k=3, nprobe=2, rerank=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the raw sidecar's scan line (its _v column names it uniquely):
+    # the shortlist id set must land in its filters — rendered In(...)
+    # for small sets, INSET past the optimizer's conversion threshold
+    raw_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "_v#" in ln
+    ]
+    assert raw_scans, plan[:2000]
+    assert any("vec_id" in ln and ("INSET" in ln or "In(vec_id" in ln)
+               for ln in raw_scans), raw_scans[0][:1200]
+    # and the probed-centroid partition pruning reaches the scans
+    assert "PartitionFilters: [" in plan

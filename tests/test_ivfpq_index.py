@@ -317,3 +317,73 @@ def test_rerank_sidecar_scan_is_id_pruned(spark, tmp_path):
                for ln in raw_scans), raw_scans[0][:1200]
     # and the probed-centroid partition pruning reaches the scans
     assert "PartitionFilters: [" in plan
+
+
+def test_fuzz_ivfpq_indexed_equals_in_memory_reference(
+        spark, tmp_path_factory):
+    """Property: for random corpora (including exact duplicates and a
+    zero vector), random (dim, m, k_cent, nprobe, rerank, k), the
+    persisted-index probe equals the in-memory reference — knn_ivfpq
+    shortlist (k=rerank) reranked by exact cosine — for every example.
+    Same-engine reference, so float ordering can never diverge."""
+    import random
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Window
+
+    @given(data=st.data())
+    @settings(max_examples=3, deadline=None)
+    def run(data):
+        rng = random.Random(data.draw(st.integers(0, 2**32)))
+        dim = rng.choice([8, 16])
+        m = rng.choice([2, 4])
+        n = rng.randint(8, 20)
+        vecs = [[round(rng.uniform(-1, 1), 4) for _ in range(dim)]
+                for _ in range(n)]
+        if n > 10:
+            vecs[7] = list(vecs[3])          # exact duplicate
+            vecs[9] = [0.0] * dim            # zero vector
+        emb = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>")
+        k_cent = rng.choice([2, 4])
+        nprobe = rng.randint(1, k_cent)
+        rerank = rng.randint(3, 8)
+        k = rng.randint(1, rerank)
+        cents = S.sample_centroids(emb, k_cent)
+        books = S.pq_codebooks(emb, m=m, k=min(8, n))
+        q = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"))
+        path = str(tmp_path_factory.mktemp("fuzzpq"))
+        Q.write_ivfpq_index(emb, cents, books, path)
+        got = _rows(Q.knn_ivfpq_indexed(
+            spark, path, q, k=k, nprobe=nprobe, rerank=rerank))
+        short = S.knn_ivfpq(emb, q, cents, books, k=rerank,
+                            nprobe=nprobe).select(
+            "query_id", F.col("vec_id").alias("cand_id"))
+        exact = (
+            short.join(
+                emb.select(F.col("vec_id").alias("cand_id"),
+                           F.col("embedding").alias("cv")), "cand_id")
+            .join(q, "query_id")
+            .select(
+                "query_id",
+                F.col("cand_id").alias("vec_id"),
+                F.when(
+                    S.l2_norm("cv") * S.l2_norm("q_embedding") > 0,
+                    S.dot("cv", "q_embedding")
+                    / (S.l2_norm("cv") * S.l2_norm("q_embedding")),
+                ).otherwise(F.lit(0.0)).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.col("vec_id"))
+        want = _rows(
+            exact.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "cosine"))
+        assert got == want
+
+    run()

@@ -2214,6 +2214,38 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-index lexical-retrieval path query fleets use
+    (functions/text_index.py): materialize the postings once with
+    write_text_index (term-hash bucket partitions, dl denormalized onto
+    each posting row, N/avgdl pinned in the meta row), then probe with
+    bm25_indexed — bucket partition pruning + term IN footer pushdown,
+    NO corpus pass (plan-asserted in tests/test_text_index.py). Scores
+    are the exact bm25_scores Okapi formula, so the oracle is the
+    bm25_retrieval SQL plus a top-10 window.
+
+    Like the IVF index gates, the index is deterministic and written
+    ONCE per (process, sf_dir): bench's repeated runs measure the
+    PROBE — the production shape (build once, query often)."""
+    from avro_spark.functions import text_index as TI
+
+    docs = _read(spark, sf_dir, "documents", split=True)
+    idx = _TEXT_INDEX_DIRS.get(sf_dir)
+    if idx is None:
+        idx = _fresh_dirs(f"bm25_indexed:{sf_dir}", "text_index_")[0]
+        TI.write_text_index(docs, idx, n_buckets=32)
+        _TEXT_INDEX_DIRS[sf_dir] = idx
+    qs = spark.createDataFrame(_BM25_QUERIES, "query_id long, query string")
+    out = TI.bm25_indexed(spark, idx, qs, k=10)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
+#: one persisted text index per sf_dir per process (see q_bm25_indexed)
+_TEXT_INDEX_DIRS: dict = {}
+
+
 def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjacent-token pair counts (the BPE vocabulary-merge statistic):
     explode + one map-side-combined count, integer-thresholded so the
@@ -2781,6 +2813,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PROMOTED to the window; folded in exchange (twin notes in
         # queries()):
         "minhash_lsh": q_minhash_lsh,
+        # bm25_indexed NEW r9: the persisted inverted-index probe
+        # (write_text_index + bucket/term pushdown), oracle = the
+        # bm25_retrieval SQL + top-10 window
+        "bm25_indexed": q_bm25_indexed,
         "streaming_window": q_streaming_window,
         # the two-batch growth face of the streaming dedup sink — batch
         # 1 pairs against the corpus AND batch 0's admitted docs (the
@@ -3888,6 +3924,55 @@ def _oracles_main() -> dict[str, str]:
 
 def _oracles_extra() -> dict[str, str]:
     return {
+        # the bm25_retrieval formula verbatim (same tokenizer, same
+        # non-negative idf) + a per-query top-10 window — the indexed
+        # probe must score exactly like the from-scratch pass
+        "bm25_indexed": f"""
+            WITH q(query_id, query) AS (VALUES {", ".join(f"({i}, '{s}')" for i, s in _BM25_QUERIES)}),
+            toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM documents WHERE trim(text) <> ''
+            ),
+            nd AS (SELECT count(*) AS n FROM documents),
+            post AS (
+              SELECT doc_id, tok AS term, count(*) AS tf
+              FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+              GROUP BY 1, 2
+            ),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1),
+            ad AS (SELECT avg(dl) AS avgdl FROM dl),
+            dfr AS (SELECT term, count(DISTINCT doc_id) AS df FROM post GROUP BY 1),
+            qt AS (
+              SELECT DISTINCT query_id, term FROM (
+                SELECT query_id,
+                       unnest(regexp_split_to_array(trim(lower(query)), '\\s+')) AS term
+                FROM q)
+            ),
+            sc AS (
+              SELECT qt.query_id, post.doc_id,
+                     ln(1 + (nd.n - dfr.df + 0.5) / (dfr.df + 0.5))
+                     * (post.tf * 2.2)
+                     / (post.tf + 1.2 * (0.25 + 0.75 * dl.dl / ad.avgdl)) AS ts
+              FROM post
+              JOIN qt USING (term)
+              JOIN dfr USING (term)
+              JOIN dl ON dl.doc_id = post.doc_id, nd, ad
+            ),
+            agg AS (
+              SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+                     sum(ts) AS score
+              FROM sc GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT query_id, doc_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, doc_id) AS rank
+              FROM agg
+            )
+            SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id,
+                   round(score, 6) AS score
+            FROM ranked WHERE rank <= 10
+        """,
         "dup_span_removal": r"""
             WITH toks AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t

@@ -1,0 +1,483 @@
+"""Persisted inverted (BM25) text index — the 100 TB repeated-query
+lexical-retrieval shape, completing the persisted-index family
+(MinHash index = near-dup dedup, IVF / IVF-PQ index = vectors).
+
+:func:`avro_spark.functions.retrieval.bm25_scores` recomputes postings
+from the corpus on every call — the right shape for one-off scoring,
+the wrong one for a query fleet: at 100 TB every call re-tokenizes and
+re-shuffles the full corpus. This module materializes the postings
+ONCE and makes each probe's IO proportional to the QUERY TERMS'
+postings, not the corpus:
+
+* ``{path}/meta`` — ONE row pinning the layout parameters
+  (``n_buckets``, the doc-id column name) and the corpus statistics
+  BM25 needs (total docs ``n_docs``, tokenized docs ``n_docs_tok``,
+  total token count ``sum_dl`` — so probes get N and avgdl without any
+  corpus scan), plus the status marker and last/pending append tokens
+  (the exactly-once machinery of the IVF / IVF-PQ / MinHash indexes).
+* ``{path}/postings`` — (term, <id>, tf, dl) partitioned by
+  ``bucket = pmod(xxhash64(term), n_buckets)`` and range-sorted by
+  (term, id) within partitions. ``dl`` (document length) is
+  DENORMALIZED into each posting row — one long per posting buys the
+  probe its BM25 denominator with NO corpus-sized doc-length join
+  (the classic search-engine layout: postings carry their norms).
+
+Probe = query terms → bucket partition pruning + ``term IN (...)``
+footer pushdown on the range-sorted layout → per-term df from the
+pruned scan itself → Okapi scoring (identical formula to
+:func:`retrieval.bm25_scores`, so the same DuckDB oracle verifies
+both) → per-query top-k. Nothing corpus-sized ever shuffles; driver
+state is bounded by the distinct query-term count.
+
+Tokenization is pinned to the repo convention (lowercase, ``\\s+``
+split — :func:`avro_spark.functions.text.ws_tokens`) so oracles can
+replicate it verbatim. Doc ids keep their NATIVE type end-to-end
+(string/UUID ids work — the r8-verdict id-contract lesson).
+
+Crash discipline mirrors the IVF-PQ index: ``'__appending__'`` marker
+first with a ``pending_token``, commit last with the batch token;
+recovery is re-running the SAME append (probes absorb the retry's
+duplicate rows via (term, id) dropDuplicates and the meta counters are
+incremented only once, at commit); a blind retry of a COMMITTED batch
+no-ops on the token; a DIFFERENT batch against a dead append is
+refused loudly; appends against ``'__compacting__'`` are refused.
+All mutating entry points run under the single-writer lease.
+
+The corpus is APPEND-ONLY by doc id: re-appending an id that is
+already indexed double-counts it (same contract as the MinHash/IVF
+indexes; exactly-once retries of the SAME batch are absorbed, distinct
+batches must carry distinct docs). No Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import ws_tokens
+
+
+def _bucket_expr(term: "F.Column", n_buckets: int) -> "F.Column":
+    """The pinned term→bucket routing: deterministic across sessions
+    (xxhash64 is a pure function of the value), computed identically at
+    build, append, and probe time."""
+    return F.pmod(F.xxhash64(term), F.lit(n_buckets)).cast("int")
+
+
+def _write_text_meta(
+    spark,
+    path: str,
+    n_buckets: int,
+    id_col: str,
+    status: str,
+    n_docs: int,
+    n_docs_tok: int,
+    sum_dl: int,
+    token: "Optional[str]" = None,
+    pending_token: "Optional[str]" = None,
+) -> None:
+    """The index's ONE meta row (layout pins + BM25 corpus statistics +
+    marker discipline). Pure JVM — no Python-worker job."""
+    spark.range(1).select(
+        F.lit(int(n_buckets)).cast("int").alias("n_buckets"),
+        F.lit(id_col).alias("id_col"),
+        F.lit(status).alias("status"),
+        F.lit(int(n_docs)).cast("long").alias("n_docs"),
+        F.lit(int(n_docs_tok)).cast("long").alias("n_docs_tok"),
+        F.lit(int(sum_dl)).cast("long").alias("sum_dl"),
+        F.lit(token).cast("string").alias("token"),
+        F.lit(pending_token).cast("string").alias("pending_token"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _read_text_meta(spark, path: str) -> dict:
+    try:
+        row = spark.read.parquet(f"{path}/meta").head()
+    except Exception as e:  # AnalysisException: no meta dir at all
+        raise ValueError(
+            f"no text index meta at {path!r}/meta — not a "
+            "write_text_index index; rebuild it with write_text_index"
+        ) from e
+    if row is None:
+        raise ValueError(
+            "text index meta is empty — the index is mid-rebuild or "
+            "corrupt; rebuild it with write_text_index"
+        )
+    d = row.asDict()
+    return {
+        "n_buckets": d["n_buckets"], "id_col": d["id_col"],
+        "status": d["status"], "n_docs": d["n_docs"],
+        "n_docs_tok": d["n_docs_tok"], "sum_dl": d["sum_dl"],
+        "token": d.get("token"),
+        "pending_token": d.get("pending_token"),
+    }
+
+
+def _write_text_index_unlocked(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+    append_token: "Optional[str]" = None,
+) -> None:
+    """Materialize the inverted index (module docstring has the layout).
+
+    ``mode="append"`` grows the index with NEW documents: the bucket
+    count and id column come from the meta row (supplied values that
+    don't match the pinned ones are refused loudly — drifted bucketing
+    would route a term's new postings to a partition probes never
+    scan, a silent-recall-loss bug). ``append_token`` gives
+    exactly-once blind retries, as in the sibling indexes."""
+    spark = docs.sparkSession
+    prev = {"n_docs": 0, "n_docs_tok": 0, "sum_dl": 0}
+    prev_token = None
+    if mode == "append":
+        m = _read_text_meta(spark, path)
+        if m["status"] == "__building__":
+            raise ValueError(
+                "index is mid-rebuild (status '__building__') — rebuild "
+                "it with write_text_index(mode='overwrite')"
+            )
+        if append_token is not None and m["token"] == append_token:
+            return  # this batch's append already committed — a retry
+        if m["status"] == "__appending__":
+            if (m["pending_token"] is not None and append_token is not None
+                    and m["pending_token"] != append_token):
+                raise ValueError(
+                    f"index at {path!r} has an in-flight append with "
+                    f"token {m['pending_token']!r}; refusing append "
+                    f"with token {append_token!r} — re-run the dead "
+                    "append to completion first (appends are sequential)"
+                )
+        elif m["status"] != "committed":
+            raise ValueError(
+                f"index at {path!r} has status {m['status']!r} — finish "
+                "the in-flight maintenance first, then append"
+            )
+        if n_buckets not in (None, m["n_buckets"]):
+            raise ValueError(
+                f"append n_buckets={n_buckets} does not match the "
+                f"index's pinned bucket count {m['n_buckets']} — "
+                "drifted bucketing would hide new postings from "
+                "probes; pass n_buckets=None"
+            )
+        if id_col != m["id_col"]:
+            raise ValueError(
+                f"append id_col={id_col!r} does not match the index's "
+                f"pinned id column {m['id_col']!r}"
+            )
+        n_buckets = m["n_buckets"]
+        prev = m
+        prev_token = m["token"]
+        # in-flight marker FIRST (previous committed counters + token,
+        # plus this attempt's pending_token), commit LAST — a crash
+        # mid-append fails probes loudly; recovery is re-running the
+        # SAME append (probes absorb duplicate rows, counters land once)
+        _write_text_meta(spark, path, n_buckets, id_col, "__appending__",
+                         m["n_docs"], m["n_docs_tok"], m["sum_dl"],
+                         prev_token, append_token)
+    elif mode == "overwrite":
+        if not n_buckets or n_buckets < 1:
+            raise ValueError("n_buckets must be a positive int")
+        _write_text_meta(spark, path, n_buckets, id_col, "__building__",
+                         0, 0, 0)
+    else:
+        raise ValueError(f"bad mode: {mode}")
+    # ONE tokenize pass feeds both the statistics aggregate and the
+    # postings write (persist, as the IVF-PQ encoder does)
+    base = docs.select(
+        F.col(id_col), ws_tokens(F.lower(F.col(text_col))).alias("_t")
+    ).persist()
+    try:
+        st = base.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.size("_t") > 0, 1).otherwise(0))
+            .alias("n_docs_tok"),
+            F.coalesce(F.sum(F.size("_t")), F.lit(0)).alias("sum_dl"),
+        ).head()
+        post = (
+            base.select(
+                F.col(id_col), F.size("_t").alias("dl"),
+                F.explode("_t").alias("term"),
+            )
+            # dl is functionally dependent on the id — riding it through
+            # the groupBy keeps it on every posting row with no join
+            .groupBy(id_col, "dl", "term")
+            .agg(F.count("*").cast("long").alias("tf"))
+            .withColumn("bucket", _bucket_expr(F.col("term"), n_buckets))
+        )
+        post.select("term", id_col, "tf", "dl", "bucket") \
+            .repartition(n_buckets, "bucket") \
+            .sortWithinPartitions("bucket", "term", id_col) \
+            .write.mode(mode).partitionBy("bucket") \
+            .parquet(f"{path}/postings")
+    finally:
+        base.unpersist()
+    _write_text_meta(
+        spark, path, n_buckets, id_col, "committed",
+        prev["n_docs"] + st["n_docs"],
+        prev["n_docs_tok"] + st["n_docs_tok"],
+        prev["sum_dl"] + st["sum_dl"],
+        append_token if mode == "append" else None,
+    )
+
+
+def write_text_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+    append_token: "Optional[str]" = None,
+) -> None:
+    """Public face of :func:`_write_text_index_unlocked` (see its
+    docstring), under the index's single-writer lease."""
+    from .dedup import acquire_index_lease, release_index_lease
+
+    lt = acquire_index_lease(path, f"text-{mode}")
+    try:
+        _write_text_index_unlocked(
+            docs, path, id_col, text_col, n_buckets, mode, append_token)
+    finally:
+        release_index_lease(path, lt)
+
+
+def bm25_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+    max_pushdown_terms: int = 5_000,
+) -> DataFrame:
+    """Probe a :func:`write_text_index` index: bucket partition pruning
+    + ``term IN (...)`` footer pushdown → per-term df from the pruned
+    scan → Okapi BM25 (the exact :func:`retrieval.bm25_scores`
+    formula: non-negative idf, set-semantics query terms) → per-query
+    top-``k``, ties → doc id asc. Returns (query_id, rank, <id>,
+    score).
+
+    Scale shape: the scan reads only the query terms' postings
+    partitions, with the term list pushed to the parquet footer level
+    against the range-sorted layout; df/N/avgdl need NO corpus pass (df
+    aggregates the pruned scan, N and avgdl come from the meta row).
+    Driver state is the distinct query-term list — past
+    ``max_pushdown_terms`` the probe falls back to a broadcast
+    term-set join over the full postings scan (same result, bounded
+    driver), the more-like-this degenerate case."""
+    m = _read_text_meta(spark, path)
+    if m["status"] != "committed":
+        raise ValueError(
+            f"text index at {path!r} has status {m['status']!r} — a "
+            "rebuild or append died part-way; re-run it to completion, "
+            "then probe"
+        )
+    id_col = m["id_col"]
+    n = float(m["n_docs"])
+    avgdl = (m["sum_dl"] / m["n_docs_tok"]) if m["n_docs_tok"] else 1.0
+    qterms = queries.select(
+        F.col(query_id_col).alias("_q"),
+        F.explode(
+            F.array_distinct(ws_tokens(F.lower(F.col(query_text_col))))
+        ).alias("term"),
+    )
+    # bounded driver state: the distinct query vocabulary (with its
+    # pinned buckets, computed by the SAME engine expression as the
+    # build — never re-derived in Python)
+    tb = (
+        qterms.select("term").distinct()
+        .select("term", _bucket_expr(F.col("term"), m["n_buckets"])
+                .alias("bucket"))
+        .limit(max_pushdown_terms + 1).collect()
+    )
+    post = spark.read.parquet(f"{path}/postings")
+    if len(tb) <= max_pushdown_terms:
+        terms = [r["term"] for r in tb]
+        buckets = sorted({int(r["bucket"]) for r in tb})
+        if not terms:
+            post = post.limit(0)
+        else:
+            post = post.where(
+                F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+    else:
+        post = post.join(
+            F.broadcast(qterms.select("term").distinct()), "term")
+    # absorb append-retry residue: one posting row per (term, doc)
+    scan = post.select("term", id_col, "tf", "dl") \
+        .dropDuplicates(["term", id_col])
+    df_ = scan.groupBy("term").agg(F.count("*").alias("df"))
+    cand = scan.join(F.broadcast(qterms), "term") \
+        .join(F.broadcast(df_), "term")
+    ts = (
+        F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5)
+              / (F.col("df") + 0.5))
+        * (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl)))
+    )
+    scores = (
+        cand.select("_q", F.col(id_col), ts.alias("_ts"))
+        .groupBy("_q", id_col)
+        .agg(F.sum("_ts").alias("score"))
+    )
+    w = Window.partitionBy("_q").orderBy(
+        F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("_q").alias(query_id_col), "rank", id_col, "score")
+    )
+
+
+def compact_text_index(spark, path: str) -> None:
+    """Public face of :func:`_compact_text_index_unlocked`, under the
+    single-writer lease."""
+    from .dedup import acquire_index_lease, release_index_lease
+
+    lt = acquire_index_lease(path, "text-compact")
+    try:
+        _compact_text_index_unlocked(spark, path)
+    finally:
+        release_index_lease(path, lt)
+
+
+def _compact_text_index_unlocked(spark, path: str) -> None:
+    """Collapse append-accumulated small files, drop retry-duplicate
+    postings, and restore the range-sorted within-partition layout —
+    the ``'__compacting__'`` finish-the-swap discipline of the sibling
+    indexes (marker lands only after the compacted table fully
+    committed; re-running recovers a crash; probes refuse meanwhile;
+    counters and the append token are preserved)."""
+    from .dedup import _dir_exists, _mv_dir, _rm_dir
+
+    m = _read_text_meta(spark, path)
+
+    def _swap_and_commit() -> None:
+        comp = f"{path}/postings_compact"
+        if _dir_exists(comp):
+            _rm_dir(f"{path}/postings")
+            _mv_dir(comp, f"{path}/postings")
+        _write_text_meta(spark, path, m["n_buckets"], m["id_col"],
+                         "committed", m["n_docs"], m["n_docs_tok"],
+                         m["sum_dl"], m["token"])
+
+    if m["status"] == "__compacting__":
+        _swap_and_commit()
+        return
+    if m["status"] != "committed":
+        raise ValueError(
+            f"index at {path!r} has status {m['status']!r} — finish the "
+            "in-flight append first (re-run the same append), then "
+            "compact"
+        )
+    post = spark.read.parquet(f"{path}/postings")
+    id_col = m["id_col"]
+    post.dropDuplicates(["term", id_col]) \
+        .repartition(m["n_buckets"], F.col("bucket")) \
+        .sortWithinPartitions("bucket", "term", id_col) \
+        .write.mode("overwrite").partitionBy("bucket") \
+        .parquet(f"{path}/postings_compact")
+    _write_text_meta(spark, path, m["n_buckets"], m["id_col"],
+                     "__compacting__", m["n_docs"], m["n_docs_tok"],
+                     m["sum_dl"], m["token"])
+    _swap_and_commit()
+
+
+def text_index_stats(spark, path: str) -> dict:
+    """Health report (footer-only except one count-vs-distinct job):
+    meta status/counters, postings file count + footer rows + bytes,
+    bucket row skew (compaction trigger), and duplicate (term, id)
+    rows (append-retry residue)."""
+    import collections
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .dedup import _list_parquet_files, _open_listed
+
+    m = _read_text_meta(spark, path)
+    out = {
+        "status": m["status"], "n_buckets": m["n_buckets"],
+        "n_docs": m["n_docs"], "n_docs_tok": m["n_docs_tok"],
+        "sum_dl": m["sum_dl"],
+    }
+    rows = 0
+    size = 0
+    part_rows: collections.Counter = collections.Counter()
+    files = _list_parquet_files(f"{path}/postings", recursive=True)
+    for fs_, fp in files:
+        with _open_listed(fs_, fp) as fh:
+            nr = pq.ParquetFile(fh).metadata.num_rows
+        rows += nr
+        part_rows[os.path.dirname(fp)] += nr
+        size += (os.path.getsize(fp) if fs_ is None
+                 else fs_.get_file_info(fp).size)
+    out["postings_files"] = len(files)
+    out["postings_rows"] = rows
+    out["postings_bytes"] = size
+    max_pr = max(part_rows.values()) if part_rows else 0
+    mean_pr = (rows / len(part_rows)) if part_rows else 0.0
+    out["max_rows_per_bucket"] = int(max_pr)
+    out["bucket_row_skew"] = round(max_pr / mean_pr, 2) if mean_pr else 0.0
+    df = spark.read.parquet(f"{path}/postings")
+    dup = df.count() - df.dropDuplicates(["term", m["id_col"]]).count()
+    out["duplicate_rows"] = int(dup)
+    return out
+
+
+# ------------------------------------ streaming face of the text index
+def _stream_text_sink(index_path: str, id_col: str = "doc_id",
+                      text_col: str = "text"):
+    """The foreachBatch callable behind :func:`index_documents_stream`,
+    factored out so replay idempotence is directly testable — the
+    shared :func:`avro_spark.functions.dedup._token_registry_sink`
+    shape: skip recorded batch ids; append with
+    ``append_token=f"batch{batch_id}"`` (a re-run of a committed batch
+    no-ops inside the append, a crash mid-append heals on the
+    same-token retry with probe-side duplicate absorption); record the
+    batch id LAST."""
+    from .dedup import _token_registry_sink
+
+    return _token_registry_sink(
+        index_path,
+        lambda batch_df, token: write_text_index(
+            batch_df, index_path, id_col, text_col, n_buckets=None,
+            mode="append", append_token=token,
+        ),
+    )
+
+
+def index_documents_stream(
+    df: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_available_now: bool = False,
+    query_name: "Optional[str]" = None,
+):
+    """STREAMING ingest for the text index: each document micro-batch
+    is tokenized, bucketed against the PINNED routing (read from the
+    meta row — drift impossible by construction), and appended
+    exactly-once. The index must exist (:func:`write_text_index` over
+    the seed corpus); run :func:`compact_text_index` periodically to
+    collapse per-batch files. One streaming query per index (appends
+    are sequential by design, enforced by the writer lease). Returns
+    the started ``StreamingQuery``."""
+    sink = _stream_text_sink(index_path, id_col, text_col)
+    writer = (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

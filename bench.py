@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "range_join",
     "time_rollup",
     "bm25_retrieval",
+    "bm25_indexed",
     "bpe_pairs",
     # round 2: corpus statistics + curation sampling
     "heavy_hitters",

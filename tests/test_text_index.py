@@ -1,0 +1,309 @@
+"""Persisted inverted (BM25) text index (r9): postings materialized
+once, probes read only the query terms' buckets — the lexical cousin
+of the MinHash/IVF/IVF-PQ persisted indexes, under the same meta-row +
+marker + append-token + lease discipline."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+import avro_spark.functions.dedup as D
+import avro_spark.functions.retrieval as R
+from avro_spark.functions import text_index as TI
+
+from conftest import SF_DIR
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _queries(spark):
+    return spark.createDataFrame(
+        [(1, "the data pipeline"), (2, "model training loss"),
+         (3, "zz quantum unmatched"), (4, "  "), (5, "THE the tHe")],
+        "query_id long, query string",
+    )
+
+
+def _rows(df, idc="doc_id"):
+    return [
+        (r.query_id, r.rank, r[idc], round(r.score, 9))
+        for r in df.orderBy("query_id", "rank").collect()
+    ]
+
+
+def test_probe_equals_bm25_topk(spark, tmp_path):
+    """The indexed probe is bm25_topk verbatim: same candidates, same
+    ranks, scores equal to fp tolerance (the index path computes avgdl
+    as meta-counter division instead of F.avg)."""
+    docs, qs = _docs(spark), _queries(spark)
+    idx = str(tmp_path / "ti")
+    TI.write_text_index(docs, idx, n_buckets=16)
+    got = TI.bm25_indexed(spark, idx, qs, k=7)
+    want = R.bm25_topk(docs, qs, k=7)
+    g = got.orderBy("query_id", "rank").collect()
+    w = want.orderBy("query_id", "rank").collect()
+    assert [(r.query_id, r.rank, r.doc_id) for r in g] == [
+        (r.query_id, r.rank, r.doc_id) for r in w]
+    assert g, "query set matched nothing — the fixture is broken"
+    for a, b in zip(g, w):
+        assert abs(a.score - b.score) < 1e-9
+    # repeated query terms count once (set semantics): query 5 is
+    # 'the' three times and must score like a single-term query
+    one = spark.createDataFrame([(9, "the")], "query_id long, query string")
+    s1 = {(r.doc_id, round(r.score, 9))
+          for r in TI.bm25_indexed(spark, idx, one, k=7).collect()}
+    s5 = {(r.doc_id, round(r.score, 9)) for r in g if r.query_id == 5}
+    assert s5 == s1
+
+
+def test_append_equals_build_at_once(spark, tmp_path):
+    """Two appends over disjoint halves probe exactly like one build:
+    postings rows identical, meta counters sum to the same N/avgdl."""
+    docs, qs = _docs(spark), _queries(spark)
+    whole = str(tmp_path / "whole")
+    grown = str(tmp_path / "grown")
+    TI.write_text_index(docs, whole, n_buckets=8)
+    TI.write_text_index(docs.where(F.col("doc_id") % 2 == 0), grown,
+                        n_buckets=8)
+    TI.write_text_index(docs.where(F.col("doc_id") % 2 == 1), grown,
+                        n_buckets=None, mode="append", append_token="b1")
+    assert _rows(TI.bm25_indexed(spark, grown, qs, k=5)) == _rows(
+        TI.bm25_indexed(spark, whole, qs, k=5))
+    mw = TI._read_text_meta(spark, whole)
+    mg = TI._read_text_meta(spark, grown)
+    assert (mw["n_docs"], mw["n_docs_tok"], mw["sum_dl"]) == (
+        mg["n_docs"], mg["n_docs_tok"], mg["sum_dl"])
+
+
+def test_append_token_exactly_once(spark, tmp_path):
+    """A blind retry of a COMMITTED append no-ops on the token; a
+    DIFFERENT batch against a dead (mid-flight) append is refused."""
+    docs = _docs(spark)
+    idx = str(tmp_path / "tok")
+    half = docs.where(F.col("doc_id") < 250)
+    rest = docs.where(F.col("doc_id") >= 250)
+    TI.write_text_index(half, idx, n_buckets=8)
+    TI.write_text_index(rest, idx, mode="append", append_token="b7",
+                        n_buckets=None)
+    m1 = TI._read_text_meta(spark, idx)
+    TI.write_text_index(rest, idx, mode="append", append_token="b7",
+                        n_buckets=None)  # retry: structural no-op
+    m2 = TI._read_text_meta(spark, idx)
+    assert m1 == m2
+    assert TI.text_index_stats(spark, idx)["duplicate_rows"] == 0
+    # dead append with pending_token p1 → a batch with p2 is refused
+    TI._write_text_meta(spark, idx, m1["n_buckets"], "doc_id",
+                        "__appending__", m1["n_docs"], m1["n_docs_tok"],
+                        m1["sum_dl"], m1["token"], pending_token="p1")
+    with pytest.raises(ValueError, match="in-flight append"):
+        TI.write_text_index(rest, idx, mode="append", append_token="p2",
+                            n_buckets=None)
+
+
+def test_mid_append_crash_heals_on_same_token_retry(spark, tmp_path):
+    """Crash AFTER the postings append but BEFORE commit: the retry
+    re-appends (duplicate rows), commits counters ONCE, and probes
+    absorb the residue via (term, id) dropDuplicates — answers equal
+    the never-crashed index."""
+    docs, qs = _docs(spark), _queries(spark)
+    clean = str(tmp_path / "clean")
+    crashed = str(tmp_path / "crashed")
+    half = docs.where(F.col("doc_id") < 250)
+    rest = docs.where(F.col("doc_id") >= 250)
+    for p in (clean, crashed):
+        TI.write_text_index(half, p, n_buckets=8)
+    TI.write_text_index(rest, clean, mode="append", append_token="b1",
+                        n_buckets=None)
+    # simulate the dead attempt: marker + data landed, commit did not
+    m = TI._read_text_meta(spark, crashed)
+    TI._write_text_meta(spark, crashed, m["n_buckets"], "doc_id",
+                        "__appending__", m["n_docs"], m["n_docs_tok"],
+                        m["sum_dl"], m["token"], pending_token="b1")
+    base = rest.select(
+        F.col("doc_id"),
+        TI.ws_tokens(F.lower(F.col("text"))).alias("_t"))
+    (base.select("doc_id", F.size("_t").alias("dl"),
+                 F.explode("_t").alias("term"))
+     .groupBy("doc_id", "dl", "term")
+     .agg(F.count("*").cast("long").alias("tf"))
+     .withColumn("bucket", TI._bucket_expr(F.col("term"), m["n_buckets"]))
+     .select("term", "doc_id", "tf", "dl", "bucket")
+     .write.mode("append").partitionBy("bucket")
+     .parquet(f"{crashed}/postings"))
+    with pytest.raises(ValueError, match="status"):
+        TI.bm25_indexed(spark, crashed, qs)  # mid-append probes refuse
+    TI.write_text_index(rest, crashed, mode="append", append_token="b1",
+                        n_buckets=None)  # the healing retry
+    assert TI.text_index_stats(spark, crashed)["duplicate_rows"] > 0
+    assert _rows(TI.bm25_indexed(spark, crashed, qs, k=5)) == _rows(
+        TI.bm25_indexed(spark, clean, qs, k=5))
+    mc = TI._read_text_meta(spark, crashed)
+    ml = TI._read_text_meta(spark, clean)
+    assert (mc["n_docs"], mc["n_docs_tok"], mc["sum_dl"]) == (
+        ml["n_docs"], ml["n_docs_tok"], ml["sum_dl"])
+    # compaction drops the residue and keeps the token
+    TI.compact_text_index(spark, crashed)
+    st = TI.text_index_stats(spark, crashed)
+    assert st["duplicate_rows"] == 0
+    assert TI._read_text_meta(spark, crashed)["token"] == "b1"
+    assert _rows(TI.bm25_indexed(spark, crashed, qs, k=5)) == _rows(
+        TI.bm25_indexed(spark, clean, qs, k=5))
+
+
+def test_drift_and_status_refusals(spark, tmp_path):
+    docs = _docs(spark)
+    idx = str(tmp_path / "drift")
+    TI.write_text_index(docs, idx, n_buckets=8)
+    with pytest.raises(ValueError, match="n_buckets"):
+        TI.write_text_index(docs, idx, mode="append", n_buckets=16)
+    with pytest.raises(ValueError, match="id_col"):
+        TI.write_text_index(docs.withColumnRenamed("doc_id", "other"),
+                            idx, id_col="other", mode="append",
+                            n_buckets=None)
+    m = TI._read_text_meta(spark, idx)
+    TI._write_text_meta(spark, idx, 8, "doc_id", "__compacting__",
+                        m["n_docs"], m["n_docs_tok"], m["sum_dl"])
+    with pytest.raises(ValueError, match="finish the in-flight"):
+        TI.write_text_index(docs, idx, mode="append", n_buckets=None)
+    TI._write_text_meta(spark, idx, 8, "doc_id", "__building__", 0, 0, 0)
+    with pytest.raises(ValueError, match="mid-rebuild"):
+        TI.write_text_index(docs, idx, mode="append", n_buckets=None)
+    with pytest.raises(ValueError, match="no text index meta"):
+        TI.bm25_indexed(spark, str(tmp_path / "nope"),
+                        _queries(spark))
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    """A compaction that died after staging ``postings_compact`` (the
+    '__compacting__' marker is down) finishes the swap on re-run."""
+    docs, qs = _docs(spark), _queries(spark)
+    idx = str(tmp_path / "comp")
+    TI.write_text_index(docs.where(F.col("doc_id") < 250), idx,
+                        n_buckets=8)
+    TI.write_text_index(docs.where(F.col("doc_id") >= 250), idx,
+                        mode="append", append_token="b1", n_buckets=None)
+    want = _rows(TI.bm25_indexed(spark, idx, qs, k=5))
+    before = TI.text_index_stats(spark, idx)["postings_files"]
+    m = TI._read_text_meta(spark, idx)
+    post = spark.read.parquet(f"{idx}/postings")
+    post.dropDuplicates(["term", "doc_id"]) \
+        .repartition(m["n_buckets"], F.col("bucket")) \
+        .write.mode("overwrite").partitionBy("bucket") \
+        .parquet(f"{idx}/postings_compact")
+    TI._write_text_meta(spark, idx, m["n_buckets"], "doc_id",
+                        "__compacting__", m["n_docs"], m["n_docs_tok"],
+                        m["sum_dl"], m["token"])
+    TI.compact_text_index(spark, idx)  # finish-the-swap
+    assert TI._read_text_meta(spark, idx)["status"] == "committed"
+    assert TI.text_index_stats(spark, idx)["postings_files"] < before
+    assert _rows(TI.bm25_indexed(spark, idx, qs, k=5)) == want
+
+
+def test_string_doc_ids_native(spark, tmp_path):
+    """String/UUID-shaped doc ids work end-to-end — the index keeps the
+    native id type (the r8 id-contract lesson: no blind long casts)."""
+    docs = _docs(spark).select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("doc_id"), "text")
+    qs = _queries(spark)
+    idx = str(tmp_path / "sid")
+    TI.write_text_index(docs, idx, n_buckets=8)
+    got = TI.bm25_indexed(spark, idx, qs, k=5)
+    assert dict(got.dtypes)["doc_id"] == "string"
+    # ranks compare rank-free: ties break by the NATIVE id ordering,
+    # and 'doc-138' < 'doc-70' lexicographically while 70 < 138
+    g = {(r.query_id, r.doc_id, round(r.score, 6)) for r in got.collect()}
+    want = {(r.query_id, f"doc-{r.doc_id}", round(r.score, 6))
+            for r in R.bm25_topk(_docs(spark), qs, k=5).collect()}
+    assert g == want and g
+
+
+def test_probe_pushdown_and_fallback(spark, tmp_path):
+    """The probe scan carries BOTH the bucket partition filter and the
+    term In pushdown; past max_pushdown_terms it falls back to the
+    broadcast term join with the same answer."""
+    docs, qs = _docs(spark), _queries(spark)
+    idx = str(tmp_path / "push")
+    TI.write_text_index(docs, idx, n_buckets=16)
+    probed = TI.bm25_indexed(spark, idx, qs, k=5)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    mm = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert mm and "bucket" in mm.group(1), plan[:2000]
+    assert "In(term" in plan, plan[:2000]
+    fb = TI.bm25_indexed(spark, idx, qs, k=5, max_pushdown_terms=1)
+    assert "In(term" not in (
+        fb._jdf.queryExecution().executedPlan().toString())
+    assert _rows(fb) == _rows(probed)
+
+
+def test_single_writer_lease(spark, tmp_path):
+    docs = _docs(spark)
+    idx = str(tmp_path / "lease")
+    TI.write_text_index(docs, idx, n_buckets=8)
+    t = D.acquire_index_lease(idx, "hold")
+    with pytest.raises(ValueError, match="live writer lease"):
+        TI.write_text_index(docs, idx, mode="append", n_buckets=None,
+                            append_token="x")
+    with pytest.raises(ValueError, match="live writer lease"):
+        TI.compact_text_index(spark, idx)
+    D.release_index_lease(idx, t)
+    TI.compact_text_index(spark, idx)  # lease released → proceeds
+
+
+def test_streaming_sink_replay_idempotent(spark, tmp_path):
+    """The foreachBatch sink is exactly-once across replays: a
+    re-delivered batch id is skipped via the registry, and a crash
+    between the append commit and the registry write is absorbed by
+    the append token (counters land once, probe unchanged)."""
+    docs, qs = _docs(spark), _queries(spark)
+    idx = str(tmp_path / "stream")
+    TI.write_text_index(docs.where(F.col("doc_id") < 300), idx,
+                        n_buckets=8)
+    sink = TI._stream_text_sink(idx)
+    batch = docs.where(F.col("doc_id") >= 300)
+    sink(batch, 0)
+    m1 = TI._read_text_meta(spark, idx)
+    want = _rows(TI.bm25_indexed(spark, idx, qs, k=5))
+    sink(batch, 0)  # full replay: registry skip
+    assert TI._read_text_meta(spark, idx) == m1
+    # crash window: batch recorded nowhere but append committed —
+    # simulate by clearing the registry and replaying
+    import shutil
+
+    shutil.rmtree(f"{idx}/batches")
+    sink(batch, 0)  # token no-op inside the append
+    assert TI._read_text_meta(spark, idx)["n_docs"] == m1["n_docs"]
+    assert _rows(TI.bm25_indexed(spark, idx, qs, k=5)) == want
+    assert TI.text_index_stats(spark, idx)["duplicate_rows"] == 0
+
+
+def test_stats_report(spark, tmp_path):
+    docs = _docs(spark)
+    idx = str(tmp_path / "stats")
+    TI.write_text_index(docs, idx, n_buckets=8)
+    st = TI.text_index_stats(spark, idx)
+    assert st["status"] == "committed"
+    assert st["n_docs"] == docs.count()
+    assert st["postings_rows"] > 0 and st["postings_bytes"] > 0
+    assert st["duplicate_rows"] == 0
+    assert st["bucket_row_skew"] >= 1.0
+    # footer rows agree with a real scan
+    assert st["postings_rows"] == spark.read.parquet(
+        f"{idx}/postings").count()
+
+
+def test_empty_and_unmatched_queries(spark, tmp_path):
+    docs = _docs(spark)
+    idx = str(tmp_path / "empty")
+    TI.write_text_index(docs, idx, n_buckets=8)
+    blank = spark.createDataFrame([(1, "   ")],
+                                  "query_id long, query string")
+    assert TI.bm25_indexed(spark, idx, blank, k=5).count() == 0
+    nohit = spark.createDataFrame([(1, "zzqq9x unmatched9z")],
+                                  "query_id long, query string")
+    assert TI.bm25_indexed(spark, idx, nohit, k=5).count() == 0

@@ -1590,6 +1590,24 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (functions/semantic.py): route each
+    embedding to its nearest of 4 seed centroids (the 4 lowest-id
+    vectors — deterministic, so the oracle replicates the routing in
+    SQL), then within each cluster drop any row whose cosine to a
+    lower-id row is ≥ 0.4 (anchored-greedy keeper; dup_of = lowest
+    shadow). τ=0.4 sits in a ≥1e-4-wide cosine gap at every SF and the
+    assignment margins are ≥1e-7, so the float boundary is
+    cross-engine safe. One decision row per input row."""
+    from avro_spark.functions import semantic as SD
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = S.sample_centroids(emb, 4)
+    return SD.semantic_dedup(emb, cents, 0.4).select(
+        "vec_id", "centroid_id", "keep", "dup_of"
+    )
+
+
 def q_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     return S.cosine_lsh_pairs(
@@ -2817,6 +2835,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (write_text_index + bucket/term pushdown), oracle = the
         # bm25_retrieval SQL + top-10 window
         "bm25_indexed": q_bm25_indexed,
+        # semantic_dedup NEW r9: SemDeDup embedding dedup — cluster-
+        # bounded pairwise cosine, anchored-greedy lowest-id keeper
+        "semantic_dedup": q_semantic_dedup,
         "streaming_window": q_streaming_window,
         # the two-batch growth face of the streaming dedup sink — batch
         # 1 pairs against the corpus AND batch 0's admitted docs (the
@@ -3972,6 +3993,57 @@ def _oracles_extra() -> dict[str, str]:
             SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id,
                    round(score, 6) AS score
             FROM ranked WHERE rank <= 10
+        """,
+        # the SemDeDup rule in SQL: same 4 lowest-id seed centroids,
+        # same python-parity normalization (list_transform division
+        # after a sequential dot), same (sim DESC, cid) argmax
+        # tie-break, same lowest-id shadow rule
+        "semantic_dedup": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+            ),
+            cents AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                     v AS cv
+              FROM e ORDER BY vec_id LIMIT 4
+            ),
+            ncents AS (
+              SELECT cid,
+                     list_transform(
+                       cv, x -> x / sqrt(list_dot_product(cv, cv))
+                     ) AS ncv
+              FROM cents
+            ),
+            sims AS (
+              SELECT e.vec_id, ncents.cid,
+                     list_dot_product(e.v, ncv) AS sim
+              FROM e CROSS JOIN ncents
+            ),
+            assign AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, cid) AS rn
+                FROM sims)
+              WHERE rn = 1
+            ),
+            av AS (
+              SELECT a.vec_id, a.cid, e.v
+              FROM assign a JOIN e USING (vec_id)
+            ),
+            pairs AS (
+              SELECT b.vec_id AS hi_id, min(a.vec_id) AS dup_of
+              FROM av a JOIN av b
+                ON a.cid = b.cid AND a.vec_id < b.vec_id
+              WHERE list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+              GROUP BY b.vec_id
+            )
+            SELECT s.vec_id, CAST(s.cid AS INTEGER) AS centroid_id,
+                   p.dup_of IS NULL AS keep, p.dup_of
+            FROM assign s LEFT JOIN pairs p ON s.vec_id = p.hi_id
         """,
         "dup_span_removal": r"""
             WITH toks AS (

@@ -1,0 +1,117 @@
+"""Semantic (embedding-space) deduplication — SemDeDup re-expressed
+as DataFrame ops (Abbas et al. 2023, "SemDeDup: Data-efficient
+learning at web-scale through semantic deduplication").
+
+Exact/MinHash dedup catches lexical near-copies; semantic dedup
+catches REWRITES — documents whose embeddings nearly coincide even
+though their text differs. The SemDeDup recipe: cluster the
+embeddings (so the quadratic pair search never crosses cluster
+boundaries), compute pairwise cosine WITHIN each cluster, and keep one
+representative per ε-ball.
+
+Determinism contract (the keeper rule): a row is DROPPED iff some
+lower-id row in the SAME cluster has cosine ≥ ``threshold`` with it;
+``dup_of`` names the lowest such id. This is the anchored-greedy
+variant — like :func:`dedup.exact_dedup_groups`, the keeper is the
+minimum NATIVE-ordered id, and the rule is a pure predicate of the
+input (no iteration-order dependence), so it is replayable and
+SQL-expressible for oracles. Note the deliberate chain behavior:
+with A~B and B~C but A≁C, B drops (shadowed by A) and C drops
+(shadowed by B, kept or not) — shadowing does not require the shadow
+to survive. The connected-components alternative (one keeper per
+transitive group) is :func:`dedup.dedup_clusters` over these pairs.
+
+Scale shape: the ONLY shuffle is the self-join keyed on
+``centroid_id``; each cluster's pair search is quadratic BY DESIGN
+(that is SemDeDup's trade: k centroids bound the per-cluster row count
+to ~n/k, so the total pair work is n²/k instead of n²). Size k so the
+largest cluster's pair count fits an executor's task budget —
+:func:`similarity.ivf_index_stats`-style skew applies; a hot cluster
+is a signal to raise k or split (:func:`similarity.split_ivf_centroid`
+machinery). Ids keep their native type (string/UUID ids order
+correctly — no silent long cast). No Python UDFs; cosine is the
+codegen'd higher-order-function arithmetic from :mod:`similarity`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import (
+    _argmax_centroid,
+    as_double,
+    dot,
+    l2_norm,
+)
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-row keep/drop decisions: (<id>, centroid_id, keep, dup_of).
+
+    ``keep`` is false iff a lower-id row in the same centroid cluster
+    has cosine ≥ ``threshold``; ``dup_of`` is the LOWEST such id (null
+    for keepers). Zero-norm vectors have cosine 0.0 with everything
+    (the :func:`similarity.cosine` contract) and so are always kept
+    for any positive threshold. Output has one row per input row.
+
+    ``centroids`` typically come from
+    :func:`similarity.kmeans_centroids`; they are routing anchors, not
+    semantics — a finer clustering trades recall (cross-cluster
+    near-dups are never compared) for less quadratic work, exactly the
+    SemDeDup trade."""
+    a = vectors.select(
+        F.col(id_col),
+        as_double(F.col(vec_col)).alias("_v"),
+        l2_norm(vec_col).alias("_n"),
+        _argmax_centroid(F.col(vec_col), centroids).alias("centroid_id"),
+    )
+    lo = a.select(
+        F.col(id_col).alias("_lo_id"), F.col("_v").alias("_lo_v"),
+        F.col("_n").alias("_lo_n"), F.col("centroid_id").alias("_lo_c"),
+    )
+    hi = a.select(
+        F.col(id_col).alias("_hi_id"), F.col("_v").alias("_hi_v"),
+        F.col("_n").alias("_hi_n"), F.col("centroid_id").alias("_hi_c"),
+    )
+    denom = F.col("_lo_n") * F.col("_hi_n")
+    cos = F.when(denom > 0, dot("_lo_v", "_hi_v") / denom).otherwise(
+        F.lit(0.0))
+    pairs = lo.join(
+        hi,
+        (F.col("_lo_c") == F.col("_hi_c"))
+        & (F.col("_lo_id") < F.col("_hi_id")),
+    ).where(cos >= F.lit(float(threshold)))
+    drops = pairs.groupBy("_hi_id").agg(F.min("_lo_id").alias("dup_of"))
+    return (
+        a.join(drops, a[id_col] == drops["_hi_id"], "left")
+        .select(
+            F.col(id_col),
+            "centroid_id",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+        )
+    )
+
+
+def semantic_dedup_keepers(
+    vectors: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The curation face: the input rows that SURVIVE semantic dedup
+    (all original columns), ready to feed the next pipeline stage."""
+    decisions = semantic_dedup(vectors, centroids, threshold, id_col,
+                               vec_col)
+    keep_ids = decisions.where("keep").select(id_col)
+    return vectors.join(keep_ids, id_col, "left_semi")

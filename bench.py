@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "time_rollup",
     "bm25_retrieval",
     "bm25_indexed",
+    "semantic_dedup",
     "bpe_pairs",
     # round 2: corpus statistics + curation sampling
     "heavy_hitters",

@@ -1,0 +1,144 @@
+"""SemDeDup-style semantic dedup (r9): cluster-bounded pairwise cosine
+with an anchored-greedy lowest-id keeper rule — verified row-for-row
+against an in-memory NumPy reference and on hand-built edge shapes."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import avro_spark.functions.similarity as S
+from avro_spark.functions import semantic as SD
+
+from conftest import SF_DIR
+
+
+def _ref(ids, vecs, cents, tau):
+    """NumPy reference: argmax-by-cosine assignment (ties → lowest
+    cid), drop j iff ∃ i<j same-cluster with cos ≥ tau, dup_of = the
+    lowest such i. Zero-norm rows: cosine 0.0 with everything."""
+    ncents = []
+    for c in cents:
+        n = math.sqrt(sum(float(x) * float(x) for x in c))
+        ncents.append([float(x) / n for x in c] if n > 0 else
+                      [0.0] * len(c))
+    ncents = np.asarray(ncents, dtype=np.float64)
+    vv = np.asarray(vecs, dtype=np.float64)
+    sims = vv @ ncents.T
+    assign = np.argmax(sims, axis=1)  # first max = lowest cid
+    norms = np.sqrt((vv * vv).sum(axis=1))
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    out = {}
+    for pos_j, j in enumerate(order):
+        dup_of = None
+        for i in order[:pos_j]:
+            if assign[i] != assign[j]:
+                continue
+            d = norms[i] * norms[j]
+            cos = float(vv[i] @ vv[j]) / d if d > 0 else 0.0
+            if cos >= tau:
+                dup_of = ids[i]
+                break  # order is ascending: first hit IS the min
+        out[ids[j]] = (int(assign[j]), dup_of is None, dup_of)
+    return out
+
+
+def _got(df, idc="vec_id"):
+    return {
+        r[idc]: (r.centroid_id, r.keep, r.dup_of) for r in df.collect()
+    }
+
+
+def test_matches_numpy_reference_on_real_embeddings(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = S.sample_centroids(emb, 4)
+    got = _got(SD.semantic_dedup(emb, cents, 0.4))
+    rows = emb.select("vec_id", "embedding").collect()
+    want = _ref([r.vec_id for r in rows],
+                [list(map(float, r.embedding)) for r in rows],
+                cents, 0.4)
+    assert got == want
+    assert len(got) == emb.count()
+    dropped = sum(1 for v in got.values() if not v[1])
+    assert dropped > 0, "tau=0.4 must actually drop rows at this SF"
+
+
+def test_threshold_above_max_keeps_all(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = S.sample_centroids(emb, 4)
+    d = SD.semantic_dedup(emb, cents, 0.999)
+    assert d.where(~F.col("keep")).count() == 0
+
+
+def test_chain_and_duplicate_semantics(spark):
+    """A≈B≈C with A≉C: B drops (shadowed by A) and C ALSO drops
+    (shadowed by B — shadowing does not require the shadow to
+    survive); an exact duplicate pair keeps only the lower id; a
+    cross-cluster near-dup is never compared."""
+    a = [1.0, 0.0]
+    b = [math.cos(0.30), math.sin(0.30)]   # cos(a,b)=cos(.30)≈.955
+    c = [math.cos(0.60), math.sin(0.60)]   # cos(b,c)≈.955, cos(a,c)≈.825
+    far = [-1.0, 0.05]
+    rows = [(10, a), (11, b), (12, c), (13, a), (14, far)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>")
+    cents = [a, far]  # 10..13 cluster 0, 14 cluster 1
+    got = _got(SD.semantic_dedup(df, cents, 0.9))
+    assert got[10] == (0, True, None)
+    assert got[11] == (0, False, 10)   # shadowed by A
+    assert got[12] == (0, False, 11)   # shadowed by dropped B (chain)
+    assert got[13] == (0, False, 10)   # exact duplicate of A
+    assert got[14] == (1, True, None)  # alone in its cluster
+    # the same near-dup pair across DIFFERENT clusters is never compared
+    got2 = _got(SD.semantic_dedup(df, [a, c], 0.8))
+    assert got2[12][0] != got2[10][0]
+    assert got2[12][1] or got2[12][2] != 10
+
+
+def test_zero_vector_always_kept(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [1.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    got = _got(SD.semantic_dedup(df, [[1.0, 0.0]], 0.5))
+    assert got[2] == (0, True, None)
+    assert got[3] == (0, False, 1)
+
+
+def test_string_ids_native_ordering(spark):
+    """String ids order natively ('a' shadows 'b') — no silent long
+    cast (the r8 id-contract lesson)."""
+    df = spark.createDataFrame(
+        [("b", [1.0, 0.0]), ("a", [1.0, 0.001]), ("c", [0.0, 1.0])],
+        "vec_id string, embedding array<double>")
+    got = _got(SD.semantic_dedup(df, [[1.0, 0.0]], 0.99))
+    assert got["a"] == (0, True, None)
+    assert got["b"] == (0, False, "a")
+    assert got["c"] == (0, True, None)
+    assert isinstance(next(iter(got)), str)
+
+
+def test_keepers_face(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = S.sample_centroids(emb, 4)
+    kept = SD.semantic_dedup_keepers(emb, cents, 0.4)
+    assert kept.columns == emb.columns
+    d = SD.semantic_dedup(emb, cents, 0.4)
+    assert kept.count() == d.where("keep").count() < emb.count()
+    # keepers are exactly the keep=true ids
+    a = {r.vec_id for r in kept.select("vec_id").collect()}
+    b = {r.vec_id for r in d.where("keep").select("vec_id").collect()}
+    assert a == b
+
+
+def test_no_cartesian_product_in_plan(spark):
+    """The pair search joins on centroid equality — Catalyst must plan
+    an equi-join (hash/sort-merge), never a cartesian product."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = S.sample_centroids(emb, 4)
+    plan = SD.semantic_dedup(emb, cents, 0.4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:2000]

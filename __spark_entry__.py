@@ -2254,7 +2254,11 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         TI.write_text_index(docs, idx, n_buckets=32)
         _TEXT_INDEX_DIRS[sf_dir] = idx
     qs = spark.createDataFrame(_BM25_QUERIES, "query_id long, query string")
-    out = TI.bm25_indexed(spark, idx, qs, k=10)
+    # tie_decimals=6: the sf0.01 top-10 contains an EXACT score tie
+    # (docs with identical term-score multisets); ranking on the
+    # rounded score makes the doc-id tie-break engine- and
+    # partitioning-independent (fp addition is not associative)
+    out = TI.bm25_indexed(spark, idx, qs, k=10, tie_decimals=6)
     return out.select(
         "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
     )
@@ -3985,9 +3989,13 @@ def _oracles_extra() -> dict[str, str]:
               FROM sc GROUP BY 1, 2
             ),
             ranked AS (
+              -- rank on round(score, 6), matching the gate's
+              -- tie_decimals=6: fp-sum association noise must not
+              -- decide the order of exactly-tied docs
               SELECT query_id, doc_id, score,
                      row_number() OVER (PARTITION BY query_id
-                                        ORDER BY score DESC, doc_id) AS rank
+                                        ORDER BY round(score, 6) DESC,
+                                                 doc_id) AS rank
               FROM agg
             )
             SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id,

@@ -257,6 +257,7 @@ def bm25_indexed(
     query_id_col: str = "query_id",
     query_text_col: str = "query",
     max_pushdown_terms: int = 5_000,
+    tie_decimals: "Optional[int]" = None,
 ) -> DataFrame:
     """Probe a :func:`write_text_index` index: bucket partition pruning
     + ``term IN (...)`` footer pushdown → per-term df from the pruned
@@ -264,6 +265,15 @@ def bm25_indexed(
     formula: non-negative idf, set-semantics query terms) → per-query
     top-``k``, ties → doc id asc. Returns (query_id, rank, <id>,
     score).
+
+    ``tie_decimals`` ranks on ``round(score, tie_decimals)`` instead of
+    the raw double: a BM25 score is a SUM of per-term scores, and fp
+    addition is not associative, so two docs with identical term-score
+    multisets can land 1 ulp apart depending on aggregation order —
+    making their relative rank depend on partitioning instead of on
+    the deterministic doc-id tie-break. Rounding collapses that noise
+    so rankings are reproducible across sessions and engines (the
+    oracle-comparison mode); None ranks on the raw double.
 
     Scale shape: the scan reads only the query terms' postings
     partitions, with the term list pushed to the parquet footer level
@@ -327,8 +337,10 @@ def bm25_indexed(
         .groupBy("_q", id_col)
         .agg(F.sum("_ts").alias("score"))
     )
+    rank_score = (F.round("score", tie_decimals)
+                  if tie_decimals is not None else F.col("score"))
     w = Window.partitionBy("_q").orderBy(
-        F.col("score").desc(), F.col(id_col).asc())
+        rank_score.desc(), F.col(id_col).asc())
     return (
         scores.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

@@ -297,6 +297,43 @@ def test_stats_report(spark, tmp_path):
         f"{idx}/postings").count()
 
 
+def test_tie_decimals_ranking(spark, tmp_path):
+    """Docs with identical term-score multisets are EXACT score ties
+    and must order by doc id under tie_decimals (the oracle mode);
+    where scores differ beyond the rounding, both modes agree."""
+    docs = _docs(spark)
+    twin = docs.where(F.col("doc_id") == 7).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"), "text")
+    idx = str(tmp_path / "tie")
+    TI.write_text_index(
+        docs.select("doc_id", "text").unionByName(twin), idx, n_buckets=8)
+    # query doc 7's own opening words so the twin pair ranks high
+    own = " ".join(
+        docs.where(F.col("doc_id") == 7).head().text.lower().split()[:3])
+    qs = _queries(spark).unionByName(spark.createDataFrame(
+        [(6, own)], "query_id long, query string"))
+    rounded = _rows(TI.bm25_indexed(spark, idx, qs, k=20, tie_decimals=6))
+    raw = _rows(TI.bm25_indexed(spark, idx, qs, k=20))
+    # raw mode may order the twins either way — and at the k boundary
+    # may even admit the OTHER twin (fp-sum association noise, the
+    # hazard tie_decimals exists for), so compare the two modes only
+    # up to the orderless (query, score) multiset (twin scores are
+    # equal, so a boundary straddle is invisible there)
+    assert sorted((q, s) for q, _, d, s in rounded) == sorted(
+        (q, s) for q, _, d, s in raw)
+    # under tie_decimals the twin DETERMINISTICALLY holds the very
+    # next rank after doc 7 (identical rounded score → doc id order)
+    by_q = {}
+    for q, rank, d, s in rounded:
+        by_q.setdefault(q, {})[d] = (rank, s)
+    seen = 0
+    for q, m in by_q.items():
+        if 7 in m and m[7][0] < 20:  # twin fits inside k
+            assert m.get(100_007) == (m[7][0] + 1, m[7][1])
+            seen += 1
+    assert seen > 0, "fixture never surfaced the tie pair"
+
+
 def test_empty_and_unmatched_queries(spark, tmp_path):
     docs = _docs(spark)
     idx = str(tmp_path / "empty")

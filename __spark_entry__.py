@@ -2731,7 +2731,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # size-budgeted output discipline — + chunk_documents' token
         # segmentation)
         "html_clean": q_html_clean,
-        "bm25_retrieval": q_bm25_retrieval,
+        # bm25_retrieval folded r9 (7 greens; twin bm25_indexed IN
+        # WINDOW — the identical Okapi formula and oracle, now against
+        # the PERSISTED postings index — plus hybrid_retrieval extras)
+        # bm25_indexed NEW r9: write_text_index postings (bucket
+        # partitions, dl denormalized, N/avgdl in the meta row) +
+        # bucket/term-pushdown probe — the production repeated-query
+        # lexical-retrieval path
+        "bm25_indexed": q_bm25_indexed,
         "bpe_pairs": q_bpe_pairs,
         # corpus_stats folded r9 (8 greens; twins bigram_lm + domain_cap
         # + cms_freq IN WINDOW — the same per-group text-stat
@@ -2795,7 +2802,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the Arrow matmul engines (guard the r5 flagship Arrow work;
         # 6dp/9dp rounding absorbs BLAS last-ulp drift)
         "decontaminate_emb_arrow": q_decontaminate_emb_arrow,
-        "knn_bruteforce_arrow": q_knn_bruteforce_arrow,
+        # knn_bruteforce_arrow folded r9 (3 greens; twin
+        # decontaminate_emb_arrow IN WINDOW — the same Arrow matmul
+        # engine — plus knn_bruteforce extras, the same exact top-k on
+        # the HOF engine)
+        # semantic_dedup NEW r9: SemDeDup embedding dedup — centroid-
+        # bounded pairwise cosine, anchored-greedy lowest-id keeper
+        # (the oracle replicates the routing + shadow rule in SQL)
+        "semantic_dedup": q_semantic_dedup,
         # embedding_pool NEW IN WINDOW: last never-checked embedding gate
         "embedding_pool": q_embedding_pool,
         # e2e + scale + incremental merge + multimodal
@@ -2835,13 +2849,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PROMOTED to the window; folded in exchange (twin notes in
         # queries()):
         "minhash_lsh": q_minhash_lsh,
-        # bm25_indexed NEW r9: the persisted inverted-index probe
-        # (write_text_index + bucket/term pushdown), oracle = the
-        # bm25_retrieval SQL + top-10 window
-        "bm25_indexed": q_bm25_indexed,
-        # semantic_dedup NEW r9: SemDeDup embedding dedup — cluster-
-        # bounded pairwise cosine, anchored-greedy lowest-id keeper
-        "semantic_dedup": q_semantic_dedup,
+        # bm25_retrieval folded r9 in exchange for bm25_indexed (twin
+        # notes in queries())
+        "bm25_retrieval": q_bm25_retrieval,
+        # knn_bruteforce_arrow folded r9 in exchange for semantic_dedup
+        # (twin notes in queries())
+        "knn_bruteforce_arrow": q_knn_bruteforce_arrow,
         "streaming_window": q_streaming_window,
         # the two-batch growth face of the streaming dedup sink — batch
         # 1 pairs against the corpus AND batch 0's admitted docs (the
@@ -3820,25 +3833,6 @@ def _oracles_main() -> dict[str, str]:
             SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, round(cos, 6) AS cosine
             FROM ranked WHERE rank <= 5
         """,
-        "knn_bruteforce_arrow": """
-            WITH q AS (
-              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-              FROM embeddings WHERE vec_id < 10),
-            scored AS (
-              SELECT q.query_id, e.vec_id,
-                     list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
-                       / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-                                                CAST(e.embedding AS DOUBLE[])))
-                          * sqrt(list_dot_product(q.qv, q.qv))) AS cos
-              FROM embeddings e CROSS JOIN q
-              WHERE e.vec_id != q.query_id),
-            ranked AS (
-              SELECT query_id, vec_id, cos,
-                     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
-              FROM scored)
-            SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, round(cos, 6) AS cosine
-            FROM ranked WHERE rank <= 5
-        """,
         "minhash_lsh": _minhash_oracle(),
         # pair pipeline as a derived table + recursive min-label closure:
         # every (id, reachable label) enumerates, min per id = component
@@ -3906,49 +3900,6 @@ def _oracles_main() -> dict[str, str]:
             ASOF LEFT JOIN purch p
               ON c.user_id = p.user_id AND c.ts >= p.pts
         """,
-        # same Okapi BM25 formula: k1=1.2, b=0.75,
-        # idf = ln(1 + (N - df + .5)/(df + .5)); N counts ALL docs,
-        # dl/avgdl only docs with >=1 token (empty docs are unmatchable)
-        "bm25_retrieval": f"""
-            WITH q(query_id, query) AS (VALUES {", ".join(f"({i}, '{s}')" for i, s in _BM25_QUERIES)}),
-            toks AS (
-              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
-              FROM documents WHERE trim(text) <> ''
-            ),
-            nd AS (SELECT count(*) AS n FROM documents),
-            post AS (
-              SELECT doc_id, tok AS term, count(*) AS tf
-              FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
-              GROUP BY 1, 2
-            ),
-            dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1),
-            ad AS (SELECT avg(dl) AS avgdl FROM dl),
-            dfr AS (SELECT term, count(DISTINCT doc_id) AS df FROM post GROUP BY 1),
-            qt AS (
-              SELECT DISTINCT query_id, term FROM (
-                SELECT query_id,
-                       unnest(regexp_split_to_array(trim(lower(query)), '\\s+')) AS term
-                FROM q)
-            ),
-            sc AS (
-              SELECT qt.query_id, post.doc_id,
-                     ln(1 + (nd.n - dfr.df + 0.5) / (dfr.df + 0.5))
-                     * (post.tf * 2.2)
-                     / (post.tf + 1.2 * (0.25 + 0.75 * dl.dl / ad.avgdl)) AS ts
-              FROM post
-              JOIN qt USING (term)
-              JOIN dfr USING (term)
-              JOIN dl ON dl.doc_id = post.doc_id, nd, ad
-            )
-            SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
-                   round(sum(ts), 6) AS score
-            FROM sc GROUP BY 1, 2
-        """,
-    }
-
-
-def _oracles_extra() -> dict[str, str]:
-    return {
         # the bm25_retrieval formula verbatim (same tokenizer, same
         # non-negative idf) + a per-query top-10 window — the indexed
         # probe must score exactly like the from-scratch pass
@@ -4052,6 +4003,68 @@ def _oracles_extra() -> dict[str, str]:
             SELECT s.vec_id, CAST(s.cid AS INTEGER) AS centroid_id,
                    p.dup_of IS NULL AS keep, p.dup_of
             FROM assign s LEFT JOIN pairs p ON s.vec_id = p.hi_id
+        """,
+    }
+
+
+def _oracles_extra() -> dict[str, str]:
+    return {
+        # same Okapi BM25 formula: k1=1.2, b=0.75,
+        # idf = ln(1 + (N - df + .5)/(df + .5)); N counts ALL docs,
+        # dl/avgdl only docs with >=1 token (empty docs are unmatchable)
+        "bm25_retrieval": f"""
+            WITH q(query_id, query) AS (VALUES {", ".join(f"({i}, '{s}')" for i, s in _BM25_QUERIES)}),
+            toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM documents WHERE trim(text) <> ''
+            ),
+            nd AS (SELECT count(*) AS n FROM documents),
+            post AS (
+              SELECT doc_id, tok AS term, count(*) AS tf
+              FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+              GROUP BY 1, 2
+            ),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1),
+            ad AS (SELECT avg(dl) AS avgdl FROM dl),
+            dfr AS (SELECT term, count(DISTINCT doc_id) AS df FROM post GROUP BY 1),
+            qt AS (
+              SELECT DISTINCT query_id, term FROM (
+                SELECT query_id,
+                       unnest(regexp_split_to_array(trim(lower(query)), '\\s+')) AS term
+                FROM q)
+            ),
+            sc AS (
+              SELECT qt.query_id, post.doc_id,
+                     ln(1 + (nd.n - dfr.df + 0.5) / (dfr.df + 0.5))
+                     * (post.tf * 2.2)
+                     / (post.tf + 1.2 * (0.25 + 0.75 * dl.dl / ad.avgdl)) AS ts
+              FROM post
+              JOIN qt USING (term)
+              JOIN dfr USING (term)
+              JOIN dl ON dl.doc_id = post.doc_id, nd, ad
+            )
+            SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+                   round(sum(ts), 6) AS score
+            FROM sc GROUP BY 1, 2
+        """,
+        "knn_bruteforce_arrow": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 10),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                       / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+              FROM embeddings e CROSS JOIN q
+              WHERE e.vec_id != q.query_id),
+            ranked AS (
+              SELECT query_id, vec_id, cos,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+              FROM scored)
+            SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, round(cos, 6) AS cosine
+            FROM ranked WHERE rank <= 5
         """,
         "dup_span_removal": r"""
             WITH toks AS (

@@ -210,11 +210,19 @@ def _write_text_index_unlocked(
             .agg(F.count("*").cast("long").alias("tf"))
             .withColumn("bucket", _bucket_expr(F.col("term"), n_buckets))
         )
-        post.select("term", id_col, "tf", "dl", "bucket") \
-            .repartition(n_buckets, "bucket") \
+        rows = post.select("term", id_col, "tf", "dl", "bucket")
+        rows.repartition(n_buckets, "bucket") \
             .sortWithinPartitions("bucket", "term", id_col) \
             .write.mode(mode).partitionBy("bucket") \
             .parquet(f"{path}/postings")
+        if mode == "overwrite" and st["sum_dl"] == 0:
+            # a zero-postings corpus (every doc empty) writes NO part
+            # files, and a fileless dir fails every later read with
+            # UNABLE_TO_INFER_SCHEMA — materialize one empty file so
+            # the schema (incl. the NATIVE id type) is pinned on disk
+            rows.drop("bucket").limit(0).coalesce(1) \
+                .write.mode("overwrite") \
+                .parquet(f"{path}/postings/bucket=0")
     finally:
         base.unpersist()
     _write_text_meta(

@@ -334,6 +334,31 @@ def test_tie_decimals_ranking(spark, tmp_path):
     assert seen > 0, "fixture never surfaced the tie pair"
 
 
+def test_zero_postings_corpus(spark, tmp_path):
+    """An index over an all-empty corpus (zero postings) still probes,
+    appends, compacts, and reports stats — the fileless-partition-dir
+    UNABLE_TO_INFER_SCHEMA hazard is closed at build time."""
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   ")], "doc_id long, text string")
+    idx = str(tmp_path / "zero")
+    TI.write_text_index(docs, idx, n_buckets=8)
+    qs = spark.createDataFrame([(1, "anything")],
+                               "query_id long, query string")
+    assert TI.bm25_indexed(spark, idx, qs, k=5).count() == 0
+    st = TI.text_index_stats(spark, idx)
+    assert (st["n_docs"], st["n_docs_tok"], st["postings_rows"]) == (
+        2, 0, 0)
+    # the empty index can still GROW into a useful one
+    real = _docs(spark).where(F.col("doc_id") < 50)
+    TI.write_text_index(real, idx, mode="append", append_token="b1",
+                        n_buckets=None)
+    grown = _rows(TI.bm25_indexed(spark, idx, _queries(spark), k=5))
+    assert grown
+    TI.compact_text_index(spark, idx)
+    assert _rows(TI.bm25_indexed(spark, idx, _queries(spark), k=5)) == \
+        grown
+
+
 def test_empty_and_unmatched_queries(spark, tmp_path):
     docs = _docs(spark)
     idx = str(tmp_path / "empty")

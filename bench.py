@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "bm25_retrieval",
     "bm25_indexed",
     "semantic_dedup",
+    "hybrid_indexed",
     "bpe_pairs",
     # round 2: corpus statistics + curation sampling
     "heavy_hitters",

@@ -2313,6 +2313,42 @@ def q_hybrid_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.select("query_id", "doc_id", "rrf_score", "rank")
 
 
+def q_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted EXACT-dedup index (functions/exact_index.py) —
+    the first stage of incremental dedup, ahead of the MinHash index:
+    fingerprint the corpus once (md5 of whitespace/case-normalized
+    text, bucket-partitioned), then probe a daily batch with bucket
+    pruning + fingerprint IN pushdown. The batch mixes whitespace/case
+    mutations of corpus docs (must be caught: dup_of = the corpus id)
+    with genuinely novel docs (keep=true). Index built once per
+    (process, sf_dir) — bench measures the PROBE."""
+    from avro_spark.functions import exact_index as X
+
+    docs = _read(spark, sf_dir, "documents", split=True).select(
+        "doc_id", "text")
+    corpus = docs.where(F.col("doc_id") < 250)
+    idx = _EXACT_INDEX_DIRS.get(sf_dir)
+    if idx is None:
+        idx = _fresh_dirs(f"incremental_exact_dedup:{sf_dir}",
+                          "exact_index_")[0]
+        X.write_exact_index(corpus, idx, n_buckets=32)
+        _EXACT_INDEX_DIRS[sf_dir] = idx
+    # batch bounded to 300 rows at EVERY sf: a plan-bloating
+    # thousands-literal IN is the known pushdown failure mode (r8 nit);
+    # the gate exercises the pushdown path at its paying size
+    batch = docs.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit("   ")).alias("text"),
+    ).unionByName(
+        docs.where((F.col("doc_id") >= 250) & (F.col("doc_id") < 500)))
+    out = X.dedup_exact_against_index(spark, batch, idx)
+    return out.select("doc_id", "fingerprint", "dup_of", "keep")
+
+
+#: one persisted exact-dedup index per sf_dir per process
+_EXACT_INDEX_DIRS: dict = {}
+
+
 def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjacent-token pair counts (the BPE vocabulary-merge statistic):
     explode + one map-side-combined count, integer-thresholded so the
@@ -2904,6 +2940,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the IVF index — the persisted indexes composing into one
         # query-fleet pipeline (oracle = both index oracles + SQL RRF)
         "hybrid_indexed": q_hybrid_indexed,
+        # incremental_exact_dedup NEW r9: the persisted exact-dedup
+        # (content-fingerprint) index — the stage ahead of the MinHash
+        # index in a real incremental dedup pipeline
+        "incremental_exact_dedup": q_incremental_exact_dedup,
         "streaming_window": q_streaming_window,
         # the two-batch growth face of the streaming dedup sink — batch
         # 1 pairs against the corpus AND batch 0's admitted docs (the
@@ -3956,6 +3996,42 @@ def _oracles_main() -> dict[str, str]:
             SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id,
                    round(score, 6) AS score
             FROM ({_bm25_ranked_oracle(10)})
+        """,
+        # exact_dedup's md5(normalized text) keeper rule over the
+        # corpus, left-joined onto the mutated batch — DuckDB's
+        # regexp_replace needs the 'g' flag to match Spark's
+        # replace-all default
+        "incremental_exact_dedup": r"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 250
+            ),
+            batch AS (
+              SELECT doc_id + 10000 AS doc_id,
+                     '  ' || upper(text) || '   ' AS text
+              FROM documents WHERE doc_id < 50
+              UNION ALL
+              SELECT doc_id, text FROM documents
+              WHERE doc_id >= 250 AND doc_id < 500
+            ),
+            cf AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                       AS fingerprint
+              FROM corpus
+            ),
+            grp AS (
+              SELECT fingerprint, min(doc_id) AS dup_of
+              FROM cf GROUP BY 1
+            ),
+            bf AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                       AS fingerprint
+              FROM batch
+            )
+            SELECT b.doc_id, b.fingerprint, g.dup_of,
+                   g.dup_of IS NULL AS keep
+            FROM bf b LEFT JOIN grp g USING (fingerprint)
         """,
         # the SemDeDup rule in SQL: same 4 lowest-id seed centroids,
         # same python-parity normalization (list_transform division

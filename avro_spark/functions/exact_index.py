@@ -1,0 +1,453 @@
+"""Persisted exact-dedup (content-fingerprint) index — the FIRST stage
+of an incremental dedup pipeline.
+
+Real training-data pipelines dedup in stages: exact content hash
+first (cheap, catches byte-identical and whitespace/case-variant
+copies), MinHash-LSH second (near-dups). The MinHash stage has had a
+persisted incremental index since r7 (:mod:`dedup`,
+``write_minhash_index``); this module gives the exact stage the same
+shape, so a daily batch never re-hashes the corpus:
+
+* ``{path}/meta`` — ONE row: layout pins (``n_buckets``, the id column
+  name), corpus count, status marker, last/pending append tokens.
+* ``{path}/fps`` — (fingerprint, <id>) partitioned by
+  ``bucket = pmod(xxhash64(fingerprint), n_buckets)`` and range-sorted
+  by (fingerprint, id) within buckets. The fingerprint is
+  :func:`dedup.content_fingerprint` — md5 of whitespace/case-normalized
+  text — so decisions agree row-for-row with :func:`dedup.exact_dedup`
+  and a plain SQL oracle.
+
+Probe (:func:`dedup_exact_against_index`) = batch fingerprints →
+bucket partition pruning + ``fingerprint IN (...)`` footer pushdown
+against the sorted layout → min index id per fingerprint → one
+broadcast join back to the batch. Probe IO is bounded by the BATCH's
+distinct fingerprints, never the corpus; driver state likewise (with a
+broadcast-join fallback past ``max_pushdown_fps``).
+
+Crash discipline and concurrency are the family's shared contract
+(identical to the text/IVF-PQ indexes): ``'__appending__'`` marker
+with a ``pending_token`` first, commit last; a committed-token retry
+no-ops; a different batch against a dead append is refused; probes
+absorb retry-duplicate rows via (fingerprint, id) dropDuplicates;
+``compact_exact_index`` finish-the-swap; every mutating op under the
+single-writer lease. Ids keep their NATIVE type. No Python UDFs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import content_fingerprint
+
+
+def _bucket_expr(fp: "F.Column", n_buckets: int) -> "F.Column":
+    """Pinned fingerprint→bucket routing (deterministic across
+    sessions; identical at build, append, and probe time)."""
+    return F.pmod(F.xxhash64(fp), F.lit(n_buckets)).cast("int")
+
+
+def _write_exact_meta(
+    spark, path: str, n_buckets: int, id_col: str, status: str,
+    n_docs: int, token: "Optional[str]" = None,
+    pending_token: "Optional[str]" = None,
+) -> None:
+    spark.range(1).select(
+        F.lit(int(n_buckets)).cast("int").alias("n_buckets"),
+        F.lit(id_col).alias("id_col"),
+        F.lit(status).alias("status"),
+        F.lit(int(n_docs)).cast("long").alias("n_docs"),
+        F.lit(token).cast("string").alias("token"),
+        F.lit(pending_token).cast("string").alias("pending_token"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _read_exact_meta(spark, path: str) -> dict:
+    try:
+        row = spark.read.parquet(f"{path}/meta").head()
+    except Exception as e:
+        raise ValueError(
+            f"no exact-dedup index meta at {path!r}/meta — not a "
+            "write_exact_index index; rebuild it with write_exact_index"
+        ) from e
+    if row is None:
+        raise ValueError(
+            "exact-dedup index meta is empty — the index is mid-rebuild "
+            "or corrupt; rebuild it with write_exact_index"
+        )
+    d = row.asDict()
+    return {
+        "n_buckets": d["n_buckets"], "id_col": d["id_col"],
+        "status": d["status"], "n_docs": d["n_docs"],
+        "token": d.get("token"), "pending_token": d.get("pending_token"),
+    }
+
+
+def _write_exact_index_unlocked(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+    append_token: "Optional[str]" = None,
+) -> None:
+    """Materialize the fingerprint index (module docstring has the
+    layout and the append/token contract)."""
+    spark = docs.sparkSession
+    prev_docs = 0
+    prev_token = None
+    if mode == "append":
+        m = _read_exact_meta(spark, path)
+        if m["status"] == "__building__":
+            raise ValueError(
+                "index is mid-rebuild (status '__building__') — rebuild "
+                "it with write_exact_index(mode='overwrite')"
+            )
+        if append_token is not None and m["token"] == append_token:
+            return  # committed retry: structural no-op
+        if m["status"] == "__appending__":
+            if (m["pending_token"] is not None and append_token is not None
+                    and m["pending_token"] != append_token):
+                raise ValueError(
+                    f"index at {path!r} has an in-flight append with "
+                    f"token {m['pending_token']!r}; refusing append "
+                    f"with token {append_token!r} — re-run the dead "
+                    "append to completion first (appends are sequential)"
+                )
+        elif m["status"] != "committed":
+            raise ValueError(
+                f"index at {path!r} has status {m['status']!r} — finish "
+                "the in-flight maintenance first, then append"
+            )
+        if n_buckets not in (None, m["n_buckets"]):
+            raise ValueError(
+                f"append n_buckets={n_buckets} does not match the "
+                f"index's pinned bucket count {m['n_buckets']} — "
+                "drifted bucketing would hide fingerprints from "
+                "probes; pass n_buckets=None"
+            )
+        if id_col != m["id_col"]:
+            raise ValueError(
+                f"append id_col={id_col!r} does not match the index's "
+                f"pinned id column {m['id_col']!r}"
+            )
+        n_buckets = m["n_buckets"]
+        prev_docs = m["n_docs"]
+        prev_token = m["token"]
+        _write_exact_meta(spark, path, n_buckets, id_col, "__appending__",
+                          prev_docs, prev_token, append_token)
+    elif mode == "overwrite":
+        if not n_buckets or n_buckets < 1:
+            raise ValueError("n_buckets must be a positive int")
+        _write_exact_meta(spark, path, n_buckets, id_col, "__building__",
+                          0)
+    else:
+        raise ValueError(f"bad mode: {mode}")
+    fps = docs.select(
+        content_fingerprint(F.col(text_col)).alias("fingerprint"),
+        F.col(id_col),
+    ).withColumn("bucket", _bucket_expr(F.col("fingerprint"), n_buckets))
+    fps.repartition(n_buckets, "bucket") \
+        .sortWithinPartitions("bucket", "fingerprint", id_col) \
+        .write.mode(mode).partitionBy("bucket") \
+        .parquet(f"{path}/fps")
+    n_batch = docs.count()
+    if mode == "overwrite" and n_batch == 0:
+        # an empty corpus writes NO part files; pin the schema on disk
+        # (incl. the native id type) so later reads never hit
+        # UNABLE_TO_INFER_SCHEMA — same hazard as the text index
+        fps.drop("bucket").limit(0).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{path}/fps/bucket=0")
+    _write_exact_meta(spark, path, n_buckets, id_col, "committed",
+                      prev_docs + n_batch,
+                      append_token if mode == "append" else None)
+
+
+def write_exact_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+    append_token: "Optional[str]" = None,
+) -> None:
+    """Public face of :func:`_write_exact_index_unlocked` (see its
+    docstring), under the index's single-writer lease."""
+    from .dedup import acquire_index_lease, release_index_lease
+
+    lt = acquire_index_lease(path, f"exact-{mode}")
+    try:
+        _write_exact_index_unlocked(
+            docs, path, id_col, text_col, n_buckets, mode, append_token)
+    finally:
+        release_index_lease(path, lt)
+
+
+def dedup_exact_against_index(
+    spark,
+    batch: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_pushdown_fps: int = 5_000,
+) -> DataFrame:
+    """Annotate each batch row with its exact-dup status against the
+    index: (<id>, fingerprint, dup_of, keep) — ``dup_of`` is the LOWEST
+    index id sharing the row's content fingerprint (null if none),
+    ``keep`` its absence. One decision row per batch row; WITHIN-batch
+    duplicates are deliberately not compared here (run
+    :func:`dedup.exact_dedup` on the batch first — the streaming sink
+    does).
+
+    Scale shape: the fps scan reads only the batch fingerprints'
+    buckets, with the fingerprint list pushed to the parquet footer
+    level against the range-sorted layout; past ``max_pushdown_fps``
+    the probe falls back to a broadcast fingerprint-set join (same
+    answer, bounded driver state). The cap bounds PLAN cost as much as
+    driver memory: a thousands-literal ``IN`` costs Catalyst seconds of
+    optimization regardless of data size (measured ~3 s at 5k
+    literals), so the pushdown pays only when the index is large
+    enough to amortize it — size the cap to the batch cadence, or let
+    big batches take the broadcast path."""
+    m = _read_exact_meta(spark, path)
+    if m["status"] != "committed":
+        raise ValueError(
+            f"exact-dedup index at {path!r} has status {m['status']!r} "
+            "— a rebuild or append died part-way; re-run it to "
+            "completion, then probe"
+        )
+    if id_col != m["id_col"]:
+        raise ValueError(
+            f"probe id_col={id_col!r} does not match the index's "
+            f"pinned id column {m['id_col']!r}"
+        )
+    bf = batch.select(
+        F.col(id_col),
+        content_fingerprint(F.col(text_col)).alias("fingerprint"),
+    )
+    fpb = (
+        bf.select("fingerprint").distinct()
+        .select("fingerprint",
+                _bucket_expr(F.col("fingerprint"), m["n_buckets"])
+                .alias("bucket"))
+        .limit(max_pushdown_fps + 1).collect()
+    )
+    idx = spark.read.parquet(f"{path}/fps")
+    if len(fpb) <= max_pushdown_fps:
+        fplist = [r["fingerprint"] for r in fpb]
+        buckets = sorted({int(r["bucket"]) for r in fpb})
+        if not fplist:
+            idx = idx.limit(0)
+        else:
+            idx = idx.where(F.col("bucket").isin(buckets)
+                            & F.col("fingerprint").isin(fplist))
+    else:
+        idx = idx.join(
+            F.broadcast(bf.select("fingerprint").distinct()), "fingerprint")
+    hits = (
+        idx.select("fingerprint", F.col(id_col).alias("_idx_id"))
+        .dropDuplicates(["fingerprint", "_idx_id"])  # retry residue
+        .groupBy("fingerprint")
+        .agg(F.min("_idx_id").alias("dup_of"))
+    )
+    return (
+        bf.join(F.broadcast(hits), "fingerprint", "left")
+        .select(
+            F.col(id_col), "fingerprint", "dup_of",
+            F.col("dup_of").isNull().alias("keep"),
+        )
+    )
+
+
+def compact_exact_index(spark, path: str) -> None:
+    """Public face of :func:`_compact_exact_index_unlocked`, under the
+    single-writer lease."""
+    from .dedup import acquire_index_lease, release_index_lease
+
+    lt = acquire_index_lease(path, "exact-compact")
+    try:
+        _compact_exact_index_unlocked(spark, path)
+    finally:
+        release_index_lease(path, lt)
+
+
+def _compact_exact_index_unlocked(spark, path: str) -> None:
+    """Collapse append-accumulated small files, drop retry-duplicate
+    rows, restore the sorted layout — the family's ``'__compacting__'``
+    finish-the-swap discipline (token preserved; re-run recovers a
+    crash; probes refuse meanwhile)."""
+    from .dedup import _dir_exists, _mv_dir, _rm_dir
+
+    m = _read_exact_meta(spark, path)
+
+    def _swap_and_commit() -> None:
+        comp = f"{path}/fps_compact"
+        if _dir_exists(comp):
+            _rm_dir(f"{path}/fps")
+            _mv_dir(comp, f"{path}/fps")
+        _write_exact_meta(spark, path, m["n_buckets"], m["id_col"],
+                          "committed", m["n_docs"], m["token"])
+
+    if m["status"] == "__compacting__":
+        _swap_and_commit()
+        return
+    if m["status"] != "committed":
+        raise ValueError(
+            f"index at {path!r} has status {m['status']!r} — finish the "
+            "in-flight append first (re-run the same append), then "
+            "compact"
+        )
+    idx = spark.read.parquet(f"{path}/fps")
+    id_col = m["id_col"]
+    idx.dropDuplicates(["fingerprint", id_col]) \
+        .repartition(m["n_buckets"], F.col("bucket")) \
+        .sortWithinPartitions("bucket", "fingerprint", id_col) \
+        .write.mode("overwrite").partitionBy("bucket") \
+        .parquet(f"{path}/fps_compact")
+    _write_exact_meta(spark, path, m["n_buckets"], m["id_col"],
+                      "__compacting__", m["n_docs"], m["token"])
+    _swap_and_commit()
+
+
+def exact_index_stats(spark, path: str) -> dict:
+    """Health report (footer-only except one count-vs-distinct job):
+    meta status/count, fps file count + footer rows + bytes, bucket
+    skew, duplicate (fingerprint, id) rows (append-retry residue)."""
+    import collections
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .dedup import _list_parquet_files, _open_listed
+
+    m = _read_exact_meta(spark, path)
+    out = {
+        "status": m["status"], "n_buckets": m["n_buckets"],
+        "n_docs": m["n_docs"],
+    }
+    rows = 0
+    size = 0
+    part_rows: collections.Counter = collections.Counter()
+    files = _list_parquet_files(f"{path}/fps", recursive=True)
+    for fs_, fp in files:
+        with _open_listed(fs_, fp) as fh:
+            nr = pq.ParquetFile(fh).metadata.num_rows
+        rows += nr
+        part_rows[os.path.dirname(fp)] += nr
+        size += (os.path.getsize(fp) if fs_ is None
+                 else fs_.get_file_info(fp).size)
+    out["fps_files"] = len(files)
+    out["fps_rows"] = rows
+    out["fps_bytes"] = size
+    max_pr = max(part_rows.values()) if part_rows else 0
+    mean_pr = (rows / len(part_rows)) if part_rows else 0.0
+    out["max_rows_per_bucket"] = int(max_pr)
+    out["bucket_row_skew"] = round(max_pr / mean_pr, 2) if mean_pr else 0.0
+    df = spark.read.parquet(f"{path}/fps")
+    dup = df.count() - df.dropDuplicates(
+        ["fingerprint", m["id_col"]]).count()
+    out["duplicate_rows"] = int(dup)
+    return out
+
+
+# --------------------------------- streaming face of exact incremental dedup
+def _stream_exact_sink(
+    index_path: str,
+    decisions_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    admit: str = "novel",
+):
+    """The foreachBatch callable behind :func:`dedup_exact_stream`,
+    factored out so replay idempotence is directly testable. Per
+    micro-batch, in crash-safe order (the MinHash streaming sink's
+    shape):
+
+    1. recorded batch id → return (exactly-once across restarts);
+    2. if the index's meta already carries this batch's token —
+       committed, or pending on a dead mid-append attempt — the batch
+       WAS probed before any of it entered the index, so the replay
+       REUSES the committed ``{decisions_path}/batch=<id>/`` instead
+       of re-probing an index that now contains the batch's own docs
+       (which would mark every admitted doc a duplicate of itself —
+       the crash window the MinHash sink closed in r9);
+    3. otherwise WITHIN-batch exact dedup first (:func:`dedup.
+       exact_dedup` — lowest id per content wins), probe the survivors,
+       and OVERWRITE this batch's decisions dir (a replay REPLACES,
+       never doubles);
+    4. append the admitted docs (``admit="novel"``: only keep=true
+       survivors; ``"all"``: every survivor) with
+       ``append_token=f"batch{batch_id}"`` — a committed-token retry
+       no-ops, a crash mid-append heals on the same-token retry;
+    5. record the batch id LAST as the whole-batch commit marker."""
+    if admit not in ("novel", "all"):
+        raise ValueError(f"bad admit: {admit}")
+
+    from .dedup import _read_batch_registry, exact_dedup
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        applied = _read_batch_registry(spark, f"{index_path}/batches")
+        if batch_id in applied:
+            return
+        token = f"batch{batch_id}"
+        m = _read_exact_meta(spark, index_path)
+        probed_already = m["token"] == token or (
+            m["status"] == "__appending__"
+            and m["pending_token"] == token)
+        survivors = exact_dedup(batch_df, id_col, text_col)
+        if not probed_already:
+            decisions = dedup_exact_against_index(
+                spark, survivors, index_path, id_col, text_col)
+            decisions.write.mode("overwrite").parquet(
+                f"{decisions_path}/batch={batch_id}")
+        admitted_ids = (
+            spark.read.parquet(f"{decisions_path}/batch={batch_id}")
+            .where("keep" if admit == "novel" else F.lit(True))
+            .select(id_col)
+        )
+        admitted = survivors.join(F.broadcast(admitted_ids), id_col,
+                                  "left_semi")
+        write_exact_index(admitted, index_path, id_col, text_col,
+                          n_buckets=None, mode="append",
+                          append_token=token)
+        spark.range(1).select(
+            F.lit(int(batch_id)).cast("long").alias("batch_id")
+        ).write.mode("append").parquet(f"{index_path}/batches")
+
+    return sink
+
+
+def dedup_exact_stream(
+    df: DataFrame,
+    index_path: str,
+    decisions_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    admit: str = "novel",
+    trigger_available_now: bool = False,
+    query_name: "Optional[str]" = None,
+):
+    """STREAMING incremental exact dedup: each document micro-batch is
+    within-batch deduped, probed against the PERSISTED fingerprint
+    index, its decisions written under ``{decisions_path}/batch=<id>``,
+    and the admitted docs appended exactly-once. The index must exist
+    (:func:`write_exact_index` over the seed corpus — possibly empty).
+    One streaming query per index (writer lease). Returns the started
+    ``StreamingQuery``."""
+    sink = _stream_exact_sink(index_path, decisions_path, id_col,
+                              text_col, admit)
+    writer = (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

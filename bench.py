@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "bm25_indexed",
     "semantic_dedup",
     "hybrid_indexed",
+    "incremental_exact_dedup",
     "bpe_pairs",
     # round 2: corpus statistics + curation sampling
     "heavy_hitters",

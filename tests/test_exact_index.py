@@ -1,0 +1,188 @@
+"""Persisted exact-dedup (content-fingerprint) index (r9): the exact
+stage of incremental dedup gets the same persisted shape as the
+MinHash/text/IVF indexes — shared meta/marker/token/lease contract."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+import avro_spark.functions.dedup as D
+from avro_spark.functions import exact_index as X
+
+from conftest import SF_DIR
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+
+
+def _mutated(spark):
+    """A batch of near-copies: half exact dups of corpus docs (modulo
+    whitespace/case — the normalization must catch them), half novel."""
+    docs = _docs(spark)
+    dup = docs.where(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit("   ")).alias("text"))
+    novel = docs.where(
+        (F.col("doc_id") >= 40) & (F.col("doc_id") < 80)).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.lit("novel-token-"), F.col("doc_id"), F.lit(" "),
+                 F.col("text")).alias("text"))
+    return dup.unionByName(novel)
+
+
+def _decisions(df):
+    return {r.doc_id: (r.dup_of, r.keep) for r in df.collect()}
+
+
+def test_probe_matches_exact_dedup_semantics(spark, tmp_path):
+    """dup_of = the lowest corpus id with the same normalized-content
+    fingerprint (exact_dedup_groups' keeper rule), keep = no match."""
+    docs, batch = _docs(spark), _mutated(spark)
+    idx = str(tmp_path / "x")
+    X.write_exact_index(docs, idx, n_buckets=16)
+    got = _decisions(X.dedup_exact_against_index(spark, batch, idx))
+    # reference: groupBy fingerprint over the corpus, min id
+    ref_groups = {
+        r.fingerprint: r.keeper
+        for r in D.exact_dedup_groups(docs, "doc_id", "text").collect()
+    }
+    bf = batch.select(
+        "doc_id", D.content_fingerprint(F.col("text")).alias("fp"))
+    want = {
+        r.doc_id: (ref_groups.get(r.fp), r.fp not in ref_groups)
+        for r in bf.collect()
+    }
+    assert got == want
+    kept = [k for k, (_, keep) in got.items() if keep]
+    dropped = [k for k, (_, keep) in got.items() if not keep]
+    assert len(kept) == 40 and len(dropped) == 40  # the fixture's split
+
+
+def test_append_token_and_compaction(spark, tmp_path):
+    docs, batch = _docs(spark), _mutated(spark)
+    idx = str(tmp_path / "tok")
+    X.write_exact_index(docs, idx, n_buckets=8)
+    novel = batch.join(
+        X.dedup_exact_against_index(spark, batch, idx)
+        .where("keep").select("doc_id"), "doc_id", "left_semi")
+    X.write_exact_index(novel, idx, mode="append", append_token="b1",
+                        n_buckets=None)
+    m1 = X._read_exact_meta(spark, idx)
+    assert m1["n_docs"] == docs.count() + 40 and m1["token"] == "b1"
+    X.write_exact_index(novel, idx, mode="append", append_token="b1",
+                        n_buckets=None)  # committed retry: no-op
+    assert X._read_exact_meta(spark, idx) == m1
+    # the admitted novel docs are now exact dups of themselves
+    re_probe = X.dedup_exact_against_index(spark, novel, idx)
+    assert re_probe.where("keep").count() == 0
+    assert {r.dup_of for r in re_probe.collect()} == {
+        r.doc_id for r in novel.select("doc_id").collect()}
+    # a DIFFERENT batch against a dead append is refused
+    X._write_exact_meta(spark, idx, 8, "doc_id", "__appending__",
+                        m1["n_docs"], m1["token"], pending_token="p1")
+    with pytest.raises(ValueError, match="in-flight append"):
+        X.write_exact_index(novel, idx, mode="append", append_token="p2",
+                            n_buckets=None)
+    # heal: same-token retry re-appends; probes absorb; compaction cleans
+    X.write_exact_index(novel, idx, mode="append", append_token="p1",
+                        n_buckets=None)
+    assert X.exact_index_stats(spark, idx)["duplicate_rows"] > 0
+    assert X.dedup_exact_against_index(spark, novel, idx) \
+        .where("keep").count() == 0
+    X.compact_exact_index(spark, idx)
+    st = X.exact_index_stats(spark, idx)
+    assert st["duplicate_rows"] == 0 and st["status"] == "committed"
+    assert X._read_exact_meta(spark, idx)["token"] == "p1"
+
+
+def test_pushdown_and_fallback(spark, tmp_path):
+    docs, batch = _docs(spark), _mutated(spark)
+    idx = str(tmp_path / "push")
+    X.write_exact_index(docs, idx, n_buckets=16)
+    probed = X.dedup_exact_against_index(spark, batch, idx)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("bucket" in g for g in pf), plan[:2000]
+    assert "In(fingerprint" in plan, plan[:2000]
+    fb = X.dedup_exact_against_index(spark, batch, idx,
+                                     max_pushdown_fps=1)
+    assert "In(fingerprint" not in (
+        fb._jdf.queryExecution().executedPlan().toString())
+    assert _decisions(fb) == _decisions(probed)
+
+
+def test_string_ids_and_empty_index(spark, tmp_path):
+    docs = _docs(spark).select(
+        F.concat(F.lit("d-"), F.col("doc_id")).alias("doc_id"), "text")
+    idx = str(tmp_path / "sid")
+    X.write_exact_index(docs.limit(0), idx, n_buckets=8)  # EMPTY seed
+    d = X.dedup_exact_against_index(spark, docs, idx)
+    assert dict(d.dtypes)["doc_id"] == "string"
+    assert d.where("keep").count() == docs.count()  # nothing indexed yet
+    X.write_exact_index(docs, idx, mode="append", append_token="b0",
+                        n_buckets=None)
+    d2 = X.dedup_exact_against_index(spark, docs, idx)
+    assert d2.where("keep").count() == 0
+    # dup_of carries the NATIVE string id, not a nulled long cast
+    one = docs.limit(1)
+    got = X.dedup_exact_against_index(spark, one, idx).head()
+    assert got.dup_of is not None and isinstance(got.dup_of, str)
+
+
+def test_streaming_sink_exactly_once(spark, tmp_path):
+    """Replay of a recorded batch: skipped; replay after losing the
+    registry: the append token no-ops, decisions are REPLACED not
+    doubled; within-batch dups admit only the lowest id."""
+    docs = _docs(spark)
+    idx = str(tmp_path / "s_idx")
+    dec = str(tmp_path / "s_dec")
+    X.write_exact_index(docs.where(F.col("doc_id") < 300), idx,
+                        n_buckets=8)
+    # the batch: one corpus dup, one novel doc, and a within-batch twin
+    batch = spark.createDataFrame(
+        [(9001, docs.where(F.col("doc_id") == 5).head().text),
+         (9002, "a fresh never-seen document body"),
+         (9003, "a fresh never-seen document body")],
+        "doc_id long, text string")
+    sink = X._stream_exact_sink(idx, dec, admit="novel")
+    sink(batch, 0)
+    m1 = X._read_exact_meta(spark, idx)
+    d1 = _decisions(spark.read.parquet(f"{dec}/batch=0"))
+    # within-batch twin 9003 never reaches decisions (9002 won)
+    assert set(d1) == {9001, 9002}
+    assert d1[9001][1] is False and d1[9001][0] == 5
+    assert d1[9002] == (None, True)
+    assert m1["n_docs"] == 300 + 1  # only 9002 admitted
+    sink(batch, 0)  # registry skip
+    assert X._read_exact_meta(spark, idx) == m1
+    import shutil
+
+    shutil.rmtree(f"{idx}/batches")
+    sink(batch, 0)  # replay: token no-op, decisions replaced
+    assert X._read_exact_meta(spark, idx)["n_docs"] == m1["n_docs"]
+    assert _decisions(spark.read.parquet(f"{dec}/batch=0")) == d1
+    assert X.exact_index_stats(spark, idx)["duplicate_rows"] == 0
+
+
+def test_lease_and_status_refusals(spark, tmp_path):
+    docs = _docs(spark)
+    idx = str(tmp_path / "lease")
+    X.write_exact_index(docs, idx, n_buckets=8)
+    t = D.acquire_index_lease(idx, "hold")
+    with pytest.raises(ValueError, match="live writer lease"):
+        X.write_exact_index(docs, idx, mode="append", n_buckets=None)
+    D.release_index_lease(idx, t)
+    m = X._read_exact_meta(spark, idx)
+    X._write_exact_meta(spark, idx, 8, "doc_id", "__compacting__",
+                        m["n_docs"], m["token"])
+    with pytest.raises(ValueError, match="finish the in-flight"):
+        X.write_exact_index(docs, idx, mode="append", n_buckets=None)
+    with pytest.raises(ValueError, match="status"):
+        X.dedup_exact_against_index(spark, docs, idx)
+    X.compact_exact_index(spark, idx)  # finish-the-swap path
+    assert X._read_exact_meta(spark, idx)["status"] == "committed"

@@ -24,8 +24,14 @@ transitive group) is :func:`dedup.dedup_clusters` over these pairs.
 Scale shape: the ONLY shuffle is the self-join keyed on
 ``centroid_id``; each cluster's pair search is quadratic BY DESIGN
 (that is SemDeDup's trade: k centroids bound the per-cluster row count
-to ~n/k, so the total pair work is n²/k instead of n²). Size k so the
-largest cluster's pair count fits an executor's task budget —
+to ~n/k, so the total pair work is n²/k instead of n²). The plan scans
+the input three times (both self-join sides + the final decision
+join) — a declarative trade made knowingly: the projection is narrow
+(id, vector, norm, assignment), the scans pipeline with no
+materialization footprint, and the n²/k pair stage dominates total
+cost asymptotically; a caller running repeated passes can persist the
+input. Size k so the largest cluster's pair count fits an executor's
+task budget —
 :func:`similarity.ivf_index_stats`-style skew applies; a hot cluster
 is a signal to raise k or split (:func:`similarity.split_ivf_centroid`
 machinery). Ids keep their native type (string/UUID ids order

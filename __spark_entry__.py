@@ -1608,6 +1608,25 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL semantic dedup against the PERSISTED IVF index
+    (functions/semantic.py semantic_dedup_against_index): each batch
+    vector keeps iff its index top-1 cosine < 0.42 (a threshold inside
+    a ≥7e-4 cosine gap at every SF). Uses the same trained index as
+    q_knn_ivf_indexed, so the oracle is the shared IVF SQL body at
+    rank ≤ 1 left-joined onto the batch (a query whose probed
+    partitions hold no candidate keeps with a null neighbor)."""
+    from avro_spark.functions import semantic as SD
+
+    emb = _read(spark, sf_dir, "embeddings")
+    idx = _ivf_index_for(spark, sf_dir, emb)
+    batch = emb.where(F.col("vec_id") < 10)
+    out = SD.semantic_dedup_against_index(spark, idx, batch, 0.42)
+    return out.select(
+        "vec_id", "nn_id", F.round("cosine", 6).alias("cosine"), "keep"
+    )
+
+
 def q_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     return S.cosine_lsh_pairs(
@@ -2944,6 +2963,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (content-fingerprint) index — the stage ahead of the MinHash
         # index in a real incremental dedup pipeline
         "incremental_exact_dedup": q_incremental_exact_dedup,
+        # semantic_dedup_indexed NEW r9: incremental semantic dedup as
+        # a probe of the persisted IVF index (top-1 cosine threshold)
+        "semantic_dedup_indexed": q_semantic_dedup_indexed,
         "streaming_window": q_streaming_window,
         # the two-batch growth face of the streaming dedup sink — batch
         # 1 pairs against the corpus AND batch 0's admitted docs (the
@@ -3420,7 +3442,7 @@ def _knn_ivfpq_oracle(indexed: bool = False) -> str:
         """
 
 
-def _knn_ivf_oracle() -> str:
+def _knn_ivf_oracle(limit: int = 5) -> str:
     """DuckDB replica of q_knn_ivf: seed centroids = 16 lowest-id
     embeddings, ONE Lloyd round (cosine dot-argmax assignment against
     the normalized seeds, ties → lowest centroid id; per-(cid, position)
@@ -3508,8 +3530,8 @@ def _knn_ivf_oracle() -> str:
               FROM scored)
             SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
                    round(cos, 6) AS cosine
-            FROM ranked WHERE rank <= 5
-        """
+            FROM ranked WHERE rank <= __LIMIT__
+        """.replace("__LIMIT__", str(limit))
 
 
 def _oracles_main() -> dict[str, str]:
@@ -4032,6 +4054,19 @@ def _oracles_main() -> dict[str, str]:
             SELECT b.doc_id, b.fingerprint, g.dup_of,
                    g.dup_of IS NULL AS keep
             FROM bf b LEFT JOIN grp g USING (fingerprint)
+        """,
+        # the incremental face: the shared IVF probe SQL at rank <= 1,
+        # left-joined onto the batch so candidate-less queries keep
+        # with a null neighbor; keep = cosine < 0.42
+        "semantic_dedup_indexed": f"""
+            WITH nn AS (
+              SELECT query_id AS vec_id, vec_id AS nn_id, cosine
+              FROM ({_knn_ivf_oracle(1)})
+            ),
+            b AS (SELECT vec_id FROM embeddings WHERE vec_id < 10)
+            SELECT b.vec_id, nn.nn_id, nn.cosine,
+                   (nn.cosine IS NULL OR nn.cosine < 0.42) AS keep
+            FROM b LEFT JOIN nn ON b.vec_id = nn.vec_id
         """,
         # the SemDeDup rule in SQL: same 4 lowest-id seed centroids,
         # same python-parity normalization (list_transform division

@@ -108,6 +108,60 @@ def semantic_dedup(
     )
 
 
+def semantic_dedup_against_index(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """INCREMENTAL semantic dedup — the daily-batch face: each batch
+    vector keeps iff its nearest neighbor in the PERSISTED IVF index
+    (:func:`similarity.write_ivf_index`) has cosine below
+    ``threshold``. Returns one row per batch row: (<id>, nn_id,
+    cosine, keep) — ``nn_id``/``cosine`` are the probe's top-1 (null /
+    no row when the probed partitions hold no candidate at all, which
+    keeps). This completes the incremental-dedup family: exact →
+    :mod:`exact_index`, lexical near-dup → the MinHash index, semantic
+    → this probe; admitted vectors grow the index via
+    ``write_ivf_index(mode="append")`` or
+    :func:`similarity.index_vectors_stream`.
+
+    Scale shape is the IVF probe's (partition-pruned scan, broadcast
+    queries, k=1): probe IO ~nprobe/k_centroids of the index, never a
+    corpus pass and never the batch-quadratic pair join of the batch
+    :func:`semantic_dedup`. Approximation contract: the neighbor is
+    the INDEX probe's best (nprobe-bounded recall), so a near-dup
+    hiding in an unprobed partition is missed — the same recall trade
+    every IVF query makes; raise ``nprobe`` to tighten it."""
+    from .similarity import knn_ivf_indexed
+
+    q = batch.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_embedding"),
+    )
+    nn = knn_ivf_indexed(
+        spark, index_path, q, None, k=1, nprobe=nprobe,
+        exclude_self=exclude_self,
+    ).select(
+        F.col("query_id").alias(id_col),
+        F.col("vec_id").alias("nn_id"),
+        "cosine",
+    )
+    return (
+        batch.select(id_col)
+        .join(nn, id_col, "left")
+        .select(
+            F.col(id_col), "nn_id", "cosine",
+            (F.col("cosine").isNull()
+             | (F.col("cosine") < F.lit(float(threshold)))).alias("keep"),
+        )
+    )
+
+
 def semantic_dedup_keepers(
     vectors: DataFrame,
     centroids: Sequence[Sequence[float]],

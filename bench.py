@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "hybrid_indexed",
     "incremental_exact_dedup",
+    "semantic_dedup_indexed",
     "bpe_pairs",
     # round 2: corpus statistics + curation sampling
     "heavy_hitters",

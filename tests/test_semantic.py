@@ -134,6 +134,32 @@ def test_keepers_face(spark):
     assert a == b
 
 
+def test_dedup_against_ivf_index(spark, tmp_path):
+    """Incremental semantic dedup: keep iff the persisted-index top-1
+    cosine < τ; a batch vector whose probed partitions hold no
+    candidate keeps with a null neighbor."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "ivf")
+    S.write_ivf_index(corpus, [[1.0, 0.0], [0.0, 1.0]], idx)
+    batch = spark.createDataFrame(
+        [(10, [0.999, 0.01]),   # near-dup of 1 → dropped
+         (11, [0.6, -0.8])],    # novel direction → kept
+        "vec_id long, embedding array<double>")
+    got = {r.vec_id: (r.nn_id, r.keep)
+           for r in SD.semantic_dedup_against_index(
+               spark, idx, batch, 0.9, nprobe=2).collect()}
+    assert got[10] == (1, False)
+    assert got[11][1] is True
+    # exclude_self on an index member whose partition holds only
+    # itself: nprobe=1 probes its own centroid only → no candidate
+    lone = corpus.where(F.col("vec_id") == 1)
+    got2 = SD.semantic_dedup_against_index(
+        spark, idx, lone, 0.9, nprobe=1).head()
+    assert (got2.nn_id, got2.cosine, got2.keep) == (None, None, True)
+
+
 def test_no_cartesian_product_in_plan(spark):
     """The pair search joins on centroid equality — Catalyst must plan
     an equi-join (hash/sort-merge), never a cartesian product."""

@@ -146,21 +146,36 @@ def _write_exact_index_unlocked(
                           0)
     else:
         raise ValueError(f"bad mode: {mode}")
+    # ONE fingerprint pass feeds both the write and the doc count
+    # (persist, as the text index's tokenize pass does — without it the
+    # count re-reads the whole source)
     fps = docs.select(
         content_fingerprint(F.col(text_col)).alias("fingerprint"),
         F.col(id_col),
-    ).withColumn("bucket", _bucket_expr(F.col("fingerprint"), n_buckets))
-    fps.repartition(n_buckets, "bucket") \
-        .sortWithinPartitions("bucket", "fingerprint", id_col) \
-        .write.mode(mode).partitionBy("bucket") \
-        .parquet(f"{path}/fps")
-    n_batch = docs.count()
-    if mode == "overwrite" and n_batch == 0:
-        # an empty corpus writes NO part files; pin the schema on disk
-        # (incl. the native id type) so later reads never hit
-        # UNABLE_TO_INFER_SCHEMA — same hazard as the text index
-        fps.drop("bucket").limit(0).coalesce(1) \
-            .write.mode("overwrite").parquet(f"{path}/fps/bucket=0")
+    ).withColumn(
+        "bucket", _bucket_expr(F.col("fingerprint"), n_buckets)
+    ).persist()
+    try:
+        # count FIRST: it materializes the cache as a PRE-WRITE
+        # snapshot. A batch whose plan PROBES this same index (a
+        # dedup-then-append pipeline) is otherwise snapshot-fragile:
+        # the append's commit refreshes Spark's by-path caches, and a
+        # post-write re-execution would see the batch's own rows in
+        # the index — here it silently returned n_batch=0 because
+        # every admitted doc suddenly "was" a duplicate of itself.
+        n_batch = fps.count()
+        fps.repartition(n_buckets, "bucket") \
+            .sortWithinPartitions("bucket", "fingerprint", id_col) \
+            .write.mode(mode).partitionBy("bucket") \
+            .parquet(f"{path}/fps")
+        if mode == "overwrite" and n_batch == 0:
+            # an empty corpus writes NO part files; pin the schema on
+            # disk (incl. the native id type) so later reads never hit
+            # UNABLE_TO_INFER_SCHEMA — same hazard as the text index
+            fps.drop("bucket").limit(0).coalesce(1) \
+                .write.mode("overwrite").parquet(f"{path}/fps/bucket=0")
+    finally:
+        fps.unpersist()
     _write_exact_meta(spark, path, n_buckets, id_col, "committed",
                       prev_docs + n_batch,
                       append_token if mode == "append" else None)

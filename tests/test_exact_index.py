@@ -67,9 +67,15 @@ def test_append_token_and_compaction(spark, tmp_path):
     docs, batch = _docs(spark), _mutated(spark)
     idx = str(tmp_path / "tok")
     X.write_exact_index(docs, idx, n_buckets=8)
-    novel = batch.join(
-        X.dedup_exact_against_index(spark, batch, idx)
-        .where("keep").select("doc_id"), "doc_id", "left_semi")
+    # the genuinely-novel half of the fixture, by construction (ids
+    # 10040+ carry a novel token). A frame that PROBES the index must
+    # not be re-executed across appends to it: the append refreshes
+    # Spark's by-path caches, and the re-run would see the batch's own
+    # rows (the snapshot fragility write_exact_index documents)
+    novel = batch.where(F.col("doc_id") >= 10_040)
+    assert _decisions(X.dedup_exact_against_index(
+        spark, novel, idx)) == {
+        r.doc_id: (None, True) for r in novel.select("doc_id").collect()}
     X.write_exact_index(novel, idx, mode="append", append_token="b1",
                         n_buckets=None)
     m1 = X._read_exact_meta(spark, idx)

@@ -192,3 +192,97 @@ def test_lease_and_status_refusals(spark, tmp_path):
         X.dedup_exact_against_index(spark, docs, idx)
     X.compact_exact_index(spark, idx)  # finish-the-swap path
     assert X._read_exact_meta(spark, idx)["status"] == "committed"
+
+
+def test_fuzz_lifecycle_equals_built_at_once(spark, tmp_path_factory):
+    """Stateful property: ANY sequence of append / retried-append /
+    compact / crashed-compact-then-recover / contending-writer ops
+    leaves the exact index deciding probes exactly like one built over
+    all admitted docs at once (including the meta doc count)."""
+    import random
+    import shutil
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota "
+             "kappa lambda mu").split()
+
+    @given(data=st.data())
+    @settings(max_examples=3, deadline=None)
+    def run(data):
+        rng = random.Random(data.draw(st.integers(0, 2**32)))
+        # a SMALL phrase pool so cross-batch exact dups actually occur
+        phrases = [" ".join(rng.choices(words, k=4)) for _ in range(6)]
+
+        def doc():
+            return rng.choice(phrases)
+
+        root = tmp_path_factory.mktemp("x_lifecycle")
+        idx = str(root / "idx")
+        next_id = [0]
+
+        def batch(n):
+            rows = [(next_id[0] + i, doc()) for i in range(n)]
+            next_id[0] += n
+            return spark.createDataFrame(rows, "doc_id long, text string")
+
+        seed = batch(rng.randint(2, 5))
+        X.write_exact_index(seed, idx, n_buckets=4)
+        admitted = [seed]
+        for _ in range(rng.randint(2, 4)):
+            op = rng.choice(["append", "retry_append", "compact",
+                             "crashed_compact", "contending_writer"])
+            if op == "contending_writer":
+                t = D.acquire_index_lease(idx, "fuzz-hold")
+                b = batch(rng.randint(1, 3))
+                tok = f"t{next_id[0]}"
+                try:
+                    with pytest.raises(ValueError,
+                                       match="live writer lease"):
+                        X.write_exact_index(b, idx, mode="append",
+                                            n_buckets=None,
+                                            append_token=tok)
+                finally:
+                    assert D.release_index_lease(idx, t)
+                X.write_exact_index(b, idx, mode="append",
+                                    n_buckets=None, append_token=tok)
+                admitted.append(b)
+            elif op in ("append", "retry_append"):
+                b = batch(rng.randint(1, 4))
+                tok = f"t{next_id[0]}"
+                X.write_exact_index(b, idx, mode="append",
+                                    n_buckets=None, append_token=tok)
+                if op == "retry_append":  # committed retry: no-op
+                    X.write_exact_index(b, idx, mode="append",
+                                        n_buckets=None, append_token=tok)
+                admitted.append(b)
+            elif op == "compact":
+                X.compact_exact_index(spark, idx)
+            else:
+                m = X._read_exact_meta(spark, idx)
+                shutil.copytree(f"{idx}/fps", f"{idx}/fps_compact")
+                X._write_exact_meta(spark, idx, m["n_buckets"],
+                                    m["id_col"], "__compacting__",
+                                    m["n_docs"], m["token"])
+                shutil.rmtree(f"{idx}/fps")
+                X.compact_exact_index(spark, idx)
+        whole = str(root / "whole")
+        ref = admitted[0]
+        for b in admitted[1:]:
+            ref = ref.unionByName(b)
+        X.write_exact_index(ref, whole, n_buckets=4)
+        probe = batch(4)
+        got = {r.doc_id: (r.dup_of, r.keep)
+               for r in X.dedup_exact_against_index(
+                   spark, probe, idx).collect()}
+        want = {r.doc_id: (r.dup_of, r.keep)
+                for r in X.dedup_exact_against_index(
+                    spark, probe, whole).collect()}
+        assert got == want
+        assert any(not keep for _, keep in got.values()), \
+            "phrase pool never produced a dup — fixture broken"
+        assert (X._read_exact_meta(spark, idx)["n_docs"]
+                == X._read_exact_meta(spark, whole)["n_docs"])
+
+    run()

@@ -231,9 +231,8 @@ def test_probe_pushdown_and_fallback(spark, tmp_path):
     TI.write_text_index(docs, idx, n_buckets=16)
     probed = TI.bm25_indexed(spark, idx, qs, k=5)
     plan = probed._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [" in plan
-    mm = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
-    assert mm and "bucket" in mm.group(1), plan[:2000]
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("bucket" in g for g in pf), plan[:2000]
     assert "In(term" in plan, plan[:2000]
     fb = TI.bm25_indexed(spark, idx, qs, k=5, max_pushdown_terms=1)
     assert "In(term" not in (
@@ -369,3 +368,97 @@ def test_empty_and_unmatched_queries(spark, tmp_path):
     nohit = spark.createDataFrame([(1, "zzqq9x unmatched9z")],
                                   "query_id long, query string")
     assert TI.bm25_indexed(spark, idx, nohit, k=5).count() == 0
+
+
+def test_fuzz_lifecycle_equals_built_at_once(spark, tmp_path_factory):
+    """Stateful property (the r8 MinHash-index pattern): ANY sequence
+    of append / retried-append / compact / crashed-compact-then-recover
+    / contending-writer operations leaves the text index answering
+    probes exactly like one built over all admitted docs at once —
+    including the meta counters that feed N/avgdl."""
+    import random
+    import shutil
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+
+    @given(data=st.data())
+    @settings(max_examples=3, deadline=None)
+    def run(data):
+        rng = random.Random(data.draw(st.integers(0, 2**32)))
+
+        def doc():
+            return " ".join(rng.choices(words, k=rng.randint(3, 12)))
+
+        root = tmp_path_factory.mktemp("ti_lifecycle")
+        idx = str(root / "idx")
+        next_id = [0]
+
+        def batch(n):
+            rows = [(next_id[0] + i, doc()) for i in range(n)]
+            next_id[0] += n
+            return spark.createDataFrame(rows, "doc_id long, text string")
+
+        seed = batch(rng.randint(2, 5))
+        TI.write_text_index(seed, idx, n_buckets=4)
+        admitted = [seed]
+        for _ in range(rng.randint(2, 4)):
+            op = rng.choice(["append", "retry_append", "compact",
+                             "crashed_compact", "contending_writer"])
+            if op == "contending_writer":
+                t = D.acquire_index_lease(idx, "fuzz-hold")
+                b = batch(rng.randint(1, 3))
+                tok = f"t{next_id[0]}"
+                try:
+                    with pytest.raises(ValueError,
+                                       match="live writer lease"):
+                        TI.write_text_index(b, idx, mode="append",
+                                            n_buckets=None,
+                                            append_token=tok)
+                finally:
+                    assert D.release_index_lease(idx, t)
+                TI.write_text_index(b, idx, mode="append",
+                                    n_buckets=None, append_token=tok)
+                admitted.append(b)
+            elif op in ("append", "retry_append"):
+                b = batch(rng.randint(1, 4))
+                tok = f"t{next_id[0]}"
+                TI.write_text_index(b, idx, mode="append",
+                                    n_buckets=None, append_token=tok)
+                if op == "retry_append":  # committed retry: no-op
+                    TI.write_text_index(b, idx, mode="append",
+                                        n_buckets=None, append_token=tok)
+                admitted.append(b)
+            elif op == "compact":
+                TI.compact_text_index(spark, idx)
+            else:
+                # staged + marker landed, swap died after deleting the
+                # main dir — recovery must finish the swap
+                m = TI._read_text_meta(spark, idx)
+                shutil.copytree(f"{idx}/postings",
+                                f"{idx}/postings_compact")
+                TI._write_text_meta(spark, idx, m["n_buckets"],
+                                    m["id_col"], "__compacting__",
+                                    m["n_docs"], m["n_docs_tok"],
+                                    m["sum_dl"], m["token"])
+                shutil.rmtree(f"{idx}/postings")
+                TI.compact_text_index(spark, idx)
+        whole = str(root / "whole")
+        ref = admitted[0]
+        for b in admitted[1:]:
+            ref = ref.unionByName(b)
+        TI.write_text_index(ref, whole, n_buckets=4)
+        qs = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(rng.sample(words, 5))],
+            "query_id long, query string")
+        assert _rows(TI.bm25_indexed(spark, idx, qs, k=10)) == _rows(
+            TI.bm25_indexed(spark, whole, qs, k=10))
+        mi = TI._read_text_meta(spark, idx)
+        mw = TI._read_text_meta(spark, whole)
+        assert (mi["n_docs"], mi["n_docs_tok"], mi["sum_dl"]) == (
+            mw["n_docs"], mw["n_docs_tok"], mw["sum_dl"])
+
+    run()

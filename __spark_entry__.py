@@ -2685,7 +2685,10 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents", split=True)
     qs = spark.createDataFrame(_BM25_QUERIES, "query_id long, query string")
-    lex = R.bm25_topk(docs, qs, k=20)
+    # tie_decimals=6: the sf0.01 top-20 holds an exact BM25 score tie
+    # (identical term-score multisets); rank on the rounded score so
+    # fp-sum association order can never flip the doc-id tie-break
+    lex = R.bm25_topk(docs, qs, k=20, tie_decimals=6)
     # query-independent prior: the 20 lowest doc_ids, rank = position
     # (20-row list — the global window is a constant-size operation)
     prior_docs = (
@@ -4612,9 +4615,11 @@ def _oracles_extra() -> dict[str, str]:
               FROM sc GROUP BY 1, 2
             ),
             lex AS (
+              -- round(score, 6), matching the gate's tie_decimals=6
               SELECT query_id, doc_id,
                      row_number() OVER (PARTITION BY query_id
-                                        ORDER BY score DESC, doc_id) AS rank
+                                        ORDER BY round(score, 6) DESC,
+                                                 doc_id) AS rank
               FROM bm QUALIFY rank <= 20
             ),
             prior AS (

@@ -122,15 +122,24 @@ def bm25_topk(
     query_text: str = "query",
     k1: float = 1.2,
     b: float = 0.75,
+    tie_decimals: "int | None" = None,
 ) -> DataFrame:
     """Top-k BM25 hits per query, deterministically tie-broken by
     (score desc, doc_id asc). One window pass over the scored
-    candidates (partitioned per query — never a global sort)."""
+    candidates (partitioned per query — never a global sort).
+
+    ``tie_decimals`` ranks on the ROUNDED score (see
+    :func:`avro_spark.functions.text_index.bm25_indexed` — fp addition
+    is not associative, so docs with identical term-score multisets
+    can land 1 ulp apart by aggregation order; rounding makes the
+    doc-id tie-break engine- and partitioning-independent)."""
     scores = bm25_scores(
         docs, queries, doc_id, text, query_id, query_text, k1, b
     )
+    rank_score = (F.round("score", tie_decimals)
+                  if tie_decimals is not None else F.col("score"))
     w = Window.partitionBy(query_id).orderBy(
-        F.col("score").desc(), F.col(doc_id).asc()
+        rank_score.desc(), F.col(doc_id).asc()
     )
     return (
         scores.withColumn("rank", F.row_number().over(w))

@@ -40,7 +40,27 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import content_fingerprint
+from .dedup import _native_id, content_fingerprint
+
+
+def _checked_fp(text_col: str) -> "F.Column":
+    """:func:`dedup.content_fingerprint` with a row-local NULL guard.
+
+    A null text yields a NULL fingerprint, and NULL never equals NULL
+    in SQL — so null-text docs would sail through both the ``IN``
+    pushdown and the join probe without ever matching each other,
+    SILENTLY diverging from :func:`dedup.exact_dedup` (whose groupBy
+    does group null fingerprints). An unkeyable row raises instead."""
+    c = F.col(text_col)
+    return F.when(
+        c.isNull(),
+        F.raise_error(F.lit(
+            f"exact-dedup text column {text_col!r} contains NULL — a "
+            "null fingerprint can never match in a join, so null-text "
+            "docs would silently never dedup; coalesce or filter them "
+            "first"
+        )),
+    ).otherwise(content_fingerprint(c))
 
 
 def _bucket_expr(fp: "F.Column", n_buckets: int) -> "F.Column":
@@ -150,8 +170,8 @@ def _write_exact_index_unlocked(
     # (persist, as the text index's tokenize pass does — without it the
     # count re-reads the whole source)
     fps = docs.select(
-        content_fingerprint(F.col(text_col)).alias("fingerprint"),
-        F.col(id_col),
+        _checked_fp(text_col).alias("fingerprint"),
+        _native_id(id_col).alias(id_col),
     ).withColumn(
         "bucket", _bucket_expr(F.col("fingerprint"), n_buckets)
     ).persist()
@@ -241,8 +261,8 @@ def dedup_exact_against_index(
             f"pinned id column {m['id_col']!r}"
         )
     bf = batch.select(
-        F.col(id_col),
-        content_fingerprint(F.col(text_col)).alias("fingerprint"),
+        _native_id(id_col).alias(id_col),
+        _checked_fp(text_col).alias("fingerprint"),
     )
     fpb = (
         bf.select("fingerprint").distinct()

@@ -74,8 +74,13 @@ def semantic_dedup(
     semantics — a finer clustering trades recall (cross-cluster
     near-dups are never compared) for less quadratic work, exactly the
     SemDeDup trade."""
+    from .dedup import _native_id
+
+    # null ids would silently vanish from the `<` pair predicate (a
+    # null-id row could never be dropped) — the family's checked id
+    # contract raises row-locally instead
     a = vectors.select(
-        F.col(id_col),
+        _native_id(id_col).alias(id_col),
         as_double(F.col(vec_col)).alias("_v"),
         l2_norm(vec_col).alias("_n"),
         _argmax_centroid(F.col(vec_col), centroids).alias("centroid_id"),
@@ -139,8 +144,10 @@ def semantic_dedup_against_index(
     every IVF query makes; raise ``nprobe`` to tighten it."""
     from .similarity import knn_ivf_indexed
 
+    from .dedup import _native_id
+
     q = batch.select(
-        F.col(id_col).alias("query_id"),
+        _native_id(id_col).alias("query_id"),
         F.col(vec_col).alias("q_embedding"),
     )
     nn = knn_ivf_indexed(

@@ -189,8 +189,15 @@ def _write_text_index_unlocked(
         raise ValueError(f"bad mode: {mode}")
     # ONE tokenize pass feeds both the statistics aggregate and the
     # postings write (persist, as the IVF-PQ encoder does)
+    from .dedup import _native_id
+
+    # NULL TEXT is fine (tokenizes to the empty array, like blank
+    # text); NULL IDS are not — they would merge under dropDuplicates
+    # and mislabel results, so they raise row-locally (the family's
+    # checked id contract)
     base = docs.select(
-        F.col(id_col), ws_tokens(F.lower(F.col(text_col))).alias("_t")
+        _native_id(id_col).alias(id_col),
+        ws_tokens(F.lower(F.col(text_col))).alias("_t"),
     ).persist()
     try:
         st = base.agg(

@@ -286,3 +286,29 @@ def test_fuzz_lifecycle_equals_built_at_once(spark, tmp_path_factory):
                 == X._read_exact_meta(spark, whole)["n_docs"])
 
     run()
+
+
+def test_null_id_and_null_text_raise_loudly(spark, tmp_path):
+    """The family's checked contracts: a NULL id or NULL text raises
+    row-locally at build AND probe — never a silent never-matching
+    null fingerprint (exact_dedup groups null texts; a null join key
+    can't, so the index refuses the row instead of diverging)."""
+    docs = _docs(spark)
+    idx = str(tmp_path / "nulls")
+    X.write_exact_index(docs, idx, n_buckets=8)
+    bad_text = spark.createDataFrame(
+        [(1, "fine"), (2, None)], "doc_id long, text string")
+    bad_id = spark.createDataFrame(
+        [(1, "fine"), (None, "also fine")], "doc_id long, text string")
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkRuntimeError
+
+    for bad, msg in ((bad_text, "contains NULL"),
+                     (bad_id, "contains NULL")):
+        with pytest.raises((Py4JJavaError, PySparkRuntimeError, Exception),
+                           match=msg):
+            X.dedup_exact_against_index(spark, bad, idx).collect()
+        with pytest.raises((Py4JJavaError, PySparkRuntimeError, Exception),
+                           match=msg):
+            X.write_exact_index(bad, str(tmp_path / "nulls2"),
+                                n_buckets=8)

@@ -168,3 +168,19 @@ def test_no_cartesian_product_in_plan(spark):
     plan = SD.semantic_dedup(emb, cents, 0.4) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_null_ids_raise_loudly(spark, tmp_path):
+    """A null-id row could never be dropped by the `<` pair predicate —
+    the checked id contract raises instead of silently keeping it."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (None, [1.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="contains NULL"):
+        SD.semantic_dedup(df, [[1.0, 0.0]], 0.5).collect()
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "nivf")
+    S.write_ivf_index(corpus, [[1.0, 0.0]], idx)
+    with pytest.raises(Exception, match="contains NULL"):
+        SD.semantic_dedup_against_index(spark, idx, df, 0.5).collect()

@@ -462,3 +462,24 @@ def test_fuzz_lifecycle_equals_built_at_once(spark, tmp_path_factory):
             mw["n_docs"], mw["n_docs_tok"], mw["sum_dl"])
 
     run()
+
+
+def test_null_ids_raise_loudly(spark, tmp_path):
+    """NULL doc ids would merge under the probe's (term, id)
+    dropDuplicates and mislabel results — the checked id contract
+    raises at build time instead. NULL text is fine (tokenizes empty,
+    like blank text)."""
+    bad = spark.createDataFrame(
+        [(1, "fine text"), (None, "null id text")],
+        "doc_id long, text string")
+    with pytest.raises(Exception, match="contains NULL"):
+        TI.write_text_index(bad, str(tmp_path / "nid"), n_buckets=4)
+    ok = spark.createDataFrame(
+        [(1, "fine text"), (2, None)], "doc_id long, text string")
+    idx = str(tmp_path / "ntext")
+    TI.write_text_index(ok, idx, n_buckets=4)
+    m = TI._read_text_meta(spark, idx)
+    assert (m["n_docs"], m["n_docs_tok"]) == (2, 1)
+    qs = spark.createDataFrame([(1, "fine")], "query_id long, query string")
+    assert [r.doc_id for r in TI.bm25_indexed(spark, idx, qs).collect()] \
+        == [1]

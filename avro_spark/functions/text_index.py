@@ -222,6 +222,30 @@ def _write_text_index_unlocked(
             .sortWithinPartitions("bucket", "term", id_col) \
             .write.mode(mode).partitionBy("bucket") \
             .parquet(f"{path}/postings")
+        # termstats sidecar: per-term document-frequency DELTAS, keyed
+        # by this write's token so retry residue deduplicates on
+        # (term, token). Probes read it (bucket+term pruned — it is
+        # tiny) to SKIP stop-ish terms whose postings are
+        # corpus-proportional (bm25_indexed's max_df_ratio) without
+        # ever touching those postings.
+        stats_token = (append_token if mode == "append" else "__build__")
+        if stats_token is None:
+            import uuid
+
+            # a token-less append has no exactly-once retry contract
+            # anyway; a unique token keeps DISTINCT token-less appends'
+            # deltas from merging under the (term, token) dedup
+            stats_token = f"untokened-{uuid.uuid4().hex}"
+        ts_rows = post.groupBy("term").agg(
+            F.count("*").cast("long").alias("df")
+        ).select(
+            "term", "df", F.lit(stats_token).alias("token"),
+            _bucket_expr(F.col("term"), n_buckets).alias("bucket"),
+        )
+        ts_rows.repartition(n_buckets, "bucket") \
+            .sortWithinPartitions("bucket", "term") \
+            .write.mode(mode).partitionBy("bucket") \
+            .parquet(f"{path}/termstats")
         if mode == "overwrite" and st["sum_dl"] == 0:
             # a zero-postings corpus (every doc empty) writes NO part
             # files, and a fileless dir fails every later read with
@@ -230,6 +254,9 @@ def _write_text_index_unlocked(
             rows.drop("bucket").limit(0).coalesce(1) \
                 .write.mode("overwrite") \
                 .parquet(f"{path}/postings/bucket=0")
+            ts_rows.drop("bucket").limit(0).coalesce(1) \
+                .write.mode("overwrite") \
+                .parquet(f"{path}/termstats/bucket=0")
     finally:
         base.unpersist()
     _write_text_meta(
@@ -273,6 +300,7 @@ def bm25_indexed(
     query_text_col: str = "query",
     max_pushdown_terms: int = 5_000,
     tie_decimals: "Optional[int]" = None,
+    max_df_ratio: "Optional[float]" = None,
 ) -> DataFrame:
     """Probe a :func:`write_text_index` index: bucket partition pruning
     + ``term IN (...)`` footer pushdown → per-term df from the pruned
@@ -319,12 +347,49 @@ def bm25_indexed(
     # build — never re-derived in Python)
     tb = (
         qterms.select("term").distinct()
+        .limit(max_pushdown_terms + 1)
         .select("term", _bucket_expr(F.col("term"), m["n_buckets"])
                 .alias("bucket"))
-        .limit(max_pushdown_terms + 1).collect()
+        .collect()
     )
+    pushdown = len(tb) <= max_pushdown_terms
+    if max_df_ratio is not None:
+        # stop-term skip: a corpus-proportional posting list (a stop
+        # word) dominates probe IO; its idf is ~ln(1 + 1/ratio) ≈ 0
+        # anyway. The termstats sidecar answers "how big is this
+        # term's posting list" WITHOUT reading it: df deltas summed
+        # per term, retry residue deduped on (term, token). Dropping a
+        # term changes scores (it contributes 0) — an explicit,
+        # opt-in recall trade; None stays oracle-exact.
+        try:
+            tsf = spark.read.parquet(f"{path}/termstats")
+        except Exception as e:
+            raise ValueError(
+                f"text index at {path!r} has no termstats sidecar — "
+                "it predates max_df_ratio; rebuild or compact it, or "
+                "probe with max_df_ratio=None"
+            ) from e
+        if pushdown and tb:
+            tsf = tsf.where(
+                F.col("bucket").isin(
+                    sorted({int(r["bucket"]) for r in tb}))
+                & F.col("term").isin([r["term"] for r in tb]))
+        else:
+            tsf = tsf.join(
+                F.broadcast(qterms.select("term").distinct()), "term")
+        # hot terms are FEW by definition — bounded driver state
+        hot = {
+            r["term"]
+            for r in tsf.dropDuplicates(["term", "token"])
+            .groupBy("term").agg(F.sum("df").alias("df_est"))
+            .where(F.col("df_est") > F.lit(float(max_df_ratio) * n))
+            .select("term").collect()
+        }
+        if hot:
+            qterms = qterms.where(~F.col("term").isin(list(hot)))
+            tb = [r for r in tb if r["term"] not in hot]
     post = spark.read.parquet(f"{path}/postings")
-    if len(tb) <= max_pushdown_terms:
+    if pushdown:
         terms = [r["term"] for r in tb]
         buckets = sorted({int(r["bucket"]) for r in tb})
         if not terms:
@@ -387,10 +452,11 @@ def _compact_text_index_unlocked(spark, path: str) -> None:
     m = _read_text_meta(spark, path)
 
     def _swap_and_commit() -> None:
-        comp = f"{path}/postings_compact"
-        if _dir_exists(comp):
-            _rm_dir(f"{path}/postings")
-            _mv_dir(comp, f"{path}/postings")
+        for table in ("postings", "termstats"):
+            comp = f"{path}/{table}_compact"
+            if _dir_exists(comp):
+                _rm_dir(f"{path}/{table}")
+                _mv_dir(comp, f"{path}/{table}")
         _write_text_meta(spark, path, m["n_buckets"], m["id_col"],
                          "committed", m["n_docs"], m["n_docs_tok"],
                          m["sum_dl"], m["token"])
@@ -406,11 +472,32 @@ def _compact_text_index_unlocked(spark, path: str) -> None:
         )
     post = spark.read.parquet(f"{path}/postings")
     id_col = m["id_col"]
-    post.dropDuplicates(["term", id_col]) \
-        .repartition(m["n_buckets"], F.col("bucket")) \
+    deduped = post.dropDuplicates(["term", id_col])
+    deduped.repartition(m["n_buckets"], F.col("bucket")) \
         .sortWithinPartitions("bucket", "term", id_col) \
         .write.mode("overwrite").partitionBy("bucket") \
         .parquet(f"{path}/postings_compact")
+    # termstats compacts to ONE exact row per term, recomputed from
+    # the deduped postings — self-healing for any delta drift and for
+    # indexes that predate the sidecar (compacting adds it)
+    deduped.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    ).select(
+        "term", "df", F.lit("__compacted__").alias("token"),
+        _bucket_expr(F.col("term"), m["n_buckets"]).alias("bucket"),
+    ).repartition(m["n_buckets"], F.col("bucket")) \
+        .sortWithinPartitions("bucket", "term") \
+        .write.mode("overwrite").partitionBy("bucket") \
+        .parquet(f"{path}/termstats_compact")
+    if m["sum_dl"] == 0:
+        # zero-postings index: the compacted tables would be fileless
+        # — re-pin the schemas (the build-time hazard, at compact time)
+        deduped.drop("bucket").limit(0).coalesce(1) \
+            .write.mode("overwrite") \
+            .parquet(f"{path}/postings_compact/bucket=0")
+        spark.createDataFrame([], "term string, df long, token string") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(f"{path}/termstats_compact/bucket=0")
     _write_text_meta(spark, path, m["n_buckets"], m["id_col"],
                      "__compacting__", m["n_docs"], m["n_docs_tok"],
                      m["sum_dl"], m["token"])
@@ -449,6 +536,13 @@ def text_index_stats(spark, path: str) -> dict:
     out["postings_files"] = len(files)
     out["postings_rows"] = rows
     out["postings_bytes"] = size
+    ts_files = _list_parquet_files(f"{path}/termstats", recursive=True)
+    out["termstats_files"] = len(ts_files)
+    ts_rows = 0
+    for fs_, fp in ts_files:
+        with _open_listed(fs_, fp) as fh:
+            ts_rows += pq.ParquetFile(fh).metadata.num_rows
+    out["termstats_rows"] = ts_rows
     max_pr = max(part_rows.values()) if part_rows else 0
     mean_pr = (rows / len(part_rows)) if part_rows else 0.0
     out["max_rows_per_bucket"] = int(max_pr)

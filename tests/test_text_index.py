@@ -483,3 +483,65 @@ def test_null_ids_raise_loudly(spark, tmp_path):
     qs = spark.createDataFrame([(1, "fine")], "query_id long, query string")
     assert [r.doc_id for r in TI.bm25_indexed(spark, idx, qs).collect()] \
         == [1]
+
+
+def test_max_df_ratio_stop_term_skip(spark, tmp_path):
+    """Opt-in stop-term skip: a term whose termstats df exceeds
+    ratio·N is dropped BEFORE its (corpus-proportional) postings are
+    read. BM25 is additive per term, so skipping t ≡ querying without
+    t — pinned as exact equality. df deltas sum across appends; a
+    pre-sidecar index raises a clear error; compaction (re)builds the
+    sidecar."""
+    import shutil
+
+    docs = _docs(spark).select(
+        "doc_id", F.concat(F.lit("common "), F.col("text")).alias("text"))
+    whole = str(tmp_path / "whole")
+    TI.write_text_index(docs, whole, n_buckets=8)
+    qs = spark.createDataFrame(
+        [(1, "common data pipeline"), (2, "model training")],
+        "query_id long, query string")
+    qs_skipped = spark.createDataFrame(
+        [(1, "data pipeline"), (2, "model training")],
+        "query_id long, query string")
+    got = _rows(TI.bm25_indexed(spark, whole, qs, k=5,
+                                max_df_ratio=0.9))
+    want = _rows(TI.bm25_indexed(spark, whole, qs_skipped, k=5))
+    assert got == want and got
+    # ratio above every df: identical to the exact probe
+    assert _rows(TI.bm25_indexed(spark, whole, qs, k=5,
+                                 max_df_ratio=1.1)) == _rows(
+        TI.bm25_indexed(spark, whole, qs, k=5))
+    # the skipped term's postings are NOT in the scan's pushdown list
+    plan = TI.bm25_indexed(spark, whole, qs, k=5, max_df_ratio=0.9) \
+        ._jdf.queryExecution().executedPlan().toString()
+    in_lists = re.findall(r"In\(term, \[([^\]]*)\]", plan)
+    assert in_lists and all(
+        "common" not in lst.split(",") for lst in in_lists), in_lists
+    # df deltas sum across appends: grown index skips identically
+    grown = str(tmp_path / "grown")
+    TI.write_text_index(docs.where(F.col("doc_id") % 2 == 0), grown,
+                        n_buckets=8)
+    TI.write_text_index(docs.where(F.col("doc_id") % 2 == 1), grown,
+                        mode="append", append_token="b1", n_buckets=None)
+    assert _rows(TI.bm25_indexed(spark, grown, qs, k=5,
+                                 max_df_ratio=0.9)) == got
+    # compaction collapses deltas to one exact row per term and the
+    # skip decision is unchanged
+    TI.compact_text_index(spark, grown)
+    st = TI.text_index_stats(spark, grown)
+    assert st["termstats_rows"] > 0
+    assert _rows(TI.bm25_indexed(spark, grown, qs, k=5,
+                                 max_df_ratio=0.9)) == got
+    # a pre-sidecar index: clear error with max_df_ratio, exact probes
+    # still fine, and compaction ADDS the sidecar
+    old = str(tmp_path / "old")
+    TI.write_text_index(docs, old, n_buckets=8)
+    shutil.rmtree(f"{old}/termstats")
+    assert _rows(TI.bm25_indexed(spark, old, qs, k=5)) == _rows(
+        TI.bm25_indexed(spark, whole, qs, k=5))
+    with pytest.raises(ValueError, match="termstats"):
+        TI.bm25_indexed(spark, old, qs, k=5, max_df_ratio=0.9).collect()
+    TI.compact_text_index(spark, old)
+    assert _rows(TI.bm25_indexed(spark, old, qs, k=5,
+                                 max_df_ratio=0.9)) == got

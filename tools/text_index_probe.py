@@ -79,12 +79,18 @@ def main() -> None:
         t_build = time.monotonic() - t0
         t_probe = _med(lambda: _noop(
             TI.bm25_indexed(spark, idx, qs, k=10)))
+        # df-capped probe: terms in >5% of docs are skipped via the
+        # termstats sidecar BEFORE their postings are read — the
+        # stop-term mitigation for stopword-heavy query fleets
+        t_capped = _med(lambda: _noop(
+            TI.bm25_indexed(spark, idx, qs, k=10, max_df_ratio=0.05)))
         t_rerun = _med(lambda: _noop(
             R.bm25_topk(corpus, qs, k=10)))
         st = TI.text_index_stats(spark, idx)
         print(
             f"x{mult:<2} corpus={n:>7}  build_once={t_build:6.2f}s  "
-            f"index_probe={t_probe:6.2f}s  full_rerun={t_rerun:6.2f}s  "
+            f"index_probe={t_probe:6.2f}s  df_capped={t_capped:6.2f}s  "
+            f"full_rerun={t_rerun:6.2f}s  "
             f"ratio={t_rerun / t_probe:4.1f}x  "
             f"postings={st['postings_rows']} "
             f"({st['postings_bytes'] / 1e6:.0f} MB)"

@@ -369,6 +369,10 @@ def bm25_indexed(
                 "it predates max_df_ratio; rebuild or compact it, or "
                 "probe with max_df_ratio=None"
             ) from e
+        # a pre-sidecar index that has since been APPENDED to has a
+        # PARTIAL sidecar (only the appends' deltas): df_est then
+        # underestimates, which can only UNDER-skip — more IO, never a
+        # wrong extra skip; compact_text_index rebuilds it complete
         if pushdown and tb:
             tsf = tsf.where(
                 F.col("bucket").isin(

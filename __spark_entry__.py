@@ -1592,17 +1592,18 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup (functions/semantic.py): route each
-    embedding to its nearest of 4 seed centroids (the 4 lowest-id
+    embedding to its nearest of 16 seed centroids (the 16 lowest-id
     vectors — deterministic, so the oracle replicates the routing in
     SQL), then within each cluster drop any row whose cosine to a
     lower-id row is ≥ 0.4 (anchored-greedy keeper; dup_of = lowest
     shadow). τ=0.4 sits in a ≥1e-4-wide cosine gap at every SF and the
-    assignment margins are ≥1e-7, so the float boundary is
-    cross-engine safe. One decision row per input row."""
+    k=16 assignment margins are ≥1.1e-5, so the float boundary is
+    cross-engine safe; 16 clusters also cut the gate's quadratic pair
+    work ~4× vs the first-cut k=4. One decision row per input row."""
     from avro_spark.functions import semantic as SD
 
     emb = _read(spark, sf_dir, "embeddings")
-    cents = S.sample_centroids(emb, 4)
+    cents = S.sample_centroids(emb, 16)
     return SD.semantic_dedup(emb, cents, 0.4).select(
         "vec_id", "centroid_id", "keep", "dup_of"
     )
@@ -4071,7 +4072,7 @@ def _oracles_main() -> dict[str, str]:
                    (nn.cosine IS NULL OR nn.cosine < 0.42) AS keep
             FROM b LEFT JOIN nn ON b.vec_id = nn.vec_id
         """,
-        # the SemDeDup rule in SQL: same 4 lowest-id seed centroids,
+        # the SemDeDup rule in SQL: same 16 lowest-id seed centroids,
         # same python-parity normalization (list_transform division
         # after a sequential dot), same (sim DESC, cid) argmax
         # tie-break, same lowest-id shadow rule
@@ -4083,7 +4084,7 @@ def _oracles_main() -> dict[str, str]:
             cents AS (
               SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
                      v AS cv
-              FROM e ORDER BY vec_id LIMIT 4
+              FROM e ORDER BY vec_id LIMIT 16
             ),
             ncents AS (
               SELECT cid,

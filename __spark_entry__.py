@@ -1110,6 +1110,30 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_csv(spark, out, sch)
 
 
+def q_is_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 `is` — the schema-handle predicate (reference init.lua's
+    `is`), driven over every handle-shaped value a caller could
+    plausibly pass: created schemas (plain and nullable-rooted
+    records), the raw dict/list/str inputs they were created FROM, a
+    compiled-schema object, and None. Constant table; the oracle is
+    the expected VALUES."""
+    cases = [
+        ("created_record", avro_spark.is_schema(
+            avro_spark.create(PERSON_SCHEMA))),
+        ("created_primitive", avro_spark.is_schema(
+            avro_spark.create("int"))),
+        ("created_union", avro_spark.is_schema(
+            avro_spark.create(["null", "int"]))),
+        ("raw_dict", avro_spark.is_schema(PERSON_SCHEMA)),
+        ("raw_list", avro_spark.is_schema(["null", "int"])),
+        ("raw_str", avro_spark.is_schema("int")),
+        ("compiled", avro_spark.is_schema(
+            avro_spark.compile(avro_spark.create(PERSON_SCHEMA)))),
+        ("none", avro_spark.is_schema(None)),
+    ]
+    return spark.createDataFrame(cases, "case string, is_schema boolean")
+
+
 def q_compat_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 are_compatible: writer→reader verdicts over the canonical
     evolution matrix (promotions one-way, added fields need defaults,
@@ -2963,6 +2987,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the IVF index — the persisted indexes composing into one
         # query-fleet pipeline (oracle = both index oracles + SQL RRF)
         "hybrid_indexed": q_hybrid_indexed,
+        # is_schema NEW r9: A11 — the last pass-by-pytest-only core
+        # row gets a driver gate (constant predicate table)
+        "is_schema": q_is_schema,
         # incremental_exact_dedup NEW r9: the persisted exact-dedup
         # (content-fingerprint) index — the stage ahead of the MinHash
         # index in a real incremental dedup pipeline
@@ -4023,6 +4050,14 @@ def _oracles_main() -> dict[str, str]:
                    round(score, 6) AS score
             FROM ({_bm25_ranked_oracle(10)})
         """,
+        "is_schema": '''
+            SELECT * FROM (VALUES
+              ('created_record', true), ('created_primitive', true),
+              ('created_union', true), ('raw_dict', false),
+              ('raw_list', false), ('raw_str', false),
+              ('compiled', false), ('none', false)
+            ) AS t("case", is_schema)
+        ''',
         # exact_dedup's md5(normalized text) keeper rule over the
         # corpus, left-joined onto the mutated batch — DuckDB's
         # regexp_replace needs the 'g' flag to match Spark's

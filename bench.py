@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "hybrid_indexed",
     "incremental_exact_dedup",
     "semantic_dedup_indexed",
+    "is_schema",
     "bpe_pairs",
     # round 2: corpus statistics + curation sampling
     "heavy_hitters",

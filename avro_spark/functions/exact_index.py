@@ -40,7 +40,14 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _native_id, content_fingerprint
+from .dedup import (
+    _gc_table_versions,
+    _native_id,
+    _vdir,
+    _versions_json,
+    _versions_of,
+    content_fingerprint,
+)
 
 
 def _checked_fp(text_col: str) -> "F.Column":
@@ -73,6 +80,7 @@ def _write_exact_meta(
     spark, path: str, n_buckets: int, id_col: str, status: str,
     n_docs: int, token: "Optional[str]" = None,
     pending_token: "Optional[str]" = None,
+    versions: "Optional[dict]" = None,
 ) -> None:
     spark.range(1).select(
         F.lit(int(n_buckets)).cast("int").alias("n_buckets"),
@@ -81,6 +89,7 @@ def _write_exact_meta(
         F.lit(int(n_docs)).cast("long").alias("n_docs"),
         F.lit(token).cast("string").alias("token"),
         F.lit(pending_token).cast("string").alias("pending_token"),
+        F.lit(_versions_json(versions)).cast("string").alias("versions"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -102,7 +111,14 @@ def _read_exact_meta(spark, path: str) -> dict:
         "n_buckets": d["n_buckets"], "id_col": d["id_col"],
         "status": d["status"], "n_docs": d["n_docs"],
         "token": d.get("token"), "pending_token": d.get("pending_token"),
+        "versions": _versions_of(d),
     }
+
+
+def _fps_dir(path: str, m: dict) -> str:
+    """Current physical dir of the fps table (version pointer in the
+    meta row — :func:`dedup._vdir`)."""
+    return _vdir(path, "fps", m["versions"].get("fps", 0))
 
 
 def _write_exact_index_unlocked(
@@ -119,8 +135,10 @@ def _write_exact_index_unlocked(
     spark = docs.sparkSession
     prev_docs = 0
     prev_token = None
+    versions: dict = {}
     if mode == "append":
         m = _read_exact_meta(spark, path)
+        versions = m["versions"]
         if m["status"] == "__building__":
             raise ValueError(
                 "index is mid-rebuild (status '__building__') — rebuild "
@@ -158,7 +176,7 @@ def _write_exact_index_unlocked(
         prev_docs = m["n_docs"]
         prev_token = m["token"]
         _write_exact_meta(spark, path, n_buckets, id_col, "__appending__",
-                          prev_docs, prev_token, append_token)
+                          prev_docs, prev_token, append_token, versions)
     elif mode == "overwrite":
         if not n_buckets or n_buckets < 1:
             raise ValueError("n_buckets must be a positive int")
@@ -184,21 +202,25 @@ def _write_exact_index_unlocked(
         # the index — here it silently returned n_batch=0 because
         # every admitted doc suddenly "was" a duplicate of itself.
         n_batch = fps.count()
+        fps_dir = _vdir(path, "fps", versions.get("fps", 0))
         fps.repartition(n_buckets, "bucket") \
             .sortWithinPartitions("bucket", "fingerprint", id_col) \
             .write.mode(mode).partitionBy("bucket") \
-            .parquet(f"{path}/fps")
+            .parquet(fps_dir)
         if mode == "overwrite" and n_batch == 0:
             # an empty corpus writes NO part files; pin the schema on
             # disk (incl. the native id type) so later reads never hit
             # UNABLE_TO_INFER_SCHEMA — same hazard as the text index
             fps.drop("bucket").limit(0).coalesce(1) \
-                .write.mode("overwrite").parquet(f"{path}/fps/bucket=0")
+                .write.mode("overwrite").parquet(f"{fps_dir}/bucket=0")
     finally:
         fps.unpersist()
     _write_exact_meta(spark, path, n_buckets, id_col, "committed",
                       prev_docs + n_batch,
-                      append_token if mode == "append" else None)
+                      append_token if mode == "append" else None,
+                      versions=versions)
+    if mode == "overwrite":
+        _gc_table_versions(path, "fps", 0)
 
 
 def write_exact_index(
@@ -271,7 +293,7 @@ def dedup_exact_against_index(
                 .alias("bucket"))
         .limit(max_pushdown_fps + 1).collect()
     )
-    idx = spark.read.parquet(f"{path}/fps")
+    idx = spark.read.parquet(_fps_dir(path, m))
     if len(fpb) <= max_pushdown_fps:
         fplist = [r["fingerprint"] for r in fpb]
         buckets = sorted({int(r["bucket"]) for r in fpb})
@@ -312,23 +334,25 @@ def compact_exact_index(spark, path: str) -> None:
 
 def _compact_exact_index_unlocked(spark, path: str) -> None:
     """Collapse append-accumulated small files, drop retry-duplicate
-    rows, restore the sorted layout — the family's ``'__compacting__'``
-    finish-the-swap discipline (token preserved; re-run recovers a
-    crash; probes refuse meanwhile)."""
+    rows, restore the sorted layout. The compacted table is written to
+    the NEXT version dir (``fps_v<N+1>``, :func:`dedup._vdir`) and the
+    commit is ONE meta-row overwrite flipping the pointer — no
+    remove-then-move window, so the swap is crash-safe on stores
+    without atomic rename and probes keep working THROUGHOUT (token
+    preserved). A pre-r10 index left mid-swap (``'__compacting__'``)
+    is finished with the legacy move-based recovery."""
     from .dedup import _dir_exists, _mv_dir, _rm_dir
 
     m = _read_exact_meta(spark, path)
 
-    def _swap_and_commit() -> None:
+    if m["status"] == "__compacting__":
+        # legacy (pre-r10) mid-swap recovery
         comp = f"{path}/fps_compact"
         if _dir_exists(comp):
             _rm_dir(f"{path}/fps")
             _mv_dir(comp, f"{path}/fps")
         _write_exact_meta(spark, path, m["n_buckets"], m["id_col"],
                           "committed", m["n_docs"], m["token"])
-
-    if m["status"] == "__compacting__":
-        _swap_and_commit()
         return
     if m["status"] != "committed":
         raise ValueError(
@@ -336,16 +360,29 @@ def _compact_exact_index_unlocked(spark, path: str) -> None:
             "in-flight append first (re-run the same append), then "
             "compact"
         )
-    idx = spark.read.parquet(f"{path}/fps")
+    idx = spark.read.parquet(_fps_dir(path, m))
     id_col = m["id_col"]
-    idx.dropDuplicates(["fingerprint", id_col]) \
-        .repartition(m["n_buckets"], F.col("bucket")) \
+    new_v = m["versions"].get("fps", 0) + 1
+    new_dir = _vdir(path, "fps", new_v)
+    deduped = idx.dropDuplicates(["fingerprint", id_col])
+    deduped.repartition(m["n_buckets"], F.col("bucket")) \
         .sortWithinPartitions("bucket", "fingerprint", id_col) \
         .write.mode("overwrite").partitionBy("bucket") \
-        .parquet(f"{path}/fps_compact")
+        .parquet(new_dir)
+    if m["n_docs"] == 0:
+        # empty seed index (a supported state — dedup_exact_stream
+        # starts from one): the compacted table would be FILELESS and
+        # every later probe would die with UNABLE_TO_INFER_SCHEMA.
+        # Re-pin the schema (incl. the native id type) — the
+        # build-time hazard at compact time, same guard as
+        # compact_text_index's sum_dl==0 branch (r9 ADVICE medium).
+        deduped.drop("bucket").limit(0).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{new_dir}/bucket=0")
+    # THE commit: one meta overwrite flips the fps pointer
     _write_exact_meta(spark, path, m["n_buckets"], m["id_col"],
-                      "__compacting__", m["n_docs"], m["token"])
-    _swap_and_commit()
+                      "committed", m["n_docs"], m["token"],
+                      versions={**m["versions"], "fps": new_v})
+    _gc_table_versions(path, "fps", new_v)
 
 
 def exact_index_stats(spark, path: str) -> dict:
@@ -367,7 +404,8 @@ def exact_index_stats(spark, path: str) -> dict:
     rows = 0
     size = 0
     part_rows: collections.Counter = collections.Counter()
-    files = _list_parquet_files(f"{path}/fps", recursive=True)
+    fps_dir = _fps_dir(path, m)
+    files = _list_parquet_files(fps_dir, recursive=True)
     for fs_, fp in files:
         with _open_listed(fs_, fp) as fh:
             nr = pq.ParquetFile(fh).metadata.num_rows
@@ -382,7 +420,7 @@ def exact_index_stats(spark, path: str) -> dict:
     mean_pr = (rows / len(part_rows)) if part_rows else 0.0
     out["max_rows_per_bucket"] = int(max_pr)
     out["bucket_row_skew"] = round(max_pr / mean_pr, 2) if mean_pr else 0.0
-    df = spark.read.parquet(f"{path}/fps")
+    df = spark.read.parquet(fps_dir)
     dup = df.count() - df.dropDuplicates(
         ["fingerprint", m["id_col"]]).count()
     out["duplicate_rows"] = int(dup)

@@ -140,6 +140,30 @@ def test_string_ids_and_empty_index(spark, tmp_path):
     assert got.dup_of is not None and isinstance(got.dup_of, str)
 
 
+def test_compact_empty_index_keeps_schema_pin(spark, tmp_path):
+    """Compacting an EMPTY index must not brick it: the fps_compact
+    write emits no part files, so the swap used to replace fps — which
+    held the build-time empty-schema pin — with a fileless dir, and
+    every later probe died with UNABLE_TO_INFER_SCHEMA (the r9 ADVICE
+    medium; compact_text_index guards the identical hazard)."""
+    docs = _docs(spark).select(
+        F.concat(F.lit("d-"), F.col("doc_id")).alias("doc_id"), "text")
+    idx = str(tmp_path / "empty_compact")
+    X.write_exact_index(docs.limit(0), idx, n_buckets=8)  # EMPTY seed
+    X.compact_exact_index(spark, idx)
+    m = X._read_exact_meta(spark, idx)
+    assert m["status"] == "committed" and m["n_docs"] == 0
+    # the probe still works — and the pinned NATIVE id type survived
+    d = X.dedup_exact_against_index(spark, docs.limit(5), idx)
+    assert dict(d.dtypes)["doc_id"] == "string"
+    assert d.where("keep").count() == 5
+    # and the index still grows normally after the compact
+    X.write_exact_index(docs.limit(5), idx, mode="append",
+                        append_token="b0", n_buckets=None)
+    assert X.dedup_exact_against_index(
+        spark, docs.limit(5), idx).where("keep").count() == 0
+
+
 def test_streaming_sink_exactly_once(spark, tmp_path):
     """Replay of a recorded batch: skipped; replay after losing the
     registry: the append token no-ops, decisions are REPLACED not

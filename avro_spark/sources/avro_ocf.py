@@ -378,6 +378,7 @@ def read_avro_files(
     engine: str = "auto",
     verify_schemas: bool = True,
     columns: "Optional[list[str]]" = None,
+    route_out: "Optional[dict]" = None,
 ) -> DataFrame:
     """Directory/glob of ``.avro`` OCF files → record-shaped DataFrame.
 
@@ -406,12 +407,20 @@ def read_avro_files(
     unrequested top-level fields are byte-skipped, never materialized or
     shipped — the Avro (row-format) analogue of parquet column pruning.
     Output keeps schema order; reorder downstream with ``.select()``.
+
+    ``route_out``: pass a dict and the reader records the routing it
+    ACTUALLY took into it — ``{"engine": "jvm"|"python", "split":
+    bool}``. ``engine="auto"``'s fallback is silent by design (the read
+    still succeeds); benchmarks and monitoring need the taken route to
+    be attributable, not inferred from throughput (BENCH r9: a session
+    artifact was indistinguishable from a silent Python fallback).
     """
     from ..util import ensure_workers
 
     if split_bytes is not None:
         return read_avro_files_split(
-            spark, path, schema, split_bytes, engine=engine, columns=columns
+            spark, path, schema, split_bytes, engine=engine, columns=columns,
+            route_out=route_out,
         )
     if engine not in ("auto", "python", "jvm"):
         raise AvroSparkError(f"bad engine: {engine}")
@@ -428,7 +437,8 @@ def read_avro_files(
         # caps arrays at 2 GiB — route oversized files to byte-range
         # split tasks instead of failing mid-scan
         return read_avro_files_split(
-            spark, path, schema, "auto", engine=engine, columns=columns
+            spark, path, schema, "auto", engine=engine, columns=columns,
+            route_out=route_out,
         )
     # header peek (schema + codec): a few KB straight from the driver —
     # local paths via open(), other schemes via pyarrow.fs (_fs_open);
@@ -456,10 +466,14 @@ def read_avro_files(
         # for very large listings whose schema uniformity is known
         fully_verified = _verify_listing_schemas(
             spark, [r["path"] for r in listing], schema)
+    if route_out is not None:
+        route_out["split"] = False
     if engine != "python" and _jvm_ocf_ok(spark, schema, codec):
         from ..jvm import read_ocf_content_jvm
 
         if fully_verified or not verify_schemas:
+            if route_out is not None:
+                route_out["engine"] = "jvm"
             return read_ocf_content_jvm(
                 files.select("content"), schema, columns=columns
             )
@@ -470,6 +484,8 @@ def read_avro_files(
             # can false-fail canonically-equal FOREIGN renderings (the
             # error says so and points at engine='python'); the loud
             # failure beats decoding a mixed directory as garbage.
+            if route_out is not None:
+                route_out["engine"] = "jvm"
             return read_ocf_content_jvm(
                 files.select("content"), schema,
                 expect_schema_json=json.dumps(schema.export()),
@@ -486,6 +502,8 @@ def read_avro_files(
             "engine='jvm' unavailable (no JDK, unsupported schema shape, "
             f"or block codec {codec!r} outside the JVM's set)"
         )
+    if route_out is not None:
+        route_out["engine"] = "python"
     return _decode_content_python(files, schema, columns=columns)
 
 
@@ -995,6 +1013,7 @@ def read_avro_files_split(
     split_bytes: "int | str" = 128 << 20,
     engine: str = "auto",
     columns: "Optional[list[str]]" = None,
+    route_out: "Optional[dict]" = None,
 ) -> DataFrame:
     """OCF files → record DataFrame with BLOCK-LEVEL parallelism: each
     file is planned into ~``split_bytes`` byte ranges and every range is
@@ -1089,6 +1108,9 @@ def read_avro_files_split(
     use_jvm = engine != "python" and all(
         _jvm_ocf_ok(spark, schema, c) for c in sorted(all_codecs)
     )
+    if route_out is not None:
+        route_out["engine"] = "jvm" if use_jvm else "python"
+        route_out["split"] = True
     if engine == "jvm" and not use_jvm:
         raise AvroSparkError(
             "engine='jvm' unavailable (no JDK, unsupported schema shape, "

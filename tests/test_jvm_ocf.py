@@ -468,6 +468,30 @@ def test_auto_routing_uses_jvm_plan(spark, tmp_path, zoo):
     assert "avsp_jvm" in plan_s
 
 
+def test_route_out_records_taken_engine(spark, tmp_path, zoo):
+    """``route_out`` must record the route the read ACTUALLY took — the
+    bench's self-attribution contract (r9 VERDICT #1: a recorded probe
+    number could not distinguish a slow session from a silent Python
+    fallback). Plan-asserted against the avsp_jvm marker so the
+    attribution can't lie."""
+    sch, df = zoo
+    d = str(tmp_path / "rt")
+    write_avro_files(df.coalesce(1), sch, d)
+    jvm_ok = _jvm_ready(spark)
+    r: dict = {}
+    plan = (read_avro_files(spark, d, sch, route_out=r)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert r == {"engine": "jvm" if jvm_ok else "python", "split": False}
+    assert ("avsp_jvm" in plan) == (r["engine"] == "jvm")
+    r2: dict = {}
+    read_avro_files(spark, d, sch, engine="python", route_out=r2)
+    assert r2 == {"engine": "python", "split": False}
+    r3: dict = {}
+    read_avro_files(spark, d, sch, split_bytes=4096, route_out=r3)
+    assert r3["split"] is True
+    assert r3["engine"] == ("jvm" if jvm_ok else "python")
+
+
 def test_recursive_schema_ocf_cross_engine(spark, tmp_path):
     """Recursive linked-list schema ([null, node] back-edge) through the
     OCF container on BOTH engines: the JVM path must handle the cyclic

@@ -1124,6 +1124,8 @@ def q_is_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
             avro_spark.create("int"))),
         ("created_union", avro_spark.is_schema(
             avro_spark.create(["null", "int"]))),
+        ("created_nullable_record", avro_spark.is_schema(
+            avro_spark.create({**PERSON_SCHEMA, "type": "record*"}))),
         ("raw_dict", avro_spark.is_schema(PERSON_SCHEMA)),
         ("raw_list", avro_spark.is_schema(["null", "int"])),
         ("raw_str", avro_spark.is_schema("int")),
@@ -2789,8 +2791,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # JSON input)
         "evolution_downgrade": q_evolution_downgrade,
         "service_fields": q_service_fields,
-        "enum_evolution": q_enum_evolution,
-        "union3_encode": q_union3_encode,
+        # enum_evolution folded r10 (9 greens; twins enum_codes +
+        # enum_roundtrip in extras — the same B5 symbol-remap machinery);
+        # union3_encode folded r10 (9 greens; twins union_encode +
+        # union_evolution + union_interop in extras — the same B7
+        # re-tagging plan builder and the same JVM codec path, which
+        # also keeps its own bench probe avro_codec_union3_rows_per_sec)
         "array_evolution": q_array_evolution,
         "fixed_passthrough": q_fixed_passthrough,
         # C-group: codecs / sources / sinks
@@ -2906,7 +2912,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # data-skipping layout (twin minhash_lsh, identical banding)
         "incremental_dedup": q_incremental_dedup,
         "gopher_rules": q_gopher_rules,
-        "dedup_clusters": q_dedup_clusters,
+        # dedup_clusters folded r10 (9 greens; twins minhash_lsh in
+        # extras — the pair source the clusters are built from — +
+        # incremental_dedup IN WINDOW, the same banding machinery)
+        # incremental_exact_dedup ROTATED IN r10 (VERDICT #2): the
+        # persisted exact-dedup (content-fingerprint) index — build,
+        # fp-IN pushdown probe, min-id keeper — had never had a
+        # CORRECTNESS row
+        "incremental_exact_dedup": q_incremental_exact_dedup,
         # LLM-pipeline: similarity + embedding ops
         # cosine_lsh folded r5 (4 greens; twin minhash_lsh for banded-LSH
         # shape); knn_ivf folded (4 greens; twins knn_ivfpq — the same
@@ -2938,6 +2951,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bounded pairwise cosine, anchored-greedy lowest-id keeper
         # (the oracle replicates the routing + shadow rule in SQL)
         "semantic_dedup": q_semantic_dedup,
+        # semantic_dedup_indexed ROTATED IN r10 (VERDICT #2): the
+        # INCREMENTAL face of semantic dedup — batch rows probe the
+        # persisted IVF index top-1 and dedup on a cosine threshold —
+        # had never had a CORRECTNESS row
+        "semantic_dedup_indexed": q_semantic_dedup_indexed,
+        # hybrid_indexed ROTATED IN r10 (VERDICT #8): RRF fusion over
+        # the persisted BM25 postings index + the persisted IVF index —
+        # the one gate that composes two index families in one query
+        "hybrid_indexed": q_hybrid_indexed,
         # embedding_pool NEW IN WINDOW: last never-checked embedding gate
         "embedding_pool": q_embedding_pool,
         # e2e + scale + incremental merge + multimodal
@@ -2983,20 +3005,16 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # knn_bruteforce_arrow folded r9 in exchange for semantic_dedup
         # (twin notes in queries())
         "knn_bruteforce_arrow": q_knn_bruteforce_arrow,
-        # hybrid_indexed NEW r9: RRF fusion of the postings index and
-        # the IVF index — the persisted indexes composing into one
-        # query-fleet pipeline (oracle = both index oracles + SQL RRF)
-        "hybrid_indexed": q_hybrid_indexed,
         # is_schema NEW r9: A11 — the last pass-by-pytest-only core
         # row gets a driver gate (constant predicate table)
         "is_schema": q_is_schema,
-        # incremental_exact_dedup NEW r9: the persisted exact-dedup
-        # (content-fingerprint) index — the stage ahead of the MinHash
-        # index in a real incremental dedup pipeline
-        "incremental_exact_dedup": q_incremental_exact_dedup,
-        # semantic_dedup_indexed NEW r9: incremental semantic dedup as
-        # a probe of the persisted IVF index (top-1 cosine threshold)
-        "semantic_dedup_indexed": q_semantic_dedup_indexed,
+        # round-10 rotation: incremental_exact_dedup +
+        # semantic_dedup_indexed + hybrid_indexed PROMOTED to the
+        # window (VERDICT #2/#8); folded in exchange (twin notes in
+        # queries()):
+        "enum_evolution": q_enum_evolution,
+        "union3_encode": q_union3_encode,
+        "dedup_clusters": q_dedup_clusters,
         "streaming_window": q_streaming_window,
         # the two-batch growth face of the streaming dedup sink — batch
         # 1 pairs against the corpus AND batch 0's admitted docs (the
@@ -4053,7 +4071,8 @@ def _oracles_main() -> dict[str, str]:
         "is_schema": '''
             SELECT * FROM (VALUES
               ('created_record', true), ('created_primitive', true),
-              ('created_union', true), ('raw_dict', false),
+              ('created_union', true), ('created_nullable_record', true),
+              ('raw_dict', false),
               ('raw_list', false), ('raw_str', false),
               ('compiled', false), ('none', false)
             ) AS t("case", is_schema)

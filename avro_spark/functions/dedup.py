@@ -444,11 +444,13 @@ def _write_minhash_index_unlocked(
     fn = _index_hash(hash_fn)
     spark = df.sparkSession
     prev_token = pending = None
+    versions: "dict[str, int]" = {}
     if mode == "append":
         stored = _read_index_meta(spark, path)
         status = stored.pop("status", "committed")
         prev_token = stored.pop("token", None)
         pending = stored.pop("pending_token", None)
+        versions = stored.pop("versions", {})
         given = dict(num_hashes=num_hashes, bands=bands,
                      shingle_n=shingle_n, seed=seed, hash_fn=hash_fn)
         if stored != given:
@@ -484,7 +486,8 @@ def _write_minhash_index_unlocked(
                     token: "str | None" = None,
                     pending_token: "str | None" = None) -> None:
         _write_index_meta_row(spark, path, num_hashes, bands, shingle_n,
-                              seed, marker, status, token, pending_token)
+                              seed, marker, status, token, pending_token,
+                              versions)
 
     if mode == "append":
         # in-flight marker FIRST, committed LAST: a crash between the
@@ -530,20 +533,27 @@ def _write_minhash_index_unlocked(
             F.col("_id").alias("id"),
             F.array_sort(F.array_distinct(F.col("_hh"))).alias("shh"),
         ).repartitionByRange("id").sortWithinPartitions("id") \
-            .write.mode(mode).parquet(f"{path}/shingles")
+            .write.mode(mode) \
+            .parquet(_vdir(path, "shingles", versions.get("shingles", 0)))
         _band_rows_from_hashes(
             _explode_mod(hdocs), num_hashes, bands, seed
         ).select(
             "band", "bucket", F.col("_id").alias("id")
         ).repartitionByRange("band", "bucket") \
             .sortWithinPartitions("band", "bucket") \
-            .write.mode(mode).parquet(f"{path}/bands")
+            .write.mode(mode) \
+            .parquet(_vdir(path, "bands", versions.get("bands", 0)))
     finally:
         hdocs.unpersist()
     # the commit marker (both modes); an append's token lands HERE —
     # blind retries of the same batch no-op against it
     _write_meta(hash_fn,
                 token=append_token if mode == "append" else None)
+    if mode == "overwrite":
+        # a rebuild writes the base (v0) dirs: superseded version dirs
+        # from the previous incarnation are dead now — collect them
+        for t in ("shingles", "bands"):
+            _gc_table_versions(path, t, 0)
 
 
 def _hashed_docs(
@@ -584,13 +594,16 @@ def _write_index_meta_row(
     spark, path: str, num_hashes: int, bands: int, shingle_n: int,
     seed: int, hash_fn_marker: str, status: str = "committed",
     token: "str | None" = None, pending_token: "str | None" = None,
+    versions: "dict[str, int] | None" = None,
 ) -> None:
     """The index's ONE meta row. ``token`` is the LAST committed append
     token (the streaming sink's exactly-once handle — a retried append
     whose token matches is a no-op); ``pending_token`` rides only in the
     ``'__appending__'`` marker and names the IN-FLIGHT append, so a
     crash recovery can verify the retry is the same batch instead of
-    trusting a docstring. ``spark.range`` keeps this pure-JVM:
+    trusting a docstring. ``versions`` is the table-version pointer map
+    (:func:`_vdir`): overwriting this row IS the atomic commit of a
+    compaction's table swap. ``spark.range`` keeps this pure-JVM:
     createDataFrame over a local Python list launches a Python-worker
     job (~6 s cold) for ONE row."""
     spark.range(1).select(
@@ -602,6 +615,7 @@ def _write_index_meta_row(
         F.lit(status).alias("status"),
         F.lit(token).cast("string").alias("token"),
         F.lit(pending_token).cast("string").alias("pending_token"),
+        F.lit(_versions_json(versions)).cast("string").alias("versions"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -626,6 +640,8 @@ def _read_index_meta(spark, path: str) -> dict:
         # by-token / nothing-in-flight
         "token": d.get("token"),
         "pending_token": d.get("pending_token"),
+        # pre-r10 indexes have no versions column: every table at v0
+        "versions": _versions_of(d),
     }
 
 
@@ -690,7 +706,8 @@ def dedup_against_index(
         F.col("_id").alias("new_id"),
         F.array_sort(F.array_distinct(F.col("_hh"))).alias("shh_new"),
     )
-    idx_bands = spark.read.parquet(f"{path}/bands")
+    idx_bands = spark.read.parquet(
+        _vdir(path, "bands", m["versions"].get("bands", 0)))
     new_bands = band_rows.select(
         "band", "bucket", F.col("_id").alias("new_id"))
     if broadcast_batch:
@@ -707,7 +724,8 @@ def dedup_against_index(
         .select(F.col("id").alias("corpus_id"), "new_id")
         .distinct()
     )
-    sh_scan = spark.read.parquet(f"{path}/shingles")
+    sh_scan = spark.read.parquet(
+        _vdir(path, "shingles", m["versions"].get("shingles", 0)))
     if candidate_pushdown:
         # materialize the candidate pairs ONCE (they're what the verify
         # stage exists to score — tiny by LSH design; localCheckpoint
@@ -743,6 +761,102 @@ def dedup_against_index(
 
 
 # ------------------------------------------------- index compaction
+#
+# Versioned-table swap (r10): every whole-table replacement (compaction
+# retrain) writes the new copy to ``{table}_v<N+1>`` and commits by
+# overwriting the ONE meta row with the bumped version pointer — the
+# same single-small-file commit primitive every marker flip already
+# uses. Version 0 is the unversioned base dir ``{table}`` (the build
+# layout, and every pre-r10 index). The old remove-then-move swap
+# needed TWO filesystem operations on a table dir, and a crash between
+# them on a store without atomic rename could drop already-moved
+# objects; with the pointer flip there is no intermediate state — a
+# crash before the flip leaves the old version fully live (probes keep
+# working DURING compaction), a crash after it leaves only garbage
+# dirs for the next lease-holding compact to collect.
+def _vdir(path: str, table: str, version: int) -> str:
+    """Physical directory of logical ``table`` at ``version`` (0 = the
+    unversioned base layout)."""
+    return f"{path}/{table}" if not version else f"{path}/{table}_v{int(version)}"
+
+
+def _versions_of(meta_dict: dict) -> "dict[str, int]":
+    """Parse the meta row's ``versions`` JSON pointer column (absent on
+    pre-r10 indexes → every table at version 0)."""
+    import json as _json
+
+    raw = meta_dict.get("versions")
+    if not raw:
+        return {}
+    return {k: int(v) for k, v in _json.loads(raw).items()}
+
+
+def _versions_json(versions: "dict[str, int] | None") -> "str | None":
+    import json as _json
+
+    if not versions:
+        return None
+    return _json.dumps(versions, sort_keys=True, separators=(",", ":"))
+
+
+def _list_child_dirs(uri: str, prefix: str = "") -> "list[str]":
+    """NAMES of child directories under ``uri`` starting with
+    ``prefix`` (empty when ``uri`` itself is gone)."""
+    from ..sources.avro_ocf import _is_local, _local_path
+
+    if _is_local(uri):
+        import pathlib
+
+        base = pathlib.Path(_local_path(uri))
+        if not base.is_dir():
+            return []
+        return sorted(
+            p.name for p in base.iterdir()
+            if p.is_dir() and p.name.startswith(prefix))
+    from pyarrow import fs as pafs
+
+    f, p = pafs.FileSystem.from_uri(uri)
+    infos = f.get_file_info(pafs.FileSelector(p, allow_not_found=True))
+    return sorted(
+        i.path.rstrip("/").rsplit("/", 1)[-1]
+        for i in infos
+        if i.type == pafs.FileType.Directory
+        and i.path.rstrip("/").rsplit("/", 1)[-1].startswith(prefix)
+    )
+
+
+def _gc_table_versions(path: str, table: str, keep: int) -> None:
+    """Best-effort removal of every physical dir of ``table`` other
+    than the ``keep`` version: superseded committed versions plus the
+    residue of crashed compactions. Call only while holding the index's
+    writer lease AFTER a committed pointer flip — a dir that is neither
+    the current version nor lease-protected work-in-progress is dead by
+    construction. Failures are swallowed (GC re-runs on the next
+    compact)."""
+    import re
+
+    pat = re.compile(re.escape(table) + r"(_v(\d+))?$")
+    for name in _list_child_dirs(path, table):
+        mm = pat.fullmatch(name)
+        if not mm:
+            continue  # e.g. 'shingles_compact' legacy residue — below
+        v = int(mm.group(2) or 0)
+        if v != keep:
+            try:
+                _rm_dir(f"{path}/{name}")
+            except Exception:
+                pass
+    # pre-r10 remove-then-move residue: a '{table}_compact' dir left by
+    # a crashed legacy compact whose recovery was superseded by the
+    # versioned scheme
+    legacy = f"{path}/{table}_compact"
+    if _dir_exists(legacy):
+        try:
+            _rm_dir(legacy)
+        except Exception:
+            pass
+
+
 def _dir_exists(uri: str) -> bool:
     from ..sources.avro_ocf import _is_local, _local_path
 
@@ -904,6 +1018,56 @@ def _read_lease(uri: str) -> "dict | None":
         return None
 
 
+def _compare_and_delete_lease(uri: str, expect_token: str) -> bool:
+    """Delete the lease at ``uri`` ONLY IF its content token is
+    ``expect_token`` (r10, VERDICT wrong #3 — the plain
+    read-check-delete let a writer that overstayed its own TTL delete
+    a takeover's fresh lease in the window between its check and its
+    delete). Local filesystems get a genuinely atomic claim:
+    rename-to-private (atomic on POSIX) moves WHATEVER currently holds
+    the canonical name out of play, the private copy is verified, and
+    on a token mismatch it is restored via ``os.link`` — which fails
+    with EEXIST if a newer lease already took the slot (the stolen
+    copy is then superseded and dropped). So a non-matching lease is
+    never deleted. Object stores have no atomic rename through
+    pyarrow, so there this stays read-check-delete — the lease is
+    belt-and-suspenders on top of the marker discipline, not a lock
+    service (see :func:`acquire_index_lease`)."""
+    import json
+
+    from ..sources.avro_ocf import _is_local, _local_path
+
+    if _is_local(uri):
+        import os
+        import uuid
+
+        lp = _local_path(uri)
+        private = f"{lp}.cad-{uuid.uuid4().hex}"
+        try:
+            os.rename(lp, private)
+        except FileNotFoundError:
+            return False
+        try:
+            with open(private) as fh:
+                cur = json.loads(fh.read())
+        except (OSError, ValueError):
+            cur = None
+        if cur is not None and cur.get("token") == expect_token:
+            os.remove(private)
+            return True
+        try:
+            os.link(private, lp)
+        except FileExistsError:
+            pass  # superseded by a newer lease while out of play
+        os.remove(private)
+        return False
+    cur = _read_lease(uri)
+    if cur is None or cur.get("token") != expect_token:
+        return False
+    _rm_lease(uri)
+    return True
+
+
 def _rm_lease(uri: str) -> None:
     from ..sources.avro_ocf import _is_local, _local_path
 
@@ -981,7 +1145,11 @@ def acquire_index_lease(path: str, op: str, ttl_sec: int = 3600) -> str:
             continue  # holder released between our create and read
         age = time.time() - cur.get("ts", 0)
         if age > cur.get("ttl_sec", ttl_sec):
-            _rm_lease(uri)  # stale: the writer died — take over
+            # stale: the writer died — take over. Compare-and-delete
+            # the EXACT lease we aged: two racing takeovers would
+            # otherwise both observe the stale lease and the slower
+            # delete could remove the faster one's FRESH lease
+            _compare_and_delete_lease(uri, cur.get("token"))
             continue
         raise ValueError(
             f"index at {path!r} has a live writer lease "
@@ -998,12 +1166,11 @@ def acquire_index_lease(path: str, op: str, ttl_sec: int = 3600) -> str:
 def release_index_lease(path: str, token: str) -> bool:
     """Release the lease IF we still hold it. Returns False (without
     touching the file) when another writer took over a stale lease —
-    removing theirs would let a third writer in."""
-    cur = _read_lease(_lease_uri(path))
-    if cur is None or cur.get("token") != token:
-        return False
-    _rm_lease(_lease_uri(path))
-    return True
+    removing theirs would let a third writer in. The delete is a
+    COMPARE-and-delete (:func:`_compare_and_delete_lease`): even a
+    holder that overstayed its own TTL and releases in the same
+    instant a takeover lands cannot delete the takeover's lease."""
+    return _compare_and_delete_lease(_lease_uri(path), token)
 
 
 def minhash_index_stats(spark, path: str) -> dict:
@@ -1022,8 +1189,10 @@ def minhash_index_stats(spark, path: str) -> dict:
 
     m = _read_index_meta(spark, path)
     out = dict(m)
-    sh_files = _list_parquet_files(f"{path}/shingles")
-    bd_files = _list_parquet_files(f"{path}/bands")
+    sh_dir = _vdir(path, "shingles", m["versions"].get("shingles", 0))
+    bd_dir = _vdir(path, "bands", m["versions"].get("bands", 0))
+    sh_files = _list_parquet_files(sh_dir)
+    bd_files = _list_parquet_files(bd_dir)
     ranges = []
     sh_rows = 0
     for fs_, fp in sh_files:
@@ -1046,7 +1215,7 @@ def minhash_index_stats(spark, path: str) -> dict:
         with _open_listed(fs_, fp) as fh:
             bd_rows += pq.ParquetFile(fh).metadata.num_rows
     distinct_ids = (
-        spark.read.parquet(f"{path}/shingles")
+        spark.read.parquet(sh_dir)
         .agg(F.count("id").alias("n"),
              F.count_distinct("id").alias("d")).head()
     )
@@ -1068,40 +1237,36 @@ def _compact_minhash_index_unlocked(spark, path: str) -> None:
     candidate pushdown's footer pruning decays; retried appends may
     also have left duplicate rows (absorbed at probe time, but paid on
     every probe). Compaction reads the STORED tables (no text is ever
-    re-hashed), drops duplicates, rewrites both globally range-sorted,
-    then swaps directories under a ``'__compacting__'`` meta marker.
+    re-hashed), drops duplicates, and rewrites both globally
+    range-sorted into the NEXT version dirs (``shingles_v<N+1>`` /
+    ``bands_v<N+1>``, :func:`_vdir`); the commit is ONE meta-row
+    overwrite flipping the version pointers.
 
-    Crash-safe: the marker is written only AFTER both compacted tables
-    fully committed into ``{path}/shingles_compact`` / ``bands_compact``,
-    so recovery is always "finish the swap" — re-running
-    compact_minhash_index on a ``'__compacting__'`` index completes it;
-    probes meanwhile refuse loudly. The directory swap uses a
-    filesystem move (atomic-enough on local/HDFS; on object stores
-    pyarrow emulates it per object — prefer compact-into-a-new-path
-    there). Concurrent writers are refused by the single-writer
-    lease (public wrapper); probes mid-compaction refuse via the
-    marker."""
+    Crash-safe on ANY store, including object stores without atomic
+    rename: there is no remove-then-move window — a crash before the
+    pointer flip leaves the old versions fully live (probes keep
+    working THROUGHOUT a compaction), a retry simply overwrites the
+    half-written next-version dirs, and a crash after the flip leaves
+    only dead directories that the commit-side GC (or the next
+    compaction) collects. Concurrent writers are refused by the
+    single-writer lease (public wrapper). An index left mid-swap by a
+    pre-r10 crash (status ``'__compacting__'``) is finished with the
+    legacy move-based recovery."""
     m = _read_index_meta(spark, path)
-    sh, bd = f"{path}/shingles", f"{path}/bands"
-    shc, bdc = f"{path}/shingles_compact", f"{path}/bands_compact"
 
-    def _swap_and_commit() -> None:
-        for main, comp in ((sh, shc), (bd, bdc)):
+    if m["status"] == "__compacting__":
+        # legacy (pre-r10) mid-swap recovery: the marker guarantees the
+        # *_compact dirs were whole before it landed — finish the move
+        # into the base dirs, then commit at version 0
+        for t in ("shingles", "bands"):
+            comp = f"{path}/{t}_compact"
             if _dir_exists(comp):
-                _rm_dir(main)
-                _mv_dir(comp, main)
-            # else: this table's swap already completed in a previous
-            # attempt — the marker guarantees the compact dir was whole
-        # token PRESERVED: compaction never consumes or produces a
-        # batch, and dropping it would let a blind retry of the last
-        # committed append re-append after a compaction
+                _rm_dir(f"{path}/{t}")
+                _mv_dir(comp, f"{path}/{t}")
         _write_index_meta_row(
             spark, path, m["num_hashes"], m["bands"], m["shingle_n"],
             m["seed"], m["hash_fn"], "committed", m["token"],
         )
-
-    if m["status"] == "__compacting__":
-        _swap_and_commit()
         return
     if m["status"] != "committed":
         raise ValueError(
@@ -1110,18 +1275,31 @@ def _compact_minhash_index_unlocked(spark, path: str) -> None:
             "compact"
         )
     _index_hash(m["hash_fn"])  # a dead REBUILD marker refuses here
-    spark.read.parquet(sh).dropDuplicates(["id"]) \
+    vers = m["versions"]
+    new_vers = {"shingles": vers.get("shingles", 0) + 1,
+                "bands": vers.get("bands", 0) + 1}
+    spark.read.parquet(_vdir(path, "shingles", vers.get("shingles", 0))) \
+        .dropDuplicates(["id"]) \
         .repartitionByRange("id").sortWithinPartitions("id") \
-        .write.mode("overwrite").parquet(shc)
-    spark.read.parquet(bd).distinct() \
+        .write.mode("overwrite") \
+        .parquet(_vdir(path, "shingles", new_vers["shingles"]))
+    spark.read.parquet(_vdir(path, "bands", vers.get("bands", 0))) \
+        .distinct() \
         .repartitionByRange("band", "bucket") \
         .sortWithinPartitions("band", "bucket") \
-        .write.mode("overwrite").parquet(bdc)
+        .write.mode("overwrite") \
+        .parquet(_vdir(path, "bands", new_vers["bands"]))
+    # THE commit: one meta overwrite flips both pointers. token
+    # PRESERVED: compaction never consumes or produces a batch, and
+    # dropping it would let a blind retry of the last committed append
+    # re-append after a compaction
     _write_index_meta_row(
         spark, path, m["num_hashes"], m["bands"], m["shingle_n"],
-        m["seed"], m["hash_fn"], "__compacting__", m["token"],
+        m["seed"], m["hash_fn"], "committed", m["token"],
+        versions=new_vers,
     )
-    _swap_and_commit()
+    for t in ("shingles", "bands"):
+        _gc_table_versions(path, t, new_vers[t])
 
 
 

@@ -72,11 +72,21 @@ def _write_ivfpq_meta(
     token: "Optional[str]" = None,
     pending_token: "Optional[str]" = None,
     split_cid: "Optional[int]" = None,
+    versions: "Optional[dict]" = None,
+    dir_ids: "Optional[Sequence[int]]" = None,
 ) -> None:
     """The index's ONE meta row: centroid matrix + PQ codebooks as plan
     literals (pure JVM — no Python-worker job), marker discipline as in
-    the IVF/MinHash indexes. ``split_cid`` rides only in the
-    ``'__splitting__'`` marker (:func:`split_ivfpq_centroid`)."""
+    the IVF/MinHash indexes. ``split_cid`` rides only in the legacy
+    ``'__splitting__'`` marker (pre-r10 splits). ``versions`` /
+    ``dir_ids`` are the table-version pointers and the matrix-position
+    → physical-partition indirection whose single overwrite here IS
+    the atomic commit of a compaction/split (see
+    :func:`similarity._write_ivf_meta`)."""
+    from .dedup import _versions_json
+
+    if dir_ids is None:
+        dir_ids = list(range(len(centroids)))
     spark.range(1).select(
         _matrix_lit(centroids).alias("centroids"),
         _cube_lit(codebooks).alias("codebooks"),
@@ -89,6 +99,8 @@ def _write_ivfpq_meta(
         F.lit(token).cast("string").alias("token"),
         F.lit(pending_token).cast("string").alias("pending_token"),
         F.lit(split_cid).cast("int").alias("split_cid"),
+        F.lit(_versions_json(versions)).cast("string").alias("versions"),
+        F.lit([int(d) for d in dir_ids]).alias("dir_ids"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -105,9 +117,13 @@ def _read_ivfpq_meta(spark, path: str) -> dict:
             "IVF-PQ index meta is empty — the index is mid-rebuild or "
             "corrupt; rebuild it with write_ivfpq_index"
         )
+    from .dedup import _versions_of
+
     d = row.asDict()
+    cents = [[float(x) for x in c] for c in d["centroids"]]
+    dir_ids = d.get("dir_ids")
     return {
-        "centroids": [[float(x) for x in c] for c in d["centroids"]],
+        "centroids": cents,
         "codebooks": [
             [[float(x) for x in c] for c in book] for book in d["codebooks"]
         ],
@@ -116,7 +132,19 @@ def _read_ivfpq_meta(spark, path: str) -> dict:
         "token": d.get("token"),
         "pending_token": d.get("pending_token"),
         "split_cid": d.get("split_cid"),
+        # pre-r10 meta rows: tables at v0, position i == centroid_id i
+        "versions": _versions_of(d),
+        "dir_ids": ([int(x) for x in dir_ids] if dir_ids is not None
+                    else list(range(len(cents)))),
     }
+
+
+def _pq_dir(path: str, m: dict, table: str) -> str:
+    """Current physical dir of ``table`` (``codes``/``raw``) per the
+    meta row's version pointers (:func:`dedup._vdir`)."""
+    from .dedup import _vdir
+
+    return _vdir(path, table, m["versions"].get(table, 0))
 
 
 def _write_ivfpq_index_unlocked(
@@ -185,30 +213,38 @@ def _write_ivfpq_index_unlocked(
                 "against the wrong entries; pass codebooks=None"
             )
         prev_token = m["token"]
+        versions, dir_ids = m["versions"], m["dir_ids"]
+        codes_dir, raw_dir = _pq_dir(path, m, "codes"), _pq_dir(path, m, "raw")
         # in-flight marker FIRST (carries the PREVIOUS committed token +
         # this attempt's pending_token), commit LAST — a crash between
         # the codes and raw writes fails probes loudly, and recovery is
         # re-running the SAME append (probes absorb duplicate rows)
         _write_ivfpq_meta(spark, path, centroids, codebooks,
                           "__appending__", m["rows"], prev_token,
-                          append_token)
+                          append_token, versions=versions, dir_ids=dir_ids)
     elif mode == "overwrite":
         if centroids is None or codebooks is None:
             raise ValueError(
                 "mode='overwrite' requires a centroid matrix and PQ "
                 "codebooks"
             )
+        versions, dir_ids = {}, list(range(len(centroids)))
+        codes_dir, raw_dir = f"{path}/codes", f"{path}/raw"
         _write_ivfpq_meta(spark, path, centroids, codebooks,
                           "__building__", 0)
     else:
         raise ValueError(f"bad mode: {mode}")
+    from .similarity import _dir_of_position
+
+    to_dir = _dir_of_position(dir_ids)
     # ONE pass computes assignment + codes + norms (all narrow); persist
     # so the two table writes don't re-encode the corpus from source
     enc = vectors.select(
         F.col(id_col),
         as_double(F.col(vec_col)).alias(vec_col),
         l2_norm(vec_col).alias("_nv"),
-        _argmax_centroid(F.col(vec_col), centroids).alias("centroid_id"),
+        to_dir(_argmax_centroid(F.col(vec_col), centroids))
+        .alias("centroid_id"),
         F.transform(
             pq_codes(F.col(vec_col), codebooks),
             lambda c: c.cast("smallint"),
@@ -219,7 +255,7 @@ def _write_ivfpq_index_unlocked(
         # pruned by the probed centroid set
         enc.select(id_col, "codes", "centroid_id") \
             .write.mode(mode).partitionBy("centroid_id") \
-            .parquet(f"{path}/codes")
+            .parquet(codes_dir)
         # raw sidecar: exact-rerank side — sorted by id within each
         # centroid partition so the shortlist's `id IN (...)` pushdown
         # prunes at the parquet footer level. The vector column is
@@ -229,13 +265,20 @@ def _write_ivfpq_index_unlocked(
         ).repartition("centroid_id") \
             .sortWithinPartitions("centroid_id", id_col) \
             .write.mode(mode).partitionBy("centroid_id") \
-            .parquet(f"{path}/raw")
+            .parquet(raw_dir)
     finally:
         enc.unpersist()
-    total = spark.read.parquet(f"{path}/codes").count()
+    total = spark.read.parquet(codes_dir).where(
+        F.col("centroid_id").isin(dir_ids)).count()
     _write_ivfpq_meta(spark, path, centroids, codebooks, "committed",
                       total,
-                      append_token if mode == "append" else None)
+                      append_token if mode == "append" else None,
+                      versions=versions, dir_ids=dir_ids)
+    if mode == "overwrite":
+        from .dedup import _gc_table_versions
+
+        for t in ("codes", "raw"):
+            _gc_table_versions(path, t, 0)
 
 
 
@@ -292,6 +335,7 @@ def knn_ivfpq_indexed(
     query_vec_col: str = "q_embedding",
     exclude_self: bool = True,
     max_pushdown_ids: int = 5_000,
+    probe_join: str = "auto",
 ) -> DataFrame:
     """Probe a :func:`write_ivfpq_index` index: partition-pruned code
     scan → asymmetric PQ scoring → per-query top-``rerank`` shortlist →
@@ -306,7 +350,10 @@ def knn_ivfpq_indexed(
     layout (falls back to the streaming join past
     ``max_pushdown_ids``, keeping driver state bounded). The rerank
     join is a broadcast of the shortlist; nothing corpus-sized ever
-    shuffles."""
+    shuffles. ``probe_join`` picks the candidate-join shape exactly as
+    in :func:`similarity.knn_ivf_indexed`: ``"auto"`` switches from
+    the nested-loop broadcast to exploding probe sets and hash-joining
+    on ``centroid_id`` at fleet size (identical results)."""
     m = _read_ivfpq_meta(spark, path)
     if m["status"] != "committed":
         raise ValueError(
@@ -351,26 +398,33 @@ def knn_ivfpq_indexed(
             lambda s: s["cid"],
         )
 
+    from .similarity import (
+        _BROADCAST_FLEET_CAP,
+        _EQUIJOIN_FLEET,
+        _dir_of_position,
+    )
     from .text import let as _let
 
+    to_dir = _dir_of_position(m["dir_ids"])
     probe_sets = queries.select(
         F.col(query_id_col),
         as_double(F.col(query_vec_col)).alias("_qv"),
         l2_norm(query_vec_col, dim).alias("_nq"),
-        _let(as_double(F.col(query_vec_col)), probes).alias("_probe_cids"),
+        F.transform(
+            _let(as_double(F.col(query_vec_col)), probes),
+            lambda p: to_dir(p),
+        ).alias("_probe_cids"),
         # checkpoint: this small frame feeds the driver-side probe
         # collect, the approx broadcast join, AND the rerank join —
         # without truncation an expensive upstream `queries` plan would
         # execute three times per probe
     ).localCheckpoint(eager=True)
     # bounded driver state: |queries| × nprobe ints — the scan filter
-    probed = sorted(
-        {int(c) for r in probe_sets.select("_probe_cids").collect()
-         for c in r[0]}
-    )
+    probe_rows = probe_sets.select("_probe_cids").collect()
+    probed = sorted({int(c) for r in probe_rows for c in r[0]})
     # dropDuplicates: a retried append re-appends its rows; one code row
     # per id keeps the shortlist window from double-counting
-    codes = spark.read.parquet(f"{path}/codes").where(
+    codes = spark.read.parquet(_pq_dir(path, m, "codes")).where(
         F.col("centroid_id").isin(probed)).dropDuplicates([id_col])
     recon = pq_reconstruct(F.col("codes"), codebooks)
     big = codes.select(
@@ -378,10 +432,25 @@ def knn_ivfpq_indexed(
     ).select(
         id_col, "centroid_id", "_rv", l2_norm("_rv").alias("_nr")
     )
-    cond = F.array_contains(F.col("_probe_cids"), F.col("centroid_id"))
-    if exclude_self:
-        cond = cond & (F.col(id_col) != F.col(query_id_col))
-    cand = big.join(F.broadcast(probe_sets), cond)
+    if probe_join not in ("auto", "broadcast", "equi"):
+        raise ValueError(f"bad probe_join: {probe_join}")
+    use_equi = probe_join == "equi" or (
+        probe_join == "auto" and len(probe_rows) >= _EQUIJOIN_FLEET)
+    if use_equi:
+        exploded = probe_sets.select(
+            query_id_col, "_qv", "_nq",
+            F.explode("_probe_cids").alias("centroid_id"),
+        )
+        if len(probe_rows) < _BROADCAST_FLEET_CAP:
+            exploded = F.broadcast(exploded)
+        cand = big.join(exploded, "centroid_id")
+        if exclude_self:
+            cand = cand.where(F.col(id_col) != F.col(query_id_col))
+    else:
+        cond = F.array_contains(F.col("_probe_cids"), F.col("centroid_id"))
+        if exclude_self:
+            cond = cond & (F.col(id_col) != F.col(query_id_col))
+        cand = big.join(F.broadcast(probe_sets), cond)
     denom = F.col("_nr") * F.col("_nq")
     approx = cand.select(
         F.col(query_id_col),
@@ -399,7 +468,7 @@ def knn_ivfpq_indexed(
         # exists to score; checkpoint so the code scan never re-runs
         .localCheckpoint(eager=True)
     )
-    raw = spark.read.parquet(f"{path}/raw").where(
+    raw = spark.read.parquet(_pq_dir(path, m, "raw")).where(
         F.col("centroid_id").isin(probed))
     ids = [
         r[0]
@@ -435,12 +504,12 @@ def knn_ivfpq_indexed(
 
 # --------------------------------------- hot-centroid split maintenance
 def _finish_pq_split(spark, path: str, m: dict) -> None:
-    """Finish-the-swap for a ``'__splitting__'`` IVF-PQ index — the
+    """LEGACY recovery only (pre-r10 ``'__splitting__'`` indexes) — the
     two-table cousin of :func:`similarity._finish_split`: per table,
     the old split partition's dir is removed only while its replacement
     still waits in the ``*_split`` staging dir, so re-running after a
-    crash converges to the same end state (atomic-rename stores; the
-    object-store caveat of the IVF split applies here too)."""
+    crash converges to the same end state. New splits never enter this
+    state (fresh-dir-id allocation + one meta flip)."""
     from .dedup import _dir_exists, _list_split_dirs, _mv_dir, _rm_dir
 
     cid = m["split_cid"]
@@ -477,13 +546,19 @@ def _split_ivfpq_centroid_unlocked(
     (sub-centroid 0 takes the split id, the rest append), so the pin
     stays checked — a caller holding the pre-split matrix is refused.
 
-    Crash discipline: both ``codes_split``/``raw_split`` staging dirs
-    fully commit BEFORE the ``'__splitting__'`` marker (which pins the
-    NEW matrix + split cid); recovery — re-running with the same
-    ``cid`` — is idempotent finish-the-swap; probes/appends/compactions
-    refuse loudly meanwhile. Returns the new centroid matrix."""
+    Crash discipline (r10, as :func:`similarity.split_ivf_centroid`):
+    both tables' sub-partitions are written under FRESH physical
+    ``centroid_id`` values no committed meta row names — invisible to
+    probes — and the commit is ONE meta overwrite installing the new
+    matrix + ``dir_ids`` indirection. No remove-then-move, no
+    intermediate status, no atomic-rename assumption; a crash before
+    the flip leaves the index bit-for-bit committed and the retry
+    overwrites the dead dirs (training is deterministic). A pre-r10
+    index left mid-split (``'__splitting__'``) is finished with the
+    legacy move-based recovery. Returns the new centroid matrix."""
     m = _read_ivfpq_meta(spark, path)
     if m["status"] == "__splitting__":
+        # legacy (pre-r10) mid-split recovery
         if m["split_cid"] != cid:
             raise ValueError(
                 f"index at {path!r} is mid-split of centroid "
@@ -502,11 +577,13 @@ def _split_ivfpq_centroid_unlocked(
         raise ValueError(f"cid {cid} out of range for {n} centroids")
     if k_sub < 2:
         raise ValueError("k_sub must be at least 2")
-    from .dedup import _dir_exists
     from .similarity import kmeans_centroids
 
-    raw_part = spark.read.parquet(f"{path}/raw").where(
-        F.col("centroid_id") == cid)
+    dir_ids = m["dir_ids"]
+    old_dir = dir_ids[cid]
+    codes_dir, raw_dir = _pq_dir(path, m, "codes"), _pq_dir(path, m, "raw")
+    raw_part = spark.read.parquet(raw_dir).where(
+        F.col("centroid_id") == old_dir)
     id_col = [c for c in raw_part.columns
               if c not in ("_v", "_nv", "centroid_id")][0]
     n_part = raw_part.count()
@@ -519,42 +596,56 @@ def _split_ivfpq_centroid_unlocked(
                            vec_col="_v")
     new_cents = [list(c) for c in m["centroids"]]
     new_cents[cid] = list(sub[0])
-    new_ids = [cid] + list(range(n, n + k_sub - 1))
     new_cents.extend(list(c) for c in sub[1:])
+    # FRESH physical partition ids across BOTH tables (deterministic:
+    # max+1..) — invisible until the meta flip names them in dir_ids
+    fresh = max(dir_ids) + 1
+    new_dirs = list(range(fresh, fresh + k_sub))
+    new_dir_ids = list(dir_ids)
+    new_dir_ids[cid] = new_dirs[0]
+    new_dir_ids.extend(new_dirs[1:])
     local = _argmax_centroid(F.col("_v"), sub)
-    gid = F.when(local == 0, F.lit(cid))
+    gid = F.when(local == 0, F.lit(new_dirs[0]))
     for j in range(1, k_sub):
-        gid = gid.when(local == j, F.lit(new_ids[j]))
+        gid = gid.when(local == j, F.lit(new_dirs[j]))
     reassigned = raw_part.select(
         F.col(id_col), F.col("_v"), F.col("_nv"),
         gid.cast("int").alias("centroid_id"),
     ).localCheckpoint(eager=True)  # ONE assignment pass routes BOTH tables
-    reassigned.write.mode("overwrite").partitionBy("centroid_id") \
-        .parquet(f"{path}/raw_split")
+    # dynamic partition overwrite: each job replaces exactly the
+    # touched (fresh) partition dirs — a crashed attempt's residue
+    # included — and never touches a live partition; an empty
+    # sub-centroid simply writes no dir (the probe filter finds no
+    # rows, the right answer)
+    reassigned.repartition("centroid_id") \
+        .sortWithinPartitions("centroid_id", id_col) \
+        .write.mode("overwrite") \
+        .option("partitionOverwriteMode", "dynamic") \
+        .partitionBy("centroid_id").parquet(raw_dir)
     # codes rows relabel by id against the new assignment — the m-byte
     # codes themselves are codebook-pinned and never recomputed
-    codes_part = spark.read.parquet(f"{path}/codes").where(
-        F.col("centroid_id") == cid).drop("centroid_id")
+    codes_part = spark.read.parquet(codes_dir).where(
+        F.col("centroid_id") == old_dir).drop("centroid_id")
     routing = reassigned.select(id_col, "centroid_id")
     codes_part.join(F.broadcast(routing), id_col) \
-        .write.mode("overwrite").partitionBy("centroid_id") \
-        .parquet(f"{path}/codes_split")
-    # guarantee every expected dir exists (partitionBy drops empty
-    # partitions; a missing centroid_id=<cid> dir would leave the old
-    # fat dir in place ALONGSIDE the rewritten copies — the silent
-    # duplication the IVF split fixed in r9's self-review)
-    empty_raw = reassigned.drop("centroid_id").limit(0)
-    empty_codes = codes_part.limit(0)
-    for table, empty in (("raw", empty_raw), ("codes", empty_codes)):
-        for g in new_ids:
-            d = f"{path}/{table}_split/centroid_id={g}"
-            if not _dir_exists(d):
-                empty.coalesce(1).write.mode("overwrite").parquet(d)
+        .write.mode("overwrite") \
+        .option("partitionOverwriteMode", "dynamic") \
+        .partitionBy("centroid_id").parquet(codes_dir)
+    # THE commit: one meta overwrite installs matrix + indirection
+    # (token preserved — a split never consumes or produces a batch)
     _write_ivfpq_meta(spark, path, new_cents, m["codebooks"],
-                      "__splitting__", m["rows"], m["token"],
-                      split_cid=cid)
-    _finish_pq_split(spark, path, {**m, "centroids": new_cents,
-                                   "split_cid": cid})
+                      "committed", m["rows"], m["token"],
+                      versions=m["versions"], dir_ids=new_dir_ids)
+    # the old fat partitions are now orphaned — best-effort GC (the
+    # next compaction retires them regardless)
+    from .dedup import _rm_dir
+
+    for d in (f"{codes_dir}/centroid_id={old_dir}",
+              f"{raw_dir}/centroid_id={old_dir}"):
+        try:
+            _rm_dir(d)
+        except Exception:
+            pass
     return new_cents
 
 
@@ -651,20 +742,32 @@ def ivfpq_index_stats(spark, path: str) -> dict:
     }
     import collections
 
+    live = {f"centroid_id={d}" for d in m["dir_ids"]}
+    orphan_dirs = set()
     for table in ("codes", "raw"):
         rows = 0
         size = 0
+        n_files = 0
         part_rows: collections.Counter = collections.Counter()
-        files = _list_parquet_files(f"{path}/{table}", recursive=True)
+        files = _list_parquet_files(_pq_dir(path, m, table),
+                                    recursive=True)
         for fs_, fp in files:
+            d = os.path.dirname(fp)
+            part = d.rstrip("/").rsplit("/", 1)[-1]
+            if part not in live:
+                # residue of a crashed (never-committed) split —
+                # invisible to probes, collected by the next compact
+                orphan_dirs.add(f"{table}:{part}")
+                continue
+            n_files += 1
             with _open_listed(fs_, fp) as fh:
                 md = pq.ParquetFile(fh).metadata
                 nr = md.num_rows
             rows += nr
-            part_rows[os.path.dirname(fp)] += nr
+            part_rows[d] += nr
             size += (os.path.getsize(fp) if fs_ is None
                      else fs_.get_file_info(fp).size)
-        out[f"{table}_files"] = len(files)
+        out[f"{table}_files"] = n_files
         out[f"{table}_rows"] = rows
         out[f"{table}_bytes"] = size
         if table == "codes":
@@ -678,35 +781,40 @@ def ivfpq_index_stats(spark, path: str) -> dict:
         round(out["raw_bytes"] / out["codes_bytes"], 2)
         if out["codes_bytes"] else None
     )
-    df = spark.read.parquet(f"{path}/codes")
+    out["orphan_partitions"] = len(orphan_dirs)
+    df = spark.read.parquet(_pq_dir(path, m, "codes")).where(
+        F.col("centroid_id").isin(m["dir_ids"]))
     dup = df.count() - df.dropDuplicates([df.columns[0]]).count()
     out["duplicate_rows"] = int(dup)
     return out
 
 
 def _compact_ivfpq_index_unlocked(spark, path: str) -> None:
-    """Collapse append-accumulated small files and retry duplicates —
-    same ``'__compacting__'`` finish-the-swap discipline as the MinHash
-    and IVF indexes (the marker lands only after both compacted tables
-    fully committed; re-running recovers a crash; probes refuse
-    meanwhile; the append token is preserved)."""
-    from .dedup import _dir_exists, _mv_dir, _rm_dir
+    """Collapse append-accumulated small files and retry duplicates.
+    Both compacted tables are written to their NEXT version dirs
+    (``codes_v<N+1>`` / ``raw_v<N+1>``, :func:`dedup._vdir`) — reading
+    LIVE partitions only, so a crashed split's orphans are never
+    resurrected — and the commit is ONE meta-row overwrite flipping
+    the pointers. No remove-then-move window: crash-safe on stores
+    without atomic rename, probes keep working THROUGHOUT, the append
+    token is preserved, and the flip retires any orphan partitions
+    (garbage-collected with the old version dirs). A pre-r10 index
+    left mid-swap (``'__compacting__'``) is finished with the legacy
+    move-based recovery."""
+    from .dedup import _dir_exists, _gc_table_versions, _mv_dir, _rm_dir
 
     m = _read_ivfpq_meta(spark, path)
-    pairs = [(f"{path}/codes", f"{path}/codes_compact"),
-             (f"{path}/raw", f"{path}/raw_compact")]
 
-    def _swap_and_commit() -> None:
-        for main, comp in pairs:
+    if m["status"] == "__compacting__":
+        # legacy (pre-r10) mid-swap recovery
+        for main, comp in [(f"{path}/codes", f"{path}/codes_compact"),
+                           (f"{path}/raw", f"{path}/raw_compact")]:
             if _dir_exists(comp):
                 _rm_dir(main)
                 _mv_dir(comp, main)
         rows = spark.read.parquet(f"{path}/codes").count()
         _write_ivfpq_meta(spark, path, m["centroids"], m["codebooks"],
                           "committed", rows, m["token"])
-
-    if m["status"] == "__compacting__":
-        _swap_and_commit()
         return
     if m["status"] != "committed":
         raise ValueError(
@@ -714,18 +822,33 @@ def _compact_ivfpq_index_unlocked(spark, path: str) -> None:
             "in-flight append first (re-run the same append), then "
             "compact"
         )
+    from .dedup import _vdir
+
     n_cents = len(m["centroids"])
-    codes = spark.read.parquet(f"{path}/codes")
+    new_vers = {
+        "codes": m["versions"].get("codes", 0) + 1,
+        "raw": m["versions"].get("raw", 0) + 1,
+    }
+    codes = spark.read.parquet(_pq_dir(path, m, "codes")).where(
+        F.col("centroid_id").isin(m["dir_ids"]))
     id_col = codes.columns[0]
     codes.dropDuplicates([id_col]) \
         .repartition(n_cents, F.col("centroid_id")) \
         .write.mode("overwrite").partitionBy("centroid_id") \
-        .parquet(f"{path}/codes_compact")
-    spark.read.parquet(f"{path}/raw").dropDuplicates([id_col]) \
+        .parquet(_vdir(path, "codes", new_vers["codes"]))
+    spark.read.parquet(_pq_dir(path, m, "raw")).where(
+        F.col("centroid_id").isin(m["dir_ids"])) \
+        .dropDuplicates([id_col]) \
         .repartition(n_cents, F.col("centroid_id")) \
         .sortWithinPartitions("centroid_id", id_col) \
         .write.mode("overwrite").partitionBy("centroid_id") \
-        .parquet(f"{path}/raw_compact")
+        .parquet(_vdir(path, "raw", new_vers["raw"]))
+    rows = spark.read.parquet(
+        _vdir(path, "codes", new_vers["codes"])).count()
+    # THE commit: one meta overwrite flips both pointers
     _write_ivfpq_meta(spark, path, m["centroids"], m["codebooks"],
-                      "__compacting__", m["rows"], m["token"])
-    _swap_and_commit()
+                      "committed", rows, m["token"],
+                      versions={**m["versions"], **new_vers},
+                      dir_ids=m["dir_ids"])
+    for t in ("codes", "raw"):
+        _gc_table_versions(path, t, new_vers[t])

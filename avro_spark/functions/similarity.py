@@ -432,6 +432,15 @@ def knn_ivf(
 
 
 # ------------------------------------------------ persisted IVF index
+#: fleet size at which an indexed ANN probe switches from the
+#: nested-loop broadcast join (fine when few queries scan each row) to
+#: exploding probe sets and hash-joining on centroid_id; and the size
+#: past which the exploded side is no longer broadcast-hinted (AQE
+#: sizes the join instead of forcing a huge fleet onto the driver)
+_EQUIJOIN_FLEET = 1024
+_BROADCAST_FLEET_CAP = 100_000
+
+
 def _write_ivf_meta(
     spark: "SparkSession",
     path: str,
@@ -441,6 +450,8 @@ def _write_ivf_meta(
     token: "Optional[str]" = None,
     pending_token: "Optional[str]" = None,
     split_cid: "Optional[int]" = None,
+    versions: "Optional[dict]" = None,
+    dir_ids: "Optional[Sequence[int]]" = None,
 ) -> None:
     """One meta row pinning the centroid matrix the data was assigned
     with (plus a status marker, the committed row count, and the LAST
@@ -448,10 +459,20 @@ def _write_ivf_meta(
     ``pending_token`` rides only in the ``'__appending__'`` marker and
     names the IN-FLIGHT append, so crash recovery can verify a retry is
     the same batch instead of silently adopting a different batch's
-    data. ``split_cid`` rides only in the ``'__splitting__'`` marker
-    (:func:`split_ivf_centroid`) and names the partition being split.
-    Written via ``spark.range`` + plan literals — pure JVM, no
-    Python-worker job."""
+    data. ``split_cid`` rides only in the legacy ``'__splitting__'``
+    marker (pre-r10 splits) and names the partition being split.
+    ``versions`` is the data-table version pointer (compaction commits
+    by overwriting it); ``dir_ids[i]`` is the PHYSICAL
+    ``centroid_id=`` partition holding matrix position ``i``'s rows —
+    the indirection that lets a split write its new partitions under
+    FRESH ids and commit with this one overwrite (a partition id named
+    by no committed meta row is invisible to probes and dead by
+    construction). Written via ``spark.range`` + plan literals — pure
+    JVM, no Python-worker job."""
+    from .dedup import _versions_json
+
+    if dir_ids is None:
+        dir_ids = list(range(len(centroids)))
     spark.range(1).select(
         _matrix_lit(centroids).alias("centroids"),
         F.lit(len(centroids[0])).cast("int").alias("dim"),
@@ -461,6 +482,8 @@ def _write_ivf_meta(
         F.lit(token).cast("string").alias("token"),
         F.lit(pending_token).cast("string").alias("pending_token"),
         F.lit(split_cid).cast("int").alias("split_cid"),
+        F.lit(_versions_json(versions)).cast("string").alias("versions"),
+        F.lit([int(d) for d in dir_ids]).alias("dir_ids"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -478,16 +501,45 @@ def _read_ivf_meta(spark: "SparkSession", path: str) -> dict:
             "IVF index meta is empty — the index is mid-rebuild or "
             "corrupt; rebuild it with write_ivf_index"
         )
+    from .dedup import _versions_of
+
     d = row.asDict()
+    cents = [[float(x) for x in c] for c in d["centroids"]]
+    dir_ids = d.get("dir_ids")
     return {
-        "centroids": [[float(x) for x in c] for c in d["centroids"]],
+        "centroids": cents,
         "dim": d["dim"], "norm": d["norm"],
         "status": d["status"], "rows": d["rows"],
         # pre-token meta rows (early r8) read as never-appended-by-token
         "token": d.get("token"),
         "pending_token": d.get("pending_token"),
         "split_cid": d.get("split_cid"),
+        # pre-r10 meta rows: tables at v0, position i stored under
+        # centroid_id=i (the identity mapping)
+        "versions": _versions_of(d),
+        "dir_ids": ([int(x) for x in dir_ids] if dir_ids is not None
+                    else list(range(len(cents)))),
     }
+
+
+def _ivf_data_dir(path: str, m: dict) -> str:
+    """Current physical dir of the data table (version pointer in the
+    meta row — :func:`dedup._vdir`)."""
+    from .dedup import _vdir
+
+    return _vdir(path, "data", m["versions"].get("data", 0))
+
+
+def _dir_of_position(dir_ids: "Sequence[int]"):
+    """Column fn: matrix position → physical ``centroid_id`` partition
+    value, via the meta row's ``dir_ids`` indirection (an int-array
+    literal lookup — codegen'd, no join)."""
+    arr = F.lit([int(d) for d in dir_ids])
+
+    def to_dir(pos: Column) -> Column:
+        return F.element_at(arr, pos.cast("int") + F.lit(1))
+
+    return to_dir
 
 
 def _write_ivf_index_unlocked(
@@ -573,35 +625,51 @@ def _write_ivf_index_unlocked(
                 "vectors to the wrong partitions; pass centroids=None "
                 "to reuse the stored matrix, or rebuild"
             )
-        actual = spark.read.parquet(f"{path}/data").count()
+        versions, dir_ids = m["versions"], m["dir_ids"]
+        data_dir = _ivf_data_dir(path, m)
+        # live rows only: a crashed (never-committed) split may have
+        # left orphan centroid_id dirs the meta doesn't reference
+        actual = spark.read.parquet(data_dir).where(
+            F.col("centroid_id").isin(dir_ids)).count()
         if m["status"] == "__appending__" and actual != m["rows"]:
             # the dead append's data job committed but its meta didn't:
             # the retry (token-verified above) must not double-append
             _write_ivf_meta(spark, path, centroids, "committed", actual,
-                            append_token)
+                            append_token, versions=versions,
+                            dir_ids=dir_ids)
             return
         # the marker row still carries the PREVIOUS token: this batch's
         # token only lands at commit; pending_token names THIS attempt
         _write_ivf_meta(spark, path, centroids, "__appending__", actual,
-                        m["token"], append_token)
+                        m["token"], append_token, versions=versions,
+                        dir_ids=dir_ids)
     elif mode == "overwrite":
         if centroids is None:
             raise ValueError("mode='overwrite' requires a centroid matrix")
+        versions, dir_ids = {}, list(range(len(centroids)))
+        data_dir = f"{path}/data"
         _write_ivf_meta(spark, path, centroids, "__building__", 0)
     else:
         raise ValueError(f"bad mode: {mode}")
+    to_dir = _dir_of_position(dir_ids)
     assigned = vectors.select(
         F.col(id_col),
         as_double(F.col(vec_col)).alias(vec_col),
         l2_norm(vec_col).alias("_nv"),
-        _argmax_centroid(F.col(vec_col), centroids).alias("centroid_id"),
+        to_dir(_argmax_centroid(F.col(vec_col), centroids))
+        .alias("centroid_id"),
     )
-    assigned.write.mode(mode).partitionBy("centroid_id").parquet(
-        f"{path}/data")
+    assigned.write.mode(mode).partitionBy("centroid_id").parquet(data_dir)
     # committed row count via parquet footers only (metadata-count)
-    total = spark.read.parquet(f"{path}/data").count()
+    total = spark.read.parquet(data_dir).where(
+        F.col("centroid_id").isin(dir_ids)).count()
     _write_ivf_meta(spark, path, centroids, "committed", total,
-                    append_token if mode == "append" else None)
+                    append_token if mode == "append" else None,
+                    versions=versions, dir_ids=dir_ids)
+    if mode == "overwrite":
+        from .dedup import _gc_table_versions
+
+        _gc_table_versions(path, "data", 0)
 
 
 # ------------------------------------- streaming face of the IVF index
@@ -681,18 +749,27 @@ def ivf_index_stats(spark: "SparkSession", path: str) -> dict:
     per_part: collections.Counter = collections.Counter()
     total_rows = 0
     n_files = 0
-    base = f"{path}/data"
+    base = _ivf_data_dir(path, m)
+    live = {f"centroid_id={d}" for d in m["dir_ids"]}
     files = _list_parquet_files(base, recursive=True)
     part_rows: collections.Counter = collections.Counter()
+    orphan_dirs = set()
     for fs_, fp in files:
-        n_files += 1
         d = os.path.dirname(fp)
+        part = d.rstrip("/").rsplit("/", 1)[-1]
+        if part not in live:
+            # residue of a crashed (never-committed) split — invisible
+            # to probes, collected by the next compact
+            orphan_dirs.add(part)
+            continue
+        n_files += 1
         per_part[d] += 1
         with _open_listed(fs_, fp) as fh:
             nr = pq.ParquetFile(fh).metadata.num_rows
         total_rows += nr
         part_rows[d] += nr
-    df = spark.read.parquet(base)
+    df = spark.read.parquet(base).where(
+        F.col("centroid_id").isin(m["dir_ids"]))
     dup = df.count() - df.distinct().count()
     # ROW skew per centroid partition — the :func:`split_ivf_centroid`
     # trigger: appends against frozen centroids fatten hot partitions,
@@ -709,6 +786,7 @@ def ivf_index_stats(spark: "SparkSession", path: str) -> dict:
         max_rows_per_partition=int(max_pr),
         mean_rows_per_partition=round(mean_pr, 1),
         partition_row_skew=round(max_pr / mean_pr, 2) if mean_pr else 0.0,
+        orphan_partitions=len(orphan_dirs),
     )
     return out
 
@@ -721,43 +799,57 @@ def _compact_ivf_index_unlocked(spark: "SparkSession", path: str) -> None:
     pruned listing still opens hundreds of tiny files per bucket.
     Compaction reads the stored data (vectors are never re-assigned —
     the pinned centroids guarantee assignments are stable), drops
-    full-row duplicates, groups each centroid into one shuffle
-    partition, and swaps directories under a ``'__compacting__'`` meta
-    marker — same crash discipline as
-    :func:`avro_spark.functions.dedup.compact_minhash_index`: the
-    marker lands only AFTER the compacted copy fully committed, so
-    recovery (re-running this function) is always finish-the-swap;
-    probes refuse loudly meanwhile. Concurrent writers are refused by
-    the single-writer lease (public wrapper)."""
-    from .dedup import _dir_exists, _mv_dir, _rm_dir
+    full-row duplicates — reading LIVE partitions only, so a crashed
+    split's orphan dirs are never resurrected — and writes the result
+    to the NEXT version dir (``data_v<N+1>``, :func:`dedup._vdir`);
+    the commit is ONE meta-row overwrite flipping the pointer. No
+    remove-then-move window: crash-safe on stores without atomic
+    rename, probes keep working THROUGHOUT, and the flip also retires
+    any orphan partitions (they stay behind in the old version dir,
+    which is garbage-collected whole). A pre-r10 index left mid-swap
+    (``'__compacting__'``) is finished with the legacy move-based
+    recovery. Concurrent writers are refused by the single-writer
+    lease (public wrapper)."""
+    from .dedup import _dir_exists, _gc_table_versions, _mv_dir, _rm_dir
 
     m = _read_ivf_meta(spark, path)
-    data, comp = f"{path}/data", f"{path}/data_compact"
 
-    def _swap_and_commit() -> None:
+    if m["status"] == "__compacting__":
+        # legacy (pre-r10) mid-swap recovery
+        data, comp = f"{path}/data", f"{path}/data_compact"
         if _dir_exists(comp):
             _rm_dir(data)
             _mv_dir(comp, data)
         rows = spark.read.parquet(data).count()
-        # token preserved: compaction never consumes or produces a batch
         _write_ivf_meta(spark, path, m["centroids"], "committed", rows,
                         m["token"])
-
-    if m["status"] == "__compacting__":
-        _swap_and_commit()
         return
     if m["status"] != "committed":
         raise ValueError(
             f"index at {path!r} has status {m['status']!r} — finish the "
             "in-flight rebuild/append first, then compact"
         )
-    df = spark.read.parquet(data).distinct()
+    data = _ivf_data_dir(path, m)
+    new_v = m["versions"].get("data", 0) + 1
+    new_dir = _vdir_similarity(path, new_v)
+    df = spark.read.parquet(data).where(
+        F.col("centroid_id").isin(m["dir_ids"])).distinct()
     n_cents = len(m["centroids"])
     df.repartition(n_cents, F.col("centroid_id")) \
-        .write.mode("overwrite").partitionBy("centroid_id").parquet(comp)
-    _write_ivf_meta(spark, path, m["centroids"], "__compacting__",
-                    m["rows"], m["token"])
-    _swap_and_commit()
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(new_dir)
+    rows = spark.read.parquet(new_dir).count()
+    # THE commit: one meta overwrite flips the pointer (token preserved:
+    # compaction never consumes or produces a batch)
+    _write_ivf_meta(spark, path, m["centroids"], "committed", rows,
+                    m["token"], versions={**m["versions"], "data": new_v},
+                    dir_ids=m["dir_ids"])
+    _gc_table_versions(path, "data", new_v)
+
+
+def _vdir_similarity(path: str, version: int) -> str:
+    from .dedup import _vdir
+
+    return _vdir(path, "data", version)
 
 
 
@@ -800,12 +892,13 @@ def compact_ivf_index(spark: "SparkSession", path: str) -> None:
 
 # --------------------------------------- hot-centroid split maintenance
 def _finish_split(spark: "SparkSession", path: str, m: dict) -> None:
-    """Finish-the-swap for a ``'__splitting__'`` index: move every
-    prepared ``data_split/centroid_id=*`` directory into ``data/``,
-    replacing the split partition's old directory, then commit the NEW
-    matrix. Idempotent — the old ``centroid_id=<split_cid>`` dir is
-    removed only while its replacement is still pending in data_split,
-    so a crash at any point re-runs to the same end state."""
+    """LEGACY recovery only (pre-r10 ``'__splitting__'`` indexes): move
+    every prepared ``data_split/centroid_id=*`` directory into
+    ``data/``, replacing the split partition's old directory, then
+    commit the NEW matrix. Idempotent — the old
+    ``centroid_id=<split_cid>`` dir is removed only while its
+    replacement is still pending in data_split. New splits never enter
+    this state (fresh-dir-id allocation + one meta flip)."""
     from .dedup import _dir_exists, _list_split_dirs, _mv_dir, _rm_dir
 
     data, split = f"{path}/data", f"{path}/data_split"
@@ -854,20 +947,22 @@ def _split_ivf_centroid_unlocked(
     probes keep pruning correctly and the PIN stays intact: a caller
     still holding the pre-split list is refused loudly.
 
-    Crash discipline: the re-assigned partitions are fully written
-    under ``{path}/data_split`` BEFORE the ``'__splitting__'`` marker
-    (which pins the NEW matrix and the split cid) lands, so recovery —
-    re-running this function with the same ``cid`` — is always
-    finish-the-swap; probes/appends/compactions refuse loudly
-    meanwhile. The swap relies on directory moves being atomic
-    (local/HDFS rename) — on object stores pyarrow emulates a move per
-    object, so a crash INSIDE one move can strand files on both sides
-    and the recovery's remove-then-move would drop the already-moved
-    ones; as with :func:`compact_ivf_index`, prefer running splits
-    where renames are atomic (or split into a fresh index path there).
-    Returns the new centroid matrix."""
+    Crash discipline (r10): the sub-partitions are written under FRESH
+    physical ``centroid_id`` values that no committed meta row names —
+    invisible to every probe — and the commit is ONE meta-row overwrite
+    installing the new matrix and the new ``dir_ids`` indirection. No
+    remove-then-move, no ``'__splitting__'`` intermediate state, no
+    atomic-rename assumption: a crash before the flip leaves the index
+    bit-for-bit committed (the fresh dirs are dead by construction and
+    a retry overwrites them — training is deterministic, so the retry
+    targets the same ids); a crash after it leaves only the old fat
+    partition as garbage for the flip-side GC or the next compaction.
+    A pre-r10 index left mid-split (``'__splitting__'``) is finished
+    with the legacy move-based recovery. Returns the new centroid
+    matrix."""
     m = _read_ivf_meta(spark, path)
     if m["status"] == "__splitting__":
+        # legacy (pre-r10) mid-split recovery
         if m["split_cid"] != cid:
             raise ValueError(
                 f"index at {path!r} is mid-split of centroid "
@@ -886,8 +981,11 @@ def _split_ivf_centroid_unlocked(
         raise ValueError(f"cid {cid} out of range for {n} centroids")
     if k_sub < 2:
         raise ValueError("k_sub must be at least 2")
-    part = spark.read.parquet(f"{path}/data").where(
-        F.col("centroid_id") == cid)
+    data_dir = _ivf_data_dir(path, m)
+    dir_ids = m["dir_ids"]
+    old_dir = dir_ids[cid]
+    part = spark.read.parquet(data_dir).where(
+        F.col("centroid_id") == old_dir)
     n_part = part.count()
     if n_part < k_sub:
         raise ValueError(
@@ -899,43 +997,45 @@ def _split_ivf_centroid_unlocked(
                            vec_col=vec_col)
     new_cents = [list(c) for c in m["centroids"]]
     new_cents[cid] = list(sub[0])
-    new_ids = [cid] + list(range(n, n + k_sub - 1))
     new_cents.extend(list(c) for c in sub[1:])
+    # FRESH physical partition ids (deterministic: max+1..): invisible
+    # until the meta flip names them in dir_ids
+    fresh = max(dir_ids) + 1
+    new_dirs = list(range(fresh, fresh + k_sub))
+    new_dir_ids = list(dir_ids)
+    new_dir_ids[cid] = new_dirs[0]
+    new_dir_ids.extend(new_dirs[1:])
     # re-assign the members among the SUB-centroids only (local argmax,
-    # then map local j -> global id); other partitions never move
+    # then map local j -> fresh dir); other partitions never move
     local = _argmax_centroid(F.col(vec_col), sub)
-    gid = F.when(local == 0, F.lit(cid))
+    gid = F.when(local == 0, F.lit(new_dirs[0]))
     for j in range(1, k_sub):
-        gid = gid.when(local == j, F.lit(new_ids[j]))
+        gid = gid.when(local == j, F.lit(new_dirs[j]))
     reassigned = part.select(
         F.col(id_col), F.col(vec_col), F.col("_nv"),
         gid.cast("int").alias("centroid_id"),
     )
-    reassigned.write.mode("overwrite").partitionBy("centroid_id") \
-        .parquet(f"{path}/data_split")
-    # partitionBy DROPS empty partitions — if a sub-centroid got no
-    # members (Lloyd can empty a cluster), its dir never materializes.
-    # For sub-centroid 0 that is a silent-duplication hazard: the swap
-    # removes the OLD fat dir only while its replacement waits in
-    # data_split, so a missing centroid_id=<cid> dir would leave the
-    # old rows in place ALONGSIDE their rewritten copies under the new
-    # ids. Guarantee every expected dir exists with an explicit
-    # zero-row parquet (partition files don't carry the partition
-    # column, so the empty file's schema matches).
-    from .dedup import _dir_exists
+    # dynamic partition overwrite: ONE job replaces exactly the touched
+    # (fresh) partition dirs — a crashed attempt's residue included —
+    # and never touches any live partition. An empty sub-centroid
+    # (Lloyd can empty a cluster) simply writes no dir: the probe's
+    # partition filter finds no rows, which is the right answer.
+    reassigned.write.mode("overwrite") \
+        .option("partitionOverwriteMode", "dynamic") \
+        .partitionBy("centroid_id").parquet(data_dir)
+    # THE commit: one meta overwrite installs matrix + indirection
+    # (token preserved — a split never consumes or produces a batch)
+    _write_ivf_meta(spark, path, new_cents, "committed", m["rows"],
+                    m["token"], versions=m["versions"],
+                    dir_ids=new_dir_ids)
+    # the old fat partition is now orphaned — best-effort GC (the next
+    # compaction retires it regardless)
+    from .dedup import _rm_dir
 
-    empty = reassigned.drop("centroid_id").limit(0)
-    for g in new_ids:
-        d = f"{path}/data_split/centroid_id={g}"
-        if not _dir_exists(d):
-            empty.coalesce(1).write.mode("overwrite").parquet(d)
-    # marker AFTER the split data fully committed: recovery is always
-    # finish-the-swap, never re-train (token preserved — a split never
-    # consumes or produces an append batch)
-    _write_ivf_meta(spark, path, new_cents, "__splitting__", m["rows"],
-                    m["token"], split_cid=cid)
-    _finish_split(spark, path, {**m, "centroids": new_cents,
-                                "split_cid": cid})
+    try:
+        _rm_dir(f"{data_dir}/centroid_id={old_dir}")
+    except Exception:
+        pass
     return new_cents
 
 
@@ -972,6 +1072,7 @@ def knn_ivf_indexed(
     query_id_col: str = "query_id",
     query_vec_col: str = "q_embedding",
     exclude_self: bool = True,
+    probe_join: str = "auto",
 ) -> DataFrame:
     """Probe a :func:`write_ivf_index` index: the union of every query's
     nprobe probe set becomes a ``centroid_id IN (...)`` scan filter —
@@ -981,7 +1082,21 @@ def knn_ivf_indexed(
     come FROM the index's meta row; a caller-supplied list that doesn't
     match the stored matrix is refused loudly (drifted centroids prune
     the wrong partitions and silently return low-recall neighbors — the
-    checked contract replaces the old docstring-only one)."""
+    checked contract replaces the old docstring-only one).
+
+    ``probe_join`` picks the candidate-join shape (identical results):
+    ``"broadcast"`` joins the scan to the broadcast query set on an
+    ``array_contains(probe_cids, centroid_id)`` condition — a
+    BroadcastNestedLoopJoin that evaluates every scanned row against
+    every query, fine for small fleets; ``"equi"`` EXPLODES each
+    query's probe set to (query, centroid_id) rows and hash-joins on
+    ``centroid_id``, so scan rows meet only the queries probing their
+    partition — the shape a many-thousand-query fleet needs; ``"auto"``
+    (default) picks by fleet size (the probe-set collect already knows
+    it): equi at ≥ {_EQUIJOIN_FLEET} queries, and past
+    {_BROADCAST_FLEET_CAP} the broadcast hint is dropped too so AQE
+    sizes the join (a 100k-query × d-float fleet should not be forced
+    onto the driver)."""
     m = _read_ivf_meta(spark, path)
     if m["status"] != "committed":
         raise ValueError(
@@ -1016,22 +1131,42 @@ def knn_ivf_indexed(
             F.slice(F.reverse(F.array_sort(scored)), 1, nprobe), lambda s: s["cid"]
         )
 
+    # positions → PHYSICAL partition ids via the meta row's dir_ids
+    # indirection (identity on a never-split index)
+    to_dir = _dir_of_position(m["dir_ids"])
     probe_sets = queries.select(
         F.col(query_id_col),
         F.col(query_vec_col),
         l2_norm(query_vec_col, dim).alias("_nq"),
-        _let(as_double(F.col(query_vec_col)), probes).alias("probe_cids"),
+        F.transform(
+            _let(as_double(F.col(query_vec_col)), probes),
+            lambda p: to_dir(p),
+        ).alias("probe_cids"),
     )
     # bounded driver state: |queries| × nprobe ints — the scan filter
-    probed = sorted(
-        {int(c) for r in probe_sets.select("probe_cids").collect() for c in r[0]}
-    )
-    index = spark.read.parquet(f"{path}/data").where(
+    probe_rows = probe_sets.select("probe_cids").collect()
+    probed = sorted({int(c) for r in probe_rows for c in r[0]})
+    index = spark.read.parquet(_ivf_data_dir(path, m)).where(
         F.col("centroid_id").isin(probed))
-    cond = F.array_contains(F.col("probe_cids"), F.col("centroid_id"))
-    if exclude_self:
-        cond = cond & (F.col(id_col) != F.col(query_id_col))
-    cand = index.join(F.broadcast(probe_sets), cond)
+    if probe_join not in ("auto", "broadcast", "equi"):
+        raise ValueError(f"bad probe_join: {probe_join}")
+    use_equi = probe_join == "equi" or (
+        probe_join == "auto" and len(probe_rows) >= _EQUIJOIN_FLEET)
+    if use_equi:
+        exploded = probe_sets.select(
+            query_id_col, query_vec_col, "_nq",
+            F.explode("probe_cids").alias("centroid_id"),
+        )
+        if len(probe_rows) < _BROADCAST_FLEET_CAP:
+            exploded = F.broadcast(exploded)
+        cand = index.join(exploded, "centroid_id")
+        if exclude_self:
+            cand = cand.where(F.col(id_col) != F.col(query_id_col))
+    else:
+        cond = F.array_contains(F.col("probe_cids"), F.col("centroid_id"))
+        if exclude_self:
+            cond = cond & (F.col(id_col) != F.col(query_id_col))
+        cand = index.join(F.broadcast(probe_sets), cond)
     denom = F.col("_nv") * F.col("_nq")
     scored = cand.select(
         F.col(query_id_col),

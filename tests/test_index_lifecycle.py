@@ -12,7 +12,6 @@ their own test files."""
 from __future__ import annotations
 
 import random
-import shutil
 
 import pytest
 from hypothesis import given, settings
@@ -89,7 +88,13 @@ def _fuzz(spark, tmp_path_factory, flavor):
                 _compact(flavor, spark, idx)
             elif op == "crashed_compact":
                 _stage_crashed_compact(flavor, spark, idx)
-                _compact(flavor, spark, idx)  # finish-the-swap
+                # r10: a pre-flip crash never blocks probes
+                assert _rows(_probe(
+                    flavor, spark, idx,
+                    seed.limit(1).select(
+                        seed.vec_id.alias("query_id"),
+                        seed.embedding.alias("q_embedding"))))
+                _compact(flavor, spark, idx)  # retry overwrites residue
             else:  # split a random centroid; too-small ones refuse
                 m = _meta(flavor, spark, idx)
                 cid = rng.randrange(len(m["centroids"]))
@@ -143,20 +148,25 @@ def _split(flavor, spark, idx, cid):
 
 
 def _stage_crashed_compact(flavor, spark, idx):
-    """Stage the compacted table(s) + land the '__compacting__' marker,
-    then delete the main dir(s) — the swap died mid-way."""
+    """Simulate the r10 compact crash model: the compact died BEFORE
+    the meta-pointer flip, leaving a partial (garbage) next-version
+    dir behind and the meta row untouched — the index must stay fully
+    committed and probe-able, and the retrying compact must overwrite
+    the residue. (The pre-r10 remove-then-move crash window no longer
+    exists; its legacy '__compacting__' recovery is covered by the
+    per-family compaction tests.)"""
+    import os
+
     m = _meta(flavor, spark, idx)
-    if flavor == "ivf":
-        shutil.copytree(f"{idx}/data", f"{idx}/data_compact")
-        S._write_ivf_meta(spark, idx, m["centroids"], "__compacting__",
-                          m["rows"], m["token"])
-        shutil.rmtree(f"{idx}/data")
-    else:
-        shutil.copytree(f"{idx}/codes", f"{idx}/codes_compact")
-        shutil.copytree(f"{idx}/raw", f"{idx}/raw_compact")
-        Q._write_ivfpq_meta(spark, idx, m["centroids"], m["codebooks"],
-                            "__compacting__", m["rows"], m["token"])
-        shutil.rmtree(f"{idx}/codes")
+    tables = ["data"] if flavor == "ivf" else ["codes", "raw"]
+    for t in tables:
+        nv = m["versions"].get(t, 0) + 1
+        residue = f"{idx}/{t}_v{nv}/centroid_id=0"
+        os.makedirs(residue, exist_ok=True)
+        with open(f"{residue}/part-garbage.parquet", "wb") as fh:
+            fh.write(b"not a parquet file")
+    # the crash left NO intermediate state: still committed, probes fine
+    assert _meta(flavor, spark, idx)["status"] == "committed"
 
 
 def _probe(flavor, spark, idx, queries):

@@ -273,27 +273,56 @@ def test_split_hot_ivfpq_centroid(spark, tmp_path, monkeypatch):
     with pytest.raises(ValueError, match="centroids do not match"):
         Q.knn_ivfpq_indexed(spark, path, q, centroids=cents, k=3)
 
-    # crash between the '__splitting__' marker and the swap
+    # r10 crash discipline: the fresh sub-partitions are invisible
+    # until the meta flip — a crash anywhere before it leaves the
+    # index bit-for-bit committed; the retry overwrites the dead dirs
     path2 = str(tmp_path / "pqcrash")
     Q.write_ivfpq_index(emb, cents, books, path2)
-    real = Q._finish_pq_split
-    monkeypatch.setattr(
-        Q, "_finish_pq_split",
-        lambda *a, **k: (_ for _ in ()).throw(
-            RuntimeError("simulated crash before swap")))
+    pre_crash = _rows(Q.knn_ivfpq_indexed(spark, path2, q, k=5,
+                                          nprobe=2, rerank=10_000))
+    real_meta = Q._write_ivfpq_meta
+
+    def _die(*a, **k):
+        raise RuntimeError("simulated crash before the meta flip")
+
+    monkeypatch.setattr(Q, "_write_ivfpq_meta", _die)
     with pytest.raises(RuntimeError, match="simulated crash"):
         Q.split_ivfpq_centroid(spark, path2, hot, k_sub=4, iters=1)
-    monkeypatch.setattr(Q, "_finish_pq_split", real)
+    monkeypatch.setattr(Q, "_write_ivfpq_meta", real_meta)
     m = Q._read_ivfpq_meta(spark, path2)
-    assert m["status"] == "__splitting__" and m["split_cid"] == hot
-    with pytest.raises(ValueError, match="died part-way"):
-        Q.knn_ivfpq_indexed(spark, path2, q, k=3)
-    with pytest.raises(ValueError, match="mid-split of centroid"):
-        Q.split_ivfpq_centroid(spark, path2, (hot + 1) % 2, k_sub=4)
+    assert m["status"] == "committed"          # no intermediate state
+    assert _rows(Q.knn_ivfpq_indexed(
+        spark, path2, q, k=5, nprobe=2, rerank=10_000)) == pre_crash
+    assert Q.ivfpq_index_stats(spark, path2)["orphan_partitions"] > 0
+    # retry completes; compaction retires the orphans
     Q.split_ivfpq_centroid(spark, path2, hot, k_sub=4, iters=1)
     assert Q._read_ivfpq_meta(spark, path2)["status"] == "committed"
     assert _rows(Q.knn_ivfpq_indexed(
         spark, path2, q, k=5, nprobe=5, rerank=10_000)) == before
+    Q.compact_ivfpq_index(spark, path2)
+    assert Q.ivfpq_index_stats(spark, path2)["orphan_partitions"] == 0
+    assert _rows(Q.knn_ivfpq_indexed(
+        spark, path2, q, k=5, nprobe=5, rerank=10_000)) == before
+
+    # LEGACY (pre-r10) '__splitting__' mid-swap state still heals
+    path3 = str(tmp_path / "pqlegacy")
+    Q.write_ivfpq_index(emb, cents, books, path3)
+    import shutil
+
+    legacy_cents = [list(c) for c in cents] + [list(cents[0])]
+    for table in ("codes", "raw"):
+        hot_dir = path3 + f"/{table}/centroid_id={hot}"
+        shutil.copytree(hot_dir,
+                        path3 + f"/{table}_split/centroid_id={hot}")
+        shutil.rmtree(hot_dir)
+    Q._write_ivfpq_meta(spark, path3, legacy_cents, books,
+                        "__splitting__", emb.count(), split_cid=hot)
+    with pytest.raises(ValueError, match="died part-way"):
+        Q.knn_ivfpq_indexed(spark, path3, q, k=3)
+    with pytest.raises(ValueError, match="mid-split of centroid"):
+        Q.split_ivfpq_centroid(spark, path3, (hot + 1) % 2, k_sub=4)
+    Q.split_ivfpq_centroid(spark, path3, hot, k_sub=4)
+    assert Q._read_ivfpq_meta(spark, path3)["status"] == "committed"
 
 
 def test_rerank_sidecar_scan_is_id_pruned(spark, tmp_path):

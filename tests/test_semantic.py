@@ -184,3 +184,72 @@ def test_null_ids_raise_loudly(spark, tmp_path):
     S.write_ivf_index(corpus, [[1.0, 0.0]], idx)
     with pytest.raises(Exception, match="contains NULL"):
         SD.semantic_dedup_against_index(spark, idx, df, 0.5).collect()
+
+
+def test_multiprobe_catches_straddling_pair(spark):
+    """r10 (VERDICT missing #3): a near-dup pair straddling a Voronoi
+    boundary is invisible at nprobe=1 (each row compares only within
+    its own cluster, at ANY number of clusters); nprobe=2 routes the
+    higher id's pair search to its top-2 centroids and catches it.
+    Pair work grows ~nprobe× (the shadowing side stays keyed by its
+    primary cluster — measured here, the VERDICT's ≤2× bound), and
+    nprobe=1 output is bit-identical to the pre-r10 rule (the
+    oracle-checked gate shape)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    # four centroids at ±45°/±135°; a/b hug the c1/c2 boundary from
+    # opposite sides (cosine(a,b) ≈ 1); fillers pad every cluster so
+    # the pair-work measurement reflects balanced routing
+    def at(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    rows = [(0, at(2)), (1, at(-2))] + [
+        (10 * (j + 1) + i, at(base + 3 * i))
+        for j, base in enumerate([50, -50, 130, -130])
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [at(45), at(-45), at(135), at(-135)]
+
+    d1 = {r.vec_id: (r.keep, r.dup_of)
+          for r in SD.semantic_dedup(df, cents, 0.99).collect()}
+    assert d1[0] == (True, None) and d1[1] == (True, None)  # missed
+
+    d2 = {r.vec_id: (r.keep, r.dup_of)
+          for r in SD.semantic_dedup(df, cents, 0.99, nprobe=2).collect()}
+    assert d2[0] == (True, None)
+    assert d2[1] == (False, 0)          # caught: shadowed by id 0
+
+    # keeper rule + schema unchanged; every other row unaffected
+    assert set(d2) == set(d1)
+    for k in d1:
+        if k != 1:
+            assert d2[k] == d1[k]
+
+    # measured pair work: the cluster-keyed join's VOLUME (rows the
+    # executor scores — the `lo < hi` cut is a post-join filter) grows
+    # ≤ 2× at nprobe=2: the hi side explodes to 2 rows per input row,
+    # the lo side stays primary-keyed — never the nprobe²× a
+    # both-sides-exploded join would cost
+    def join_volume(nprobe):
+        from avro_spark.functions.dedup import _native_id
+        from avro_spark.functions.similarity import (
+            _argmax_centroid, as_double)
+
+        primary = _argmax_centroid(F.col("embedding"), cents)
+        a = df.select(
+            _native_id("vec_id").alias("vec_id"),
+            primary.alias("centroid_id"),
+            (SD._probe_positions(as_double(F.col("embedding")), cents,
+                                 nprobe)
+             if nprobe > 1 else F.array(primary)).alias("_probes"),
+        )
+        lo = a.select(F.col("centroid_id").alias("_c"))
+        hi = a.select(F.explode("_probes").alias("_c"))
+        return lo.join(hi, "_c").count()
+
+    w1, w2 = join_volume(1), join_volume(2)
+    assert w2 > w1
+    assert w2 <= 2 * w1, (w1, w2)

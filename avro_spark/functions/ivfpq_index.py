@@ -668,6 +668,87 @@ def split_ivfpq_centroid(
         release_index_lease(path, lt)
 
 
+def _retrain_ivfpq_index_unlocked(
+    spark,
+    path: str,
+    k: "Optional[int]" = None,
+    iters: int = 3,
+) -> "list[list[float]]":
+    """GLOBAL retrain for a drifted IVF-PQ index — the two-table twin
+    of :func:`similarity.retrain_ivf_index`. Routing only: new
+    centroids are Lloyd-trained over the stored RAW vectors (seeded
+    from the current matrix at unchanged ``k``), the raw rows
+    re-assign, and the codes rows relabel by id — the m-byte codes are
+    CODEBOOK-pinned and decode identically wherever the row lives, so
+    they are never recomputed. Both tables rewrite into their NEXT
+    version dirs and commit with one meta flip (token preserved;
+    probes work throughout; pre-retrain matrices refused by the pin).
+    Returns the new matrix."""
+    m = _read_ivfpq_meta(spark, path)
+    if m["status"] != "committed":
+        raise ValueError(
+            f"index at {path!r} has status {m['status']!r} — finish the "
+            "in-flight operation first, then retrain"
+        )
+    from .dedup import _gc_table_versions, _vdir
+    from .similarity import kmeans_centroids
+
+    raw = spark.read.parquet(_pq_dir(path, m, "raw")).where(
+        F.col("centroid_id").isin(m["dir_ids"]))
+    id_col = [c for c in raw.columns
+              if c not in ("_v", "_nv", "centroid_id")][0]
+    k = k if k is not None else len(m["centroids"])
+    seed = m["centroids"] if k == len(m["centroids"]) else None
+    new_cents = kmeans_centroids(raw, k, iters=iters, id_col=id_col,
+                                 vec_col="_v", seed_centroids=seed)
+    new_vers = {
+        "codes": m["versions"].get("codes", 0) + 1,
+        "raw": m["versions"].get("raw", 0) + 1,
+    }
+    reassigned = raw.select(
+        F.col(id_col), F.col("_v"), F.col("_nv"),
+        _argmax_centroid(F.col("_v"), new_cents).alias("centroid_id"),
+    )
+    reassigned.repartition(len(new_cents), F.col("centroid_id")) \
+        .sortWithinPartitions("centroid_id", id_col) \
+        .write.mode("overwrite").partitionBy("centroid_id") \
+        .parquet(_vdir(path, "raw", new_vers["raw"]))
+    routing = spark.read.parquet(_vdir(path, "raw", new_vers["raw"])) \
+        .select(id_col, "centroid_id")
+    codes = spark.read.parquet(_pq_dir(path, m, "codes")).where(
+        F.col("centroid_id").isin(m["dir_ids"])).drop("centroid_id")
+    codes.join(routing, id_col) \
+        .repartition(len(new_cents), F.col("centroid_id")) \
+        .write.mode("overwrite").partitionBy("centroid_id") \
+        .parquet(_vdir(path, "codes", new_vers["codes"]))
+    rows = spark.read.parquet(
+        _vdir(path, "codes", new_vers["codes"])).count()
+    _write_ivfpq_meta(spark, path, new_cents, m["codebooks"],
+                      "committed", rows, m["token"],
+                      versions={**m["versions"], **new_vers},
+                      dir_ids=list(range(len(new_cents))))
+    for t in ("codes", "raw"):
+        _gc_table_versions(path, t, new_vers[t])
+    return new_cents
+
+
+def retrain_ivfpq_index(
+    spark,
+    path: str,
+    k: "Optional[int]" = None,
+    iters: int = 3,
+) -> "list[list[float]]":
+    """Public face of :func:`_retrain_ivfpq_index_unlocked`, under the
+    single-writer lease (see :func:`write_ivfpq_index`)."""
+    from .dedup import acquire_index_lease, release_index_lease
+
+    lt = acquire_index_lease(path, "ivfpq-retrain")
+    try:
+        return _retrain_ivfpq_index_unlocked(spark, path, k, iters)
+    finally:
+        release_index_lease(path, lt)
+
+
 # ------------------------------------- streaming face of the PQ index
 def _stream_ivfpq_sink(index_path: str, id_col: str = "vec_id",
                        vec_col: str = "embedding"):

@@ -814,3 +814,75 @@ def test_ann_probe_equijoin_fleet_shape(spark, tmp_path):
     pplan = equi_pq._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in pplan
     assert "BroadcastNestedLoopJoin" not in pplan
+
+
+def test_retrain_restores_drifted_ivf_index(spark, tmp_path):
+    """r10 (VERDICT missing #4): months of drifted appends degrade
+    MANY partitions at once — split heals one; retrain_ivf_index
+    re-runs Lloyd from the current centroids, re-assigns everything,
+    and commits with the same one-flip versioned swap. The fixture
+    drifts append mass onto the original Voronoi boundary so a
+    fixed-nprobe probe can only see half the true neighbors; retrain
+    must restore full recall at the SAME nprobe (pruning intact),
+    keep the exhaustive probe exact, preserve the append token, and
+    refuse the pre-retrain matrix."""
+    import math
+
+    import avro_spark.functions.similarity as S
+    from pyspark.sql import functions as F
+
+    def at(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    # seed: two tight clusters at 0° and 90°; centroids pinned there
+    seed_rows = [(i, at(0.0 + 0.5 * i)) for i in range(10)] + \
+                [(10 + i, at(90.0 - 0.5 * i)) for i in range(10)]
+    seed = spark.createDataFrame(
+        seed_rows, "vec_id long, embedding array<double>")
+    cents = S.kmeans_centroids(seed, 2, iters=3)
+    idx = str(tmp_path / "drift")
+    S.write_ivf_index(seed, cents, idx)
+    # drift: appended mass straddles the 45° boundary, centered at 50°
+    drift = spark.createDataFrame(
+        [(100 + i, at(40.0 + i)) for i in range(21)],
+        "vec_id long, embedding array<double>")
+    S.write_ivf_index(drift, None, idx, mode="append", append_token="d0")
+
+    # query just past the 45° boundary: its true top-8 straddles it
+    q = spark.createDataFrame([(0, at(46.0))],
+                              "query_id long, q_embedding array<double>")
+
+    def top_ids(nprobe):
+        return {r.vec_id for r in S.knn_ivf_indexed(
+            spark, idx, q, None, k=8, nprobe=nprobe).collect()}
+
+    brute = {r.vec_id for r in S.knn_bruteforce(
+        seed.unionByName(drift), q, k=8).collect()}
+    # exhaustive probe is exact before AND after (nothing lost)
+    assert top_ids(nprobe=2) == brute
+    # the drifted boundary mass makes nprobe=1 lose true neighbors
+    before = top_ids(nprobe=1)
+    assert before != brute
+    tok_before = S._read_ivf_meta(spark, idx)["token"]
+    old_cents = S._read_ivf_meta(spark, idx)["centroids"]
+
+    new_cents = S.retrain_ivf_index(spark, idx, iters=3)
+    m = S._read_ivf_meta(spark, idx)
+    assert m["status"] == "committed"
+    assert m["token"] == tok_before == "d0"         # token survives
+    assert m["centroids"] == [[float(x) for x in c] for c in new_cents]
+    assert m["versions"]["data"] >= 1                # versioned swap
+    # recall restored at the SAME nprobe — the matrix fits the data
+    # again, so the boundary no longer bisects the drifted mass
+    assert top_ids(nprobe=1) == brute
+    assert top_ids(nprobe=2) == brute
+    # the pre-retrain matrix is drifted now — refused by the pin
+    import pytest
+
+    with pytest.raises(ValueError, match="do not match"):
+        S.knn_ivf_indexed(spark, idx, q, old_cents, k=3)
+    # a blind retry of the last committed append still no-ops
+    n = spark.read.parquet(S._ivf_data_dir(idx, m)).count()
+    S.write_ivf_index(drift, None, idx, mode="append", append_token="d0")
+    assert spark.read.parquet(S._ivf_data_dir(
+        idx, S._read_ivf_meta(spark, idx))).count() == n

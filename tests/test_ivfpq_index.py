@@ -416,3 +416,35 @@ def test_fuzz_ivfpq_indexed_equals_in_memory_reference(
         assert got == want
 
     run()
+
+
+def test_retrain_ivfpq_index(spark, tmp_path):
+    """r10 (VERDICT missing #4): retrain over both tables — routing
+    only (codes relabel by id, never recomputed against the pinned
+    codebooks); token survives; exhaustive probe exact before and
+    after; versioned-swap commit; pre-retrain matrix refused."""
+    emb, cents16, books, q, _ = _setup(spark, tmp_path)
+    cents = S.sample_centroids(emb, 3)
+    path = str(tmp_path / "pqretrain")
+    Q.write_ivfpq_index(emb.where("vec_id % 2 = 0"), cents, books, path)
+    Q.write_ivfpq_index(emb.where("vec_id % 2 = 1"), None, None, path,
+                        mode="append", append_token="d0")
+    before = _rows(Q.knn_ivfpq_indexed(spark, path, q, k=5, nprobe=99,
+                                       rerank=100_000))
+    old = Q._read_ivfpq_meta(spark, path)
+    new_cents = Q.retrain_ivfpq_index(spark, path, iters=2)
+    m = Q._read_ivfpq_meta(spark, path)
+    assert m["status"] == "committed" and m["token"] == "d0"
+    assert m["centroids"] == [[float(x) for x in c] for c in new_cents]
+    assert m["codebooks"] == old["codebooks"]     # codes stay valid
+    assert m["versions"]["codes"] >= 1 and m["versions"]["raw"] >= 1
+    assert m["dir_ids"] == list(range(len(new_cents)))
+    # exhaustive probe: identical answers — nothing lost or re-encoded
+    assert _rows(Q.knn_ivfpq_indexed(spark, path, q, k=5, nprobe=99,
+                                     rerank=100_000)) == before
+    with pytest.raises(ValueError, match="centroids do not match"):
+        Q.knn_ivfpq_indexed(spark, path, q, centroids=old["centroids"],
+                            k=3)
+    # stats see a healthy index (no orphans, no duplicates)
+    st = Q.ivfpq_index_stats(spark, path)
+    assert st["orphan_partitions"] == 0 and st["duplicate_rows"] == 0

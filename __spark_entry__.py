@@ -1635,6 +1635,25 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe SemDeDup (r10, functions/semantic.py nprobe=2): the
+    shadowing (lower-id) side stays keyed by its primary centroid; the
+    higher id's pair search widens to its top-2 centroids, so a
+    near-dup pair straddling a Voronoi boundary — invisible to the
+    nprobe=1 gate at ANY cluster count — is caught at ~2× pair work.
+    Same 16 lowest-id seed centroids, τ=0.4, anchored-greedy keeper as
+    q_semantic_dedup; measured boundary safety: min |cos−τ| over the
+    widened pair set ≥ 9.9e-6 and top-2/3 assignment margins ≥ 1.1e-5
+    at every SF — 9 orders above cross-engine double noise."""
+    from avro_spark.functions import semantic as SD
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = S.sample_centroids(emb, 16)
+    return SD.semantic_dedup(emb, cents, 0.4, nprobe=2).select(
+        "vec_id", "centroid_id", "keep", "dup_of"
+    )
+
+
 def q_semantic_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL semantic dedup against the PERSISTED IVF index
     (functions/semantic.py semantic_dedup_against_index): each batch
@@ -3015,6 +3034,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enum_evolution": q_enum_evolution,
         "union3_encode": q_union3_encode,
         "dedup_clusters": q_dedup_clusters,
+        # semantic_dedup_multiprobe NEW r10: the nprobe=2 multi-probe
+        # routing (boundary-straddling near-dups caught at ~2× pair
+        # work) — oracle widens the pair join's hi side to rn<=2
+        "semantic_dedup_multiprobe": q_semantic_dedup_multiprobe,
         "streaming_window": q_streaming_window,
         # the two-batch growth face of the streaming dedup sink — batch
         # 1 pairs against the corpus AND batch 0's admitted docs (the
@@ -4167,6 +4190,61 @@ def _oracles_main() -> dict[str, str]:
             pairs AS (
               SELECT b.vec_id AS hi_id, min(a.vec_id) AS dup_of
               FROM av a JOIN av b
+                ON a.cid = b.cid AND a.vec_id < b.vec_id
+              WHERE list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+              GROUP BY b.vec_id
+            )
+            SELECT s.vec_id, CAST(s.cid AS INTEGER) AS centroid_id,
+                   p.dup_of IS NULL AS keep, p.dup_of
+            FROM assign s LEFT JOIN pairs p ON s.vec_id = p.hi_id
+        """,
+        # the nprobe=2 variant: identical routing/keeper SQL except the
+        # pair join's HI side carries its top-2 probe set (rn <= 2) —
+        # a pair is compared iff the lower id's PRIMARY cluster lands
+        # in the higher id's probe set (semantic.py _pair_candidates)
+        "semantic_dedup_multiprobe": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+            ),
+            cents AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                     v AS cv
+              FROM e ORDER BY vec_id LIMIT 16
+            ),
+            ncents AS (
+              SELECT cid,
+                     list_transform(
+                       cv, x -> x / sqrt(list_dot_product(cv, cv))
+                     ) AS ncv
+              FROM cents
+            ),
+            sims AS (
+              SELECT e.vec_id, ncents.cid,
+                     list_dot_product(e.v, ncv) AS sim
+              FROM e CROSS JOIN ncents
+            ),
+            ranked AS (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY sim DESC, cid) AS rn
+              FROM sims
+            ),
+            assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+            probes AS (SELECT vec_id, cid FROM ranked WHERE rn <= 2),
+            av AS (
+              SELECT a.vec_id, a.cid, e.v
+              FROM assign a JOIN e USING (vec_id)
+            ),
+            hv AS (
+              SELECT p.vec_id, p.cid, e.v
+              FROM probes p JOIN e USING (vec_id)
+            ),
+            pairs AS (
+              SELECT b.vec_id AS hi_id, min(a.vec_id) AS dup_of
+              FROM av a JOIN hv b
                 ON a.cid = b.cid AND a.vec_id < b.vec_id
               WHERE list_dot_product(a.v, b.v)
                     / (sqrt(list_dot_product(a.v, a.v))

@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "bm25_retrieval",
     "bm25_indexed",
     "semantic_dedup",
+    # round 10: multi-probe routing variant (nprobe=2)
+    "semantic_dedup_multiprobe",
     "hybrid_indexed",
     "incremental_exact_dedup",
     "semantic_dedup_indexed",

@@ -219,6 +219,121 @@ def semantic_dedup_against_index(
     )
 
 
+# ----------------------------- streaming face of incremental semantic dedup
+def _stream_semantic_sink(
+    index_path: str,
+    decisions_path: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    admit: str = "novel",
+    nprobe: int = 4,
+):
+    """The foreachBatch callable behind :func:`semantic_dedup_stream`,
+    factored out so replay idempotence is directly testable. Per
+    micro-batch, in crash-safe order (the exact-dedup streaming sink's
+    shape, :func:`exact_index._stream_exact_sink`):
+
+    1. recorded batch id → return (exactly-once across restarts);
+    2. if the IVF index's meta already carries this batch's token
+       (committed, or pending on a dead mid-append attempt), the batch
+       WAS probed before any of it entered the index — the replay
+       REUSES the committed ``{decisions_path}/batch=<id>/`` instead
+       of re-probing an index that now contains the batch's own
+       vectors (which would mark every admitted vector a near-dup of
+       itself);
+    3. otherwise WITHIN-batch semantic dedup first
+       (:func:`semantic_dedup` against the index's PINNED centroids —
+       lowest id per ε-ball wins), probe the survivors
+       (:func:`semantic_dedup_against_index`), and OVERWRITE this
+       batch's decisions dir (a replay REPLACES, never doubles);
+    4. append the admitted vectors (``admit="novel"``: keep=true
+       survivors; ``"all"``: every survivor) with
+       ``append_token=f"batch{batch_id}"`` — a committed-token retry
+       no-ops, a crash mid-append heals on the same-token retry;
+    5. record the batch id LAST as the whole-batch commit marker."""
+    if admit not in ("novel", "all"):
+        raise ValueError(f"bad admit: {admit}")
+
+    from .dedup import _read_batch_registry
+    from .similarity import _read_ivf_meta, write_ivf_index
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        applied = _read_batch_registry(spark, f"{index_path}/batches")
+        if batch_id in applied:
+            return
+        token = f"batch{batch_id}"
+        m = _read_ivf_meta(spark, index_path)
+        probed_already = m["token"] == token or (
+            m["status"] == "__appending__"
+            and m["pending_token"] == token)
+        within = semantic_dedup(batch_df, m["centroids"], threshold,
+                                id_col, vec_col)
+        survivors = batch_df.join(
+            F.broadcast(within.where("keep").select(id_col)),
+            id_col, "left_semi")
+        if not probed_already:
+            decisions = semantic_dedup_against_index(
+                spark, index_path, survivors, threshold, id_col,
+                vec_col, nprobe=nprobe)
+            decisions.write.mode("overwrite").parquet(
+                f"{decisions_path}/batch={batch_id}")
+        admitted_ids = (
+            spark.read.parquet(f"{decisions_path}/batch={batch_id}")
+            .where("keep" if admit == "novel" else F.lit(True))
+            .select(id_col)
+        )
+        admitted = batch_df.join(F.broadcast(admitted_ids), id_col,
+                                 "left_semi")
+        write_ivf_index(admitted, None, index_path, id_col, vec_col,
+                        mode="append", append_token=token)
+        spark.range(1).select(
+            F.lit(int(batch_id)).cast("long").alias("batch_id")
+        ).write.mode("append").parquet(f"{index_path}/batches")
+
+    return sink
+
+
+def semantic_dedup_stream(
+    df: DataFrame,
+    index_path: str,
+    decisions_path: str,
+    checkpoint_dir: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    admit: str = "novel",
+    nprobe: int = 4,
+    trigger_available_now: bool = False,
+    query_name: "Optional[str]" = None,
+):
+    """STREAMING incremental semantic dedup — completes the streaming
+    faces of the incremental-dedup family (exact →
+    :func:`exact_index.dedup_exact_stream`, lexical →
+    :func:`dedup.dedup_stream_against_index`'s MinHash sink, semantic
+    → this): each embedding micro-batch is within-batch deduped against
+    the index's PINNED centroids, probed against the PERSISTED IVF
+    index (top-1 cosine vs ``threshold``), its decisions written under
+    ``{decisions_path}/batch=<id>``, and the admitted vectors appended
+    exactly-once. The index must exist (:func:`similarity.
+    write_ivf_index` over the seed corpus — possibly empty is NOT
+    supported here: IVF needs trained centroids; seed with
+    :func:`similarity.kmeans_centroids`). One streaming query per
+    index (writer lease). Returns the started ``StreamingQuery``."""
+    sink = _stream_semantic_sink(index_path, decisions_path, threshold,
+                                 id_col, vec_col, admit, nprobe)
+    writer = (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def semantic_dedup_keepers(
     vectors: DataFrame,
     centroids: Sequence[Sequence[float]],

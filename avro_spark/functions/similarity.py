@@ -777,6 +777,23 @@ def ivf_index_stats(spark: "SparkSession", path: str) -> dict:
     # fat bucket). footer-only, like the rest of this report.
     max_pr = max(part_rows.values()) if part_rows else 0
     mean_pr = (total_rows / len(part_rows)) if part_rows else 0.0
+    # maintenance advisory — the trigger guidance for the three
+    # remedies, cheapest first: many small files → compact; ONE fat
+    # partition → split that cid; MANY fat partitions (sustained
+    # drift) → retrain_ivf_index (split would chase them one at a
+    # time while the matrix no longer fits the data)
+    hot = [d for d, r in part_rows.items() if mean_pr and r > 2 * mean_pr]
+    if len(hot) > max(1, len(per_part) // 4):
+        hint = "retrain"
+    elif len(hot) == 1:
+        # split takes the MATRIX POSITION; map the physical dir back
+        # through the dir_ids indirection
+        phys = int(hot[0].rsplit("=", 1)[-1])
+        hint = f"split:{m['dir_ids'].index(phys)}"
+    elif per_part and max(per_part.values()) > 8:
+        hint = "compact"
+    else:
+        hint = None
     out.update(
         data_files=n_files,
         populated_partitions=len(per_part),
@@ -787,6 +804,8 @@ def ivf_index_stats(spark: "SparkSession", path: str) -> dict:
         mean_rows_per_partition=round(mean_pr, 1),
         partition_row_skew=round(max_pr / mean_pr, 2) if mean_pr else 0.0,
         orphan_partitions=len(orphan_dirs),
+        hot_partitions=len(hot),
+        maintenance_hint=hint,
     )
     return out
 

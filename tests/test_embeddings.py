@@ -886,3 +886,41 @@ def test_retrain_restores_drifted_ivf_index(spark, tmp_path):
     S.write_ivf_index(drift, None, idx, mode="append", append_token="d0")
     assert spark.read.parquet(S._ivf_data_dir(
         idx, S._read_ivf_meta(spark, idx))).count() == n
+
+
+def test_ivf_stats_maintenance_hint(spark, tmp_path):
+    """r10: the stats report names the right remedy — one fat
+    partition → split:<position>; many fat partitions → retrain."""
+    import math
+
+    import avro_spark.functions.similarity as S
+
+    def at(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    # 8 clusters; ONE gets ~14x the mass → split hint at its position
+    rows = [(100 * j + i, at(j * 45 + (i % 3))) for j in range(8)
+            for i in range(3)]
+    rows += [(1000 + i, at(0.5 + 0.01 * i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [at(45 * j) for j in range(8)]
+    idx = str(tmp_path / "hint")
+    S.write_ivf_index(df, cents, idx)
+    st = S.ivf_index_stats(spark, idx)
+    assert st["hot_partitions"] == 1
+    assert st["maintenance_hint"] == "split:0"
+    # drift fattens THREE clusters at once → retrain, not whack-a-mole
+    drift = spark.createDataFrame(
+        [(2000 + 100 * j + i, at(j * 45 + 15 + 0.1 * i))
+         for j in range(3) for i in range(60)],
+        "vec_id long, embedding array<double>")
+    S.write_ivf_index(drift, None, idx, mode="append")
+    st2 = S.ivf_index_stats(spark, idx)
+    assert st2["hot_partitions"] >= 3
+    assert st2["maintenance_hint"] == "retrain"
+    # retrain rebalances toward the data's actual mass — skew must not
+    # worsen (this fixture's mass IS concentrated in few directions,
+    # so perfectly even partitions are not achievable at k=8)
+    S.retrain_ivf_index(spark, idx, iters=3)
+    st3 = S.ivf_index_stats(spark, idx)
+    assert st3["partition_row_skew"] <= st2["partition_row_skew"]

@@ -253,3 +253,59 @@ def test_multiprobe_catches_straddling_pair(spark):
     w1, w2 = join_volume(1), join_volume(2)
     assert w2 > w1
     assert w2 <= 2 * w1, (w1, w2)
+
+
+def test_streaming_semantic_sink_exactly_once(spark, tmp_path):
+    """r10: the streaming face of incremental semantic dedup — replay
+    of a recorded batch skips; replay after losing the registry reuses
+    the committed decisions (the append token proves the batch's own
+    vectors are already IN the index, so re-probing would mark every
+    admitted vector a near-dup of itself); within-batch ε-ball twins
+    admit only the lowest id; a crash mid-append heals on the
+    same-token retry."""
+    import math
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    def at(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    corpus = spark.createDataFrame(
+        [(i, at(4.0 * i)) for i in range(20)],
+        "vec_id long, embedding array<double>")
+    cents = S.kmeans_centroids(corpus, 4, iters=2)
+    idx = str(tmp_path / "ss_idx")
+    dec = str(tmp_path / "ss_dec")
+    S.write_ivf_index(corpus, cents, idx)
+    # batch: 9001 ≈ corpus vector 5 (near-dup), 9002 novel direction,
+    # 9003 a within-batch twin of 9002
+    batch = spark.createDataFrame(
+        [(9001, at(20.1)), (9002, at(201.0)), (9003, at(201.05))],
+        "vec_id long, embedding array<double>")
+    sink = SD._stream_semantic_sink(idx, dec, threshold=0.999,
+                                    admit="novel", nprobe=4)
+    sink(batch, 0)
+    m1 = S._read_ivf_meta(spark, idx)
+    d1 = {r.vec_id: (r.nn_id, r.keep)
+          for r in spark.read.parquet(f"{dec}/batch=0").collect()}
+    # within-batch twin 9003 never reaches decisions (9002 won)
+    assert set(d1) == {9001, 9002}
+    assert d1[9001][1] is False and d1[9001][0] == 5
+    assert d1[9002] == (None, True) or d1[9002][1] is True
+    assert m1["rows"] == 20 + 1          # only 9002 admitted
+    assert m1["token"] == "batch0"
+    sink(batch, 0)                       # registry skip
+    assert S._read_ivf_meta(spark, idx) == m1
+    shutil.rmtree(f"{idx}/batches")
+    sink(batch, 0)                       # replay: token no-op, reuse
+    assert S._read_ivf_meta(spark, idx)["rows"] == m1["rows"]
+    assert {r.vec_id: (r.nn_id, r.keep)
+            for r in spark.read.parquet(f"{dec}/batch=0").collect()} == d1
+    # the admitted vector is probe-visible to the NEXT batch
+    b1 = spark.createDataFrame([(9100, at(201.02))],
+                               "vec_id long, embedding array<double>")
+    sink(b1, 1)
+    d2 = {r.vec_id: (r.nn_id, r.keep)
+          for r in spark.read.parquet(f"{dec}/batch=1").collect()}
+    assert d2[9100][1] is False and d2[9100][0] == 9002

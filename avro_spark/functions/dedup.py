@@ -846,15 +846,19 @@ def _gc_table_versions(path: str, table: str, keep: int) -> None:
                 _rm_dir(f"{path}/{name}")
             except Exception:
                 pass
-    # pre-r10 remove-then-move residue: a '{table}_compact' dir left by
-    # a crashed legacy compact whose recovery was superseded by the
-    # versioned scheme
-    legacy = f"{path}/{table}_compact"
-    if _dir_exists(legacy):
-        try:
-            _rm_dir(legacy)
-        except Exception:
-            pass
+    # pre-r10 remove-then-move residue: '{table}_compact' /
+    # '{table}_split' staging dirs left by a crashed legacy operation.
+    # GC runs only on a COMMITTED index under the lease, so any legacy
+    # staging at this point belongs to a superseded operation — the
+    # legacy recovery path only fires from the __compacting__/
+    # __splitting__ statuses, which a committed flip has replaced.
+    for suffix in ("_compact", "_split"):
+        legacy = f"{path}/{table}{suffix}"
+        if _dir_exists(legacy):
+            try:
+                _rm_dir(legacy)
+            except Exception:
+                pass
 
 
 def _dir_exists(uri: str) -> bool:

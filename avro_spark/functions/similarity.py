@@ -1191,10 +1191,10 @@ def knn_ivf_indexed(
     ``centroid_id``, so scan rows meet only the queries probing their
     partition — the shape a many-thousand-query fleet needs; ``"auto"``
     (default) picks by fleet size (the probe-set collect already knows
-    it): equi at ≥ {_EQUIJOIN_FLEET} queries, and past
-    {_BROADCAST_FLEET_CAP} the broadcast hint is dropped too so AQE
-    sizes the join (a 100k-query × d-float fleet should not be forced
-    onto the driver)."""
+    it): equi at ≥ ``_EQUIJOIN_FLEET`` (1024) queries, and past
+    ``_BROADCAST_FLEET_CAP`` (100k) the broadcast hint is dropped too
+    so AQE sizes the join (a 100k-query × d-float fleet should not be
+    forced onto the driver)."""
     m = _read_ivf_meta(spark, path)
     if m["status"] != "committed":
         raise ValueError(

@@ -2414,6 +2414,80 @@ def q_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EXACT_INDEX_DIRS: dict = {}
 
 
+def q_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE incremental-dedup pipeline in one query (r10): a daily
+    batch flows through all three persisted index families in
+    production order — EXACT (content-fingerprint index) → LEXICAL
+    near-dup (MinHash-LSH index) → SEMANTIC (IVF index top-1) — each
+    stage probing its own index and seeing only the previous stage's
+    survivors, never a corpus scan. The batch mixes whitespace/case
+    mutants of corpus docs (die at the exact stage) with the odd-id
+    documents (near-dups die at the MinHash stage, embedding near-dups
+    at the semantic stage). One row per batch doc: per-stage keeps
+    (NULL when a doc never reached the stage) + the final admitted
+    bit. Stage thresholds sit in measured cross-engine float gaps
+    (Jaccard ≥ 0.5 — the incremental_dedup gate's hash-checked pair
+    set; cosine τ=0.42 with min |cos−τ| ≥ 7.3e-5 over every candidate
+    an odd-id query can surface, at every SF)."""
+    from avro_spark.functions import exact_index as X
+    from avro_spark.functions import semantic as SD
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _read(spark, sf_dir, "embeddings")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    mutants = corpus.where(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit("   ")).alias("text"),
+    )
+    batch = mutants.unionByName(docs.where(F.col("doc_id") % 2 == 1))
+    # stage 1: exact — fingerprint index over the even corpus
+    xi, mi = _fresh_dirs("incremental_curation", "cur_exact_", "cur_mh_")
+    X.write_exact_index(corpus, xi, n_buckets=16)
+    d1 = X.dedup_exact_against_index(spark, batch, xi).select(
+        "doc_id", F.col("keep").alias("keep_exact"))
+    s1 = batch.join(d1.where("keep_exact").select("doc_id"), "doc_id",
+                    "left_semi")
+    # stage 2: lexical near-dup — MinHash index over the same corpus,
+    # probing only the exact survivors (τ=0.5, the incremental_dedup
+    # gate's parameters)
+    D.write_minhash_index(corpus, mi, "doc_id", "text",
+                          num_hashes=64, bands=16, shingle_n=3, seed=1,
+                          hash_fn="portable_hash60")
+    near = D.dedup_against_index(spark, s1, mi, "doc_id", "text",
+                                 threshold=0.5)
+    d2 = s1.select("doc_id").join(
+        near.select(F.col("new_id").alias("doc_id")).distinct()
+        .withColumn("_hit", F.lit(True)),
+        "doc_id", "left",
+    ).select("doc_id", F.coalesce(~F.col("_hit"), F.lit(True))
+             .alias("keep_near"))
+    s2 = s1.join(d2.where("keep_near").select("doc_id"), "doc_id",
+                 "left_semi")
+    # stage 3: semantic — the shared persisted IVF index; survivor
+    # embeddings are the same-id vectors (odd ids by construction)
+    ivf = _ivf_index_for(spark, sf_dir, emb)
+    vecs = emb.join(s2.select(F.col("doc_id").alias("vec_id")),
+                    "vec_id", "left_semi")
+    d3 = SD.semantic_dedup_against_index(
+        spark, ivf, vecs, 0.42).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("keep").alias("keep_semantic"))
+    out = (
+        batch.select("doc_id")
+        .join(d1, "doc_id", "left")
+        .join(d2, "doc_id", "left")
+        .join(d3, "doc_id", "left")
+        .select(
+            "doc_id", "keep_exact", "keep_near", "keep_semantic",
+            (F.coalesce("keep_exact", F.lit(False))
+             & F.coalesce("keep_near", F.lit(False))
+             & F.coalesce("keep_semantic", F.lit(False)))
+            .alias("admitted"),
+        )
+    )
+    return out
+
+
 def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjacent-token pair counts (the BPE vocabulary-merge statistic):
     explode + one map-side-combined count, integer-thresholded so the
@@ -3038,6 +3112,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # routing (boundary-straddling near-dups caught at ~2× pair
         # work) — oracle widens the pair join's hi side to rn<=2
         "semantic_dedup_multiprobe": q_semantic_dedup_multiprobe,
+        # incremental_curation NEW r10: the whole incremental-dedup
+        # pipeline in ONE query — exact → MinHash → semantic, each
+        # stage probing its own persisted index over the previous
+        # stage's survivors (the three-index composition twin of
+        # hybrid_indexed's two-index retrieval composition)
+        "incremental_curation": q_incremental_curation,
         "streaming_window": q_streaming_window,
         # the two-batch growth face of the streaming dedup sink — batch
         # 1 pairs against the corpus AND batch 0's admitted docs (the
@@ -3514,14 +3594,16 @@ def _knn_ivfpq_oracle(indexed: bool = False) -> str:
         """
 
 
-def _knn_ivf_oracle(limit: int = 5) -> str:
+def _knn_ivf_oracle(limit: int = 5,
+                    query_pred: str = "q.vec_id < 10") -> str:
     """DuckDB replica of q_knn_ivf: seed centroids = 16 lowest-id
     embeddings, ONE Lloyd round (cosine dot-argmax assignment against
     the normalized seeds, ties → lowest centroid id; per-(cid, position)
     means rounded to 9dp; empty clusters keep their seed), then the IVF
     scan against the TRAINED normalized centroids: assignment, per-query
     top-4 probes (ties → highest centroid id, mirroring
-    reverse(array_sort)), exact cosine on candidates."""
+    reverse(array_sort)), exact cosine on candidates. ``query_pred``
+    selects the query fleet (``q`` = the embeddings alias)."""
     return """
             WITH e AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -3580,7 +3662,7 @@ def _knn_ivf_oracle(limit: int = 5) -> str:
                      row_number() OVER (
                        PARTITION BY q.vec_id
                        ORDER BY list_dot_product(q.v, c.cv) DESC, c.cid DESC) AS rn
-              FROM en q CROSS JOIN cnorm c WHERE q.vec_id < 10),
+              FROM en q CROSS JOIN cnorm c WHERE __QPRED__),
             probes AS (SELECT query_id, cid FROM probe_scored WHERE rn <= 4),
             cand AS (
               SELECT p.query_id, a.vec_id
@@ -3603,7 +3685,7 @@ def _knn_ivf_oracle(limit: int = 5) -> str:
             SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
                    round(cos, 6) AS cosine
             FROM ranked WHERE rank <= __LIMIT__
-        """.replace("__LIMIT__", str(limit))
+        """.replace("__LIMIT__", str(limit)).replace("__QPRED__", query_pred)
 
 
 def _oracles_main() -> dict[str, str]:
@@ -4135,6 +4217,71 @@ def _oracles_main() -> dict[str, str]:
             SELECT b.doc_id, b.fingerprint, g.dup_of,
                    g.dup_of IS NULL AS keep
             FROM bf b LEFT JOIN grp g USING (fingerprint)
+        """,
+        # the whole incremental-dedup pipeline composed: stage 1 = the
+        # exact oracle's md5 rule over the EVEN corpus; stage 2 = the
+        # incremental_dedup oracle's banding/Jaccard body (evens =
+        # corpus, odds = new) distinct'd to hit ids; stage 3 = the
+        # shared IVF probe SQL over the odd query fleet at rank <= 1.
+        # Per-stage keeps are NULL for rows that never reached the
+        # stage; admitted = all three.
+        "incremental_curation": f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+            ),
+            batch AS (
+              SELECT doc_id + 10000 AS doc_id,
+                     '  ' || upper(text) || '   ' AS text
+              FROM documents WHERE doc_id % 2 = 0 AND doc_id < 40
+              UNION ALL
+              SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+            ),
+            cf AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       AS fp
+              FROM corpus
+            ),
+            grp AS (SELECT fp, min(doc_id) AS dup_of FROM cf GROUP BY 1),
+            bf AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       AS fp
+              FROM batch
+            ),
+            d1 AS (
+              SELECT b.doc_id, g.dup_of IS NULL AS keep_exact
+              FROM bf b LEFT JOIN grp g USING (fp)
+            ),
+            mh_hits AS (
+              SELECT DISTINCT new_id FROM ({_incremental_dedup_oracle()})
+            ),
+            d2 AS (
+              SELECT s.doc_id, h.new_id IS NULL AS keep_near
+              FROM (SELECT doc_id FROM d1 WHERE keep_exact) s
+              LEFT JOIN mh_hits h ON h.new_id = s.doc_id
+            ),
+            nn AS (
+              SELECT query_id AS vec_id, cosine
+              FROM ({_knn_ivf_oracle(1, "q.vec_id % 2 = 1")})
+            ),
+            d3 AS (
+              SELECT s.doc_id,
+                     (nn.cosine IS NULL OR nn.cosine < 0.42)
+                       AS keep_semantic
+              FROM (SELECT doc_id FROM d2 WHERE keep_near) s
+              JOIN embeddings e ON e.vec_id = s.doc_id
+              LEFT JOIN nn ON nn.vec_id = s.doc_id
+            )
+            SELECT b.doc_id, d1.keep_exact, d2.keep_near,
+                   d3.keep_semantic,
+                   (coalesce(d1.keep_exact, false)
+                    AND coalesce(d2.keep_near, false)
+                    AND coalesce(d3.keep_semantic, false)) AS admitted
+            FROM batch b
+            LEFT JOIN d1 USING (doc_id)
+            LEFT JOIN d2 USING (doc_id)
+            LEFT JOIN d3 USING (doc_id)
         """,
         # the incremental face: the shared IVF probe SQL at rank <= 1,
         # left-joined onto the batch so candidate-less queries keep

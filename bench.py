@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "hybrid_indexed",
     "incremental_exact_dedup",
     "semantic_dedup_indexed",
+    # round 10: the three-index pipeline composition
+    "incremental_curation",
     "is_schema",
     "bpe_pairs",
     # round 2: corpus statistics + curation sampling

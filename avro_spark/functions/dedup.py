@@ -1223,12 +1223,19 @@ def minhash_index_stats(spark, path: str) -> dict:
         .agg(F.count("id").alias("n"),
              F.count_distinct("id").alias("d")).head()
     )
+    dup = int(distinct_ids["n"] - distinct_ids["d"])
     out.update(
         shingle_files=len(sh_files), shingle_rows=sh_rows,
         band_files=len(bd_files), band_rows=bd_rows,
         distinct_ids=int(distinct_ids["d"]),
-        duplicate_rows=int(distinct_ids["n"] - distinct_ids["d"]),
+        duplicate_rows=dup,
         overlapping_files=overlapping,
+        # maintenance advisory (family symmetry with ivf_index_stats):
+        # retry residue taxes every probe; overlapping per-file id
+        # ranges decay the candidate pushdown's footer pruning —
+        # compaction fixes both
+        maintenance_hint=("compact" if dup > 0 or overlapping > 0
+                          else None),
     )
     return out
 

@@ -424,6 +424,12 @@ def exact_index_stats(spark, path: str) -> dict:
     dup = df.count() - df.dropDuplicates(
         ["fingerprint", m["id_col"]]).count()
     out["duplicate_rows"] = int(dup)
+    # maintenance advisory (family symmetry with ivf_index_stats):
+    # bucket routing is hash-pinned, so compaction is the one remedy
+    n_buckets = max(len(part_rows), 1)
+    out["maintenance_hint"] = (
+        "compact" if dup > 0 or len(files) > 8 * n_buckets else None
+    )
     return out
 
 

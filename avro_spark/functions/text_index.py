@@ -593,6 +593,14 @@ def text_index_stats(spark, path: str) -> dict:
     df = spark.read.parquet(post_dir)
     dup = df.count() - df.dropDuplicates(["term", m["id_col"]]).count()
     out["duplicate_rows"] = int(dup)
+    # maintenance advisory (family symmetry with ivf_index_stats):
+    # bucket routing is hash-pinned so the only remedy is compaction —
+    # worth it when retry residue taxes every probe or per-batch
+    # appends have shattered the buckets into many small files
+    n_buckets = max(len({os.path.dirname(fp) for _, fp in files}), 1)
+    out["maintenance_hint"] = (
+        "compact" if dup > 0 or len(files) > 8 * n_buckets else None
+    )
     return out
 
 

@@ -1363,6 +1363,7 @@ def write_avro_files(
     block_bytes: "Optional[int]" = None,
     codec_level: "Optional[int]" = None,
     append_token: "Optional[str]" = None,
+    route_out: "Optional[dict]" = None,
 ) -> list[dict]:
     """Record-shaped DataFrame → one OCF file per partition under
     ``path`` (created if missing; must be a filesystem all executors
@@ -1492,6 +1493,10 @@ def write_avro_files(
     field_types = [(f.name, f.type) for f in root.fields]
 
     use_jvm = engine != "python" and _jvm_ocf_ok(df.sparkSession, schema, None)
+    if route_out is not None:
+        # the writer's self-attribution (the reader's r10 route_out
+        # contract): which engine encodes the records
+        route_out["engine"] = "jvm" if use_jvm else "python"
     if engine == "jvm" and not use_jvm:
         raise AvroSparkError(
             "engine='jvm' unavailable (no JDK or unsupported schema shape)"

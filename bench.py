@@ -335,8 +335,42 @@ def _throughput_probes(
     except Exception as ex:  # a failed OCF write must be VISIBLE, not absent
         out["ocf_read_rows_per_sec"] = None
         errors["ocf_read_rows_per_sec"] = f"{type(ex).__name__}: {ex}"[:200]
+    # OCF WRITE probe (r10): the ingest path's other half — JVM record
+    # encode + JVM block compression + Python framing, timed as a full
+    # overwrite of the repartitioned lineitem to local disk (each rep's
+    # mode='overwrite' clears the previous rep's parts itself)
+    wdir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "spark-warehouse",
+        "bench_ocf_write",
+    )
+    w_route: dict = {}
+    write_probes = {
+        "ocf_write_rows_per_sec": (
+            lambda: write_avro_files(nested_par, sch, wdir,
+                                     route_out=w_route),
+            n_li,
+        ),
+    }
     medians = {}
     spreads = {}
+    for metric, (run, n) in write_probes.items():
+        try:
+            for _ in range(max(1, warm_reps)):
+                run()
+            dts = []
+            for _ in range(3):
+                t0 = _time.perf_counter()
+                run()
+                dts.append(_time.perf_counter() - t0)
+            dts.sort()
+            out[metric] = round(n / dts[0])
+            medians[metric] = round(n / dts[1])
+            spreads[metric] = [round(dts[0], 3), round(dts[-1], 3)]
+            routes[metric] = w_route.get("engine", "?")
+        except Exception as ex:
+            out[metric] = None
+            errors[metric] = f"{type(ex).__name__}: {ex}"[:200]
+    shutil.rmtree(wdir, ignore_errors=True)
     for metric, (df, n) in probes.items():
         try:
             # warm `warm_reps` times, then 3 timed reps: the headline

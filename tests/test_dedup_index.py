@@ -617,16 +617,21 @@ def test_fuzz_index_lifecycle_equals_built_at_once(spark, tmp_path_factory):
             elif op == "compact":
                 D.compact_minhash_index(spark, idx)
             else:
-                # step 1 + marker landed, swap died after deleting one
-                # main dir — recovery must finish the swap
-                shutil.copytree(idx + "/shingles", idx + "/shingles_compact")
-                shutil.copytree(idx + "/bands", idx + "/bands_compact")
-                spark.createDataFrame(
-                    [(16, 4, 2, 1, "xxhash64", "__compacting__")],
-                    "num_hashes int, bands int, shingle_n int, seed int, "
-                    "hash_fn string, status string",
-                ).coalesce(1).write.mode("overwrite").parquet(idx + "/meta")
-                shutil.rmtree(idx + "/shingles")
+                # r10 crash model: the compact died BEFORE the pointer
+                # flip, leaving partial next-version residue — the
+                # index stays committed (probes keep answering), and
+                # the retry overwrites the residue
+                import os
+
+                m = D._read_index_meta(spark, idx)
+                for t in ("shingles", "bands"):
+                    nv = m["versions"].get(t, 0) + 1
+                    res = f"{idx}/{t}_v{nv}"
+                    os.makedirs(res, exist_ok=True)
+                    with open(f"{res}/part-garbage.parquet", "wb") as fh:
+                        fh.write(b"not parquet")
+                assert D._read_index_meta(spark, idx)["status"] == \
+                    "committed"
                 D.compact_minhash_index(spark, idx)
         probe = batch(3)
         whole = str(root / "whole")

@@ -284,12 +284,19 @@ def test_fuzz_lifecycle_equals_built_at_once(spark, tmp_path_factory):
             elif op == "compact":
                 X.compact_exact_index(spark, idx)
             else:
+                # r10 crash model: the compact died BEFORE the pointer
+                # flip, leaving partial next-version residue — the
+                # index stays committed, and the retry overwrites it
+                import os
+
                 m = X._read_exact_meta(spark, idx)
-                shutil.copytree(f"{idx}/fps", f"{idx}/fps_compact")
-                X._write_exact_meta(spark, idx, m["n_buckets"],
-                                    m["id_col"], "__compacting__",
-                                    m["n_docs"], m["token"])
-                shutil.rmtree(f"{idx}/fps")
+                nv = m["versions"].get("fps", 0) + 1
+                res = f"{idx}/fps_v{nv}"
+                os.makedirs(res, exist_ok=True)
+                with open(f"{res}/part-garbage.parquet", "wb") as fh:
+                    fh.write(b"not parquet")
+                assert X._read_exact_meta(spark, idx)["status"] == \
+                    "committed"
                 X.compact_exact_index(spark, idx)
         whole = str(root / "whole")
         ref = admitted[0]

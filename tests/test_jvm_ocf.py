@@ -490,6 +490,15 @@ def test_route_out_records_taken_engine(spark, tmp_path, zoo):
     read_avro_files(spark, d, sch, split_bytes=4096, route_out=r3)
     assert r3["split"] is True
     assert r3["engine"] == ("jvm" if jvm_ok else "python")
+    # the writer records its encode route too
+    r4: dict = {}
+    write_avro_files(df.coalesce(1), sch, str(tmp_path / "rt_w"),
+                     route_out=r4)
+    assert r4 == {"engine": "jvm" if jvm_ok else "python"}
+    r5: dict = {}
+    write_avro_files(df.coalesce(1), sch, str(tmp_path / "rt_w2"),
+                     engine="python", route_out=r5)
+    assert r5 == {"engine": "python"}
 
 
 def test_recursive_schema_ocf_cross_engine(spark, tmp_path):

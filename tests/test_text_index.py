@@ -435,16 +435,20 @@ def test_fuzz_lifecycle_equals_built_at_once(spark, tmp_path_factory):
             elif op == "compact":
                 TI.compact_text_index(spark, idx)
             else:
-                # staged + marker landed, swap died after deleting the
-                # main dir — recovery must finish the swap
+                # r10 crash model: the compact died BEFORE the pointer
+                # flip, leaving partial next-version residue — the
+                # index stays committed, and the retry overwrites it
+                import os
+
                 m = TI._read_text_meta(spark, idx)
-                shutil.copytree(f"{idx}/postings",
-                                f"{idx}/postings_compact")
-                TI._write_text_meta(spark, idx, m["n_buckets"],
-                                    m["id_col"], "__compacting__",
-                                    m["n_docs"], m["n_docs_tok"],
-                                    m["sum_dl"], m["token"])
-                shutil.rmtree(f"{idx}/postings")
+                for t in ("postings", "termstats"):
+                    nv = m["versions"].get(t, 0) + 1
+                    res = f"{idx}/{t}_v{nv}"
+                    os.makedirs(res, exist_ok=True)
+                    with open(f"{res}/part-garbage.parquet", "wb") as fh:
+                        fh.write(b"not parquet")
+                assert TI._read_text_meta(spark, idx)["status"] == \
+                    "committed"
                 TI.compact_text_index(spark, idx)
         whole = str(root / "whole")
         ref = admitted[0]

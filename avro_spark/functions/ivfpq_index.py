@@ -858,6 +858,23 @@ def ivfpq_index_stats(spark, path: str) -> dict:
             out["max_rows_per_partition"] = int(max_pr)
             out["partition_row_skew"] = (
                 round(max_pr / mean_pr, 2) if mean_pr else 0.0)
+            # maintenance advisory, as ivf_index_stats: many fat
+            # partitions → retrain; one → split that matrix position;
+            # many small files → compact
+            hot = [d for d, r in part_rows.items()
+                   if mean_pr and r > 2 * mean_pr]
+            out["hot_partitions"] = len(hot)
+            n_parts = len(part_rows)
+            if len(hot) > max(1, n_parts // 4):
+                out["maintenance_hint"] = "retrain"
+            elif len(hot) == 1:
+                phys = int(hot[0].rsplit("=", 1)[-1])
+                out["maintenance_hint"] = (
+                    f"split:{m['dir_ids'].index(phys)}")
+            elif part_rows and n_files > 8 * n_parts:
+                out["maintenance_hint"] = "compact"
+            else:
+                out["maintenance_hint"] = None
     out["codes_to_raw_ratio"] = (
         round(out["raw_bytes"] / out["codes_bytes"], 2)
         if out["codes_bytes"] else None

@@ -603,9 +603,25 @@ def _write_index_meta_row(
     crash recovery can verify the retry is the same batch instead of
     trusting a docstring. ``versions`` is the table-version pointer map
     (:func:`_vdir`): overwriting this row IS the atomic commit of a
-    compaction's table swap. ``spark.range`` keeps this pure-JVM:
-    createDataFrame over a local Python list launches a Python-worker
-    job (~6 s cold) for ONE row."""
+    compaction's table swap. Local paths commit driver-side via an
+    atomic single-file replace (:mod:`._meta_io` — no Spark job for one
+    metadata row); non-local URIs keep the Spark route below, where
+    ``spark.range`` keeps it pure-JVM (createDataFrame over a local
+    Python list launches a Python-worker job, ~6 s cold, for ONE row)."""
+    from ._meta_io import try_write_meta_row
+
+    if try_write_meta_row(f"{path}/meta", [
+        ("num_hashes", "int", int(num_hashes)),
+        ("bands", "int", int(bands)),
+        ("shingle_n", "int", int(shingle_n)),
+        ("seed", "int", int(seed)),
+        ("hash_fn", "string", hash_fn_marker),
+        ("status", "string", status),
+        ("token", "string", token),
+        ("pending_token", "string", pending_token),
+        ("versions", "string", _versions_json(versions)),
+    ]):
+        return
     spark.range(1).select(
         F.lit(num_hashes).cast("int").alias("num_hashes"),
         F.lit(bands).cast("int").alias("bands"),
@@ -620,15 +636,22 @@ def _write_index_meta_row(
 
 
 def _read_index_meta(spark, path: str) -> dict:
-    row = spark.read.parquet(f"{path}/meta").head()
-    if row is None:
+    from ._meta_io import try_read_meta_row
+
+    # local fast path (driver-side, no Spark job); None falls through to
+    # the Spark read, which keeps the exact error classes for missing or
+    # fileless meta dirs
+    d = try_read_meta_row(f"{path}/meta")
+    if d is None:
+        row = spark.read.parquet(f"{path}/meta").head()
+        d = row.asDict() if row is not None else {}
+    if not d:
         # a meta dir that exists but holds zero rows = a crash during
         # the meta overwrite commit — diagnosable, not a TypeError
         raise ValueError(
             "index meta is empty — the index is mid-rebuild or corrupt; "
             "rebuild it with write_minhash_index"
         )
-    d = row.asDict()
     return {
         "num_hashes": d["num_hashes"], "bands": d["bands"],
         "shingle_n": d["shingle_n"], "seed": d["seed"],
@@ -978,6 +1001,11 @@ def _read_batch_registry(spark, uri: str) -> "set[int]":
     forever, needing a manual dir delete); a dir whose files exist but
     cannot be read is CORRUPT and must fail the query loudly, never
     silently replay every batch."""
+    from ._meta_io import try_read_registry
+
+    got = try_read_registry(uri)  # driver-side for local; loud on corrupt
+    if got is not None:
+        return got
     if not _dir_exists(uri):
         return set()
     from pyspark.errors import AnalysisException
@@ -988,6 +1016,18 @@ def _read_batch_registry(spark, uri: str) -> "set[int]":
         if "UNABLE_TO_INFER_SCHEMA" in str(e):
             return set()  # dir created, no file ever committed
         raise
+
+
+def _append_batch_registry(spark, uri: str, batch_id: int) -> None:
+    """Record one applied batch id — one new file in the registry dir
+    (driver-side for local paths, Spark append otherwise)."""
+    from ._meta_io import try_append_registry_row
+
+    if try_append_registry_row(uri, batch_id):
+        return
+    spark.range(1).select(
+        F.lit(int(batch_id)).cast("long").alias("batch_id")
+    ).write.mode("append").parquet(uri)
 
 
 def _open_listed(fs, path: str):
@@ -1370,9 +1410,7 @@ def _token_registry_sink(index_path: str, append_fn):
         if batch_id in applied:
             return
         append_fn(batch_df, f"batch{batch_id}")
-        spark.range(1).select(
-            F.lit(int(batch_id)).cast("long").alias("batch_id")
-        ).write.mode("append").parquet(f"{index_path}/batches")
+        _append_batch_registry(spark, f"{index_path}/batches", batch_id)
 
     return sink
 
@@ -1473,9 +1511,7 @@ def _stream_dedup_sink(
             shingle_n=m["shingle_n"], seed=m["seed"],
             hash_fn=m["hash_fn"], mode="append", append_token=token,
         )
-        spark.range(1).select(
-            F.lit(int(batch_id)).cast("long").alias("batch_id")
-        ).write.mode("append").parquet(f"{index_path}/batches")
+        _append_batch_registry(spark, f"{index_path}/batches", batch_id)
 
     return sink
 

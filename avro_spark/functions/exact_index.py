@@ -82,6 +82,19 @@ def _write_exact_meta(
     pending_token: "Optional[str]" = None,
     versions: "Optional[dict]" = None,
 ) -> None:
+    from ._meta_io import try_write_meta_row
+
+    # local: one driver-side atomic file replace, no Spark job
+    if try_write_meta_row(f"{path}/meta", [
+        ("n_buckets", "int", int(n_buckets)),
+        ("id_col", "string", id_col),
+        ("status", "string", status),
+        ("n_docs", "long", int(n_docs)),
+        ("token", "string", token),
+        ("pending_token", "string", pending_token),
+        ("versions", "string", _versions_json(versions)),
+    ]):
+        return
     spark.range(1).select(
         F.lit(int(n_buckets)).cast("int").alias("n_buckets"),
         F.lit(id_col).alias("id_col"),
@@ -94,19 +107,23 @@ def _write_exact_meta(
 
 
 def _read_exact_meta(spark, path: str) -> dict:
-    try:
-        row = spark.read.parquet(f"{path}/meta").head()
-    except Exception as e:
-        raise ValueError(
-            f"no exact-dedup index meta at {path!r}/meta — not a "
-            "write_exact_index index; rebuild it with write_exact_index"
-        ) from e
-    if row is None:
+    from ._meta_io import try_read_meta_row
+
+    d = try_read_meta_row(f"{path}/meta")
+    if d is None:
+        try:
+            row = spark.read.parquet(f"{path}/meta").head()
+        except Exception as e:
+            raise ValueError(
+                f"no exact-dedup index meta at {path!r}/meta — not a "
+                "write_exact_index index; rebuild it with write_exact_index"
+            ) from e
+        d = row.asDict() if row is not None else {}
+    if not d:
         raise ValueError(
             "exact-dedup index meta is empty — the index is mid-rebuild "
             "or corrupt; rebuild it with write_exact_index"
         )
-    d = row.asDict()
     return {
         "n_buckets": d["n_buckets"], "id_col": d["id_col"],
         "status": d["status"], "n_docs": d["n_docs"],
@@ -466,7 +483,7 @@ def _stream_exact_sink(
     if admit not in ("novel", "all"):
         raise ValueError(f"bad admit: {admit}")
 
-    from .dedup import _read_batch_registry, exact_dedup
+    from .dedup import _append_batch_registry, _read_batch_registry, exact_dedup
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -494,9 +511,7 @@ def _stream_exact_sink(
         write_exact_index(admitted, index_path, id_col, text_col,
                           n_buckets=None, mode="append",
                           append_token=token)
-        spark.range(1).select(
-            F.lit(int(batch_id)).cast("long").alias("batch_id")
-        ).write.mode("append").parquet(f"{index_path}/batches")
+        _append_batch_registry(spark, f"{index_path}/batches", batch_id)
 
     return sink
 

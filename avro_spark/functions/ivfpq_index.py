@@ -83,10 +83,31 @@ def _write_ivfpq_meta(
     → physical-partition indirection whose single overwrite here IS
     the atomic commit of a compaction/split (see
     :func:`similarity._write_ivf_meta`)."""
+    from ._meta_io import try_write_meta_row
     from .dedup import _versions_json
 
     if dir_ids is None:
         dir_ids = list(range(len(centroids)))
+    # local: one driver-side atomic file replace, no Spark job
+    if try_write_meta_row(f"{path}/meta", [
+        ("centroids", "array<array<double>>",
+         [[float(x) for x in c] for c in centroids]),
+        ("codebooks", "array<array<array<double>>>",
+         [[[float(x) for x in c] for c in book] for book in codebooks]),
+        ("dim", "int", int(len(centroids[0]))),
+        ("m", "int", int(len(codebooks))),
+        ("ksub", "int", int(len(codebooks[0]))),
+        ("norm", "string", "l2-cosine"),
+        ("status", "string", status),
+        ("rows", "long", int(rows)),
+        ("token", "string", token),
+        ("pending_token", "string", pending_token),
+        ("split_cid", "int",
+         int(split_cid) if split_cid is not None else None),
+        ("versions", "string", _versions_json(versions)),
+        ("dir_ids", "array<int>", [int(d) for d in dir_ids]),
+    ]):
+        return
     spark.range(1).select(
         _matrix_lit(centroids).alias("centroids"),
         _cube_lit(codebooks).alias("codebooks"),
@@ -105,21 +126,24 @@ def _write_ivfpq_meta(
 
 
 def _read_ivfpq_meta(spark, path: str) -> dict:
-    try:
-        row = spark.read.parquet(f"{path}/meta").head()
-    except Exception as e:  # AnalysisException: no meta dir at all
-        raise ValueError(
-            f"no IVF-PQ index meta at {path!r}/meta — not a "
-            "write_ivfpq_index index; rebuild it with write_ivfpq_index"
-        ) from e
-    if row is None:
+    from ._meta_io import try_read_meta_row
+
+    d = try_read_meta_row(f"{path}/meta")
+    if d is None:
+        try:
+            row = spark.read.parquet(f"{path}/meta").head()
+        except Exception as e:  # AnalysisException: no meta dir at all
+            raise ValueError(
+                f"no IVF-PQ index meta at {path!r}/meta — not a "
+                "write_ivfpq_index index; rebuild it with write_ivfpq_index"
+            ) from e
+        d = row.asDict() if row is not None else {}
+    if not d:
         raise ValueError(
             "IVF-PQ index meta is empty — the index is mid-rebuild or "
             "corrupt; rebuild it with write_ivfpq_index"
         )
     from .dedup import _versions_of
-
-    d = row.asDict()
     cents = [[float(x) for x in c] for c in d["centroids"]]
     dir_ids = d.get("dir_ids")
     return {

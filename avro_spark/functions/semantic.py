@@ -255,7 +255,7 @@ def _stream_semantic_sink(
     if admit not in ("novel", "all"):
         raise ValueError(f"bad admit: {admit}")
 
-    from .dedup import _read_batch_registry
+    from .dedup import _append_batch_registry, _read_batch_registry
     from .similarity import _read_ivf_meta, write_ivf_index
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -288,9 +288,7 @@ def _stream_semantic_sink(
                                  "left_semi")
         write_ivf_index(admitted, None, index_path, id_col, vec_col,
                         mode="append", append_token=token)
-        spark.range(1).select(
-            F.lit(int(batch_id)).cast("long").alias("batch_id")
-        ).write.mode("append").parquet(f"{index_path}/batches")
+        _append_batch_registry(spark, f"{index_path}/batches", batch_id)
 
     return sink
 

@@ -469,10 +469,27 @@ def _write_ivf_meta(
     by no committed meta row is invisible to probes and dead by
     construction). Written via ``spark.range`` + plan literals — pure
     JVM, no Python-worker job."""
+    from ._meta_io import try_write_meta_row
     from .dedup import _versions_json
 
     if dir_ids is None:
         dir_ids = list(range(len(centroids)))
+    # local: one driver-side atomic file replace, no Spark job
+    if try_write_meta_row(f"{path}/meta", [
+        ("centroids", "array<array<double>>",
+         [[float(x) for x in c] for c in centroids]),
+        ("dim", "int", int(len(centroids[0]))),
+        ("norm", "string", "l2-cosine"),
+        ("status", "string", status),
+        ("rows", "long", int(rows)),
+        ("token", "string", token),
+        ("pending_token", "string", pending_token),
+        ("split_cid", "int",
+         int(split_cid) if split_cid is not None else None),
+        ("versions", "string", _versions_json(versions)),
+        ("dir_ids", "array<int>", [int(d) for d in dir_ids]),
+    ]):
+        return
     spark.range(1).select(
         _matrix_lit(centroids).alias("centroids"),
         F.lit(len(centroids[0])).cast("int").alias("dim"),
@@ -488,22 +505,25 @@ def _write_ivf_meta(
 
 
 def _read_ivf_meta(spark: "SparkSession", path: str) -> dict:
-    try:
-        row = spark.read.parquet(f"{path}/meta").head()
-    except Exception as e:  # AnalysisException: no meta dir at all
-        raise ValueError(
-            f"no IVF index meta at {path!r}/meta — not a "
-            "write_ivf_index index (or a pre-r8 layout); rebuild it "
-            "with write_ivf_index"
-        ) from e
-    if row is None:
+    from ._meta_io import try_read_meta_row
+
+    d = try_read_meta_row(f"{path}/meta")
+    if d is None:
+        try:
+            row = spark.read.parquet(f"{path}/meta").head()
+        except Exception as e:  # AnalysisException: no meta dir at all
+            raise ValueError(
+                f"no IVF index meta at {path!r}/meta — not a "
+                "write_ivf_index index (or a pre-r8 layout); rebuild it "
+                "with write_ivf_index"
+            ) from e
+        d = row.asDict() if row is not None else {}
+    if not d:
         raise ValueError(
             "IVF index meta is empty — the index is mid-rebuild or "
             "corrupt; rebuild it with write_ivf_index"
         )
     from .dedup import _versions_of
-
-    d = row.asDict()
     cents = [[float(x) for x in c] for c in d["centroids"]]
     dir_ids = d.get("dir_ids")
     return {

@@ -81,9 +81,24 @@ def _write_text_meta(
 ) -> None:
     """The index's ONE meta row (layout pins + BM25 corpus statistics +
     marker discipline + the table-version pointers whose overwrite IS a
-    compaction's atomic commit). Pure JVM — no Python-worker job."""
+    compaction's atomic commit). Local paths commit driver-side
+    (:mod:`._meta_io`, no Spark job); otherwise pure JVM — no
+    Python-worker job."""
+    from ._meta_io import try_write_meta_row
     from .dedup import _versions_json
 
+    if try_write_meta_row(f"{path}/meta", [
+        ("n_buckets", "int", int(n_buckets)),
+        ("id_col", "string", id_col),
+        ("status", "string", status),
+        ("n_docs", "long", int(n_docs)),
+        ("n_docs_tok", "long", int(n_docs_tok)),
+        ("sum_dl", "long", int(sum_dl)),
+        ("token", "string", token),
+        ("pending_token", "string", pending_token),
+        ("versions", "string", _versions_json(versions)),
+    ]):
+        return
     spark.range(1).select(
         F.lit(int(n_buckets)).cast("int").alias("n_buckets"),
         F.lit(id_col).alias("id_col"),
@@ -98,21 +113,24 @@ def _write_text_meta(
 
 
 def _read_text_meta(spark, path: str) -> dict:
-    try:
-        row = spark.read.parquet(f"{path}/meta").head()
-    except Exception as e:  # AnalysisException: no meta dir at all
-        raise ValueError(
-            f"no text index meta at {path!r}/meta — not a "
-            "write_text_index index; rebuild it with write_text_index"
-        ) from e
-    if row is None:
+    from ._meta_io import try_read_meta_row
+
+    d = try_read_meta_row(f"{path}/meta")
+    if d is None:
+        try:
+            row = spark.read.parquet(f"{path}/meta").head()
+        except Exception as e:  # AnalysisException: no meta dir at all
+            raise ValueError(
+                f"no text index meta at {path!r}/meta — not a "
+                "write_text_index index; rebuild it with write_text_index"
+            ) from e
+        d = row.asDict() if row is not None else {}
+    if not d:
         raise ValueError(
             "text index meta is empty — the index is mid-rebuild or "
             "corrupt; rebuild it with write_text_index"
         )
     from .dedup import _versions_of
-
-    d = row.asDict()
     return {
         "n_buckets": d["n_buckets"], "id_col": d["id_col"],
         "status": d["status"], "n_docs": d["n_docs"],

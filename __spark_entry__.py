@@ -2440,13 +2440,23 @@ def q_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("  "), F.upper("text"), F.lit("   ")).alias("text"),
     )
     batch = mutants.unionByName(docs.where(F.col("doc_id") % 2 == 1))
+    # Each stage's decision table is TINY (≤|batch| rows) but its
+    # lineage is expensive — the exact probe plan carries a
+    # thousands-literal fingerprint IN, the MinHash probe re-signatures
+    # its input, the IVF probe re-scans its partitions — and the final
+    # 4-way join would otherwise re-optimize and re-execute every
+    # stage's plan once per downstream reference (guide §3.3/§5:
+    # materialize small intermediates to truncate the plan). Eager
+    # localCheckpoints pin each stage's decisions exactly once; the
+    # values are unchanged (oracle-verified).
     # stage 1: exact — fingerprint index over the even corpus
     xi, mi = _fresh_dirs("incremental_curation", "cur_exact_", "cur_mh_")
     X.write_exact_index(corpus, xi, n_buckets=16)
     d1 = X.dedup_exact_against_index(spark, batch, xi).select(
-        "doc_id", F.col("keep").alias("keep_exact"))
+        "doc_id", F.col("keep").alias("keep_exact")
+    ).localCheckpoint(eager=True)
     s1 = batch.join(d1.where("keep_exact").select("doc_id"), "doc_id",
-                    "left_semi")
+                    "left_semi").localCheckpoint(eager=True)
     # stage 2: lexical near-dup — MinHash index over the same corpus,
     # probing only the exact survivors (τ=0.5, the incremental_dedup
     # gate's parameters)
@@ -2460,7 +2470,7 @@ def q_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_hit", F.lit(True)),
         "doc_id", "left",
     ).select("doc_id", F.coalesce(~F.col("_hit"), F.lit(True))
-             .alias("keep_near"))
+             .alias("keep_near")).localCheckpoint(eager=True)
     s2 = s1.join(d2.where("keep_near").select("doc_id"), "doc_id",
                  "left_semi")
     # stage 3: semantic — the shared persisted IVF index; survivor
@@ -2471,7 +2481,7 @@ def q_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     d3 = SD.semantic_dedup_against_index(
         spark, ivf, vecs, 0.42).select(
         F.col("vec_id").alias("doc_id"),
-        F.col("keep").alias("keep_semantic"))
+        F.col("keep").alias("keep_semantic")).localCheckpoint(eager=True)
     out = (
         batch.select("doc_id")
         .join(d1, "doc_id", "left")

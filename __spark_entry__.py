@@ -866,7 +866,7 @@ def q_jsonl_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from avro_spark.sources.jsonl import read_jsonl, write_jsonl_avro
 
     m = F.pmod(F.col("event_id"), F.lit(3))
-    ev = _read(spark, sf_dir, "events").select(
+    ev = _read(spark, sf_dir, "events", split=True).select(
         "event_id",
         F.struct(
             m.cast("int").alias(UNION_TAG),
@@ -1031,7 +1031,7 @@ def q_conform_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     renderings (runtime.lua:263-336)."""
     from avro_spark.operators.conform import conform_json
 
-    orders = _read(spark, sf_dir, "orders")
+    orders = _read(spark, sf_dir, "orders", split=True)
     k = F.col("o_orderkey")
     j = F.concat(
         F.lit('{"o_orderkey": '), k.cast("string"),
@@ -1265,7 +1265,7 @@ def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from avro_spark import streaming as ST
 
-    ev = _read(spark, sf_dir, "events")
+    ev = _read(spark, sf_dir, "events", split=True)
     tmp = _fresh_dirs("streaming_window", "events_stream_")[0]
     # older driver parquet stores TIMESTAMP(NANOS) (read as long nanos via
     # nanosAsLong); newer testdata carries TIMESTAMP(MICROS) read as NTZ.
@@ -1628,7 +1628,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     work ~4× vs the first-cut k=4. One decision row per input row."""
     from avro_spark.functions import semantic as SD
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read(spark, sf_dir, "embeddings", split=True)
     cents = S.sample_centroids(emb, 16)
     return SD.semantic_dedup(emb, cents, 0.4).select(
         "vec_id", "centroid_id", "keep", "dup_of"
@@ -1647,7 +1647,7 @@ def q_semantic_dedup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     at every SF — 9 orders above cross-engine double noise."""
     from avro_spark.functions import semantic as SD
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read(spark, sf_dir, "embeddings", split=True)
     cents = S.sample_centroids(emb, 16)
     return SD.semantic_dedup(emb, cents, 0.4, nprobe=2).select(
         "vec_id", "centroid_id", "keep", "dup_of"
@@ -1674,7 +1674,7 @@ def q_semantic_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read(spark, sf_dir, "embeddings", split=True)
     return S.cosine_lsh_pairs(
         emb, dim=64, num_planes=16, bands=4, threshold=0.45
     ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))

@@ -398,6 +398,7 @@ def _write_minhash_index_unlocked(
     hash_fn: str = "xxhash64",
     mode: str = "overwrite",
     append_token: "str | None" = None,
+    _hdocs: "DataFrame | None" = None,
 ) -> None:
     """Persist a corpus's MinHash-LSH signature index under ``path`` —
     the incremental-dedup shape: build the index ONCE over the existing
@@ -519,7 +520,13 @@ def _write_minhash_index_unlocked(
     # arithmetic): at 31 bits a ~77k-shingle document expects in-set
     # collisions and Jaccard drifts from the string-set value; at
     # 60/64 bits collisions are ~2^-60 per pair.
-    hdocs = _hashed_docs(df, id_col, text_col, shingle_n, fn).persist()
+    # ``_hdocs``: internal — a caller that already hashed this exact df
+    # with these exact (shingle_n, hash_fn) params (the streaming sink,
+    # which probes before it appends) passes its persisted frame so the
+    # batch text is hashed once per micro-batch, not once per pass.
+    own_hdocs = _hdocs is None
+    hdocs = (_hashed_docs(df, id_col, text_col, shingle_n, fn).persist()
+             if own_hdocs else _hdocs)
     try:
         # DATA-SKIPPING LAYOUT: range-partition + sort each table by its
         # probe key so every parquet file/row-group covers a tight key
@@ -544,7 +551,8 @@ def _write_minhash_index_unlocked(
             .write.mode(mode) \
             .parquet(_vdir(path, "bands", versions.get("bands", 0)))
     finally:
-        hdocs.unpersist()
+        if own_hdocs:
+            hdocs.unpersist()
     # the commit marker (both modes); an append's token lands HERE —
     # blind retries of the same batch no-op against it
     _write_meta(hash_fn,
@@ -678,6 +686,7 @@ def dedup_against_index(
     broadcast_batch: bool = True,
     candidate_pushdown: bool = True,
     max_pushdown_ids: int = 5_000,
+    _hdocs: "DataFrame | None" = None,
 ) -> DataFrame:
     """Near-dup pairs of a NEW batch against a persisted corpus index —
     the incremental face of :func:`minhash_lsh_pairs`: identical
@@ -721,7 +730,12 @@ def dedup_against_index(
             "crashes), then probe"
         )
     fn = _index_hash(m["hash_fn"])
-    hdocs = _hashed_docs(new_df, id_col, text_col, m["shingle_n"], fn)
+    # ``_hdocs``: internal — a precomputed/persisted _hashed_docs frame
+    # for THIS batch with THIS index's (shingle_n, hash_fn), so a caller
+    # that both probes and appends (the streaming sink) hashes the batch
+    # text exactly once instead of once per pass
+    hdocs = _hdocs if _hdocs is not None else _hashed_docs(
+        new_df, id_col, text_col, m["shingle_n"], fn)
     band_rows = _band_rows_from_hashes(
         _explode_mod(hdocs), m["num_hashes"], m["bands"], m["seed"]
     )
@@ -1366,6 +1380,7 @@ def write_minhash_index(
     hash_fn: str = "xxhash64",
     mode: str = "overwrite",
     append_token: "str | None" = None,
+    _hdocs: "DataFrame | None" = None,
 ) -> None:
     """Public face of :func:`_write_minhash_index_unlocked` (see its
     docstring for layout + crash discipline), under the index's
@@ -1377,7 +1392,7 @@ def write_minhash_index(
     try:
         _write_minhash_index_unlocked(
             df, path, id_col, text_col, num_hashes, bands, shingle_n,
-            seed, hash_fn, mode, append_token,
+            seed, hash_fn, mode, append_token, _hdocs=_hdocs,
         )
     finally:
         release_index_lease(path, lt)
@@ -1479,38 +1494,56 @@ def _stream_dedup_sink(
                 f"{token!r} — another writer died mid-append; re-run it "
                 "to completion first (one streaming query per index)"
             )
-        if m["status"] == "__appending__" or m["token"] == token:
-            # this batch's previous attempt died mid-append, or its
-            # append COMMITTED but the batch id was never recorded —
-            # either way its pairs are already committed (step 2
-            # precedes step 3) and re-probing now would score the batch
-            # against its own half-or-fully appended docs
-            pairs = spark.read.parquet(pairs_dir)
-        else:
-            dedup_against_index(
-                spark, batch_df, index_path, id_col, text_col,
-                threshold=threshold,
-            ).write.mode("overwrite").parquet(pairs_dir)
-            pairs = spark.read.parquet(pairs_dir)
-        if admit == "novel":
-            # native-typed ids on both sides (pairs carry the batch's own
-            # id type) — a long cast here would null string/UUID ids and
-            # silently admit every duplicate
-            dup_ids = pairs.select(
-                F.col("new_id").alias("_dup_id")).distinct()
-            admitted = batch_df.join(
-                dup_ids,
-                batch_df[id_col] == F.col("_dup_id"),
-                "left_anti",
+        # hash the batch text ONCE per micro-batch: the probe and the
+        # append both need the hashed shingle sets, and each would
+        # otherwise re-shingle and re-hash the whole batch (at scale
+        # that second pass over the text doubles the sink's dominant
+        # per-batch cost)
+        hdocs = _hashed_docs(
+            batch_df, id_col, text_col, m["shingle_n"],
+            _index_hash(m["hash_fn"]),
+        ).persist()
+        try:
+            if m["status"] == "__appending__" or m["token"] == token:
+                # this batch's previous attempt died mid-append, or its
+                # append COMMITTED but the batch id was never recorded —
+                # either way its pairs are already committed (step 2
+                # precedes step 3) and re-probing now would score the
+                # batch against its own half-or-fully appended docs
+                pairs = spark.read.parquet(pairs_dir)
+            else:
+                dedup_against_index(
+                    spark, batch_df, index_path, id_col, text_col,
+                    threshold=threshold, _hdocs=hdocs,
+                ).write.mode("overwrite").parquet(pairs_dir)
+                pairs = spark.read.parquet(pairs_dir)
+            if admit == "novel":
+                # native-typed ids on both sides (pairs carry the
+                # batch's own id type) — a long cast here would null
+                # string/UUID ids and silently admit every duplicate
+                dup_ids = pairs.select(
+                    F.col("new_id").alias("_dup_id")).distinct()
+                admitted = batch_df.join(
+                    dup_ids,
+                    batch_df[id_col] == F.col("_dup_id"),
+                    "left_anti",
+                )
+                hd_adm = hdocs.join(
+                    dup_ids, hdocs["_id"] == F.col("_dup_id"),
+                    "left_anti",
+                )
+            else:
+                admitted = batch_df
+                hd_adm = hdocs
+            write_minhash_index(
+                admitted, index_path, id_col, text_col,
+                num_hashes=m["num_hashes"], bands=m["bands"],
+                shingle_n=m["shingle_n"], seed=m["seed"],
+                hash_fn=m["hash_fn"], mode="append", append_token=token,
+                _hdocs=hd_adm,
             )
-        else:
-            admitted = batch_df
-        write_minhash_index(
-            admitted, index_path, id_col, text_col,
-            num_hashes=m["num_hashes"], bands=m["bands"],
-            shingle_n=m["shingle_n"], seed=m["seed"],
-            hash_fn=m["hash_fn"], mode="append", append_token=token,
-        )
+        finally:
+            hdocs.unpersist()
         _append_batch_registry(spark, f"{index_path}/batches", batch_id)
 
     return sink

@@ -1523,40 +1523,89 @@ def write_avro_files(
             )
 
             def make_blocks(batches):
+                """Group encoded records into uncompressed block bodies
+                with ZERO per-record Python work: an Arrow binary column
+                is one contiguous data buffer plus an offsets array, so
+                a block body — the concatenation of records i..j-1 — is
+                the single buffer slice data[offsets[i]:offsets[j]]
+                (guide §4.2). Cut points come from the offsets array
+                (numpy), preserving the exact per-record cut rule of the
+                old loop: append, then cut when count >= block_records
+                or bytes >= block_bytes. The r10 rewrite of the
+                to_pylist + per-record-append loop that dominated the
+                write probe."""
+                import numpy as np
                 import pyarrow as pa
 
-                pending: list[bytes] = []
+                pending: list = []  # buffer slices of the current block
                 pend_len = 0
+                pend_cnt = 0
                 rows: list[dict] = []
                 rows_len = 0
 
                 def cut() -> None:
-                    nonlocal pend_len, rows_len
+                    nonlocal pend_len, pend_cnt, rows_len
                     rows.append({
-                        "n_records": len(pending), "body": b"".join(pending)
+                        "n_records": pend_cnt,
+                        "body": (bytes(pending[0]) if len(pending) == 1
+                                 else b"".join(bytes(p) for p in pending)),
                     })
                     rows_len += pend_len
                     pending.clear()
                     pend_len = 0
+                    pend_cnt = 0
 
                 for b in batches:
-                    for rec_bytes in b.column(0).to_pylist():
-                        pending.append(rec_bytes)
-                        pend_len += len(rec_bytes)
-                        if len(pending) >= block_records or (
-                            block_bytes is not None
-                            and pend_len >= block_bytes
-                        ):
-                            cut()
-                            # cap each emitted Arrow batch by BYTES as
-                            # well as rows: a large block_bytes setting
-                            # must not multiply into a 16x-larger batch
-                            if len(rows) >= 16 or rows_len >= (32 << 20):
-                                yield pa.RecordBatch.from_pylist(
-                                    rows, schema=_blk_schema)
-                                rows = []
-                                rows_len = 0
-                if pending:
+                    arr = b.column(0)
+                    n = len(arr)
+                    if not n:
+                        continue
+                    bufs = arr.buffers()
+                    odt = (np.int64 if pa.types.is_large_binary(arr.type)
+                           else np.int32)
+                    # window the offsets by the array's slice offset;
+                    # values are absolute positions in the data buffer
+                    off = np.frombuffer(bufs[1], dtype=odt,
+                                        count=arr.offset + n + 1)[
+                        arr.offset:]
+                    data = memoryview(bufs[2] if bufs[2] is not None
+                                      else b"")
+                    idx = 0
+                    while idx < n:
+                        # smallest j where the count trips ...
+                        j = idx + (block_records - pend_cnt)
+                        # ... or the byte threshold trips (cut AFTER the
+                        # record that crosses it, hence the +1)
+                        if block_bytes is not None:
+                            jb = int(np.searchsorted(
+                                off, int(off[idx]) + block_bytes - pend_len,
+                                side="left"))
+                            if jb <= idx:
+                                jb = idx + 1
+                            j = min(j, jb)
+                        if j > n:
+                            # first trip point lies beyond this batch —
+                            # carry the tail (j == n trips exactly at
+                            # the batch end and must cut, like the old
+                            # per-record loop did)
+                            pending.append(data[off[idx]:off[n]])
+                            pend_len += int(off[n] - off[idx])
+                            pend_cnt += n - idx
+                            break
+                        pending.append(data[off[idx]:off[j]])
+                        pend_len += int(off[j] - off[idx])
+                        pend_cnt += j - idx
+                        cut()
+                        idx = j
+                        # cap each emitted Arrow batch by BYTES as well
+                        # as rows: a large block_bytes setting must not
+                        # multiply into a 16x-larger batch
+                        if len(rows) >= 16 or rows_len >= (32 << 20):
+                            yield pa.RecordBatch.from_pylist(
+                                rows, schema=_blk_schema)
+                            rows = []
+                            rows_len = 0
+                if pend_cnt:
                     cut()
                 if rows:
                     yield pa.RecordBatch.from_pylist(rows, schema=_blk_schema)
@@ -1635,48 +1684,83 @@ def write_avro_files(
             part = f"part-{pid:05d}{job_token}.avro"
             n_records = 0
             n_bytes = 0
-            pending: list[bytes] = []
+            pending: list = []  # buffer slices of the current block
             pend_len = 0
+            pend_cnt = 0
             fh = commit = None
             comp = _codec_pair(codec, codec_level)[0]
 
             def flush() -> int:
-                nonlocal pend_len
-                data = comp(b"".join(pending))
+                nonlocal pend_len, pend_cnt
+                data = comp(bytes(pending[0]) if len(pending) == 1
+                            else b"".join(bytes(p) for p in pending))
                 blk = bytearray()
-                _write_long(blk, len(pending))
+                _write_long(blk, pend_cnt)
                 _write_long(blk, len(data))
                 blk += data
                 blk += sync
                 fh.write(bytes(blk))
                 pending.clear()
                 pend_len = 0
+                pend_cnt = 0
                 return len(blk)
 
+            # per-record bytes become block bodies via offsets-array
+            # slicing of the Arrow data buffer — no per-record Python
+            # objects (guide §4.2; same cut rule as the three-stage
+            # compressed path above)
+            import numpy as np
+
             for b in batches:
-                for rec_bytes in b.column(0).to_pylist():
-                    if fh is None:
-                        fh, commit = _open_part(path, part, attempt, use_fs)
-                        header = bytearray()
-                        header += MAGIC
-                        _write_meta_map(
-                            header,
-                            {"avro.schema": schema_json,
-                             "avro.codec": codec.encode("ascii")},
-                        )
-                        header += sync
-                        fh.write(bytes(header))
-                        n_bytes += len(header)
-                    pending.append(rec_bytes)
-                    pend_len += len(rec_bytes)
-                    n_records += 1
-                    if len(pending) >= block_records or (
-                        block_bytes is not None and pend_len >= block_bytes
-                    ):
-                        n_bytes += flush()
+                arr = b.column(0)
+                n = len(arr)
+                if not n:
+                    continue
+                if fh is None:
+                    fh, commit = _open_part(path, part, attempt, use_fs)
+                    header = bytearray()
+                    header += MAGIC
+                    _write_meta_map(
+                        header,
+                        {"avro.schema": schema_json,
+                         "avro.codec": codec.encode("ascii")},
+                    )
+                    header += sync
+                    fh.write(bytes(header))
+                    n_bytes += len(header)
+                bufs = arr.buffers()
+                odt = (np.int64 if pa.types.is_large_binary(arr.type)
+                       else np.int32)
+                off = np.frombuffer(bufs[1], dtype=odt,
+                                    count=arr.offset + n + 1)[arr.offset:]
+                data = memoryview(bufs[2] if bufs[2] is not None
+                                  else b"")
+                n_records += n
+                idx = 0
+                while idx < n:
+                    j = idx + (block_records - pend_cnt)
+                    if block_bytes is not None:
+                        jb = int(np.searchsorted(
+                            off, int(off[idx]) + block_bytes - pend_len,
+                            side="left"))
+                        if jb <= idx:
+                            jb = idx + 1
+                        j = min(j, jb)
+                    if j > n:
+                        # j == n trips exactly at the batch end and
+                        # must cut (parity with the old per-record loop)
+                        pending.append(data[off[idx]:off[n]])
+                        pend_len += int(off[n] - off[idx])
+                        pend_cnt += n - idx
+                        break
+                    pending.append(data[off[idx]:off[j]])
+                    pend_len += int(off[j] - off[idx])
+                    pend_cnt += j - idx
+                    n_bytes += flush()
+                    idx = j
             if fh is None:
                 return
-            if pending:
+            if pend_cnt:
                 n_bytes += flush()
             fname = commit()
             yield pa.RecordBatch.from_pylist(

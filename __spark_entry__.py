@@ -2449,20 +2449,31 @@ def q_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize small intermediates to truncate the plan). Eager
     # localCheckpoints pin each stage's decisions exactly once; the
     # values are unchanged (oracle-verified).
-    # stage 1: exact — fingerprint index over the even corpus
+    # stage 1: exact — fingerprint index over the even corpus. The
+    # MinHash index build is INDEPENDENT of stage 1 (same corpus, its
+    # probe only needs stage-1 survivors), so it runs concurrently in a
+    # driver thread (guide §2.6: actions are only sequential because
+    # the driver calls them sequentially) and is joined right before
+    # the stage-2 probe needs it.
+    from concurrent.futures import ThreadPoolExecutor
+
     xi, mi = _fresh_dirs("incremental_curation", "cur_exact_", "cur_mh_")
-    X.write_exact_index(corpus, xi, n_buckets=16)
-    d1 = X.dedup_exact_against_index(spark, batch, xi).select(
-        "doc_id", F.col("keep").alias("keep_exact")
-    ).localCheckpoint(eager=True)
-    s1 = batch.join(d1.where("keep_exact").select("doc_id"), "doc_id",
-                    "left_semi").localCheckpoint(eager=True)
-    # stage 2: lexical near-dup — MinHash index over the same corpus,
-    # probing only the exact survivors (τ=0.5, the incremental_dedup
-    # gate's parameters)
-    D.write_minhash_index(corpus, mi, "doc_id", "text",
-                          num_hashes=64, bands=16, shingle_n=3, seed=1,
-                          hash_fn="portable_hash60")
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        mh_build = _pool.submit(
+            D.write_minhash_index, corpus, mi, "doc_id", "text",
+            num_hashes=64, bands=16, shingle_n=3, seed=1,
+            hash_fn="portable_hash60",
+        )
+        X.write_exact_index(corpus, xi, n_buckets=16)
+        d1 = X.dedup_exact_against_index(spark, batch, xi).select(
+            "doc_id", F.col("keep").alias("keep_exact")
+        ).localCheckpoint(eager=True)
+        s1 = batch.join(d1.where("keep_exact").select("doc_id"), "doc_id",
+                        "left_semi").localCheckpoint(eager=True)
+        # stage 2: lexical near-dup — MinHash index over the same corpus,
+        # probing only the exact survivors (τ=0.5, the incremental_dedup
+        # gate's parameters)
+        mh_build.result()
     near = D.dedup_against_index(spark, s1, mi, "doc_id", "text",
                                  threshold=0.5)
     d2 = s1.select("doc_id").join(

@@ -52,12 +52,57 @@ __all__ = [
 _CANONICAL = "part-00000-meta.parquet"
 
 
+#: fs.defaultFS locality per session (py4j round-trip amortized to one
+#: per session; keyed on the JVM SparkContext id so a restarted session
+#: with a different default FS re-detects)
+_DEFAULT_FS_LOCAL: dict = {}
+
+
+def _default_fs_is_local() -> bool:
+    """True iff the active session's Hadoop ``fs.defaultFS`` is the
+    local filesystem (or no session exists — plain-driver tooling).
+
+    Spark resolves BARE paths against the default FS, so on a cluster
+    whose default FS is HDFS/S3 a bare index path names a REMOTE
+    directory: writing its meta/registry rows to the driver's local
+    disk would let a restarted query on another driver silently replay
+    every batch (try_read_registry returns an empty set for a missing
+    local dir). Bare paths therefore take the fast path only when the
+    default FS really is file:// — otherwise they fall back to the
+    Spark route, which resolves them exactly as the data tables are.
+    Explicit ``file:`` URIs are unambiguous and skip this check.
+    """
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return True
+        key = id(spark.sparkContext._jsc)
+        hit = _DEFAULT_FS_LOCAL.get(key)
+        if hit is None:
+            fs = (
+                spark.sparkContext._jsc.hadoopConfiguration()
+                .get("fs.defaultFS") or "file:///"
+            )
+            hit = _DEFAULT_FS_LOCAL[key] = fs.startswith("file:")
+        return hit
+    except Exception:
+        # cannot tell — take the safe (Spark) route
+        return False
+
+
 def _local_dir(uri: str) -> "str | None":
-    """Filesystem path when ``uri`` is local (bare path or file: URI),
-    else None — same classification as avro_ocf's byte-read seam."""
+    """Filesystem path when ``uri`` is reachable by plain ``open()``
+    AND names the same directory Spark would resolve (file: URI, or a
+    bare path while fs.defaultFS is local), else None."""
     from ..sources.avro_ocf import _is_local, _local_path
 
-    return _local_path(uri) if _is_local(uri) else None
+    if not _is_local(uri):
+        return None
+    if not uri.startswith("file:") and not _default_fs_is_local():
+        return None
+    return _local_path(uri)
 
 
 def _pa_type(kind: str):
@@ -182,8 +227,17 @@ def try_read_registry(uri: str) -> "set[int] | None":
     out: set[int] = set()
     for f in _dir_parquet_files(d):
         t = pq.read_table(f)
-        if t.num_columns:
-            out.update(v.as_py() for v in t.column(0))
+        if t.num_rows == 0:
+            continue
+        if "batch_id" not in t.schema.names:
+            # resolve by NAME like the Spark route — a registry file
+            # with extra/reordered columns must not be silently misread
+            # as batch ids (ADVICE r10)
+            raise ValueError(
+                f"batch registry file {f!r} has no 'batch_id' column "
+                f"(schema: {t.schema.names}) — registry is corrupt"
+            )
+        out.update(v.as_py() for v in t.column("batch_id"))
     return out
 
 

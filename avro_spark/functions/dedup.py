@@ -32,6 +32,40 @@ from .text import let, normalize_text, ws_tokens
 # Mersenne-31 prime: keeps a*h + b < 2^62, safely inside signed int64
 _MERSENNE = (1 << 31) - 1
 
+#: below this many bytes of on-disk table, a probe's candidate-id
+#: pushdown cannot prune anything (the whole table is at most one scan
+#: task) and its materialize+collect actions are pure overhead — the
+#: probes skip it and run as ONE action. At corpus scale the table
+#: crosses the threshold immediately and the pushdown engages as before.
+_PUSHDOWN_MIN_INDEX_BYTES = 32 * 1024 * 1024
+
+
+def _dir_bytes_at_least(uri: str, threshold: int) -> bool:
+    """True when the parquet data under ``uri`` totals >= ``threshold``
+    bytes. Local dirs stat lazily with early exit (a few µs per file);
+    non-local URIs return True — remote listings can be slow, and a
+    remote scan is exactly where pruning pays, so never skip it there.
+    """
+    if threshold <= 0:
+        return True
+    import os
+
+    from ..sources.avro_ocf import _is_local, _local_path
+
+    if not _is_local(uri):
+        return True
+    total = 0
+    for root, _dirs, files in os.walk(_local_path(uri)):
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+                if total >= threshold:
+                    return True
+    return total >= threshold
+
 
 def portable_hash60(col: Column) -> Column:
     """60-bit integer hash reproducible in ANSI SQL engines: the first 15
@@ -528,6 +562,16 @@ def _write_minhash_index_unlocked(
     hdocs = (_hashed_docs(df, id_col, text_col, shingle_n, fn).persist()
              if own_hdocs else _hdocs)
     try:
+        # materialize the hashed form ONCE up front, then run the two
+        # independent table writes CONCURRENTLY (guide §2.6: actions are
+        # only sequential because the driver calls them sequentially).
+        # Without the count the parallel writes would race to compute
+        # the unmaterialized cache and hash the corpus twice; with it,
+        # wall time is hash + max(write) instead of hash + sum(writes),
+        # and one write's driver-side planning overlaps the other's
+        # execution.
+        hdocs.count()
+
         # DATA-SKIPPING LAYOUT: range-partition + sort each table by its
         # probe key so every parquet file/row-group covers a tight key
         # range and carries min/max stats. The probe pushes the bounded
@@ -536,20 +580,33 @@ def _write_minhash_index_unlocked(
         # probe reads ~|candidates| worth of the shingle store instead
         # of full-scanning a near-corpus-sized table. Appends sort their
         # own batch the same way (per-file stats stay tight per batch).
-        hdocs.select(
-            F.col("_id").alias("id"),
-            F.array_sort(F.array_distinct(F.col("_hh"))).alias("shh"),
-        ).repartitionByRange("id").sortWithinPartitions("id") \
-            .write.mode(mode) \
-            .parquet(_vdir(path, "shingles", versions.get("shingles", 0)))
-        _band_rows_from_hashes(
-            _explode_mod(hdocs), num_hashes, bands, seed
-        ).select(
-            "band", "bucket", F.col("_id").alias("id")
-        ).repartitionByRange("band", "bucket") \
-            .sortWithinPartitions("band", "bucket") \
-            .write.mode(mode) \
-            .parquet(_vdir(path, "bands", versions.get("bands", 0)))
+        def _write_shingles() -> None:
+            hdocs.select(
+                F.col("_id").alias("id"),
+                F.array_sort(F.array_distinct(F.col("_hh"))).alias("shh"),
+            ).repartitionByRange("id").sortWithinPartitions("id") \
+                .write.mode(mode) \
+                .parquet(_vdir(path, "shingles", versions.get("shingles", 0)))
+
+        def _write_bands() -> None:
+            _band_rows_from_hashes(
+                _explode_mod(hdocs), num_hashes, bands, seed
+            ).select(
+                "band", "bucket", F.col("_id").alias("id")
+            ).repartitionByRange("band", "bucket") \
+                .sortWithinPartitions("band", "bucket") \
+                .write.mode(mode) \
+                .parquet(_vdir(path, "bands", versions.get("bands", 0)))
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            futs = [ex.submit(_write_shingles), ex.submit(_write_bands)]
+            # surface the FIRST failure (both futures always complete —
+            # the with-block joins the pool), leaving the in-flight
+            # marker in place so probes fail loudly, as before
+            for f in futs:
+                f.result()
     finally:
         if own_hdocs:
             hdocs.unpersist()
@@ -686,6 +743,7 @@ def dedup_against_index(
     broadcast_batch: bool = True,
     candidate_pushdown: bool = True,
     max_pushdown_ids: int = 5_000,
+    pushdown_min_index_bytes: int = _PUSHDOWN_MIN_INDEX_BYTES,
     _hdocs: "DataFrame | None" = None,
 ) -> DataFrame:
     """Near-dup pairs of a NEW batch against a persisted corpus index —
@@ -761,23 +819,37 @@ def dedup_against_index(
         .select(F.col("id").alias("corpus_id"), "new_id")
         .distinct()
     )
-    sh_scan = spark.read.parquet(
-        _vdir(path, "shingles", m["versions"].get("shingles", 0)))
+    sh_dir = _vdir(path, "shingles", m["versions"].get("shingles", 0))
+    sh_scan = spark.read.parquet(sh_dir)
+    if candidate_pushdown and not _dir_bytes_at_least(
+        sh_dir, pushdown_min_index_bytes
+    ):
+        # SCALE-ADAPTIVE (guide §1.2): below one scan task's worth of
+        # shingle store the pushdown prunes nothing, and its
+        # checkpoint + bounded collect are two extra actions per probe
+        # — run the whole probe as ONE action instead. Results are
+        # identical either way (pinned by
+        # test_candidate_pushdown_prunes_the_shingle_scan).
+        candidate_pushdown = False
     if candidate_pushdown:
         # materialize the candidate pairs ONCE (they're what the verify
         # stage exists to score — tiny by LSH design; localCheckpoint
-        # truncates lineage so the bands join never re-runs) and push
-        # the bounded corpus-id set into the shingles scan, where the
-        # range-sorted layout turns it into row-group/file pruning
+        # truncates lineage so the bands join never re-runs), then pull
+        # the BOUNDED pair set to the driver in one cheap take over the
+        # checkpointed partitions. Under the cap the candidates become a
+        # LOCAL relation — the verify join plans against ~KBs of local
+        # rows instead of re-reading the checkpoint, and the distinct
+        # corpus-id set (derived in-driver, no extra distinct job)
+        # pushes into the shingles scan, where the range-sorted layout
+        # turns it into row-group/file pruning.
         cand = cand.localCheckpoint(eager=True)
-        ids = [
-            r[0]
-            for r in cand.select("corpus_id").distinct()
-            .limit(max_pushdown_ids + 1).collect()
-        ]
-        if len(ids) <= max_pushdown_ids:
+        rows = cand.limit(max_pushdown_ids + 1).collect()
+        if len(rows) <= max_pushdown_ids:
+            cand = spark.createDataFrame(rows, cand.schema)
+            ids = list({r[0] for r in rows})
             sh_scan = sh_scan.where(F.col("id").isin(ids))
-        # else: adversarial candidate blow-up — keep the streaming join
+        # else: adversarial candidate blow-up — keep the checkpointed
+        # streaming join (driver state stays bounded by the cap)
     # dropDuplicates: a RETRIED append re-appends its rows — one shingle
     # row per id keeps the verify join from emitting duplicate pairs
     # (band-row duplicates are absorbed by the candidate .distinct());

@@ -269,6 +269,7 @@ def dedup_exact_against_index(
     text_col: str = "text",
     max_pushdown_fps: int = 5_000,
     max_literal_fps: int = 256,
+    pushdown_min_index_bytes: "Optional[int]" = None,
 ) -> DataFrame:
     """Annotate each batch row with its exact-dup status against the
     index: (<id>, fingerprint, dup_of, keep) — ``dup_of`` is the LOWEST
@@ -308,15 +309,32 @@ def dedup_exact_against_index(
         _native_id(id_col).alias(id_col),
         _checked_fp(text_col).alias("fingerprint"),
     )
-    fpb = (
-        bf.select("fingerprint").distinct()
-        .select("fingerprint",
-                _bucket_expr(F.col("fingerprint"), m["n_buckets"])
-                .alias("bucket"))
-        .limit(max_pushdown_fps + 1).collect()
-    )
     idx = spark.read.parquet(_fps_dir(path, m))
-    if len(fpb) <= max_pushdown_fps:
+    from .dedup import _PUSHDOWN_MIN_INDEX_BYTES, _dir_bytes_at_least
+
+    if pushdown_min_index_bytes is None:
+        pushdown_min_index_bytes = _PUSHDOWN_MIN_INDEX_BYTES
+    if not _dir_bytes_at_least(_fps_dir(path, m), pushdown_min_index_bytes):
+        # SCALE-ADAPTIVE (r11, guide §1.2): below one scan task's worth
+        # of fps store neither pruning lever can cut IO, and the
+        # fingerprint collect is an extra action per probe — attach the
+        # batch fingerprints with the broadcast join and run the whole
+        # probe as ONE action. Identical answers (pinned by
+        # test_pushdown_and_fallback).
+        fpb = None
+        idx = idx.join(
+            F.broadcast(bf.select("fingerprint").distinct()), "fingerprint")
+    else:
+        fpb = (
+            bf.select("fingerprint").distinct()
+            .select("fingerprint",
+                    _bucket_expr(F.col("fingerprint"), m["n_buckets"])
+                    .alias("bucket"))
+            .limit(max_pushdown_fps + 1).collect()
+        )
+    if fpb is None:
+        pass
+    elif len(fpb) <= max_pushdown_fps:
         fplist = [r["fingerprint"] for r in fpb]
         buckets = sorted({int(r["bucket"]) for r in fpb})
         if not fplist:

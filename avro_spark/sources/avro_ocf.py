@@ -1560,6 +1560,16 @@ def write_avro_files(
                     n = len(arr)
                     if not n:
                         continue
+                    if arr.null_count:
+                        # a null encoded record would be framed as a
+                        # ZERO-BYTE record (counted in the header, no
+                        # body bytes) and silently desync the block —
+                        # fail loudly instead (ADVICE r10)
+                        raise ValueError(
+                            "write_avro_files: encoded-record column "
+                            f"contains {arr.null_count} null(s) — "
+                            "cannot frame null records into OCF blocks"
+                        )
                     bufs = arr.buffers()
                     odt = (np.int64 if pa.types.is_large_binary(arr.type)
                            else np.int32)
@@ -1728,6 +1738,14 @@ def write_avro_files(
                     header += sync
                     fh.write(bytes(header))
                     n_bytes += len(header)
+                if arr.null_count:
+                    # see make_blocks: a null record must fail loudly,
+                    # not desync the block framing (ADVICE r10)
+                    raise ValueError(
+                        "write_avro_files: encoded-record column "
+                        f"contains {arr.null_count} null(s) — cannot "
+                        "frame null records into OCF blocks"
+                    )
                 bufs = arr.buffers()
                 odt = (np.int64 if pa.types.is_large_binary(arr.type)
                        else np.int32)

@@ -263,7 +263,8 @@ def test_candidate_pushdown_prunes_the_shingle_scan(spark, tmp_path):
     idx = str(tmp_path / "pushdown")
     D.write_minhash_index(corpus, idx, "doc_id", "text",
                           num_hashes=16, bands=4)
-    pushed = D.dedup_against_index(spark, batch, idx, "doc_id", "text")
+    pushed = D.dedup_against_index(spark, batch, idx, "doc_id", "text",
+                                   pushdown_min_index_bytes=0)
     plan = pushed._jdf.queryExecution().executedPlan().toString()
     assert "In(id" in plan, plan[:2000]
     streamed = D.dedup_against_index(spark, batch, idx, "doc_id", "text",
@@ -271,10 +272,18 @@ def test_candidate_pushdown_prunes_the_shingle_scan(spark, tmp_path):
     assert "In(id" not in (
         streamed._jdf.queryExecution().executedPlan().toString())
     assert _probe_set(pushed) == _probe_set(streamed) and _probe_set(pushed)
+    # r11 size-adaptive default: a tiny index (below one scan task)
+    # skips the pushdown's extra actions — no In(id...) in the plan,
+    # IDENTICAL pairs
+    adaptive = D.dedup_against_index(spark, batch, idx, "doc_id", "text")
+    assert "In(id" not in (
+        adaptive._jdf.queryExecution().executedPlan().toString())
+    assert _probe_set(adaptive) == _probe_set(pushed)
     # adversarial candidate blow-up: a cap smaller than the candidate
     # set falls back to the streaming join, same answer
     capped = D.dedup_against_index(spark, batch, idx, "doc_id", "text",
-                                   max_pushdown_ids=1)
+                                   max_pushdown_ids=1,
+                                   pushdown_min_index_bytes=0)
     assert _probe_set(capped) == _probe_set(pushed)
 
 

@@ -110,16 +110,25 @@ def test_pushdown_and_fallback(spark, tmp_path):
     docs, batch = _docs(spark), _mutated(spark)
     idx = str(tmp_path / "push")
     X.write_exact_index(docs, idx, n_buckets=16)
-    probed = X.dedup_exact_against_index(spark, batch, idx)
+    probed = X.dedup_exact_against_index(spark, batch, idx,
+                                         pushdown_min_index_bytes=0)
     plan = probed._jdf.queryExecution().executedPlan().toString()
     pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert any("bucket" in g for g in pf), plan[:2000]
     assert "In(fingerprint" in plan, plan[:2000]
     fb = X.dedup_exact_against_index(spark, batch, idx,
-                                     max_pushdown_fps=1)
+                                     max_pushdown_fps=1,
+                                     pushdown_min_index_bytes=0)
     assert "In(fingerprint" not in (
         fb._jdf.queryExecution().executedPlan().toString())
     assert _decisions(fb) == _decisions(probed)
+    # r11 size-adaptive default: a tiny index skips the fingerprint
+    # collect (single-action probe, broadcast-join attach) — no
+    # In(fingerprint...) pushdown, IDENTICAL decisions
+    adaptive = X.dedup_exact_against_index(spark, batch, idx)
+    assert "In(fingerprint" not in (
+        adaptive._jdf.queryExecution().executedPlan().toString())
+    assert _decisions(adaptive) == _decisions(probed)
 
 
 def test_string_ids_and_empty_index(spark, tmp_path):

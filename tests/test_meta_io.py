@@ -134,3 +134,56 @@ def test_file_uri_is_local(tmp_path):
     assert M.try_write_meta_row(f"file://{meta_fs}",
                                 [("status", "string", "committed")])
     assert M.try_read_meta_row(meta_fs) == {"status": "committed"}
+
+
+def test_registry_resolves_batch_id_by_name(spark, tmp_path):
+    """ADVICE r10: the fast path must read the 'batch_id' column by
+    NAME — a registry file with extra or reordered columns is either
+    read correctly or refused loudly, never positionally misread."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    reg = tmp_path / "reg"
+    os.makedirs(reg)
+    # extra leading column: positional column-0 would misread 'junk'
+    pq.write_table(
+        pa.table({"junk": [999], "batch_id": [7]}),
+        str(reg / "part-a.parquet"),
+    )
+    assert M.try_read_registry(str(reg)) == {7}
+    # no batch_id column at all → loud, not silent misread
+    pq.write_table(pa.table({"junk": [1]}), str(reg / "part-b.parquet"))
+    with pytest.raises(ValueError, match="no 'batch_id' column"):
+        M.try_read_registry(str(reg))
+
+
+def test_bare_paths_respect_default_fs(spark, tmp_path):
+    """ADVICE r10 (medium): when fs.defaultFS is non-local, Spark
+    resolves a BARE index path remotely — the driver-local fast path
+    must decline it (fall back to the Spark route) or meta/registry
+    rows would land on the driver's disk while data tables go to the
+    cluster FS. Explicit file: URIs stay on the fast path."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old = hconf.get("fs.defaultFS")
+    M._DEFAULT_FS_LOCAL.clear()
+    try:
+        hconf.set("fs.defaultFS", "hdfs://nn:9000/")
+        bare = str(tmp_path / "remote_idx" / "meta")
+        assert M.try_write_meta_row(
+            bare, [("status", "string", "committed")]) is False
+        assert M.try_read_meta_row(bare) is None
+        assert M.try_read_registry(str(tmp_path / "b")) is None
+        assert M.try_append_registry_row(str(tmp_path / "b"), 1) is False
+        # explicit file: URI is unambiguous — fast path stays on
+        fs_meta = str(tmp_path / "local_idx" / "meta")
+        M._DEFAULT_FS_LOCAL.clear()
+        assert M.try_write_meta_row(
+            f"file://{fs_meta}", [("status", "string", "committed")])
+        assert M.try_read_meta_row(f"file://{fs_meta}") == {
+            "status": "committed"}
+    finally:
+        if old is None:
+            hconf.unset("fs.defaultFS")
+        else:
+            hconf.set("fs.defaultFS", old)
+        M._DEFAULT_FS_LOCAL.clear()

@@ -56,6 +56,7 @@ from .similarity import (
     _normalize_rows,
     as_double,
     dot,
+    dot_fast,
     l2_norm,
     pq_codes,
     pq_reconstruct,
@@ -479,7 +480,7 @@ def knn_ivfpq_indexed(
     approx = cand.select(
         F.col(query_id_col),
         F.col(id_col),
-        F.when(denom > 0, dot("_rv", "_qv") / denom)
+        F.when(denom > 0, dot_fast("_rv", "_qv") / denom)
         .otherwise(F.lit(0.0))
         .alias("_ac"),
     )
@@ -512,7 +513,7 @@ def knn_ivfpq_indexed(
         .select(
             query_id_col,
             id_col,
-            F.when(denom2 > 0, dot("_v", "_qv") / denom2)
+            F.when(denom2 > 0, dot_fast("_v", "_qv") / denom2)
             .otherwise(F.lit(0.0))
             .alias("cosine"),
         )

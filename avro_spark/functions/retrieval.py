@@ -58,7 +58,14 @@ def bm25_scores(
     )
     # dl needs no aggregation at all — it is the token-array length
     dl = base.select("_doc", F.size("_t").alias("dl"))
-    toks = base.select("_doc", F.explode("_t").alias("term"))
+    # carry dl THROUGH the explode (size() is O(1) array metadata): the
+    # per-doc length rides on every token row, so tf can keep it in its
+    # aggregate and the full-corpus (doc_id, dl) shuffle join the r10
+    # plan paid — the only corpus-wide shuffle left then — disappears,
+    # along with one of the plan's three tokenize passes (guide §2.4)
+    toks = base.select("_doc", "_t", F.explode("_t").alias("term")).select(
+        "_doc", F.size("_t").alias("dl"), "term"
+    )
     qterms = queries.select(
         F.col(query_id).alias("_q"),
         F.explode(F.array_distinct(ws_tokens(F.lower(F.col(query_text))))).alias(
@@ -68,8 +75,15 @@ def bm25_scores(
     qterm_set = qterms.select("term").distinct()
     # broadcast-filter FIRST: only query-term tokens reach the shuffle
     cand_toks = toks.join(F.broadcast(qterm_set), "term")
-    tf = cand_toks.groupBy("_doc", "term").agg(F.count("*").alias("tf"))
-    df_ = tf.groupBy("term").agg(F.countDistinct("_doc").alias("df"))
+    tf = cand_toks.groupBy("_doc", "term").agg(
+        F.count("*").alias("tf"), F.max("dl").alias("dl")
+    )
+    # df via a window over tf — tf rows are distinct (doc, term), so
+    # count-per-term IS the document frequency. The former
+    # groupBy(term) + broadcast join re-inlined (and so re-executed)
+    # the whole tokenize+tf subtree once more per action; the window is
+    # one small exchange over the already-filtered tf rows instead.
+    df_w = Window.partitionBy("term")
     n_docs = docs.select(F.count("*").alias("n")).withColumn("_k", F.lit(1))
     # average over documents WITH tokens (token-less docs can never be
     # candidates and the standard avgdl convention excludes them)
@@ -78,8 +92,9 @@ def bm25_scores(
         .agg(F.avg("dl").alias("avgdl"))
         .withColumn("_k", F.lit(1))
     )
-    post = tf.join(dl, "_doc")
-    cand = post.join(F.broadcast(qterms), "term").join(F.broadcast(df_), "term")
+    cand = tf.withColumn("df", F.count("*").over(df_w)).join(
+        F.broadcast(qterms), "term"
+    )
     scored = (
         cand.withColumn("_k", F.lit(1))
         .join(F.broadcast(n_docs), "_k")

@@ -52,6 +52,7 @@ from .similarity import (
     _normalize_rows,
     as_double,
     dot,
+    dot_fast,
     l2_norm,
 )
 
@@ -131,7 +132,7 @@ def semantic_dedup(
     )
     pairs = _pair_candidates(a, id_col)
     denom = F.col("_lo_n") * F.col("_hi_n")
-    cos = F.when(denom > 0, dot("_lo_v", "_hi_v") / denom).otherwise(
+    cos = F.when(denom > 0, dot_fast("_lo_v", "_hi_v") / denom).otherwise(
         F.lit(0.0))
     drops = pairs.where(cos >= F.lit(float(threshold))) \
         .groupBy("_hi_id").agg(F.min("_lo_id").alias("dup_of"))

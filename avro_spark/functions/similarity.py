@@ -66,8 +66,38 @@ def dot(a: "Column | str", b: "Column | str", dim: Optional[int] = None) -> Colu
     )
 
 
+def dot_fast(a: "Column | str", b: "Column | str",
+             dim: Optional[int] = None) -> Column:
+    """:func:`dot` evaluated by the compiled JVM UDF when the codec jar
+    is available — a tight Java loop with the IDENTICAL strict
+    left-fold multiply-then-accumulate order (bit-equal results,
+    pinned by tests/test_embeddings.py::test_jvm_dot_bit_equals_hof),
+    measured ~2× faster on million-pair verify joins because the HOF
+    form is CodegenFallback (two interpreted lambda evaluations per
+    element per row). Falls back to the HOF form without a JDK.
+
+    TOP-LEVEL columns only: a UDF cannot reference the lambda
+    variables of a higher-order function — inside ``transform``/
+    ``aggregate`` lambdas keep using :func:`dot`."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        from .. import jvm as J
+
+        try:
+            fn = J.dot_jvm(spark)
+        except Exception:  # pragma: no cover - defensive (no JVM handle)
+            fn = None
+        if fn is not None:
+            aa = F.col(a) if isinstance(a, str) else a
+            bb = F.col(b) if isinstance(b, str) else b
+            return F.call_udf(fn, aa, bb)
+    return dot(a, b, dim)
+
+
 def l2_norm(a: "Column | str", dim: Optional[int] = None) -> Column:
-    return F.sqrt(dot(a, a, dim))
+    return F.sqrt(dot_fast(a, a, dim))
 
 
 def cosine(a: Column, b: Column, dim: Optional[int] = None) -> Column:
@@ -156,7 +186,7 @@ def knn_bruteforce(
         F.col(id_col),
         F.when(
             denom > 0,
-            dot(vec_col, query_vec_col, dim) / denom,
+            dot_fast(vec_col, query_vec_col, dim) / denom,
         )
         .otherwise(F.lit(0.0))
         .alias("cosine"),
@@ -418,7 +448,7 @@ def knn_ivf(
         F.col(id_col),
         F.when(
             denom > 0,
-            dot(vec_col, query_vec_col, dim) / denom,
+            dot_fast(vec_col, query_vec_col, dim) / denom,
         )
         .otherwise(F.lit(0.0))
         .alias("cosine"),
@@ -1289,7 +1319,7 @@ def knn_ivf_indexed(
     scored = cand.select(
         F.col(query_id_col),
         F.col(id_col),
-        F.when(denom > 0, dot(vec_col, query_vec_col, dim) / denom)
+        F.when(denom > 0, dot_fast(vec_col, query_vec_col, dim) / denom)
         .otherwise(F.lit(0.0))
         .alias("cosine"),
     )
@@ -1414,7 +1444,7 @@ def cosine_lsh_pairs(
             "id_b",
             F.when(
                 denom > 0,
-                dot("v_a", "v_b", dim) / denom,
+                dot_fast("v_a", "v_b", dim) / denom,
             )
             .otherwise(F.lit(0.0))
             .alias("cosine"),
@@ -1694,7 +1724,7 @@ def knn_pq(
     scored = joined.select(
         F.col(query_id_col),
         F.col(id_col),
-        F.when(denom > 0, dot("_rv", "_qv") / denom)
+        F.when(denom > 0, dot_fast("_rv", "_qv") / denom)
         .otherwise(F.lit(0.0))
         .alias("approx_cosine"),
     )
@@ -1779,7 +1809,7 @@ def knn_ivfpq(
     scored = cand.select(
         F.col(query_id_col),
         F.col(id_col),
-        F.when(denom > 0, dot("_rv", "_qv") / denom)
+        F.when(denom > 0, dot_fast("_rv", "_qv") / denom)
         .otherwise(F.lit(0.0))
         .alias("approx_cosine"),
     )
@@ -1844,7 +1874,7 @@ def decontaminate_embeddings(
         .select(
             F.col(id_col),
             F.col(eval_id_col),
-            F.when(denom > 0, dot(vec_col, "_ev") / denom)
+            F.when(denom > 0, dot_fast(vec_col, "_ev") / denom)
             .otherwise(F.lit(0.0))
             .alias("cosine"),
         )

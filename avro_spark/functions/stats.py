@@ -78,12 +78,15 @@ def tfidf_topk(
         F.explode(ws_tokens(F.lower(F.col(text)))).alias("term"),
     )
     tf = toks.groupBy("_doc", "term").agg(F.count("*").alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.select(F.countDistinct(F.col(doc_id)).alias("n")).withColumn(
         "_k", F.lit(1)
     )
     scored = (
-        tf.join(df_, "term")
+        # df via a window over tf — tf rows are distinct (doc, term), so
+        # count-per-term IS the document frequency; the former
+        # groupBy(term) + join re-executed the whole tokenize+tf
+        # subtree a second time per action (no CSE across self-joins)
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
         .withColumn("_k", F.lit(1))
         .join(F.broadcast(n_docs), "_k")
         .select(

@@ -414,6 +414,221 @@ public final class AvroCodecUDF {
   }
 
   // ----------------------------------------------------------- UDF fronts
+  // --------------------------------------------- vector-scoring UDFs
+  // Parsed double-matrix/cube caches, keyed by the literal JSON string
+  // (same memoization pattern as schemaOf): parse once per executor,
+  // reuse across every row of every task.
+  private static final Map<String, double[][]> MAT_CACHE = new ConcurrentHashMap<>();
+  private static final Map<String, double[][][]> CUBE_CACHE = new ConcurrentHashMap<>();
+  private static final Map<String, double[][]> CUBE_CC_CACHE = new ConcurrentHashMap<>();
+
+  private static double[][] matOf(String json) {
+    return MAT_CACHE.computeIfAbsent(json, AvroCodecUDF::parseMat);
+  }
+
+  private static double[][] parseMat(String json) {
+    try {
+      com.fasterxml.jackson.databind.ObjectMapper om =
+          new com.fasterxml.jackson.databind.ObjectMapper();
+      return om.readValue(json, double[][].class);
+    } catch (java.io.IOException e) {
+      throw new RuntimeException("bad matrix json", e);
+    }
+  }
+
+  private static double[][][] cubeOf(String json) {
+    return CUBE_CACHE.computeIfAbsent(json, s -> {
+      try {
+        com.fasterxml.jackson.databind.ObjectMapper om =
+            new com.fasterxml.jackson.databind.ObjectMapper();
+        return om.readValue(s, double[][][].class);
+      } catch (java.io.IOException e) {
+        throw new RuntimeException("bad codebook json", e);
+      }
+    });
+  }
+
+  /** Per-(subspace, code) dot(c, c), strict left fold — the
+   *  code-independent term of the PQ assignment score, computed once
+   *  per codebook literal instead of once per row. */
+  private static double[][] cubeCC(String json) {
+    return CUBE_CC_CACHE.computeIfAbsent(json, s -> {
+      double[][][] books = cubeOf(s);
+      double[][] cc = new double[books.length][];
+      for (int b = 0; b < books.length; b++) {
+        cc[b] = new double[books[b].length];
+        for (int c = 0; c < books[b].length; c++) {
+          double acc = 0.0;
+          for (double x : books[b][c]) acc += x * x;
+          cc[b][c] = acc;
+        }
+      }
+      return cc;
+    });
+  }
+
+  /**
+   * Nearest centroid id (ties → lowest id) over a NORMALIZED centroid
+   * matrix passed as a JSON literal — the JVM form of the
+   * transform+array_max struct fold in similarity._argmax_centroid,
+   * with identical float semantics: sims are strict left-fold dots,
+   * comparison is Spark's double ordering (Double.compare — NaN
+   * largest, -0.0 < 0.0), a null element nulls that sim (nulls sort
+   * FIRST in the struct ordering, so null sims lose to any real sim,
+   * and an all-null row resolves to id 0 like the SQL form).
+   */
+  public static final class ArgmaxCentroid
+      implements UDF2<String, scala.collection.Seq<Object>, Integer> {
+    @Override
+    public Integer call(String matJson, scala.collection.Seq<Object> v) {
+      if (v == null) return null;
+      double[][] mat = matOf(matJson);
+      int n = v.size();
+      double[] vv = new double[n];
+      boolean anyNull = false;
+      for (int i = 0; i < n; i++) {
+        Object o = v.apply(i);
+        if (o == null) { anyNull = true; break; }
+        vv[i] = ((Number) o).doubleValue();
+      }
+      int best = 0;
+      boolean haveBest = false;
+      double bestSim = 0.0;
+      for (int ci = 0; ci < mat.length; ci++) {
+        double[] c = mat[ci];
+        if (anyNull || c.length != n) continue;  // null sim: never wins
+        double acc = 0.0;
+        for (int j = 0; j < n; j++) acc += vv[j] * c[j];
+        if (!haveBest || Double.compare(acc, bestSim) > 0) {
+          haveBest = true;
+          bestSim = acc;
+          best = ci;
+        }
+      }
+      return best;  // all-null sims -> 0, matching the SQL fold
+    }
+  }
+
+  /**
+   * PQ code array (m ints) for one vector against JSON codebooks — the
+   * JVM form of similarity.pq_codes: per subspace, argmin of
+   * -2*dot(s,c) + dot(c,c) with ties → lowest code id, identical float
+   * semantics (strict left-fold dots, (-2.0*dot)+cc rounding order,
+   * Double.compare ordering). A null element in the subvector nulls
+   * every score of that subspace; the SQL struct fold then returns
+   * code 0 (nulls sort first under array_min), replicated here.
+   */
+  public static final class PqCodes
+      implements UDF2<String, scala.collection.Seq<Object>, java.util.List<Integer>> {
+    @Override
+    public java.util.List<Integer> call(String booksJson, scala.collection.Seq<Object> v) {
+      if (v == null) return null;
+      double[][][] books = cubeOf(booksJson);
+      double[][] cc = cubeCC(booksJson);
+      int m = books.length;
+      int sub = m > 0 ? books[0][0].length : 0;
+      int n = v.size();
+      double[] vv = new double[n];
+      boolean[] isNull = new boolean[n];
+      for (int i = 0; i < n; i++) {
+        Object o = v.apply(i);
+        if (o == null) isNull[i] = true;
+        else vv[i] = ((Number) o).doubleValue();
+      }
+      java.util.ArrayList<Integer> out = new java.util.ArrayList<>(m);
+      for (int s = 0; s < m; s++) {
+        int from = s * sub;
+        // SQL slice(v, pos, len) clamps at the array end; a short or
+        // null-holding slice nulls the dot and the fold yields code 0
+        boolean bad = from + sub > n;
+        if (!bad) {
+          for (int j = from; j < from + sub; j++) {
+            if (isNull[j]) { bad = true; break; }
+          }
+        }
+        int bestC = 0;
+        if (!bad) {
+          boolean have = false;
+          double bestD = 0.0;
+          for (int ci = 0; ci < books[s].length; ci++) {
+            double[] c = books[s][ci];
+            if (c.length != sub) continue;
+            double acc = 0.0;
+            for (int j = 0; j < sub; j++) acc += vv[from + j] * c[j];
+            double d2 = (-2.0 * acc) + cc[s][ci];
+            if (!have || Double.compare(d2, bestD) < 0) {
+              have = true;
+              bestD = d2;
+              bestC = ci;
+            }
+          }
+        }
+        out.add(bestC);
+      }
+      return out;
+    }
+  }
+
+  /**
+   * PQ reconstruction: concatenation of the selected codebook entries —
+   * the JVM form of similarity.pq_reconstruct (flatten ∘ zip_with ∘
+   * element_at). Null codes array → null; a null/out-of-range code
+   * nulls its sub-array, and SQL flatten of a null sub-array is NULL —
+   * replicated here.
+   */
+  public static final class PqReconstruct
+      implements UDF2<String, scala.collection.Seq<Object>, java.util.List<Double>> {
+    @Override
+    public java.util.List<Double> call(String booksJson, scala.collection.Seq<Object> codes) {
+      if (codes == null) return null;
+      double[][][] books = cubeOf(booksJson);
+      int m = books.length;
+      int nc = codes.size();
+      int top = Math.max(m, nc);  // zip_with pads the shorter side
+      java.util.ArrayList<Double> out = new java.util.ArrayList<>(
+          m > 0 ? m * books[0][0].length : 0);
+      for (int s = 0; s < top; s++) {
+        if (s >= m || s >= nc) return null;  // padded null sub-array
+        Object c = codes.apply(s);
+        if (c == null) return null;
+        int ci = ((Number) c).intValue();
+        if (ci < 0 || ci >= books[s].length) return null;  // element_at null
+        for (double x : books[s][ci]) out.add(x);
+      }
+      return out;
+    }
+  }
+
+  /**
+   * Strict left-fold dot product in double — bit-identical to the
+   * zip_with+aggregate SQL form the vector operators use (same
+   * multiply-then-accumulate rounding order; null on length mismatch or
+   * any null element, exactly like zip_with's null padding propagating
+   * through the fold), but evaluated as one tight JVM loop instead of
+   * per-element interpreted lambda calls (HigherOrderFunction is
+   * CodegenFallback, so a big verify join pays ~2 interpreted
+   * evaluations per element per row).
+   */
+  public static final class Dot
+      implements UDF2<scala.collection.Seq<Object>, scala.collection.Seq<Object>, Double> {
+    @Override
+    public Double call(scala.collection.Seq<Object> a, scala.collection.Seq<Object> b) {
+      if (a == null || b == null) return null;
+      int n = a.size();
+      if (b.size() != n) return null;
+      double acc = 0.0;
+      scala.collection.Iterator<Object> ia = a.iterator();
+      scala.collection.Iterator<Object> ib = b.iterator();
+      while (ia.hasNext()) {
+        Object x = ia.next();
+        Object y = ib.next();
+        if (x == null || y == null) return null;
+        acc += ((Number) x).doubleValue() * ((Number) y).doubleValue();
+      }
+      return acc;
+    }
+  }
+
   /** (schemaJson, struct row) → Avro binary bytes */
   public static final class Encode implements UDF2<String, Row, byte[]> {
     @Override

@@ -252,6 +252,55 @@ def _register_decode(spark: SparkSession, schema: Schema, json_str: str) -> str:
     return name
 
 
+_DOT_FN = "avsp_jvm_dot"
+
+
+def dot_jvm(spark: SparkSession) -> Optional[str]:
+    """Register the strict-left-fold JVM dot product (AvroCodecUDF$Dot)
+    and return its SQL function name, or None when no JDK/jar — callers
+    fall back to the bit-identical zip_with+aggregate HOF form."""
+    try:
+        if not _attach(spark):
+            return None
+    except Exception:
+        return None
+    app = _session_key(spark)
+    if (app, _DOT_FN) not in _registered:
+        spark.udf.registerJavaFunction(
+            _DOT_FN, "avrospark.AvroCodecUDF$Dot", T.DoubleType()
+        )
+        _registered.add((app, _DOT_FN))
+    return _DOT_FN
+
+
+_VEC_UDFS = {
+    "avsp_jvm_argmax_centroid": (
+        "avrospark.AvroCodecUDF$ArgmaxCentroid", T.IntegerType()),
+    "avsp_jvm_pq_codes": (
+        "avrospark.AvroCodecUDF$PqCodes", T.ArrayType(T.IntegerType())),
+    "avsp_jvm_pq_reconstruct": (
+        "avrospark.AvroCodecUDF$PqReconstruct",
+        T.ArrayType(T.DoubleType())),
+}
+
+
+def vec_udf(spark: SparkSession, name: str) -> Optional[str]:
+    """Register one of the vector-scoring Java UDFs (strict-fold float
+    parity with their HOF twins — see AvroCodecUDF javadoc) and return
+    its SQL name, or None when no JDK/jar (callers keep the HOF form)."""
+    try:
+        if not _attach(spark):
+            return None
+    except Exception:
+        return None
+    app = _session_key(spark)
+    if (app, name) not in _registered:
+        cls, rtype = _VEC_UDFS[name]
+        spark.udf.registerJavaFunction(name, cls, rtype)
+        _registered.add((app, name))
+    return name
+
+
 _SPLIT_FN = "avsp_jvm_ocf_split"
 
 #: SplitBlocks output: one row per OCF block, payload still compressed

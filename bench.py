@@ -597,6 +597,19 @@ def main() -> None:
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
     )
+    # never DROP a previously-reported query from the summary (the
+    # per-round perf comparison keys on this dict): the round-10 line
+    # carried these five, so they stay reported even when optimization
+    # pushes them out of the slowest-5
+    for k in (
+        "hybrid_indexed",
+        "incremental_curation",
+        "streaming_incremental_dedup",
+        "incremental_dedup",
+        "streaming_incremental_dedup2",
+    ):
+        if k in timings:
+            slowest.setdefault(k, timings[k])
     # per-gate spread promoted into the recorded summary (r9, VERDICT r8
     # #4): max/min over the 3 warm reps per gate, aggregated to a median
     # and p90 ratio across all gates. A code regression moves the warm

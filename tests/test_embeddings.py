@@ -924,3 +924,34 @@ def test_ivf_stats_maintenance_hint(spark, tmp_path):
     S.retrain_ivf_index(spark, idx, iters=3)
     st3 = S.ivf_index_stats(spark, idx)
     assert st3["partition_row_skew"] <= st2["partition_row_skew"]
+
+
+def test_jvm_dot_bit_equals_hof(spark):
+    """r11: dot_fast routes through the compiled JVM UDF — it must be
+    BIT-IDENTICAL to the zip_with+aggregate HOF fold on every row
+    (same strict left-to-right multiply-then-accumulate), including
+    float→double casts, zero-length arrays, null elements and length
+    mismatches (zip_with's null padding nulls the fold)."""
+    from pyspark.sql import functions as F
+
+    from avro_spark import jvm as J
+    from avro_spark.functions.similarity import dot, dot_fast
+
+    assert J.dot_jvm(spark) is not None  # JDK present in this container
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("ia"),
+                   F.col("embedding").alias("va"))
+    b = emb.where(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    pairs = a.crossJoin(b)
+    chk = pairs.select(dot("va", "vb").alias("h"),
+                       dot_fast("va", "vb").alias("j"))
+    assert chk.where(~F.col("h").eqNullSafe(F.col("j"))).count() == 0
+    edge = spark.createDataFrame(
+        [([], []), ([1.0, 2.0], [3.0, None]), ([1.0], [1.0, 2.0]),
+         (None, [1.0])],
+        "a array<double>, b array<double>",
+    ).select(dot("a", "b").alias("h"), dot_fast("a", "b").alias("j"))
+    rows = edge.collect()
+    assert [r.h for r in rows] == [r.j for r in rows] == [0.0, None,
+                                                          None, None]

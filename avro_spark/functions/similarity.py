@@ -296,12 +296,44 @@ def _knn_bruteforce_arrow(
     )
 
 
+def _vec_jvm(name: str, payload_json: str, col: Column) -> "Optional[Column]":
+    """Column for one of the compiled vector-scoring Java UDFs
+    (jvm.vec_udf), or None when no session/JDK — callers fall back to
+    the float-identical HOF form. The matrix/codebook literal travels
+    as a JSON string (repr-exact doubles), parsed once per executor."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return None
+    from .. import jvm as J
+
+    try:
+        fn = J.vec_udf(spark, name)
+    except Exception:  # pragma: no cover - defensive
+        return None
+    if fn is None:
+        return None
+    return F.call_udf(fn, F.lit(payload_json), col)
+
+
 def _argmax_centroid(vec: Column, centroids: Sequence[Sequence[float]]) -> Column:
     """Nearest centroid id by cosine (ties → lowest id), as argmax of
     dot(vec, normalized_centroid): the vector's own norm is a positive
     per-row constant, so it never changes the argmax; zero-norm rows tie
     everywhere and resolve to id 0, matching the cosine()==0.0 contract."""
-    cmat = _matrix_lit(_normalize_rows(centroids))
+    import json as _json
+
+    rows = _normalize_rows(centroids)
+    jvm_col = _vec_jvm("avsp_jvm_argmax_centroid", _json.dumps(rows), vec)
+    if jvm_col is not None:
+        # compiled strict-fold argmax — float-identical to the HOF fold
+        # below (same dot order, Double.compare ordering, ties → lowest
+        # id; pinned by test_jvm_vector_udfs_match_hof) and free of the
+        # per-row interpreted lambda cost AND the per-action Catalyst
+        # cost of a centroid-matrix literal tree
+        return jvm_col
+    cmat = _matrix_lit(rows)
 
     def pick(v: Column) -> Column:
         scored = F.transform(
@@ -1636,6 +1668,15 @@ def pq_codes(vec: Column, codebooks: Sequence[Sequence[Sequence[float]]]) -> Col
     code-independent ``dot(s,s)`` term, which shifts every candidate by the
     same constant and so preserves both the argmin and its ties. array_min
     over (score, code_id) structs gives lexicographic tie-breaking."""
+    import json as _json
+
+    books = [[[float(x) for x in c] for c in b] for b in codebooks]
+    jvm_col = _vec_jvm("avsp_jvm_pq_codes", _json.dumps(books), vec)
+    if jvm_col is not None:
+        # compiled per-subspace argmin — float-identical to the HOF
+        # fold below (strict-fold dots, (-2*dot)+cc order, ties →
+        # lowest code; pinned by test_jvm_vector_udfs_match_hof)
+        return jvm_col
     sub = len(codebooks[0][0])
     cb = _cube_lit(codebooks)
 
@@ -1674,6 +1715,12 @@ def pq_reconstruct(
 ) -> Column:
     """Decode a PQ code array back to its (lossy) d-dim reconstruction:
     the concatenation of the selected codebook entries."""
+    import json as _json
+
+    books = [[[float(x) for x in c] for c in b] for b in codebooks]
+    jvm_col = _vec_jvm("avsp_jvm_pq_reconstruct", _json.dumps(books), codes)
+    if jvm_col is not None:
+        return jvm_col
     cb = _cube_lit(codebooks)
     return F.flatten(
         F.zip_with(

@@ -955,3 +955,41 @@ def test_jvm_dot_bit_equals_hof(spark):
     rows = edge.collect()
     assert [r.h for r in rows] == [r.j for r in rows] == [0.0, None,
                                                           None, None]
+
+
+def test_jvm_vector_udfs_match_hof(spark):
+    """r11: the compiled ArgmaxCentroid/PqCodes/PqReconstruct UDFs must
+    agree with their HOF twins on every corpus row (same strict-fold
+    float semantics, same tie-breaks)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from avro_spark.functions import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = S.sample_centroids(emb, 16)
+    books = S.pq_codebooks(emb, m=8, k=16)
+    # HOF forms, forced by building the columns with no JVM route
+    import avro_spark.functions.similarity as sim_mod
+
+    orig = sim_mod._vec_jvm
+    sim_mod._vec_jvm = lambda *a, **k: None
+    try:
+        hof = emb.select(
+            "vec_id",
+            S._argmax_centroid(F.col("embedding"), cents).alias("cid"),
+            S.pq_codes(F.col("embedding"), books).alias("codes"),
+        ).withColumn("recon", S.pq_reconstruct(F.col("codes"), books))
+        hof_rows = {r.vec_id: (r.cid, r.codes, r.recon)
+                    for r in hof.collect()}
+    finally:
+        sim_mod._vec_jvm = orig
+    jvm = emb.select(
+        "vec_id",
+        S._argmax_centroid(F.col("embedding"), cents).alias("cid"),
+        S.pq_codes(F.col("embedding"), books).alias("codes"),
+    ).withColumn("recon", S.pq_reconstruct(F.col("codes"), books))
+    assert "avsp_jvm_pq_codes" in jvm._jdf.queryExecution().toString()
+    jvm_rows = {r.vec_id: (r.cid, r.codes, r.recon) for r in jvm.collect()}
+    assert jvm_rows == hof_rows  # exact, including double bit-values

@@ -1260,22 +1260,27 @@ def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     events table, Trigger.AvailableNow into a memory sink in complete
     output mode — the bounded-run result equals the batch aggregate, so
     it is SQL-oracle-checkable (time_bucket in DuckDB)."""
-    import tempfile
     import uuid
 
     from avro_spark import streaming as ST
 
-    ev = _read(spark, sf_dir, "events", split=True)
-    tmp = _fresh_dirs("streaming_window", "events_stream_")[0]
+    ev = _read(spark, sf_dir, "events")
+    # stream DIRECTLY from the source parquet (r11): the gate used to
+    # rewrite a converted copy of the events table per invocation just
+    # to stream it back — a full extra write that measured the copy,
+    # not the streaming operator. The timestamp conversion is a narrow
+    # projection and therefore stream-legal, so it now runs inside the
+    # stream; the bounded-run result is unchanged (oracle-verified).
+    src = ST.stream_source(
+        spark, sf_dir, schema=ev.schema,
+        path_glob_filter="events.parquet")
     # older driver parquet stores TIMESTAMP(NANOS) (read as long nanos via
     # nanosAsLong); newer testdata carries TIMESTAMP(MICROS) read as NTZ.
     # Watermarks require TIMESTAMP (with tz): convert/cast accordingly
     # (session tz is pinned UTC in _read, so wall-clock is preserved).
     if dict(ev.dtypes)["ts"] in ("bigint", "long"):
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
-    ev.write.mode("overwrite").parquet(tmp)
-    src = ST.stream_source(spark, tmp)
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = ST.windowed_counts(src, window="10 minutes", watermark="5 minutes")
     table = f"win_{uuid.uuid4().hex[:8]}"
     ST.run_to_memory(agg, table, output_mode="complete")
@@ -1291,18 +1296,22 @@ def q_streaming_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, apply the compiled flatten plan unchanged (narrow → no
     state, no watermark), AvailableNow into a memory sink — the bounded
     run equals the batch projection, so it is fully oracle-checkable."""
-    import shutil
-    import tempfile
     import uuid
 
     from avro_spark import streaming as ST
 
-    orders = _read(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    # stream DIRECTLY from the source parquet (r11, as in
+    # q_streaming_window): the column selection is a narrow stream-legal
+    # projection, so the per-invocation temp copy bought nothing.
+    # (_read pins the session tz / nanos configs and supplies the schema
+    # the streaming file source requires.)
+    src = ST.stream_source(
+        spark, sf_dir, schema=_read(spark, sf_dir, "orders").schema,
+        path_glob_filter="orders.parquet",
+    ).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
     )
-    tmp = _fresh_dirs("streaming_flatten", "orders_stream_")[0]
-    orders.write.mode("overwrite").parquet(tmp)
-    src = ST.stream_source(spark, tmp)
     # writer→reader evolution (reversed field order) applied to the
     # stream — the same narrow plan batch uses
     reader = {**ORDERS_SCHEMA, "fields": list(reversed(ORDERS_SCHEMA["fields"]))}
@@ -1314,9 +1323,7 @@ def q_streaming_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table = f"flat_{uuid.uuid4().hex[:8]}"
     ST.run_to_memory(flat, table, output_mode="append")
-    out = spark.table(table)
-    shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    return spark.table(table)
 
 
 def q_ocf_evolved_read(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -39,15 +39,21 @@ def stream_source(
     schema: Optional[T.StructType] = None,
     fmt: str = "parquet",
     max_files_per_trigger: Optional[int] = None,
+    path_glob_filter: Optional[str] = None,
 ) -> DataFrame:
     """readStream from a file directory. Streaming file sources require an
     explicit schema; when none is given, infer it from a one-off batch
-    read of the same path (cheap: parquet footers only)."""
+    read of the same path (cheap: parquet footers only).
+    ``path_glob_filter`` selects matching files inside the directory —
+    the way to stream ONE table file out of a directory of tables (the
+    file source refuses a bare file path: 'basePath' must be a dir)."""
     if schema is None:
         schema = spark.read.format(fmt).load(path).schema
     reader = spark.readStream.format(fmt).schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if path_glob_filter is not None:
+        reader = reader.option("pathGlobFilter", path_glob_filter)
     return reader.load(path)
 
 

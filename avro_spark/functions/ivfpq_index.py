@@ -276,25 +276,50 @@ def _write_ivfpq_index_unlocked(
         ).alias("codes"),
     ).persist()
     try:
-        # codes: the probe's scan side — m smallints/row, partition-
-        # pruned by the probed centroid set
-        enc.select(id_col, "codes", "centroid_id") \
-            .write.mode(mode).partitionBy("centroid_id") \
-            .parquet(codes_dir)
-        # raw sidecar: exact-rerank side — sorted by id within each
-        # centroid partition so the shortlist's `id IN (...)` pushdown
-        # prunes at the parquet footer level. The vector column is
-        # stored under the FIXED name "_v" so probes need no vec_col.
-        enc.select(
-            id_col, F.col(vec_col).alias("_v"), "_nv", "centroid_id"
-        ).repartition("centroid_id") \
-            .sortWithinPartitions("centroid_id", id_col) \
-            .write.mode(mode).partitionBy("centroid_id") \
-            .parquet(raw_dir)
+        # materialize the encode ONCE up front, then run the two
+        # independent table writes CONCURRENTLY (guide §2.6) — without
+        # the count the parallel writes would race to compute the
+        # unmaterialized cache and encode the corpus twice; with it,
+        # wall = encode + max(write) and the count doubles as this
+        # batch's row tally
+        n_batch = enc.count()
+
+        def _write_codes() -> None:
+            # codes: the probe's scan side — m smallints/row, partition-
+            # pruned by the probed centroid set
+            enc.select(id_col, "codes", "centroid_id") \
+                .write.mode(mode).partitionBy("centroid_id") \
+                .parquet(codes_dir)
+
+        def _write_raw() -> None:
+            # raw sidecar: exact-rerank side — sorted by id within each
+            # centroid partition so the shortlist's `id IN (...)`
+            # pushdown prunes at the parquet footer level. The vector
+            # column is stored under the FIXED name "_v" so probes need
+            # no vec_col.
+            enc.select(
+                id_col, F.col(vec_col).alias("_v"), "_nv", "centroid_id"
+            ).repartition("centroid_id") \
+                .sortWithinPartitions("centroid_id", id_col) \
+                .write.mode(mode).partitionBy("centroid_id") \
+                .parquet(raw_dir)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            for f in [ex.submit(_write_codes), ex.submit(_write_raw)]:
+                f.result()
     finally:
         enc.unpersist()
-    total = spark.read.parquet(codes_dir).where(
-        F.col("centroid_id").isin(dir_ids)).count()
+    if mode == "overwrite":
+        # a fresh build wrote exactly the encoded rows — no re-read
+        total = n_batch
+    else:
+        # append totals stay authoritative from disk: a RETRIED append
+        # re-appends its rows, and the committed count must reflect
+        # what probes will actually scan
+        total = spark.read.parquet(codes_dir).where(
+            F.col("centroid_id").isin(dir_ids)).count()
     _write_ivfpq_meta(spark, path, centroids, codebooks, "committed",
                       total,
                       append_token if mode == "append" else None,

@@ -386,6 +386,7 @@ def knn_ivfpq_indexed(
     exclude_self: bool = True,
     max_pushdown_ids: int = 5_000,
     probe_join: str = "auto",
+    prune_min_index_bytes: "Optional[int]" = None,
 ) -> DataFrame:
     """Probe a :func:`write_ivfpq_index` index: partition-pruned code
     scan → asymmetric PQ scoring → per-query top-``rerank`` shortlist →
@@ -469,13 +470,33 @@ def knn_ivfpq_indexed(
         # without truncation an expensive upstream `queries` plan would
         # execute three times per probe
     ).localCheckpoint(eager=True)
-    # bounded driver state: |queries| × nprobe ints — the scan filter
-    probe_rows = probe_sets.select("_probe_cids").collect()
-    probed = sorted({int(c) for r in probe_rows for c in r[0]})
+    from .dedup import _PUSHDOWN_MIN_INDEX_BYTES, _dir_bytes_at_least
+
+    if prune_min_index_bytes is None:
+        prune_min_index_bytes = _PUSHDOWN_MIN_INDEX_BYTES
+    # SCALE-ADAPTIVE (r11): below one scan task's worth of codes+raw the
+    # centroid prune and the rerank id-pushdown cannot cut IO, and their
+    # probe-set/shortlist collects are extra actions per probe — skip
+    # both (identical results; at corpus scale both engage as before)
+    small_index = probe_join == "auto" and not (
+        _dir_bytes_at_least(_pq_dir(path, m, "codes"),
+                            prune_min_index_bytes)
+        or _dir_bytes_at_least(_pq_dir(path, m, "raw"),
+                               prune_min_index_bytes)
+    )
+    if small_index:
+        probed = None
+        probe_rows = []
+    else:
+        # bounded driver state: |queries| × nprobe ints — the scan filter
+        probe_rows = probe_sets.select("_probe_cids").collect()
+        probed = sorted({int(c) for r in probe_rows for c in r[0]})
     # dropDuplicates: a retried append re-appends its rows; one code row
     # per id keeps the shortlist window from double-counting
-    codes = spark.read.parquet(_pq_dir(path, m, "codes")).where(
-        F.col("centroid_id").isin(probed)).dropDuplicates([id_col])
+    codes = spark.read.parquet(_pq_dir(path, m, "codes"))
+    if probed is not None:
+        codes = codes.where(F.col("centroid_id").isin(probed))
+    codes = codes.dropDuplicates([id_col])
     recon = pq_reconstruct(F.col("codes"), codebooks)
     big = codes.select(
         F.col(id_col), F.col("centroid_id"), recon.alias("_rv")
@@ -485,7 +506,8 @@ def knn_ivfpq_indexed(
     if probe_join not in ("auto", "broadcast", "equi"):
         raise ValueError(f"bad probe_join: {probe_join}")
     use_equi = probe_join == "equi" or (
-        probe_join == "auto" and len(probe_rows) >= _EQUIJOIN_FLEET)
+        probe_join == "auto" and not small_index
+        and len(probe_rows) >= _EQUIJOIN_FLEET)
     if use_equi:
         exploded = probe_sets.select(
             query_id_col, "_qv", "_nq",
@@ -518,16 +540,17 @@ def knn_ivfpq_indexed(
         # exists to score; checkpoint so the code scan never re-runs
         .localCheckpoint(eager=True)
     )
-    raw = spark.read.parquet(_pq_dir(path, m, "raw")).where(
-        F.col("centroid_id").isin(probed))
-    ids = [
-        r[0]
-        for r in shortlist.select(id_col).distinct()
-        .limit(max_pushdown_ids + 1).collect()
-    ]
-    if len(ids) <= max_pushdown_ids:
-        # footer-level pruning against the range-sorted sidecar layout
-        raw = raw.where(F.col(id_col).isin(ids))
+    raw = spark.read.parquet(_pq_dir(path, m, "raw"))
+    if probed is not None:
+        raw = raw.where(F.col("centroid_id").isin(probed))
+        ids = [
+            r[0]
+            for r in shortlist.select(id_col).distinct()
+            .limit(max_pushdown_ids + 1).collect()
+        ]
+        if len(ids) <= max_pushdown_ids:
+            # footer-level pruning against the range-sorted sidecar layout
+            raw = raw.where(F.col(id_col).isin(ids))
     raw = raw.select(id_col, "_nv", "_v").dropDuplicates([id_col])
     qn = probe_sets.select(query_id_col, "_qv", "_nq")
     denom2 = F.col("_nv") * F.col("_nq")

@@ -1253,6 +1253,7 @@ def knn_ivf_indexed(
     query_vec_col: str = "q_embedding",
     exclude_self: bool = True,
     probe_join: str = "auto",
+    prune_min_index_bytes: "Optional[int]" = None,
 ) -> DataFrame:
     """Probe a :func:`write_ivf_index` index: the union of every query's
     nprobe probe set becomes a ``centroid_id IN (...)`` scan filter —
@@ -1323,10 +1324,30 @@ def knn_ivf_indexed(
             lambda p: to_dir(p),
         ).alias("probe_cids"),
     )
+    from .dedup import _PUSHDOWN_MIN_INDEX_BYTES, _dir_bytes_at_least
+
+    if prune_min_index_bytes is None:
+        prune_min_index_bytes = _PUSHDOWN_MIN_INDEX_BYTES
+    data_dir = _ivf_data_dir(path, m)
+    if probe_join == "auto" and not _dir_bytes_at_least(
+        data_dir, prune_min_index_bytes
+    ):
+        # SCALE-ADAPTIVE (r11): below one scan task's worth of index the
+        # partition prune cannot cut IO and its probe-set collect is an
+        # extra action per probe — run the whole probe as ONE action on
+        # the small-fleet broadcast join (results identical; at corpus
+        # scale the prune engages exactly as below)
+        index = spark.read.parquet(data_dir)
+        cond = F.array_contains(F.col("probe_cids"), F.col("centroid_id"))
+        if exclude_self:
+            cond = cond & (F.col(id_col) != F.col(query_id_col))
+        cand = index.join(F.broadcast(probe_sets), cond)
+        return _score_ivf_cand(
+            cand, k, id_col, vec_col, query_id_col, query_vec_col, dim)
     # bounded driver state: |queries| × nprobe ints — the scan filter
     probe_rows = probe_sets.select("probe_cids").collect()
     probed = sorted({int(c) for r in probe_rows for c in r[0]})
-    index = spark.read.parquet(_ivf_data_dir(path, m)).where(
+    index = spark.read.parquet(data_dir).where(
         F.col("centroid_id").isin(probed))
     if probe_join not in ("auto", "broadcast", "equi"):
         raise ValueError(f"bad probe_join: {probe_join}")
@@ -1347,6 +1368,16 @@ def knn_ivf_indexed(
         if exclude_self:
             cond = cond & (F.col(id_col) != F.col(query_id_col))
         cand = index.join(F.broadcast(probe_sets), cond)
+    return _score_ivf_cand(
+        cand, k, id_col, vec_col, query_id_col, query_vec_col, dim)
+
+
+def _score_ivf_cand(
+    cand: DataFrame, k: int, id_col: str, vec_col: str,
+    query_id_col: str, query_vec_col: str, dim: int,
+) -> DataFrame:
+    """Exact-cosine scoring + per-query top-k over an IVF candidate
+    join — the shared tail of every :func:`knn_ivf_indexed` join shape."""
     denom = F.col("_nv") * F.col("_nq")
     scored = cand.select(
         F.col(query_id_col),

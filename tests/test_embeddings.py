@@ -302,7 +302,8 @@ def test_ivf_index_partition_pruning_matches_knn_ivf(spark, tmp_path):
     ]
     # centroids=None: the probe reads the pinned matrix from meta; the
     # explicit-list form is verified (and refused on drift) elsewhere
-    out = S.knn_ivf_indexed(spark, path, q, None, k=5, nprobe=3)
+    out = S.knn_ivf_indexed(spark, path, q, None, k=5, nprobe=3,
+                            prune_min_index_bytes=0)
     got = [
         (r.query_id, r.rank, r.vec_id, round(r.cosine, 9))
         for r in out.orderBy("query_id", "rank").collect()
@@ -325,6 +326,18 @@ def test_ivf_index_partition_pruning_matches_knn_ivf(spark, tmp_path):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", p1)
     assert m and "centroid_id" in m.group(1) and "3" in m.group(1), p1[:1500]
+    # r11 size-adaptive default: a tiny index (below one scan task)
+    # skips the probe-set collect and partition prune — no IN-set in
+    # PartitionFilters, IDENTICAL rows
+    adaptive = S.knn_ivf_indexed(spark, path, q, None, k=5, nprobe=3)
+    got_a = [
+        (r.query_id, r.rank, r.vec_id, round(r.cosine, 9))
+        for r in adaptive.orderBy("query_id", "rank").collect()
+    ]
+    assert got_a == want
+    aplan = adaptive._jdf.queryExecution().executedPlan().toString()
+    ma = re.search(r"PartitionFilters: \[([^\]]*)\]", aplan)
+    assert ma is None or "IN" not in ma.group(1).upper(), aplan[:1500]
 
 
 def test_ivf_index_pins_its_centroids(spark, tmp_path):

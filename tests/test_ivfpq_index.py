@@ -87,7 +87,8 @@ def test_small_rerank_matches_pq_shortlist_then_exact(spark, tmp_path):
 def test_codes_scan_is_partition_pruned(spark, tmp_path):
     emb, cents, books, q, path = _setup(spark, tmp_path)
     Q.write_ivfpq_index(emb, cents, books, path)
-    out = Q.knn_ivfpq_indexed(spark, path, q, k=5, nprobe=3, rerank=8)
+    out = Q.knn_ivfpq_indexed(spark, path, q, k=5, nprobe=3, rerank=8,
+                              prune_min_index_bytes=0)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
     import re
@@ -332,7 +333,8 @@ def test_rerank_sidecar_scan_is_id_pruned(spark, tmp_path):
     shape as the MinHash candidate pushdown."""
     emb, cents, books, q, path = _setup(spark, tmp_path, "prune")
     Q.write_ivfpq_index(emb, cents, books, path)
-    out = Q.knn_ivfpq_indexed(spark, path, q, k=3, nprobe=2, rerank=5)
+    out = Q.knn_ivfpq_indexed(spark, path, q, k=3, nprobe=2, rerank=5,
+                              prune_min_index_bytes=0)
     plan = out._jdf.queryExecution().executedPlan().toString()
     # the raw sidecar's scan line (its _v column names it uniquely):
     # the shortlist id set must land in its filters — rendered In(...)
@@ -346,6 +348,19 @@ def test_rerank_sidecar_scan_is_id_pruned(spark, tmp_path):
                for ln in raw_scans), raw_scans[0][:1200]
     # and the probed-centroid partition pruning reaches the scans
     assert "PartitionFilters: [" in plan
+    # r11 size-adaptive default: a tiny index skips both the centroid
+    # prune and the id pushdown (single-action probe), IDENTICAL rows
+    adaptive = Q.knn_ivfpq_indexed(spark, path, q, k=3, nprobe=2, rerank=5)
+    aplan = adaptive._jdf.queryExecution().executedPlan().toString()
+    assert not any(
+        "vec_id" in ln and ("INSET" in ln or "In(vec_id" in ln)
+        for ln in aplan.splitlines()
+        if "FileScan" in ln and "_v#" in ln
+    ), aplan[:1500]
+    def _r(df):
+        return [(x.query_id, x.rank, x.vec_id, round(x.cosine, 9))
+                for x in df.orderBy("query_id", "rank").collect()]
+    assert _r(adaptive) == _r(out)
 
 
 def test_fuzz_ivfpq_indexed_equals_in_memory_reference(

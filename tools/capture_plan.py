@@ -1,4 +1,4 @@
-"""Capture `.explain("formatted")` for gates into plans/r10/.
+"""Capture `.explain("formatted")` for gates into plans/$PLANS_ROUND/ (default r11).
 
 Usage: python tools/capture_plan.py <suffix> <gate> [gate ...]
 
@@ -24,7 +24,7 @@ def main() -> None:
     qs = {**E.queries(), **E.extra_queries()}
     outdir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r10",
+        "plans", os.environ.get("PLANS_ROUND", "r11"),
     )
     os.makedirs(outdir, exist_ok=True)
     for name in gates:

@@ -206,16 +206,23 @@ def bigram_lm_scores(
     tables on the training corpus and join here.
     """
     bg = _doc_bigrams(docs, doc_id, text)
-    pair_c = bg.groupBy("left", "right").agg(F.count("*").alias("c_pair"))
-    left_c = pair_c.groupBy("left").agg(F.sum("c_pair").alias("c_left"))
     vocab = (
         docs.select(F.explode(ws_tokens(F.lower(F.col(text)))).alias("term"))
         .agg(F.countDistinct("term").alias("v"))
         .withColumn("_k", F.lit(1))
     )
+    # counts via windows over the ONE bigram stream: c(l, r) is the
+    # window count per (left, right) and c(l, ·) the window count per
+    # left (each bigram row is one occurrence, so sum-of-pair-counts ≡
+    # row count). The former groupBy+join formulation re-executed the
+    # tokenize+bigram subtree once per join side — three corpus passes
+    # for the same integers.
     scored = (
-        bg.join(pair_c, ["left", "right"])
-        .join(left_c, "left")
+        bg.withColumn(
+            "c_pair",
+            F.count("*").over(Window.partitionBy("left", "right")),
+        )
+        .withColumn("c_left", F.count("*").over(Window.partitionBy("left")))
         .withColumn("_k", F.lit(1))
         .join(F.broadcast(vocab), "_k")
         .select(

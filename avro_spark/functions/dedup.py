@@ -569,8 +569,13 @@ def _write_minhash_index_unlocked(
         # the unmaterialized cache and hash the corpus twice; with it,
         # wall time is hash + max(write) instead of hash + sum(writes),
         # and one write's driver-side planning overlaps the other's
-        # execution.
-        hdocs.count()
+        # execution. A caller-provided ``_hdocs`` (the streaming sink)
+        # is persisted AND already materialized by the probe pass that
+        # preceded the append — no extra job needed (a replayed batch
+        # that skipped the probe merely recomputes cache partitions
+        # concurrently once; results are unaffected).
+        if own_hdocs:
+            hdocs.count()
 
         # DATA-SKIPPING LAYOUT: range-partition + sort each table by its
         # probe key so every parquet file/row-group covers a tight key

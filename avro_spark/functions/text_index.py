@@ -345,6 +345,7 @@ def bm25_indexed(
     max_pushdown_terms: int = 5_000,
     tie_decimals: "Optional[int]" = None,
     max_df_ratio: "Optional[float]" = None,
+    pushdown_min_index_bytes: "Optional[int]" = None,
 ) -> DataFrame:
     """Probe a :func:`write_text_index` index: bucket partition pruning
     + ``term IN (...)`` footer pushdown → per-term df from the pruned
@@ -386,17 +387,33 @@ def bm25_indexed(
             F.array_distinct(ws_tokens(F.lower(F.col(query_text_col))))
         ).alias("term"),
     )
-    # bounded driver state: the distinct query vocabulary (with its
-    # pinned buckets, computed by the SAME engine expression as the
-    # build — never re-derived in Python)
-    tb = (
-        qterms.select("term").distinct()
-        .limit(max_pushdown_terms + 1)
-        .select("term", _bucket_expr(F.col("term"), m["n_buckets"])
-                .alias("bucket"))
-        .collect()
-    )
-    pushdown = len(tb) <= max_pushdown_terms
+    from .dedup import _PUSHDOWN_MIN_INDEX_BYTES, _dir_bytes_at_least
+
+    if pushdown_min_index_bytes is None:
+        pushdown_min_index_bytes = _PUSHDOWN_MIN_INDEX_BYTES
+    if not _dir_bytes_at_least(
+        _tdir(path, m["versions"], "postings"), pushdown_min_index_bytes
+    ):
+        # SCALE-ADAPTIVE (r11): below one scan task's worth of postings
+        # the bucket/term pushdown cannot cut IO and the query-term
+        # collect is an extra action per probe — broadcast-join the
+        # query terms instead (the existing fallback path) and run the
+        # probe as ONE action; identical answers, and the pushdown
+        # engages unchanged at corpus scale
+        tb = []
+        pushdown = False
+    else:
+        # bounded driver state: the distinct query vocabulary (with its
+        # pinned buckets, computed by the SAME engine expression as the
+        # build — never re-derived in Python)
+        tb = (
+            qterms.select("term").distinct()
+            .limit(max_pushdown_terms + 1)
+            .select("term", _bucket_expr(F.col("term"), m["n_buckets"])
+                    .alias("bucket"))
+            .collect()
+        )
+        pushdown = len(tb) <= max_pushdown_terms
     if max_df_ratio is not None:
         # stop-term skip: a corpus-proportional posting list (a stop
         # word) dominates probe IO; its idf is ~ln(1 + 1/ratio) ≈ 0
@@ -452,9 +469,13 @@ def bm25_indexed(
     # absorb append-retry residue: one posting row per (term, doc)
     scan = post.select("term", id_col, "tf", "dl") \
         .dropDuplicates(["term", id_col])
-    df_ = scan.groupBy("term").agg(F.count("*").alias("df"))
-    cand = scan.join(F.broadcast(qterms), "term") \
-        .join(F.broadcast(df_), "term")
+    # df via a window over the pruned scan — scan rows are distinct
+    # (term, doc), so count-per-term IS df; the former groupBy +
+    # broadcast join re-executed the postings scan a second time per
+    # action (at corpus scale that doubles probe IO)
+    cand = scan.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term"))
+    ).join(F.broadcast(qterms), "term")
     ts = (
         F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5)
               / (F.col("df") + 0.5))

@@ -16,9 +16,9 @@ def spark():
     from pyspark.sql import SparkSession
 
     spark = (
-        SparkSession.builder.master("local[4]")
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_TEST_CPUS', '4')}]")
         .appName("avro_spark_tests")
-        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_TEST_CPUS", "4"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

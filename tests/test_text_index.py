@@ -229,15 +229,24 @@ def test_probe_pushdown_and_fallback(spark, tmp_path):
     docs, qs = _docs(spark), _queries(spark)
     idx = str(tmp_path / "push")
     TI.write_text_index(docs, idx, n_buckets=16)
-    probed = TI.bm25_indexed(spark, idx, qs, k=5)
+    probed = TI.bm25_indexed(spark, idx, qs, k=5,
+                             pushdown_min_index_bytes=0)
     plan = probed._jdf.queryExecution().executedPlan().toString()
     pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert any("bucket" in g for g in pf), plan[:2000]
     assert "In(term" in plan, plan[:2000]
-    fb = TI.bm25_indexed(spark, idx, qs, k=5, max_pushdown_terms=1)
+    fb = TI.bm25_indexed(spark, idx, qs, k=5, max_pushdown_terms=1,
+                         pushdown_min_index_bytes=0)
     assert "In(term" not in (
         fb._jdf.queryExecution().executedPlan().toString())
     assert _rows(fb) == _rows(probed)
+    # r11 size-adaptive default: a tiny index skips the term collect
+    # (single-action probe, broadcast term join) — no In(term...)
+    # pushdown, IDENTICAL rankings
+    adaptive = TI.bm25_indexed(spark, idx, qs, k=5)
+    assert "In(term" not in (
+        adaptive._jdf.queryExecution().executedPlan().toString())
+    assert _rows(adaptive) == _rows(probed)
 
 
 def test_single_writer_lease(spark, tmp_path):
@@ -517,7 +526,8 @@ def test_max_df_ratio_stop_term_skip(spark, tmp_path):
                                  max_df_ratio=1.1)) == _rows(
         TI.bm25_indexed(spark, whole, qs, k=5))
     # the skipped term's postings are NOT in the scan's pushdown list
-    plan = TI.bm25_indexed(spark, whole, qs, k=5, max_df_ratio=0.9) \
+    plan = TI.bm25_indexed(spark, whole, qs, k=5, max_df_ratio=0.9,
+                           pushdown_min_index_bytes=0) \
         ._jdf.queryExecution().executedPlan().toString()
     in_lists = re.findall(r"In\(term, \[([^\]]*)\]", plan)
     assert in_lists and all(
